@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry over the harness parquet layout (`TESTDATA.md`):
+  * one parquet file per table under a scale-factor directory.
+  *
+  * Mirrors the reference's external-schema stance (SURVEY.md §1.3 —
+  * schema comes from the catalog, not inference): parquet footers are
+  * the catalog here, so every read is schema-exact and column-pruned
+  * by Catalyst.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = table("region")
+  def nation: DataFrame     = table("nation")
+  def customer: DataFrame   = table("customer")
+  def supplier: DataFrame   = table("supplier")
+  def part: DataFrame       = table("part")
+  def orders: DataFrame     = table("orders")
+  def lineitem: DataFrame   = table("lineitem")
+  def events: DataFrame     = table("events")
+  def documents: DataFrame  = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+
+  /** Register every table as a temp view so `spark.sql` works over the
+    * same names the DuckDB oracle uses.
+    */
+  def registerAll(): Unit =
+    Tables.names.foreach(n => table(n).createOrReplaceTempView(n))
+}
+
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+}

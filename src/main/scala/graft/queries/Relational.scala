@@ -1,0 +1,396 @@
+package graft.queries
+
+import graft.{Parity, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The relational surface the reference delegates to ClickHouse as SQL
+  * strings (SURVEY.md §2.B) plus the standard relational operators the
+  * engine must run natively: scans with pushdown, joins (broadcast /
+  * shuffle / semi / anti), aggregation (plain, rollup, distinct,
+  * conditional, array-agg), windows, sorts/top-k, set ops, string and
+  * date functions.
+  *
+  * Every query is paired with an ANSI-SQL oracle (DuckDB) in
+  * [[oracles]]; results are deterministically ordered and use exact
+  * decimal arithmetic (see [[graft.Parity]]) so they hash-match the
+  * oracle regardless of partitioning / aggregation order — which is
+  * what makes the same plans correct on a 1000-executor cluster.
+  */
+object Relational {
+  import Parity._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1-style pricing summary. Group-by agg with partial
+    // (map-side) aggregation; decimal sums are associative so the
+    // 2-phase agg is exact at any parallelism.
+    "q01_agg_pricing_summary" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .filter($"l_shipdate" <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sumD($"l_quantity").as("sum_qty"),
+          sumD($"l_extendedprice").as("sum_base_price"),
+          sumRevenue($"l_extendedprice", $"l_discount").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // Filter + projection; predicates and the 4-column ReadSchema are
+    // pushed into the parquet scan (verified via .explain in the spec).
+    "q02_filter_projection_pushdown" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .filter($"l_returnflag" === "R" && $"l_quantity" >= 30 &&
+          $"l_shipdate" > lit("1996-01-01 00:00:00").cast("timestamp"))
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+        .limit(100)
+    },
+
+    // 4-way join: fact-to-fact shuffle join (lineitem⋈orders) + small
+    // dims broadcast — the shape that survives a 100× scale-up.
+    "q03_join_revenue_by_nation" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          sumRevenue($"l_extendedprice", $"l_discount").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"n_name")
+    },
+
+    // groupArray analogue (reference emits `groupArray(host_address)`
+    // over system.clusters — ClickhouseClient.java:124). Sorted +
+    // joined to a string so the hash is order-insensitive.
+    "q04_group_array" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).nation
+        .groupBy($"n_regionkey")
+        .agg(
+          array_join(sort_array(collect_list($"n_name")), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(desc("n_regionkey"))
+    },
+
+    // ORDER BY … DESC + LIMIT (top-k). Spark plans TakeOrderedAndProject:
+    // per-partition heap + driver merge, no full sort at scale.
+    "q05_topk" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).customer
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy(desc("c_acctbal"), $"c_custkey")
+        .limit(10)
+    },
+
+    // LIKE prefix, regex match, concat — the string predicates of
+    // SURVEY §2.B (ClickhouseHdfsLoader.java:497, OldDailyMergeTask.java:86).
+    "q06_string_predicates" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).part
+        .filter($"p_name".like("b%") || $"p_name".rlike("ring$"))
+        .select($"p_partkey", concat($"p_brand", lit("."), $"p_name").as("brand_name"), $"p_name")
+        .orderBy($"p_partkey")
+    },
+
+    "q07_distinct" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .select($"o_orderstatus", $"o_orderpriority")
+        .distinct()
+        .orderBy($"o_orderstatus", $"o_orderpriority")
+    },
+
+    // INSERT INTO target SELECT * FROM temp (reference's 2-phase merge,
+    // ClickhouseLoaderReducer.java:224) = UNION ALL append semantics.
+    "q08_insert_select_union" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables(s, dir).orders
+      o.filter($"o_orderstatus" === "O")
+        .unionByName(o.filter($"o_orderstatus" === "F"))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), sumD($"o_totalprice").as("total"))
+        .orderBy($"o_orderstatus")
+    },
+
+    // Window functions: row_number + running sum with an explicit ROWS
+    // frame over a unique ordering (deterministic across engines).
+    "q09_window_running" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).lineitem
+        .filter($"l_suppkey" <= 5)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("running_qty", sum(dec2($"l_quantity")).over(wf).cast("double"))
+        .filter($"rn" <= 50)
+        .select($"l_suppkey", $"rn", $"l_orderkey", $"l_linenumber", $"running_qty")
+        .orderBy($"l_suppkey", $"rn")
+    },
+
+    // Scalar count(*) with alias — the reference's column-arity probe
+    // (AbstractClickhouseLoaderMapper.java:490).
+    "q10_scalar_count" -> { (s, dir) =>
+      Tables(s, dir).lineitem.agg(count(lit(1)).as("total_col_size"))
+    },
+
+    // EXISTS → left-semi join (never materializes the right side).
+    "q11_semi_join_exists" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.filter($"o_orderpriority" === "1-URGENT"),
+          $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // NOT EXISTS → left-anti join (customers with no low-priority order).
+    "q12_anti_join_not_exists" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.filter($"o_orderpriority" === "5-LOW"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // INTERSECT / EXCEPT (distinct set semantics in both engines).
+    "q13_setops_intersect_except" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val withOrders = t.orders.select($"o_custkey".as("custkey"))
+      val rich = t.customer.filter($"c_acctbal" > 5000).select($"c_custkey".as("custkey"))
+      rich.intersect(withOrders).withColumn("op", lit("intersect"))
+        .unionByName(rich.except(withOrders).withColumn("op", lit("except")))
+        .orderBy($"op", $"custkey")
+    },
+
+    // ROLLUP with coalesced grouping keys (avoids NULL-ordering
+    // divergence between engines).
+    "q14_rollup_agg" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sumD($"l_quantity").as("qty"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"n", $"qty")
+        .orderBy($"returnflag", $"linestatus")
+    },
+
+    // Date arithmetic: year/month extraction, month truncation, dt-30d
+    // (the reference does `dt - dailyExpires days` in Java Calendar —
+    // OldDailyMergeTask.java:70-74).
+    "q15_date_arith" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .groupBy(
+          year($"o_orderdate").cast("long").as("y"),
+          month($"o_orderdate").cast("long").as("m"),
+          date_trunc("month", $"o_orderdate").cast("date").as("month_start"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(date_sub($"o_orderdate".cast("date"), 30)).as("min_minus30"))
+        .orderBy($"y", $"m")
+    },
+
+    "q16_count_distinct" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_orderkey").as("n_orders"),
+          countDistinct($"l_partkey").as("n_parts"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Conditional aggregation (CASE WHEN inside agg).
+    "q17_conditional_agg" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .groupBy($"o_orderpriority")
+        .agg(
+          sum(when($"o_orderstatus" === "F", dec2($"o_totalprice"))
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("f_total"),
+          count(when($"o_orderstatus" === "O", lit(1))).as("n_open"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // HAVING (post-aggregation filter).
+    "q18_having" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).part
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" >= 5)
+        .orderBy($"p_brand")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_projection_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity >= 30
+        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+
+    "q03_join_revenue_by_nation" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q04_group_array" ->
+      """SELECT n_regionkey,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | count(*) AS n
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey DESC""".stripMargin,
+
+    "q05_topk" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey
+        |LIMIT 10""".stripMargin,
+
+    "q06_string_predicates" ->
+      """SELECT p_partkey, p_brand || '.' || p_name AS brand_name, p_name
+        |FROM part
+        |WHERE p_name LIKE 'b%' OR regexp_matches(p_name, 'ring$')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q07_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority
+        |FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q08_insert_select_union" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT * FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderstatus = 'F'
+        |)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q09_window_running" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, running_qty FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    row_number() OVER w AS rn,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |      PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |  FROM lineitem WHERE l_suppkey <= 5
+        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |)
+        |WHERE rn <= 50
+        |ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q10_scalar_count" ->
+      "SELECT count(*) AS total_col_size FROM lineitem",
+
+    "q11_semi_join_exists" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q12_anti_join_not_exists" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '5-LOW')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q13_setops_intersect_except" ->
+      """SELECT custkey, 'intersect' AS op FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT custkey, 'except' AS op FROM (
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders)
+        |ORDER BY op, custkey""".stripMargin,
+
+    "q14_rollup_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q15_date_arith" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        | CAST(month(o_orderdate) AS BIGINT) AS m,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | count(*) AS n,
+        | min(CAST(o_orderdate AS DATE) - 30) AS min_minus30
+        |FROM orders
+        |GROUP BY 1, 2, 3
+        |ORDER BY y, m""".stripMargin,
+
+    "q16_count_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_orderkey) AS n_orders,
+        | count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q17_conditional_agg" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS f_total,
+        | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q18_having" ->
+      """SELECT p_brand, count(*) AS n
+        |FROM part
+        |GROUP BY p_brand
+        |HAVING count(*) >= 5
+        |ORDER BY p_brand""".stripMargin)
+}
