@@ -17,8 +17,8 @@ object SparkEntry {
     queries("q03_join_revenue_by_nation")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++ graft.queries.Etl.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles
+    graft.queries.Relational.oracles ++ graft.queries.Etl.oracles
 }

@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.Tables
+import graft.config.LoaderConfig
+import graft.operators.{Sharding, ShardSpec, TransformStage}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's ETL dataflow operators (SURVEY.md §2.A) exposed as
+  * verifiable queries over the harness tables. Each query applies the
+  * real library operator ([[graft.operators.TransformStage]],
+  * [[graft.operators.Sharding]]) and is checked against a DuckDB
+  * oracle that re-states the semantics in ANSI SQL — except sharding,
+  * whose murmur3_128 has no SQL equivalent and is pinned against guava
+  * in `Murmur3Spec` instead.
+  */
+object Etl {
+  import TransformStage._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val cfg = LoaderConfig()
+
+  val queries: Map[String, Q] = Map(
+    // Ops #6+#7: null normalization (`null`/`\N` → type-aware
+    // replacement) and sanitization (`\`→`/`, separator→space), exact
+    // order of AbstractClickhouseLoaderMapper.java:189-201.
+    "q20_null_normalize_sanitize" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .select(
+          normalizeField(when($"l_returnflag" === "R", lit(null)).otherwise($"l_returnflag"),
+            isStringCol = true, cfg).as("s_null_str"),
+          normalizeField(when($"l_quantity" === 30.0, lit(null))
+            .otherwise($"l_quantity".cast("string")), isStringCol = false, cfg).as("s_null_num"),
+          normalizeField(concat($"l_linestatus", lit("\\x")), isStringCol = true, cfg).as("s_backslash"),
+          normalizeField(concat($"l_returnflag", lit("\t"), $"l_linestatus"),
+            isStringCol = true, cfg).as("s_sep"),
+          normalizeField(lit("\\N"), isStringCol = true, cfg).as("s_marker"))
+        .groupBy($"s_null_str", $"s_null_num", $"s_backslash", $"s_sep", $"s_marker")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"s_null_str", $"s_null_num", $"s_backslash", $"s_sep", $"s_marker")
+    },
+
+    // Op #5: positional projection — the quick-start example's
+    // `--exclude-fields` bridging (doc/quick-start.md:83).
+    "q21_exclude_fields" -> { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+      val projected = excludeFields(li, Seq(0, 10)) // drop l_orderkey, l_shipdate
+      projected.orderBy(projected.columns.map(col).toIndexedSeq: _*)
+    },
+
+    // Ops #8+#9: hive-partition extraction from a path + constant
+    // additional columns.
+    "q22_hive_partition_extract" -> { (s, dir) =>
+      import s.implicits._
+      val withPath = Tables(s, dir).lineitem.withColumn("path",
+        concat(lit("/warehouse/t/dt=2017-01-07/hr="),
+          lpad(($"l_orderkey" % 24).cast("string"), 2, "0"), lit("/part-0001")))
+      val extracted = withPath
+        .withColumn("dt", extractHivePartition($"path", "dt"))
+        .withColumn("hr", extractHivePartition($"path", "hr"))
+      appendAdditionalCols(extracted, Seq("src0"))
+        .groupBy($"dt", $"hr", $"additional_0")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"hr")
+    },
+
+    // Ops #3+#10: delimited-line tokenization (trailing fields kept)
+    // + arity validation, with deliberately corrupted rows.
+    "q23_arity_validation" -> { (s, dir) =>
+      import s.implicits._
+      val line = Tables(s, dir).customer.select(
+        when($"c_custkey" % 10 === 0,
+          concat_ws("|", $"c_custkey", $"c_name", $"c_nationkey"))
+          .otherwise(concat_ws("|", $"c_custkey", $"c_name", $"c_nationkey",
+            $"c_acctbal", $"c_mktsegment")).as("line"))
+      line.select(arityOk(tokenize($"line", "|"), 5).as("valid"))
+        .groupBy($"valid").agg(count(lit(1)).as("n")).orderBy($"valid")
+    },
+
+    // Ops #11+#12: weighted murmur3_128 sharding. No SQL oracle
+    // (guava-parity pinned in Murmur3Spec); rows-only check.
+    "q24_shard_assign" -> { (s, dir) =>
+      import s.implicits._
+      Sharding.assign(Tables(s, dir).customer, "c_name", ShardSpec(Seq(1, 2, 1)))
+        .groupBy($"shard").agg(count(lit(1)).as("n")).orderBy($"shard")
+    },
+
+    // Op #13: micro-batch assignment semantics (batch boundaries every
+    // `batchSize` rows in key order). The production path batches
+    // per-partition in DirectSink; this is the declarative equivalent.
+    "q25_micro_batch" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.orderBy($"c_custkey")
+      Tables(s, dir).customer
+        .withColumn("rn", row_number().over(w))
+        .withColumn("batch_id", floor(($"rn" - 1) / 100))
+        .groupBy($"batch_id")
+        .agg(count(lit(1)).as("n"), min($"c_custkey").as("first_key"),
+          max($"c_custkey").as("last_key"))
+        .orderBy($"batch_id")
+    },
+
+    // The §3.1 end-to-end slice: stringly parity mode → exclude →
+    // null-normalize → sanitize → dt + additional col → wire row.
+    // Checksummed by (count, total wire length) per return flag.
+    "q26_etl_pipeline_parity" -> { (s, dir) =>
+      import s.implicits._
+      val pipelineCfg = LoaderConfig(dt = "2017-01-07", additionalCols = Seq("src0"))
+      val li = Tables(s, dir).lineitem
+        .withColumn("l_tax",
+          when($"l_linenumber" === 1, lit(null)).otherwise($"l_tax"))
+        .withColumn("l_returnflag",
+          when($"l_returnflag" === "A" && $"l_linenumber" === 2, lit(null))
+            .otherwise($"l_returnflag"))
+      val excluded = excludeFields(li, Seq(0, 10))
+      val out = transform(excluded, pipelineCfg,
+        stringCols = Set("l_returnflag", "l_linestatus", "dt", "additional_0"))
+      out.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(length($"wire_row")).cast("long").as("wire_bytes"))
+        .orderBy($"l_returnflag")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q20_null_normalize_sanitize" ->
+      """SELECT s_null_str, s_null_num, s_backslash, s_sep, s_marker, count(*) AS n
+        |FROM (SELECT
+        |  CASE WHEN l_returnflag = 'R' THEN '' ELSE l_returnflag END AS s_null_str,
+        |  CASE WHEN l_quantity = 30.0 THEN '0' ELSE CAST(l_quantity AS VARCHAR) END AS s_null_num,
+        |  replace(l_linestatus || '\x', '\', '/') AS s_backslash,
+        |  replace(l_returnflag || chr(9) || l_linestatus, chr(9), ' ') AS s_sep,
+        |  '' AS s_marker
+        |FROM lineitem)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "q21_exclude_fields" ->
+      """SELECT l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        | l_discount, l_tax, l_returnflag, l_linestatus
+        |FROM lineitem
+        |ORDER BY 1, 2, 3, 4, 5, 6, 7, 8, 9""".stripMargin,
+
+    "q22_hive_partition_extract" ->
+      """SELECT regexp_extract(path, 'dt=([0-9a-zA-Z_\-]+)', 1) AS dt,
+        | regexp_extract(path, 'hr=([0-9a-zA-Z_\-]+)', 1) AS hr,
+        | 'src0' AS additional_0,
+        | count(*) AS n
+        |FROM (SELECT '/warehouse/t/dt=2017-01-07/hr=' ||
+        |  lpad(CAST(l_orderkey % 24 AS VARCHAR), 2, '0') || '/part-0001' AS path
+        |  FROM lineitem)
+        |GROUP BY 1, 2, 3
+        |ORDER BY hr""".stripMargin,
+
+    "q23_arity_validation" ->
+      """SELECT len(string_split(line, '|')) = 5 AS valid, count(*) AS n
+        |FROM (SELECT CASE WHEN c_custkey % 10 = 0
+        |  THEN CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || CAST(c_nationkey AS VARCHAR)
+        |  ELSE CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || CAST(c_nationkey AS VARCHAR)
+        |    || '|' || CAST(c_acctbal AS VARCHAR) || '|' || c_mktsegment
+        |  END AS line FROM customer)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q25_micro_batch" ->
+      """SELECT batch_id, count(*) AS n, min(c_custkey) AS first_key,
+        | max(c_custkey) AS last_key
+        |FROM (SELECT c_custkey,
+        |  CAST(floor((row_number() OVER (ORDER BY c_custkey) - 1) / 100) AS BIGINT) AS batch_id
+        |  FROM customer)
+        |GROUP BY batch_id
+        |ORDER BY batch_id""".stripMargin,
+
+    "q26_etl_pipeline_parity" ->
+      """WITH src AS (
+        |  SELECT
+        |    CAST(l_partkey AS VARCHAR) AS c1,
+        |    CAST(l_suppkey AS VARCHAR) AS c2,
+        |    CAST(l_linenumber AS VARCHAR) AS c3,
+        |    CAST(l_quantity AS VARCHAR) AS c4,
+        |    CAST(l_extendedprice AS VARCHAR) AS c5,
+        |    CAST(l_discount AS VARCHAR) AS c6,
+        |    CASE WHEN l_linenumber = 1 THEN '0' ELSE CAST(l_tax AS VARCHAR) END AS c7,
+        |    CASE WHEN l_returnflag = 'A' AND l_linenumber = 2 THEN ''
+        |         ELSE l_returnflag END AS c8,
+        |    l_linestatus AS c9,
+        |    '2017-01-07' AS c10,
+        |    'src0' AS c11
+        |  FROM lineitem)
+        |SELECT c8 AS l_returnflag, count(*) AS n,
+        |  CAST(sum(length(c1 || chr(9) || c2 || chr(9) || c3 || chr(9) || c4
+        |    || chr(9) || c5 || chr(9) || c6 || chr(9) || c7 || chr(9) || c8
+        |    || chr(9) || c9 || chr(9) || c10 || chr(9) || c11)) AS BIGINT) AS wire_bytes
+        |FROM src
+        |GROUP BY c8
+        |ORDER BY c8""".stripMargin)
+}

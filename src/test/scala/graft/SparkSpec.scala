@@ -20,6 +20,6 @@ object SparkSpec {
 }
 
 abstract class SparkSpec extends AnyFunSuite {
-  def spark: SparkSession = SparkSpec.spark
+  lazy val spark: SparkSession = SparkSpec.spark
   def sf: String = SparkSpec.sf
 }
