@@ -17,8 +17,10 @@ object SparkEntry {
     queries("q03_join_revenue_by_nation")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.Etl.queries
+    graft.queries.Relational.queries ++ graft.queries.Etl.queries ++
+      graft.queries.Pipeline.queries ++ graft.queries.Events.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles ++ graft.queries.Etl.oracles
+    graft.queries.Relational.oracles ++ graft.queries.Etl.oracles ++
+      graft.queries.Pipeline.oracles ++ graft.queries.Events.oracles
 }

@@ -20,7 +20,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  def events: DataFrame     = table("events")
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default; read the raw INT64 nanos and convert to micros
+    * (integer DIV — a double division would lose precision above 2^53).
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table("events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 

@@ -98,12 +98,33 @@ object Murmur3 {
     */
   def shardCode(s: CharSequence): Int =
     hashStringAsInt(s) & Int.MaxValue
+
+  /** h1 as a stable 64-bit hash (codegen entry point). */
+  def hash64(s: CharSequence): Long = hashUnencodedChars(s)._1
 }
 
 /** Catalyst expression: murmur3_128(str).asInt() & Int.MaxValue.
   * Codegen emits a static call, so it stays inside whole-stage codegen
   * (no UDF serialization, no row-at-a-time iterator break).
   */
+/** Catalyst expression: murmur3_128(str) h1 as a 64-bit hash — the
+  * stable shingle/token hash used by minhash/simhash (cheaper and
+  * better-distributed than 32-bit, deterministic across sessions,
+  * unlike Spark's seed-dependent `hash`).
+  */
+case class Murmur3Hash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(v: Any): Any =
+    Murmur3.hashUnencodedChars(v.asInstanceOf[UTF8String].toString)._1
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Murmur3.hash64($c.toString())")
+  override protected def withNewChildInternal(c: Expression): Murmur3Hash64 = copy(c)
+}
+
+object Murmur3Hash64 {
+  def hash64(c: Column): Column = column(Murmur3Hash64(expression(c)))
+}
+
 case class Murmur3ShardCode(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullSafeEval(v: Any): Any =

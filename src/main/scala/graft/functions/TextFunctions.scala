@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the large-scale pipeline
+  * extensions (engine additions beyond the reference — SURVEY.md §7.1
+  * item 8): tokenization, shingling, quality metrics, language-ID
+  * heuristic, document fingerprinting.
+  *
+  * All pure column expressions (no UDFs) — whole-stage codegen'd and
+  * exactly re-statable in ANSI SQL for the DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace word tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokens: letter runs, digit runs, single symbols. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z]+|[0-9]+"), lit(0))
+
+  /** Word n-gram shingles (space-joined). Empty when the doc has fewer
+    * than `n` tokens. 1-based element_at matches DuckDB list indexing.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val tok = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(tok) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(o => element_at(tok, i + o)): _*))
+  }
+
+  /** Distinct shingle set. */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(wordShingles(text, n))
+
+  /** Ratio of stopword tokens (deterministic stoplist). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def stopwordRatio(text: Column): Column = {
+    val tok = tokens(text)
+    size(filter(tok, t => t.isin(Stopwords: _*))).cast("double") / size(tok)
+  }
+
+  /** Ratio of non-[a-z0-9 space] characters. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") / length(text)
+
+  /** Mean token length in characters (chars excluding single spaces). */
+  def meanTokenLen(text: Column): Column = {
+    val tok = tokens(text)
+    (length(text) - (size(tok) - 1)).cast("double") / size(tok)
+  }
+
+  /** Quality flag: enough tokens, low punctuation, some stopwords —
+    * the shape of a C4-style quality filter.
+    */
+  def isQuality(text: Column): Column =
+    size(tokens(text)) >= 10 && stopwordRatio(text) <= lit(0.5) &&
+      meanTokenLen(text) >= lit(2.0)
+
+  /** Language-ID heuristic: stopword-marker scan (n-gram heuristics in
+    * miniature). Deterministic CASE chain, re-statable in SQL.
+    */
+  def langIdHeuristic(text: Column): Column =
+    when(text.rlike("(^| )(the|and) "), "en")
+      .when(text.rlike("(^| )(le|la|et) "), "fr")
+      .when(text.rlike("(^| )(el|los|y) "), "es")
+      .when(text.rlike("(^| )(der|und) "), "de")
+      .otherwise("unk")
+
+  /** Polynomial rolling-hash fingerprint: fold (acc*31 + code) mod
+    * 1e9+7 over the character stream — order-sensitive, so it
+    * distinguishes permuted documents (unlike bag-of-words hashes).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+}

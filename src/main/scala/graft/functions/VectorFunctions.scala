@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector similarity primitives over `Array[Float]` embedding columns.
+  *
+  * Exact-parity design: embeddings are quantized to integer grid
+  * (round(x*1000) as BIGINT) so dot products are integer sums —
+  * order-independent and bit-exact across engines and partitionings
+  * (a float dot product would differ in the last ulp between a
+  * 1000-executor sum and the oracle's sequential sum). Magnitudes stay
+  * < 2^53, so even the final double math (sqrt/divide) is exact-input
+  * deterministic.
+  */
+object VectorFunctions {
+
+  /** Quantize a float vector to the integer grid (×1000). */
+  def quantize(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Integer dot product of two quantized vectors (left-fold, but sum
+    * of longs is order-independent anyway).
+    */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** L2 norm of a quantized vector, as double. */
+  def normQ(v: Column): Column = sqrt(dotQ(v, v).cast("double"))
+
+  /** Cosine similarity of two quantized vectors (double). */
+  def cosineQ(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dotQ(a, b).cast("double") / (normA * normB)
+}

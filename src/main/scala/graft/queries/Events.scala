@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.{Parity, Tables}
+import graft.streaming.EventStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream semantics exposed through the driver contract: the
+  * same transforms [[graft.streaming.EventStream]] runs incrementally
+  * under Structured Streaming, evaluated here in batch mode against
+  * the DuckDB oracle (plus JSON prop extraction).
+  */
+object Events {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling event-time window aggregation (streaming operator run
+    // in batch mode; StreamingSpec runs it with readStream+watermark).
+    "q50_stream_tumbling_window" -> { (s, dir) =>
+      import s.implicits._
+      EventStream.tumblingCounts(Tables(s, dir).events)
+        .orderBy($"window_start_ms", $"event_type")
+    },
+
+    // Gap-based sessionization (30 min); mapGroupsWithState runs the
+    // same semantics incrementally (SessionizeSpec asserts equality).
+    "q51_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      EventStream.sessionize(Tables(s, dir).events)
+        .orderBy($"user_id", $"session_id")
+    },
+
+    // JSON property extraction from the props column.
+    "q52_json_extract" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).events
+        .select(
+          (get_json_object($"props", "$.k").cast("long") % 10).as("k_bucket"),
+          $"value")
+        .groupBy($"k_bucket")
+        .agg(count(lit(1)).as("n"), Parity.sumD($"value").as("total"))
+        .orderBy($"k_bucket")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q50_stream_tumbling_window" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start_ms, event_type""".stripMargin,
+
+    "q51_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS tms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, tms,
+        |    CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, tms,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(tms) AS start_ms, max(tms) - min(tms) AS duration_ms
+        |FROM g
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q52_json_extract" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY k_bucket""".stripMargin)
+}

@@ -1,0 +1,239 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data pipeline operators (engine extensions
+  * beyond the reference): deduplication, similarity search, text
+  * analysis, multimodal columns. Exact-arithmetic variants carry a
+  * DuckDB oracle; approximate sketches (minhash, simhash, LSH) verify
+  * against their exact counterparts (same SQL oracle after the exact
+  * re-check, or recall specs in ScalaTest).
+  */
+object Pipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shared oracle SQL: exact word-3-gram Jaccard pairs >= 0.8.
+    * Used for both q31 (exact path) and q32 (minhash+LSH+verify path —
+    * identical output, miss probability < 5e-8 per pair).
+    */
+  private val jaccardOracle =
+    """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
+      |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON a = sa.doc_id
+      |JOIN sizes sb ON b = sb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+      |ORDER BY a, b""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup by content hash-group; emits the kept id per group.
+    "q30_dedup_exact" -> { (s, dir) =>
+      import s.implicits._
+      Dedup.exactDedup(Tables(s, dir).documents, "doc_id", "text")
+        .select($"keep_id", $"n_copies")
+        .orderBy($"keep_id")
+    },
+
+    // Exact n-gram Jaccard near-dup pairs (inverted-index join).
+    "q31_dedup_ngram_jaccard" -> { (s, dir) =>
+      import s.implicits._
+      Dedup.ngramJaccardPairs(Tables(s, dir).documents, "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy($"a", $"b")
+    },
+
+    // MinHash(128) + LSH(32×4) + exact verify — same output as q31,
+    // via the scale path (no all-shared-shingle pair join).
+    "q32_dedup_minhash_lsh" -> { (s, dir) =>
+      import s.implicits._
+      Dedup.minhashDedupPairs(Tables(s, dir).documents, "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy($"a", $"b")
+    },
+
+    // SimHash sketches + chunk-blocked near-dup pairs (rows-only:
+    // hamming over internal 64-bit hashes has no SQL oracle).
+    "q33_dedup_simhash" -> { (s, dir) =>
+      import s.implicits._
+      val sk = Dedup.simhash(Tables(s, dir).documents, "doc_id", "text")
+      Dedup.simhashPairs(sk, maxHamming = 16).orderBy($"a", $"b")
+    },
+
+    // Embedding near-dup: every vector's nearest neighbor by cosine
+    // (quantized-exact, so fully oracle-able).
+    "q34_embedding_nn" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
+      Similarity.nearestNeighbor(corpus).orderBy($"vec_id")
+    },
+
+    // Brute-force ANN baseline: exact top-5 for query vectors id<20.
+    "q35_ann_bruteforce_topk" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
+      Similarity.bruteForceTopK(corpus.filter($"vid" < 20), corpus, k = 5)
+        .orderBy($"query_id", $"rank")
+    },
+
+    // LSH-bucketed ANN (approximate; recall vs brute force asserted in
+    // SimilaritySpec — rows-only here).
+    "q36_ann_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
+      Similarity.lshTopK(corpus, dim = 64, nPlanes = 5, k = 5, nTables = 8)
+        .orderBy($"query_id", $"rank")
+    },
+
+    // Language-ID heuristic: confusion counts vs the labeled lang.
+    "q37_text_langid" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"lang", langIdHeuristic($"text").as("pred"))
+        .groupBy($"lang", $"pred").agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"pred")
+    },
+
+    // Quality scoring: per-doc token/stopword/punct metrics + flag.
+    "q38_text_quality" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents.select(
+          $"doc_id",
+          size(tokens($"text")).cast("long").as("n_tokens"),
+          stopwordRatio($"text").as("stop_ratio"),
+          punctRatio($"text").as("punct_ratio"),
+          meanTokenLen($"text").as("mean_tok_len"),
+          isQuality($"text").as("quality"))
+        .orderBy($"doc_id")
+    },
+
+    // Token counting: whitespace vs BPE-ish regex tokenizer.
+    "q39_token_count" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents.select(
+          $"doc_id",
+          size(tokens($"text")).cast("long").as("ws_tokens"),
+          size(regexTokens($"text")).cast("long").as("re_tokens"),
+          length($"text").cast("long").as("n_chars"))
+        .orderBy($"doc_id")
+    },
+
+    // Rolling-hash document fingerprint (order-sensitive content hash).
+    "q40_text_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"doc_id", fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    },
+
+    // Multimodal: binary payload column → partition-batched stub
+    // decode (real plumbing, stubbed codec — see operators.Multimodal).
+    "q41_multimodal_features" -> { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.asBinaryFrame(Tables(s, dir).documents, "doc_id", "text")
+      Multimodal.extractFeatures(s, media).toDF().orderBy($"doc_id")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY keep_id""".stripMargin,
+
+    "q31_dedup_ngram_jaccard" -> jaccardOracle,
+    "q32_dedup_minhash_lsh" -> jaccardOracle,
+
+    "q34_embedding_nn" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM q),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+        |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        |      FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+        |SELECT vec_id, nn_id, cos FROM (
+        |  SELECT vec_id, nn_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rn
+        |  FROM p)
+        |WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
+
+    "q35_ann_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM q),
+        |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        |      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        |      WHERE a.vec_id < 20)
+        |SELECT query_id, rank, neighbor_id, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM p)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q37_text_langid" ->
+      """SELECT lang,
+        | CASE WHEN regexp_matches(text, '(^| )(the|and) ') THEN 'en'
+        |      WHEN regexp_matches(text, '(^| )(le|la|et) ') THEN 'fr'
+        |      WHEN regexp_matches(text, '(^| )(el|los|y) ') THEN 'es'
+        |      WHEN regexp_matches(text, '(^| )(der|und) ') THEN 'de'
+        |      ELSE 'unk' END AS pred,
+        | count(*) AS n
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY lang, pred""".stripMargin,
+
+    "q38_text_quality" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_filter(string_split(text, ' '),
+        |     t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |   / len(string_split(text, ' ')) AS stop_ratio,
+        | CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |   / length(text) AS punct_ratio,
+        | CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |   / len(string_split(text, ' ')) AS mean_tok_len,
+        | (len(string_split(text, ' ')) >= 10
+        |   AND CAST(len(list_filter(string_split(text, ' '),
+        |       t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |     / len(string_split(text, ' ')) <= 0.5
+        |   AND CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |     / len(string_split(text, ' ')) >= 2.0) AS quality
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q39_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q40_text_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |   (a, x) -> (a * 31 + x) % 1000000007) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q41_multimodal_features" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head,
+        | (CAST(octet_length(encode(text)) AS BIGINT) * 31
+        |   + CAST(ascii(substr(text, 1, 1)) AS BIGINT)) % 997 AS feature
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)
+}

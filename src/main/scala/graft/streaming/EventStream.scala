@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.Parity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream transforms, written once and applied to BOTH batch and
+  * streaming inputs (Structured Streaming's unified Dataset API — the
+  * same plan runs incrementally with watermark state or as a batch).
+  * `StreamingSpec` drives these through `readStream` + memory sink and
+  * asserts equality with the batch result; the driver's correctness
+  * gate checks the batch semantics against DuckDB.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour window per event type: count + exact-decimal sum.
+    * On a stream: append-mode with a 1-hour watermark bounds state.
+    */
+  def tumblingCounts(events: DataFrame, withWatermark: Boolean = false): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "1 hour") else events
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Parity.sumD(col("value")).as("total"))
+      .select(
+        unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("total"))
+  }
+
+  /** Gap-based sessionization (30-minute inactivity): classic
+    * lag + cumulative-flag windows over per-user event time. The
+    * streaming-native equivalent uses mapGroupsWithState (see
+    * `Sessionize.streamingSessionize`); this declarative form is the
+    * batch/backfill path and the oracle semantics.
+    */
+  def sessionize(events: DataFrame, gapMs: Long = 1800000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tms"), col("event_id"))
+    val withGap = events
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"))
+      .withColumn("prev", lag(col("tms"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("tms") - col("prev") > gapMs, 1L).otherwise(0L))
+    withGap
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("tms")).as("start_ms"),
+        (max(col("tms")) - min(col("tms"))).as("duration_ms"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, sf).documents.cache()
+
+  test("minhash+LSH+verify finds exactly the exact-jaccard pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test data should contain near-dup pairs")
+    assert(lsh == exact, s"missed=${exact -- lsh} spurious=${lsh -- exact}")
+  }
+
+  test("jaccard values are in (0,1] and pairs are ordered a<b") {
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8).collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= 0.8 && j <= 1.0)
+    }
+  }
+
+  test("simhash: near-dup docs have small hamming distance") {
+    val nearDups = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sketches = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nearDups.nonEmpty)
+    nearDups.foreach { case (a, b) =>
+      val d = java.lang.Long.bitCount(sketches(a) ^ sketches(b))
+      assert(d <= 16, s"pair ($a,$b) hamming $d")
+    }
+  }
+
+  test("simhash chunk blocking finds all hamming<=3 pairs (pigeonhole)") {
+    val sketches = Dedup.simhash(docs, "doc_id", "text").cache()
+    val blocked = Dedup.simhashPairs(sketches, maxHamming = 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth
+    val all = sketches.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (ida, ha) <- all; (idb, hb) <- all
+      if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ida, idb)).toSet
+    assert(blocked == truth, s"missed=${truth -- blocked} spurious=${blocked -- truth}")
+  }
+
+  test("exact dedup keeps one id per distinct content") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(out.count() == docs.select("text").distinct().count())
+    assert(out.agg(sum("n_copies")).collect()(0).getLong(0) == docs.count())
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val corpus =
+    Similarity.prepare(Tables(spark, sf).embeddings, "vec_id", "embedding").cache()
+
+  test("brute-force top-k matches a driver-side exact computation") {
+    import spark.implicits._
+    val vecs = Tables(spark, sf).embeddings
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap.map { case (id, v) =>
+        id -> v.map(x => math.round(x.toDouble * 1000))
+      }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val got = Similarity.bruteForceTopK(corpus.filter($"vid" < 5), corpus, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (0L until 5L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(vecs(q), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }
+        .take(3).zipWithIndex
+        .map { case ((n, _), i) => (q, (i + 1).toLong, n) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("multi-table LSH ANN recall@5 beats chance by a wide margin") {
+    val truth = Similarity.bruteForceTopK(corpus, corpus, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(corpus, 64, nPlanes = 5, k = 5, nTables = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    // near-uniform random vectors are LSH's worst case; random chance
+    // would be ~1% (5/499). Require a wide margin over that.
+    assert(approx.nonEmpty)
+    assert(recall > 0.15, s"recall=$recall")
+  }
+
+  test("nearestNeighbor is symmetric-consistent with topK rank 1") {
+    import spark.implicits._
+    val nn = Similarity.nearestNeighbor(corpus.filter($"vid" < 50))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val top1 = Similarity.bruteForceTopK(
+        corpus.filter($"vid" < 50), corpus.filter($"vid" < 50), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(nn == top1)
+  }
+}

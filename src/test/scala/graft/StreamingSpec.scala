@@ -1,0 +1,63 @@
+package graft
+
+import graft.streaming.{EventStream, Sessionize}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpec {
+
+  private def eventsDir: String = {
+    // readStream wants a directory; stage the single events file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
+    Tables(spark, sf).events.write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming tumbling-window agg equals the batch result") {
+    val dir = eventsDir
+    val batchEvents = spark.read.parquet(dir)
+    val expected = EventStream.tumblingCounts(batchEvents)
+      .orderBy("window_start_ms", "event_type").collect().toSeq
+
+    val stream = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(dir)
+    val q = EventStream.tumblingCounts(stream, withWatermark = true)
+      .writeStream
+      .outputMode("complete") // finite input; complete mode emits all windows
+      .format("memory")
+      .queryName("win_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("win_out")
+      .orderBy("window_start_ms", "event_type").collect().toSeq
+    assert(got == expected)
+  }
+
+  test("mapGroupsWithState sessionization equals the declarative batch form") {
+    import spark.implicits._
+    val events = Tables(spark, sf).events
+    val typed = events
+      .select($"user_id", $"event_id", unix_millis($"ts").as("tms"))
+      .as[Sessionize.Event]
+    val got = Sessionize.streamingSessionize(spark, typed)
+      .collect().map(u => (u.user_id, u.session_id, u.n_events, u.start_ms, u.duration_ms))
+      .toSet
+    val expected = EventStream.sessionize(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("multimodal feature extraction matches the column-level formula") {
+    import graft.operators.Multimodal
+    val media = Multimodal.asBinaryFrame(Tables(spark, sf).documents, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.feature == (f.n_bytes * 31 + f.head) % 997)
+    }
+  }
+}
