@@ -34,11 +34,20 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 
+  /** Every table through its typed accessor (events gets its nanos
+    * conversion — never read it via raw `table()`).
+    */
+  def frames: Seq[(String, DataFrame)] = Seq(
+    "region" -> region, "nation" -> nation, "customer" -> customer,
+    "supplier" -> supplier, "part" -> part, "orders" -> orders,
+    "lineitem" -> lineitem, "events" -> events,
+    "documents" -> documents, "embeddings" -> embeddings)
+
   /** Register every table as a temp view so `spark.sql` works over the
     * same names the DuckDB oracle uses.
     */
   def registerAll(): Unit =
-    Tables.names.foreach(n => table(n).createOrReplaceTempView(n))
+    frames.foreach { case (n, df) => df.createOrReplaceTempView(n) }
 }
 
 object Tables {

@@ -1,0 +1,228 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge.{column, expression}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native sketch expressions: single-pass JVM loops replacing chains
+  * of interpreted higher-order functions (transform/aggregate lambdas
+  * run row-at-a-time in Spark) on the hot dedup/ANN paths.
+  * CodegenFallback costs one virtual call per row; the real work is
+  * inside the call, so these are ~5-10× the lambda formulation.
+  */
+
+/** Distinct murmur3-64 hashes of word n-gram shingles, in one pass:
+  * split + shingle + hash + dedup without materializing shingle
+  * strings in the plan. Semantically identical to
+  * `array_distinct(transform(...))` + `hash64` (DedupSpec pins both).
+  */
+case class ShingleHash64(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (tokens.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= tokens.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      seen.add(Murmur3.hash64(sb))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHash64 = copy(child = c)
+}
+
+object ShingleHash64 {
+  def shingle_hashes(text: Column, n: Int): Column =
+    column(ShingleHash64(expression(text), n))
+}
+
+/** Multi-table random-hyperplane LSH buckets for a quantized vector:
+  * one `array<long>` with `nTables` bucket ids (each `nPlanes` sign
+  * bits). The ±1 plane matrix is derived from murmur hashes of
+  * (table, plane, dim) — deterministic, precomputed once per
+  * expression instance, zero closure state shipped per row.
+  */
+case class LshBuckets(child: Expression, nTables: Int, nPlanes: Int, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val signs: Array[Array[Int]] =
+    Array.tabulate(nTables, nPlanes * dim) { (t, pd) =>
+      LshBuckets.planeSign(t, pd / dim, pd % dim)
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val nd = math.min(dim, arr.numElements())
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      val s = signs(t)
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var dot = 0L
+        var d = 0
+        val base = p * dim
+        while (d < nd) { dot += arr.getLong(d) * s(base + d); d += 1 }
+        if (dot > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshBuckets = copy(child = c)
+}
+
+object LshBuckets {
+  def lsh_buckets(qv: Column, nTables: Int, nPlanes: Int, dim: Int): Column =
+    column(LshBuckets(expression(qv), nTables, nPlanes, dim))
+
+  /** Deterministic ±1 hyperplane component for (table, plane, dim). */
+  def planeSign(table: Int, plane: Int, dim: Int): Int =
+    if ((Murmur3.hash64(s"$table:$plane:$dim") & 1L) == 0L) -1 else 1
+}
+
+/** Shared 64-bit mixing for sketches (splitmix64 finalizer — public
+  * algorithm, Steele et al., "Fast Splittable Pseudorandom Number
+  * Generators").
+  */
+object Mix64 {
+  final val Gamma = 0x9E3779B97F4A7C15L
+  def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  /** i-th hash-family member applied to h. */
+  def family(i: Int, h: Long): Long = mix(h + i * Gamma)
+}
+
+/** MinHash signature of a shingle-hash set in one pass: element i is
+  * min over the set of the i-th family hash. Replaces the
+  * explode + k-column min-aggregate formulation — per-doc map-side
+  * work with NO shuffle, which is both ~10× faster here and the shape
+  * that scales (signatures of a 100 TB corpus are one narrow pass).
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val out = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < k) {
+        val m = Mix64.family(i, h)
+        if (m < out(i)) out(i) = m
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+object MinHashSig {
+  def minhash_sig(shingleHashes: Column, k: Int): Column =
+    column(MinHashSig(expression(shingleHashes), k))
+}
+
+/** LSH band buckets from a MinHash signature: band j is a mix of its
+  * `rowsPerBand` signature slots (one array op per row — no
+  * element_at explosion in the plan).
+  */
+case class BandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val sig = v.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = b.toLong
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = Mix64.mix(acc ^ sig.getLong(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): BandBuckets = copy(child = c)
+}
+
+object BandBuckets {
+  def band_buckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    column(BandBuckets(expression(sig), bands, rowsPerBand))
+}
+
+/** 64-bit SimHash of a document in one pass: tokenize, hash each
+  * token, accumulate ±1 per bit (bag-weighted via repetition), sign →
+  * sketch. Replaces explode + 64 sum-aggregates — again map-side only.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val sums = new Array[Int](64)
+    var t = 0
+    while (t < tokens.length) {
+      val h = Murmur3.hash64(tokens(t))
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var sketch = 0L
+    var i = 0
+    while (i < 64) {
+      if (sums(i) > 0) sketch |= (1L << i)
+      i += 1
+    }
+    sketch
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+object SimHash64 {
+  def simhash64(text: Column): Column = column(SimHash64(expression(text)))
+}

@@ -19,11 +19,11 @@ object VectorFunctions {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Integer dot product of two quantized vectors (left-fold, but sum
-    * of longs is order-independent anyway).
+  /** Integer dot product of two quantized vectors — a codegen'd native
+    * expression ([[QDot]]); the zip_with+aggregate formulation is
+    * semantically identical but runs interpreted and ~10× slower.
     */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  def dotQ(a: Column, b: Column): Column = QDot.qdot(a, b)
 
   /** L2 norm of a quantized vector, as double. */
   def normQ(v: Column): Column = sqrt(dotQ(v, v).cast("double"))

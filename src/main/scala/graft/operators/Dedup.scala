@@ -23,10 +23,17 @@ object Dedup {
     df.groupBy(col(contentCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** (id, shingle) pairs — distinct word n-gram shingles per doc. */
+  /** (id, shingle-hash) pairs — distinct word n-gram shingles per doc,
+    * keyed by their 64-bit murmur hash: long join keys shuffle a
+    * fraction of the bytes of the raw strings and compare in one
+    * instruction. Injective in practice (collision odds ~n²/2^65).
+    * Single-pass native expression ([[graft.functions.ShingleHash64]]);
+    * the transform/array_distinct lambda chain computes the same set
+    * ~5× slower (pinned equivalent in DedupSpec).
+    */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("doc"),
-        explode(TextFunctions.shingleSet(col(textCol), n)).as("sh"))
+        explode(graft.functions.ShingleHash64.shingle_hashes(col(textCol), n)).as("h"))
 
   /** Exact n-gram Jaccard similar pairs (a < b, jaccard >= threshold).
     * Pair generation is bounded by shared-shingle co-occurrence — an
@@ -37,7 +44,7 @@ object Dedup {
     val sh = shingles(df, idCol, textCol, n).cache()
     val sizes = sh.groupBy($"doc").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc") < col("y.doc"))
+        col("x.h") === col("y.h") && col("x.doc") < col("y.doc"))
       .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
       .agg(count(lit(1)).as("i"))
     inter
@@ -52,31 +59,28 @@ object Dedup {
     def $(args: Any*): Column = col(sc.parts.mkString)
   }
 
-  /** MinHash signatures: one row per doc with sig_0..sig_{k-1} columns
-    * (min over the doc's shingle hashes under k independent hash
-    * functions h_i(x) = xxhash64(i, x) — seeded rehash instead of the
-    * classic a·x+b permutation, which would wrap around Long and trip
-    * ANSI overflow checks). Partial (map-side) min aggregation keeps
-    * the shuffle tiny at scale.
+  /** MinHash signatures: one row per doc with a k-slot `sig` array —
+    * a single map-side pass ([[graft.functions.MinHashSig]] over the
+    * doc's shingle-hash set), no explode, no shuffle. The signature of
+    * a 100 TB corpus is one narrow scan.
     */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val hashed = sh.select($"doc", hash64($"sh").as("h"))
-    val aggs = (0 until k).map { i =>
-      min(xxhash64(lit(i), $"h")).as(s"sig_$i")
-    }
-    hashed.groupBy($"doc").agg(aggs.head, aggs.tail.toIndexedSeq: _*)
-  }
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+      graft.functions.MinHashSig.minhash_sig(
+        graft.functions.ShingleHash64.shingle_hashes(col(textCol), n), k).as("sig"))
 
   /** LSH candidate pairs from banded signatures (bands × rowsPerBand =
     * k). Docs matching in any band become candidates. P(candidate) =
     * 1-(1-j^r)^b — with b=32, r=4 a jaccard-0.8 pair is missed with
-    * probability < 5e-8.
+    * probability < 5e-8. The join is keyed on (band, bucket): shuffle
+    * size is rows×bands, never pairs.
     */
   def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandRows = (0 until bands).map { j =>
-      val cols = (0 until rowsPerBand).map(r => col(s"sig_${j * rowsPerBand + r}"))
-      sigs.select($"doc", lit(j).as("band"), xxhash64(cols: _*).as("bucket"))
-    }.reduce(_ unionByName _)
+    val bandRows = sigs.select($"doc",
+        posexplode(graft.functions.BandBuckets.band_buckets($"sig", bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
     bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc") < col("y.doc"))
@@ -92,13 +96,13 @@ object Dedup {
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, k: Int = 128, bands: Int = 32): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
-    val sigs = minhashSignatures(sh, k)
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
     val cands = lshCandidates(sigs, bands, k / bands)
     val sizes = sh.groupBy($"doc").agg(count(lit(1)).as("sz"))
     // exact verify on candidates only
     val inter = cands
       .join(sh.as("x"), $"a" === col("x.doc"))
-      .join(sh.as("y"), $"b" === col("y.doc") && col("x.sh") === col("y.sh"))
+      .join(sh.as("y"), $"b" === col("y.doc") && col("x.h") === col("y.h"))
       .groupBy($"a", $"b").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sa"), "a")
@@ -110,21 +114,11 @@ object Dedup {
 
   /** 64-bit SimHash over word tokens (bag-weighted): bit i of the
     * sketch is the sign of Σ_tokens count · (±1 per token-hash bit i).
+    * One map-side pass per doc ([[graft.functions.SimHash64]]).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("doc"),
-        explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .groupBy($"doc", $"t").agg(count(lit(1)).as("w"))
-      .withColumn("h", hash64($"t"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright($"h", i).bitwiseAND(1) === 1, $"w").otherwise(-$"w")).as(s"b_$i")
-    }
-    val sums = tok.groupBy($"doc").agg(bitSums.head, bitSums.tail.toIndexedSeq: _*)
-    val sketch = (0 until 64).map { i =>
-      when(col(s"b_$i") > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ bitwiseOR _)
-    sums.select($"doc", sketch.as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+      graft.functions.SimHash64.simhash64(col(textCol)).as("simhash"))
 
   /** Near-dup pairs by SimHash hamming distance, blocked on 16-bit
     * chunks (pigeonhole: hamming <= 3 guarantees one equal chunk; the

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.Murmur3
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -56,34 +55,21 @@ object Similarity {
       .select($"a".as("vec_id"), $"vid".as("nn_id"), $"cos")
   }
 
-  /** Deterministic ±1 hyperplane component for (table, plane, dim) —
-    * planes are pure functions of indexes, no state shipped to
-    * executors.
-    */
-  def planeSign(table: Int, plane: Int, dim: Int): Int =
-    if ((Murmur3.hash64(s"$table:$plane:$dim") & 1L) == 0L) -1 else 1
-
-  /** Random-hyperplane LSH bucket id (nPlanes sign bits) for one table. */
-  def lshBucket(qv: Column, dim: Int, table: Int, nPlanes: Int): Column =
-    (0 until nPlanes).map { p =>
-      val dot = (0 until dim).map { d =>
-        element_at(qv, d + 1) * planeSign(table, p, d)
-      }.reduce(_ + _)
-      when(dot > 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_ bitwiseOR _)
-
   /** Approximate top-k via multi-table LSH: candidates share a bucket
     * in ANY of `nTables` independent hyperplane tables (union boosts
     * recall; each table's join stays bounded by bucket occupancy, so
     * the whole thing scales linearly with corpus size instead of the
-    * O(n²) brute-force pair space).
+    * O(n²) brute-force pair space). Buckets come from one native
+    * expression pass ([[graft.functions.LshBuckets]]) — an
+    * element_at-per-dim column formulation would be ~2500 expression
+    * nodes per union branch and minutes of janino compile time.
     */
   def lshTopK(corpus: DataFrame, dim: Int, nPlanes: Int, k: Int,
       nTables: Int = 8): DataFrame = {
-    val bucketed = (0 until nTables).map { t =>
-      corpus.select($"vid", $"qv", $"nrm", lit(t).as("tbl"),
-        lshBucket($"qv", dim, t, nPlanes).as("bucket"))
-    }.reduce(_ unionByName _)
+    val bucketed = corpus.select($"vid", $"qv", $"nrm",
+        posexplode(graft.functions.LshBuckets.lsh_buckets($"qv", nTables, nPlanes, dim)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
     val cands = bucketed.as("x").join(bucketed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vid") =!= col("y.vid"))

