@@ -12,9 +12,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q03_join_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * the reference's §3.1 direct-load pipeline end to end — scan →
+    * positional exclude → stringly parity mode → null-normalize →
+    * sanitize → dt/additional columns → wire rows → weighted
+    * murmur3_128 shard assignment → per-shard load summary.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import graft.config.LoaderConfig
+    import graft.operators.{Sharding, ShardSpec, TransformStage}
+    import org.apache.spark.sql.functions._
+    val li = Tables(spark, "/root/testdata/sf0.001").lineitem
+    val cfg = LoaderConfig(dt = "2017-01-07", additionalCols = Seq("graft"))
+    val excluded = TransformStage.excludeFields(li, Seq(0, 10))
+    val wire = TransformStage.transform(excluded, cfg,
+      stringCols = Set("l_returnflag", "l_linestatus", "dt", "additional_0"))
+    Sharding.assign(wire, "l_partkey", ShardSpec(Seq(1, 2, 1)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col("wire_row"))).cast("long").as("wire_chars"))
+      .orderBy(col("shard"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Etl.queries ++

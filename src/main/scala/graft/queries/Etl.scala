@@ -103,6 +103,39 @@ object Etl {
         .orderBy($"batch_id")
     },
 
+    // Op #1+#3: delimited-text scan + tokenization, end to end: a text
+    // fixture derived from `supplier` is written, re-read through
+    // Readers.readText (split, trailing empties kept), and aggregated;
+    // the oracle recomputes from the source table directly.
+    "q27_text_source_decode" -> { (s, dir) =>
+      import s.implicits._
+      val sup = Tables(s, dir).supplier
+      val outDir = s"/tmp/graft_textsrc_${math.abs(dir.hashCode)}"
+      sup.select(concat_ws("|", $"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+          .as("value"))
+        .coalesce(1).write.mode("overwrite").text(outDir)
+      val decoded = graft.sources.Readers.readText(s,
+        LoaderConfig(exportDir = outDir, fieldsTerminatedBy = "|"))
+      decoded.groupBy($"c2")
+        .agg(count(lit(1)).as("n"), sum(length($"c1")).cast("long").as("name_chars"))
+        .orderBy($"c2".cast("int"))
+    },
+
+    // Op #2+#4: ORC scan with stringly parity flattening: lineitem is
+    // round-tripped through ORC and checksummed in parity mode; the
+    // oracle recomputes the same checksum from the parquet source.
+    "q28_orc_scan_parity" -> { (s, dir) =>
+      import s.implicits._
+      val outDir = s"/tmp/graft_orcsrc_${math.abs(dir.hashCode)}"
+      Tables(s, dir).lineitem.write.mode("overwrite").orc(outDir)
+      val parity = graft.sources.Readers.readOrc(s, outDir, parityMode = true)
+      parity.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(length(concat_ws("|", $"l_orderkey", $"l_quantity", $"l_linestatus")))
+            .cast("long").as("wire_chars"))
+        .orderBy($"l_returnflag")
+    },
+
     // The §3.1 end-to-end slice: stringly parity mode → exclude →
     // null-normalize → sanitize → dt + additional col → wire row.
     // Checksummed by (count, total wire length) per return flag.
@@ -171,6 +204,21 @@ object Etl {
         |  FROM customer)
         |GROUP BY batch_id
         |ORDER BY batch_id""".stripMargin,
+
+    "q27_text_source_decode" ->
+      """SELECT CAST(s_nationkey AS VARCHAR) AS c2, count(*) AS n,
+        | CAST(sum(length(s_name)) AS BIGINT) AS name_chars
+        |FROM supplier
+        |GROUP BY 1
+        |ORDER BY CAST(c2 AS INTEGER)""".stripMargin,
+
+    "q28_orc_scan_parity" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(length(CAST(l_orderkey AS VARCHAR) || '|' ||
+        |   CAST(l_quantity AS VARCHAR) || '|' || l_linestatus)) AS BIGINT) AS wire_chars
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q26_etl_pipeline_parity" ->
       """WITH src AS (

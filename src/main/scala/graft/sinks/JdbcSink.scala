@@ -1,0 +1,43 @@
+package graft.sinks
+
+import graft.config.WireFormat
+
+/** JDBC batch executor for a ClickHouse-style target: one
+  * `INSERT INTO <table> FORMAT <fmt>` statement per micro-batch with
+  * inline wire-format rows — the reference's direct-insert sink
+  * (`AbstractClickhouseLoaderMapper.java:309-359`, sql header `:552`).
+  *
+  * Plugs into [[DirectSink]] (which supplies partition-parallelism,
+  * micro-batching, retry/backoff and metrics). One connection per
+  * executor-partition, opened lazily and reused across batches.
+  *
+  * NOT exercised by tests — this environment has no JDBC endpoint; the
+  * protocol shape follows the reference and the sink machinery around
+  * it is covered via [[CollectingExecutor]]/[[FlakyExecutor]].
+  */
+final class JdbcFormatInsertExecutor(
+    url: String,
+    user: String,
+    password: String,
+    format: WireFormat) extends BatchExecutor {
+
+  @transient private var conn: java.sql.Connection = _
+
+  private def connection(): java.sql.Connection = {
+    if (conn == null || conn.isClosed) {
+      conn = java.sql.DriverManager.getConnection(url, user, password)
+    }
+    conn
+  }
+
+  override def execute(target: String, batch: Seq[String]): Unit = {
+    val fmtName = format match {
+      case WireFormat.TabSeparated => "TabSeparated"
+      case WireFormat.CSV          => "CSV"
+    }
+    val sql = s"INSERT INTO $target FORMAT $fmtName\n" + batch.mkString("\n")
+    val st = connection().createStatement()
+    try st.execute(sql)
+    finally st.close()
+  }
+}

@@ -1,0 +1,68 @@
+package graft.sources
+
+import graft.config.{InputFormat, LoaderConfig}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Source readers mirroring the reference's input surface (SURVEY.md
+  * §2.A #1-#4): delimited text (with small-file packing) and ORC
+  * (with the stringly "parity mode" flattening), plus parquet for the
+  * harness tables.
+  *
+  * Small-file combining: the reference packs text files into ≤256 MiB
+  * splits (`CombineTextInputFormat`, ClickhouseHdfsLoader.java:161);
+  * Spark's equivalent knobs are `spark.sql.files.maxPartitionBytes` +
+  * `spark.sql.files.openCostInBytes`, set per-read below — built-in
+  * packing, no custom InputFormat needed.
+  */
+object Readers {
+
+  /** Delimited text → typed-by-position string columns c0..cN.
+    * Reads as raw lines + split (limit -1 keeps trailing empties —
+    * `TextRecordDecoder.java:31-46` semantics), NOT the csv reader:
+    * the reference does no quoting/escaping, so csv quote handling
+    * would silently alter rows.
+    */
+  def readText(spark: SparkSession, cfg: LoaderConfig): DataFrame = {
+    applySplitConf(spark, cfg)
+    val lines = spark.read.text(cfg.exportDir)
+    val sep = java.util.regex.Pattern.quote(cfg.fieldsTerminatedBy)
+    val fields = split(col("value"), sep, -1)
+    // column count from the first line (the catalog supplies it in a
+    // real load — TargetSchema; here: schema-on-read)
+    val n = lines.limit(1).select(size(fields)).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    lines.select((0 until n).map(i => fields.getItem(i).as(s"c$i")): _*)
+  }
+
+  /** ORC scan; `parityMode` reproduces the reference's
+    * `OrcStruct.getFieldValue(i).toString` flattening
+    * (`OrcRecordDecoder.java:27-45`) by casting every column to
+    * string. Typed mode returns the native vectorized-read schema.
+    */
+  def readOrc(spark: SparkSession, path: String, parityMode: Boolean = false): DataFrame = {
+    val df = spark.read.orc(path)
+    if (parityMode)
+      df.select(df.columns.map(c => col(c).cast(StringType).as(c)).toIndexedSeq: _*)
+    else df
+  }
+
+  /** Parquet with optional explicit schema (arity enforcement at scan). */
+  def readParquet(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read.parquet(path))(s => spark.read.schema(s).parquet(path))
+
+  /** Route on configured input format. */
+  def read(spark: SparkSession, cfg: LoaderConfig): DataFrame = cfg.inputFormat match {
+    case InputFormat.Text    => readText(spark, cfg)
+    case InputFormat.Orc     => readOrc(spark, cfg.exportDir, parityMode = true)
+    case InputFormat.Parquet => readParquet(spark, cfg.exportDir)
+  }
+
+  private def applySplitConf(spark: SparkSession, cfg: LoaderConfig): Unit = {
+    spark.conf.set("spark.sql.files.maxPartitionBytes", cfg.inputSplitMaxBytes.toString)
+    // open cost makes many small files pack into one task, the
+    // CombineTextInputFormat behavior
+    spark.conf.set("spark.sql.files.openCostInBytes", (4 * 1024 * 1024).toString)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.catalog.{DailyTables, TargetSchema}
+import graft.plans.GraftExtensions
+import java.time.LocalDate
+
+class CatalogSpec extends SparkSpec {
+
+  test("TargetSchema resolves string columns and sharding key") {
+    val ts = TargetSchema.fromDDL(
+      "plat INT, imei STRING, h_id INT, dt DATE, h_did STRING",
+      shardingKey = Some("h_did"))
+    assert(ts.arity == 5)
+    assert(ts.stringCols == Set("imei", "h_did"))
+    assert(ts.shardingKeyIndex.contains(4))
+  }
+
+  test("TargetSchema validates arity") {
+    val ts = TargetSchema.fromDDL("a INT, b STRING")
+    import spark.implicits._
+    ts.validate(Seq((1, "x")).toDF("a", "b"))
+    intercept[IllegalArgumentException](
+      ts.validate(Seq(1).toDF("a")))
+  }
+
+  test("daily-table lifecycle: create, merge expired, drop") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-daily").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS dailydb LOCATION '$wh'")
+    spark.sql("DROP TABLE IF EXISTS dailydb.base")
+    spark.sql("CREATE TABLE dailydb.base (k INT, v STRING) USING parquet")
+
+    val daily = new DailyTables(spark)
+    val dt = LocalDate.of(2017, 1, 7)
+    // three daily tables: two expired (>2 days old), one fresh
+    Seq(5L, 3L, 0L).foreach { daysAgo =>
+      val t = daily.createDaily("dailydb.base", dt.minusDays(daysAgo))
+      Seq((daysAgo.toInt, s"d$daysAgo")).toDF("k", "v")
+        .write.mode("append").insertInto(s"$t")
+    }
+    assert(daily.listDaily("dailydb", "base").size == 3)
+
+    val merged = daily.mergeExpired("dailydb", "dailydb.base", dt, expiresDays = 2)
+    assert(merged.size == 2, s"merged=$merged")
+    // expired rows landed in base; fresh daily table still exists
+    val baseRows = spark.table("dailydb.base").collect().map(_.getInt(0)).sorted
+    assert(baseRows.toSeq == Seq(3, 5))
+    assert(daily.listDaily("dailydb", "base").size == 1)
+  }
+
+  test("SQL function registration exposes the custom expressions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_shard_code('20170107') AS sc,
+        |       graft_hash64('abc') AS h,
+        |       graft_qdot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS dot,
+        |       size(graft_shingle_hashes('a b c d', 3)) AS nsh,
+        |       size(graft_minhash_sig(graft_shingle_hashes('a b c d', 3), 16)) AS k,
+        |       graft_simhash('a b c') AS sim
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) == graft.functions.Murmur3.shardCode("20170107"))
+    assert(r.getLong(1) == graft.functions.Murmur3.hash64("abc"))
+    assert(r.getLong(2) == 4L + 10L + 18L)
+    assert(r.getInt(3) == 2)
+    assert(r.getInt(4) == 16)
+  }
+}
