@@ -81,4 +81,44 @@ object Similarity {
       .filter($"rank" <= k)
       .select($"query_id", $"rank", $"cand_id".as("neighbor_id"), $"cos")
   }
+
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — every
+    * `centroidStride`-th vector serves as a centroid — partitions the
+    * corpus into cells; queries probe their `nProbe` nearest cells and
+    * rank only those cells' members. The two joins are
+    * (corpus × centroids) with the centroid side broadcast, and a
+    * cell-keyed equi-join — both linear in corpus size. At real scale
+    * the centroids come from k-means; the assignment/probe machinery
+    * is identical.
+    */
+  def ivfTopK(corpus: DataFrame, k: Int, centroidStride: Int = 50,
+      nProbe: Int = 2): DataFrame = {
+    val centroids = broadcast(
+      corpus.filter($"vid" % centroidStride === 0)
+        .select($"vid".as("cid"), $"qv".as("c_qv"), $"nrm".as("c_nrm")))
+
+    // cell assignment: argmax centroid cosine (deterministic ties by cid)
+    def cellsFor(df: DataFrame, n: Int, outPrefix: String): DataFrame = {
+      val scored = df.join(centroids)
+        .withColumn("c_cos", cosineQ($"qv", $"c_qv", $"nrm", $"c_nrm"))
+      val w = Window.partitionBy($"vid").orderBy($"c_cos".desc, $"cid")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= n)
+        .select($"vid".as(s"${outPrefix}vid"), $"qv".as(s"${outPrefix}qv"),
+          $"nrm".as(s"${outPrefix}nrm"), $"cid")
+    }
+
+    val members = cellsFor(corpus, 1, "m_")   // each vector lives in 1 cell
+    val probes = cellsFor(corpus, nProbe, "q_") // queries probe nProbe cells
+
+    val cands = probes.join(members, Seq("cid"))
+      .filter($"q_vid" =!= $"m_vid")
+      .select($"q_vid".as("query_id"), $"m_vid".as("cand_id"),
+        cosineQ($"q_qv", $"m_qv", $"q_nrm", $"m_nrm").as("cos"))
+      .distinct()
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id")
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"cand_id".as("neighbor_id"), $"cos")
+  }
 }

@@ -95,6 +95,14 @@ object Pipeline {
         .orderBy($"query_id", $"rank")
     },
 
+    // IVF ANN (coarse-quantizer cells + probe; rows-only, recall
+    // asserted vs brute force in SimilaritySpec).
+    "q42_ann_ivf" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
+      Similarity.ivfTopK(corpus, k = 5).orderBy($"query_id", $"rank")
+    },
+
     // Language-ID heuristic: confusion counts vs the labeled lang.
     "q37_text_langid" -> { (s, dir) =>
       import s.implicits._

@@ -46,6 +46,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.15, s"recall=$recall")
   }
 
+  test("IVF ANN recall@5 beats chance by a wide margin") {
+    val truth = Similarity.bruteForceTopK(corpus, corpus, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(corpus, k = 5, centroidStride = 50, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    assert(approx.nonEmpty)
+    assert(recall > 0.15, s"recall=$recall")
+  }
+
   test("nearestNeighbor is symmetric-consistent with topK rank 1") {
     import spark.implicits._
     val nn = Similarity.nearestNeighbor(corpus.filter($"vid" < 50))
