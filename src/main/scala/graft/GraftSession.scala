@@ -1,0 +1,47 @@
+package graft
+
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.SparkSession
+
+/** Recommended session construction for the engine, encoding the
+  * settings that matter at 100 TB (and their local[32] stand-ins).
+  * Verify/Bench follow the driver contract's own builders; production
+  * jobs should start here.
+  */
+object GraftSession {
+
+  /** Settings rationale:
+    * - AQE on: runtime re-planning — coalesces post-shuffle
+    *   partitions, converts sort-merge joins to broadcast when the
+    *   built side turns out small, splits skewed partitions. At 100 TB
+    *   these decisions can't be made statically.
+    * - shuffle.partitions sized to cluster cores (driver contract uses
+    *   32 locally); AQE coalescing trims the excess, so err high.
+    * - maxPartitionBytes 256 MiB: the reference's split cap; big
+    *   enough to amortize task overhead, small enough to spread work.
+    * - openCostInBytes packs small files (CombineTextInputFormat
+    *   behavior).
+    * - parquet filter pushdown + vectorized reads are defaults — kept
+    *   explicit here as documentation of what the plans rely on.
+    */
+  def builder(master: String = "local[32]", cores: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (4L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
+
+  def local(cores: Int = 32): SparkSession = {
+    val s = builder(s"local[$cores]", cores)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -226,3 +226,32 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
 object SimHash64 {
   def simhash64(text: Column): Column = column(SimHash64(expression(text)))
 }
+
+/** Rolling polynomial fingerprint `fold (acc*31 + code) mod 1e9+7`
+  * over the character stream — single pass; the declarative
+  * `aggregate(transform(split(...)))` form evaluates an interpreted
+  * lambda per character (~10× slower). Codes are Unicode code points
+  * (BMP chars = UTF-16 units), matching `ascii()` per char in both
+  * Spark and DuckDB for the BMP.
+  */
+case class Fingerprint64(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(child = c)
+}
+
+object Fingerprint64 {
+  def fingerprint64(text: Column): Column = column(Fingerprint64(expression(text)))
+}

@@ -71,8 +71,15 @@ object TextFunctions {
   /** Polynomial rolling-hash fingerprint: fold (acc*31 + code) mod
     * 1e9+7 over the character stream — order-sensitive, so it
     * distinguishes permuted documents (unlike bag-of-words hashes).
+    * Native single-pass expression; [[fingerprintDeclarative]] is the
+    * semantically-identical lambda form (pinned equal in tests).
     */
-  def fingerprint(text: Column): Column =
+  def fingerprint(text: Column): Column = Fingerprint64.fingerprint64(text)
+
+  /** Declarative form of [[fingerprint]] (interpreted lambda per char
+    * — reference semantics / oracle shape, ~10× slower).
+    */
+  def fingerprintDeclarative(text: Column): Column =
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L),

@@ -92,12 +92,14 @@ object Relational {
         .limit(10)
     },
 
-    // LIKE prefix, regex match, concat — the string predicates of
-    // SURVEY §2.B (ClickhouseHdfsLoader.java:497, OldDailyMergeTask.java:86).
+    // LIKE prefix, regex match, string range predicate, concat — the
+    // string predicates of SURVEY §2.B (ClickhouseHdfsLoader.java:497,
+    // OldDailyMergeTask.java:86,113 `name > '…'`).
     "q06_string_predicates" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).part
-        .filter($"p_name".like("b%") || $"p_name".rlike("ring$"))
+        .filter(($"p_name".like("b%") || $"p_name".rlike("ring$")) &&
+          $"p_name" > "a" && $"p_name" <= "z")
         .select($"p_partkey", concat($"p_brand", lit("."), $"p_name").as("brand_name"), $"p_name")
         .orderBy($"p_partkey")
     },
@@ -289,7 +291,8 @@ object Relational {
     "q06_string_predicates" ->
       """SELECT p_partkey, p_brand || '.' || p_name AS brand_name, p_name
         |FROM part
-        |WHERE p_name LIKE 'b%' OR regexp_matches(p_name, 'ring$')
+        |WHERE (p_name LIKE 'b%' OR regexp_matches(p_name, 'ring$'))
+        |  AND p_name > 'a' AND p_name <= 'z'
         |ORDER BY p_partkey""".stripMargin,
 
     "q07_distinct" ->

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{Sharding, ShardSpec}
+import graft.queries.Relational
+
+/** Physical-plan shape assertions — the properties that make these
+  * plans survive a 100× scale-up, checked explicitly so a regression
+  * (a lost pushdown, an extra shuffle) fails the build rather than
+  * just the benchmark.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("shard assignment is map-side only (no shuffle)") {
+    val p = plan(Sharding.assign(Tables(spark, sf).customer, "c_name", ShardSpec(Seq(1, 2, 1))))
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+  }
+
+  test("shard co-location is exactly one hash exchange") {
+    val df = Sharding.partitionByShard(
+      Sharding.assign(Tables(spark, sf).customer, "c_name", ShardSpec(Seq(1, 2, 1))),
+      ShardSpec(Seq(1, 2, 1)))
+    val p = plan(df)
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected 1 exchange:\n$p")
+    assert(p.contains("hashpartitioning(shard"), s"expected shard partitioning:\n$p")
+  }
+
+  test("q01 aggregation is two-phase (map-side partial before shuffle)") {
+    val p = plan(Relational.queries("q01_agg_pricing_summary")(spark, sf))
+    assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
+  }
+
+  test("q21 column exclusion prunes the scan (9 of 11 columns read)") {
+    val p = plan(graft.queries.Etl.queries("q21_exclude_fields")(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
+      s"scan should not read excluded columns:\n$readSchema")
+  }
+
+  test("q02 pushes all three predicates into the parquet scan") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000") // don't elide PushedFilters
+    val p = plan(Relational.queries("q02_filter_projection_pushdown")(spark, sf))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("EqualTo(l_returnflag,R)"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_quantity,30.0)"), pushed)
+    assert(pushed.contains("GreaterThan(l_shipdate,"), pushed)
+  }
+
+  test("whole-stage codegen covers the transform pipeline") {
+    import graft.config.LoaderConfig
+    import graft.operators.TransformStage
+    val li = Tables(spark, sf).lineitem
+    val wire = TransformStage.transform(
+      TransformStage.excludeFields(li, Seq(0, 10)),
+      LoaderConfig(dt = "2017-01-07"),
+      stringCols = Set("l_returnflag", "l_linestatus", "dt"))
+    val p = plan(wire)
+    assert(p.contains("*(1)"), s"transform should be one codegen stage:\n$p")
+  }
+}
