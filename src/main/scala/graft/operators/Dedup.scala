@@ -120,6 +120,40 @@ object Dedup {
     df.select(col(idCol).as("doc"),
       graft.functions.SimHash64.simhash64(col(textCol)).as("simhash"))
 
+  /** Connected components over near-dup pairs → cluster
+    * representative per doc (the final "keep one per duplicate
+    * cluster" step of a dedup pipeline). Iterative min-label
+    * propagation: each round every node adopts the smallest label in
+    * its neighborhood; converges in O(cluster diameter) rounds — a
+    * handful for near-dup clusters, each round one join, no driver
+    * state. (Union-find on the driver would bottleneck at 100 TB;
+    * this shape is how GraphX/GraphFrames do it.)
+    */
+  def clusterReps(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select($"a".as("x"), $"b".as("y"))
+      .unionByName(pairs.select($"b".as("x"), $"a".as("y")))
+      .cache()
+    var labels = edges.select($"x".as("doc"), $"y".as("lbl"))
+      .unionByName(edges.select($"x".as("doc"), $"x".as("lbl")))
+      .groupBy($"doc").agg(min($"lbl").as("lbl"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val next = edges.join(labels, $"y" === $"doc")
+        .select($"x".as("doc"), $"lbl")
+        .unionByName(labels)
+        .groupBy($"doc").agg(min($"lbl").as("lbl"))
+        .cache()
+      converged = next.as("n").join(labels.as("o"), col("n.doc") === col("o.doc"))
+        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels.withColumnRenamed("lbl", "cluster_rep")
+  }
+
   /** Near-dup pairs by SimHash hamming distance, blocked on 16-bit
     * chunks (pigeonhole: hamming <= 3 guarantees one equal chunk; the
     * block join is what avoids O(n²) at scale).

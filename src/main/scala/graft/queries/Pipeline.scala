@@ -95,6 +95,28 @@ object Pipeline {
         .orderBy($"query_id", $"rank")
     },
 
+    // Embedding-cosine near-dup pairs above a threshold
+    // (quantized-exact → fully oracle-able).
+    "q43_embedding_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
+      val a = corpus.select($"vid".as("a"), $"qv".as("a_qv"), $"nrm".as("a_nrm"))
+      a.join(corpus, $"a" < $"vid")
+        .select($"a", $"vid".as("b"),
+          graft.functions.VectorFunctions.cosineQ($"a_qv", $"qv", $"a_nrm", $"nrm").as("cos"))
+        .filter($"cos" >= 0.4)
+        .orderBy($"a", $"b")
+    },
+
+    // Duplicate-cluster assignment: connected components over the
+    // exact jaccard pairs (rows-only; pinned vs driver-side union-find
+    // in DedupSpec).
+    "q44_dedup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = Dedup.ngramJaccardPairs(Tables(s, dir).documents, "doc_id", "text", 3, 0.8)
+      Dedup.clusterReps(pairs).orderBy($"doc")
+    },
+
     // IVF ANN (coarse-quantizer cells + probe; rows-only, recall
     // asserted vs brute force in SimilaritySpec).
     "q42_ann_ivf" -> { (s, dir) =>
@@ -188,6 +210,15 @@ object Pipeline {
         |  FROM p)
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q43_embedding_neardup" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM q)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY a, b""".stripMargin,
 
     "q37_text_langid" ->
       """SELECT lang,

@@ -59,6 +59,29 @@ class DedupSpec extends SparkSpec {
     assert(viaNative == viaLambda)
   }
 
+  test("clusterReps matches driver-side union-find components") {
+    val pairDf = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8).cache()
+    val pairs = pairDf.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // ground truth: union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val truth = nodes.map(n => n -> find(n)).toMap
+    val got = Dedup.clusterReps(pairDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == truth)
+    // representative is the min id of each cluster
+    assert(got.forall { case (doc, rep) => rep <= doc })
+  }
+
   test("exact dedup keeps one id per distinct content") {
     val out = Dedup.exactDedup(docs, "doc_id", "text")
     assert(out.count() == docs.select("text").distinct().count())

@@ -51,6 +51,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming load via foreachBatch is effectively-once (batch replay idempotent)") {
+    import graft.streaming.StreamingLoad
+    val dir = eventsDir
+    val src = spark.read.parquet(dir)
+    val wh = java.nio.file.Files.createTempDirectory("graft-swh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS streamdb LOCATION '$wh'")
+    spark.sql("DROP TABLE IF EXISTS streamdb.loaded")
+    StreamingLoad.ensureTarget(spark, "streamdb.loaded", src)
+    val stream = spark.readStream.schema(src.schema).parquet(dir)
+    val q = StreamingLoad.start(spark, stream, "streamdb.loaded", ckpt)
+    q.awaitTermination(120000)
+    val n = src.count()
+    assert(spark.table("streamdb.loaded").count() == n)
+    // replay batch 0 manually (simulated failure re-delivery): dynamic
+    // overwrite of its partition must not duplicate rows
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    src.withColumn("_batch_id", org.apache.spark.sql.functions.lit(0L))
+      .write.mode("overwrite").insertInto("streamdb.loaded")
+    assert(spark.table("streamdb.loaded").count() == n)
+  }
+
   test("multimodal feature extraction matches the column-level formula") {
     import graft.operators.Multimodal
     val media = Multimodal.asBinaryFrame(Tables(spark, sf).documents, "doc_id", "text")
