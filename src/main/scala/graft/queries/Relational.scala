@@ -241,6 +241,65 @@ object Relational {
         .agg(count(lit(1)).as("n"))
         .filter($"n" >= 5)
         .orderBy($"p_brand")
+    },
+
+    // Correlated-scalar-subquery semantics (customers above their
+    // segment's average) — decorrelated into a window; exact decimal
+    // average so the comparison is order-independent.
+    "q19_above_segment_avg" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"c_mktsegment")
+      Tables(s, dir).customer
+        .withColumn("seg_avg",
+          sum(dec2($"c_acctbal")).over(w).cast("double") / count(lit(1)).over(w))
+        .filter($"c_acctbal" > $"seg_avg")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // Lateral explode / unnest: global token frequencies, top 50.
+    "q45_token_frequencies" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select(explode(split($"text", " ")).as("t"))
+        .groupBy($"t").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), $"t")
+        .limit(50)
+    },
+
+    // Extended window functions: rank/dense_rank/ntile/lag/lead +
+    // exact percentiles per group.
+    "q46_window_suite" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+      Tables(s, dir).customer
+        .filter($"c_custkey" < 200)
+        .select($"c_custkey", $"c_mktsegment",
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          lag($"c_acctbal", 1).over(w).as("prev_bal"),
+          lead($"c_acctbal", 1).over(w).as("next_bal"))
+        .orderBy($"c_custkey")
+    },
+
+    // As-of join (composed operator — graft.operators.AsOfJoin): each
+    // click picks up the user's most recent prior purchase value;
+    // oracled by DuckDB's native ASOF JOIN.
+    "q47_asof_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"event_id", $"user_id", unix_millis($"ts").as("tms"),
+          $"event_type", $"value")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"tms")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"tms", $"value".as("purchase_value"))
+      graft.operators.AsOfJoin.asOfInner(clicks, purchases, "user_id", "tms",
+          Seq("purchase_value"))
+        .orderBy($"event_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -395,5 +454,42 @@ object Relational {
         |FROM part
         |GROUP BY p_brand
         |HAVING count(*) >= 5
-        |ORDER BY p_brand""".stripMargin)
+        |ORDER BY p_brand""".stripMargin,
+
+    "q19_above_segment_avg" ->
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM customer c2 WHERE c2.c_mktsegment = c.c_mktsegment)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q45_token_frequencies" ->
+      """SELECT t, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |GROUP BY t
+        |ORDER BY n DESC, t
+        |LIMIT 50""".stripMargin,
+
+    "q46_window_suite" ->
+      """SELECT c_custkey, c_mktsegment,
+        | CAST(rank() OVER w AS BIGINT) AS rnk,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | lag(c_acctbal, 1) OVER w AS prev_bal,
+        | lead(c_acctbal, 1) OVER w AS next_bal
+        |FROM customer
+        |WHERE c_custkey < 200
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q47_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms, event_type, value FROM events),
+        |clicks AS (SELECT event_id, user_id, tms FROM ev WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, tms, value AS purchase_value FROM ev WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.tms, p.purchase_value
+        |FROM clicks c ASOF JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.tms >= p.tms
+        |ORDER BY c.event_id""".stripMargin)
 }
