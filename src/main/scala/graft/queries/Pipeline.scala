@@ -166,6 +166,22 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // Sketch aggregates: HLL distinct + approximate percentiles — the
+    // single-pass mergeable summaries used instead of exact
+    // distinct/sort at 100 TB (rows-only: sketch internals are
+    // implementation-specific; error bounds pinned in SketchAggSpec).
+    "q48_approx_aggregates" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_orderkey").as("approx_orders"),
+          approx_count_distinct($"l_partkey").as("approx_parts"),
+          percentile_approx($"l_quantity", lit(0.5), lit(10000)).as("approx_median"),
+          percentile_approx($"l_extendedprice", lit(0.9), lit(10000)).as("approx_p90"))
+        .orderBy($"l_returnflag")
+    },
+
     // Multimodal: binary payload column → partition-batched stub
     // decode (real plumbing, stubbed codec — see operators.Multimodal).
     "q41_multimodal_features" -> { (s, dir) =>
