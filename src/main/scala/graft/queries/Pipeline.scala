@@ -166,6 +166,25 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // Group-level MinHash signatures (distributed mergeable aggregate)
+    // + pairwise estimated jaccard between sources (rows-only; pinned
+    // against exact group-union jaccard in MinHashAggSpec).
+    "q49_group_minhash" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.{MinHashAgg, ShingleHash64}
+      val sigs = Tables(s, dir).documents
+        .groupBy($"source")
+        .agg(MinHashAgg.minhash_agg(
+          ShingleHash64.shingle_hashes($"text", 3), 128).as("sig"))
+      val matching = aggregate(
+        zip_with(col("x.sig"), col("y.sig"), (p, q) => when(p === q, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v)
+      sigs.as("x").join(sigs.as("y"), col("x.source") < col("y.source"))
+        .select(col("x.source").as("a"), col("y.source").as("b"),
+          (matching.cast("double") / 128).as("est_jaccard"))
+        .orderBy($"a", $"b")
+    },
+
     // Sketch aggregates: HLL distinct + approximate percentiles — the
     // single-pass mergeable summaries used instead of exact
     // distinct/sort at 100 TB (rows-only: sketch internals are

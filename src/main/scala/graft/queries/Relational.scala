@@ -285,6 +285,17 @@ object Relational {
         .orderBy($"c_custkey")
     },
 
+    // Pivot (wide conditional aggregation) with exact decimal sums.
+    "q53_pivot" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sumD($"o_totalprice"))
+        .na.fill(0.0, Seq("F", "O", "P"))
+        .orderBy($"o_orderpriority")
+    },
+
     // As-of join (composed operator — graft.operators.AsOfJoin): each
     // click picks up the user's most recent prior purchase value;
     // oracled by DuckDB's native ASOF JOIN.
@@ -483,6 +494,15 @@ object Relational {
         |WHERE c_custkey < 200
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q53_pivot" ->
+      """SELECT o_orderpriority,
+        | coalesce(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS "F",
+        | coalesce(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS "O",
+        | coalesce(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS "P"
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q47_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms, event_type, value FROM events),
