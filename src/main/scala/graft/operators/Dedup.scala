@@ -1,7 +1,5 @@
 package graft.operators
 
-import graft.functions.Murmur3Hash64.hash64
-import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -137,6 +135,12 @@ object Dedup {
       .unionByName(edges.select($"x".as("doc"), $"x".as("lbl")))
       .groupBy($"doc").agg(min($"lbl").as("lbl"))
       .cache()
+    // labels only ever decrease under min-propagation, so the label
+    // sum is strictly monotone until fixpoint — one cheap scalar agg
+    // per round instead of a join-based diff
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum($"lbl".cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -145,8 +149,9 @@ object Dedup {
         .unionByName(labels)
         .groupBy($"doc").agg(min($"lbl").as("lbl"))
         .cache()
-      converged = next.as("n").join(labels.as("o"), col("n.doc") === col("o.doc"))
-        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       iter += 1

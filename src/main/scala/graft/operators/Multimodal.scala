@@ -49,4 +49,45 @@ object Multimodal {
       }
     }
   }
+
+  /** STUB resize — a real implementation decodes, scales to
+    * `targetBytes` pixels, re-encodes; the stub deterministically
+    * samples the byte stream to the target length (keeps the
+    * batch/schema contract: binary in → fixed-budget binary out).
+    */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (payload.length <= targetBytes) payload
+    else Array.tabulate(targetBytes)(i =>
+      payload((i.toLong * payload.length / targetBytes).toInt))
+
+  /** STUB frame sampling — a real implementation seeks to n key
+    * frames; the stub cuts the payload into n contiguous spans (the
+    * output shape a video pipeline hands to a captioner: one row per
+    * sampled frame, ordered).
+    */
+  def frameSampleStub(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    val span = math.max(1, payload.length / n)
+    (0 until n).map { i =>
+      payload.slice(i * span, math.min((i + 1) * span, payload.length))
+    }.filter(_.nonEmpty)
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte], n_bytes: Long)
+
+  /** Partition-batched resize + frame sampling over binary payloads:
+    * one output row per sampled frame. The explode happens inside the
+    * partition iterator — no shuffle, memory bounded by one payload.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, nFrames: Int,
+      targetBytes: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val resized = resizeStub(r.payload, targetBytes)
+        frameSampleStub(resized, nFrames).zipWithIndex.map { case (f, i) =>
+          Frame(r.doc_id, i, f, f.length.toLong)
+        }
+      }
+    }
+  }
 }

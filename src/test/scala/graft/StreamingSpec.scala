@@ -82,4 +82,19 @@ class StreamingSpec extends SparkSpec {
       assert(f.feature == (f.n_bytes * 31 + f.head) % 997)
     }
   }
+
+  test("multimodal resize + frame sampling keeps batch shape and budgets") {
+    import graft.operators.Multimodal
+    val media = Multimodal.asBinaryFrame(
+      Tables(spark, sf).documents.limit(50), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(spark, media, nFrames = 4, targetBytes = 64)
+      .collect()
+    assert(frames.nonEmpty)
+    val byDoc = frames.groupBy(_.doc_id)
+    byDoc.values.foreach { fs =>
+      assert(fs.length <= 4)
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length))
+      assert(fs.map(_.n_bytes).sum <= 64) // resize budget bounds total bytes
+    }
+  }
 }
