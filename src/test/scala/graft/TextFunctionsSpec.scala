@@ -22,6 +22,37 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fp(0) != fp(1))
   }
 
+  test("native expressions handle edge-case inputs") {
+    import spark.implicits._
+    import graft.functions.{Murmur3, ShingleHash64, SimHash64}
+    val df = Seq("", "one", "one two", "one two three", "a a a a").toDF("t")
+      .select(col("t"),
+        ShingleHash64.shingle_hashes(col("t"), 3).as("sh"),
+        SimHash64.simhash64(col("t")).as("sim"),
+        TextFunctions.fingerprint(col("t")).as("fp"))
+    val rows = df.collect()
+    // fewer than n tokens → empty shingle set
+    assert(rows(0).getSeq[Long](1).isEmpty)
+    assert(rows(1).getSeq[Long](1).isEmpty)
+    assert(rows(2).getSeq[Long](1).isEmpty)
+    assert(rows(3).getSeq[Long](1) == Seq(Murmur3.hash64("one two three")))
+    // repeated shingle deduplicates
+    assert(rows(4).getSeq[Long](1) == Seq(Murmur3.hash64("a a a")))
+    // empty text: fingerprint 0, simhash of one empty token is defined
+    assert(rows(0).getLong(3) == 0L)
+    // null propagates as null, not a crash
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(ShingleHash64.shingle_hashes(col("t"), 3)).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("QDot handles length mismatch by truncating to the shorter side") {
+    import spark.implicits._
+    val r = Seq((Array(1L, 2L, 3L), Array(10L, 20L))).toDF("a", "b")
+      .select(graft.functions.QDot.qdot(col("a"), col("b"))).collect()(0)
+    assert(r.getLong(0) == 10L + 40L)
+  }
+
   test("langid heuristic and quality metrics are deterministic and bounded") {
     val docs = Tables(spark, sf).documents
     val rows = docs.select(

@@ -1,0 +1,35 @@
+#!/usr/bin/env python3
+"""Compare two Bench JSON outputs (e.g. docs/bench_local_r1.json vs a
+fresh run) and flag per-query regressions.
+
+Usage: python3 tools/compare_bench.py <baseline.json> <new.json> [ratio]
+Exit 1 if any query regressed by more than `ratio` (default 2.0).
+"""
+import json
+import sys
+
+
+def main(base_path: str, new_path: str, ratio: float = 2.0) -> int:
+    base = json.load(open(base_path))["queries"]
+    new = json.load(open(new_path))["queries"]
+    bad = 0
+    for name in sorted(set(base) | set(new)):
+        b, n = base.get(name), new.get(name)
+        if b is None:
+            print(f"NEW     {name}: {n:.2f}s")
+        elif n is None:
+            print(f"REMOVED {name}")
+        elif b > 0 and n > b * ratio and n - b > 0.5:
+            print(f"SLOWER  {name}: {b:.2f}s -> {n:.2f}s ({n/b:.1f}x)")
+            bad += 1
+        elif b > 0 and n < b / ratio:
+            print(f"FASTER  {name}: {b:.2f}s -> {n:.2f}s")
+    tb = sum(v for v in base.values() if v > 0)
+    tn = sum(v for v in new.values() if v > 0)
+    print(f"\ntotal: {tb:.1f}s -> {tn:.1f}s; {bad} regressions (> {ratio}x)")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    r = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    sys.exit(main(sys.argv[1], sys.argv[2], r))
