@@ -285,6 +285,36 @@ object Relational {
         .orderBy($"c_custkey")
     },
 
+    // Range (interval) join via bin-bucketized equi-join
+    // (graft.operators.RangeJoin): parts matched into size bands;
+    // oracled by DuckDB's non-equi join.
+    "q54_range_join" -> { (s, dir) =>
+      import s.implicits._
+      val bands = s.createDataFrame(Seq(
+        ("tiny", 0L, 9L), ("small", 10L, 24L), ("mid", 25L, 39L), ("big", 40L, 100L)))
+        .toDF("band", "lo", "hi")
+      graft.operators.RangeJoin.byBinning(
+          Tables(s, dir).part.select($"p_partkey", $"p_size".cast("long").as("p_size")),
+          bands, "p_size", "lo", "hi", binWidth = 10L)
+        .groupBy($"band").agg(count(lit(1)).as("n"), min($"p_size").as("min_size"),
+          max($"p_size").as("max_size"))
+        .orderBy($"band")
+    },
+
+    // Exact interpolated percentiles per group (rounded to 6dp — the
+    // interpolation formulas of different engines may differ in the
+    // final ulp).
+    "q55_percentiles" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25_price"))
+        .orderBy($"l_returnflag")
+    },
+
     // Pivot (wide conditional aggregation) with exact decimal sums.
     "q53_pivot" -> { (s, dir) =>
       import s.implicits._
@@ -494,6 +524,25 @@ object Relational {
         |WHERE c_custkey < 200
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q54_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('tiny', 0, 9), ('small', 10, 24), ('mid', 25, 39), ('big', 40, 100))
+        |SELECT band, count(*) AS n,
+        |  CAST(min(p_size) AS BIGINT) AS min_size,
+        |  CAST(max(p_size) AS BIGINT) AS max_size
+        |FROM part JOIN bands ON p_size >= lo AND p_size <= hi
+        |GROUP BY band
+        |ORDER BY band""".stripMargin,
+
+    "q55_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        | round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        | round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q53_pivot" ->
       """SELECT o_orderpriority,
