@@ -51,6 +51,64 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("watermark drops late events in append mode across micro-batches") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import java.nio.file.{Files => JFiles, Paths}
+    val dir = JFiles.createTempDirectory("graft-late")
+    // one flat parquet FILE per micro-batch, ordered by mtime
+    def write(name: String, rows: Seq[(String, String)], mtime: Long): Unit = {
+      val tmp = JFiles.createTempDirectory("graft-late-w").toString
+      rows.map { case (t, e) => (Timestamp.valueOf(t), e) }
+        .toDF("ts", "event_type").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = JFiles.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = dir.resolve(name)
+      JFiles.move(part, dest)
+      JFiles.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val ckpt = JFiles.createTempDirectory("graft-late-ck").toString
+    def runOnce(): Map[Long, Long] = {
+      // memory sink can't recover from a checkpoint; capture emitted
+      // (finalized) windows via foreachBatch instead
+      val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val stream = spark.readStream.schema("ts TIMESTAMP, event_type STRING")
+        .parquet(dir.toString)
+      val q = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis($"window.start").as("w"), $"n")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => emitted.add(r.getLong(0) -> r.getLong(1)))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      emitted.toArray(Array.empty[(Long, Long)]).toMap
+    }
+
+    // run 1: two hour-0 events + an hour-3 event → watermark 02:30
+    // closes the hour-0 window, emitted with n=2
+    write("b1.parquet", Seq(
+      ("2024-01-01 00:10:00", "x"), ("2024-01-01 00:20:00", "x"),
+      ("2024-01-01 03:30:00", "x")), 1000000L)
+    val out1 = runOnce()
+    val hour0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    assert(out1.get(hour0).contains(2L), s"run1: $out1")
+
+    // run 2 (same checkpoint — watermark state restored): a LATE
+    // hour-0 event arrives below the restored 02:30 watermark → it
+    // must be dropped, never re-emitting the closed window
+    write("b2.parquet", Seq(
+      ("2024-01-01 00:40:00", "x"), ("2024-01-01 04:30:00", "x")), 2000000L)
+    val out2 = runOnce()
+    assert(!out2.contains(hour0), s"late event leaked into closed window: $out2")
+  }
+
   test("streaming load via foreachBatch is effectively-once (batch replay idempotent)") {
     import graft.streaming.StreamingLoad
     val dir = eventsDir
