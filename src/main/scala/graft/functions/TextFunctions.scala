@@ -21,13 +21,17 @@ object TextFunctions {
     regexp_extract_all(text, lit("[a-z]+|[0-9]+"), lit(0))
 
   /** Word n-gram shingles (space-joined). Empty when the doc has fewer
-    * than `n` tokens. 1-based element_at matches DuckDB list indexing.
+    * than `n` tokens — guarded explicitly: `sequence(1, 0)` would
+    * produce the DESCENDING array [1, 0] and drive element_at out of
+    * bounds. 1-based element_at matches DuckDB list indexing.
     */
   def wordShingles(text: Column, n: Int): Column = {
     val tok = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(tok) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(o => element_at(tok, i + o)): _*))
+    when(size(tok) >= n,
+      transform(
+        sequence(lit(1), size(tok) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(tok, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Distinct shingle set. */

@@ -27,29 +27,33 @@ object AsOfJoin {
   /** Inner as-of join. `payload` = right columns carried to the left
     * rows. Left columns are preserved. Timestamps are compared on
     * `tsCol` (must exist in both frames, orderable).
+    *
+    * The payload is carried as ONE struct, not per-column fills: a
+    * right row whose payload values are partially NULL must still
+    * match as a unit (per-column `last(ignoreNulls)` would stitch
+    * together columns from different right rows).
     */
   def asOfInner(left: DataFrame, right: DataFrame, key: String, tsCol: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payloadStruct = struct(payload.map(col): _*)
     val l = left
       .withColumn("_side", lit(1))
-      .select((leftCols.map(col) :+ col("_side")) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"_p_$p")): _*)
+      .select(leftCols.map(col) :+ col("_side") :+
+        lit(null).cast(right.select(payloadStruct).schema.head.dataType).as("_p"): _*)
     val r = right
       .withColumn("_side", lit(0))
-      .select((leftCols.map(c =>
+      .select(leftCols.map(c =>
         if (c == key || c == tsCol) col(c)
-        else lit(null).cast(left.schema(c).dataType).as(c)) :+ col("_side")) ++
-        payload.map(p => col(p).as(s"_p_$p")): _*)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+ col("_side") :+
+        payloadStruct.as("_p"): _*)
     val unioned = l.unionByName(r)
     val w = Window.partitionBy(col(key))
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(s"_f_$p", last(col(s"_p_$p"), ignoreNulls = true).over(w))
-    }
-    filled
-      .filter(col("_side") === 1 && payload.map(p => col(s"_f_$p").isNotNull).reduce(_ && _))
-      .select(leftCols.map(col) ++ payload.map(p => col(s"_f_$p").as(p)): _*)
+    unioned
+      .withColumn("_f", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1 && col("_f").isNotNull)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"_f.$p").as(p)): _*)
   }
 }

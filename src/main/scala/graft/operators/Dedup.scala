@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.syntax._
 
 /** Deduplication operators for the large-scale pipeline extensions:
   * exact (content-hash groupBy), n-gram Jaccard (exact set overlap),
@@ -51,10 +52,6 @@ object Dedup {
       .withColumn("jaccard", $"i".cast("double") / ($"sa" + $"sb" - $"i"))
       .filter($"jaccard" >= threshold)
       .select($"a", $"b", $"jaccard")
-  }
-
-  private implicit class Dollar(private val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.parts.mkString)
   }
 
   /** MinHash signatures: one row per doc with a k-slot `sig` array —
@@ -159,14 +156,21 @@ object Dedup {
     labels.withColumnRenamed("lbl", "cluster_rep")
   }
 
-  /** Near-dup pairs by SimHash hamming distance, blocked on 16-bit
-    * chunks (pigeonhole: hamming <= 3 guarantees one equal chunk; the
-    * block join is what avoids O(n²) at scale).
+  /** Near-dup pairs by SimHash hamming distance, blocked on
+    * `nChunks` equal-width chunks. Pigeonhole guarantee: recall is
+    * EXACT only for maxHamming < nChunks (a pair differing in every
+    * chunk shares no block key); beyond that the block join is a
+    * recall-heuristic — the standard simhash-dedup tradeoff. Callers
+    * wanting guaranteed recall at higher distances raise `nChunks`
+    * (wider blocks ⇒ bigger buckets).
     */
-  def simhashPairs(sketches: DataFrame, maxHamming: Int): DataFrame = {
-    val chunks = (0 until 4).map { c =>
+  def simhashPairs(sketches: DataFrame, maxHamming: Int, nChunks: Int = 4): DataFrame = {
+    require(64 % nChunks == 0, "nChunks must divide 64")
+    val width = 64 / nChunks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val chunks = (0 until nChunks).map { c =>
       sketches.select($"doc", $"simhash", lit(c).as("chunk"),
-        shiftrightunsigned($"simhash", c * 16).bitwiseAND(0xFFFFL).as("key"))
+        shiftrightunsigned($"simhash", c * width).bitwiseAND(mask).as("key"))
     }.reduce(_ unionByName _)
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&

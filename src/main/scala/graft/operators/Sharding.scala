@@ -41,15 +41,19 @@ object Sharding {
     }
   }
 
-  /** Append a `shard` column; rows with a null key get a random shard
-    * (reference hashes a random UUID — `AbstractClickhouseLoaderMapper.java:279`;
-    * we use pmod(rand) which is the same "spread uniformly" contract
-    * without the hash round-trip).
+  /** Append a `shard` column. Rows with a null key go through the
+    * SAME weighted walk, keyed by a deterministic whole-row hash —
+    * unlike the reference's random UUID (`AbstractClickhouseLoaderMapper.java:279`),
+    * which (a) ignores shard weights only by luck of the hash and
+    * (b) re-rolls on task retry, misplacing rows relative to batches a
+    * failed attempt already wrote. A content-derived key is stable
+    * across retries and honors the weight distribution.
     */
-  def assign(df: DataFrame, keyCol: String, spec: ShardSpec): DataFrame =
+  def assign(df: DataFrame, keyCol: String, spec: ShardSpec): DataFrame = {
+    val surrogate = xxhash64(df.columns.map(col).toIndexedSeq: _*).cast("string")
     df.withColumn("shard",
-      when(col(keyCol).isNotNull, shardId(col(keyCol), spec))
-        .otherwise(floor(rand() * spec.weights.size).cast("int")))
+      shardId(coalesce(col(keyCol).cast("string"), surrogate), spec))
+  }
 
   /** Co-locate rows with their shard for a shard-local sink: one
     * shuffle keyed by shard, `partitionsPerShard` splits each shard's

@@ -4,6 +4,7 @@ import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.syntax._
 
 /** Approximate/exact nearest-neighbor search over an embedding column
   * (`Array[Float]`).
@@ -18,10 +19,6 @@ import org.apache.spark.sql.functions._
   * so results are bit-deterministic at any parallelism.
   */
 object Similarity {
-
-  private implicit class Dollar(private val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.parts.mkString)
-  }
 
   /** Corpus prepared with quantized vectors + norms (do once, reuse). */
   def prepare(df: DataFrame, idCol: String, vecCol: String): DataFrame =

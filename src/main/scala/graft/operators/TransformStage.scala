@@ -47,11 +47,15 @@ object TransformStage {
     */
   def sanitize(c: Column, cfg: LoaderConfig): Column = {
     val sep = cfg.clickhouseFormat.separator
-    if (sep.length == 1 && cfg.replaceChar.length == 1)
-      translate(c, sep + "\\", cfg.replaceChar + "/")
-    else
+    if (sep.length == 1 && cfg.replaceChar.length == 1) {
+      // cascade parity: the reference replaces sep first, THEN every
+      // backslash — so a backslash replaceChar itself becomes '/'
+      val effectiveRepl = cfg.replaceChar.replace('\\', '/')
+      translate(c, sep + "\\", effectiveRepl + "/")
+    } else
       regexp_replace(
-        regexp_replace(c, java.util.regex.Pattern.quote(sep), cfg.replaceChar),
+        regexp_replace(c, java.util.regex.Pattern.quote(sep),
+          java.util.regex.Matcher.quoteReplacement(cfg.replaceChar)),
         "\\\\", "/")
   }
 

@@ -62,12 +62,15 @@ object Pipeline {
         .orderBy($"a", $"b")
     },
 
-    // SimHash sketches + chunk-blocked near-dup pairs (rows-only:
-    // hamming over internal 64-bit hashes has no SQL oracle).
+    // SimHash sketches + chunk-blocked near-dup pairs at the canonical
+    // hamming<=3 threshold — the setting where 4-chunk blocking has
+    // GUARANTEED recall (pigeonhole). Rows-only: hamming over internal
+    // 64-bit hashes has no SQL oracle; completeness pinned vs brute
+    // force in DedupSpec.
     "q33_dedup_simhash" -> { (s, dir) =>
       import s.implicits._
       val sk = Dedup.simhash(Tables(s, dir).documents, "doc_id", "text")
-      Dedup.simhashPairs(sk, maxHamming = 16).orderBy($"a", $"b")
+      Dedup.simhashPairs(sk, maxHamming = 3).orderBy($"a", $"b")
     },
 
     // Embedding near-dup: every vector's nearest neighbor by cosine

@@ -40,4 +40,8 @@ final class JdbcFormatInsertExecutor(
     try st.execute(sql)
     finally st.close()
   }
+
+  /** Called once per partition-task by DirectSink. */
+  override def close(): Unit =
+    if (conn != null && !conn.isClosed) conn.close()
 }

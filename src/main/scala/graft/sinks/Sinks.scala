@@ -52,10 +52,12 @@ object Retry {
 /** Executes one micro-batch of wire-format rows against the target
   * store. Production shape = JDBC `INSERT INTO … FORMAT TabSeparated`
   * per batch; tests inject a collecting executor. Must be
-  * `Serializable` — instances ship to executors.
+  * `Serializable` — instances ship to executors. `close()` is called
+  * once per partition-task by [[DirectSink]] (release connections).
   */
 trait BatchExecutor extends Serializable {
   def execute(target: String, batch: Seq[String]): Unit
+  def close(): Unit = ()
 }
 
 /** Direct sink (SURVEY.md §2.A #13/#14/#23/#24): per partition, group
@@ -76,15 +78,17 @@ final class DirectSink(
   def write(df: DataFrame, target: String): LoadReport = {
     val (exec, tries, batchSz, m) = (executor, cfg.maxTries, effectiveBatch, metrics)
     df.select("wire_row").foreachPartition { (rows: Iterator[Row]) =>
-      rows.map(_.getString(0)).grouped(batchSz).foreach { batch =>
-        try {
-          Retry.withRetries(tries)(_ => exec.execute(target, batch))
-          m.success.add(batch.size)
-          m.batches.add(1)
-        } catch {
-          case _: Throwable => m.failed.add(batch.size)
+      try {
+        rows.map(_.getString(0)).grouped(batchSz).foreach { batch =>
+          try {
+            Retry.withRetries(tries)(_ => exec.execute(target, batch))
+            m.success.add(batch.size)
+            m.batches.add(1)
+          } catch {
+            case _: Throwable => m.failed.add(batch.size)
+          }
         }
-      }
+      } finally exec.close() // one per task — releases the connection
     }
     LoadReport(metrics.success.value, metrics.failed.value, metrics.batches.value)
   }

@@ -24,15 +24,22 @@ object Readers {
     * the reference does no quoting/escaping, so csv quote handling
     * would silently alter rows.
     */
-  def readText(spark: SparkSession, cfg: LoaderConfig): DataFrame = {
+  def readText(spark: SparkSession, cfg: LoaderConfig,
+      numFields: Option[Int] = None): DataFrame = {
     applySplitConf(spark, cfg)
     val lines = spark.read.text(cfg.exportDir)
     val sep = java.util.regex.Pattern.quote(cfg.fieldsTerminatedBy)
     val fields = split(col("value"), sep, -1)
-    // column count from the first line (the catalog supplies it in a
-    // real load — TargetSchema; here: schema-on-read)
-    val n = lines.limit(1).select(size(fields)).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    // column count: explicit (from the catalog — TargetSchema — in a
+    // real load) or inferred as the MAX arity over the data. Sampling
+    // one arbitrary line would silently truncate wider rows AND make
+    // the schema depend on file listing order; max-arity is
+    // deterministic, and narrower rows surface as nulls for the arity
+    // validation (op #10) instead of disappearing.
+    val n = numFields.getOrElse(
+      lines.select(max(size(fields))).collect()
+        .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+        .getOrElse(0))
     lines.select((0 until n).map(i => fields.getItem(i).as(s"c$i")): _*)
   }
 

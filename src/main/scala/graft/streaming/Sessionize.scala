@@ -4,11 +4,17 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming-native stateful sessionization via
-  * `mapGroupsWithState` — per-user session state with event-time
-  * timeout. The batch-declarative equivalent lives in
-  * [[EventStream.sessionize]]; this is the incremental form a live
-  * stream would run (state size = one open session per active user,
-  * bounded by the timeout — the property that matters at fleet scale).
+  * `flatMapGroupsWithState` — one open-session state per user. The
+  * batch-declarative equivalent lives in [[EventStream.sessionize]];
+  * this is the incremental form a live stream runs.
+  *
+  * State sizing: one `SessionState` per EVER-SEEN user under
+  * `NoTimeout` (fine for the bounded harness data and the batch
+  * parity spec). A production deployment adds
+  * `GroupStateTimeout.EventTimeTimeout` + `setTimeoutTimestamp(last +
+  * gap)` so idle users' sessions are closed and evicted by the
+  * watermark — same `updateSessions` fold, plus an `if
+  * (state.hasTimedOut)` flush branch.
   */
 object Sessionize {
 

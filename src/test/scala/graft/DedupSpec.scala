@@ -46,6 +46,7 @@ class DedupSpec extends SparkSpec {
       (ida, ha) <- all; (idb, hb) <- all
       if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= 3
     } yield (ida, idb)).toSet
+    assert(truth.nonEmpty, "test data must contain hamming<=3 pairs")
     assert(blocked == truth, s"missed=${truth -- blocked} spurious=${blocked -- truth}")
   }
 
