@@ -31,6 +31,18 @@ object Events {
         .orderBy($"user_id", $"session_id")
     },
 
+    // Stream-stream join semantics (clicks × purchases within 1 hour,
+    // per user), evaluated in batch; StreamingSpec runs it as a true
+    // watermarked stream-stream join and asserts equality.
+    "q56_interval_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      EventStream.clickPurchaseJoin(
+          ev.filter($"event_type" === "click"),
+          ev.filter($"event_type" === "purchase"))
+        .orderBy($"click_id", $"purchase_ms")
+    },
+
     // JSON property extraction from the props column.
     "q52_json_extract" -> { (s, dir) =>
       import s.implicits._
@@ -71,6 +83,20 @@ object Events {
         |FROM g
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q56_interval_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS purchase_ts, value AS purchase_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT click_id, c.user_id,
+        |  epoch_ms(click_ts) AS click_ms,
+        |  epoch_ms(purchase_ts) AS purchase_ms,
+        |  purchase_value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND purchase_ts <= click_ts
+        |  AND purchase_ts >= click_ts - INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_ms""".stripMargin,
 
     "q52_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,

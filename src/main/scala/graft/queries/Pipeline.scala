@@ -161,6 +161,20 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // Array/list function suite: distinct, intersect-with-literal,
+    // slice + join — over token arrays.
+    "q59_array_funcs" -> { (s, dir) =>
+      import s.implicits._
+      val tok = split($"text", " ")
+      val stop = array(Stopwords.map(s => lit(s)): _*)
+      Tables(s, dir).documents.select(
+          $"doc_id",
+          size(array_distinct(tok)).cast("long").as("n_distinct"),
+          size(array_intersect(array_distinct(tok), stop)).cast("long").as("n_stop_kinds"),
+          array_join(slice(tok, 1, 3), " ").as("first3"))
+        .orderBy($"doc_id")
+    },
+
     // Rolling-hash document fingerprint (order-sensitive content hash).
     "q40_text_fingerprint" -> { (s, dir) =>
       import s.implicits._
@@ -294,6 +308,15 @@ object Pipeline {
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
         | CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q59_array_funcs" ->
+      """SELECT doc_id,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        | CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |   ['the','a','of','and','to','in'])) AS BIGINT) AS n_stop_kinds,
+        | array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first3
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 

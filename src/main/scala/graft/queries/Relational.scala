@@ -315,6 +315,31 @@ object Relational {
         .orderBy($"l_returnflag")
     },
 
+    // Multiset set ops: EXCEPT ALL / INTERSECT ALL (duplicate-
+    // preserving, unlike q13's distinct set semantics).
+    "q57_setops_all" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables(s, dir).orders
+      val low = o.filter($"o_orderpriority" === "5-LOW").select($"o_custkey".as("custkey"))
+      val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey".as("custkey"))
+      low.exceptAll(urgent).withColumn("op", lit("except_all"))
+        .unionByName(low.intersectAll(urgent).withColumn("op", lit("intersect_all")))
+        .groupBy($"op", $"custkey").agg(count(lit(1)).as("n"))
+        .orderBy($"op", $"custkey")
+    },
+
+    // UNPIVOT / melt: wide metric columns to (metric, value) rows.
+    "q58_unpivot" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .filter($"l_orderkey" < 100)
+        .unpivot(
+          Array($"l_orderkey", $"l_linenumber"),
+          Array($"l_quantity", $"l_discount", $"l_tax"),
+          "metric", "value")
+        .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+    },
+
     // Pivot (wide conditional aggregation) with exact decimal sums.
     "q53_pivot" -> { (s, dir) =>
       import s.implicits._
@@ -543,6 +568,30 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q57_setops_all" ->
+      """WITH low AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'),
+        |urgent AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |ea AS (SELECT custkey FROM low EXCEPT ALL SELECT custkey FROM urgent),
+        |ia AS (SELECT custkey FROM low INTERSECT ALL SELECT custkey FROM urgent)
+        |SELECT op, custkey, count(*) AS n FROM (
+        |  SELECT 'except_all' AS op, custkey FROM ea
+        |  UNION ALL
+        |  SELECT 'intersect_all' AS op, custkey FROM ia)
+        |GROUP BY op, custkey
+        |ORDER BY op, custkey""".stripMargin,
+
+    "q58_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+        |  FROM lineitem WHERE l_orderkey < 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey < 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |  FROM lineitem WHERE l_orderkey < 100)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "q53_pivot" ->
       """SELECT o_orderpriority,

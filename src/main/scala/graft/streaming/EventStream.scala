@@ -25,6 +25,30 @@ object EventStream {
         col("event_type"), col("n"), col("total"))
   }
 
+  /** Stream-stream join: each click joined to same-user purchases in
+    * the preceding hour. On streams, the watermarks + the time-range
+    * predicate bound both join-state buffers (rows older than
+    * click-watermark − 1h are evicted) — the property that keeps a
+    * stream-stream join running indefinitely. Same code path works in
+    * batch (the spec proves stream == batch).
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      withWatermark: Boolean = false): DataFrame = {
+    val c = (if (withWatermark) clicks.withWatermark("ts", "1 hour") else clicks)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = (if (withWatermark) purchases.withWatermark("ts", "2 hours") else purchases)
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"),
+        unix_millis(col("click_ts")).as("click_ms"),
+        unix_millis(col("purchase_ts")).as("purchase_ms"),
+        col("purchase_value"))
+  }
+
   /** Gap-based sessionization (30-minute inactivity): classic
     * lag + cumulative-flag windows over per-user event time. The
     * streaming-native equivalent uses mapGroupsWithState (see

@@ -51,6 +51,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    import spark.implicits._
+    val dir = eventsDir
+    val batch = spark.read.parquet(dir)
+    val expected = EventStream.clickPurchaseJoin(
+        batch.filter($"event_type" === "click"),
+        batch.filter($"event_type" === "purchase"))
+      .collect().map(_.toSeq).toSet
+
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = EventStream.clickPurchaseJoin(
+        stream.filter($"event_type" === "click"),
+        stream.filter($"event_type" === "purchase"),
+        withWatermark = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val got = spark.table("ssj_out").collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("watermark drops late events in append mode across micro-batches") {
     import spark.implicits._
     import java.sql.Timestamp
