@@ -315,6 +315,65 @@ object Relational {
         .orderBy($"l_returnflag")
     },
 
+    // String + conditional scalar function suite.
+    "q60_string_functions" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).customer
+        .filter($"c_custkey" < 100)
+        .select(
+          $"c_custkey",
+          upper($"c_mktsegment").as("seg_upper"),
+          lower($"c_name").as("name_lower"),
+          trim(concat(lit("  "), $"c_name", lit("  "))).as("trimmed"),
+          substring($"c_name", 1, 8).as("name_prefix"),
+          instr($"c_name", "#").cast("long").as("hash_pos"),
+          reverse($"c_name").as("name_rev"),
+          repeat($"c_mktsegment", 2).as("seg_twice"),
+          lpad($"c_custkey".cast("string"), 6, "0").as("key_padded"),
+          coalesce(nullif($"c_mktsegment", lit("BUILDING")), lit("__building__")).as("seg_nn"),
+          greatest($"c_acctbal", lit(0.0)).as("bal_floor"),
+          least($"c_acctbal", lit(5000.0)).as("bal_cap"))
+        .orderBy($"c_custkey")
+    },
+
+    // Math function suite (transcendentals rounded: Spark's
+    // java.lang.Math and the oracle's libm may differ in the last ulp).
+    "q61_math_functions" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .filter($"l_orderkey" < 50)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          abs($"l_discount" - 0.05).as("abs_v"),
+          ceil($"l_extendedprice").cast("long").as("ceil_v"),
+          floor($"l_extendedprice").cast("long").as("floor_v"),
+          sqrt($"l_quantity").as("sqrt_v"),
+          round(pow($"l_quantity", 2), 6).as("pow2_v"),
+          round(log($"l_extendedprice"), 6).as("ln_v"),
+          round(exp($"l_discount"), 6).as("exp_v"),
+          pmod($"l_orderkey", lit(7)).cast("long").as("mod_v"),
+          sign($"l_discount" - 0.05).as("sign_v"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    // The SQL text surface: spark.sql over registered views with a
+    // CTE + join + window — the way the reference's consumers write
+    // queries.
+    "q62_sql_surface" -> { (s, dir) =>
+      Tables(s, dir).registerAll()
+      s.sql(
+        """WITH revenue AS (
+          |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |  FROM orders GROUP BY o_custkey),
+          |ranked AS (
+          |  SELECT c_mktsegment, c_custkey, total,
+          |    CAST(rank() OVER (PARTITION BY c_mktsegment ORDER BY total DESC, c_custkey) AS BIGINT) AS rnk
+          |  FROM customer JOIN revenue ON c_custkey = o_custkey)
+          |SELECT c_mktsegment, c_custkey, total, rnk
+          |FROM ranked WHERE rnk <= 3
+          |ORDER BY c_mktsegment, rnk""".stripMargin)
+    },
+
     // Multiset set ops: EXCEPT ALL / INTERSECT ALL (duplicate-
     // preserving, unlike q13's distinct set semantics).
     "q57_setops_all" -> { (s, dir) =>
@@ -568,6 +627,50 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q60_string_functions" ->
+      """SELECT c_custkey,
+        | upper(c_mktsegment) AS seg_upper,
+        | lower(c_name) AS name_lower,
+        | trim('  ' || c_name || '  ') AS trimmed,
+        | substr(c_name, 1, 8) AS name_prefix,
+        | CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
+        | reverse(c_name) AS name_rev,
+        | repeat(c_mktsegment, 2) AS seg_twice,
+        | lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key_padded,
+        | coalesce(nullif(c_mktsegment, 'BUILDING'), '__building__') AS seg_nn,
+        | greatest(c_acctbal, 0.0) AS bal_floor,
+        | least(c_acctbal, 5000.0) AS bal_cap
+        |FROM customer
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q61_math_functions" ->
+      """SELECT l_orderkey, l_linenumber,
+        | abs(l_discount - 0.05) AS abs_v,
+        | CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_v,
+        | CAST(floor(l_extendedprice) AS BIGINT) AS floor_v,
+        | sqrt(l_quantity) AS sqrt_v,
+        | round(pow(l_quantity, 2), 6) AS pow2_v,
+        | round(ln(l_extendedprice), 6) AS ln_v,
+        | round(exp(l_discount), 6) AS exp_v,
+        | CAST(l_orderkey % 7 AS BIGINT) AS mod_v,
+        | CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_v
+        |FROM lineitem
+        |WHERE l_orderkey < 50
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q62_sql_surface" ->
+      """WITH revenue AS (
+        |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT c_mktsegment, c_custkey, total,
+        |    CAST(rank() OVER (PARTITION BY c_mktsegment ORDER BY total DESC, c_custkey) AS BIGINT) AS rnk
+        |  FROM customer JOIN revenue ON c_custkey = o_custkey)
+        |SELECT c_mktsegment, c_custkey, total, rnk
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY c_mktsegment, rnk""".stripMargin,
 
     "q57_setops_all" ->
       """WITH low AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'),
