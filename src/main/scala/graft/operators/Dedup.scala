@@ -87,14 +87,34 @@ object Dedup {
     * shingle → sign → band → candidate → exact jaccard filter.
     * Output equals [[ngramJaccardPairs]] up to the (negligible) LSH
     * miss probability, at a fraction of the join cost on large n.
+    *
+    * `maxDocFreq` (the hot-bucket knob from SCALE.md): shingles
+    * appearing in more than that many docs are excluded from
+    * SIGNATURES only — ultra-common shingles (boilerplate, stopword
+    * runs) otherwise glue unrelated docs into the same band buckets
+    * and quadratically blow up candidate counts at corpus scale.
+    * Verification still uses the full shingle sets, so emitted pairs
+    * keep their exact jaccard; only candidate recall depends on the
+    * rare-shingle overlap (near-dups share mostly rare shingles).
     */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, k: Int = 128, bands: Int = 32): DataFrame = {
+      n: Int, threshold: Double, k: Int = 128, bands: Int = 32,
+      maxDocFreq: Option[Int] = None): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
-    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+    val sigs = maxDocFreq match {
+      case None =>
+        minhashSignatures(df, idCol, textCol, n, k)
+      case Some(cap) =>
+        // signatures over the rare-shingle subset only
+        val rare = sh.groupBy($"h").agg(count(lit(1)).as("df_"))
+          .filter($"df_" <= cap).select($"h")
+        sh.join(rare, "h")
+          .groupBy($"doc").agg(collect_list($"h").as("hs"))
+          .select($"doc", graft.functions.MinHashSig.minhash_sig($"hs", k).as("sig"))
+    }
     val cands = lshCandidates(sigs, bands, k / bands)
     val sizes = sh.groupBy($"doc").agg(count(lit(1)).as("sz"))
-    // exact verify on candidates only
+    // exact verify on candidates only — always over the FULL shingle sets
     val inter = cands
       .join(sh.as("x"), $"a" === col("x.doc"))
       .join(sh.as("y"), $"b" === col("y.doc") && col("x.h") === col("y.h"))

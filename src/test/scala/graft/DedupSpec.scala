@@ -16,6 +16,17 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"missed=${exact -- lsh} spurious=${lsh -- exact}")
   }
 
+  test("frequency-capped minhash still finds all near-dup pairs here") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 0.8,
+        maxDocFreq = Some(100))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-dups share mostly rare shingles, so a generous cap keeps
+    // full recall while pruning the hot buckets
+    assert(capped == exact, s"missed=${exact -- capped} spurious=${capped -- exact}")
+  }
+
   test("jaccard values are in (0,1] and pairs are ordered a<b") {
     Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8).collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
