@@ -315,6 +315,24 @@ object Relational {
         .orderBy($"l_returnflag")
     },
 
+    // Calendar generation + gap-filling: a generated month dimension
+    // left-joined to order counts — months with no orders surface as
+    // zeros instead of silently missing (sequence/explode = the
+    // generate_series pattern).
+    "q63_calendar_gapfill" -> { (s, dir) =>
+      import s.implicits._
+      val months = s.range(1).select(explode(sequence(
+          lit(java.sql.Date.valueOf("1995-01-01")),
+          lit(java.sql.Date.valueOf("2001-12-01")),
+          expr("INTERVAL 1 MONTH"))).as("month_start"))
+      val counts = Tables(s, dir).orders
+        .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month_start"))
+        .agg(count(lit(1)).as("n_orders"))
+      months.join(counts, Seq("month_start"), "left")
+        .select($"month_start", coalesce($"n_orders", lit(0L)).as("n_orders"))
+        .orderBy($"month_start")
+    },
+
     // String + conditional scalar function suite.
     "q60_string_functions" -> { (s, dir) =>
       import s.implicits._
@@ -627,6 +645,18 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q63_calendar_gapfill" ->
+      """WITH months AS (
+        |  SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2001-12-01',
+        |    INTERVAL 1 MONTH)) AS DATE) AS month_start),
+        |counts AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT m.month_start, coalesce(c.n_orders, 0) AS n_orders
+        |FROM months m LEFT JOIN counts c ON m.month_start = c.month_start
+        |ORDER BY m.month_start""".stripMargin,
 
     "q60_string_functions" ->
       """SELECT c_custkey,
