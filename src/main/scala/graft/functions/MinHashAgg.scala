@@ -30,17 +30,24 @@ case class MinHashAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
+  require(k > 0, "signature size k must be positive")
+
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true // empty groups yield NULL, not a sentinel
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // slot k is an element counter: an empty group (no shingles at all)
+  // must evaluate to NULL — an all-MaxValue sentinel would estimate
+  // jaccard 1.0 between two unrelated empty groups.
   override def createAggregationBuffer(): Array[Long] =
-    Array.fill(k)(Long.MaxValue)
+    Array.fill(k)(Long.MaxValue) :+ 0L
 
   override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val hs = v.asInstanceOf[ArrayData]
+      // same family/min fold as Mix64.minInto, restricted to the first
+      // k slots (slot k is the element counter)
       var j = 0
       while (j < hs.numElements()) {
         val h = hs.getLong(j)
@@ -52,6 +59,7 @@ case class MinHashAgg(
         }
         j += 1
       }
+      buf(k) += hs.numElements()
     }
     buf
   }
@@ -59,20 +67,22 @@ case class MinHashAgg(
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
     while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a(k) += b(k)
     a
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Long]): Any =
+    if (buf(k) == 0L) null else new GenericArrayData(buf.take(k))
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(k * 8)
+    val bb = java.nio.ByteBuffer.allocate((k + 1) * 8)
     buf.foreach(bb.putLong)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    Array.fill(k)(bb.getLong())
+    Array.fill(k + 1)(bb.getLong())
   }
 
   override def withNewMutableAggBufferOffset(o: Int): MinHashAgg =
@@ -88,8 +98,11 @@ object MinHashAgg {
     column(MinHashAgg(expression(elementHashes), k).toAggregateExpression())
 
   /** Estimated Jaccard between two group signatures = fraction of
-    * matching slots.
+    * matching slots. Signatures must come from the same k.
     */
-  def estimatedJaccard(a: Array[Long], b: Array[Long]): Double =
+  def estimatedJaccard(a: Array[Long], b: Array[Long]): Double = {
+    require(a.length == b.length && a.nonEmpty,
+      s"signature lengths differ or empty: ${a.length} vs ${b.length}")
     a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+  }
 }

@@ -120,6 +120,20 @@ object Mix64 {
   }
   /** i-th hash-family member applied to h. */
   def family(i: Int, h: Long): Long = mix(h + i * Gamma)
+
+  /** Fold one element hash into a k-slot elementwise-min signature
+    * buffer — shared by the per-row [[MinHashSig]] expression and the
+    * [[MinHashAgg]] aggregate so per-doc and group signatures stay
+    * bit-comparable.
+    */
+  def minInto(buf: Array[Long], h: Long): Unit = {
+    var i = 0
+    while (i < buf.length) {
+      val m = family(i, h)
+      if (m < buf(i)) buf(i) = m
+      i += 1
+    }
+  }
 }
 
 /** MinHash signature of a shingle-hash set in one pass: element i is
@@ -138,13 +152,7 @@ case class MinHashSig(child: Expression, k: Int)
     val out = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val h = hs.getLong(j)
-      var i = 0
-      while (i < k) {
-        val m = Mix64.family(i, h)
-        if (m < out(i)) out(i) = m
-        i += 1
-      }
+      Mix64.minInto(out, hs.getLong(j))
       j += 1
     }
     new GenericArrayData(out)

@@ -37,19 +37,26 @@ object AsOfJoin {
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val payloadStruct = struct(payload.map(col): _*)
-    val l = left
+    // SQL join semantics: a NULL key or NULL timestamp never matches
+    // (Window.partitionBy would happily group NULL keys together and
+    // nulls-first ordering would leak a NULL-ts right row's payload) —
+    // filter both sides up front; inner semantics drop such left rows.
+    val notNull = col(key).isNotNull && col(tsCol).isNotNull
+    val l = left.filter(notNull)
       .withColumn("_side", lit(1))
       .select(leftCols.map(col) :+ col("_side") :+
         lit(null).cast(right.select(payloadStruct).schema.head.dataType).as("_p"): _*)
-    val r = right
+    val r = right.filter(notNull)
       .withColumn("_side", lit(0))
       .select(leftCols.map(c =>
         if (c == key || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) :+ col("_side") :+
         payloadStruct.as("_p"): _*)
     val unioned = l.unionByName(r)
+    // `_p` as the final sort key makes the pick among right rows that
+    // share (key, ts) deterministic across partitionings/reruns
     val w = Window.partitionBy(col(key))
-      .orderBy(col(tsCol), col("_side"))
+      .orderBy(col(tsCol), col("_side"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("_f", last(col("_p"), ignoreNulls = true).over(w))

@@ -24,9 +24,16 @@ object RangeJoin {
   def byBinning(points: DataFrame, intervals: DataFrame, pointCol: String,
       lo: String, hi: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val p = points.withColumn("_bin", floor(col(pointCol) / binWidth))
+    // floored INTEGER bin division: Spark's `/` on longs is double
+    // division, which misbins values above 2^53 (e.g. nanosecond
+    // epochs); (x - pmod(x, w)) div w stays in long arithmetic at any
+    // magnitude and floors negatives correctly (pmod is the
+    // non-negative remainder).
+    def bin(name: String): Column =
+      expr(s"(`$name` - pmod(`$name`, ${binWidth}L)) div ${binWidth}L")
+    val p = points.withColumn("_bin", bin(pointCol))
     val i = intervals.withColumn("_bin",
-      explode(sequence(floor(col(lo) / binWidth), floor(col(hi) / binWidth))))
+      explode(sequence(bin(lo), bin(hi))))
     p.join(i, Seq("_bin"))
       .filter(col(pointCol) >= col(lo) && col(pointCol) <= col(hi))
       .drop("_bin")

@@ -110,7 +110,7 @@ object Etl {
     "q27_text_source_decode" -> { (s, dir) =>
       import s.implicits._
       val sup = Tables(s, dir).supplier
-      val outDir = s"/tmp/graft_textsrc_${math.abs(dir.hashCode)}"
+      val outDir = s"/tmp/graft_textsrc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       sup.select(concat_ws("|", $"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
           .as("value"))
         .coalesce(1).write.mode("overwrite").text(outDir)
@@ -126,7 +126,7 @@ object Etl {
     // oracle recomputes the same checksum from the parquet source.
     "q28_orc_scan_parity" -> { (s, dir) =>
       import s.implicits._
-      val outDir = s"/tmp/graft_orcsrc_${math.abs(dir.hashCode)}"
+      val outDir = s"/tmp/graft_orcsrc_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       Tables(s, dir).lineitem.write.mode("overwrite").orc(outDir)
       val parity = graft.sources.Readers.readOrc(s, outDir, parityMode = true)
       parity.groupBy($"l_returnflag")

@@ -15,7 +15,7 @@ final class PartitionedSink(spark: SparkSession) {
   /** Create the partitioned target if missing (schema from `like`). */
   def ensureTarget(table: String, like: DataFrame, partitionCol: String): Unit = {
     val cols = like.schema.fields
-      .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
     spark.sql(
       s"CREATE TABLE IF NOT EXISTS $table ($cols) USING parquet PARTITIONED BY ($partitionCol)")
   }

@@ -15,7 +15,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object StreamingLoad {
 
   def ensureTarget(spark: SparkSession, table: String, like: DataFrame): Unit = {
-    val cols = like.schema.fields.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+    val cols = like.schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
     spark.sql(
       s"CREATE TABLE IF NOT EXISTS $table ($cols, _batch_id BIGINT) " +
         "USING parquet PARTITIONED BY (_batch_id)")
@@ -23,6 +24,15 @@ object StreamingLoad {
 
   /** Start an effectively-once streaming load of `stream` into
     * `table`. Caller awaits/stops the returned query.
+    *
+    * Two correctness subtleties inside foreachBatch:
+    * - the batch frame is bound to the stream's CLONED session (conf
+    *   snapshotted at start()), so the dynamic-overwrite mode must be
+    *   set on `batch.sparkSession` — setting it on the outer session
+    *   would leave the clone in static mode, and each batch's
+    *   overwrite would truncate every other batch's partition;
+    * - `insertInto` resolves by POSITION, so columns are aligned to
+    *   the target table's order explicitly.
     */
   def start(spark: SparkSession, stream: DataFrame, table: String,
       checkpoint: String): StreamingQuery =
@@ -30,8 +40,11 @@ object StreamingLoad {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val s = batch.sparkSession
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val targetCols = s.table(table).columns
         batch.withColumn("_batch_id", lit(batchId))
+          .select(targetCols.map(col).toIndexedSeq: _*)
           .write.mode("overwrite").insertInto(table)
       }
       .start()

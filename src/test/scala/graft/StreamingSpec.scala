@@ -135,24 +135,46 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming load via foreachBatch is effectively-once (batch replay idempotent)") {
     import graft.streaming.StreamingLoad
-    val dir = eventsDir
-    val src = spark.read.parquet(dir)
+    import java.nio.file.{Files => JFiles, Paths}
+    // stage events as MULTIPLE flat files and force one file per
+    // micro-batch: a regression here (e.g. the dynamic-overwrite conf
+    // landing on the wrong session) makes later batches truncate
+    // earlier ones, which a single-batch test cannot see
+    val srcDir = eventsDir
+    val dir = JFiles.createTempDirectory("graft-sload").toString
+    val src = spark.read.parquet(srcDir)
+    src.repartition(3).write.mode("overwrite").parquet(dir)
+    val dataFiles = JFiles.list(Paths.get(dir)).toArray
+      .map(_.toString).count(_.endsWith(".parquet"))
+    assert(dataFiles >= 2, s"need multiple files, got $dataFiles")
     val wh = java.nio.file.Files.createTempDirectory("graft-swh").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS streamdb LOCATION '$wh'")
     spark.sql("DROP TABLE IF EXISTS streamdb.loaded")
     StreamingLoad.ensureTarget(spark, "streamdb.loaded", src)
-    val stream = spark.readStream.schema(src.schema).parquet(dir)
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
     val q = StreamingLoad.start(spark, stream, "streamdb.loaded", ckpt)
-    q.awaitTermination(120000)
+    q.awaitTermination(180000)
     val n = src.count()
-    assert(spark.table("streamdb.loaded").count() == n)
-    // replay batch 0 manually (simulated failure re-delivery): dynamic
-    // overwrite of its partition must not duplicate rows
+    val batches = spark.table("streamdb.loaded")
+      .select("_batch_id").distinct().count()
+    assert(spark.table("streamdb.loaded").count() == n,
+      s"all batches' rows must survive (saw $batches batch partitions)")
+    // replay batch 0 manually (simulated failure re-delivery of the
+    // SAME batch content): dynamic overwrite of its partition must
+    // leave the table unchanged — no duplication, no truncation
+    import org.apache.spark.sql.functions.col
+    val batch0 = spark.table("streamdb.loaded")
+      .filter(col("_batch_id") === 0L).drop("_batch_id").cache()
+    batch0.count()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    src.withColumn("_batch_id", org.apache.spark.sql.functions.lit(0L))
+    batch0.withColumn("_batch_id", org.apache.spark.sql.functions.lit(0L))
+      .select(spark.table("streamdb.loaded").columns.map(col).toIndexedSeq: _*)
       .write.mode("overwrite").insertInto("streamdb.loaded")
     assert(spark.table("streamdb.loaded").count() == n)
+    assert(spark.table("streamdb.loaded")
+      .select("_batch_id").distinct().count() == batches)
   }
 
   test("multimodal feature extraction matches the column-level formula") {
