@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Murmur3 {
   private final val C1 = 0x87c37b91114253d5L
-  private final val C2 = 0x4cf5ab2ed38fc276L
+  private final val C2 = 0x4cf5ad432745937fL
 
   private def fmix64(k0: Long): Long = {
     var k = k0

@@ -3,38 +3,36 @@ package graft
 import graft.functions.{Murmur3, Murmur3ShardCode}
 
 /** Pins the Scala murmur3_128 port against the public MurmurHash3
-  * x64_128 specification (Austin Appleby's reference implementation),
+  * x64_128 specification (Austin Appleby's reference implementation,
+  * canonical constants C1=0x87c37b91114253d5, C2=0x4cf5ad432745937f),
   * over UTF-16LE code units — the byte stream guava's
   * `hashUnencodedChars` feeds it, which is what the reference loader
   * shards with (`AbstractClickhouseLoaderMapper.java:60,277`).
   *
-  * Vectors below were generated from an independent implementation of
-  * the published algorithm (canonical constants C1=0x87c37b91114253d5,
-  * C2=0x4cf5ab2ed38fc276).
-  *
-  * NOTE: the guava jar bundled in this environment's /opt/spark/jars is
-  * NOT upstream guava — its murmur3 C2 constant is patched
-  * (0x4cf5ad432745937f instead of the canonical 0x4cf5ab2ed38fc276),
-  * so its output diverges from every published murmur3_128
-  * implementation. We pin to the public algorithm, which is what the
-  * reference's real guava dependency implements.
+  * Two layers of defense against constant drift:
+  *   1. hard-coded vectors generated from the bundled guava
+  *      (`Hashing.murmur3_128().hashUnencodedChars`) — byte-for-byte
+  *      the function the reference calls;
+  *   2. a runtime test that calls that same guava directly, so the
+  *      vectors themselves can never go stale or be regenerated from
+  *      a buggy implementation.
   */
 class Murmur3Spec extends SparkSpec {
 
-  // (input, h1, h2, asInt) — canonical murmur3 x64_128 of UTF-16LE bytes
+  // (input, h1, h2, asInt) — guava Hashing.murmur3_128().hashUnencodedChars
   private val vectors = Seq(
     ("", 0L, 0L, 0),
-    ("a", 7626985794003536183L, -1980032586341385537L, -1903687369),
-    ("ab", -8526879317918501070L, 342624877745637138L, 215463730),
-    ("abc", 4778508168494177520L, -4053725839916102837L, -1822040848),
-    ("abcdefgh", -6160016754389939383L, -868597978211821040L, 673319753),
-    ("0123456789abcdefX", 90926404558651131L, -8171244916058444352L, 1282146043),
-    ("20170107", -3929746374746999702L, -1685352003017003444L, 735278186),
-    ("弹幕", 5413024244273921163L, 4954262442346275969L, -393855861),
-    ("h_did_8827361", -5326696820569225613L, 8037328283037957643L, -1211840909),
-    ("2017-04-16|pc|弹幕", -7161063957735147875L, -49114270032026518L, 2035807901))
+    ("a", -7591212652331886403L, -5586493512232966275L, 189700285),
+    ("ab", 2259427178515664481L, -7832054662500177126L, 1128926817),
+    ("abc", 875283225144872419L, 8606773463222247467L, -1331802653),
+    ("abcdefgh", 2883330415088479922L, -6723333879855918598L, 1768795826),
+    ("0123456789abcdefX", -6881853070895694314L, -926156050482866659L, -120275434),
+    ("20170107", -1638121449955091098L, 28425652189000631L, 1819975014),
+    ("弹幕", 27352908220324639L, -7503138805396733399L, 973855519),
+    ("h_did_8827361", 7660617794748933696L, -5522140715299786363L, -267655616),
+    ("2017-04-16|pc|弹幕", -6252998218086935156L, -3296256136498764027L, 499586444))
 
-  test("128-bit output matches the canonical murmur3 x64_128 spec") {
+  test("128-bit output matches guava murmur3_128 hashUnencodedChars vectors") {
     vectors.foreach { case (s, h1, h2, _) =>
       assert(Murmur3.hashUnencodedChars(s) == ((h1, h2)), s"mismatch on '$s'")
     }
@@ -46,10 +44,26 @@ class Murmur3Spec extends SparkSpec {
     }
   }
 
+  test("runtime parity with the bundled guava on random strings") {
+    import com.google.common.hash.Hashing
+    val rnd = new scala.util.Random(7)
+    val samples = vectors.map(_._1) ++ (0 until 500).map { _ =>
+      new String(Array.fill(rnd.nextInt(60))(rnd.nextInt(Char.MaxValue).toChar))
+    }
+    samples.foreach { s =>
+      val hc = Hashing.murmur3_128().hashUnencodedChars(s)
+      val bb = java.nio.ByteBuffer.wrap(hc.asBytes())
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val expected = (bb.getLong(), bb.getLong())
+      assert(Murmur3.hashUnencodedChars(s) == expected, s"guava mismatch on '$s'")
+      assert(Murmur3.hashStringAsInt(s) == hc.asInt(), s"asInt mismatch on '$s'")
+    }
+  }
+
   test("reference sharding vector: (asInt & MaxInt) % 3 for \"20170107\"") {
     // ShardingTest.java:19-21 documents the sharding function shape
-    assert(Murmur3.shardCode("20170107") == (735278186 & Int.MaxValue))
-    assert(Murmur3.shardCode("20170107") % 3 == 2)
+    assert(Murmur3.shardCode("20170107") == (1819975014 & Int.MaxValue))
+    assert(Murmur3.shardCode("20170107") % 3 == 0)
   }
 
   test("shardCode is non-negative for adversarial inputs") {
