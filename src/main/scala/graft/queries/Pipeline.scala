@@ -99,15 +99,12 @@ object Pipeline {
     },
 
     // Embedding-cosine near-dup pairs above a threshold
-    // (quantized-exact → fully oracle-able).
+    // (quantized-exact → fully oracle-able; tiled block join, no
+    // BroadcastNestedLoopJoin — see Similarity.thresholdPairs).
     "q43_embedding_neardup" -> { (s, dir) =>
       import s.implicits._
       val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
-      val a = corpus.select($"vid".as("a"), $"qv".as("a_qv"), $"nrm".as("a_nrm"))
-      a.join(corpus, $"a" < $"vid")
-        .select($"a", $"vid".as("b"),
-          graft.functions.VectorFunctions.cosineQ($"a_qv", $"qv", $"a_nrm", $"nrm").as("cos"))
-        .filter($"cos" >= 0.4)
+      Similarity.thresholdPairs(corpus, threshold = 0.4)
         .orderBy($"a", $"b")
     },
 

@@ -27,6 +27,45 @@ class DedupSpec extends SparkSpec {
     assert(capped == exact, s"missed=${exact -- capped} spurious=${capped -- exact}")
   }
 
+  test("prefix-filtered exact path equals the naive all-shared-shingle join") {
+    import graft.syntax._
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3).cache()
+    val sizes = sh.groupBy($"doc").agg(count(lit(1)).as("sz"))
+    // naive ground truth: every shared shingle generates a pair row
+    val naive = sh.as("x").join(sh.as("y"),
+        col("x.h") === col("y.h") && col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sa"), "a")
+      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "sb"), "b")
+      .withColumn("jaccard", $"i".cast("double") / ($"sa" + $"sb" - $"i"))
+      .filter($"jaccard" >= 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefix = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    assert(prefix == naive, s"missed=${naive -- prefix} spurious=${prefix -- naive}")
+  }
+
+  test("prefix index caps hot-shingle bucket occupancy") {
+    import graft.syntax._
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3).cache()
+    val sizes = sh.groupBy($"doc").agg(count(lit(1)).as("sz"))
+    def maxOcc(ix: org.apache.spark.sql.DataFrame): Long =
+      ix.groupBy($"h").agg(count(lit(1)).as("n"))
+        .agg(max($"n")).collect()(0).getLong(0)
+    val rawMax = maxOcc(sh)
+    val prefMax = maxOcc(Dedup.prefixIndex(sh, sizes, 0.8))
+    // the hot-bucket join cost is occupancy², so this is the bound
+    // that keeps the exact path alive on stopword-heavy corpora
+    assert(prefMax * 2 <= rawMax,
+      s"prefix occupancy $prefMax should be well under raw max df $rawMax")
+    // and the index itself shrinks to ~the prefix fraction (1-t of each doc)
+    assert(ix_size(Dedup.prefixIndex(sh, sizes, 0.8)) * 3 <= ix_size(sh))
+  }
+
+  private def ix_size(df: org.apache.spark.sql.DataFrame): Long = df.count()
+
   test("jaccard values are in (0,1] and pairs are ordered a<b") {
     Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8).collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))

@@ -48,6 +48,16 @@ class PlanSpec extends SparkSpec {
     assert(pushed.contains("GreaterThan(l_shipdate,"), pushed)
   }
 
+  test("q34/q43 embedding joins are tiled equi-joins, not nested-loop") {
+    for (q <- Seq("q34_embedding_nn", "q43_embedding_neardup")) {
+      val p = plan(graft.queries.Pipeline.queries(q)(spark, sf))
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q must not plan a nested-loop pair join:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q must not plan a cartesian product:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the transform pipeline") {
     import graft.config.LoaderConfig
     import graft.operators.TransformStage
