@@ -60,4 +60,24 @@ object LoaderJob {
     val staged = plan(spark, cfg, target, shards).drop("wire_row", "shard")
     new StagedSink(spark).write(staged, cfg.table, jobId)
   }
+
+  /** Two-phase load through the DSv2 connector
+    * ([[graft.sinks.v2.StagedSource]]): per-task staging + job-level
+    * commit/abort are owned by the connector's `BatchWrite`, so task
+    * retries and job failure cleanup follow Spark's commit protocol
+    * instead of driver-side bookkeeping. `backend` = "memory" (tests)
+    * or "jdbc" (+ url/user/password options via `extraOptions`).
+    */
+  def runStagedV2(spark: SparkSession, cfg: LoaderConfig, target: TargetSchema,
+      shards: ShardSpec, backend: String,
+      extraOptions: Map[String, String] = Map.empty): Unit = {
+    val wire = plan(spark, cfg, target, shards).select("wire_row")
+    wire.write.format("graft-staged")
+      .option("target", cfg.table)
+      .option("backend", backend)
+      .option("batchsize", cfg.batchSize.toString)
+      .options(extraOptions)
+      .mode("append")
+      .save()
+  }
 }

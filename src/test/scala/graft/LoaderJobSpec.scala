@@ -76,6 +76,21 @@ class LoaderJobSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("temp_jobdb_tgt_job42"))
   }
 
+  test("staged load through the DSv2 connector lands wire rows in the backend") {
+    import graft.sinks.v2.InMemoryStagingStore
+    val dir = Files.createTempDirectory("graft-job3")
+    Files.writeString(dir.resolve("data.txt"), "1|a\n2|b\n3|\\N\n")
+    val cfg = Args.parse(Seq(
+      "--export-dir", dir.toString, "--table", "db.v2tgt",
+      "--dt", "2017-01-07", "--direct", "false"))
+    val target = TargetSchema.fromDDL("c0 STRING, c1 STRING, dt STRING")
+    InMemoryStagingStore.clear()
+    LoaderJob.runStagedV2(spark, cfg, target, ShardSpec(Seq(1)), "memory")
+    val rows = InMemoryStagingStore.targetRows("db.v2tgt").sorted
+    assert(rows == Seq("1\ta\t2017-01-07", "2\tb\t2017-01-07", "3\t\t2017-01-07"))
+    assert(InMemoryStagingStore.liveStagings.isEmpty)
+  }
+
   test("partitioned sink: dynamic overwrite is per-partition idempotent") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-wh3").toString

@@ -50,6 +50,57 @@ class SinkSpec extends SparkSpec {
     assert(sleeps.toSeq == Seq(200, 400, 800)) // 2^1, 2^2, 2^3 × 100ms
   }
 
+  test("V2 staged write commits all tasks' stagings and leaves none behind") {
+    import graft.sinks.v2.InMemoryStagingStore
+    InMemoryStagingStore.clear()
+    wireFrame(1050).repartition(3)
+      .write.format("graft-staged")
+      .option("target", "db.v2t")
+      .option("batchsize", "100")
+      .mode("append").save()
+    assert(InMemoryStagingStore.targetRows("db.v2t").size == 1050)
+    assert(InMemoryStagingStore.liveStagings.isEmpty,
+      s"stagings not cleaned: ${InMemoryStagingStore.liveStagings}")
+    // second append accumulates
+    wireFrame(50).write.format("graft-staged")
+      .option("target", "db.v2t").mode("append").save()
+    assert(InMemoryStagingStore.targetRows("db.v2t").size == 1100)
+  }
+
+  test("V2 staged write overwrite mode truncates the target atomically") {
+    import graft.sinks.v2.InMemoryStagingStore
+    InMemoryStagingStore.clear()
+    wireFrame(100).write.format("graft-staged")
+      .option("target", "db.v2o").mode("append").save()
+    wireFrame(7).write.format("graft-staged")
+      .option("target", "db.v2o").mode("overwrite").save()
+    assert(InMemoryStagingStore.targetRows("db.v2o").size == 7)
+    assert(InMemoryStagingStore.liveStagings.isEmpty)
+  }
+
+  test("V2 staged write abort leaves the target untouched and drops stagings") {
+    import graft.sinks.v2.InMemoryStagingStore
+    import spark.implicits._
+    InMemoryStagingStore.clear()
+    wireFrame(10).write.format("graft-staged")
+      .option("target", "db.v2a").mode("append").save()
+    val poison = udf((i: Int) =>
+      if (i == 666) throw new RuntimeException("poison row") else s"row-$i")
+    val bad = (1 to 1000).toDF("i")
+      .repartition(4)
+      .select(poison(col("i")).as("wire_row"))
+    intercept[Exception] {
+      bad.write.format("graft-staged")
+        .option("target", "db.v2a")
+        .option("batchsize", "10")
+        .mode("append").save()
+    }
+    assert(InMemoryStagingStore.targetRows("db.v2a").size == 10,
+      "aborted write must not change the committed target")
+    assert(InMemoryStagingStore.liveStagings.isEmpty,
+      s"abort must drop every staging: ${InMemoryStagingStore.liveStagings}")
+  }
+
   test("StagedSink commits via INSERT INTO … SELECT and drops the temp table") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
