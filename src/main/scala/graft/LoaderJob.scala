@@ -25,12 +25,31 @@ import org.apache.spark.sql.functions._
 object LoaderJob {
 
   /** Build the transform half (everything before the sink): returns
-    * the wire-row frame with a `shard` column. Pure plan — no actions.
+    * the wire-row frame with a `shard` column. Pure plan — no actions:
+    * the text source's field count is derived from the target schema
+    * (target width minus the appended dt/additional/hive-partition
+    * columns plus the excluded source fields), so no max-arity
+    * inference scan runs (op #19 analogue of the reference pulling the
+    * column count from `system.columns`).
     */
   def plan(spark: SparkSession, cfg: LoaderConfig, target: TargetSchema,
       shards: ShardSpec): DataFrame = {
-    val src = Readers.read(spark, cfg)
-    val excluded = TransformStage.excludeFields(src, cfg.excludeFields)
+    val hiveKeys =
+      if (cfg.extractHivePartitions)
+        // discover from a real file path — the export dir may be a
+        // glob (`…/pt=*`) whose own string hides partition keys
+        TransformStage.hivePartitionKeys(
+          Readers.sampleFilePath(spark, cfg.exportDir))
+      else Nil
+    val appended = (if (cfg.dt.nonEmpty) 1 else 0) +
+      cfg.additionalCols.size + hiveKeys.size
+    val srcFields = target.schema.length - appended + cfg.excludeFields.size
+    val src = Readers.read(spark, cfg, Some(srcFields).filter(_ > 0))
+    val withHive =
+      if (hiveKeys.nonEmpty)
+        TransformStage.appendHivePartitions(src, hiveKeys, input_file_name())
+      else src
+    val excluded = TransformStage.excludeFields(withHive, cfg.excludeFields)
     val wire = TransformStage.transform(excluded, cfg, target.stringCols)
     target.validate(wire.drop("wire_row"))
     val keyCol = target.shardingKey.getOrElse(wire.columns.head)
@@ -59,6 +78,33 @@ object LoaderJob {
       shards: ShardSpec, jobId: String): Unit = {
     val staged = plan(spark, cfg, target, shards).drop("wire_row", "shard")
     new StagedSink(spark).write(staged, cfg.table, jobId)
+  }
+
+  /** Daily-table load (`--daily true`, §3.3 — the reference's
+    * deprecated path, `ClickhouseHdfsLoader.java:125-140`): redirect
+    * the load into `<table>_yyyyMMdd` (created from the base table's
+    * schema; `--mode drop` recreates it empty), then merge-or-drop
+    * daily tables older than `--daily-expires` days
+    * (`OldDailyMergeTask.java:42-141`).
+    *
+    * Returns (dailyTable, expiredTables). Requires `cfg.daily` and a
+    * catalog-backed base table; the load itself goes through
+    * [[runStaged]] so commit/cleanup semantics match the two-phase
+    * path.
+    */
+  def runDaily(spark: SparkSession, cfg: LoaderConfig, target: TargetSchema,
+      shards: ShardSpec, jobId: String): (String, Seq[String]) = {
+    require(cfg.daily, "runDaily requires --daily true")
+    require(cfg.dt.nonEmpty, "--daily requires --dt")
+    val dtDate = java.time.LocalDate.parse(cfg.dt)
+    val daily = new graft.catalog.DailyTables(spark)
+    val dailyTable = daily.createDaily(cfg.table, dtDate,
+      dropFirst = cfg.mode == graft.config.LoadMode.Drop)
+    runStaged(spark, cfg.copy(table = dailyTable), target, shards, jobId)
+    val db = cfg.table.split('.').head
+    val expired = daily.mergeExpired(db, cfg.table, dtDate, cfg.dailyExpires,
+      merge = cfg.dailyExpiresProcess == graft.config.DailyExpiresProcess.Merge)
+    (dailyTable, expired)
   }
 
   /** Two-phase load through the DSv2 connector

@@ -7,6 +7,12 @@ package graft.config
   * Defaults match the reference's code defaults (not the README's).
   */
 final case class LoaderConfig(
+    // connection (not dialable in this environment; carried for parity)
+    connect: String = "",                        // --connect jdbc:clickhouse://…
+    driver: String = "",                         // --driver (JDBC class)
+    username: String = "",                       // --username
+    password: String = "",                       // --password
+    clickhouseHttpPort: Int = 8123,              // --clickhouse-http-port
     // source
     exportDir: String = "",
     inputFormat: InputFormat = InputFormat.Text,
@@ -28,12 +34,29 @@ final case class LoaderConfig(
     direct: Boolean = true,                      // --direct (false = 2-phase)
     batchSize: Int = 150000,                     // --batch-size
     maxTries: Int = 3,                           // --max-tries
+    numReduceTasks: Int = -1,                    // --num-reduce-tasks (-1 = auto)
     loaderTaskExecutor: Int = 1,                 // --loader-task-executor
-    mode: LoadMode = LoadMode.Append) {
+    mode: LoadMode = LoadMode.Append,
+    // daily-table lifecycle (deprecated in the reference, kept for parity)
+    daily: Boolean = false,                      // --daily
+    dailyExpires: Int = 3,                       // --daily-expires (days kept)
+    dailyExpiresProcess: DailyExpiresProcess =   // --daily-expires-process
+      DailyExpiresProcess.Merge) {
 
   require(batchSize > 0, "batchSize must be positive")
   require(maxTries >= 1, "maxTries must be >= 1")
   require(excludeFields.forall(_ >= 0), "excludeFields are 0-based indexes")
+  require(dailyExpires >= 0, "dailyExpires must be >= 0")
+}
+
+/** Expired-daily-table handling (`--daily-expires-process`,
+  * `ConfigurationOptions.DailyExpiresProcess`): merge into the base
+  * table then drop, or just drop.
+  */
+sealed trait DailyExpiresProcess
+object DailyExpiresProcess {
+  case object Merge extends DailyExpiresProcess
+  case object Drop extends DailyExpiresProcess
 }
 
 sealed trait InputFormat
@@ -44,12 +67,45 @@ object InputFormat {
 }
 
 /** ClickHouse wire formats the reference can emit
-  * (`config/ConfigurationOptions.java:47-71`).
+  * (`config/ConfigurationOptions.java:47-71`): the TSV family
+  * separates with `\t`, the CSV family with `,`; the `WithNames`
+  * variants prefix each insert payload with a column-name header row,
+  * `WithNamesAndTypes` adds a second row of column types, and
+  * `TabSeparatedRaw` is TSV with server-side escaping disabled (the
+  * loader's own sanitization is format-independent, so client-side it
+  * differs only in the FORMAT name sent).
   */
-sealed abstract class WireFormat(val separator: String)
+sealed abstract class WireFormat(
+    val name: String,
+    val separator: String,
+    val withNames: Boolean = false,
+    val withTypes: Boolean = false) {
+
+  /** Header lines this FORMAT requires ahead of the data rows of every
+    * insert payload.
+    */
+  def headerLines(columns: Seq[String], types: Seq[String]): Seq[String] =
+    (if (withNames) Seq(columns.mkString(separator)) else Nil) ++
+      (if (withTypes) Seq(types.mkString(separator)) else Nil)
+}
+
 object WireFormat {
-  case object TabSeparated extends WireFormat("\t")
-  case object CSV extends WireFormat(",")
+  case object TabSeparated extends WireFormat("TabSeparated", "\t")
+  case object TabSeparatedWithNames
+    extends WireFormat("TabSeparatedWithNames", "\t", withNames = true)
+  case object TabSeparatedWithNamesAndTypes
+    extends WireFormat("TabSeparatedWithNamesAndTypes", "\t",
+      withNames = true, withTypes = true)
+  case object TabSeparatedRaw extends WireFormat("TabSeparatedRaw", "\t")
+  case object CSV extends WireFormat("CSV", ",")
+  case object CSVWithNames extends WireFormat("CSVWithNames", ",", withNames = true)
+
+  val All: Seq[WireFormat] = Seq(TabSeparated, TabSeparatedWithNames,
+    TabSeparatedWithNamesAndTypes, TabSeparatedRaw, CSV, CSVWithNames)
+
+  def parse(s: String): WireFormat =
+    All.find(_.name == s).getOrElse(
+      throw new IllegalArgumentException(s"unknown clickhouse-format $s"))
 }
 
 sealed trait LoadMode

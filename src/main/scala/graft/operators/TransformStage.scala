@@ -87,6 +87,25 @@ object TransformStage {
   def extractHivePartition(path: Column, key: String): Column =
     regexp_extract(path, java.util.regex.Pattern.quote(key) + "=([0-9a-zA-Z_\\-]+)", 1)
 
+  /** Op #8 full parity — auto-discovery: the reference walks the input
+    * path and appends EVERY `k=v` pair in path order
+    * (`AbstractClickhouseLoaderMapper.java:658-676`), not just named
+    * keys. The key set and order come from a sample path (the export
+    * dir — partition keys are constant across one load); values are
+    * extracted per-row so files in sibling partition dirs get their own
+    * values.
+    */
+  val HivePartitionPattern: scala.util.matching.Regex =
+    "([0-9a-zA-Z_]+)=([0-9a-zA-Z_\\-]+)".r
+
+  /** Partition keys discovered in a path, in order of appearance. */
+  def hivePartitionKeys(path: String): Seq[String] =
+    HivePartitionPattern.findAllMatchIn(path).map(_.group(1)).toSeq
+
+  /** Append one trailing string column per discovered key, in order. */
+  def appendHivePartitions(df: DataFrame, keys: Seq[String], pathCol: Column): DataFrame =
+    keys.foldLeft(df)((d, k) => d.withColumn(k, extractHivePartition(pathCol, k)))
+
   /** Op #9: constant trailing columns (`--additional-cols`,
     * `AbstractClickhouseLoaderMapper.java:227-240`).
     */

@@ -51,16 +51,18 @@ object Etl {
       projected.orderBy(projected.columns.map(col).toIndexedSeq: _*)
     },
 
-    // Ops #8+#9: hive-partition extraction from a path + constant
-    // additional columns.
+    // Ops #8+#9: hive-partition AUTO-DISCOVERY (all k=v pairs in path
+    // order, AbstractClickhouseLoaderMapper.java:658-676) + constant
+    // additional columns. The two keys (dt, hr) are not named by the
+    // query — they come from hivePartitionKeys on a sample path.
     "q22_hive_partition_extract" -> { (s, dir) =>
       import s.implicits._
       val withPath = Tables(s, dir).lineitem.withColumn("path",
         concat(lit("/warehouse/t/dt=2017-01-07/hr="),
           lpad(($"l_orderkey" % 24).cast("string"), 2, "0"), lit("/part-0001")))
-      val extracted = withPath
-        .withColumn("dt", extractHivePartition($"path", "dt"))
-        .withColumn("hr", extractHivePartition($"path", "hr"))
+      val keys = hivePartitionKeys("/warehouse/t/dt=2017-01-07/hr=00/part-0001")
+      assert(keys == Seq("dt", "hr"))
+      val extracted = appendHivePartitions(withPath, keys, $"path")
       appendAdditionalCols(extracted, Seq("src0"))
         .groupBy($"dt", $"hr", $"additional_0")
         .agg(count(lit(1)).as("n"))
@@ -134,6 +136,22 @@ object Etl {
           sum(length(concat_ws("|", $"l_orderkey", $"l_quantity", $"l_linestatus")))
             .cast("long").as("wire_chars"))
         .orderBy($"l_returnflag")
+    },
+
+    // WithNames wire formats (ConfigurationOptions.java:47-71): the
+    // insert payload of a CSVWithNames load — header row of column
+    // names first, then sanitized CSV data rows.
+    "q64_wire_withnames" -> { (s, dir) =>
+      import s.implicits._
+      val fmt = graft.config.WireFormat.CSVWithNames
+      val wcfg = LoaderConfig(clickhouseFormat = fmt)
+      val src = Tables(s, dir).part.select($"p_partkey", $"p_name", $"p_brand", $"p_size")
+      val wire = transform(src, wcfg, stringCols = Set("p_name", "p_brand"))
+      val headerDf = fmt.headerLines(src.columns.toSeq, Nil)
+        .map(h => (0L, h)).toDF("line_no", "line")
+      headerDf.unionByName(
+          wire.select($"p_partkey".cast("long").as("line_no"), $"wire_row".as("line")))
+        .orderBy($"line_no")
     },
 
     // The §3.1 end-to-end slice: stringly parity mode → exclude →
@@ -219,6 +237,17 @@ object Etl {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q64_wire_withnames" ->
+      """SELECT CAST(0 AS BIGINT) AS line_no, 'p_partkey,p_name,p_brand,p_size' AS line
+        |UNION ALL
+        |SELECT p_partkey AS line_no,
+        |  CAST(p_partkey AS VARCHAR) || ',' ||
+        |  replace(replace(p_name, ',', ' '), '\', '/') || ',' ||
+        |  replace(replace(p_brand, ',', ' '), '\', '/') || ',' ||
+        |  CAST(p_size AS VARCHAR) AS line
+        |FROM part
+        |ORDER BY line_no""".stripMargin,
 
     "q26_etl_pipeline_parity" ->
       """WITH src AS (

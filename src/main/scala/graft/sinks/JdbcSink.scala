@@ -19,7 +19,12 @@ final class JdbcFormatInsertExecutor(
     url: String,
     user: String,
     password: String,
-    format: WireFormat) extends BatchExecutor {
+    format: WireFormat,
+    // column names/types for the WithNames/WithNamesAndTypes header
+    // rows (`ConfigurationOptions.java:47-71`); unused by headerless
+    // formats
+    columns: Seq[String] = Nil,
+    columnTypes: Seq[String] = Nil) extends BatchExecutor {
 
   @transient private var conn: java.sql.Connection = _
 
@@ -31,11 +36,8 @@ final class JdbcFormatInsertExecutor(
   }
 
   override def execute(target: String, batch: Seq[String]): Unit = {
-    val fmtName = format match {
-      case WireFormat.TabSeparated => "TabSeparated"
-      case WireFormat.CSV          => "CSV"
-    }
-    val sql = s"INSERT INTO $target FORMAT $fmtName\n" + batch.mkString("\n")
+    val payload = format.headerLines(columns, columnTypes) ++ batch
+    val sql = s"INSERT INTO $target FORMAT ${format.name}\n" + payload.mkString("\n")
     val st = connection().createStatement()
     try st.execute(sql)
     finally st.close()

@@ -40,7 +40,34 @@ object Readers {
       lines.select(max(size(fields))).collect()
         .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
         .getOrElse(0))
-    lines.select((0 until n).map(i => fields.getItem(i).as(s"c$i")): _*)
+    // get() (not getItem): rows narrower than the declared arity yield
+    // nulls for the arity validation (op #10) instead of an ANSI
+    // out-of-bounds error killing the whole load
+    lines.select((0 until n).map(i => get(fields, lit(i)).as(s"c$i")): _*)
+  }
+
+  /** One concrete input path under `pattern` (globs resolved, then
+    * directories walked to the first file, smallest path name first
+    * for determinism) — the sample the hive-partition auto-discovery
+    * reads its key set from. Falls back to the pattern itself when
+    * nothing matches.
+    */
+  def sampleFilePath(spark: SparkSession, pattern: String): String = {
+    val p = new org.apache.hadoop.fs.Path(pattern)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def firstFile(q: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+      val st = fs.getFileStatus(q)
+      if (st.isFile) Some(q)
+      else {
+        val children = fs.listStatus(q).sortBy(_.getPath.getName)
+        children.iterator.flatMap(c => firstFile(c.getPath)).nextOption()
+      }
+    }
+    val globbed = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    globbed.map(_.getPath).sortBy(_.toString).headOption
+      .flatMap(firstFile)
+      .map(_.toString)
+      .getOrElse(pattern)
   }
 
   /** ORC scan; `parityMode` reproduces the reference's
@@ -59,9 +86,13 @@ object Readers {
   def readParquet(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
     schema.fold(spark.read.parquet(path))(s => spark.read.schema(s).parquet(path))
 
-  /** Route on configured input format. */
-  def read(spark: SparkSession, cfg: LoaderConfig): DataFrame = cfg.inputFormat match {
-    case InputFormat.Text    => readText(spark, cfg)
+  /** Route on configured input format. `numFields` (known from the
+    * target catalog) skips text max-arity inference — without it the
+    * text path pays a full extra scan of the input.
+    */
+  def read(spark: SparkSession, cfg: LoaderConfig,
+      numFields: Option[Int] = None): DataFrame = cfg.inputFormat match {
+    case InputFormat.Text    => readText(spark, cfg, numFields)
     case InputFormat.Orc     => readOrc(spark, cfg.exportDir, parityMode = true)
     case InputFormat.Parquet => readParquet(spark, cfg.exportDir)
   }

@@ -31,8 +31,80 @@ class LoaderJobSpec extends SparkSpec {
   }
 
   test("CLI rejects unknown enum values") {
-    intercept[IllegalArgumentException](Args.parse(Seq("--input-format", "avro")))
+    intercept[IllegalArgumentException](Args.parse(Seq("-i", "avro")))
     intercept[IllegalArgumentException](Args.parse(Seq("--mode", "sideways")))
+    intercept[IllegalArgumentException](
+      Args.parse(Seq("--clickhouse-format", "Parquet")))
+    intercept[IllegalArgumentException](
+      Args.parse(Seq("--daily-expires-process", "archive")))
+  }
+
+  test("CLI parses the full reference flag surface round-trip") {
+    import graft.config.DailyExpiresProcess
+    // every flag of MainCliParameterParser.java:14-106
+    val cfg = Args.parse(Seq(
+      "--connect", "jdbc:clickhouse://ch1:8123/db",
+      "--driver", "com.example.Driver",
+      "--username", "loader", "--password", "s3cret",
+      "--clickhouse-http-port", "8124",
+      "--table", "db.t", "--export-dir", "/w/t/dt=2017-01-07",
+      "-i", "orc",
+      "--clickhouse-format", "TabSeparatedWithNamesAndTypes",
+      "--num-reduce-tasks", "12",
+      "--daily", "true", "--daily-expires", "7",
+      "--daily-expires-process", "drop",
+      "--mode", "drop", "--direct", "false",
+      "--dt", "2017-01-07"))
+    assert(cfg.connect == "jdbc:clickhouse://ch1:8123/db")
+    assert(cfg.username == "loader" && cfg.password == "s3cret")
+    assert(cfg.clickhouseHttpPort == 8124)
+    assert(cfg.inputFormat == InputFormat.Orc)
+    assert(cfg.clickhouseFormat == WireFormat.TabSeparatedWithNamesAndTypes)
+    assert(cfg.numReduceTasks == 12)
+    assert(cfg.daily && cfg.dailyExpires == 7)
+    assert(cfg.dailyExpiresProcess == DailyExpiresProcess.Drop)
+    assert(!cfg.direct)
+    // deprecated --input-format alias maps InputFormat class names
+    assert(Args.parse(Seq("--input-format",
+      "org.apache.orc.mapreduce.OrcInputFormat")).inputFormat == InputFormat.Orc)
+  }
+
+  test("WithNames wire formats emit header rows ahead of each payload") {
+    val cols = Seq("k", "v")
+    val types = Seq("Int32", "String")
+    assert(WireFormat.TabSeparated.headerLines(cols, types) == Nil)
+    assert(WireFormat.TabSeparatedWithNames.headerLines(cols, types) == Seq("k\tv"))
+    assert(WireFormat.TabSeparatedWithNamesAndTypes.headerLines(cols, types) ==
+      Seq("k\tv", "Int32\tString"))
+    assert(WireFormat.CSVWithNames.headerLines(cols, types) == Seq("k,v"))
+    assert(WireFormat.TabSeparatedRaw.separator == "\t")
+    assert(WireFormat.parse("CSVWithNames") == WireFormat.CSVWithNames)
+  }
+
+  test("daily load redirects to the dated table and merges expired ones") {
+    val dir = Files.createTempDirectory("graft-daily")
+    Files.writeString(dir.resolve("data.txt"), "1|a\n2|b\n")
+    val wh = Files.createTempDirectory("graft-whd").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS dailydb LOCATION '$wh'")
+    spark.sql("DROP TABLE IF EXISTS dailydb.base")
+    spark.sql("CREATE TABLE dailydb.base (c0 STRING, c1 STRING, dt STRING) USING parquet")
+    // a stale daily table from 10 days ago with one row
+    spark.sql("DROP TABLE IF EXISTS dailydb.base_20161228")
+    spark.sql("CREATE TABLE dailydb.base_20161228 (c0 STRING, c1 STRING, dt STRING) USING parquet")
+    spark.sql("INSERT INTO dailydb.base_20161228 VALUES ('9', 'old', '2016-12-28')")
+    val cfg = Args.parse(Seq(
+      "--export-dir", dir.toString, "--table", "dailydb.base",
+      "--dt", "2017-01-07", "--direct", "false",
+      "--daily", "true", "--daily-expires", "3"))
+    val target = TargetSchema.fromDDL("c0 STRING, c1 STRING, dt STRING")
+    val (dailyTable, expired) =
+      LoaderJob.runDaily(spark, cfg, target, ShardSpec(Seq(1)), "jobD")
+    assert(dailyTable == "dailydb.base_20170107")
+    assert(spark.table("dailydb.base_20170107").count() == 2)
+    // expired daily merged into base then dropped
+    assert(expired == Seq("base_20161228"))
+    assert(spark.table("dailydb.base").collect().map(_.getString(1)).toSeq == Seq("old"))
+    assert(!spark.catalog.tableExists("dailydb.base_20161228"))
   }
 
   test("direct load end-to-end: text source → wire rows → batched sink") {
@@ -89,6 +161,43 @@ class LoaderJobSpec extends SparkSpec {
     val rows = InMemoryStagingStore.targetRows("db.v2tgt").sorted
     assert(rows == Seq("1\ta\t2017-01-07", "2\tb\t2017-01-07", "3\t\t2017-01-07"))
     assert(InMemoryStagingStore.liveStagings.isEmpty)
+  }
+
+  test("text load auto-discovers multi-key hive partitions from the path") {
+    val base = Files.createTempDirectory("graft-hive")
+    val p1 = base.resolve("dt=2017-01-07/pt=ios"); Files.createDirectories(p1)
+    val p2 = base.resolve("dt=2017-01-07/pt=android"); Files.createDirectories(p2)
+    Files.writeString(p1.resolve("f.txt"), "1|a\n2|b\n")
+    Files.writeString(p2.resolve("f.txt"), "3|c\n")
+    val cfg = Args.parse(Seq(
+      "--export-dir", s"$base/dt=2017-01-07/pt=*",
+      "--table", "t", "--extract-hive-partitions", "true"))
+    val target = TargetSchema.fromDDL("c0 STRING, c1 STRING, dt STRING, pt STRING")
+    CollectingExecutor.clear()
+    LoaderJob.runDirect(spark, cfg, target, ShardSpec(Seq(1)), CollectingExecutor)
+    val wire = LoaderJob.plan(spark, cfg, target, ShardSpec(Seq(1)))
+      .select("wire_row").collect().map(_.getString(0)).sorted
+    assert(wire.toSeq == Seq(
+      "1\ta\t2017-01-07\tios", "2\tb\t2017-01-07\tios", "3\tc\t2017-01-07\tandroid"))
+  }
+
+  test("plan() runs no inference scan when the target schema supplies arity") {
+    val dir = Files.createTempDirectory("graft-noscan")
+    Files.writeString(dir.resolve("data.txt"), "1|a\n2|b\n")
+    val cfg = Args.parse(Seq("--export-dir", dir.toString, "--table", "t"))
+    val target = TargetSchema.fromDDL("c0 STRING, c1 STRING")
+    val group = s"arity-probe-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, "probe", interruptOnCancel = false)
+    try LoaderJob.plan(spark, cfg, target, ShardSpec(Seq(1)))
+    finally spark.sparkContext.clearJobGroup()
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(group).isEmpty,
+      "building the plan must not trigger a max-arity inference job")
+    // control: the standalone reader without a known arity DOES scan
+    val group2 = s"arity-probe2-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group2, "probe2", interruptOnCancel = false)
+    try graft.sources.Readers.readText(spark, cfg)
+    finally spark.sparkContext.clearJobGroup()
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(group2).nonEmpty)
   }
 
   test("partitioned sink: dynamic overwrite is per-partition idempotent") {
