@@ -78,8 +78,8 @@ object InputFormat {
 sealed abstract class WireFormat(
     val name: String,
     val separator: String,
-    val withNames: Boolean = false,
-    val withTypes: Boolean = false) {
+    val withNames: Boolean,
+    val withTypes: Boolean) {
 
   /** Header lines this FORMAT requires ahead of the data rows of every
     * insert payload.
@@ -90,17 +90,25 @@ sealed abstract class WireFormat(
 }
 
 object WireFormat {
-  case object TabSeparated extends WireFormat("TabSeparated", "\t")
+  // No default constructor args here: defaults compile to calls back
+  // into this companion object, and that nested-object → companion
+  // init edge forms a JVM class-initialization cycle with `All` below
+  // (companion init → nested init). Under concurrent first-touch from
+  // parallel test suites that cycle surfaces as a partially-initialized
+  // `All` (null elements). All four args are always explicit.
+  case object TabSeparated extends WireFormat("TabSeparated", "\t", false, false)
   case object TabSeparatedWithNames
-    extends WireFormat("TabSeparatedWithNames", "\t", withNames = true)
+    extends WireFormat("TabSeparatedWithNames", "\t", true, false)
   case object TabSeparatedWithNamesAndTypes
-    extends WireFormat("TabSeparatedWithNamesAndTypes", "\t",
-      withNames = true, withTypes = true)
-  case object TabSeparatedRaw extends WireFormat("TabSeparatedRaw", "\t")
-  case object CSV extends WireFormat("CSV", ",")
-  case object CSVWithNames extends WireFormat("CSVWithNames", ",", withNames = true)
+    extends WireFormat("TabSeparatedWithNamesAndTypes", "\t", true, true)
+  case object TabSeparatedRaw extends WireFormat("TabSeparatedRaw", "\t", false, false)
+  case object CSV extends WireFormat("CSV", ",", false, false)
+  case object CSVWithNames extends WireFormat("CSVWithNames", ",", true, false)
 
-  val All: Seq[WireFormat] = Seq(TabSeparated, TabSeparatedWithNames,
+  // lazy: keeps case-object initialization out of this object's own
+  // <clinit>, so first-touch order between the companion and the
+  // nested objects cannot matter.
+  lazy val All: Seq[WireFormat] = Seq(TabSeparated, TabSeparatedWithNames,
     TabSeparatedWithNamesAndTypes, TabSeparatedRaw, CSV, CSVWithNames)
 
   def parse(s: String): WireFormat =

@@ -185,13 +185,21 @@ object Dedup {
     * this shape is how GraphX/GraphFrames do it.)
     */
   def clusterReps(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // Lineage truncation is load-bearing here: each round's plan
+    // references `labels` twice (join + union), so without a
+    // checkpoint the LOGICAL plan doubles every iteration and Catalyst
+    // analysis/optimization dominates runtime long before execution
+    // does (cache() shortens execution, not analysis). localCheckpoint
+    // materializes into the block manager AND makes the frame a plan
+    // leaf; on a multi-node cluster with executor churn, prefer
+    // sc.setCheckpointDir + .checkpoint() for loss tolerance.
     val edges = pairs.select($"a".as("x"), $"b".as("y"))
       .unionByName(pairs.select($"b".as("x"), $"a".as("y")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select($"x".as("doc"), $"y".as("lbl"))
       .unionByName(edges.select($"x".as("doc"), $"x".as("lbl")))
       .groupBy($"doc").agg(min($"lbl").as("lbl"))
-      .cache()
+      .localCheckpoint()
     // labels only ever decrease under min-propagation, so the label
     // sum is strictly monotone until fixpoint — one cheap scalar agg
     // per round instead of a join-based diff
@@ -205,12 +213,11 @@ object Dedup {
         .select($"x".as("doc"), $"lbl")
         .unionByName(labels)
         .groupBy($"doc").agg(min($"lbl").as("lbl"))
-        .cache()
+        .localCheckpoint() // eager: materializes + truncates lineage
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      labels.unpersist()
-      labels = next
+      labels = next // old round's blocks are freed by the ContextCleaner
       iter += 1
     }
     if (!converged)

@@ -1,0 +1,35 @@
+package graft.tools
+
+import graft.{SparkEntry, Tables}
+import org.apache.spark.sql.SparkSession
+
+/** Time individual SparkEntry queries (bench methodology: noop write,
+  * warmup pass, min of two runs). Usage:
+  *   runMain graft.tools.ProfileQ <sfDir> <queryName> [<queryName>...]
+  */
+object ProfileQ {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq
+                else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables(spark, dir).frames.foreach { case (_, df) => df.count() }
+    def once(n: String): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, dir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    names.foreach { n =>
+      val a = once(n); val b = once(n)
+      println(f"[profileq] $n: min=${math.min(a, b)}%.2f s (p1=$a%.2f p2=$b%.2f)")
+    }
+    spark.stop()
+  }
+}

@@ -85,26 +85,26 @@ class LoaderJobSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-daily")
     Files.writeString(dir.resolve("data.txt"), "1|a\n2|b\n")
     val wh = Files.createTempDirectory("graft-whd").toString
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS dailydb LOCATION '$wh'")
-    spark.sql("DROP TABLE IF EXISTS dailydb.base")
-    spark.sql("CREATE TABLE dailydb.base (c0 STRING, c1 STRING, dt STRING) USING parquet")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS dailyjobdb LOCATION '$wh'")
+    spark.sql("DROP TABLE IF EXISTS dailyjobdb.base")
+    spark.sql("CREATE TABLE dailyjobdb.base (c0 STRING, c1 STRING, dt STRING) USING parquet")
     // a stale daily table from 10 days ago with one row
-    spark.sql("DROP TABLE IF EXISTS dailydb.base_20161228")
-    spark.sql("CREATE TABLE dailydb.base_20161228 (c0 STRING, c1 STRING, dt STRING) USING parquet")
-    spark.sql("INSERT INTO dailydb.base_20161228 VALUES ('9', 'old', '2016-12-28')")
+    spark.sql("DROP TABLE IF EXISTS dailyjobdb.base_20161228")
+    spark.sql("CREATE TABLE dailyjobdb.base_20161228 (c0 STRING, c1 STRING, dt STRING) USING parquet")
+    spark.sql("INSERT INTO dailyjobdb.base_20161228 VALUES ('9', 'old', '2016-12-28')")
     val cfg = Args.parse(Seq(
-      "--export-dir", dir.toString, "--table", "dailydb.base",
+      "--export-dir", dir.toString, "--table", "dailyjobdb.base",
       "--dt", "2017-01-07", "--direct", "false",
       "--daily", "true", "--daily-expires", "3"))
     val target = TargetSchema.fromDDL("c0 STRING, c1 STRING, dt STRING")
     val (dailyTable, expired) =
       LoaderJob.runDaily(spark, cfg, target, ShardSpec(Seq(1)), "jobD")
-    assert(dailyTable == "dailydb.base_20170107")
-    assert(spark.table("dailydb.base_20170107").count() == 2)
+    assert(dailyTable == "dailyjobdb.base_20170107")
+    assert(spark.table("dailyjobdb.base_20170107").count() == 2)
     // expired daily merged into base then dropped
     assert(expired == Seq("base_20161228"))
-    assert(spark.table("dailydb.base").collect().map(_.getString(1)).toSeq == Seq("old"))
-    assert(!spark.catalog.tableExists("dailydb.base_20161228"))
+    assert(spark.table("dailyjobdb.base").collect().map(_.getString(1)).toSeq == Seq("old"))
+    assert(!spark.catalog.tableExists("dailyjobdb.base_20161228"))
   }
 
   test("direct load end-to-end: text source → wire rows → batched sink") {
