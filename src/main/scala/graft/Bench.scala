@@ -55,9 +55,25 @@ object Bench {
       }
       n -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // The driver captures only a bounded tail of this process's output,
+    // so the ONE JSON line must stay well under 2000 chars: short qNN
+    // keys (contract example style: {"q1":sec,…}) + 3-decimal values.
+    // Full-name timings additionally land in docs/bench_detail.json
+    // for humans and tools/compare_bench.py.
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{\"queries\":{", ",", s"""},"total":${r3(total)},"sf":"$sfDir"}""")
+    try {
+      val p = java.nio.file.Paths.get("docs/bench_detail.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, detail + "\n")
+    } catch { case _: Throwable => () } // detail dump is best-effort
+    println(line)
     spark.stop()
   }
 }

@@ -9,9 +9,15 @@ import json
 import sys
 
 
+def _norm(queries: dict) -> dict:
+    """Key bench maps by the qNN prefix so short-key (driver line) and
+    full-name (docs/bench_detail.json) outputs compare cleanly."""
+    return {k.split("_")[0]: v for k, v in queries.items()}
+
+
 def main(base_path: str, new_path: str, ratio: float = 2.0) -> int:
-    base = json.load(open(base_path))["queries"]
-    new = json.load(open(new_path))["queries"]
+    base = _norm(json.load(open(base_path))["queries"])
+    new = _norm(json.load(open(new_path))["queries"])
     bad = 0
     for name in sorted(set(base) | set(new)):
         b, n = base.get(name), new.get(name)
