@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge.{column, expression}
@@ -11,21 +11,23 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native sketch expressions: single-pass JVM loops replacing chains
   * of interpreted higher-order functions (transform/aggregate lambdas
   * run row-at-a-time in Spark) on the hot dedup/ANN paths.
-  * CodegenFallback costs one virtual call per row; the real work is
-  * inside the call, so these are ~5-10× the lambda formulation.
+  *
+  * Each expression's kernel lives as a static method on [[SketchOps]]
+  * and `doGenCode` emits a direct static call — the expression stays
+  * inside whole-stage codegen (same pattern as [[Murmur3Hash64]]), no
+  * CodegenFallback virtual `eval(InternalRow)` round-trip and no
+  * interpreted-projection fallback in the surrounding span.
   */
 
-/** Distinct murmur3-64 hashes of word n-gram shingles, in one pass:
-  * split + shingle + hash + dedup without materializing shingle
-  * strings in the plan. Semantically identical to
-  * `array_distinct(transform(...))` + `hash64` (DedupSpec pins both).
+/** Static kernels shared by interpreted eval and generated code.
+  * Plain object → the compiler emits static forwarders, so janino can
+  * call `graft.functions.SketchOps.m(...)` like any Java static.
   */
-case class ShingleHash64(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+object SketchOps {
 
-  override def nullSafeEval(v: Any): Any = {
-    val tokens = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+  /** Distinct murmur3-64 hashes of word n-gram shingles, one pass. */
+  def shingleHashes(v: UTF8String, n: Int): ArrayData = {
+    val tokens = v.toString.split(" ", -1)
     if (tokens.length < n) return new GenericArrayData(Array.emptyLongArray)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     val sb = new java.lang.StringBuilder(64)
@@ -48,6 +50,110 @@ case class ShingleHash64(child: Expression, n: Int)
     new GenericArrayData(out)
   }
 
+  /** Multi-table hyperplane LSH buckets of a quantized vector. */
+  def lshBuckets(v: ArrayData, signs: Array[Array[Int]], nTables: Int,
+      nPlanes: Int, dim: Int): ArrayData = {
+    val nd = math.min(dim, v.numElements())
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      val s = signs(t)
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var dot = 0L
+        var d = 0
+        val base = p * dim
+        while (d < nd) { dot += v.getLong(d) * s(base + d); d += 1 }
+        if (dot > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Elementwise-min MinHash signature of a shingle-hash set. */
+  def minHashSig(v: ArrayData, k: Int): ArrayData = {
+    val n = v.numElements()
+    val out = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      Mix64.minInto(out, v.getLong(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** LSH band buckets of a MinHash signature. */
+  def bandBuckets(v: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = b.toLong
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = Mix64.mix(acc ^ v.getLong(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash of a whitespace-tokenized document. */
+  def simHash64(v: UTF8String): Long = {
+    val tokens = v.toString.split(" ", -1)
+    val sums = new Array[Int](64)
+    var t = 0
+    while (t < tokens.length) {
+      val h = Murmur3.hash64(tokens(t))
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var sketch = 0L
+    var i = 0
+    while (i < 64) {
+      if (sums(i) > 0) sketch |= (1L << i)
+      i += 1
+    }
+    sketch
+  }
+
+  /** Rolling polynomial fingerprint over Unicode code points. */
+  def fingerprint64(v: UTF8String): Long = {
+    val s = v.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** Distinct murmur3-64 hashes of word n-gram shingles, in one pass:
+  * split + shingle + hash + dedup without materializing shingle
+  * strings in the plan. Semantically identical to
+  * `array_distinct(transform(...))` + `hash64` (DedupSpec pins both).
+  */
+case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.shingleHashes(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.shingleHashes($c, $n)")
+
   override protected def withNewChildInternal(c: Expression): ShingleHash64 = copy(child = c)
 }
 
@@ -60,10 +166,11 @@ object ShingleHash64 {
   * one `array<long>` with `nTables` bucket ids (each `nPlanes` sign
   * bits). The ±1 plane matrix is derived from murmur hashes of
   * (table, plane, dim) — deterministic, precomputed once per
-  * expression instance, zero closure state shipped per row.
+  * expression instance and embedded in the generated class as a
+  * reference object, zero closure state shipped per row.
   */
 case class LshBuckets(child: Expression, nTables: Int, nPlanes: Int, dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   @transient private lazy val signs: Array[Array[Int]] =
@@ -71,27 +178,13 @@ case class LshBuckets(child: Expression, nTables: Int, nPlanes: Int, dim: Int)
       LshBuckets.planeSign(t, pd / dim, pd % dim)
     }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val nd = math.min(dim, arr.numElements())
-    val out = new Array[Long](nTables)
-    var t = 0
-    while (t < nTables) {
-      val s = signs(t)
-      var bucket = 0L
-      var p = 0
-      while (p < nPlanes) {
-        var dot = 0L
-        var d = 0
-        val base = p * dim
-        while (d < nd) { dot += arr.getLong(d) * s(base + d); d += 1 }
-        if (dot > 0) bucket |= (1L << p)
-        p += 1
-      }
-      out(t) = bucket
-      t += 1
-    }
-    new GenericArrayData(out)
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.lshBuckets(v.asInstanceOf[ArrayData], signs, nTables, nPlanes, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("lshSigns", signs, "int[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchOps.lshBuckets($c, $signsRef, $nTables, $nPlanes, $dim)")
   }
 
   override protected def withNewChildInternal(c: Expression): LshBuckets = copy(child = c)
@@ -142,21 +235,14 @@ object Mix64 {
   * work with NO shuffle, which is both ~10× faster here and the shape
   * that scales (signatures of a 100 TB corpus are one narrow pass).
   */
-case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(v: Any): Any = {
-    val hs = v.asInstanceOf[ArrayData]
-    val n = hs.numElements()
-    val out = Array.fill(k)(Long.MaxValue)
-    var j = 0
-    while (j < n) {
-      Mix64.minInto(out, hs.getLong(j))
-      j += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.minHashSig(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.minHashSig($c, $k)")
 
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
@@ -171,25 +257,14 @@ object MinHashSig {
   * element_at explosion in the plan).
   */
 case class BandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(v: Any): Any = {
-    val sig = v.asInstanceOf[ArrayData]
-    val out = new Array[Long](bands)
-    var b = 0
-    while (b < bands) {
-      var acc = b.toLong
-      var r = 0
-      while (r < rowsPerBand) {
-        acc = Mix64.mix(acc ^ sig.getLong(b * rowsPerBand + r))
-        r += 1
-      }
-      out(b) = acc
-      b += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.bandBuckets(v.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.bandBuckets($c, $bands, $rowsPerBand)")
 
   override protected def withNewChildInternal(c: Expression): BandBuckets = copy(child = c)
 }
@@ -203,30 +278,14 @@ object BandBuckets {
   * token, accumulate ±1 per bit (bag-weighted via repetition), sign →
   * sketch. Replaces explode + 64 sum-aggregates — again map-side only.
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(v: Any): Any = {
-    val tokens = v.asInstanceOf[UTF8String].toString.split(" ", -1)
-    val sums = new Array[Int](64)
-    var t = 0
-    while (t < tokens.length) {
-      val h = Murmur3.hash64(tokens(t))
-      var i = 0
-      while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
-        i += 1
-      }
-      t += 1
-    }
-    var sketch = 0L
-    var i = 0
-    while (i < 64) {
-      if (sums(i) > 0) sketch |= (1L << i)
-      i += 1
-    }
-    sketch
-  }
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.simHash64(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.simHash64($c)")
 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
@@ -242,20 +301,14 @@ object SimHash64 {
   * (BMP chars = UTF-16 units), matching `ascii()` per char in both
   * Spark and DuckDB for the BMP.
   */
-case class Fingerprint64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class Fingerprint64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    var acc = 0L
-    var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      acc = (acc * 31 + cp) % 1000000007L
-      i += Character.charCount(cp)
-    }
-    acc
-  }
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.fingerprint64(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.fingerprint64($c)")
 
   override protected def withNewChildInternal(c: Expression): Fingerprint64 = copy(child = c)
 }

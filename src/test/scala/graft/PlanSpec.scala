@@ -69,4 +69,22 @@ class PlanSpec extends SparkSpec {
     val p = plan(wire)
     assert(p.contains("*(1)"), s"transform should be one codegen stage:\n$p")
   }
+
+  test("sketch expressions stay inside whole-stage codegen") {
+    import graft.functions.{BandBuckets, SimHash64, Fingerprint64}
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf).documents
+    // shingle → minhash → bands + simhash + fingerprint in one projection:
+    // all native doGenCode expressions, so the whole thing is one span
+    // with no interpreted-eval fallback.
+    import graft.functions.{MinHashSig, ShingleHash64}
+    val sigs = docs.select(col("doc_id"),
+        MinHashSig.minhash_sig(ShingleHash64.shingle_hashes(col("text"), 3), 16).as("sig"),
+        SimHash64.simhash64(col("text")).as("sh"),
+        Fingerprint64.fingerprint64(col("text")).as("fp"))
+      .withColumn("bands", BandBuckets.band_buckets(col("sig"), 4, 4))
+    val p = plan(sigs)
+    assert(p.contains("*(1)"), s"sketch projection should be one codegen stage:\n$p")
+    assert(!p.toLowerCase.contains("fallback"), s"unexpected codegen fallback:\n$p")
+  }
 }
