@@ -177,6 +177,71 @@ class StreamingSpec extends SparkSpec {
       .select("_batch_id").distinct().count() == batches)
   }
 
+  test("event-time timeout evicts idle users' session state (stream == batch)") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths}
+    val minMs = 60000L
+    val base = 1609459200000L // 2021-01-01T00:00:00Z
+    val dir = JFiles.createTempDirectory("graft-evict")
+    // one flat parquet FILE per micro-batch, ordered by mtime
+    def write(name: String, rows: Seq[(Long, Long, Long)], mtime: Long): Unit = {
+      val tmp = JFiles.createTempDirectory("graft-evict-w").toString
+      rows.toDF("user_id", "event_id", "tms")
+        .select($"user_id", $"event_id", timestamp_millis($"tms").as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = JFiles.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = dir.resolve(name)
+      JFiles.move(part, dest)
+      JFiles.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // b1: users 1,2 active around t0. b2: t+120min (advances watermark
+    // far past their 30-min timers). b3: t+300min — processed with the
+    // b2 watermark, so users 1,2 time out and are REMOVED during it.
+    // No post-eviction events for evicted users: an evicted user's
+    // session counter restarts, so parity with the batch labeling only
+    // holds for users who don't return (documented contract).
+    val b1 = Seq((1L, 1L, base), (1L, 2L, base + 5 * minMs), (2L, 3L, base))
+    val b2 = Seq((3L, 4L, base + 120 * minMs))
+    val b3 = Seq((4L, 5L, base + 300 * minMs))
+    write("b1.parquet", b1, 1000000L)
+    write("b2.parquet", b2, 2000000L)
+    write("b3.parquet", b3, 3000000L)
+
+    val stream = spark.readStream.schema("user_id BIGINT, event_id BIGINT, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withWatermark("ts", "0 seconds")
+      .select($"user_id", $"event_id", $"ts")
+      .as[Sessionize.EventT]
+    val q = Sessionize.streamingSessionizeEvicting(spark, stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("evict_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val removed = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsRemoved).sum
+    assert(removed >= 2, s"expected users 1 and 2 evicted, removed=$removed")
+
+    // last emission per (user, session) == the batch-declarative result
+    val got = spark.table("evict_out")
+      .groupBy($"user_id", $"session_id")
+      .agg(max($"n_events").as("n_events"), min($"start_ms").as("start_ms"),
+        max($"duration_ms").as("duration_ms"))
+      .collect().map(_.toSeq).toSet
+    val all = (b1 ++ b2 ++ b3).toDF("user_id", "event_id", "tms")
+      .select($"user_id", $"event_id", timestamp_millis($"tms").as("ts"))
+    val expected = EventStream.sessionize(all)
+      .select($"user_id", $"session_id", $"n_events", $"start_ms", $"duration_ms")
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.size == 4)
+  }
+
   test("multimodal feature extraction matches the column-level formula") {
     import graft.operators.Multimodal
     val media = Multimodal.asBinaryFrame(Tables(spark, sf).documents, "doc_id", "text")
