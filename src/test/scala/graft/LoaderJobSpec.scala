@@ -107,6 +107,22 @@ class LoaderJobSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("dailyjobdb.base_20161228"))
   }
 
+  test("text plan takes its arity from the target schema, not a data scan") {
+    // Data rows are WIDER (3 fields) than the target implies (2 source
+    // fields + dt): if the max-arity inference scan ran, the plan
+    // would carry a c2 column. Target-derived arity must win — that is
+    // the reference's system.columns lookup, and it saves a full read
+    // of the input at scale.
+    val dir = Files.createTempDirectory("graft-arity")
+    Files.writeString(dir.resolve("data.txt"), "1|a|XTRA\n2|b|XTRA\n")
+    val cfg = Args.parse(Seq(
+      "--export-dir", dir.toString, "--table", "t", "--dt", "2017-01-07"))
+    val target = TargetSchema.fromDDL("c0 STRING, c1 STRING, dt STRING")
+    val df = LoaderJob.plan(spark, cfg, target, ShardSpec(Seq(1)))
+    assert(df.columns.contains("c1") && !df.columns.contains("c2"),
+      s"arity must come from the target schema: ${df.columns.toSeq}")
+  }
+
   test("direct load end-to-end: text source → wire rows → batched sink") {
     val dir = Files.createTempDirectory("graft-job")
     Files.writeString(dir.resolve("data.txt"),
