@@ -131,20 +131,60 @@ object Similarity {
       .select($"query_id", $"rank", $"cand_id".as("neighbor_id"), $"cos")
   }
 
-  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — every
-    * `centroidStride`-th vector serves as a centroid — partitions the
-    * corpus into cells; queries probe their `nProbe` nearest cells and
-    * rank only those cells' members. The two joins are
-    * (corpus × centroids) with the centroid side broadcast, and a
-    * cell-keyed equi-join — both linear in corpus size. At real scale
-    * the centroids come from k-means; the assignment/probe machinery
-    * is identical.
+  /** Lloyd's k-means over the quantized grid — the IVF coarse
+    * quantizer trainer. Init is the deterministic stride sample; each
+    * round is (broadcast centroids → nearest-centroid argmax as a
+    * map-side partial `max(struct)` aggregation → per-cell elementwise
+    * mean via [[graft.functions.VecMeanAgg]]). No window shuffle, no
+    * posexplode row blow-up: per round the shuffle carries one
+    * (dim+1)-long partial per (partition, cell) — the classic scalable
+    * k-means shape (centroids broadcast, data never re-partitioned).
+    * Rounds materialize via localCheckpoint so the plan doesn't nest
+    * (on a cluster with executor churn prefer `checkpoint()`).
+    * Empty cells drop out (standard Lloyd's degeneracy handling).
+    * Returns (cid, c_qv, c_nrm) — cids are the init sample's vids,
+    * stable across rounds; centroid values are deterministic at any
+    * partitioning because long sums are exact.
+    */
+  def trainCentroids(corpus: DataFrame, dim: Int, centroidStride: Int = 50,
+      iters: Int = 3): DataFrame = {
+    import graft.functions.VecMeanAgg
+    var cents = corpus.filter($"vid" % centroidStride === 0)
+      .select($"vid".as("cid"), $"qv".as("c_qv"))
+    var it = 0
+    while (it < iters) {
+      val bc = broadcast(cents.withColumn("c_nrm", normQ($"c_qv")))
+      cents = corpus.join(bc)
+        .withColumn("c_cos", cosineQ($"qv", $"c_qv", $"nrm", $"c_nrm"))
+        .groupBy($"vid")
+        .agg(max(struct($"c_cos", (-$"cid").as("nc"), $"qv".as("v"))).as("best"))
+        .groupBy((-$"best.nc").as("cid"))
+        .agg(VecMeanAgg.vec_mean($"best.v", dim).as("c_qv"))
+        .localCheckpoint()
+      it += 1
+    }
+    cents.withColumn("c_nrm", normQ($"c_qv"))
+  }
+
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    * into cells; queries probe their `nProbe` nearest cells and rank
+    * only those cells' members. The two joins are (corpus × centroids)
+    * with the centroid side broadcast, and a cell-keyed equi-join —
+    * both linear in corpus size. Centroids are the deterministic
+    * stride sample by default, or k-means-trained ([[trainCentroids]])
+    * when `trainIters > 0` — same assignment/probe machinery, tighter
+    * cells, better recall at equal probes.
     */
   def ivfTopK(corpus: DataFrame, k: Int, centroidStride: Int = 50,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2, dim: Int = 0, trainIters: Int = 0): DataFrame = {
     val centroids = broadcast(
-      corpus.filter($"vid" % centroidStride === 0)
-        .select($"vid".as("cid"), $"qv".as("c_qv"), $"nrm".as("c_nrm")))
+      if (trainIters > 0) {
+        require(dim > 0, "trained IVF needs the vector dimension")
+        trainCentroids(corpus, dim, centroidStride, trainIters)
+          .select($"cid", $"c_qv", $"c_nrm")
+      } else
+        corpus.filter($"vid" % centroidStride === 0)
+          .select($"vid".as("cid"), $"qv".as("c_qv"), $"nrm".as("c_nrm")))
 
     // cell assignment: argmax centroid cosine (deterministic ties by cid)
     def cellsFor(df: DataFrame, n: Int, outPrefix: String): DataFrame = {

@@ -117,12 +117,13 @@ object Pipeline {
       Dedup.clusterReps(pairs).orderBy($"doc")
     },
 
-    // IVF ANN (coarse-quantizer cells + probe; rows-only, recall
-    // asserted vs brute force in SimilaritySpec).
+    // IVF ANN (k-means-trained coarse-quantizer cells + probe;
+    // rows-only, recall asserted vs brute force in SimilaritySpec).
     "q42_ann_ivf" -> { (s, dir) =>
       import s.implicits._
       val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
-      Similarity.ivfTopK(corpus, k = 5).orderBy($"query_id", $"rank")
+      Similarity.ivfTopK(corpus, k = 5, dim = 64, trainIters = 2)
+        .orderBy($"query_id", $"rank")
     },
 
     // Language-ID heuristic: confusion counts vs the labeled lang.

@@ -46,16 +46,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.15, s"recall=$recall")
   }
 
-  test("IVF ANN recall@5 beats chance by a wide margin") {
+  test("IVF ANN recall@5 beats chance; trained centroids don't lose recall") {
     val truth = Similarity.bruteForceTopK(corpus, corpus, 5)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.ivfTopK(corpus, k = 5, centroidStride = 50, nProbe = 2)
-      .select("query_id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (truth & approx).size.toDouble / truth.size
-    assert(approx.nonEmpty)
-    assert(recall > 0.15, s"recall=$recall")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(approx.nonEmpty)
+      (truth & approx).size.toDouble / truth.size
+    }
+    val stride = recallOf(
+      Similarity.ivfTopK(corpus, k = 5, centroidStride = 50, nProbe = 2))
+    val trained = recallOf(
+      Similarity.ivfTopK(corpus, k = 5, centroidStride = 50, nProbe = 2,
+        dim = 64, trainIters = 3))
+    assert(stride > 0.15, s"stride recall=$stride")
+    // k-means cells fit the data at least as well as arbitrary sample
+    // cells at equal probe budget (small slack: quantized-grid rounding
+    // can shift individual cell boundaries either way)
+    assert(trained >= stride - 0.02, s"trained=$trained stride=$stride")
+  }
+
+  test("trained centroids are deterministic across partitionings") {
+    val a = Similarity.trainCentroids(corpus, dim = 64, centroidStride = 100, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    val b = Similarity.trainCentroids(corpus.repartition(7), dim = 64,
+        centroidStride = 100, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
   }
 
   test("nearestNeighbor is symmetric-consistent with topK rank 1") {
