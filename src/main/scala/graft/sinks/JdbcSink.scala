@@ -1,6 +1,65 @@
 package graft.sinks
 
 import graft.config.WireFormat
+import java.sql.Connection
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+
+/** Executor-wide JDBC connection pool keyed by connect URL (+user) —
+  * the reference's per-URL client cache (`ClickhouseClientHolder
+  * .java:17-69`) re-expressed for Spark's execution model. A Hadoop
+  * mapper is a single-threaded JVM, so the reference memoizes ONE
+  * client per URL; a Spark executor runs many concurrent tasks in one
+  * JVM, so a plain memo would either share a non-thread-safe
+  * `Connection` across tasks or serialize them. Borrow/return over an
+  * idle queue gives the same reconnect-storm bound — a 1000-partition
+  * load opens O(concurrent tasks per executor) connections, not
+  * O(partitions) — while staying thread-safe.
+  *
+  * A connection whose work threw is closed, not returned: retry (in
+  * [[DirectSink]]) must reopen rather than reuse a possibly-broken
+  * socket.
+  */
+object ConnectionPool {
+  private val idle =
+    new ConcurrentHashMap[String, ConcurrentLinkedQueue[Connection]]()
+
+  /** Borrow an idle connection for `key` (open via `open` when none),
+    * run `f`, return it to the pool on success.
+    */
+  def withConnection[A](key: String, open: () => Connection)(f: Connection => A): A = {
+    val q = idle.computeIfAbsent(key, _ => new ConcurrentLinkedQueue[Connection]())
+    var c = q.poll()
+    while (c != null && c.isClosed) c = q.poll() // drop stale entries
+    if (c == null) c = open()
+    try {
+      val r = f(c)
+      q.add(c)
+      r
+    } catch {
+      case e: Throwable =>
+        try c.close() catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
+  /** Close and forget every idle connection for `key` (job teardown). */
+  def closeAll(key: String): Unit = {
+    val q = idle.remove(key)
+    if (q != null) {
+      var c = q.poll()
+      while (c != null) {
+        try c.close() catch { case _: Throwable => () }
+        c = q.poll()
+      }
+    }
+  }
+
+  /** Idle-connection count for `key` (metrics/specs). */
+  def idleCount(key: String): Int = {
+    val q = idle.get(key)
+    if (q == null) 0 else q.size
+  }
+}
 
 /** JDBC batch executor for a ClickHouse-style target: one
   * `INSERT INTO <table> FORMAT <fmt>` statement per micro-batch with
@@ -8,12 +67,14 @@ import graft.config.WireFormat
   * (`AbstractClickhouseLoaderMapper.java:309-359`, sql header `:552`).
   *
   * Plugs into [[DirectSink]] (which supplies partition-parallelism,
-  * micro-batching, retry/backoff and metrics). One connection per
-  * executor-partition, opened lazily and reused across batches.
+  * micro-batching, retry/backoff and metrics). Connections come from
+  * the executor-wide [[ConnectionPool]], so tasks of the same load (and
+  * successive loads in the same executor) reuse sockets per URL.
   *
-  * NOT exercised by tests — this environment has no JDBC endpoint; the
-  * protocol shape follows the reference and the sink machinery around
-  * it is covered via [[CollectingExecutor]]/[[FlakyExecutor]].
+  * The live DriverManager path is NOT exercised by tests — this
+  * environment has no JDBC endpoint; the pooling + statement protocol
+  * runs in SinkSpec against an injected connection factory, and the
+  * sink machinery around it via [[CollectingExecutor]]/[[FlakyExecutor]].
   */
 final class JdbcFormatInsertExecutor(
     url: String,
@@ -24,26 +85,31 @@ final class JdbcFormatInsertExecutor(
     // rows (`ConfigurationOptions.java:47-71`); unused by headerless
     // formats
     columns: Seq[String] = Nil,
-    columnTypes: Seq[String] = Nil) extends BatchExecutor {
+    columnTypes: Seq[String] = Nil,
+    // injectable for specs; the default is the real driver path
+    connectionFactory: () => Connection = null) extends BatchExecutor {
 
-  @transient private var conn: java.sql.Connection = _
+  private def poolKey = url + " " + user
 
-  private def connection(): java.sql.Connection = {
-    if (conn == null || conn.isClosed) {
-      conn = java.sql.DriverManager.getConnection(url, user, password)
-    }
-    conn
-  }
+  private def open(): Connection =
+    if (connectionFactory != null) connectionFactory()
+    else java.sql.DriverManager.getConnection(url, user, password)
 
   override def execute(target: String, batch: Seq[String]): Unit = {
     val payload = format.headerLines(columns, columnTypes) ++ batch
     val sql = s"INSERT INTO $target FORMAT ${format.name}\n" + payload.mkString("\n")
-    val st = connection().createStatement()
-    try st.execute(sql)
-    finally st.close()
+    ConnectionPool.withConnection(poolKey, open _) { conn =>
+      val st = conn.createStatement()
+      try st.execute(sql)
+      finally st.close()
+    }
   }
 
-  /** Called once per partition-task by DirectSink. */
-  override def close(): Unit =
-    if (conn != null && !conn.isClosed) conn.close()
+  /** Per-task close is a no-op by design: the pool is executor-wide.
+    * Job teardown calls [[ConnectionPool.closeAll]] with the same key.
+    */
+  override def close(): Unit = ()
+
+  /** Drain this executor's idle pool for the sink's URL. */
+  def shutdownPool(): Unit = ConnectionPool.closeAll(poolKey)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.config.LoaderConfig
+import graft.config.{LoaderConfig, WireFormat}
 import graft.sinks._
 import org.apache.spark.sql.functions._
 
@@ -112,5 +112,83 @@ class SinkSpec extends SparkSpec {
     assert(spark.table("staged.target").count() == 3)
     assert(!spark.catalog.tableExists("temp_staged_target_job1"))
     assert(!spark.catalog.tableExists("temp_staged_target_job2"))
+  }
+
+  // ---- JDBC executor: pooling + statement protocol against a fake
+  // driver (no endpoint in this environment) --------------------------
+
+  private class FakeDriver {
+    val opened = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sqls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    var failNext = false
+
+    def newConnection(): java.sql.Connection = {
+      opened.incrementAndGet()
+      val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      java.lang.reflect.Proxy.newProxyInstance(
+        getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+        (_, m, _) => m.getName match {
+          case "isClosed" => java.lang.Boolean.valueOf(closed.get())
+          case "close"    => closed.set(true); null
+          case "createStatement" =>
+            java.lang.reflect.Proxy.newProxyInstance(
+              getClass.getClassLoader, Array(classOf[java.sql.Statement]),
+              (_, sm, sargs) => sm.getName match {
+                case "execute" =>
+                  if (failNext) { failNext = false; throw new java.sql.SQLException("boom") }
+                  sqls.add(sargs(0).asInstanceOf[String])
+                  java.lang.Boolean.TRUE
+                case "close" => null
+                case _       => null
+              })
+          case _ => null
+        }).asInstanceOf[java.sql.Connection]
+    }
+  }
+
+  test("JDBC executor reuses one pooled connection across batches, per URL") {
+    import graft.sinks.{ConnectionPool, JdbcFormatInsertExecutor}
+    val drv = new FakeDriver
+    val url = "jdbc:fake://pool-reuse"
+    val ex = new JdbcFormatInsertExecutor(url, "u", "p", WireFormat.TabSeparated,
+      connectionFactory = () => drv.newConnection())
+    (1 to 5).foreach(i => ex.execute("db.t", Seq(s"$i\ta")))
+    assert(drv.opened.get() == 1, s"sequential batches must share a connection, opened=${drv.opened}")
+    assert(drv.sqls.size == 5)
+    assert(drv.sqls.peek().startsWith("INSERT INTO db.t FORMAT TabSeparated\n"))
+    assert(ConnectionPool.idleCount(s"$url u") == 1)
+    ex.shutdownPool()
+    assert(ConnectionPool.idleCount(s"$url u") == 0)
+  }
+
+  test("JDBC executor emits WithNames headers ahead of the rows") {
+    import graft.sinks.JdbcFormatInsertExecutor
+    val drv = new FakeDriver
+    val ex = new JdbcFormatInsertExecutor("jdbc:fake://hdr", "u", "p",
+      WireFormat.TabSeparatedWithNamesAndTypes,
+      columns = Seq("id", "name"), columnTypes = Seq("Int64", "String"),
+      connectionFactory = () => drv.newConnection())
+    ex.execute("db.t", Seq("1\ta", "2\tb"))
+    val sql = drv.sqls.peek()
+    assert(sql == "INSERT INTO db.t FORMAT TabSeparatedWithNamesAndTypes\n" +
+      "id\tname\nInt64\tString\n1\ta\n2\tb", sql)
+    ex.shutdownPool()
+  }
+
+  test("JDBC executor closes (not pools) a connection whose batch failed") {
+    import graft.sinks.{ConnectionPool, JdbcFormatInsertExecutor}
+    val drv = new FakeDriver
+    val url = "jdbc:fake://pool-fail"
+    val ex = new JdbcFormatInsertExecutor(url, "u", "p", WireFormat.TabSeparated,
+      connectionFactory = () => drv.newConnection())
+    ex.execute("db.t", Seq("1\ta"))
+    drv.failNext = true
+    intercept[java.sql.SQLException](ex.execute("db.t", Seq("2\tb")))
+    // failed connection was closed and NOT returned to the pool
+    assert(ConnectionPool.idleCount(s"$url u") == 0)
+    // retry path opens a fresh one and succeeds
+    ex.execute("db.t", Seq("3\tc"))
+    assert(drv.opened.get() == 2)
+    ex.shutdownPool()
   }
 }
