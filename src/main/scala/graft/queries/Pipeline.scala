@@ -109,8 +109,8 @@ object Pipeline {
     },
 
     // Duplicate-cluster assignment: connected components over the
-    // exact jaccard pairs (rows-only; pinned vs driver-side union-find
-    // in DedupSpec).
+    // exact jaccard pairs (oracled via a DuckDB recursive CTE; also
+    // pinned vs driver-side union-find in DedupSpec).
     "q44_dedup_clusters" -> { (s, dir) =>
       import s.implicits._
       val pairs = Dedup.ngramJaccardPairs(Tables(s, dir).documents, "doc_id", "text", 3, 0.8)
@@ -269,6 +269,32 @@ object Pipeline {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY a, b""".stripMargin,
+
+    // Connected components as a recursive CTE: `walk` enumerates every
+    // label reachable from each doc over the near-dup edge set (UNION
+    // dedups, so it terminates at the transitive closure); min per doc
+    // is exactly the min-label-propagation fixpoint clusterReps
+    // converges to.
+    "q44_dedup_clusters" ->
+      """WITH RECURSIVE sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
+        |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM inter
+        |          JOIN sizes sa ON a = sa.doc_id
+        |          JOIN sizes sb ON b = sb.doc_id
+        |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |walk(doc, lbl) AS (
+        |  SELECT DISTINCT x, x FROM edges
+        |  UNION
+        |  SELECT e.x, w.lbl FROM edges e JOIN walk w ON e.y = w.doc
+        |)
+        |SELECT doc, min(lbl) AS cluster_rep FROM walk GROUP BY doc
+        |ORDER BY doc""".stripMargin,
 
     "q37_text_langid" ->
       """SELECT lang,
