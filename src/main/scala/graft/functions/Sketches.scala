@@ -103,6 +103,25 @@ object SketchOps {
     new GenericArrayData(out)
   }
 
+  /** Intersection size of two sorted, duplicate-free long arrays
+    * (one linear merge pass).
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** 64-bit SimHash of a whitespace-tokenized document. */
   def simHash64(v: UTF8String): Long = {
     val tokens = v.toString.split(" ", -1)
@@ -197,6 +216,31 @@ object LshBuckets {
   /** Deterministic ±1 hyperplane component for (table, plane, dim). */
   def planeSign(table: Int, plane: Int, dim: Int): Int =
     if ((Murmur3.hash64(s"$table:$plane:$dim") & 1L) == 0L) -1 else 1
+}
+
+/** Intersection size of two sorted duplicate-free `array<long>`
+  * columns — the exact-verification primitive of the jaccard dedup
+  * paths. One linear merge per row, inside whole-stage codegen; the
+  * alternative (explode both sides + equi-join + count) shuffles every
+  * shingle of every candidate pair.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchOps.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchOps.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+}
+
+object SortedIntersectCount {
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
 }
 
 /** Shared 64-bit mixing for sketches (splitmix64 finalizer — public

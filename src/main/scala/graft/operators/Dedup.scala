@@ -35,6 +35,16 @@ object Dedup {
     df.select(col(idCol).as("doc"),
         explode(graft.functions.ShingleHash64.shingle_hashes(col(textCol), n)).as("h"))
 
+  /** Per-doc SORTED shingle-hash array — one narrow map-side row per
+    * doc. This is the frame worth reusing across dedup stages: sizes
+    * are `size(hs)`, the inverted index is one explode away, and exact
+    * verification is a per-pair sorted merge — no shuffled
+    * shingle-level state anywhere.
+    */
+  def docShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+      sort_array(graft.functions.ShingleHash64.shingle_hashes(col(textCol), n)).as("hs"))
+
   /** Exact n-gram Jaccard similar pairs (a < b, jaccard >= threshold),
     * via PREFIX FILTERING (the PPJoin-family bound, Xiao et al.,
     * WWW'08 — public algorithm): order every doc's shingles by a
@@ -55,14 +65,20 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
-    val sizes = sh.groupBy($"doc").agg(count(lit(1)).as("sz"))
+    val docsh = docShingles(df, idCol, textCol, n)
+    val sh = docsh.select($"doc", explode($"hs").as("h"))
+    val sizes = docsh.select($"doc", size($"hs").cast("long").as("sz"))
     val prefix = prefixIndex(sh, sizes, threshold)
+    // candidate pairs from the prefix inverted index, with the PPJoin
+    // LENGTH filter: jaccard >= t forces t·max(sa,sb) <= min(sa,sb),
+    // so size-skewed pairs are dropped before the distinct/verify.
     val cands = prefix.as("x").join(prefix.as("y"),
-        col("x.h") === col("y.h") && col("x.doc") < col("y.doc"))
+        col("x.h") === col("y.h") && col("x.doc") < col("y.doc") &&
+          col("x.sz") * threshold <= col("y.sz") &&
+          col("y.sz") * threshold <= col("x.sz"))
       .select(col("x.doc").as("a"), col("y.doc").as("b"))
       .distinct()
-    verifyJaccard(cands, sh, sizes, threshold)
+    verifyJaccardArrays(cands, docsh, threshold)
   }
 
   /** Rarest-first prefix of each doc's shingle set (see
@@ -77,27 +93,29 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .join(sizes, "doc")
       .filter($"rn" <= $"sz" - ceil($"sz" * threshold) + 1)
-      .select($"doc", $"h")
+      .select($"doc", $"h", $"sz")
   }
 
-  /** Exact jaccard over candidate pairs only: intersection counts via
-    * a shingle equi-join restricted to candidates, then the
-    * |A∩B| / (|A|+|B|-|A∩B|) filter. Shared by the exact prefix path
-    * and the minhash-LSH path (both always verify on FULL sets).
+  /** Exact jaccard over candidate pairs only: two doc-keyed joins
+    * attach each side's sorted shingle ARRAY, then intersection size
+    * is one linear merge per pair
+    * ([[graft.functions.SortedIntersectCount]]) — fully inside
+    * codegen. Shared by the exact prefix path and the minhash-LSH path
+    * (both always verify on FULL sets). The exploded alternative
+    * (shingle equi-join + count) shuffles |pair|·|set| rows; this
+    * shuffles |pairs| + 2·|docs|.
     */
-  private def verifyJaccard(cands: DataFrame, sh: DataFrame,
-      sizes: DataFrame, threshold: Double): DataFrame = {
-    val inter = cands
-      .join(sh.as("x"), $"a" === col("x.doc"))
-      .join(sh.as("y"), $"b" === col("y.doc") && col("x.h") === col("y.h"))
-      .groupBy($"a", $"b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sa"), "a")
-      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "sb"), "b")
-      .withColumn("jaccard", $"i".cast("double") / ($"sa" + $"sb" - $"i"))
+  private def verifyJaccardArrays(cands: DataFrame, docsh: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(docsh.select($"doc".as("a"), $"hs".as("x_hs")), "a")
+      .join(docsh.select($"doc".as("b"), $"hs".as("y_hs")), "b")
+      .withColumn("i", graft.functions.SortedIntersectCount
+        .sorted_intersect_count($"x_hs", $"y_hs"))
+      .withColumn("jaccard",
+        $"i".cast("double") / (size($"x_hs") + size($"y_hs") - $"i"))
       .filter($"jaccard" >= threshold)
       .select($"a", $"b", $"jaccard")
-  }
 
   /** MinHash signatures: one row per doc with a k-slot `sig` array —
     * a single map-side pass ([[graft.functions.MinHashSig]] over the
@@ -149,12 +167,13 @@ object Dedup {
       s"signature length k=$k must be divisible by bands=$bands — " +
         "otherwise the trailing k % bands slots are silently ignored and " +
         "recall drops below the documented 1-(1-j^r)^b bound")
-    val sh = shingles(df, idCol, textCol, n).cache()
+    val docsh = docShingles(df, idCol, textCol, n)
     val sigs = maxDocFreq match {
       case None =>
         minhashSignatures(df, idCol, textCol, n, k)
       case Some(cap) =>
         // signatures over the rare-shingle subset only
+        val sh = docsh.select($"doc", explode($"hs").as("h"))
         val rare = sh.groupBy($"h").agg(count(lit(1)).as("df_"))
           .filter($"df_" <= cap).select($"h")
         sh.join(rare, "h")
@@ -162,9 +181,8 @@ object Dedup {
           .select($"doc", graft.functions.MinHashSig.minhash_sig($"hs", k).as("sig"))
     }
     val cands = lshCandidates(sigs, bands, k / bands)
-    val sizes = sh.groupBy($"doc").agg(count(lit(1)).as("sz"))
     // exact verify on candidates only — always over the FULL shingle sets
-    verifyJaccard(cands, sh, sizes, threshold)
+    verifyJaccardArrays(cands, docsh, threshold)
   }
 
   /** 64-bit SimHash over word tokens (bag-weighted): bit i of the
