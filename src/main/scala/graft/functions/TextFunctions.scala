@@ -88,4 +88,31 @@ object TextFunctions {
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L),
       (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  // ---- PII redaction -------------------------------------------------
+
+  /** Patterns restricted to constructs with identical semantics in
+    * Java regex and RE2-family engines (char classes, `\b`, bounded
+    * repetition) so the oracle SQL is the same pattern verbatim.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val DigitRunRe = "\\b\\d{7,}\\b"
+
+  /** Training-data PII scrub: mask emails, IPv4 addresses, then long
+    * digit runs (phone/account numbers). Order matters — emails may
+    * embed digits and dots, IPs must be masked before the bare
+    * digit-run pass. Pure map-side `regexp_replace` chain (global
+    * replacement in both Spark and the oracle).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      DigitRunRe, "<NUM>")
+
+  /** Did any PII pattern fire? (cheap pre-filter for audit counts). */
+  def hasPii(text: Column): Column =
+    text.rlike(EmailRe) || text.rlike(Ipv4Re) || text.rlike(DigitRunRe)
 }

@@ -185,6 +185,25 @@ object Dedup {
     verifyJaccardArrays(cands, docsh, threshold)
   }
 
+  /** Benchmark decontamination scan: for every corpus doc, the number
+    * of distinct word n-grams it shares with an eval/benchmark set —
+    * the screen a training pipeline runs before a corpus ships.
+    * Shape: the eval side collapses to its distinct shingle hashes
+    * (tiny — benchmarks are small), the corpus side streams through
+    * one inverted-index equi-join on the hash; with a small eval set
+    * the join broadcasts, so the corpus is ONE narrow pass — the same
+    * machinery as dedup candidate generation, pointed at a reference
+    * set. Returns (doc_id, n_shared) for contaminated docs only.
+    */
+  def contaminationScan(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val c = shingles(corpus, idCol, textCol, n)
+    val e = shingles(evalSet, idCol, textCol, n).select($"h").distinct()
+    c.join(e, "h")
+      .groupBy($"doc").agg(count(lit(1)).as("n_shared")) // h pre-distinct per doc
+      .select($"doc".as("doc_id"), $"n_shared")
+  }
+
   /** 64-bit SimHash over word tokens (bag-weighted): bit i of the
     * sketch is the sign of Σ_tokens count · (±1 per token-hash bit i).
     * One map-side pass per doc ([[graft.functions.SimHash64]]).

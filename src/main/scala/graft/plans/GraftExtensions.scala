@@ -17,6 +17,9 @@ import org.apache.spark.sql.graft.Bridge
   *   graft_qdot(a, b)           — integer dot product of array<bigint>
   *   graft_shingle_hashes(t, n) — distinct word n-gram shingle hashes
   *   graft_minhash_sig(hs, k)   — MinHash signature array
+  *   graft_band_buckets(sig, b, r) — LSH band buckets of a signature
+  *   graft_fingerprint(text)    — rolling polynomial fingerprint
+  *   graft_sorted_intersect(a, b) — |A∩B| of sorted arrays (merge)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -45,7 +48,11 @@ object GraftExtensions {
     "graft_shingle_hashes" -> (es =>
       ShingleHash64(es.head, intArg(es(1), "shingle width n"))),
     "graft_minhash_sig" -> (es =>
-      MinHashSig(es.head, intArg(es(1), "signature size k"))))
+      MinHashSig(es.head, intArg(es(1), "signature size k"))),
+    "graft_band_buckets" -> (es =>
+      BandBuckets(es.head, intArg(es(1), "bands"), intArg(es(2), "rowsPerBand"))),
+    "graft_fingerprint" -> (es => Fingerprint64(es.head)),
+    "graft_sorted_intersect" -> (es => SortedIntersectCount(es.head, es(1))))
 
   /** Register on an already-built session (tests, driver sessions). */
   def register(spark: SparkSession): Unit =

@@ -181,6 +181,55 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // PII scrub: map-side regexp masking (emails/IPs/digit runs).
+    // Identity on this synthetic corpus — the masking behavior itself
+    // is pinned on real PII strings in TextFunctionsSpec; this gate
+    // proves the full-corpus plumbing and the cross-engine regex
+    // semantics.
+    "q65_pii_redact" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"doc_id", redactPii($"text").as("text_clean"),
+          hasPii($"text").as("had_pii"))
+        .orderBy($"doc_id")
+    },
+
+    // Benchmark decontamination: corpus docs sharing any 4-gram with
+    // the held-out eval slice (doc_id % 97 == 0), with the shared
+    // distinct-gram count.
+    "q66_decontaminate" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      Dedup.contaminationScan(
+          docs.filter($"doc_id" % 97 =!= 0),
+          docs.filter($"doc_id" % 97 === 0),
+          "doc_id", "text", n = 4)
+        .orderBy($"doc_id")
+    },
+
+    // Repetition/quality signals (Gopher-style): distinct-token ratio,
+    // top-token fraction (two partial-aggregated shuffles), duplicate
+    // trigram fraction (map-side via the distinct shingle count).
+    "q67_repetition" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val tokStats = docs
+        .select($"doc_id", explode(tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(
+          sum($"c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max($"c").as("top_c"))
+        .select($"doc_id",
+          ($"n_distinct".cast("double") / $"n_tokens").as("distinct_ratio"),
+          ($"top_c".cast("double") / $"n_tokens").as("top_token_frac"))
+      val triStats = docs.select($"doc_id",
+        (lit(1.0) -
+          size(graft.functions.ShingleHash64.shingle_hashes($"text", 3)).cast("double") /
+            (size(tokens($"text")) - 2)).as("dup_trigram_frac"))
+      tokStats.join(triStats, "doc_id").orderBy($"doc_id")
+    },
+
     // Group-level MinHash signatures (distributed mergeable aggregate)
     // + pairwise estimated jaccard between sources (rows-only; pinned
     // against exact group-union jaccard in MinHashAggSpec).
@@ -295,6 +344,47 @@ object Pipeline {
         |)
         |SELECT doc, min(lbl) AS cluster_rep FROM walk GROUP BY doc
         |ORDER BY doc""".stripMargin,
+
+    "q65_pii_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |  '\b\d{7,}\b', '<NUM>', 'g') AS text_clean,
+        | (regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |  OR regexp_matches(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')
+        |  OR regexp_matches(text, '\b\d{7,}\b')) AS had_pii
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q66_decontaminate" ->
+      """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        sp[i.g]||' '||sp[i.g+1]||' '||sp[i.g+2]||' '||sp[i.g+3] AS gram
+        |      FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-3)) AS g) i),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM g JOIN ev USING (gram)
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q67_repetition" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS nd, max(c) AS topc
+        |      FROM c GROUP BY 1),
+        |sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+        |tr AS (SELECT doc_id,
+        |         count(DISTINCT sp[i.g]||' '||sp[i.g+1]||' '||sp[i.g+2]) AS ndt,
+        |         len(sp) - 2 AS nt
+        |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i
+        |       GROUP BY doc_id, len(sp))
+        |SELECT s.doc_id,
+        |  CAST(nd AS DOUBLE) / n AS distinct_ratio,
+        |  CAST(topc AS DOUBLE) / n AS top_token_frac,
+        |  1.0 - CAST(ndt AS DOUBLE) / nt AS dup_trigram_frac
+        |FROM s JOIN tr ON s.doc_id = tr.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q37_text_langid" ->
       """SELECT lang,

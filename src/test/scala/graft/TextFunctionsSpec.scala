@@ -65,4 +65,25 @@ class TextFunctionsSpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
     }
   }
+
+  test("PII redaction masks emails, IPs, digit runs — and only those") {
+    import spark.implicits._
+    val cases = Seq(
+      ("contact bob.smith+spam@example.co.uk for details",
+        "contact <EMAIL> for details"),
+      ("server at 192.168.001.1 and 10.0.0.255 responded",
+        "server at <IP> and <IP> responded"),
+      ("call 5551234567 ext 42", "call <NUM> ext 42"),
+      ("a@b.io then 1.2.3.4 then 99999999", "<EMAIL> then <IP> then <NUM>"),
+      // negatives: short digit runs, bare domains, version-ish dotted
+      // numbers with <4 octets stay untouched
+      ("version 1.2.3 build 123456 at example.com stays",
+        "version 1.2.3 build 123456 at example.com stays"))
+    val got = cases.map(_._1).toDF("t")
+      .select(TextFunctions.redactPii(col("t"))).collect().map(_.getString(0))
+    got.zip(cases.map(_._2)).foreach { case (g, want) => assert(g == want) }
+    val flags = cases.map(_._1).toDF("t")
+      .select(TextFunctions.hasPii(col("t"))).collect().map(_.getBoolean(0))
+    assert(flags.toSeq == Seq(true, true, true, true, false))
+  }
 }
