@@ -242,6 +242,61 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("streaming dedup: first arrival per key wins, state evicted by watermark") {
+    import graft.streaming.StreamDedup
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths}
+    val minMs = 60000L
+    val base = 1609459200000L
+    val dir = JFiles.createTempDirectory("graft-sdedup")
+    def write(name: String, rows: Seq[(Long, String, Long)], mtime: Long): Unit = {
+      val tmp = JFiles.createTempDirectory("graft-sdedup-w").toString
+      rows.toDF("k", "payload", "tms")
+        .select($"k", $"payload", timestamp_millis($"tms").as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = JFiles.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = dir.resolve(name)
+      JFiles.move(part, dest)
+      JFiles.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // b1: keys 1,2 (+ an in-batch duplicate of 1). b2: a re-delivery of
+    // key 2 INSIDE the 10-min watermark horizon (must be dropped) and a
+    // new key 3 far ahead (advances the watermark past keys 1,2).
+    // b3: filler key 4 — state eviction uses the watermark as of the
+    // PREVIOUS batch's end, so one more batch must elapse before keys
+    // 1,2 are physically removed. b4: key 1 again, now with its state
+    // gone — it re-emits: exactly the "no dups within the delay"
+    // contract (re-deliveries are suppressed, ancient repeats are new).
+    write("b1.parquet", Seq((1L, "first", base), (1L, "dup-in-batch", base + minMs),
+      (2L, "first", base)), 1000000L)
+    write("b2.parquet", Seq((2L, "redelivery", base + 5 * minMs),
+      (3L, "first", base + 120 * minMs)), 2000000L)
+    write("b3.parquet", Seq((4L, "first", base + 130 * minMs)), 3000000L)
+    write("b4.parquet", Seq((1L, "late-again", base + 200 * minMs)), 4000000L)
+
+    val stream = spark.readStream.schema("k BIGINT, payload STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withWatermark("ts", "10 minutes")
+    val q = StreamDedup.dedupWithinWatermark(stream, Seq("k"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("sdedup_out")
+      .select($"k", $"payload").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "first"), (2L, "first"), (3L, "first"), (4L, "first"),
+      (1L, "late-again")), s"got $got")
+    val removed = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsRemoved).sum
+    assert(removed >= 2, s"watermark must evict dedup state, removed=$removed")
+  }
+
   test("multimodal feature extraction matches the column-level formula") {
     import graft.operators.Multimodal
     val media = Multimodal.asBinaryFrame(Tables(spark, sf).documents, "doc_id", "text")
