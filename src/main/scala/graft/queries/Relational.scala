@@ -288,6 +288,21 @@ object Relational {
     // Range (interval) join via bin-bucketized equi-join
     // (graft.operators.RangeJoin): parts matched into size bands;
     // oracled by DuckDB's non-equi join.
+    // Salted-join skew mitigation gate: the big side's key is sprayed
+    // across 8 salts, the small side replicated ×8, and the oracle
+    // runs the UNSALTED plain join — the result must be identical
+    // (that is the whole point of salting).
+    "q68_salted_join" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+        .select($"l_partkey".as("partkey"), $"l_quantity")
+      val p = Tables(s, dir).part.select($"p_partkey".as("partkey"), $"p_brand")
+      graft.operators.Skew.saltedJoin(li, p, "partkey", "partkey", saltFactor = 8)
+        .groupBy($"p_brand")
+        .agg(Parity.sumD($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy($"p_brand")
+    },
+
     "q54_range_join" -> { (s, dir) =>
       import s.implicits._
       val bands = s.createDataFrame(Seq(
@@ -626,6 +641,14 @@ object Relational {
         |WHERE c_custkey < 200
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q68_salted_join" ->
+      """SELECT p_brand,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
 
     "q54_range_join" ->
       """WITH bands(band, lo, hi) AS (VALUES
