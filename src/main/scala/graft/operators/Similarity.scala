@@ -66,14 +66,27 @@ object Similarity {
     * vectors ≈ 50 MB).
     */
   def nearestNeighbor(corpus: DataFrame, nBlocks: Int = 32): DataFrame = {
+    // Upper-triangle tiling (same scheme as [[thresholdPairs]]): each
+    // unordered pair's dot product is computed ONCE, then both
+    // directions are emitted from the same row via explode — the
+    // follow-up shuffle carries narrow (vec, nn, cos) rows into a
+    // map-side partial argmax. Halves the dot products vs. the full
+    // n² pairing without recomputing the join per direction.
+    val blk = pmod($"vid", lit(nBlocks)).cast("int")
     val left = corpus
-      .select($"vid".as("x"), $"qv".as("x_qv"), $"nrm".as("x_nrm"))
-      .withColumn("j", explode(sequence(lit(0), lit(nBlocks - 1))))
-    val right = corpus.select($"vid".as("y"), $"qv".as("y_qv"), $"nrm".as("y_nrm"),
-      pmod($"vid", lit(nBlocks)).cast("int").as("y_blk"))
-    left.join(right, $"j" === $"y_blk" && $"x" =!= $"y")
-      .select($"x".as("vec_id"), $"y".as("nn"),
-        cosineQ($"x_qv", $"y_qv", $"x_nrm", $"y_nrm").as("cos"))
+      .select($"vid".as("x"), $"qv".as("x_qv"), $"nrm".as("x_nrm"), blk.as("x_blk"))
+      .withColumn("j", explode(sequence($"x_blk", lit(nBlocks - 1))))
+    val right = corpus
+      .select($"vid".as("y"), $"qv".as("y_qv"), $"nrm".as("y_nrm"), blk.as("y_blk"))
+      .withColumn("i", explode(sequence(lit(0), $"y_blk")))
+    left.join(right,
+        $"x_blk" === $"i" && $"j" === $"y_blk" &&
+          ($"x_blk" =!= $"y_blk" || $"x" < $"y"))
+      .select($"x", $"y", cosineQ($"x_qv", $"y_qv", $"x_nrm", $"y_nrm").as("cos"))
+      .select(explode(array(
+          struct($"x".as("vec_id"), $"y".as("nn"), $"cos"),
+          struct($"y".as("vec_id"), $"x".as("nn"), $"cos"))).as("d"))
+      .select($"d.vec_id".as("vec_id"), $"d.nn".as("nn"), $"d.cos".as("cos"))
       .groupBy($"vec_id")
       .agg(max(struct($"cos", (-$"nn").as("neg"))).as("best"))
       .select($"vec_id", (-$"best.neg").as("nn_id"), $"best.cos".as("cos"))
