@@ -70,6 +70,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), s"transform should be one codegen stage:\n$p")
   }
 
+  test("q66 decontamination broadcasts the eval side (corpus never shuffles)") {
+    val p = plan(graft.queries.Pipeline.queries("q66_decontaminate")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"eval side should broadcast:\n$p")
+  }
+
+  test("q68 salted join has no nested-loop and keeps partial aggregation") {
+    val p = plan(Relational.queries("q68_salted_join")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"salted join must stay an equi-join:\n$p")
+    assert(p.contains("partial_"), s"expected map-side partial agg:\n$p")
+  }
+
+  test("q31 exact-jaccard verify is array-merge (no pair-level shingle explode)") {
+    val df = graft.operators.Dedup.ngramJaccardPairs(
+      Tables(spark, sf).documents, "doc_id", "text", 3, 0.8)
+    val p = plan(df)
+    assert(p.contains("sortedintersectcount") || p.contains("SortedIntersectCount"),
+      s"verification should use the sorted-merge expression:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs join:\n$p")
+  }
+
   test("sketch expressions stay inside whole-stage codegen") {
     import graft.functions.{BandBuckets, SimHash64, Fingerprint64}
     import org.apache.spark.sql.functions._
