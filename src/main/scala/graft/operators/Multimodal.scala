@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, batch-decoded per partition.
   *
   * The Spark-side machinery (schema, partition-batched processing,
-  * typed output) is real; the media decode itself is a deterministic
-  * STUB — image/audio codecs are not available in this environment, so
-  * `decodeStub` stands in for "call the codec on the byte payload"
-  * (clearly marked; swap the function body for a real decoder).
+  * typed output) is real. The decode step is REAL for self-contained
+  * header formats (BMP, PCM WAV — [[decodeBmp]]/[[decodeWav]], no
+  * codec library needed) and a deterministic STUB for jpeg/mp4-class
+  * formats whose codecs are not available in this environment
+  * (`decodeStub`, clearly marked; swap the body for a real codec).
   * At scale this runs embarrassingly parallel: one task per partition,
   * no shuffle, codec state initialized once per partition (the
   * mapPartitions pattern — the Scala analogue of `mapInPandas` batch
@@ -70,6 +71,94 @@ object Multimodal {
     (0 until n).map { i =>
       payload.slice(i * span, math.min((i + 1) * span, payload.length))
     }.filter(_.nonEmpty)
+  }
+
+  // ---- Real decoders for self-contained formats ----------------------
+  //
+  // BMP and WAV are fully specified header+payload formats needing no
+  // codec library, so the decode step is REAL for them (the stub
+  // remains the stand-in for jpeg/mp4-class formats whose codecs
+  // aren't in this environment). Dispatch is by magic bytes.
+
+  final case class MediaMeta(
+      doc_id: Long, kind: String, width: Int, height: Int,
+      sample_rate: Int, duration_ms: Long, rms: Double, n_bytes: Long)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** BMP header parse: (width, height, bitsPerPixel). */
+  def decodeBmp(p: Array[Byte]): Option[(Int, Int, Int)] =
+    if (p.length >= 30 && p(0) == 'B' && p(1) == 'M')
+      Some((le32(p, 18), le32(p, 22), le16(p, 28)))
+    else None
+
+  /** RIFF/WAVE parse: walks chunks for `fmt ` + `data`, returns
+    * (sampleRate, durationMs, RMS of 16-bit PCM samples). Only
+    * uncompressed PCM16 is handled — anything else is "not ours".
+    */
+  def decodeWav(p: Array[Byte]): Option[(Int, Long, Double)] = {
+    if (p.length < 44 || tag(p, 0) != "RIFF" || tag(p, 8) != "WAVE") return None
+    var o = 12
+    var rate = 0
+    var channels = 0
+    var bits = 0
+    var rms = 0.0
+    var nSamples = 0L
+    while (o + 8 <= p.length) {
+      val id = tag(p, o)
+      val sz = le32(p, o + 4)
+      if (id == "fmt " && o + 24 <= p.length) {
+        if (le16(p, o + 8) != 1) return None // not PCM
+        channels = le16(p, o + 10)
+        rate = le32(p, o + 12)
+        bits = le16(p, o + 22)
+      } else if (id == "data" && bits == 16 && channels > 0) {
+        val end = math.min(p.length, o + 8 + sz)
+        var i = o + 8
+        var sumSq = 0.0
+        var n = 0L
+        while (i + 1 < end) {
+          val s = le16(p, i).toShort.toDouble
+          sumSq += s * s
+          n += 1
+          i += 2
+        }
+        if (n > 0) rms = math.sqrt(sumSq / n)
+        nSamples = n / math.max(1, channels)
+      }
+      o += 8 + sz + (sz & 1) // RIFF chunks are 2-byte aligned
+    }
+    if (rate > 0 && bits == 16) Some((rate, nSamples * 1000L / rate, rms))
+    else None
+  }
+
+  /** Partition-batched media probe: real header/payload decode for
+    * BMP and PCM WAV, stub passthrough ("bin") for everything else.
+    * Same mapPartitions shape as [[extractFeatures]].
+    */
+  def probeMedia(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.payload
+        decodeBmp(p) match {
+          case Some((w, h, _)) =>
+            MediaMeta(r.doc_id, "bmp", w, h, 0, 0L, 0.0, p.length.toLong)
+          case None => decodeWav(p) match {
+            case Some((rate, durMs, rms)) =>
+              MediaMeta(r.doc_id, "wav", 0, 0, rate, durMs, rms, p.length.toLong)
+            case None =>
+              MediaMeta(r.doc_id, "bin", 0, 0, 0, 0L, 0.0, p.length.toLong)
+          }
+        }
+      }
+    }
   }
 
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte], n_bytes: Long)

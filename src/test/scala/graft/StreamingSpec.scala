@@ -307,6 +307,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("multimodal probe really decodes BMP and PCM WAV headers") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    // minimal 24bpp BMP header (no pixel data needed for the probe)
+    val bmp = ascii("BM") ++ le32(54) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(640) ++ le32(480) ++ le16(1) ++ le16(24) ++
+      Array.fill[Byte](24)(0)
+    // 8kHz mono PCM16 WAV with 4 samples of amplitude 1000
+    val samples = Array(1000, 1000, 1000, 1000).flatMap(le16)
+    val wav = ascii("RIFF") ++ le32(36 + samples.length) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      ascii("data") ++ le32(samples.length) ++ samples
+    val junk = Array[Byte](1, 2, 3, 4)
+    val media = Seq((1L, bmp), (2L, wav), (3L, junk)).toDF("doc_id", "payload")
+    val metas = Multimodal.probeMedia(spark, media).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(metas(1L).kind == "bmp" && metas(1L).width == 640 && metas(1L).height == 480)
+    assert(metas(2L).kind == "wav" && metas(2L).sample_rate == 8000)
+    assert(metas(2L).duration_ms == 0L || metas(2L).duration_ms == (4 * 1000L / 8000)) // 0ms at 4 samples
+    assert(math.abs(metas(2L).rms - 1000.0) < 1e-9)
+    assert(metas(3L).kind == "bin" && metas(3L).n_bytes == 4)
+  }
+
   test("multimodal resize + frame sampling keeps batch shape and budgets") {
     import graft.operators.Multimodal
     val media = Multimodal.asBinaryFrame(
