@@ -128,18 +128,28 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, dim: Int, nPlanes: Int, k: Int,
       nTables: Int = 8): DataFrame = {
-    val bucketed = corpus.select($"vid", $"qv", $"nrm",
+    // Bucket join carries only ids; a pair colliding in m of the
+    // nTables tables appears m times, so the distinct runs on NARROW
+    // (query, cand) rows and the cosine is computed once per unique
+    // pair after re-attaching vectors via two id-keyed joins (small
+    // dim tables broadcast; at corpus scale they are plain shuffled
+    // equi-joins — still linear).
+    val bucketed = corpus.select($"vid",
         posexplode(graft.functions.LshBuckets.lsh_buckets($"qv", nTables, nPlanes, dim)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bucket")
     val cands = bucketed.as("x").join(bucketed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vid") =!= col("y.vid"))
-      .select(col("x.vid").as("query_id"), col("y.vid").as("cand_id"),
-        cosineQ(col("x.qv"), col("y.qv"), col("x.nrm"), col("y.nrm")).as("cos"))
+      .select(col("x.vid").as("query_id"), col("y.vid").as("cand_id"))
       .distinct()
+    val scored = cands
+      .join(corpus.select($"vid".as("query_id"), $"qv".as("q_qv"), $"nrm".as("q_nrm")), "query_id")
+      .join(corpus.select($"vid".as("cand_id"), $"qv".as("c_qv"), $"nrm".as("c_nrm")), "cand_id")
+      .select($"query_id", $"cand_id",
+        cosineQ($"q_qv", $"c_qv", $"q_nrm", $"c_nrm").as("cos"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id")
-    cands.withColumn("rank", row_number().over(w).cast("long"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= k)
       .select($"query_id", $"rank", $"cand_id".as("neighbor_id"), $"cos")
   }
