@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Write-side small-file compaction — the complement of the
+  * reference's read-side split packing (`CombineTextInputFormat`,
+  * `ClickhouseHdfsLoader.java:161`): a 100 TB pipeline that emits
+  * thousands of small files per partition poisons every downstream
+  * scan (one task per file, metadata-bound planning).
+  *
+  * Spark-native levers, no custom writer needed:
+  *  - `maxRecordsPerFile` caps file size without a shuffle;
+  *  - `repartitionByRange(cols)` first clusters rows so each output
+  *    file covers a contiguous key range (min/max parquet footer
+  *    stats then prune downstream scans — poor man's Z-order for the
+  *    single-key case).
+  */
+object Compaction {
+
+  /** Rewrite `df` under `path` with at most `maxRecordsPerFile` rows
+    * per file, optionally range-clustered by `clusterBy` so footer
+    * stats are selective. `nFiles` bounds the pre-write partition
+    * count (≈ total/maxRecordsPerFile rounded up by the caller).
+    */
+  def compactTo(df: DataFrame, path: String, maxRecordsPerFile: Int,
+      nFiles: Int, clusterBy: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    val arranged =
+      if (clusterBy.nonEmpty)
+        df.repartitionByRange(nFiles, clusterBy.map(col): _*)
+      else df.repartition(nFiles)
+    arranged.write
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+}

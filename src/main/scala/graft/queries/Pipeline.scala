@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -181,6 +181,16 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // Deterministic train/valid/test split: the bucket is a pure
+    // arithmetic function of doc_id (reproducible across runs/engines,
+    // stable under data growth) — the oracle re-derives it exactly.
+    "q69_sample_split" -> { (s, dir) =>
+      import s.implicits._
+      Sampling.withSplit(Tables(s, dir).documents, "doc_id")
+        .groupBy($"source", $"split").agg(count(lit(1)).as("n"))
+        .orderBy($"source", $"split")
+    },
+
     // PII scrub: map-side regexp masking (emails/IPs/digit runs).
     // Identity on this synthetic corpus — the masking behavior itself
     // is pinned on real PII strings in TextFunctionsSpec; this gate
@@ -344,6 +354,16 @@ object Pipeline {
         |)
         |SELECT doc, min(lbl) AS cluster_rep FROM walk GROUP BY doc
         |ORDER BY doc""".stripMargin,
+
+    "q69_sample_split" ->
+      """SELECT source,
+        | CASE WHEN (doc_id % 1000003) * 31 % 1000 < 800 THEN 'train'
+        |      WHEN (doc_id % 1000003) * 31 % 1000 < 900 THEN 'valid'
+        |      ELSE 'test' END AS split,
+        | count(*) AS n
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY source, split""".stripMargin,
 
     "q65_pii_redact" ->
       """SELECT doc_id,
