@@ -181,6 +181,23 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // Heavy hitters (the engine-native `topK` analogue): top-3 tokens
+    // per source with deterministic ties. The window runs over the
+    // POST-aggregation (source × vocab) frame — corpus-size
+    // independent, so the per-source partition is never a skew risk.
+    "q70_top_tokens_per_source" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables(s, dir).documents
+        .select($"source", explode(tokens($"text")).as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"source").orderBy($"n".desc, $"tok")
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"source", $"rank", $"tok", $"n")
+        .orderBy($"source", $"rank")
+    },
+
     // Deterministic train/valid/test split: the bucket is a pure
     // arithmetic function of doc_id (reproducible across runs/engines,
     // stable under data growth) — the oracle re-derives it exactly.
@@ -354,6 +371,16 @@ object Pipeline {
         |)
         |SELECT doc, min(lbl) AS cluster_rep FROM walk GROUP BY doc
         |ORDER BY doc""".stripMargin,
+
+    "q70_top_tokens_per_source" ->
+      """WITH t AS (SELECT source, unnest(string_split(text,' ')) AS tok FROM documents),
+        |c AS (SELECT source, tok, count(*) AS n FROM t GROUP BY 1, 2)
+        |SELECT source, rank, tok, n FROM (
+        |  SELECT source, tok, n,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS BIGINT) AS rank
+        |  FROM c)
+        |WHERE rank <= 3
+        |ORDER BY source, rank""".stripMargin,
 
     "q69_sample_split" ->
       """SELECT source,
