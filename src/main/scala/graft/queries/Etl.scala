@@ -23,6 +23,22 @@ object Etl {
   private val cfg = LoaderConfig()
 
   val queries: Map[String, Q] = Map(
+    // ReplacingMergeTree-style upsert resolution: latest version per
+    // key from base ∪ updates, as one map-side-partial keyed argmax
+    // (no join, no full-union window) — see operators.Merge.
+    "q71_replacing_merge" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables(s, dir).orders.select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val base = o.withColumn("version", lit(1L)).withColumn("seq", lit(0L))
+      val updates = o.filter($"o_orderkey" % 10 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" * 2)
+        .withColumn("version", lit(2L)).withColumn("seq", lit(1L))
+      graft.operators.Merge
+        .replacingMerge(base, updates, Seq("o_orderkey"), "version", "seq")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice".as("price"), $"version")
+        .orderBy($"o_orderkey")
+    },
+
     // Ops #6+#7: null normalization (`null`/`\N` → type-aware
     // replacement) and sanitization (`\`→`/`, separator→space), exact
     // order of AbstractClickhouseLoaderMapper.java:189-201.
@@ -175,6 +191,18 @@ object Etl {
     })
 
   val oracles: Map[String, String] = Map(
+    "q71_replacing_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |              CAST(1 AS BIGINT) AS version FROM orders),
+        |upd AS (SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+        |        CAST(2 AS BIGINT) AS version FROM orders WHERE o_orderkey % 10 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+        |SELECT o_orderkey, o_custkey, o_totalprice AS price, version FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        |  FROM u)
+        |WHERE rn = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q20_null_normalize_sanitize" ->
       """SELECT s_null_str, s_null_num, s_backslash, s_sep, s_marker, count(*) AS n
         |FROM (SELECT
