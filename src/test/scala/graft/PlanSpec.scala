@@ -92,6 +92,12 @@ class PlanSpec extends SparkSpec {
       s"no all-pairs join:\n$p")
   }
 
+  test("q71 upsert resolution is a partial-aggregated argmax, not a window") {
+    val p = plan(graft.queries.Etl.queries("q71_replacing_merge")(spark, sf))
+    assert(p.contains("partial_"), s"expected map-side partial argmax:\n$p")
+    assert(!p.contains("Window"), s"no full-union window expected:\n$p")
+  }
+
   test("sketch expressions stay inside whole-stage codegen") {
     import graft.functions.{BandBuckets, SimHash64, Fingerprint64}
     import org.apache.spark.sql.functions._
