@@ -113,6 +113,10 @@ object Multimodal {
     while (o + 8 <= p.length) {
       val id = tag(p, o)
       val sz = le32(p, o + 4)
+      // malformed negative/overflowing chunk size would walk backwards
+      // (infinite loop) — a decoder fed arbitrary bytes must bail, not
+      // hang an executor
+      if (sz < 0) return None
       if (id == "fmt " && o + 24 <= p.length) {
         if (le16(p, o + 8) != 1) return None // not PCM
         channels = le16(p, o + 10)

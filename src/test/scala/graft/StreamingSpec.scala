@@ -333,6 +333,14 @@ class StreamingSpec extends SparkSpec {
     assert(metas(2L).duration_ms == 0L || metas(2L).duration_ms == (4 * 1000L / 8000)) // 0ms at 4 samples
     assert(math.abs(metas(2L).rms - 1000.0) < 1e-9)
     assert(metas(3L).kind == "bin" && metas(3L).n_bytes == 4)
+
+    // adversarial payload: RIFF/WAVE magic with a negative chunk size
+    // must classify as opaque binary, not hang the partition
+    val evil = ascii("RIFF") ++ le32(36) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32(-8) ++ Array.fill[Byte](8)(0)
+    val evilMeta = Multimodal.probeMedia(spark,
+      Seq((9L, evil)).toDF("doc_id", "payload")).collect().head
+    assert(evilMeta.kind == "bin")
   }
 
   test("multimodal resize + frame sampling keeps batch shape and budgets") {
