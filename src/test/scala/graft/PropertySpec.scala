@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.{SketchOps, TextFunctions}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import scala.util.Random
+
+/** Randomized (fixed-seed, reproducible) property checks for the
+  * native kernels — the single-pass JVM loops must agree with their
+  * obviously-correct reference formulations on arbitrary inputs, not
+  * just the corpus shapes the query gates exercise.
+  */
+class PropertySpec extends SparkSpec {
+
+  private val rnd = new Random(42)
+
+  private def randWords(n: Int): String =
+    Seq.fill(n)(("a" + rnd.nextInt(30)).toString).mkString(" ")
+
+  test("sortedIntersectCount equals set intersection on random sorted arrays") {
+    for (_ <- 1 to 300) {
+      val a = Array.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      val b = Array.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      val got = SketchOps.sortedIntersectCount(
+        new GenericArrayData(a), new GenericArrayData(b))
+      assert(got == a.toSet.intersect(b.toSet).size.toLong,
+        s"a=${a.toSeq} b=${b.toSeq}")
+    }
+  }
+
+  test("shingleHashes count equals distinct shingle-string count") {
+    for (_ <- 1 to 200) {
+      val text = randWords(rnd.nextInt(30))
+      val n = 1 + rnd.nextInt(4)
+      val hashes = SketchOps.shingleHashes(UTF8String.fromString(text), n)
+      val toks = text.split(" ", -1)
+      val want =
+        if (toks.length < n) 0
+        else toks.sliding(n).map(_.mkString(" ")).toSet.size
+      assert(hashes.numElements() == want, s"text='$text' n=$n")
+    }
+  }
+
+  test("minHashSig slots are monotone under element addition") {
+    // adding elements can only LOWER each signature slot (elementwise
+    // min) — the property LSH banding correctness rests on
+    for (_ <- 1 to 100) {
+      val xs = Array.fill(1 + rnd.nextInt(30))(rnd.nextLong())
+      val more = xs ++ Array.fill(1 + rnd.nextInt(10))(rnd.nextLong())
+      val k = 16
+      val s1 = SketchOps.minHashSig(new GenericArrayData(xs), k)
+      val s2 = SketchOps.minHashSig(new GenericArrayData(more), k)
+      for (i <- 0 until k)
+        assert(s2.getLong(i) <= s1.getLong(i))
+    }
+  }
+
+  test("PII redaction is idempotent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val samples = Seq(
+      "a@b.io mail", "ip 10.0.0.1 here", "num 123456789 x",
+      "mixed a@b.io 1.2.3.4 99999999", "clean text only", "1.2.3 v")
+    val once = samples.toDF("t").select(TextFunctions.redactPii(col("t")).as("r"))
+    val twice = once.select(TextFunctions.redactPii(col("r")))
+      .collect().map(_.getString(0))
+    assert(twice.toSeq == once.collect().map(_.getString(0)).toSeq)
+  }
+
+  test("sampling bucket stays in range and matches the oracle arithmetic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val keys = Seq.fill(500)(math.abs(rnd.nextLong() % 10000000L))
+    val got = keys.toDF("k")
+      .select(graft.operators.Sampling.bucket(col("k")))
+      .collect().map(_.getLong(0))
+    got.zip(keys).foreach { case (b, k) =>
+      assert(b >= 0 && b < 1000)
+      assert(b == k % 1000003L * 31L % 1000L, s"key $k")
+    }
+  }
+}
