@@ -55,6 +55,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix+length-filtered jaccard equals brute force on random corpora") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    for (round <- 1 to 3) {
+      val base = Seq.tabulate(30)(i => (i.toLong, randWords(8 + rnd.nextInt(15))))
+      // clones with one perturbed token → guaranteed high-jaccard pairs
+      val clones = base.take(10).map { case (id, t) =>
+        val toks = t.split(" ")
+        val j = rnd.nextInt(toks.length)
+        (id + 1000L, toks.updated(j, "zz" + rnd.nextInt(5)).mkString(" "))
+      }
+      val all = base ++ clones
+      val threshold = Seq(0.5, 0.7, 0.8)(rnd.nextInt(3))
+      val got = Dedup.ngramJaccardPairs(all.toDF("doc_id", "text"),
+          "doc_id", "text", 3, threshold)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = all.map { case (id, txt) =>
+        id -> txt.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      }
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia < ib && sa.nonEmpty && sb.nonEmpty
+        inter = sa.intersect(sb).size
+        if inter.toDouble / (sa.size + sb.size - inter) >= threshold
+      } yield (ia, ib)).toSet
+      assert(got == want,
+        s"round $round t=$threshold missed=${want -- got} spurious=${got -- want}")
+    }
+  }
+
   test("PII redaction is idempotent") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
