@@ -69,6 +69,24 @@ object Relational {
         .orderBy($"n_name")
     },
 
+    // Five-way star join (TPC-H Q5 shape): region+nation+customer
+    // broadcast as dims, orders⋈lineitem shuffles as facts — every
+    // harness table's lineage in one plan.
+    "q72_revenue_by_region" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(
+          sumRevenue($"l_extendedprice", $"l_discount").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"r_name")
+    },
+
     // groupArray analogue (reference emits `groupArray(host_address)`
     // over system.clusters — ClickhouseClient.java:124). Sorted +
     // joined to a string so the hash is order-insensitive.
@@ -490,6 +508,18 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+
+    "q72_revenue_by_region" ->
+      """SELECT r_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin,
 
     "q04_group_array" ->
       """SELECT n_regionkey,
