@@ -213,6 +213,20 @@ object Relational {
         .orderBy($"returnflag", $"linestatus")
     },
 
+    // CUBE completes the grouping-set family (rollup: q14): all four
+    // grouping combinations in one pass, marked via coalesce sentinels.
+    "q73_cube_agg" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sumD($"l_quantity").as("qty"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"n", $"qty")
+        .orderBy($"returnflag", $"linestatus")
+    },
+
     // Date arithmetic: year/month extraction, month truncation, dt-30d
     // (the reference does `dt - dailyExpires days` in Java Calendar —
     // OldDailyMergeTask.java:70-74).
@@ -609,6 +623,15 @@ object Relational {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q73_cube_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
 
     "q15_date_arith" ->
