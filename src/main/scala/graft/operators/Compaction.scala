@@ -12,8 +12,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   *  - `maxRecordsPerFile` caps file size without a shuffle;
   *  - `repartitionByRange(cols)` first clusters rows so each output
   *    file covers a contiguous key range (min/max parquet footer
-  *    stats then prune downstream scans — poor man's Z-order for the
-  *    single-key case).
+  *    stats then prune downstream scans). For TWO filter dimensions,
+  *    cluster by the Morton code instead —
+  *    `clusterBy = Seq("z")` after
+  *    `withColumn("z", ZOrder2.zorder($"x", $"y"))` — so both
+  *    columns' footer ranges stay selective in every file.
   */
 object Compaction {
 

@@ -52,7 +52,8 @@ object GraftExtensions {
     "graft_band_buckets" -> (es =>
       BandBuckets(es.head, intArg(es(1), "bands"), intArg(es(2), "rowsPerBand"))),
     "graft_fingerprint" -> (es => Fingerprint64(es.head)),
-    "graft_sorted_intersect" -> (es => SortedIntersectCount(es.head, es(1))))
+    "graft_sorted_intersect" -> (es => SortedIntersectCount(es.head, es(1))),
+    "graft_zorder" -> (es => ZOrder2(es.head, es(1))))
 
   /** Register on an already-built session (tests, driver sessions). */
   def register(spark: SparkSession): Unit =

@@ -101,6 +101,12 @@ object Sessionize {
   /** Production wiring: event-time timers evict idle users' state. The
     * input stream MUST carry a watermark (`withWatermark` upstream of
     * the `as[Event]` projection) — event-time timeout is driven by it.
+    *
+    * Contract note: once a user's state is evicted, a later return
+    * restarts their per-user session counter at 1 — downstream
+    * consumers must key sessions by (user_id, start_ms), not by the
+    * counter alone. (The unbounded [[streamingSessionize]] keeps
+    * counters globally monotone at the cost of unbounded state.)
     */
   def streamingSessionizeEvicting(spark: SparkSession,
       events: Dataset[EventT]): Dataset[SessionUpdate] = {

@@ -85,6 +85,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("z-order interleave matches the naive bit loop and is dominance-monotone") {
+    import graft.functions.ZOrderOps
+    def naive(x: Int, y: Int): Long = {
+      var r = 0L
+      var i = 0
+      while (i < 32) {
+        r |= ((x.toLong >>> i) & 1L) << (2 * i)
+        r |= ((y.toLong >>> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      r
+    }
+    for (_ <- 1 to 300) {
+      val x = rnd.nextInt() & Int.MaxValue
+      val y = rnd.nextInt() & Int.MaxValue
+      assert(ZOrderOps.interleave(x, y) == naive(x, y), s"x=$x y=$y")
+      // dominance monotonicity: shrinking either coord never raises the code
+      val x2 = rnd.nextInt(x + 1)
+      val y2 = rnd.nextInt(y + 1)
+      assert(java.lang.Long.compareUnsigned(
+        ZOrderOps.interleave(x2, y2), ZOrderOps.interleave(x, y)) <= 0)
+    }
+  }
+
   test("PII redaction is idempotent") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
