@@ -25,6 +25,18 @@ object Similarity {
     df.select(col(idCol).as("vid"), quantize(col(vecCol)).as("qv"))
       .withColumn("nrm", normQ($"qv"))
 
+  /** Tile count for the exact tiled joins, from the corpus row count:
+    * one tile side ≈ `rowsPerTile` rows (sized so a tile's hash side
+    * fits executor memory — ~100k 64-dim quantized vectors ≈ 50 MB),
+    * clamped to [32, 4096] so local runs keep parallelism and huge
+    * corpora don't explode the tile pairing. Callers that know the
+    * count (catalog stats, a prior `count()`) pass it here instead of
+    * hand-picking `nBlocks`.
+    */
+  def blocksFor(corpusRows: Long, rowsPerTile: Long = 100000L): Int =
+    math.min(4096L, math.max(32L,
+      (corpusRows + rowsPerTile - 1) / rowsPerTile)).toInt
+
   /** Exact top-k cosine neighbors for each query row (excluding self).
     * `queries` and `corpus` are [[prepare]]d frames; the query side is
     * broadcast (it is the small side by construction).

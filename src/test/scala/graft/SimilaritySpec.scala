@@ -68,6 +68,20 @@ class SimilaritySpec extends SparkSpec {
     assert(trained >= stride - 0.02, s"trained=$trained stride=$stride")
   }
 
+  test("tile-count auto-tuning clamps and scales with corpus size") {
+    assert(Similarity.blocksFor(1000) == 32)            // local floor
+    assert(Similarity.blocksFor(5000000) == 50)          // 100k rows/tile
+    assert(Similarity.blocksFor(1000000000L) == 4096)    // ceiling
+    // nearestNeighbor under an auto-tuned (non-default) tile count is
+    // unchanged — tiling is physical only
+    val a = Similarity.nearestNeighbor(corpus, nBlocks = 32)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.nearestNeighbor(corpus,
+        nBlocks = Similarity.blocksFor(2500, rowsPerTile = 50))
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("trained centroids are deterministic across partitionings") {
     val a = Similarity.trainCentroids(corpus, dim = 64, centroidStride = 100, iters = 2)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
