@@ -120,6 +120,27 @@ object TransformStage {
   def arityOk(fields: Column, expected: Int): Column =
     size(fields) === expected
 
+  /** Op #10 as a QUARANTINE split instead of the reference's throw
+    * (`AbstractClickhouseLoaderMapper.java:242-245` fails the task on
+    * the first malformed row, killing a multi-hour load): route rows
+    * whose tokenized arity differs from `expected` into a reject
+    * frame tagged with the reason, and keep loading the rest — the
+    * audit discipline of a production ingest. Both frames derive from
+    * one scan; Catalyst plans the filters as two passes over the same
+    * source (or one pass each side of a cached frame if the caller
+    * persists `df`).
+    */
+  def quarantineByArity(df: DataFrame, fields: Column,
+      expected: Int): (DataFrame, DataFrame) = {
+    val tagged = df.withColumn("_arity", size(fields))
+    val valid = tagged.filter(col("_arity") === expected).drop("_arity")
+    val rejected = tagged.filter(col("_arity") =!= expected)
+      .withColumn("reject_reason",
+        concat(lit("arity "), col("_arity"), lit(s" != expected $expected")))
+      .drop("_arity")
+    (valid, rejected)
+  }
+
   /** Whole transform for an already-columnar frame in parity mode:
     * stringly-cast, null-normalize per target column type, then emit
     * both the typed columns and the wire-format row string

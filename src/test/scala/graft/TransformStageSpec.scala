@@ -73,6 +73,22 @@ class TransformStageSpec extends SparkSpec {
     assert(counts.values.sum == 150)
   }
 
+  test("quarantine split keeps loading and tags rejects with the reason") {
+    import spark.implicits._
+    val lines = Seq("1|a|x", "2|b", "3|c|y", "4|d|e|f", "5|e|z").toDF("value")
+    val fields = split($"value", "\\|", -1)
+    val (valid, rejected) =
+      TransformStage.quarantineByArity(lines, fields, expected = 3)
+    assert(valid.count() == 3)
+    val rej = rejected.select($"value", $"reject_reason").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rej.keySet == Set("2|b", "4|d|e|f"))
+    assert(rej("2|b") == "arity 2 != expected 3")
+    assert(rej("4|d|e|f") == "arity 4 != expected 3")
+    // conservation: nothing dropped, nothing duplicated
+    assert(valid.count() + rejected.count() == lines.count())
+  }
+
   test("shard assignment is deterministic and matches the scalar path") {
     val spec = ShardSpec(Seq(1, 2, 1))
     val rows = Sharding.assign(Tables(spark, sf).customer, "c_name", spec)
