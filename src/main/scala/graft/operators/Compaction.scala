@@ -26,7 +26,8 @@ object Compaction {
     * count (≈ total/maxRecordsPerFile rounded up by the caller).
     */
   def compactTo(df: DataFrame, path: String, maxRecordsPerFile: Int,
-      nFiles: Int, clusterBy: Seq[String] = Nil): Unit = {
+      nFiles: Int, clusterBy: Seq[String] = Nil,
+      codec: String = "zstd"): Unit = {
     import org.apache.spark.sql.functions.col
     val arranged =
       if (clusterBy.nonEmpty)
@@ -34,6 +35,9 @@ object Compaction {
       else df.repartition(nFiles)
     arranged.write
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      // zstd default: at archive scale the ~30% size win over snappy
+      // is CPU-cheap on write-once/read-many compacted data
+      .option("compression", codec)
       .mode(SaveMode.Overwrite)
       .parquet(path)
   }

@@ -39,6 +39,8 @@ class PipelineOpsSpec extends SparkSpec {
       .filter(_.endsWith(".parquet"))
     assert(files.length >= total / 100,
       s"expected >=${total / 100} files, got ${files.length}")
+    assert(files.forall(_.endsWith(".zstd.parquet")),
+      s"compacted files should carry the zstd codec: ${files.head}")
     // per-file row bound AND non-overlapping doc_id ranges (footer
     // stats selective => downstream scans can prune)
     val ranges = files.map { f =>
