@@ -175,6 +175,22 @@ class SinkSpec extends SparkSpec {
     ex.shutdownPool()
   }
 
+  test("JDBC pool bounds connections under concurrent tasks") {
+    import graft.sinks.JdbcFormatInsertExecutor
+    val drv = new FakeDriver
+    val ex = new JdbcFormatInsertExecutor("jdbc:fake://conc", "u", "p",
+      WireFormat.TabSeparated, connectionFactory = () => drv.newConnection())
+    val threads = (1 to 8).map { t =>
+      new Thread(() => (1 to 50).foreach(i => ex.execute("db.t", Seq(s"$t\t$i"))))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(drv.sqls.size == 400)
+    // never more connections than concurrently-borrowing threads
+    assert(drv.opened.get() <= 8, s"opened=${drv.opened}")
+    ex.shutdownPool()
+  }
+
   test("JDBC executor closes (not pools) a connection whose batch failed") {
     import graft.sinks.{ConnectionPool, JdbcFormatInsertExecutor}
     val drv = new FakeDriver
