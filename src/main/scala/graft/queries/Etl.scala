@@ -154,6 +154,24 @@ object Etl {
         .orderBy($"l_returnflag")
     },
 
+    // Typed ORC scan (the non-parity sibling of q28): native
+    // vectorized read with real types — decimal aggregation must
+    // survive the ORC round trip bit-exactly. Fills the q29 numbering
+    // gap.
+    "q29_orc_scan_typed" -> { (s, dir) =>
+      import s.implicits._
+      val outDir = s"/tmp/graft_orctyped_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Tables(s, dir).lineitem
+        .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+        .write.mode("overwrite").orc(outDir)
+      graft.sources.Readers.readOrc(s, outDir)
+        .groupBy($"l_returnflag")
+        .agg(graft.Parity.sumD($"l_quantity").as("sum_qty"),
+          graft.Parity.sumD($"l_extendedprice").as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+
     // WithNames wire formats (ConfigurationOptions.java:47-71): the
     // insert payload of a CSVWithNames load — header row of column
     // names first, then sanitized CSV data rows.
@@ -257,6 +275,17 @@ object Etl {
         |FROM supplier
         |GROUP BY 1
         |ORDER BY CAST(c2 AS INTEGER)""".stripMargin,
+
+    // oracle reads the SAME lineitem content from parquet — equality
+    // proves the ORC round trip changed nothing
+    "q29_orc_scan_typed" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q28_orc_scan_parity" ->
       """SELECT l_returnflag, count(*) AS n,
