@@ -48,6 +48,27 @@ class CatalogSpec extends SparkSpec {
     assert(daily.listDaily("dailydb", "base").size == 1)
   }
 
+  test("daily-expires-process drop discards expired dailies without merging") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-dailydrop").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS dailydropdb LOCATION '$wh'")
+    spark.sql("DROP TABLE IF EXISTS dailydropdb.base")
+    spark.sql("CREATE TABLE dailydropdb.base (k INT, v STRING) USING parquet")
+    val daily = new DailyTables(spark)
+    val dt = LocalDate.of(2017, 1, 7)
+    Seq(5L, 0L).foreach { daysAgo =>
+      val t = daily.createDaily("dailydropdb.base", dt.minusDays(daysAgo))
+      Seq((daysAgo.toInt, s"d$daysAgo")).toDF("k", "v")
+        .write.mode("append").insertInto(t)
+    }
+    val dropped = daily.mergeExpired("dailydropdb", "dailydropdb.base", dt,
+      expiresDays = 2, merge = false)
+    assert(dropped.size == 1)
+    // drop mode: the expired rows are GONE, not merged into base
+    assert(spark.table("dailydropdb.base").count() == 0)
+    assert(daily.listDaily("dailydropdb", "base").size == 1)
+  }
+
   test("SQL function registration exposes the custom expressions") {
     GraftExtensions.register(spark)
     val r = spark.sql(
