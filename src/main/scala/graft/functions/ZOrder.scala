@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.graft.Bridge.{column, expression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
 /** Morton (Z-order) bit interleaving of two 32-bit keys — the
   * multi-dimension clustering key for write-side compaction: sorting
@@ -36,8 +36,17 @@ object ZOrderOps {
   def interleave(x: Int, y: Int): Long = spread(x) | (spread(y) << 1)
 }
 
-case class ZOrder2(left: Expression, right: Expression) extends BinaryExpression {
+case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = LongType
+
+  // without declared input types a bigint child (the common id case,
+  // easy to hit via the graft_zorder SQL registration) fails at
+  // RUNTIME — ClassCastException interpreted, janino error codegen'd;
+  // ExpectsInputTypes makes Catalyst reject the plan at analysis.
+  // (Seq[DataType] covariantly overrides Seq[AbstractDataType], whose
+  // element type is private[sql].)
+  override def inputTypes: Seq[DataType] = Seq(IntegerType, IntegerType)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     ZOrderOps.interleave(a.asInstanceOf[Int], b.asInstanceOf[Int])

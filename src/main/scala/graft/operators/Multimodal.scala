@@ -104,27 +104,31 @@ object Multimodal {
     */
   def decodeWav(p: Array[Byte]): Option[(Int, Long, Double)] = {
     if (p.length < 44 || tag(p, 0) != "RIFF" || tag(p, 8) != "WAVE") return None
-    var o = 12
+    // the offset is a Long: a malformed large-positive chunk size
+    // (e.g. 0x7FFFFFF0) would wrap an Int offset negative, pass the
+    // loop guard, and crash tag() — the walk must terminate instead
+    var o = 12L
     var rate = 0
     var channels = 0
     var bits = 0
     var rms = 0.0
     var nSamples = 0L
     while (o + 8 <= p.length) {
-      val id = tag(p, o)
-      val sz = le32(p, o + 4)
-      // malformed negative/overflowing chunk size would walk backwards
-      // (infinite loop) — a decoder fed arbitrary bytes must bail, not
-      // hang an executor
+      val oi = o.toInt // o + 8 <= length, so o fits an Int here
+      val id = tag(p, oi)
+      val sz = le32(p, oi + 4)
+      // malformed negative chunk size would walk backwards (infinite
+      // loop) — a decoder fed arbitrary bytes must bail, not hang an
+      // executor
       if (sz < 0) return None
       if (id == "fmt " && o + 24 <= p.length) {
-        if (le16(p, o + 8) != 1) return None // not PCM
-        channels = le16(p, o + 10)
-        rate = le32(p, o + 12)
-        bits = le16(p, o + 22)
+        if (le16(p, oi + 8) != 1) return None // not PCM
+        channels = le16(p, oi + 10)
+        rate = le32(p, oi + 12)
+        bits = le16(p, oi + 22)
       } else if (id == "data" && bits == 16 && channels > 0) {
-        val end = math.min(p.length, o + 8 + sz)
-        var i = o + 8
+        val end = math.min(p.length.toLong, o + 8L + sz).toInt
+        var i = oi + 8
         var sumSq = 0.0
         var n = 0L
         while (i + 1 < end) {
@@ -136,7 +140,7 @@ object Multimodal {
         if (n > 0) rms = math.sqrt(sumSq / n)
         nSamples = n / math.max(1, channels)
       }
-      o += 8 + sz + (sz & 1) // RIFF chunks are 2-byte aligned
+      o += 8L + sz + (sz & 1) // RIFF chunks are 2-byte aligned
     }
     if (rate > 0 && bits == 16) Some((rate, nSamples * 1000L / rate, rms))
     else None

@@ -132,7 +132,10 @@ object TransformStage {
     */
   def quarantineByArity(df: DataFrame, fields: Column,
       expected: Int): (DataFrame, DataFrame) = {
-    val tagged = df.withColumn("_arity", size(fields))
+    // coalesce: size(NULL) is NULL, under which BOTH `=== expected`
+    // and `=!= expected` are null — a null-tokenization row would land
+    // in neither frame, silently dropped. -1 routes it to quarantine.
+    val tagged = df.withColumn("_arity", coalesce(size(fields), lit(-1)))
     val valid = tagged.filter(col("_arity") === expected).drop("_arity")
     val rejected = tagged.filter(col("_arity") =!= expected)
       .withColumn("reject_reason",

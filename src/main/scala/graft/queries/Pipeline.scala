@@ -250,10 +250,16 @@ object Pipeline {
         .select($"doc_id",
           ($"n_distinct".cast("double") / $"n_tokens").as("distinct_ratio"),
           ($"top_c".cast("double") / $"n_tokens").as("top_token_frac"))
-      val triStats = docs.select($"doc_id",
-        (lit(1.0) -
-          size(graft.functions.ShingleHash64.shingle_hashes($"text", 3)).cast("double") /
-            (size(tokens($"text")) - 2)).as("dup_trigram_frac"))
+      // docs with <3 tokens have no trigrams: the oracle's
+      // generate_series emits no rows for them and its inner join
+      // drops the doc — filter here too, else Spark would keep the
+      // doc with a null (0/0) dup_trigram_frac
+      val triStats = docs
+        .filter(size(tokens($"text")) >= 3)
+        .select($"doc_id",
+          (lit(1.0) -
+            size(graft.functions.ShingleHash64.shingle_hashes($"text", 3)).cast("double") /
+              (size(tokens($"text")) - 2)).as("dup_trigram_frac"))
       tokStats.join(triStats, "doc_id").orderBy($"doc_id")
     },
 

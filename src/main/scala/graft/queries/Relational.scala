@@ -329,7 +329,7 @@ object Relational {
       val li = Tables(s, dir).lineitem
         .select($"l_partkey".as("partkey"), $"l_quantity")
       val p = Tables(s, dir).part.select($"p_partkey".as("partkey"), $"p_brand")
-      graft.operators.Skew.saltedJoin(li, p, "partkey", "partkey", saltFactor = 8)
+      graft.operators.Skew.saltedJoin(li, p, "partkey", saltFactor = 8)
         .groupBy($"p_brand")
         .agg(Parity.sumD($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
         .orderBy($"p_brand")

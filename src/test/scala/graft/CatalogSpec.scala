@@ -85,4 +85,19 @@ class CatalogSpec extends SparkSpec {
     assert(r.getInt(3) == 2)
     assert(r.getInt(4) == 16)
   }
+
+  test("graft_zorder rejects non-int children at analysis, not runtime") {
+    GraftExtensions.register(spark)
+    // int children work
+    val z = spark.sql("SELECT graft_zorder(3, 5) AS z").collect()(0).getLong(0)
+    assert(z == graft.functions.ZOrderOps.interleave(3, 5))
+    // a bigint child (the common id case) must fail CLEANLY at
+    // analysis — not ClassCastException interpreted / janino codegen'd
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_zorder(CAST(3 AS BIGINT), 5)").collect()
+    }
+    val msg = e.getMessage
+    assert(msg.contains("INT") || msg.contains("DATATYPE_MISMATCH"),
+      s"expected an analysis-time type error, got: $msg")
+  }
 }

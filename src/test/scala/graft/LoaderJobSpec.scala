@@ -246,9 +246,36 @@ class LoaderJobSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val renamed = t.orders.withColumnRenamed("o_orderkey", "l_orderkey")
     val salted = Skew.saltedJoin(t.lineitem, renamed, "l_orderkey",
-        saltBy = "l_partkey", saltFactor = 8)
+        saltFactor = 8)
       .groupBy("o_orderpriority").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted == plain)
+  }
+
+  test("rowSalt spreads a hot key across multiple salt buckets") {
+    import spark.implicits._
+    // Skewed fixture: one hot key with 1000 rows (distinct payloads),
+    // a long tail of singleton keys. A key-derived salt would put all
+    // 1000 hot rows in ONE bucket — the whole point of the fix.
+    val skewed = (0 until 1000).map(i => (42L, s"payload-$i")) ++
+      (0 until 50).map(i => (100L + i, s"tail-$i"))
+    val big = skewed.toDF("k", "payload")
+    val n = 8
+    val buckets = big
+      .withColumn("_salt", Skew.rowSalt(big, "k", n))
+      .filter($"k" === 42L)
+      .select(countDistinct($"_salt")).as[Long].head()
+    assert(buckets > 1, s"hot key collapsed into $buckets bucket(s)")
+    // and the salt stays in range
+    val range = big.withColumn("_salt", Skew.rowSalt(big, "k", n))
+      .agg(min($"_salt"), max($"_salt")).as[(Long, Long)].head()
+    assert(range._1 >= 0L && range._2 < n.toLong)
+
+    // key-only projection falls back to a per-row id, still spreads
+    val keyOnly = big.filter($"k" === 42L).select($"k")
+    val koBuckets = keyOnly
+      .withColumn("_salt", Skew.rowSalt(keyOnly, "k", n))
+      .select(countDistinct($"_salt")).as[Long].head()
+    assert(koBuckets > 1, s"key-only hot rows collapsed into $koBuckets bucket(s)")
   }
 }

@@ -341,6 +341,15 @@ class StreamingSpec extends SparkSpec {
     val evilMeta = Multimodal.probeMedia(spark,
       Seq((9L, evil)).toDF("doc_id", "payload")).collect().head
     assert(evilMeta.kind == "bin")
+
+    // a large POSITIVE chunk size (0x7FFFFFF0) would wrap an Int
+    // offset negative and crash tag() — the walk must terminate and
+    // classify as opaque binary instead
+    val oversized = ascii("RIFF") ++ le32(36) ++ ascii("WAVE") ++
+      ascii("junk") ++ le32(0x7FFFFFF0) ++ Array.fill[Byte](16)(0)
+    val osMeta = Multimodal.probeMedia(spark,
+      Seq((10L, oversized)).toDF("doc_id", "payload")).collect().head
+    assert(osMeta.kind == "bin")
   }
 
   test("multimodal resize + frame sampling keeps batch shape and budgets") {

@@ -89,6 +89,21 @@ class TransformStageSpec extends SparkSpec {
     assert(valid.count() + rejected.count() == lines.count())
   }
 
+  test("quarantine routes null-tokenization rows to rejects, not limbo") {
+    import spark.implicits._
+    // a null fields array makes size() null; both === and =!= are then
+    // null, so without the coalesce the row lands in NEITHER frame
+    val lines = Seq(Some("1|a|x"), None, Some("3|c|y")).toDF("value")
+    val fields = split($"value", "\\|", -1) // null value → null array
+    val (valid, rejected) =
+      TransformStage.quarantineByArity(lines, fields, expected = 3)
+    assert(valid.count() == 2)
+    assert(rejected.count() == 1)
+    val rej = rejected.select($"reject_reason").as[String].head()
+    assert(rej == "arity -1 != expected 3")
+    assert(valid.count() + rejected.count() == lines.count())
+  }
+
   test("shard assignment is deterministic and matches the scalar path") {
     val spec = ShardSpec(Seq(1, 2, 1))
     val rows = Sharding.assign(Tables(spark, sf).customer, "c_name", spec)
