@@ -107,18 +107,22 @@ object Etl {
     },
 
     // Op #13: micro-batch assignment semantics (batch boundaries every
-    // `batchSize` rows in key order). The production path batches
-    // per-partition in DirectSink; this is the declarative equivalent.
+    // `batchSize` rows in key order, PER SHARD — the unit the direct
+    // sink actually batches by). The window partitions by shard, so no
+    // single-partition global sort: each shard's numbering is an
+    // independent partition of work, exactly like DirectSink's
+    // per-partition batching, and the gate stays scale-representative.
     "q25_micro_batch" -> { (s, dir) =>
       import s.implicits._
-      val w = Window.orderBy($"c_custkey")
+      val w = Window.partitionBy($"shard").orderBy($"c_custkey")
       Tables(s, dir).customer
+        .withColumn("shard", pmod($"c_custkey", lit(4)).cast("long"))
         .withColumn("rn", row_number().over(w))
         .withColumn("batch_id", floor(($"rn" - 1) / 100))
-        .groupBy($"batch_id")
+        .groupBy($"shard", $"batch_id")
         .agg(count(lit(1)).as("n"), min($"c_custkey").as("first_key"),
           max($"c_custkey").as("last_key"))
-        .orderBy($"batch_id")
+        .orderBy($"shard", $"batch_id")
     },
 
     // Op #1+#3: delimited-text scan + tokenization, end to end: a text
@@ -186,6 +190,57 @@ object Etl {
       headerDf.unionByName(
           wire.select($"p_partkey".cast("long").as("line_no"), $"wire_row".as("line")))
         .orderBy($"line_no")
+    },
+
+    // WithNamesAndTypes wire format (ConfigurationOptions.java:47-71):
+    // TWO header rows — column names, then the target table's declared
+    // types (the reference reads them from DESCRIBE of the target) —
+    // ahead of the TabSeparated data rows. Data line_no = key + 1 so
+    // the two headers own 0 and 1.
+    "q75_wire_withnamestypes" -> { (s, dir) =>
+      import s.implicits._
+      val fmt = graft.config.WireFormat.TabSeparatedWithNamesAndTypes
+      val wcfg = LoaderConfig(clickhouseFormat = fmt)
+      val src = Tables(s, dir).part.select($"p_partkey", $"p_name", $"p_brand", $"p_size")
+      val wire = transform(src, wcfg, stringCols = Set("p_name", "p_brand"))
+      val headerDf = fmt
+        .headerLines(src.columns.toSeq, Seq("Int64", "String", "String", "Int32"))
+        .zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("line_no", "line")
+      headerDf.unionByName(
+          wire.select(($"p_partkey" + 1).cast("long").as("line_no"),
+            $"wire_row".as("line")))
+        .orderBy($"line_no")
+    },
+
+    // Write-side compaction + z-order clustering, end to end: part is
+    // rewritten z-clustered on (p_size, p_partkey) with a bounded
+    // per-file row cap, re-read, and checksummed. Row parity proves
+    // the rewrite is lossless; n_files is deterministic (= the range
+    // partition count — the 200-row cap is 2× the average partition
+    // size, so range partitions never split) and oracled as
+    // ceil(n/100). Footer-range selectivity is pinned in
+    // PipelineOpsSpec (disjoint per-file z ranges, 2-dim span shrink).
+    "q74_compact_zorder" -> { (s, dir) =>
+      import s.implicits._
+      val part = Tables(s, dir).part
+      val clustered = part.withColumn("z",
+        graft.functions.ZOrder2.zorder($"p_size".cast("int"), $"p_partkey".cast("int")))
+      val outDir = s"/tmp/graft_compact_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val total = part.count() // parquet footer count — metadata-cheap
+      val nFiles = math.max(1, math.ceil(total / 100.0).toInt)
+      graft.operators.Compaction.compactTo(clustered, outDir,
+        maxRecordsPerFile = 200, nFiles = nFiles, clusterBy = Seq("z"))
+      s.read.parquet(outDir)
+        // project the (nondeterministic) file name first — aggregating
+        // over the projected attribute is legal, over the raw
+        // expression it is not
+        .withColumn("_file", input_file_name())
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct($"p_partkey").as("n_keys"),
+          sum($"p_partkey").cast("long").as("sum_key"),
+          sum($"p_size").cast("long").as("sum_size"),
+          countDistinct($"_file").as("n_files"))
     },
 
     // The §3.1 end-to-end slice: stringly parity mode → exclude →
@@ -261,13 +316,14 @@ object Etl {
         |ORDER BY 1""".stripMargin,
 
     "q25_micro_batch" ->
-      """SELECT batch_id, count(*) AS n, min(c_custkey) AS first_key,
+      """SELECT shard, batch_id, count(*) AS n, min(c_custkey) AS first_key,
         | max(c_custkey) AS last_key
-        |FROM (SELECT c_custkey,
-        |  CAST(floor((row_number() OVER (ORDER BY c_custkey) - 1) / 100) AS BIGINT) AS batch_id
+        |FROM (SELECT c_custkey, c_custkey % 4 AS shard,
+        |  CAST(floor((row_number() OVER (PARTITION BY c_custkey % 4
+        |    ORDER BY c_custkey) - 1) / 100) AS BIGINT) AS batch_id
         |  FROM customer)
-        |GROUP BY batch_id
-        |ORDER BY batch_id""".stripMargin,
+        |GROUP BY shard, batch_id
+        |ORDER BY shard, batch_id""".stripMargin,
 
     "q27_text_source_decode" ->
       """SELECT CAST(s_nationkey AS VARCHAR) AS c2, count(*) AS n,
@@ -305,6 +361,29 @@ object Etl {
         |  CAST(p_size AS VARCHAR) AS line
         |FROM part
         |ORDER BY line_no""".stripMargin,
+
+    "q75_wire_withnamestypes" ->
+      """SELECT CAST(0 AS BIGINT) AS line_no,
+        |  'p_partkey' || chr(9) || 'p_name' || chr(9) || 'p_brand' || chr(9) || 'p_size' AS line
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT),
+        |  'Int64' || chr(9) || 'String' || chr(9) || 'String' || chr(9) || 'Int32'
+        |UNION ALL
+        |SELECT p_partkey + 1 AS line_no,
+        |  CAST(p_partkey AS VARCHAR) || chr(9) ||
+        |  replace(replace(p_name, chr(9), ' '), '\', '/') || chr(9) ||
+        |  replace(replace(p_brand, chr(9), ' '), '\', '/') || chr(9) ||
+        |  CAST(p_size AS VARCHAR) AS line
+        |FROM part
+        |ORDER BY line_no""".stripMargin,
+
+    "q74_compact_zorder" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT p_partkey) AS n_keys,
+        |  CAST(sum(p_partkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(p_size) AS BIGINT) AS sum_size,
+        |  CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_files
+        |FROM part""".stripMargin,
 
     "q26_etl_pipeline_parity" ->
       """WITH src AS (

@@ -54,4 +54,40 @@ class PipelineOpsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("z-order clustering keeps BOTH dimensions' footer ranges selective") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import spark.implicits._
+    // 64×64 grid: every (x, y) in [0,64)² once — 4096 rows, 16 files
+    val grid = spark.range(64 * 64)
+      .select(($"id" % 64).cast("int").as("x"), ($"id" / 64).cast("int").as("y"))
+      .withColumn("z", graft.functions.ZOrder2.zorder($"x", $"y"))
+    val dir = JFiles.createTempDirectory("graft-zorder").toString
+    Compaction.compactTo(grid, dir, maxRecordsPerFile = 512, nFiles = 16,
+      clusterBy = Seq("z"))
+    val files = JFiles.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+    assert(files.length == 16, s"got ${files.length} files")
+    val stats = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("z"), max("z"), min("x"), max("x"), min("y"), max("y"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+    }.sortBy(_._1)
+    // z ranges disjoint (range partitioning) → the footer stats of the
+    // clustering key prune perfectly
+    stats.sliding(2).foreach {
+      case Array((_, hi, _, _, _, _), (lo2, _, _, _, _, _)) =>
+        assert(hi < lo2, "file z ranges overlap")
+      case _ =>
+    }
+    // and BOTH raw dimensions stay selective: a 16-way z-split of a
+    // 64×64 grid gives per-file spans ≤ half the 0..63 global span
+    // (range clustering by x alone would leave y's span at 63 in
+    // every file)
+    val avgXSpan = stats.map(s => s._4 - s._3).sum.toDouble / stats.length
+    val avgYSpan = stats.map(s => s._6 - s._5).sum.toDouble / stats.length
+    assert(avgXSpan <= 32.0, s"avg x span $avgXSpan")
+    assert(avgYSpan <= 32.0, s"avg y span $avgYSpan")
+  }
 }
