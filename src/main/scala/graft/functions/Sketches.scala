@@ -74,6 +74,55 @@ object SketchOps {
     new GenericArrayData(out)
   }
 
+  /** Multi-probe LSH buckets: per table, the exact bucket followed by
+    * `nProbe - 1` variants with the single LOWEST-|margin| plane bits
+    * flipped (Lv et al., VLDB'07: a near neighbor that missed the
+    * exact bucket most likely sits just across the nearest plane).
+    * Output layout: `nTables * nProbe` longs, table t's probes at
+    * `[t*nProbe, (t+1)*nProbe)`.
+    */
+  def lshProbes(v: ArrayData, signs: Array[Array[Int]], nTables: Int,
+      nPlanes: Int, dim: Int, nProbe: Int): ArrayData = {
+    val nd = math.min(dim, v.numElements())
+    val out = new Array[Long](nTables * nProbe)
+    val absDots = new Array[Long](nPlanes)
+    var t = 0
+    while (t < nTables) {
+      val s = signs(t)
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var dot = 0L
+        var d = 0
+        val base = p * dim
+        while (d < nd) { dot += v.getLong(d) * s(base + d); d += 1 }
+        if (dot > 0) bucket |= (1L << p)
+        absDots(p) = math.abs(dot)
+        p += 1
+      }
+      out(t * nProbe) = bucket
+      // selection sort of the nProbe-1 smallest margins — nPlanes is
+      // small (≤ 64), no allocation beyond the reused absDots
+      val order = Array.range(0, nPlanes)
+      var j = 1
+      while (j < nProbe && j <= nPlanes) {
+        var best = j - 1
+        var i = j
+        while (i < nPlanes) {
+          if (absDots(order(i)) < absDots(order(best)) ||
+              (absDots(order(i)) == absDots(order(best)) && order(i) < order(best)))
+            best = i
+          i += 1
+        }
+        val tmp = order(j - 1); order(j - 1) = order(best); order(best) = tmp
+        out(t * nProbe + j) = bucket ^ (1L << order(j - 1))
+        j += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Elementwise-min MinHash signature of a shingle-hash set. */
   def minHashSig(v: ArrayData, k: Int): ArrayData = {
     val n = v.numElements()
@@ -216,6 +265,40 @@ object LshBuckets {
   /** Deterministic ±1 hyperplane component for (table, plane, dim). */
   def planeSign(table: Int, plane: Int, dim: Int): Int =
     if ((Murmur3.hash64(s"$table:$plane:$dim") & 1L) == 0L) -1 else 1
+}
+
+/** Multi-probe variant of [[LshBuckets]]: per table, the exact bucket
+  * plus `nProbe - 1` single-bit flips of the lowest-|margin| planes —
+  * same plane matrix, so a probe set is a superset of the exact
+  * bucket and member-side bucketing needs no change.
+  */
+case class LshProbes(child: Expression, nTables: Int, nPlanes: Int, dim: Int,
+    nProbe: Int) extends UnaryExpression {
+  require(nProbe >= 1 && nProbe <= nPlanes + 1,
+    s"nProbe must be in [1, nPlanes+1], got $nProbe for $nPlanes planes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val signs: Array[Array[Int]] =
+    Array.tabulate(nTables, nPlanes * dim) { (t, pd) =>
+      LshBuckets.planeSign(t, pd / dim, pd % dim)
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.lshProbes(v.asInstanceOf[ArrayData], signs, nTables, nPlanes, dim, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("lshSigns", signs, "int[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchOps.lshProbes($c, $signsRef, $nTables, $nPlanes, $dim, $nProbe)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshProbes = copy(child = c)
+}
+
+object LshProbes {
+  def lsh_probes(qv: Column, nTables: Int, nPlanes: Int, dim: Int, nProbe: Int): Column =
+    column(LshProbes(expression(qv), nTables, nPlanes, dim, nProbe))
 }
 
 /** Intersection size of two sorted duplicate-free `array<long>`

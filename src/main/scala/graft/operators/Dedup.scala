@@ -105,7 +105,7 @@ object Dedup {
     * (shingle equi-join + count) shuffles |pair|·|set| rows; this
     * shuffles |pairs| + 2·|docs|.
     */
-  private def verifyJaccardArrays(cands: DataFrame, docsh: DataFrame,
+  private[graft] def verifyJaccardArrays(cands: DataFrame, docsh: DataFrame,
       threshold: Double): DataFrame =
     cands
       .join(docsh.select($"doc".as("a"), $"hs".as("x_hs")), "a")

@@ -139,18 +139,30 @@ object Similarity {
     * nodes per union branch and minutes of janino compile time.
     */
   def lshTopK(corpus: DataFrame, dim: Int, nPlanes: Int, k: Int,
-      nTables: Int = 8): DataFrame = {
+      nTables: Int = 8, nProbe: Int = 1): DataFrame = {
     // Bucket join carries only ids; a pair colliding in m of the
     // nTables tables appears m times, so the distinct runs on NARROW
     // (query, cand) rows and the cosine is computed once per unique
     // pair after re-attaching vectors via two id-keyed joins (small
     // dim tables broadcast; at corpus scale they are plain shuffled
     // equi-joins — still linear).
+    //
+    // Multi-probe (nProbe > 1, Lv et al. VLDB'07): the QUERY side also
+    // visits the nProbe-1 buckets across its lowest-margin planes —
+    // recall of ~2× the table count at the cost of nProbe× query-side
+    // bucket rows, with the member side (the corpus-sized one)
+    // unchanged.
     val bucketed = corpus.select($"vid",
         posexplode(graft.functions.LshBuckets.lsh_buckets($"qv", nTables, nPlanes, dim)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bucket")
-    val cands = bucketed.as("x").join(bucketed.as("y"),
+    val probed =
+      if (nProbe <= 1) bucketed
+      else corpus.select($"vid",
+          posexplode(graft.functions.LshProbes.lsh_probes($"qv", nTables, nPlanes, dim, nProbe)))
+        .select($"vid", (col("pos") / nProbe).cast("int").as("tbl"),
+          col("col").as("bucket"))
+    val cands = probed.as("x").join(bucketed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vid") =!= col("y.vid"))
       .select(col("x.vid").as("query_id"), col("y.vid").as("cand_id"))
@@ -225,11 +237,23 @@ object Similarity {
     def cellsFor(df: DataFrame, n: Int, outPrefix: String): DataFrame = {
       val scored = df.join(centroids)
         .withColumn("c_cos", cosineQ($"qv", $"c_qv", $"nrm", $"c_nrm"))
-      val w = Window.partitionBy($"vid").orderBy($"c_cos".desc, $"cid")
-      scored.withColumn("rnk", row_number().over(w))
-        .filter($"rnk" <= n)
-        .select($"vid".as(s"${outPrefix}vid"), $"qv".as(s"${outPrefix}qv"),
-          $"nrm".as(s"${outPrefix}nrm"), $"cid")
+      if (n == 1)
+        // single-cell assignment is an argmax — the same map-side
+        // partial `max(struct)` shape trainCentroids uses: one partial
+        // row per (partition, vid) instead of a full row_number window
+        // shuffle over corpus×centroid scored rows
+        scored.groupBy($"vid")
+          .agg(max(struct($"c_cos", (-$"cid").as("nc"),
+            $"qv".as("v"), $"nrm".as("nm"))).as("best"))
+          .select($"vid".as(s"${outPrefix}vid"), $"best.v".as(s"${outPrefix}qv"),
+            $"best.nm".as(s"${outPrefix}nrm"), (-$"best.nc").as("cid"))
+      else {
+        val w = Window.partitionBy($"vid").orderBy($"c_cos".desc, $"cid")
+        scored.withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= n)
+          .select($"vid".as(s"${outPrefix}vid"), $"qv".as(s"${outPrefix}qv"),
+            $"nrm".as(s"${outPrefix}nrm"), $"cid")
+      }
     }
 
     val members = cellsFor(corpus, 1, "m_")   // each vector lives in 1 cell

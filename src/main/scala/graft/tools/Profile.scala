@@ -20,6 +20,26 @@ object Profile {
     }
     val docs = Tables(spark, dir).documents
     time("docs count")(docs.count())
+    if (args.length > 1 && args(1) == "q32") {
+      val sigs = time("signatures") {
+        val s = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 128).cache()
+        s.count(); s
+      }
+      val cands = time("lsh candidates") {
+        val c = Dedup.lshCandidates(sigs, 32, 4).cache()
+        println(s"[profile] n_cands=${c.count()}")
+        c
+      }
+      val docsh = time("doc shingles") {
+        val d = Dedup.docShingles(docs, "doc_id", "text", 3).cache()
+        d.count(); d
+      }
+      time("verify")(
+        Dedup.verifyJaccardArrays(cands, docsh, 0.8)
+          .write.format("noop").mode("overwrite").save())
+      spark.stop()
+      return
+    }
     val sh = time("shingles materialize")(
       { val s = Dedup.shingles(docs, "doc_id", "text", 3).cache(); s.count(); s })
     time("sizes")(sh.groupBy("doc").count().write.format("noop").mode("overwrite").save())

@@ -46,6 +46,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.15, s"recall=$recall")
   }
 
+  test("multi-probe LSH lifts recall at equal table count") {
+    val truth = Similarity.bruteForceTopK(corpus, corpus, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(nProbe: Int): Double = {
+      val approx = Similarity
+        .lshTopK(corpus, 64, nPlanes = 5, k = 5, nTables = 8, nProbe = nProbe)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & approx).size.toDouble / truth.size
+    }
+    val single = recallOf(1)
+    val multi = recallOf(3)
+    // the probe set is a superset of the exact bucket, so recall is
+    // monotone; on this corpus flipping the 2 lowest-margin planes
+    // should find a solidly measurable number of new true neighbors
+    assert(multi >= single, s"multi=$multi single=$single")
+    assert(multi > single + 0.03, s"no uplift: multi=$multi single=$single")
+  }
+
   test("IVF ANN recall@5 beats chance; trained centroids don't lose recall") {
     val truth = Similarity.bruteForceTopK(corpus, corpus, 5)
       .select("query_id", "neighbor_id").collect()
