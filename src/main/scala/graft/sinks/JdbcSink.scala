@@ -113,3 +113,93 @@ final class JdbcFormatInsertExecutor(
   /** Drain this executor's idle pool for the sink's URL. */
   def shutdownPool(): Unit = ConnectionPool.closeAll(poolKey)
 }
+
+/** Replica fan-out + alive-host failover — the reference's
+  * `batchDirectInsert` cluster semantics
+  * (`AbstractClickhouseLoaderMapper.java:309-359`, alive probe
+  * `:678-699`) over N per-endpoint executors:
+  *
+  * - **Fan-out mode** (`lookupReplicated = false`): every replica gets
+  *   every batch. Per-replica success is tracked in a per-batch status
+  *   map (the reference's `hostStatus`), so retries — internal ones
+  *   AND an outer [[Retry]] re-invocation after this throws — only
+  *   re-send to replicas that have NOT yet taken the batch. A healthy
+  *   replica is never double-inserted.
+  * - **Lookup mode** (`lookupReplicated = true`, the reference's
+  *   `distLookupReplicatedTable`): the target is a replicated table,
+  *   so ONE alive replica suffices; endpoints are probed in order and
+  *   the first alive one takes the insert (`getAliveNodeAddress`),
+  *   re-probing on every retry. No alive endpoint → fail, like the
+  *   reference's "Cannot get alive host.".
+  *
+  * `probeAlive` is the HTTP-200 ping re-expressed as an injectable
+  * predicate (specs inject; production probes the endpoint). Composes
+  * with [[DirectSink]], which supplies batching + metrics; a batch
+  * that still fails here is counted failed there, same contract as
+  * the reference's Failed-records counter.
+  */
+final class ReplicaFanoutExecutor(
+    replicas: IndexedSeq[BatchExecutor],
+    lookupReplicated: Boolean = false,
+    probeAlive: Int => Boolean = _ => true,
+    maxTries: Int = 3,
+    baseDelayMs: Long = 100L,
+    sleep: Long => Unit = Thread.sleep) extends BatchExecutor {
+  require(replicas.nonEmpty, "need at least one replica endpoint")
+
+  // replicas already holding a given (target, batch) — survives an
+  // outer retry of the same batch so succeeded replicas are skipped
+  private val done =
+    new ConcurrentHashMap[String, java.util.Set[Integer]]()
+
+  override def execute(target: String, batch: Seq[String]): Unit =
+    if (lookupReplicated) executeLookup(target, batch)
+    else executeFanout(target, batch)
+
+  private def executeLookup(target: String, batch: Seq[String]): Unit =
+    Retry.withRetries(maxTries, baseDelayMs, sleep) { _ =>
+      val alive = replicas.indices.find(probeAlive).getOrElse(
+        throw new IllegalStateException("Cannot get alive host."))
+      replicas(alive).execute(target, batch)
+    }
+
+  private def executeFanout(target: String, batch: Seq[String]): Unit = {
+    val key = s"$target#${batch.hashCode}"
+    val ok = done.computeIfAbsent(key,
+      _ => ConcurrentHashMap.newKeySet[Integer]())
+    var tries = 0
+    var lastFailure: Throwable = null
+    while (ok.size < replicas.size && tries < maxTries) {
+      tries += 1
+      replicas.indices.foreach { i =>
+        if (!ok.contains(Int.box(i))) {
+          try { replicas(i).execute(target, batch); ok.add(Int.box(i)) }
+          catch { case e: Throwable => lastFailure = e }
+        }
+      }
+      if (ok.size < replicas.size && tries < maxTries)
+        sleep((1L << tries) * baseDelayMs)
+    }
+    if (ok.size < replicas.size)
+      throw new IllegalStateException(
+        "replicas " +
+          replicas.indices.filterNot(i => ok.contains(Int.box(i))).mkString(",") +
+          s" failed after $maxTries tries", lastFailure)
+    done.remove(key) // complete — forget the status map entry
+  }
+
+  override def close(): Unit = replicas.foreach(_.close())
+}
+
+object ReplicaFanoutExecutor {
+  /** Production wiring: one [[JdbcFormatInsertExecutor]] per endpoint
+    * URL, sharing format/credentials.
+    */
+  def forUrls(urls: Seq[String], user: String, password: String,
+      format: WireFormat, lookupReplicated: Boolean = false,
+      maxTries: Int = 3): ReplicaFanoutExecutor =
+    new ReplicaFanoutExecutor(
+      urls.map(u => new JdbcFormatInsertExecutor(u, user, password, format): BatchExecutor)
+        .toIndexedSeq,
+      lookupReplicated = lookupReplicated, maxTries = maxTries)
+}

@@ -207,4 +207,64 @@ class SinkSpec extends SparkSpec {
     assert(drv.opened.get() == 2)
     ex.shutdownPool()
   }
+
+  /** Per-instance recording executor with injectable failures. */
+  private class ReplicaRec extends BatchExecutor {
+    val calls = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
+    @volatile var failures = 0
+    override def execute(target: String, batch: Seq[String]): Unit = {
+      if (failures > 0) { failures -= 1; throw new RuntimeException("replica down") }
+      calls.add((target, batch.size))
+    }
+  }
+
+  test("replica fan-out inserts every batch into every replica") {
+    val reps = IndexedSeq.fill(3)(new ReplicaRec)
+    val ex = new ReplicaFanoutExecutor(reps, sleep = _ => ())
+    ex.execute("db.t", Seq("a", "b"))
+    ex.execute("db.t", Seq("c"))
+    reps.foreach { r =>
+      assert(r.calls.toArray.toSeq == Seq(("db.t", 2), ("db.t", 1)))
+    }
+  }
+
+  test("replica fan-out retries ONLY the failing replica") {
+    val reps = IndexedSeq.fill(3)(new ReplicaRec)
+    reps(1).failures = 2
+    val ex = new ReplicaFanoutExecutor(reps, maxTries = 3, sleep = _ => ())
+    ex.execute("db.t", Seq("a"))
+    // healthy replicas inserted exactly once; the flaky one succeeded
+    // on its 3rd internal try without re-sending to the others
+    assert(reps.forall(_.calls.size == 1))
+  }
+
+  test("replica fan-out survives an outer retry without double-inserting") {
+    val reps = IndexedSeq.fill(3)(new ReplicaRec)
+    reps(2).failures = 99
+    val ex = new ReplicaFanoutExecutor(reps, maxTries = 2, sleep = _ => ())
+    val e = intercept[IllegalStateException](ex.execute("db.t", Seq("a", "b")))
+    assert(e.getMessage.contains("replicas 2 failed"))
+    assert(reps(0).calls.size == 1 && reps(1).calls.size == 1)
+    // the endpoint heals; the outer Retry loop re-invokes the SAME
+    // batch — replicas 0/1 must not take it twice
+    reps(2).failures = 0
+    ex.execute("db.t", Seq("a", "b"))
+    assert(reps(0).calls.size == 1 && reps(1).calls.size == 1)
+    assert(reps(2).calls.size == 1)
+  }
+
+  test("lookup mode probes alive hosts in order and inserts into one") {
+    val reps = IndexedSeq.fill(3)(new ReplicaRec)
+    val ex = new ReplicaFanoutExecutor(reps, lookupReplicated = true,
+      probeAlive = i => i != 0, sleep = _ => ())
+    ex.execute("db.t", Seq("a"))
+    // endpoint 0 is dead at probe time; 1 is the first alive one
+    assert(reps(0).calls.isEmpty && reps(2).calls.isEmpty)
+    assert(reps(1).calls.size == 1)
+    // no alive endpoint at all → the reference's "Cannot get alive host."
+    val dead = new ReplicaFanoutExecutor(reps, lookupReplicated = true,
+      probeAlive = _ => false, maxTries = 2, sleep = _ => ())
+    val e = intercept[IllegalStateException](dead.execute("db.t", Seq("x")))
+    assert(e.getMessage.contains("Cannot get alive host"))
+  }
 }
