@@ -43,6 +43,25 @@ object Events {
         .orderBy($"click_id", $"purchase_ms")
     },
 
+    // Streaming dedup semantics in batch: an at-least-once source
+    // re-delivers a deterministic subset (event_id % 7) and the dedup
+    // stage must restore exactly the original set — the oracle
+    // aggregates the ORIGINAL events, so any surviving duplicate (or
+    // over-dropped row) breaks the count. StreamingSpec runs the
+    // watermark-bounded variant as a true stream with state-eviction
+    // assertions.
+    "q76_stream_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+      val redelivered = ev.filter($"event_id" % 7 === 0)
+      graft.streaming.StreamDedup
+        .dedupUnbounded(ev.unionAll(redelivered), Seq("event_id"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("users"),
+          sum($"event_id").cast("long").as("id_sum"))
+        .orderBy($"event_type")
+    },
+
     // JSON property extraction from the props column.
     "q52_json_extract" -> { (s, dir) =>
       import s.implicits._
@@ -56,6 +75,14 @@ object Events {
     })
 
   val oracles: Map[String, String] = Map(
+    "q76_stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        | count(DISTINCT user_id) AS users,
+        | CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     "q50_stream_tumbling_window" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
         | event_type, count(*) AS n,
