@@ -69,31 +69,59 @@ object Dedup {
     val sh = docsh.select($"doc", explode($"hs").as("h"))
     val sizes = docsh.select($"doc", size($"hs").cast("long").as("sz"))
     val prefix = prefixIndex(sh, sizes, threshold)
-    // candidate pairs from the prefix inverted index, with the PPJoin
-    // LENGTH filter: jaccard >= t forces t·max(sa,sb) <= min(sa,sb),
-    // so size-skewed pairs are dropped before the distinct/verify.
-    val cands = prefix.as("x").join(prefix.as("y"),
+    verifyJaccardArrays(candidatePairs(prefix, threshold), docsh, threshold)
+  }
+
+  /** Candidate pairs from a [[prefixIndex]] frame, with BOTH PPJoin
+    * bounds (Xiao et al., WWW'08):
+    *
+    *  - LENGTH filter: jaccard >= t forces t·max(sa,sb) <= min(sa,sb),
+    *    so size-skewed pairs are dropped before the distinct/verify.
+    *  - POSITIONAL filter: a prefix token matching at canonical
+    *    positions (i, j) bounds the overlap by 1 + min(sa-i, sb-j);
+    *    if that bound is below the equivalent-overlap threshold
+    *    α = ⌈t/(1+t)·(sa+sb)⌉ the co-occurrence cannot witness a true
+    *    pair. A true pair always passes at its FIRST shared canonical
+    *    token, so keeping pairs with any passing co-occurrence loses
+    *    nothing (output identity is pinned in DedupSpec + the q31
+    *    oracle); what it prunes is deep-prefix-only collisions, the
+    *    candidate tail that grows with prefix length at corpus scale.
+    */
+  private[graft] def candidatePairs(prefix: DataFrame, threshold: Double,
+      positional: Boolean = true): DataFrame = {
+    val lengthOk = col("x.sz") * threshold <= col("y.sz") &&
+      col("y.sz") * threshold <= col("x.sz")
+    val posOk =
+      if (!positional) lit(true)
+      else {
+        // -1e-9: guard the double product against landing epsilon
+        // ABOVE an exact integer α (ceil would then overshoot by 1 and
+        // drop a boundary-true pair)
+        val alpha = ceil((col("x.sz") + col("y.sz")) *
+          lit(threshold / (1.0 + threshold)) - lit(1e-9))
+        lit(1) + least(col("x.sz") - col("x.rn"), col("y.sz") - col("y.rn")) >= alpha
+      }
+    prefix.as("x").join(prefix.as("y"),
         col("x.h") === col("y.h") && col("x.doc") < col("y.doc") &&
-          col("x.sz") * threshold <= col("y.sz") &&
-          col("y.sz") * threshold <= col("x.sz"))
+          lengthOk && posOk)
       .select(col("x.doc").as("a"), col("y.doc").as("b"))
       .distinct()
-    verifyJaccardArrays(cands, docsh, threshold)
   }
 
   /** Rarest-first prefix of each doc's shingle set (see
     * [[ngramJaccardPairs]]): the first `sz - ceil(t·sz) + 1` shingles
-    * under the global (df asc, h asc) order.
+    * under the global (df asc, h asc) order, with each token's
+    * canonical position `rn` kept for the positional filter.
     */
   private[graft] def prefixIndex(sh: DataFrame, sizes: DataFrame,
       threshold: Double): DataFrame = {
     val freq = sh.groupBy($"h").agg(count(lit(1)).as("df_"))
     val w = Window.partitionBy($"doc").orderBy($"df_", $"h")
     sh.join(freq, "h")
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .join(sizes, "doc")
       .filter($"rn" <= $"sz" - ceil($"sz" * threshold) + 1)
-      .select($"doc", $"h", $"sz")
+      .select($"doc", $"h", $"sz", $"rn")
   }
 
   /** Exact jaccard over candidate pairs only: two doc-keyed joins

@@ -66,6 +66,47 @@ class DedupSpec extends SparkSpec {
 
   private def ix_size(df: org.apache.spark.sql.DataFrame): Long = df.count()
 
+  test("positional filter prunes deep-prefix collisions, keeps true pairs") {
+    import spark.implicits._
+    // Hand-built inverted index: docs 1,2 (size 10) share ONLY token
+    // 50, at canonical position 3 — the LAST prefix slot — of both
+    // (positions 1-2 are df=1 tokens; 50 has df=2 and the smallest
+    // hash among each doc's df=2 fillers). At t=0.8 the equivalent
+    // overlap is α = ⌈0.8/1.8·20⌉ = 9, but a position-3/3 match bounds
+    // the overlap by 1+min(7,7) = 8 — the pair cannot be true, and
+    // the positional filter proves it WITHOUT verification. Helper
+    // single-token docs give the filler tokens df=2; they never
+    // co-occur in both prefixes and fail the length filter anyway.
+    val docsSh = Seq(
+      1L -> Seq(101L, 102L, 50L, 200L, 201L, 202L, 203L, 204L, 205L, 206L),
+      2L -> Seq(111L, 112L, 50L, 300L, 301L, 302L, 303L, 304L, 305L, 306L)) ++
+      (0 until 7).map(i => (10L + i) -> Seq(200L + i)) ++
+      (0 until 7).map(i => (20L + i) -> Seq(300L + i))
+    val base = docsSh.toDF("doc", "hs")
+    val sh = base.select($"doc", explode($"hs").as("h"))
+    val sizes = base.select($"doc", size($"hs").cast("long").as("sz"))
+    val prefix = Dedup.prefixIndex(sh, sizes, 0.8).cache()
+    def pairs(positional: Boolean) =
+      Dedup.candidatePairs(prefix, 0.8, positional)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairs(positional = false)
+    val pos = pairs(positional = true)
+    assert(plain.contains((1L, 2L)), s"fixture broken: $plain")
+    assert(!pos.contains((1L, 2L)), "positional filter should prune the deep match")
+    assert(pos.subsetOf(plain))
+
+    // on the real corpus: positional candidates are a subset and the
+    // final output is identical (the true-pair guarantee)
+    val csh = Dedup.shingles(docs, "doc_id", "text", 3).cache()
+    val csizes = csh.groupBy($"doc").agg(count(lit(1)).as("sz"))
+    val cprefix = Dedup.prefixIndex(csh, csizes, 0.8).cache()
+    val cPlain = Dedup.candidatePairs(cprefix, 0.8, positional = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cPos = Dedup.candidatePairs(cprefix, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cPos.subsetOf(cPlain), s"spurious=${cPos -- cPlain}")
+  }
+
   test("jaccard values are in (0,1] and pairs are ordered a<b") {
     Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8).collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
