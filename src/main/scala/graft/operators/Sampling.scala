@@ -38,4 +38,42 @@ object Sampling {
       when(bucket(col(key)) < trainUpTo, "train")
         .when(bucket(col(key)) < validUpTo, "valid")
         .otherwise("test"))
+
+  /** Per-group cap: keep the first `cap` rows of each group under a
+    * deterministic order — the mixture-balancing primitive (bound each
+    * source's contribution to a training mix). One shuffle on the
+    * group key, then a partition-local ranked filter; output is
+    * bounded by cap × groups regardless of corpus size. A single
+    * ultra-hot group serializes through one partition's sort — if the
+    * mixture has one (per-group rows ≫ 10⁹), pre-prune with a
+    * deterministic [[sampled]] pass sized ≫ cap before the exact rank.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+      cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
+  }
+
+  /** Greedy contiguous token-budget packing: per group, docs in
+    * deterministic order are assigned to bins of ~`budget` tokens —
+    * bin = ⌊(running tokens BEFORE this doc) / budget⌋, so a doc
+    * crossing a boundary stays with the bin it started in (bins can
+    * overflow by at most one doc, the standard streaming-pack
+    * contract). This is how a training pipeline shards a corpus into
+    * fixed-token-cost work units. One shuffle on the group key; the
+    * running sum is partition-local per group.
+    */
+  def packByTokenBudget(df: DataFrame, groupCol: String, orderCol: String,
+      tokensCol: Column, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("_ntok", tokensCol.cast("long"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("_ntok")).over(w), lit(0L)) / budget))
+      .withColumnRenamed("_ntok", "n_tokens")
+  }
 }

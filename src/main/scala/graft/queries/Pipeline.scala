@@ -304,9 +304,84 @@ object Pipeline {
       import s.implicits._
       val media = Multimodal.asBinaryFrame(Tables(s, dir).documents, "doc_id", "text")
       Multimodal.extractFeatures(s, media).toDF().orderBy($"doc_id")
+    },
+
+    // The full curation funnel (lang → quality → exact dedup →
+    // decontamination) with per-stage audit counts — every dropped doc
+    // accounted to the stage that dropped it.
+    "q77_curation_funnel" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Curation.funnel(Tables(s, dir).documents, "en")
+        .orderBy($"stage")
+    },
+
+    // Per-source cap — mixture balancing: at most 10 docs per source,
+    // deterministic doc_id order.
+    "q78_stratified_cap" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Sampling
+        .capPerGroup(Tables(s, dir).documents, "source", "doc_id", cap = 10)
+        .select($"doc_id", $"source")
+        .orderBy($"source", $"doc_id")
+    },
+
+    // Greedy token-budget packing: per source, docs in doc_id order
+    // fill ~2000-token bins (work-unit sharding for training jobs).
+    "q79_token_packing" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Sampling.packByTokenBudget(
+          Tables(s, dir).documents.select($"source", $"doc_id", $"text"),
+          "source", "doc_id", size(tokens($"text")), budget = 2000L)
+        .groupBy($"source", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("tok_sum"))
+        .orderBy($"source", $"bin")
     })
 
   val oracles: Map[String, String] = Map(
+    "q77_curation_funnel" ->
+      """WITH s1 AS (SELECT * FROM documents WHERE lang = 'en'),
+        |s2 AS (SELECT * FROM s1 WHERE len(string_split(text,' ')) >= 10
+        |  AND CAST(len(list_filter(string_split(text,' '),
+        |      t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |    / len(string_split(text,' ')) <= 0.5
+        |  AND CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text,' ')) >= 2.0),
+        |s3 AS (SELECT min(doc_id) AS doc_id, text FROM s2 GROUP BY text),
+        |sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM s3),
+        |g AS (SELECT DISTINCT doc_id,
+        |        sp[i.g]||' '||sp[i.g+1]||' '||sp[i.g+2]||' '||sp[i.g+3] AS gram
+        |      FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-3)) AS g) i),
+        |esp AS (SELECT string_split(text,' ') AS sp FROM documents WHERE doc_id % 97 = 0),
+        |evg AS (SELECT DISTINCT sp[i.g]||' '||sp[i.g+1]||' '||sp[i.g+2]||' '||sp[i.g+3] AS gram
+        |        FROM esp, LATERAL (SELECT unnest(generate_series(1, len(sp)-3)) AS g) i),
+        |bad AS (SELECT DISTINCT doc_id FROM g JOIN evg USING (gram))
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+        |         (SELECT count(*) FROM documents) AS n
+        |  UNION ALL SELECT 1, 'lang', (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'dedup', (SELECT count(*) FROM s3)
+        |  UNION ALL SELECT 4, 'decontaminated',
+        |    (SELECT count(*) FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM bad)))
+        |ORDER BY stage""".stripMargin,
+
+    "q78_stratified_cap" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "q79_token_packing" ->
+      """WITH t AS (SELECT source, doc_id,
+        |             len(string_split(text,' ')) AS ntok FROM documents),
+        |c AS (SELECT source, ntok,
+        |        COALESCE(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |      FROM t)
+        |SELECT source, CAST(floor(cumb / 2000.0) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS tok_sum
+        |FROM c GROUP BY 1, 2
+        |ORDER BY source, bin""".stripMargin,
+
     "q30_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents
