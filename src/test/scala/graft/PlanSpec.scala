@@ -115,4 +115,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), s"sketch projection should be one codegen stage:\n$p")
     assert(!p.toLowerCase.contains("fallback"), s"unexpected codegen fallback:\n$p")
   }
+
+  test("q77 funnel broadcasts decontamination and never pair-joins") {
+    val p = plan(graft.queries.Pipeline.queries("q77_curation_funnel")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"eval side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs join in the funnel:\n$p")
+  }
+
+  test("q78/q79 group ops are a single hash exchange on the group key") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf).documents.select(col("source"), col("doc_id"), col("text"))
+    for ((name, df) <- Seq(
+        "capPerGroup" -> Sampling.capPerGroup(docs, "source", "doc_id", 10),
+        "packByTokenBudget" -> Sampling.packByTokenBudget(docs, "source",
+          "doc_id", size(split(col("text"), " ")), 2000L))) {
+      val p = plan(df)
+      assert("Exchange".r.findAllIn(p).size == 1,
+        s"$name should shuffle exactly once, on the group key:\n$p")
+      assert(p.contains("hashpartitioning(source"),
+        s"$name should partition by the group column:\n$p")
+    }
+  }
+
+  test("multi-probe LSH expands only the query side of the bucket join") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val corpus = Similarity.prepare(Tables(spark, sf).embeddings, "vec_id", "embedding")
+    val p = plan(Similarity.lshTopK(corpus, 64, nPlanes = 5, k = 5,
+      nTables = 8, nProbe = 3))
+    // one lshprobes generator (query side), one lshbuckets (members) —
+    // the corpus-sized side is not probe-replicated
+    val lp = p.toLowerCase
+    assert(lp.contains("lshprobes"), s"query side should use probe buckets:\n$p")
+    assert(lp.contains("lshbuckets"), s"member side should keep exact buckets:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucket join must stay an equi-join:\n$p")
+  }
 }
