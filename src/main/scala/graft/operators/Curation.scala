@@ -21,22 +21,9 @@ import graft.syntax._
   */
 object Curation {
 
-  /** The surviving documents after all four stages. */
-  def curate(docs: DataFrame, lang: String, n: Int = 4,
-      evalMod: Long = 97L): DataFrame = {
-    val s1 = docs.filter($"lang" === lang)
-    val s2 = s1.filter(TextFunctions.isQuality($"text"))
-    val s3 = s2.groupBy($"text").agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id", $"text")
-    val evalSet = docs.filter($"doc_id" % evalMod === 0)
-    val contaminated = Dedup.contaminationScan(s3, evalSet, "doc_id", "text", n)
-      .select($"doc_id")
-    s3.join(contaminated, Seq("doc_id"), "left_anti")
-  }
-
-  /** Stage-by-stage audit counts: (stage, stage_name, n). */
-  def funnel(docs: DataFrame, lang: String, n: Int = 4,
-      evalMod: Long = 97L): DataFrame = {
+  /** The named stage frames, raw-to-final. */
+  private def stages(docs: DataFrame, lang: String, n: Int,
+      evalMod: Long): Seq[(String, DataFrame)] = {
     val s1 = docs.filter($"lang" === lang)
     val s2 = s1.filter(TextFunctions.isQuality($"text"))
     val s3 = s2.groupBy($"text").agg(min($"doc_id").as("doc_id"))
@@ -45,12 +32,20 @@ object Curation {
     val contaminated = Dedup.contaminationScan(s3, evalSet, "doc_id", "text", n)
       .select($"doc_id")
     val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
-    def cnt(stage: Int, name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n"))
-        .select(lit(stage).cast("long").as("stage"),
-          lit(name).as("stage_name"), $"n")
-    Seq(cnt(0, "raw", docs), cnt(1, "lang", s1), cnt(2, "quality", s2),
-        cnt(3, "dedup", s3), cnt(4, "decontaminated", s4))
-      .reduce(_ unionByName _)
+    Seq("raw" -> docs, "lang" -> s1, "quality" -> s2,
+      "dedup" -> s3, "decontaminated" -> s4)
   }
+
+  /** The surviving documents after all four stages. */
+  def curate(docs: DataFrame, lang: String, n: Int = 4,
+      evalMod: Long = 97L): DataFrame =
+    stages(docs, lang, n, evalMod).last._2
+
+  /** Stage-by-stage audit counts: (stage, stage_name, n). */
+  def funnel(docs: DataFrame, lang: String, n: Int = 4,
+      evalMod: Long = 97L): DataFrame =
+    stages(docs, lang, n, evalMod).zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n"))
+        .select(lit(i).cast("long").as("stage"), lit(name).as("stage_name"), $"n")
+    }.reduce(_ unionByName _)
 }
