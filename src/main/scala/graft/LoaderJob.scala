@@ -57,6 +57,24 @@ object LoaderJob {
       Sharding.assign(wire, keyCol, shards), shards, cfg.loaderTaskExecutor)
   }
 
+  /** Production executor wiring for [[runDirect]]: a single JDBC
+    * endpoint gets the pooled FORMAT-insert executor; several (the
+    * shard's replicas, discovered from the target's cluster metadata
+    * the way the reference reads `system.clusters`) get the replica
+    * fan-out with alive-host failover
+    * (`AbstractClickhouseLoaderMapper.java:309-359`, `:678-699`).
+    */
+  def executorFor(cfg: LoaderConfig, replicaConnects: Seq[String] = Nil,
+      lookupReplicated: Boolean = false): BatchExecutor = {
+    val urls = if (replicaConnects.nonEmpty) replicaConnects else Seq(cfg.connect)
+    if (urls.size == 1)
+      new graft.sinks.JdbcFormatInsertExecutor(urls.head, cfg.username,
+        cfg.password, cfg.clickhouseFormat)
+    else
+      graft.sinks.ReplicaFanoutExecutor.forUrls(urls, cfg.username,
+        cfg.password, cfg.clickhouseFormat, lookupReplicated, cfg.maxTries)
+  }
+
   /** Direct load (§3.1, `--direct true`): per-partition micro-batched
     * inserts through `executor` with retry + metrics; fails the job if
     * any batch exhausted its retries (the reference's counters

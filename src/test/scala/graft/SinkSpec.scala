@@ -267,4 +267,13 @@ class SinkSpec extends SparkSpec {
     val e = intercept[IllegalStateException](dead.execute("db.t", Seq("x")))
     assert(e.getMessage.contains("Cannot get alive host"))
   }
+
+  test("executorFor picks fan-out for several endpoints, pooled JDBC for one") {
+    import graft.{LoaderJob => LJ}
+    val cfg = LoaderConfig(connect = "jdbc:fake://single")
+    assert(LJ.executorFor(cfg).isInstanceOf[JdbcFormatInsertExecutor])
+    val multi = LJ.executorFor(cfg,
+      replicaConnects = Seq("jdbc:fake://r1", "jdbc:fake://r2"))
+    assert(multi.isInstanceOf[ReplicaFanoutExecutor])
+  }
 }
