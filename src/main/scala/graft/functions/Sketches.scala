@@ -206,6 +206,16 @@ object SketchOps {
     }
     acc
   }
+
+  /** Unicode NFC; returns the input object untouched when already
+    * normalized (no re-encode on the common path).
+    */
+  def nfc(v: UTF8String): UTF8String = {
+    val s = v.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** Distinct murmur3-64 hashes of word n-gram shingles, in one pass:
@@ -442,4 +452,30 @@ case class Fingerprint64(child: Expression) extends UnaryExpression {
 
 object Fingerprint64 {
   def fingerprint64(text: Column): Column = column(Fingerprint64(expression(text)))
+}
+
+/** Unicode NFC normalization — the canonical-composition pass a corpus
+  * needs BEFORE any content hashing: decomposed sequences (e.g.
+  * `a` + U+0301) and their precomposed forms (U+00E1) are visually
+  * identical but hash differently, so un-normalized text silently
+  * defeats exact dedup, fingerprinting, and shingle overlap. Wraps
+  * `java.text.Normalizer` (ICU-equivalent for NFC) as a codegen'd
+  * expression; the fast path skips allocation when the input is
+  * already NFC (the overwhelmingly common case — `Normalizer.isNormalized`
+  * is a cheap scan).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType // string in, string out
+
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.nfc(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.nfc($c)")
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+}
+
+object NfcNormalize {
+  def nfc_normalize(text: Column): Column = column(NfcNormalize(expression(text)))
 }

@@ -52,6 +52,7 @@ object GraftExtensions {
     "graft_band_buckets" -> (es =>
       BandBuckets(es.head, intArg(es(1), "bands"), intArg(es(2), "rowsPerBand"))),
     "graft_fingerprint" -> (es => Fingerprint64(es.head)),
+    "graft_nfc" -> (es => NfcNormalize(es.head)),
     "graft_sorted_intersect" -> (es => SortedIntersectCount(es.head, es(1))),
     "graft_zorder" -> (es => ZOrder2(es.head, es(1))))
 

@@ -325,6 +325,23 @@ object Pipeline {
         .orderBy($"source", $"doc_id")
     },
 
+    // Unicode NFC normalization — the pass that must precede any
+    // content hashing: a decomposed suffix (e + U+0301) composes to é,
+    // shortening the string by one code point; the already-NFC base
+    // text takes the allocation-free fast path (len_base_nfc).
+    "q80_unicode_nfc" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.NfcNormalize.nfc_normalize
+      val deco = concat($"text", lit(" café"))
+      Tables(s, dir).documents.select(
+          $"doc_id",
+          length(deco).cast("long").as("len_raw"),
+          length(nfc_normalize(deco)).cast("long").as("len_nfc"),
+          substring(nfc_normalize(deco), -4, 4).as("nfc_tail"),
+          length(nfc_normalize($"text")).cast("long").as("len_base_nfc"))
+        .orderBy($"doc_id")
+    },
+
     // Greedy token-budget packing: per source, docs in doc_id order
     // fill ~2000-token bins (work-unit sharding for training jobs).
     "q79_token_packing" -> { (s, dir) =>
@@ -364,6 +381,15 @@ object Pipeline {
         |  UNION ALL SELECT 4, 'decontaminated',
         |    (SELECT count(*) FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM bad)))
         |ORDER BY stage""".stripMargin,
+
+    "q80_unicode_nfc" ->
+      """SELECT doc_id,
+        | length(text || ' caf' || chr(101) || chr(769)) AS len_raw,
+        | length(nfc_normalize(text || ' caf' || chr(101) || chr(769))) AS len_nfc,
+        | right(nfc_normalize(text || ' caf' || chr(101) || chr(769)), 4) AS nfc_tail,
+        | length(nfc_normalize(text)) AS len_base_nfc
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q78_stratified_cap" ->
       """SELECT doc_id, source FROM documents

@@ -84,6 +84,14 @@ class CatalogSpec extends SparkSpec {
     assert(r.getLong(2) == 4L + 10L + 18L)
     assert(r.getInt(3) == 2)
     assert(r.getInt(4) == 16)
+    // NFC: decomposed e+U+0301 composes to U+00E9; already-NFC input
+    // passes through unchanged. (The combining mark is embedded as a
+    // real codepoint — Spark's chr() is mod-256 ASCII and can't build
+    // it in SQL.)
+    val n = spark.sql("SELECT graft_nfc('cafe\u0301'), graft_nfc('plain')")
+      .collect()(0)
+    assert(n.getString(0) == "caf\u00e9")
+    assert(n.getString(1) == "plain")
   }
 
   test("graft_zorder rejects non-int children at analysis, not runtime") {
