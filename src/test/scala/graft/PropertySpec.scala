@@ -133,4 +133,28 @@ class PropertySpec extends SparkSpec {
       assert(b == k % 1000003L * 31L % 1000L, s"key $k")
     }
   }
+
+  test("lshProbes: exact bucket first, then distinct one-bit flips") {
+    val nTables = 4; val nPlanes = 8; val dim = 16; val nProbe = 3
+    val signs = Array.tabulate(nTables, nPlanes * dim) { (t, pd) =>
+      graft.functions.LshBuckets.planeSign(t, pd / dim, pd % dim)
+    }
+    for (_ <- 1 to 100) {
+      val v = new GenericArrayData(Array.fill(dim)(rnd.nextInt(2001) - 1000L))
+      val exact = SketchOps.lshBuckets(v, signs, nTables, nPlanes, dim)
+      val probes = SketchOps.lshProbes(v, signs, nTables, nPlanes, dim, nProbe)
+      assert(probes.numElements() == nTables * nProbe)
+      for (t <- 0 until nTables) {
+        val slots = (0 until nProbe).map(j => probes.getLong(t * nProbe + j))
+        // slot 0 is the exact bucket
+        assert(slots.head == exact.getLong(t))
+        // every other probe flips exactly ONE plane bit, all distinct
+        slots.tail.foreach { p =>
+          assert(java.lang.Long.bitCount(p ^ slots.head) == 1,
+            s"probe $p is not a single-bit flip of ${slots.head}")
+        }
+        assert(slots.distinct.size == nProbe, s"duplicate probes: $slots")
+      }
+    }
+  }
 }
