@@ -50,6 +50,8 @@ object Sampling {
     */
   def capPerGroup(df: DataFrame, groupCol: String, orderCol: String,
       cap: Int): DataFrame = {
+    require(!df.columns.contains("_rn"),
+      "capPerGroup uses a temporary _rn column; rename the input's")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col(orderCol))
     df.withColumn("_rn", row_number().over(w))
@@ -68,6 +70,9 @@ object Sampling {
     */
   def packByTokenBudget(df: DataFrame, groupCol: String, orderCol: String,
       tokensCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(!df.columns.exists(Set("bin", "n_tokens", "_ntok")),
+      "packByTokenBudget emits bin/n_tokens columns; rename the input's")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col(orderCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
