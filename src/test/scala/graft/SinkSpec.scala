@@ -4,6 +4,22 @@ import graft.config.{LoaderConfig, WireFormat}
 import graft.sinks._
 import org.apache.spark.sql.functions._
 
+/** Singleton replica recorders: task deserialization resolves the
+  * module reference, so rows recorded inside executors are visible to
+  * the driver-side assertions (a plain class instance would be copied
+  * per task and its state lost).
+  */
+object ReplicaProbeA extends BatchExecutor {
+  val rows = new java.util.concurrent.atomic.AtomicLong
+  override def execute(target: String, batch: Seq[String]): Unit =
+    rows.addAndGet(batch.size)
+}
+object ReplicaProbeB extends BatchExecutor {
+  val rows = new java.util.concurrent.atomic.AtomicLong
+  override def execute(target: String, batch: Seq[String]): Unit =
+    rows.addAndGet(batch.size)
+}
+
 class SinkSpec extends SparkSpec {
 
   private def wireFrame(n: Int) = {
@@ -266,6 +282,21 @@ class SinkSpec extends SparkSpec {
       probeAlive = _ => false, maxTries = 2, sleep = _ => ())
     val e = intercept[IllegalStateException](dead.execute("db.t", Seq("x")))
     assert(e.getMessage.contains("Cannot get alive host"))
+  }
+
+  test("replica fan-out survives DirectSink's task serialization") {
+    ReplicaProbeA.rows.set(0)
+    ReplicaProbeB.rows.set(0)
+    val metrics = LoadMetrics(spark)
+    val sink = new DirectSink(
+      new ReplicaFanoutExecutor(IndexedSeq(ReplicaProbeA, ReplicaProbeB),
+        sleep = _ => ()),
+      LoaderConfig(batchSize = 100), metrics)
+    val report = sink.write(wireFrame(250).repartition(2), "t9")
+    assert(report.success == 250 && report.failed == 0)
+    // every replica took every row, through real task closures
+    assert(ReplicaProbeA.rows.get() == 250)
+    assert(ReplicaProbeB.rows.get() == 250)
   }
 
   test("executorFor picks fan-out for several endpoints, pooled JDBC for one") {
