@@ -3,6 +3,7 @@ package graft.sinks
 import graft.config.WireFormat
 import java.sql.Connection
 import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+import scala.util.control.NonFatal
 
 /** Executor-wide JDBC connection pool keyed by connect URL (+user) —
   * the reference's per-URL client cache (`ClickhouseClientHolder
@@ -105,6 +106,20 @@ final class JdbcFormatInsertExecutor(
     }
   }
 
+  /** Alive probe for this endpoint — the reference's HTTP-200 ping
+    * (`AbstractClickhouseLoaderMapper.java:678-699`) re-expressed over
+    * JDBC: borrow a pooled connection (opening one if the pool is dry)
+    * and `isValid`-check it. An endpoint that refuses the connection,
+    * or whose socket has gone stale, probes false; the stale socket is
+    * closed (thrown out of the pool) rather than returned.
+    */
+  def ping(timeoutSec: Int = 2): Boolean =
+    try ConnectionPool.withConnection(poolKey, open _) { c =>
+      if (!c.isValid(timeoutSec))
+        throw new java.sql.SQLException(s"endpoint not alive: $url")
+      true
+    } catch { case NonFatal(_) => false }
+
   /** Per-task close is a no-op by design: the pool is executor-wide.
     * Job teardown calls [[ConnectionPool.closeAll]] with the same key.
     */
@@ -148,25 +163,78 @@ final class ReplicaFanoutExecutor(
   require(replicas.nonEmpty, "need at least one replica endpoint")
 
   // replicas already holding a given (target, batch) — survives an
-  // outer retry of the same batch so succeeded replicas are skipped
-  private val done =
-    new ConcurrentHashMap[String, java.util.Set[Integer]]()
+  // outer retry of the same batch so succeeded replicas are skipped.
+  // Keyed by a 128-bit murmur3 of the batch CONTENT (not Seq.hashCode,
+  // whose 32-bit collisions would silently skip replicas for a
+  // different batch). Entries for permanently failed batches are
+  // evicted least-recently-touched once the map exceeds
+  // [[ReplicaFanoutExecutor.MaxPendingBatches]], so an executor
+  // instance can't grow without bound across a long load.
+  private final class BatchStatus {
+    val ok: java.util.Set[Integer] = ConcurrentHashMap.newKeySet[Integer]()
+    @volatile var touched: Long = System.nanoTime()
+  }
+  private val done = new ConcurrentHashMap[String, BatchStatus]()
+
+  private def batchKey(target: String, batch: Seq[String]): String = {
+    // wire rows are newline-joined on the statement anyway, so "\n"
+    // is an unambiguous row separator for the identity hash
+    val (h1, h2) = graft.functions.Murmur3.hashUnencodedChars(
+      batch.mkString("\n"))
+    s"$target#${java.lang.Long.toHexString(h1)}${java.lang.Long.toHexString(h2)}#${batch.size}"
+  }
+
+  private def evictStale(keep: String): Unit =
+    if (done.size > ReplicaFanoutExecutor.MaxPendingBatches) {
+      val it = done.entrySet().iterator()
+      var oldestKey: String = null
+      var oldest = Long.MaxValue
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey != keep && e.getValue.touched < oldest) {
+          oldest = e.getValue.touched; oldestKey = e.getKey
+        }
+      }
+      if (oldestKey != null) done.remove(oldestKey)
+    }
 
   override def execute(target: String, batch: Seq[String]): Unit =
     if (lookupReplicated) executeLookup(target, batch)
     else executeFanout(target, batch)
 
-  private def executeLookup(target: String, batch: Seq[String]): Unit =
+  /** One alive replica suffices (replicated target). Endpoints are
+    * probed in order; an endpoint whose INSERT throws is marked suspect
+    * so the next retry advances to the next alive endpoint instead of
+    * hammering the same one (the reference re-resolves
+    * `getAliveNodeAddress` per attempt). Once every endpoint has
+    * failed an insert, the suspect set resets — a transient outage of
+    * all replicas still resolves within the retry budget.
+    */
+  private def executeLookup(target: String, batch: Seq[String]): Unit = {
+    val suspect = ConcurrentHashMap.newKeySet[Integer]()
     Retry.withRetries(maxTries, baseDelayMs, sleep) { _ =>
-      val alive = replicas.indices.find(probeAlive).getOrElse(
-        throw new IllegalStateException("Cannot get alive host."))
-      replicas(alive).execute(target, batch)
+      val alive = replicas.indices
+        .find(i => !suspect.contains(Int.box(i)) && probeAlive(i))
+        .orElse {
+          suspect.clear()
+          replicas.indices.find(probeAlive)
+        }
+        .getOrElse(throw new IllegalStateException("Cannot get alive host."))
+      try replicas(alive).execute(target, batch)
+      catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case NonFatal(e) => suspect.add(Int.box(alive)); throw e
+      }
     }
+  }
 
   private def executeFanout(target: String, batch: Seq[String]): Unit = {
-    val key = s"$target#${batch.hashCode}"
-    val ok = done.computeIfAbsent(key,
-      _ => ConcurrentHashMap.newKeySet[Integer]())
+    val key = batchKey(target, batch)
+    val st = done.computeIfAbsent(key, _ => new BatchStatus)
+    st.touched = System.nanoTime()
+    evictStale(keep = key)
+    val ok = st.ok
     var tries = 0
     var lastFailure: Throwable = null
     while (ok.size < replicas.size && tries < maxTries) {
@@ -174,7 +242,14 @@ final class ReplicaFanoutExecutor(
       replicas.indices.foreach { i =>
         if (!ok.contains(Int.box(i))) {
           try { replicas(i).execute(target, batch); ok.add(Int.box(i)) }
-          catch { case e: Throwable => lastFailure = e }
+          catch {
+            // fatal errors (OOM, linkage) propagate; an interrupted
+            // Spark task must cancel promptly, not keep retrying
+            // other replicas with the flag swallowed
+            case e: InterruptedException =>
+              Thread.currentThread().interrupt(); throw e
+            case NonFatal(e) => lastFailure = e
+          }
         }
       }
       if (ok.size < replicas.size && tries < maxTries)
@@ -188,18 +263,36 @@ final class ReplicaFanoutExecutor(
     done.remove(key) // complete — forget the status map entry
   }
 
+  /** Pending per-batch status entries (specs/metrics). */
+  private[graft] def pendingBatchStatuses: Int = done.size
+
   override def close(): Unit = replicas.foreach(_.close())
 }
 
 object ReplicaFanoutExecutor {
+  /** Status entries for in-flight/failed batches kept per executor
+    * instance before least-recently-touched eviction kicks in. A task
+    * has O(1) batches in flight, so anything beyond a few entries is
+    * leftover from permanently failed batches.
+    */
+  private[graft] val MaxPendingBatches = 256
+
   /** Production wiring: one [[JdbcFormatInsertExecutor]] per endpoint
-    * URL, sharing format/credentials.
+    * URL, sharing format/credentials, with the per-endpoint JDBC
+    * `ping()` wired in as the alive probe — lookup mode genuinely
+    * fails over to the first endpoint that answers, matching the
+    * reference's `getAliveNodeAddress` rather than always electing
+    * endpoint 0.
     */
   def forUrls(urls: Seq[String], user: String, password: String,
       format: WireFormat, lookupReplicated: Boolean = false,
-      maxTries: Int = 3): ReplicaFanoutExecutor =
+      maxTries: Int = 3): ReplicaFanoutExecutor = {
+    val endpoints = urls.map(u =>
+      new JdbcFormatInsertExecutor(u, user, password, format)).toIndexedSeq
     new ReplicaFanoutExecutor(
-      urls.map(u => new JdbcFormatInsertExecutor(u, user, password, format): BatchExecutor)
-        .toIndexedSeq,
-      lookupReplicated = lookupReplicated, maxTries = maxTries)
+      endpoints.map(e => e: BatchExecutor),
+      lookupReplicated = lookupReplicated,
+      probeAlive = i => endpoints(i).ping(),
+      maxTries = maxTries)
+  }
 }

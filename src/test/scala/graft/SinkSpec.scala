@@ -284,6 +284,66 @@ class SinkSpec extends SparkSpec {
     assert(e.getMessage.contains("Cannot get alive host"))
   }
 
+  test("lookup mode advances to the next endpoint when an insert throws") {
+    // every endpoint probes alive, but 0's INSERT fails — the retry
+    // must not re-elect 0 forever (ADVICE r4: inert failover)
+    val reps = IndexedSeq.fill(3)(new ReplicaRec)
+    reps(0).failures = 99
+    val ex = new ReplicaFanoutExecutor(reps, lookupReplicated = true,
+      maxTries = 3, sleep = _ => ())
+    ex.execute("db.t", Seq("a"))
+    assert(reps(0).calls.isEmpty)
+    assert(reps(1).calls.size == 1)
+    assert(reps(2).calls.isEmpty)
+  }
+
+  test("lookup mode re-probes all endpoints after every one has failed once") {
+    // 2 endpoints, both fail once then heal: try1 suspects 0, try2
+    // suspects 1, try3 resets the suspect set and lands on 0
+    val reps = IndexedSeq.fill(2)(new ReplicaRec)
+    reps(0).failures = 1
+    reps(1).failures = 1
+    val ex = new ReplicaFanoutExecutor(reps, lookupReplicated = true,
+      maxTries = 3, sleep = _ => ())
+    ex.execute("db.t", Seq("a"))
+    assert(reps(0).calls.size + reps(1).calls.size == 1)
+  }
+
+  test("fan-out propagates task interruption instead of retrying through it") {
+    val interrupting = new BatchExecutor {
+      override def execute(target: String, batch: Seq[String]): Unit =
+        throw new InterruptedException("task cancelled")
+    }
+    val healthy = new ReplicaRec
+    val ex = new ReplicaFanoutExecutor(IndexedSeq(interrupting, healthy),
+      maxTries = 3, sleep = _ => ())
+    intercept[InterruptedException](ex.execute("db.t", Seq("a")))
+    assert(Thread.interrupted(), "interrupt flag must be restored")
+    // the loop stopped at the interrupt — no fan-out to later replicas,
+    // no backoff retries
+    assert(healthy.calls.isEmpty)
+  }
+
+  test("failed-batch status entries are bounded and batch identity is content-based") {
+    val rep = new ReplicaRec
+    rep.failures = Int.MaxValue
+    val ex = new ReplicaFanoutExecutor(IndexedSeq(rep), maxTries = 1,
+      sleep = _ => ())
+    val n = ReplicaFanoutExecutor.MaxPendingBatches + 50
+    (1 to n).foreach { i =>
+      intercept[IllegalStateException](ex.execute("db.t", Seq(s"row-$i")))
+    }
+    // permanently failed batches evict least-recently-touched instead
+    // of accumulating for the executor's lifetime
+    assert(ex.pendingBatchStatuses <= ReplicaFanoutExecutor.MaxPendingBatches + 1)
+
+    // a *different* batch to the same target fans out independently —
+    // succeeded-replica state is keyed by content hash, not Seq.hashCode
+    rep.failures = 0
+    ex.execute("db.t", Seq("fresh"))
+    assert(rep.calls.toArray.toSeq.contains(("db.t", 1)))
+  }
+
   test("replica fan-out survives DirectSink's task serialization") {
     ReplicaProbeA.rows.set(0)
     ReplicaProbeB.rows.set(0)
