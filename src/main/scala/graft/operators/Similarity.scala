@@ -37,6 +37,23 @@ object Similarity {
     math.min(4096L, math.max(32L,
       (corpusRows + rowsPerTile - 1) / rowsPerTile)).toInt
 
+  /** Per-query top-k over a (query_id, cand_id, cos) candidate stream
+    * via the bounded [[graft.functions.TopKAgg]] partial aggregate.
+    * The `row_number().over(partitionBy(query_id))` idiom this
+    * replaces shuffles EVERY candidate row to its query's partition
+    * before ranking; the aggregate forwards at most k partial rows per
+    * (query, map partition), so shuffle volume is candidate-count
+    * independent — the shape that survives a 100× candidate blow-up
+    * (hot LSH buckets, wide IVF probes). Ordering contract unchanged:
+    * cos desc, id asc.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy($"query_id")
+      .agg(graft.functions.TopKAgg.topk_by_score($"cos", $"cand_id", k).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col.id".as("neighbor_id"), $"col.score".as("cos"))
+
   /** Exact top-k cosine neighbors for each query row (excluding self).
     * `queries` and `corpus` are [[prepare]]d frames; the query side is
     * broadcast (it is the small side by construction).
@@ -44,11 +61,9 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select($"vid".as("query_id"), $"qv".as("q_qv"), $"nrm".as("q_nrm")))
     val pairs = q.join(corpus, $"query_id" =!= $"vid")
-      .withColumn("cos", cosineQ($"q_qv", $"qv", $"q_nrm", $"nrm"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vid")
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= k)
-      .select($"query_id", $"rank", $"vid".as("neighbor_id"), $"cos")
+      .select($"query_id", $"vid".as("cand_id"),
+        cosineQ($"q_qv", $"qv", $"q_nrm", $"nrm").as("cos"))
+    rankTopK(pairs, k)
   }
 
   /** Each row's single nearest neighbor (argmax cosine) — the
@@ -172,10 +187,7 @@ object Similarity {
       .join(corpus.select($"vid".as("cand_id"), $"qv".as("c_qv"), $"nrm".as("c_nrm")), "cand_id")
       .select($"query_id", $"cand_id",
         cosineQ($"q_qv", $"c_qv", $"q_nrm", $"c_nrm").as("cos"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id")
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= k)
-      .select($"query_id", $"rank", $"cand_id".as("neighbor_id"), $"cos")
+    rankTopK(scored, k)
   }
 
   /** Lloyd's k-means over the quantized grid — the IVF coarse
@@ -247,13 +259,19 @@ object Similarity {
             $"qv".as("v"), $"nrm".as("nm"))).as("best"))
           .select($"vid".as(s"${outPrefix}vid"), $"best.v".as(s"${outPrefix}qv"),
             $"best.nm".as(s"${outPrefix}nrm"), (-$"best.nc").as("cid"))
-      else {
-        val w = Window.partitionBy($"vid").orderBy($"c_cos".desc, $"cid")
-        scored.withColumn("rnk", row_number().over(w))
-          .filter($"rnk" <= n)
-          .select($"vid".as(s"${outPrefix}vid"), $"qv".as(s"${outPrefix}qv"),
-            $"nrm".as(s"${outPrefix}nrm"), $"cid")
-      }
+      else
+        // multi-cell probe assignment: top-n centroids per vector via
+        // the bounded TopKAgg partial aggregate — one k-bounded
+        // partial row per (vid, map partition) instead of a
+        // row_number window shuffling all corpus×centroid scored
+        // rows. qv/nrm are functionally dependent on vid (any_value
+        // is deterministic here), so the group stays narrow.
+        scored.groupBy($"vid")
+          .agg(
+            graft.functions.TopKAgg.topk_by_score($"c_cos", $"cid", n).as("cells"),
+            any_value($"qv").as("v"), any_value($"nrm").as("nm"))
+          .select($"vid".as(s"${outPrefix}vid"), $"v".as(s"${outPrefix}qv"),
+            $"nm".as(s"${outPrefix}nrm"), explode($"cells.id").as("cid"))
     }
 
     val members = cellsFor(corpus, 1, "m_")   // each vector lives in 1 cell
@@ -264,9 +282,6 @@ object Similarity {
       .select($"q_vid".as("query_id"), $"m_vid".as("cand_id"),
         cosineQ($"q_qv", $"m_qv", $"q_nrm", $"m_nrm").as("cos"))
       .distinct()
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"cand_id")
-    cands.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= k)
-      .select($"query_id", $"rank", $"cand_id".as("neighbor_id"), $"cos")
+    rankTopK(cands, k)
   }
 }

@@ -216,20 +216,24 @@ object Etl {
     // rewritten z-clustered on (p_size, p_partkey) with a bounded
     // per-file row cap, re-read, and checksummed. Row parity proves
     // the rewrite is lossless; n_files is deterministic (= the range
-    // partition count — the 200-row cap is 2× the average partition
-    // size, so range partitions never split) and oracled as
-    // ceil(n/100). Footer-range selectivity is pinned in
+    // partition count — the 400-row cap is 4× the average partition
+    // size, so range-partition sampling skew never splits a file) and
+    // oracled as ceil(n/100). Footer-range selectivity is pinned in
     // PipelineOpsSpec (disjoint per-file z ranges, 2-dim span shrink).
+    // The output dir carries a per-run unique suffix: two concurrent
+    // Verify/Bench runs over the same data dir must not overwrite each
+    // other's files between this eager write and the lazy re-read.
     "q74_compact_zorder" -> { (s, dir) =>
       import s.implicits._
       val part = Tables(s, dir).part
       val clustered = part.withColumn("z",
         graft.functions.ZOrder2.zorder($"p_size".cast("int"), $"p_partkey".cast("int")))
-      val outDir = s"/tmp/graft_compact_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val outDir = s"/tmp/graft_compact_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"_${java.util.UUID.randomUUID().toString.take(8)}"
       val total = part.count() // parquet footer count — metadata-cheap
       val nFiles = math.max(1, math.ceil(total / 100.0).toInt)
       graft.operators.Compaction.compactTo(clustered, outDir,
-        maxRecordsPerFile = 200, nFiles = nFiles, clusterBy = Seq("z"))
+        maxRecordsPerFile = 400, nFiles = nFiles, clusterBy = Seq("z"))
       s.read.parquet(outDir)
         // project the (nondeterministic) file name first — aggregating
         // over the projected attribute is legal, over the raw

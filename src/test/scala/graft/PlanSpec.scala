@@ -98,6 +98,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no full-union window expected:\n$p")
   }
 
+  test("ANN top-k ranking is a bounded partial aggregate, not a candidate window") {
+    import graft.operators.Similarity
+    val corpus = Similarity.prepare(Tables(spark, sf).embeddings, "vec_id", "embedding")
+    // the candidate stream is the scale hazard (hot buckets, wide
+    // probes) — ranking must keep a k-bounded partial per group, never
+    // shuffle every candidate row into a per-query window partition
+    for (df <- Seq(
+        Similarity.bruteForceTopK(corpus.filter(corpus("vid") < 20), corpus, k = 5),
+        Similarity.lshTopK(corpus, dim = 64, nPlanes = 5, k = 5, nTables = 4),
+        Similarity.ivfTopK(corpus, k = 5, dim = 64, nProbe = 2))) {
+      val p = plan(df)
+      assert(!p.contains("Window"), s"no candidate-stream window expected:\n$p")
+      assert(p.toLowerCase.contains("partial_topkagg"),
+        s"expected map-side partial top-k aggregate:\n$p")
+    }
+  }
+
   test("sketch expressions stay inside whole-stage codegen") {
     import graft.functions.{BandBuckets, SimHash64, Fingerprint64}
     import org.apache.spark.sql.functions._
