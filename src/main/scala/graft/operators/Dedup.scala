@@ -135,9 +135,17 @@ object Dedup {
     */
   private[graft] def verifyJaccardArrays(cands: DataFrame, docsh: DataFrame,
       threshold: Double): DataFrame =
+    verifyJaccardTwoSided(cands, docsh, docsh, threshold)
+
+  /** [[verifyJaccardArrays]] with distinct shingle frames per pair
+    * side — the cross-corpus (`a` from one table, `b` from another)
+    * variant, where the two id spaces may overlap.
+    */
+  private[graft] def verifyJaccardTwoSided(cands: DataFrame, ash: DataFrame,
+      bsh: DataFrame, threshold: Double): DataFrame =
     cands
-      .join(docsh.select($"doc".as("a"), $"hs".as("x_hs")), "a")
-      .join(docsh.select($"doc".as("b"), $"hs".as("y_hs")), "b")
+      .join(ash.select($"doc".as("a"), $"hs".as("x_hs")), "a")
+      .join(bsh.select($"doc".as("b"), $"hs".as("y_hs")), "b")
       .withColumn("i", graft.functions.SortedIntersectCount
         .sorted_intersect_count($"x_hs", $"y_hs"))
       .withColumn("jaccard",
@@ -163,11 +171,8 @@ object Dedup {
     * size is rows×bands, never pairs.
     */
   def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandRows = sigs.select($"doc",
-        posexplode(graft.functions.BandBuckets.band_buckets($"sig", bands, rowsPerBand)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
-    bandRows.as("x").join(bandRows.as("y"),
+    val br = bandRows(sigs, bands, rowsPerBand)
+    br.as("x").join(br.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("a"), col("y.doc").as("b"))
@@ -211,6 +216,45 @@ object Dedup {
     val cands = lshCandidates(sigs, bands, k / bands)
     // exact verify on candidates only — always over the FULL shingle sets
     verifyJaccardArrays(cands, docsh, threshold)
+  }
+
+  /** Banded (doc, band, bucket) rows for one side of an LSH join. */
+  private def bandRows(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select($"doc",
+        posexplode(graft.functions.BandBuckets.band_buckets($"sig", bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+  /** Incremental (delta-vs-corpus) near-dup detection — the everyday
+    * shape of dedup at 100 TB: the new crawl batch is small relative
+    * to the standing corpus, and the question is linear ("which NEW
+    * docs duplicate something we already hold"), so re-running
+    * all-pairs dedup over corpus∪delta would pay the corpus's
+    * quadratic candidate work for nothing. Both sides are banded
+    * ([[minhashSignatures]] — the corpus side is one narrow map-side
+    * scan, persistable across deltas) and the candidate join is keyed
+    * (band, bucket) BATCH×CORPUS only: the corpus never self-joins,
+    * so candidate volume scales with the delta, not the corpus.
+    * Verification is exact jaccard over full shingle sets, two-sided
+    * because the id spaces are distinct tables and may overlap.
+    *
+    * Returns (a = batch doc, b = corpus doc, jaccard ≥ threshold):
+    * the anti-join of the batch against `select(a)` is the keep-set.
+    */
+  def incrementalDedupPairs(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int, threshold: Double,
+      k: Int = 128, bands: Int = 32): DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must be divisible by bands=$bands")
+    val bBand = bandRows(minhashSignatures(batch, idCol, textCol, n, k), bands, k / bands)
+    val cBand = bandRows(minhashSignatures(corpus, idCol, textCol, n, k), bands, k / bands)
+    val cands = bBand.as("x").join(cBand.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"))
+      .distinct()
+    verifyJaccardTwoSided(cands,
+      docShingles(batch, idCol, textCol, n),
+      docShingles(corpus, idCol, textCol, n), threshold)
   }
 
   /** Benchmark decontamination scan: for every corpus doc, the number
@@ -292,6 +336,30 @@ object Dedup {
           "representatives; raise maxIters")
     labels.withColumnRenamed("lbl", "cluster_rep")
   }
+
+  /** "Keep the BEST doc per duplicate cluster" — the quality-aware
+    * variant of min-id dedup: real curation pipelines keep the
+    * longest/cleanest copy of a near-dup cluster, not the smallest id.
+    * Composes [[clusterReps]] (cluster assignment) with a per-cluster
+    * argmax over a caller-supplied score frame `scores` (doc, score):
+    * `max(struct(score, -doc))` is a map-side partial aggregate, so
+    * after the cluster join the argmax costs one narrow k-bounded
+    * shuffle — no window over cluster member lists. Ties break to the
+    * smallest doc id (deterministic).
+    *
+    * Returns one row per cluster:
+    * (cluster_rep, keep_doc, keep_score, n_docs).
+    */
+  def clusterKeepBest(pairs: DataFrame, scores: DataFrame,
+      maxIters: Int = 10): DataFrame =
+    clusterReps(pairs, maxIters)
+      .join(scores, "doc")
+      .groupBy($"cluster_rep")
+      .agg(
+        max(struct($"score", (-$"doc").as("nd"))).as("best"),
+        count(lit(1)).as("n_docs"))
+      .select($"cluster_rep", (-$"best.nd").as("keep_doc"),
+        $"best.score".as("keep_score"), $"n_docs")
 
   /** Near-dup pairs by SimHash hamming distance, blocked on
     * `nChunks` equal-width chunks. Pigeonhole guarantee: recall is

@@ -62,6 +62,17 @@ object Events {
         .orderBy($"event_type")
     },
 
+    // Stream-static enrichment join: events enriched with the static
+    // customer dim (broadcast), rolled up per (segment, event_type).
+    // StreamingSpec runs the same transform as a true stream against
+    // the static dim and asserts batch parity.
+    "q85_stream_static_enrich" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      EventStream.enrichedSegmentTotals(t.events, t.customer)
+        .orderBy($"segment", $"event_type")
+    },
+
     // JSON property extraction from the props column.
     "q52_json_extract" -> { (s, dir) =>
       import s.implicits._
@@ -82,6 +93,14 @@ object Events {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q85_stream_static_enrich" ->
+      """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+        | e.event_type, count(*) AS n,
+        | CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY segment, event_type""".stripMargin,
 
     "q50_stream_tumbling_window" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,

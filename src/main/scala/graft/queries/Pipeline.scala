@@ -117,6 +117,54 @@ object Pipeline {
       Dedup.clusterReps(pairs).orderBy($"doc")
     },
 
+    // Incremental dedup: new-batch docs (doc_id % 20 == 0) that
+    // near-dup something in the standing corpus (the rest), via the
+    // cross-corpus MinHash-LSH path + exact verify. Same oracle trick
+    // as q32: output equals the exact cross-side jaccard join (miss
+    // probability < 5e-8 per pair at t=0.8, b=32, r=4).
+    "q81_incremental_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      Dedup.incrementalDedupPairs(
+          docs.filter($"doc_id" % 20 === 0), docs.filter($"doc_id" % 20 =!= 0),
+          "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy($"a", $"b")
+    },
+
+    // Quality-aware cluster resolution: keep the highest-scoring doc
+    // (whitespace token count; ties → smallest id) per near-dup
+    // cluster — what a curation pipeline actually ships from a
+    // duplicate cluster.
+    "q83_cluster_keep_best" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      val scores = docs.select($"doc_id".as("doc"),
+        size(split($"text", " ")).cast("long").as("score"))
+      Dedup.clusterKeepBest(pairs, scores).orderBy($"cluster_rep")
+    },
+
+    // Corpus TF-IDF: each doc's most characteristic term. idf is the
+    // rational N/df form (not ln) so the score is pure IEEE mul/div —
+    // bit-identical across engines; ln differs across libms and would
+    // flake the hash compare. Top term per doc is a map-side partial
+    // `max(struct)` argmax, no per-doc window.
+    "q84_tfidf_top_term" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val tf = docs
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(df_, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf", ($"tf" * $"n_docs").cast("double") / $"df")
+        .groupBy($"doc_id")
+        .agg(max(struct($"tfidf", $"term")).as("best"))
+        .select($"doc_id", $"best.term".as("term"), $"best.tfidf".as("tfidf"))
+        .orderBy($"doc_id")
+    },
+
     // IVF ANN (k-means-trained coarse-quantizer cells + probe;
     // rows-only, recall asserted vs brute force in SimilaritySpec).
     "q42_ann_ivf" -> { (s, dir) =>
@@ -478,6 +526,75 @@ object Pipeline {
         |)
         |SELECT doc, min(lbl) AS cluster_rep FROM walk GROUP BY doc
         |ORDER BY doc""".stripMargin,
+
+    // q31's exact-jaccard machinery restricted to batch×corpus sides
+    // of the doc_id % 20 split — the incremental path must find
+    // exactly the cross pairs the full exact join would.
+    "q81_incremental_dedup" ->
+      """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
+        |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.sh = b.sh
+        |          WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0
+        |          GROUP BY 1, 2)
+        |SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON a = sa.doc_id
+        |JOIN sizes sb ON b = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+
+    // q44's recursive closure + per-cluster argmax on token count
+    // (score DESC, doc ASC ties — the Spark side's max(struct) with a
+    // negated id).
+    "q83_cluster_keep_best" ->
+      """WITH RECURSIVE sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
+        |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM inter
+        |          JOIN sizes sa ON a = sa.doc_id
+        |          JOIN sizes sb ON b = sb.doc_id
+        |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |walk(doc, lbl) AS (
+        |  SELECT DISTINCT x, x FROM edges
+        |  UNION
+        |  SELECT e.x, w.lbl FROM edges e JOIN walk w ON e.y = w.doc
+        |),
+        |reps AS (SELECT doc, min(lbl) AS cluster_rep FROM walk GROUP BY doc),
+        |sc AS (SELECT doc_id AS doc,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+        |       FROM documents)
+        |SELECT cluster_rep, keep_doc, keep_score, n_docs FROM (
+        |  SELECT r.cluster_rep, r.doc AS keep_doc, s.score AS keep_score,
+        |    count(*) OVER (PARTITION BY r.cluster_rep) AS n_docs,
+        |    row_number() OVER (PARTITION BY r.cluster_rep
+        |                       ORDER BY s.score DESC, r.doc) AS rn
+        |  FROM reps r JOIN sc s ON r.doc = s.doc)
+        |WHERE rn = 1
+        |ORDER BY cluster_rep""".stripMargin,
+
+    "q84_tfidf_top_term" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |         CAST(tf.tf * n.n AS DOUBLE) / df.df AS tfidf
+        |       FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tfidf FROM (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, term DESC) AS rn
+        |  FROM sc)
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q70_top_tokens_per_source" ->
       """WITH t AS (SELECT source, unnest(string_split(text,' ')) AS tok FROM documents),

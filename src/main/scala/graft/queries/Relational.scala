@@ -227,6 +227,24 @@ object Relational {
         .orderBy($"returnflag", $"linestatus")
     },
 
+    // Explicit GROUPING SETS (the general form rollup/cube q14/q73
+    // specialize): per-flag totals, per-status totals, and the full
+    // cross — one pass, Spark expands to a single Expand + partial agg.
+    "q82_grouping_sets" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .groupingSets(
+          Seq(Seq($"l_returnflag"), Seq($"l_linestatus"),
+            Seq($"l_returnflag", $"l_linestatus")),
+          $"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sumD($"l_quantity").as("qty"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"n", $"qty")
+        .orderBy($"returnflag", $"linestatus")
+    },
+
     // Date arithmetic: year/month extraction, month truncation, dt-30d
     // (the reference does `dt - dailyExpires days` in Java Calendar —
     // OldDailyMergeTask.java:70-74).
@@ -632,6 +650,16 @@ object Relational {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q82_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus))
         |ORDER BY returnflag, linestatus""".stripMargin,
 
     "q15_date_arith" ->

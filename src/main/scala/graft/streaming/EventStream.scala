@@ -49,6 +49,26 @@ object EventStream {
         col("purchase_value"))
   }
 
+  /** Stream-static enrichment: each event joined to a STATIC dimension
+    * row (customer → market segment), rolled up per (segment,
+    * event_type). A stream-static equi-join keeps NO join state in
+    * Structured Streaming — the static side is simply re-planned
+    * (here: re-broadcast) per micro-batch — which is why enrichment
+    * should join the dim table in-stream rather than denormalizing
+    * facts upstream. The dim side is explicitly broadcast (small by
+    * construction); unmatched users keep their rows as 'UNKNOWN'
+    * (left join), so a lagging dim backfill never silently drops
+    * fact rows.
+    */
+  def enrichedSegmentTotals(events: DataFrame, dims: DataFrame): DataFrame = {
+    val seg = broadcast(dims.select(col("c_custkey").as("user_id"),
+      col("c_mktsegment").as("segment")))
+    events.join(seg, Seq("user_id"), "left")
+      .withColumn("segment", coalesce(col("segment"), lit("UNKNOWN")))
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Parity.sumD(col("value")).as("total"))
+  }
+
   /** Gap-based sessionization (30-minute inactivity): classic
     * lag + cumulative-flag windows over per-user event time. The
     * streaming-native equivalent uses mapGroupsWithState (see

@@ -27,6 +27,42 @@ class DedupSpec extends SparkSpec {
     assert(capped == exact, s"missed=${exact -- capped} spurious=${capped -- exact}")
   }
 
+  test("incremental batch-vs-corpus dedup finds exactly the cross-side pairs") {
+    import graft.syntax._
+    val batch = docs.filter($"doc_id" % 20 === 0)
+    val corpus = docs.filter($"doc_id" % 20 =!= 0)
+    // ground truth: full exact pairs restricted to those straddling the
+    // split (either orientation — incremental reports a=batch, b=corpus)
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.collect {
+      case (a, b) if a % 20 == 0 && b % 20 != 0 => (a, b)
+      case (a, b) if b % 20 == 0 && a % 20 != 0 => (b, a)
+    }
+    val got = Dedup.incrementalDedupPairs(batch, corpus, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture should contain cross-side near-dups")
+    assert(got == expected, s"missed=${expected -- got} spurious=${got -- expected}")
+  }
+
+  test("clusterKeepBest keeps the top-scored member per cluster") {
+    import graft.syntax._
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val scores = docs.select($"doc_id".as("doc"),
+      size(split($"text", " ")).cast("long").as("score"))
+    val reps = Dedup.clusterReps(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))) // (doc, cluster)
+    val scoreMap = scores.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = reps.groupBy(_._2).map { case (cl, members) =>
+      val best = members.map(_._1).minBy(d => (-scoreMap(d), d))
+      (cl, best, scoreMap(best), members.length.toLong)
+    }.toSet
+    val got = Dedup.clusterKeepBest(pairs, scores).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.nonEmpty)
+    assert(got == expected)
+  }
+
   test("prefix-filtered exact path equals the naive all-shared-shingle join") {
     import graft.syntax._
     val sh = Dedup.shingles(docs, "doc_id", "text", 3).cache()
