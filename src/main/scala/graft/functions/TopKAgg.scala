@@ -25,10 +25,18 @@ final class TopKState(val cap: Int) extends Serializable {
     scores(n) = s; ids(n) = id; n += 1
   }
 
-  /** Keep the best `cap` entries by (score desc, id asc). */
+  /** Keep the best `cap` entries by (score desc, id asc).
+    *
+    * Ordered via `java.lang.Double.compare` — a total order even with
+    * NaN (ranked greatest, matching Spark's ordering), so a zero-norm
+    * embedding whose cosine is 0/0=NaN can't make TimSort throw
+    * "Comparison method violates its general contract" or scramble
+    * the top-k the way a `>`/`==` comparator would.
+    */
   def compact(): Unit = {
     val order = Array.range(0, n).sortWith { (a, b) =>
-      scores(a) > scores(b) || (scores(a) == scores(b) && ids(a) < ids(b))
+      val c = java.lang.Double.compare(scores(a), scores(b))
+      c > 0 || (c == 0 && ids(a) < ids(b))
     }
     val keep = math.min(cap, n)
     val ns = new Array[Double](scores.length)
