@@ -27,15 +27,20 @@ final class TopKState(val cap: Int) extends Serializable {
 
   /** Keep the best `cap` entries by (score desc, id asc).
     *
-    * Ordered via `java.lang.Double.compare` — a total order even with
-    * NaN (ranked greatest, matching Spark's ordering), so a zero-norm
-    * embedding whose cosine is 0/0=NaN can't make TimSort throw
-    * "Comparison method violates its general contract" or scramble
-    * the top-k the way a `>`/`==` comparator would.
+    * Score order matches Spark SQL's (`SQLOrderingUtil.compareDoubles`):
+    * NaN ranks greatest (total order — a zero-norm embedding whose
+    * cosine is 0/0=NaN can't make TimSort throw "Comparison method
+    * violates its general contract" or scramble the top-k the way a
+    * `>`/`==` comparator would), while -0.0 and 0.0 compare EQUAL and
+    * fall through to the id tie-break — bare `java.lang.Double.compare`
+    * would rank -0.0 below 0.0 and diverge from a `row_number()`
+    * window oracle at a k boundary with mixed-sign zero scores.
     */
   def compact(): Unit = {
     val order = Array.range(0, n).sortWith { (a, b) =>
-      val c = java.lang.Double.compare(scores(a), scores(b))
+      val c =
+        if (scores(a) == scores(b)) 0 // merges -0.0/0.0; false for NaN
+        else java.lang.Double.compare(scores(a), scores(b))
       c > 0 || (c == 0 && ids(a) < ids(b))
     }
     val keep = math.min(cap, n)

@@ -28,7 +28,17 @@ object VectorFunctions {
   /** L2 norm of a quantized vector, as double. */
   def normQ(v: Column): Column = sqrt(dotQ(v, v).cast("double"))
 
-  /** Cosine similarity of two quantized vectors (double). */
-  def cosineQ(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dotQ(a, b).cast("double") / (normA * normB)
+  /** Cosine similarity of two quantized vectors (double).
+    *
+    * Total even for zero-norm (degenerate) vectors: the undefined
+    * 0/0 case yields NaN explicitly rather than tripping ANSI mode's
+    * divideByZeroError (Spark 4 default). NaN ranks GREATEST in
+    * Spark's double ordering — callers that want degenerate vectors
+    * excluded from neighbor results should filter `nrm > 0` upstream.
+    */
+  def cosineQ(a: Column, b: Column, normA: Column, normB: Column): Column = {
+    val denom = normA * normB
+    when(denom === lit(0d), lit(Double.NaN))
+      .otherwise(dotQ(a, b).cast("double") / denom)
+  }
 }
