@@ -159,7 +159,10 @@ final class ReplicaFanoutExecutor(
     probeAlive: Int => Boolean = _ => true,
     maxTries: Int = 3,
     baseDelayMs: Long = 100L,
-    sleep: Long => Unit = Thread.sleep) extends BatchExecutor {
+    sleep: Long => Unit = Thread.sleep,
+    maxPending: Int = ReplicaFanoutExecutor.MaxPendingBatches,
+    minEvictAgeNanos: Long = ReplicaFanoutExecutor.MinEvictAgeNanos,
+    nanoTime: () => Long = () => System.nanoTime()) extends BatchExecutor {
   require(replicas.nonEmpty, "need at least one replica endpoint")
 
   // replicas already holding a given (target, batch) — survives an
@@ -167,12 +170,14 @@ final class ReplicaFanoutExecutor(
   // Keyed by a 128-bit murmur3 of the batch CONTENT (not Seq.hashCode,
   // whose 32-bit collisions would silently skip replicas for a
   // different batch). Entries for permanently failed batches are
-  // evicted least-recently-touched once the map exceeds
-  // [[ReplicaFanoutExecutor.MaxPendingBatches]], so an executor
-  // instance can't grow without bound across a long load.
+  // evicted least-recently-touched once the map exceeds `maxPending` —
+  // but never before `minEvictAgeNanos` of idleness, so a batch whose
+  // outer retry is still in flight (or between attempts) cannot lose
+  // its ok-replica set to concurrent eviction pressure and be
+  // double-inserted into replicas that already took it.
   private final class BatchStatus {
     val ok: java.util.Set[Integer] = ConcurrentHashMap.newKeySet[Integer]()
-    @volatile var touched: Long = System.nanoTime()
+    @volatile var touched: Long = nanoTime()
   }
   private val done = new ConcurrentHashMap[String, BatchStatus]()
 
@@ -184,18 +189,33 @@ final class ReplicaFanoutExecutor(
     s"$target#${java.lang.Long.toHexString(h1)}${java.lang.Long.toHexString(h2)}#${batch.size}"
   }
 
+  /** Evict the least-recently-touched ABANDONED status entry when the
+    * map is over `maxPending`. Only entries idle for at least
+    * `minEvictAgeNanos` are candidates — an in-flight batch touches its
+    * entry on every (re-)invocation and the outer retry's backoff is
+    * orders of magnitude shorter than the window, so live entries are
+    * never reaped even when more than `maxPending` batches are pending
+    * at once (the map may transiently exceed the cap; it is bounded by
+    * actual concurrency + failures within the window). The staleness
+    * re-check before `remove` closes the selection-to-removal gap for
+    * an entry resurrected mid-scan.
+    */
   private def evictStale(keep: String): Unit =
-    if (done.size > ReplicaFanoutExecutor.MaxPendingBatches) {
+    if (done.size > maxPending) {
+      val cutoff = nanoTime() - minEvictAgeNanos
       val it = done.entrySet().iterator()
       var oldestKey: String = null
+      var oldestSt: BatchStatus = null
       var oldest = Long.MaxValue
       while (it.hasNext) {
         val e = it.next()
-        if (e.getKey != keep && e.getValue.touched < oldest) {
-          oldest = e.getValue.touched; oldestKey = e.getKey
+        val t = e.getValue.touched
+        if (e.getKey != keep && t < cutoff && t < oldest) {
+          oldest = t; oldestKey = e.getKey; oldestSt = e.getValue
         }
       }
-      if (oldestKey != null) done.remove(oldestKey)
+      if (oldestKey != null && oldestSt.touched < cutoff)
+        done.remove(oldestKey, oldestSt)
     }
 
   override def execute(target: String, batch: Seq[String]): Unit =
@@ -232,7 +252,7 @@ final class ReplicaFanoutExecutor(
   private def executeFanout(target: String, batch: Seq[String]): Unit = {
     val key = batchKey(target, batch)
     val st = done.computeIfAbsent(key, _ => new BatchStatus)
-    st.touched = System.nanoTime()
+    st.touched = nanoTime()
     evictStale(keep = key)
     val ok = st.ok
     var tries = 0
@@ -276,6 +296,14 @@ object ReplicaFanoutExecutor {
     * leftover from permanently failed batches.
     */
   private[graft] val MaxPendingBatches = 256
+
+  /** Minimum idle time before a status entry is eviction-eligible.
+    * Must exceed the outer retry's worst-case attempt-to-attempt gap
+    * (sub-second at default backoff) by a wide margin; 60 s gives
+    * ~100× headroom, so only genuinely abandoned (permanently failed)
+    * batches age out.
+    */
+  private[graft] val MinEvictAgeNanos = 60L * 1000 * 1000 * 1000
 
   /** Production wiring: one [[JdbcFormatInsertExecutor]] per endpoint
     * URL, sharing format/credentials, with the per-endpoint JDBC

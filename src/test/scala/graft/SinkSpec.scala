@@ -327,8 +327,12 @@ class SinkSpec extends SparkSpec {
   test("failed-batch status entries are bounded and batch identity is content-based") {
     val rep = new ReplicaRec
     rep.failures = Int.MaxValue
+    // fake clock: each batch arrives well past the eviction window, so
+    // abandoned (permanently failed) entries are reaped promptly
+    val clock = new java.util.concurrent.atomic.AtomicLong
     val ex = new ReplicaFanoutExecutor(IndexedSeq(rep), maxTries = 1,
-      sleep = _ => ())
+      sleep = _ => (),
+      nanoTime = () => clock.addAndGet(2 * ReplicaFanoutExecutor.MinEvictAgeNanos))
     val n = ReplicaFanoutExecutor.MaxPendingBatches + 50
     (1 to n).foreach { i =>
       intercept[IllegalStateException](ex.execute("db.t", Seq(s"row-$i")))
@@ -342,6 +346,54 @@ class SinkSpec extends SparkSpec {
     rep.failures = 0
     ex.execute("db.t", Seq("fresh"))
     assert(rep.calls.toArray.toSeq.contains(("db.t", 1)))
+  }
+
+  test("eviction pressure never evicts an in-flight batch's status (no duplicate inserts)") {
+    import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+    // records every insert; fails the FIRST attempt of every distinct
+    // batch, so each batch's fan-out throws once and completes only on
+    // the caller's outer Retry re-invocation — the window in which the
+    // old evictor could reap the batch's ok-replica set
+    class FirstAttemptFails(flaky: Boolean) extends BatchExecutor {
+      val calls = new ConcurrentLinkedQueue[String]()
+      private val seen = ConcurrentHashMap.newKeySet[String]()
+      override def execute(target: String, batch: Seq[String]): Unit = {
+        val k = target + "#" + batch.mkString("|")
+        if (flaky && seen.add(k)) throw new RuntimeException("first attempt fails")
+        calls.add(k)
+      }
+    }
+    val healthy = new FirstAttemptFails(flaky = false)
+    val flaky = new FirstAttemptFails(flaky = true)
+    // far more concurrently-pending batches than maxPending: every
+    // execute triggers eviction pressure while sibling batches are
+    // between their first (failed) and second (outer-retry) attempts
+    val ex = new ReplicaFanoutExecutor(IndexedSeq(healthy, flaky),
+      maxTries = 1, sleep = _ => (), maxPending = 4)
+    val nThreads = 8
+    val perThread = 16
+    val errs = new ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() =>
+        try (0 until perThread).foreach { i =>
+          Retry.withRetries(3, 0L, _ => ())(_ =>
+            ex.execute("db.t", Seq(s"batch-$t-$i")))
+        } catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"unexpected failures: ${errs.toArray.toSeq}")
+    // the healthy replica took each batch EXACTLY once — a duplicate
+    // means a pending status entry was evicted mid-retry
+    val byKey = healthy.calls.toArray(Array.empty[String]).groupBy(identity)
+    val dups = byKey.filter(_._2.length > 1)
+    assert(dups.isEmpty, s"duplicate inserts: ${dups.keys.take(5)}")
+    assert(byKey.size == nThreads * perThread)
+    // and the flaky replica holds each batch exactly once too (first
+    // attempt failed, second succeeded, none re-sent after success)
+    val flakyByKey = flaky.calls.toArray(Array.empty[String]).groupBy(identity)
+    assert(flakyByKey.values.forall(_.length == 1))
+    assert(flakyByKey.size == nThreads * perThread)
   }
 
   test("replica fan-out survives DirectSink's task serialization") {
