@@ -75,6 +75,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-static enrichment join equals the batch result (q85 parity)") {
+    val dir = eventsDir
+    val batch = spark.read.parquet(dir)
+    val dims = Tables(spark, sf).customer
+    val expected = EventStream.enrichedSegmentTotals(batch, dims)
+      .orderBy("segment", "event_type").collect().toSeq
+
+    // the dim side stays a STATIC batch frame — the join keeps no
+    // stream state; the stream side is the fact table
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = EventStream.enrichedSegmentTotals(stream, dims)
+      .writeStream
+      .outputMode("complete") // finite input; aggregation without watermark
+      .format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("enrich_out")
+      .orderBy("segment", "event_type").collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("watermark drops late events in append mode across micro-batches") {
     import spark.implicits._
     import java.sql.Timestamp
