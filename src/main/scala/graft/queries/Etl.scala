@@ -220,9 +220,10 @@ object Etl {
     // size, so range-partition sampling skew never splits a file) and
     // oracled as ceil(n/100). Footer-range selectivity is pinned in
     // PipelineOpsSpec (disjoint per-file z ranges, 2-dim span shrink).
-    // The output dir carries a per-run unique suffix: two concurrent
-    // Verify/Bench runs over the same data dir must not overwrite each
-    // other's files between this eager write and the lazy re-read.
+    // The output dir carries a per-run unique suffix (two concurrent
+    // Verify/Bench runs must not clobber each other's files between
+    // write and re-read) and is deleted as soon as the checksum row is
+    // collected — the builder returns the materialized one-row result.
     "q74_compact_zorder" -> { (s, dir) =>
       import s.implicits._
       val part = Tables(s, dir).part
@@ -234,17 +235,33 @@ object Etl {
       val nFiles = math.max(1, math.ceil(total / 100.0).toInt)
       graft.operators.Compaction.compactTo(clustered, outDir,
         maxRecordsPerFile = 400, nFiles = nFiles, clusterBy = Seq("z"))
-      s.read.parquet(outDir)
-        // project the (nondeterministic) file name first — aggregating
-        // over the projected attribute is legal, over the raw
-        // expression it is not
-        .withColumn("_file", input_file_name())
-        .agg(
-          count(lit(1)).as("n_rows"),
-          countDistinct($"p_partkey").as("n_keys"),
-          sum($"p_partkey").cast("long").as("sum_key"),
-          sum($"p_size").cast("long").as("sum_size"),
-          countDistinct($"_file").as("n_files"))
+      val checksum =
+        try s.read.parquet(outDir)
+          // project the (nondeterministic) file name first — aggregating
+          // over the projected attribute is legal, over the raw
+          // expression it is not
+          .withColumn("_file", input_file_name())
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct($"p_partkey").as("n_keys"),
+            sum($"p_partkey").cast("long").as("sum_key"),
+            sum($"p_size").cast("long").as("sum_size"),
+            countDistinct($"_file").as("n_files"))
+          .collect()(0)
+        finally {
+          // the checksum is materialized — delete the rewrite NOW so
+          // repeated verify/bench runs don't accumulate part-table
+          // copies under /tmp for the host's lifetime
+          def rm(p: java.io.File): Unit = {
+            val kids = p.listFiles()
+            if (kids != null) kids.foreach(rm)
+            p.delete(); ()
+          }
+          rm(new java.io.File(outDir))
+        }
+      Seq((checksum.getLong(0), checksum.getLong(1), checksum.getLong(2),
+        checksum.getLong(3), checksum.getLong(4)))
+        .toDF("n_rows", "n_keys", "sum_key", "sum_size", "n_files")
     },
 
     // The §3.1 end-to-end slice: stringly parity mode → exclude →
