@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, batch-decoded per partition.
   *
   * The Spark-side machinery (schema, partition-batched processing,
-  * typed output) is real. The decode step is REAL for self-contained
-  * header formats (BMP, PCM WAV — [[decodeBmp]]/[[decodeWav]], no
-  * codec library needed) and a deterministic STUB for jpeg/mp4-class
-  * formats whose codecs are not available in this environment
-  * (`decodeStub`, clearly marked; swap the body for a real codec).
+  * typed output) is real. The decode step is REAL for formats whose
+  * structure lives in the header/marker stream (JPEG dimensions +
+  * EXIF strip, BMP, PCM WAV — [[decodeJpeg]]/[[stripExif]]/
+  * [[decodeBmp]]/[[decodeWav]], no codec library needed) and a
+  * deterministic STUB for mp4-class container formats whose codecs
+  * are not available in this environment (`decodeStub`, clearly
+  * marked; swap the body for a real codec).
   * At scale this runs embarrassingly parallel: one task per partition,
   * no shuffle, codec state initialized once per partition (the
   * mapPartitions pattern — the Scala analogue of `mapInPandas` batch
@@ -146,8 +148,80 @@ object Multimodal {
     else None
   }
 
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  /** JPEG frame-header parse: (width, height, nComponents) from the
+    * first SOFn segment — the same marker-walk style as [[decodeWav]]'s
+    * chunk walk. No entropy decode (that needs a codec); dimensions,
+    * component count and structural validity live entirely in the
+    * marker stream. A payload that doesn't open with SOI, walks a
+    * malformed segment (bad length, truncated), or reaches SOS/EOI
+    * without a frame header is "not ours" → None.
+    */
+  def decodeJpeg(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xFF || (p(1) & 0xff) != 0xD8) return None
+    var o = 2
+    while (o + 4 <= p.length) {
+      if ((p(o) & 0xff) != 0xFF) return None // lost marker sync
+      var m = p(o + 1) & 0xff
+      while (m == 0xFF && o + 2 < p.length) { o += 1; m = p(o + 1) & 0xff } // fill bytes
+      if (m == 0xD9 || m == 0xDA) return None // EOI/SOS before any SOF
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) o += 2 // parameterless markers
+      else {
+        // fill-byte skipping may have advanced o past the loop guard
+        if (o + 4 > p.length) return None
+        val len = be16(p, o + 2)
+        if (len < 2 || o + 2 + len > p.length) return None // malformed: bail, never loop
+        // SOFn = C0–CF minus DHT (C4), DAC (CC): baseline, progressive,
+        // lossless … all share precision(1) height(2) width(2) ncomp(1)
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+          if (len < 8) return None
+          val h = be16(p, o + 5)
+          val w = be16(p, o + 7)
+          val nc = p(o + 9) & 0xff
+          return if (w > 0 && h > 0) Some((w, h, nc)) else None
+        }
+        o += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Remove APP1 (EXIF/XMP) segments from a JPEG, leaving every other
+    * byte identical — the metadata-scrub pass a training pipeline runs
+    * before content hashing (EXIF carries PII: GPS, timestamps, device
+    * serials). From SOS onward the entropy-coded stream is copied
+    * verbatim. Non-JPEG payloads pass through unchanged.
+    */
+  def stripExif(p: Array[Byte]): Array[Byte] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xFF || (p(1) & 0xff) != 0xD8) return p
+    val out = new java.io.ByteArrayOutputStream(p.length)
+    out.write(p, 0, 2)
+    var o = 2
+    while (o + 2 <= p.length) {
+      if ((p(o) & 0xff) != 0xFF) { out.write(p, o, p.length - o); return out.toByteArray }
+      val m = p(o + 1) & 0xff
+      if (m == 0xDA || m == 0xD9) { out.write(p, o, p.length - o); return out.toByteArray }
+      if (m == 0xFF) { out.write(p, o, 1); o += 1 } // single fill byte
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
+        out.write(p, o, 2); o += 2
+      } else {
+        if (o + 4 > p.length) { out.write(p, o, p.length - o); return out.toByteArray }
+        val len = be16(p, o + 2)
+        if (len < 2 || o + 2 + len > p.length) {
+          out.write(p, o, p.length - o); return out.toByteArray
+        }
+        if (m != 0xE1) out.write(p, o, 2 + len) // drop only APP1
+        o += 2 + len
+      }
+    }
+    out.toByteArray
+  }
+
   /** Partition-batched media probe: real header/payload decode for
-    * BMP and PCM WAV, stub passthrough ("bin") for everything else.
+    * JPEG, BMP and PCM WAV, stub passthrough ("bin") for mp4-class
+    * container formats whose codecs aren't in this environment.
     * Same mapPartitions shape as [[extractFeatures]].
     */
   def probeMedia(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
@@ -155,18 +229,51 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
         val p = r.payload
-        decodeBmp(p) match {
+        decodeJpeg(p) match {
           case Some((w, h, _)) =>
-            MediaMeta(r.doc_id, "bmp", w, h, 0, 0L, 0.0, p.length.toLong)
-          case None => decodeWav(p) match {
-            case Some((rate, durMs, rms)) =>
-              MediaMeta(r.doc_id, "wav", 0, 0, rate, durMs, rms, p.length.toLong)
-            case None =>
-              MediaMeta(r.doc_id, "bin", 0, 0, 0, 0L, 0.0, p.length.toLong)
+            MediaMeta(r.doc_id, "jpeg", w, h, 0, 0L, 0.0, p.length.toLong)
+          case None => decodeBmp(p) match {
+            case Some((w, h, _)) =>
+              MediaMeta(r.doc_id, "bmp", w, h, 0, 0L, 0.0, p.length.toLong)
+            case None => decodeWav(p) match {
+              case Some((rate, durMs, rms)) =>
+                MediaMeta(r.doc_id, "wav", 0, 0, rate, durMs, rms, p.length.toLong)
+              case None =>
+                MediaMeta(r.doc_id, "bin", 0, 0, 0, 0L, 0.0, p.length.toLong)
+            }
           }
         }
       }
     }
+  }
+
+  /** Deterministic minimal-but-valid JPEG synthesis (write-side
+    * encoder; also the gate's payload generator): SOI + APP1 with an
+    * `exifBytes`-long fake TIFF body + SOF0(w, h, 3 components) + SOS
+    * + `entropyBytes` of FF-free entropy filler + EOI. Total size is
+    * arithmetic — 47 + exifBytes + entropyBytes — so a SQL oracle can
+    * predict every decoded feature, and [[stripExif]] must shrink it
+    * by exactly the APP1 segment (10 + exifBytes).
+    */
+  def synthesizeJpeg(w: Int, h: Int, exifBytes: Int, entropyBytes: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(47 + exifBytes + entropyBytes)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    w8(0xFF); w8(0xD8)                     // SOI
+    w8(0xFF); w8(0xE1); w16(8 + exifBytes) // APP1: len covers itself + Exif\0\0 + body
+    out.write("Exif".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    w8(0); w8(0)
+    var i = 0
+    while (i < exifBytes) { w8(i); i += 1 }
+    w8(0xFF); w8(0xC0); w16(17)            // SOF0: len = 8 + 3 components
+    w8(8); w16(h); w16(w); w8(3)
+    (1 to 3).foreach { c => w8(c); w8(0x11); w8(0) }
+    w8(0xFF); w8(0xDA); w16(12)            // SOS: len = 6 + 2 per component
+    w8(3); (1 to 3).foreach { c => w8(c); w8(0) }; w8(0); w8(63); w8(0)
+    i = 0
+    while (i < entropyBytes) { w8(0x55); i += 1 } // no FF → no marker aliasing
+    w8(0xFF); w8(0xD9)                     // EOI
+    out.toByteArray
   }
 
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte], n_bytes: Long)

@@ -354,6 +354,36 @@ object Pipeline {
       Multimodal.extractFeatures(s, media).toDF().orderBy($"doc_id")
     },
 
+    // Real JPEG decode end-to-end: per-doc synthesized JPEGs (every
+    // byte arithmetic in doc_id) are EXIF-stripped and then probed —
+    // width/height come out of the SOF0 marker walk on the STRIPPED
+    // payload, so the gate checks decode correctness, that stripExif
+    // removes exactly the APP1 segment, and that stripping preserves
+    // decodability, all against a pure-arithmetic DuckDB oracle. The
+    // whole path is mapPartitions over binary payloads — no shuffle.
+    "q86_multimodal_jpeg" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir).documents
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          Multimodal.MediaRow(id, Multimodal.synthesizeJpeg(
+            w = 1 + (id % 512).toInt,
+            h = 1 + ((id * 7) % 512).toInt,
+            exifBytes = (id % 64).toInt,
+            entropyBytes = (id % 32).toInt + 4))
+        }).toDF()
+      val stripped = media.as[Multimodal.MediaRow]
+        .mapPartitions(_.map(r =>
+          Multimodal.MediaRow(r.doc_id, Multimodal.stripExif(r.payload))))
+        .toDF()
+      Multimodal.probeMedia(s, stripped).toDF()
+        .select($"doc_id", $"kind",
+          $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          $"n_bytes".as("stripped_bytes"))
+        .orderBy($"doc_id")
+    },
+
     // The full curation funnel (lang → quality → exact dedup →
     // decontamination) with per-stage audit counts — every dropped doc
     // accounted to the stage that dropped it.
@@ -719,6 +749,17 @@ object Pipeline {
         | CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head,
         | (CAST(octet_length(encode(text)) AS BIGINT) * 31
         |   + CAST(ascii(substr(text, 1, 1)) AS BIGINT)) % 997 AS feature
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeJpeg's arithmetic layout: full size
+    // 47 + exif + entropy, APP1 strip removes 10 + exif, so the
+    // stripped payload is 41 + (doc_id % 32) bytes
+    "q86_multimodal_jpeg" ->
+      """SELECT doc_id, 'jpeg' AS kind,
+        | CAST(1 + doc_id % 512 AS BIGINT) AS width,
+        | CAST(1 + (doc_id * 7) % 512 AS BIGINT) AS height,
+        | CAST(41 + doc_id % 32 AS BIGINT) AS stripped_bytes
         |FROM documents
         |ORDER BY doc_id""".stripMargin)
 }

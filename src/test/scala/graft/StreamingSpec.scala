@@ -375,6 +375,47 @@ class StreamingSpec extends SparkSpec {
     assert(osMeta.kind == "bin")
   }
 
+  test("multimodal probe decodes JPEG SOF headers and stripExif removes only APP1") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val jpg = Multimodal.synthesizeJpeg(w = 640, h = 480, exifBytes = 20, entropyBytes = 10)
+    assert(jpg.length == 47 + 20 + 10)
+    assert(Multimodal.decodeJpeg(jpg).contains((640, 480, 3)))
+
+    // strip removes exactly the APP1 segment (10 + exifBytes) and the
+    // result still decodes to the same dimensions; idempotent
+    val stripped = Multimodal.stripExif(jpg)
+    assert(stripped.length == jpg.length - 30)
+    assert(Multimodal.decodeJpeg(stripped).contains((640, 480, 3)))
+    assert(Multimodal.stripExif(stripped).sameElements(stripped))
+
+    // progressive (SOF2) and fill-byte padding before markers decode too
+    val sof2 = jpg.clone()
+    assert((sof2(2 + 30 + 1) & 0xff) == 0xC0)
+    sof2(2 + 30 + 1) = 0xC2.toByte
+    assert(Multimodal.decodeJpeg(sof2).contains((640, 480, 3)))
+    val padded = jpg.take(2) ++ Array(0xFF.toByte, 0xFF.toByte) ++ jpg.drop(2)
+    assert(Multimodal.decodeJpeg(padded).contains((640, 480, 3)))
+    assert(Multimodal.stripExif(padded).length == padded.length - 30)
+
+    // malformed payloads classify as "not ours" — never a crash/hang:
+    // truncated mid-segment, zero segment length, SOS before any SOF,
+    // and plain non-JPEG bytes
+    assert(Multimodal.decodeJpeg(jpg.take(8)).isEmpty)
+    val badLen = jpg.clone(); badLen(4) = 0; badLen(5) = 0
+    assert(Multimodal.decodeJpeg(badLen).isEmpty)
+    val noSof = jpg.take(2 + 30) ++ jpg.drop(2 + 30 + 19) // cut the SOF0 segment
+    assert(Multimodal.decodeJpeg(noSof).isEmpty)
+    assert(Multimodal.decodeJpeg("not a jpeg".getBytes("US-ASCII")).isEmpty)
+    // stripExif on malformed input degrades to passthrough of the tail
+    assert(Multimodal.stripExif(badLen).sameElements(badLen))
+
+    // probeMedia dispatches jpeg ahead of the bin fallback
+    val meta = Multimodal.probeMedia(spark,
+      Seq((1L, jpg)).toDF("doc_id", "payload")).collect().head
+    assert(meta.kind == "jpeg" && meta.width == 640 && meta.height == 480)
+  }
+
   test("multimodal resize + frame sampling keeps batch shape and budgets") {
     import graft.operators.Multimodal
     val media = Multimodal.asBinaryFrame(
