@@ -332,17 +332,39 @@ object Pipeline {
 
     // Sketch aggregates: HLL distinct + approximate percentiles — the
     // single-pass mergeable summaries used instead of exact
-    // distinct/sort at 100 TB (rows-only: sketch internals are
-    // implementation-specific; error bounds pinned in SketchAggSpec).
+    // distinct/sort at 100 TB. The sketch VALUES are engine-specific
+    // (DuckDB's HLL ≠ Spark's), so the oracled output is exact values
+    // + in-bound booleans: HLL within 3×rsd of the exact distinct
+    // count, approx percentiles inside the exact [p−ε, p+ε] rank
+    // window — DuckDB predicts the exact columns and TRUE flags, so a
+    // sketch drifting out of its published bound hash-mismatches the
+    // gate. Tighter single-run error is additionally pinned in
+    // SketchAggSpec.
     "q48_approx_aggregates" -> { (s, dir) =>
       import s.implicits._
+      val rsd = 0.05 // approx_count_distinct default relative std dev
       Tables(s, dir).lineitem
         .groupBy($"l_returnflag")
         .agg(
-          approx_count_distinct($"l_orderkey").as("approx_orders"),
-          approx_count_distinct($"l_partkey").as("approx_parts"),
-          percentile_approx($"l_quantity", lit(0.5), lit(10000)).as("approx_median"),
-          percentile_approx($"l_extendedprice", lit(0.9), lit(10000)).as("approx_p90"))
+          countDistinct($"l_orderkey").as("exact_orders"),
+          countDistinct($"l_partkey").as("exact_parts"),
+          approx_count_distinct($"l_orderkey").as("a_orders"),
+          approx_count_distinct($"l_partkey").as("a_parts"),
+          percentile_approx($"l_quantity", lit(0.5), lit(10000)).as("a_median"),
+          percentile_approx($"l_extendedprice", lit(0.9), lit(10000)).as("a_p90"),
+          // exact rank windows for accuracy=10000 ⇒ ε = 1/10000; use
+          // a ±0.01 window (100× the published rank error)
+          expr("percentile(l_quantity, 0.49)").as("med_lo"),
+          expr("percentile(l_quantity, 0.51)").as("med_hi"),
+          expr("percentile(l_extendedprice, 0.89)").as("p90_lo"),
+          expr("percentile(l_extendedprice, 0.91)").as("p90_hi"))
+        .select($"l_returnflag", $"exact_orders", $"exact_parts",
+          (abs($"a_orders" - $"exact_orders") <=
+            $"exact_orders" * (3 * rsd)).as("orders_in_bound"),
+          (abs($"a_parts" - $"exact_parts") <=
+            $"exact_parts" * (3 * rsd)).as("parts_in_bound"),
+          ($"a_median" >= $"med_lo" && $"a_median" <= $"med_hi").as("median_in_bound"),
+          ($"a_p90" >= $"p90_lo" && $"a_p90" <= $"p90_hi").as("p90_in_bound"))
         .orderBy($"l_returnflag")
     },
 
@@ -751,6 +773,21 @@ object Pipeline {
         |   + CAST(ascii(substr(text, 1, 1)) AS BIGINT)) % 997 AS feature
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // exact columns computed by DuckDB; the in-bound flags are TRUE
+    // literals — Spark's sketches must land inside their published
+    // error bounds for the hash compare to pass
+    "q48_approx_aggregates" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_orderkey) AS exact_orders,
+        | count(DISTINCT l_partkey) AS exact_parts,
+        | TRUE AS orders_in_bound,
+        | TRUE AS parts_in_bound,
+        | TRUE AS median_in_bound,
+        | TRUE AS p90_in_bound
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // mirrors synthesizeJpeg's arithmetic layout: full size
     // 47 + exif + entropy, APP1 strip removes 10 + exif, so the
