@@ -16,8 +16,10 @@ import graft.syntax._
   * content hash so the exchange carries 8-byte keys — here the gate
   * groups by the text itself so the DuckDB oracle can re-derive the
   * stage); decontamination is the [[Dedup.contaminationScan]] inverted
-  * n-gram join with the eval side broadcast. The counts frame is a
-  * union of scalar aggregates — 5 partial-agg passes, no wide rows.
+  * n-gram join with the eval side broadcast. The audit counts ride the
+  * SAME job as the final stage via `observe()` metrics — ONE pass over
+  * the corpus, not one scalar-agg job per stage (5 scans of raw at
+  * 100 TB).
   */
 object Curation {
 
@@ -41,11 +43,50 @@ object Curation {
       evalMod: Long = 97L): DataFrame =
     stages(docs, lang, n, evalMod).last._2
 
-  /** Stage-by-stage audit counts: (stage, stage_name, n). */
+  /** Stage-by-stage audit counts: (stage, stage_name, n), computed in
+    * ONE job. `observe()` checkpoints on the raw→lang→quality→dedup
+    * chain feed the left side of the final anti-join; the single
+    * `count()` action fires every upstream metric, so the corpus is
+    * scanned once instead of once per stage. The contamination branch
+    * re-derives the dedup frame WITHOUT observes — a re-referenced
+    * CollectMetrics subtree would double-fire its metric (and Spark's
+    * physical reuse typically dedupes the repeated exchange anyway).
+    * The returned frame is a materialized 5-row local result.
+    */
   def funnel(docs: DataFrame, lang: String, n: Int = 4,
-      evalMod: Long = 97L): DataFrame =
-    stages(docs, lang, n, evalMod).zipWithIndex.map { case ((name, df), i) =>
-      df.agg(count(lit(1)).as("n"))
-        .select(lit(i).cast("long").as("stage"), lit(name).as("stage_name"), $"n")
-    }.reduce(_ unionByName _)
+      evalMod: Long = 97L): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val names = Seq("raw", "lang", "quality", "dedup", "decontaminated")
+    val obs = names.init.map(nm => nm -> Observation()).toMap
+
+    def dedupStage(d: DataFrame): DataFrame =
+      d.filter($"lang" === lang)
+        .filter(TextFunctions.isQuality($"text"))
+        .groupBy($"text").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id", $"text")
+
+    val docsO = docs.observe(obs("raw"), count(lit(1)).as("n"))
+    val s1 = docsO.filter($"lang" === lang)
+      .observe(obs("lang"), count(lit(1)).as("n"))
+    val s2 = s1.filter(TextFunctions.isQuality($"text"))
+      .observe(obs("quality"), count(lit(1)).as("n"))
+    val s3 = s2.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id", $"text")
+      .observe(obs("dedup"), count(lit(1)).as("n"))
+
+    val evalSet = docs.filter($"doc_id" % evalMod === 0)
+    val contaminated = Dedup
+      .contaminationScan(dedupStage(docs), evalSet, "doc_id", "text", n)
+      .select($"doc_id")
+    val nDecontaminated = s3.join(contaminated, Seq("doc_id"), "left_anti").count()
+
+    val spark = docs.sparkSession
+    import spark.implicits._
+    names.zipWithIndex.map { case (nm, i) =>
+      val cnt =
+        if (nm == "decontaminated") nDecontaminated
+        else obs(nm).get("n").asInstanceOf[Long]
+      (i.toLong, nm, cnt)
+    }.toDF("stage", "stage_name", "n")
+  }
 }

@@ -134,7 +134,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q77 funnel broadcasts decontamination and never pair-joins") {
-    val p = plan(graft.queries.Pipeline.queries("q77_curation_funnel")(spark, sf))
+    // q77's builder runs the funnel eagerly (observe-metric counts) and
+    // returns a local 5-row frame — pin the plan of the lazy final
+    // stage, which is the same join tree the funnel's one job executes
+    val p = plan(graft.operators.Curation.curate(
+      graft.Tables(spark, sf).documents, "en"))
     assert(p.contains("BroadcastHashJoin"), s"eval side should broadcast:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"no all-pairs join in the funnel:\n$p")
