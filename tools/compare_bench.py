@@ -16,8 +16,15 @@ def _norm(queries: dict) -> dict:
 
 
 def main(base_path: str, new_path: str, ratio: float = 2.0) -> int:
-    base = _norm(json.load(open(base_path))["queries"])
-    new = _norm(json.load(open(new_path))["queries"])
+    base_doc = json.load(open(base_path))
+    new_doc = json.load(open(new_path))
+    base = _norm(base_doc["queries"])
+    new = _norm(new_doc["queries"])
+    b_agg = base_doc.get("agg", "min2")
+    n_agg = new_doc.get("agg", "min2")
+    if b_agg != n_agg:
+        print(f"NOTE: aggregation modes differ: baseline={b_agg} new={n_agg} "
+              f"(medians run higher than mins; totals not directly comparable)")
     bad = 0
     for name in sorted(set(base) | set(new)):
         b, n = base.get(name), new.get(name)
