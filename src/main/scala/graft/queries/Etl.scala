@@ -98,12 +98,28 @@ object Etl {
         .groupBy($"valid").agg(count(lit(1)).as("n")).orderBy($"valid")
     },
 
-    // Ops #11+#12: weighted murmur3_128 sharding. No SQL oracle
-    // (guava-parity pinned in Murmur3Spec); rows-only check.
+    // Ops #11+#12: weighted murmur3_128 sharding. The hash itself has
+    // no SQL oracle (guava-parity pinned in Murmur3Spec), so the gate
+    // checks the INVARIANTS DuckDB can predict: every input row lands
+    // in exactly one shard (total conservation) and each shard's share
+    // tracks its weight within 5 points — a broken weight table or a
+    // skewed hash fails the value compare.
     "q24_shard_assign" -> { (s, dir) =>
       import s.implicits._
-      Sharding.assign(Tables(s, dir).customer, "c_name", ShardSpec(Seq(1, 2, 1)))
-        .groupBy($"shard").agg(count(lit(1)).as("n")).orderBy($"shard")
+      val weights = Seq(1, 2, 1)
+      val wsum = weights.sum.toDouble
+      val perShard = Sharding
+        .assign(Tables(s, dir).customer, "c_name", ShardSpec(weights))
+        .groupBy($"shard").agg(count(lit(1)).as("n"))
+      val wdf = weights.zipWithIndex
+        .map { case (w, i) => (i.toLong, w.toLong) }.toDF("shard", "weight")
+      perShard.join(wdf, "shard")
+        .withColumn("total", sum($"n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select($"shard".cast("long").as("shard"), $"weight",
+          $"total".cast("long").as("total"),
+          (abs($"n" / $"total" - $"weight" / wsum) <= 0.05).as("frac_in_bound"))
+        .orderBy($"shard")
     },
 
     // Op #13: micro-batch assignment semantics (batch boundaries every
@@ -285,6 +301,14 @@ object Etl {
     })
 
   val oracles: Map[String, String] = Map(
+    // shard ids/weights are config; total is conservation; the share
+    // bound must hold for a healthy hash → TRUE literal
+    "q24_shard_assign" ->
+      """SELECT CAST(t.s AS BIGINT) AS shard, CAST(t.w AS BIGINT) AS weight,
+        | (SELECT count(*) FROM customer) AS total, TRUE AS frac_in_bound
+        |FROM (VALUES (0, 1), (1, 2), (2, 1)) t(s, w)
+        |ORDER BY shard""".stripMargin,
+
     "q71_replacing_merge" ->
       """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice,
         |              CAST(1 AS BIGINT) AS version FROM orders),

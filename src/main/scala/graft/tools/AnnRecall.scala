@@ -1,0 +1,32 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Prints the actual ANN recall values behind q36/q42's bound flags at
+  * a given SF dir — margin check for the gate thresholds.
+  */
+object AnnRecall {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val corpus = Similarity.prepare(Tables(spark, dir).embeddings, "vec_id", "embedding").cache()
+    val queries = corpus.filter(col("vid") < 500)
+    val truth = Similarity.bruteForceTopK(queries, corpus, 5).cache()
+    val nTruth = truth.count()
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .count().toDouble / nTruth
+    val lsh = Similarity.lshTopK(corpus, dim = 64, nPlanes = 5, k = 5, nTables = 8)
+      .filter(col("query_id") < 500)
+    val ivf = Similarity.ivfTopK(corpus, k = 5, dim = 64, trainIters = 2)
+      .filter(col("query_id") < 500)
+    println(s"[annrecall] dir=$dir nTruth=$nTruth lsh=${recall(lsh)} ivf=${recall(ivf)}")
+    spark.stop()
+  }
+}
