@@ -302,8 +302,15 @@ object Dedup {
     // materializes into the block manager AND makes the frame a plan
     // leaf; on a multi-node cluster with executor churn, prefer
     // sc.setCheckpointDir + .checkpoint() for loss tolerance.
+    // edges are hash-partitioned on the join key ONCE; localCheckpoint
+    // preserves outputPartitioning, and each round's labels come out
+    // of groupBy(doc) hash-partitioned on doc — so the per-round join
+    // (y === doc) needs NO exchange on either side, leaving the
+    // post-join re-aggregation as the round's only shuffle of narrow
+    // (doc, lbl) rows
     val edges = pairs.select($"a".as("x"), $"b".as("y"))
       .unionByName(pairs.select($"b".as("x"), $"a".as("y")))
+      .repartition($"y")
       .localCheckpoint()
     var labels = edges.select($"x".as("doc"), $"y".as("lbl"))
       .unionByName(edges.select($"x".as("doc"), $"x".as("lbl")))
