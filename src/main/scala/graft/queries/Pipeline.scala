@@ -87,13 +87,35 @@ object Pipeline {
 
     // SimHash sketches + chunk-blocked near-dup pairs at the canonical
     // hamming<=3 threshold — the setting where 4-chunk blocking has
-    // GUARANTEED recall (pigeonhole). Rows-only: hamming over internal
-    // 64-bit hashes has no SQL oracle; completeness pinned vs brute
-    // force in DedupSpec.
+    // GUARANTEED recall (pigeonhole). The pair list itself has no SQL
+    // oracle (64-bit internal hashes), so the gate checks what DuckDB
+    // CAN predict: every reported pair is within the hamming bound
+    // (evaluated over the FULL corpus, so the production blocked join
+    // runs in full), and on a 200-doc subset the blocked join's pair
+    // set EQUALS an independent all-pairs brute force — the pigeonhole
+    // theorem, verified empirically (also spec-pinned in DedupSpec).
     "q33_dedup_simhash" -> { (s, dir) =>
       import s.implicits._
-      val sk = Dedup.simhash(Tables(s, dir).documents, "doc_id", "text")
-      Dedup.simhashPairs(sk, maxHamming = 3).orderBy($"a", $"b")
+      val docs = Tables(s, dir).documents
+      val sk = Dedup.simhash(docs, "doc_id", "text")
+      val pairs = Dedup.simhashPairs(sk, maxHamming = 3)
+      val fullSound = pairs.agg(
+        (coalesce(max($"hamming"), lit(0)) <= 3).as("full_pairs_sound"))
+      val small = sk.filter($"doc" < 200)
+      val bf = small.as("p").join(small.as("q"), col("p.doc") < col("q.doc"))
+        .select(col("p.doc").as("a"), col("q.doc").as("b"),
+          bit_count(col("p.simhash").bitwiseXOR(col("q.simhash"))).as("h"))
+        .filter($"h" <= 3).select($"a", $"b")
+      val rep = pairs.filter($"a" < 200 && $"b" < 200).select($"a", $"b")
+      val missed = bf.join(rep, Seq("a", "b"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      val extra = rep.join(bf, Seq("a", "b"), "left_anti")
+        .agg(count(lit(1)).as("n_extra"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(fullSound).crossJoin(missed).crossJoin(extra)
+        .select($"n_docs", $"full_pairs_sound",
+          ($"n_extra" === 0).as("subset_sound"),
+          ($"n_missed" === 0).as("subset_complete"))
     },
 
     // Embedding near-dup: every vector's nearest neighbor by cosine
@@ -838,6 +860,13 @@ object Pipeline {
         |   + CAST(ascii(substr(text, 1, 1)) AS BIGINT)) % 997 AS feature
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // simhash audit: doc count is predictable; the soundness and
+    // pigeonhole-completeness flags must hold → TRUE literals
+    "q33_dedup_simhash" ->
+      """SELECT count(*) AS n_docs, TRUE AS full_pairs_sound,
+        | TRUE AS subset_sound, TRUE AS subset_complete
+        |FROM documents""".stripMargin,
 
     // ANN recall audits: the truth-set shape is predictable from the
     // corpus size (capped 500 queries × top-5) and the recall bound
