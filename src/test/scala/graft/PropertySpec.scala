@@ -55,6 +55,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("JPEG synthesize→decode roundtrip and EXIF-strip arithmetic hold for random shapes") {
+    import graft.operators.Multimodal
+    for (_ <- 1 to 300) {
+      val w = 1 + rnd.nextInt(65535)
+      val h = 1 + rnd.nextInt(65535)
+      val exif = rnd.nextInt(200)
+      val entropy = rnd.nextInt(200)
+      val jpg = Multimodal.synthesizeJpeg(w, h, exif, entropy)
+      assert(jpg.length == 47 + exif + entropy)
+      assert(Multimodal.decodeJpeg(jpg).contains((w, h, 3)), s"w=$w h=$h exif=$exif")
+      val stripped = Multimodal.stripExif(jpg)
+      assert(stripped.length == jpg.length - (10 + exif))
+      assert(Multimodal.decodeJpeg(stripped).contains((w, h, 3)))
+      // idempotent: nothing left to strip
+      assert(Multimodal.stripExif(stripped).sameElements(stripped))
+      // truncation anywhere inside the marker stream must yield None,
+      // never a crash or a hang (entropy/EOI tail truncation is fine
+      // to reject or accept — the walk stops at SOF either way)
+      val cut = 2 + rnd.nextInt(math.max(1, jpg.length - entropy - 4))
+      Multimodal.decodeJpeg(jpg.take(cut)) // must not throw
+      Multimodal.stripExif(jpg.take(cut))  // must not throw
+    }
+  }
+
   test("prefix+length-filtered jaccard equals brute force on random corpora") {
     import graft.operators.Dedup
     import spark.implicits._
