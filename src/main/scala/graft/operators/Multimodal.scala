@@ -7,13 +7,13 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, batch-decoded per partition.
   *
   * The Spark-side machinery (schema, partition-batched processing,
-  * typed output) is real. The decode step is REAL for formats whose
-  * structure lives in the header/marker stream (JPEG dimensions +
-  * EXIF strip, BMP, PCM WAV — [[decodeJpeg]]/[[stripExif]]/
-  * [[decodeBmp]]/[[decodeWav]], no codec library needed) and a
-  * deterministic STUB for mp4-class container formats whose codecs
-  * are not available in this environment (`decodeStub`, clearly
-  * marked; swap the body for a real codec).
+  * typed output) is real. The decode step is REAL for everything whose
+  * structure lives in the header/marker/box stream (JPEG dimensions +
+  * EXIF strip, BMP, PCM WAV, MP4 container metadata —
+  * [[decodeJpeg]]/[[stripExif]]/[[decodeBmp]]/[[decodeWav]]/
+  * [[decodeMp4]], no codec library needed); only FRAME-level decode
+  * (JPEG entropy data, MP4 track samples) is a deterministic STUB
+  * (`decodeStub`, clearly marked; swap the body for a real codec).
   * At scale this runs embarrassingly parallel: one task per partition,
   * no shuffle, codec state initialized once per partition (the
   * mapPartitions pattern — the Scala analogue of `mapInPandas` batch
@@ -75,12 +75,12 @@ object Multimodal {
     }.filter(_.nonEmpty)
   }
 
-  // ---- Real decoders for self-contained formats ----------------------
+  // ---- Real decoders for self-describing structure -------------------
   //
-  // BMP and WAV are fully specified header+payload formats needing no
-  // codec library, so the decode step is REAL for them (the stub
-  // remains the stand-in for jpeg/mp4-class formats whose codecs
-  // aren't in this environment). Dispatch is by magic bytes.
+  // BMP/WAV headers, the JPEG marker stream, and the MP4 box tree are
+  // fully specified without a codec library, so metadata decode is
+  // REAL for all four families; only frame/sample-level decode remains
+  // stubbed. Dispatch is by magic bytes.
 
   final case class MediaMeta(
       doc_id: Long, kind: String, width: Int, height: Int,
@@ -219,10 +219,100 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** MP4 / ISO-BMFF metadata parse: (major brand, timescale,
+    * duration_ms) from the ftyp + moov/mvhd box walk — the container
+    * structure is fully specified without any codec (frame DECODE
+    * still needs one; that part remains stubbed). Boxes are
+    * [size:u32BE][type:4cc][payload] with size covering the header;
+    * size==1 → 64-bit extended size follows, size==0 → box runs to
+    * EOF. The walk bails (None) on any malformed size rather than
+    * looping or overrunning — same posture as [[decodeWav]].
+    */
+  def decodeMp4(p: Array[Byte]): Option[(String, Int, Long)] = {
+    def be32(o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    if (p.length < 16 || tag(p, 4) != "ftyp") return None
+    val brand = tag(p, 8)
+    // walk top-level boxes for moov, then moov's children for mvhd
+    def walk(from: Long, end: Long, want: String): Option[(Long, Long)] = {
+      var o = from
+      while (o + 8 <= end) {
+        val oi = o.toInt
+        var sz = be32(oi)
+        var hdr = 8L
+        if (sz == 1) {
+          if (o + 16 > end) return None
+          sz = be64(oi + 8); hdr = 16L
+          if (sz < 16) return None // extended size must cover both headers
+        } else if (sz == 0) sz = end - o // box runs to EOF
+        else if (sz < 8) return None // malformed: would walk backwards
+        if (o + sz > end) return None // truncated box
+        if (tag(p, oi + 4) == want) return Some((o + hdr, o + sz))
+        o += sz
+      }
+      None
+    }
+    for {
+      (moovStart, moovEnd) <- walk(0L, p.length.toLong, "moov")
+      (mvhdStart, mvhdEnd) <- walk(moovStart, moovEnd, "mvhd")
+      out <- {
+        val v = p(mvhdStart.toInt) & 0xff // version byte
+        // v0: ver/flags(4) created(4) modified(4) timescale(4) duration(4)
+        // v1: ver/flags(4) created(8) modified(8) timescale(4) duration(8)
+        val need = if (v == 1) 4 + 8 + 8 + 4 + 8 else 4 + 4 + 4 + 4 + 4
+        if (mvhdStart + need > mvhdEnd) None
+        else {
+          val tsOff = mvhdStart.toInt + (if (v == 1) 20 else 12)
+          val ts = be32(tsOff)
+          val dur = if (v == 1) be64(tsOff + 4) else be32(tsOff + 4)
+          if (ts <= 0 || ts > Int.MaxValue) None
+          else Some((brand, ts.toInt, dur * 1000L / ts))
+        }
+      }
+    } yield out
+  }
+
+  /** Deterministic minimal-but-valid MP4 synthesis (gate generator,
+    * arithmetic layout like [[synthesizeJpeg]]): ftyp(brand, one
+    * compatible brand) + free(`freeBytes`) + moov(mvhd v0, timescale,
+    * durationUnits) + mdat(`mdatBytes`). Total = 152 + freeBytes +
+    * mdatBytes.
+    */
+  def synthesizeMp4(brand: String, timescale: Int, durationUnits: Long,
+      freeBytes: Int, mdatBytes: Int): Array[Byte] = {
+    require(brand.length == 4, "brand is a 4cc")
+    val out = new java.io.ByteArrayOutputStream(152 + freeBytes + mdatBytes)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w32(v: Long): Unit = { w8((v >> 24).toInt); w8((v >> 16).toInt); w8((v >> 8).toInt); w8(v.toInt) }
+    def four(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    w32(20); four("ftyp"); four(brand); w32(0); four(brand)
+    w32(8L + freeBytes); four("free")
+    var i = 0
+    while (i < freeBytes) { w8(i); i += 1 }
+    w32(116); four("moov")
+    w32(108); four("mvhd")
+    w32(0) // version 0 + flags
+    w32(0); w32(0) // created, modified
+    w32(timescale); w32(durationUnits)
+    w32(0x00010000L); w8(0x01); w8(0); w8(0); w8(0) // rate 1.0, volume 1.0, reserved
+    (1 to 2).foreach(_ => w32(0)) // reserved[2]
+    Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+      .foreach(w32) // unity matrix
+    (1 to 6).foreach(_ => w32(0)) // pre_defined[6]
+    w32(2) // next_track_ID
+    w32(8L + mdatBytes); four("mdat")
+    i = 0
+    while (i < mdatBytes) { w8(0x55); i += 1 }
+    out.toByteArray
+  }
+
   /** Partition-batched media probe: real header/payload decode for
-    * JPEG, BMP and PCM WAV, stub passthrough ("bin") for mp4-class
-    * container formats whose codecs aren't in this environment.
-    * Same mapPartitions shape as [[extractFeatures]].
+    * JPEG, BMP, PCM WAV and MP4 container metadata (brand, timescale →
+    * the `sample_rate` slot, duration); only frame-level codec decode
+    * remains stubbed. Same mapPartitions shape as [[extractFeatures]].
     */
   def probeMedia(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
@@ -238,8 +328,14 @@ object Multimodal {
             case None => decodeWav(p) match {
               case Some((rate, durMs, rms)) =>
                 MediaMeta(r.doc_id, "wav", 0, 0, rate, durMs, rms, p.length.toLong)
-              case None =>
-                MediaMeta(r.doc_id, "bin", 0, 0, 0, 0L, 0.0, p.length.toLong)
+              case None => decodeMp4(p) match {
+                // the mvhd timescale (units/second) rides the
+                // sample_rate slot
+                case Some((_, ts, durMs)) =>
+                  MediaMeta(r.doc_id, "mp4", 0, 0, ts, durMs, 0.0, p.length.toLong)
+                case None =>
+                  MediaMeta(r.doc_id, "bin", 0, 0, 0, 0L, 0.0, p.length.toLong)
+              }
             }
           }
         }

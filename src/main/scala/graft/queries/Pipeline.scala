@@ -493,6 +493,30 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // Real MP4 container-metadata decode end-to-end, mirroring q86:
+    // per-doc synthesized ISO-BMFF boxes (ftyp + free + moov/mvhd +
+    // mdat, every byte arithmetic in doc_id) probed for timescale and
+    // duration against a pure-arithmetic DuckDB oracle. durationUnits
+    // is a whole multiple of the timescale, so duration_ms is exact
+    // integer math on both sides.
+    "q87_multimodal_mp4" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir).documents
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val ts = 100 * (1 + (id % 10).toInt) // 100..1000 units/sec
+          Multimodal.MediaRow(id, Multimodal.synthesizeMp4(
+            brand = "isom", timescale = ts,
+            durationUnits = (id % 3600) * ts,
+            freeBytes = (id % 64).toInt, mdatBytes = (id % 32).toInt))
+        }).toDF()
+      Multimodal.probeMedia(s, media).toDF()
+        .select($"doc_id", $"kind",
+          $"sample_rate".cast("long").as("timescale"),
+          $"duration_ms", $"n_bytes")
+        .orderBy($"doc_id")
+    },
+
     // The full curation funnel (lang → quality → exact dedup →
     // decontamination) with per-stage audit counts — every dropped doc
     // accounted to the stage that dropped it.
@@ -917,6 +941,17 @@ object Pipeline {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors synthesizeMp4's arithmetic layout: timescale
+    // 100·(1 + doc_id%10), duration (doc_id%3600)·timescale units →
+    // (doc_id%3600)·1000 ms, size 152 + free + mdat
+    "q87_multimodal_mp4" ->
+      """SELECT doc_id, 'mp4' AS kind,
+        | CAST(100 * (1 + doc_id % 10) AS BIGINT) AS timescale,
+        | CAST((doc_id % 3600) * 1000 AS BIGINT) AS duration_ms,
+        | CAST(152 + doc_id % 64 + doc_id % 32 AS BIGINT) AS n_bytes
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // mirrors synthesizeJpeg's arithmetic layout: full size
     // 47 + exif + entropy, APP1 strip removes 10 + exif, so the

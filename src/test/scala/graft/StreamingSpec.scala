@@ -416,6 +416,59 @@ class StreamingSpec extends SparkSpec {
     assert(meta.kind == "jpeg" && meta.width == 640 && meta.height == 480)
   }
 
+  test("multimodal probe decodes MP4 box metadata (v0, v1, extended sizes, malformed)") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    def be32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def four(s: String) = s.getBytes("US-ASCII")
+
+    val mp4 = Multimodal.synthesizeMp4("isom", timescale = 600,
+      durationUnits = 3000, freeBytes = 11, mdatBytes = 7)
+    assert(mp4.length == 152 + 11 + 7)
+    assert(Multimodal.decodeMp4(mp4).contains(("isom", 600, 5000L)))
+
+    // probeMedia dispatches mp4 with timescale in the sample_rate slot
+    val meta = Multimodal.probeMedia(spark,
+      Seq((1L, mp4)).toDF("doc_id", "payload")).collect().head
+    assert(meta.kind == "mp4" && meta.sample_rate == 600 && meta.duration_ms == 5000L)
+
+    // mvhd VERSION 1 (64-bit created/modified/duration) — hand-built
+    // minimal tree: ftyp(20) + moov(8 + mvhd(8+32))
+    val mvhd1 = be32(40) ++ four("mvhd") ++ Array[Byte](1, 0, 0, 0) ++
+      be64(0) ++ be64(0) ++ be32(1000) ++ be64(90000L)
+    val v1 = be32(20) ++ four("ftyp") ++ four("iso6") ++ be32(0) ++ four("iso6") ++
+      be32(48) ++ four("moov") ++ mvhd1
+    assert(Multimodal.decodeMp4(v1).contains(("iso6", 1000, 90000L)))
+
+    // EXTENDED size (size==1 → 64-bit) on the moov box, and a
+    // trailing size==0 (to-EOF) mdat
+    val ext = be32(20) ++ four("ftyp") ++ four("isom") ++ be32(0) ++ four("isom") ++
+      be32(1) ++ four("moov") ++ be64(16 + 40) ++ mvhd1 ++
+      be32(0) ++ four("mdat") ++ Array.fill[Byte](5)(0x55)
+    assert(Multimodal.decodeMp4(ext).contains(("isom", 1000, 90000L)))
+
+    // malformed payloads classify as None — never a crash or hang:
+    // missing ftyp, box size < 8 (would walk backwards), box size
+    // overrunning the payload, truncated mvhd
+    assert(Multimodal.decodeMp4(four("junkjunkjunkjunk")).isEmpty)
+    val badSize = mp4.clone()
+    // the free box's size field (offset 20) → 3
+    be32(3).copyToArray(badSize, 20)
+    assert(Multimodal.decodeMp4(badSize).isEmpty)
+    val overrun = mp4.clone()
+    be32(100000).copyToArray(overrun, 20)
+    assert(Multimodal.decodeMp4(overrun).isEmpty)
+    assert(Multimodal.decodeMp4(mp4.take(40)).isEmpty)
+    // and the zero-norm... a zero timescale must be rejected, not
+    // divide by zero
+    val zeroTs = mp4.clone()
+    val tsOff = 20 + 8 + 11 + 8 + 8 + 4 + 4 + 4 // free + moov hdr + mvhd hdr + ver/created/modified
+    be32(0).copyToArray(zeroTs, tsOff)
+    assert(Multimodal.decodeMp4(zeroTs).isEmpty)
+  }
+
   test("multimodal resize + frame sampling keeps batch shape and budgets") {
     import graft.operators.Multimodal
     val media = Multimodal.asBinaryFrame(
