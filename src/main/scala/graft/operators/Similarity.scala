@@ -284,4 +284,49 @@ object Similarity {
       .distinct()
     rankTopK(cands, k)
   }
+
+  /** Semantic deduplication (SemDeDup-shaped): cluster the corpus with
+    * the same trained coarse quantizer IVF uses, then WITHIN each
+    * cluster drop every vector that has a smaller-id neighbor with
+    * cosine >= `tau` (keep-first-by-id — deterministic, no iteration).
+    * Returns one row per vector: `(vid, keep_id)` where `keep_id` is
+    * the smallest such earlier neighbor for dropped vectors and NULL
+    * for kept ones.
+    *
+    * Scale design: the only non-broadcast join is the within-cluster
+    * self-join, keyed on cluster id — quadratic in CLUSTER size, never
+    * corpus size. Centroid count grows with the corpus
+    * (`centroidStride` fixes the expected cluster population), so the
+    * per-cluster pair work stays bounded as the corpus scales; a
+    * pathological giant cluster is the same skew class the LSH paths
+    * handle with hot-bucket caps and would be split by re-clustering
+    * its members. Cluster assignment is the map-side `max(struct)`
+    * argmax (one partial row per vector — no window shuffle).
+    */
+  def semanticDedup(corpus: DataFrame, tau: Double, dim: Int,
+      centroidStride: Int = 50, trainIters: Int = 2): DataFrame = {
+    val centroids = broadcast(
+      if (trainIters > 0)
+        trainCentroids(corpus, dim, centroidStride, trainIters)
+          .select($"cid", $"c_qv", $"c_nrm")
+      else
+        corpus.filter($"vid" % centroidStride === 0)
+          .select($"vid".as("cid"), $"qv".as("c_qv"), $"nrm".as("c_nrm")))
+    val members = corpus.join(centroids)
+      .withColumn("c_cos", cosineQ($"qv", $"c_qv", $"nrm", $"c_nrm"))
+      .groupBy($"vid")
+      .agg(max(struct($"c_cos", (-$"cid").as("nc"),
+        $"qv".as("v"), $"nrm".as("nm"))).as("best"))
+      .select($"vid", $"best.v".as("qv"), $"best.nm".as("nrm"),
+        (-$"best.nc").as("cid"))
+
+    val dropped = members.as("x").join(members.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vid") < col("y.vid"))
+      .filter(cosineQ(col("x.qv"), col("y.qv"),
+        col("x.nrm"), col("y.nrm")) >= tau)
+      .groupBy(col("y.vid").as("vid"))
+      .agg(min(col("x.vid")).as("keep_id"))
+
+    members.select($"vid", $"cid").join(dropped, Seq("vid"), "left")
+  }
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring-span deduplication: find every MAXIMAL run of
+  * `k`-or-more consecutive tokens shared verbatim between two
+  * documents (the "exact substring" dedup of training-data pipelines,
+  * where duplicated passages — boilerplate, licenses, templated
+  * intros — are detected at span granularity rather than whole-doc).
+  *
+  * Algorithm (inverted index over positional k-grams, then
+  * diagonal-run merging — the Spark-shaped equivalent of a
+  * suffix-array scan):
+  *  1. Every doc emits its positional k-token grams `(doc, pos, gram)`
+  *     — NOT distinct: positions matter.
+  *  2. Stop-gram cap: grams appearing in more than `maxDocFreq` docs
+  *     are dropped before the pair join (same doc-frequency bound the
+  *     PPJoin candidate stage uses) — this is what keeps the join from
+  *     quadratic blow-up on boilerplate at 100 TB.
+  *  3. Shared-gram equi-join (`a.doc < b.doc`) keyed on the 64-bit
+  *     gram hash (cheap long shuffle key) with gram-equality verify.
+  *  4. Matches on the same pair lie on diagonals `pa - pb`; a shared
+  *     span of `L >= k` tokens is exactly a run of `L - k + 1`
+  *     consecutive k-gram matches on one diagonal. Gaps-and-islands
+  *     (`pa - row_number()`) merges each run; the window partitions by
+  *     `(a, b, diag)` — bounded by matched positions per doc PAIR
+  *     (doc-length-scale, never corpus-scale).
+  *
+  * Output: one row per maximal span of at least `minSpanTokens`
+  * tokens: `(a, b, a_start, b_start, span_tokens)` with 0-based token
+  * offsets.
+  */
+object Spans {
+
+  def sharedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minSpanTokens: Int = 12, maxDocFreq: Int = 50): DataFrame = {
+    require(k > 0 && minSpanTokens >= k,
+      s"need minSpanTokens >= k > 0, got k=$k minSpanTokens=$minSpanTokens")
+    val toks = split(col(textCol), " ")
+    val grams = df
+      .select(col(idCol).as("doc"), toks.as("toks"))
+      // sequence(0, n-k) descends when n < k — guard short docs out
+      .filter(org.apache.spark.sql.functions.size(col("toks")) >= k)
+      .select(col("doc"), col("toks"),
+        posexplode(sequence(lit(0),
+          org.apache.spark.sql.functions.size(col("toks")) - k)))
+      .select(col("doc"), col("pos").cast("long").as("pos"),
+        array_join(slice(col("toks"), col("pos") + 1, lit(k)), " ").as("gram"))
+      .withColumn("gh", xxhash64(col("gram")))
+
+    // Stop-gram doc-frequency cap — boilerplate grams never reach the
+    // pair join. (Dropping a gram can only split/remove spans built
+    // from corpus-wide boilerplate, which is the intent.)
+    val rare = grams.groupBy(col("gh"), col("gram"))
+      .agg(countDistinct(col("doc")).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("gh"), col("gram"))
+
+    val g = grams.join(rare, Seq("gh", "gram"), "left_semi")
+    val matches = g.as("a").join(g.as("b"),
+        col("a.gh") === col("b.gh") && col("a.gram") === col("b.gram") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("a"), col("b.doc").as("b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .withColumn("diag", col("pa") - col("pb"))
+
+    val w = Window.partitionBy(col("a"), col("b"), col("diag"))
+      .orderBy(col("pa"))
+    matches
+      .withColumn("island", col("pa") - row_number().over(w))
+      .groupBy(col("a"), col("b"), col("diag"), col("island"))
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (max(col("pa")) - min(col("pa")) + k).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("a"), col("b"), col("a_start"), col("b_start"),
+        col("span_tokens"))
+  }
+}

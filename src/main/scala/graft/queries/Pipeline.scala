@@ -563,6 +563,64 @@ object Pipeline {
         .groupBy($"source", $"bin")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("tok_sum"))
         .orderBy($"source", $"bin")
+    },
+
+    // Token-window RAG chunking: overlapping 32-token windows with
+    // stride 24 — pure narrow map work (split/posexplode/slice), the
+    // retrieval-prep stage that precedes embedding at 100 TB.
+    "q88_rag_chunking" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Chunking.tokenWindows(
+          Tables(s, dir).documents.select($"doc_id", $"text"),
+          "doc_id", "text", size = 32, stride = 24)
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
+    // Exact substring-span dedup: maximal verbatim runs of >= 12
+    // tokens shared between doc pairs, via positional 8-gram inverted
+    // index + diagonal gaps-and-islands merge (span-granular dedup of
+    // boilerplate/templated passages).
+    "q89_substring_spans" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Spans.sharedSpans(Tables(s, dir).documents,
+          "doc_id", "text", k = 8, minSpanTokens = 12, maxDocFreq = 50)
+        .orderBy($"a", $"b", $"a_start", $"b_start")
+    },
+
+    // Semantic dedup (SemDeDup-shaped): trained-cluster assignment +
+    // within-cluster keep-first-by-id at cosine >= tau. The drop set
+    // depends on the (non-SQL) k-means clustering, so the gate checks
+    // what DuckDB CAN predict — the audit recomputes every claim from
+    // the raw vectors: one result row per vector, every dropped vector
+    // really has its reported smaller-id same-cluster neighbor at
+    // cos >= tau, and the kept set has no within-cluster pair at
+    // cos >= tau (so keep-first-by-id removed everything it promises
+    // to). Behavior on a fixed corpus is pinned in SemanticDedupSpec.
+    "q90_semantic_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val tau = 0.92
+      val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
+      val res = Similarity.semanticDedup(corpus, tau = tau, dim = 64,
+        centroidStride = 50, trainIters = 2).localCheckpoint()
+      val withVec = res.join(corpus, Seq("vid"))
+      val dropped = withVec.filter($"keep_id".isNotNull).as("d")
+        .join(withVec.as("k"), col("d.keep_id") === col("k.vid"))
+        .agg(coalesce(every(
+          col("d.keep_id") < col("d.vid") &&
+            col("k.cid") === col("d.cid") &&
+            graft.functions.VectorFunctions.cosineQ(col("d.qv"), col("k.qv"),
+              col("d.nrm"), col("k.nrm")) >= tau), lit(true)).as("drops_sound"))
+      val kept = withVec.filter($"keep_id".isNull)
+      val keptDirty = kept.as("x").join(kept.as("y"),
+          col("x.cid") === col("y.cid") && col("x.vid") < col("y.vid"))
+        .filter(graft.functions.VectorFunctions.cosineQ(col("x.qv"), col("y.qv"),
+          col("x.nrm"), col("y.nrm")) >= tau)
+        .agg(count(lit(1)).as("n_dirty"))
+      Tables(s, dir).embeddings.agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(res.agg(count(lit(1)).as("n_rows")))
+        .crossJoin(dropped).crossJoin(keptDirty)
+        .select($"n_vecs", ($"n_rows" === $"n_vecs").as("all_assigned"),
+          $"drops_sound", ($"n_dirty" === 0).as("kept_clean"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -962,5 +1020,50 @@ object Pipeline {
         | CAST(1 + (doc_id * 7) % 512 AS BIGINT) AS height,
         | CAST(41 + doc_id % 32 AS BIGINT) AS stripped_bytes
         |FROM documents
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Sliding 32-token windows, stride 24: the last window is the
+    // first whose end reaches the doc's end (1 + ceil((n-32)/24)).
+    "q88_rag_chunking" ->
+      """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp,
+        |              len(string_split(text,' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, sp, n,
+        |        CAST(1 + ceil(greatest(n - 32, 0) / 24.0) AS BIGINT) AS nc FROM sp),
+        |e AS (SELECT doc_id, sp, n, i.i AS chunk_idx
+        |      FROM c, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS i) i)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_idx * 24 AS BIGINT) AS chunk_start,
+        |  CAST(least(32, n - chunk_idx * 24) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(sp[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Maximal shared >=12-token spans via positional 8-grams on one
+    // diagonal (pa - pb), merged by gaps-and-islands; grams in more
+    // than 50 docs are stop-grams on both sides.
+    "q89_substring_spans" ->
+      """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+        |g AS (SELECT doc_id, i.g - 1 AS pos,
+        |        array_to_string(sp[i.g : i.g + 7], ' ') AS gram
+        |      FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp) - 7)) AS g) i),
+        |keep AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) <= 50),
+        |m AS (SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa, b.pos AS pb
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |      JOIN keep k ON a.gram = k.gram),
+        |isl AS (SELECT a, b, pa - pb AS diag, pa, pb,
+        |        pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS island
+        |      FROM m)
+        |SELECT a, b, CAST(min(pa) AS BIGINT) AS a_start,
+        |  CAST(min(pb) AS BIGINT) AS b_start,
+        |  CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY a, b, diag, island
+        |HAVING max(pa) - min(pa) + 8 >= 12
+        |ORDER BY a, b, a_start, b_start""".stripMargin,
+
+    // The drop set depends on k-means clusters (not SQL-expressible);
+    // DuckDB predicts the audit shape: every vector assigned exactly
+    // once and both soundness booleans TRUE (see q90's query comment).
+    "q90_semantic_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        | TRUE AS all_assigned, TRUE AS drops_sound, TRUE AS kept_clean
+        |FROM embeddings""".stripMargin)
 }
