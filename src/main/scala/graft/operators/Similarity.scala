@@ -47,7 +47,7 @@ object Similarity {
     * (hot LSH buckets, wide IVF probes). Ordering contract unchanged:
     * cos desc, id asc.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy($"query_id")
       .agg(graft.functions.TopKAgg.topk_by_score($"cos", $"cand_id", k).as("top"))
       .select($"query_id", posexplode($"top"))
@@ -234,9 +234,12 @@ object Similarity {
     * when `trainIters > 0` — same assignment/probe machinery, tighter
     * cells, better recall at equal probes.
     */
-  def ivfTopK(corpus: DataFrame, k: Int, centroidStride: Int = 50,
-      nProbe: Int = 2, dim: Int = 0, trainIters: Int = 0): DataFrame = {
-    val centroids = broadcast(
+  /** Broadcast coarse-quantizer centroids — trained k-means when
+    * `trainIters > 0`, else the deterministic stride sample. Shared by
+    * IVF, IVF-PQ and semantic dedup. */
+  private[graft] def coarseCentroids(corpus: DataFrame,
+      centroidStride: Int, dim: Int, trainIters: Int): DataFrame =
+    broadcast(
       if (trainIters > 0) {
         require(dim > 0, "trained IVF needs the vector dimension")
         trainCentroids(corpus, dim, centroidStride, trainIters)
@@ -245,37 +248,12 @@ object Similarity {
         corpus.filter($"vid" % centroidStride === 0)
           .select($"vid".as("cid"), $"qv".as("c_qv"), $"nrm".as("c_nrm")))
 
-    // cell assignment: argmax centroid cosine (deterministic ties by cid)
-    def cellsFor(df: DataFrame, n: Int, outPrefix: String): DataFrame = {
-      val scored = df.join(centroids)
-        .withColumn("c_cos", cosineQ($"qv", $"c_qv", $"nrm", $"c_nrm"))
-      if (n == 1)
-        // single-cell assignment is an argmax — the same map-side
-        // partial `max(struct)` shape trainCentroids uses: one partial
-        // row per (partition, vid) instead of a full row_number window
-        // shuffle over corpus×centroid scored rows
-        scored.groupBy($"vid")
-          .agg(max(struct($"c_cos", (-$"cid").as("nc"),
-            $"qv".as("v"), $"nrm".as("nm"))).as("best"))
-          .select($"vid".as(s"${outPrefix}vid"), $"best.v".as(s"${outPrefix}qv"),
-            $"best.nm".as(s"${outPrefix}nrm"), (-$"best.nc").as("cid"))
-      else
-        // multi-cell probe assignment: top-n centroids per vector via
-        // the bounded TopKAgg partial aggregate — one k-bounded
-        // partial row per (vid, map partition) instead of a
-        // row_number window shuffling all corpus×centroid scored
-        // rows. qv/nrm are functionally dependent on vid (any_value
-        // is deterministic here), so the group stays narrow.
-        scored.groupBy($"vid")
-          .agg(
-            graft.functions.TopKAgg.topk_by_score($"c_cos", $"cid", n).as("cells"),
-            any_value($"qv").as("v"), any_value($"nrm").as("nm"))
-          .select($"vid".as(s"${outPrefix}vid"), $"v".as(s"${outPrefix}qv"),
-            $"nm".as(s"${outPrefix}nrm"), explode($"cells.id").as("cid"))
-    }
+  def ivfTopK(corpus: DataFrame, k: Int, centroidStride: Int = 50,
+      nProbe: Int = 2, dim: Int = 0, trainIters: Int = 0): DataFrame = {
+    val centroids = coarseCentroids(corpus, centroidStride, dim, trainIters)
 
-    val members = cellsFor(corpus, 1, "m_")   // each vector lives in 1 cell
-    val probes = cellsFor(corpus, nProbe, "q_") // queries probe nProbe cells
+    val members = cellsFor(corpus, centroids, 1, "m_")   // each vector lives in 1 cell
+    val probes = cellsFor(corpus, centroids, nProbe, "q_") // queries probe nProbe cells
 
     val cands = probes.join(members, Seq("cid"))
       .filter($"q_vid" =!= $"m_vid")
@@ -283,6 +261,36 @@ object Similarity {
         cosineQ($"q_qv", $"m_qv", $"q_nrm", $"m_nrm").as("cos"))
       .distinct()
     rankTopK(cands, k)
+  }
+
+  /** Cell assignment against a broadcast centroid set — argmax
+    * centroid cosine (deterministic ties by cid). `n == 1` is the
+    * member-side single-cell argmax (the same map-side partial
+    * `max(struct)` shape trainCentroids uses: one partial row per
+    * (partition, vid) instead of a full row_number window shuffle over
+    * corpus×centroid scored rows); `n > 1` is the probe-side top-n via
+    * the bounded TopKAgg partial aggregate — one k-bounded partial row
+    * per (vid, map partition). qv/nrm are functionally dependent on
+    * vid (`any_value` is deterministic here), so the group stays
+    * narrow. Shared by IVF and the IVF-PQ composition.
+    */
+  private[graft] def cellsFor(df: DataFrame, centroids: DataFrame,
+      n: Int, outPrefix: String): DataFrame = {
+    val scored = df.join(centroids)
+      .withColumn("c_cos", cosineQ($"qv", $"c_qv", $"nrm", $"c_nrm"))
+    if (n == 1)
+      scored.groupBy($"vid")
+        .agg(max(struct($"c_cos", (-$"cid").as("nc"),
+          $"qv".as("v"), $"nrm".as("nm"))).as("best"))
+        .select($"vid".as(s"${outPrefix}vid"), $"best.v".as(s"${outPrefix}qv"),
+          $"best.nm".as(s"${outPrefix}nrm"), (-$"best.nc").as("cid"))
+    else
+      scored.groupBy($"vid")
+        .agg(
+          graft.functions.TopKAgg.topk_by_score($"c_cos", $"cid", n).as("cells"),
+          any_value($"qv").as("v"), any_value($"nrm").as("nm"))
+        .select($"vid".as(s"${outPrefix}vid"), $"v".as(s"${outPrefix}qv"),
+          $"nm".as(s"${outPrefix}nrm"), explode($"cells.id").as("cid"))
   }
 
   /** Semantic deduplication (SemDeDup-shaped): cluster the corpus with
@@ -305,20 +313,8 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, tau: Double, dim: Int,
       centroidStride: Int = 50, trainIters: Int = 2): DataFrame = {
-    val centroids = broadcast(
-      if (trainIters > 0)
-        trainCentroids(corpus, dim, centroidStride, trainIters)
-          .select($"cid", $"c_qv", $"c_nrm")
-      else
-        corpus.filter($"vid" % centroidStride === 0)
-          .select($"vid".as("cid"), $"qv".as("c_qv"), $"nrm".as("c_nrm")))
-    val members = corpus.join(centroids)
-      .withColumn("c_cos", cosineQ($"qv", $"c_qv", $"nrm", $"c_nrm"))
-      .groupBy($"vid")
-      .agg(max(struct($"c_cos", (-$"cid").as("nc"),
-        $"qv".as("v"), $"nrm".as("nm"))).as("best"))
-      .select($"vid", $"best.v".as("qv"), $"best.nm".as("nrm"),
-        (-$"best.nc").as("cid"))
+    val centroids = coarseCentroids(corpus, centroidStride, dim, trainIters)
+    val members = cellsFor(corpus, centroids, 1, "")
 
     val dropped = members.as("x").join(members.as("y"),
         col("x.cid") === col("y.cid") && col("x.vid") < col("y.vid"))

@@ -20,6 +20,7 @@ import org.apache.spark.sql.graft.Bridge
   *   graft_band_buckets(sig, b, r) — LSH band buckets of a signature
   *   graft_fingerprint(text)    — rolling polynomial fingerprint
   *   graft_sorted_intersect(a, b) — |A∩B| of sorted arrays (merge)
+  *   graft_pq_adc(codes, tab, k) — PQ asymmetric-distance lookup-sum
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -54,7 +55,9 @@ object GraftExtensions {
     "graft_fingerprint" -> (es => Fingerprint64(es.head)),
     "graft_nfc" -> (es => NfcNormalize(es.head)),
     "graft_sorted_intersect" -> (es => SortedIntersectCount(es.head, es(1))),
-    "graft_zorder" -> (es => ZOrder2(es.head, es(1))))
+    "graft_zorder" -> (es => ZOrder2(es.head, es(1))),
+    "graft_pq_adc" -> (es =>
+      PqAdcScore(es.head, es(1), intArg(es(2), "codebook size k"))))
 
   /** Register on an already-built session (tests, driver sessions). */
   def register(spark: SparkSession): Unit =

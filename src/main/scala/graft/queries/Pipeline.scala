@@ -226,6 +226,28 @@ object Pipeline {
         approx, corpus.filter($"vid" < 500), corpus, minRecall = 0.25)
     },
 
+    // Product-quantization ANN: per-subspace trained codebooks, 8-code
+    // encoded corpus, ADC table-lookup scoring — gated by the same
+    // recall-vs-brute-force audit as q36/q42.
+    "q91_ann_pq" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
+      val queries = corpus.filter($"vid" < 500)
+      val approx = graft.operators.Pq.adcTopK(queries, corpus, topK = 5)
+      Pipeline.annRecallAudit(approx, queries, corpus, minRecall = 0.25)
+    },
+
+    // IVF-PQ: coarse cells prune the scan, ADC scores the probed
+    // cells' compressed members, exact re-rank on the shortlist — the
+    // full 100 TB retrieval stack, same recall audit as q36/q42/q91.
+    "q92_ann_ivfpq" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
+      val queries = corpus.filter($"vid" < 500)
+      val approx = graft.operators.Pq.ivfAdcTopK(queries, corpus, topK = 5)
+      Pipeline.annRecallAudit(approx, queries, corpus, minRecall = 0.25)
+    },
+
     // Language-ID heuristic: confusion counts vs the labeled lang.
     "q37_text_langid" -> { (s, dir) =>
       import s.implicits._
@@ -960,6 +982,18 @@ object Pipeline {
         |FROM embeddings""".stripMargin,
 
     "q42_ann_ivf" ->
+      """SELECT least(count(*), 500) AS n_queries,
+        | least(count(*), 500) * 5 AS n_truth,
+        | TRUE AS recall_in_bound
+        |FROM embeddings""".stripMargin,
+
+    "q91_ann_pq" ->
+      """SELECT least(count(*), 500) AS n_queries,
+        | least(count(*), 500) * 5 AS n_truth,
+        | TRUE AS recall_in_bound
+        |FROM embeddings""".stripMargin,
+
+    "q92_ann_ivfpq" ->
       """SELECT least(count(*), 500) AS n_queries,
         | least(count(*), 500) * 5 AS n_truth,
         | TRUE AS recall_in_bound

@@ -26,7 +26,10 @@ object AnnRecall {
       .filter(col("query_id") < 500)
     val ivf = Similarity.ivfTopK(corpus, k = 5, dim = 64, trainIters = 2)
       .filter(col("query_id") < 500)
-    println(s"[annrecall] dir=$dir nTruth=$nTruth lsh=${recall(lsh)} ivf=${recall(ivf)}")
+    val pq = graft.operators.Pq.adcTopK(queries, corpus, topK = 5)
+    val ivfpq = graft.operators.Pq.ivfAdcTopK(queries, corpus, topK = 5)
+    println(s"[annrecall] dir=$dir nTruth=$nTruth lsh=${recall(lsh)} " +
+      s"ivf=${recall(ivf)} pq=${recall(pq)} ivfpq=${recall(ivfpq)}")
     spark.stop()
   }
 }

@@ -92,6 +92,12 @@ class CatalogSpec extends SparkSpec {
       .collect()(0)
     assert(n.getString(0) == "caf\u00e9")
     assert(n.getString(1) == "plain")
+    // PQ ADC: codes [1, 0] over a 2-subspace, k=2 flattened table
+    // [t00, t01, t10, t11] pick t01 + t10
+    val adc = spark.sql(
+      "SELECT graft_pq_adc(array(1, 0), array(10L, 20L, 30L, 40L), 2)")
+      .collect()(0)
+    assert(adc.getLong(0) == 20L + 30L)
   }
 
   test("graft_zorder rejects non-int children at analysis, not runtime") {
