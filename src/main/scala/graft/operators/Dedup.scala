@@ -276,6 +276,33 @@ object Dedup {
       .select($"doc".as("doc_id"), $"n_shared")
   }
 
+  /** [[contaminationScan]] behind a Bloom-filter prescreen — the shape
+    * for a reference set too big to broadcast raw (a benchmark
+    * UNION of hundreds of eval sets, a blocklist): the eval side
+    * collapses to `numBits/64` longs (~9.6 bits per distinct gram for
+    * ~1% FPs) via the [[graft.functions.BloomAgg]] mergeable
+    * aggregate and broadcasts as ONE row; the corpus stream drops
+    * every gram the filter rejects BEFORE any shuffle, so the exact
+    * verify equi-join — which removes the false positives — shuffles
+    * only true matches + the ~1% FP trickle instead of every corpus
+    * gram. Bloom filters have no false negatives, so the output is
+    * IDENTICAL to [[contaminationScan]] (same oracle gates both).
+    */
+  def contaminationScanBloom(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    import graft.functions.{BloomAgg, BloomMightContain}
+    val e = shingles(evalSet, idCol, textCol, n).select($"h").distinct()
+    val bloom = e.agg(BloomAgg.bloom_agg($"h", numBits, numHashes).as("bf"))
+    val flagged = shingles(corpus, idCol, textCol, n)
+      .join(broadcast(bloom))
+      .filter(BloomMightContain.might_contain($"h", $"bf", numHashes))
+      .select($"doc", $"h")
+    flagged.join(e, Seq("h"))
+      .groupBy($"doc").agg(count(lit(1)).as("n_shared"))
+      .select($"doc".as("doc_id"), $"n_shared")
+  }
+
   /** 64-bit SimHash over word tokens (bag-weighted): bit i of the
     * sketch is the sign of Σ_tokens count · (±1 per token-hash bit i).
     * One map-side pass per doc ([[graft.functions.SimHash64]]).

@@ -356,6 +356,20 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // Same decontamination through the Bloom-prescreen scale path: the
+    // eval side broadcasts as bit words, only filter survivors reach
+    // the exact verify join. No false negatives → output (and oracle)
+    // identical to q66.
+    "q93_decontaminate_bloom" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      Dedup.contaminationScanBloom(
+          docs.filter($"doc_id" % 97 =!= 0),
+          docs.filter($"doc_id" % 97 === 0),
+          "doc_id", "text", n = 4)
+        .orderBy($"doc_id")
+    },
+
     // Repetition/quality signals (Gopher-style): distinct-token ratio,
     // top-token fraction (two partial-aggregated shuffles), duplicate
     // trigram fraction (map-side via the distinct shingle count).
@@ -645,6 +659,21 @@ object Pipeline {
           $"drops_sound", ($"n_dirty" === 0).as("kept_clean"))
     })
 
+  /** Shared oracle: exact eval-set 4-gram overlap counts. Gates both
+    * the broadcast-exact path (q66) and the Bloom-prescreen path
+    * (q93) — the prescreen is output-invisible. */
+  private val decontaminateOracle =
+    """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        sp[i.g]||' '||sp[i.g+1]||' '||sp[i.g+2]||' '||sp[i.g+3] AS gram
+      |      FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-3)) AS g) i),
+      |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+      |SELECT doc_id, count(*) AS n_shared
+      |FROM g JOIN ev USING (gram)
+      |WHERE doc_id % 97 <> 0
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q77_curation_funnel" ->
       """WITH s1 AS (SELECT * FROM documents WHERE lang = 'en'),
@@ -870,17 +899,10 @@ object Pipeline {
         |  OR regexp_matches(text, '\b\d{7,}\b')) AS had_pii
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q66_decontaminate" ->
-      """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
-        |g AS (SELECT DISTINCT doc_id,
-        |        sp[i.g]||' '||sp[i.g+1]||' '||sp[i.g+2]||' '||sp[i.g+3] AS gram
-        |      FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-3)) AS g) i),
-        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
-        |SELECT doc_id, count(*) AS n_shared
-        |FROM g JOIN ev USING (gram)
-        |WHERE doc_id % 97 <> 0
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "q66_decontaminate" -> decontaminateOracle,
+    // identical output by construction: the Bloom prescreen has no
+    // false negatives and the exact verify removes false positives
+    "q93_decontaminate_bloom" -> decontaminateOracle,
 
     "q67_repetition" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
