@@ -163,7 +163,7 @@ object Pq {
     * nothing scales with corpus × queries.
     */
   def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, topK: Int,
-      nProbe: Int = 2, m: Int = 8, k: Int = 16, dim: Int = 64,
+      nProbe: Int = 3, m: Int = 8, k: Int = 16, dim: Int = 64,
       centroidStride: Int = 50, trainIters: Int = 2, pqIters: Int = 2,
       shortlistFactor: Int = 8): DataFrame = {
     val centroids = Similarity.coarseCentroids(corpus, centroidStride, dim, trainIters)

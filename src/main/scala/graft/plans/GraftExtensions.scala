@@ -21,6 +21,8 @@ import org.apache.spark.sql.graft.Bridge
   *   graft_fingerprint(text)    — rolling polynomial fingerprint
   *   graft_sorted_intersect(a, b) — |A∩B| of sorted arrays (merge)
   *   graft_pq_adc(codes, tab, k) — PQ asymmetric-distance lookup-sum
+  *   graft_bloom_contains(h, bf, k) — Bloom membership probe
+  *   graft_cms_estimate(h, sk, d)   — count-min frequency estimate
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -57,7 +59,11 @@ object GraftExtensions {
     "graft_sorted_intersect" -> (es => SortedIntersectCount(es.head, es(1))),
     "graft_zorder" -> (es => ZOrder2(es.head, es(1))),
     "graft_pq_adc" -> (es =>
-      PqAdcScore(es.head, es(1), intArg(es(2), "codebook size k"))))
+      PqAdcScore(es.head, es(1), intArg(es(2), "codebook size k"))),
+    "graft_bloom_contains" -> (es =>
+      BloomMightContain(es.head, es(1), intArg(es(2), "numHashes"))),
+    "graft_cms_estimate" -> (es =>
+      CountMinEstimate(es.head, es(1), intArg(es(2), "depth"))))
 
   /** Register on an already-built session (tests, driver sessions). */
   def register(spark: SparkSession): Unit =

@@ -370,6 +370,32 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // Count-min token frequencies: the exact top-20 tokens (fully
+    // oracle-able) each checked against the CMS estimate — estimates
+    // must over-count (min-of-rows never under-counts) and stay
+    // within the e/width·N error envelope. Deterministic: fixed
+    // hashes, fixed corpus.
+    "q94_countmin_tokens" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.{CountMinAgg, CountMinEstimate}
+      val depth = 5; val width = 2048
+      val toks = Tables(s, dir).documents
+        .select(explode(split($"text", " ")).as("token"))
+      val exact = toks.groupBy($"token").agg(count(lit(1)).as("exact_n"))
+      val top = exact.orderBy($"exact_n".desc, $"token").limit(20)
+      val sketch = toks.agg(
+        CountMinAgg.countmin_agg(xxhash64($"token"), depth, width).as("sk"))
+      top.crossJoin(broadcast(sketch))
+        .select($"token", $"exact_n",
+          CountMinEstimate.countmin_estimate(xxhash64($"token"), $"sk", depth).as("est"),
+          element_at($"sk", depth * width + 1).as("n_total"))
+        .select($"token", $"exact_n",
+          ($"est" >= $"exact_n" &&
+            $"est" <= $"exact_n" + lit(math.E / width) * $"n_total")
+            .as("cms_in_bound"))
+        .orderBy($"exact_n".desc, $"token")
+    },
+
     // Repetition/quality signals (Gopher-style): distinct-token ratio,
     // top-token fraction (two partial-aggregated shuffles), duplicate
     // trigram fraction (map-side via the distinct shingle count).
@@ -900,6 +926,14 @@ object Pipeline {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q66_decontaminate" -> decontaminateOracle,
+
+    // exact top-20 tokens by corpus frequency; the CMS bound flag is
+    // TRUE by the sketch's overestimate + error-envelope guarantees
+    "q94_countmin_tokens" ->
+      """WITH t AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
+        |e AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_n FROM t GROUP BY token)
+        |SELECT token, exact_n, TRUE AS cms_in_bound
+        |FROM e ORDER BY exact_n DESC, token LIMIT 20""".stripMargin,
     // identical output by construction: the Bloom prescreen has no
     // false negatives and the exact verify removes false positives
     "q93_decontaminate_bloom" -> decontaminateOracle,

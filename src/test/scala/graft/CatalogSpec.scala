@@ -98,6 +98,20 @@ class CatalogSpec extends SparkSpec {
       "SELECT graft_pq_adc(array(1, 0), array(10L, 20L, 30L, 40L), 2)")
       .collect()(0)
     assert(adc.getLong(0) == 20L + 30L)
+    // Bloom + CMS round-trip through the SQL surface against the
+    // DataFrame-built aggregates
+    import graft.functions.{BloomAgg, CountMinAgg}
+    import org.apache.spark.sql.functions.col
+    spark.range(7, 10).select(col("id").as("h"))
+      .agg(BloomAgg.bloom_agg(col("h"), 256, 5).as("bf"),
+        CountMinAgg.countmin_agg(col("h"), 3, 64).as("sk"))
+      .createOrReplaceTempView("sketches")
+    val probe = spark.sql(
+      """SELECT graft_bloom_contains(7L, bf, 5) AS hit,
+        |       graft_cms_estimate(8L, sk, 3) AS est
+        |FROM sketches""".stripMargin).collect()(0)
+    assert(probe.getBoolean(0))
+    assert(probe.getLong(1) >= 1L)
   }
 
   test("graft_zorder rejects non-int children at analysis, not runtime") {

@@ -91,7 +91,7 @@ class PqSpec extends SparkSpec {
     val centroids = Similarity.coarseCentroids(corpus, 50, 64, 2)
     val memberCells = Similarity.cellsFor(corpus, centroids, 1, "m_")
       .select($"m_vid".as("neighbor_id"), $"cid")
-    val probedCells = Similarity.cellsFor(queries, centroids, 2, "q_")
+    val probedCells = Similarity.cellsFor(queries, centroids, 3, "q_")
       .select($"q_vid".as("query_id"), $"cid")
     val outside = approx.join(memberCells, Seq("neighbor_id"))
       .join(probedCells, Seq("query_id", "cid"), "left_anti").count()
