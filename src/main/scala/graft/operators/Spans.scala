@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
   * suffix-array scan):
   *  1. Every doc emits its positional k-token grams `(doc, pos, gram)`
   *     — NOT distinct: positions matter.
-  *  2. Stop-gram cap: grams appearing in more than `maxDocFreq` docs
-  *     are dropped before the pair join (same doc-frequency bound the
-  *     PPJoin candidate stage uses) — this is what keeps the join from
-  *     quadratic blow-up on boilerplate at 100 TB.
-  *  3. Shared-gram equi-join (`a.doc < b.doc`) keyed on the 64-bit
-  *     gram hash (cheap long shuffle key) with gram-equality verify.
+  *  2. One groupBy (keyed on the 64-bit gram hash + gram-equality
+  *     verify) builds each gram's posting list and its doc frequency
+  *     together; postings in more than `maxDocFreq` docs are
+  *     stop-grams and dropped at the grouped row (same doc-frequency
+  *     bound the PPJoin candidate stage uses) — this is what keeps
+  *     the pair stage from quadratic blow-up on boilerplate at 100 TB.
+  *  3. Matched position pairs (`a.doc < b.doc`) explode directly from
+  *     each surviving posting — no second scan, no self-join.
   *  4. Matches on the same pair lie on diagonals `pa - pb`; a shared
   *     span of `L >= k` tokens is exactly a run of `L - k + 1`
   *     consecutive k-gram matches on one diagonal. Gaps-and-islands
@@ -50,20 +52,24 @@ object Spans {
         array_join(slice(col("toks"), col("pos") + 1, lit(k)), " ").as("gram"))
       .withColumn("gh", xxhash64(col("gram")))
 
-    // Stop-gram doc-frequency cap — boilerplate grams never reach the
-    // pair join. (Dropping a gram can only split/remove spans built
-    // from corpus-wide boilerplate, which is the intent.)
-    val rare = grams.groupBy(col("gh"), col("gram"))
-      .agg(countDistinct(col("doc")).as("df"))
+    // Posting-list formulation: ONE pass builds each gram's occurrence
+    // list and its doc frequency together, the stop-gram cap filters
+    // the grouped row, and matches explode directly from the posting —
+    // one scan and one shuffle where a semi-join + self-join shape
+    // scans the gram stream twice and shuffles it three times.
+    // Per-posting memory is bounded by maxDocFreq docs × positions per
+    // doc (doc-length scale); a corpus whose single documents repeat
+    // one gram millions of times would additionally cap occurrences
+    // per posting — not a case the doc-frequency cap leaves open here.
+    val matches = grams.groupBy(col("gh"), col("gram"))
+      .agg(collect_list(struct(col("doc"), col("pos"))).as("occs"),
+        countDistinct(col("doc")).as("df"))
       .filter(col("df") <= maxDocFreq)
-      .select(col("gh"), col("gram"))
-
-    val g = grams.join(rare, Seq("gh", "gram"), "left_semi")
-    val matches = g.as("a").join(g.as("b"),
-        col("a.gh") === col("b.gh") && col("a.gram") === col("b.gram") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("a"), col("b.doc").as("b"),
-        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .select(col("occs"), explode(col("occs")).as("x"))
+      .select(col("x"), explode(col("occs")).as("y"))
+      .filter(col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"),
+        col("x.pos").as("pa"), col("y.pos").as("pb"))
       .withColumn("diag", col("pa") - col("pb"))
 
     val w = Window.partitionBy(col("a"), col("b"), col("diag"))
