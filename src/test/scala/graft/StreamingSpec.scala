@@ -35,6 +35,36 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("sketch aggregates run under streaming state: stream == batch bit-for-bit") {
+    // CMS and Bloom are TypedImperativeAggregates — under a streaming
+    // aggregation their buffers round-trip the state store
+    // (serialize/deserialize between micro-batches), which no batch
+    // test exercises. Sum/OR merges are order-free, so the streamed
+    // sketch must equal the batch sketch EXACTLY, counter for counter.
+    import graft.functions.{BloomAgg, CountMinAgg}
+    // stage as 4 files + maxFilesPerTrigger=1 → 4 micro-batches, so
+    // partial sketch state really persists across triggers
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketch-ev").toString
+    Tables(spark, sf).events.repartition(4).write.mode("overwrite").parquet(dir)
+    val batchEvents = spark.read.parquet(dir)
+    def sketchAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"))
+      .agg(CountMinAgg.countmin_agg(xxhash64(col("user_id")), 5, 512).as("cms"),
+        BloomAgg.bloom_agg(xxhash64(col("user_id")), 1 << 12, 5).as("bf"))
+    val expected = sketchAgg(batchEvents)
+      .orderBy("event_type").collect().toSeq
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = sketchAgg(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sketch_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("sketch_out").orderBy("event_type").collect().toSeq
+    assert(got == expected)
+  }
+
   test("mapGroupsWithState sessionization equals the declarative batch form") {
     import spark.implicits._
     val events = Tables(spark, sf).events
