@@ -83,4 +83,42 @@ object Spans {
       .select(col("a"), col("b"), col("a_start"), col("b_start"),
         col("span_tokens"))
   }
+
+  /** The ACTION step of substring dedup: cut every shared span out of
+    * the HIGHER-id doc of its pair (keep-first — the lower id keeps
+    * the passage) and rebuild the cleaned text. Coverage is the
+    * union of the b-side span intervals, materialized as exploded
+    * `(doc, pos)` rows — total volume = duplicated tokens, a sliver
+    * of the corpus — anti-joined against the token stream; overlap
+    * between spans needs no interval merge, the distinct covered-set
+    * handles it. Docs with nothing to cut pass through whole. Output:
+    * `(doc_id, clean_text, n_removed)`.
+    */
+  def removeSharedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minSpanTokens: Int = 12, maxDocFreq: Int = 50): DataFrame = {
+    val spans = sharedSpans(df, idCol, textCol, k, minSpanTokens, maxDocFreq)
+    val covered = spans
+      .select(col("b").as("doc"),
+        explode(sequence(col("b_start"), col("b_start") + col("span_tokens") - 1))
+          .as("pos"))
+      .distinct()
+    val toks = df
+      .select(col(idCol).as("doc"), posexplode(split(col(textCol), " ")))
+      .select(col("doc"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq("doc", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc"))
+      .agg(array_join(array_sort(collect_list(struct(col("pos"), col("tok"))))
+          .getField("tok"), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    // left join from the full corpus: a doc whose every token was
+    // covered (fully contained in an earlier doc) must still appear,
+    // as an emptied row — exactly what the dedup action means for it
+    df.select(col(idCol).as("doc"),
+        org.apache.spark.sql.functions.size(split(col(textCol), " "))
+          .cast("long").as("n_total"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

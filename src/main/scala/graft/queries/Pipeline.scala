@@ -674,6 +674,16 @@ object Pipeline {
         .orderBy($"a", $"b", $"a_start", $"b_start")
     },
 
+    // The substring-dedup ACTION: cut every shared >=12-token span out
+    // of the higher-id doc (keep-first) and rebuild the cleaned text —
+    // detect (q89) followed by act, the Lee-et-al-style span excision.
+    "q96_span_dedup_rewrite" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Spans.removeSharedSpans(Tables(s, dir).documents,
+          "doc_id", "text", k = 8, minSpanTokens = 12, maxDocFreq = 50)
+        .orderBy($"doc_id")
+    },
+
     // Semantic dedup (SemDeDup-shaped): trained-cluster assignment +
     // within-cluster keep-first-by-id at cosine >= tau. The drop set
     // depends on the (non-SQL) k-means clustering, so the gate checks
@@ -1190,6 +1200,39 @@ object Pipeline {
         |FROM isl GROUP BY a, b, diag, island
         |HAVING max(pa) - min(pa) + 8 >= 12
         |ORDER BY a, b, a_start, b_start""".stripMargin,
+
+    // q89's span CTE extended with coverage explode + anti-join +
+    // ordered string_agg rebuild; fully-covered docs come back emptied
+    "q96_span_dedup_rewrite" ->
+      """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+        |g AS (SELECT doc_id, i.g - 1 AS pos,
+        |        array_to_string(sp[i.g : i.g + 7], ' ') AS gram
+        |      FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp) - 7)) AS g) i),
+        |keep AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) <= 50),
+        |m AS (SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa, b.pos AS pb
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |      JOIN keep k ON a.gram = k.gram),
+        |isl AS (SELECT a, b, pa - pb AS diag, pa, pb,
+        |        pa - row_number() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS island
+        |      FROM m),
+        |spans AS (SELECT b, min(pb) AS b_start, max(pa) - min(pa) + 8 AS span_tokens
+        |          FROM isl GROUP BY a, b, diag, island
+        |          HAVING max(pa) - min(pa) + 8 >= 12),
+        |covered AS (SELECT DISTINCT b AS doc_id,
+        |              unnest(generate_series(b_start, b_start + span_tokens - 1)) AS pos
+        |            FROM spans),
+        |toks AS (SELECT doc_id, i.g - 1 AS pos, sp[i.g] AS tok
+        |         FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp))) AS g) i),
+        |kept AS (SELECT t.* FROM toks t LEFT JOIN covered c
+        |           ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |         WHERE c.doc_id IS NULL),
+        |rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |              count(*) AS n_kept
+        |            FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+        |  CAST(len(string_split(d.text,' ')) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The drop set depends on k-means clusters (not SQL-expressible);
     // DuckDB predicts the audit shape: every vector assigned exactly

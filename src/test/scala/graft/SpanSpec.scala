@@ -85,6 +85,52 @@ class SpanSpec extends SparkSpec {
     assert(checked.forall(_.getAs[Boolean]("identical")))
   }
 
+  test("span excision cuts the passage from the higher-id doc only") {
+    val passage = toks("dup", 15)
+    val head2 = toks("c", 5); val tail2 = toks("d", 20)
+    val docs = Seq(
+      (1L, s"${toks("a", 20)} $passage ${toks("b", 10)}"),
+      (2L, s"$head2 $passage $tail2")).toDF("doc_id", "text")
+    val out = Spans.removeSharedSpans(docs, "doc_id", "text",
+        k = 8, minSpanTokens = 12, maxDocFreq = 50)
+      .orderBy($"doc_id").collect()
+    assert(out(0).getAs[Long]("n_removed") == 0L, "keep-first: doc 1 intact")
+    assert(out(0).getAs[String]("clean_text").split(" ").length == 45)
+    assert(out(1).getAs[Long]("n_removed") == 15L)
+    assert(out(1).getAs[String]("clean_text") == s"$head2 $tail2",
+      "doc 2 loses exactly the shared passage, order preserved")
+  }
+
+  test("a doc fully contained in an earlier doc is emptied, not dropped") {
+    val body = toks("x", 30)
+    val docs = Seq(
+      (1L, s"$body ${toks("y", 10)}"),
+      (2L, body)).toDF("doc_id", "text")
+    val out = Spans.removeSharedSpans(docs, "doc_id", "text",
+        k = 8, minSpanTokens = 12, maxDocFreq = 50)
+      .orderBy($"doc_id").collect()
+    assert(out.length == 2, "emptied docs still appear")
+    assert(out(1).getAs[String]("clean_text") == "" &&
+      out(1).getAs[Long]("n_removed") == 30L)
+    assert(out(0).getAs[Long]("n_removed") == 0L)
+  }
+
+  test("overlapping spans on one doc remove the union, not double-count") {
+    // doc 3 shares [p1 p2] with doc 1 and [p2 p3] with doc 2: the two
+    // cut intervals overlap on p2's tokens; union coverage = 36 tokens
+    val p1 = toks("p", 12); val p2 = toks("q", 12); val p3 = toks("r", 12)
+    val docs = Seq(
+      (1L, s"$p1 $p2 ${toks("u", 9)}"),
+      (2L, s"${toks("v", 9)} $p2 $p3"),
+      (3L, s"$p1 $p2 $p3")).toDF("doc_id", "text")
+    val out = Spans.removeSharedSpans(docs, "doc_id", "text",
+        k = 8, minSpanTokens = 12, maxDocFreq = 50)
+      .orderBy($"doc_id").collect()
+    assert(out(2).getAs[Long]("n_removed") == 36L,
+      s"union coverage, got ${out(2).getAs[Long]("n_removed")}")
+    assert(out(2).getAs[String]("clean_text") == "")
+  }
+
   test("the span plan has no cartesian or nested-loop join") {
     val plan = Spans.sharedSpans(Tables(spark, sf).documents,
       "doc_id", "text").queryExecution.executedPlan.toString
