@@ -320,6 +320,10 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
         val p = r.payload
+        decodePng(p) match {
+          case Some((w, h, pixSum)) =>
+            MediaMeta(r.doc_id, "png", w, h, 0, 0L, 0.0, p.length.toLong, pixSum)
+          case None =>
         decodeGif(p) match {
           case Some((w, h, pixSum)) =>
             MediaMeta(r.doc_id, "gif", w, h, 0, 0L, 0.0, p.length.toLong, pixSum)
@@ -347,6 +351,166 @@ object Multimodal {
       }
     }
     }
+    }
+  }
+
+  /** PNG parse with REAL pixel decode: signature + chunk walk with
+    * per-chunk CRC32 validation, IDAT concatenation + zlib inflate
+    * (JDK `Inflater` — the real zlib), then FULL scanline filter
+    * reconstruction implemented here: None/Sub/Up/Average/Paeth, the
+    * PNG-specific codec layer (8-bit grayscale, bpp=1). Returns
+    * `(width, height, sum of reconstructed pixel bytes)` — a content
+    * checksum that is wrong unless every filter math path is right.
+    * Malformed anywhere (bad signature, CRC mismatch, wrong inflated
+    * length, unsupported depth/color, truncation) → None.
+    */
+  def decodePng(p: Array[Byte]): Option[(Int, Int, Long)] = {
+    val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    if (p.length < 8 + 25 || !sig.indices.forall(i => (p(i) & 0xff) == sig(i)))
+      return None
+    def be32(o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    var o = 8
+    var w = 0; var h = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      if (o + 12 > p.length) return None
+      val len = be32(o)
+      if (len > Int.MaxValue - 12 || o + 12 + len > p.length) return None
+      val ctype = new String(p, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(p, o + 4, 4 + len.toInt)
+      if (crc.getValue != be32(o + 8 + len.toInt)) return None
+      ctype match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(o + 8).toInt; h = be32(o + 12).toInt
+          val bitDepth = p(o + 16) & 0xff; val colorType = p(o + 17) & 0xff
+          val interlace = p(o + 20) & 0xff
+          if (bitDepth != 8 || colorType != 0 || interlace != 0) return None
+          seenIhdr = true
+        case "IDAT" => idat.write(p, o + 8, len.toInt)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunk: CRC-checked, content skipped
+      }
+      o += 12 + len.toInt
+    }
+    if (!seenIhdr || w <= 0 || h <= 0) return None
+    val raw = new Array[Byte]((w + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got != raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // filter reconstruction, bpp = 1 (8-bit grayscale)
+    val prev = new Array[Int](w)
+    val cur = new Array[Int](w)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (w + 1)) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < w) {
+        val f = raw(y * (w + 1) + 1 + x) & 0xff
+        val left = if (x > 0) cur(x - 1) else 0
+        val above = if (y > 0) prev(x) else 0
+        val ul = if (x > 0 && y > 0) prev(x - 1) else 0
+        val rec = ft match {
+          case 0 => f
+          case 1 => (f + left) & 0xff
+          case 2 => (f + above) & 0xff
+          case 3 => (f + ((left + above) >> 1)) & 0xff
+          case 4 =>
+            val pp = left + above - ul
+            val pa = math.abs(pp - left); val pb = math.abs(pp - above)
+            val pc = math.abs(pp - ul)
+            val pred = if (pa <= pb && pa <= pc) left
+              else if (pb <= pc) above else ul
+            (f + pred) & 0xff
+        }
+        cur(x) = rec; sum += rec; x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, w)
+      y += 1
+    }
+    Some((w, h, sum))
+  }
+
+  /** Deterministic PNG synthesis (write-side counterpart of
+    * [[decodePng]]): 8-bit grayscale, pixel `(x, y)` is
+    * `(seed + x + y) mod 251`, scanline `y` filtered with type
+    * `y mod 5` — so every one of the five PNG filters is ENCODED and
+    * must be correctly reconstructed on decode. zlib via JDK
+    * `Deflater`; CRC32 per chunk.
+    */
+  def synthesizePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val raw = new Array[Byte]((w + 1) * h)
+    val prevRow = new Array[Int](w)
+    val curRow = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      raw(y * (w + 1)) = ft.toByte
+      var x = 0
+      while (x < w) {
+        curRow(x) = (((seed + x + y) % 251 + 251) % 251).toInt
+        val left = if (x > 0) curRow(x - 1) else 0
+        val above = if (y > 0) prevRow(x) else 0
+        val ul = if (x > 0 && y > 0) prevRow(x - 1) else 0
+        val enc = ft match {
+          case 0 => curRow(x)
+          case 1 => (curRow(x) - left) & 0xff
+          case 2 => (curRow(x) - above) & 0xff
+          case 3 => (curRow(x) - ((left + above) >> 1)) & 0xff
+          case 4 =>
+            val pp = left + above - ul
+            val pa = math.abs(pp - left); val pb = math.abs(pp - above)
+            val pc = math.abs(pp - ul)
+            val pred = if (pa <= pb && pa <= pc) left
+              else if (pb <= pc) above else ul
+            (curRow(x) - pred) & 0xff
+        }
+        raw(y * (w + 1) + 1 + x) = enc.toByte
+        x += 1
+      }
+      System.arraycopy(curRow, 0, prevRow, 0, w)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(ctype: String, body: Array[Byte]): Unit = {
+      out.write(be32(body.length.toLong), 0, 4)
+      val tb = ctype.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb, 0, 4); out.write(body, 0, body.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      out.write(be32(crc.getValue), 0, 4)
+    }
+    chunk("IHDR", be32(w.toLong) ++ be32(h.toLong) ++
+      Array[Byte](8, 0, 0, 0, 0)) // depth 8, gray, deflate, adaptive, no interlace
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** GIF parse with REAL pixel decode: header + logical screen

@@ -604,6 +604,29 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // Real PNG frame decode end-to-end, mirroring q95: per-doc
+    // synthesized 8-bit grayscale PNGs, pixel (x,y) = (doc_id+x+y)
+    // mod 251, each scanline filtered with type y mod 5 — ALL five
+    // PNG filters encode in the gate and must reconstruct exactly.
+    // The decoded pixel sum is checked against an explicit-grid
+    // DuckDB oracle; dims stay <= 48x32 so the oracle grid is cheap.
+    "q97_multimodal_png" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir).documents
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          Multimodal.MediaRow(id, Multimodal.synthesizePng(
+            w = 1 + (id % 48).toInt, h = 1 + ((id * 5) % 32).toInt,
+            seed = id))
+        }).toDF()
+      Multimodal.probeMedia(s, media).toDF()
+        .select($"doc_id", $"kind",
+          $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          $"pix_sum")
+        .orderBy($"doc_id")
+    },
+
     // The full curation funnel (lang → quality → exact dedup →
     // decontamination) with per-stage audit counts — every dropped doc
     // accounted to the stage that dropped it.
@@ -1134,6 +1157,20 @@ object Pipeline {
         | CAST((doc_id % 3600) * 1000 AS BIGINT) AS duration_ms,
         | CAST(152 + doc_id % 64 + doc_id % 32 AS BIGINT) AS n_bytes
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizePng's pixel pattern over the explicit grid
+    "q97_multimodal_png" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 48 AS w,
+        |             1 + (doc_id * 5) % 32 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, x.i AS x, y.i AS y
+        |       FROM d,
+        |       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS i) x,
+        |       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS i) y)
+        |SELECT doc_id, 'png' AS kind, CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(sum((doc_id + x + y) % 251) AS BIGINT) AS pix_sum
+        |FROM px GROUP BY doc_id, w, h
         |ORDER BY doc_id""".stripMargin,
 
     // mirrors synthesizeGif's pixel pattern (doc_id + i) mod 4 over
