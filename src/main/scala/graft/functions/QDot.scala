@@ -50,3 +50,45 @@ case class QDot(left: Expression, right: Expression) extends BinaryExpression {
 object QDot {
   def qdot(a: Column, b: Column): Column = column(QDot(expression(a), expression(b)))
 }
+
+/** Elementwise difference of two `array<bigint>` quantized vectors —
+  * the residual step of residual-encoded IVF-PQ (`x − centroid`).
+  * Same codegen rationale as [[QDot]]: `zip_with` would evaluate an
+  * interpreted lambda per row on the encode scan.
+  */
+case class QSub(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = x.getLong(i) - y.getLong(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val arr = ctx.freshName("arr")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long[] $arr = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $arr[$i] = $a.getLong($i) - $b.getLong($i);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QSub =
+    copy(left = l, right = r)
+}
+
+object QSub {
+  def qsub(a: Column, b: Column): Column = column(QSub(expression(a), expression(b)))
+}

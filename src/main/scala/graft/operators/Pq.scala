@@ -154,25 +154,42 @@ object Pq {
     Similarity.rankTopK(exact, topK)
   }
 
-  /** IVF-PQ — the full 100 TB retrieval stack in one operator: the
-    * coarse quantizer prunes the search to `nProbe` cells per query
-    * (cell equi-join, exactly IVF's shape), the ADC lookup-sum scores
-    * only the probed cells' COMPRESSED members, and the exact re-rank
-    * touches just the shortlist. Every stage is either a broadcast
-    * (centroids, codebooks, query tables) or a key-partitioned join;
-    * nothing scales with corpus × queries.
+  /** IVF-PQ with RESIDUAL encoding — the full 100 TB retrieval stack:
+    * the coarse quantizer prunes the search to `nProbe` cells per
+    * query (cell equi-join, exactly IVF's shape), each member stores
+    * the PQ codes of its RESIDUAL `x − centroid(cell)` (residuals are
+    * tighter than raw vectors, so the same 8 codes quantize less
+    * error — the standard IVF-PQ refinement), the ADC lookup-sum
+    * scores `dot(q, c) + dot(q, residual̂)` with `dot(q, c)` exact per
+    * probe row, and the exact re-rank touches just the shortlist.
+    * Every stage is either a broadcast (centroids, codebooks, query
+    * tables) or a key-partitioned join; nothing scales with
+    * corpus × queries. All arithmetic stays integer (residuals are
+    * differences of quantized vectors), so results remain
+    * bit-deterministic.
     */
   def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, topK: Int,
       nProbe: Int = 3, m: Int = 8, k: Int = 16, dim: Int = 64,
       centroidStride: Int = 50, trainIters: Int = 2, pqIters: Int = 2,
       shortlistFactor: Int = 8): DataFrame = {
+    import graft.functions.QSub.qsub
     val centroids = Similarity.coarseCentroids(corpus, centroidStride, dim, trainIters)
-    val members = Similarity.cellsFor(corpus, centroids, 1, "m_")
-      .select($"m_vid".as("vid"), $"cid")
-    val cb = trainCodebooks(corpus, m, k, dim, pqIters)
-    val enc = encode(corpus, cb, m, dim).join(members, Seq("vid"))
+    // member residuals vs their own cell's centroid (cellsFor keeps
+    // the raw vector; the broadcast centroid join supplies c_qv)
+    val residuals = Similarity.cellsFor(corpus, centroids, 1, "m_")
+      .join(centroids, Seq("cid"))
+      .select($"m_vid".as("vid"), qsub($"m_qv", $"c_qv").as("qv"),
+        $"m_nrm".as("nrm"), $"cid")
+    val cb = trainCodebooks(residuals, m, k, dim, pqIters)
+    val enc = encode(residuals, cb, m, dim)
+      .join(residuals.select($"vid", $"cid"), Seq("vid"))
+    // probes carry the raw query vector; dot(q, c) is exact per
+    // (query, probed cell) and rides the probe row
     val probes = Similarity.cellsFor(queries, centroids, nProbe, "q_")
-      .select($"q_vid", $"cid")
+      .join(centroids, Seq("cid"))
+      .select($"q_vid", $"cid", dotQ($"q_qv", $"c_qv").as("qc_dot"))
+    // ADC tables tabulate dot(q_sub, residual-codebook entry) — RAW
+    // query subvectors against the residual codebooks
     val qt = queryTables(queries, cb, m, k, dim)
       .select($"vid".as("q_vid"), $"qtab", $"nrm".as("q_nrm"))
     val denom = $"q_nrm" * $"nrm"
@@ -183,7 +200,8 @@ object Pq {
       .join(broadcast(qt), Seq("q_vid"))
       .select($"q_vid".as("query_id"), $"vid".as("cand_id"),
         when(denom === lit(0d), lit(Double.NaN))
-          .otherwise(PqAdcScore.pq_adc($"codes", $"qtab", k).cast("double") / denom)
+          .otherwise(($"qc_dot" + PqAdcScore.pq_adc($"codes", $"qtab", k))
+            .cast("double") / denom)
           .as("cos"))
     rerankExact(Similarity.rankTopK(scored, topK * shortlistFactor),
       queries, corpus, topK)

@@ -45,7 +45,9 @@ class InterpretedParitySpec extends SparkSpec {
         CountMinEstimate.countmin_estimate($"h", $"sk", 5).as("cms_est"),
         PqAdcScore.pq_adc(
           array(($"h" % 4).cast("int"), (($"h" / 7) % 4).cast("int")),
-          array((0 until 8).map(i => $"h" % (i + 2)): _*), 4).as("adc"))
+          array((0 until 8).map(i => $"h" % (i + 2)): _*), 4).as("adc"),
+        QSub.qsub(array($"h" % 100, $"h" % 7, $"h" % 13),
+          array($"h" % 3, $"h" % 11, $"h" % 5)).as("residual"))
       .orderBy($"h")
     val (compiled, interpreted) = bothModes(build)
     assert(compiled == interpreted)
