@@ -396,6 +396,19 @@ object Pipeline {
         .orderBy($"exact_n".desc, $"token")
     },
 
+    // Exact frequent tokens behind a count-min prescreen (sketch →
+    // broadcast-filter → exact verify on candidates only): output is
+    // exact, so the oracle is plain SQL. At 2% the rare planted token
+    // must be excluded and the ~30 common ones kept with exact counts.
+    "q98_cms_frequent_tokens" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.HeavyHitters.frequentTokens(
+          Tables(s, dir).documents.select(
+            explode(split($"text", " ")).as("token")),
+          "token", minFraction = 0.02)
+        .orderBy($"token")
+    },
+
     // Repetition/quality signals (Gopher-style): distinct-token ratio,
     // top-token fraction (two partial-aggregated shuffles), duplicate
     // trigram fraction (map-side via the distinct shingle count).
@@ -984,6 +997,14 @@ object Pipeline {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q66_decontaminate" -> decontaminateOracle,
+
+    "q98_cms_frequent_tokens" ->
+      """WITH t AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
+        |n AS (SELECT count(*) AS n_total FROM t)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM t GROUP BY token
+        |HAVING count(*) >= 0.02 * (SELECT n_total FROM n)
+        |ORDER BY token""".stripMargin,
 
     // exact top-20 tokens by corpus frequency; the CMS bound flag is
     // TRUE by the sketch's overestimate + error-envelope guarantees

@@ -62,6 +62,25 @@ class CountMinSpec extends SparkSpec {
     assert(stats.getAs[Long]("over") > 0L, "width 16 should visibly collide")
   }
 
+  test("CMS-prescreened frequent tokens equal the exact computation") {
+    val toks = tokensOf(sf).cache()
+    val exact = toks.groupBy($"token").agg(count(lit(1)).as("n"))
+      .crossJoin(toks.agg(count(lit(1)).as("nt")))
+      .filter($"n" >= lit(0.02) * $"nt")
+      .select($"token", $"n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaSketch = graft.operators.HeavyHitters
+      .frequentTokens(toks, "token", minFraction = 0.02)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && viaSketch == exact)
+    // a saturated sketch lets extra candidates through but the exact
+    // verify still trims to the same answer (no-false-negative chain)
+    val tiny = graft.operators.HeavyHitters
+      .frequentTokens(toks, "token", minFraction = 0.02, depth = 3, width = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(tiny == exact)
+  }
+
   test("the total slot equals the input row count") {
     val toks = tokensOf(sf)
     val sk = toks.agg(CountMinAgg.countmin_agg(xxhash64($"token"), 5, 512))
