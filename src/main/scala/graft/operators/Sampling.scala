@@ -28,6 +28,36 @@ object Sampling {
   def sampled(df: DataFrame, key: String, permille: Int): DataFrame =
     df.filter(bucket(col(key)) < permille)
 
+  /** Weighted sampling without replacement, per group: sequential
+    * Poisson / priority sampling (Ohlsson; Duffield et al.) — each row
+    * gets priority `u / w` from a deterministic uniform `u` and its
+    * weight `w`, and the `k` SMALLEST priorities per group are the
+    * sample (heavier rows draw smaller priorities ∝ 1/w, so inclusion
+    * probability scales with weight — an established
+    * weighted-without-replacement estimator that needs NO logarithm).
+    *
+    * Exactness: `u` is the same pure-BIGINT congruential arithmetic
+    * [[bucket]] uses (no overflow: key%1000003 × 2654435761 < 2^52),
+    * and `u / w` is ONE IEEE-754 division of exactly-representable
+    * integers — correctly rounded, hence bit-identical in any
+    * compliant engine, so the oracle re-derives the full sample.
+    * Selection is the bounded [[graft.functions.TopKAgg]] partial
+    * aggregate on `-priority` (k-bounded map-side state, no window
+    * shuffle); ties break to the smaller id, mirrored in SQL.
+    */
+  def weightedSample(df: DataFrame, groupCol: String, keyCol: String,
+      weight: Column, k: Int): DataFrame = {
+    val u = (col(keyCol) % 1000003L) * 2654435761L % 1000000007L + 1L
+    val pri = u.cast("double") / weight
+    df.select(col(groupCol).as("grp"), col(keyCol).as("id"), pri.as("priority"))
+      .groupBy(col("grp"))
+      .agg(graft.functions.TopKAgg.topk_by_score(-col("priority"), col("id"), k)
+        .as("top"))
+      .select(col("grp"), explode(col("top")).as("t"))
+      .select(col("grp").as(groupCol), col("t.id").as(keyCol),
+        (-col("t.score")).as("priority"))
+  }
+
   /** Train/valid/test assignment by bucket thresholds (e.g. 800/900 →
     * 80/10/10). Stable under data growth; stratification comes free by
     * grouping the result on any column.

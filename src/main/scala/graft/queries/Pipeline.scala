@@ -649,6 +649,17 @@ object Pipeline {
         .orderBy($"stage")
     },
 
+    // Weighted sampling per source (sequential Poisson / priority
+    // sampling): 5 docs per source with inclusion probability scaling
+    // with n_chars. Priorities are pure-arithmetic + one correctly-
+    // rounded division, so DuckDB re-derives the exact sample.
+    "q99_weighted_sample" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Sampling.weightedSample(
+          Tables(s, dir).documents, "source", "doc_id", $"n_chars", k = 5)
+        .orderBy($"source", $"priority", $"doc_id")
+    },
+
     // Per-source cap — mixture balancing: at most 10 docs per source,
     // deterministic doc_id order.
     "q78_stratified_cap" -> { (s, dir) =>
@@ -812,6 +823,18 @@ object Pipeline {
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
         |ORDER BY source, doc_id""".stripMargin,
+
+    // same congruential u and the same single division — correctly
+    // rounded IEEE doubles match Spark's bit-for-bit
+    "q99_weighted_sample" ->
+      """WITH u AS (SELECT source, doc_id, n_chars,
+        |  ((doc_id % 1000003) * 2654435761 % 1000000007 + 1) AS uv
+        |  FROM documents)
+        |SELECT source, doc_id, CAST(uv AS DOUBLE) / n_chars AS priority
+        |FROM u
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY CAST(uv AS DOUBLE) / n_chars, doc_id) <= 5
+        |ORDER BY source, priority, doc_id""".stripMargin,
 
     "q79_token_packing" ->
       """WITH t AS (SELECT source, doc_id,

@@ -5,6 +5,36 @@ import org.apache.spark.sql.functions._
 
 class PipelineOpsSpec extends SparkSpec {
 
+  test("weighted sample: deterministic, k per group, weight-monotone inclusion") {
+    import spark.implicits._
+    val docs = Tables(spark, sf).documents.cache()
+    val a = Sampling.weightedSample(docs, "source", "doc_id", $"n_chars", k = 5)
+      .orderBy($"source", $"priority").collect().toSeq
+    val b = Sampling.weightedSample(docs.repartition(13), "source", "doc_id",
+      $"n_chars", k = 5).orderBy($"source", $"priority").collect().toSeq
+    assert(a == b, "partitioning must not change the sample")
+    val perGroup = a.groupBy(_.getAs[String]("source")).view.mapValues(_.size)
+    assert(perGroup.values.forall(_ == 5), perGroup.toMap.toString)
+    // weight-monotone inclusion: across many salted draws, a doc with
+    // weight 10x another's must be sampled more often. Salt the key to
+    // simulate independent draws (the scheme itself stays per-salt
+    // deterministic).
+    val skew = Seq((1L, 600L), (2L, 60L), (3L, 60L), (4L, 60L), (5L, 60L),
+      (6L, 60L), (7L, 60L), (8L, 60L), (9L, 60L), (10L, 60L))
+      .toDF("id", "w").cache()
+    val hits = (0 until 200).map { salt =>
+      Sampling.weightedSample(
+          skew.select(lit("g").as("g"), ($"id" + salt * 1009L).as("id"), $"w"),
+          "g", "id", $"w", k = 2)
+        .select(($"id" - salt * 1009L).as("orig"))
+        .as[Long].collect().toSet
+    }
+    val heavy = hits.count(_.contains(1L)).toDouble / hits.size
+    val light = hits.map(h => (h - 1L).size).sum.toDouble / hits.size / 9
+    assert(heavy > 3 * light,
+      s"10x weight should dominate inclusion: heavy=$heavy lightAvg=$light")
+  }
+
   test("deterministic split is a pure function of the key") {
     val docs = Tables(spark, sf).documents
     val a = Sampling.withSplit(docs, "doc_id")
