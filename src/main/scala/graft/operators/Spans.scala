@@ -53,18 +53,21 @@ object Spans {
       .withColumn("gh", xxhash64(col("gram")))
 
     // Posting-list formulation: ONE pass builds each gram's occurrence
-    // list and its doc frequency together, the stop-gram cap filters
+    // list and its doc frequency together, the stop-gram caps filter
     // the grouped row, and matches explode directly from the posting —
     // one scan and one shuffle where a semi-join + self-join shape
     // scans the gram stream twice and shuffles it three times.
-    // Per-posting memory is bounded by maxDocFreq docs × positions per
-    // doc (doc-length scale); a corpus whose single documents repeat
-    // one gram millions of times would additionally cap occurrences
-    // per posting — not a case the doc-frequency cap leaves open here.
+    // TWO caps bound the posting: doc frequency (boilerplate across
+    // docs) and TOTAL occurrences (a degenerate doc repeating one gram
+    // thousands of times would otherwise bloat a single posting row
+    // and square in the pair explode) — both mirrored in the oracle,
+    // so behavior is exact even when they fire.
+    val maxOccs = maxDocFreq * 8
     val matches = grams.groupBy(col("gh"), col("gram"))
       .agg(collect_list(struct(col("doc"), col("pos"))).as("occs"),
         countDistinct(col("doc")).as("df"))
-      .filter(col("df") <= maxDocFreq)
+      .filter(col("df") <= maxDocFreq &&
+        org.apache.spark.sql.functions.size(col("occs")) <= maxOccs)
       .select(col("occs"), explode(col("occs")).as("x"))
       .select(col("x"), explode(col("occs")).as("y"))
       .filter(col("x.doc") < col("y.doc"))

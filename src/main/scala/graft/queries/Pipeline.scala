@@ -1268,7 +1268,8 @@ object Pipeline {
         |g AS (SELECT doc_id, i.g - 1 AS pos,
         |        array_to_string(sp[i.g : i.g + 7], ' ') AS gram
         |      FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp) - 7)) AS g) i),
-        |keep AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) <= 50),
+        |keep AS (SELECT gram FROM g GROUP BY gram
+        |         HAVING count(DISTINCT doc_id) <= 50 AND count(*) <= 400),
         |m AS (SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa, b.pos AS pb
         |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |      JOIN keep k ON a.gram = k.gram),
@@ -1289,7 +1290,8 @@ object Pipeline {
         |g AS (SELECT doc_id, i.g - 1 AS pos,
         |        array_to_string(sp[i.g : i.g + 7], ' ') AS gram
         |      FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp) - 7)) AS g) i),
-        |keep AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) <= 50),
+        |keep AS (SELECT gram FROM g GROUP BY gram
+        |         HAVING count(DISTINCT doc_id) <= 50 AND count(*) <= 400),
         |m AS (SELECT a.doc_id AS a, b.doc_id AS b, a.pos AS pa, b.pos AS pb
         |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |      JOIN keep k ON a.gram = k.gram),

@@ -69,6 +69,24 @@ class SpanSpec extends SparkSpec {
     assert(uncapped.count() == 15)
   }
 
+  test("the occurrence cap drops a degenerate mono-gram doc's postings") {
+    // doc 2 repeats one token 3500 times: every one of its 8-grams is
+    // a single gram with ~3493 occurrences — past maxOccs, so the
+    // posting is a stop-gram and no span against doc 1 is reported
+    // (without the cap the pair explode would square on it)
+    val mono = Array.fill(3500)("z").mkString(" ")
+    val docs = Seq(
+      (1L, s"${toks("a", 10)} ${Array.fill(20)("z").mkString(" ")}"),
+      (2L, mono)).toDF("doc_id", "text")
+    val out = Spans.sharedSpans(docs, "doc_id", "text",
+      k = 8, minSpanTokens = 12, maxDocFreq = 50)
+    assert(out.count() == 0)
+    // excision on the same corpus: nothing removed, docs intact
+    val clean = Spans.removeSharedSpans(docs, "doc_id", "text",
+      k = 8, minSpanTokens = 12, maxDocFreq = 50)
+    assert(clean.filter($"n_removed" =!= 0L).count() == 0)
+  }
+
   test("span offsets point at genuinely identical token runs (sf corpus)") {
     val docs = Tables(spark, sf).documents
     val spans = Spans.sharedSpans(docs, "doc_id", "text",
