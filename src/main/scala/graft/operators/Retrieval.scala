@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lexical + vector retrieval over a document corpus — the search
+  * stack a training-data pipeline runs for contamination checks,
+  * curriculum mining, and RAG indexing at 100 TB.
+  *
+  * All three operators are EXACT and fully DuckDB-oracle-able: scores
+  * are either pure-BIGINT fixed-point (BM25, RRF) or a single
+  * correctly-rounded IEEE division of exactly-representable integers
+  * (hashed-vector cosine), so any compliant engine re-derives them
+  * bit-for-bit — no float-sum ordering hazards anywhere.
+  *
+  * Scale shape shared by all three:
+  *   - the corpus side is touched by ONE tokenize+aggregate pass
+  *     (the inverted-index build — a single shuffle on (doc, term));
+  *   - the query side is a broadcast (queries are human-scale);
+  *   - candidate generation is a broadcast join on query terms /
+  *     hash buckets — only docs sharing a term with some query flow
+  *     into scoring, the inverted-index probe analogue;
+  *   - per-(query, doc) scoring is an exact integer sum (partial
+  *     aggregation applies), and ranking is the k-bounded
+  *     [[graft.functions.TopKAgg]] — no corpus-wide window.
+  */
+object Retrieval {
+
+  /** Fixed-point scale for BM25 scores: 1e6 ≈ 6 fractional digits.
+    * Headroom argument (BIGINT, no overflow): the largest staged
+    * product is `(2N+1) · 22 · tf · avgdl · Scale`. At the gate
+    * (N=5e3, tf≤5e2, avgdl≤5e2) that is ~6e16 < 2^63. At true
+    * 100 TB corpus sizes (N~1e9) drop Scale to 1e3 or widen to
+    * DECIMAL(38,0) — the formula is unchanged.
+    */
+  val Scale = 1000000L
+
+  /** BM25 (k1=1.2, b=0.75) top-k per query, in EXACT integer
+    * arithmetic end-to-end.
+    *
+    * Standard BM25 with two deterministic substitutions, both
+    * monotone per term and documented engine contract:
+    *   - rational idf `(N − df + ½)/(df + ½) = (2N−2df+1)/(2df+1)`
+    *     instead of its logarithm (`ln` differs across libms — the
+    *     same substitution q84's TF-IDF uses);
+    *   - `avgdl` rounded half-up to an integer
+    *     (`(2·Σlen + N) div 2N`), making every per-term weight a
+    *     ratio of two BIGINTs:
+    *       num = (2N−2df+1) · 22 · tf · avgdl
+    *       den = (2df+1) · (10·tf·avgdl + 3·avgdl + 9·len)
+    *     which encodes idf · tf·(k1+1) / (tf + k1·(1−b+b·len/avgdl))
+    *     exactly for k1=6/5, b=3/4.
+    *
+    * The emitted per-term score is `num·Scale div den` (BIGINT floor
+    * division), so the per-document score is an exact integer SUM —
+    * associative, order-free, safe under any shuffle/partial-agg
+    * schedule, and re-derivable by the oracle in plain SQL.
+    *
+    * @param queries (query_id, text) pairs; distinct query terms score
+    *                with qtf=1.
+    * @return (query_id, rank, doc_id, score_fp) — rank 1-based by
+    *         (score desc, doc_id asc).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    // inverted-index build: ONE shuffle on (doc_id, term); doc length
+    // rides along map-side (first() per group is exact — len is a
+    // function of doc_id)
+    val postings = toks
+      .select($"doc_id", size($"toks").cast("long").as("len"),
+        explode($"toks").as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), first($"len").as("len"))
+    // corpus stats: N docs, integer avgdl (round-half-up of Σlen/N)
+    val stats = toks.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size($"toks").cast("long")).as("tot_len"))
+      .select($"n_docs",
+        expr("(2 * tot_len + n_docs) div (2 * n_docs)").as("avgdl"))
+    // document frequency per term — post-aggregation, vocabulary-sized
+    val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    // query side: distinct terms, human-scale → broadcast
+    val qterms = queries.toDF("query_id", "qtext")
+      .select($"query_id", explode(split($"qtext", " ")).as("term"))
+      .distinct()
+
+    postings
+      .join(broadcast(qterms), "term") // inverted-index probe: prunes to candidate docs
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select($"query_id", $"doc_id",
+        expr(s"""((2*n_docs - 2*df + 1) * 22 * tf * avgdl * ${Scale}L)
+                 div ((2*df + 1) * (10*tf*avgdl + 3*avgdl + 9*len))""")
+          .as("term_score"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"term_score").as("score_fp"))
+      .transform(topKByScore(k, $"score_fp", $"doc_id", $"query_id"))
+      .select($"query_id", $"rank", $"doc_id",
+        $"score".cast("long").as("score_fp")) // < 2^53: the long round-trips exactly
+  }
+
+  /** Feature-hashing (hashing-trick) vectorizer bucket for a token:
+    * a position-weighted code-point sum mod `dim`. Pure arithmetic on
+    * BIGINTs — any engine (the oracle included) recomputes it exactly;
+    * collisions are part of the hashing-trick contract, not a defect.
+    */
+  def tokenBucket(term: Column, dim: Int): Column =
+    aggregate(
+      transform(split(term, ""), (c, i) => ascii(c) * (i + lit(1))),
+      lit(0L), (acc, x) => acc + x) % dim
+
+  /** Sparse hashed count-vectors: one row per (id, bucket) with the
+    * summed token count. The sparse layout IS the index — cosine
+    * scoring joins on bucket, touching only co-occupied dimensions.
+    */
+  def hashedVectors(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .select(col("id"), tokenBucket(col("term"), dim).as("bucket"))
+      .groupBy(col("id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Exact cosine top-k over hashed count-vectors, ranking entirely in
+    * exact arithmetic: for non-negative integer vectors, cosine order
+    * equals `dot² / |d|²` order (|q|² constant per query), and with
+    * every operand < 2^53 that is ONE correctly-rounded IEEE division
+    * of exact integers — bit-identical in any engine, rank-stable.
+    *
+    * @return (query_id, rank, doc_id, dot, cos2_num) — cos2_num is
+    *         dot²/|d|² (the |q|²-free ranking score).
+    */
+  def hashedVectorTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)], dim: Int, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dv = hashedVectors(docs, idCol, textCol, dim)
+    val dnorm = dv.groupBy($"id").agg(sum($"c" * $"c").as("norm2"))
+    val qv = hashedVectors(
+      queries.toDF("query_id", "qtext"), "query_id", "qtext", dim)
+      .withColumnsRenamed(Map("id" -> "query_id", "c" -> "qc"))
+    dv.join(broadcast(qv), "bucket") // co-occupied buckets only
+      .groupBy($"query_id", col("id").as("doc_id"))
+      .agg(sum($"c" * $"qc").as("dot"))
+      .join(dnorm.withColumnRenamed("id", "doc_id"), "doc_id")
+      .withColumn("cos2_num", ($"dot" * $"dot").cast("double") / $"norm2")
+      .transform(topKByScore(k, $"cos2_num", $"doc_id", $"query_id"))
+      .select($"query_id", $"rank", $"doc_id", $"score".as("cos2_num"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists, exact fixed-point:
+    * each (query, doc) contributes `RrfScale div (60 + rank)` per list
+    * it appears in (RRF with the standard K=60), and the fused score
+    * is the exact BIGINT sum — order-free, oracle-re-derivable.
+    *
+    * @param a,b (query_id, rank, doc_id, …) ranked lists.
+    * @return (query_id, rank, doc_id, rrf_fp) top-k by fused score.
+    */
+  val RrfScale = 1000000000000L
+
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val contrib = (df: DataFrame) => df.select($"query_id", $"doc_id",
+      expr(s"${RrfScale}L div (60 + rank)").as("part"))
+    contrib(a).unionAll(contrib(b))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"part").as("rrf_fp"))
+      .transform(topKByScore(k, $"rrf_fp", $"doc_id", $"query_id"))
+      .select($"query_id", $"rank", $"doc_id",
+        $"score".cast("long").as("rrf_fp"))
+  }
+
+  /** Shared k-bounded ranking tail: TopKAgg per group + posexplode to
+    * 1-based ranks. Scores must be exactly representable as doubles
+    * (all callers keep |score| < 2^53); ties break doc_id-ascending,
+    * matching a `row_number() OVER (ORDER BY score DESC, id)` oracle.
+    */
+  private def topKByScore(k: Int, score: Column, id: Column,
+      group: Column)(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.groupBy(group)
+      .agg(graft.functions.TopKAgg.topk_by_score(score.cast("double"), id, k)
+        .as("top"))
+      .select(group, posexplode($"top").as(Seq("pos", "t")))
+      .select(group, ($"pos" + 1).cast("long").as("rank"),
+        $"t.id".as("doc_id"), $"t.score".as("score"))
+  }
+}

@@ -59,6 +59,20 @@ object Pipeline {
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
       |ORDER BY a, b""".stripMargin
 
+  /** Shared query set for the retrieval stack (q100/q101/q102): fixed
+    * human-scale queries spanning common terms, the one rare corpus
+    * term ("dup" — the high-idf probe), and stopword-ish terms.
+    */
+  private val retrievalQueries: Seq[(Long, String)] = Seq(
+    1L -> "spark window join",
+    2L -> "dup query scan",
+    3L -> "hash table merge sort",
+    4L -> "the a",
+    5L -> "vector stream batch")
+
+  private val retrievalQueryValues: String =
+    retrievalQueries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+
   val queries: Map[String, Q] = Map(
     // Exact dedup by content hash-group; emits the kept id per group.
     "q30_dedup_exact" -> { (s, dir) =>
@@ -660,6 +674,45 @@ object Pipeline {
         .orderBy($"source", $"priority", $"doc_id")
     },
 
+    // BM25 top-10 per query: rational idf + integer avgdl make every
+    // per-term weight a BIGINT ratio; scores are fixed-point integers
+    // (exact SUM — no float-ordering hazard), so the ranking is fully
+    // value-oracled in plain SQL. Candidate generation is the
+    // inverted-index probe (broadcast query terms against the postings
+    // build's single shuffle); ranking is the k-bounded TopKAgg.
+    "q100_bm25_topk" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Retrieval.bm25TopK(Tables(s, dir).documents,
+          "doc_id", "text", retrievalQueries, k = 10)
+        .orderBy($"query_id", $"rank")
+    },
+
+    // Hashing-trick vectorizer (position-weighted code-point sum mod
+    // 64 — pure arithmetic, oracle-recomputable) + exact cosine top-10
+    // over the sparse count-vectors: for non-negative vectors cosine
+    // order == dot²/|d|² order, one correctly-rounded division of
+    // exact integers — rank-stable across engines.
+    "q101_hashed_vector_topk" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Retrieval.hashedVectorTopK(Tables(s, dir).documents,
+          "doc_id", "text", retrievalQueries, dim = 64, k = 10)
+        .orderBy($"query_id", $"rank")
+    },
+
+    // Hybrid retrieval: reciprocal-rank fusion (K=60) of the BM25 and
+    // hashed-vector top-10 lists — contributions are exact fixed-point
+    // integers (RrfScale div (60+rank)), fused by exact BIGINT sum.
+    "q102_hybrid_rrf" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val bm = graft.operators.Retrieval.bm25TopK(
+        docs, "doc_id", "text", retrievalQueries, k = 10)
+      val hv = graft.operators.Retrieval.hashedVectorTopK(
+        docs, "doc_id", "text", retrievalQueries, dim = 64, k = 10)
+      graft.operators.Retrieval.rrfFuse(bm, hv, k = 10)
+        .orderBy($"query_id", $"rank")
+    },
+
     // Per-source cap — mixture balancing: at most 10 docs per source,
     // deterministic doc_id order.
     "q78_stratified_cap" -> { (s, dir) =>
@@ -782,7 +835,93 @@ object Pipeline {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Shared oracle CTE chain: BM25 fixed-point scores + ranks (the
+    * exact integer arithmetic `Retrieval.bm25TopK` emits). Ends with
+    * the `bmr` ranked relation.
+    */
+  private def bm25OracleCtes: String =
+    s"""q(query_id, qtext) AS (VALUES $retrievalQueryValues),
+       |qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+       |         unnest(string_split(qtext,' ')) AS term FROM q),
+       |tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       |post AS (SELECT doc_id, len(toks) AS len, unnest(toks) AS term FROM tok),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(len) AS len
+       |       FROM post GROUP BY 1, 2),
+       |st AS (SELECT count(*) AS n,
+       |         (2*CAST(sum(len(toks)) AS BIGINT) + count(*)) // (2*count(*)) AS avgdl
+       |       FROM tok),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |bm AS (SELECT qt.query_id, tf.doc_id,
+       |         CAST(sum(((2*st.n - 2*dfq.df + 1) * 22 * tf.tf * st.avgdl * 1000000)
+       |           // ((2*dfq.df + 1) * (10*tf.tf*st.avgdl + 3*st.avgdl + 9*tf.len)))
+       |           AS BIGINT) AS score_fp
+       |       FROM tf JOIN qt USING (term) JOIN dfq USING (term) CROSS JOIN st
+       |       GROUP BY 1, 2),
+       |bmr AS (SELECT query_id, doc_id, score_fp,
+       |          CAST(row_number() OVER (PARTITION BY query_id
+       |            ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank
+       |        FROM bm)""".stripMargin
+
+  /** Shared oracle CTE chain: hashed-vector cosine ranks — the same
+    * position-weighted code-point bucket `Retrieval.tokenBucket`
+    * computes. Ends with the `hvr` ranked relation.
+    */
+  private def hashedVecOracleCtes: String = {
+    val bucket =
+      "CAST(list_sum([ascii(substr(t,i,1))*i for i in range(1,length(t)+1)]) % 64 AS BIGINT)"
+    s"""q2(query_id, qtext) AS (VALUES $retrievalQueryValues),
+       |dt AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+       |db0 AS (SELECT doc_id, $bucket AS bucket FROM dt),
+       |db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+       |       FROM db0 GROUP BY 1, 2),
+       |dn AS (SELECT doc_id, CAST(sum(c*c) AS BIGINT) AS norm2 FROM db GROUP BY 1),
+       |qt0 AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+       |          unnest(string_split(qtext,' ')) AS t FROM q2),
+       |qb0 AS (SELECT query_id, $bucket AS bucket FROM qt0),
+       |qb AS (SELECT query_id, bucket, CAST(count(*) AS BIGINT) AS qc
+       |       FROM qb0 GROUP BY 1, 2),
+       |dotc AS (SELECT qb.query_id, db.doc_id, CAST(sum(db.c*qb.qc) AS BIGINT) AS dot
+       |         FROM db JOIN qb USING (bucket) GROUP BY 1, 2),
+       |hv AS (SELECT query_id, doc_id, CAST(dot*dot AS DOUBLE)/norm2 AS cos2_num
+       |       FROM dotc JOIN dn USING (doc_id)),
+       |hvr AS (SELECT query_id, doc_id, cos2_num,
+       |          CAST(row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos2_num DESC, doc_id) AS BIGINT) AS rank
+       |        FROM hv)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q100_bm25_topk" ->
+      s"""WITH $bm25OracleCtes
+         |SELECT query_id, rank, doc_id, score_fp FROM bmr
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q101_hashed_vector_topk" ->
+      s"""WITH $hashedVecOracleCtes
+         |SELECT query_id, rank, doc_id, cos2_num FROM hvr
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q102_hybrid_rrf" ->
+      s"""WITH $bm25OracleCtes,
+         |$hashedVecOracleCtes,
+         |fused AS (
+         |  SELECT query_id, doc_id, CAST(sum(part) AS BIGINT) AS rrf_fp FROM (
+         |    SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS part
+         |    FROM bmr WHERE rank <= 10
+         |    UNION ALL
+         |    SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS part
+         |    FROM hvr WHERE rank <= 10)
+         |  GROUP BY 1, 2)
+         |SELECT query_id, rank, doc_id, rrf_fp FROM (
+         |  SELECT query_id, doc_id, rrf_fp,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rank
+         |  FROM fused)
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
     "q77_curation_funnel" ->
       """WITH s1 AS (SELECT * FROM documents WHERE lang = 'en'),
         |s2 AS (SELECT * FROM s1 WHERE len(string_split(text,' ')) >= 10

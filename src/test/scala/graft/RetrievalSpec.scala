@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+
+/** Retrieval stack (q100–q102): BM25 fixed-point scoring semantics,
+  * hashing-trick cosine ranking, and RRF fusion arithmetic.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private def docsDF(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("bm25: rare-term match outranks common-term match (idf)") {
+    // "zebra" appears in 1 of 4 docs, "cat" in 3 of 4 — equal tf and
+    // equal length, so ranking is pure idf
+    val docs = docsDF(
+      1L -> "cat dog bird fish",
+      2L -> "cat mouse bird fish",
+      3L -> "zebra dog bird fish",
+      4L -> "cat dog mouse fish")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq(1L -> "zebra", 2L -> "cat"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val zebraTop = out.filter(_._1 == 1L)
+    assert(zebraTop.map(_._3).toSeq == Seq(3L)) // only doc 3 matches
+    val catScores = out.filter(_._1 == 2L).map(t => t._3 -> t._4).toMap
+    val zebraScore = zebraTop.head._4
+    assert(catScores.values.forall(_ < zebraScore),
+      s"rare term must outscore common term: $zebraScore vs $catScores")
+  }
+
+  test("bm25: shorter doc wins at equal tf (length normalization)") {
+    val docs = docsDF(
+      1L -> "cat dog",
+      2L -> "cat dog bird fish mouse zebra lion tiger")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq(1L -> "cat"), k = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(1L -> 1L, 2L -> 2L),
+      s"short doc must rank first: ${out.toSeq}")
+  }
+
+  test("bm25: fixed-point score matches the closed form (hand case)") {
+    // one doc, one term: N=1, df=1, tf=1, len=2, avgdl=2
+    //   idf_r = (2-2+1)/(2+1) = 1/3
+    //   tf-part = 22·1·2 / (10·1·2 + 3·2 + 9·2) = 44/44 = 1
+    //   score_fp = floor(1e6 · 44 / (3·44)) = floor(1e6/3) = 333333
+    val docs = docsDF(1L -> "cat dog")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq(1L -> "cat"), k = 1).collect()
+    assert(out.length == 1 && out.head.getLong(3) == 333333L, out.mkString)
+  }
+
+  test("bm25 ranking agrees with a row_number window oracle on real data") {
+    import spark.implicits._
+    val docs = Tables(spark, sf).documents
+    val qs = Seq(1L -> "spark window join", 2L -> "dup query scan")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 10)
+    // same scoring frame, ranked by a window instead of TopKAgg
+    // k far above the sf0.001 corpus size → the full scored frame
+    val scored = Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 10000)
+      .select($"query_id", $"doc_id", $"score_fp")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"score_fp".desc, $"doc_id")
+    val want = scored
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter($"rank" <= 10)
+    assert(got.select("query_id", "rank", "doc_id", "score_fp").collect().toSet ==
+      want.select("query_id", "rank", "doc_id", "score_fp").collect().toSet)
+  }
+
+  test("tokenBucket is the position-weighted code-point sum mod dim") {
+    import spark.implicits._
+    val got = Seq("spark", "a", "zz").toDF("t")
+      .select(Retrieval.tokenBucket(col("t"), 64).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    def h(s: String) = s.zipWithIndex.map { case (c, i) => c.toInt * (i + 1) }.sum % 64
+    assert(got == Seq("spark", "a", "zz").map(s => h(s).toLong), got)
+  }
+
+  test("hashed-vector cosine: an exact copy of the query ranks first with cos²=|q|²") {
+    val docs = docsDF(
+      1L -> "alpha beta gamma",
+      2L -> "alpha beta gamma delta epsilon",
+      3L -> "unrelated words here")
+    val out = Retrieval.hashedVectorTopK(docs, "doc_id", "text",
+        Seq(1L -> "alpha beta gamma"), dim = 64, k = 3)
+      .orderBy("rank").collect()
+    assert(out.head.getLong(2) == 1L, s"verbatim copy must rank 1: ${out.toSeq}")
+    // cos²·|q|² for the copy = |q|² exactly (dot=|q|²=|d|²=3 here)
+    assert(out.head.getDouble(3) == 3.0, out.head.toString)
+  }
+
+  test("rrf fusion: doc in both lists beats single-list docs; ties break by id") {
+    import spark.implicits._
+    val a = Seq((1L, 1L, 10L), (1L, 2L, 11L)).toDF("query_id", "rank", "doc_id")
+    val b = Seq((1L, 1L, 10L), (1L, 2L, 12L)).toDF("query_id", "rank", "doc_id")
+    val out = Retrieval.rrfFuse(a, b, k = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val s = Retrieval.RrfScale
+    assert(out.toSeq == Seq(
+      (1L, 10L, 2 * (s / 61)),  // rank 1 in both
+      (2L, 11L, s / 62),        // equal single contributions → id asc
+      (3L, 12L, s / 62)))
+  }
+}
