@@ -89,6 +89,52 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Temperature-based mixture sampling — the dataset-mixing step of a
+    * training pipeline: each source's share of a `totalK`-doc mix is
+    * proportional to `weight_sum^(1/2)` (temperature τ=2 up-samples
+    * small sources relative to proportional mixing, the standard
+    * multilingual/multi-source rebalancing), then each source
+    * contributes its quota of docs in a deterministic pseudo-random
+    * order.
+    *
+    * Exactness, so the oracle re-derives the full mix:
+    *   - `isqrt = floor(sqrt(w))` — for `w < 2^52` IEEE sqrt is
+    *     correctly rounded and the floor is exact, every engine agrees;
+    *   - quotas are BIGINT floor division `totalK·isqrt div Σisqrt`
+    *     (the mix under-fills by < n_sources docs — floor contract);
+    *   - the per-source order is ([[bucket]], key): the same
+    *     congruential hash the split family uses, so selection is a
+    *     pure function of the key (stable under corpus growth).
+    *
+    * Scale shape: group weights and quotas are group-cardinality-sized
+    * (broadcast); selection is the k-bounded [[graft.functions.TopKAgg]]
+    * on `-(bucket·2^40 + key)` — one shuffle of (group, key, ord)
+    * triples, map-side k-bounded, no corpus-wide window. Requires
+    * `0 <= key < 2^40` so the packed order fits a double exactly.
+    */
+  def temperatureMixture(df: DataFrame, groupCol: String, keyCol: String,
+      weight: Column, totalK: Int): DataFrame = {
+    require(totalK > 0, "mixture size must be positive")
+    val w = df.groupBy(col(groupCol).as("grp"))
+      .agg(sum(weight).cast("long").as("wsum"))
+    val isq = w.select(col("grp"), floor(sqrt(col("wsum"))).cast("long").as("isq"))
+    val tot = isq.agg(sum(col("isq")).as("tot"))
+    val quotas = isq.crossJoin(broadcast(tot))
+      .select(col("grp"), expr(s"(${totalK}L * isq) div tot").as("quota"))
+    val ord = bucket(col(keyCol)) * (1L << 40) + col(keyCol)
+    df.select(col(groupCol).as("grp"), col(keyCol).as("id"), ord.as("ord"))
+      .groupBy(col("grp"))
+      .agg(graft.functions.TopKAgg.topk_by_score(
+        -col("ord").cast("double"), col("id"), totalK).as("top"))
+      .select(col("grp"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("grp"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("id"))
+      .join(broadcast(quotas), "grp")
+      .filter(col("rank") <= col("quota"))
+      .select(col("grp").as(groupCol), col("rank"), col("id").as(keyCol),
+        col("quota"))
+  }
+
   /** Greedy contiguous token-budget packing: per group, docs in
     * deterministic order are assigned to bins of ~`budget` tokens —
     * bin = ⌊(running tokens BEFORE this doc) / budget⌋, so a doc

@@ -713,6 +713,18 @@ object Pipeline {
         .orderBy($"query_id", $"rank")
     },
 
+    // Temperature-based dataset mixing: per-source quota ∝
+    // sqrt(Σ n_chars) (τ=2 rebalancing), filled in deterministic
+    // congruential-hash order — integer sqrt + BIGINT floor-division
+    // quotas make the whole mix plain-SQL re-derivable.
+    "q103_temperature_mixture" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Sampling.temperatureMixture(
+          Tables(s, dir).documents, "source", "doc_id", $"n_chars",
+          totalK = 100)
+        .orderBy($"source", $"rank")
+    },
+
     // Per-source cap — mixture balancing: at most 10 docs per source,
     // deterministic doc_id order.
     "q78_stratified_cap" -> { (s, dir) =>
@@ -921,6 +933,22 @@ object Pipeline {
          |  FROM fused)
          |WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    "q103_temperature_mixture" ->
+      """WITH w AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS wsum
+        |           FROM documents GROUP BY 1),
+        |i AS (SELECT source, CAST(floor(sqrt(wsum)) AS BIGINT) AS isq FROM w),
+        |t AS (SELECT CAST(sum(isq) AS BIGINT) AS tot FROM i),
+        |qd AS (SELECT source, CAST((100 * isq) // tot AS BIGINT) AS quota
+        |       FROM i CROSS JOIN t),
+        |r AS (SELECT source, doc_id,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY (doc_id % 1000003) * 31 % 1000, doc_id) AS BIGINT) AS rank
+        |      FROM documents)
+        |SELECT r.source, r.rank, r.doc_id, qd.quota
+        |FROM r JOIN qd USING (source)
+        |WHERE r.rank <= qd.quota
+        |ORDER BY source, rank""".stripMargin,
 
     "q77_curation_funnel" ->
       """WITH s1 AS (SELECT * FROM documents WHERE lang = 'en'),

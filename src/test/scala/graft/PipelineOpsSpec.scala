@@ -35,6 +35,30 @@ class PipelineOpsSpec extends SparkSpec {
       s"10x weight should dominate inclusion: heavy=$heavy lightAvg=$light")
   }
 
+  test("temperature mixture: sqrt quotas, deterministic fill, partition-invariant") {
+    import spark.implicits._
+    // weights 400/100/100 → isqrt 20/10/10, tot 40: quotas 10/5/5 of 20
+    val rows = (0 until 20).flatMap { i =>
+      Seq(("big", i.toLong, 20L), ("s1", 100L + i, 5L), ("s2", 200L + i, 5L))
+    }.toDF("source", "doc_id", "w").cache()
+    val mix = Sampling.temperatureMixture(rows, "source", "doc_id", $"w", totalK = 20)
+    val got = mix.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byShare = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byShare == Map("big" -> 10, "s1" -> 5, "s2" -> 5), byShare.toString)
+    assert(got.filter(_._1 == "big").forall(_._4 == 10L)) // quota column
+    // pure function of the key: partitioning must not change the mix
+    val again = Sampling.temperatureMixture(rows.repartition(13),
+        "source", "doc_id", $"w", totalK = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
+    // fill order is (bucket, key) ascending within each source
+    val bigRanks = got.filter(_._1 == "big").sortBy(_._2).map(_._3)
+    val expect = (0L until 20L).map(id => (id % 1000003 * 31 % 1000, id))
+      .sorted.take(10).map(_._2).toSet
+    assert(bigRanks.toSet == expect, s"got ${bigRanks.toSet}, want $expect")
+  }
+
   test("deterministic split is a pure function of the key") {
     val docs = Tables(spark, sf).documents
     val a = Sampling.withSplit(docs, "doc_id")
