@@ -398,9 +398,19 @@ object Multimodal {
       o += 12 + len.toInt
     }
     if (!seenIhdr || w <= 0 || h <= 0) return None
-    val raw = new Array[Byte]((w + 1) * h)
+    for {
+      raw <- pngInflate(idat.toByteArray, (w + 1) * h)
+      sum <- pngDefilter(raw, w, h)
+    } yield (w, h, sum)
+  }
+
+  /** zlib inflate to an exact expected length (JDK `Inflater` — the
+    * real zlib); None on truncation, excess, or stream corruption.
+    */
+  private def pngInflate(data: Array[Byte], expectLen: Int): Option[Array[Byte]] = {
+    val raw = new Array[Byte](expectLen)
     val inf = new java.util.zip.Inflater()
-    inf.setInput(idat.toByteArray)
+    inf.setInput(data)
     try {
       var got = 0
       while (got < raw.length && !inf.finished()) {
@@ -408,10 +418,16 @@ object Multimodal {
         if (n == 0 && inf.needsInput()) return None // truncated stream
         got += n
       }
-      if (got != raw.length) return None
-    } catch { case _: java.util.zip.DataFormatException => return None }
+      if (got != raw.length) None else Some(raw)
+    } catch { case _: java.util.zip.DataFormatException => None }
     finally inf.end()
-    // filter reconstruction, bpp = 1 (8-bit grayscale)
+  }
+
+  /** Full PNG scanline filter reconstruction, bpp = 1 (8-bit
+    * grayscale): None/Sub/Up/Average/Paeth. Returns the reconstructed
+    * pixel sum; None on an unknown filter type.
+    */
+  private def pngDefilter(raw: Array[Byte], w: Int, h: Int): Option[Long] = {
     val prev = new Array[Int](w)
     val cur = new Array[Int](w)
     var sum = 0L
@@ -443,7 +459,7 @@ object Multimodal {
       System.arraycopy(cur, 0, prev, 0, w)
       y += 1
     }
-    Some((w, h, sum))
+    Some(sum)
   }
 
   /** Deterministic PNG synthesis (write-side counterpart of
@@ -454,6 +470,60 @@ object Multimodal {
     * `Deflater`; CRC32 per chunk.
     */
   def synthesizePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    pngChunk(out, "IHDR", pngBe32(w.toLong) ++ pngBe32(h.toLong) ++
+      Array[Byte](8, 0, 0, 0, 0)) // depth 8, gray, deflate, adaptive, no interlace
+    pngChunk(out, "IDAT", deflateBytes(pngFilteredRaw(w, h,
+      (x, y) => (((seed + x + y) % 251 + 251) % 251).toInt)))
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** APNG synthesis (write-side counterpart of [[decodeApng]]):
+    * grayscale frames of the same geometry as [[synthesizePng]]'s,
+    * frame `f`'s pixel `(x, y)` being `(seed + f + x + y) mod 251` and
+    * every scanline filtered with type `y mod 5`. Chunk stream is the
+    * real APNG layout: acTL after IHDR, an fcTL before every frame,
+    * frame 0 in IDAT, frames 1+ in fdAT with the shared sequence
+    * counter, each frame a separate zlib stream.
+    */
+  def synthesizeApng(w: Int, h: Int, seed: Long, frames: Int): Array[Byte] = {
+    require(frames >= 1, "frames must be >= 1")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    pngChunk(out, "IHDR", pngBe32(w.toLong) ++ pngBe32(h.toLong) ++
+      Array[Byte](8, 0, 0, 0, 0))
+    pngChunk(out, "acTL", pngBe32(frames.toLong) ++ pngBe32(0L)) // plays=0: loop forever
+    var seq = 0
+    def fctl(): Unit = { // full-frame: offsets 0, delay 1/10s, dispose/blend 0
+      pngChunk(out, "fcTL", pngBe32(seq.toLong) ++
+        pngBe32(w.toLong) ++ pngBe32(h.toLong) ++ pngBe32(0L) ++ pngBe32(0L) ++
+        Array[Byte](0, 1, 0, 10, 0, 0))
+      seq += 1
+    }
+    var f = 0
+    while (f < frames) {
+      fctl()
+      val ff = f
+      val dat = deflateBytes(pngFilteredRaw(w, h,
+        (x, y) => (((seed + ff + x + y) % 251 + 251) % 251).toInt))
+      if (f == 0) pngChunk(out, "IDAT", dat)
+      else { pngChunk(out, "fdAT", pngBe32(seq.toLong) ++ dat); seq += 1 }
+      f += 1
+    }
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Filtered raw scanlines for one grayscale frame: pixel `(x, y)` =
+    * `value(x, y)`, scanline `y` filtered with type `y mod 5` — every
+    * one of the five PNG filters is ENCODED and must be correctly
+    * reconstructed on decode.
+    */
+  private def pngFilteredRaw(w: Int, h: Int, value: (Int, Int) => Int): Array[Byte] = {
     val raw = new Array[Byte]((w + 1) * h)
     val prevRow = new Array[Int](w)
     val curRow = new Array[Int](w)
@@ -463,7 +533,7 @@ object Multimodal {
       raw(y * (w + 1)) = ft.toByte
       var x = 0
       while (x < w) {
-        curRow(x) = (((seed + x + y) % 251 + 251) % 251).toInt
+        curRow(x) = value(x, y)
         val left = if (x > 0) curRow(x - 1) else 0
         val above = if (y > 0) prevRow(x) else 0
         val ul = if (x > 0 && y > 0) prevRow(x - 1) else 0
@@ -486,31 +556,130 @@ object Multimodal {
       System.arraycopy(curRow, 0, prevRow, 0, w)
       y += 1
     }
+    raw
+  }
+
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
     val zbuf = new java.io.ByteArrayOutputStream()
     val tmp = new Array[Byte](8192)
     while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
     defl.end()
-    val out = new java.io.ByteArrayOutputStream()
-    out.write(Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
-      .map(_.toByte), 0, 8)
-    def be32(v: Long): Array[Byte] = Array(
-      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-    def chunk(ctype: String, body: Array[Byte]): Unit = {
-      out.write(be32(body.length.toLong), 0, 4)
-      val tb = ctype.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-      out.write(tb, 0, 4); out.write(body, 0, body.length)
+    zbuf.toByteArray
+  }
+
+  private def pngBe32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, ctype: String,
+      body: Array[Byte]): Unit = {
+    out.write(pngBe32(body.length.toLong), 0, 4)
+    val tb = ctype.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    out.write(tb, 0, 4); out.write(body, 0, body.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(body)
+    out.write(pngBe32(crc.getValue), 0, 4)
+  }
+
+  /** APNG frame walk (read-side counterpart of [[synthesizeApng]]):
+    * CRC-validated chunk walk, acTL frame count cross-checked against
+    * the fcTL count, per-frame zlib streams (IDAT concat for frame 0,
+    * fdAT concat per later frame — consecutive fdAT chunks of one
+    * frame merge by chunk order) inflated and filter-reconstructed
+    * individually. Returns (w, h, frame count, total pixel sum,
+    * Σ (frame_idx+1)·frame_sum); a plain single-image PNG (no acTL)
+    * returns None — it is not an animation.
+    */
+  def decodeApng(p: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+    val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    if (p.length < 8 + 25 || !sig.indices.forall(i => (p(i) & 0xff) == sig(i)))
+      return None
+    def be32(o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    var o = 8
+    var w = 0; var h = 0
+    var seenIhdr = false; var seenIend = false
+    var declared = -1
+    val streams = scala.collection.mutable.ArrayBuffer.empty[java.io.ByteArrayOutputStream]
+    while (!seenIend) {
+      if (o + 12 > p.length) return None
+      val len = be32(o)
+      if (len > Int.MaxValue - 12 || o + 12 + len > p.length) return None
+      val ctype = new String(p, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val crc = new java.util.zip.CRC32()
-      crc.update(tb); crc.update(body)
-      out.write(be32(crc.getValue), 0, 4)
+      crc.update(p, o + 4, 4 + len.toInt)
+      if (crc.getValue != be32(o + 8 + len.toInt)) return None
+      ctype match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(o + 8).toInt; h = be32(o + 12).toInt
+          val bitDepth = p(o + 16) & 0xff; val colorType = p(o + 17) & 0xff
+          val interlace = p(o + 20) & 0xff
+          if (bitDepth != 8 || colorType != 0 || interlace != 0) return None
+          seenIhdr = true
+        case "acTL" =>
+          if (len != 8) return None
+          declared = be32(o + 8).toInt
+        case "fcTL" =>
+          // full-frame animations only: fcTL geometry must match IHDR
+          if (len != 26) return None
+          if (be32(o + 12).toInt != w || be32(o + 16).toInt != h ||
+            be32(o + 20) != 0L || be32(o + 24) != 0L) return None
+          streams += new java.io.ByteArrayOutputStream()
+        case "IDAT" =>
+          if (streams.isEmpty) return None // animation frames need an fcTL
+          streams.head.write(p, o + 8, len.toInt)
+        case "fdAT" =>
+          if (streams.length < 2 || len < 4) return None
+          streams.last.write(p, o + 12, len.toInt - 4) // skip sequence number
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunk: CRC-checked, content skipped
+      }
+      o += 12 + len.toInt
     }
-    chunk("IHDR", be32(w.toLong) ++ be32(h.toLong) ++
-      Array[Byte](8, 0, 0, 0, 0)) // depth 8, gray, deflate, adaptive, no interlace
-    chunk("IDAT", zbuf.toByteArray)
-    chunk("IEND", Array.emptyByteArray)
-    out.toByteArray
+    if (!seenIhdr || w <= 0 || h <= 0) return None
+    if (declared <= 0 || declared != streams.length) return None
+    var sum = 0L
+    var weighted = 0L
+    var f = 0
+    while (f < streams.length) {
+      val fs = pngInflate(streams(f).toByteArray, (w + 1) * h)
+        .flatMap(raw => pngDefilter(raw, w, h)) match {
+        case Some(s) => s
+        case None => return None
+      }
+      sum += fs
+      weighted += (f + 1).toLong * fs
+      f += 1
+    }
+    Some((w, h, declared, sum, weighted))
+  }
+
+  final case class AnimMeta(doc_id: Long, kind: String, width: Int, height: Int,
+      n_frames: Int, pix_sum: Long, frame_weighted: Long)
+
+  /** Animation probe over binary payloads: APNG first (signature +
+    * acTL), then multi-frame GIF; everything else is opaque. Same
+    * partition-batched shape as [[probeMedia]] — pure map work, no
+    * shuffle, memory bounded by one payload.
+    */
+  def probeAnimation(spark: SparkSession, media: DataFrame): Dataset[AnimMeta] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.payload
+        decodeApng(p) match {
+          case Some((w, h, nf, s, ws)) => AnimMeta(r.doc_id, "apng", w, h, nf, s, ws)
+          case None => decodeGifFrames(p) match {
+            case Some((w, h, nf, s, ws)) => AnimMeta(r.doc_id, "gif", w, h, nf, s, ws)
+            case None => AnimMeta(r.doc_id, "bin", 0, 0, 0, 0L, 0L)
+          }
+        }
+      }
+    }
   }
 
   /** GIF parse with REAL pixel decode: header + logical screen
@@ -525,18 +694,38 @@ object Multimodal {
     * range, pixel overflow) → None.
     */
   def decodeGif(p: Array[Byte]): Option[(Int, Int, Long)] = {
+    gifHeader(p).flatMap { case (w, h, o0) =>
+      var o = o0
+      while (o < p.length && (p(o) & 0xff) == 0x21) { // extensions
+        o += 2 // introducer + label
+        while (o < p.length && p(o) != 0) o += 1 + (p(o) & 0xff)
+        o += 1 // block terminator
+      }
+      gifDecodeImage(p, o).map { case (_, sum) => (w, h, sum) }
+    }
+  }
+
+  /** Header + logical screen descriptor + global color table skip.
+    * Returns (screen width, screen height, offset of the first block).
+    */
+  private def gifHeader(p: Array[Byte]): Option[(Int, Int, Int)] = {
     if (p.length < 14) return None
     val hdr = new String(p, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
     if (hdr != "GIF87a" && hdr != "GIF89a") return None
-    val w = le16(p, 6); val h = le16(p, 8)
     val packed = p(10) & 0xff
     var o = 13
     if ((packed & 0x80) != 0) o += 3 * (1 << ((packed & 7) + 1)) // global table
-    while (o < p.length && (p(o) & 0xff) == 0x21) { // extensions
-      o += 2 // introducer + label
-      while (o < p.length && p(o) != 0) o += 1 + (p(o) & 0xff)
-      o += 1 // block terminator
-    }
+    Some((le16(p, 6), le16(p, 8), o))
+  }
+
+  /** Decode ONE image block (must start at an 0x2c image descriptor):
+    * the full variable-width LZW pipeline of [[decodeGif]]. Returns
+    * (offset past the block terminator, decoded pixel-index sum); None
+    * on any malformation, including a pixel count that disagrees with
+    * the image descriptor.
+    */
+  private def gifDecodeImage(p: Array[Byte], start: Int): Option[(Int, Long)] = {
+    var o = start
     if (o + 10 > p.length || (p(o) & 0xff) != 0x2c) return None
     val iw = le16(p, o + 5); val ih = le16(p, o + 7)
     val ipacked = p(o + 9) & 0xff
@@ -554,6 +743,8 @@ object Multimodal {
       data.write(p, o + 1, len)
       o += 1 + len
     }
+    if (o >= p.length) return None
+    val endOffset = o + 1 // past the 0x00 block terminator
     val bytes = data.toByteArray
     val nPixels = iw.toLong * ih
     val clear = 1 << minCode
@@ -589,7 +780,7 @@ object Multimodal {
       }
       bitPos += width
       if (code == end) {
-        return if (produced == nPixels) Some((w, h, sum)) else None
+        return if (produced == nPixels) Some((endOffset, sum)) else None
       } else if (code == clear) {
         next = end + 1; width = minCode + 1; prev = -1
       } else {
@@ -636,6 +827,42 @@ object Multimodal {
   def synthesizeGif(w: Int, h: Int, seed: Long, cycle: Int = 4): Array[Byte] = {
     require(cycle >= 1 && cycle <= 4, "cycle must be 1..4 (4-color table)")
     val out = new java.io.ByteArrayOutputStream()
+    writeGifHeader(out, w, h)
+    writeGifImage(out, w, h,
+      i => (((seed + i) % cycle + cycle) % cycle).toInt)
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Animated GIF synthesis: `frames` full-screen frames, each behind
+    * a Graphic Control Extension, pixel `i` of frame `f` being
+    * `(seed + f + i) mod 4` — every frame differs by a fixed offset,
+    * so a per-frame-weighted checksum catches frame miscounts AND
+    * misattributed content.
+    */
+  def synthesizeGifAnim(w: Int, h: Int, seed: Long, frames: Int): Array[Byte] = {
+    require(frames >= 1, "frames must be >= 1")
+    val out = new java.io.ByteArrayOutputStream()
+    writeGifHeader(out, w, h)
+    var f = 0
+    while (f < frames) {
+      // GCE: introducer, label, block size 4, flags, delay 10cs, no
+      // transparency, terminator
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); out.write(10); out.write(0); out.write(0); out.write(0)
+      val ff = f
+      writeGifImage(out, w, h,
+        i => (((seed + ff + i) % 4 + 4) % 4).toInt)
+      f += 1
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Header + logical screen descriptor + the 4-entry grayscale GCT
+    * shared by both GIF synthesizers.
+    */
+  private def writeGifHeader(out: java.io.ByteArrayOutputStream, w: Int, h: Int): Unit = {
     def w8(v: Int): Unit = out.write(v & 0xff)
     def w16le(v: Int): Unit = { w8(v); w8(v >> 8) }
     out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
@@ -644,6 +871,17 @@ object Multimodal {
     w8(0); w8(0)    // bg color, aspect
     var j = 0
     while (j < 4) { w8(j * 85); w8(j * 85); w8(j * 85); j += 1 }
+  }
+
+  /** One full-screen image block: descriptor + REAL LZW encode of the
+    * pixel stream (the genuine algorithm — prefix-table growth, width
+    * bumps at `next == 2^width + 1`, clear-code reset at 4096), so
+    * large frames drive the decoder through every code path.
+    */
+  private def writeGifImage(out: java.io.ByteArrayOutputStream, w: Int, h: Int,
+      pixelAt: Long => Int): Unit = {
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16le(v: Int): Unit = { w8(v); w8(v >> 8) }
     w8(0x2c); w16le(0); w16le(0); w16le(w); w16le(h); w8(0) // image descriptor
     val minCode = 2
     w8(minCode)
@@ -678,10 +916,10 @@ object Multimodal {
     val table = new java.util.HashMap[Int, Integer]() // (cur<<8 | px) -> code
     putCode(clear, width)
     val n = w.toLong * h
-    var cur = ((seed % cycle + cycle) % cycle).toInt // pixel 0
+    var cur = pixelAt(0L)
     var i = 1L
     while (i < n) {
-      val px = (((seed + i) % cycle + cycle) % cycle).toInt
+      val px = pixelAt(i)
       val key = (cur << 8) | px
       val hit = table.get(key)
       if (hit != null) cur = hit.intValue()
@@ -707,9 +945,38 @@ object Multimodal {
       val len = math.min(255, bytes.length - off)
       w8(len); out.write(bytes, off, len); off += len
     }
-    w8(0)    // block terminator
-    w8(0x3b) // trailer
-    out.toByteArray
+    w8(0) // block terminator
+  }
+
+  /** Walk EVERY frame of a (possibly animated) GIF: per-frame LZW
+    * decode via [[gifDecodeImage]], skipping extensions between
+    * frames. Returns (screen w, screen h, frame count, total decoded
+    * pixel sum, Σ (frame_idx+1)·frame_sum) — the weighted term pins
+    * both the count and which content sits in which frame.
+    */
+  def decodeGifFrames(p: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+    gifHeader(p).flatMap { case (w, h, o0) =>
+      var o = o0
+      var frames = 0
+      var sum = 0L
+      var weighted = 0L
+      while (o < p.length && (p(o) & 0xff) != 0x3b) {
+        if ((p(o) & 0xff) == 0x21) { // extension: skip sub-blocks
+          o += 2
+          while (o < p.length && p(o) != 0) o += 1 + (p(o) & 0xff)
+          o += 1
+        } else if ((p(o) & 0xff) == 0x2c) {
+          gifDecodeImage(p, o) match {
+            case Some((end, s)) =>
+              sum += s; weighted += (frames + 1).toLong * s
+              frames += 1; o = end
+            case None => return None
+          }
+        } else return None // unknown block type
+      }
+      if (frames == 0 || o >= p.length) None
+      else Some((w, h, frames, sum, weighted))
+    }
   }
 
   /** Deterministic minimal-but-valid JPEG synthesis (write-side

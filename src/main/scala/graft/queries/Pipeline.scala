@@ -654,6 +654,35 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // Multi-frame animation decode, mirroring q95/q97 but for the
+    // ANIMATED paths: even docs carry a 1–3-frame animated GIF (every
+    // frame through the full LZW decoder), odd docs an APNG whose
+    // fcTL/fdAT stream is walked and each frame's zlib stream inflated
+    // + filter-reconstructed. Frame f's content is offset by f, so the
+    // per-frame-weighted checksum Σ(f+1)·sum_f catches frame
+    // miscounts AND frame/content misattribution — both closed-form
+    // for the DuckDB oracle.
+    "q104_multimodal_animation" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir).documents
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val frames = 1 + (id % 3).toInt
+          if (id % 2 == 0)
+            Multimodal.MediaRow(id, Multimodal.synthesizeGifAnim(
+              w = 1 + (id % 40).toInt, h = 1 + ((id * 3) % 30).toInt,
+              seed = id, frames = frames))
+          else
+            Multimodal.MediaRow(id, Multimodal.synthesizeApng(
+              w = 1 + (id % 32).toInt, h = 1 + ((id * 5) % 24).toInt,
+              seed = id, frames = frames))
+        }).toDF()
+      Multimodal.probeAnimation(s, media).toDF()
+        .select($"doc_id", $"kind", $"n_frames".cast("long").as("n_frames"),
+          $"pix_sum", $"frame_weighted")
+        .orderBy($"doc_id")
+    },
+
     // The full curation funnel (lang → quality → exact dedup →
     // decontamination) with per-stage audit counts — every dropped doc
     // accounted to the stage that dropped it.
@@ -1399,6 +1428,43 @@ object Pipeline {
         |   + CASE WHEN n % 4 >= 3 THEN (doc_id + 2) % 4 ELSE 0 END
         |  AS BIGINT) AS pix_sum
         |FROM n
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeGifAnim/synthesizeApng: GIF frame f sums the
+    // 4-cycle closed form at offset doc_id+f; APNG frame f sums the
+    // explicit (doc_id+f+x+y) mod 251 grid; both aggregate a total and
+    // the (f+1)-weighted variant
+    "q104_multimodal_animation" ->
+      """WITH g AS (SELECT doc_id, 1 + doc_id % 40 AS w,
+        |             1 + (doc_id * 3) % 30 AS h, 1 + doc_id % 3 AS nf
+        |           FROM documents WHERE doc_id % 2 = 0),
+        |gf AS (SELECT doc_id, w * h AS n, nf, f.f AS f
+        |       FROM g, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f),
+        |gs AS (SELECT doc_id, nf, f,
+        |         6 * (n // 4)
+        |         + CASE WHEN n % 4 >= 1 THEN (doc_id + f) % 4 ELSE 0 END
+        |         + CASE WHEN n % 4 >= 2 THEN (doc_id + f + 1) % 4 ELSE 0 END
+        |         + CASE WHEN n % 4 >= 3 THEN (doc_id + f + 2) % 4 ELSE 0 END AS fs
+        |       FROM gf),
+        |ga AS (SELECT doc_id, 'gif' AS kind, CAST(max(nf) AS BIGINT) AS n_frames,
+        |         CAST(sum(fs) AS BIGINT) AS pix_sum,
+        |         CAST(sum((f + 1) * fs) AS BIGINT) AS frame_weighted
+        |       FROM gs GROUP BY doc_id),
+        |a AS (SELECT doc_id, 1 + doc_id % 32 AS w,
+        |        1 + (doc_id * 5) % 24 AS h, 1 + doc_id % 3 AS nf
+        |      FROM documents WHERE doc_id % 2 = 1),
+        |af AS (SELECT doc_id, nf, f.f AS f, x.i AS x, y.i AS y
+        |       FROM a,
+        |       LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f,
+        |       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS i) x,
+        |       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS i) y),
+        |asum AS (SELECT doc_id, nf, f, sum((doc_id + f + x + y) % 251) AS fs
+        |         FROM af GROUP BY 1, 2, 3),
+        |aa AS (SELECT doc_id, 'apng' AS kind, CAST(max(nf) AS BIGINT) AS n_frames,
+        |         CAST(sum(fs) AS BIGINT) AS pix_sum,
+        |         CAST(sum((f + 1) * fs) AS BIGINT) AS frame_weighted
+        |       FROM asum GROUP BY doc_id)
+        |SELECT * FROM ga UNION ALL SELECT * FROM aa
         |ORDER BY doc_id""".stripMargin,
 
     // mirrors synthesizeJpeg's arithmetic layout: full size

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-frame GIF + APNG codec pairs (q104) — pure JVM. */
+class AnimationSpec extends AnyFunSuite {
+
+  private def gifFrameSum(w: Int, h: Int, seed: Long, f: Int): Long = {
+    val n = w.toLong * h
+    (0L until n).map(i => ((seed + f + i) % 4 + 4) % 4).sum
+  }
+
+  private def apngFrameSum(w: Int, h: Int, seed: Long, f: Int): Long =
+    (for { x <- 0 until w; y <- 0 until h }
+      yield ((seed + f + x + y) % 251 + 251) % 251).sum
+
+  test("animated GIF round-trips frame count, total and weighted sums") {
+    for {
+      (w, h) <- Seq((1, 1), (7, 3), (40, 30), (300, 200))
+      frames <- Seq(1, 2, 4)
+    } {
+      val gif = Multimodal.synthesizeGifAnim(w, h, seed = 11L, frames)
+      val sums = (0 until frames).map(f => gifFrameSum(w, h, 11L, f))
+      val want = (w, h, frames, sums.sum,
+        sums.zipWithIndex.map { case (s, f) => (f + 1) * s }.sum)
+      assert(Multimodal.decodeGifFrames(gif).contains(want),
+        s"w=$w h=$h frames=$frames")
+    }
+  }
+
+  test("single-frame GIF: decodeGifFrames agrees with decodeGif") {
+    val gif = Multimodal.synthesizeGif(33, 21, seed = 7L)
+    val single = Multimodal.decodeGif(gif)
+    val multi = Multimodal.decodeGifFrames(gif)
+    assert(single.isDefined && multi.isDefined)
+    assert(multi.get == (33, 21, 1, single.get._3, single.get._3))
+  }
+
+  test("animated GIF: truncation and mid-stream corruption are rejected") {
+    val gif = Multimodal.synthesizeGifAnim(20, 15, seed = 3L, frames = 3)
+    assert(Multimodal.decodeGifFrames(gif.dropRight(5)).isEmpty, "no trailer")
+    // damage the SECOND frame's LZW stream: find its image separator
+    // (the byte pattern is synthetic, so corrupt a byte near 2/3 in)
+    val bad = gif.clone(); bad(gif.length * 2 / 3) = 0x7f
+    // either an invalid code or a pixel-count mismatch — never a wrong sum
+    val got = Multimodal.decodeGifFrames(bad)
+    val want = Multimodal.decodeGifFrames(gif)
+    assert(got.isEmpty || got == want, s"corruption mis-decoded: $got")
+  }
+
+  test("APNG round-trips frame count, total and weighted sums") {
+    for {
+      (w, h) <- Seq((1, 1), (8, 5), (32, 24), (48, 32))
+      frames <- Seq(1, 2, 4)
+    } {
+      val apng = Multimodal.synthesizeApng(w, h, seed = 13L, frames)
+      val sums = (0 until frames).map(f => apngFrameSum(w, h, 13L, f))
+      val want = (w, h, frames, sums.sum,
+        sums.zipWithIndex.map { case (s, f) => (f + 1) * s }.sum)
+      assert(Multimodal.decodeApng(apng).contains(want),
+        s"w=$w h=$h frames=$frames")
+    }
+  }
+
+  test("a plain PNG is not an animation; an APNG still satisfies decodePng") {
+    val png = Multimodal.synthesizePng(16, 12, seed = 5L)
+    assert(Multimodal.decodeApng(png).isEmpty, "no acTL → not an animation")
+    // decodePng on an APNG sees frame 0 (IDAT) and CRC-valid ancillary
+    // chunks — the single-image view of the same payload
+    val apng = Multimodal.synthesizeApng(16, 12, seed = 5L, frames = 3)
+    assert(Multimodal.decodePng(apng)
+      .contains((16, 12, apngFrameSum(16, 12, 5L, 0))))
+  }
+
+  test("APNG integrity: lying acTL count and corrupted chunks are rejected") {
+    val apng = Multimodal.synthesizeApng(10, 8, seed = 2L, frames = 2)
+    // acTL body starts after sig(8) + IHDR chunk(12+13): len(4)+type(4)
+    val actlBody = 8 + 25 + 8
+    val lied = apng.clone()
+    lied(actlBody + 3) = 5 // declared 5 frames, stream has 2 (CRC also breaks)
+    assert(Multimodal.decodeApng(lied).isEmpty, "lying acTL")
+    val bad = apng.clone(); bad(bad.length - 30) = 0x55
+    assert(Multimodal.decodeApng(bad).isEmpty
+      || Multimodal.decodeApng(bad) == Multimodal.decodeApng(apng),
+      "corrupted chunk mis-decoded")
+  }
+}
