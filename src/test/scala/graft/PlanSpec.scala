@@ -174,4 +174,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"bucket join must stay an equi-join:\n$p")
   }
+
+  test("BM25 probes the inverted index via broadcast; ranking is the bounded aggregate") {
+    import graft.operators.Retrieval
+    val p = plan(Retrieval.bm25TopK(Tables(spark, sf).documents,
+      "doc_id", "text", Seq(1L -> "spark window join", 2L -> "dup scan"), k = 10))
+    // query terms, document frequencies, and corpus stats all broadcast
+    // — the corpus-sized postings side never shuffles for the joins
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"query-term and df joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no corpus-side shuffle joins expected:\n$p")
+    assert(p.contains("topkagg") || p.toLowerCase.contains("topkagg"),
+      s"ranking must be the k-bounded aggregate, not a window:\n$p")
+    assert(!p.contains("Window"), s"no corpus-wide window allowed:\n$p")
+  }
+
+  test("hashed-vector search joins on bucket with a broadcast query side") {
+    import graft.operators.Retrieval
+    val p = plan(Retrieval.hashedVectorTopK(Tables(spark, sf).documents,
+      "doc_id", "text", Seq(1L -> "spark window join"), dim = 64, k = 10))
+    assert(p.contains("BroadcastHashJoin"), s"query vectors must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucket join must stay an equi-join:\n$p")
+    assert(!p.contains("Window"), s"ranking must not window the corpus:\n$p")
+  }
+
+  test("temperature mixture keeps quotas broadcast and selection k-bounded") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions._
+    val p = plan(Sampling.temperatureMixture(Tables(spark, sf).documents,
+      "source", "doc_id", col("n_chars"), totalK = 100))
+    assert(p.contains("BroadcastHashJoin"), s"quota join must broadcast:\n$p")
+    assert(!p.contains("Window"), s"selection must be the bounded aggregate:\n$p")
+  }
 }
