@@ -683,6 +683,23 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // Link-graph quality signal: PageRank in exact integer fixed-point
+    // over a deterministic synthetic citation graph (doc i cites
+    // (7i+1) mod N and (13i+5) mod N). Five unrolled iterations, every
+    // step BIGINT multiply/floor-div/sum — the full rank table is
+    // plain-SQL oracled, iteration by iteration.
+    "q105_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val e = docs.select($"doc_id")
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+        .select($"doc_id".as("src"),
+          explode(array(($"doc_id" * 7 + 1) % $"n",
+            ($"doc_id" * 13 + 5) % $"n")).as("dst"))
+      graft.operators.Graph.pageRankFixed(e, iterations = 5)
+        .orderBy($"node")
+    },
+
     // The full curation funnel (lang → quality → exact dedup →
     // decontamination) with per-stage audit counts — every dropped doc
     // accounted to the stage that dropped it.
@@ -931,7 +948,35 @@ object Pipeline {
        |        FROM hv)""".stripMargin
   }
 
+  /** Unrolled integer-PageRank oracle: one CTE per iteration, the
+    * exact arithmetic `Graph.pageRankFixed` runs (85/100 damping,
+    * scale 1e9, base (100−85)·1e9/100 = 150000000).
+    */
+  private def pagerankOracle: String = {
+    val iters = (1 to 5).map { t =>
+      s"""p$t AS (SELECT nd.node, 150000000 + coalesce(s.m, 0) AS pr
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(sum((85 * p.pr) // (100 * o.outdeg)) AS BIGINT) AS m
+         |    FROM e JOIN p${t - 1} p ON e.src = p.node
+         |    JOIN outd o ON e.src = o.src
+         |    GROUP BY 1) s ON nd.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |e AS (SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+       |      FROM documents, nn
+       |      UNION ALL
+       |      SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn),
+       |outd AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |p0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+       |$iters
+       |SELECT node, CAST(pr AS BIGINT) AS pr FROM p5 ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q105_pagerank" -> pagerankOracle,
+
     "q100_bm25_topk" ->
       s"""WITH $bm25OracleCtes
          |SELECT query_id, rank, doc_id, score_fp FROM bmr
