@@ -23,6 +23,17 @@ object Events {
         .orderBy($"window_start_ms", $"event_type")
     },
 
+    // Sliding event-time windows (1 h window, 15 min slide): each
+    // event in exactly 4 epoch-aligned windows — the overlapping-
+    // window shape the oracle re-derives by explicit enumeration.
+    // StreamingSpec runs the same transform as a true watermarked
+    // stream and asserts batch parity.
+    "q106_stream_sliding_window" -> { (s, dir) =>
+      import s.implicits._
+      EventStream.slidingCounts(Tables(s, dir).events)
+        .orderBy($"window_start_ms", $"event_type")
+    },
+
     // Gap-based sessionization (30 min); mapGroupsWithState runs the
     // same semantics incrementally (SessionizeSpec asserts equality).
     "q51_sessionize" -> { (s, dir) =>
@@ -107,6 +118,19 @@ object Events {
         | event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start_ms, event_type""".stripMargin,
+
+    // every event's 4 windows enumerated: start = (⌊tms/slide⌋−k)·slide
+    // for k=0..3 (all valid: tms mod slide + k·slide < size always)
+    "q106_stream_sliding_window" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS tms, event_type, value FROM events),
+        |x AS (SELECT CAST(((tms // 900000) - k.k) * 900000 AS BIGINT) AS window_start_ms,
+        |        event_type, value
+        |      FROM e, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) k)
+        |SELECT window_start_ms, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM x
         |GROUP BY 1, 2
         |ORDER BY window_start_ms, event_type""".stripMargin,
 

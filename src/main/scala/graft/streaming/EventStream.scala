@@ -25,6 +25,22 @@ object EventStream {
         col("event_type"), col("n"), col("total"))
   }
 
+  /** Sliding 1-hour window with a 15-minute slide, per event type:
+    * every event lands in exactly size/slide = 4 overlapping windows
+    * (Spark's `window()` generator expands them map-side, epoch-
+    * aligned). On a stream the same plan runs append-mode with the
+    * watermark bounding open-window state at 4× the tumbling
+    * footprint — the size/slide ratio.
+    */
+  def slidingCounts(events: DataFrame, withWatermark: Boolean = false): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "1 hour") else events
+    src.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Parity.sumD(col("value")).as("total"))
+      .select(
+        unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("total"))
+  }
+
   /** Stream-stream join: each click joined to same-user purchases in
     * the preceding hour. On streams, the watermarks + the time-range
     * predicate bound both join-state buffers (rows older than

@@ -35,6 +35,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming sliding-window agg equals the batch result (q106 parity)") {
+    val dir = eventsDir
+    val batchEvents = spark.read.parquet(dir)
+    val expected = EventStream.slidingCounts(batchEvents)
+      .orderBy("window_start_ms", "event_type").collect().toSeq
+    // every event must expand into exactly size/slide = 4 windows
+    val perEvent = EventStream.slidingCounts(batchEvents)
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(perEvent == 4 * batchEvents.count(), "each event in exactly 4 windows")
+
+    val stream = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(dir)
+    val q = EventStream.slidingCounts(stream, withWatermark = true)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("slide_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("slide_out")
+      .orderBy("window_start_ms", "event_type").collect().toSeq
+    assert(got == expected)
+  }
+
   test("sketch aggregates run under streaming state: stream == batch bit-for-bit") {
     // CMS and Bloom are TypedImperativeAggregates — under a streaming
     // aggregation their buffers round-trip the state store
