@@ -176,6 +176,78 @@ object Retrieval {
         $"score".cast("long").as("rrf_fp"))
   }
 
+  /** Fixed-point scale shared by MMR's relevance and similarity terms. */
+  val MmrScale = 1000000L
+
+  /** Maximal-marginal-relevance re-rank of a fused shortlist — the
+    * diversification pass that keeps near-duplicate passages out of a
+    * retrieved context set. Entirely in exact integer arithmetic
+    * (contract: rank-reciprocal relevance `MmrScale div rank`,
+    * hashed-vector cosine² penalty `dot²·MmrScale div (|a|²|b|²)`,
+    * λ = 1/2 so the marginal score is `rel − maxSimToSelected`), so a
+    * plain-SQL oracle re-derives every greedy step.
+    *
+    * Scale shape: the shortlist is k-bounded per query (candidate
+    * pair-sims are ≤ k² tiny rows per query, built by a bucket
+    * equi-join on the candidates only), and each greedy step is one
+    * bounded join + a `max(struct)` argmax — `k−1` short rounds with
+    * `localCheckpoint` keeping the plan flat, never touching the
+    * corpus again.
+    *
+    * @param ranked fused shortlist (query_id, rank, doc_id).
+    * @param k      number of diversified picks (greedy steps).
+    * @return (query_id, sel_rank, doc_id) — sel_rank 1-based pick order.
+    */
+  def mmrRerank(ranked: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, dim: Int, k: Int): DataFrame = {
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    val cand = ranked.select($"query_id", $"doc_id",
+      expr(s"${MmrScale}L div rank").as("rel_fp")).localCheckpoint()
+    // candidate pair similarities: join candidate docs' sparse hashed
+    // vectors on bucket — k²-bounded per query, corpus never self-joins
+    val dv = hashedVectors(docs, idCol, textCol, dim)
+    val dn = dv.groupBy($"id").agg(sum($"c" * $"c").as("norm2"))
+    val cv = cand.select($"query_id", $"doc_id")
+      .join(dv.withColumnRenamed("id", "doc_id"), "doc_id")
+    val halfSims = cv.as("x").join(cv.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.query_id").as("query_id"),
+        col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(sum(col("x.c") * col("y.c")).as("dot"))
+      .join(dn.select($"id".as("a"), $"norm2".as("na")), "a")
+      .join(dn.select($"id".as("b"), $"norm2".as("nb")), "b")
+      .select($"query_id", $"a", $"b",
+        expr(s"(dot * dot * ${MmrScale}L) div (na * nb)").as("sim_fp"))
+    val sims = halfSims.unionAll(
+        halfSims.select($"query_id", $"b".as("a"), $"a".as("b"), $"sim_fp"))
+      .localCheckpoint()
+
+    // greedy: seed with rank 1, then k−1 marginal-argmax rounds
+    var selected = ranked.filter($"rank" === 1)
+      .select($"query_id", $"doc_id", lit(1L).as("sel_rank"))
+    var t = 2
+    while (t <= k) {
+      val remaining = cand.join(selected, Seq("query_id", "doc_id"), "left_anti")
+      val pen = remaining.as("r")
+        .join(selected.select($"query_id", $"doc_id".as("sel_doc")), "query_id")
+        .join(sims.select($"query_id", $"a".as("doc_id"), $"b".as("sel_doc"),
+          $"sim_fp"), Seq("query_id", "doc_id", "sel_doc"), "left")
+        .groupBy($"query_id", $"doc_id", $"rel_fp")
+        .agg(max(coalesce($"sim_fp", lit(0L))).as("pen"))
+      val next = pen
+        .select($"query_id", ($"rel_fp" - $"pen").as("mmr"), $"doc_id")
+        .groupBy($"query_id")
+        .agg(max(struct($"mmr", (-$"doc_id").as("neg"))).as("best"))
+        .select($"query_id", (-$"best.neg").as("doc_id"), lit(t.toLong).as("sel_rank"))
+      selected = selected.unionAll(next).localCheckpoint()
+      t += 1
+    }
+    selected
+  }
+
   /** Shared k-bounded ranking tail: TopKAgg per group + posexplode to
     * 1-based ranks. Scores must be exactly representable as doubles
     * (all callers keep |score| < 2^53); ties break doc_id-ascending,

@@ -771,6 +771,23 @@ object Pipeline {
         .orderBy($"source", $"rank")
     },
 
+    // MMR diversified re-rank of the hybrid shortlist: greedy
+    // λ=1/2 maximal-marginal-relevance in exact integer arithmetic
+    // (rank-reciprocal relevance, cosine² penalty) — every greedy step
+    // re-derived by the oracle as an unrolled CTE.
+    "q107_mmr_rerank" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val bm = graft.operators.Retrieval.bm25TopK(
+        docs, "doc_id", "text", retrievalQueries, k = 10)
+      val hv = graft.operators.Retrieval.hashedVectorTopK(
+        docs, "doc_id", "text", retrievalQueries, dim = 64, k = 10)
+      val fused = graft.operators.Retrieval.rrfFuse(bm, hv, k = 10)
+      graft.operators.Retrieval.mmrRerank(fused, docs, "doc_id", "text",
+          dim = 64, k = 5)
+        .orderBy($"query_id", $"sel_rank")
+    },
+
     // Per-source cap — mixture balancing: at most 10 docs per source,
     // deterministic doc_id order.
     "q78_stratified_cap" -> { (s, dir) =>
@@ -974,8 +991,68 @@ object Pipeline {
        |SELECT node, CAST(pr AS BIGINT) AS pr FROM p5 ORDER BY node""".stripMargin
   }
 
+  /** Unrolled MMR oracle: the q102 fusion chain, candidate pair-sims
+    * from the hashed vectors, then one CTE per greedy step — the same
+    * λ=1/2 integer contract `Retrieval.mmrRerank` runs.
+    */
+  private def mmrOracle: String = {
+    val steps = (2 to 5).map { t =>
+      s"""sel$t AS (SELECT query_id, doc_id, CAST($t AS BIGINT) AS sel_rank FROM (
+         |  SELECT c.query_id, c.doc_id,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY c.rel_fp - p.pen DESC, c.doc_id) AS rn
+         |  FROM cand c
+         |  JOIN (SELECT r.query_id, r.doc_id, max(coalesce(s.sim_fp, 0)) AS pen
+         |        FROM cand r JOIN selu${t - 1} v ON r.query_id = v.query_id
+         |        LEFT JOIN sp s ON s.query_id = r.query_id
+         |          AND s.a = r.doc_id AND s.b = v.doc_id
+         |        WHERE NOT EXISTS (SELECT 1 FROM selu${t - 1} z
+         |          WHERE z.query_id = r.query_id AND z.doc_id = r.doc_id)
+         |        GROUP BY 1, 2) p
+         |    ON c.query_id = p.query_id AND c.doc_id = p.doc_id)
+         |  WHERE rn = 1),
+         |selu$t AS MATERIALIZED (SELECT * FROM selu${t - 1} UNION ALL SELECT * FROM sel$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bm25OracleCtes,
+       |$hashedVecOracleCtes,
+       |fused AS (
+       |  SELECT query_id, doc_id, CAST(sum(part) AS BIGINT) AS rrf_fp FROM (
+       |    SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS part
+       |    FROM bmr WHERE rank <= 10
+       |    UNION ALL
+       |    SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS part
+       |    FROM hvr WHERE rank <= 10)
+       |  GROUP BY 1, 2),
+       |fr AS (SELECT query_id, doc_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rank
+       |       FROM fused),
+       |cand AS MATERIALIZED (SELECT query_id, doc_id, 1000000 // rank AS rel_fp
+       |         FROM fr WHERE rank <= 10),
+       |cvx AS (SELECT c.query_id, c.doc_id, db.bucket, db.c
+       |        FROM cand c JOIN db ON c.doc_id = db.doc_id),
+       |sd AS (SELECT x.query_id, x.doc_id AS a, y.doc_id AS b,
+       |         CAST(sum(x.c * y.c) AS BIGINT) AS dot
+       |       FROM cvx x JOIN cvx y ON x.query_id = y.query_id
+       |         AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |       GROUP BY 1, 2, 3),
+       |sp0 AS (SELECT s.query_id, s.a, s.b,
+       |          CAST((s.dot * s.dot * 1000000) // (da.norm2 * db2.norm2) AS BIGINT) AS sim_fp
+       |        FROM sd s JOIN dn da ON s.a = da.doc_id
+       |        JOIN dn db2 ON s.b = db2.doc_id),
+       |sp AS MATERIALIZED (SELECT query_id, a, b, sim_fp FROM sp0
+       |       UNION ALL SELECT query_id, b, a, sim_fp FROM sp0),
+       |sel1 AS (SELECT query_id, doc_id, CAST(1 AS BIGINT) AS sel_rank
+       |         FROM fr WHERE rank = 1),
+       |selu1 AS MATERIALIZED (SELECT * FROM sel1),
+       |$steps
+       |SELECT query_id, sel_rank, doc_id FROM selu5
+       |ORDER BY query_id, sel_rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q105_pagerank" -> pagerankOracle,
+    "q107_mmr_rerank" -> mmrOracle,
 
     "q100_bm25_topk" ->
       s"""WITH $bm25OracleCtes

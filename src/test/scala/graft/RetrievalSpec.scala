@@ -95,6 +95,38 @@ class RetrievalSpec extends SparkSpec {
     assert(out.head.getDouble(3) == 3.0, out.head.toString)
   }
 
+  test("mmr re-rank demotes a near-duplicate of the top pick") {
+    import spark.implicits._
+    // docs 1 and 2 are verbatim copies (cos=1); doc 3 is unrelated.
+    // Relevance order is 1,2,3 — diversification must pick 1,3,2.
+    val docs = docsDF(
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha beta gamma delta",
+      3L -> "unrelated words entirely different")
+    val ranked = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L))
+      .toDF("query_id", "rank", "doc_id")
+    val out = Retrieval.mmrRerank(ranked, docs, "doc_id", "text", dim = 64, k = 3)
+      .orderBy("sel_rank")
+      .collect().map(r => (r.getLong(2), r.getLong(1)))
+    assert(out.toSeq == Seq(1L -> 1L, 2L -> 3L, 3L -> 2L),
+      s"near-dup must drop below the unrelated doc: ${out.toSeq}")
+  }
+
+  test("mmr stops when candidates run out and stays partition-invariant") {
+    import spark.implicits._
+    val docs = Tables(spark, sf).documents
+    val qs = Seq(1L -> "spark window join")
+    val bm = Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 4)
+    def picks(ranked: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame) =
+      Retrieval.mmrRerank(ranked, d, "doc_id", "text", dim = 64, k = 6)
+        .collect().map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("sel_rank"), r.getAs[Long]("doc_id"))).sorted.toSeq
+    val a = picks(bm, docs)
+    assert(a.map(_._2).max == 4, s"only 4 candidates → 4 picks despite k=6: $a")
+    val b = picks(bm.repartition(7), docs.repartition(5))
+    assert(a == b)
+  }
+
   test("rrf fusion: doc in both lists beats single-list docs; ties break by id") {
     import spark.implicits._
     val a = Seq((1L, 1L, 10L), (1L, 2L, 11L)).toDF("query_id", "rank", "doc_id")
