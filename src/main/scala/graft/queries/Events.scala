@@ -84,6 +84,34 @@ object Events {
         .orderBy($"segment", $"event_type")
     },
 
+    // windowFunnel-style sequence depth (ClickHouse's signature
+    // sequence analytic, §2.B dialect kinship): deepest
+    // view→click→purchase chain at strictly increasing timestamps
+    // within 2 h of the view anchor. Greedy earliest-next chaining is
+    // one user-key equi-join + min per stage — exact epoch-ms
+    // arithmetic, plain-SQL oracle.
+    "q108_window_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events.withColumn("tms", unix_millis($"ts"))
+      graft.operators.Funnel.windowFunnel(ev, "user_id", "tms",
+          Seq($"event_type" === "view", $"event_type" === "click",
+            $"event_type" === "purchase"),
+          windowMs = 7200000L)
+        .orderBy($"user_id")
+    },
+
+    // retention-style cohort flags: signed up, clicked after first
+    // signup, purchased after first signup — conditional aggregates
+    // over the anchor-joined frame, no per-user state.
+    "q109_retention" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events.withColumn("tms", unix_millis($"ts"))
+      graft.operators.Funnel.retention(ev, "user_id", "tms",
+          Seq($"event_type" === "signup", $"event_type" === "click",
+            $"event_type" === "purchase"))
+        .orderBy($"user_id")
+    },
+
     // JSON property extraction from the props column.
     "q52_json_extract" -> { (s, dir) =>
       import s.implicits._
@@ -167,6 +195,44 @@ object Events {
         |  AND purchase_ts <= click_ts
         |  AND purchase_ts >= click_ts - INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_ms""".stripMargin,
+
+    "q108_window_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (SELECT user_id, tms AS t1, tms AS tk FROM e WHERE event_type = 'view'),
+        |s2 AS (SELECT s.user_id, s.t1, min(n.tms) AS tk
+        |       FROM s1 s JOIN e n ON n.user_id = s.user_id
+        |         AND n.event_type = 'click'
+        |         AND n.tms > s.tk AND n.tms <= s.t1 + 7200000
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s.user_id, s.t1, min(n.tms) AS tk
+        |       FROM s2 s JOIN e n ON n.user_id = s.user_id
+        |         AND n.event_type = 'purchase'
+        |         AND n.tms > s.tk AND n.tms <= s.t1 + 7200000
+        |       GROUP BY 1, 2),
+        |lv AS (SELECT DISTINCT user_id, 1 AS lvl FROM s1
+        |       UNION ALL SELECT DISTINCT user_id, 2 FROM s2
+        |       UNION ALL SELECT DISTINCT user_id, 3 FROM s3)
+        |SELECT u.user_id, CAST(coalesce(max(lv.lvl), 0) AS BIGINT) AS funnel_level
+        |FROM u LEFT JOIN lv ON u.user_id = lv.user_id
+        |GROUP BY 1
+        |ORDER BY u.user_id""".stripMargin,
+
+    "q109_retention" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |a AS (SELECT user_id, min(tms) AS t0 FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1)
+        |SELECT u.user_id,
+        |  (a.user_id IS NOT NULL) AS r0,
+        |  coalesce(bool_or(e.event_type = 'click'
+        |    AND a.t0 IS NOT NULL AND e.tms > a.t0), FALSE) AS r1,
+        |  coalesce(bool_or(e.event_type = 'purchase'
+        |    AND a.t0 IS NOT NULL AND e.tms > a.t0), FALSE) AS r2
+        |FROM u LEFT JOIN a ON u.user_id = a.user_id
+        |LEFT JOIN e ON u.user_id = e.user_id
+        |GROUP BY 1, 2
+        |ORDER BY u.user_id""".stripMargin,
 
     "q52_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
