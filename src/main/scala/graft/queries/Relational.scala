@@ -380,6 +380,49 @@ object Relational {
         .orderBy($"l_returnflag")
     },
 
+    // quantileExactWeighted-style weighted median (ClickHouse dialect
+    // kinship): smallest price whose cumulative quantity-weight
+    // reaches half the group total. Exact DECIMAL cumulative sums;
+    // the half-total test is `cum·2 >= total` (no decimal division),
+    // so both engines agree bit-for-bit.
+    "q110_weighted_median" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byVal = Tables(s, dir).lineitem
+        .groupBy($"l_returnflag", graft.Parity.dec2($"l_extendedprice").as("v"))
+        .agg(sum(graft.Parity.dec2($"l_quantity")).as("w"))
+      val win = Window.partitionBy($"l_returnflag").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byVal
+        .withColumn("cum", sum($"w").over(win))
+        .withColumn("tw", sum($"w").over(Window.partitionBy($"l_returnflag")))
+        .filter($"cum" * 2 >= $"tw")
+        .groupBy($"l_returnflag")
+        .agg(min($"v").cast("double").as("wmedian"))
+        .orderBy($"l_returnflag")
+    },
+
+    // varSamp/stddevSamp from exact decimal moments: Σx and Σx² are
+    // order-free DECIMAL sums (the Parity.sumD pattern extended to
+    // second moments), combined in a FIXED double expression tree —
+    // n·Σx² − (Σx)² over n(n−1), then one sqrt — so the result is
+    // bit-identical across engines and shuffle schedules, unlike
+    // native float stddev.
+    "q111_exact_moments" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(graft.Parity.dec2($"l_quantity")).as("sx"),
+          sum(graft.Parity.dec2($"l_quantity") * graft.Parity.dec2($"l_quantity")).as("sx2"))
+        .select($"l_returnflag", $"n",
+          (($"n".cast("double") * $"sx2".cast("double") -
+            $"sx".cast("double") * $"sx".cast("double")) /
+            ($"n" * ($"n" - 1)).cast("double")).as("var_samp"))
+        .withColumn("stddev_samp", sqrt($"var_samp"))
+        .orderBy($"l_returnflag")
+    },
+
     // Calendar generation + gap-filling: a generated month dimension
     // left-joined to order counts — months with no orders surface as
     // zeros instead of silently missing (sequence/explode = the
@@ -748,6 +791,37 @@ object Relational {
         | round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
         |FROM lineitem
         |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q110_weighted_median" ->
+      """WITH bv AS (SELECT l_returnflag,
+        |              CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |              sum(CAST(l_quantity AS DECIMAL(18,2))) AS w
+        |            FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v,
+        |        sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        |      FROM bv)
+        |SELECT l_returnflag, CAST(min(v) AS DOUBLE) AS wmedian
+        |FROM c WHERE cum * 2 >= tw
+        |GROUP BY 1
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q111_exact_moments" ->
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |             sum(CAST(l_quantity AS DECIMAL(18,2))
+        |               * CAST(l_quantity AS DECIMAL(18,2))) AS sx2
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / CAST(n * (n - 1) AS DOUBLE) AS var_samp,
+        |  sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / CAST(n * (n - 1) AS DOUBLE)) AS stddev_samp
+        |FROM m
         |ORDER BY l_returnflag""".stripMargin,
 
     "q63_calendar_gapfill" ->
