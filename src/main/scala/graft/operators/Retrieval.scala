@@ -61,8 +61,21 @@ object Retrieval {
     * @return (query_id, rank, doc_id, score_fp) — rank 1-based by
     *         (score desc, doc_id asc).
     */
+  /** @param maxDfFraction stop-term guard: query terms whose document
+    *                       frequency exceeds this fraction of the
+    *                       corpus are skipped entirely (both candidate
+    *                       generation and scoring). At 100 TB a single
+    *                       stopword-like query term would otherwise
+    *                       pull nearly every document into the
+    *                       candidate shuffle for a term whose idf
+    *                       contribution is negligible anyway. 1.0 (the
+    *                       default) disables the guard; the cutoff is
+    *                       the exact integer test `df·1e6 <= frac·1e6·N`
+    *                       so an oracle can mirror it.
+    */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-      queries: Seq[(Long, String)], k: Int): DataFrame = {
+      queries: Seq[(Long, String)], k: Int,
+      maxDfFraction: Double = 1.0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -89,10 +102,12 @@ object Retrieval {
       .select($"query_id", explode(split($"qtext", " ")).as("term"))
       .distinct()
 
+    val dfCutoff = math.round(maxDfFraction * 1000000L)
     postings
       .join(broadcast(qterms), "term") // inverted-index probe: prunes to candidate docs
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
+      .filter($"df" * 1000000L <= lit(dfCutoff) * $"n_docs")
       .select($"query_id", $"doc_id",
         expr(s"""((2*n_docs - 2*df + 1) * 22 * tf * avgdl * ${Scale}L)
                  div ((2*df + 1) * (10*tf*avgdl + 3*avgdl + 9*len))""")
@@ -202,14 +217,20 @@ object Retrieval {
       textCol: String, dim: Int, k: Int): DataFrame = {
     val spark = ranked.sparkSession
     import spark.implicits._
+    // the shortlist is k·queries rows — collapse to one partition so
+    // every greedy round is a single-task job, not 32 shuffle tasks
     val cand = ranked.select($"query_id", $"doc_id",
-      expr(s"${MmrScale}L div rank").as("rel_fp")).localCheckpoint()
-    // candidate pair similarities: join candidate docs' sparse hashed
-    // vectors on bucket — k²-bounded per query, corpus never self-joins
-    val dv = hashedVectors(docs, idCol, textCol, dim)
-    val dn = dv.groupBy($"id").agg(sum($"c" * $"c").as("norm2"))
-    val cv = cand.select($"query_id", $"doc_id")
-      .join(dv.withColumnRenamed("id", "doc_id"), "doc_id")
+      expr(s"${MmrScale}L div rank").as("rel_fp")).coalesce(1).localCheckpoint()
+    // candidate pair similarities: ONE corpus tokenize pass, semi-join
+    // pruned to the shortlist docs, then a bucket join between the
+    // tiny candidate vectors — k²-bounded per query, corpus never
+    // self-joins and is never scanned twice
+    val cdv = hashedVectors(docs, idCol, textCol, dim)
+      .withColumnRenamed("id", "doc_id")
+      .join(cand.select($"doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .coalesce(1).localCheckpoint()
+    val dn = cdv.groupBy($"doc_id").agg(sum($"c" * $"c").as("norm2"))
+    val cv = cand.select($"query_id", $"doc_id").join(cdv, "doc_id")
     val halfSims = cv.as("x").join(cv.as("y"),
         col("x.query_id") === col("y.query_id") &&
           col("x.bucket") === col("y.bucket") &&
@@ -217,16 +238,18 @@ object Retrieval {
       .groupBy(col("x.query_id").as("query_id"),
         col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(sum(col("x.c") * col("y.c")).as("dot"))
-      .join(dn.select($"id".as("a"), $"norm2".as("na")), "a")
-      .join(dn.select($"id".as("b"), $"norm2".as("nb")), "b")
+      .join(dn.select($"doc_id".as("a"), $"norm2".as("na")), "a")
+      .join(dn.select($"doc_id".as("b"), $"norm2".as("nb")), "b")
       .select($"query_id", $"a", $"b",
         expr(s"(dot * dot * ${MmrScale}L) div (na * nb)").as("sim_fp"))
     val sims = halfSims.unionAll(
         halfSims.select($"query_id", $"b".as("a"), $"a".as("b"), $"sim_fp"))
-      .localCheckpoint()
+      .coalesce(1).localCheckpoint()
 
-    // greedy: seed with rank 1, then k−1 marginal-argmax rounds
-    var selected = ranked.filter($"rank" === 1)
+    // greedy: seed with rank 1 (the unique rel_fp == MmrScale row,
+    // read from the CHECKPOINTED shortlist so the upstream retrieval
+    // chain executes exactly once), then k−1 marginal-argmax rounds
+    var selected = cand.filter($"rel_fp" === MmrScale)
       .select($"query_id", $"doc_id", lit(1L).as("sel_rank"))
     var t = 2
     while (t <= k) {
@@ -242,7 +265,7 @@ object Retrieval {
         .groupBy($"query_id")
         .agg(max(struct($"mmr", (-$"doc_id").as("neg"))).as("best"))
         .select($"query_id", (-$"best.neg").as("doc_id"), lit(t.toLong).as("sel_rank"))
-      selected = selected.unionAll(next).localCheckpoint()
+      selected = selected.unionAll(next).coalesce(1).localCheckpoint()
       t += 1
     }
     selected

@@ -788,6 +788,29 @@ object Pipeline {
         .orderBy($"query_id", $"sel_rank")
     },
 
+    // Corpus-fit quality score: mean corpus frequency of the doc's
+    // token bigrams — the KenLM-style "familiarity" heuristic with the
+    // transcendental log dropped, so it stays one exact-integer
+    // division and fully SQL-oracled. Bigram counts are vocab²-bounded
+    // → broadcast; the corpus is touched by one tokenize pass.
+    "q112_bigram_familiarity" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables(s, dir).documents
+        .select($"doc_id", split($"text", " ").as("t"))
+        .filter(size($"t") >= 2)
+      val bg = toks.select($"doc_id", explode(zip_with(
+          slice($"t", lit(1), size($"t") - 1),
+          slice($"t", lit(2), size($"t") - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      val cnt = bg.groupBy($"bg").agg(count(lit(1)).as("c"))
+      bg.join(broadcast(cnt), "bg")
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("fam_sum"), count(lit(1)).as("n_bg"))
+        .select($"doc_id", $"fam_sum",
+          ($"fam_sum".cast("double") / $"n_bg").as("familiarity"))
+        .orderBy($"doc_id")
+    },
+
     // Per-source cap — mixture balancing: at most 10 docs per source,
     // deterministic doc_id order.
     "q78_stratified_cap" -> { (s, dir) =>
@@ -1053,6 +1076,17 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     "q105_pagerank" -> pagerankOracle,
     "q107_mmr_rerank" -> mmrOracle,
+
+    "q112_bigram_familiarity" ->
+      """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+        |bg AS (SELECT doc_id, sp[i.g] || ' ' || sp[i.g+1] AS bg
+        |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-1)) AS g) i),
+        |c AS (SELECT bg, count(*) AS c FROM bg GROUP BY 1)
+        |SELECT b.doc_id, CAST(sum(c.c) AS BIGINT) AS fam_sum,
+        |  CAST(CAST(sum(c.c) AS BIGINT) AS DOUBLE) / count(*) AS familiarity
+        |FROM bg b JOIN c USING (bg)
+        |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q100_bm25_topk" ->
       s"""WITH $bm25OracleCtes

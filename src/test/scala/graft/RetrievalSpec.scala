@@ -127,6 +127,25 @@ class RetrievalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bm25 stop-term guard skips high-df terms without touching the rest") {
+    import spark.implicits._
+    val docs = Tables(spark, sf).documents
+    val qs = Seq(1L -> "dup the join") // rare + stopword-ish + common
+    // guard off == default behavior
+    val full = Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 10)
+    val off = Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 10,
+      maxDfFraction = 1.0)
+    assert(full.collect().toSet == off.collect().toSet)
+    // at 10% max df only "dup" (df≈5% of docs) survives: the guarded
+    // result must equal querying for the rare term alone
+    val guarded = Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 10,
+      maxDfFraction = 0.10)
+    val rareOnly = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq(1L -> "dup"), k = 10)
+    assert(guarded.collect().toSet == rareOnly.collect().toSet,
+      "guard must drop exactly the high-df terms")
+  }
+
   test("rrf fusion: doc in both lists beats single-list docs; ties break by id") {
     import spark.implicits._
     val a = Seq((1L, 1L, 10L), (1L, 2L, 11L)).toDF("query_id", "rank", "doc_id")
