@@ -380,6 +380,26 @@ object Relational {
         .orderBy($"l_returnflag")
     },
 
+    // FULL OUTER join completeness gate: BUILDING-segment customers
+    // against per-customer order rollups — unmatched rows survive on
+    // BOTH sides (customers with no orders; orders whose customer is
+    // outside the dim slice), sentinel-coalesced for a stable compare.
+    "q113_full_outer_join" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val od = t.orders.groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.Parity.sumD($"o_totalprice").as("total"))
+      val dim = t.customer.filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey", $"c_name")
+      dim.join(od, $"c_custkey" === $"o_custkey", "full_outer")
+        .select(coalesce($"c_custkey", $"o_custkey").as("custkey"),
+          coalesce($"c_name", lit("<none>")).as("c_name"),
+          coalesce($"n_orders", lit(0L)).as("n_orders"),
+          coalesce($"total", lit(0.0)).as("total"))
+        .orderBy($"custkey")
+    },
+
     // quantileExactWeighted-style weighted median (ClickHouse dialect
     // kinship): smallest price whose cumulative quantity-weight
     // reaches half the group total. Exact DECIMAL cumulative sums;
@@ -792,6 +812,19 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q113_full_outer_join" ->
+      """WITH od AS (SELECT o_custkey, count(*) AS n_orders,
+        |              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |            FROM orders GROUP BY 1),
+        |dim AS (SELECT c_custkey, c_name FROM customer
+        |        WHERE c_mktsegment = 'BUILDING')
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  coalesce(c_name, '<none>') AS c_name,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(total, 0.0) AS total
+        |FROM dim FULL OUTER JOIN od ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
 
     "q110_weighted_median" ->
       """WITH bv AS (SELECT l_returnflag,
