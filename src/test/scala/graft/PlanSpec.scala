@@ -200,6 +200,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"ranking must not window the corpus:\n$p")
   }
 
+  test("windowFunnel stages are keyed equi-joins, not windows or nested loops") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sf).events.withColumn("tms", unix_millis(col("ts")))
+    val p = plan(graft.operators.Funnel.windowFunnel(ev, "user_id", "tms",
+      Seq(col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase"), windowMs = 7200000L))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"stage chaining must be user-keyed equi-joins:\n$p")
+    assert(!p.contains("Window"), s"no per-user window scan expected:\n$p")
+  }
+
   test("temperature mixture keeps quotas broadcast and selection k-bounded") {
     import graft.operators.Sampling
     import org.apache.spark.sql.functions._
