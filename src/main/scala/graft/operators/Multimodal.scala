@@ -873,6 +873,16 @@ object Multimodal {
     while (j < 4) { w8(j * 85); w8(j * 85); w8(j * 85); j += 1 }
   }
 
+  /** Per-thread LZW dictionary scratch: codes + generation stamps
+    * over the (cur << 8 | px) key space (cur < 4096, px < 256 →
+    * 2^20 slots). A generation bump IS the dictionary clear — no
+    * per-frame allocation or fill, and no boxed HashMap on the
+    * encode hot path (the q95/q104 bench top cost).
+    */
+  private val lzwScratch =
+    ThreadLocal.withInitial[(Array[Int], Array[Int], Array[Int])](() =>
+      (new Array[Int](1 << 20), new Array[Int](1 << 20), Array(0)))
+
   /** One full-screen image block: descriptor + REAL LZW encode of the
     * pixel stream (the genuine algorithm — prefix-table growth, width
     * bumps at `next == 2^width + 1`, clear-code reset at 4096), so
@@ -913,7 +923,9 @@ object Multimodal {
       firstCode = false
     }
     var next = end + 1
-    val table = new java.util.HashMap[Int, Integer]() // (cur<<8 | px) -> code
+    val (codes, stamps, genBox) = lzwScratch.get() // (cur<<8 | px) -> code
+    genBox(0) += 1
+    var gen = genBox(0)
     putCode(clear, width)
     val n = w.toLong * h
     var cur = pixelAt(0L)
@@ -921,15 +933,14 @@ object Multimodal {
     while (i < n) {
       val px = pixelAt(i)
       val key = (cur << 8) | px
-      val hit = table.get(key)
-      if (hit != null) cur = hit.intValue()
+      if (stamps(key) == gen) cur = codes(key)
       else {
         emitMirrored(cur)
         if (next < 4096) {
-          table.put(key, next); next += 1
+          codes(key) = next; stamps(key) = gen; next += 1
         } else { // dictionary full: clear and start over
           emitMirrored(clear)
-          table.clear(); next = end + 1
+          genBox(0) += 1; gen = genBox(0); next = end + 1
           width = minCode + 1; decRC = end + 1; firstCode = true
         }
         cur = px
