@@ -413,9 +413,12 @@ object Relational {
         .agg(sum(graft.Parity.dec2($"l_quantity")).as("w"))
       val win = Window.partitionBy($"l_returnflag").orderBy($"v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // group totals as a broadcast join, not a second whole-group
+      // window pass over the sorted frame
+      val totals = byVal.groupBy($"l_returnflag").agg(sum($"w").as("tw"))
       byVal
         .withColumn("cum", sum($"w").over(win))
-        .withColumn("tw", sum($"w").over(Window.partitionBy($"l_returnflag")))
+        .join(broadcast(totals), "l_returnflag")
         .filter($"cum" * 2 >= $"tw")
         .groupBy($"l_returnflag")
         .agg(min($"v").cast("double").as("wmedian"))
