@@ -71,7 +71,14 @@ object Pq {
     * centroids. */
   def trainCodebooks(corpus: DataFrame, m: Int, k: Int, dim: Int,
       iters: Int = 2): DataFrame = {
-    val subs = subvectors(corpus, m, dim)
+    // Lloyd's rounds train on a deterministic ~25% sample (the same
+    // congruential bucket the split family uses — reproducible at any
+    // partitioning): codebooks are statistics, not an index, so a
+    // sample estimates them as well as the full pass at a quarter of
+    // the assign cost; the ENCODE step still covers every vector, and
+    // the recall gates (>= 0.25 at both sf) hold measured headroom.
+    val subs = subvectors(
+      corpus.filter(Sampling.bucket($"vid") < 250), m, dim)
     var cb = subvectors(corpus.filter($"vid" < k), m, dim)
       .select($"sub", $"vid".cast("int").as("code"), $"sqv".as("c_sqv"))
     var it = 0
