@@ -60,6 +60,50 @@ object Funnel {
       .agg(coalesce(max(col("lvl")), lit(0L)).as("funnel_level"))
   }
 
+  /** `sequenceMatch`-style chaining with a PER-STEP gap bound: stage
+    * k+1 must fire strictly after SOME reachable stage-k event and
+    * within `gapMs` of it. Unlike [[windowFunnel]]'s stage-1-anchored
+    * window, greedy earliest-next is WRONG here — minimizing t_k
+    * tightens t_{k+1}'s upper bound, so a later stage-k event can
+    * enable a chain the earliest one cannot. Correctness needs full
+    * reachability: each stage keeps EVERY event with a qualifying
+    * predecessor (a user-keyed join + distinct per stage — bounded by
+    * per-user events per stage, the same co-partitioned shape).
+    *
+    * @return (user_id, match_depth): deepest stage any chain reaches,
+    *         0 when stage 1 never fires.
+    */
+  def sequenceMatch(events: DataFrame, userCol: String, tmsCol: String,
+      stages: Seq[Column], gapMs: Long): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage predicate")
+    val users = events.select(col(userCol).as("user_id")).distinct()
+    val stageFrames = Seq.newBuilder[DataFrame]
+    var reach = events.filter(stages.head)
+      .select(col(userCol).as("user_id"), col(tmsCol).cast("long").as("tms"))
+      .distinct()
+    stageFrames += reach
+    var k = 1
+    while (k < stages.length) {
+      val nxt = events.filter(stages(k))
+        .select(col(userCol).as("user_id"), col(tmsCol).cast("long").as("nts"))
+      reach = nxt.join(reach, Seq("user_id"))
+        .filter(col("nts") > col("tms") && col("nts") <= col("tms") + gapMs)
+        .select(col("user_id"), col("nts").as("tms"))
+        .distinct()
+      stageFrames += reach
+      k += 1
+    }
+    val levels = stageFrames.result().zipWithIndex
+      .map { case (df, i) =>
+        df.select(col("user_id")).distinct()
+          .withColumn("lvl", lit((i + 1).toLong))
+      }
+      .reduce(_ unionAll _)
+    users.join(levels, Seq("user_id"), "left")
+      .groupBy(col("user_id"))
+      .agg(coalesce(max(col("lvl")), lit(0L)).as("match_depth"))
+  }
+
   /** `retention`-style cohort flags per user: `did(0)` is whether the
     * anchor condition ever fired; `did(i)` whether condition `i` fired
     * STRICTLY AFTER the user's first anchor event (our documented

@@ -112,6 +112,20 @@ object Events {
         .orderBy($"user_id")
     },
 
+    // sequenceMatch-style chaining with a PER-STEP 30-minute gap:
+    // reachability propagation (every qualifying event survives each
+    // stage), because greedy earliest-next is provably wrong under
+    // per-step bounds — FunnelSpec pins the distinguishing case.
+    "q114_sequence_match" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events.withColumn("tms", unix_millis($"ts"))
+      graft.operators.Funnel.sequenceMatch(ev, "user_id", "tms",
+          Seq($"event_type" === "view", $"event_type" === "click",
+            $"event_type" === "purchase"),
+          gapMs = 1800000L)
+        .orderBy($"user_id")
+    },
+
     // JSON property extraction from the props column.
     "q52_json_extract" -> { (s, dir) =>
       import s.implicits._
@@ -195,6 +209,26 @@ object Events {
         |  AND purchase_ts <= click_ts
         |  AND purchase_ts >= click_ts - INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_ms""".stripMargin,
+
+    "q114_sequence_match" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |r1 AS (SELECT DISTINCT user_id, tms FROM e WHERE event_type = 'view'),
+        |r2 AS (SELECT DISTINCT n.user_id, n.tms
+        |       FROM e n JOIN r1 p ON n.user_id = p.user_id
+        |         AND n.event_type = 'click'
+        |         AND n.tms > p.tms AND n.tms <= p.tms + 1800000),
+        |r3 AS (SELECT DISTINCT n.user_id, n.tms
+        |       FROM e n JOIN r2 p ON n.user_id = p.user_id
+        |         AND n.event_type = 'purchase'
+        |         AND n.tms > p.tms AND n.tms <= p.tms + 1800000),
+        |lv AS (SELECT DISTINCT user_id, 1 AS lvl FROM r1
+        |       UNION ALL SELECT DISTINCT user_id, 2 FROM r2
+        |       UNION ALL SELECT DISTINCT user_id, 3 FROM r3)
+        |SELECT u.user_id, CAST(coalesce(max(lv.lvl), 0) AS BIGINT) AS match_depth
+        |FROM u LEFT JOIN lv ON u.user_id = lv.user_id
+        |GROUP BY 1
+        |ORDER BY u.user_id""".stripMargin,
 
     "q108_window_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),

@@ -44,6 +44,34 @@ class FunnelSpec extends SparkSpec {
     assert(funnel(df) == Map(1L -> 3L))
   }
 
+  test("sequenceMatch: a later stage-k event enables chains greedy-min would miss") {
+    import spark.implicits._
+    // greedy earliest-next takes b@5, then finds no c in (5, 45];
+    // reachability keeps b@30 too, which chains c@60 (60 <= 30+40)
+    val df = ev(
+      (1L, "a", 0L), (1L, "b", 5L), (1L, "b", 30L), (1L, "c", 60L))
+    val got = Funnel.sequenceMatch(df, "user_id", "tms",
+        Seq($"event_type" === "a", $"event_type" === "b", $"event_type" === "c"),
+        gapMs = 40L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L), s"reachability must find the b@30 chain: $got")
+    // sanity: the anchored-window funnel with window 40 cannot reach c@60
+    assert(funnel(df, windowMs = 40L) == Map(1L -> 2L))
+  }
+
+  test("sequenceMatch: per-step gap bounds each hop, not the whole chain") {
+    import spark.implicits._
+    // chain spans 0 -> 90 -> 180: every hop <= 100 but total > 100 —
+    // legal under per-step gaps, illegal under an anchored window
+    val df = ev((1L, "a", 0L), (1L, "b", 90L), (1L, "c", 180L))
+    val got = Funnel.sequenceMatch(df, "user_id", "tms",
+        Seq($"event_type" === "a", $"event_type" === "b", $"event_type" === "c"),
+        gapMs = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L))
+    assert(funnel(df, windowMs = 100L) == Map(1L -> 2L))
+  }
+
   test("retention: steps count only strictly after the first anchor") {
     import spark.implicits._
     val df = ev(
