@@ -427,10 +427,20 @@ object Multimodal {
     * grayscale): None/Sub/Up/Average/Paeth. Returns the reconstructed
     * pixel sum; None on an unknown filter type.
     */
-  private def pngDefilter(raw: Array[Byte], w: Int, h: Int): Option[Long] = {
+  private def pngDefilter(raw: Array[Byte], w: Int, h: Int): Option[Long] =
+    pngDefilterPixels(raw, w, h).map { px =>
+      var s = 0L; var i = 0
+      while (i < px.length) { s += px(i); i += 1 }
+      s
+    }
+
+  /** Filter reconstruction returning the pixel grid itself (row-major
+    * w×h) — the APNG compositor needs values, not just the checksum.
+    */
+  private def pngDefilterPixels(raw: Array[Byte], w: Int, h: Int): Option[Array[Int]] = {
     val prev = new Array[Int](w)
     val cur = new Array[Int](w)
-    var sum = 0L
+    val out = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       val ft = raw(y * (w + 1)) & 0xff
@@ -454,12 +464,12 @@ object Multimodal {
               else if (pb <= pc) above else ul
             (f + pred) & 0xff
         }
-        cur(x) = rec; sum += rec; x += 1
+        cur(x) = rec; out(y * w + x) = rec; x += 1
       }
       System.arraycopy(cur, 0, prev, 0, w)
       y += 1
     }
-    Some(sum)
+    Some(out)
   }
 
   /** Deterministic PNG synthesis (write-side counterpart of
@@ -491,6 +501,27 @@ object Multimodal {
     */
   def synthesizeApng(w: Int, h: Int, seed: Long, frames: Int): Array[Byte] = {
     require(frames >= 1, "frames must be >= 1")
+    synthesizeApngRegions(w, h, seed, frames, subRects = false)
+  }
+
+  /** The deterministic sub-rectangle geometry frame `f >= 1` patches
+    * in region mode: a half-size rect sliding with `f`.
+    */
+  def apngRect(w: Int, h: Int, f: Int): (Int, Int, Int, Int) = {
+    val wf = math.max(1, w / 2); val hf = math.max(1, h / 2)
+    ((f % (w - wf + 1)), ((2 * f) % (h - hf + 1)), wf, hf)
+  }
+
+  /** APNG synthesis with optional SUB-RECTANGLE frames (the shape real
+    * APNGs use): with `subRects`, frame `f >= 1` patches only
+    * [[apngRect]]'s region, its pixels carrying the same
+    * global-coordinate formula `(seed + f + gx + gy) mod 251` — so
+    * the composited canvas has a closed form (each pixel shows the
+    * LATEST frame covering it).
+    */
+  def synthesizeApngRegions(w: Int, h: Int, seed: Long, frames: Int,
+      subRects: Boolean): Array[Byte] = {
+    require(frames >= 1, "frames must be >= 1")
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte), 0, 8)
@@ -498,18 +529,21 @@ object Multimodal {
       Array[Byte](8, 0, 0, 0, 0))
     pngChunk(out, "acTL", pngBe32(frames.toLong) ++ pngBe32(0L)) // plays=0: loop forever
     var seq = 0
-    def fctl(): Unit = { // full-frame: offsets 0, delay 1/10s, dispose/blend 0
+    def fctl(x: Int, y: Int, fw: Int, fh: Int): Unit = { // delay 1/10s, dispose/blend 0
       pngChunk(out, "fcTL", pngBe32(seq.toLong) ++
-        pngBe32(w.toLong) ++ pngBe32(h.toLong) ++ pngBe32(0L) ++ pngBe32(0L) ++
+        pngBe32(fw.toLong) ++ pngBe32(fh.toLong) ++
+        pngBe32(x.toLong) ++ pngBe32(y.toLong) ++
         Array[Byte](0, 1, 0, 10, 0, 0))
       seq += 1
     }
     var f = 0
     while (f < frames) {
-      fctl()
       val ff = f
-      val dat = deflateBytes(pngFilteredRaw(w, h,
-        (x, y) => (((seed + ff + x + y) % 251 + 251) % 251).toInt))
+      val (x0, y0, fw, fh) =
+        if (ff == 0 || !subRects) (0, 0, w, h) else apngRect(w, h, ff)
+      fctl(x0, y0, fw, fh)
+      val dat = deflateBytes(pngFilteredRaw(fw, fh,
+        (px, py) => (((seed + ff + (x0 + px) + (y0 + py)) % 251 + 251) % 251).toInt))
       if (f == 0) pngChunk(out, "IDAT", dat)
       else { pngChunk(out, "fdAT", pngBe32(seq.toLong) ++ dat); seq += 1 }
       f += 1
@@ -588,9 +622,12 @@ object Multimodal {
     * the fcTL count, per-frame zlib streams (IDAT concat for frame 0,
     * fdAT concat per later frame — consecutive fdAT chunks of one
     * frame merge by chunk order) inflated and filter-reconstructed
-    * individually. Returns (w, h, frame count, total pixel sum,
-    * Σ (frame_idx+1)·frame_sum); a plain single-image PNG (no acTL)
-    * returns None — it is not an animation.
+    * individually, then COMPOSITED onto the canvas (dispose=none,
+    * blend=source; later frames may patch any in-bounds fcTL
+    * sub-rectangle). Returns (w, h, frame count, Σ canvas-sum-after-
+    * each-frame, Σ (frame_idx+1)·canvas_sum) — full-frame streams
+    * degenerate to per-frame content sums. A plain single-image PNG
+    * (no acTL) returns None — it is not an animation.
     */
   def decodeApng(p: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
     val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
@@ -604,6 +641,7 @@ object Multimodal {
     var seenIhdr = false; var seenIend = false
     var declared = -1
     val streams = scala.collection.mutable.ArrayBuffer.empty[java.io.ByteArrayOutputStream]
+    val rects = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
     while (!seenIend) {
       if (o + 12 > p.length) return None
       val len = be32(o)
@@ -624,10 +662,17 @@ object Multimodal {
           if (len != 8) return None
           declared = be32(o + 8).toInt
         case "fcTL" =>
-          // full-frame animations only: fcTL geometry must match IHDR
           if (len != 26) return None
-          if (be32(o + 12).toInt != w || be32(o + 16).toInt != h ||
-            be32(o + 20) != 0L || be32(o + 24) != 0L) return None
+          val fw = be32(o + 12).toInt; val fh = be32(o + 16).toInt
+          val fx = be32(o + 20).toInt; val fy = be32(o + 24).toInt
+          // the first frame must cover the canvas (APNG: the default
+          // image's fcTL has x=y=0 and full dimensions); later frames
+          // may patch any in-bounds sub-rectangle
+          if (rects.isEmpty && (fw != w || fh != h || fx != 0 || fy != 0))
+            return None
+          if (fw <= 0 || fh <= 0 || fx < 0 || fy < 0 ||
+            fx + fw > w || fy + fh > h) return None
+          rects += ((fx, fy, fw, fh))
           streams += new java.io.ByteArrayOutputStream()
         case "IDAT" =>
           if (streams.isEmpty) return None // animation frames need an fcTL
@@ -642,17 +687,36 @@ object Multimodal {
     }
     if (!seenIhdr || w <= 0 || h <= 0) return None
     if (declared <= 0 || declared != streams.length) return None
+    // composite (dispose=none, blend=source): each frame overwrites
+    // its region; the per-frame contribution is the CANVAS sum after
+    // rendering, so a mis-placed or mis-sized patch changes every
+    // later frame's term — for full-frame streams this degenerates to
+    // the frame's own content sum
+    val canvas = new Array[Int](w * h)
     var sum = 0L
     var weighted = 0L
     var f = 0
     while (f < streams.length) {
-      val fs = pngInflate(streams(f).toByteArray, (w + 1) * h)
-        .flatMap(raw => pngDefilter(raw, w, h)) match {
-        case Some(s) => s
+      val (fx, fy, fw, fh) = rects(f)
+      val patch = pngInflate(streams(f).toByteArray, (fw + 1) * fh)
+        .flatMap(raw => pngDefilterPixels(raw, fw, fh)) match {
+        case Some(px) => px
         case None => return None
       }
-      sum += fs
-      weighted += (f + 1).toLong * fs
+      var py = 0
+      while (py < fh) {
+        var px = 0
+        while (px < fw) {
+          canvas((fy + py) * w + (fx + px)) = patch(py * fw + px)
+          px += 1
+        }
+        py += 1
+      }
+      var cs = 0L
+      var i = 0
+      while (i < canvas.length) { cs += canvas(i); i += 1 }
+      sum += cs
+      weighted += (f + 1).toLong * cs
       f += 1
     }
     Some((w, h, declared, sum, weighted))

@@ -700,6 +700,28 @@ object Pipeline {
         .orderBy($"node")
     },
 
+    // APNG with SUB-RECTANGLE frames (the shape real APNGs use):
+    // frame f >= 1 patches a sliding half-size region and the decoder
+    // composites (dispose=none, blend=source). The gate checks the
+    // canvas sum AFTER EVERY frame — each pixel must show the latest
+    // frame covering it, which the oracle derives per (pixel, frame)
+    // from the deterministic rect geometry.
+    "q115_apng_regions" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir).documents
+        .filter($"doc_id" % 2 === 1)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          Multimodal.MediaRow(id, Multimodal.synthesizeApngRegions(
+            w = 1 + (id % 32).toInt, h = 1 + ((id * 5) % 24).toInt,
+            seed = id, frames = 1 + (id % 3).toInt, subRects = true))
+        }).toDF()
+      Multimodal.probeAnimation(s, media).toDF()
+        .select($"doc_id", $"kind", $"n_frames".cast("long").as("n_frames"),
+          $"pix_sum", $"frame_weighted")
+        .orderBy($"doc_id")
+    },
+
     // The full curation funnel (lang → quality → exact dedup →
     // decontamination) with per-stage audit counts — every dropped doc
     // accounted to the stage that dropped it.
@@ -1584,6 +1606,35 @@ object Pipeline {
         |   + CASE WHEN n % 4 >= 3 THEN (doc_id + 2) % 4 ELSE 0 END
         |  AS BIGINT) AS pix_sum
         |FROM n
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeApngRegions + the compositor: each pixel of
+    // the frame-f canvas shows the LATEST f2 <= f whose rect covers it
+    // (f2=0 is full-frame; f2>=1 is the sliding half-size rect), value
+    // (doc_id + fcov + x + y) mod 251
+    "q115_apng_regions" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 32 AS w,
+        |             1 + (doc_id * 5) % 24 AS h, 1 + doc_id % 3 AS nf
+        |           FROM documents WHERE doc_id % 2 = 1),
+        |g AS (SELECT doc_id, w, h, nf, f.f AS f, x.i AS x, y.i AS y
+        |      FROM d,
+        |      LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f,
+        |      LATERAL (SELECT unnest(generate_series(0, w - 1)) AS i) x,
+        |      LATERAL (SELECT unnest(generate_series(0, h - 1)) AS i) y),
+        |cov AS (SELECT doc_id, nf, f, x, y, max(f2.f2) AS fcov
+        |        FROM g, LATERAL (SELECT unnest(generate_series(0, f)) AS f2) f2
+        |        WHERE f2.f2 = 0 OR (
+        |          x >= f2.f2 % (w - greatest(1, w // 2) + 1)
+        |          AND x < f2.f2 % (w - greatest(1, w // 2) + 1) + greatest(1, w // 2)
+        |          AND y >= (2 * f2.f2) % (h - greatest(1, h // 2) + 1)
+        |          AND y < (2 * f2.f2) % (h - greatest(1, h // 2) + 1) + greatest(1, h // 2))
+        |        GROUP BY 1, 2, 3, 4, 5),
+        |cs AS (SELECT doc_id, nf, f, sum((doc_id + fcov + x + y) % 251) AS s
+        |       FROM cov GROUP BY 1, 2, 3)
+        |SELECT doc_id, 'apng' AS kind, CAST(max(nf) AS BIGINT) AS n_frames,
+        |  CAST(sum(s) AS BIGINT) AS pix_sum,
+        |  CAST(sum((f + 1) * s) AS BIGINT) AS frame_weighted
+        |FROM cs GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     // mirrors synthesizeGifAnim/synthesizeApng: GIF frame f sums the

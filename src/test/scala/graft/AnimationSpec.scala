@@ -73,6 +73,52 @@ class AnimationSpec extends AnyFunSuite {
       .contains((16, 12, apngFrameSum(16, 12, 5L, 0))))
   }
 
+  test("APNG sub-rectangle frames composite correctly (canvas simulation)") {
+    for {
+      (w, h) <- Seq((1, 1), (9, 7), (32, 24))
+      frames <- Seq(1, 2, 4)
+    } {
+      val apng = Multimodal.synthesizeApngRegions(w, h, seed = 21L, frames,
+        subRects = true)
+      // independent canvas simulation of dispose=none/blend=source
+      val canvas = Array.fill(w * h)(0)
+      var sum = 0L; var weighted = 0L
+      for (f <- 0 until frames) {
+        val (x0, y0, fw, fh) =
+          if (f == 0) (0, 0, w, h) else Multimodal.apngRect(w, h, f)
+        for (py <- 0 until fh; px <- 0 until fw)
+          canvas((y0 + py) * w + (x0 + px)) =
+            (((21L + f + (x0 + px) + (y0 + py)) % 251 + 251) % 251).toInt
+        val cs = canvas.map(_.toLong).sum
+        sum += cs; weighted += (f + 1) * cs
+      }
+      assert(Multimodal.decodeApng(apng).contains((w, h, frames, sum, weighted)),
+        s"w=$w h=$h frames=$frames")
+    }
+  }
+
+  test("APNG: an out-of-bounds fcTL rect is rejected") {
+    val apng = Multimodal.synthesizeApngRegions(10, 8, seed = 3L, frames = 2,
+      subRects = true)
+    // fcTL layout: len(4) type(4) seq(4) w(4) h(4) x(4) y(4) ...
+    // find the second fcTL and push its x offset past the canvas
+    def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    var o = 8; var fctlSeen = 0; var secondFctl = -1
+    while (o + 8 < apng.length && secondFctl < 0) {
+      val len = be32(apng, o).toInt
+      val t = new String(apng, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (t == "fcTL") { fctlSeen += 1; if (fctlSeen == 2) secondFctl = o }
+      if (secondFctl < 0) o += 12 + len
+    }
+    assert(secondFctl > 0, "payload must contain a second fcTL")
+    val bad = apng.clone()
+    bad(secondFctl + 8 + 12 + 3) = 9 // x_offset low byte: 9 + width 5 > 10
+    // CRC now mismatches too — either way the decoder must refuse
+    assert(Multimodal.decodeApng(bad).isEmpty)
+  }
+
   test("APNG integrity: lying acTL count and corrupted chunks are rejected") {
     val apng = Multimodal.synthesizeApng(10, 8, seed = 2L, frames = 2)
     // acTL body starts after sig(8) + IHDR chunk(12+13): len(4)+type(4)
