@@ -119,6 +119,68 @@ object Retrieval {
         $"score".cast("long").as("score_fp")) // < 2^53: the long round-trips exactly
   }
 
+  /** Build the BM25 index ONCE as persisted tables — the
+    * build-vs-probe separation that lets repeated query batches skip
+    * the corpus tokenize pass entirely. Postings and document
+    * frequencies are BUCKETED BY TERM (the BucketingSpec pattern), so
+    * an open-vocabulary probe that joins them term-to-term needs no
+    * exchange on either side; corpus stats are a 1-row table.
+    *
+    * @param db pre-created database to write `postings` / `dfreq` /
+    *           `stats` into (caller owns its location + lifecycle).
+    */
+  def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      db: String, buckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    val postings = toks
+      .select($"doc_id", size($"toks").cast("long").as("len"),
+        explode($"toks").as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), first($"len").as("len"))
+    postings.write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(s"$db.postings")
+    spark.table(s"$db.postings")
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(s"$db.dfreq")
+    toks.agg(count(lit(1)).as("n_docs"),
+        sum(size($"toks").cast("long")).as("tot_len"))
+      .select($"n_docs",
+        expr("(2 * tot_len + n_docs) div (2 * n_docs)").as("avgdl"))
+      .write.mode("overwrite").saveAsTable(s"$db.stats")
+  }
+
+  /** BM25 probe over a [[buildBm25Index]] index: identical scoring
+    * and output contract to [[bm25TopK]], but the corpus is never
+    * touched — the plan reads the bucketed postings, broadcasts the
+    * query terms, and df joins bucket-to-bucket with no exchange.
+    */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, db: String,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    import spark.implicits._
+    val qterms = queries.toDF("query_id", "qtext")
+      .select($"query_id", explode(split($"qtext", " ")).as("term"))
+      .distinct()
+    spark.table(s"$db.postings")
+      .join(broadcast(qterms), "term")
+      .join(spark.table(s"$db.dfreq"), "term")
+      .crossJoin(broadcast(spark.table(s"$db.stats")))
+      .select($"query_id", $"doc_id",
+        expr(s"""((2*n_docs - 2*df + 1) * 22 * tf * avgdl * ${Scale}L)
+                 div ((2*df + 1) * (10*tf*avgdl + 3*avgdl + 9*len))""")
+          .as("term_score"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"term_score").as("score_fp"))
+      .transform(topKByScore(k, $"score_fp", $"doc_id", $"query_id"))
+      .select($"query_id", $"rank", $"doc_id",
+        $"score".cast("long").as("score_fp"))
+  }
+
   /** Feature-hashing (hashing-trick) vectorizer bucket for a token:
     * a position-weighted code-point sum mod `dim`. Pure arithmetic on
     * BIGINTs — any engine (the oracle included) recomputes it exactly;

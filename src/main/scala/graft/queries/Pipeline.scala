@@ -767,6 +767,34 @@ object Pipeline {
         .orderBy($"query_id", $"rank")
     },
 
+    // BM25 over a PERSISTED index: postings/df bucketed by term,
+    // built once, probed without touching the corpus — the index
+    // build-vs-probe separation for repeated query batches at 100 TB.
+    // Output contract (and oracle) identical to q100; the index lives
+    // in a per-run temp database dropped as soon as the probe result
+    // is materialized.
+    "q116_bm25_indexed" -> { (s, dir) =>
+      import s.implicits._
+      val db = "bm25idx_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val loc = java.nio.file.Files.createTempDirectory("graft_bm25idx_").toString
+      s.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+      try {
+        graft.operators.Retrieval.buildBm25Index(
+          Tables(s, dir).documents, "doc_id", "text", db)
+        graft.operators.Retrieval.bm25TopKIndexed(s, db, retrievalQueries, k = 10)
+          .orderBy($"query_id", $"rank")
+          .localCheckpoint() // materialize before the index is dropped
+      } finally {
+        s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+        def rm(p: java.io.File): Unit = {
+          val kids = p.listFiles()
+          if (kids != null) kids.foreach(rm)
+          p.delete(); ()
+        }
+        rm(new java.io.File(loc))
+      }
+    },
+
     // Hybrid retrieval: reciprocal-rank fusion (K=60) of the BM25 and
     // hashed-vector top-10 lists — contributions are exact fixed-point
     // integers (RrfScale div (60+rank)), fused by exact BIGINT sum.
@@ -1111,6 +1139,13 @@ object Pipeline {
         |ORDER BY doc_id""".stripMargin,
 
     "q100_bm25_topk" ->
+      s"""WITH $bm25OracleCtes
+         |SELECT query_id, rank, doc_id, score_fp FROM bmr
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // identical contract to q100 — the index is an execution detail
+    "q116_bm25_indexed" ->
       s"""WITH $bm25OracleCtes
          |SELECT query_id, rank, doc_id, score_fp FROM bmr
          |WHERE rank <= 10

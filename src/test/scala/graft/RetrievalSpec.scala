@@ -146,6 +146,31 @@ class RetrievalSpec extends SparkSpec {
       "guard must drop exactly the high-df terms")
   }
 
+  test("indexed BM25 equals the direct path and probes without re-tokenizing") {
+    import spark.implicits._
+    val docs = Tables(spark, sf).documents
+    val qs = Seq(1L -> "spark window join", 2L -> "dup query scan")
+    val db = "bm25idx_spec"
+    val loc = java.nio.file.Files.createTempDirectory("graft-bm25idx-spec").toString
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+    try {
+      Retrieval.buildBm25Index(docs, "doc_id", "text", db)
+      val indexed = Retrieval.bm25TopKIndexed(spark, db, qs, k = 10)
+      val direct = Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 10)
+      assert(indexed.collect().toSet == direct.collect().toSet)
+      val p = indexed.queryExecution.executedPlan.toString
+      // the probe must read the persisted bucketed index, not the
+      // corpus (the 2-row query literal still tokenizes its qtext)
+      assert(!p.contains("split(text"), s"probe must not re-tokenize the corpus:\n$p")
+      assert(p.contains("Bucketed: true"), s"postings scan must be bucketed:\n$p")
+      assert(!p.toLowerCase.contains("documents.parquet"),
+        s"probe must not scan the corpus:\n$p")
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+
   test("rrf fusion: doc in both lists beats single-list docs; ties break by id") {
     import spark.implicits._
     val a = Seq((1L, 1L, 10L), (1L, 2L, 11L)).toDF("query_id", "rank", "doc_id")
