@@ -49,7 +49,13 @@ object Bench {
     // pause / janino compile (which min also is) AND to a one-off
     // lucky cache hit (which min is not) — round-over-round totals
     // stop swinging with single-pass machine-load noise
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional subset (bisection / regression hunts): SPARK_GRAFT_MAX_Q=99
+    // keeps only queries numbered <= N, so a historical round's exact
+    // query set can be re-timed in isolation on the current jar.
+    val maxQ = sys.env.get("SPARK_GRAFT_MAX_Q").map(_.toInt)
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
+      maxQ.forall(m => n.drop(1).takeWhile(_.isDigit).toInt <= m)
+    }
     val passes = (1 to 3).map(_ => names.map(n => n -> runOnce(n)).toMap)
     val results = names.map { n =>
       val ts = passes.map(_(n)).filter(_ >= 0).sorted

@@ -102,10 +102,16 @@ object Retrieval {
       .select($"query_id", explode(split($"qtext", " ")).as("term"))
       .distinct()
 
+    // only QUERY-term df rows are broadcast: dfreq is vocabulary-sized
+    // (open vocabulary at 100 TB — broadcasting it whole would OOM the
+    // driver), but semi-joined to the human-scale query terms it is
+    // ≤ |query terms| rows
+    val qdf = dfreq.join(qterms.select($"term").distinct(),
+      Seq("term"), "left_semi")
     val dfCutoff = math.round(maxDfFraction * 1000000L)
     postings
       .join(broadcast(qterms), "term") // inverted-index probe: prunes to candidate docs
-      .join(broadcast(dfreq), "term")
+      .join(broadcast(qdf), "term")
       .crossJoin(broadcast(stats))
       .filter($"df" * 1000000L <= lit(dfCutoff) * $"n_docs")
       .select($"query_id", $"doc_id",
@@ -199,6 +205,11 @@ object Retrieval {
       dim: Int): DataFrame =
     df.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("term"))
+      // drop zero-length tokens (consecutive/leading/trailing spaces):
+      // Spark's aggregate over split("","") yields bucket 0 while a
+      // SQL list_sum over an empty list yields NULL — filtering both
+      // sides keeps engine and oracle identical on ragged whitespace
+      .filter(length(col("term")) > 0)
       .select(col("id"), tokenBucket(col("term"), dim).as("bucket"))
       .groupBy(col("id"), col("bucket"))
       .agg(count(lit(1)).as("c"))
@@ -264,25 +275,32 @@ object Retrieval {
     * λ = 1/2 so the marginal score is `rel − maxSimToSelected`), so a
     * plain-SQL oracle re-derives every greedy step.
     *
-    * Scale shape: the shortlist is k-bounded per query (candidate
-    * pair-sims are ≤ k² tiny rows per query, built by a bucket
-    * equi-join on the candidates only), and each greedy step is one
-    * bounded join + a `max(struct)` argmax — `k−1` short rounds with
-    * `localCheckpoint` keeping the plan flat, never touching the
-    * corpus again.
+    * Scale shape: the shortlist is k-bounded per query and the
+    * candidate pair-sims are ≤ k²/2 tiny rows per query (built by a
+    * bucket equi-join on the candidates only, never a corpus
+    * self-join). The greedy itself is partition-local: one
+    * `groupByKey(query_id)` shuffle co-locates each query's rel rows
+    * and sims, and `flatMapGroups` runs all k marginal-argmax steps in
+    * memory (state ≤ k rels + k²/2 sims) — one job, embarrassingly
+    * parallel across queries, no driver-paced rounds. This is the one
+    * operator where typed `mapGroups` beats the relational
+    * formulation: the loop-carried dependency between greedy steps is
+    * k-bounded per key, so expressing it as k−1 separate jobs would
+    * serialize every query through the driver's job scheduler.
     *
     * @param ranked fused shortlist (query_id, rank, doc_id).
     * @param k      number of diversified picks (greedy steps).
-    * @return (query_id, sel_rank, doc_id) — sel_rank 1-based pick order.
+    * @return (query_id, doc_id, sel_rank) — sel_rank 1-based pick order.
     */
   def mmrRerank(ranked: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, dim: Int, k: Int): DataFrame = {
     val spark = ranked.sparkSession
     import spark.implicits._
-    // the shortlist is k·queries rows — collapse to one partition so
-    // every greedy round is a single-task job, not 32 shuffle tasks
+    // checkpoint the k-bounded shortlist once so the upstream
+    // retrieval chain executes exactly once (it feeds the greedy
+    // input, the corpus semi-join, and the pair join below)
     val cand = ranked.select($"query_id", $"doc_id",
-      expr(s"${MmrScale}L div rank").as("rel_fp")).coalesce(1).localCheckpoint()
+      expr(s"${MmrScale}L div rank").as("rel_fp")).localCheckpoint()
     // candidate pair similarities: ONE corpus tokenize pass, semi-join
     // pruned to the shortlist docs, then a bucket join between the
     // tiny candidate vectors — k²-bounded per query, corpus never
@@ -290,7 +308,7 @@ object Retrieval {
     val cdv = hashedVectors(docs, idCol, textCol, dim)
       .withColumnRenamed("id", "doc_id")
       .join(cand.select($"doc_id").distinct(), Seq("doc_id"), "left_semi")
-      .coalesce(1).localCheckpoint()
+      .localCheckpoint()
     val dn = cdv.groupBy($"doc_id").agg(sum($"c" * $"c").as("norm2"))
     val cv = cand.select($"query_id", $"doc_id").join(cdv, "doc_id")
     val halfSims = cv.as("x").join(cv.as("y"),
@@ -304,33 +322,54 @@ object Retrieval {
       .join(dn.select($"doc_id".as("b"), $"norm2".as("nb")), "b")
       .select($"query_id", $"a", $"b",
         expr(s"(dot * dot * ${MmrScale}L) div (na * nb)").as("sim_fp"))
-    val sims = halfSims.unionAll(
-        halfSims.select($"query_id", $"b".as("a"), $"a".as("b"), $"sim_fp"))
-      .coalesce(1).localCheckpoint()
 
-    // greedy: seed with rank 1 (the unique rel_fp == MmrScale row,
-    // read from the CHECKPOINTED shortlist so the upstream retrieval
-    // chain executes exactly once), then k−1 marginal-argmax rounds
-    var selected = cand.filter($"rel_fp" === MmrScale)
-      .select($"query_id", $"doc_id", lit(1L).as("sel_rank"))
-    var t = 2
-    while (t <= k) {
-      val remaining = cand.join(selected, Seq("query_id", "doc_id"), "left_anti")
-      val pen = remaining.as("r")
-        .join(selected.select($"query_id", $"doc_id".as("sel_doc")), "query_id")
-        .join(sims.select($"query_id", $"a".as("doc_id"), $"b".as("sel_doc"),
-          $"sim_fp"), Seq("query_id", "doc_id", "sel_doc"), "left")
-        .groupBy($"query_id", $"doc_id", $"rel_fp")
-        .agg(max(coalesce($"sim_fp", lit(0L))).as("pen"))
-      val next = pen
-        .select($"query_id", ($"rel_fp" - $"pen").as("mmr"), $"doc_id")
-        .groupBy($"query_id")
-        .agg(max(struct($"mmr", (-$"doc_id").as("neg"))).as("best"))
-        .select($"query_id", (-$"best.neg").as("doc_id"), lit(t.toLong).as("sel_rank"))
-      selected = selected.unionAll(next).coalesce(1).localCheckpoint()
-      t += 1
-    }
-    selected
+    // unify rel rows (kind 0) and pair sims (kind 1), co-locate per
+    // query, and run the whole greedy in memory. Sims are stored
+    // a<b-half only; the in-memory lookup checks both orders.
+    val unified = cand.select($"query_id", lit(0).as("kind"),
+        $"doc_id".as("a"), lit(0L).as("b"), $"rel_fp".as("v"))
+      .unionAll(halfSims.select($"query_id", lit(1).as("kind"),
+        $"a", $"b", $"sim_fp".as("v")))
+      .as[(Long, Int, Long, Long, Long)]
+    unified.groupByKey(_._1).flatMapGroups { (qid, rows) =>
+      val rel = scala.collection.mutable.HashMap.empty[Long, Long]
+      val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      rows.foreach { case (_, kind, a, b, v) =>
+        if (kind == 0) rel(a) = v else sim((a, b)) = v
+      }
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      // seed with rank 1 (the unique rel_fp == MmrScale row)
+      val seed = rel.collect { case (d, r) if r == MmrScale => d }
+      if (seed.nonEmpty) {
+        val selected = scala.collection.mutable.ArrayBuffer(seed.min)
+        out += ((qid, selected.head, 1L))
+        var t = 2
+        while (t <= k && selected.size < rel.size) {
+          // argmax of (rel − maxSimToSelected, −doc): ties → smaller id,
+          // exactly max(struct(mmr, −doc_id)) in the relational form
+          var bestDoc = 0L
+          var bestMmr = Long.MinValue
+          var first = true
+          rel.foreach { case (d, r) =>
+            if (!selected.contains(d)) {
+              var pen = 0L
+              selected.foreach { s =>
+                val sv = sim.getOrElse((d, s), sim.getOrElse((s, d), 0L))
+                if (sv > pen) pen = sv
+              }
+              val m = r - pen
+              if (first || m > bestMmr || (m == bestMmr && d < bestDoc)) {
+                bestMmr = m; bestDoc = d; first = false
+              }
+            }
+          }
+          selected += bestDoc
+          out += ((qid, bestDoc, t.toLong))
+          t += 1
+        }
+      }
+      out.result().iterator
+    }.toDF("query_id", "doc_id", "sel_rank")
   }
 
   /** Shared k-bounded ranking tail: TopKAgg per group + posexplode to

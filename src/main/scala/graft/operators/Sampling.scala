@@ -110,7 +110,10 @@ object Sampling {
     * (broadcast); selection is the k-bounded [[graft.functions.TopKAgg]]
     * on `-(bucket·2^40 + key)` — one shuffle of (group, key, ord)
     * triples, map-side k-bounded, no corpus-wide window. Requires
-    * `0 <= key < 2^40` so the packed order fits a double exactly.
+    * `0 <= key < 2^40` so the packed order fits a double exactly —
+    * ENFORCED: a key outside the range raises (`assert_true` folded
+    * into the order expression) rather than silently mis-packing the
+    * order and producing a plausible-looking but wrong mix.
     */
   def temperatureMixture(df: DataFrame, groupCol: String, keyCol: String,
       weight: Column, totalK: Int): DataFrame = {
@@ -121,7 +124,16 @@ object Sampling {
     val tot = isq.agg(sum(col("isq")).as("tot"))
     val quotas = isq.crossJoin(broadcast(tot))
       .select(col("grp"), expr(s"(${totalK}L * isq) div tot").as("quota"))
-    val ord = bucket(col(keyCol)) * (1L << 40) + col(keyCol)
+    // precondition check rides the order expression itself (an unused
+    // side column would be pruned by Catalyst): assert_true yields
+    // NULL when the key is in range, so the added term is 0
+    val inRange = col(keyCol) >= 0 && col(keyCol) < (1L << 40)
+    val chk = coalesce(
+      assert_true(inRange,
+        concat(lit(s"temperatureMixture requires 0 <= $keyCol < 2^40, got "),
+          col(keyCol).cast("string"))).cast("long"),
+      lit(0L))
+    val ord = bucket(col(keyCol)) * (1L << 40) + col(keyCol) + chk
     df.select(col(groupCol).as("grp"), col(keyCol).as("id"), ord.as("ord"))
       .groupBy(col("grp"))
       .agg(graft.functions.TopKAgg.topk_by_score(

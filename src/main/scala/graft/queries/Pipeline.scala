@@ -841,8 +841,11 @@ object Pipeline {
     // Corpus-fit quality score: mean corpus frequency of the doc's
     // token bigrams — the KenLM-style "familiarity" heuristic with the
     // transcendental log dropped, so it stays one exact-integer
-    // division and fully SQL-oracled. Bigram counts are vocab²-bounded
-    // → broadcast; the corpus is touched by one tokenize pass.
+    // division and fully SQL-oracled. The count join stays a shuffle
+    // join on the bigram key (cnt is derived from bg by the same key,
+    // so the exchange is reused): at 100 TB the bigram vocabulary is
+    // open-ended — broadcasting it would OOM the driver; AQE still
+    // demotes to broadcast when the table is actually small.
     "q112_bigram_familiarity" -> { (s, dir) =>
       import s.implicits._
       val toks = Tables(s, dir).documents
@@ -853,7 +856,7 @@ object Pipeline {
           slice($"t", lit(2), size($"t") - 1),
           (a, b) => concat(a, lit(" "), b))).as("bg"))
       val cnt = bg.groupBy($"bg").agg(count(lit(1)).as("c"))
-      bg.join(broadcast(cnt), "bg")
+      bg.join(cnt, "bg")
         .groupBy($"doc_id")
         .agg(sum($"c").as("fam_sum"), count(lit(1)).as("n_bg"))
         .select($"doc_id", $"fam_sum",
@@ -1018,13 +1021,15 @@ object Pipeline {
     val bucket =
       "CAST(list_sum([ascii(substr(t,i,1))*i for i in range(1,length(t)+1)]) % 64 AS BIGINT)"
     s"""q2(query_id, qtext) AS (VALUES $retrievalQueryValues),
-       |dt AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+       |dt0 AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+       |dt AS (SELECT * FROM dt0 WHERE length(t) > 0),
        |db0 AS (SELECT doc_id, $bucket AS bucket FROM dt),
        |db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
        |       FROM db0 GROUP BY 1, 2),
        |dn AS (SELECT doc_id, CAST(sum(c*c) AS BIGINT) AS norm2 FROM db GROUP BY 1),
-       |qt0 AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+       |qt1 AS (SELECT CAST(query_id AS BIGINT) AS query_id,
        |          unnest(string_split(qtext,' ')) AS t FROM q2),
+       |qt0 AS (SELECT * FROM qt1 WHERE length(t) > 0),
        |qb0 AS (SELECT query_id, $bucket AS bucket FROM qt0),
        |qb AS (SELECT query_id, bucket, CAST(count(*) AS BIGINT) AS qc
        |       FROM qb0 GROUP BY 1, 2),

@@ -59,6 +59,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bigRanks.toSet == expect, s"got ${bigRanks.toSet}, want $expect")
   }
 
+  test("temperature mixture rejects keys outside [0, 2^40) loudly") {
+    import spark.implicits._
+    val bad = Seq(("a", 1L << 41, 5L), ("a", 1L, 5L))
+      .toDF("source", "doc_id", "w")
+    val e = intercept[Exception] {
+      Sampling.temperatureMixture(bad, "source", "doc_id", $"w", totalK = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("2^40") ||
+      Option(e.getCause).exists(_.getMessage.contains("2^40")),
+      s"violation must fail loudly, not mis-sample: ${e.getMessage}")
+  }
+
   test("deterministic split is a pure function of the key") {
     val docs = Tables(spark, sf).documents
     val a = Sampling.withSplit(docs, "doc_id")

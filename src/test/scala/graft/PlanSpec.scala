@@ -211,6 +211,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no per-user window scan expected:\n$p")
   }
 
+  test("mmr greedy is partition-local: one mapGroups, job count independent of k") {
+    import graft.operators.Retrieval
+    val docs = Tables(spark, sf).documents
+    val qs = Seq(1L -> "spark window join", 2L -> "dup scan")
+    def run(k: Int): Int = {
+      val sc = spark.sparkContext
+      val group = s"mmr-jobs-k$k"
+      sc.setJobGroup(group, group)
+      try {
+        val bm = Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 10)
+        val out = Retrieval.mmrRerank(bm, docs, "doc_id", "text", dim = 64, k = k)
+        assert(out.queryExecution.executedPlan.toString.contains("MapGroups"),
+          "greedy must run inside a partition-local mapGroups")
+        out.write.mode("overwrite").format("noop").save()
+        sc.statusTracker.getJobIdsForGroup(group).length
+      } finally sc.clearJobGroup()
+    }
+    val (j2, j6) = (run(2), run(6))
+    // the old formulation paid >= 1 driver job + checkpoint per greedy
+    // round; partition-local greedy must not scale jobs with k
+    assert(j2 == j6, s"driver job count must not grow with k: k=2 -> $j2, k=6 -> $j6")
+  }
+
   test("temperature mixture keeps quotas broadcast and selection k-bounded") {
     import graft.operators.Sampling
     import org.apache.spark.sql.functions._

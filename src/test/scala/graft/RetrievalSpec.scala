@@ -13,6 +13,19 @@ class RetrievalSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("hashed vectors drop zero-length tokens from ragged whitespace") {
+    import spark.implicits._
+    // "alpha  beta" (double space) splits into ["alpha", "", "beta"]:
+    // the empty token must not contribute a bucket-0 count, so the
+    // ragged doc vectorizes identically to its clean twin (and to what
+    // a SQL oracle's empty-list sum would produce)
+    val ragged = Retrieval.hashedVectors(
+      docsDF(1L -> " alpha  beta "), "doc_id", "text", dim = 64)
+    val clean = Retrieval.hashedVectors(
+      docsDF(1L -> "alpha beta"), "doc_id", "text", dim = 64)
+    assert(ragged.collect().toSet == clean.collect().toSet)
+  }
+
   test("bm25: rare-term match outranks common-term match (idf)") {
     // "zebra" appears in 1 of 4 docs, "cat" in 3 of 4 — equal tf and
     // equal length, so ranking is pure idf
