@@ -275,18 +275,20 @@ object Retrieval {
     * λ = 1/2 so the marginal score is `rel − maxSimToSelected`), so a
     * plain-SQL oracle re-derives every greedy step.
     *
-    * Scale shape: the shortlist is k-bounded per query and the
-    * candidate pair-sims are ≤ k²/2 tiny rows per query (built by a
-    * bucket equi-join on the candidates only, never a corpus
-    * self-join). The greedy itself is partition-local: one
-    * `groupByKey(query_id)` shuffle co-locates each query's rel rows
-    * and sims, and `flatMapGroups` runs all k marginal-argmax steps in
-    * memory (state ≤ k rels + k²/2 sims) — one job, embarrassingly
-    * parallel across queries, no driver-paced rounds. This is the one
-    * operator where typed `mapGroups` beats the relational
-    * formulation: the loop-carried dependency between greedy steps is
-    * k-bounded per key, so expressing it as k−1 separate jobs would
-    * serialize every query through the driver's job scheduler.
+    * Scale shape: the shortlist is k-bounded per query; the corpus is
+    * filtered to the shortlist docs BEFORE vectorizing (broadcast
+    * semi-join — never a corpus-wide tokenize for k·|queries| rows,
+    * never a corpus self-join). The greedy itself is partition-local:
+    * one `groupByKey(query_id)` shuffle co-locates each query's rel
+    * rows and candidate vectors, and `flatMapGroups` runs the k²/2
+    * pair cosines plus all k marginal-argmax steps in memory (state
+    * per query ≤ k rels + k·dim sparse vector entries) — one job,
+    * embarrassingly parallel across queries, no driver-paced rounds.
+    * This is the one operator where typed `mapGroups` beats the
+    * relational formulation: the loop-carried dependency between
+    * greedy steps is k-bounded per key, so expressing it as k−1
+    * separate jobs would serialize every query through the driver's
+    * job scheduler.
     *
     * @param ranked fused shortlist (query_id, rank, doc_id).
     * @param k      number of diversified picks (greedy steps).
@@ -298,44 +300,60 @@ object Retrieval {
     import spark.implicits._
     // checkpoint the k-bounded shortlist once so the upstream
     // retrieval chain executes exactly once (it feeds the greedy
-    // input, the corpus semi-join, and the pair join below)
+    // input and the shortlist-doc filter below)
     val cand = ranked.select($"query_id", $"doc_id",
       expr(s"${MmrScale}L div rank").as("rel_fp")).localCheckpoint()
-    // candidate pair similarities: ONE corpus tokenize pass, semi-join
-    // pruned to the shortlist docs, then a bucket join between the
-    // tiny candidate vectors — k²-bounded per query, corpus never
-    // self-joins and is never scanned twice
-    val cdv = hashedVectors(docs, idCol, textCol, dim)
+    // candidate vectors: the corpus is FILTERED to the k·|queries|
+    // shortlist docs BEFORE tokenizing (broadcast semi-join on the
+    // checkpointed ids — at 100 TB the scan prunes to the shortlist
+    // instead of vectorizing the whole corpus to keep 50 rows), then
+    // replicated per query by the shortlist join
+    val ids = cand.select($"doc_id") // no distinct: semi-join dedups
+    val cdv = hashedVectors(
+        docs.join(broadcast(ids.withColumnRenamed("doc_id", idCol)),
+          Seq(idCol), "left_semi"),
+        idCol, textCol, dim)
       .withColumnRenamed("id", "doc_id")
-      .join(cand.select($"doc_id").distinct(), Seq("doc_id"), "left_semi")
-      .localCheckpoint()
-    val dn = cdv.groupBy($"doc_id").agg(sum($"c" * $"c").as("norm2"))
-    val cv = cand.select($"query_id", $"doc_id").join(cdv, "doc_id")
-    val halfSims = cv.as("x").join(cv.as("y"),
-        col("x.query_id") === col("y.query_id") &&
-          col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.query_id").as("query_id"),
-        col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(sum(col("x.c") * col("y.c")).as("dot"))
-      .join(dn.select($"doc_id".as("a"), $"norm2".as("na")), "a")
-      .join(dn.select($"doc_id".as("b"), $"norm2".as("nb")), "b")
-      .select($"query_id", $"a", $"b",
-        expr(s"(dot * dot * ${MmrScale}L) div (na * nb)").as("sim_fp"))
+    val cv = cand.select($"query_id", $"doc_id").join(broadcast(cdv), "doc_id")
 
-    // unify rel rows (kind 0) and pair sims (kind 1), co-locate per
-    // query, and run the whole greedy in memory. Sims are stored
-    // a<b-half only; the in-memory lookup checks both orders.
+    // unify rel rows (kind 0) and vector entries (kind 1), co-locate
+    // per query, and run the whole greedy in memory — pair cosines
+    // included: with ≤ k vectors of ≤ dim sparse entries per query,
+    // the k²/2 dots are cheaper in-task than as a self-join plan
+    // (state per query ≤ k rels + k·dim vector entries). sim_fp is
+    // the SAME exact integer expression the relational form used:
+    // (dot²·MmrScale) floorDiv (na·nb), every operand < 2^63.
     val unified = cand.select($"query_id", lit(0).as("kind"),
         $"doc_id".as("a"), lit(0L).as("b"), $"rel_fp".as("v"))
-      .unionAll(halfSims.select($"query_id", lit(1).as("kind"),
-        $"a", $"b", $"sim_fp".as("v")))
+      .unionAll(cv.select($"query_id", lit(1).as("kind"),
+        $"doc_id".as("a"), $"bucket".as("b"), $"c".as("v")))
       .as[(Long, Int, Long, Long, Long)]
     unified.groupByKey(_._1).flatMapGroups { (qid, rows) =>
       val rel = scala.collection.mutable.HashMap.empty[Long, Long]
-      val sim = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      val vec = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.HashMap[Long, Long]]
       rows.foreach { case (_, kind, a, b, v) =>
-        if (kind == 0) rel(a) = v else sim((a, b)) = v
+        if (kind == 0) rel(a) = v
+        else vec.getOrElseUpdate(a,
+          scala.collection.mutable.HashMap.empty[Long, Long])(b) = v
+      }
+      val norm = vec.map { case (d, m) =>
+        d -> m.valuesIterator.map(c => c * c).sum
+      }
+      val simMemo = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      def simFp(x: Long, y: Long): Long = {
+        val key = if (x < y) (x, y) else (y, x)
+        simMemo.getOrElseUpdate(key, {
+          (vec.get(x), vec.get(y)) match {
+            case (Some(mx), Some(my)) =>
+              val (small, large) = if (mx.size <= my.size) (mx, my) else (my, mx)
+              var dot = 0L
+              small.foreach { case (b, c) => dot += c * large.getOrElse(b, 0L) }
+              val den = norm(x) * norm(y)
+              if (den == 0L) 0L else Math.floorDiv(dot * dot * MmrScale, den)
+            case _ => 0L
+          }
+        })
       }
       val out = Seq.newBuilder[(Long, Long, Long)]
       // seed with rank 1 (the unique rel_fp == MmrScale row)
@@ -354,7 +372,7 @@ object Retrieval {
             if (!selected.contains(d)) {
               var pen = 0L
               selected.foreach { s =>
-                val sv = sim.getOrElse((d, s), sim.getOrElse((s, d), 0L))
+                val sv = simFp(d, s)
                 if (sv > pen) pen = sv
               }
               val m = r - pen

@@ -63,7 +63,7 @@ object Pipeline {
     * human-scale queries spanning common terms, the one rare corpus
     * term ("dup" — the high-idf probe), and stopword-ish terms.
     */
-  private val retrievalQueries: Seq[(Long, String)] = Seq(
+  private[graft] val retrievalQueries: Seq[(Long, String)] = Seq(
     1L -> "spark window join",
     2L -> "dup query scan",
     3L -> "hash table merge sort",
