@@ -41,6 +41,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    val loadBefore =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0)
+      catch { case _: Throwable => "-1" }
     // warmup: touch every table + run one representative query
     Tables(spark, sfDir).frames.foreach { case (_, df) => df.count() }
     runOnce("q01_agg_pricing_summary")
@@ -76,9 +80,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","agg":"median3","queries":$qs,"sf":"$sfDir"}"""
+    // load context: 1-min loadavg before/after the run — the round-9
+    // bisect traced a +26% cross-round total swing to machine/session
+    // drift (same jar, same queries, different day), so totals are
+    // only comparable alongside their load context
+    def load1: String =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0)
+      catch { case _: Throwable => "-1" }
+    val loadAfter = load1
     val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{\"queries\":{", ",",
-        s"""},"total":${r3(total)},"agg":"median3","sf":"$sfDir"}""")
+        s"""},"total":${r3(total)},"agg":"median3","sf":"$sfDir"""" +
+          s""","load1_before":$loadBefore,"load1_after":$loadAfter}""")
     try {
       val p = java.nio.file.Paths.get("docs/bench_detail.json")
       java.nio.file.Files.createDirectories(p.getParent)
