@@ -72,6 +72,28 @@ class FunnelSpec extends SparkSpec {
     assert(funnel(df, windowMs = 100L) == Map(1L -> 2L))
   }
 
+  test("a 100k-event-per-stage bot user streams through without a join blowup") {
+    import spark.implicits._
+    // 300k events for ONE user: 100k per stage, interleaved so full
+    // chains exist. The old per-stage user joins built |stage-k| x
+    // |reachable| (1e10) intermediate rows here; the sorted scan is
+    // O(events * stages) and must finish promptly.
+    val bot = (0 until 100000).flatMap { i =>
+      val t = i.toLong * 10
+      Seq((7L, "a", t), (7L, "b", t + 3), (7L, "c", t + 6))
+    }
+    val df = bot.toDF("user_id", "event_type", "tms")
+    val t0 = System.nanoTime()
+    assert(funnel(df) == Map(7L -> 3L))
+    val gotSeq = Funnel.sequenceMatch(df, "user_id", "tms",
+        Seq($"event_type" === "a", $"event_type" === "b", $"event_type" === "c"),
+        gapMs = 5L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotSeq == Map(7L -> 3L))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, f"bot user took $secs%.1f s - fanout is back")
+  }
+
   test("retention: steps count only strictly after the first anchor") {
     import spark.implicits._
     val df = ev(

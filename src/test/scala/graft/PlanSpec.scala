@@ -200,15 +200,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"ranking must not window the corpus:\n$p")
   }
 
-  test("windowFunnel stages are keyed equi-joins, not windows or nested loops") {
+  test("windowFunnel is one user-keyed sorted scan, no joins between event-sized frames") {
     import org.apache.spark.sql.functions._
     val ev = Tables(spark, sf).events.withColumn("tms", unix_millis(col("ts")))
     val p = plan(graft.operators.Funnel.windowFunnel(ev, "user_id", "tms",
       Seq(col("event_type") === "view", col("event_type") === "click",
         col("event_type") === "purchase"), windowMs = 7200000L))
+    assert(p.contains("MapPartitions"),
+      s"depth must come from the streaming per-user scan:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"stage chaining must be user-keyed equi-joins:\n$p")
+      s"no unbounded joins:\n$p")
     assert(!p.contains("Window"), s"no per-user window scan expected:\n$p")
+    // skew guard: exactly one join in the whole plan (the user-level
+    // left join that restores level-0 users) — per-stage event joins,
+    // whose per-user fanout was |stage-k| x |reachable|, are gone
+    assert("Join".r.findAllIn(p).size <= 2, s"event-sized joins crept back:\n$p")
   }
 
   test("mmr greedy is partition-local: one mapGroups, job count independent of k") {
