@@ -125,6 +125,150 @@ object Retrieval {
         $"score".cast("long").as("score_fp")) // < 2^53: the long round-trips exactly
   }
 
+  /** Static WAND-style pruned BM25 top-k — EXACTLY equal output to
+    * [[bm25TopK]] (pruning is on candidate GENERATION only; dropped
+    * terms still score every surviving candidate), with stopword-like
+    * query terms dropped per-(query, k) instead of by the stop-term
+    * guard's global df fraction.
+    *
+    * The bound: each term's max achievable score
+    * `U(t) = score(df(t), max_tf(t), min_len(t))` — the exact integer
+    * score formula evaluated at the term's best-case posting (score is
+    * monotone ↑ in tf, ↓ in len, so the pointwise max dominates every
+    * real posting). Then:
+    *   1. score the postings of each query's single highest-U term in
+    *      full (that term's postings are a superset of nobody's — any
+    *      top-k doc missing it still appears later; this round only
+    *      needs k docs to LOWER-BOUND the entry bar) → θ = the k-th
+    *      best full score, or −∞ when fewer than k docs matched;
+    *   2. drop terms, ascending by U, while ΣU(dropped) < θ strictly:
+    *      a doc containing ONLY dropped terms scores ≤ ΣU < θ, so it
+    *      cannot displace the incumbent k-th doc even on the doc-id
+    *      tie-break — dropping them as generators is lossless;
+    *   3. candidates = docs with ≥1 surviving term, scored over ALL
+    *      their query terms (dropped included) — bit-identical to the
+    *      unpruned aggregate.
+    *
+    * Scale shape: the corpus is tokenized ONCE (query-term postings
+    * are checkpointed and reused by all three rounds); candidate
+    * generation — the shuffle that dominates at 100 TB — skips the
+    * stopword posting lists entirely, which is the point of WAND. The
+    * θ round and the per-term stats are k- and vocabulary-of-the-query
+    * bounded driver probes, amortized over the whole query batch.
+    *
+    * @param onPrune diagnostic callback `(query_id, droppedTerms)`,
+    *                invoked per query (empty seq when nothing pruned).
+    */
+  def bm25TopKWand(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, String)], k: Int,
+      onPrune: (Long, Seq[String]) => Unit = (_, _) => ()): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    val postings = toks
+      .select($"doc_id", size($"toks").cast("long").as("len"),
+        explode($"toks").as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), first($"len").as("len"))
+    val stats = toks.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size($"toks").cast("long")).as("tot_len"))
+      .select($"n_docs",
+        expr("(2 * tot_len + n_docs) div (2 * n_docs)").as("avgdl"))
+    val allTerms = queries.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct
+    // ONE corpus pass: only query-term postings materialize (the same
+    // rows the unpruned candidate join would shuffle)
+    val qpost = postings
+      .join(broadcast(allTerms.toDF("term")), Seq("term"), "left_semi")
+      .localCheckpoint()
+    val termStats = qpost.groupBy($"term").agg(count(lit(1)).as("df"),
+      max($"tf").as("max_tf"), min($"len").as("min_len"))
+    wandPlan(spark, qpost, termStats, stats, queries, k, onPrune)
+  }
+
+  /** Shared WAND candidate-pruning plan over prepared frames: `qpost`
+    * = postings restricted to query terms, `termStats` = per-term
+    * (df, max_tf, min_len), `stats` = 1-row (n_docs, avgdl).
+    */
+  private def wandPlan(spark: SparkSession, qpost: DataFrame,
+      termStats: DataFrame, stats: DataFrame, queries: Seq[(Long, String)],
+      k: Int, onPrune: (Long, Seq[String]) => Unit): DataFrame = {
+    import spark.implicits._
+    val Array(st) = stats.collect()
+    val (nDocs, avgdl) = (st.getLong(0), st.getLong(1))
+    def scoreAt(df: Long, tf: Long, len: Long): Long =
+      Math.floorDiv((2 * nDocs - 2 * df + 1) * 22 * tf * avgdl * Scale,
+        (2 * df + 1) * (10 * tf * avgdl + 3 * avgdl + 9 * len))
+    val bounds = termStats.collect()
+      .map(r => r.getString(0) -> scoreAt(r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val qterms = queries.map { case (qid, text) =>
+      qid -> text.split(" ").filter(_.nonEmpty).distinct.toSeq
+        .filter(bounds.contains) // absent from the corpus = no postings
+    }
+    // round 1: the strongest term per query seeds the threshold
+    val strong: Map[Long, String] = qterms.collect {
+      case (qid, ts) if ts.nonEmpty => qid -> ts.maxBy(t => (bounds(t), t))
+    }.toMap
+    val qpairsDF = qterms.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "term")
+    val theta: Map[Long, Long] = {
+      val candA = qpost
+        .join(broadcast(strong.toSeq.toDF("query_id", "term")), "term")
+        .select($"query_id", $"doc_id")
+      fullScoresWithDf(spark, qpost, termStats, qpairsDF, nDocs, avgdl, candA)
+        .transform(topKByScore(k, $"score_fp", $"doc_id", $"query_id"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .collect { case (qid, rows) if rows.length >= k =>
+          qid -> rows.map(_.getDouble(3).toLong).min
+        }
+    }
+    // drop ascending-U terms while the dropped mass stays under θ
+    val gens = qterms.map { case (qid, ts) =>
+      val th = theta.getOrElse(qid, Long.MinValue)
+      val asc = ts.sortBy(t => (bounds(t), t))
+      var sum = 0L
+      val dropped = asc.takeWhile { t =>
+        val ok = th != Long.MinValue && sum + bounds(t) < th &&
+          !strong.get(qid).contains(t)
+        if (ok) sum += bounds(t)
+        ok
+      }
+      onPrune(qid, dropped)
+      qid -> ts.diff(dropped)
+    }
+    val genDF = gens.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("query_id", "term")
+    val cand = qpost.join(broadcast(genDF), "term")
+      .select($"query_id", $"doc_id")
+    fullScoresWithDf(spark, qpost, termStats, qpairsDF, nDocs, avgdl, cand)
+      .transform(topKByScore(k, $"score_fp", $"doc_id", $"query_id"))
+      .select($"query_id", $"rank", $"doc_id",
+        $"score".cast("long").as("score_fp"))
+  }
+
+  /** Exact BM25 sum over ALL of a candidate's query terms — the same
+    * integer expression [[bm25TopK]] emits, with df joined from the
+    * tiny per-term stats frame.
+    */
+  private def fullScoresWithDf(spark: SparkSession, qpost: DataFrame,
+      termStats: DataFrame, qpairsDF: DataFrame, nDocs: Long, avgdl: Long,
+      cand: DataFrame): DataFrame = {
+    import spark.implicits._
+    qpost
+      .join(broadcast(qpairsDF), "term")
+      .join(broadcast(termStats.select($"term", $"df")), "term")
+      .join(cand, Seq("query_id", "doc_id"), "left_semi")
+      .select($"query_id", $"doc_id",
+        expr(s"""((2*${nDocs}L - 2*df + 1) * 22 * tf * ${avgdl}L * ${Scale}L)
+                 div ((2*df + 1) * (10*tf*${avgdl}L + 3*${avgdl}L + 9*len))""")
+          .as("term_score"))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"term_score").as("score_fp"))
+  }
+
   /** Build the BM25 index ONCE as persisted tables — the
     * build-vs-probe separation that lets repeated query batches skip
     * the corpus tokenize pass entirely. Postings and document
@@ -149,8 +293,12 @@ object Retrieval {
     postings.write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .saveAsTable(s"$db.postings")
+    // block-max metadata rides the df table: each term's best-case
+    // posting (max tf, min len) bounds its max achievable score, the
+    // static-WAND pruning input the probe reads for free
     spark.table(s"$db.postings")
-      .groupBy($"term").agg(count(lit(1)).as("df"))
+      .groupBy($"term").agg(count(lit(1)).as("df"),
+        max($"tf").as("max_tf"), min($"len").as("min_len"))
       .write.mode("overwrite")
       .bucketBy(buckets, "term").sortBy("term")
       .saveAsTable(s"$db.dfreq")
@@ -163,28 +311,23 @@ object Retrieval {
 
   /** BM25 probe over a [[buildBm25Index]] index: identical scoring
     * and output contract to [[bm25TopK]], but the corpus is never
-    * touched — the plan reads the bucketed postings, broadcasts the
-    * query terms, and df joins bucket-to-bucket with no exchange.
+    * touched — the probe reads the bucketed postings/df tables, and
+    * the persisted block-max metadata drives the static-WAND
+    * candidate pruning of [[bm25TopKWand]] (exact; this is where WAND
+    * belongs in production — the bounds are precomputed at build
+    * time, so pruning costs the probe nothing extra).
     */
-  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, db: String,
+  def bm25TopKIndexed(spark: SparkSession, db: String,
       queries: Seq[(Long, String)], k: Int): DataFrame = {
     import spark.implicits._
-    val qterms = queries.toDF("query_id", "qtext")
-      .select($"query_id", explode(split($"qtext", " ")).as("term"))
-      .distinct()
-    spark.table(s"$db.postings")
-      .join(broadcast(qterms), "term")
-      .join(spark.table(s"$db.dfreq"), "term")
-      .crossJoin(broadcast(spark.table(s"$db.stats")))
-      .select($"query_id", $"doc_id",
-        expr(s"""((2*n_docs - 2*df + 1) * 22 * tf * avgdl * ${Scale}L)
-                 div ((2*df + 1) * (10*tf*avgdl + 3*avgdl + 9*len))""")
-          .as("term_score"))
-      .groupBy($"query_id", $"doc_id")
-      .agg(sum($"term_score").as("score_fp"))
-      .transform(topKByScore(k, $"score_fp", $"doc_id", $"query_id"))
-      .select($"query_id", $"rank", $"doc_id",
-        $"score".cast("long").as("score_fp"))
+    val allTerms = queries.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct
+    val qpost = spark.table(s"$db.postings")
+      .join(broadcast(allTerms.toDF("term")), Seq("term"), "left_semi")
+    val termStats = spark.table(s"$db.dfreq")
+      .join(broadcast(allTerms.toDF("term")), Seq("term"), "left_semi")
+      .select($"term", $"df", $"max_tf", $"min_len")
+    wandPlan(spark, qpost, termStats, spark.table(s"$db.stats"),
+      queries, k, (_, _) => ())
   }
 
   /** Feature-hashing (hashing-trick) vectorizer bucket for a token:

@@ -745,12 +745,14 @@ object Pipeline {
     // BM25 top-10 per query: rational idf + integer avgdl make every
     // per-term weight a BIGINT ratio; scores are fixed-point integers
     // (exact SUM — no float-ordering hazard), so the ranking is fully
-    // value-oracled in plain SQL. Candidate generation is the
-    // inverted-index probe (broadcast query terms against the postings
-    // build's single shuffle); ranking is the k-bounded TopKAgg.
+    // value-oracled in plain SQL. Runs the static-WAND variant:
+    // per-term max-score bounds drop stopword-like terms from
+    // candidate generation per (query, k) — provably output-identical
+    // (the oracle is the UNPRUNED full BM25), so this gate also proves
+    // the pruning exact on the corpus.
     "q100_bm25_topk" -> { (s, dir) =>
       import s.implicits._
-      graft.operators.Retrieval.bm25TopK(Tables(s, dir).documents,
+      graft.operators.Retrieval.bm25TopKWand(Tables(s, dir).documents,
           "doc_id", "text", retrievalQueries, k = 10)
         .orderBy($"query_id", $"rank")
     },

@@ -159,6 +159,40 @@ class RetrievalSpec extends SparkSpec {
       "guard must drop exactly the high-df terms")
   }
 
+  test("WAND pruning is exact: pruned output equals unpruned on real data") {
+    val docs = Tables(spark, sf).documents
+    // mixes rare terms with stopword-like ones so pruning has teeth
+    val qs = Seq(1L -> "spark window join", 2L -> "dup the scan",
+      3L -> "the a of", 4L -> "zzz_absent_term")
+    val pruned = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    val wand = Retrieval.bm25TopKWand(docs, "doc_id", "text", qs, k = 5,
+      onPrune = (q, ts) => pruned(q) = ts)
+    val full = Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 5)
+    assert(wand.collect().toSet == full.collect().toSet,
+      s"pruning must be lossless (dropped: $pruned)")
+  }
+
+  test("WAND drops a term the bound proves irrelevant, and only then") {
+    import spark.implicits._
+    // "stop" is in every doc (df=N -> tiny idf bound); "rare" pins the
+    // top-k. With k=1 and 3 docs matching "rare", theta is large and
+    // the stop term's bound falls under it.
+    val docs = docsDF(
+      1L -> "rare stop alpha beta",
+      2L -> "rare stop gamma delta",
+      3L -> "rare stop epsilon zeta",
+      4L -> "stop eta theta iota kappa",
+      5L -> "stop lambda mu nu xi")
+    val pruned = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    val wand = Retrieval.bm25TopKWand(docs, "doc_id", "text",
+      Seq(1L -> "rare stop"), k = 1, onPrune = (q, ts) => pruned(q) = ts)
+    val full = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq(1L -> "rare stop"), k = 1)
+    assert(wand.collect().toSet == full.collect().toSet)
+    assert(pruned(1L) == Seq("stop"),
+      s"the df=5 term's bound cannot reach the rare-term theta: $pruned")
+  }
+
   test("indexed BM25 equals the direct path and probes without re-tokenizing") {
     import spark.implicits._
     val docs = Tables(spark, sf).documents
