@@ -196,7 +196,8 @@ object Retrieval {
       k: Int, onPrune: (Long, Seq[String]) => Unit): DataFrame = {
     import spark.implicits._
     val Array(st) = stats.collect()
-    val (nDocs, avgdl) = (st.getLong(0), st.getLong(1))
+    val (nDocs, avgdl) =
+      (st.getAs[Long]("n_docs"), st.getAs[Long]("avgdl"))
     def scoreAt(df: Long, tf: Long, len: Long): Long =
       Math.floorDiv((2 * nDocs - 2 * df + 1) * 22 * tf * avgdl * Scale,
         (2 * df + 1) * (10 * tf * avgdl + 3 * avgdl + 9 * len))
@@ -305,7 +306,60 @@ object Retrieval {
     toks.agg(count(lit(1)).as("n_docs"),
         sum(size($"toks").cast("long")).as("tot_len"))
       .select($"n_docs",
-        expr("(2 * tot_len + n_docs) div (2 * n_docs)").as("avgdl"))
+        expr("(2 * tot_len + n_docs) div (2 * n_docs)").as("avgdl"),
+        $"tot_len") // kept so appends can re-derive avgdl exactly
+      .write.mode("overwrite").saveAsTable(s"$db.stats")
+  }
+
+  /** Append a batch of NEW documents to a [[buildBm25Index]] index
+    * without rebuilding it — the nightly-refresh path of a production
+    * corpus index. Contract: the batch's doc ids are disjoint from
+    * the indexed ones (appends, not upserts).
+    *
+    * Postings for the delta append into the term-bucketed table (same
+    * bucket spec, so probe-side joins stay exchange-free); the df /
+    * block-max table is merged as `old ∪ delta → sum(df), max(max_tf),
+    * min(min_len)` — each metadata field is a semigroup merge, which
+    * is what makes the incremental build ≡ a from-scratch build
+    * exactly — staged to a sibling table and swapped in by rename; the
+    * 1-row stats table re-derives avgdl from the exact running
+    * (n_docs, tot_len). Cost: two passes over the DELTA (postings
+    * write + metadata aggregate) and one vocabulary-sized merge —
+    * the corpus is never re-tokenized.
+    */
+  def appendToBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      db: String, buckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    def deltaPostings = toks
+      .select($"doc_id", size($"toks").cast("long").as("len"),
+        explode($"toks").as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), first($"len").as("len"))
+    deltaPostings.write.mode("append")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(s"$db.postings")
+    val merged = spark.table(s"$db.dfreq")
+      .select($"term", $"df", $"max_tf", $"min_len")
+      .unionAll(deltaPostings.groupBy($"term").agg(
+        count(lit(1)).as("df"), max($"tf").as("max_tf"),
+        min($"len").as("min_len")))
+      .groupBy($"term").agg(sum($"df").as("df"),
+        max($"max_tf").as("max_tf"), min($"min_len").as("min_len"))
+    merged.write.mode("overwrite")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(s"$db.dfreq_stage")
+    spark.sql(s"DROP TABLE $db.dfreq")
+    spark.sql(s"ALTER TABLE $db.dfreq_stage RENAME TO $db.dfreq")
+    val Array(old) = spark.table(s"$db.stats").collect()
+    val Array(delta) = toks.agg(count(lit(1)).as("n"),
+      sum(size($"toks").cast("long")).as("t")).collect()
+    val (n, t) = (old.getAs[Long]("n_docs") + delta.getLong(0),
+      old.getAs[Long]("tot_len") + delta.getLong(1))
+    Seq((n, Math.floorDiv(2 * t + n, 2 * n), t))
+      .toDF("n_docs", "avgdl", "tot_len")
       .write.mode("overwrite").saveAsTable(s"$db.stats")
   }
 

@@ -772,17 +772,24 @@ object Pipeline {
     // BM25 over a PERSISTED index: postings/df bucketed by term,
     // built once, probed without touching the corpus — the index
     // build-vs-probe separation for repeated query batches at 100 TB.
-    // Output contract (and oracle) identical to q100; the index lives
-    // in a per-run temp database dropped as soon as the probe result
-    // is materialized.
+    // The build itself exercises the nightly-refresh path: half the
+    // corpus is indexed from scratch and the other half APPENDED
+    // (delta postings + semigroup-merged df/block-max metadata), so
+    // this gate also proves incremental == full build. Output contract
+    // (and oracle) identical to q100; the index lives in a per-run
+    // temp database dropped as soon as the probe result is
+    // materialized.
     "q116_bm25_indexed" -> { (s, dir) =>
       import s.implicits._
       val db = "bm25idx_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val loc = java.nio.file.Files.createTempDirectory("graft_bm25idx_").toString
       s.sql(s"CREATE DATABASE $db LOCATION '$loc'")
       try {
+        val docs = Tables(s, dir).documents
         graft.operators.Retrieval.buildBm25Index(
-          Tables(s, dir).documents, "doc_id", "text", db)
+          docs.filter($"doc_id" % 2 === 0), "doc_id", "text", db)
+        graft.operators.Retrieval.appendToBm25Index(
+          docs.filter($"doc_id" % 2 =!= 0), "doc_id", "text", db)
         graft.operators.Retrieval.bm25TopKIndexed(s, db, retrievalQueries, k = 10)
           .orderBy($"query_id", $"rank")
           .localCheckpoint() // materialize before the index is dropped

@@ -218,6 +218,38 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("index append: incremental build equals a from-scratch build exactly") {
+    import spark.implicits._
+    val docs = Tables(spark, sf).documents
+    val (half, rest) = (docs.filter($"doc_id" % 2 === 0),
+      docs.filter($"doc_id" % 2 =!= 0))
+    val qs = Seq(1L -> "spark window join", 2L -> "dup the scan")
+    def mkDb(name: String): String = {
+      val loc = java.nio.file.Files.createTempDirectory(s"graft-$name").toString
+      spark.sql(s"DROP DATABASE IF EXISTS $name CASCADE")
+      spark.sql(s"CREATE DATABASE $name LOCATION '$loc'")
+      name
+    }
+    val (inc, full) = (mkDb("bm25idx_inc"), mkDb("bm25idx_full"))
+    try {
+      Retrieval.buildBm25Index(half, "doc_id", "text", inc)
+      Retrieval.appendToBm25Index(rest, "doc_id", "text", inc)
+      Retrieval.buildBm25Index(docs, "doc_id", "text", full)
+      // every persisted relation merges to the same contents...
+      for (t <- Seq("postings", "dfreq", "stats")) {
+        val a = spark.table(s"$inc.$t").collect().toSet
+        val b = spark.table(s"$full.$t").collect().toSet
+        assert(a == b, s"$t diverges after append: ${a.diff(b).take(3)} vs ${b.diff(a).take(3)}")
+      }
+      // ...and the probe is bit-identical
+      assert(Retrieval.bm25TopKIndexed(spark, inc, qs, k = 10).collect().toSet ==
+        Retrieval.bm25TopKIndexed(spark, full, qs, k = 10).collect().toSet)
+    } finally {
+      spark.sql(s"DROP DATABASE IF EXISTS $inc CASCADE")
+      spark.sql(s"DROP DATABASE IF EXISTS $full CASCADE")
+    }
+  }
+
   test("rrf fusion: doc in both lists beats single-list docs; ties break by id") {
     import spark.implicits._
     val a = Seq((1L, 1L, 10L), (1L, 2L, 11L)).toDF("query_id", "rank", "doc_id")
