@@ -437,20 +437,31 @@ object Multimodal {
   /** Filter reconstruction returning the pixel grid itself (row-major
     * w×h) — the APNG compositor needs values, not just the checksum.
     */
-  private def pngDefilterPixels(raw: Array[Byte], w: Int, h: Int): Option[Array[Int]] = {
-    val prev = new Array[Int](w)
-    val cur = new Array[Int](w)
-    val out = new Array[Int](w * h)
+  private def pngDefilterPixels(raw: Array[Byte], w: Int, h: Int): Option[Array[Int]] =
+    pngDefilterBytes(raw, w, h, bpp = 1)
+
+  /** Byte-level PNG filter reconstruction for `bpp` bytes/pixel (1 =
+    * grayscale, 2 = grayscale+alpha): PNG filters predict bytewise
+    * with `left` = the byte `bpp` positions back, so one loop serves
+    * every channel layout. Returns w·h·bpp reconstructed bytes
+    * row-major, channels interleaved; None on an unknown filter type.
+    */
+  private def pngDefilterBytes(raw: Array[Byte], w: Int, h: Int,
+      bpp: Int): Option[Array[Int]] = {
+    val rb = w * bpp // bytes per scanline (excluding the filter byte)
+    val prev = new Array[Int](rb)
+    val cur = new Array[Int](rb)
+    val out = new Array[Int](rb * h)
     var y = 0
     while (y < h) {
-      val ft = raw(y * (w + 1)) & 0xff
+      val ft = raw(y * (rb + 1)) & 0xff
       if (ft > 4) return None
       var x = 0
-      while (x < w) {
-        val f = raw(y * (w + 1) + 1 + x) & 0xff
-        val left = if (x > 0) cur(x - 1) else 0
+      while (x < rb) {
+        val f = raw(y * (rb + 1) + 1 + x) & 0xff
+        val left = if (x >= bpp) cur(x - bpp) else 0
         val above = if (y > 0) prev(x) else 0
-        val ul = if (x > 0 && y > 0) prev(x - 1) else 0
+        val ul = if (x >= bpp && y > 0) prev(x - bpp) else 0
         val rec = ft match {
           case 0 => f
           case 1 => (f + left) & 0xff
@@ -464,9 +475,9 @@ object Multimodal {
               else if (pb <= pc) above else ul
             (f + pred) & 0xff
         }
-        cur(x) = rec; out(y * w + x) = rec; x += 1
+        cur(x) = rec; out(y * rb + x) = rec; x += 1
       }
-      System.arraycopy(cur, 0, prev, 0, w)
+      System.arraycopy(cur, 0, prev, 0, rb)
       y += 1
     }
     Some(out)
@@ -552,25 +563,109 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** APNG synthesis exercising the full fcTL semantics, one mode per
+    * stream (pixel formula is [[synthesizeApngRegions]]'s global
+    * `(seed + f + gx + gy) mod 251` throughout):
+    *
+    *   - mode 0 — DISPOSE=BACKGROUND: frame 0 full-canvas, frames
+    *     `1..frames−1` patch [[apngRect]] and clear it before the
+    *     next frame;
+    *   - mode 1 — fcTL-LESS DEFAULT IMAGE + DISPOSE=PREVIOUS: the
+    *     IDAT default image is NOT part of the animation (no fcTL
+    *     precedes it); `frames` fdAT frames patch `apngRect(f)`,
+    *     `f = 1..frames`, each reverting its region afterwards —
+    *     onto the transparent canvas;
+    *   - mode 2 — BLEND=OVER (colorType 4, gray+alpha): frame 0
+    *     full-canvas opaque; frames `1..frames−1` patch `apngRect(f)`
+    *     with alpha 255 where `(gx + gy + f)` is even and 0 elsewhere,
+    *     blended OVER — binary alphas, so compositing is exactly
+    *     copy-or-keep and the canvas keeps a closed form.
+    */
+  def synthesizeApngModes(w: Int, h: Int, seed: Long, frames: Int,
+      mode: Int): Array[Byte] = {
+    require(frames >= 1, "frames must be >= 1")
+    require(mode >= 0 && mode <= 2, "mode in 0..2")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    val colorType: Byte = if (mode == 2) 4 else 0
+    val bpp = if (mode == 2) 2 else 1
+    pngChunk(out, "IHDR", pngBe32(w.toLong) ++ pngBe32(h.toLong) ++
+      Array[Byte](8, colorType, 0, 0, 0))
+    pngChunk(out, "acTL", pngBe32(frames.toLong) ++ pngBe32(0L))
+    var seq = 0
+    def fctl(x: Int, y: Int, fw: Int, fh: Int, dispose: Int, blend: Int): Unit = {
+      pngChunk(out, "fcTL", pngBe32(seq.toLong) ++
+        pngBe32(fw.toLong) ++ pngBe32(fh.toLong) ++
+        pngBe32(x.toLong) ++ pngBe32(y.toLong) ++
+        Array[Byte](0, 1, 0, 10, dispose.toByte, blend.toByte))
+      seq += 1
+    }
+    def frameBytes(f: Int, x0: Int, y0: Int, fw: Int, fh: Int): Array[Byte] =
+      deflateBytes(pngFilteredRawBytes(fw, fh, bpp, (px, py, c) => {
+        val (gx, gy) = (x0 + px, y0 + py)
+        if (c == 0) (((seed + f + gx + gy) % 251 + 251) % 251).toInt
+        else if (f == 0) 255 // frame 0 fully opaque
+        else if ((gx + gy + f) % 2 == 0) 255 else 0
+      }))
+    if (mode == 1) {
+      // fcTL-less default image: IDAT with NO fcTL, then fdAT frames
+      pngChunk(out, "IDAT", frameBytes(0, 0, 0, w, h))
+      var f = 1
+      while (f <= frames) {
+        val (x0, y0, fw, fh) = apngRect(w, h, f)
+        fctl(x0, y0, fw, fh, dispose = 2, blend = 0)
+        pngChunk(out, "fdAT", pngBe32(seq.toLong) ++ frameBytes(f, x0, y0, fw, fh))
+        seq += 1
+        f += 1
+      }
+    } else {
+      var f = 0
+      while (f < frames) {
+        val (x0, y0, fw, fh) =
+          if (f == 0) (0, 0, w, h) else apngRect(w, h, f)
+        val dispose = if (mode == 0 && f > 0) 1 else 0
+        val blend = if (mode == 2 && f > 0) 1 else 0
+        fctl(x0, y0, fw, fh, dispose, blend)
+        val dat = frameBytes(f, x0, y0, fw, fh)
+        if (f == 0) pngChunk(out, "IDAT", dat)
+        else { pngChunk(out, "fdAT", pngBe32(seq.toLong) ++ dat); seq += 1 }
+        f += 1
+      }
+    }
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Filtered raw scanlines for one grayscale frame: pixel `(x, y)` =
     * `value(x, y)`, scanline `y` filtered with type `y mod 5` — every
     * one of the five PNG filters is ENCODED and must be correctly
     * reconstructed on decode.
     */
-  private def pngFilteredRaw(w: Int, h: Int, value: (Int, Int) => Int): Array[Byte] = {
-    val raw = new Array[Byte]((w + 1) * h)
-    val prevRow = new Array[Int](w)
-    val curRow = new Array[Int](w)
+  private def pngFilteredRaw(w: Int, h: Int, value: (Int, Int) => Int): Array[Byte] =
+    pngFilteredRawBytes(w, h, bpp = 1, (x, y, _) => value(x, y))
+
+  /** Byte-level filtered scanlines for `bpp` bytes/pixel: channel `c`
+    * of pixel `(x, y)` is `byteVal(x, y, c)`, filters applied bytewise
+    * with `left` = `bpp` bytes back (the PNG contract
+    * [[pngDefilterBytes]] reverses).
+    */
+  private def pngFilteredRawBytes(w: Int, h: Int, bpp: Int,
+      byteVal: (Int, Int, Int) => Int): Array[Byte] = {
+    val rb = w * bpp
+    val raw = new Array[Byte]((rb + 1) * h)
+    val prevRow = new Array[Int](rb)
+    val curRow = new Array[Int](rb)
     var y = 0
     while (y < h) {
       val ft = y % 5
-      raw(y * (w + 1)) = ft.toByte
+      raw(y * (rb + 1)) = ft.toByte
       var x = 0
-      while (x < w) {
-        curRow(x) = value(x, y)
-        val left = if (x > 0) curRow(x - 1) else 0
+      while (x < rb) {
+        curRow(x) = byteVal(x / bpp, y, x % bpp)
+        val left = if (x >= bpp) curRow(x - bpp) else 0
         val above = if (y > 0) prevRow(x) else 0
-        val ul = if (x > 0 && y > 0) prevRow(x - 1) else 0
+        val ul = if (x >= bpp && y > 0) prevRow(x - bpp) else 0
         val enc = ft match {
           case 0 => curRow(x)
           case 1 => (curRow(x) - left) & 0xff
@@ -584,10 +679,10 @@ object Multimodal {
               else if (pb <= pc) above else ul
             (curRow(x) - pred) & 0xff
         }
-        raw(y * (w + 1) + 1 + x) = enc.toByte
+        raw(y * (rb + 1) + 1 + x) = enc.toByte
         x += 1
       }
-      System.arraycopy(curRow, 0, prevRow, 0, w)
+      System.arraycopy(curRow, 0, prevRow, 0, rb)
       y += 1
     }
     raw
@@ -619,16 +714,49 @@ object Multimodal {
 
   /** APNG frame walk (read-side counterpart of [[synthesizeApng]]):
     * CRC-validated chunk walk, acTL frame count cross-checked against
-    * the fcTL count, per-frame zlib streams (IDAT concat for frame 0,
-    * fdAT concat per later frame — consecutive fdAT chunks of one
-    * frame merge by chunk order) inflated and filter-reconstructed
-    * individually, then COMPOSITED onto the canvas (dispose=none,
-    * blend=source; later frames may patch any in-bounds fcTL
-    * sub-rectangle). Returns (w, h, frame count, Σ canvas-sum-after-
-    * each-frame, Σ (frame_idx+1)·canvas_sum) — full-frame streams
-    * degenerate to per-frame content sums. A plain single-image PNG
-    * (no acTL) returns None — it is not an animation.
+    * the fcTL count, per-frame zlib streams (IDAT concat when the
+    * default image IS the first frame, fdAT concat per later frame —
+    * consecutive fdAT chunks of one frame merge by chunk order)
+    * inflated and filter-reconstructed individually, then COMPOSITED
+    * onto the canvas with the full fcTL semantics:
+    *
+    *   - an IDAT with NO preceding fcTL is a default image that is
+    *     not part of the animation — its bytes are skipped and the
+    *     frames live entirely in fdAT (canvas starts transparent);
+    *   - dispose_op none/background/previous: background clears the
+    *     frame's region to transparent black before the next frame,
+    *     previous restores the region saved before the frame rendered
+    *     (a first frame with dispose=previous degrades to background,
+    *     per spec);
+    *   - blend_op source/over: over is straight-alpha compositing in
+    *     exact integer arithmetic — documented engine contract:
+    *     `denA = srcA·255 + dstA·(255−srcA)`,
+    *     `outV = (srcV·srcA·255 + dstV·dstA·(255−srcA)) div denA`
+    *     (0 when denA = 0), `outA = denA div 255` — which reduces to
+    *     plain copy/keep for 255/0 alphas;
+    *   - grayscale (colorType 0, opaque) and grayscale+alpha
+    *     (colorType 4) frames.
+    *
+    * Returns (w, h, frame count, Σ canvas-sum-after-each-frame,
+    * Σ (frame_idx+1)·canvas_sum), where a canvas sum is the
+    * premultiplied `Σ v·a div 255` — for opaque pixels the plain
+    * value sum, so fully-opaque streams keep their closed-form
+    * oracles. A plain single-image PNG (no acTL) returns None — it
+    * is not an animation.
     */
+  /** Integer straight-alpha OVER (the documented [[decodeApng]]
+    * contract): `denA = srcA·255 + dstA·(255−srcA)`,
+    * `outV = (srcV·srcA·255 + dstV·dstA·(255−srcA)) div denA` (0 when
+    * denA = 0), `outA = denA div 255`. Exact copy/keep at alpha
+    * 255/0; floor divisions everywhere else.
+    */
+  private[graft] def blendOver(sv: Int, sa: Int, dv: Int, da: Int): (Int, Int) = {
+    val denA = sa * 255 + da * (255 - sa)
+    val ov = if (denA == 0) 0
+      else ((sv.toLong * sa * 255 + dv.toLong * da * (255 - sa)) / denA).toInt
+    (ov, denA / 255)
+  }
+
   def decodeApng(p: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
     val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
     if (p.length < 8 + 25 || !sig.indices.forall(i => (p(i) & 0xff) == sig(i)))
@@ -637,11 +765,13 @@ object Multimodal {
       ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
         ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
     var o = 8
-    var w = 0; var h = 0
-    var seenIhdr = false; var seenIend = false
+    var w = 0; var h = 0; var bpp = 1
+    var seenIhdr = false; var seenIend = false; var sawIdat = false
+    var idatIsFrame = false
     var declared = -1
     val streams = scala.collection.mutable.ArrayBuffer.empty[java.io.ByteArrayOutputStream]
     val rects = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+    val ops = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (dispose, blend)
     while (!seenIend) {
       if (o + 12 > p.length) return None
       val len = be32(o)
@@ -656,7 +786,9 @@ object Multimodal {
           w = be32(o + 8).toInt; h = be32(o + 12).toInt
           val bitDepth = p(o + 16) & 0xff; val colorType = p(o + 17) & 0xff
           val interlace = p(o + 20) & 0xff
-          if (bitDepth != 8 || colorType != 0 || interlace != 0) return None
+          if (bitDepth != 8 || (colorType != 0 && colorType != 4) ||
+            interlace != 0) return None
+          bpp = if (colorType == 4) 2 else 1
           seenIhdr = true
         case "acTL" =>
           if (len != 8) return None
@@ -665,58 +797,112 @@ object Multimodal {
           if (len != 26) return None
           val fw = be32(o + 12).toInt; val fh = be32(o + 16).toInt
           val fx = be32(o + 20).toInt; val fy = be32(o + 24).toInt
-          // the first frame must cover the canvas (APNG: the default
-          // image's fcTL has x=y=0 and full dimensions); later frames
-          // may patch any in-bounds sub-rectangle
-          if (rects.isEmpty && (fw != w || fh != h || fx != 0 || fy != 0))
-            return None
+          val dispose = p(o + 32) & 0xff; val blend = p(o + 33) & 0xff
+          // only a default image that IS the first frame must cover
+          // the canvas (spec); fdAT-only animations may start with any
+          // in-bounds sub-rectangle onto the transparent canvas
+          if (rects.isEmpty && !sawIdat &&
+            (fw != w || fh != h || fx != 0 || fy != 0)) return None
           if (fw <= 0 || fh <= 0 || fx < 0 || fy < 0 ||
             fx + fw > w || fy + fh > h) return None
+          if (dispose > 2 || blend > 1) return None
+          if (!sawIdat && rects.isEmpty) idatIsFrame = true
           rects += ((fx, fy, fw, fh))
+          ops += ((dispose, blend))
           streams += new java.io.ByteArrayOutputStream()
         case "IDAT" =>
-          if (streams.isEmpty) return None // animation frames need an fcTL
-          streams.head.write(p, o + 8, len.toInt)
+          sawIdat = true
+          // an fcTL-less default image is shown before the animation
+          // but is NOT a frame: skip its bytes entirely
+          if (idatIsFrame) streams.head.write(p, o + 8, len.toInt)
         case "fdAT" =>
-          if (streams.length < 2 || len < 4) return None
+          if (len < 4) return None
+          // the write target must be an fdAT frame, not the IDAT one
+          if (streams.isEmpty || (idatIsFrame && streams.length < 2))
+            return None
           streams.last.write(p, o + 12, len.toInt - 4) // skip sequence number
         case "IEND" => seenIend = true
         case _ => () // ancillary chunk: CRC-checked, content skipped
       }
       o += 12 + len.toInt
     }
-    if (!seenIhdr || w <= 0 || h <= 0) return None
+    if (!seenIhdr || w <= 0 || h <= 0 || !sawIdat) return None
     if (declared <= 0 || declared != streams.length) return None
-    // composite (dispose=none, blend=source): each frame overwrites
-    // its region; the per-frame contribution is the CANVAS sum after
-    // rendering, so a mis-placed or mis-sized patch changes every
-    // later frame's term — for full-frame streams this degenerates to
-    // the frame's own content sum
-    val canvas = new Array[Int](w * h)
+    // composite with full dispose/blend semantics; per-frame
+    // contribution = premultiplied canvas sum after rendering
+    val cv = new Array[Int](w * h) // values
+    val ca = new Array[Int](w * h) // straight alpha
     var sum = 0L
     var weighted = 0L
     var f = 0
     while (f < streams.length) {
       val (fx, fy, fw, fh) = rects(f)
-      val patch = pngInflate(streams(f).toByteArray, (fw + 1) * fh)
-        .flatMap(raw => pngDefilterPixels(raw, fw, fh)) match {
+      val (disposeRaw, blend) = ops(f)
+      // spec: a FIRST frame asking for dispose=previous means background
+      val dispose = if (f == 0 && disposeRaw == 2) 1 else disposeRaw
+      val bytes = pngInflate(streams(f).toByteArray, (fw * bpp + 1) * fh)
+        .flatMap(raw => pngDefilterBytes(raw, fw, fh, bpp)) match {
         case Some(px) => px
         case None => return None
       }
+      // save the region only when this frame disposes to previous
+      val saved = if (dispose == 2) {
+        val s = new Array[Int](fw * fh * 2)
+        var py = 0
+        while (py < fh) {
+          var px = 0
+          while (px < fw) {
+            val ci = (fy + py) * w + (fx + px); val si = (py * fw + px) * 2
+            s(si) = cv(ci); s(si + 1) = ca(ci); px += 1
+          }
+          py += 1
+        }
+        s
+      } else null
       var py = 0
       while (py < fh) {
         var px = 0
         while (px < fw) {
-          canvas((fy + py) * w + (fx + px)) = patch(py * fw + px)
+          val ci = (fy + py) * w + (fx + px)
+          val bi = (py * fw + px) * bpp
+          val sv = bytes(bi)
+          val sa = if (bpp == 2) bytes(bi + 1) else 255
+          if (blend == 0 || sa == 255) { cv(ci) = sv; ca(ci) = sa }
+          else if (sa != 0) {
+            val (ov, oa) = blendOver(sv, sa, cv(ci), ca(ci))
+            cv(ci) = ov; ca(ci) = oa
+          } // sa == 0 under OVER: keep destination
           px += 1
         }
         py += 1
       }
       var cs = 0L
       var i = 0
-      while (i < canvas.length) { cs += canvas(i); i += 1 }
+      while (i < cv.length) { cs += cv(i).toLong * ca(i) / 255; i += 1 }
       sum += cs
       weighted += (f + 1).toLong * cs
+      // dispose applies when advancing to the next frame
+      if (dispose == 1) {
+        var py2 = 0
+        while (py2 < fh) {
+          var px2 = 0
+          while (px2 < fw) {
+            val ci = (fy + py2) * w + (fx + px2)
+            cv(ci) = 0; ca(ci) = 0; px2 += 1
+          }
+          py2 += 1
+        }
+      } else if (dispose == 2) {
+        var py2 = 0
+        while (py2 < fh) {
+          var px2 = 0
+          while (px2 < fw) {
+            val ci = (fy + py2) * w + (fx + px2); val si = (py2 * fw + px2) * 2
+            cv(ci) = saved(si); ca(ci) = saved(si + 1); px2 += 1
+          }
+          py2 += 1
+        }
+      }
       f += 1
     }
     Some((w, h, declared, sum, weighted))

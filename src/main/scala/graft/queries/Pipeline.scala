@@ -722,6 +722,28 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // APNG full fcTL semantics (one mode per doc): dispose=background
+    // (cleared regions fall back to frame 0 or to transparent),
+    // dispose=previous on an fcTL-LESS default image (IDAT is not a
+    // frame; the animation lives in fdAT over a transparent canvas),
+    // and blend=over with binary-alpha checkerboard patches. The gate
+    // checks the premultiplied canvas sum after EVERY frame; the
+    // oracle derives each mode's canvas state in closed form.
+    "q117_apng_modes" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir).documents
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          Multimodal.MediaRow(id, Multimodal.synthesizeApngModes(
+            w = 1 + (id % 32).toInt, h = 1 + ((id * 5) % 24).toInt,
+            seed = id, frames = 1 + (id % 3).toInt, mode = (id % 3).toInt))
+        }).toDF()
+      Multimodal.probeAnimation(s, media).toDF()
+        .select($"doc_id", $"kind", $"n_frames".cast("long").as("n_frames"),
+          $"pix_sum", $"frame_weighted")
+        .orderBy($"doc_id")
+    },
+
     // The full curation funnel (lang → quality → exact dedup →
     // decontamination) with per-stage audit counts — every dropped doc
     // accounted to the stage that dropped it.
@@ -1683,6 +1705,74 @@ object Pipeline {
         |SELECT doc_id, 'apng' AS kind, CAST(max(nf) AS BIGINT) AS n_frames,
         |  CAST(sum(s) AS BIGINT) AS pix_sum,
         |  CAST(sum((f + 1) * s) AS BIGINT) AS frame_weighted
+        |FROM cs GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeApngModes + the full-semantics compositor:
+    // mode 0 (dispose=background): a pixel shows frame f if covered by
+    //   rect_f, transparent if any rect_g (1<=g<f) covered it, else
+    //   frame 0; mode 1 (fcTL-less default + dispose=previous): the
+    //   canvas is transparent outside rect_j at snapshot j; mode 2
+    //   (blend=over, checkerboard alpha): a pixel shows the latest
+    //   g <= f that is g=0 or covers it with (x+y+g) even
+    "q117_apng_modes" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 32 AS w,
+        |             1 + (doc_id * 5) % 24 AS h, 1 + doc_id % 3 AS nf,
+        |             doc_id % 3 AS mode
+        |           FROM documents),
+        |g0 AS (SELECT doc_id, w, h, nf, f.f AS f, x.i AS x, y.i AS y
+        |       FROM d, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f,
+        |       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS i) x,
+        |       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS i) y
+        |       WHERE mode = 0),
+        |cov0 AS (SELECT doc_id, nf, f, x, y,
+        |           max(CASE WHEN g2.g >= 1
+        |             AND x >= g2.g % (w - greatest(1, w // 2) + 1)
+        |             AND x < g2.g % (w - greatest(1, w // 2) + 1) + greatest(1, w // 2)
+        |             AND y >= (2 * g2.g) % (h - greatest(1, h // 2) + 1)
+        |             AND y < (2 * g2.g) % (h - greatest(1, h // 2) + 1) + greatest(1, h // 2)
+        |             THEN g2.g END) AS mc
+        |         FROM g0, LATERAL (SELECT unnest(generate_series(0, f)) AS g) g2
+        |         GROUP BY 1, 2, 3, 4, 5),
+        |cs0 AS (SELECT doc_id, nf, f, CAST(f + 1 AS BIGINT) AS snap,
+        |          sum(CASE WHEN mc = f THEN (doc_id + f + x + y) % 251
+        |                   WHEN mc IS NOT NULL THEN 0
+        |                   ELSE (doc_id + x + y) % 251 END) AS s
+        |        FROM cov0 GROUP BY 1, 2, 3, 4),
+        |d1 AS (SELECT doc_id, w, h, nf,
+        |         greatest(1, w // 2) AS wf, greatest(1, h // 2) AS hf
+        |       FROM d WHERE mode = 1),
+        |g1 AS (SELECT doc_id, nf, j.j AS j,
+        |         j.j % (w - wf + 1) + px.i AS x,
+        |         (2 * j.j) % (h - hf + 1) + py.i AS y
+        |       FROM d1, LATERAL (SELECT unnest(generate_series(1, nf)) AS j) j,
+        |       LATERAL (SELECT unnest(generate_series(0, wf - 1)) AS i) px,
+        |       LATERAL (SELECT unnest(generate_series(0, hf - 1)) AS i) py),
+        |cs1 AS (SELECT doc_id, nf, j AS f, CAST(j AS BIGINT) AS snap,
+        |          sum((doc_id + j + x + y) % 251) AS s
+        |        FROM g1 GROUP BY 1, 2, 3, 4),
+        |g2m AS (SELECT doc_id, w, h, nf, f.f AS f, x.i AS x, y.i AS y
+        |        FROM d, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f,
+        |        LATERAL (SELECT unnest(generate_series(0, w - 1)) AS i) x,
+        |        LATERAL (SELECT unnest(generate_series(0, h - 1)) AS i) y
+        |        WHERE mode = 2),
+        |cov2 AS (SELECT doc_id, nf, f, x, y, max(g2.g) AS fcov
+        |         FROM g2m, LATERAL (SELECT unnest(generate_series(0, f)) AS g) g2
+        |         WHERE g2.g = 0 OR (
+        |           (x + y + g2.g) % 2 = 0
+        |           AND x >= g2.g % (w - greatest(1, w // 2) + 1)
+        |           AND x < g2.g % (w - greatest(1, w // 2) + 1) + greatest(1, w // 2)
+        |           AND y >= (2 * g2.g) % (h - greatest(1, h // 2) + 1)
+        |           AND y < (2 * g2.g) % (h - greatest(1, h // 2) + 1) + greatest(1, h // 2))
+        |         GROUP BY 1, 2, 3, 4, 5),
+        |cs2 AS (SELECT doc_id, nf, f, CAST(f + 1 AS BIGINT) AS snap,
+        |          sum((doc_id + fcov + x + y) % 251) AS s
+        |        FROM cov2 GROUP BY 1, 2, 3, 4),
+        |cs AS (SELECT * FROM cs0 UNION ALL SELECT * FROM cs1
+        |       UNION ALL SELECT * FROM cs2)
+        |SELECT doc_id, 'apng' AS kind, CAST(max(nf) AS BIGINT) AS n_frames,
+        |  CAST(sum(s) AS BIGINT) AS pix_sum,
+        |  CAST(sum(snap * s) AS BIGINT) AS frame_weighted
         |FROM cs GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 

@@ -97,6 +97,62 @@ class AnimationSpec extends AnyFunSuite {
     }
   }
 
+  test("APNG dispose=background/previous and blend=over composite correctly") {
+    for {
+      (w, h) <- Seq((1, 1), (9, 7), (32, 24))
+      frames <- Seq(1, 2, 4)
+      mode <- 0 to 2
+    } {
+      val apng = Multimodal.synthesizeApngModes(w, h, seed = 17L, frames, mode)
+      // independent (value, alpha) canvas simulation of the contract
+      val cv = Array.fill(w * h)(0); val ca = Array.fill(w * h)(0)
+      var sum = 0L; var weighted = 0L; var snap = 0
+      val frameIdx = if (mode == 1) 1 to frames else 0 until frames
+      for (f <- frameIdx) {
+        val (x0, y0, fw, fh) =
+          if (mode != 1 && f == 0) (0, 0, w, h) else Multimodal.apngRect(w, h, f)
+        val saved = (cv.clone(), ca.clone())
+        for (py <- 0 until fh; px <- 0 until fw) {
+          val (gx, gy) = (x0 + px, y0 + py)
+          val ci = gy * w + gx
+          val v = (((17L + f + gx + gy) % 251 + 251) % 251).toInt
+          val a = if (mode != 2 || f == 0) 255
+            else if ((gx + gy + f) % 2 == 0) 255 else 0
+          val over = mode == 2 && f != 0
+          if (!over || a == 255) { cv(ci) = v; ca(ci) = a }
+          // binary alpha: a == 0 under OVER keeps the destination
+        }
+        val cs = (0 until w * h).map(i => cv(i).toLong * ca(i) / 255).sum
+        snap += 1; sum += cs; weighted += snap.toLong * cs
+        if (mode == 0 && f > 0) // dispose=background clears the region
+          for (py <- 0 until fh; px <- 0 until fw) {
+            val ci = (y0 + py) * w + (x0 + px); cv(ci) = 0; ca(ci) = 0
+          }
+        else if (mode == 1) // dispose=previous restores the region
+          for (py <- 0 until fh; px <- 0 until fw) {
+            val ci = (y0 + py) * w + (x0 + px)
+            cv(ci) = saved._1(ci); ca(ci) = saved._2(ci)
+          }
+      }
+      assert(Multimodal.decodeApng(apng).contains((w, h, frames, sum, weighted)),
+        s"w=$w h=$h frames=$frames mode=$mode")
+    }
+  }
+
+  test("blend=over fractional alpha follows the documented integer contract") {
+    // straight-alpha over, floor divisions: hand-computed cases
+    // src (200, 128) over dst (100, 255): denA = 128*255 + 255*127 = 65025
+    //   outV = (200*128*255 + 100*255*127) / 65025 = 9766500/65025 = 150
+    assert(Multimodal.blendOver(200, 128, 100, 255) == (150, 255))
+    // over a transparent destination OVER degenerates to the source
+    assert(Multimodal.blendOver(77, 128, 99, 0) == (77, 128))
+    // both translucent: denA = 100*255 + 50*155 = 33250, outA = 130
+    //   outV = (10*100*255 + 200*50*155) / 33250 = (255000+1550000)/33250 = 54
+    assert(Multimodal.blendOver(10, 100, 200, 50) == (54, 130))
+    // fully transparent src over fully transparent dst
+    assert(Multimodal.blendOver(40, 0, 0, 0) == (0, 0))
+  }
+
   test("APNG: an out-of-bounds fcTL rect is rejected") {
     val apng = Multimodal.synthesizeApngRegions(10, 8, seed = 3L, frames = 2,
       subRects = true)
