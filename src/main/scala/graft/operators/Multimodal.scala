@@ -7,14 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, batch-decoded per partition.
   *
   * The Spark-side machinery (schema, partition-batched processing,
-  * typed output) is real. The decode step is REAL for everything whose
-  * structure lives in the header/marker/box stream (JPEG dimensions +
-  * EXIF strip, BMP, PCM WAV, MP4 container metadata —
+  * typed output) is real, and so is the decode: container/marker
+  * metadata (JPEG markers + EXIF strip, BMP, PCM WAV, MP4 box tree —
   * [[decodeJpeg]]/[[stripExif]]/[[decodeBmp]]/[[decodeWav]]/
-  * [[decodeMp4]], no codec library needed); only FRAME-level decode
-  * (JPEG entropy data, MP4 track samples) is a deterministic STUB
-  * (`decodeStub`, clearly marked; swap the body for a real codec).
-  * At scale this runs embarrassingly parallel: one task per partition,
+  * [[decodeMp4]]) AND frame-level pixels (baseline JPEG through the
+  * full Huffman+DCT path in [[decodeJpegPixels]], PNG/APNG filter
+  * reconstruction + compositing, GIF LZW). The only remaining
+  * non-decoded family is MP4 track SAMPLES (a real video codec);
+  * everything else produces real content values. At scale this runs embarrassingly parallel: one task per partition,
   * no shuffle, codec state initialized once per partition (the
   * mapPartitions pattern — the Scala analogue of `mapInPandas` batch
   * UDFs).
@@ -31,56 +31,63 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("doc_id"),
       encode(col(payloadCol), "UTF-8").as("payload"))
 
-  /** STUB decoder — deterministic features from the raw bytes. A real
-    * implementation would decode the payload (image/audio/video) here;
-    * everything around it (batching, schema, parallelism) is the real
-    * production shape.
+  /** REAL content-feature decode, dispatched on magic bytes: the
+    * feature is the decoded pixel sum for image payloads (baseline
+    * JPEG via the full Huffman+IDCT path, PNG via filter
+    * reconstruction, GIF via the LZW decoder, BMP via the header/pixel
+    * walk), and for opaque payloads the rolling byte fingerprint
+    * `h ← (h·131 + byte) mod 1000003` — the q40-style content hash any
+    * binary column supports.
     */
-  def decodeStub(payload: Array[Byte]): (Long, Long) = {
+  def decodeFeature(payload: Array[Byte]): (Long, Long) = {
     val head = if (payload.nonEmpty) (payload(0) & 0xff).toLong else -1L
-    (head, (payload.length.toLong * 31 + head) % 997)
+    val feature = decodeJpegPixels(payload).map(_._3)
+      .orElse(decodePng(payload).map(_._3))
+      .orElse(decodeGif(payload).map(_._3))
+      .orElse(decodeBmp(payload).map(_._3.toLong))
+      .getOrElse {
+        var hsh = 0L
+        var i = 0
+        while (i < payload.length) {
+          hsh = (hsh * 131 + (payload(i) & 0xff)) % 1000003L; i += 1
+        }
+        hsh
+      }
+    (head, feature)
   }
 
-  /** Partition-batched feature extraction. */
+  /** Partition-batched feature extraction over [[decodeFeature]]. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       // per-partition init happens here (codec handles, model weights…)
       rows.map { r =>
-        val (head, feature) = decodeStub(r.payload)
+        val (head, feature) = decodeFeature(r.payload)
         MediaFeatures(r.doc_id, r.payload.length.toLong, head, feature)
       }
     }
   }
 
-  /** STUB resize — a real implementation decodes, scales to
-    * `targetBytes` pixels, re-encodes; the stub deterministically
-    * samples the byte stream to the target length (keeps the
-    * batch/schema contract: binary in → fixed-budget binary out).
+  /** REAL image resize: decode the grayscale PNG grid, nearest-
+    * neighbor sample to (tw, th) — `src(⌊x·w/tw⌋, ⌊y·h/th⌋)`, the
+    * deterministic integer mapping — and re-encode. Non-PNG payloads
+    * pass through unchanged (a pipeline resizes what it can decode).
     */
-  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] =
-    if (payload.length <= targetBytes) payload
-    else Array.tabulate(targetBytes)(i =>
-      payload((i.toLong * payload.length / targetBytes).toInt))
-
-  /** STUB frame sampling — a real implementation seeks to n key
-    * frames; the stub cuts the payload into n contiguous spans (the
-    * output shape a video pipeline hands to a captioner: one row per
-    * sampled frame, ordered).
-    */
-  def frameSampleStub(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
-    val span = math.max(1, payload.length / n)
-    (0 until n).map { i =>
-      payload.slice(i * span, math.min((i + 1) * span, payload.length))
-    }.filter(_.nonEmpty)
-  }
+  def resizeImage(payload: Array[Byte], tw: Int, th: Int): Array[Byte] =
+    decodePngPixels(payload) match {
+      case Some((w, h, px)) =>
+        encodePngGray(tw, th,
+          (x, y) => px((y.toLong * h / th).toInt * w + (x.toLong * w / tw).toInt))
+      case None => payload
+    }
 
   // ---- Real decoders for self-describing structure -------------------
   //
   // BMP/WAV headers, the JPEG marker stream, and the MP4 box tree are
   // fully specified without a codec library, so metadata decode is
-  // REAL for all four families; only frame/sample-level decode remains
-  // stubbed. Dispatch is by magic bytes.
+  // REAL for all four families — and frame-level pixel decode is real
+  // for baseline JPEG (below), PNG/APNG and GIF. Dispatch is by magic
+  // bytes.
 
   final case class MediaMeta(
       doc_id: Long, kind: String, width: Int, height: Int,
@@ -222,8 +229,9 @@ object Multimodal {
 
   /** MP4 / ISO-BMFF metadata parse: (major brand, timescale,
     * duration_ms) from the ftyp + moov/mvhd box walk — the container
-    * structure is fully specified without any codec (frame DECODE
-    * still needs one; that part remains stubbed). Boxes are
+    * structure is fully specified without any codec (track-sample
+    * decode needs a real video codec and is the one undecoded
+    * family). Boxes are
     * [size:u32BE][type:4cc][payload] with size covering the header;
     * size==1 → 64-bit extended size follows, size==0 → box runs to
     * EOF. The walk bails (None) on any malformed size rather than
@@ -312,8 +320,9 @@ object Multimodal {
 
   /** Partition-batched media probe: real header/payload decode for
     * JPEG, BMP, PCM WAV and MP4 container metadata (brand, timescale →
-    * the `sample_rate` slot, duration); only frame-level codec decode
-    * remains stubbed. Same mapPartitions shape as [[extractFeatures]].
+    * the `sample_rate` slot, duration) plus REAL pixel sums where the
+    * payload is frame-decodable (single-component baseline JPEG).
+    * Same mapPartitions shape as [[extractFeatures]].
     */
   def probeMedia(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
@@ -330,7 +339,10 @@ object Multimodal {
           case None =>
         decodeJpeg(p) match {
           case Some((w, h, _)) =>
-            MediaMeta(r.doc_id, "jpeg", w, h, 0, 0L, 0.0, p.length.toLong)
+            // frame-level decode where representable (single-component
+            // baseline): real pixel sum; metadata-only otherwise
+            val ps = decodeJpegPixels(p).map(_._3).getOrElse(0L)
+            MediaMeta(r.doc_id, "jpeg", w, h, 0, 0L, 0.0, p.length.toLong, ps)
           case None => decodeBmp(p) match {
             case Some((w, h, _)) =>
               MediaMeta(r.doc_id, "bmp", w, h, 0, 0L, 0.0, p.length.toLong)
@@ -402,6 +414,49 @@ object Multimodal {
       raw <- pngInflate(idat.toByteArray, (w + 1) * h)
       sum <- pngDefilter(raw, w, h)
     } yield (w, h, sum)
+  }
+
+  /** [[decodePng]]'s chunk walk, returning the reconstructed pixel
+    * grid instead of its sum.
+    */
+  private def pngGridOf(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    if (p.length < 8 + 25 || !sig.indices.forall(i => (p(i) & 0xff) == sig(i)))
+      return None
+    def be32(o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    var o = 8
+    var w = 0; var h = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      if (o + 12 > p.length) return None
+      val len = be32(o)
+      if (len > Int.MaxValue - 12 || o + 12 + len > p.length) return None
+      val ctype = new String(p, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(p, o + 4, 4 + len.toInt)
+      if (crc.getValue != be32(o + 8 + len.toInt)) return None
+      ctype match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(o + 8).toInt; h = be32(o + 12).toInt
+          val bitDepth = p(o + 16) & 0xff; val colorType = p(o + 17) & 0xff
+          val interlace = p(o + 20) & 0xff
+          if (bitDepth != 8 || colorType != 0 || interlace != 0) return None
+          seenIhdr = true
+        case "IDAT" => idat.write(p, o + 8, len.toInt)
+        case "IEND" => seenIend = true
+        case _ => ()
+      }
+      o += 12 + len.toInt
+    }
+    if (!seenIhdr || w <= 0 || h <= 0) return None
+    for {
+      raw <- pngInflate(idat.toByteArray, (w + 1) * h)
+      px <- pngDefilterPixels(raw, w, h)
+    } yield (w, h, px)
   }
 
   /** zlib inflate to an exact expected length (JDK `Inflater` — the
@@ -490,17 +545,29 @@ object Multimodal {
     * must be correctly reconstructed on decode. zlib via JDK
     * `Deflater`; CRC32 per chunk.
     */
-  def synthesizePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+  def synthesizePng(w: Int, h: Int, seed: Long): Array[Byte] =
+    encodePngGray(w, h, (x, y) => (((seed + x + y) % 251 + 251) % 251).toInt)
+
+  /** General 8-bit grayscale PNG encode from a pixel function — the
+    * re-encode half that real resize / frame extraction hand their
+    * decoded grids to.
+    */
+  def encodePngGray(w: Int, h: Int, value: (Int, Int) => Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte), 0, 8)
     pngChunk(out, "IHDR", pngBe32(w.toLong) ++ pngBe32(h.toLong) ++
       Array[Byte](8, 0, 0, 0, 0)) // depth 8, gray, deflate, adaptive, no interlace
-    pngChunk(out, "IDAT", deflateBytes(pngFilteredRaw(w, h,
-      (x, y) => (((seed + x + y) % 251 + 251) % 251).toInt)))
+    pngChunk(out, "IDAT", deflateBytes(pngFilteredRaw(w, h, value)))
     pngChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }
+
+  /** PNG pixel-grid decode (the grid-returning sibling of
+    * [[decodePng]]) — real resize needs values, not the checksum.
+    */
+  def decodePngPixels(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    pngGridOf(p)
 
   /** APNG synthesis (write-side counterpart of [[decodeApng]]):
     * grayscale frames of the same geometry as [[synthesizePng]]'s,
@@ -757,7 +824,25 @@ object Multimodal {
     (ov, denA / 255)
   }
 
-  def decodeApng(p: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+  def decodeApng(p: Array[Byte]): Option[(Int, Int, Int, Long, Long)] =
+    apngCanvases(p).map { case (w, h, snaps) =>
+      var sum = 0L; var weighted = 0L
+      var f = 0
+      while (f < snaps.length) {
+        var cs = 0L; var i = 0
+        val c = snaps(f)
+        while (i < c.length) { cs += c(i); i += 1 }
+        sum += cs; weighted += (f + 1).toLong * cs
+        f += 1
+      }
+      (w, h, snaps.length, sum, weighted)
+    }
+
+  /** The decode core: returns the PREMULTIPLIED (`v·a div 255`)
+    * grayscale canvas snapshot after every frame — what frame
+    * sampling re-encodes and [[decodeApng]] checksums.
+    */
+  private[graft] def apngCanvases(p: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] = {
     val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
     if (p.length < 8 + 25 || !sig.indices.forall(i => (p(i) & 0xff) == sig(i)))
       return None
@@ -828,12 +913,11 @@ object Multimodal {
     }
     if (!seenIhdr || w <= 0 || h <= 0 || !sawIdat) return None
     if (declared <= 0 || declared != streams.length) return None
-    // composite with full dispose/blend semantics; per-frame
-    // contribution = premultiplied canvas sum after rendering
+    // composite with full dispose/blend semantics, snapshotting the
+    // premultiplied canvas after every frame
     val cv = new Array[Int](w * h) // values
     val ca = new Array[Int](w * h) // straight alpha
-    var sum = 0L
-    var weighted = 0L
+    val snaps = Seq.newBuilder[Array[Int]]
     var f = 0
     while (f < streams.length) {
       val (fx, fy, fw, fh) = rects(f)
@@ -876,11 +960,10 @@ object Multimodal {
         }
         py += 1
       }
-      var cs = 0L
+      val snap = new Array[Int](w * h)
       var i = 0
-      while (i < cv.length) { cs += cv(i).toLong * ca(i) / 255; i += 1 }
-      sum += cs
-      weighted += (f + 1).toLong * cs
+      while (i < cv.length) { snap(i) = (cv(i) * ca(i) / 255); i += 1 }
+      snaps += snap
       // dispose applies when advancing to the next frame
       if (dispose == 1) {
         var py2 = 0
@@ -905,7 +988,7 @@ object Multimodal {
       }
       f += 1
     }
-    Some((w, h, declared, sum, weighted))
+    Some((w, h, snaps.result()))
   }
 
   final case class AnimMeta(doc_id: Long, kind: String, width: Int, height: Int,
@@ -1269,20 +1352,382 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ---- Baseline JPEG: real frame-level decode ------------------------
+
+  /** Zigzag scan order: entropy-coded coefficient k lives at natural
+    * position `JpegZigzag(k)` (row-major u + 8v) of the 8×8 block.
+    */
+  private val JpegZigzag: Array[Int] = {
+    val zz = new Array[Int](64)
+    var k = 0
+    for (s <- 0 until 15; u <- 0 to s; if s - u < 8 && u < 8) {
+      // even diagonals run up-right (x ascending), odd ones down-left
+      val (x, y) = if (s % 2 == 0) (u, s - u) else (s - u, u)
+      zz(k) = y * 8 + x; k += 1
+    }
+    zz
+  }
+
+  /** IDCT basis `cos((2x+1)·u·π/16)` via StrictMath — bit-reproducible
+    * on every JVM, which makes the pixel contract deterministic.
+    */
+  private val JpegCos: Array[Double] = Array.tabulate(64) { i =>
+    StrictMath.cos((2 * (i / 8) + 1) * (i % 8) * StrictMath.PI / 16)
+  }
+
+  /** Documented IDCT contract shared by encoder spec and decoder:
+    * `f(x,y) = ¼ ΣΣ C(u)C(v)·F(u,v)·cos((2x+1)uπ/16)·cos((2y+1)vπ/16)`
+    * in doubles (StrictMath basis), then `round(f) + 128` clamped to
+    * 0..255. DC-only blocks with q_DC = 8 reduce to exactly
+    * `dc + 128` — the closed form the SQL oracle uses.
+    */
+  private[graft] def jpegIdctBlock(coef: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    val invSqrt2 = 1.0 / StrictMath.sqrt(2.0)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val c = coef(v * 8 + u)
+            if (c != 0) {
+              val cu = if (u == 0) invSqrt2 else 1.0
+              val cv = if (v == 0) invSqrt2 else 1.0
+              acc += cu * cv * c * JpegCos(x * 8 + u) * JpegCos(y * 8 + v)
+            }
+            u += 1
+          }
+          v += 1
+        }
+        val p = Math.round(acc / 4.0).toInt + 128
+        out(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Baseline-DCT JPEG pixel decode (grayscale): DQT + DHT (canonical
+    * Huffman rebuilt from the declared code-length counts) + SOF0 +
+    * SOS, then the real entropy decode — DC differentials, AC
+    * run-length/EOB/ZRL, byte unstuffing — dequantize,
+    * [[jpegIdctBlock]], crop to (w, h). Returns (w, h, Σ pixels).
+    * None for anything but 8-bit single-component restart-free
+    * baseline (multi-component / progressive / DRI payloads keep
+    * their metadata-only path).
+    */
+  def decodeJpegPixels(p: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xFF || (p(1) & 0xff) != 0xD8) return None
+    var o = 2
+    var w = -1; var h = -1
+    val qt = scala.collection.mutable.Map.empty[Int, Array[Int]]
+    // Huffman tables: (class<<4|id) -> (maxcode/valptr decode arrays)
+    final case class Huff(counts: Array[Int], symbols: Array[Int]) {
+      // canonical code assignment (JPEG F.2.2.3): walk by length
+      private val (codeLo, codeHi, valBase) = {
+        val lo = new Array[Int](17); val hi = new Array[Int](17)
+        val vb = new Array[Int](17)
+        var code = 0; var k = 0
+        var l = 1
+        while (l <= 16) {
+          lo(l) = code; vb(l) = k
+          code += counts(l); k += counts(l)
+          hi(l) = code // exclusive
+          code <<= 1
+          l += 1
+        }
+        (lo, hi, vb)
+      }
+      def decode(br: BitReader): Int = {
+        var code = 0; var l = 0
+        while (l < 16) {
+          code = (code << 1) | br.bit()
+          l += 1
+          // canonical property: any code below this length's exclusive
+          // upper bound either belongs to it or is invalid
+          if (code < codeHi(l)) {
+            return if (code >= codeLo(l))
+              symbols(valBase(l) + (code - codeLo(l)))
+            else -1
+          }
+        }
+        -1
+      }
+    }
+    val huff = scala.collection.mutable.Map.empty[Int, Huff]
+    final class BitReader(data: Array[Byte], var pos: Int) {
+      private var cur = 0; private var nbits = 0
+      var badStuffing = false
+      def bit(): Int = {
+        if (nbits == 0) {
+          if (pos >= data.length) { badStuffing = true; return 0 }
+          val b = data(pos) & 0xff; pos += 1
+          if (b == 0xFF) {
+            if (pos >= data.length || (data(pos) & 0xff) != 0x00) {
+              badStuffing = true; return 0
+            }
+            pos += 1 // stuffed zero
+          }
+          cur = b; nbits = 8
+        }
+        nbits -= 1
+        (cur >> nbits) & 1
+      }
+      def receive(s: Int): Int = {
+        var v = 0; var i = 0
+        while (i < s) { v = (v << 1) | bit(); i += 1 }
+        v
+      }
+    }
+    def extend(r: Int, s: Int): Int =
+      if (s == 0) 0 else if (r < (1 << (s - 1))) r - (1 << s) + 1 else r
+    while (o + 4 <= p.length) {
+      if ((p(o) & 0xff) != 0xFF) return None
+      var m = p(o + 1) & 0xff
+      while (m == 0xFF && o + 2 < p.length) { o += 1; m = p(o + 1) & 0xff }
+      if (m == 0xD9) return None // EOI before SOS
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { o += 2 }
+      else {
+        if (o + 4 > p.length) return None
+        val len = be16(p, o + 2)
+        if (len < 2 || o + 2 + len > p.length) return None
+        m match {
+          case 0xDB => // DQT: 8-bit tables only
+            var q = o + 4
+            while (q < o + 2 + len) {
+              val pq = (p(q) & 0xff) >> 4; val tq = p(q) & 0x0f
+              if (pq != 0 || q + 65 > o + 2 + len) return None
+              qt(tq) = Array.tabulate(64)(i => p(q + 1 + i) & 0xff)
+              q += 65
+            }
+          case 0xC4 => // DHT
+            var q = o + 4
+            while (q < o + 2 + len) {
+              val tc = p(q) & 0xff
+              if (q + 17 > o + 2 + len) return None
+              val counts = new Array[Int](17)
+              var tot = 0
+              var i = 1
+              while (i <= 16) { counts(i) = p(q + i) & 0xff; tot += counts(i); i += 1 }
+              if (q + 17 + tot > o + 2 + len) return None
+              huff(tc) = Huff(counts,
+                Array.tabulate(tot)(i => p(q + 17 + i) & 0xff))
+              q += 17 + tot
+            }
+          case 0xC0 => // SOF0 baseline
+            if (len < 8) return None
+            h = be16(p, o + 5); w = be16(p, o + 7)
+            val nc = p(o + 9) & 0xff
+            if ((p(o + 4) & 0xff) != 8 || nc != 1 || w <= 0 || h <= 0) return None
+          case sof if sof >= 0xC1 && sof <= 0xCF && sof != 0xC4 && sof != 0xC8 && sof != 0xCC =>
+            return None // progressive/lossless/arithmetic: not baseline
+          case 0xDA => // SOS: entropy decode follows
+            if (w < 0) return None
+            val ns = p(o + 4) & 0xff
+            if (ns != 1 || len != 6 + 2 * ns) return None
+            val td = (p(o + 6) & 0xff) >> 4; val ta = p(o + 6) & 0x0f
+            val (dcT, acT) = (huff.get(td), huff.get(0x10 | ta))
+            val q0 = qt.get(p.lift(jpegSofTq(p)).map(_ & 0x0f).getOrElse(0))
+            if (dcT.isEmpty || acT.isEmpty || q0.isEmpty) return None
+            val br = new BitReader(p, o + 2 + len)
+            val (bw, bh) = ((w + 7) / 8, (h + 7) / 8)
+            val pix = new Array[Int](w * h)
+            var prevDc = 0
+            var by = 0
+            while (by < bh) {
+              var bx = 0
+              while (bx < bw) {
+                val coef = new Array[Int](64)
+                val s = dcT.get.decode(br)
+                if (s < 0 || s > 11) return None
+                prevDc += extend(br.receive(s), s)
+                coef(0) = prevDc * q0.get(0)
+                var k = 1
+                var eob = false
+                while (k < 64 && !eob) {
+                  val rs = acT.get.decode(br)
+                  if (rs < 0) return None
+                  if (rs == 0x00) eob = true
+                  else if (rs == 0xF0) k += 16
+                  else {
+                    k += (rs >> 4)
+                    if (k > 63) return None
+                    val sz = rs & 0x0f
+                    coef(JpegZigzag(k)) = extend(br.receive(sz), sz) *
+                      q0.get(JpegZigzag(k))
+                    k += 1
+                  }
+                }
+                if (br.badStuffing) return None
+                val block = jpegIdctBlock(coef)
+                var yy = 0
+                while (yy < 8 && by * 8 + yy < h) {
+                  var xx = 0
+                  while (xx < 8 && bx * 8 + xx < w) {
+                    pix((by * 8 + yy) * w + (bx * 8 + xx)) = block(yy * 8 + xx)
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            var sum = 0L; var i = 0
+            while (i < pix.length) { sum += pix(i); i += 1 }
+            return Some((w, h, sum))
+          case _ => ()
+        }
+        o += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Offset of the SOF0 component's quant-table selector byte (Tq) —
+    * found by re-walking to SOF0 (single-component contract).
+    */
+  private def jpegSofTq(p: Array[Byte]): Int = {
+    var o = 2
+    while (o + 4 <= p.length) {
+      if ((p(o) & 0xff) != 0xFF) return -1
+      val m = p(o + 1) & 0xff
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) o += 2
+      else {
+        val len = be16(p, o + 2)
+        if (m == 0xC0) return o + 12 // precision(1) h(2) w(2) nc(1) id(1) hv(1) tq
+        if (len < 2 || o + 2 + len > p.length) return -1
+        o += 2 + len
+      }
+    }
+    -1
+  }
+
+  /** Baseline-DCT JPEG synthesis (write-side counterpart of
+    * [[decodeJpegPixels]]): real DQT/DHT/SOF0/SOS with a compact
+    * canonical Huffman pair and a real entropy stream (DC
+    * differentials, AC run-length, EOB, byte stuffing). Block
+    * (bx, by)'s DC is `(seed + bx + by) mod 151 − 75` with q_DC = 8,
+    * so the decoded block is flat `dc + 128` — closed form for the
+    * oracle. With `acPattern`, one AC coefficient per block at zigzag
+    * `1 + (bx+by) mod 5`, value `((seed + 3bx + 7by) mod 7) − 3`,
+    * exercises run-length coding + the full IDCT (spec-checked against
+    * an independent simulation, not SQL-oracled).
+    */
+  def synthesizeJpegDct(w: Int, h: Int, seed: Long,
+      acPattern: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0, "positive dimensions")
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    w8(0xFF); w8(0xD8) // SOI
+    // DQT 0: q[0] = 8 (the dc+128 closed form), 16 elsewhere
+    w8(0xFF); w8(0xDB); w16(2 + 65); w8(0x00)
+    (0 until 64).foreach(i => w8(if (i == 0) 8 else 16))
+    // DHT DC 0: symbols 0..8, all 4-bit codes
+    w8(0xFF); w8(0xC4); w16(2 + 17 + 9); w8(0x00)
+    (1 to 16).foreach(l => w8(if (l == 4) 9 else 0))
+    (0 to 8).foreach(w8)
+    // DHT AC 0: EOB + (run 0..5 × size 1..2), all 5-bit codes
+    val acSyms = 0x00 +: (for (r <- 0 to 5; s <- 1 to 2) yield (r << 4) | s)
+    w8(0xFF); w8(0xC4); w16(2 + 17 + acSyms.length); w8(0x10)
+    (1 to 16).foreach(l => w8(if (l == 5) acSyms.length else 0))
+    acSyms.foreach(w8)
+    // SOF0: 8-bit, 1 component, no subsampling, quant table 0
+    w8(0xFF); w8(0xC0); w16(11); w8(8); w16(h); w16(w); w8(1)
+    w8(1); w8(0x11); w8(0)
+    // SOS
+    w8(0xFF); w8(0xDA); w16(8); w8(1); w8(1); w8(0x00); w8(0); w8(63); w8(0)
+    // entropy stream
+    var acc = 0; var nbits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    // canonical codes: DC symbol s -> code s (4 bits); AC i -> 5 bits
+    def putDc(sym: Int): Unit = putBits(sym, 4)
+    def putAc(sym: Int): Unit = putBits(acSyms.indexOf(sym), 5)
+    def size(v: Int): Int = { var a = math.abs(v); var s = 0
+      while (a != 0) { a >>= 1; s += 1 }; s }
+    def putVal(v: Int, s: Int): Unit =
+      if (s > 0) putBits(if (v >= 0) v else v + (1 << s) - 1, s)
+    val (bw, bh) = ((w + 7) / 8, (h + 7) / 8)
+    var prevDc = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        val dc = (((seed + bx + by) % 151 + 151) % 151 - 75).toInt
+        val diff = dc - prevDc; prevDc = dc
+        val s = size(diff)
+        putDc(s); putVal(diff, s)
+        if (acPattern) {
+          val k = 1 + ((bx + by) % 5)
+          val v = ((((seed + 3 * bx + 7 * by) % 7) + 7) % 7 - 3).toInt
+          if (v != 0) { val sz = size(v); putAc(((k - 1) << 4) | sz); putVal(v, sz) }
+        }
+        putAc(0x00) // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    if (nbits > 0) { // pad with 1s
+      acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      out.write(acc)
+      if (acc == 0xFF) out.write(0x00)
+    }
+    w8(0xFF); w8(0xD9) // EOI
+    out.toByteArray
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte], n_bytes: Long)
 
-  /** Partition-batched resize + frame sampling over binary payloads:
-    * one output row per sampled frame. The explode happens inside the
+  /** REAL frame sampling + resize over binary payloads: an APNG is
+    * fully composited ([[apngCanvases]] — dispose/blend respected) and
+    * `nFrames` evenly-spaced canvas snapshots are re-encoded as
+    * single-image PNGs at (tw, th) via the nearest-neighbor map; a
+    * still PNG contributes its one frame resized; other payloads are
+    * skipped (a captioning pipeline samples what it can decode). One
+    * output row per sampled frame; the explode happens inside the
     * partition iterator — no shuffle, memory bounded by one payload.
     */
   def sampleFrames(spark: SparkSession, media: DataFrame, nFrames: Int,
-      targetBytes: Int): Dataset[Frame] = {
+      tw: Int, th: Int): Dataset[Frame] = {
     import spark.implicits._
+    require(nFrames >= 1 && tw >= 1 && th >= 1, "positive sampling geometry")
     media.as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
-        val resized = resizeStub(r.payload, targetBytes)
-        frameSampleStub(resized, nFrames).zipWithIndex.map { case (f, i) =>
-          Frame(r.doc_id, i, f, f.length.toLong)
+        val grids: Seq[(Int, Int, Array[Int])] = apngCanvases(r.payload) match {
+          case Some((w, h, snaps)) =>
+            // evenly spaced over the animation: snapshot ⌊k·(F−1)/(n−1)⌋
+            val idx =
+              if (snaps.length <= nFrames) snaps.indices
+              else if (nFrames == 1) Seq(0)
+              else (0 until nFrames)
+                .map(k => k * (snaps.length - 1) / (nFrames - 1)).distinct
+            idx.map(i => (w, h, snaps(i)))
+          case None => decodePngPixels(r.payload) match {
+            case Some((w, h, px)) => Seq((w, h, px))
+            case None => Seq.empty
+          }
+        }
+        grids.zipWithIndex.map { case ((w, h, px), i) =>
+          val enc = encodePngGray(tw, th,
+            (x, y) => px((y.toLong * h / th).toInt * w + (x.toLong * w / tw).toInt))
+          Frame(r.doc_id, i, enc, enc.length.toLong)
         }
       }
     }

@@ -544,12 +544,30 @@ object Pipeline {
         .orderBy($"l_returnflag")
     },
 
-    // Multimodal: binary payload column → partition-batched stub
-    // decode (real plumbing, stubbed codec — see operators.Multimodal).
+    // Multimodal feature extraction with REAL codecs: a mixed-format
+    // media column (baseline JPEG / PNG / GIF / opaque text bytes, one
+    // per doc_id mod 4) dispatched on magic bytes — the feature is the
+    // decoded pixel sum for images and the rolling byte fingerprint
+    // for opaque payloads, each with a closed-form oracle.
     "q41_multimodal_features" -> { (s, dir) =>
       import s.implicits._
-      val media = Multimodal.asBinaryFrame(Tables(s, dir).documents, "doc_id", "text")
-      Multimodal.extractFeatures(s, media).toDF().orderBy($"doc_id")
+      val media = Tables(s, dir).documents
+        .select($"doc_id".cast("long"), $"text")
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          Multimodal.MediaRow(id, (id % 4) match {
+            case 0 => Multimodal.synthesizeJpegDct(
+              1 + (id % 24).toInt, 1 + ((id * 3) % 16).toInt, id)
+            case 1 => Multimodal.synthesizePng(
+              1 + (id % 32).toInt, 1 + ((id * 5) % 24).toInt, id)
+            case 2 => Multimodal.synthesizeGif(
+              1 + (id % 40).toInt, 1 + ((id * 3) % 30).toInt, id)
+            case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          })
+        }).toDF()
+      Multimodal.extractFeatures(s, media).toDF()
+        .select($"doc_id", $"head", $"feature")
+        .orderBy($"doc_id")
     },
 
     // Real JPEG decode end-to-end: per-doc synthesized JPEGs (every
@@ -579,6 +597,29 @@ object Pipeline {
           $"width".cast("long").as("width"),
           $"height".cast("long").as("height"),
           $"n_bytes".as("stripped_bytes"))
+        .orderBy($"doc_id")
+    },
+
+    // Baseline-DCT JPEG FRAME decode end-to-end: per-doc streams with
+    // real DQT/DHT/SOF0/SOS and Huffman-coded DC coefficients are
+    // entropy-decoded, dequantized, and IDCT'd — pix_sum is the real
+    // reconstructed pixel sum (q_DC = 8 makes each block exactly
+    // dc+128, the oracle's closed form; the AC path is spec-checked
+    // against an independent IDCT simulation in JpegSpec).
+    "q118_jpeg_dct" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir).documents
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          Multimodal.MediaRow(id, Multimodal.synthesizeJpegDct(
+            w = 1 + (id % 48).toInt, h = 1 + ((id * 3) % 36).toInt,
+            seed = id))
+        }).toDF()
+      Multimodal.probeMedia(s, media).toDF()
+        .select($"doc_id", $"kind",
+          $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          $"pix_sum")
         .orderBy($"doc_id")
     },
 
@@ -1559,13 +1600,46 @@ object Pipeline {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // mirrors the real decoders per format family: JPEG = flat DC
+    // blocks cropped to (w, h); PNG = the (id+x+y)%251 grid; GIF = the
+    // 4-cycle closed form; opaque text = the rolling byte fingerprint
     "q41_multimodal_features" ->
-      """SELECT doc_id,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        | CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head,
-        | (CAST(octet_length(encode(text)) AS BIGINT) * 31
-        |   + CAST(ascii(substr(text, 1, 1)) AS BIGINT)) % 997 AS feature
-        |FROM documents
+      """WITH d AS (SELECT doc_id, doc_id % 4 AS m, text FROM documents),
+        |jb AS (SELECT doc_id, 1 + doc_id % 24 AS w, 1 + (doc_id * 3) % 16 AS h
+        |       FROM d WHERE m = 0),
+        |j AS (SELECT doc_id, CAST(255 AS BIGINT) AS head,
+        |        CAST(sum(((doc_id + bx.i + by.i) % 151 - 75 + 128)
+        |          * least(8, w - bx.i * 8) * least(8, h - by.i * 8)) AS BIGINT) AS feature
+        |      FROM jb,
+        |      LATERAL (SELECT unnest(generate_series(0, (w + 7) // 8 - 1)) AS i) bx,
+        |      LATERAL (SELECT unnest(generate_series(0, (h + 7) // 8 - 1)) AS i) by
+        |      GROUP BY doc_id),
+        |pg AS (SELECT doc_id, 1 + doc_id % 32 AS w, 1 + (doc_id * 5) % 24 AS h
+        |       FROM d WHERE m = 1),
+        |p AS (SELECT doc_id, CAST(137 AS BIGINT) AS head,
+        |        CAST(sum((doc_id + x.i + y.i) % 251) AS BIGINT) AS feature
+        |      FROM pg,
+        |      LATERAL (SELECT unnest(generate_series(0, w - 1)) AS i) x,
+        |      LATERAL (SELECT unnest(generate_series(0, h - 1)) AS i) y
+        |      GROUP BY doc_id),
+        |gg AS (SELECT doc_id, (1 + doc_id % 40) * (1 + (doc_id * 3) % 30) AS n
+        |       FROM d WHERE m = 2),
+        |g AS (SELECT doc_id, CAST(71 AS BIGINT) AS head,
+        |        CAST(6 * (n // 4)
+        |          + CASE WHEN n % 4 >= 1 THEN doc_id % 4 ELSE 0 END
+        |          + CASE WHEN n % 4 >= 2 THEN (doc_id + 1) % 4 ELSE 0 END
+        |          + CASE WHEN n % 4 >= 3 THEN (doc_id + 2) % 4 ELSE 0 END
+        |         AS BIGINT) AS feature
+        |      FROM gg),
+        |t AS (SELECT doc_id,
+        |        CAST(CASE WHEN length(text) = 0 THEN -1
+        |             ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS head,
+        |        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |          (h, b) -> (h * 131 + b) % 1000003) AS BIGINT) AS feature
+        |      FROM d WHERE m = 3)
+        |SELECT * FROM j UNION ALL SELECT * FROM p
+        |UNION ALL SELECT * FROM g UNION ALL SELECT * FROM t
         |ORDER BY doc_id""".stripMargin,
 
     // simhash audit: doc count is predictable; the soundness and
@@ -1822,6 +1896,23 @@ object Pipeline {
         | CAST(1 + (doc_id * 7) % 512 AS BIGINT) AS height,
         | CAST(41 + doc_id % 32 AS BIGINT) AS stripped_bytes
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeJpegDct + the baseline decoder: block (bx,by)
+    // is flat at dc+128 with dc = (doc_id+bx+by) mod 151 - 75, cropped
+    // to (w, h)
+    "q118_jpeg_dct" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 48 AS w,
+        |             1 + (doc_id * 3) % 36 AS h FROM documents),
+        |b AS (SELECT doc_id, w, h, bx.i AS bx, by.i AS by
+        |      FROM d,
+        |      LATERAL (SELECT unnest(generate_series(0, (w + 7) // 8 - 1)) AS i) bx,
+        |      LATERAL (SELECT unnest(generate_series(0, (h + 7) // 8 - 1)) AS i) by)
+        |SELECT doc_id, 'jpeg' AS kind,
+        |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+        |  CAST(sum(((doc_id + bx + by) % 151 - 75 + 128)
+        |    * least(8, w - bx * 8) * least(8, h - by * 8)) AS BIGINT) AS pix_sum
+        |FROM b GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     // Sliding 32-token windows, stride 24: the last window is the

@@ -376,14 +376,24 @@ class StreamingSpec extends SparkSpec {
     assert(removed >= 2, s"watermark must evict dedup state, removed=$removed")
   }
 
-  test("multimodal feature extraction matches the column-level formula") {
+  test("feature extraction really decodes media and fingerprints opaque bytes") {
     import graft.operators.Multimodal
     val media = Multimodal.asBinaryFrame(Tables(spark, sf).documents, "doc_id", "text")
     val feats = Multimodal.extractFeatures(spark, media).collect()
     assert(feats.nonEmpty)
+    val texts = Tables(spark, sf).documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     feats.foreach { f =>
-      assert(f.feature == (f.n_bytes * 31 + f.head) % 997)
+      val bytes = texts(f.doc_id).getBytes("UTF-8")
+      val want = bytes.foldLeft(0L)((h, b) => (h * 131 + (b & 0xff)) % 1000003L)
+      assert(f.feature == want && f.n_bytes == bytes.length,
+        s"opaque payloads take the rolling fingerprint: ${f.doc_id}")
     }
+    // image payloads dispatch to the REAL decoders
+    assert(Multimodal.decodeFeature(Multimodal.synthesizePng(5, 3, 9L))._2 ==
+      (for (x <- 0 until 5; y <- 0 until 3) yield (9L + x + y) % 251).sum)
+    assert(Multimodal.decodeFeature(Multimodal.synthesizeJpegDct(8, 8, 4L))._2 ==
+      64L * ((4L % 151) - 75 + 128))
   }
 
   test("multimodal probe really decodes BMP and PCM WAV headers") {
@@ -525,18 +535,42 @@ class StreamingSpec extends SparkSpec {
     assert(Multimodal.decodeMp4(zeroTs).isEmpty)
   }
 
-  test("multimodal resize + frame sampling keeps batch shape and budgets") {
+  test("frame sampling composites real APNG canvases and resizes them") {
     import graft.operators.Multimodal
-    val media = Multimodal.asBinaryFrame(
-      Tables(spark, sf).documents.limit(50), "doc_id", "text")
-    val frames = Multimodal.sampleFrames(spark, media, nFrames = 4, targetBytes = 64)
+    import spark.implicits._
+    val media = (1L to 20L).toDF("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        Multimodal.MediaRow(id, Multimodal.synthesizeApngRegions(
+          w = 16, h = 12, seed = id, frames = 4, subRects = true))
+      }).toDF()
+    val frames = Multimodal.sampleFrames(spark, media, nFrames = 2, tw = 8, th = 6)
       .collect()
     assert(frames.nonEmpty)
-    val byDoc = frames.groupBy(_.doc_id)
-    byDoc.values.foreach { fs =>
-      assert(fs.length <= 4)
-      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length))
-      assert(fs.map(_.n_bytes).sum <= 64) // resize budget bounds total bytes
+    frames.groupBy(_.doc_id).values.foreach { fs =>
+      assert(fs.length == 2, "4 snapshots sampled down to 2")
+      assert(fs.map(_.frame_idx).sorted.toSeq == Seq(0, 1))
+      fs.foreach { f => // every emitted frame is a REAL decodable PNG
+        val (w, h, _) = Multimodal.decodePng(f.frame).get
+        assert((w, h) == (8, 6))
+      }
     }
+    // first sampled frame = frame-0 canvas = the full (seed+x+y)%251
+    // grid, nearest-neighbor sampled 16x12 -> 8x6 (factor 2)
+    val f0 = frames.find(f => f.doc_id == 3L && f.frame_idx == 0).get
+    val (_, _, sum0) = Multimodal.decodePng(f0.frame).get
+    val want = (for (x <- 0 until 8; y <- 0 until 6)
+      yield (3L + 2 * x + 2 * y) % 251).sum
+    assert(sum0 == want, "resize must sample the composited canvas")
+  }
+
+  test("still-PNG resize round-trips the nearest-neighbor closed form") {
+    import graft.operators.Multimodal
+    val resized = Multimodal.resizeImage(Multimodal.synthesizePng(20, 10, 7L), 5, 4)
+    val want = (for (x <- 0 until 5; y <- 0 until 4)
+      yield (7L + (x * 20 / 5) + (y * 10 / 4)) % 251).sum
+    assert(Multimodal.decodePng(resized).contains((5, 4, want)))
+    // non-PNG payloads pass through untouched
+    val wav = Array[Byte](1, 2, 3)
+    assert(Multimodal.resizeImage(wav, 4, 4).toSeq == wav.toSeq)
   }
 }
