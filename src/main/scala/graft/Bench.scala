@@ -55,12 +55,20 @@ object Bench {
     // stop swinging with single-pass machine-load noise
     // Optional subset (bisection / regression hunts): SPARK_GRAFT_MAX_Q=99
     // keeps only queries numbered <= N, so a historical round's exact
-    // query set can be re-timed in isolation on the current jar.
+    // query set can be re-timed in isolation on the current jar;
+    // SPARK_GRAFT_SKIP_Q=q34,q43 drops named prefixes (documented-
+    // quadratic gates at big synthetic scale points); SPARK_GRAFT_PASSES
+    // overrides the pass count (1 for long large-scale runs).
     val maxQ = sys.env.get("SPARK_GRAFT_MAX_Q").map(_.toInt)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP_Q")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val nPasses = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
     val names = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
-      maxQ.forall(m => n.drop(1).takeWhile(_.isDigit).toInt <= m)
+      maxQ.forall(m => n.drop(1).takeWhile(_.isDigit).toInt <= m) &&
+        !skip.exists(s => n.startsWith(s))
     }
-    val passes = (1 to 3).map(_ => names.map(n => n -> runOnce(n)).toMap)
+    val passes = (1 to nPasses).map(_ => names.map(n => n -> runOnce(n)).toMap)
     val results = names.map { n =>
       val ts = passes.map(_(n)).filter(_ >= 0).sorted
       val agg = ts.length match {
@@ -79,7 +87,8 @@ object Bench {
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","agg":"median3","queries":$qs,"sf":"$sfDir"}"""
+    val agg = s"median$nPasses"
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","agg":"$agg","queries":$qs,"sf":"$sfDir"}"""
     // load context: 1-min loadavg before/after the run — the round-9
     // bisect traced a +26% cross-round total swing to machine/session
     // drift (same jar, same queries, different day), so totals are
@@ -91,7 +100,7 @@ object Bench {
     val loadAfter = load1
     val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{\"queries\":{", ",",
-        s"""},"total":${r3(total)},"agg":"median3","sf":"$sfDir"""" +
+        s"""},"total":${r3(total)},"agg":"$agg","sf":"$sfDir"""" +
           s""","load1_before":$loadBefore,"load1_after":$loadAfter}""")
     try {
       val p = java.nio.file.Paths.get("docs/bench_detail.json")

@@ -243,8 +243,22 @@ object Etl {
     "q74_compact_zorder" -> { (s, dir) =>
       import s.implicits._
       val part = Tables(s, dir).part
+      // range-normalize each dimension into 31 bits before
+      // interleaving: order-preserving integer (v−min) div scale with
+      // scale = ⌈range/2³¹⌉, so z-ordering works at ANY key magnitude
+      // (a raw int cast overflowed the moment keys crossed 2³¹ — the
+      // sf1.0 scale decade caught exactly that)
+      val Array(r) = part.agg(
+        min($"p_partkey"), max($"p_partkey"),
+        min($"p_size".cast("long")), max($"p_size".cast("long"))).collect()
+      def norm31(c: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
+        val scale = math.max(1L, ((hi - lo) >> 31) + 1)
+        expr(s"CAST((${c.toString} - ${lo}L) div ${scale}L AS INT)")
+      }
       val clustered = part.withColumn("z",
-        graft.functions.ZOrder2.zorder($"p_size".cast("int"), $"p_partkey".cast("int")))
+        graft.functions.ZOrder2.zorder(
+          norm31($"p_size".cast("long"), r.getLong(2), r.getLong(3)),
+          norm31($"p_partkey", r.getLong(0), r.getLong(1))))
       val outDir = s"/tmp/graft_compact_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
         s"_${java.util.UUID.randomUUID().toString.take(8)}"
       val total = part.count() // parquet footer count — metadata-cheap
