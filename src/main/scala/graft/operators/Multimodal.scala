@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * [[decodeJpeg]]/[[stripExif]]/[[decodeBmp]]/[[decodeWav]]/
   * [[decodeMp4]]) AND frame-level pixels (baseline JPEG through the
   * full Huffman+DCT path in [[decodeJpegPixels]], PNG/APNG filter
-  * reconstruction + compositing, GIF LZW). The only remaining
-  * non-decoded family is MP4 track SAMPLES (a real video codec);
-  * everything else produces real content values. At scale this runs embarrassingly parallel: one task per partition,
+  * reconstruction + compositing, GIF LZW, MP4 sample extraction via
+  * the real stts/stsz/stsc/stco demux in [[decodeMp4Samples]]). The
+  * only step beyond container/marker scope is codec decode of video
+  * sample payloads (H.26x bitstreams); everything else produces real
+  * content values. At scale this runs embarrassingly parallel: one task per partition,
   * no shuffle, codec state initialized once per partition (the
   * mapPartitions pattern — the Scala analogue of `mapInPandas` batch
   * UDFs).
@@ -229,9 +231,10 @@ object Multimodal {
 
   /** MP4 / ISO-BMFF metadata parse: (major brand, timescale,
     * duration_ms) from the ftyp + moov/mvhd box walk — the container
-    * structure is fully specified without any codec (track-sample
-    * decode needs a real video codec and is the one undecoded
-    * family). Boxes are
+    * structure is fully specified without any codec
+    * ([[decodeMp4Samples]] goes further and demuxes the actual sample
+    * bytes; only codec decode of those payloads is out of scope).
+    * Boxes are
     * [size:u32BE][type:4cc][payload] with size covering the header;
     * size==1 → 64-bit extended size follows, size==0 → box runs to
     * EOF. The walk bails (None) on any malformed size rather than
@@ -316,6 +319,193 @@ object Multimodal {
     i = 0
     while (i < mdatBytes) { w8(0x55); i += 1 }
     out.toByteArray
+  }
+
+  /** MP4 synthesis WITH a real sample-table track (write-side
+    * counterpart of [[decodeMp4Samples]]): ftyp + moov(mvhd +
+    * trak/mdia/minf/stbl with real stsd/stts/stsc/stsz/stco) + mdat.
+    * `n` samples, sample `i` sized `1 + (seed + i) mod 17` bytes with
+    * byte `j` (mdat-global index) = `(seed + j) mod 251`; one stts run
+    * of `delta` units per sample; samples packed into chunks of 7 via
+    * stsc with per-chunk ABSOLUTE file offsets in stco — the
+    * offset/size arithmetic a real demuxer runs.
+    */
+  def synthesizeMp4Track(timescale: Int, n: Int, delta: Int,
+      seed: Long): Array[Byte] = {
+    require(n >= 1 && delta >= 1, "positive sample count and delta")
+    val sizes = Array.tabulate(n)(i => 1 + (((seed + i) % 17 + 17) % 17).toInt)
+    val perChunk = 7
+    val nChunks = (n + perChunk - 1) / perChunk
+    def box(tag4: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(8 + body.length)
+      def w8(v: Int): Unit = out.write(v & 0xff)
+      def w32(v: Long): Unit = { w8((v >> 24).toInt); w8((v >> 16).toInt); w8((v >> 8).toInt); w8(v.toInt) }
+      w32(8L + body.length)
+      out.write(tag4.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.write(body, 0, body.length)
+      out.toByteArray
+    }
+    def be32s(vs: Long*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(vs.length * 4)
+      vs.foreach { v =>
+        out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+      out.toByteArray
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32s(0) ++
+      "isom".getBytes("US-ASCII"))
+    val totalDur = n.toLong * delta
+    val mvhd = box("mvhd", be32s(0, 0, 0, timescale.toLong, totalDur,
+      0x00010000L) ++ Array[Byte](1, 0, 0, 0) ++ be32s(0, 0,
+      0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L,
+      0, 0, 0, 0, 0, 0, 2))
+    // stsd: one dummy sample entry (size 16, 4cc 'mp4v')
+    val stsd = box("stsd", be32s(0, 1) ++
+      be32s(16) ++ "mp4v".getBytes("US-ASCII") ++ be32s(0, 0))
+    val stts = box("stts", be32s(0, 1, n.toLong, delta.toLong))
+    // stsc: every chunk holds `perChunk` samples; a shorter final
+    // chunk needs its own run (first_chunk, samples, desc_index)
+    val lastSamples = n - (nChunks - 1) * perChunk
+    val stscRuns =
+      if (nChunks == 1) Seq((1L, lastSamples.toLong))
+      else if (lastSamples == perChunk) Seq((1L, perChunk.toLong))
+      else Seq((1L, perChunk.toLong), (nChunks.toLong, lastSamples.toLong))
+    val stsc = box("stsc", be32s(0, stscRuns.length.toLong) ++
+      be32s(stscRuns.flatMap { case (f, s) => Seq(f, s, 1L) }: _*))
+    val stsz = box("stsz", be32s(0, 0, n.toLong) ++
+      be32s(sizes.map(_.toLong).toIndexedSeq: _*))
+    // stco chunk offsets are ABSOLUTE file offsets into mdat's payload:
+    // assemble everything before mdat first to know where it lands
+    val chunkStarts = (0 until nChunks).map { c =>
+      sizes.take(c * perChunk).map(_.toLong).sum
+    }
+    def stcoWith(mdatPayloadAt: Long) = box("stco",
+      be32s(0, nChunks.toLong) ++
+        be32s(chunkStarts.map(_ + mdatPayloadAt): _*))
+    def stblWith(stco: Array[Byte]) = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    def moovWith(stco: Array[Byte]) = box("moov", mvhd ++
+      box("trak", box("mdia", box("minf", stblWith(stco)))))
+    // stco size is independent of the offsets' values: measure once
+    val probe = moovWith(stcoWith(0L))
+    val mdatPayloadAt = ftyp.length.toLong + probe.length + 8
+    val moov = moovWith(stcoWith(mdatPayloadAt))
+    val mdatLen = sizes.map(_.toLong).sum
+    val mdatBody = Array.tabulate(mdatLen.toInt)(j =>
+      ((((seed + j) % 251) + 251) % 251).toByte)
+    ftyp ++ moov ++ box("mdat", mdatBody)
+  }
+
+  /** REAL MP4 sample extraction: the stbl walk a demuxer runs —
+    * stts (decode durations), stsz (sizes), stsc (sample→chunk runs),
+    * stco (chunk offsets) — then each sample's ACTUAL BYTES are read
+    * from mdat via the chunk offset + intra-chunk size arithmetic.
+    * Returns (n_samples, duration_units, Σ sizes,
+    * Σ (i+1)·(byte-sum of sample i)) — the position-weighted checksum
+    * is wrong unless every offset and size lands exactly. Codec
+    * decode of the sample payloads (real video frames) is the one
+    * step beyond container scope. None when there is no complete
+    * sample table.
+    */
+  def decodeMp4Samples(p: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    def be32(o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    if (p.length < 16 || tag(p, 4) != "ftyp") return None
+    def walk(from: Long, end: Long, want: String): Option[(Long, Long)] = {
+      var o = from
+      while (o + 8 <= end) {
+        val oi = o.toInt
+        var sz = be32(oi)
+        var hdr = 8L
+        if (sz == 1) {
+          if (o + 16 > end) return None
+          sz = be64(oi + 8); hdr = 16L
+          if (sz < 16) return None
+        } else if (sz == 0) sz = end - o
+        else if (sz < 8) return None
+        if (o + sz > end) return None
+        if (tag(p, oi + 4) == want) return Some((o + hdr, o + sz))
+        o += sz
+      }
+      None
+    }
+    for {
+      (moovS, moovE) <- walk(0L, p.length.toLong, "moov")
+      (trakS, trakE) <- walk(moovS, moovE, "trak")
+      (mdiaS, mdiaE) <- walk(trakS, trakE, "mdia")
+      (minfS, minfE) <- walk(mdiaS, mdiaE, "minf")
+      (stblS, stblE) <- walk(minfS, minfE, "stbl")
+      (sttsS, sttsE) <- walk(stblS, stblE, "stts")
+      (stszS, stszE) <- walk(stblS, stblE, "stsz")
+      (stscS, stscE) <- walk(stblS, stblE, "stsc")
+      (stcoS, stcoE) <- walk(stblS, stblE, "stco")
+      out <- {
+        // stts: duration = Σ count·delta over the runs
+        val nRuns = be32(sttsS.toInt + 4)
+        if (sttsS + 8 + nRuns * 8 > sttsE) None
+        else {
+          var dur = 0L; var nFromStts = 0L
+          (0 until nRuns.toInt).foreach { i =>
+            val c = be32(sttsS.toInt + 8 + i * 8)
+            dur += c * be32(sttsS.toInt + 12 + i * 8)
+            nFromStts += c
+          }
+          // stsz: per-sample sizes (or the uniform default)
+          val dflt = be32(stszS.toInt + 4)
+          val n = be32(stszS.toInt + 8)
+          val sizesOk = dflt != 0 || stszS + 12 + n * 4 <= stszE
+          if (n <= 0 || n != nFromStts || !sizesOk || n > 1000000) None
+          else {
+            val sizes = Array.tabulate(n.toInt)(i =>
+              if (dflt != 0) dflt else be32(stszS.toInt + 12 + i * 4))
+            // stsc runs → samples-per-chunk for each chunk index
+            val nsc = be32(stscS.toInt + 4)
+            if (stscS + 8 + nsc * 12 > stscE || nsc <= 0) None
+            else {
+              val runs = (0 until nsc.toInt).map { i =>
+                (be32(stscS.toInt + 8 + i * 12),
+                  be32(stscS.toInt + 12 + i * 12))
+              }
+              val nChunks = be32(stcoS.toInt + 4)
+              if (stcoS + 8 + nChunks * 4 > stcoE || nChunks <= 0) None
+              else {
+                val offsets = Array.tabulate(nChunks.toInt)(i =>
+                  be32(stcoS.toInt + 8 + i * 4))
+                // walk samples chunk by chunk, reading REAL bytes
+                var checksum = 0L; var sumSizes = 0L
+                var sample = 0
+                var chunk = 0
+                var ok = true
+                while (chunk < nChunks && sample < n && ok) {
+                  val inChunk = runs.takeWhile(_._1 <= chunk + 1).lastOption
+                    .map(_._2.toInt).getOrElse(0)
+                  var off = offsets(chunk)
+                  var k = 0
+                  while (k < inChunk && sample < n && ok) {
+                    val sz = sizes(sample).toInt
+                    if (off + sz > p.length) ok = false
+                    else {
+                      var bs = 0L
+                      var j = 0
+                      while (j < sz) { bs += (p((off + j).toInt) & 0xff); j += 1 }
+                      checksum += (sample + 1).toLong * bs
+                      sumSizes += sz
+                      off += sz; sample += 1
+                    }
+                    k += 1
+                  }
+                  chunk += 1
+                }
+                if (!ok || sample != n) None
+                else Some((n, dur, sumSizes, checksum))
+              }
+            }
+          }
+        }
+      }
+    } yield out
   }
 
   /** Partition-batched media probe: real header/payload decode for

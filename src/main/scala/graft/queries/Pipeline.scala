@@ -785,6 +785,30 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // MP4 SAMPLE-TABLE decode end-to-end: per-doc streams with real
+    // stts/stsz/stsc/stco tables are demuxed — every sample's actual
+    // bytes are read from mdat via chunk-offset + intra-chunk size
+    // arithmetic; the position-weighted byte checksum is wrong unless
+    // every offset lands exactly. (Codec decode of the sample payloads
+    // is the one step beyond container scope.)
+    "q119_mp4_samples" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir).documents
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          Multimodal.MediaRow(id, Multimodal.synthesizeMp4Track(
+            timescale = 1000, n = 1 + (id % 50).toInt,
+            delta = 100 + (id % 20).toInt, seed = id))
+        }).toDF()
+      media.as[Multimodal.MediaRow].mapPartitions(_.map { r =>
+        val (n, dur, sz, ck) = Multimodal.decodeMp4Samples(r.payload)
+          .getOrElse((-1L, -1L, -1L, -1L))
+        (r.doc_id, n, dur, sz, ck)
+      }).toDF("doc_id", "n_samples", "duration_units", "sum_sizes",
+          "sample_checksum")
+        .orderBy($"doc_id")
+    },
+
     // The full curation funnel (lang → quality → exact dedup →
     // decontamination) with per-stage audit counts — every dropped doc
     // accounted to the stage that dropped it.
@@ -1848,6 +1872,30 @@ object Pipeline {
         |  CAST(sum(s) AS BIGINT) AS pix_sum,
         |  CAST(sum(snap * s) AS BIGINT) AS frame_weighted
         |FROM cs GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeMp4Track + the demuxer: sample i is sized
+    // 1+(doc_id+i)%17, starts at the cumulative size, and its bytes
+    // are (doc_id + global_j) % 251 — chunking cancels out
+    "q119_mp4_samples" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 50 AS n,
+        |             100 + doc_id % 20 AS delta FROM documents),
+        |s AS (SELECT doc_id, n, delta, i.i AS i,
+        |        1 + (doc_id + i.i) % 17 AS sz
+        |      FROM d, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) i),
+        |st AS (SELECT doc_id, n, delta, i, sz,
+        |         CAST(coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |       FROM s),
+        |b AS (SELECT doc_id, n, delta, i, sz,
+        |        sum((doc_id + start + j.j) % 251) AS bs
+        |      FROM st, LATERAL (SELECT unnest(generate_series(0, sz - 1)) AS j) j
+        |      GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(max(n) * max(delta) AS BIGINT) AS duration_units,
+        |  CAST(sum(sz) AS BIGINT) AS sum_sizes,
+        |  CAST(sum((i + 1) * bs) AS BIGINT) AS sample_checksum
+        |FROM b GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     // mirrors synthesizeGifAnim/synthesizeApng: GIF frame f sums the
