@@ -587,6 +587,99 @@ object Retrieval {
     }.toDF("query_id", "doc_id", "sel_rank")
   }
 
+  /** Facility-location diversified re-rank — the submodular-coverage
+    * generalization of [[mmrRerank]]: greedily pick the candidate
+    * maximizing the WEIGHTED COVERAGE GAIN
+    * `Σ_d w_d · max(sim(d,c) − cur(d), 0)` where `w_d` is the
+    * rank-reciprocal relevance (`MmrScale div rank`), `sim` the hashed
+    * cosine² fixed-point with `sim(d,d) = MmrScale` (a candidate fully
+    * covers itself), and `cur(d) = max_{s∈S} sim(d,s)` the coverage so
+    * far. Every term is an exact integer (gain < k·MmrScale² < 2^63),
+    * so the oracle re-derives each greedy step as an unrolled CTE.
+    * Ties break doc_id-ascending. Same partition-local `mapGroups`
+    * scale shape as [[mmrRerank]].
+    *
+    * @return (query_id, doc_id, sel_rank) — sel_rank 1-based pick order.
+    */
+  def facilityRerank(ranked: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, dim: Int, k: Int): DataFrame = {
+    val spark = ranked.sparkSession
+    import spark.implicits._
+    val cand = ranked.select($"query_id", $"doc_id",
+      expr(s"${MmrScale}L div rank").as("rel_fp")).localCheckpoint()
+    val ids = cand.select($"doc_id")
+    val cdv = hashedVectors(
+        docs.join(broadcast(ids.withColumnRenamed("doc_id", idCol)),
+          Seq(idCol), "left_semi"),
+        idCol, textCol, dim)
+      .withColumnRenamed("id", "doc_id")
+    val cv = cand.select($"query_id", $"doc_id").join(broadcast(cdv), "doc_id")
+    val unified = cand.select($"query_id", lit(0).as("kind"),
+        $"doc_id".as("a"), lit(0L).as("b"), $"rel_fp".as("v"))
+      .unionAll(cv.select($"query_id", lit(1).as("kind"),
+        $"doc_id".as("a"), $"bucket".as("b"), $"c".as("v")))
+      .as[(Long, Int, Long, Long, Long)]
+    unified.groupByKey(_._1).flatMapGroups { (qid, rows) =>
+      val rel = scala.collection.mutable.HashMap.empty[Long, Long]
+      val vec = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.HashMap[Long, Long]]
+      rows.foreach { case (_, kind, a, b, v) =>
+        if (kind == 0) rel(a) = v
+        else vec.getOrElseUpdate(a,
+          scala.collection.mutable.HashMap.empty[Long, Long])(b) = v
+      }
+      val norm = vec.map { case (d, m) =>
+        d -> m.valuesIterator.map(c => c * c).sum
+      }
+      val simMemo = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      def simFp(x: Long, y: Long): Long =
+        if (x == y) MmrScale // self-coverage is exact by contract
+        else {
+          val key = if (x < y) (x, y) else (y, x)
+          simMemo.getOrElseUpdate(key, {
+            (vec.get(x), vec.get(y)) match {
+              case (Some(mx), Some(my)) =>
+                val (small, large) = if (mx.size <= my.size) (mx, my) else (my, mx)
+                var dot = 0L
+                small.foreach { case (b, c) => dot += c * large.getOrElse(b, 0L) }
+                val den = norm(x) * norm(y)
+                if (den == 0L) 0L else Math.floorDiv(dot * dot * MmrScale, den)
+              case _ => 0L
+            }
+          })
+        }
+      val cur = scala.collection.mutable.HashMap.empty[Long, Long]
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      var t = 1
+      while (t <= k && selected.size < rel.size) {
+        var bestDoc = 0L
+        var bestGain = Long.MinValue
+        var first = true
+        rel.keysIterator.foreach { c =>
+          if (!selected.contains(c)) {
+            var gain = 0L
+            rel.foreach { case (d, w) =>
+              val inc = simFp(d, c) - cur.getOrElse(d, 0L)
+              if (inc > 0) gain += w * inc
+            }
+            if (first || gain > bestGain || (gain == bestGain && c < bestDoc)) {
+              bestGain = gain; bestDoc = c; first = false
+            }
+          }
+        }
+        selected += bestDoc
+        rel.keysIterator.foreach { d =>
+          val s = simFp(d, bestDoc)
+          if (s > cur.getOrElse(d, 0L)) cur(d) = s
+        }
+        out += ((qid, bestDoc, t.toLong))
+        t += 1
+      }
+      out.result().iterator
+    }.toDF("query_id", "doc_id", "sel_rank")
+  }
+
   /** Shared k-bounded ranking tail: TopKAgg per group + posexplode to
     * 1-based ranks. Scores must be exactly representable as doubles
     * (all callers keep |score| < 2^53); ties break doc_id-ascending,

@@ -934,6 +934,24 @@ object Pipeline {
         .orderBy($"query_id", $"sel_rank")
     },
 
+    // Facility-location diversified re-rank of the hybrid shortlist:
+    // greedy submodular coverage (gain = Σ_d w_d·max(sim(d,c)−cur(d),0),
+    // self-coverage exact) in pure integer arithmetic — every greedy
+    // step re-derived by the oracle as an unrolled CTE, the MMR
+    // pattern generalized from max-penalty to coverage gain.
+    "q120_facility_rerank" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val bm = graft.operators.Retrieval.bm25TopK(
+        docs, "doc_id", "text", retrievalQueries, k = 10)
+      val hv = graft.operators.Retrieval.hashedVectorTopK(
+        docs, "doc_id", "text", retrievalQueries, dim = 64, k = 10)
+      val fused = graft.operators.Retrieval.rrfFuse(bm, hv, k = 10)
+      graft.operators.Retrieval.facilityRerank(fused, docs, "doc_id", "text",
+          dim = 64, k = 5)
+        .orderBy($"query_id", $"sel_rank")
+    },
+
     // Corpus-fit quality score: mean corpus frequency of the doc's
     // token bigrams — the KenLM-style "familiarity" heuristic with the
     // transcendental log dropped, so it stays one exact-integer
@@ -1169,6 +1187,83 @@ object Pipeline {
     * from the hashed vectors, then one CTE per greedy step — the same
     * λ=1/2 integer contract `Retrieval.mmrRerank` runs.
     */
+  /** Unrolled facility-location oracle: the same fused-shortlist +
+    * candidate-sim scaffolding as [[mmrOracle]], with each greedy step
+    * an argmax of the weighted coverage gain
+    * `Σ_d rel_d · greatest(sim(d,c) − cur(d), 0)` (self-sim = 1e6).
+    */
+  private def facilityOracle: String = {
+    val steps = (1 to 5).map { t =>
+      s"""gain$t AS (
+         |  SELECT c2.query_id, c2.doc_id AS cand_doc,
+         |    sum(d.rel_fp * greatest(
+         |      CASE WHEN d.doc_id = c2.doc_id THEN 1000000
+         |           ELSE coalesce(s.sim_fp, 0) END - cur.cur, 0)) AS gain
+         |  FROM cand c2
+         |  JOIN cand d ON d.query_id = c2.query_id
+         |  JOIN cur${t - 1} cur ON cur.query_id = d.query_id AND cur.d = d.doc_id
+         |  LEFT JOIN sp s ON s.query_id = d.query_id
+         |    AND s.a = d.doc_id AND s.b = c2.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${t - 1} z
+         |    WHERE z.query_id = c2.query_id AND z.doc_id = c2.doc_id)
+         |  GROUP BY 1, 2),
+         |sel$t AS (SELECT query_id, cand_doc AS doc_id,
+         |            CAST($t AS BIGINT) AS sel_rank
+         |          FROM (SELECT query_id, cand_doc,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY gain DESC, cand_doc) AS rn
+         |                FROM gain$t)
+         |          WHERE rn = 1),
+         |selu$t AS MATERIALIZED (SELECT * FROM selu${t - 1}
+         |  UNION ALL SELECT * FROM sel$t),
+         |cur$t AS MATERIALIZED (
+         |  SELECT r.query_id, r.doc_id AS d,
+         |    max(CASE WHEN v.doc_id = r.doc_id THEN 1000000
+         |             ELSE coalesce(s.sim_fp, 0) END) AS cur
+         |  FROM cand r JOIN selu$t v ON r.query_id = v.query_id
+         |  LEFT JOIN sp s ON s.query_id = r.query_id
+         |    AND s.a = r.doc_id AND s.b = v.doc_id
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bm25OracleCtes,
+       |$hashedVecOracleCtes,
+       |fused AS (
+       |  SELECT query_id, doc_id, CAST(sum(part) AS BIGINT) AS rrf_fp FROM (
+       |    SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS part
+       |    FROM bmr WHERE rank <= 10
+       |    UNION ALL
+       |    SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS part
+       |    FROM hvr WHERE rank <= 10)
+       |  GROUP BY 1, 2),
+       |fr AS (SELECT query_id, doc_id,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rank
+       |       FROM fused),
+       |cand AS MATERIALIZED (SELECT query_id, doc_id, 1000000 // rank AS rel_fp
+       |         FROM fr WHERE rank <= 10),
+       |cvx AS (SELECT c.query_id, c.doc_id, db.bucket, db.c
+       |        FROM cand c JOIN db ON c.doc_id = db.doc_id),
+       |sd AS (SELECT x.query_id, x.doc_id AS a, y.doc_id AS b,
+       |         CAST(sum(x.c * y.c) AS BIGINT) AS dot
+       |       FROM cvx x JOIN cvx y ON x.query_id = y.query_id
+       |         AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |       GROUP BY 1, 2, 3),
+       |sp0 AS (SELECT s.query_id, s.a, s.b,
+       |          CAST((s.dot * s.dot * 1000000) // (da.norm2 * db2.norm2) AS BIGINT) AS sim_fp
+       |        FROM sd s JOIN dn da ON s.a = da.doc_id
+       |        JOIN dn db2 ON s.b = db2.doc_id),
+       |sp AS MATERIALIZED (SELECT query_id, a, b, sim_fp FROM sp0
+       |       UNION ALL SELECT query_id, b, a, sim_fp FROM sp0),
+       |selu0 AS (SELECT CAST(NULL AS BIGINT) AS query_id,
+       |            CAST(NULL AS BIGINT) AS doc_id,
+       |            CAST(NULL AS BIGINT) AS sel_rank WHERE 1 = 0),
+       |cur0 AS (SELECT query_id, doc_id AS d, CAST(0 AS BIGINT) AS cur
+       |         FROM cand),
+       |$steps
+       |SELECT query_id, sel_rank, doc_id FROM selu5
+       |ORDER BY query_id, sel_rank""".stripMargin
+  }
+
   private def mmrOracle: String = {
     val steps = (2 to 5).map { t =>
       s"""sel$t AS (SELECT query_id, doc_id, CAST($t AS BIGINT) AS sel_rank FROM (
@@ -1227,6 +1322,7 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     "q105_pagerank" -> pagerankOracle,
     "q107_mmr_rerank" -> mmrOracle,
+    "q120_facility_rerank" -> facilityOracle,
 
     "q112_bigram_familiarity" ->
       """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),

@@ -218,6 +218,25 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("facility-location re-rank covers before it repeats") {
+    import spark.implicits._
+    // docs 1 and 2 are copies; doc 3 unrelated. Step 1 takes doc 1
+    // (covers both copies, highest weight); step 2 must take doc 3
+    // (fresh coverage) over doc 2 (zero marginal coverage).
+    val docs = docsDF(
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha beta gamma delta",
+      3L -> "unrelated words entirely different")
+    val ranked = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L))
+      .toDF("query_id", "rank", "doc_id")
+    val out = Retrieval.facilityRerank(ranked, docs, "doc_id", "text",
+        dim = 64, k = 3)
+      .orderBy("sel_rank")
+      .collect().map(r => (r.getLong(2), r.getLong(1)))
+    assert(out.toSeq == Seq(1L -> 1L, 2L -> 3L, 3L -> 2L),
+      s"coverage gain must pick the unrelated doc second: ${out.toSeq}")
+  }
+
   test("index append: incremental build equals a from-scratch build exactly") {
     import spark.implicits._
     val docs = Tables(spark, sf).documents
