@@ -487,12 +487,23 @@ object Retrieval {
     * separate jobs would serialize every query through the driver's
     * job scheduler.
     *
+    * The trade-off weight λ is a RATIONAL `lambdaNum/lambdaDen`, kept
+    * exact by clearing denominators: the greedy argmax compares
+    * `lambdaNum·rel − (lambdaDen−lambdaNum)·maxSim` (the marginal
+    * scaled by lambdaDen — scaling never changes an argmax). The
+    * default 1/2 is the classic balanced MMR and reduces to
+    * `rel − maxSim`; λ = 1 degenerates to the input relevance order,
+    * λ = 0 to pure diversity.
+    *
     * @param ranked fused shortlist (query_id, rank, doc_id).
     * @param k      number of diversified picks (greedy steps).
     * @return (query_id, doc_id, sel_rank) — sel_rank 1-based pick order.
     */
   def mmrRerank(ranked: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String, dim: Int, k: Int): DataFrame = {
+      textCol: String, dim: Int, k: Int,
+      lambdaNum: Long = 1L, lambdaDen: Long = 2L): DataFrame = {
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      "lambda must be a rational in [0, 1]")
     val spark = ranked.sparkSession
     import spark.implicits._
     // checkpoint the k-bounded shortlist once so the upstream
@@ -560,8 +571,9 @@ object Retrieval {
         out += ((qid, selected.head, 1L))
         var t = 2
         while (t <= k && selected.size < rel.size) {
-          // argmax of (rel − maxSimToSelected, −doc): ties → smaller id,
-          // exactly max(struct(mmr, −doc_id)) in the relational form
+          // argmax of (λ·rel − (1−λ)·maxSimToSelected, −doc) with
+          // denominators cleared: ties → smaller id, exactly
+          // max(struct(mmr, −doc_id)) in the relational form
           var bestDoc = 0L
           var bestMmr = Long.MinValue
           var first = true
@@ -572,7 +584,7 @@ object Retrieval {
                 val sv = simFp(d, s)
                 if (sv > pen) pen = sv
               }
-              val m = r - pen
+              val m = lambdaNum * r - (lambdaDen - lambdaNum) * pen
               if (first || m > bestMmr || (m == bestMmr && d < bestDoc)) {
                 bestMmr = m; bestDoc = d; first = false
               }

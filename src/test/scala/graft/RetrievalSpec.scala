@@ -218,6 +218,23 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("mmr lambda endpoints: 1 keeps relevance order, 0 maximizes diversity") {
+    import spark.implicits._
+    val docs = docsDF(
+      1L -> "alpha beta gamma delta",
+      2L -> "alpha beta gamma delta",
+      3L -> "unrelated words entirely different")
+    val ranked = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L))
+      .toDF("query_id", "rank", "doc_id")
+    def picks(num: Long, den: Long) =
+      Retrieval.mmrRerank(ranked, docs, "doc_id", "text", dim = 64, k = 3,
+          lambdaNum = num, lambdaDen = den)
+        .orderBy("sel_rank").collect().map(_.getLong(1)).toSeq
+    assert(picks(1, 1) == Seq(1L, 2L, 3L), "lambda=1 ignores similarity")
+    assert(picks(0, 1) == Seq(1L, 3L, 2L), "lambda=0 ignores relevance")
+    assert(picks(1, 2) == Seq(1L, 3L, 2L), "balanced default demotes the dup")
+  }
+
   test("facility-location re-rank covers before it repeats") {
     import spark.implicits._
     // docs 1 and 2 are copies; doc 3 unrelated. Step 1 takes doc 1
