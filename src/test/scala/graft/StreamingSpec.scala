@@ -376,6 +376,56 @@ class StreamingSpec extends SparkSpec {
     assert(removed >= 2, s"watermark must evict dedup state, removed=$removed")
   }
 
+  test("streaming windowFunnel equals the batch result (q108 parity)") {
+    import graft.streaming.FunnelStream
+    import graft.operators.Funnel
+    import spark.implicits._
+    val stages = Seq(col("event_type") === "view",
+      col("event_type") === "click", col("event_type") === "purchase")
+    val windowMs = 7200000L
+    // deliver 4 time-ordered slices through MemoryStream, one
+    // processAllAvailable per slice → the DP state and the pending
+    // buffer really round-trip the state store across triggers, and
+    // arrival order honors the declared 1-hour disorder bound (events
+    // arriving at or below the watermark are DROPPED by contract,
+    // which would not be parity)
+    val batch = Tables(spark, sf).events
+    val expected = Funnel.windowFunnel(
+        batch.withColumn("tms", unix_millis(col("ts"))),
+        "user_id", "tms", stages, windowMs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val data = batch.select($"user_id", $"ts", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+      .sortBy(_._2.getTime)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val src = ms.toDF().toDF("user_id", "ts", "event_type")
+      .withWatermark("ts", "1 hour")
+    val q = FunnelStream.streamingWindowFunnel(src, "user_id", "ts",
+        stages, windowMs)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out")
+      .start()
+    data.grouped(math.max(1, data.length / 4 + 1)).foreach { slice =>
+      ms.addData(slice.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // emitted levels are monotone per user: the max is the final answer
+    val got = spark.table("funnel_out")
+      .groupBy("user_id").agg(max("funnel_level").as("lvl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (u, l) =>
+      assert(expected(u) == l, s"user $u: stream $l vs batch ${expected(u)}")
+    }
+    // users absent from the stream output matched no stage at all
+    (expected.keySet -- got.keySet).foreach { u =>
+      assert(expected(u) == 0L, s"user $u missing but batch level ${expected(u)}")
+    }
+  }
+
   test("feature extraction really decodes media and fingerprints opaque bytes") {
     import graft.operators.Multimodal
     val media = Multimodal.asBinaryFrame(Tables(spark, sf).documents, "doc_id", "text")
