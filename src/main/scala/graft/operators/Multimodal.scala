@@ -1247,7 +1247,8 @@ object Multimodal {
     * on any malformation, including a pixel count that disagrees with
     * the image descriptor.
     */
-  private def gifDecodeImage(p: Array[Byte], start: Int): Option[(Int, Long)] = {
+  private def gifDecodeImage(p: Array[Byte], start: Int,
+      pixOut: Array[Int] = null): Option[(Int, Long)] = {
     var o = start
     if (o + 10 > p.length || (p(o) & 0xff) != 0x2c) return None
     val iw = le16(p, o + 5); val ih = le16(p, o + 7)
@@ -1324,6 +1325,8 @@ object Multimodal {
         var i = entryLen - 1
         while (i >= 0) {
           sum += tail(i) & 0xff
+          if (pixOut != null && produced + (entryLen - 1 - i) < pixOut.length)
+            pixOut((produced + (entryLen - 1 - i)).toInt) = tail(i) & 0xff
           i -= 1
         }
         produced += entryLen
@@ -1512,6 +1515,38 @@ object Multimodal {
       else Some((w, h, frames, sum, weighted))
     }
   }
+
+  /** GIF animation frames as pixel-index grids — the frame-sampling
+    * sibling of [[apngCanvases]]. Restricted to FULL-FRAME images
+    * (descriptor at 0,0 with canvas dimensions — what
+    * [[synthesizeGifAnim]] emits); a sub-rectangle frame would need
+    * GCE disposal compositing, so it returns None rather than guess.
+    */
+  private[graft] def gifCanvases(p: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] =
+    gifHeader(p).flatMap { case (w, h, o0) =>
+      var o = o0
+      val snaps = Seq.newBuilder[Array[Int]]
+      var frames = 0
+      while (o < p.length && (p(o) & 0xff) != 0x3b) {
+        if ((p(o) & 0xff) == 0x21) {
+          o += 2
+          while (o < p.length && p(o) != 0) o += 1 + (p(o) & 0xff)
+          o += 1
+        } else if ((p(o) & 0xff) == 0x2c) {
+          if (o + 10 > p.length) return None
+          val (ix, iy) = (le16(p, o + 1), le16(p, o + 3))
+          val (iw, ih) = (le16(p, o + 5), le16(p, o + 7))
+          if (ix != 0 || iy != 0 || iw != w || ih != h) return None
+          val grid = new Array[Int](w * h)
+          gifDecodeImage(p, o, grid) match {
+            case Some((end, _)) => snaps += grid; frames += 1; o = end
+            case None => return None
+          }
+        } else return None
+      }
+      if (frames == 0 || o >= p.length) None
+      else Some((w, h, snaps.result()))
+    }
 
   /** Deterministic minimal-but-valid JPEG synthesis (write-side
     * encoder; also the gate's payload generator): SOI + APP1 with an
@@ -1886,7 +1921,8 @@ object Multimodal {
   final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte], n_bytes: Long)
 
   /** REAL frame sampling + resize over binary payloads: an APNG is
-    * fully composited ([[apngCanvases]] — dispose/blend respected) and
+    * fully composited ([[apngCanvases]] — dispose/blend respected), an
+    * animated GIF is LZW-decoded frame by frame ([[gifCanvases]]), and
     * `nFrames` evenly-spaced canvas snapshots are re-encoded as
     * single-image PNGs at (tw, th) via the nearest-neighbor map; a
     * still PNG contributes its one frame resized; other payloads are
@@ -1900,7 +1936,8 @@ object Multimodal {
     require(nFrames >= 1 && tw >= 1 && th >= 1, "positive sampling geometry")
     media.as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
-        val grids: Seq[(Int, Int, Array[Int])] = apngCanvases(r.payload) match {
+        val anim = apngCanvases(r.payload).orElse(gifCanvases(r.payload))
+        val grids: Seq[(Int, Int, Array[Int])] = anim match {
           case Some((w, h, snaps)) =>
             // evenly spaced over the animation: snapshot ⌊k·(F−1)/(n−1)⌋
             val idx =

@@ -613,6 +613,26 @@ class StreamingSpec extends SparkSpec {
     assert(sum0 == want, "resize must sample the composited canvas")
   }
 
+  test("frame sampling LZW-decodes animated GIF frames") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val media = (1L to 10L).toDF("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        Multimodal.MediaRow(id,
+          Multimodal.synthesizeGifAnim(w = 12, h = 8, seed = id, frames = 3))
+      }).toDF()
+    val frames = Multimodal.sampleFrames(spark, media, nFrames = 3, tw = 6, th = 4)
+      .collect()
+    frames.groupBy(_.doc_id).values.foreach(fs => assert(fs.length == 3))
+    // frame f pixel at linear index i is (seed + f + i) mod 4; resized
+    // (x, y) samples src(2x, 2y) -> index 2y*12 + 2x
+    val f2 = frames.find(f => f.doc_id == 4L && f.frame_idx == 2).get
+    val (_, _, sum2) = Multimodal.decodePng(f2.frame).get
+    val want = (for (x <- 0 until 6; y <- 0 until 4)
+      yield (4L + 2 + (2 * y * 12 + 2 * x)) % 4).sum
+    assert(sum2 == want, "sampled GIF frame must carry the LZW-decoded pixels")
+  }
+
   test("still-PNG resize round-trips the nearest-neighbor closed form") {
     import graft.operators.Multimodal
     val resized = Multimodal.resizeImage(Multimodal.synthesizePng(20, 10, 7L), 5, 4)
