@@ -88,6 +88,64 @@ object FunnelStream {
         GroupStateTimeout.NoTimeout)(mkUpdate(n, windowMs))
   }
 
+  /** Production wiring: EVENT-TIME EVICTION. A chain anchored at `a`
+    * can only extend with events `≤ a + windowMs`; once the watermark
+    * passes `maxAnchor + windowMs` (and the pending buffer is empty)
+    * NO future event can deepen this user's funnel — the state is
+    * provably final, so the timer emits the final level and REMOVES
+    * it. A returning user restarts a fresh DP, whose chains need a
+    * fresh stage-1 anchor anyway — downstream takes the max per user
+    * (emissions stay monotone), so eviction is EXACT, not a trade-off.
+    * State size is O(users with a live window), not O(users ever).
+    */
+  def streamingWindowFunnelEvicting(events: DataFrame, userCol: String,
+      tsCol: String, stages: Seq[Column],
+      windowMs: Long): Dataset[FunnelUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n = stages.length
+    require(n >= 1 && n <= 62, "1..62 stage predicates")
+    val mask = stages.zipWithIndex
+      .map { case (c, i) => when(c, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    val ev = events.select(col(userCol).cast("long").as("user_id"),
+        col(tsCol).as("ts"), mask.as("mask"))
+      .filter(col("mask") =!= 0L)
+      .as[FEvent]
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        mkEvictingUpdate(n, windowMs))
+  }
+
+  private def mkEvictingUpdate(n: Int, windowMs: Long): (Long,
+      Iterator[FEvent], GroupState[FunnelState]) => Iterator[FunnelUpdate] =
+    (user, it, state) => {
+      if (state.hasTimedOut) {
+        val anchors = state.get.anchors.toArray
+        state.remove()
+        Iterator.single(FunnelUpdate(user, depth(anchors)))
+      } else {
+        val upd = mkUpdate(n, windowMs)(user, it, state)
+        state.getOption.foreach { st =>
+          val maxAnchor = st.anchors.max
+          val lastPending =
+            if (st.pending.isEmpty) Long.MinValue else st.pending.map(_._1).max
+          // final once the watermark clears every live window AND the
+          // buffer has drained; clamp ahead of the watermark (Spark
+          // rejects timers at or behind it)
+          val target = math.max(
+            if (maxAnchor == Long.MinValue) Long.MinValue else maxAnchor + windowMs,
+            lastPending) + 1
+          val armAt =
+            try math.max(target, state.getCurrentWatermarkMs() + 1)
+            catch { case _: UnsupportedOperationException => target }
+          state.setTimeoutTimestamp(armAt)
+        }
+        Iterator.single(upd)
+      }
+    }
+
   /** Built OUTSIDE the plan-assembly scope so the task closure
     * captures only the two primitives, not DataFrames/Columns.
     */

@@ -426,6 +426,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("evicting streaming funnel: exact levels survive state removal") {
+    import graft.streaming.FunnelStream
+    import graft.operators.Funnel
+    import spark.implicits._
+    val stages = Seq(col("event_type") === "a", col("event_type") === "b",
+      col("event_type") === "c")
+    val windowMs = 120000L // 2 minutes
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // user 1 completes a funnel, goes idle far past the window (state
+    // must evict), then returns with a lone stage-1 event — the final
+    // answer is still the max (3); user 2 never passes stage 1
+    val burst1 = Seq((1L, ts(0), "a"), (1L, ts(1), "b"), (1L, ts(2), "c"),
+      (2L, ts(1), "a"))
+    val push = Seq((99L, ts(600), "a")) // advances the watermark 10 h
+    val burst2 = Seq((1L, ts(620), "a"), (2L, ts(621), "b"))
+    val all = burst1 ++ push ++ burst2
+    val expected = Funnel.windowFunnel(
+        all.toDF("user_id", "ts", "event_type")
+          .withColumn("tms", unix_millis(col("ts"))),
+        "user_id", "tms", stages, windowMs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val src = ms.toDF().toDF("user_id", "ts", "event_type")
+      .withWatermark("ts", "1 minute")
+    val q = FunnelStream.streamingWindowFunnelEvicting(src, "user_id", "ts",
+        stages, windowMs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_evict_out")
+      .start()
+    Seq(burst1, push, burst2, Seq((99L, ts(1300), "a"))).foreach { s =>
+      ms.addData(s); q.processAllAvailable()
+    }
+    val removed = q.recentProgress.toSeq
+      .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    q.stop()
+    assert(removed >= 1, s"closed-window state must evict, removed=$removed")
+    val got = spark.table("funnel_evict_out")
+      .groupBy("user_id").agg(max("funnel_level").as("lvl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.filter { case (u, _) => u != 99L }.foreach { case (u, l) =>
+      assert(expected(u) == l, s"user $u: stream $l vs batch ${expected(u)}")
+    }
+    assert(got.contains(1L) && got(1L) == 3L,
+      "the pre-eviction depth must survive via the timeout emission")
+  }
+
   test("feature extraction really decodes media and fingerprints opaque bytes") {
     import graft.operators.Multimodal
     val media = Multimodal.asBinaryFrame(Tables(spark, sf).documents, "doc_id", "text")
