@@ -1385,6 +1385,37 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** GIF animation with SUB-RECTANGLE frames and a per-stream GCE
+    * disposal method — the full GIF89a compositing semantics
+    * ([[gifCanvases]] is the read side): frame 0 is full-canvas with
+    * disposal=none; frames `f ≥ 1` patch [[apngRect]] (the same
+    * sliding geometry the APNG gates use) carrying `disposal` in
+    * their GCE (1 = none, 2 = restore-background — index 0 here —
+    * 3 = restore-previous). Pixel at GLOBAL (gx, gy) of frame f is
+    * `(seed + f + gx + gy) mod 4`.
+    */
+  def synthesizeGifRegions(w: Int, h: Int, seed: Long, frames: Int,
+      disposal: Int): Array[Byte] = {
+    require(frames >= 1, "frames must be >= 1")
+    require(disposal >= 1 && disposal <= 3, "disposal in 1..3")
+    val out = new java.io.ByteArrayOutputStream()
+    writeGifHeader(out, w, h)
+    var f = 0
+    while (f < frames) {
+      val ff = f
+      val d = if (f == 0) 1 else disposal
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(d << 2); out.write(10); out.write(0); out.write(0); out.write(0)
+      val (x0, y0, fw, fh) =
+        if (ff == 0) (0, 0, w, h) else apngRect(w, h, ff)
+      writeGifImageAt(out, x0, y0, fw, fh,
+        i => ((seed + ff + (x0 + i % fw) + (y0 + i / fw)) % 4 + 4).toInt % 4)
+      f += 1
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
   /** Header + logical screen descriptor + the 4-entry grayscale GCT
     * shared by both GIF synthesizers.
     */
@@ -1415,10 +1446,14 @@ object Multimodal {
     * large frames drive the decoder through every code path.
     */
   private def writeGifImage(out: java.io.ByteArrayOutputStream, w: Int, h: Int,
-      pixelAt: Long => Int): Unit = {
+      pixelAt: Long => Int): Unit =
+    writeGifImageAt(out, 0, 0, w, h, pixelAt)
+
+  private def writeGifImageAt(out: java.io.ByteArrayOutputStream,
+      ix: Int, iy: Int, w: Int, h: Int, pixelAt: Long => Int): Unit = {
     def w8(v: Int): Unit = out.write(v & 0xff)
     def w16le(v: Int): Unit = { w8(v); w8(v >> 8) }
-    w8(0x2c); w16le(0); w16le(0); w16le(w); w16le(h); w8(0) // image descriptor
+    w8(0x2c); w16le(ix); w16le(iy); w16le(w); w16le(h); w8(0) // image descriptor
     val minCode = 2
     w8(minCode)
     val clear = 1 << minCode
@@ -1516,30 +1551,81 @@ object Multimodal {
     }
   }
 
-  /** GIF animation frames as pixel-index grids — the frame-sampling
-    * sibling of [[apngCanvases]]. Restricted to FULL-FRAME images
-    * (descriptor at 0,0 with canvas dimensions — what
-    * [[synthesizeGifAnim]] emits); a sub-rectangle frame would need
-    * GCE disposal compositing, so it returns None rather than guess.
+  /** GIF animation canvases — the frame-sampling / compositing
+    * sibling of [[apngCanvases]], implementing the GIF89a GCE
+    * semantics: each image blits its (in-bounds) sub-rectangle onto
+    * the canvas (background = color index 0, the LSD's background
+    * slot in our streams); the snapshot is taken after every frame;
+    * the frame's GCE disposal then applies before the next —
+    * 0/1 keep, 2 restore-background (clear the rect to index 0),
+    * 3 restore-previous (revert the rect to its pre-frame pixels).
     */
   private[graft] def gifCanvases(p: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] =
     gifHeader(p).flatMap { case (w, h, o0) =>
       var o = o0
+      val canvas = new Array[Int](w * h)
       val snaps = Seq.newBuilder[Array[Int]]
       var frames = 0
+      var disposal = 0 // from the GCE preceding the next image
       while (o < p.length && (p(o) & 0xff) != 0x3b) {
         if ((p(o) & 0xff) == 0x21) {
+          val isGce = o + 1 < p.length && (p(o + 1) & 0xff) == 0xf9
           o += 2
+          if (isGce && o < p.length && (p(o) & 0xff) >= 1)
+            disposal = ((p(o + 1) & 0xff) >> 2) & 7
           while (o < p.length && p(o) != 0) o += 1 + (p(o) & 0xff)
           o += 1
         } else if ((p(o) & 0xff) == 0x2c) {
           if (o + 10 > p.length) return None
           val (ix, iy) = (le16(p, o + 1), le16(p, o + 3))
           val (iw, ih) = (le16(p, o + 5), le16(p, o + 7))
-          if (ix != 0 || iy != 0 || iw != w || ih != h) return None
-          val grid = new Array[Int](w * h)
+          if (iw <= 0 || ih <= 0 || ix < 0 || iy < 0 ||
+            ix + iw > w || iy + ih > h) return None
+          val grid = new Array[Int](iw * ih)
           gifDecodeImage(p, o, grid) match {
-            case Some((end, _)) => snaps += grid; frames += 1; o = end
+            case Some((end, _)) =>
+              val saved = if (disposal == 3) {
+                val s = new Array[Int](iw * ih)
+                var py = 0
+                while (py < ih) {
+                  var px = 0
+                  while (px < iw) {
+                    s(py * iw + px) = canvas((iy + py) * w + (ix + px)); px += 1
+                  }
+                  py += 1
+                }
+                s
+              } else null
+              var py = 0
+              while (py < ih) {
+                var px = 0
+                while (px < iw) {
+                  canvas((iy + py) * w + (ix + px)) = grid(py * iw + px); px += 1
+                }
+                py += 1
+              }
+              snaps += canvas.clone()
+              if (disposal == 2) {
+                var y2 = 0
+                while (y2 < ih) {
+                  var x2 = 0
+                  while (x2 < iw) {
+                    canvas((iy + y2) * w + (ix + x2)) = 0; x2 += 1
+                  }
+                  y2 += 1
+                }
+              } else if (disposal == 3) {
+                var y2 = 0
+                while (y2 < ih) {
+                  var x2 = 0
+                  while (x2 < iw) {
+                    canvas((iy + y2) * w + (ix + x2)) = saved(y2 * iw + x2); x2 += 1
+                  }
+                  y2 += 1
+                }
+              }
+              disposal = 0
+              frames += 1; o = end
             case None => return None
           }
         } else return None

@@ -785,6 +785,31 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // GIF89a GCE disposal compositing end-to-end (one disposal method
+    // per doc): sub-rectangle frames blit onto the canvas and then
+    // keep / restore-background / restore-previous — the gate checks
+    // the canvas sum after EVERY frame against a per-mode closed form.
+    "q121_gif_disposal" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val gif = Multimodal.synthesizeGifRegions(
+            w = 1 + (id % 32).toInt, h = 1 + ((id * 5) % 24).toInt,
+            seed = id, frames = 1 + (id % 3).toInt,
+            disposal = 1 + (id % 3).toInt)
+          val (nf, sum, weighted) = Multimodal.gifCanvases(gif) match {
+            case Some((_, _, snaps)) =>
+              val sums = snaps.map(_.map(_.toLong).sum)
+              (snaps.length.toLong, sums.sum,
+                sums.zipWithIndex.map { case (cs, f) => (f + 1) * cs }.sum)
+            case None => (-1L, -1L, -1L)
+          }
+          (id, nf, sum, weighted)
+        }).toDF("doc_id", "n_frames", "canvas_sum", "canvas_weighted")
+        .orderBy($"doc_id")
+    },
+
     // MP4 SAMPLE-TABLE decode end-to-end: per-doc streams with real
     // stts/stsz/stsc/stco tables are demuxed — every sample's actual
     // bytes are read from mdat via chunk-offset + intra-chunk size
@@ -1967,6 +1992,46 @@ object Pipeline {
         |SELECT doc_id, 'apng' AS kind, CAST(max(nf) AS BIGINT) AS n_frames,
         |  CAST(sum(s) AS BIGINT) AS pix_sum,
         |  CAST(sum(snap * s) AS BIGINT) AS frame_weighted
+        |FROM cs GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeGifRegions + the GCE compositor, value
+    // (doc_id + f + x + y) mod 4: disposal 1 shows the latest covering
+    // frame; disposal 2 falls back to 0 where an earlier sub-rect was
+    // cleared, else frame 0; disposal 3 reverts every sub-rect, so
+    // only rect_f differs from the frame-0 canvas
+    "q121_gif_disposal" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 32 AS w,
+        |             1 + (doc_id * 5) % 24 AS h, 1 + doc_id % 3 AS nf,
+        |             1 + doc_id % 3 AS disp
+        |           FROM documents),
+        |g AS (SELECT doc_id, w, h, nf, disp, f.f AS f, x.i AS x, y.i AS y
+        |      FROM d, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f,
+        |      LATERAL (SELECT unnest(generate_series(0, w - 1)) AS i) x,
+        |      LATERAL (SELECT unnest(generate_series(0, h - 1)) AS i) y),
+        |cov AS (SELECT doc_id, w, h, nf, disp, f, x, y,
+        |          max(CASE WHEN g2.g >= 1
+        |            AND x >= g2.g % (w - greatest(1, w // 2) + 1)
+        |            AND x < g2.g % (w - greatest(1, w // 2) + 1) + greatest(1, w // 2)
+        |            AND y >= (2 * g2.g) % (h - greatest(1, h // 2) + 1)
+        |            AND y < (2 * g2.g) % (h - greatest(1, h // 2) + 1) + greatest(1, h // 2)
+        |            THEN g2.g END) AS mc
+        |        FROM g, LATERAL (SELECT unnest(generate_series(0, f)) AS g) g2
+        |        GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+        |px AS (SELECT doc_id, nf, f,
+        |         CASE
+        |           WHEN disp = 1 THEN (doc_id + coalesce(mc, 0) + x + y) % 4
+        |           WHEN disp = 2 THEN CASE WHEN mc = f THEN (doc_id + f + x + y) % 4
+        |                                   WHEN mc IS NOT NULL THEN 0
+        |                                   ELSE (doc_id + x + y) % 4 END
+        |           ELSE CASE WHEN mc = f THEN (doc_id + f + x + y) % 4
+        |                     ELSE (doc_id + x + y) % 4 END
+        |         END AS v
+        |       FROM cov),
+        |cs AS (SELECT doc_id, nf, f, sum(v) AS s FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+        |  CAST(sum(s) AS BIGINT) AS canvas_sum,
+        |  CAST(sum((f + 1) * s) AS BIGINT) AS canvas_weighted
         |FROM cs GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 

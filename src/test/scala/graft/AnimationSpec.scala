@@ -153,6 +153,40 @@ class AnimationSpec extends AnyFunSuite {
     assert(Multimodal.blendOver(40, 0, 0, 0) == (0, 0))
   }
 
+  test("GIF sub-rect frames composite with GCE disposal (canvas simulation)") {
+    for {
+      (w, h) <- Seq((1, 1), (9, 7), (32, 24))
+      frames <- Seq(1, 2, 4)
+      disposal <- 1 to 3
+    } {
+      val gif = Multimodal.synthesizeGifRegions(w, h, seed = 23L, frames, disposal)
+      val canvas = Array.fill(w * h)(0)
+      var want = Seq.empty[Seq[Int]]
+      for (f <- 0 until frames) {
+        val (x0, y0, fw, fh) =
+          if (f == 0) (0, 0, w, h) else Multimodal.apngRect(w, h, f)
+        val saved = canvas.clone()
+        for (py <- 0 until fh; px <- 0 until fw)
+          canvas((y0 + py) * w + (x0 + px)) =
+            (((23L + f + (x0 + px) + (y0 + py)) % 4 + 4) % 4).toInt
+        want :+= canvas.toSeq
+        val d = if (f == 0) 1 else disposal
+        if (d == 2)
+          for (py <- 0 until fh; px <- 0 until fw)
+            canvas((y0 + py) * w + (x0 + px)) = 0
+        else if (d == 3)
+          for (py <- 0 until fh; px <- 0 until fw)
+            canvas((y0 + py) * w + (x0 + px)) = saved((y0 + py) * w + (x0 + px))
+      }
+      val got = Multimodal.gifCanvases(gif)
+      assert(got.isDefined, s"w=$w h=$h frames=$frames d=$disposal")
+      val (gw, gh, snaps) = got.get
+      assert((gw, gh, snaps.length) == (w, h, frames))
+      assert(snaps.map(_.toSeq) == want,
+        s"canvas mismatch w=$w h=$h frames=$frames d=$disposal")
+    }
+  }
+
   test("APNG: an out-of-bounds fcTL rect is rejected") {
     val apng = Multimodal.synthesizeApngRegions(10, 8, seed = 3L, frames = 2,
       subRects = true)
