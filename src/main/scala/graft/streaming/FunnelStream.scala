@@ -31,7 +31,16 @@ object FunnelStream {
     * events into the max-anchor-per-depth array in place.
     */
   private def foldInto(anchors: Array[Long], evs: Seq[(Long, Long)],
-      windowMs: Long): Unit = {
+      windowMs: Long): Unit =
+    foldMode(anchors, evs, windowMs, anchored = true)
+
+  /** Shared tie-grouped DP: anchored mode carries the max chain
+    * anchor per depth (windowFunnel); per-step mode carries the max
+    * reachable event time per depth (sequenceMatch) — the same two
+    * witnesses the batch `sortedDepthScan` keeps.
+    */
+  private def foldMode(anchors: Array[Long], evs: Seq[(Long, Long)],
+      boundMs: Long, anchored: Boolean): Unit = {
     val n = anchors.length
     val upd = new Array[Long](n)
     var i = 0
@@ -46,8 +55,9 @@ object FunnelStream {
           if ((m & (1L << k)) != 0L) {
             if (k == 0) { if (t > upd(0)) upd(0) = t }
             else if (anchors(k - 1) != Long.MinValue &&
-                t <= anchors(k - 1) + windowMs) {
-              if (anchors(k - 1) > upd(k)) upd(k) = anchors(k - 1)
+                t <= anchors(k - 1) + boundMs) {
+              val witness = if (anchored) anchors(k - 1) else t
+              if (witness > upd(k)) upd(k) = witness
             }
           }
           k += 1
@@ -85,7 +95,32 @@ object FunnelStream {
       .as[FEvent]
     ev.groupByKey(_.user_id)
       .mapGroupsWithState[FunnelState, FunnelUpdate](
-        GroupStateTimeout.NoTimeout)(mkUpdate(n, windowMs))
+        GroupStateTimeout.NoTimeout)(mkUpdate(n, windowMs, anchored = true))
+  }
+
+  /** Streaming `sequenceMatch` — the per-step-gap twin
+    * ([[graft.operators.Funnel.sequenceMatch]] semantics): the same
+    * watermark-buffered fold with the per-step witness (max reachable
+    * stage time) instead of the chain anchor. Emissions are the
+    * monotone `match_depth`; max per user equals the batch answer.
+    */
+  def streamingSequenceMatch(events: DataFrame, userCol: String,
+      tsCol: String, stages: Seq[Column],
+      gapMs: Long): Dataset[FunnelUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n = stages.length
+    require(n >= 1 && n <= 62, "1..62 stage predicates")
+    val mask = stages.zipWithIndex
+      .map { case (c, i) => when(c, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    val ev = events.select(col(userCol).cast("long").as("user_id"),
+        col(tsCol).as("ts"), mask.as("mask"))
+      .filter(col("mask") =!= 0L)
+      .as[FEvent]
+    ev.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelUpdate](
+        GroupStateTimeout.NoTimeout)(mkUpdate(n, gapMs, anchored = false))
   }
 
   /** Production wiring: EVENT-TIME EVICTION. A chain anchored at `a`
@@ -126,7 +161,7 @@ object FunnelStream {
         state.remove()
         Iterator.single(FunnelUpdate(user, depth(anchors)))
       } else {
-        val upd = mkUpdate(n, windowMs)(user, it, state)
+        val upd = mkUpdate(n, windowMs, anchored = true)(user, it, state)
         state.getOption.foreach { st =>
           val maxAnchor = st.anchors.max
           val lastPending =
@@ -149,8 +184,8 @@ object FunnelStream {
   /** Built OUTSIDE the plan-assembly scope so the task closure
     * captures only the two primitives, not DataFrames/Columns.
     */
-  private def mkUpdate(n: Int, windowMs: Long): (Long, Iterator[FEvent],
-      GroupState[FunnelState]) => FunnelUpdate =
+  private def mkUpdate(n: Int, boundMs: Long, anchored: Boolean): (Long,
+      Iterator[FEvent], GroupState[FunnelState]) => FunnelUpdate =
     (user, it, state) => {
       val st = state.getOption.getOrElse(
         FunnelState(Seq.fill(n)(Long.MinValue), Seq.empty))
@@ -164,10 +199,10 @@ object FunnelStream {
         .sortBy(_._1)
       val (ripe, pend) = all.partition(_._1 <= wm)
       val anchors = st.anchors.toArray
-      foldInto(anchors, ripe, windowMs)
+      foldMode(anchors, ripe, boundMs, anchored)
       state.update(FunnelState(anchors.toSeq, pend))
       val scratch = anchors.clone()
-      foldInto(scratch, pend, windowMs) // optimistic: everything seen so far
+      foldMode(scratch, pend, boundMs, anchored) // optimistic: all seen so far
       FunnelUpdate(user, depth(scratch))
     }
 }

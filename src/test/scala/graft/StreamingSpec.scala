@@ -426,6 +426,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming sequenceMatch equals the batch result (q114 parity)") {
+    import graft.streaming.FunnelStream
+    import graft.operators.Funnel
+    import spark.implicits._
+    val stages = Seq(col("event_type") === "view",
+      col("event_type") === "click", col("event_type") === "purchase")
+    val gapMs = 3600000L
+    val batch = Tables(spark, sf).events
+    val expected = Funnel.sequenceMatch(
+        batch.withColumn("tms", unix_millis(col("ts"))),
+        "user_id", "tms", stages, gapMs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val data = batch.select($"user_id", $"ts", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+      .sortBy(_._2.getTime)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val src = ms.toDF().toDF("user_id", "ts", "event_type")
+      .withWatermark("ts", "1 hour")
+    val q = FunnelStream.streamingSequenceMatch(src, "user_id", "ts",
+        stages, gapMs)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("seqmatch_out")
+      .start()
+    data.grouped(math.max(1, data.length / 4 + 1)).foreach { slice =>
+      ms.addData(slice.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("seqmatch_out")
+      .groupBy("user_id").agg(max("funnel_level").as("lvl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (u, l) =>
+      assert(expected(u) == l, s"user $u: stream $l vs batch ${expected(u)}")
+    }
+    (expected.keySet -- got.keySet).foreach { u =>
+      assert(expected(u) == 0L, s"user $u missing but batch depth ${expected(u)}")
+    }
+  }
+
   test("evicting streaming funnel: exact levels survive state removal") {
     import graft.streaming.FunnelStream
     import graft.operators.Funnel
