@@ -98,9 +98,16 @@ object Bench {
         .split(" ")(0)
       catch { case _: Throwable => "-1" }
     val loadAfter = load1
+    // composite-gate phase attribution (final pass's values): which
+    // phase of a multi-phase gate (e.g. q116 build/append/probe) moved
+    import scala.jdk.CollectionConverters._
+    val phases = graft.operators.Retrieval.phaseLog.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val detail = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{\"queries\":{", ",",
         s"""},"total":${r3(total)},"agg":"$agg","sf":"$sfDir"""" +
+          s""","phases":$phases""" +
           s""","load1_before":$loadBefore,"load1_after":$loadAfter}""")
     try {
       val p = java.nio.file.Paths.get("docs/bench_detail.json")

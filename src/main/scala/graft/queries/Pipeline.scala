@@ -897,14 +897,19 @@ object Pipeline {
       val loc = java.nio.file.Files.createTempDirectory("graft_bm25idx_").toString
       s.sql(s"CREATE DATABASE $db LOCATION '$loc'")
       try {
+        import graft.operators.Retrieval
         val docs = Tables(s, dir).documents
-        graft.operators.Retrieval.buildBm25Index(
-          docs.filter($"doc_id" % 2 === 0), "doc_id", "text", db)
-        graft.operators.Retrieval.appendToBm25Index(
-          docs.filter($"doc_id" % 2 =!= 0), "doc_id", "text", db)
-        graft.operators.Retrieval.bm25TopKIndexed(s, db, retrievalQueries, k = 10)
-          .orderBy($"query_id", $"rank")
-          .localCheckpoint() // materialize before the index is dropped
+        // every phase is eager (writes / localCheckpoint), so wall-clock
+        // attribution per phase is meaningful — Bench surfaces phaseLog
+        // in docs/bench_detail.json
+        Retrieval.timedPhase("q116.build")(Retrieval.buildBm25Index(
+          docs.filter($"doc_id" % 2 === 0), "doc_id", "text", db))
+        Retrieval.timedPhase("q116.append")(Retrieval.appendToBm25Index(
+          docs.filter($"doc_id" % 2 =!= 0), "doc_id", "text", db))
+        Retrieval.timedPhase("q116.probe")(
+          Retrieval.bm25TopKIndexed(s, db, retrievalQueries, k = 10)
+            .orderBy($"query_id", $"rank")
+            .localCheckpoint()) // materialize before the index is dropped
       } finally {
         s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
         def rm(p: java.io.File): Unit = {

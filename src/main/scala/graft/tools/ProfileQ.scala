@@ -29,6 +29,13 @@ object ProfileQ {
     names.foreach { n =>
       val a = once(n); val b = once(n)
       println(f"[profileq] $n: min=${math.min(a, b)}%.2f s (p1=$a%.2f p2=$b%.2f)")
+      // composite-gate phase attribution, if the query recorded any
+      import scala.jdk.CollectionConverters._
+      val phases = graft.operators.Retrieval.phaseLog.asScala.toSeq.sortBy(_._1)
+      graft.operators.Retrieval.phaseLog.clear()
+      if (phases.nonEmpty)
+        println(phases.map { case (k, v) => f"$k=$v%.2f" }
+          .mkString("[profileq]   phases: ", " ", " s"))
     }
     spark.stop()
   }

@@ -271,13 +271,31 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.buildBm25Index(half, "doc_id", "text", inc)
       Retrieval.appendToBm25Index(rest, "doc_id", "text", inc)
       Retrieval.buildBm25Index(docs, "doc_id", "text", full)
-      // every persisted relation merges to the same contents...
-      for (t <- Seq("postings", "dfreq", "stats")) {
-        val a = spark.table(s"$inc.$t").collect().toSet
-        val b = spark.table(s"$full.$t").collect().toSet
+      // postings and stats land raw-identical; dfreq appends mergeable
+      // SEGMENTS (delta-sized writes), so it compares under the
+      // probe's semigroup fold
+      def dfreqMerged(db: String) = spark.table(s"$db.dfreq")
+        .groupBy("term").agg(
+          org.apache.spark.sql.functions.sum("df").as("df"),
+          org.apache.spark.sql.functions.max("max_tf").as("max_tf"),
+          org.apache.spark.sql.functions.min("min_len").as("min_len"))
+      for ((t, frames) <- Seq(
+          "postings" -> ((db: String) => spark.table(s"$db.postings")),
+          "dfreq" -> dfreqMerged _,
+          "stats" -> ((db: String) => spark.table(s"$db.stats")))) {
+        val a = frames(inc).collect().toSet
+        val b = frames(full).collect().toSet
         assert(a == b, s"$t diverges after append: ${a.diff(b).take(3)} vs ${b.diff(a).take(3)}")
       }
       // ...and the probe is bit-identical
+      assert(Retrieval.bm25TopKIndexed(spark, inc, qs, k = 10).collect().toSet ==
+        Retrieval.bm25TopKIndexed(spark, full, qs, k = 10).collect().toSet)
+      // compaction folds the segments to the from-scratch layout
+      // exactly, and the probe is unchanged by it
+      Retrieval.compactBm25Index(spark, inc)
+      assert(spark.table(s"$inc.dfreq").collect().toSet ==
+        spark.table(s"$full.dfreq").collect().toSet,
+        "compacted dfreq must equal the from-scratch table raw")
       assert(Retrieval.bm25TopKIndexed(spark, inc, qs, k = 10).collect().toSet ==
         Retrieval.bm25TopKIndexed(spark, full, qs, k = 10).collect().toSet)
     } finally {
