@@ -73,6 +73,31 @@ object Pipeline {
   private val retrievalQueryValues: String =
     retrievalQueries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
 
+  /** The hybrid-retrieval shortlist shared by q102/q107/q120: RRF
+    * fusion (K=60) of the BM25 and hashed-vector top-10 lists.
+    *
+    * The BM25 side deliberately runs the PLAIN scorer, not the
+    * static-WAND variant, on measurement (docs/bench_notes.md, r10):
+    * WAND's pruning is output-identical but costs two extra serial
+    * driver rounds (θ seed + bound collection), and at the gate's
+    * batch size those rounds cost more than the candidate shuffle
+    * they prune — q102 2.76→3.69 s, q107 2.29→4.39 s, q120
+    * 2.23→3.90 s when swapped. The crossover is corpus-sized
+    * candidate lists (stopword-heavy open-vocabulary batches at
+    * 100 TB); production hybrid retrieval at that scale should run
+    * over a persisted index anyway, where the precomputed block-max
+    * bounds make WAND's extra rounds vocabulary-probe-cheap
+    * ([[graft.operators.Retrieval.bm25TopKIndexed]] — the q116 path).
+    */
+  private def hybridFused(s: SparkSession, dir: String) = {
+    val docs = Tables(s, dir).documents
+    val bm = graft.operators.Retrieval.bm25TopK(
+      docs, "doc_id", "text", retrievalQueries, k = 10)
+    val hv = graft.operators.Retrieval.hashedVectorTopK(
+      docs, "doc_id", "text", retrievalQueries, dim = 64, k = 10)
+    graft.operators.Retrieval.rrfFuse(bm, hv, k = 10)
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup by content hash-group; emits the kept id per group.
     "q30_dedup_exact" -> { (s, dir) =>
@@ -926,13 +951,7 @@ object Pipeline {
     // integers (RrfScale div (60+rank)), fused by exact BIGINT sum.
     "q102_hybrid_rrf" -> { (s, dir) =>
       import s.implicits._
-      val docs = Tables(s, dir).documents
-      val bm = graft.operators.Retrieval.bm25TopK(
-        docs, "doc_id", "text", retrievalQueries, k = 10)
-      val hv = graft.operators.Retrieval.hashedVectorTopK(
-        docs, "doc_id", "text", retrievalQueries, dim = 64, k = 10)
-      graft.operators.Retrieval.rrfFuse(bm, hv, k = 10)
-        .orderBy($"query_id", $"rank")
+      hybridFused(s, dir).orderBy($"query_id", $"rank")
     },
 
     // Temperature-based dataset mixing: per-source quota ∝
@@ -953,14 +972,8 @@ object Pipeline {
     // re-derived by the oracle as an unrolled CTE.
     "q107_mmr_rerank" -> { (s, dir) =>
       import s.implicits._
-      val docs = Tables(s, dir).documents
-      val bm = graft.operators.Retrieval.bm25TopK(
-        docs, "doc_id", "text", retrievalQueries, k = 10)
-      val hv = graft.operators.Retrieval.hashedVectorTopK(
-        docs, "doc_id", "text", retrievalQueries, dim = 64, k = 10)
-      val fused = graft.operators.Retrieval.rrfFuse(bm, hv, k = 10)
-      graft.operators.Retrieval.mmrRerank(fused, docs, "doc_id", "text",
-          dim = 64, k = 5)
+      graft.operators.Retrieval.mmrRerank(hybridFused(s, dir),
+          Tables(s, dir).documents, "doc_id", "text", dim = 64, k = 5)
         .orderBy($"query_id", $"sel_rank")
     },
 
@@ -971,14 +984,8 @@ object Pipeline {
     // pattern generalized from max-penalty to coverage gain.
     "q120_facility_rerank" -> { (s, dir) =>
       import s.implicits._
-      val docs = Tables(s, dir).documents
-      val bm = graft.operators.Retrieval.bm25TopK(
-        docs, "doc_id", "text", retrievalQueries, k = 10)
-      val hv = graft.operators.Retrieval.hashedVectorTopK(
-        docs, "doc_id", "text", retrievalQueries, dim = 64, k = 10)
-      val fused = graft.operators.Retrieval.rrfFuse(bm, hv, k = 10)
-      graft.operators.Retrieval.facilityRerank(fused, docs, "doc_id", "text",
-          dim = 64, k = 5)
+      graft.operators.Retrieval.facilityRerank(hybridFused(s, dir),
+          Tables(s, dir).documents, "doc_id", "text", dim = 64, k = 5)
         .orderBy($"query_id", $"sel_rank")
     },
 
