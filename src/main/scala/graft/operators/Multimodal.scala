@@ -333,7 +333,27 @@ object Multimodal {
   def synthesizeMp4Track(timescale: Int, n: Int, delta: Int,
       seed: Long): Array[Byte] = {
     require(n >= 1 && delta >= 1, "positive sample count and delta")
-    val sizes = Array.tabulate(n)(i => 1 + (((seed + i) % 17 + 17) % 17).toInt)
+    val szs = Array.tabulate(n)(i => 1 + (((seed + i) % 17 + 17) % 17).toInt)
+    val starts = szs.scanLeft(0L)(_ + _)
+    synthesizeMp4Samples(timescale, delta,
+      IndexedSeq.tabulate(n)(i => Array.tabulate(szs(i))(j =>
+        ((((seed + starts(i) + j) % 251) + 251) % 251).toByte)))
+  }
+
+  /** ISO-BMFF synthesis around CALLER-SUPPLIED sample payloads — the
+    * general write-side of [[mp4SampleTable]]: each payload becomes
+    * one sample (stsz = payload lengths, mdat = concatenation),
+    * chunked 7-per-chunk through stsc/stco exactly like
+    * [[synthesizeMp4Track]]. With JFIF payloads this produces a
+    * Motion-JPEG MP4 ([[decodeMjpegSamples]] decodes it end-to-end);
+    * `codec` is the stsd sample-entry 4cc.
+    */
+  def synthesizeMp4Samples(timescale: Int, delta: Int,
+      samples: Seq[Array[Byte]], codec: String = "mp4v"): Array[Byte] = {
+    require(samples.nonEmpty && delta >= 1, "samples and positive delta")
+    require(codec.length == 4, "codec is a 4cc")
+    val n = samples.length
+    val sizes = samples.map(_.length).toArray
     val perChunk = 7
     val nChunks = (n + perChunk - 1) / perChunk
     def box(tag4: String, body: Array[Byte]): Array[Byte] = {
@@ -360,9 +380,9 @@ object Multimodal {
       0x00010000L) ++ Array[Byte](1, 0, 0, 0) ++ be32s(0, 0,
       0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L,
       0, 0, 0, 0, 0, 0, 2))
-    // stsd: one dummy sample entry (size 16, 4cc 'mp4v')
+    // stsd: one minimal sample entry (size 16, the caller's 4cc)
     val stsd = box("stsd", be32s(0, 1) ++
-      be32s(16) ++ "mp4v".getBytes("US-ASCII") ++ be32s(0, 0))
+      be32s(16) ++ codec.getBytes("US-ASCII") ++ be32s(0, 0))
     val stts = box("stts", be32s(0, 1, n.toLong, delta.toLong))
     // stsc: every chunk holds `perChunk` samples; a shorter final
     // chunk needs its own run (first_chunk, samples, desc_index)
@@ -390,10 +410,7 @@ object Multimodal {
     val probe = moovWith(stcoWith(0L))
     val mdatPayloadAt = ftyp.length.toLong + probe.length + 8
     val moov = moovWith(stcoWith(mdatPayloadAt))
-    val mdatLen = sizes.map(_.toLong).sum
-    val mdatBody = Array.tabulate(mdatLen.toInt)(j =>
-      ((((seed + j) % 251) + 251) % 251).toByte)
-    ftyp ++ moov ++ box("mdat", mdatBody)
+    ftyp ++ moov ++ box("mdat", samples.toArray.flatten)
   }
 
   /** REAL MP4 sample extraction: the stbl walk a demuxer runs —
@@ -407,7 +424,57 @@ object Multimodal {
     * step beyond container scope. None when there is no complete
     * sample table.
     */
-  def decodeMp4Samples(p: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+  def decodeMp4Samples(p: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    mp4SampleTable(p).map { case (dur, ranges) =>
+      var checksum = 0L; var sumSizes = 0L
+      var i = 0
+      while (i < ranges.length) {
+        val (off, sz) = ranges(i)
+        var bs = 0L
+        var j = 0
+        while (j < sz) { bs += (p(off.toInt + j) & 0xff); j += 1 }
+        checksum += (i + 1).toLong * bs
+        sumSizes += sz
+        i += 1
+      }
+      (ranges.length.toLong, dur, sumSizes, checksum)
+    }
+
+  /** MJPEG-in-MP4 decode end-to-end: the [[mp4SampleTable]] demux
+    * walk composed with the baseline-DCT JPEG decoder — each sample's
+    * bytes are cut from mdat and pushed through [[decodeJpegPixels]]
+    * as an independent JFIF frame (Motion JPEG: no inter-frame state,
+    * which is exactly why it is the one video codec that composes
+    * from the still-image decoder). Returns (n_frames, duration_units,
+    * Σ pixel-sum, Σ (i+1)·pixel-sum_i) — the frame-weighted checksum
+    * is wrong unless every container offset AND every entropy-coded
+    * block decodes exactly. None if the sample table is incomplete or
+    * any sample fails to decode as a JPEG.
+    */
+  def decodeMjpegSamples(p: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    mp4SampleTable(p).flatMap { case (dur, ranges) =>
+      var pix = 0L; var weighted = 0L
+      var i = 0
+      var ok = true
+      while (i < ranges.length && ok) {
+        val (off, sz) = ranges(i)
+        decodeJpegPixels(java.util.Arrays.copyOfRange(
+            p, off.toInt, off.toInt + sz)) match {
+          case Some((_, _, s)) => pix += s; weighted += (i + 1).toLong * s
+          case None => ok = false
+        }
+        i += 1
+      }
+      if (ok) Some((ranges.length.toLong, dur, pix, weighted)) else None
+    }
+
+  /** The stbl walk shared by the sample-level decoders: resolves
+    * stts/stsz/stsc/stco into (duration_units, per-sample ABSOLUTE
+    * (offset, size) ranges into the file), validating that every
+    * sample lands in bounds. None when there is no complete sample
+    * table.
+    */
+  private def mp4SampleTable(p: Array[Byte]): Option[(Long, Array[(Long, Int)])] = {
     def be32(o: Int): Long =
       ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
         ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
@@ -473,8 +540,9 @@ object Multimodal {
               else {
                 val offsets = Array.tabulate(nChunks.toInt)(i =>
                   be32(stcoS.toInt + 8 + i * 4))
-                // walk samples chunk by chunk, reading REAL bytes
-                var checksum = 0L; var sumSizes = 0L
+                // walk samples chunk by chunk, resolving each to its
+                // absolute (offset, size) via the intra-chunk cursor
+                val ranges = new Array[(Long, Int)](n.toInt)
                 var sample = 0
                 var chunk = 0
                 var ok = true
@@ -487,11 +555,7 @@ object Multimodal {
                     val sz = sizes(sample).toInt
                     if (off + sz > p.length) ok = false
                     else {
-                      var bs = 0L
-                      var j = 0
-                      while (j < sz) { bs += (p((off + j).toInt) & 0xff); j += 1 }
-                      checksum += (sample + 1).toLong * bs
-                      sumSizes += sz
+                      ranges(sample) = (off, sz)
                       off += sz; sample += 1
                     }
                     k += 1
@@ -499,7 +563,7 @@ object Multimodal {
                   chunk += 1
                 }
                 if (!ok || sample != n) None
-                else Some((n, dur, sumSizes, checksum))
+                else Some((dur, ranges))
               }
             }
           }

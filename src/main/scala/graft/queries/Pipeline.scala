@@ -835,6 +835,36 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // MJPEG-in-MP4 decode end-to-end: the q119 sample-table demux
+    // composed with the q118 baseline-DCT JPEG decoder — per-doc MP4s
+    // whose samples are REAL JFIF frames (frame f's block (bx,by) flat
+    // at ((doc_id+f+bx+by) mod 151) − 75 + 128). The frame-weighted
+    // decoded-pixel checksum is wrong unless every container offset
+    // AND every Huffman/IDCT block lands exactly — Motion JPEG has no
+    // inter-frame state, so the still-image decoder IS the video
+    // decoder, closing the "every media family decodes end-to-end"
+    // story (only H.26x inter-frame codecs remain out of scope).
+    "q122_mjpeg_mp4" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 1 + (id % 48).toInt
+          val h = 1 + ((id * 3) % 36).toInt
+          val nf = 1 + (id % 3).toInt
+          val mp4 = Multimodal.synthesizeMp4Samples(
+            timescale = 1000, delta = 40,
+            (0 until nf).map(f =>
+              Multimodal.synthesizeJpegDct(w, h, seed = id + f)),
+            codec = "jpeg")
+          val (n, dur, pix, weighted) =
+            Multimodal.decodeMjpegSamples(mp4).getOrElse((-1L, -1L, -1L, -1L))
+          (id, n, dur, pix, weighted)
+        }).toDF("doc_id", "n_frames", "duration_units", "pix_sum",
+          "frame_weighted")
+        .orderBy($"doc_id")
+    },
+
     // MP4 SAMPLE-TABLE decode end-to-end: per-doc streams with real
     // stts/stsz/stsc/stco tables are demuxed — every sample's actual
     // bytes are read from mdat via chunk-offset + intra-chunk size
@@ -2069,6 +2099,30 @@ object Pipeline {
         |  CAST(sum(sz) AS BIGINT) AS sum_sizes,
         |  CAST(sum((i + 1) * bs) AS BIGINT) AS sample_checksum
         |FROM b GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeJpegDct frames packed by synthesizeMp4Samples:
+    // frame f's block (bx,by) is flat at (doc_id+f+bx+by) % 151 - 75
+    // + 128, cropped to (w, h) — the q118 closed form summed per frame
+    // and (f+1)-weighted across the demuxed samples
+    "q122_mjpeg_mp4" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 48 AS w,
+        |             1 + (doc_id * 3) % 36 AS h, 1 + doc_id % 3 AS nf
+        |           FROM documents),
+        |b AS (SELECT doc_id, w, h, nf, f.f AS f, bx.i AS bx, by.i AS by
+        |      FROM d,
+        |      LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f,
+        |      LATERAL (SELECT unnest(generate_series(0, (w + 7) // 8 - 1)) AS i) bx,
+        |      LATERAL (SELECT unnest(generate_series(0, (h + 7) // 8 - 1)) AS i) by),
+        |fs AS (SELECT doc_id, nf, f,
+        |         sum(((doc_id + f + bx + by) % 151 - 75 + 128)
+        |           * least(8, w - bx * 8) * least(8, h - by * 8)) AS s
+        |       FROM b GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+        |  CAST(max(nf) * 40 AS BIGINT) AS duration_units,
+        |  CAST(sum(s) AS BIGINT) AS pix_sum,
+        |  CAST(sum((f + 1) * s) AS BIGINT) AS frame_weighted
+        |FROM fs GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     // mirrors synthesizeGifAnim/synthesizeApng: GIF frame f sums the

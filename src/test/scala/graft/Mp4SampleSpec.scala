@@ -37,6 +37,50 @@ class Mp4SampleSpec extends AnyFunSuite {
     }
   }
 
+  test("mjpeg: demuxed frames decode through the JPEG decoder exactly") {
+    for (nf <- Seq(1, 3, 8); (w, h) <- Seq((16, 16), (13, 21))) {
+      val frames = (0 until nf).map(f =>
+        Multimodal.synthesizeJpegDct(w, h, seed = 100L + f))
+      val mp4 = Multimodal.synthesizeMp4Samples(1000, 40, frames, codec = "jpeg")
+      // independent per-frame expectation: decode each RAW frame (the
+      // JpegSpec-pinned decoder) before it ever enters the container
+      val perFrame = frames.map(fb =>
+        Multimodal.decodeJpegPixels(fb).map(_._3).getOrElse(fail("raw frame")))
+      val expected = (nf.toLong, nf.toLong * 40, perFrame.sum,
+        perFrame.zipWithIndex.map { case (s, i) => (i + 1) * s }.sum)
+      assert(Multimodal.decodeMjpegSamples(mp4).contains(expected),
+        s"nf=$nf w=$w h=$h")
+      // the byte-level sample view still works on the same container
+      assert(Multimodal.decodeMp4Samples(mp4).map(_._1).contains(nf.toLong))
+    }
+  }
+
+  test("mjpeg: closed form matches the oracle arithmetic") {
+    // frame f's block (bx,by) decodes flat at (id+f+bx+by)%151-75+128
+    // cropped to (w,h) — the q122 oracle's exact expression
+    val (id, w, h, nf) = (37L, 20, 11, 3)
+    val frames = (0 until nf).map(f =>
+      Multimodal.synthesizeJpegDct(w, h, seed = id + f))
+    val mp4 = Multimodal.synthesizeMp4Samples(1000, 40, frames, codec = "jpeg")
+    def frameSum(f: Int): Long =
+      (for (bx <- 0 until (w + 7) / 8; by <- 0 until (h + 7) / 8) yield
+        ((id + f + bx + by) % 151 - 75 + 128) *
+          math.min(8, w - bx * 8) * math.min(8, h - by * 8)).sum
+    val sums = (0 until nf).map(frameSum)
+    assert(Multimodal.decodeMjpegSamples(mp4).contains(
+      (nf.toLong, nf.toLong * 40,
+        sums.sum, sums.zipWithIndex.map { case (s, i) => (i + 1) * s }.sum)))
+  }
+
+  test("mjpeg decode refuses a container whose samples are not JPEG") {
+    val notJpeg = Multimodal.synthesizeMp4Track(1000, 5, 100, 3L)
+    assert(Multimodal.decodeMjpegSamples(notJpeg).isEmpty)
+    val frames = Seq(Multimodal.synthesizeJpegDct(16, 16, seed = 5L))
+    val mp4 = Multimodal.synthesizeMp4Samples(1000, 40, frames, codec = "jpeg")
+    assert(Multimodal.decodeMjpegSamples(mp4.dropRight(3)).isEmpty,
+      "dangling stco offset must refuse, never mis-sum")
+  }
+
   test("sample decode refuses payloads without a complete table") {
     // metadata-only synthesis has no track at all
     val meta = Multimodal.synthesizeMp4("isom", 600, 1200L, 4, 16)
