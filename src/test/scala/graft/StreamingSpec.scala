@@ -516,6 +516,55 @@ class StreamingSpec extends SparkSpec {
       "the pre-eviction depth must survive via the timeout emission")
   }
 
+  test("evicting funnel state is bounded by ACTIVE users, not total users seen") {
+    import graft.streaming.FunnelStream
+    import spark.implicits._
+    val stages = Seq(col("event_type") === "a", col("event_type") === "b",
+      col("event_type") === "c")
+    val windowMs = 120000L // 2 minutes
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val nUsers = 3000
+    // burst: thousands of users hit stage 1 once (same event time, so
+    // the intra-burst watermark evicts nobody), then go idle forever
+    val burst = (1 to nUsers).map(u => (u.toLong, ts(0), "a"))
+    val push1 = Seq((-1L, ts(600), "a"))  // watermark far past every window
+    val active = Seq((5001L, ts(620), "a"), (5001L, ts(621), "b"),
+      (5002L, ts(621), "a"))              // the only users still live
+    val push2 = Seq((-1L, ts(1300), "a"))
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val src = ms.toDF().toDF("user_id", "ts", "event_type")
+      .withWatermark("ts", "1 minute")
+    val q = FunnelStream.streamingWindowFunnelEvicting(src, "user_id", "ts",
+        stages, windowMs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_bound_out")
+      .start()
+    val totals = scala.collection.mutable.ArrayBuffer.empty[Long]
+    Seq(burst, push1, active, push2).foreach { s =>
+      ms.addData(s); q.processAllAvailable()
+      totals += q.recentProgress.toSeq.flatMap(_.stateOperators)
+        .map(_.numRowsTotal).lastOption.getOrElse(0L)
+    }
+    q.stop()
+    // the state store really held the idle thousands before the
+    // watermark closed their windows...
+    assert(totals.max >= nUsers.toLong,
+      s"burst must be state-resident pre-eviction: $totals")
+    // ...and after eviction the resident rows track the ACTIVE set
+    // (two live users + the watermark pusher), not the total seen
+    assert(totals.last <= 10L,
+      s"state must shrink to active users after eviction: $totals")
+    // eviction emitted every idle user's exact level on the way out
+    val out = spark.table("funnel_bound_out")
+      .groupBy("user_id").agg(max("funnel_level").as("lvl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1 to nUsers).forall(u => out.get(u.toLong).contains(1L)),
+      "every evicted single-stage user must have emitted level 1")
+    assert(out(5001L) == 2L, s"active user keeps its live depth: $out")
+  }
+
   test("feature extraction really decodes media and fingerprints opaque bytes") {
     import graft.operators.Multimodal
     val media = Multimodal.asBinaryFrame(Tables(spark, sf).documents, "doc_id", "text")
