@@ -569,6 +569,30 @@ object Pipeline {
         .orderBy($"l_returnflag")
     },
 
+    // HyperLogLog distinct-token cardinality per source — the
+    // `uniq`-family sketch beside CMS (frequency) and Bloom
+    // (membership): m=4096 integer registers, elementwise-max merge
+    // (partition- and replay-invariant), estimate audited against the
+    // exact count under the standard 3·1.04/√m envelope with a small-
+    // count floor (linear counting makes tiny groups near-exact) —
+    // the q48 value-audit pattern.
+    "q123_hll_distinct" -> { (s, dir) =>
+      import s.implicits._
+      val p = 12
+      val t = Tables(s, dir).documents
+        .select($"source", explode(split($"text", " ")).as("token"))
+        .filter(length($"token") > 0)
+      t.groupBy($"source")
+        .agg(countDistinct($"token").as("exact_tokens"),
+          graft.functions.Hll.hll_estimate(
+            graft.functions.Hll.hll_agg(xxhash64($"token"), p)).as("est"))
+        .select($"source", $"exact_tokens",
+          (abs($"est" - $"exact_tokens") <=
+            greatest($"exact_tokens" * (3 * 1.04 / math.sqrt((1 << p).toDouble)),
+              lit(1.0))).as("hll_in_bound"))
+        .orderBy($"source")
+    },
+
     // Multimodal feature extraction with REAL codecs: a mixed-format
     // media column (baseline JPEG / PNG / GIF / opaque text bytes, one
     // per doc_id mod 4) dispatched on magic bytes — the feature is the
@@ -1701,6 +1725,17 @@ object Pipeline {
         |FROM t GROUP BY token
         |HAVING count(*) >= 0.02 * (SELECT n_total FROM n)
         |ORDER BY token""".stripMargin,
+
+    // exact per-source distinct; the HLL flag is TRUE by the 3-sigma
+    // envelope the Spark side audits against its own exact count
+    "q123_hll_distinct" ->
+      """WITH t AS (SELECT source, unnest(string_split(text,' ')) AS token
+        |           FROM documents)
+        |SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS exact_tokens,
+        |  TRUE AS hll_in_bound
+        |FROM t WHERE len(token) > 0
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // exact top-20 tokens by corpus frequency; the CMS bound flag is
     // TRUE by the sketch's overestimate + error-envelope guarantees

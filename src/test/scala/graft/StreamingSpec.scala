@@ -67,7 +67,7 @@ class StreamingSpec extends SparkSpec {
     // (serialize/deserialize between micro-batches), which no batch
     // test exercises. Sum/OR merges are order-free, so the streamed
     // sketch must equal the batch sketch EXACTLY, counter for counter.
-    import graft.functions.{BloomAgg, CountMinAgg}
+    import graft.functions.{BloomAgg, CountMinAgg, Hll}
     // stage as 4 files + maxFilesPerTrigger=1 → 4 micro-batches, so
     // partial sketch state really persists across triggers
     val dir = java.nio.file.Files.createTempDirectory("graft-sketch-ev").toString
@@ -76,7 +76,8 @@ class StreamingSpec extends SparkSpec {
     def sketchAgg(df: org.apache.spark.sql.DataFrame) = df
       .groupBy(col("event_type"))
       .agg(CountMinAgg.countmin_agg(xxhash64(col("user_id")), 5, 512).as("cms"),
-        BloomAgg.bloom_agg(xxhash64(col("user_id")), 1 << 12, 5).as("bf"))
+        BloomAgg.bloom_agg(xxhash64(col("user_id")), 1 << 12, 5).as("bf"),
+        Hll.hll_agg(xxhash64(col("user_id")), 10).as("hll"))
     val expected = sketchAgg(batchEvents)
       .orderBy("event_type").collect().toSeq
     val stream = spark.readStream.schema(batchEvents.schema)
