@@ -64,9 +64,16 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
     val nPasses = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
+    // SPARK_GRAFT_ONLY_Q=q92,q93 runs ONLY the named prefixes — the
+    // complement of SKIP_Q, for re-timing a handful of queries (e.g.
+    // finishing a long scale run that lost its tail to a kill) without
+    // paying the whole suite again.
+    val only = sys.env.get("SPARK_GRAFT_ONLY_Q")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       maxQ.forall(m => n.drop(1).takeWhile(_.isDigit).toInt <= m) &&
-        !skip.exists(s => n.startsWith(s))
+        !skip.exists(s => n.startsWith(s)) &&
+        only.forall(_.exists(s => n.startsWith(s)))
     }
     val passes = (1 to nPasses).map(_ => names.map(n => n -> runOnce(n)).toMap)
     val results = names.map { n =>

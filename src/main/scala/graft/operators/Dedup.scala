@@ -153,6 +153,65 @@ object Dedup {
       .filter($"jaccard" >= threshold)
       .select($"a", $"b", $"jaccard")
 
+  /** Production-scale composition of exact + near dedup: collapse
+    * exact duplicates FIRST, run the similarity join on unique
+    * contents only, then expand pairs back through group membership.
+    * Output is provably identical to [[ngramJaccardPairs]] over the
+    * full corpus (pinned in DedupSpec and by sharing q31's oracle):
+    * identical texts have identical shingle sets, so (a) every
+    * intra-group pair of shingled docs has jaccard exactly 1.0 ≥ t,
+    * (b) a cross-group pair's jaccard equals its representatives'
+    * jaccard, and (c) docs whose shingle set is EMPTY (shorter than n
+    * words) never pair under the direct join (0/0 similarity is null)
+    * and are excluded from the expansion the same way.
+    *
+    * Why this is the 100 TB shape: web-crawl corpora are majority
+    * exact-duplicate, and the sf10 scale run measured the cost of
+    * ignoring that — a duplication factor d multiplies the direct
+    * join's candidate space by d² (the pair OUTPUT grows d²
+    * inherently, but so did the join's internal work). Collapsing
+    * first shrinks the similarity join's input by d and its candidate
+    * space by d², leaving two cheap group-key equi-joins to
+    * re-materialize the required pairs.
+    *
+    * Grouping is by 64-bit content hash, not raw text: the shuffle
+    * then moves 8-byte keys instead of documents. Injective in
+    * practice (the [[shingles]] collision argument, ~n²/2^65); the
+    * raw-text-grouping oracle would surface a collision at the gate.
+    */
+  def collapsedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val docs = df.select(col(idCol).as("doc"), col(textCol).as("txt"))
+    val member = docs.select($"doc", xxhash64($"txt").as("g"))
+    // one representative text per distinct content; members of a group
+    // share the text byte-for-byte, so first() is value-deterministic
+    val reps = docs.groupBy(xxhash64($"txt").as("g"))
+      .agg(min($"doc").as("rep"), first($"txt").as("txt"))
+    val repPairs = ngramJaccardPairs(reps, "rep", "txt", n, threshold)
+    // intra-group: all (a < b) pairs among copies of one shingled
+    // content, jaccard exactly 1.0 (identical non-empty sets)
+    val shingled = reps
+      .filter(size(graft.functions.ShingleHash64.shingle_hashes($"txt", n)) > 0)
+      .select($"g")
+    val mNE = member.join(shingled, "g")
+    val intra = mNE.as("m1")
+      .join(mNE.as("m2"),
+        col("m1.g") === col("m2.g") && col("m1.doc") < col("m2.doc"))
+      .select(col("m1.doc").as("a"), col("m2.doc").as("b"),
+        lit(1.0).as("jaccard"))
+    // cross-group: route each rep pair back to both member sets; group
+    // ids of distinct groups interleave, so order each pair explicitly
+    val repKey = reps.select($"rep", $"g")
+    val cross = repPairs
+      .join(repKey.select($"rep".as("a"), $"g".as("ga")), "a")
+      .join(repKey.select($"rep".as("b"), $"g".as("gb")), "b")
+      .join(member.select($"doc".as("ida"), $"g".as("ga")), "ga")
+      .join(member.select($"doc".as("idb"), $"g".as("gb")), "gb")
+      .select(least($"ida", $"idb").as("a"),
+        greatest($"ida", $"idb").as("b"), $"jaccard")
+    intra.unionAll(cross)
+  }
+
   /** MinHash signatures: one row per doc with a k-slot `sig` array —
     * a single map-side pass ([[graft.functions.MinHashSig]] over the
     * doc's shingle-hash set), no explode, no shuffle. The signature of

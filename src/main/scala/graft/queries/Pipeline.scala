@@ -593,6 +593,18 @@ object Pipeline {
         .orderBy($"source")
     },
 
+    // Exact-collapse-first near-dedup — same output as q31, via the
+    // duplicate-heavy-corpus scale path (similarity join runs on
+    // unique contents only; the sf10 decade measured the direct join
+    // superlinear exactly because replicated corpora are majority
+    // exact-dup, which is also the web-crawl reality).
+    "q124_dedup_collapsed" -> { (s, dir) =>
+      import s.implicits._
+      Dedup.collapsedJaccardPairs(Tables(s, dir).documents, "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy($"a", $"b")
+    },
+
     // Multimodal feature extraction with REAL codecs: a mixed-format
     // media column (baseline JPEG / PNG / GIF / opaque text bytes, one
     // per doc_id mod 4) dispatched on magic bytes — the feature is the
@@ -1553,6 +1565,8 @@ object Pipeline {
 
     "q31_dedup_ngram_jaccard" -> jaccardOracle,
     "q32_dedup_minhash_lsh" -> jaccardOracle,
+    // output-identical by construction (collapse → join reps → expand)
+    "q124_dedup_collapsed" -> jaccardOracle,
 
     "q34_embedding_nn" ->
       """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v FROM embeddings),

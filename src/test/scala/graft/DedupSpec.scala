@@ -215,4 +215,23 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == docs.select("text").distinct().count())
     assert(out.agg(sum("n_copies")).collect()(0).getLong(0) == docs.count())
   }
+
+  test("collapse-first near-dedup equals the direct join on a dup-heavy corpus") {
+    // replicate the corpus 3x with offset ids (the ScaleUp shape that
+    // made the direct join superlinear at sf10): every content now has
+    // >=3 exact copies, so both the intra-group expansion (jaccard-1
+    // pairs among copies) and the cross-group routing (rep pair -> all
+    // member pairs, ids interleaved across groups) carry real weight
+    val base = docs.select(col("doc_id"), col("text"))
+    val dup = base
+      .unionAll(base.select(col("doc_id") + 1000000, col("text")))
+      .unionAll(base.select(col("doc_id") + 2000000, col("text")))
+    val direct = Dedup.ngramJaccardPairs(dup, "doc_id", "text", 3, 0.8)
+      .select("a", "b", "jaccard").collect().toSet
+    val collapsed = Dedup.collapsedJaccardPairs(dup, "doc_id", "text", 3, 0.8)
+      .select("a", "b", "jaccard").collect().toSet
+    assert(collapsed == direct)
+    // and the duplicate structure really was exercised
+    assert(direct.nonEmpty)
+  }
 }
