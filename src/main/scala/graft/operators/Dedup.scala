@@ -212,6 +212,79 @@ object Dedup {
     intra.unionAll(cross)
   }
 
+  /** Shared collapse machinery for cluster-level dedup: group docs by
+    * 64-bit content hash, run clustering on one REPRESENTATIVE per
+    * distinct content, and label every participating group with its
+    * member-level cluster id. `rep = min(doc_id)` per group is what
+    * makes rep-level results equal member-level ones: every member of
+    * a group is connected to every other (identical shingle sets,
+    * jaccard exactly 1), a cross-group member edge exists iff the rep
+    * edge exists (members share their rep's text), and the min doc of
+    * a member component is therefore the min of its group minima —
+    * the min of its reps, which is exactly what [[clusterReps]] over
+    * rep pairs converges to. Participating groups: rep has a near-dup
+    * edge, OR the group holds >=2 shingled copies (the intra-group
+    * clique is edges enough); singleton edgeless groups and
+    * shingle-less docs never pair under the direct graph either.
+    *
+    * Returns (member, gLabel) where member = (doc, g) for every doc
+    * and gLabel = (g, rep, nc, cluster_rep) for participating groups.
+    */
+  private def collapsedGroupLabels(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): (DataFrame, DataFrame) = {
+    val docs = df.select(col(idCol).as("doc"), col(textCol).as("txt"))
+    val member = docs.select($"doc", xxhash64($"txt").as("g"))
+    val reps = docs.groupBy(xxhash64($"txt").as("g"))
+      .agg(min($"doc").as("rep"), first($"txt").as("txt"),
+        count(lit(1)).as("nc"))
+    val repPairs = ngramJaccardPairs(reps, "rep", "txt", n, threshold)
+    val repLabels = clusterReps(repPairs).withColumnRenamed("doc", "rep")
+    val gLabel = reps
+      .filter(size(graft.functions.ShingleHash64.shingle_hashes($"txt", n)) > 0)
+      .join(repLabels, Seq("rep"), "left")
+      .filter($"cluster_rep".isNotNull || $"nc" >= 2)
+      .select($"g", $"rep", $"nc",
+        coalesce($"cluster_rep", $"rep").as("cluster_rep"))
+    (member, gLabel)
+  }
+
+  /** [[clusterReps]] over [[ngramJaccardPairs]], computed collapse-
+    * first (see [[collapsedJaccardPairs]] for why at 100 TB):
+    * connected components run on unique contents only; members
+    * inherit their group's label. Output identical to the direct
+    * pipeline (q44's oracle gates it).
+    */
+  def collapsedClusterReps(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val (member, gLabel) = collapsedGroupLabels(df, idCol, textCol, n, threshold)
+    member.join(gLabel.select($"g", $"cluster_rep"), "g")
+      .select($"doc", $"cluster_rep")
+  }
+
+  /** Collapse-first [[clusterKeepBest]] for CONTENT-DERIVED scores
+    * (`scoreOfText` maps the text column to the score): scores are
+    * then constant within an exact-dup group, so the member-level
+    * argmax (max score, min doc on ties) is attained at a group
+    * minimum — a rep — and the per-cluster reduction runs over groups
+    * instead of members, with `n_docs` as a sum of group sizes. An
+    * arbitrary per-doc score frame (not a function of content) would
+    * NOT collapse; that variant stays on [[clusterKeepBest]].
+    */
+  def collapsedClusterKeepBest(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, scoreOfText: Column => Column): DataFrame = {
+    val (_, gLabel) = collapsedGroupLabels(df, idCol, textCol, n, threshold)
+    val docs = df.select(col(idCol).as("doc"), col(textCol).as("txt"))
+    val gScore = docs.groupBy(xxhash64($"txt").as("g"))
+      .agg(first(scoreOfText($"txt")).as("score"))
+    gLabel.join(gScore, "g")
+      .groupBy($"cluster_rep")
+      .agg(
+        max(struct($"score", (-$"rep").as("nd"))).as("best"),
+        sum($"nc").as("n_docs"))
+      .select($"cluster_rep", (-$"best.nd").as("keep_doc"),
+        $"best.score".as("keep_score"), $"n_docs")
+  }
+
   /** MinHash signatures: one row per doc with a k-slot `sig` array —
     * a single map-side pass ([[graft.functions.MinHashSig]] over the
     * doc's shingle-hash set), no explode, no shuffle. The signature of

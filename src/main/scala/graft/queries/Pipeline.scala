@@ -44,6 +44,64 @@ object Pipeline {
     * Used for both q31 (exact path) and q32 (minhash+LSH+verify path —
     * identical output, miss probability < 5e-8 per pair).
     */
+  // q44's recursive closure: near-dup edges -> reachable-label walk ->
+  // min label per doc. Shared by the direct (q44) and collapse-first
+  // (q125) pipelines, which are output-identical by construction.
+  private val clustersOracle =
+    """WITH RECURSIVE sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
+      |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT a, b FROM inter
+      |          JOIN sizes sa ON a = sa.doc_id
+      |          JOIN sizes sb ON b = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+      |edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
+      |walk(doc, lbl) AS (
+      |  SELECT DISTINCT x, x FROM edges
+      |  UNION
+      |  SELECT e.x, w.lbl FROM edges e JOIN walk w ON e.y = w.doc
+      |)
+      |SELECT doc, min(lbl) AS cluster_rep FROM walk GROUP BY doc
+      |ORDER BY doc""".stripMargin
+
+  // q44's closure + per-cluster argmax on token count (score DESC,
+  // doc ASC ties). Shared by the direct (q83) and collapse-first
+  // (q126) pipelines.
+  private val keepBestOracle =
+    """WITH RECURSIVE sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
+      |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT a, b FROM inter
+      |          JOIN sizes sa ON a = sa.doc_id
+      |          JOIN sizes sb ON b = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+      |edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
+      |walk(doc, lbl) AS (
+      |  SELECT DISTINCT x, x FROM edges
+      |  UNION
+      |  SELECT e.x, w.lbl FROM edges e JOIN walk w ON e.y = w.doc
+      |),
+      |reps AS (SELECT doc, min(lbl) AS cluster_rep FROM walk GROUP BY doc),
+      |sc AS (SELECT doc_id AS doc,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+      |       FROM documents)
+      |SELECT cluster_rep, keep_doc, keep_score, n_docs FROM (
+      |  SELECT r.cluster_rep, r.doc AS keep_doc, s.score AS keep_score,
+      |    count(*) OVER (PARTITION BY r.cluster_rep) AS n_docs,
+      |    row_number() OVER (PARTITION BY r.cluster_rep
+      |                       ORDER BY s.score DESC, r.doc) AS rn
+      |  FROM reps r JOIN sc s ON r.doc = s.doc)
+      |WHERE rn = 1
+      |ORDER BY cluster_rep""".stripMargin
+
   private val jaccardOracle =
     """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
       |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
@@ -591,6 +649,28 @@ object Pipeline {
             greatest($"exact_tokens" * (3 * 1.04 / math.sqrt((1 << p).toDouble)),
               lit(1.0))).as("hll_in_bound"))
         .orderBy($"source")
+    },
+
+    // Collapse-first connected components — same output as q44: CC
+    // runs over unique contents; members inherit their group's label
+    // (rep = group-min doc makes the two fixpoints equal).
+    "q125_clusters_collapsed" -> { (s, dir) =>
+      import s.implicits._
+      Dedup.collapsedClusterReps(Tables(s, dir).documents, "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy($"doc")
+    },
+
+    // Collapse-first keep-best — same output as q83 for the content-
+    // derived token-count score (constant within an exact-dup group,
+    // so the cluster argmax is attained at a rep and n_docs is a sum
+    // of group sizes).
+    "q126_keep_best_collapsed" -> { (s, dir) =>
+      import s.implicits._
+      Dedup.collapsedClusterKeepBest(Tables(s, dir).documents, "doc_id", "text",
+          n = 3, threshold = 0.8,
+          t => size(split(t, " ")).cast("long"))
+        .orderBy($"cluster_rep")
     },
 
     // Exact-collapse-first near-dedup — same output as q31, via the
@@ -1609,26 +1689,10 @@ object Pipeline {
     // dedups, so it terminates at the transitive closure); min per doc
     // is exactly the min-label-propagation fixpoint clusterReps
     // converges to.
-    "q44_dedup_clusters" ->
-      """WITH RECURSIVE sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
-        |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
-        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |pairs AS (SELECT a, b FROM inter
-        |          JOIN sizes sa ON a = sa.doc_id
-        |          JOIN sizes sb ON b = sb.doc_id
-        |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
-        |edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
-        |walk(doc, lbl) AS (
-        |  SELECT DISTINCT x, x FROM edges
-        |  UNION
-        |  SELECT e.x, w.lbl FROM edges e JOIN walk w ON e.y = w.doc
-        |)
-        |SELECT doc, min(lbl) AS cluster_rep FROM walk GROUP BY doc
-        |ORDER BY doc""".stripMargin,
+    "q44_dedup_clusters" -> clustersOracle,
+    // output-identical by construction (CC over reps + membership)
+    "q125_clusters_collapsed" -> clustersOracle,
+    "q126_keep_best_collapsed" -> keepBestOracle,
 
     // q31's exact-jaccard machinery restricted to batch×corpus sides
     // of the doc_id % 20 split — the incremental path must find
@@ -1652,36 +1716,7 @@ object Pipeline {
     // q44's recursive closure + per-cluster argmax on token count
     // (score DESC, doc ASC ties — the Spark side's max(struct) with a
     // negated id).
-    "q83_cluster_keep_best" ->
-      """WITH RECURSIVE sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
-        |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
-        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |pairs AS (SELECT a, b FROM inter
-        |          JOIN sizes sa ON a = sa.doc_id
-        |          JOIN sizes sb ON b = sb.doc_id
-        |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
-        |edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
-        |walk(doc, lbl) AS (
-        |  SELECT DISTINCT x, x FROM edges
-        |  UNION
-        |  SELECT e.x, w.lbl FROM edges e JOIN walk w ON e.y = w.doc
-        |),
-        |reps AS (SELECT doc, min(lbl) AS cluster_rep FROM walk GROUP BY doc),
-        |sc AS (SELECT doc_id AS doc,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS score
-        |       FROM documents)
-        |SELECT cluster_rep, keep_doc, keep_score, n_docs FROM (
-        |  SELECT r.cluster_rep, r.doc AS keep_doc, s.score AS keep_score,
-        |    count(*) OVER (PARTITION BY r.cluster_rep) AS n_docs,
-        |    row_number() OVER (PARTITION BY r.cluster_rep
-        |                       ORDER BY s.score DESC, r.doc) AS rn
-        |  FROM reps r JOIN sc s ON r.doc = s.doc)
-        |WHERE rn = 1
-        |ORDER BY cluster_rep""".stripMargin,
+    "q83_cluster_keep_best" -> keepBestOracle,
 
     "q84_tfidf_top_term" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

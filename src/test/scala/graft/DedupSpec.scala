@@ -234,4 +234,23 @@ class DedupSpec extends SparkSpec {
     // and the duplicate structure really was exercised
     assert(direct.nonEmpty)
   }
+
+  test("collapse-first clustering + keep-best equal the direct pipelines") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val dup = base
+      .unionAll(base.select(col("doc_id") + 1000000, col("text")))
+      .unionAll(base.select(col("doc_id") + 2000000, col("text")))
+    val directPairs = Dedup.ngramJaccardPairs(dup, "doc_id", "text", 3, 0.8)
+    val directCC = Dedup.clusterReps(directPairs).collect().toSet
+    val collapsedCC = Dedup.collapsedClusterReps(dup, "doc_id", "text", 3, 0.8)
+      .collect().toSet
+    assert(collapsedCC == directCC)
+    val scores = dup.select(col("doc_id").as("doc"),
+      size(split(col("text"), " ")).cast("long").as("score"))
+    val directKB = Dedup.clusterKeepBest(directPairs, scores).collect().toSet
+    val collapsedKB = Dedup.collapsedClusterKeepBest(dup, "doc_id", "text",
+        3, 0.8, t => size(split(t, " ")).cast("long"))
+      .collect().toSet
+    assert(collapsedKB == directKB)
+  }
 }
