@@ -109,6 +109,73 @@ case class HllEstimate(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Merge of PERSISTED [[HllAgg]] register vectors — the
+  * `uniqMerge`-side of the reference ecosystem's
+  * uniqState/uniqMerge pair: partial states live in a table
+  * (array&lt;long&gt; column, e.g. a daily rollup parquet) and are
+  * re-aggregated WITHOUT rescanning the raw data. Element-wise max,
+  * same invariances as [[HllAgg]] (associative, commutative,
+  * idempotent), so rolling up rollups composes to any granularity.
+  * The register width is taken from the first state seen; mixed-p
+  * states in one group are a caller error and fail loudly.
+  */
+case class HllMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = Array.empty
+
+  private def maxInto(buf: Array[Long], regs: ArrayData): Array[Long] = {
+    val n = regs.numElements()
+    if (buf.isEmpty) {
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) { out(i) = regs.getLong(i); i += 1 }
+      out
+    } else {
+      require(buf.length == n,
+        s"merging HLL states of different p: ${buf.length} vs $n registers")
+      var i = 0
+      while (i < n) { val r = regs.getLong(i); if (r > buf(i)) buf(i) = r; i += 1 }
+      buf
+    }
+  }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf else maxInto(buf, v.asInstanceOf[ArrayData])
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    if (b.isEmpty) a else maxInto(a, new GenericArrayData(b))
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): HllMergeAgg =
+    copy(child = cs.head)
+}
+
 object Hll {
 
   /** Shared estimate kernel: deterministic for given registers (one
@@ -140,6 +207,9 @@ object Hll {
 
   def hll_agg(hash: Column, p: Int): Column =
     column(HllAgg(expression(hash), p).toAggregateExpression())
+
+  def hll_merge_agg(state: Column): Column =
+    column(HllMergeAgg(expression(state)).toAggregateExpression())
 
   def hll_estimate(sketch: Column): Column =
     column(HllEstimate(expression(sketch)))

@@ -651,6 +651,48 @@ object Pipeline {
         .orderBy($"source")
     },
 
+    // uniqState/uniqMerge rollup — the pre-aggregated-rollup shape of
+    // the reference ecosystem's AggregatingMergeTree: per-(type, day)
+    // HLL register states PERSIST to parquet, and the per-type answer
+    // re-aggregates the states (HllMergeAgg element-wise max) without
+    // rescanning raw events — at 100 TB the daily rollup is what makes
+    // "distinct users over an arbitrary date range" an interactive
+    // query. Gate = the q123 audit pattern: estimate from the merged
+    // persisted states vs the exact count, in the 3σ envelope.
+    "q127_hll_rollup" -> { (s, dir) =>
+      import s.implicits._
+      val p = 12
+      val loc = java.nio.file.Files.createTempDirectory("graft_hllroll_").toString
+      try {
+        val ev = Tables(s, dir).events
+        ev.select($"event_type", to_date($"ts").as("day"),
+            xxhash64($"user_id").as("h"))
+          .groupBy($"event_type", $"day")
+          .agg(graft.functions.Hll.hll_agg($"h", p).as("state"))
+          .write.mode("overwrite").parquet(loc + "/daily")
+        val merged = s.read.parquet(loc + "/daily")
+          .groupBy($"event_type")
+          .agg(graft.functions.Hll.hll_estimate(
+            graft.functions.Hll.hll_merge_agg($"state")).as("est"))
+        val exact = ev.groupBy($"event_type")
+          .agg(countDistinct($"user_id").as("exact_users"))
+        exact.join(merged, "event_type")
+          .select($"event_type", $"exact_users",
+            (abs($"est" - $"exact_users") <=
+              greatest($"exact_users" * (3 * 1.04 / math.sqrt((1 << p).toDouble)),
+                lit(1.0))).as("hll_in_bound"))
+          .orderBy($"event_type")
+          .localCheckpoint() // materialize before the rollup dir is removed
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(loc))
+      }
+    },
+
     // Collapse-first connected components — same output as q44: CC
     // runs over unique contents; members inherit their group's label
     // (rep = group-min doc makes the two fixpoints equal).
@@ -1774,6 +1816,17 @@ object Pipeline {
         |FROM t GROUP BY token
         |HAVING count(*) >= 0.02 * (SELECT n_total FROM n)
         |ORDER BY token""".stripMargin,
+
+    // exact per-type distinct; the merged-persisted-states flag is
+    // TRUE by the 3-sigma envelope (q123 pattern; merge is lossless
+    // register-wise so the rollup estimate equals the direct one)
+    "q127_hll_rollup" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS hll_in_bound
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // exact per-source distinct; the HLL flag is TRUE by the 3-sigma
     // envelope the Spark side audits against its own exact count

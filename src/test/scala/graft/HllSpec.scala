@@ -53,6 +53,37 @@ class HllSpec extends SparkSpec {
     assert(est == 3L, s"m=4096 over 3 distinct values is exact: $est")
   }
 
+  test("persisted states merge register-exactly to the direct sketch") {
+    // the uniqState/uniqMerge contract: write per-group partial states
+    // to parquet, read them back, HllMergeAgg them — the result must
+    // equal a direct single-pass HllAgg REGISTER-FOR-REGISTER (merge
+    // is lossless), so rollups of rollups compose to any granularity
+    val t = Tables(spark, sf).documents
+      .select($"source", explode(split($"text", " ")).as("token"))
+      .filter(length($"token") > 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-roll").toString
+    t.groupBy($"source")
+      .agg(Hll.hll_agg(xxhash64($"token"), 10).as("state"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .agg(Hll.hll_merge_agg($"state"))
+      .collect()(0).getSeq[Long](0)
+    val direct = t.agg(Hll.hll_agg(xxhash64($"token"), 10))
+      .collect()(0).getSeq[Long](0)
+    assert(merged == direct)
+  }
+
+  test("merging states of different width fails loudly") {
+    val a = Seq("x", "y").toDF("v")
+      .agg(Hll.hll_agg(xxhash64($"v"), 10).as("state"))
+    val b = Seq("z").toDF("v")
+      .agg(Hll.hll_agg(xxhash64($"v"), 12).as("state"))
+    val ex = intercept[Exception] {
+      a.unionAll(b).agg(Hll.hll_merge_agg($"state")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("max-merge absorbs replayed partials (idempotent under re-delivery)") {
     val toks = tokensOf(sf)
     def regs(df: org.apache.spark.sql.DataFrame) = df
