@@ -651,6 +651,29 @@ object Pipeline {
         .orderBy($"source")
     },
 
+    // Misra–Gries heavy hitters — the `topK`-family sketch. Gate =
+    // the order-invariant guarantee (q123 audit pattern): every token
+    // with exact count > n/(k+1) MUST be in the k-counter summary,
+    // checked with pure integer arithmetic (cnt·(k+1) > n — no
+    // division, no floats).
+    "q128_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      val k = 50
+      val toks = Tables(s, dir).documents
+        .select(explode(split($"text", " ")).as("token"))
+        .filter(length($"token") > 0)
+      val skItems = toks
+        .agg(graft.functions.HeavyHitters.heavy_hitters_agg($"token", k).as("sk"))
+        .select(explode($"sk.item").as("token"), lit(1).as("hit"))
+      val n = toks.agg(count(lit(1)).as("n_total"))
+      toks.groupBy($"token").agg(count(lit(1)).as("exact_cnt"))
+        .crossJoin(broadcast(n))
+        .filter($"exact_cnt" * (k + 1) > $"n_total")
+        .join(skItems, Seq("token"), "left")
+        .select($"token", $"exact_cnt", $"hit".isNotNull.as("in_sketch"))
+        .orderBy($"token")
+    },
+
     // uniqState/uniqMerge rollup — the pre-aggregated-rollup shape of
     // the reference ecosystem's AggregatingMergeTree: per-(type, day)
     // HLL register states PERSIST to parquet, and the per-type answer
@@ -1815,6 +1838,18 @@ object Pipeline {
         |SELECT token, CAST(count(*) AS BIGINT) AS n
         |FROM t GROUP BY token
         |HAVING count(*) >= 0.02 * (SELECT n_total FROM n)
+        |ORDER BY token""".stripMargin,
+
+    // exact heavy hitters by integer threshold; the membership flag is
+    // TRUE by the Misra–Gries guarantee (count > n/(k+1) => present)
+    "q128_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
+        |tt AS (SELECT token FROM t WHERE len(token) > 0),
+        |n AS (SELECT count(*) AS n_total FROM tt),
+        |c AS (SELECT token, count(*) AS exact_cnt FROM tt GROUP BY token)
+        |SELECT token, exact_cnt, TRUE AS in_sketch
+        |FROM c, n
+        |WHERE exact_cnt * 51 > n_total
         |ORDER BY token""".stripMargin,
 
     // exact per-type distinct; the merged-persisted-states flag is
