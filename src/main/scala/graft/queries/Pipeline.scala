@@ -651,6 +651,50 @@ object Pipeline {
         .orderBy($"source")
     },
 
+    // KMV set-intersection sketch — audience overlap between event
+    // types from per-type states alone (what HLL registers cannot
+    // do). The pair composition is pure codegen'd array algebra over
+    // the states: k-smallest of the state union is the union's KMV,
+    // and the fraction landing in both sides' states estimates
+    // Jaccard. Gate = exact overlap (oracle-matched) + the Jaccard
+    // estimate inside a 3.5σ hypergeometric envelope (additive
+    // 3.5·0.5/√k) — exact when a pair's states hold the whole sets.
+    "q129_kmv_overlap" -> { (s, dir) =>
+      import s.implicits._
+      val k = 1024
+      val ev = Tables(s, dir).events
+      val sk = ev.select($"event_type", xxhash64($"user_id").as("h"))
+        .groupBy($"event_type")
+        .agg(graft.functions.Kmv.kmv_agg($"h", k).as("st"))
+      val skp = sk.as("x").join(sk.as("y"),
+          col("x.event_type") < col("y.event_type"))
+        .select(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"),
+          col("x.st").as("sa"), col("y.st").as("sb"))
+        .withColumn("u", slice(array_sort(array_union($"sa", $"sb")), 1, k))
+        .withColumn("rho",
+          size(array_intersect($"u", array_intersect($"sa", $"sb"))))
+        .withColumn("jacc_est", $"rho".cast("double") / size($"u"))
+        .select($"type_a", $"type_b", $"jacc_est")
+      val du = ev.select($"event_type", $"user_id").distinct()
+      val sizes = du.groupBy($"event_type").agg(count(lit(1)).as("nd"))
+      val exact = du.as("a").join(du.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("exact_overlap"))
+        .join(sizes.select($"event_type".as("type_a"), $"nd".as("na")), "type_a")
+        .join(sizes.select($"event_type".as("type_b"), $"nd".as("nb")), "type_b")
+        .withColumn("jacc_exact",
+          $"exact_overlap".cast("double") / ($"na" + $"nb" - $"exact_overlap"))
+      exact.join(skp, Seq("type_a", "type_b"))
+        .select($"type_a", $"type_b", $"exact_overlap",
+          (abs($"jacc_est" - $"jacc_exact") <=
+            lit(3.5 * 0.5 / math.sqrt(k.toDouble))).as("kmv_in_bound"))
+        .orderBy($"type_a", $"type_b")
+    },
+
     // Misra–Gries heavy hitters — the `topK`-family sketch. Gate =
     // the order-invariant guarantee (q123 audit pattern): every token
     // with exact count > n/(k+1) MUST be in the k-counter summary,
@@ -1839,6 +1883,18 @@ object Pipeline {
         |FROM t GROUP BY token
         |HAVING count(*) >= 0.02 * (SELECT n_total FROM n)
         |ORDER BY token""".stripMargin,
+
+    // exact pairwise distinct-user overlap; the KMV flag is TRUE by
+    // the hypergeometric envelope the Spark side audits
+    "q129_kmv_overlap" ->
+      """WITH p AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS exact_overlap,
+        |  TRUE AS kmv_in_bound
+        |FROM p a JOIN p b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // exact heavy hitters by integer threshold; the membership flag is
     // TRUE by the Misra–Gries guarantee (count > n/(k+1) => present)
