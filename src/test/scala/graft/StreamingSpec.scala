@@ -67,7 +67,7 @@ class StreamingSpec extends SparkSpec {
     // (serialize/deserialize between micro-batches), which no batch
     // test exercises. Sum/OR merges are order-free, so the streamed
     // sketch must equal the batch sketch EXACTLY, counter for counter.
-    import graft.functions.{BloomAgg, CountMinAgg, Hll}
+    import graft.functions.{BloomAgg, CountMinAgg, Hll, Kmv}
     // stage as 4 files + maxFilesPerTrigger=1 → 4 micro-batches, so
     // partial sketch state really persists across triggers
     val dir = java.nio.file.Files.createTempDirectory("graft-sketch-ev").toString
@@ -77,7 +77,8 @@ class StreamingSpec extends SparkSpec {
       .groupBy(col("event_type"))
       .agg(CountMinAgg.countmin_agg(xxhash64(col("user_id")), 5, 512).as("cms"),
         BloomAgg.bloom_agg(xxhash64(col("user_id")), 1 << 12, 5).as("bf"),
-        Hll.hll_agg(xxhash64(col("user_id")), 10).as("hll"))
+        Hll.hll_agg(xxhash64(col("user_id")), 10).as("hll"),
+        Kmv.kmv_agg(xxhash64(col("user_id")), 64).as("kmv"))
     val expected = sketchAgg(batchEvents)
       .orderBy("event_type").collect().toSeq
     val stream = spark.readStream.schema(batchEvents.schema)
@@ -90,6 +91,42 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(120000)
     val got = spark.table("sketch_out").orderBy("event_type").collect().toSeq
     assert(got == expected)
+  }
+
+  test("Misra-Gries under streaming state keeps its heavy-hitter guarantee") {
+    // MG counter SETS are order-sensitive (unlike sum/max/min-trim
+    // merges), so streamed != batch bit-for-bit is expected; what the
+    // state-store round-trip must preserve is the GUARANTEE: every
+    // token with count > n/(k+1) present, counters only undercounting
+    import graft.functions.HeavyHitters
+    val k = 50
+    val dir = java.nio.file.Files.createTempDirectory("graft-mg-ev").toString
+    Tables(spark, sf).documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val batch = spark.read.parquet(dir)
+    val n = batch.count()
+    val exact = batch.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = stream.agg(HeavyHitters.heavy_hitters_agg(col("token"), k).as("sk"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("mg_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val sk = spark.table("mg_out")
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val heavy = exact.filter { case (_, c) => c * (k + 1) > n }
+    assert(heavy.nonEmpty)
+    heavy.foreach { case (t, _) => assert(sk.contains(t), s"lost heavy '$t'") }
+    sk.foreach { case (t, c) =>
+      assert(c <= exact(t) && exact(t) - c <= n / (k + 1), s"'$t' out of bound")
+    }
   }
 
   test("mapGroupsWithState sessionization equals the declarative batch form") {
