@@ -139,7 +139,96 @@ case class HeavyHittersAgg(
     copy(child = cs.head)
 }
 
+/** Weighted Misra–Gries — the `topKWeighted` analogue: an update of
+  * weight `w` is EXACTLY equivalent to `w` unit updates of
+  * [[HeavyHittersAgg]], simulated in one step. With W = Σw the
+  * guarantees become: every item with true weight > W/(k+1) is
+  * present, and counters undercount by at most W/(k+1). The unit
+  * equivalence (spec-pinned against literally-expanded input): if the
+  * item is absent and all k counters are busy, the first
+  * `m = min(counters)` units decrement everything (killing the
+  * minima), and the remaining `w − m` accumulate in a freed slot —
+  * so one pass does `subtract min(w, m) from all; insert at w − m if
+  * positive`. Merge is the unweighted [[HeavyHittersAgg.merge]]
+  * (counters are already weights there).
+  */
+case class WeightedHeavyHittersAgg(
+    item: Expression,
+    weight: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
+
+  require(k >= 1 && k <= 100000, "k in [1, 100000]")
+
+  override def children: Seq[Expression] = Seq(item, weight)
+  override def nullable: Boolean = false
+  override def dataType: DataType = HeavyHittersAgg(item, k).dataType
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  private def decrementAll(buf: java.util.HashMap[String, Long], by: Long): Unit = {
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val nv = e.getValue - by
+      if (nv <= 0L) it.remove() else e.setValue(nv)
+    }
+  }
+
+  override def update(buf: java.util.HashMap[String, Long],
+      input: InternalRow): java.util.HashMap[String, Long] = {
+    val vi = item.eval(input)
+    val vw = weight.eval(input)
+    if (vi != null && vw != null) {
+      val s = vi.asInstanceOf[UTF8String].toString
+      val w = vw.asInstanceOf[Long]
+      require(w >= 0, s"negative weight $w")
+      if (w > 0L) {
+        val cur = buf.get(s)
+        if (cur != 0L || buf.containsKey(s)) buf.put(s, cur + w)
+        else if (buf.size < k) buf.put(s, w)
+        else {
+          var m = Long.MaxValue
+          val it = buf.values().iterator()
+          while (it.hasNext) { val c = it.next(); if (c < m) m = c }
+          decrementAll(buf, math.min(w, m))
+          if (w > m) buf.put(s, w - m)
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[String, Long],
+      b: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] =
+    HeavyHittersAgg(item, k).merge(a, b)
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any =
+    HeavyHittersAgg(item, k).eval(buf)
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] =
+    HeavyHittersAgg(item, k).serialize(buf)
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] =
+    HeavyHittersAgg(item, k).deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): WeightedHeavyHittersAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): WeightedHeavyHittersAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): WeightedHeavyHittersAgg =
+    copy(item = cs(0), weight = cs(1))
+}
+
 object HeavyHitters {
   def heavy_hitters_agg(item: Column, k: Int): Column =
     column(HeavyHittersAgg(expression(item), k).toAggregateExpression())
+
+  def weighted_heavy_hitters_agg(item: Column, weight: Column, k: Int): Column =
+    column(WeightedHeavyHittersAgg(expression(item), expression(weight), k)
+      .toAggregateExpression())
 }

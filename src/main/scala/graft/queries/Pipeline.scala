@@ -651,6 +651,30 @@ object Pipeline {
         .orderBy($"source")
     },
 
+    // Weighted heavy hitters (`topKWeighted` analogue): which tokens
+    // account for > W/(k+1) of total corpus CHARACTERS (weight =
+    // token length) — same integer-threshold audit as q128 with
+    // W = Σ weights.
+    "q130_weighted_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      val k = 50
+      val toks = Tables(s, dir).documents
+        .select(explode(split($"text", " ")).as("token"))
+        .filter(length($"token") > 0)
+        .withColumn("w", length($"token").cast("long"))
+      val skItems = toks
+        .agg(graft.functions.HeavyHitters
+          .weighted_heavy_hitters_agg($"token", $"w", k).as("sk"))
+        .select(explode($"sk.item").as("token"), lit(1).as("hit"))
+      val wTotal = toks.agg(sum($"w").as("w_total"))
+      toks.groupBy($"token").agg(sum($"w").as("exact_weight"))
+        .crossJoin(broadcast(wTotal))
+        .filter($"exact_weight" * (k + 1) > $"w_total")
+        .join(skItems, Seq("token"), "left")
+        .select($"token", $"exact_weight", $"hit".isNotNull.as("in_sketch"))
+        .orderBy($"token")
+    },
+
     // KMV set-intersection sketch — audience overlap between event
     // types from per-type states alone (what HLL registers cannot
     // do). The pair composition is pure codegen'd array algebra over
@@ -1882,6 +1906,19 @@ object Pipeline {
         |SELECT token, CAST(count(*) AS BIGINT) AS n
         |FROM t GROUP BY token
         |HAVING count(*) >= 0.02 * (SELECT n_total FROM n)
+        |ORDER BY token""".stripMargin,
+
+    // exact char-weighted heavy tokens; flag TRUE by the weighted
+    // Misra–Gries guarantee (weight > W/(k+1) => present)
+    "q130_weighted_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text,' ')) AS token FROM documents),
+        |tt AS (SELECT token FROM t WHERE len(token) > 0),
+        |n AS (SELECT sum(len(token)) AS w_total FROM tt),
+        |c AS (SELECT token, CAST(sum(len(token)) AS BIGINT) AS exact_weight
+        |      FROM tt GROUP BY token)
+        |SELECT token, exact_weight, TRUE AS in_sketch
+        |FROM c, n
+        |WHERE exact_weight * 51 > w_total
         |ORDER BY token""".stripMargin,
 
     // exact pairwise distinct-user overlap; the KMV flag is TRUE by

@@ -56,4 +56,47 @@ class HeavyHittersSpec extends SparkSpec {
     val sk = sketch(df, 10)
     assert(sk == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
+
+  private def wsketch(df: org.apache.spark.sql.DataFrame, k: Int) = df
+    .agg(HeavyHitters.weighted_heavy_hitters_agg($"token", $"w", k))
+    .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("a weight-w update is exactly w unit updates (single fold)") {
+    // one partition, one deterministic row order on both sides — the
+    // folds are then literally comparable, counter for counter. k is
+    // chosen SMALLER than the distinct token count so the decrement
+    // path (including partial weight absorption, w > min) really runs.
+    val t = Tables(spark, sf).documents
+      .select(explode(split($"text", " ")).as("token"))
+      .filter(length($"token") > 0)
+      .withColumn("w", length($"token").cast("long"))
+      .orderBy($"token").limit(5000)
+      .coalesce(1).sortWithinPartitions($"token")
+    val k = 7
+    val weighted = wsketch(t, k)
+    val expanded = t
+      .select($"token", explode(sequence(lit(1L), $"w")).as("u"))
+      .coalesce(1).sortWithinPartitions($"token", $"u")
+      .select($"token")
+    val unit = expanded
+      .agg(HeavyHitters.heavy_hitters_agg($"token", k))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(weighted == unit)
+  }
+
+  test("weighted guarantee: every char-heavy token survives, any partitioning") {
+    val k = 50
+    val t = toks.withColumn("w", length($"token").cast("long")).cache()
+    val wTotal = t.agg(sum($"w")).collect()(0).getLong(0)
+    val heavy = t.groupBy($"token").agg(sum($"w").as("ew"))
+      .filter($"ew" * (k + 1) > lit(wTotal))
+      .collect().map(_.getString(0)).toSet
+    assert(heavy.nonEmpty)
+    Seq(1, 13, 32).foreach { parts =>
+      val sk = wsketch(t.repartition(parts), k)
+      assert(heavy.subsetOf(sk.keySet), s"lost a heavy token at $parts partitions")
+    }
+  }
 }
