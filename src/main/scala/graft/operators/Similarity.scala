@@ -325,4 +325,49 @@ object Similarity {
 
     members.select($"vid", $"cid").join(dropped, Seq("vid"), "left")
   }
+
+  /** Collapse-first [[semanticDedup]] — the q124/q125 pattern pointed
+    * at vectors: group by 64-bit hash of the QUANTIZED vector, run
+    * the within-cluster pair join over one representative per
+    * distinct vector, and expand labels through membership. Output is
+    * provably identical to [[semanticDedup]] (SimilaritySpec pins it
+    * on a replicated corpus):
+    *
+    *  - centroids train on the FULL corpus (training is linear — the
+    *    duplicated mass must shape the same centroids the direct path
+    *    trains), and identical vectors land in the same cell, so a
+    *    group lives in one cell;
+    *  - cosine between members equals cosine between their reps, and
+    *    within a group cosineQ(v, v) = dot/nrm² ≈ 1 ≥ tau, so with
+    *    R(g) = min(rep(g), min similar-rep in cell) the direct rule
+    *    keep_id(y) = min{x < y, same cell, cos ≥ tau} reduces to
+    *    `R(g) if R(g) < y else NULL` — a rep smaller than y exists in
+    *    a similar group iff that group's min (its rep) is smaller.
+    *
+    * The pair join drops from corpus-quadratic-per-cell to
+    * unique-content-quadratic-per-cell; at a duplication factor d
+    * that is d² less work, same as the text family.
+    */
+  def collapsedSemanticDedup(corpus: DataFrame, tau: Double, dim: Int,
+      centroidStride: Int = 50, trainIters: Int = 2): DataFrame = {
+    val member = corpus.select($"vid", xxhash64($"qv").as("gh"))
+    val reps = corpus.groupBy(xxhash64($"qv").as("gh"))
+      .agg(min($"vid").as("vid"), first($"qv").as("qv"), first($"nrm").as("nrm"))
+    val centroids = coarseCentroids(corpus, centroidStride, dim, trainIters)
+    val repCells = cellsFor(reps.select($"vid", $"qv", $"nrm"), centroids, 1, "")
+    val minSim = repCells.as("x").join(repCells.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vid") =!= col("y.vid"))
+      .filter(cosineQ(col("x.qv"), col("y.qv"),
+        col("x.nrm"), col("y.nrm")) >= tau)
+      .groupBy(col("y.vid").as("vid"))
+      .agg(min(col("x.vid")).as("min_sim"))
+    val gR = repCells.select($"vid", $"cid")
+      .join(minSim, Seq("vid"), "left")
+      .select($"vid".as("rep"), $"cid",
+        least($"vid", coalesce($"min_sim", $"vid")).as("r0"))
+    member
+      .join(reps.select($"gh", $"vid".as("rep")), "gh")
+      .join(gR, "rep")
+      .select($"vid", $"cid", when($"r0" < $"vid", $"r0").as("keep_id"))
+  }
 }

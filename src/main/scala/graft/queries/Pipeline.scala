@@ -1375,31 +1375,56 @@ object Pipeline {
     // cos >= tau (so keep-first-by-id removed everything it promises
     // to). Behavior on a fixed corpus is pinned in SemanticDedupSpec.
     "q90_semantic_dedup" -> { (s, dir) =>
-      import s.implicits._
-      val tau = 0.92
       val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
-      val res = Similarity.semanticDedup(corpus, tau = tau, dim = 64,
-        centroidStride = 50, trainIters = 2).localCheckpoint()
-      val withVec = res.join(corpus, Seq("vid"))
-      val dropped = withVec.filter($"keep_id".isNotNull).as("d")
-        .join(withVec.as("k"), col("d.keep_id") === col("k.vid"))
-        .agg(coalesce(every(
-          col("d.keep_id") < col("d.vid") &&
-            col("k.cid") === col("d.cid") &&
-            graft.functions.VectorFunctions.cosineQ(col("d.qv"), col("k.qv"),
-              col("d.nrm"), col("k.nrm")) >= tau), lit(true)).as("drops_sound"))
-      val kept = withVec.filter($"keep_id".isNull)
-      val keptDirty = kept.as("x").join(kept.as("y"),
-          col("x.cid") === col("y.cid") && col("x.vid") < col("y.vid"))
-        .filter(graft.functions.VectorFunctions.cosineQ(col("x.qv"), col("y.qv"),
-          col("x.nrm"), col("y.nrm")) >= tau)
-        .agg(count(lit(1)).as("n_dirty"))
-      Tables(s, dir).embeddings.agg(count(lit(1)).as("n_vecs"))
-        .crossJoin(res.agg(count(lit(1)).as("n_rows")))
-        .crossJoin(dropped).crossJoin(keptDirty)
-        .select($"n_vecs", ($"n_rows" === $"n_vecs").as("all_assigned"),
-          $"drops_sound", ($"n_dirty" === 0).as("kept_clean"))
+      semanticAudit(s, dir, corpus,
+        Similarity.semanticDedup(corpus, tau = 0.92, dim = 64,
+          centroidStride = 50, trainIters = 2), tau = 0.92)
+    },
+
+    // Collapse-first semantic dedup — same audit gate as q90, with
+    // the within-cell pair join running over one representative per
+    // DISTINCT vector (group = hash of the quantized vector) and
+    // labels expanded through membership; centroids still train on
+    // the full corpus, so the clustering is the direct path's.
+    // Output-identity with q90's operator is pinned in SimilaritySpec
+    // on a replicated corpus.
+    "q131_semantic_dedup_collapsed" -> { (s, dir) =>
+      val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
+      semanticAudit(s, dir, corpus,
+        Similarity.collapsedSemanticDedup(corpus, tau = 0.92, dim = 64,
+          centroidStride = 50, trainIters = 2), tau = 0.92)
     })
+
+  /** q90's self-audit over a (vid, cid, keep_id) assignment: one row
+    * per vector, every drop witnessed by its reported smaller-id
+    * same-cluster neighbor at cos >= tau, kept set pair-clean — the
+    * booleans DuckDB predicts TRUE. Shared by the direct (q90) and
+    * collapse-first (q131) operators.
+    */
+  private def semanticAudit(s: SparkSession, dir: String,
+      corpus: DataFrame, resRaw: DataFrame, tau: Double): DataFrame = {
+    import s.implicits._
+    val res = resRaw.localCheckpoint()
+    val withVec = res.join(corpus, Seq("vid"))
+    val dropped = withVec.filter($"keep_id".isNotNull).as("d")
+      .join(withVec.as("k"), col("d.keep_id") === col("k.vid"))
+      .agg(coalesce(every(
+        col("d.keep_id") < col("d.vid") &&
+          col("k.cid") === col("d.cid") &&
+          graft.functions.VectorFunctions.cosineQ(col("d.qv"), col("k.qv"),
+            col("d.nrm"), col("k.nrm")) >= tau), lit(true)).as("drops_sound"))
+    val kept = withVec.filter($"keep_id".isNull)
+    val keptDirty = kept.as("x").join(kept.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vid") < col("y.vid"))
+      .filter(graft.functions.VectorFunctions.cosineQ(col("x.qv"), col("y.qv"),
+        col("x.nrm"), col("y.nrm")) >= tau)
+      .agg(count(lit(1)).as("n_dirty"))
+    Tables(s, dir).embeddings.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(res.agg(count(lit(1)).as("n_rows")))
+      .crossJoin(dropped).crossJoin(keptDirty)
+      .select($"n_vecs", ($"n_rows" === $"n_vecs").as("all_assigned"),
+        $"drops_sound", ($"n_dirty" === 0).as("kept_clean"))
+  }
 
   /** Shared oracle: exact eval-set 4-gram overlap counts. Gates both
     * the broadcast-exact path (q66) and the Bloom-prescreen path
@@ -2531,6 +2556,12 @@ object Pipeline {
     // DuckDB predicts the audit shape: every vector assigned exactly
     // once and both soundness booleans TRUE (see q90's query comment).
     "q90_semantic_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        | TRUE AS all_assigned, TRUE AS drops_sound, TRUE AS kept_clean
+        |FROM embeddings""".stripMargin,
+
+    // same audit shape; the collapsed operator must earn the same TRUEs
+    "q131_semantic_dedup_collapsed" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
         | TRUE AS all_assigned, TRUE AS drops_sound, TRUE AS kept_clean
         |FROM embeddings""".stripMargin)

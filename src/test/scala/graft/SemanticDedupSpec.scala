@@ -93,4 +93,34 @@ class SemanticDedupSpec extends SparkSpec {
       s"centroid side should broadcast:\n$plan")
     assert(plan.contains("cid"), s"pair join should key on cid:\n$plan")
   }
+
+  test("collapse-first equals direct on a replicated corpus") {
+    // the ScaleUp shape: every embedding appears 3x under offset ids.
+    // Centroids train on the full replicated corpus on BOTH paths, so
+    // clustering is identical and the reduction must match row-for-row
+    // (vid, cid, keep_id), including cross-group keep_ids where a
+    // replica's keeper lives in a DIFFERENT exact-dup group.
+    val base = Tables(spark, sf).embeddings
+      .select($"vec_id", $"embedding")
+    val dup = base
+      .unionAll(base.select($"vec_id" + 1000000, $"embedding"))
+      .unionAll(base.select($"vec_id" + 2000000, $"embedding"))
+    val corpus = Similarity.prepare(dup, "vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vid", $"cid", $"keep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toSet
+    // tau = 0.4: the smallest threshold with real cross-vector pairs
+    // in this corpus (>= 0.5 has none), so cross-group keep_ids exist
+    val direct = key(Similarity.semanticDedup(corpus, tau = 0.4, dim = 64,
+      centroidStride = 50, trainIters = 2))
+    val collapsed = key(Similarity.collapsedSemanticDedup(corpus, tau = 0.4,
+      dim = 64, centroidStride = 50, trainIters = 2))
+    assert(collapsed == direct)
+    // replication really created cross-group drops (keep_id pointing
+    // outside the dropped vector's own 3-replica id family)
+    assert(direct.exists { case (vid, _, keep) =>
+      keep.exists(k => k % 1000000 != vid % 1000000) })
+  }
 }
