@@ -1,0 +1,309 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge.{column, expression}
+import org.apache.spark.sql.types._
+
+/** `uniqUpTo(N)` — exact distinct count while it is <= N, and the
+  * sentinel N+1 beyond: the state holds at most N+1 distinct values,
+  * so memory is O(N) per group NO MATTER the group's true cardinality
+  * — the point of the operator at 100 TB ("does this group exceed the
+  * threshold" costs a bounded buffer, where a full count-distinct
+  * state is unbounded). Merge = capped set union. Fully exact and
+  * order-invariant by construction, so the oracle is plain
+  * `LEAST(count(DISTINCT x), N+1)` — no audit envelope needed.
+  */
+case class UniqUpToAgg(
+    child: Expression,
+    n: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashSet[java.lang.Long]] {
+
+  require(n >= 1 && n <= 1000000, "n in [1, 1e6]")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): java.util.HashSet[java.lang.Long] =
+    new java.util.HashSet[java.lang.Long]()
+
+  override def update(buf: java.util.HashSet[java.lang.Long],
+      input: InternalRow): java.util.HashSet[java.lang.Long] = {
+    val v = child.eval(input)
+    // once the cap is passed the answer is pinned at n+1; stop growing
+    if (v != null && buf.size <= n) buf.add(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: java.util.HashSet[java.lang.Long],
+      b: java.util.HashSet[java.lang.Long]): java.util.HashSet[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext && a.size <= n) a.add(it.next())
+    a
+  }
+
+  override def eval(buf: java.util.HashSet[java.lang.Long]): Any =
+    math.min(buf.size.toLong, (n + 1).toLong)
+
+  override def serialize(buf: java.util.HashSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val sz = bb.getInt()
+    val s = new java.util.HashSet[java.lang.Long](sz * 2)
+    var i = 0
+    while (i < sz) { s.add(bb.getLong()); i += 1 }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): UniqUpToAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): UniqUpToAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): UniqUpToAgg =
+    copy(child = cs.head)
+}
+
+/** `groupBitmap`-family EXACT distinct state: a roaring-shaped
+  * two-level bitmap — id split as (id >> 16) bucket key → 65536-bit
+  * container (1024 longs, allocated only for touched buckets). OR is
+  * the merge, so states are mergeable/idempotent partial aggregates
+  * like the sketch family but EXACT: pre-aggregated rollups (the q127
+  * shape) that re-aggregate to precise distinct counts. Memory is
+  * proportional to touched buckets — dense id spaces cost ~1 bit/id,
+  * which at 100 TB is the standard trade against unbounded hash-set
+  * distinct states.
+  *
+  * State surfaces as `array<struct<key long, bits array<long>>>`
+  * sorted by key — value-deterministic for a fixed input SET, so
+  * two-level aggregation plans (state per fine group, OR-merge to
+  * coarse) hash-compare stably.
+  */
+case class BitmapAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[Long, Array[Long]]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = Bitmap.stateType
+
+  override def createAggregationBuffer(): java.util.HashMap[Long, Array[Long]] =
+    new java.util.HashMap[Long, Array[Long]]()
+
+  override def update(buf: java.util.HashMap[Long, Array[Long]],
+      input: InternalRow): java.util.HashMap[Long, Array[Long]] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val id = v.asInstanceOf[Long]
+      val key = id >> 16
+      val bit = (id & 0xFFFFL).toInt
+      var c = buf.get(key)
+      if (c == null) { c = new Array[Long](1024); buf.put(key, c) }
+      c(bit >>> 6) |= 1L << (bit & 63)
+    }
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[Long, Array[Long]],
+      b: java.util.HashMap[Long, Array[Long]]): java.util.HashMap[Long, Array[Long]] =
+    Bitmap.or(a, b)
+
+  override def eval(buf: java.util.HashMap[Long, Array[Long]]): Any =
+    Bitmap.toRows(buf)
+
+  override def serialize(buf: java.util.HashMap[Long, Array[Long]]): Array[Byte] =
+    Bitmap.ser(buf)
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Array[Long]] =
+    Bitmap.deser(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): BitmapAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BitmapAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): BitmapAgg =
+    copy(child = cs.head)
+}
+
+/** OR-merge of persisted/partial [[BitmapAgg]] states (the
+  * `groupBitmapMerge` side — coarse rollup of fine-group states).
+  */
+case class BitmapMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[Long, Array[Long]]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = Bitmap.stateType
+
+  override def createAggregationBuffer(): java.util.HashMap[Long, Array[Long]] =
+    new java.util.HashMap[Long, Array[Long]]()
+
+  override def update(buf: java.util.HashMap[Long, Array[Long]],
+      input: InternalRow): java.util.HashMap[Long, Array[Long]] = {
+    val v = child.eval(input)
+    if (v != null) Bitmap.orRows(buf, v.asInstanceOf[ArrayData]) else buf
+  }
+
+  override def merge(a: java.util.HashMap[Long, Array[Long]],
+      b: java.util.HashMap[Long, Array[Long]]): java.util.HashMap[Long, Array[Long]] =
+    Bitmap.or(a, b)
+
+  override def eval(buf: java.util.HashMap[Long, Array[Long]]): Any =
+    Bitmap.toRows(buf)
+
+  override def serialize(buf: java.util.HashMap[Long, Array[Long]]): Array[Byte] =
+    Bitmap.ser(buf)
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Array[Long]] =
+    Bitmap.deser(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): BitmapMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BitmapMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): BitmapMergeAgg =
+    copy(child = cs.head)
+}
+
+/** Exact cardinality of a bitmap state: Σ popcount. */
+case class BitmapCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(state: Any): Any =
+    Bitmap.count(state.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bitmap.count($c)")
+
+  override protected def withNewChildInternal(c: Expression): BitmapCount =
+    copy(child = c)
+}
+
+object Bitmap {
+
+  val stateType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("key", LongType, nullable = false),
+      StructField("bits", ArrayType(LongType, containsNull = false),
+        nullable = false))),
+    containsNull = false)
+
+  private[functions] def or(a: java.util.HashMap[Long, Array[Long]],
+      b: java.util.HashMap[Long, Array[Long]]): java.util.HashMap[Long, Array[Long]] = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = a.get(e.getKey)
+      if (cur == null) a.put(e.getKey, e.getValue.clone())
+      else {
+        val bv = e.getValue
+        var i = 0
+        while (i < 1024) { cur(i) |= bv(i); i += 1 }
+      }
+    }
+    a
+  }
+
+  private[functions] def orRows(buf: java.util.HashMap[Long, Array[Long]],
+      rows: ArrayData): java.util.HashMap[Long, Array[Long]] = {
+    val n = rows.numElements()
+    var r = 0
+    while (r < n) {
+      val row = rows.getStruct(r, 2)
+      val key = row.getLong(0)
+      val bits = row.getArray(1)
+      var cur = buf.get(key)
+      if (cur == null) { cur = new Array[Long](1024); buf.put(key, cur) }
+      var i = 0
+      while (i < 1024) { cur(i) |= bits.getLong(i); i += 1 }
+      r += 1
+    }
+    buf
+  }
+
+  private[functions] def toRows(buf: java.util.HashMap[Long, Array[Long]]): GenericArrayData = {
+    val keys = new Array[Long](buf.size)
+    var i = 0
+    val it = buf.keySet().iterator()
+    while (it.hasNext) { keys(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(keys)
+    new GenericArrayData(keys.map { k =>
+      InternalRow(k, new GenericArrayData(buf.get(k)))
+    })
+  }
+
+  /** Shared popcount kernel (interpreted + generated code). */
+  def count(state: ArrayData): Long = {
+    var total = 0L
+    val n = state.numElements()
+    var r = 0
+    while (r < n) {
+      val bits = state.getStruct(r, 2).getArray(1)
+      var i = 0
+      while (i < 1024) { total += java.lang.Long.bitCount(bits.getLong(i)); i += 1 }
+      r += 1
+    }
+    total
+  }
+
+  private[functions] def ser(buf: java.util.HashMap[Long, Array[Long]]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * (8 + 1024 * 8))
+    bb.putInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey)
+      val a = e.getValue
+      var i = 0
+      while (i < 1024) { bb.putLong(a(i)); i += 1 }
+    }
+    bb.array()
+  }
+
+  private[functions] def deser(bytes: Array[Byte]): java.util.HashMap[Long, Array[Long]] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val m = new java.util.HashMap[Long, Array[Long]](n * 2)
+    var r = 0
+    while (r < n) {
+      val key = bb.getLong()
+      val a = new Array[Long](1024)
+      var i = 0
+      while (i < 1024) { a(i) = bb.getLong(); i += 1 }
+      m.put(key, a)
+      r += 1
+    }
+    m
+  }
+
+  def uniq_up_to(value: Column, n: Int): Column =
+    column(UniqUpToAgg(expression(value), n).toAggregateExpression())
+
+  def bitmap_agg(value: Column): Column =
+    column(BitmapAgg(expression(value)).toAggregateExpression())
+
+  def bitmap_merge_agg(state: Column): Column =
+    column(BitmapMergeAgg(expression(state)).toAggregateExpression())
+
+  def bitmap_count(state: Column): Column =
+    column(BitmapCount(expression(state)))
+}

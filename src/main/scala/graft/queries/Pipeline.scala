@@ -651,6 +651,34 @@ object Pipeline {
         .orderBy($"source")
     },
 
+    // uniqUpTo(N) — exact "distinct users per (type, day), capped at
+    // 100": the state is bounded at N+1 values per group regardless
+    // of true cardinality, and the answer is EXACT (plain LEAST
+    // oracle, no envelope). Both regimes occur at gate scale: small
+    // type-days resolve exactly, big ones pin the 101 sentinel.
+    "q132_uniq_up_to" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).events
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(graft.functions.Bitmap.uniq_up_to($"user_id", 100).as("u100"))
+        .orderBy($"event_type", $"day")
+    },
+
+    // groupBitmap — EXACT distinct via mergeable roaring-shaped
+    // bitmap states, two-level: fine (type, day) states OR-merge to
+    // per-type, so the rollup that q127 does approximately (HLL) is
+    // exact here, oracle-matched to count(DISTINCT) itself.
+    "q133_bitmap_distinct" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).events
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(graft.functions.Bitmap.bitmap_agg($"user_id").as("state"))
+        .groupBy($"event_type")
+        .agg(graft.functions.Bitmap.bitmap_count(
+          graft.functions.Bitmap.bitmap_merge_agg($"state")).as("n_users"))
+        .orderBy($"event_type")
+    },
+
     // Weighted heavy hitters (`topKWeighted` analogue): which tokens
     // account for > W/(k+1) of total corpus CHARACTERS (weight =
     // token length) — same integer-threshold audit as q128 with
@@ -1932,6 +1960,22 @@ object Pipeline {
         |FROM t GROUP BY token
         |HAVING count(*) >= 0.02 * (SELECT n_total FROM n)
         |ORDER BY token""".stripMargin,
+
+    // uniqUpTo is exact by construction: LEAST(distinct, N+1)
+    "q132_uniq_up_to" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  LEAST(CAST(count(DISTINCT user_id) AS BIGINT), 101) AS u100
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // the bitmap rollup is exact: plain count(DISTINCT)
+    "q133_bitmap_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     // exact char-weighted heavy tokens; flag TRUE by the weighted
     // Misra–Gries guarantee (weight > W/(k+1) => present)
