@@ -126,6 +126,36 @@ object Events {
         .orderBy($"user_id")
     },
 
+    // maxIntersections — max simultaneously-open intervals per event
+    // type, intervals = [ts, ts + value seconds) in exact integer ms.
+    // One shuffle + per-key sorted sweep (window running sum); the
+    // oracle runs the identical sweep in SQL.
+    "q134_max_intersections" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .withColumn("sms", unix_millis($"ts"))
+        .withColumn("ems", $"sms" + round($"value" * 1000).cast("long"))
+      graft.operators.Intervals
+        .maxIntersections(ev, $"event_type", $"sms", $"ems")
+        .withColumnRenamed("k", "event_type")
+        .orderBy($"event_type")
+    },
+
+    // intervalLengthSum — union length of each user's activity
+    // intervals (overlaps counted once): sorted-by-start sweep where
+    // prior coverage above the current start is provably one
+    // interval, so `max(0, e − max(s, maxPrevEnd))` sums exactly.
+    "q135_interval_length_sum" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .withColumn("sms", unix_millis($"ts"))
+        .withColumn("ems", $"sms" + round($"value" * 1000).cast("long"))
+      graft.operators.Intervals
+        .intervalLengthSum(ev, $"user_id", $"sms", $"ems", $"event_id")
+        .withColumnRenamed("k", "user_id")
+        .orderBy($"user_id")
+    },
+
     // JSON property extraction from the props column.
     "q52_json_extract" -> { (s, dir) =>
       import s.implicits._
@@ -267,6 +297,36 @@ object Events {
         |LEFT JOIN e ON u.user_id = e.user_id
         |GROUP BY 1, 2
         |ORDER BY u.user_id""".stripMargin,
+
+    "q134_max_intersections" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) AS s,
+        |  epoch_ms(ts) + CAST(round(value * 1000) AS BIGINT) AS e FROM events),
+        |p AS (SELECT event_type, s AS t, 1 AS d FROM e
+        |      UNION ALL SELECT event_type, e, -1 FROM e),
+        |c AS (SELECT event_type,
+        |  CAST(sum(d) OVER (PARTITION BY event_type ORDER BY t, d) AS BIGINT)
+        |    AS open_now FROM p)
+        |SELECT event_type, max(open_now) AS max_concurrent,
+        |  CAST(count(*) // 2 AS BIGINT) AS n_intervals
+        |FROM c
+        |GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
+
+    "q135_interval_length_sum" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS s,
+        |  epoch_ms(ts) + CAST(round(value * 1000) AS BIGINT) AS e FROM events),
+        |m AS (SELECT user_id, s, e,
+        |  max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(sum(greatest(0, e - greatest(s, coalesce(pm, s)))) AS BIGINT)
+        |    AS covered_ms,
+        |  count(*) AS n_intervals,
+        |  max(e) - min(s) AS span_ms
+        |FROM m
+        |GROUP BY 1
+        |ORDER BY user_id""".stripMargin,
 
     "q52_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,

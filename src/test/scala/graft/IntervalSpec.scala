@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Intervals
+import org.apache.spark.sql.functions._
+
+/** Interval-algebra sweeps (q134/q135): half-open semantics,
+  * tie-order invariance, and closed-form overlap cases.
+  */
+class IntervalSpec extends SparkSpec {
+
+  private def iv(rows: (String, Long, Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("k", "s", "e", "id")
+  }
+
+  private def maxInt(df: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    Intervals.maxIntersections(df, $"k", $"s", $"e")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  private def lenSum(df: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    Intervals.intervalLengthSum(df, $"k", $"s", $"e", $"id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+  }
+
+  test("maxIntersections: overlap counting, half-open touch does not intersect") {
+    val df = iv(
+      ("a", 0L, 10L, 1L), ("a", 5L, 15L, 2L), ("a", 8L, 9L, 3L), // 3 open in [8,9)
+      ("a", 20L, 30L, 4L),
+      ("b", 0L, 10L, 5L), ("b", 10L, 20L, 6L), // [0,10) and [10,20) touch: max 1
+      ("c", 0L, 5L, 7L))
+    assert(maxInt(df) ==
+      Map("a" -> ((3L, 4L)), "b" -> ((1L, 2L)), "c" -> ((1L, 1L))))
+  }
+
+  test("maxIntersections: simultaneous opens on the same instant all count") {
+    val df = iv(("a", 7L, 8L, 1L), ("a", 7L, 9L, 2L), ("a", 7L, 10L, 3L))
+    assert(maxInt(df) == Map("a" -> ((3L, 3L))))
+  }
+
+  test("intervalLengthSum: overlaps once, gaps excluded, containment collapses") {
+    val df = iv(
+      ("a", 0L, 10L, 1L), ("a", 5L, 15L, 2L),   // union [0,15) = 15
+      ("a", 20L, 25L, 3L),                      // +5, gap [15,20) excluded
+      ("b", 0L, 100L, 4L), ("b", 10L, 20L, 5L), // contained: 100
+      ("c", 0L, 5L, 6L), ("c", 5L, 9L, 7L))     // adjacent: 9
+    assert(lenSum(df) == Map(
+      "a" -> ((20L, 3L, 25L)), "b" -> ((100L, 2L, 100L)), "c" -> ((9L, 2L, 9L))))
+  }
+
+  test("intervalLengthSum: equal starts sum identically under either tie order") {
+    // the per-row contributions differ with tie order; the SUM must not
+    val a = iv(("a", 0L, 10L, 1L), ("a", 0L, 5L, 2L))
+    val b = iv(("a", 0L, 10L, 2L), ("a", 0L, 5L, 1L)) // swap tie-break ids
+    assert(lenSum(a)("a")._1 == 10L)
+    assert(lenSum(b)("a")._1 == 10L)
+  }
+
+  test("sweep matches a brute-force point-wise oracle on a dense random set") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 200L).map { id =>
+      val s = rnd.nextInt(500).toLong
+      ("a", s, s + 1 + rnd.nextInt(60), id)
+    }
+    val df = iv(rows: _*)
+    // brute force on integer points (intervals are integer-bounded)
+    val cover = Array.fill(600)(0)
+    rows.foreach { case (_, s, e, _) =>
+      (s until e).foreach(t => cover(t.toInt) += 1) }
+    val expectMax = cover.max.toLong
+    val expectLen = cover.count(_ > 0).toLong
+    assert(maxInt(df)("a")._1 == expectMax)
+    assert(lenSum(df)("a")._1 == expectLen)
+  }
+}
