@@ -627,6 +627,64 @@ object Pipeline {
         .orderBy($"l_returnflag")
     },
 
+    // t-digest quantiles — the `quantileTDigest`-family sketch: k1-
+    // scale merging digest per group, audited with the q55 rank-count
+    // pattern (how many exact values fall below/at the sketch's
+    // answer), never as an oracle value. δ=100 → rank error well
+    // under the ±0.03/±0.03 envelopes at gate group sizes.
+    "q136_tdigest_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      val delta = 100
+      val td = graft.functions.TDigest
+      val li = Tables(s, dir).lineitem
+        .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+      val sk = li.groupBy($"l_returnflag")
+        .agg(td.tdigest_agg($"l_quantity".cast("double"), delta).as("qty_st"),
+          td.tdigest_agg($"l_extendedprice".cast("double"), delta).as("pr_st"))
+        .select($"l_returnflag",
+          td.tdigest_quantile($"qty_st", 0.5).as("t_median"),
+          td.tdigest_quantile($"pr_st", 0.9).as("t_p90"))
+      li.join(broadcast(sk), "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"l_quantity" < $"t_median", 1L).otherwise(0L)).as("lt_med"),
+          sum(when($"l_quantity" <= $"t_median", 1L).otherwise(0L)).as("le_med"),
+          sum(when($"l_extendedprice" < $"t_p90", 1L).otherwise(0L)).as("lt_p90"),
+          sum(when($"l_extendedprice" <= $"t_p90", 1L).otherwise(0L)).as("le_p90"))
+        .select($"l_returnflag", $"n",
+          ($"le_med" >= $"n" * 0.47 && $"lt_med" <= $"n" * 0.53).as("median_in_bound"),
+          ($"le_p90" >= $"n" * 0.87 && $"lt_p90" <= $"n" * 0.93).as("p90_in_bound"))
+        .orderBy($"l_returnflag")
+    },
+
+    // t-digest two-level rollup — the quantileTDigestState/Merge
+    // pair in one plan: fine (flag, linestatus) states re-aggregate
+    // to per-flag WITHOUT rescanning rows, and the merged digest's
+    // median is rank-audited against the raw data. Proves the
+    // interchange state is mergeable at any granularity (the parquet-
+    // persisted side of the same contract is SketchAggSpec's
+    // round-trip).
+    "q137_tdigest_rollup" -> { (s, dir) =>
+      import s.implicits._
+      val delta = 100
+      val td = graft.functions.TDigest
+      val li = Tables(s, dir).lineitem
+        .select($"l_returnflag", $"l_linestatus", $"l_extendedprice")
+      val fine = li.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(td.tdigest_agg($"l_extendedprice".cast("double"), delta).as("st"))
+      val coarse = fine.groupBy($"l_returnflag")
+        .agg(td.tdigest_quantile(
+          td.tdigest_merge_agg($"st", delta), 0.5).as("t_median"))
+      li.join(broadcast(coarse), "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"l_extendedprice" < $"t_median", 1L).otherwise(0L)).as("lt_med"),
+          sum(when($"l_extendedprice" <= $"t_median", 1L).otherwise(0L)).as("le_med"))
+        .select($"l_returnflag", $"n",
+          ($"le_med" >= $"n" * 0.46 && $"lt_med" <= $"n" * 0.54).as("merged_median_in_bound"))
+        .orderBy($"l_returnflag")
+    },
+
     // HyperLogLog distinct-token cardinality per source — the
     // `uniq`-family sketch beside CMS (frequency) and Bloom
     // (membership): m=4096 integer registers, elementwise-max merge
@@ -2027,6 +2085,20 @@ object Pipeline {
 
     // exact per-source distinct; the HLL flag is TRUE by the 3-sigma
     // envelope the Spark side audits against its own exact count
+    "q136_tdigest_quantiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | TRUE AS median_in_bound, TRUE AS p90_in_bound
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q137_tdigest_rollup" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | TRUE AS merged_median_in_bound
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q123_hll_distinct" ->
       """WITH t AS (SELECT source, unnest(string_split(text,' ')) AS token
         |           FROM documents)
