@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge.{column, expression}
 import org.apache.spark.sql.types._
@@ -198,6 +198,32 @@ case class BitmapCount(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Pairwise set algebra over two [[BitmapAgg]] states — the
+  * `bitmapAndCardinality` / `bitmapAndnotCardinality` /
+  * `bitmapXorCardinality` surface: exact audience intersection /
+  * difference / symmetric difference computed from the STATES alone
+  * (no re-scan of raw ids), via a merge-join over the key-sorted
+  * container arrays with per-container popcounts. `op` ∈
+  * {"and", "andnot", "xor"}.
+  */
+case class BitmapPairCount(left: Expression, right: Expression, op: String)
+  extends BinaryExpression {
+
+  require(Set("and", "andnot", "xor")(op), s"unknown bitmap op $op")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Bitmap.pairCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], op)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"""graft.functions.Bitmap.pairCount($a, $b, "$op")""")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BitmapPairCount = copy(left = l, right = r)
+}
+
 object Bitmap {
 
   val stateType: DataType = ArrayType(
@@ -295,6 +321,51 @@ object Bitmap {
     m
   }
 
+  /** Merge-join over two key-sorted states; both sides' containers
+    * are fixed 1024-long arrays, so each aligned pair is a straight
+    * popcount loop. Shared by interpreted and generated code.
+    */
+  def pairCount(a: ArrayData, b: ArrayData, op: String): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val takeLeftOnly = op != "and"   // andnot + xor keep left-only keys
+    val takeRightOnly = op == "xor"  // xor keeps right-only keys
+    var total = 0L
+    var i = 0
+    var j = 0
+    def popRow(s: ArrayData, r: Int): Long = {
+      val bits = s.getStruct(r, 2).getArray(1)
+      var t = 0L
+      var w = 0
+      while (w < 1024) { t += java.lang.Long.bitCount(bits.getLong(w)); w += 1 }
+      t
+    }
+    while (i < na && j < nb) {
+      val ka = a.getStruct(i, 2).getLong(0)
+      val kb = b.getStruct(j, 2).getLong(0)
+      if (ka < kb) { if (takeLeftOnly) total += popRow(a, i); i += 1 }
+      else if (kb < ka) { if (takeRightOnly) total += popRow(b, j); j += 1 }
+      else {
+        val ba = a.getStruct(i, 2).getArray(1)
+        val bb = b.getStruct(j, 2).getArray(1)
+        var w = 0
+        while (w < 1024) {
+          val x = op match {
+            case "and"    => ba.getLong(w) & bb.getLong(w)
+            case "andnot" => ba.getLong(w) & ~bb.getLong(w)
+            case _        => ba.getLong(w) ^ bb.getLong(w)
+          }
+          total += java.lang.Long.bitCount(x)
+          w += 1
+        }
+        i += 1; j += 1
+      }
+    }
+    if (takeLeftOnly) while (i < na) { total += popRow(a, i); i += 1 }
+    if (takeRightOnly) while (j < nb) { total += popRow(b, j); j += 1 }
+    total
+  }
+
   def uniq_up_to(value: Column, n: Int): Column =
     column(UniqUpToAgg(expression(value), n).toAggregateExpression())
 
@@ -306,4 +377,13 @@ object Bitmap {
 
   def bitmap_count(state: Column): Column =
     column(BitmapCount(expression(state)))
+
+  def bitmap_and_count(a: Column, b: Column): Column =
+    column(BitmapPairCount(expression(a), expression(b), "and"))
+
+  def bitmap_andnot_count(a: Column, b: Column): Column =
+    column(BitmapPairCount(expression(a), expression(b), "andnot"))
+
+  def bitmap_xor_count(a: Column, b: Column): Column =
+    column(BitmapPairCount(expression(a), expression(b), "xor"))
 }

@@ -156,6 +156,32 @@ object Events {
         .orderBy($"user_id")
     },
 
+    // deltaSum + boundingRatio per user in event-time order: sum of
+    // positive adjacent value deltas (exact integer cents) and the
+    // endpoint slope (value change per ms). One window shuffle; the
+    // first/last endpoints come from lexicographic struct min/max on
+    // the unique (tms, event_id) key — no tie nondeterminism.
+    "q139_delta_sum" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir).events
+        .withColumn("tms", unix_millis($"ts"))
+        .withColumn("cents", round($"value" * 100).cast("long"))
+      val w = Window.partitionBy($"user_id").orderBy($"tms", $"event_id")
+      ev.withColumn("prev", lag($"cents", 1).over(w))
+        .groupBy($"user_id")
+        .agg(
+          sum(when($"cents" > $"prev", $"cents" - $"prev").otherwise(0L))
+            .as("delta_sum_cents"),
+          min(struct($"tms", $"event_id", $"cents")).as("f"),
+          max(struct($"tms", $"event_id", $"cents")).as("l"))
+        .select($"user_id", $"delta_sum_cents",
+          when($"l.tms" > $"f.tms",
+            ($"l.cents" - $"f.cents").cast("double") / ($"l.tms" - $"f.tms"))
+            .as("bounding_ratio"))
+        .orderBy($"user_id")
+    },
+
     // JSON property extraction from the props column.
     "q52_json_extract" -> { (s, dir) =>
       import s.implicits._
@@ -325,6 +351,26 @@ object Events {
         |  count(*) AS n_intervals,
         |  max(e) - min(s) AS span_ms
         |FROM m
+        |GROUP BY 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q139_delta_sum" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |x AS (SELECT user_id, tms, cents,
+        |    lag(cents) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY tms, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY tms DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN cents > prev THEN cents - prev ELSE 0 END) AS BIGINT)
+        |    AS delta_sum_cents,
+        |  CASE WHEN max(tms) > min(tms) THEN
+        |    CAST(max(CASE WHEN rn_d = 1 THEN cents END) -
+        |         max(CASE WHEN rn_a = 1 THEN cents END) AS DOUBLE)
+        |      / (max(tms) - min(tms))
+        |  END AS bounding_ratio
+        |FROM x
         |GROUP BY 1
         |ORDER BY user_id""".stripMargin,
 

@@ -627,6 +627,44 @@ object Pipeline {
         .orderBy($"l_returnflag")
     },
 
+    // sumMap — per-group key-sorted map summation as ONE mergeable
+    // aggregate (no per-entry explode shuffle): per lineitem row two
+    // (key → value) entries (linenumber → quantity, 100+linenumber →
+    // order count), rolled up per returnflag. Integer values = exact
+    // under any merge order; oracle re-derives via unnest + group-sum.
+    "q138_sum_map" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables(s, dir).lineitem.select($"l_returnflag",
+        array($"l_linenumber".cast("long"),
+          $"l_linenumber".cast("long") + 100L).as("ks"),
+        array($"l_quantity".cast("long"), lit(1L)).as("vs"))
+      li.groupBy($"l_returnflag")
+        .agg(graft.functions.SumMap.sum_map_agg($"ks", $"vs").as("m"))
+        .select($"l_returnflag",
+          array_join(transform($"m.k", _.cast("string")), ",").as("map_keys"),
+          array_join(transform($"m.v", _.cast("string")), ",").as("map_vals"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Bitmap set algebra — bitmapAnd/Andnot/XorCardinality over
+    // per-type audience STATES alone (merge-join of key-sorted
+    // containers + popcounts): the exact counterpart of q129's KMV
+    // estimate, oracle-matched to the raw pair join.
+    "q140_bitmap_algebra" -> { (s, dir) =>
+      import s.implicits._
+      val bm = graft.functions.Bitmap
+      val sk = Tables(s, dir).events
+        .groupBy($"event_type")
+        .agg(bm.bitmap_agg($"user_id").as("st"))
+      sk.as("x").join(sk.as("y"), col("x.event_type") < col("y.event_type"))
+        .select(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"),
+          bm.bitmap_and_count(col("x.st"), col("y.st")).as("n_and"),
+          bm.bitmap_andnot_count(col("x.st"), col("y.st")).as("n_only_a"),
+          bm.bitmap_xor_count(col("x.st"), col("y.st")).as("n_xor"))
+        .orderBy($"type_a", $"type_b")
+    },
+
     // t-digest quantiles — the `quantileTDigest`-family sketch: k1-
     // scale merging digest per group, audited with the q55 rank-count
     // pattern (how many exact values fall below/at the sketch's
@@ -2085,6 +2123,38 @@ object Pipeline {
 
     // exact per-source distinct; the HLL flag is TRUE by the 3-sigma
     // envelope the Spark side audits against its own exact count
+    "q138_sum_map" ->
+      """WITH x AS (
+        |  SELECT l_returnflag, CAST(l_linenumber AS BIGINT) AS k,
+        |    CAST(l_quantity AS BIGINT) AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, CAST(l_linenumber AS BIGINT) + 100, 1
+        |  FROM lineitem),
+        |s AS (SELECT l_returnflag, k, CAST(sum(v) AS BIGINT) AS v
+        |      FROM x GROUP BY 1, 2)
+        |SELECT l_returnflag,
+        |  string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS map_keys,
+        |  string_agg(CAST(v AS VARCHAR), ',' ORDER BY k) AS map_vals
+        |FROM s
+        |GROUP BY 1
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q140_bitmap_algebra" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        count(*) AS n_and
+        |      FROM d a JOIN d b ON a.user_id = b.user_id
+        |        AND a.event_type < b.event_type
+        |      GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1)
+        |SELECT type_a, type_b, n_and,
+        |  sa.n - n_and AS n_only_a,
+        |  sa.n + sb.n - 2 * n_and AS n_xor
+        |FROM p
+        |JOIN s sa ON sa.event_type = type_a
+        |JOIN s sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+
     "q136_tdigest_quantiles" ->
       """SELECT l_returnflag, count(*) AS n,
         | TRUE AS median_in_bound, TRUE AS p90_in_bound

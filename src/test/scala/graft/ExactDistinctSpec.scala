@@ -49,6 +49,66 @@ class ExactDistinctSpec extends SparkSpec {
     assert(neg == 4L)
   }
 
+  test("bitmap pair algebra matches set arithmetic across bucket boundaries") {
+    val rnd = new scala.util.Random(23)
+    // ids spanning several 65536-id buckets, negatives included
+    val setA = Set.fill(3000)(rnd.nextInt(400000).toLong - 100000L)
+    val setB = Set.fill(3000)(rnd.nextInt(400000).toLong - 100000L)
+    val df = setA.toSeq.map(("a", _)).++(setB.toSeq.map(("b", _)))
+      .toDF("side", "id")
+    val sk = df.groupBy($"side").agg(Bitmap.bitmap_agg($"id").as("st"))
+    val r = sk.filter($"side" === "a").as("x")
+      .crossJoin(sk.filter($"side" === "b").as("y"))
+      .select(
+        Bitmap.bitmap_and_count(col("x.st"), col("y.st")).as("and"),
+        Bitmap.bitmap_andnot_count(col("x.st"), col("y.st")).as("andnot"),
+        Bitmap.bitmap_xor_count(col("x.st"), col("y.st")).as("xor"))
+      .collect()(0)
+    assert(r.getLong(0) == (setA & setB).size.toLong)
+    assert(r.getLong(1) == (setA -- setB).size.toLong)
+    assert(r.getLong(2) == ((setA -- setB).size + (setB -- setA).size).toLong)
+  }
+
+  test("bitmap pair algebra: disjoint bucket ranges (left/right-only containers)") {
+    val a = (0L to 100L).toSet                 // bucket 0
+    val b = (1000000L to 1000100L).toSet       // far bucket
+    val df = a.toSeq.map(("a", _)).++(b.toSeq.map(("b", _))).toDF("side", "id")
+    val sk = df.groupBy($"side").agg(Bitmap.bitmap_agg($"id").as("st"))
+    val r = sk.filter($"side" === "a").as("x")
+      .crossJoin(sk.filter($"side" === "b").as("y"))
+      .select(
+        Bitmap.bitmap_and_count(col("x.st"), col("y.st")).as("and"),
+        Bitmap.bitmap_andnot_count(col("x.st"), col("y.st")).as("andnot"),
+        Bitmap.bitmap_xor_count(col("x.st"), col("y.st")).as("xor"))
+      .collect()(0)
+    assert(r.getLong(0) == 0L)
+    assert(r.getLong(1) == 101L)
+    assert(r.getLong(2) == 202L)
+  }
+
+  test("sumMap sums exactly per key and is partitioning-invariant") {
+    import graft.functions.SumMap
+    val rows = (1 to 5000).map { i =>
+      (i % 3, Seq((i % 7).toLong, 100L + i % 4), Seq(i.toLong, 2L))
+    }
+    def run(parts: Int) = rows.toDF("g", "ks", "vs").repartition(parts)
+      .groupBy($"g")
+      .agg(SumMap.sum_map_agg($"ks", $"vs").as("m"))
+      .select($"g", $"m")
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1))))
+      .toMap
+    val got = run(1)
+    assert(got == run(13))
+    // brute force
+    val expect = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.flatMap(r => r._2.zip(r._3))
+        .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sum) }
+        .toSeq.sortBy(_._1)
+    }
+    assert(got.view.mapValues(_.toSeq).toMap == expect)
+  }
+
   test("bitmap states round-trip parquet and still merge exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bm-roll").toString
     ev.groupBy($"event_type", to_date($"ts").as("day"))
