@@ -1262,6 +1262,34 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // H.264 Annex-B bitstream metadata: per-doc conformant streams
+    // (SPS/PPS/IDR/slice NALs, real emulation prevention, mixed 3/4-
+    // byte start codes) parsed back through Exp-Golomb SPS arithmetic
+    // — profile/level/crop-derived geometry, NAL census, and the
+    // slice-index-weighted payload checksum all oracle-matched to the
+    // closed form. Pixel decode of H.26x slices stays the one
+    // documented out-of-scope codec step; the bitstream layer is now
+    // real.
+    "q141_h264_meta" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 2 * (8 + (id % 60)).toInt
+          val h = 2 * (8 + ((id * 3) % 48)).toInt
+          val lvl = 10 + ((id % 4) * 10).toInt
+          val nf = 1 + (id % 5).toInt
+          val st = graft.operators.H264.synthesizeH264Stream(w, h, lvl, nf, id)
+          graft.operators.H264.parseStream(st) match {
+            case Some(m) => (id, m.profileIdc, m.levelIdc, m.width, m.height,
+              m.nNals, m.nIdr, m.nSlices, m.sliceChecksum)
+            case None => (id, -1, -1, -1, -1, -1, -1, -1, -1L)
+          }
+        }).toDF("doc_id", "profile_idc", "level_idc", "width", "height",
+          "n_nals", "n_idr", "n_slices", "slice_checksum")
+        .orderBy($"doc_id")
+    },
+
     // The full curation funnel (lang → quality → exact dedup →
     // decontamination) with per-stage audit counts — every dropped doc
     // accounted to the stage that dropped it.
@@ -2556,6 +2584,32 @@ object Pipeline {
     // mirrors synthesizeMp4Track + the demuxer: sample i is sized
     // 1+(doc_id+i)%17, starts at the cumulative size, and its bytes
     // are (doc_id + global_j) % 251 — chunking cancels out
+    // mirrors synthesizeH264Stream: slice f has 1 + (doc_id+f) % 19
+    // payload bytes, byte j = 0 when (doc_id+f+j) % 5 < 3 else
+    // (doc_id*7+f*3+j) % 256, weighted by slice index f+1
+    "q141_h264_meta" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(2 * (8 + doc_id % 60) AS INTEGER) AS w,
+        |    CAST(2 * (8 + (doc_id * 3) % 48) AS INTEGER) AS h,
+        |    CAST(10 + (doc_id % 4) * 10 AS INTEGER) AS lvl,
+        |    CAST(1 + doc_id % 5 AS INTEGER) AS nf
+        |  FROM documents),
+        |f AS (SELECT doc_id, nf, ff.f AS f, 1 + (doc_id + ff.f) % 19 AS sz
+        |      FROM d, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) ff),
+        |c AS (SELECT doc_id, f,
+        |        sum(CASE WHEN (doc_id + f + j.j) % 5 < 3 THEN 0
+        |            ELSE (doc_id * 7 + f * 3 + j.j) % 256 END) AS bs
+        |      FROM f, LATERAL (SELECT unnest(generate_series(0, sz - 1)) AS j) j
+        |      GROUP BY 1, 2)
+        |SELECT d.doc_id, CAST(66 AS INTEGER) AS profile_idc, lvl AS level_idc,
+        |  w AS width, h AS height,
+        |  CAST(2 + nf AS INTEGER) AS n_nals, CAST(1 AS INTEGER) AS n_idr,
+        |  nf AS n_slices,
+        |  CAST(sum((c.f + 1) * c.bs) AS BIGINT) AS slice_checksum
+        |FROM d JOIN c ON d.doc_id = c.doc_id
+        |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q119_mp4_samples" ->
       """WITH d AS (SELECT doc_id, 1 + doc_id % 50 AS n,
         |             100 + doc_id % 20 AS delta FROM documents),
