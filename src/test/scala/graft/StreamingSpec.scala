@@ -67,7 +67,7 @@ class StreamingSpec extends SparkSpec {
     // (serialize/deserialize between micro-batches), which no batch
     // test exercises. Sum/OR merges are order-free, so the streamed
     // sketch must equal the batch sketch EXACTLY, counter for counter.
-    import graft.functions.{BloomAgg, CountMinAgg, Hll, Kmv}
+    import graft.functions.{BloomAgg, CountMinAgg, Hll, Kmv, SumMap}
     // stage as 4 files + maxFilesPerTrigger=1 → 4 micro-batches, so
     // partial sketch state really persists across triggers
     val dir = java.nio.file.Files.createTempDirectory("graft-sketch-ev").toString
@@ -78,7 +78,12 @@ class StreamingSpec extends SparkSpec {
       .agg(CountMinAgg.countmin_agg(xxhash64(col("user_id")), 5, 512).as("cms"),
         BloomAgg.bloom_agg(xxhash64(col("user_id")), 1 << 12, 5).as("bf"),
         Hll.hll_agg(xxhash64(col("user_id")), 10).as("hll"),
-        Kmv.kmv_agg(xxhash64(col("user_id")), 64).as("kmv"))
+        Kmv.kmv_agg(xxhash64(col("user_id")), 64).as("kmv"),
+        // sumMap's per-key addition is order-free too: map states must
+        // also round-trip the state store counter-for-counter
+        SumMap.sum_map_agg(
+          array(col("user_id") % 13, lit(100L)),
+          array(round(col("value") * 100).cast("long"), lit(1L))).as("sm"))
     val expected = sketchAgg(batchEvents)
       .orderBy("event_type").collect().toSeq
     val stream = spark.readStream.schema(batchEvents.schema)
@@ -127,6 +132,32 @@ class StreamingSpec extends SparkSpec {
     sk.foreach { case (t, c) =>
       assert(c <= exact(t) && exact(t) - c <= n / (k + 1), s"'$t' out of bound")
     }
+  }
+
+  test("t-digest under streaming state keeps its rank envelope") {
+    // merging digests are order-sensitive (streamed != batch
+    // bit-for-bit, like Misra-Gries); what the state-store round-trip
+    // must preserve is the RANK guarantee of the final quantile
+    import graft.functions.TDigest
+    val dir = java.nio.file.Files.createTempDirectory("graft-td-ev").toString
+    Tables(spark, sf).events.repartition(4).write.mode("overwrite").parquet(dir)
+    val batch = spark.read.parquet(dir)
+    val values = batch.select(col("value")).collect().map(_.getDouble(0)).sorted
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = stream
+      .agg(TDigest.tdigest_quantile(
+        TDigest.tdigest_agg(col("value"), 100), 0.5).as("med"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("td_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val med = spark.table("td_out").collect()(0).getDouble(0)
+    val n = values.length.toDouble
+    val lt = values.count(_ < med) / n
+    val le = values.count(_ <= med) / n
+    assert(lt <= 0.52 && le >= 0.48, s"streamed median $med ranks [$lt, $le]")
   }
 
   test("mapGroupsWithState sessionization equals the declarative batch form") {
