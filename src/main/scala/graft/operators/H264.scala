@@ -54,6 +54,9 @@ object H264 {
 
     def se(x: Int): Unit = ue(if (x <= 0) -2 * x else 2 * x - 1)
 
+    /** pcm_alignment_zero_bit(s): pad to a byte boundary. */
+    def alignZero(): Unit = while (nBits != 0) u(0, 1)
+
     /** rbsp_stop_one_bit + zero padding to a byte boundary. */
     def stop(): Array[Byte] = {
       u(1, 1)
@@ -92,6 +95,9 @@ object H264 {
       val k = ue()
       if (k % 2 == 0) -(k / 2) else (k + 1) / 2
     }
+
+    /** Skip pcm_alignment_zero_bit(s) to the next byte boundary. */
+    def alignToByte(): Unit = pos = (pos + 7) & ~7
   }
 
   // ---------------------------------------------------------------
@@ -221,26 +227,73 @@ object H264 {
     * slice payloads weighted by slice index — None on any structural
     * violation (no SPS, bad Exp-Golomb, truncation).
     */
+  /** Start-code scan → (nalStart, nalEnd) pairs; header byte at
+    * nalStart. Handles any number of leading zeros before 01.
+    */
+  private def scanNals(p: Array[Byte]): ArrayBuffer[(Int, Int)] = {
+    val nals = new ArrayBuffer[(Int, Int)]()
+    var i = 0
+    var cur = -1
+    var zeros = 0
+    while (i < p.length) {
+      if (p(i) == 0) { zeros += 1 }
+      else if (p(i) == 1 && zeros >= 2) {
+        if (cur >= 0) nals += ((cur, i - math.min(zeros, 3)))
+        cur = i + 1
+        zeros = 0
+      } else zeros = 0
+      i += 1
+    }
+    if (cur >= 0) nals += ((cur, p.length))
+    nals
+  }
+
+  private final case class SpsInfo(profile: Int, level: Int,
+      width: Int, height: Int, mbW: Int, mbH: Int)
+
+  /** SPS RBSP parse; None for shapes out of scope (scaling matrices,
+    * POC type 1).
+    */
+  private def parseSps(r: BitReader): Option[SpsInfo] = {
+    val profile = r.u(8)
+    r.u(8) // constraint flags
+    val level = r.u(8)
+    r.ue() // sps id
+    if (profile == 100 || profile == 110 || profile == 122 ||
+      profile == 244 || profile == 44 || profile == 83 ||
+      profile == 86 || profile == 118 || profile == 128) {
+      val chroma = r.ue()
+      if (chroma == 3) r.u(1)
+      r.ue(); r.ue() // bit depths
+      r.u(1) // qpprime
+      if (r.u(1) == 1) return None // scaling matrices unsupported
+    }
+    r.ue() // log2_max_frame_num_minus4
+    val poc = r.ue()
+    if (poc == 0) r.ue()
+    else if (poc == 1) return None // delta POC lists unsupported
+    r.ue() // max_num_ref_frames
+    r.u(1)
+    val mbW = r.ue() + 1
+    val mbH = r.ue() + 1
+    val frameMbsOnly = r.u(1)
+    if (frameMbsOnly == 0) r.u(1)
+    r.u(1) // direct_8x8
+    var w = mbW * 16
+    var h = mbH * 16 * (2 - frameMbsOnly)
+    if (r.u(1) == 1) { // cropping
+      val l = r.ue(); val rr = r.ue(); val t = r.ue(); val b = r.ue()
+      w -= 2 * (l + rr)
+      h -= 2 * (t + b) * (2 - frameMbsOnly)
+    }
+    Some(SpsInfo(profile, level, w, h, mbW, mbH))
+  }
+
   def parseStream(p: Array[Byte]): Option[StreamMeta] = {
     try {
-      // start-code scan → (nalStart, nalEnd) pairs (header byte at nalStart)
-      val nals = new ArrayBuffer[(Int, Int)]()
-      var i = 0
-      var cur = -1
-      var zeros = 0
-      while (i < p.length) {
-        if (p(i) == 0) { zeros += 1 }
-        else if (p(i) == 1 && zeros >= 2) {
-          if (cur >= 0) nals += ((cur, i - math.min(zeros, 3)))
-          cur = i + 1
-          zeros = 0
-        } else zeros = 0
-        i += 1
-      }
-      if (cur >= 0) nals += ((cur, p.length))
+      val nals = scanNals(p)
       if (nals.isEmpty) return None
-
-      var sps: Option[(Int, Int, Int, Int)] = None
+      var sps: Option[SpsInfo] = None
       var nIdr = 0
       var nSlices = 0
       var sliceIdx = 0
@@ -249,39 +302,8 @@ object H264 {
         val nalType = p(s) & 0x1F
         nalType match {
           case 7 =>
-            val r = new BitReader(unescape(p, s + 1, e))
-            val profile = r.u(8)
-            r.u(8) // constraint flags
-            val level = r.u(8)
-            r.ue() // sps id
-            if (profile == 100 || profile == 110 || profile == 122 ||
-              profile == 244 || profile == 44 || profile == 83 ||
-              profile == 86 || profile == 118 || profile == 128) {
-              val chroma = r.ue()
-              if (chroma == 3) r.u(1)
-              r.ue(); r.ue() // bit depths
-              r.u(1) // qpprime
-              if (r.u(1) == 1) return None // scaling matrices unsupported
-            }
-            r.ue() // log2_max_frame_num_minus4
-            val poc = r.ue()
-            if (poc == 0) r.ue()
-            else if (poc == 1) return None // delta POC lists unsupported
-            r.ue() // max_num_ref_frames
-            r.u(1)
-            val mbW = r.ue() + 1
-            val mbH = r.ue() + 1
-            val frameMbsOnly = r.u(1)
-            if (frameMbsOnly == 0) r.u(1)
-            r.u(1) // direct_8x8
-            var w = mbW * 16
-            var h = mbH * 16 * (2 - frameMbsOnly)
-            if (r.u(1) == 1) { // cropping
-              val l = r.ue(); val rr = r.ue(); val t = r.ue(); val b = r.ue()
-              w -= 2 * (l + rr)
-              h -= 2 * (t + b) * (2 - frameMbsOnly)
-            }
-            sps = Some((profile, level, w, h))
+            sps = parseSps(new BitReader(unescape(p, s + 1, e)))
+            if (sps.isEmpty) return None
           case 5 | 1 =>
             if (nalType == 5) nIdr += 1
             nSlices += 1
@@ -294,9 +316,152 @@ object H264 {
           case _ => ()
         }
       }
-      sps.map { case (profile, level, w, h) =>
-        StreamMeta(profile, level, w, h, nals.length, nIdr, nSlices, checksum)
+      sps.map { i =>
+        StreamMeta(i.profile, i.level, i.width, i.height,
+          nals.length, nIdr, nSlices, checksum)
       }
+    } catch { case _: IllegalStateException => None }
+  }
+
+  // ---------------------------------------------------------------
+  // I_PCM pixel path
+  // ---------------------------------------------------------------
+
+  /** Conformant IDR I-slices made entirely of I_PCM macroblocks —
+    * the H.264 macroblock type that carries RAW 4:2:0 samples
+    * (mb_type 25 in I slices, pcm_alignment_zero_bit, 256 luma +
+    * 2×64 chroma bytes). Any conformant decoder must reconstruct
+    * these bit-exactly, which makes them the honest first rung of
+    * H.26x PIXEL decode: real slice headers, real byte-alignment
+    * rules, real emulation prevention over the sample bytes — only
+    * entropy-coded residual decode (CAVLC/CABAC) remains beyond.
+    * Luma(px,py) of frame f = (seed + f + px + 2·py) % 251; chroma
+    * Cb = (seed + f + 2·cx + cy) % 251, Cr = (3·seed + f + cx + 2·cy)
+    * % 251 on the half-res grid — zero runs occur, so escaping fires.
+    */
+  def synthesizeH264IPcm(mbW: Int, mbH: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp())
+    (0 until nFrames).foreach { f =>
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x65.toByte // IDR slice
+      val bw = new BitWriter
+      bw.ue(0)        // first_mb_in_slice
+      bw.ue(7)        // slice_type: I (all slices in pic)
+      bw.ue(0)        // pic_parameter_set_id
+      bw.u(0, 4)      // frame_num (log2_max_frame_num = 4)
+      bw.ue(f)        // idr_pic_id
+      bw.u(0, 1); bw.u(0, 1) // dec_ref_pic_marking (IDR): no_output, no long-term
+      bw.se(0)        // slice_qp_delta
+      bw.ue(1)        // disable_deblocking_filter_idc = 1 (off; no offsets)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          bw.ue(25)   // mb_type: I_PCM
+          bw.alignZero()
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val px = mx * 16 + x; val py = my * 16 + y
+              bw.u(((seed + f + px + 2 * py) % 251).toInt, 8)
+              x += 1
+            }
+            y += 1
+          }
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              val cpx = mx * 8 + cx; val cpy = my * 8 + cy
+              bw.u(((seed + f + 2 * cpx + cpy) % 251).toInt, 8)
+              cx += 1
+            }
+            cy += 1
+          }
+          cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              val cpx = mx * 8 + cx; val cpy = my * 8 + cy
+              bw.u(((3 * seed + f + cpx + 2 * cpy) % 251).toInt, 8)
+              cx += 1
+            }
+            cy += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+    out.toArray
+  }
+
+  final case class PcmFrames(
+      nFrames: Int, width: Int, height: Int,
+      lumaSum: Long, chromaSum: Long, weightedSum: Long)
+
+  /** Pixel decode of an all-I_PCM stream: parse each IDR slice
+    * header, then per macroblock require mb_type 25, byte-align,
+    * and read every raw 4:2:0 sample value. Returns per-plane sums
+    * + the frame-index-weighted total (a full frame buffer would be
+    * the same reads at the mb-offset addresses); None on any
+    * non-I_PCM macroblock or structural violation.
+    */
+  def decodeIPcm(p: Array[Byte]): Option[PcmFrames] = {
+    try {
+      val nals = scanNals(p)
+      var sps: Option[SpsInfo] = None
+      var nFrames = 0
+      var lumaSum = 0L
+      var chromaSum = 0L
+      var weighted = 0L
+      nals.foreach { case (s, e) =>
+        val nalType = p(s) & 0x1F
+        nalType match {
+          case 7 =>
+            sps = parseSps(new BitReader(unescape(p, s + 1, e)))
+            if (sps.isEmpty) return None
+          case 5 =>
+            val info = sps.getOrElse(return None)
+            val r = new BitReader(unescape(p, s + 1, e))
+            r.ue()                       // first_mb_in_slice
+            val sliceType = r.ue()
+            if (sliceType % 5 != 2) return None // not an I slice
+            r.ue()                       // pps id
+            r.u(4)                       // frame_num
+            r.ue()                       // idr_pic_id
+            r.u(1); r.u(1)               // dec_ref_pic_marking
+            r.se()                       // slice_qp_delta
+            if (r.ue() != 1) { r.se(); r.se() } // deblocking offsets
+            var fl = 0L
+            var fc = 0L
+            var mb = 0
+            val nMbs = info.mbW * info.mbH
+            while (mb < nMbs) {
+              if (r.ue() != 25) return None // only I_PCM in scope
+              r.alignToByte()
+              var i = 0
+              while (i < 256) { fl += r.u(8); i += 1 }
+              i = 0
+              while (i < 128) { fc += r.u(8); i += 1 }
+              mb += 1
+            }
+            nFrames += 1
+            lumaSum += fl
+            chromaSum += fc
+            weighted += nFrames.toLong * (fl + fc)
+          case _ => ()
+        }
+      }
+      sps.map(i => PcmFrames(nFrames, i.width, i.height, lumaSum, chromaSum, weighted))
     } catch { case _: IllegalStateException => None }
   }
 }

@@ -182,6 +182,25 @@ object Events {
         .orderBy($"user_id")
     },
 
+    // groupArrayMovingSum/Avg analogue — per-user 4-row moving sum /
+    // average in event-time order (ROWS frame, exact integer cents;
+    // the avg is one double division of exact integers, so both
+    // engines produce the identical IEEE value).
+    "q142_moving_window" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir).events
+        .withColumn("tms", unix_millis($"ts"))
+        .withColumn("cents", round($"value" * 100).cast("long"))
+      val w = Window.partitionBy($"user_id").orderBy($"tms", $"event_id")
+        .rowsBetween(-3, 0)
+      ev.select($"user_id", $"event_id",
+          sum($"cents").over(w).as("mov_sum4"),
+          count(lit(1)).over(w).as("mov_cnt"))
+        .withColumn("mov_avg4", $"mov_sum4".cast("double") / $"mov_cnt")
+        .orderBy($"user_id", $"event_id")
+    },
+
     // JSON property extraction from the props column.
     "q52_json_extract" -> { (s, dir) =>
       import s.implicits._
@@ -373,6 +392,19 @@ object Events {
         |FROM x
         |GROUP BY 1
         |ORDER BY user_id""".stripMargin,
+
+    "q142_moving_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS mov_sum4,
+        |  CAST(count(*) OVER w AS BIGINT) AS mov_cnt,
+        |  CAST(CAST(sum(cents) OVER w AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) OVER w AS BIGINT) AS mov_avg4
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q52_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,

@@ -1290,6 +1290,32 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // H.264 I_PCM PIXEL decode — conformant IDR I-slices whose
+    // macroblocks are raw 4:2:0 samples (mb_type 25): real slice
+    // headers, pcm_alignment rules, emulation prevention, and every
+    // sample value read back — plane sums and the frame-weighted
+    // total oracle-matched to the closed form. Narrows the H.26x
+    // caveat to entropy-coded (CAVLC/CABAC) residual decode only.
+    "q143_h264_ipcm" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 2 === 0)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbW = 1 + (id % 3).toInt
+          val mbH = 1 + ((id * 3) % 3).toInt
+          val nf = 1 + (id % 2).toInt
+          val st = graft.operators.H264.synthesizeH264IPcm(mbW, mbH, nf, id)
+          graft.operators.H264.decodeIPcm(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height",
+          "luma_sum", "chroma_sum", "weighted_sum")
+        .orderBy($"doc_id")
+    },
+
     // The full curation funnel (lang → quality → exact dedup →
     // decontamination) with per-stage audit counts — every dropped doc
     // accounted to the stage that dropped it.
@@ -2608,6 +2634,39 @@ object Pipeline {
         |  CAST(sum((c.f + 1) * c.bs) AS BIGINT) AS slice_checksum
         |FROM d JOIN c ON d.doc_id = c.doc_id
         |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors synthesizeH264IPcm: luma(px,py) of frame f =
+    // (doc_id+f+px+2py) % 251; chroma Cb/Cr on the half-res grid
+    "q143_h264_ipcm" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(16 * (1 + doc_id % 3) AS INTEGER) AS w,
+        |    CAST(16 * (1 + (doc_id * 3) % 3) AS INTEGER) AS h,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |fr AS (SELECT doc_id, w, h, nf, f.f AS f FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f),
+        |lum AS (SELECT doc_id, f, sum((doc_id + f + px.i + 2 * py.i) % 251) AS ls
+        |  FROM fr,
+        |  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS i) px,
+        |  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS i) py
+        |  GROUP BY 1, 2),
+        |chr AS (SELECT doc_id, f,
+        |    sum((doc_id + f + 2 * cx.i + cy.i) % 251
+        |      + (3 * doc_id + f + cx.i + 2 * cy.i) % 251) AS cs
+        |  FROM fr,
+        |  LATERAL (SELECT unnest(generate_series(0, w // 2 - 1)) AS i) cx,
+        |  LATERAL (SELECT unnest(generate_series(0, h // 2 - 1)) AS i) cy
+        |  GROUP BY 1, 2)
+        |SELECT d.doc_id, CAST(max(d.nf) AS INTEGER) AS n_frames,
+        |  max(d.w) AS width, max(d.h) AS height,
+        |  CAST(sum(lum.ls) AS BIGINT) AS luma_sum,
+        |  CAST(sum(chr.cs) AS BIGINT) AS chroma_sum,
+        |  CAST(sum((lum.f + 1) * (lum.ls + chr.cs)) AS BIGINT) AS weighted_sum
+        |FROM d
+        |JOIN lum ON d.doc_id = lum.doc_id
+        |JOIN chr ON chr.doc_id = d.doc_id AND chr.f = lum.f
+        |GROUP BY 1
         |ORDER BY d.doc_id""".stripMargin,
 
     "q119_mp4_samples" ->

@@ -63,6 +63,36 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("I_PCM pixel decode inverts the closed-form planes") {
+    for (seed <- 0L until 12L) {
+      val mbW = 1 + (seed % 3).toInt
+      val mbH = 1 + ((seed * 3) % 3).toInt
+      val nf = 1 + (seed % 2).toInt
+      val m = H264.decodeIPcm(H264.synthesizeH264IPcm(mbW, mbH, nf, seed)).get
+      assert(m.nFrames == nf)
+      assert(m.width == mbW * 16 && m.height == mbH * 16)
+      var wantL = 0L; var wantC = 0L; var wantW = 0L
+      for (f <- 0 until nf) {
+        var fl = 0L; var fc = 0L
+        for (py <- 0 until mbH * 16; px <- 0 until mbW * 16)
+          fl += (seed + f + px + 2 * py) % 251
+        for (cy <- 0 until mbH * 8; cx <- 0 until mbW * 8)
+          fc += (seed + f + 2 * cx + cy) % 251 + (3 * seed + f + cx + 2 * cy) % 251
+        wantL += fl; wantC += fc; wantW += (f + 1) * (fl + fc)
+      }
+      assert(m.lumaSum == wantL, s"seed=$seed luma")
+      assert(m.chromaSum == wantC, s"seed=$seed chroma")
+      assert(m.weightedSum == wantW, s"seed=$seed weighted")
+    }
+  }
+
+  test("I_PCM decode rejects streams whose slices are not raw macroblocks") {
+    // a q141-style stream has IDR slices with arbitrary payloads —
+    // the strict slice-header + mb_type walk must refuse, not misread
+    val p = H264.synthesizeH264Stream(32, 32, 30, 2, 7L)
+    assert(H264.decodeIPcm(p).isEmpty)
+  }
+
   test("truncated and garbage streams parse to None") {
     val p = H264.synthesizeH264Stream(64, 48, 30, 2, 3L)
     assert(H264.parseStream(p.take(6)).isEmpty)        // cut inside SPS
