@@ -48,6 +48,52 @@ object Intervals {
         (count(lit(1)) / 2).cast("long").as("n_intervals"))
   }
 
+  /** The scale path for [[maxIntersections]]: a per-key sweep is
+    * inherently sequential, so a key with billions of intervals
+    * serializes into one task's sort. This variant pre-partitions the
+    * TIME AXIS into `nRanges` fixed-width ranges and runs the sweep
+    * per (key, range) — parallelism key×nRanges — then corrects each
+    * range's counter with the number of intervals still open at its
+    * start: the running sum at any point in range r equals
+    * `(Σ delta of prior ranges) + local running sum`, because delta
+    * points partition exactly by range. The prior-range prefix is a
+    * window over the per-(key, range) TOTALS — nRanges tiny rows per
+    * key — so the correction costs nothing at any scale. Exact for
+    * any partition width (boundary points land in one range by
+    * floor), proven output-identical to the direct sweep by the gate
+    * sharing its oracle and by IntervalSpec's randomized equality.
+    *
+    * One extra 1-row aggregate derives the global [min, max] span
+    * (broadcast, the θ-seed pattern); the heavy exchange remains a
+    * single hash partition by (key, range).
+    */
+  def maxIntersectionsScaled(
+      df: DataFrame, key: Column, startMs: Column, endMs: Column,
+      nRanges: Int): DataFrame = {
+    val opens  = df.select(key.as("k"), startMs.as("t"), lit(1L).as("d"))
+    val closes = df.select(key.as("k"), endMs.as("t"), lit(-1L).as("d"))
+    val pts = opens.unionAll(closes)
+    val span = pts.agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+    val withRange = pts.crossJoin(broadcast(span))
+      .withColumn("rw",
+        greatest(lit(1L), ceil((col("t1") - col("t0") + 1).cast("double") / nRanges).cast("long")))
+      .withColumn("rid", ((col("t") - col("t0")) / col("rw")).cast("long"))
+    val w1 = Window.partitionBy(col("k"), col("rid")).orderBy(col("t"), col("d"))
+    val perRange = withRange
+      .withColumn("open_now", sum(col("d")).over(w1))
+      .groupBy(col("k"), col("rid"))
+      .agg(max(col("open_now")).as("local_max"),
+        sum(col("d")).as("total_delta"),
+        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_opens"))
+    val w2 = Window.partitionBy(col("k")).orderBy(col("rid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perRange
+      .withColumn("carry", coalesce(sum(col("total_delta")).over(w2), lit(0L)))
+      .groupBy(col("k"))
+      .agg(max(col("local_max") + col("carry")).as("max_concurrent"),
+        sum(col("n_opens")).as("n_intervals"))
+  }
+
   /** Total length of the UNION of each key's intervals (overlaps
     * counted once), in ms. Sorted by start, the coverage of all
     * prior intervals above the current start is exactly

@@ -182,6 +182,22 @@ object Events {
         .orderBy($"user_id")
     },
 
+    // The maxIntersections SCALE PATH gated: time-range pre-partition
+    // + boundary-count correction (sweep parallelism key×16 instead
+    // of per-key serial), per-user concurrency this time — the
+    // oracle runs the plain one-pass sweep, so the gate IS the
+    // output-identity proof of the decomposition.
+    "q144_max_intersections_scaled" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .withColumn("sms", unix_millis($"ts"))
+        .withColumn("ems", $"sms" + round($"value" * 1000).cast("long"))
+      graft.operators.Intervals
+        .maxIntersectionsScaled(ev, $"user_id", $"sms", $"ems", nRanges = 16)
+        .withColumnRenamed("k", "user_id")
+        .orderBy($"user_id")
+    },
+
     // groupArrayMovingSum/Avg analogue — per-user 4-row moving sum /
     // average in event-time order (ROWS frame, exact integer cents;
     // the avg is one double division of exact integers, so both
@@ -390,6 +406,20 @@ object Events {
         |      / (max(tms) - min(tms))
         |  END AS bounding_ratio
         |FROM x
+        |GROUP BY 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q144_max_intersections_scaled" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS s,
+        |  epoch_ms(ts) + CAST(round(value * 1000) AS BIGINT) AS e FROM events),
+        |p AS (SELECT user_id, s AS t, 1 AS d FROM e
+        |      UNION ALL SELECT user_id, e, -1 FROM e),
+        |c AS (SELECT user_id,
+        |  CAST(sum(d) OVER (PARTITION BY user_id ORDER BY t, d) AS BIGINT)
+        |    AS open_now FROM p)
+        |SELECT user_id, max(open_now) AS max_concurrent,
+        |  CAST(count(*) // 2 AS BIGINT) AS n_intervals
+        |FROM c
         |GROUP BY 1
         |ORDER BY user_id""".stripMargin,
 

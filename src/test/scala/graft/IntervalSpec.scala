@@ -59,6 +59,35 @@ class IntervalSpec extends SparkSpec {
     assert(lenSum(b)("a")._1 == 10L)
   }
 
+  test("scaled sweep (range pre-partition + carry) equals the direct sweep") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    // long-lived intervals crossing many range boundaries + short ones
+    val rows = (1L to 400L).map { id =>
+      val s = rnd.nextInt(1000).toLong
+      val len = if (id % 7 == 0) 500 + rnd.nextInt(500) else 1 + rnd.nextInt(30)
+      (s"k${id % 5}", s, s + len, id)
+    }
+    val df = rows.toDF("k", "s", "e", "id")
+    val direct = Intervals.maxIntersections(df, $"k", $"s", $"e")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (nRanges <- Seq(1, 3, 16, 64)) {
+      val scaled = Intervals.maxIntersectionsScaled(df, $"k", $"s", $"e", nRanges)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(scaled == direct, s"nRanges=$nRanges")
+    }
+  }
+
+  test("scaled sweep: boundary points and a degenerate all-equal-time set") {
+    import spark.implicits._
+    // every point at the same instant → range width clamps to 1
+    val same = Seq(("a", 5L, 6L, 1L), ("a", 5L, 6L, 2L), ("a", 5L, 6L, 3L))
+      .toDF("k", "s", "e", "id")
+    val got = Intervals.maxIntersectionsScaled(same, $"k", $"s", $"e", 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L))
+  }
+
   test("sweep matches a brute-force point-wise oracle on a dense random set") {
     val rnd = new scala.util.Random(42)
     val rows = (1L to 200L).map { id =>
