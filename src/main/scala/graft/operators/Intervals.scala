@@ -94,6 +94,44 @@ object Intervals {
         sum(col("n_opens")).as("n_intervals"))
   }
 
+  /** The scale path for [[intervalLengthSum]]: union length
+    * decomposes EXACTLY over any partition of the time axis
+    * (`|U ∩ [a,b)|` summed over disjoint `[a,b)` covering the axis),
+    * so each interval is CLIPPED to the ranges it overlaps and the
+    * per-(key, range) sweeps run independently — parallelism
+    * key×nRanges, no cross-range carry needed at all (unlike the
+    * counter in [[maxIntersectionsScaled]]). Fan-out is bounded by
+    * nRanges per interval (a span-everything interval becomes
+    * nRanges clips); with nRanges ~ number of cores that is noise
+    * beside the shuffle it parallelizes. Gate shares the plain
+    * sweep's oracle = output-identity proof.
+    */
+  def intervalLengthSumScaled(
+      df: DataFrame, key: Column, startMs: Column, endMs: Column,
+      nRanges: Int): DataFrame = {
+    val base = df.select(key.as("k"), startMs.as("s"), endMs.as("e"))
+      .filter(col("e") > col("s"))
+    val span = base.agg(min(col("s")).as("t0"), max(col("e")).as("t1"))
+    val clipped = base.crossJoin(broadcast(span))
+      .withColumn("rw",
+        greatest(lit(1L), ceil((col("t1") - col("t0")).cast("double") / nRanges).cast("long")))
+      .withColumn("rid",
+        explode(sequence(((col("s") - col("t0")) / col("rw")).cast("long"),
+          ((col("e") - 1 - col("t0")) / col("rw")).cast("long"))))
+      .withColumn("cs", greatest(col("s"), col("t0") + col("rid") * col("rw")))
+      .withColumn("ce", least(col("e"), col("t0") + (col("rid") + 1) * col("rw")))
+    val w = Window.partitionBy(col("k"), col("rid"))
+      .orderBy(col("cs"), col("ce"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    clipped
+      .withColumn("prev_max_e", max(col("ce")).over(w))
+      .withColumn("contrib",
+        greatest(lit(0L), col("ce") -
+          greatest(col("cs"), coalesce(col("prev_max_e"), col("cs")))))
+      .groupBy(col("k"))
+      .agg(sum(col("contrib")).as("covered_ms"))
+  }
+
   /** Total length of the UNION of each key's intervals (overlaps
     * counted once), in ms. Sorted by start, the coverage of all
     * prior intervals above the current start is exactly

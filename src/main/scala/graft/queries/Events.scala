@@ -128,15 +128,18 @@ object Events {
 
     // maxIntersections — max simultaneously-open intervals per event
     // type, intervals = [ts, ts + value seconds) in exact integer ms.
-    // One shuffle + per-key sorted sweep (window running sum); the
-    // oracle runs the identical sweep in SQL.
+    // Runs the RANGE-PARTITIONED sweep: 5 event types means 5 serial
+    // sweep tasks in the plain form (measured 31.4 s at sf10 — the
+    // low-key-cardinality wall), vs key×64 parallel tasks here; the
+    // oracle runs the plain one-pass sweep in SQL, so the gate is
+    // also the decomposition's output-identity proof.
     "q134_max_intersections" -> { (s, dir) =>
       import s.implicits._
       val ev = Tables(s, dir).events
         .withColumn("sms", unix_millis($"ts"))
         .withColumn("ems", $"sms" + round($"value" * 1000).cast("long"))
       graft.operators.Intervals
-        .maxIntersections(ev, $"event_type", $"sms", $"ems")
+        .maxIntersectionsScaled(ev, $"event_type", $"sms", $"ems", nRanges = 64)
         .withColumnRenamed("k", "event_type")
         .orderBy($"event_type")
     },
@@ -194,6 +197,21 @@ object Events {
         .withColumn("ems", $"sms" + round($"value" * 1000).cast("long"))
       graft.operators.Intervals
         .maxIntersectionsScaled(ev, $"user_id", $"sms", $"ems", nRanges = 16)
+        .withColumnRenamed("k", "user_id")
+        .orderBy($"user_id")
+    },
+
+    // The intervalLengthSum SCALE PATH: union length decomposes
+    // exactly over a time-axis partition, so intervals are CLIPPED
+    // per range and the sweeps run key×range-parallel with no carry.
+    // Oracle = the plain one-pass sweep.
+    "q145_interval_length_scaled" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .withColumn("sms", unix_millis($"ts"))
+        .withColumn("ems", $"sms" + round($"value" * 1000).cast("long"))
+      graft.operators.Intervals
+        .intervalLengthSumScaled(ev, $"user_id", $"sms", $"ems", nRanges = 16)
         .withColumnRenamed("k", "user_id")
         .orderBy($"user_id")
     },
@@ -420,6 +438,20 @@ object Events {
         |SELECT user_id, max(open_now) AS max_concurrent,
         |  CAST(count(*) // 2 AS BIGINT) AS n_intervals
         |FROM c
+        |GROUP BY 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q145_interval_length_scaled" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS s,
+        |  epoch_ms(ts) + CAST(round(value * 1000) AS BIGINT) AS e FROM events),
+        |m AS (SELECT user_id, s, e,
+        |  max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(sum(greatest(0, e - greatest(s, coalesce(pm, s)))) AS BIGINT)
+        |    AS covered_ms
+        |FROM m
         |GROUP BY 1
         |ORDER BY user_id""".stripMargin,
 

@@ -627,6 +627,40 @@ object Pipeline {
         .orderBy($"l_returnflag")
     },
 
+    // Adaptive streaming histogram (`histogram(bins)` analogue,
+    // Ben-Haim–Tov closest-pair merge): order-sensitive with no hard
+    // rank bound, so the gate audits the invariants the construction
+    // provably preserves under ANY merge order — bin cap, exact
+    // count conservation, centroid ordering/bounds, and weighted-
+    // mass conservation (each merge preserves Σ centroid·count).
+    "q146_adaptive_histogram" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables(s, dir).lineitem.select($"l_returnflag", $"l_extendedprice")
+      val hb = li.groupBy($"l_returnflag")
+        .agg(graft.functions.AdaptiveHistogram
+            .histogram_agg($"l_extendedprice", 32).as("h"),
+          count(lit(1)).as("n"),
+          min($"l_extendedprice").as("mn"),
+          max($"l_extendedprice").as("mx"),
+          graft.Parity.sumD($"l_extendedprice").as("sx"))
+      hb.withColumn("cents",
+          expr("transform(sequence(0, int(size(h)/2) - 1), i -> element_at(h, int(2*i + 1)))"))
+        .withColumn("counts",
+          expr("transform(sequence(0, int(size(h)/2) - 1), i -> element_at(h, int(2*i + 2)))"))
+        .select($"l_returnflag", $"n",
+          (size($"h") / 2 <= 32 && size($"h") > 0).as("bins_ok"),
+          (expr("aggregate(counts, 0D, (a, x) -> a + x)") === $"n".cast("double"))
+            .as("count_ok"),
+          (expr("array_min(cents)") >= $"mn" && expr("array_max(cents)") <= $"mx")
+            .as("bounds_ok"),
+          (expr("cents = array_sort(cents)") &&
+            (expr("size(array_distinct(cents))") === expr("size(cents)")))
+            .as("ordered_ok"),
+          (abs(expr("aggregate(zip_with(cents, counts, (c, w) -> c * w), 0D, (a, x) -> a + x)")
+            - $"sx") <= $"sx" * 1e-9).as("mass_ok"))
+        .orderBy($"l_returnflag")
+    },
+
     // sumMap — per-group key-sorted map summation as ONE mergeable
     // aggregate (no per-entry explode shuffle): per lineitem row two
     // (key → value) entries (linenumber → quantity, 100+linenumber →
@@ -2177,6 +2211,14 @@ object Pipeline {
 
     // exact per-source distinct; the HLL flag is TRUE by the 3-sigma
     // envelope the Spark side audits against its own exact count
+    "q146_adaptive_histogram" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | TRUE AS bins_ok, TRUE AS count_ok, TRUE AS bounds_ok,
+        | TRUE AS ordered_ok, TRUE AS mass_ok
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q138_sum_map" ->
       """WITH x AS (
         |  SELECT l_returnflag, CAST(l_linenumber AS BIGINT) AS k,

@@ -88,6 +88,25 @@ class IntervalSpec extends SparkSpec {
     assert(got == Map("a" -> 3L))
   }
 
+  test("scaled length sum (range clipping) equals the direct sweep") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val rows = (1L to 300L).map { id =>
+      val s = rnd.nextInt(1000).toLong
+      val len = if (id % 5 == 0) 400 + rnd.nextInt(600) else 1 + rnd.nextInt(40)
+      (s"k${id % 4}", s, s + len, id)
+    }
+    val df = rows.toDF("k", "s", "e", "id")
+    val direct = Intervals.intervalLengthSum(df, $"k", $"s", $"e", $"id")
+      .select($"k", $"covered_ms")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (nRanges <- Seq(1, 4, 32)) {
+      val scaled = Intervals.intervalLengthSumScaled(df, $"k", $"s", $"e", nRanges)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(scaled == direct, s"nRanges=$nRanges")
+    }
+  }
+
   test("sweep matches a brute-force point-wise oracle on a dense random set") {
     val rnd = new scala.util.Random(42)
     val rows = (1L to 200L).map { id =>

@@ -248,4 +248,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"quota join must broadcast:\n$p")
     assert(!p.contains("Window"), s"selection must be the bounded aggregate:\n$p")
   }
+
+  test("interval sweep is one data exchange; sumMap is one exchange of states") {
+    import graft.operators.Intervals
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sf).events
+      .withColumn("sms", unix_millis(col("ts")))
+      .withColumn("ems", col("sms") + round(col("value") * 1000).cast("long"))
+    val pSweep = plan(Intervals.maxIntersections(ev, col("event_type"), col("sms"), col("ems")))
+    // union → one hash exchange for the window sort → partial+final agg
+    assert("Exchange hashpartitioning".r.findAllIn(pSweep).size == 1,
+      s"sweep must shuffle once:\n$pSweep")
+    val li = Tables(spark, sf).lineitem
+    val pMap = plan(li
+      .select(col("l_returnflag"),
+        array(col("l_linenumber").cast("long")).as("ks"),
+        array(col("l_quantity").cast("long")).as("vs"))
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.SumMap.sum_map_agg(col("ks"), col("vs")).as("m")))
+    // the aggregate must be two-phase: partial map states before the
+    // exchange, one exchange total (vs explode+groupBy's entry shuffle)
+    assert("Exchange hashpartitioning".r.findAllIn(pMap).size == 1,
+      s"sumMap must exchange once:\n$pMap")
+    assert(pMap.contains("ObjectHashAggregate"),
+      s"sumMap must run as a typed (partial-merge) aggregate:\n$pMap")
+  }
+
+  test("scaled interval sweeps parallelize by (key, range), carry on tiny frames") {
+    import graft.operators.Intervals
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sf).events
+      .withColumn("sms", unix_millis(col("ts")))
+      .withColumn("ems", col("sms") + round(col("value") * 1000).cast("long"))
+    val p = plan(Intervals.maxIntersectionsScaled(
+      ev, col("user_id"), col("sms"), col("ems"), nRanges = 16))
+    // the heavy window must sort by (k, rid) — range is in the key
+    assert(p.contains("hashpartitioning(k") && p.contains("rid"),
+      s"sweep window must partition by (k, rid):\n$p")
+    // span seed is a broadcast 1-row aggregate, not a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"span must broadcast:\n$p")
+  }
 }
