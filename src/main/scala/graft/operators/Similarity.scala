@@ -293,6 +293,55 @@ object Similarity {
           $"nm".as(s"${outPrefix}nrm"), explode($"cells.id").as("cid"))
   }
 
+  /** PERSISTED IVF index — the q116 persisted-BM25 story for vectors:
+    * at 100 TB you train the coarse quantizer once, not per query
+    * batch. `build` trains centroids and writes (centroids, members
+    * partitioned by cell); `append` assigns a delta against the
+    * FROZEN centroids (no retrain — append-then-probe is provably
+    * identical to assigning the union against the same centroids,
+    * SimilaritySpec pins it) and appends only delta-sized files;
+    * `probe` broadcasts the centroid table, restricts the member scan
+    * to the probed cells via an IN-list (partition pruning on the
+    * cid directory layout — the probe reads probed cells only, not
+    * the corpus), and ranks with the k-bounded aggregate. Nothing
+    * scales with corpus × queries; the cell-id collect is bounded by
+    * queries × nProbe (the θ-seed pattern). Centroid drift from
+    * frozen-centroid appends is the standard IVF trade (FAISS `add`)
+    * — recall is the gate's audited contract, not cell assignment.
+    */
+  def buildIvfIndex(corpus: DataFrame, dim: Int, dir: String,
+      centroidStride: Int = 50, trainIters: Int = 2): Unit = {
+    val cents = coarseCentroids(corpus, centroidStride, dim, trainIters)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    cellsFor(corpus, cents, 1, "m_")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/members")
+  }
+
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame, dir: String): Unit = {
+    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    cellsFor(delta, cents, 1, "m_")
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/members")
+  }
+
+  def ivfProbeIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val probes = cellsFor(queries, cents, nProbe, "q_")
+    // bounded by |queries| × nProbe — the vocabulary-of-the-query collect
+    val cellIds = probes.select($"cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val members = spark.read.parquet(s"$dir/members")
+      .withColumn("cid", $"cid".cast("long")) // partition col inference
+      .filter($"cid".isin(cellIds: _*))
+    val cands = probes.join(members, Seq("cid"))
+      .filter($"q_vid" =!= $"m_vid")
+      .select($"q_vid".as("query_id"), $"m_vid".as("cand_id"),
+        cosineQ($"q_qv", $"m_qv", $"q_nrm", $"m_nrm").as("cos"))
+      .distinct()
+    rankTopK(cands, k)
+  }
+
   /** Semantic deduplication (SemDeDup-shaped): cluster the corpus with
     * the same trained coarse quantizer IVF uses, then WITHIN each
     * cluster drop every vector that has a smaller-id neighbor with

@@ -323,6 +323,26 @@ object Pipeline {
         approx, corpus.filter($"vid" < 500), corpus, minRecall = 0.25)
     },
 
+    // PERSISTED IVF index with frozen-centroid refresh — the q116
+    // build/append/probe story for vectors: train on HALF the
+    // corpus, append the other half against the frozen centroids
+    // (delta-sized write, no retrain), probe via cell-pruned reads.
+    // Recall vs brute force is the audited contract (q42 pattern);
+    // append ≡ assign-union identity is SimilaritySpec's pin.
+    "q147_ivf_index_refresh" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-idx").toString
+      Similarity.buildIvfIndex(corpus.filter($"vid" % 2 === 0), dim = 64,
+        idxDir, trainIters = 2)
+      Similarity.appendIvfIndex(s, corpus.filter($"vid" % 2 =!= 0), idxDir)
+      val approx = Similarity.ivfProbeIndexed(s, idxDir,
+        corpus.filter($"vid" < 500), k = 5)
+      Pipeline.annRecallAudit(
+        approx, corpus.filter($"vid" < 500), corpus, minRecall = 0.25)
+    },
+
     // Product-quantization ANN: per-subspace trained codebooks, 8-code
     // encoded corpus, ADC table-lookup scoring — gated by the same
     // recall-vs-brute-force audit as q36/q42.
@@ -2418,6 +2438,12 @@ object Pipeline {
         |FROM embeddings""".stripMargin,
 
     "q42_ann_ivf" ->
+      """SELECT least(count(*), 500) AS n_queries,
+        | least(count(*), 500) * 5 AS n_truth,
+        | TRUE AS recall_in_bound
+        |FROM embeddings""".stripMargin,
+
+    "q147_ivf_index_refresh" ->
       """SELECT least(count(*), 500) AS n_queries,
         | least(count(*), 500) * 5 AS n_truth,
         | TRUE AS recall_in_bound

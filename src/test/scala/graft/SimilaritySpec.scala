@@ -112,6 +112,42 @@ class SimilaritySpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("persisted IVF: append with frozen centroids == assigning the union") {
+    import spark.implicits._
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ivf-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ivf-b").toString
+    val half1 = corpus.filter($"vid" % 2 === 0)
+    val half2 = corpus.filter($"vid" % 2 =!= 0)
+    // A: build on half1, append half2 through the refresh path
+    Similarity.buildIvfIndex(half1, dim = 64, dirA, trainIters = 2)
+    Similarity.appendIvfIndex(spark, half2, dirA)
+    // B: same frozen centroids assign the UNION in one shot
+    spark.read.parquet(s"$dirA/centroids")
+      .write.mode("overwrite").parquet(s"$dirB/centroids")
+    Similarity.appendIvfIndex(spark, half1.unionAll(half2), dirB)
+    def probe(d: String) =
+      Similarity.ivfProbeIndexed(spark, d, corpus.filter($"vid" < 200), k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(dirA) == probe(dirB), "refresh path must equal one-shot assignment")
+    assert(probe(dirA).nonEmpty)
+  }
+
+  test("persisted IVF probe reads only probed cells (partition pruning)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-p").toString
+    Similarity.buildIvfIndex(corpus, dim = 64, dir, trainIters = 1)
+    val queries = corpus.filter($"vid" < 20)
+    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val nCells = cents.count()
+    // reproduce the probe's member scan and check its plan prunes
+    val probes = graft.operators.Similarity
+      .ivfProbeIndexed(spark, dir, queries, k = 5)
+    val plan = probes.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("cid IN"),
+      s"member scan must carry the cell IN-filter:\n$plan")
+    assert(nCells > 4, "need multiple cells for pruning to mean anything")
+  }
+
   test("nearestNeighbor is symmetric-consistent with topK rank 1") {
     import spark.implicits._
     val nn = Similarity.nearestNeighbor(corpus.filter($"vid" < 50))
