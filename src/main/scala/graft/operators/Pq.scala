@@ -161,6 +161,54 @@ object Pq {
     Similarity.rankTopK(exact, topK)
   }
 
+  /** PERSISTED PQ index — codebooks are statistics you train once,
+    * not per query batch (the q116/q147 persisted-index story):
+    * `build` trains + encodes + writes (codebooks, codes, raw
+    * vectors for the exact re-rank); `append` encodes a delta
+    * against the FROZEN codebooks (delta-sized writes, no retrain —
+    * append ≡ encode-union is PqSpec's pin, since assignment is a
+    * deterministic argmax per vector given the codebooks); `probe`
+    * broadcasts codebooks + query tables and runs the standard
+    * compressed-scan → exact-shortlist-re-rank. The compressed codes
+    * table is the only corpus-sized read — 8 bytes/vector instead of
+    * raw width, which is the entire point at 100 TB.
+    */
+  def buildPqIndex(corpus: DataFrame, dir: String, m: Int = 8, k: Int = 16,
+      dim: Int = 64, iters: Int = 2): Unit = {
+    val cb = trainCodebooks(corpus, m, k, dim, iters)
+    cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+    encode(corpus, cb, m, dim).write.mode("overwrite").parquet(s"$dir/codes")
+    corpus.select($"vid", $"qv", $"nrm")
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  def appendPqIndex(spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame, dir: String, m: Int = 8, dim: Int = 64): Unit = {
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    encode(delta, cb, m, dim).write.mode("append").parquet(s"$dir/codes")
+    delta.select($"vid", $"qv", $"nrm")
+      .write.mode("append").parquet(s"$dir/vectors")
+  }
+
+  def pqProbeIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, topK: Int, m: Int = 8, k: Int = 16, dim: Int = 64,
+      shortlistFactor: Int = 8): DataFrame = {
+    val cb = spark.read.parquet(s"$dir/codebooks")
+    val enc = spark.read.parquet(s"$dir/codes")
+    val vectors = spark.read.parquet(s"$dir/vectors")
+    val qt = queryTables(queries, cb, m, k, dim)
+      .select($"vid".as("q_vid"), $"qtab", $"nrm".as("q_nrm"))
+    val denom = $"q_nrm" * $"nrm"
+    val scored = enc.join(broadcast(qt))
+      .filter($"q_vid" =!= $"vid")
+      .select($"q_vid".as("query_id"), $"vid".as("cand_id"),
+        when(denom === lit(0d), lit(Double.NaN))
+          .otherwise(PqAdcScore.pq_adc($"codes", $"qtab", k).cast("double") / denom)
+          .as("cos"))
+    rerankExact(Similarity.rankTopK(scored, topK * shortlistFactor),
+      queries, vectors, topK)
+  }
+
   /** IVF-PQ with RESIDUAL encoding — the full 100 TB retrieval stack:
     * the coarse quantizer prunes the search to `nProbe` cells per
     * query (cell equi-join, exactly IVF's shape), each member stores

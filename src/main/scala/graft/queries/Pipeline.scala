@@ -323,6 +323,24 @@ object Pipeline {
         approx, corpus.filter($"vid" < 500), corpus, minRecall = 0.25)
     },
 
+    // PERSISTED PQ index with frozen-codebook refresh: train+encode
+    // half, append-encode the other half (delta-sized, no retrain),
+    // probe = compressed ADC scan + exact shortlist re-rank from the
+    // persisted tables alone. Recall-audited (q42 pattern); append ≡
+    // encode-union is PqSpec's pin.
+    "q148_pq_index_refresh" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-pq-idx").toString
+      graft.operators.Pq.buildPqIndex(corpus.filter($"vid" % 2 === 0), idxDir)
+      graft.operators.Pq.appendPqIndex(s, corpus.filter($"vid" % 2 =!= 0), idxDir)
+      val approx = graft.operators.Pq.pqProbeIndexed(s, idxDir,
+        corpus.filter($"vid" < 500), topK = 5)
+      Pipeline.annRecallAudit(
+        approx, corpus.filter($"vid" < 500), corpus, minRecall = 0.25)
+    },
+
     // PERSISTED IVF index with frozen-centroid refresh — the q116
     // build/append/probe story for vectors: train on HALF the
     // corpus, append the other half against the frozen centroids
@@ -2438,6 +2456,12 @@ object Pipeline {
         |FROM embeddings""".stripMargin,
 
     "q42_ann_ivf" ->
+      """SELECT least(count(*), 500) AS n_queries,
+        | least(count(*), 500) * 5 AS n_truth,
+        | TRUE AS recall_in_bound
+        |FROM embeddings""".stripMargin,
+
+    "q148_pq_index_refresh" ->
       """SELECT least(count(*), 500) AS n_queries,
         | least(count(*), 500) * 5 AS n_truth,
         | TRUE AS recall_in_bound

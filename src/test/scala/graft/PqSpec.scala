@@ -98,6 +98,24 @@ class PqSpec extends SparkSpec {
     assert(outside == 0, "a neighbor came from an unprobed cell")
   }
 
+  test("persisted PQ: append with frozen codebooks == encoding the union") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft-pq-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-pq-b").toString
+    val half1 = corpus.filter($"vid" % 2 === 0)
+    val half2 = corpus.filter($"vid" % 2 =!= 0)
+    Pq.buildPqIndex(half1, dirA)
+    Pq.appendPqIndex(spark, half2, dirA)
+    // B shares A's frozen codebooks; the union encodes in one shot
+    spark.read.parquet(s"$dirA/codebooks")
+      .write.mode("overwrite").parquet(s"$dirB/codebooks")
+    Pq.appendPqIndex(spark, half1.unionAll(half2), dirB)
+    def probe(d: String) =
+      Pq.pqProbeIndexed(spark, d, corpus.filter($"vid" < 200), topK = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(dirA) == probe(dirB), "refresh path must equal one-shot encode")
+    assert(probe(dirA).nonEmpty)
+  }
+
   test("the ADC scans rank with a bounded partial aggregate, no window") {
     val q = corpus.filter($"vid" < 20)
     for (df <- Seq(Pq.adcTopK(q, corpus, topK = 5),
