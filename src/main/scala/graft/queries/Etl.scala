@@ -262,9 +262,15 @@ object Etl {
       val outDir = s"/tmp/graft_compact_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
         s"_${java.util.UUID.randomUUID().toString.take(8)}"
       val total = part.count() // parquet footer count — metadata-cheap
-      val nFiles = math.max(1, math.ceil(total / 100.0).toInt)
+      // file sizing must scale with the data: a fixed 100 rows/file
+      // means 200k files at sf100 (the decade run measured it) — grow
+      // rows-per-file once the table exceeds 4096 files' worth, with
+      // 4× maxRecordsPerFile slack so range skew never force-splits
+      val perFile = math.max(100L, total / 4096)
+      val nFiles = ((total + perFile - 1) / perFile).toInt
       graft.operators.Compaction.compactTo(clustered, outDir,
-        maxRecordsPerFile = 400, nFiles = nFiles, clusterBy = Seq("z"))
+        maxRecordsPerFile = (4 * perFile).toInt, nFiles = nFiles,
+        clusterBy = Seq("z"))
       val checksum =
         try s.read.parquet(outDir)
           // project the (nondeterministic) file name first — aggregating
@@ -274,7 +280,9 @@ object Etl {
           .agg(
             count(lit(1)).as("n_rows"),
             countDistinct($"p_partkey").as("n_keys"),
-            sum($"p_partkey").cast("long").as("sum_key"),
+            // modular: a raw sum of ~1e12 keys over 20M+ rows passes
+            // Long.Max — the sf100 decade run hit exactly that
+            sum($"p_partkey" % 1000000007L).cast("long").as("sum_key"),
             sum($"p_size").cast("long").as("sum_size"),
             countDistinct($"_file").as("n_files"))
           .collect()(0)
@@ -439,9 +447,10 @@ object Etl {
     "q74_compact_zorder" ->
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT p_partkey) AS n_keys,
-        |  CAST(sum(p_partkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(p_partkey % 1000000007) AS BIGINT) AS sum_key,
         |  CAST(sum(p_size) AS BIGINT) AS sum_size,
-        |  CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_files
+        |  CAST((count(*) + greatest(100, count(*) // 4096) - 1)
+        |    // greatest(100, count(*) // 4096) AS BIGINT) AS n_files
         |FROM part""".stripMargin,
 
     "q26_etl_pipeline_parity" ->

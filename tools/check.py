@@ -25,9 +25,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    import os as _os
     for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        # ScaleUp output is a Spark directory table, not a single file
+        src = f"{p}/*.parquet" if _os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):
