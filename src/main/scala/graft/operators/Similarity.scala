@@ -342,6 +342,28 @@ object Similarity {
     rankTopK(cands, k)
   }
 
+  /** Maintenance compaction after repeated appends (the
+    * compactBm25Index symmetry): each append adds one file per
+    * touched cell, so a long append history fragments the member
+    * directories. Rewrite = one shuffle by cell (one file per cell
+    * after), swapped in via the storage-agnostic Hadoop FS rename.
+    * Probe results are bit-identical before/after (the probe never
+    * depends on file layout — SimilaritySpec pins it).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val tmp = s"$dir/members_compacting"
+    spark.read.parquet(s"$dir/members")
+      .withColumn("cid", $"cid".cast("long"))
+      .repartition($"cid")
+      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/members")
+    fs.delete(live, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+    ()
+  }
+
   /** Semantic deduplication (SemDeDup-shaped): cluster the corpus with
     * the same trained coarse quantizer IVF uses, then WITHIN each
     * cluster drop every vector that has a smaller-id neighbor with

@@ -148,6 +148,30 @@ class SimilaritySpec extends SparkSpec {
     assert(nCells > 4, "need multiple cells for pruning to mean anything")
   }
 
+  test("persisted IVF compaction: probe bit-identical, fragmentation gone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-c").toString
+    val thirds = (0 to 2).map(i => corpus.filter($"vid" % 3 === i))
+    Similarity.buildIvfIndex(thirds(0), dim = 64, dir, trainIters = 1)
+    Similarity.appendIvfIndex(spark, thirds(1), dir)
+    Similarity.appendIvfIndex(spark, thirds(2), dir)
+    def filesPerCell(): Map[String, Int] = {
+      val root = new java.io.File(s"$dir/members")
+      root.listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    val before = filesPerCell()
+    assert(before.values.exists(_ > 1), "appends should fragment some cell")
+    def probe() =
+      Similarity.ivfProbeIndexed(spark, dir, corpus.filter($"vid" < 200), k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val preCompact = probe()
+    Similarity.compactIvfIndex(spark, dir)
+    assert(filesPerCell().values.forall(_ == 1), "compaction must leave 1 file/cell")
+    assert(probe() == preCompact, "probe must be bit-identical after compaction")
+  }
+
   test("nearestNeighbor is symmetric-consistent with topK rank 1") {
     import spark.implicits._
     val nn = Similarity.nearestNeighbor(corpus.filter($"vid" < 50))
