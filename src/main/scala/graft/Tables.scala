@@ -21,33 +21,59 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read the raw INT64 nanos and convert to micros
-    * (integer DIV — a double division would lose precision above 2^53).
+  /** events.parquet's `ts` encoding has drifted across testdata
+    * generations (TIMESTAMP(NANOS) → timestamp[us]), so dispatch on the
+    * type Spark actually reads instead of assuming one encoding:
+    *   - LongType: the file was TIMESTAMP(NANOS) surfaced as raw INT64
+    *     via `nanosAsLong` (set below, a no-op for non-NANOS files) —
+    *     integer-DIV to micros (double division loses precision > 2^53);
+    *   - TimestampNTZType: timestamp[us] with no zone — reinterpret in
+    *     the session zone (UTC everywhere in this repo);
+    *   - TimestampType: already what every consumer expects.
     */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", raw("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"$dir/events.parquet: unsupported ts type $other (expected INT64 nanos, timestamp_ntz, or timestamp)")
+    }
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 
-  /** Every table through its typed accessor (events gets its nanos
-    * conversion — never read it via raw `table()`).
+  /** One table through its typed accessor (events gets its ts
+    * normalization — never read it via raw `table()`).
     */
-  def frames: Seq[(String, DataFrame)] = Seq(
-    "region" -> region, "nation" -> nation, "customer" -> customer,
-    "supplier" -> supplier, "part" -> part, "orders" -> orders,
-    "lineitem" -> lineitem, "events" -> events,
-    "documents" -> documents, "embeddings" -> embeddings)
+  def frame(name: String): DataFrame = name match {
+    case "region" => region; case "nation" => nation
+    case "customer" => customer; case "supplier" => supplier
+    case "part" => part; case "orders" => orders
+    case "lineitem" => lineitem; case "events" => events
+    case "documents" => documents; case "embeddings" => embeddings
+    case other => throw new IllegalArgumentException(s"unknown table $other")
+  }
+
+  /** Every table through its typed accessor. */
+  def frames: Seq[(String, DataFrame)] = Tables.names.map(n => n -> frame(n))
 
   /** Register every table as a temp view so `spark.sql` works over the
-    * same names the DuckDB oracle uses.
+    * same names the DuckDB oracle uses. One unreadable table must cost
+    * only its own consumers (loud stderr), not every registration —
+    * round 10 lost 23 query gates to a single broken reader.
     */
   def registerAll(): Unit =
-    frames.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    Tables.names.foreach { n =>
+      try frame(n).createOrReplaceTempView(n)
+      catch { case e: Throwable =>
+        System.err.println(s"[tables] register $n failed: ${e.getMessage}")
+      }
+    }
 }
 
 object Tables {

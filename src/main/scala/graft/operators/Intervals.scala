@@ -108,9 +108,9 @@ object Intervals {
     */
   def intervalLengthSumScaled(
       df: DataFrame, key: Column, startMs: Column, endMs: Column,
-      nRanges: Int): DataFrame = {
-    val base = df.select(key.as("k"), startMs.as("s"), endMs.as("e"))
-      .filter(col("e") > col("s"))
+      nRanges: Int, withStats: Boolean = false): DataFrame = {
+    val all = df.select(key.as("k"), startMs.as("s"), endMs.as("e"))
+    val base = all.filter(col("e") > col("s"))
     val span = base.agg(min(col("s")).as("t0"), max(col("e")).as("t1"))
     val clipped = base.crossJoin(broadcast(span))
       .withColumn("rw",
@@ -123,13 +123,27 @@ object Intervals {
     val w = Window.partitionBy(col("k"), col("rid"))
       .orderBy(col("cs"), col("ce"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    clipped
+    val covered = clipped
       .withColumn("prev_max_e", max(col("ce")).over(w))
       .withColumn("contrib",
         greatest(lit(0L), col("ce") -
           greatest(col("cs"), coalesce(col("prev_max_e"), col("cs")))))
       .groupBy(col("k"))
       .agg(sum(col("contrib")).as("covered_ms"))
+    if (!withStats) covered
+    else {
+      // per-key count/span from the UNCLIPPED rows (zero-length
+      // intervals count and stretch the span in the plain sweep, so
+      // they must here too) — a map-side-combinable agg of 3 longs per
+      // key, joined back to the covered sums; a key with only
+      // zero-length intervals has no clipped rows, hence the coalesce
+      val stats = all.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_intervals"),
+          (max(col("e")) - min(col("s"))).as("span_ms"))
+      stats.join(covered, Seq("k"), "left")
+        .select(col("k"), coalesce(col("covered_ms"), lit(0L)).as("covered_ms"),
+          col("n_intervals"), col("span_ms"))
+    }
   }
 
   /** Total length of the UNION of each key's intervals (overlaps

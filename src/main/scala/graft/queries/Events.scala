@@ -145,16 +145,21 @@ object Events {
     },
 
     // intervalLengthSum — union length of each user's activity
-    // intervals (overlaps counted once): sorted-by-start sweep where
-    // prior coverage above the current start is provably one
-    // interval, so `max(0, e − max(s, maxPrevEnd))` sums exactly.
+    // intervals (overlaps counted once). Runs the CLIPPED scale path
+    // (time-axis partition, key×16-parallel sweeps — 6.8× the plain
+    // per-key sweep at sf100, docs/bench_notes.md r10) with the
+    // per-key count/span stats joined back; the oracle remains the
+    // plain one-pass sweep in SQL, so this gate doubles as the
+    // decomposition's output-identity proof. The plain operator stays
+    // gated via IntervalSpec's randomized equality.
     "q135_interval_length_sum" -> { (s, dir) =>
       import s.implicits._
       val ev = Tables(s, dir).events
         .withColumn("sms", unix_millis($"ts"))
         .withColumn("ems", $"sms" + round($"value" * 1000).cast("long"))
       graft.operators.Intervals
-        .intervalLengthSum(ev, $"user_id", $"sms", $"ems", $"event_id")
+        .intervalLengthSumScaled(ev, $"user_id", $"sms", $"ems",
+          nRanges = 16, withStats = true)
         .withColumnRenamed("k", "user_id")
         .orderBy($"user_id")
     },

@@ -19,7 +19,13 @@ object ProfileQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables(spark, dir).frames.foreach { case (_, df) => df.count() }
+    val warmupTables = Tables(spark, dir)
+    Tables.names.foreach { n =>
+      try warmupTables.frame(n).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[profileq] warmup $n failed: ${e.getMessage}")
+      }
+    }
     def once(n: String): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()

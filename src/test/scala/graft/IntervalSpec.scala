@@ -107,6 +107,26 @@ class IntervalSpec extends SparkSpec {
     }
   }
 
+  test("scaled length sum withStats matches the direct sweep's full row") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(55)
+    val rows = (1L to 250L).map { id =>
+      val s = rnd.nextInt(800).toLong
+      val len = if (id % 6 == 0) 300 + rnd.nextInt(500) else 1 + rnd.nextInt(50)
+      (s"k${id % 3}", s, s + len, id)
+    } :+ (("kz", 5L, 5L, 999L)) // a key with ONLY a zero-length interval
+    val df = rows.toDF("k", "s", "e", "id")
+    val direct = Intervals.intervalLengthSum(df, $"k", $"s", $"e", $"id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val scaled = Intervals
+      .intervalLengthSumScaled(df, $"k", $"s", $"e", 16, withStats = true)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(scaled == direct)
+    assert(scaled("kz") == ((0L, 1L, 0L))) // covered 0, counted, zero span
+  }
+
   test("sweep matches a brute-force point-wise oracle on a dense random set") {
     val rnd = new scala.util.Random(42)
     val rows = (1L to 200L).map { id =>
