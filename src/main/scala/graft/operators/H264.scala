@@ -63,6 +63,16 @@ object H264 {
       if (nBits > 0) u(0, 8 - nBits)
       bytes.toArray
     }
+
+    /** Bits written so far as a '0'/'1' string (spec hook). */
+    def bitString: String = {
+      val sb = new StringBuilder
+      bytes.foreach { b =>
+        (7 to 0 by -1).foreach(i => sb.append((b >> i) & 1))
+      }
+      (nBits - 1 to 0 by -1).foreach(i => sb.append((cur >> i) & 1))
+      sb.toString
+    }
   }
 
   private final class BitReader(bytes: Array[Byte]) {
@@ -402,6 +412,582 @@ object H264 {
       out ++= escape(bw.stop())
     }
     out.toArray
+  }
+
+  // ---------------------------------------------------------------
+  // CAVLC 4x4-intra pixel path
+  // ---------------------------------------------------------------
+
+  /** CAVLC VLC tables (ITU-T H.264 Table 9-5 / 9-7 / 9-10), the
+    * subset a 4x4-intra synthesizer emits: coeff_token for the
+    * 0 ≤ nC < 2 context with TotalCoeff ≤ 5 (extension to the other
+    * nC classes and TotalCoeff 16 is mechanical table entry — the
+    * decoder returns None on an unknown code instead of guessing),
+    * total_zeros for TotalCoeff 1..7, run_before complete. Codes are
+    * bit-strings because clarity beats micro-optimizing a table that
+    * decodes a handful of symbols per 4x4 block; validated by the
+    * published worked example (coeffs 0,3,0,1,-1,-1,0,1 →
+    * 000010001110010111101101), prefix-freeness checks, and
+    * encode↔decode round-trips in H264Spec.
+    */
+  private val coeffTokenNc01: Map[(Int, Int), String] = Map(
+    (0, 0) -> "1",
+    (0, 1) -> "000101", (1, 1) -> "01",
+    (0, 2) -> "00000111", (1, 2) -> "000100", (2, 2) -> "001",
+    (0, 3) -> "000000111", (1, 3) -> "00000110", (2, 3) -> "0000101",
+    (3, 3) -> "00011",
+    (0, 4) -> "0000000111", (1, 4) -> "000000110", (2, 4) -> "00000101",
+    (3, 4) -> "000011",
+    (0, 5) -> "00000000111", (1, 5) -> "0000000110", (2, 5) -> "000000101",
+    (3, 5) -> "0000100")
+
+  /** total_zeros[TotalCoeff 1..7][tz]. */
+  private val totalZerosTab: Array[Array[String]] = Array(
+    Array("1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+      "000010", "0000011", "0000010", "00000011", "00000010", "000000011",
+      "000000010", "000000001"),
+    Array("111", "110", "101", "100", "011", "0101", "0100", "0011", "0010",
+      "00011", "00010", "000011", "000010", "000001", "000000"),
+    Array("0101", "111", "110", "101", "0100", "0011", "100", "011", "0010",
+      "00011", "00010", "000001", "00001", "000000"),
+    Array("00011", "111", "0101", "0100", "110", "101", "100", "0011", "011",
+      "0010", "00010", "00001", "00000"),
+    Array("0101", "0100", "0011", "111", "110", "101", "100", "011", "0010",
+      "00001", "0001", "00000"),
+    Array("000001", "00001", "111", "110", "101", "100", "011", "010", "0001",
+      "001", "000000"),
+    Array("000001", "00001", "101", "100", "011", "11", "010", "0001", "001",
+      "000000"))
+
+  /** run_before[min(zerosLeft,7)-1][run]; zerosLeft ≥ 7 row appends
+    * (run−4) zeros + 1 for run > 6.
+    */
+  private val runBeforeTab: Array[Array[String]] = Array(
+    Array("1", "0"),
+    Array("1", "01", "00"),
+    Array("11", "10", "01", "00"),
+    Array("11", "10", "01", "001", "000"),
+    Array("11", "10", "011", "010", "001", "000"),
+    Array("11", "000", "001", "011", "010", "101", "100"),
+    Array("111", "110", "101", "100", "011", "010", "001"))
+
+  private[graft] def tableForSpec(name: String): Seq[Seq[String]] =
+    name match {
+      case "coeff_token" => Seq(coeffTokenNc01.values.toSeq)
+      case "total_zeros" => totalZerosTab.map(_.toSeq).toSeq
+      case "run_before"  => runBeforeTab.map(_.toSeq).toSeq
+      case _ => Seq.empty
+    }
+
+  private def writeCode(bw: BitWriter, code: String): Unit =
+    code.foreach(c => bw.u(c - '0', 1))
+
+  /** Read one VLC symbol by longest-prefix match over `codes`
+    * (prefix-free, so first match is THE match); None after maxLen.
+    */
+  private def readVlc(r: BitReader, codes: Map[String, Int],
+      maxLen: Int): Option[Int] = {
+    val sb = new StringBuilder
+    while (sb.length < maxLen) {
+      sb.append(('0' + r.u(1)).toChar)
+      codes.get(sb.toString) match {
+        case Some(v) => return Some(v)
+        case None => ()
+      }
+    }
+    None
+  }
+
+  /** 4x4 zigzag scan: scan index → raster index (row*4+col). */
+  private val zigzag4x4: Array[Int] =
+    Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  /** Spec hooks: CAVLC block coder over bit strings, and the
+    * dequant+IDCT kernel, so H264Spec can pin the published worked
+    * example and round-trip/independent-simulation properties without
+    * exposing the bit I/O classes.
+    */
+  private[graft] def encodeBlockBits(coeffs: Array[Int]): String = {
+    val bw = new BitWriter
+    encodeCoeffBlock(bw, coeffs)
+    bw.bitString
+  }
+
+  private[graft] def decodeBlockBits(bits: String): Option[Array[Int]] = {
+    val bw = new BitWriter
+    bits.foreach(c => bw.u(c - '0', 1))
+    bw.u(0, 16) // tail padding so short VLC reads never hit EOS early
+    val padded = bw.stop()
+    try decodeCoeffBlock(new BitReader(padded))
+    catch { case _: IllegalStateException => None }
+  }
+
+  private[graft] def dequantIdctForSpec(scan: Array[Int], qp: Int): Array[Int] =
+    dequantIdct4x4(scan, qp)
+
+  /** CAVLC-encode one 4x4 block's coefficients (zigzag-scan order,
+    * length 16) for context 0 ≤ nC < 2. Emitter caps: TotalCoeff ≤ 5,
+    * |level| ≤ 7 (keeps level_prefix in the non-escape range).
+    */
+  private[operators] def encodeCoeffBlock(bw: BitWriter,
+      coeffs: Array[Int]): Unit = {
+    val nz = coeffs.zipWithIndex.filter(_._1 != 0)
+    val tc = nz.length
+    require(tc <= 5, s"TotalCoeff $tc beyond table subset")
+    var t1 = 0
+    while (t1 < math.min(3, tc) && math.abs(nz(tc - 1 - t1)._1) == 1) t1 += 1
+    writeCode(bw, coeffTokenNc01((t1, tc)))
+    if (tc == 0) return
+    // trailing-one signs, highest scan position first
+    (0 until t1).foreach(i => bw.u(if (nz(tc - 1 - i)._1 < 0) 1 else 0, 1))
+    // remaining levels, highest scan position first
+    var suffixLength = 0
+    var i = t1
+    while (i < tc) {
+      val level = nz(tc - 1 - i)._1
+      require(math.abs(level) <= 7, s"level $level beyond emitter cap")
+      var levelCode = if (level > 0) 2 * level - 2 else -2 * level - 1
+      if (i == t1 && t1 < 3) levelCode -= 2
+      if (suffixLength == 0) {
+        require(levelCode < 14, "level_prefix escape out of emitter scope")
+        bw.u(0, levelCode); bw.u(1, 1)
+      } else {
+        val prefix = levelCode >> suffixLength
+        require(prefix < 15, "level_prefix escape out of emitter scope")
+        bw.u(0, prefix); bw.u(1, 1)
+        bw.u(levelCode & ((1 << suffixLength) - 1), suffixLength)
+      }
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(level) > (3 << (suffixLength - 1)) && suffixLength < 6)
+        suffixLength += 1
+      i += 1
+    }
+    if (tc < 16) {
+      val tz = nz.last._2 + 1 - tc
+      writeCode(bw, totalZerosTab(tc - 1)(tz))
+      var zerosLeft = tz
+      var j = tc - 1
+      while (zerosLeft > 0 && j > 0) {
+        val run = nz(j)._2 - nz(j - 1)._2 - 1
+        if (zerosLeft <= 6) writeCode(bw, runBeforeTab(zerosLeft - 1)(run))
+        else if (run <= 6) writeCode(bw, runBeforeTab(6)(run))
+        else { bw.u(0, run - 4); bw.u(1, 1) }
+        zerosLeft -= run
+        j -= 1
+      }
+    }
+  }
+
+  /** CAVLC-decode one 4x4 block (context 0 ≤ nC < 2) to zigzag-scan
+    * coefficients; None on any code outside the table subset.
+    */
+  private[operators] def decodeCoeffBlock(r: BitReader): Option[Array[Int]] = {
+    val tokenCodes = coeffTokenNc01.map { case ((t1, tc), c) => c -> (t1 * 32 + tc) }
+    val token = readVlc(r, tokenCodes, 16).getOrElse(return None)
+    val t1 = token / 32
+    val tc = token % 32
+    val out = Array.fill(16)(0)
+    if (tc == 0) return Some(out)
+    val levels = new Array[Int](tc) // index 0 = highest scan position
+    (0 until t1).foreach(i => levels(i) = if (r.u(1) == 1) -1 else 1)
+    var suffixLength = 0
+    var i = t1
+    while (i < tc) {
+      var prefix = 0
+      while (r.u(1) == 0) {
+        prefix += 1
+        if (prefix > 32) return None
+      }
+      var levelCode =
+        if (suffixLength == 0) {
+          if (prefix < 14) prefix
+          else if (prefix == 14) 14 + r.u(4)
+          else 30 + r.u(12)
+        } else {
+          if (prefix < 15) (prefix << suffixLength) + r.u(suffixLength)
+          else (15 << suffixLength) + r.u(12)
+        }
+      if (i == t1 && t1 < 3) levelCode += 2
+      levels(i) =
+        if (levelCode % 2 == 0) (levelCode + 2) >> 1
+        else -((levelCode + 1) >> 1)
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(levels(i)) > (3 << (suffixLength - 1)) && suffixLength < 6)
+        suffixLength += 1
+      i += 1
+    }
+    var tz = 0
+    if (tc < 16) {
+      val tzCodes = totalZerosTab(tc - 1).zipWithIndex.map {
+        case (c, v) => c -> v
+      }.toMap
+      if (tc > 7) return None // Table 9-8 rows out of subset
+      tz = readVlc(r, tzCodes, 16).getOrElse(return None)
+    }
+    // place levels: walk from the highest scan position down
+    var pos = tc - 1 + tz
+    var zerosLeft = tz
+    var j = 0
+    while (j < tc) {
+      out(pos) = levels(j)
+      if (j < tc - 1) {
+        var run = 0
+        if (zerosLeft > 0) {
+          if (zerosLeft <= 6) {
+            val codes = runBeforeTab(zerosLeft - 1).zipWithIndex.map {
+              case (c, v) => c -> v
+            }.toMap
+            run = readVlc(r, codes, 12).getOrElse(return None)
+          } else {
+            // zerosLeft > 6: 3-bit codes for run 0..6, unary beyond
+            val first = (r.u(1) << 2) | (r.u(1) << 1) | r.u(1)
+            if (first != 0) run = 7 - first
+            else {
+              run = 7
+              while (r.u(1) == 0) { run += 1; if (run > 16) return None }
+            }
+          }
+        }
+        zerosLeft -= run
+        pos -= run + 1
+      }
+      j += 1
+    }
+    // the zeros never consumed by run_before all sit below the lowest
+    // coefficient, so its landing index must equal what's left
+    if (tc < 16 && pos != zerosLeft) return None
+    Some(out)
+  }
+
+  /** Dequant (flat scaling matrices) + integer inverse 4x4 transform
+    * (8.5.12): returns 16 spatial residuals in raster order. Exact
+    * spec arithmetic — V-table by (qp%6, position class), << (qp/6)
+    * for qp ≥ 24 and the rounding shift below, row/column butterflies
+    * with the d1>>1 floor, final (x+32)>>6.
+    */
+  private[operators] def dequantIdct4x4(scan: Array[Int], qp: Int): Array[Int] = {
+    val vTab = Array(
+      Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+      Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+    val m = qp % 6
+    val d = new Array[Int](16)
+    var s = 0
+    while (s < 16) {
+      val r = zigzag4x4(s)
+      val (i, j) = (r / 4, r % 4)
+      val cls =
+        if (i % 2 == 0 && j % 2 == 0) 0
+        else if (i % 2 == 1 && j % 2 == 1) 1
+        else 2
+      val ls = scan(s) * vTab(m)(cls) * 16 // flat weightScale 16
+      d(r) =
+        if (qp >= 24) ls << (qp / 6 - 4)
+        else (ls + (1 << (3 - qp / 6))) >> (4 - qp / 6)
+      s += 1
+    }
+    def core(v: Array[Int], stride: Int, base: Int): Unit = {
+      val d0 = v(base); val d1 = v(base + stride)
+      val d2 = v(base + 2 * stride); val d3 = v(base + 3 * stride)
+      val t0 = d0 + d2; val t1 = d0 - d2
+      val t2 = (d1 >> 1) - d3; val t3 = d1 + (d3 >> 1)
+      v(base) = t0 + t3; v(base + stride) = t1 + t2
+      v(base + 2 * stride) = t1 - t2; v(base + 3 * stride) = t0 - t3
+    }
+    (0 until 4).foreach(row => core(d, 1, row * 4))    // horizontal
+    (0 until 4).foreach(col => core(d, 4, col))        // vertical
+    d.map(x => (x + 32) >> 6)
+  }
+
+  private def clip255(v: Int): Int = math.max(0, math.min(255, v))
+
+  /** Z-scan of 4x4 luma blocks in a macroblock: blkIdx → (x, y) in
+    * 4-px units (residual and mb_pred both walk this order).
+    */
+  private val zScan4x4: Array[(Int, Int)] = Array(
+    (0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+    (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3))
+
+  /** Intra mode of block (bx, by) in the synthesized frames: DC for
+    * the top-left block (no neighbors → pred 128), VERTICAL down the
+    * left column, HORIZONTAL elsewhere — a spanning tree with ONE
+    * parent per block, so each flat block's value is the parent's
+    * value plus the block's own DC residual and the frame has a
+    * closed-form pixel sum (the q149 oracle re-derives it in SQL).
+    */
+  private def synthMode(bx: Int, by: Int): Int =
+    if (bx == 0 && by == 0) 2 else if (bx == 0) 0 else 1
+
+  /** DC level of block (bx, by) in frame f: drawn from {-2,-1,1,2}
+    * (never 0, so cbp is always 15 and every block exercises the
+    * CAVLC path). At QP 24 these dequantize to flat residuals
+    * {-5,-2,+3,+5} — bounded drift, no clipping at gate block counts.
+    */
+  private def synthLevel(seed: Long, f: Int, bx: Int, by: Int): Int =
+    Array(-2, -1, 1, 2)(((seed + f * 11 + bx * 7 + by * 5) % 4).toInt)
+
+  /** Conformant IDR I-slices of I_4x4 macroblocks with CAVLC-coded
+    * DC-only residuals (QP 24 via slice_qp_delta): real mode
+    * signaling (most-probable-mode rule), coded_block_pattern me(v),
+    * coeff_token / level / total_zeros VLCs, emulation prevention.
+    * One MB per row (width 16) so the flat-block value chain is a
+    * tree, giving the closed-form oracle. The remaining H.26x caveat
+    * narrows to entropy-coded inter/CABAC decode.
+    */
+  def synthesizeH264Cavlc(mbH: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(16, mbH * 16, 30))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp())
+    (0 until nFrames).foreach { f =>
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x65.toByte // IDR slice
+      val bw = new BitWriter
+      bw.ue(0)        // first_mb_in_slice
+      bw.ue(7)        // slice_type: I (all slices in pic)
+      bw.ue(0)        // pic_parameter_set_id
+      bw.u(0, 4)      // frame_num
+      bw.ue(f)        // idr_pic_id
+      bw.u(0, 1); bw.u(0, 1) // dec_ref_pic_marking
+      bw.se(-2)       // slice_qp_delta: SliceQPy = 26 - 2 = 24
+      bw.ue(1)        // disable_deblocking_filter_idc
+      val modes = Array.fill(4, 4 * mbH)(-1)
+      (0 until mbH).foreach { my =>
+        bw.ue(0)      // mb_type: I_4x4 (I_NxN; no 8x8 transform in PPS)
+        zScan4x4.foreach { case (zx, zy) =>
+          val (bx, by) = (zx, my * 4 + zy)
+          val mode = synthMode(bx, by)
+          val mA = if (bx == 0) 2 else modes(bx - 1)(by)
+          val mB = if (by == 0) 2 else modes(bx)(by - 1)
+          val pred = math.min(mA, mB)
+          if (mode == pred) bw.u(1, 1)
+          else {
+            bw.u(0, 1)
+            bw.u(if (mode < pred) mode else mode - 1, 3)
+          }
+          modes(bx)(by) = mode
+        }
+        bw.ue(0)      // intra_chroma_pred_mode: DC
+        bw.ue(2)      // cbp me(v): codeNum 2 → cbp 15 (all luma, no chroma)
+        bw.se(0)      // mb_qp_delta
+        zScan4x4.foreach { case (zx, zy) =>
+          val (bx, by) = (zx, my * 4 + zy)
+          val scan = Array.fill(16)(0)
+          scan(0) = synthLevel(seed, f, bx, by)
+          encodeCoeffBlock(bw, scan)
+        }
+      }
+      out ++= escape(bw.stop())
+    }
+    out.toArray
+  }
+
+  final case class CavlcFrames(
+      nFrames: Int, width: Int, height: Int,
+      lumaSum: Long, chromaSum: Long, weightedSum: Long, nLevels: Long)
+
+  /** Full pixel decode of a 4x4-intra CAVLC stream: slice headers,
+    * per-MB mode derivation (most-probable-mode rule), cbp, CAVLC
+    * residual with the REAL nC neighbor context, dequant + integer
+    * inverse transform, intra prediction from the reconstructed frame
+    * buffer, clip — plus chroma DC prediction (quadrant availability
+    * rules) with no chroma residual. None on anything outside the
+    * documented subset (angular modes 3-8, non-I_4x4 mb_type, chroma
+    * cbp, nC ≥ 2, TotalCoeff > 5 tokens): refuse rather than guess.
+    */
+  def decodeCavlcIntra(p: Array[Byte]): Option[CavlcFrames] = {
+    try {
+      val nals = scanNals(p)
+      var sps: Option[SpsInfo] = None
+      var nFrames = 0
+      var lumaSum = 0L
+      var chromaSum = 0L
+      var weighted = 0L
+      var nLevels = 0L
+      nals.foreach { case (s, e) =>
+        val nalType = p(s) & 0x1F
+        nalType match {
+          case 7 =>
+            sps = parseSps(new BitReader(unescape(p, s + 1, e)))
+            if (sps.isEmpty) return None
+          case 5 =>
+            val info = sps.getOrElse(return None)
+            val r = new BitReader(unescape(p, s + 1, e))
+            r.ue()                       // first_mb_in_slice
+            if (r.ue() % 5 != 2) return None // not an I slice
+            r.ue()                       // pps id
+            r.u(4)                       // frame_num
+            r.ue()                       // idr_pic_id
+            r.u(1); r.u(1)               // dec_ref_pic_marking
+            var qp = 26 + r.se()         // slice_qp_delta
+            if (r.ue() != 1) { r.se(); r.se() } // deblocking offsets
+            val (w, h) = (info.mbW * 16, info.mbH * 16)
+            val luma = Array.fill(h, w)(0)
+            val cbP = Array.fill(h / 2, w / 2)(0)
+            val crP = Array.fill(h / 2, w / 2)(0)
+            val bW = info.mbW * 4
+            val bH = info.mbH * 4
+            val modes = Array.fill(bW, bH)(-1)
+            val tcs = Array.fill(bW, bH)(0)
+            var mbIdx = 0
+            val nMbs = info.mbW * info.mbH
+            while (mbIdx < nMbs) {
+              val mx = mbIdx % info.mbW
+              val my = mbIdx / info.mbW
+              if (r.ue() != 0) return None // only I_4x4 in this path
+              val mbModes = new Array[Int](16)
+              var i = 0
+              while (i < 16) {
+                val (zx, zy) = zScan4x4(i)
+                val (bx, by) = (mx * 4 + zx, my * 4 + zy)
+                val mA = if (bx == 0) 2 else modes(bx - 1)(by)
+                val mB = if (by == 0) 2 else modes(bx)(by - 1)
+                val predMode = math.min(mA, mB)
+                val mode =
+                  if (r.u(1) == 1) predMode
+                  else {
+                    val rem = r.u(3)
+                    if (rem < predMode) rem else rem + 1
+                  }
+                if (mode > 2) return None // angular modes out of subset
+                modes(bx)(by) = mode
+                mbModes(i) = mode
+                i += 1
+              }
+              if (r.ue() != 0) return None // chroma pred: DC only
+              val cbp = r.ue() match {
+                case 2 => 15
+                case 3 => 0
+                case _ => return None // chroma cbp out of subset
+              }
+              if (cbp != 0) qp += r.se() // mb_qp_delta
+              i = 0
+              while (i < 16) {
+                val (zx, zy) = zScan4x4(i)
+                val (bx, by) = (mx * 4 + zx, my * 4 + zy)
+                val coeffs =
+                  if ((cbp & (1 << (i / 4))) != 0) {
+                    val nA = if (bx == 0) -1 else tcs(bx - 1)(by)
+                    val nB = if (by == 0) -1 else tcs(bx)(by - 1)
+                    val nC =
+                      if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+                      else if (nA >= 0) nA
+                      else if (nB >= 0) nB
+                      else 0
+                    if (nC >= 2) return None // other nC tables out of subset
+                    decodeCoeffBlock(r).getOrElse(return None)
+                  } else Array.fill(16)(0)
+                val tc = coeffs.count(_ != 0)
+                tcs(bx)(by) = tc
+                nLevels += tc
+                val res =
+                  if (tc == 0) Array.fill(16)(0)
+                  else dequantIdct4x4(coeffs, qp)
+                val (px, py) = (bx * 4, by * 4)
+                val mode = mbModes(i)
+                var y = 0
+                while (y < 4) {
+                  var x = 0
+                  while (x < 4) {
+                    val predPx = mode match {
+                      case 0 => // vertical
+                        if (py == 0) return None
+                        luma(py - 1)(px + x)
+                      case 1 => // horizontal
+                        if (px == 0) return None
+                        luma(py + y)(px - 1)
+                      case _ => // DC
+                        val hasL = px > 0
+                        val hasT = py > 0
+                        if (hasL && hasT) {
+                          var acc = 0
+                          var k = 0
+                          while (k < 4) {
+                            acc += luma(py + k)(px - 1) + luma(py - 1)(px + k)
+                            k += 1
+                          }
+                          (acc + 4) >> 3
+                        } else if (hasL) {
+                          var acc = 0
+                          var k = 0
+                          while (k < 4) { acc += luma(py + k)(px - 1); k += 1 }
+                          (acc + 2) >> 2
+                        } else if (hasT) {
+                          var acc = 0
+                          var k = 0
+                          while (k < 4) { acc += luma(py - 1)(px + k); k += 1 }
+                          (acc + 2) >> 2
+                        } else 128
+                    }
+                    luma(py + y)(px + x) = clip255(predPx + res(y * 4 + x))
+                    x += 1
+                  }
+                  y += 1
+                }
+                i += 1
+              }
+              // chroma 8x8 DC prediction per plane (quadrant rules),
+              // no residual (cbp chroma is 0 in this subset)
+              Seq(cbP, crP).foreach { plane =>
+                val cx0 = mx * 8
+                val cy0 = my * 8
+                val hasT = cy0 > 0
+                val hasL = cx0 > 0
+                def sumT(off: Int): Int =
+                  (0 until 4).map(k => plane(cy0 - 1)(cx0 + off + k)).sum
+                def sumL(off: Int): Int =
+                  (0 until 4).map(k => plane(cy0 + off + k)(cx0 - 1)).sum
+                Seq((0, 0), (4, 0), (0, 4), (4, 4)).foreach { case (qx, qy) =>
+                  val dc = (qx, qy) match {
+                    case (0, 0) =>
+                      if (hasT && hasL) (sumT(0) + sumL(0) + 4) >> 3
+                      else if (hasT) (sumT(0) + 2) >> 2
+                      else if (hasL) (sumL(0) + 2) >> 2
+                      else 128
+                    case (4, 0) =>
+                      if (hasT) (sumT(4) + 2) >> 2
+                      else if (hasL) (sumL(0) + 2) >> 2
+                      else 128
+                    case (0, 4) =>
+                      if (hasL) (sumL(4) + 2) >> 2
+                      else if (hasT) (sumT(0) + 2) >> 2
+                      else 128
+                    case _ =>
+                      if (hasT && hasL) (sumT(4) + sumL(4) + 4) >> 3
+                      else if (hasT) (sumT(4) + 2) >> 2
+                      else if (hasL) (sumL(4) + 2) >> 2
+                      else 128
+                  }
+                  var y = 0
+                  while (y < 4) {
+                    var x = 0
+                    while (x < 4) {
+                      plane(cy0 + qy + y)(cx0 + qx + x) = dc
+                      x += 1
+                    }
+                    y += 1
+                  }
+                }
+              }
+              mbIdx += 1
+            }
+            nFrames += 1
+            var fl = 0L
+            luma.foreach(_.foreach(fl += _))
+            var fc = 0L
+            cbP.foreach(_.foreach(fc += _))
+            crP.foreach(_.foreach(fc += _))
+            lumaSum += fl
+            chromaSum += fc
+            weighted += nFrames.toLong * (fl + fc)
+          case _ => ()
+        }
+      }
+      sps.map(i => CavlcFrames(nFrames, i.width, i.height,
+        lumaSum, chromaSum, weighted, nLevels))
+    } catch { case _: IllegalStateException => None }
   }
 
   final case class PcmFrames(

@@ -1388,6 +1388,33 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // H.264 CAVLC 4x4-intra PIXEL decode — I_4x4 macroblocks whose
+    // DC-only residuals are entropy-coded (coeff_token/level/
+    // total_zeros VLCs), decoded through real dequant + integer
+    // inverse transform + most-probable-mode intra prediction. The
+    // synthesizer's mode tree (DC root, VERTICAL left column,
+    // HORIZONTAL rows) keeps every reconstructed block flat, so the
+    // oracle re-derives the value chain closed-form in SQL. The H.26x
+    // caveat narrows to inter/CABAC decode.
+    "q149_h264_cavlc" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 2 === 1)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbH = 1 + (id % 3).toInt
+          val nf = 1 + (id % 2).toInt
+          val st = graft.operators.H264.synthesizeH264Cavlc(mbH, nf, id)
+          graft.operators.H264.decodeCavlcIntra(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nLevels)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height",
+          "luma_sum", "chroma_sum", "weighted_sum", "n_levels")
+        .orderBy($"doc_id")
+    },
+
     // The full curation funnel (lang → quality → exact dedup →
     // decontamination) with per-stage audit counts — every dropped doc
     // accounted to the stage that dropped it.
@@ -2758,6 +2785,44 @@ object Pipeline {
         |FROM d
         |JOIN lum ON d.doc_id = lum.doc_id
         |JOIN chr ON chr.doc_id = d.doc_id AND chr.f = lum.f
+        |GROUP BY 1
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors synthesizeH264Cavlc's flat-block tree: block (bx,by) of
+    // frame f is flat at V = 128 + sum of dequantized DC residuals
+    // along its parent chain (column 0 downward, then the row) —
+    // residual r(L) at QP 24 maps level idx (doc_id+f*11+bx*7+by*5)%4
+    // → {-5,-2,3,5}; chroma stays DC-flat 128; drift is bounded so
+    // clip never fires at gate block counts
+    "q149_h264_cavlc" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INTEGER) AS mbh,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |fr AS (SELECT doc_id, mbh, f.f AS f FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f),
+        |blk AS (SELECT doc_id, mbh, f, bx.i AS bx, by.i AS by FROM fr,
+        |  LATERAL (SELECT unnest(generate_series(0, 3)) AS i) bx,
+        |  LATERAL (SELECT unnest(generate_series(0, 4 * mbh - 1)) AS i) by),
+        |v AS (SELECT doc_id, mbh, f, bx, by,
+        |  128
+        |  + (SELECT sum(CASE (doc_id + f * 11 + j.j * 5) % 4
+        |       WHEN 0 THEN -5 WHEN 1 THEN -2 WHEN 2 THEN 3 ELSE 5 END)
+        |     FROM (SELECT unnest(generate_series(0, by)) AS j) j)
+        |  + coalesce((SELECT sum(CASE (doc_id + f * 11 + k.k * 7 + by * 5) % 4
+        |       WHEN 0 THEN -5 WHEN 1 THEN -2 WHEN 2 THEN 3 ELSE 5 END)
+        |     FROM (SELECT unnest(generate_series(1, bx)) AS k) k), 0) AS val
+        |  FROM blk),
+        |lum AS (SELECT doc_id, f, sum(16 * val) AS ls,
+        |    count(*) AS nblk FROM v GROUP BY 1, 2)
+        |SELECT d.doc_id, CAST(max(d.nf) AS INTEGER) AS n_frames,
+        |  CAST(16 AS INTEGER) AS width,
+        |  CAST(max(16 * d.mbh) AS INTEGER) AS height,
+        |  CAST(sum(lum.ls) AS BIGINT) AS luma_sum,
+        |  CAST(sum(16384 * d.mbh) AS BIGINT) AS chroma_sum,
+        |  CAST(sum((lum.f + 1) * (lum.ls + 16384 * d.mbh)) AS BIGINT)
+        |    AS weighted_sum,
+        |  CAST(sum(lum.nblk) AS BIGINT) AS n_levels
+        |FROM d JOIN lum ON d.doc_id = lum.doc_id
         |GROUP BY 1
         |ORDER BY d.doc_id""".stripMargin,
 

@@ -93,6 +93,121 @@ class H264Spec extends AnyFunSuite {
     assert(H264.decodeIPcm(p).isEmpty)
   }
 
+  test("CAVLC block coder reproduces the published worked example bit-exactly") {
+    // the canonical 4x4 CAVLC example (coeffs in zigzag order
+    // 0,3,0,1,-1,-1,0,1,0...): TotalCoeffs=5, TrailingOnes=3,
+    // total_zeros=3 → 000010001110010111101101. Independent of our
+    // tables' provenance: if any used row were wrong, this breaks.
+    val scan = Array(0, 3, 0, 1, -1, -1, 0, 1) ++ Array.fill(8)(0)
+    val bits = H264.encodeBlockBits(scan)
+    assert(bits == "000010001110010111101101", s"got $bits")
+    assert(H264.decodeBlockBits(bits).get.sameElements(scan))
+  }
+
+  test("CAVLC block coder round-trips random sparse blocks") {
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 0 until 500) {
+      val tc = 1 + rnd.nextInt(5)
+      val positions = rnd.shuffle((0 until 16).toList).take(tc).sorted
+      val scan = Array.fill(16)(0)
+      positions.foreach { p =>
+        var v = 0
+        while (v == 0) v = rnd.nextInt(15) - 7
+        scan(p) = v
+      }
+      val bits = H264.encodeBlockBits(scan)
+      val back = H264.decodeBlockBits(bits)
+      assert(back.isDefined && back.get.sameElements(scan),
+        s"coeffs ${scan.mkString(",")} bits $bits got ${back.map(_.mkString(","))}")
+    }
+  }
+
+  test("CAVLC VLC tables are prefix-free") {
+    for (name <- Seq("coeff_token", "total_zeros", "run_before");
+         table <- H264.tableForSpec(name)) {
+      for (a <- table; b <- table if a != b)
+        assert(!b.startsWith(a), s"$name: '$a' prefixes '$b'")
+    }
+  }
+
+  test("dequant + inverse transform matches an independent simulation") {
+    // separately-written spec-text implementation: explicit zigzag
+    // placement, V-table scaling, two explicit 1-D passes with
+    // intermediate arrays (vs the decoder's in-place strided core)
+    val zig = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+    val vt = Array(Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+      Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+    def sim(scan: Array[Int], qp: Int): Array[Int] = {
+      val d = Array.ofDim[Int](4, 4)
+      for (s <- 0 until 16) {
+        val r = zig(s); val i = r / 4; val j = r % 4
+        val cls = if (i % 2 == 0 && j % 2 == 0) 0
+                  else if (i % 2 == 1 && j % 2 == 1) 1 else 2
+        val ls = scan(s) * vt(qp % 6)(cls) * 16
+        d(i)(j) = if (qp >= 24) ls << (qp / 6 - 4)
+                  else (ls + (1 << (3 - qp / 6))) >> (4 - qp / 6)
+      }
+      val e = Array.ofDim[Int](4, 4)
+      for (i <- 0 until 4) {
+        val (a, b, c, dd) = (d(i)(0), d(i)(1), d(i)(2), d(i)(3))
+        e(i)(0) = (a + c) + (b + (dd >> 1)); e(i)(1) = (a - c) + ((b >> 1) - dd)
+        e(i)(2) = (a - c) - ((b >> 1) - dd); e(i)(3) = (a + c) - (b + (dd >> 1))
+      }
+      val f = Array.ofDim[Int](4, 4)
+      for (j <- 0 until 4) {
+        val (a, b, c, dd) = (e(0)(j), e(1)(j), e(2)(j), e(3)(j))
+        f(0)(j) = (a + c) + (b + (dd >> 1)); f(1)(j) = (a - c) + ((b >> 1) - dd)
+        f(2)(j) = (a - c) - ((b >> 1) - dd); f(3)(j) = (a + c) - (b + (dd >> 1))
+      }
+      (for (i <- 0 until 4; j <- 0 until 4) yield (f(i)(j) + 32) >> 6).toArray
+    }
+    val rnd = new scala.util.Random(77)
+    for (qp <- Seq(18, 22, 24, 28, 35); _ <- 0 until 50) {
+      val scan = Array.fill(16)(if (rnd.nextInt(3) == 0) rnd.nextInt(13) - 6 else 0)
+      assert(H264.dequantIdctForSpec(scan, qp).sameElements(sim(scan, qp)),
+        s"qp=$qp scan=${scan.mkString(",")}")
+    }
+  }
+
+  test("CAVLC stream decode equals the flat-block chain simulation") {
+    for (seed <- 0L until 20L) {
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 1 + (seed % 2).toInt
+      val m = H264.decodeCavlcIntra(H264.synthesizeH264Cavlc(mbH, nf, seed)).get
+      assert(m.nFrames == nf && m.width == 16 && m.height == mbH * 16)
+      val rOf = Array(-5, -2, 3, 5) // dequantized flat residual per level idx
+      var wantL = 0L; var wantW = 0L; var wantN = 0L
+      val wantC = 128L * 2 * 8 * (8 * mbH) // chroma stays DC-flat 128
+      for (f <- 0 until nf) {
+        val v = Array.ofDim[Long](4, 4 * mbH)
+        var fl = 0L
+        for (by <- 0 until 4 * mbH; bx <- 0 until 4) {
+          val r = rOf(((seed + f * 11 + bx * 7 + by * 5) % 4).toInt)
+          val parent =
+            if (bx == 0 && by == 0) 128L
+            else if (bx == 0) v(0)(by - 1)
+            else v(bx - 1)(by)
+          v(bx)(by) = math.max(0L, math.min(255L, parent + r))
+          fl += 16 * v(bx)(by)
+          wantN += 1
+        }
+        wantL += fl
+        wantW += (f + 1) * (fl + wantC)
+      }
+      assert(m.lumaSum == wantL, s"seed=$seed luma ${m.lumaSum} != $wantL")
+      assert(m.chromaSum == wantC * nf, s"seed=$seed chroma")
+      assert(m.weightedSum == wantW, s"seed=$seed weighted")
+      assert(m.nLevels == wantN, s"seed=$seed levels")
+    }
+  }
+
+  test("CAVLC decode refuses I_PCM and bitstream-payload streams") {
+    assert(H264.decodeCavlcIntra(H264.synthesizeH264IPcm(1, 1, 1, 3L)).isEmpty)
+    assert(H264.decodeCavlcIntra(H264.synthesizeH264Stream(32, 32, 30, 2, 7L)).isEmpty)
+    val good = H264.synthesizeH264Cavlc(2, 1, 5L)
+    assert(H264.decodeCavlcIntra(good.take(good.length - 6)).isEmpty)
+  }
+
   test("truncated and garbage streams parse to None") {
     val p = H264.synthesizeH264Stream(64, 48, 30, 2, 3L)
     assert(H264.parseStream(p.take(6)).isEmpty)        // cut inside SPS
