@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Streaming twins of the batch interval-algebra sweeps
+  * ([[graft.operators.Intervals]], q134/q135): the same per-key
+  * sorted sweep run INCREMENTALLY under `mapGroupsWithState`, with
+  * the time axis partitioned by the advancing watermark instead of by
+  * fixed ranges — the streaming analogue of the scaled paths' carry:
+  * each trigger folds the ripe (≤ watermark) prefix into durable
+  * state and carries exactly the sweep frontier forward.
+  *
+  * State per key is BOUNDED by the watermark lag, not by history:
+  *
+  *  - union length: a flushed `covered_ms` counter plus the disjoint
+  *    coverage segments ending ABOVE the watermark. A segment ending
+  *    at or below the watermark can never grow again (future interval
+  *    starts exceed the watermark — that is the watermark contract),
+  *    so its length flushes into the counter and the segment drops.
+  *  - max concurrency: a flushed running max plus the open interval
+  *    ends above the watermark (the sweep's carry set); ends at or
+  *    below the watermark can never overlap a future start and drop.
+  *
+  * Each trigger emits the OPTIMISTIC value — durable state plus the
+  * still-pending suffix folded on a scratch copy — so the emission
+  * always equals the batch answer over every event seen so far and is
+  * monotone non-decreasing; downstream takes the max per key
+  * (StreamingSpec pins parity against the batch operators through a
+  * MemoryStream delivery in slices). Arrivals at or below the
+  * watermark violate the declared disorder bound and are dropped, the
+  * same contract as [[FunnelStream]].
+  */
+object StreamingIntervals {
+
+  final case class IEvent(k: Long, ts: java.sql.Timestamp, end_ms: Long)
+  final case class LenState(flushedMs: Long, segments: Seq[(Long, Long)],
+      pending: Seq[(Long, Long)])
+  final case class MaxState(flushedMax: Long, openEnds: Seq[Long],
+      pending: Seq[(Long, Long)])
+  final case class IntervalUpdate(k: Long, value: Long)
+
+  /** Merge sorted-by-start intervals into a disjoint segment list
+    * seeded with `segments` (disjoint, sorted). Pure sweep — the same
+    * max-prior-end argument as the batch operator.
+    */
+  private def mergeInto(segments: Seq[(Long, Long)],
+      ivs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val all = (segments ++ ivs).sortBy(x => (x._1, x._2))
+    if (all.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var (cs, ce) = all.head
+    all.tail.foreach { case (s, e) =>
+      if (s <= ce) { if (e > ce) ce = e } // half-open: touch at ce merges
+      else { out += ((cs, ce)); cs = s; ce = e }
+    }
+    out += ((cs, ce))
+    out.toSeq
+  }
+
+  /** Streaming union-of-intervals length per key: intervals are
+    * `[event-time, end_ms)`; emits the covered-ms-so-far per trigger.
+    */
+  def streamingIntervalLengthSum(events: DataFrame, keyCol: String,
+      tsCol: String, endMsCol: String): Dataset[IntervalUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
+        col(endMsCol).cast("long").as("end_ms"))
+      .as[IEvent]
+      .groupByKey(_.k)
+      .mapGroupsWithState[LenState, IntervalUpdate](
+        GroupStateTimeout.NoTimeout) { (k, it, state) =>
+        val st = state.getOption.getOrElse(LenState(0L, Seq.empty, Seq.empty))
+        val wm = state.getCurrentWatermarkMs()
+        val arrivals = it.map(e => (e.ts.getTime, e.end_ms))
+          .filter(x => x._2 > x._1) // zero-length: no coverage
+          .filter(_._1 > wm)        // late beyond disorder bound: drop
+          .toSeq
+        val all = (st.pending ++ arrivals).sortBy(x => (x._1, x._2))
+        val (ripe, pend) = all.partition(_._1 <= wm)
+        val merged = mergeInto(st.segments, ripe)
+        // segments ending at/below the watermark are final: flush
+        val (done, live) = merged.partition(_._2 <= wm)
+        val flushed = st.flushedMs + done.map(x => x._2 - x._1).sum
+        state.update(LenState(flushed, live, pend))
+        val optimistic = flushed +
+          mergeInto(live, pend).map(x => x._2 - x._1).sum
+        IntervalUpdate(k, optimistic)
+      }
+  }
+
+  /** Streaming max simultaneously-open intervals per key; emits the
+    * max-concurrency-so-far per trigger.
+    */
+  def streamingMaxIntersections(events: DataFrame, keyCol: String,
+      tsCol: String, endMsCol: String): Dataset[IntervalUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    // sweep sorted-by-start intervals against the carried open-end
+    // multiset; returns (max seen, open ends after) — half-open, so
+    // an end AT a start closes first
+    def sweep(openEnds: Seq[Long], ivs: Seq[(Long, Long)]): (Long, Seq[Long]) = {
+      val heap = scala.collection.mutable.PriorityQueue.empty[Long](
+        Ordering[Long].reverse) // min-heap of ends
+      openEnds.foreach(heap.enqueue(_))
+      var mx = heap.size.toLong // carried opens were concurrent at entry
+      ivs.foreach { case (s, e) =>
+        while (heap.nonEmpty && heap.head <= s) heap.dequeue()
+        heap.enqueue(e)
+        if (heap.size > mx) mx = heap.size
+      }
+      (mx, heap.dequeueAll.toSeq)
+    }
+
+    events.select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
+        col(endMsCol).cast("long").as("end_ms"))
+      .as[IEvent]
+      .groupByKey(_.k)
+      .mapGroupsWithState[MaxState, IntervalUpdate](
+        GroupStateTimeout.NoTimeout) { (k, it, state) =>
+        val st = state.getOption.getOrElse(MaxState(0L, Seq.empty, Seq.empty))
+        val wm = state.getCurrentWatermarkMs()
+        val arrivals = it.map(e => (e.ts.getTime, e.end_ms))
+          .filter(_._1 > wm)
+          .toSeq
+        val all = (st.pending ++ arrivals).sortBy(x => (x._1, x._2))
+        val (ripe, pend) = all.partition(_._1 <= wm)
+        val (mx1, opens) = sweep(st.openEnds, ripe)
+        val flushedMax = math.max(st.flushedMax, mx1)
+        // ends at/below the watermark can never overlap a future start
+        val live = opens.filter(_ > wm)
+        state.update(MaxState(flushedMax, live, pend))
+        val (mx2, _) = sweep(live, pend) // optimistic: all seen so far
+        IntervalUpdate(k, math.max(flushedMax, mx2))
+      }
+  }
+}

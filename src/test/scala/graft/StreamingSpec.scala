@@ -634,6 +634,117 @@ class StreamingSpec extends SparkSpec {
     assert(out(5001L) == 2L, s"active user keeps its live depth: $out")
   }
 
+  test("streaming interval length sum equals the batch sweep (q135 parity)") {
+    import graft.streaming.StreamingIntervals
+    import graft.operators.Intervals
+    import spark.implicits._
+    val batch = Tables(spark, sf).events
+      .withColumn("sms", unix_millis(col("ts")))
+      .withColumn("ems", col("sms") + round(col("value") * 1000).cast("long"))
+    val expected = Intervals
+      .intervalLengthSum(batch, $"user_id", $"sms", $"ems", $"event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val data = batch.select($"user_id", $"ts", $"ems")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .sortBy(_._2.getTime)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val src = ms.toDF().toDF("user_id", "ts", "end_ms")
+      .withWatermark("ts", "1 hour")
+    val q = StreamingIntervals
+      .streamingIntervalLengthSum(src, "user_id", "ts", "end_ms")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ilen_out")
+      .start()
+    // slice delivery → segment flushing, the live frontier, and the
+    // pending buffer all round-trip the state store across triggers
+    data.grouped(math.max(1, data.length / 4 + 1)).foreach { slice =>
+      ms.addData(slice.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("ilen_out")
+      .groupBy("k").agg(max("value").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    expected.foreach { case (u, want) =>
+      assert(got.getOrElse(u, 0L) == want,
+        s"user $u: stream ${got.get(u)} vs batch $want")
+    }
+  }
+
+  test("streaming max intersections equals the batch sweep (q134-family parity)") {
+    import graft.streaming.StreamingIntervals
+    import graft.operators.Intervals
+    import spark.implicits._
+    val batch = Tables(spark, sf).events
+      .withColumn("sms", unix_millis(col("ts")))
+      .withColumn("ems", col("sms") + round(col("value") * 1000).cast("long"))
+    val expected = Intervals
+      .maxIntersections(batch, $"user_id", $"sms", $"ems")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val data = batch.select($"user_id", $"ts", $"ems")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .sortBy(_._2.getTime)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val src = ms.toDF().toDF("user_id", "ts", "end_ms")
+      .withWatermark("ts", "1 hour")
+    val q = StreamingIntervals
+      .streamingMaxIntersections(src, "user_id", "ts", "end_ms")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("imax_out")
+      .start()
+    data.grouped(math.max(1, data.length / 4 + 1)).foreach { slice =>
+      ms.addData(slice.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("imax_out")
+      .groupBy("k").agg(max("value").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    expected.foreach { case (u, want) =>
+      assert(got.getOrElse(u, 0L) == want,
+        s"user $u: stream ${got.get(u)} vs batch $want")
+    }
+  }
+
+  test("interval sweep state flushes below the watermark (bounded frontier)") {
+    import graft.streaming.StreamingIntervals
+    import spark.implicits._
+    // synthetic: one user, intervals marching forward in time — after
+    // the watermark advances past early segments, the live frontier
+    // must not retain them (probe via the optimistic totals staying
+    // exact while slices stream in strictly increasing time)
+    val base = 1700000000000L
+    val rows = (0 until 200).map { i =>
+      (7L, new java.sql.Timestamp(base + i * 10000L), base + i * 10000L + 7000L)
+    }
+    val want = 200L * 7000L // disjoint: 7 s every 10 s
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val src = ms.toDF().toDF("user_id", "ts", "end_ms")
+      .withWatermark("ts", "10 seconds")
+    val q = StreamingIntervals
+      .streamingIntervalLengthSum(src, "user_id", "ts", "end_ms")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("iflush_out")
+      .start()
+    rows.grouped(20).foreach { slice =>
+      ms.addData(slice.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("iflush_out")
+      .groupBy("k").agg(max("value").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(7L) == want, s"got ${got.get(7L)} want $want")
+  }
+
   test("feature extraction really decodes media and fingerprints opaque bytes") {
     import graft.operators.Multimodal
     val media = Multimodal.asBinaryFrame(Tables(spark, sf).documents, "doc_id", "text")
