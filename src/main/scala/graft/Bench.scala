@@ -95,16 +95,19 @@ object Bench {
     }
     // The driver captures only a bounded tail of this process's output,
     // so the ONE JSON line must stay well under 2000 chars: short qNN
-    // keys (contract example style: {"q1":sec,…}) + 3-decimal values.
-    // Full-name timings additionally land in docs/bench_detail.json
-    // for humans and tools/compare_bench.py.
+    // keys (contract example style: {"q1":sec,…}) + 2-decimal values
+    // (149 queries at 3 decimals measured 1942 chars — one query from
+    // truncation; 10 ms resolution is noise at suite scale anyway).
+    // Full-name 3-decimal timings land in docs/bench_detail.json for
+    // humans and tools/compare_bench.py.
     def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def r2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
     val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val agg = s"median$nPasses"
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","agg":"$agg","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r2(total)},"unit":"sec","agg":"$agg","queries":$qs,"sf":"$sfDir"}"""
     // load context: 1-min loadavg before/after the run — the round-9
     // bisect traced a +26% cross-round total swing to machine/session
     // drift (same jar, same queries, different day), so totals are
