@@ -441,6 +441,26 @@ object H264 {
     (0, 5) -> "00000000111", (1, 5) -> "0000000110", (2, 5) -> "000000101",
     (3, 5) -> "0000100")
 
+  /** coeff_token for 2 ≤ nC < 4 (same Table 9-5, the context AC-level
+    * streams reach once neighbor TotalCoeffs exceed 1). The q150
+    * streams use rows (0,1) and (2,2); all rows here are validated by
+    * prefix-freeness + round-trip (no published worked example pins
+    * this class the way the nC<2 one is pinned).
+    */
+  private val coeffTokenNc23: Map[(Int, Int), String] = Map(
+    (0, 0) -> "11",
+    (0, 1) -> "001011", (1, 1) -> "10",
+    (0, 2) -> "000111", (1, 2) -> "00111", (2, 2) -> "011",
+    (0, 3) -> "0000111", (1, 3) -> "001010", (2, 3) -> "001001",
+    (3, 3) -> "0101",
+    (0, 4) -> "00000111", (1, 4) -> "000110", (2, 4) -> "000101",
+    (3, 4) -> "0100",
+    (0, 5) -> "00000100", (1, 5) -> "0000110", (2, 5) -> "0000101",
+    (3, 5) -> "00110")
+
+  private def coeffTokenTable(nC: Int): Map[(Int, Int), String] =
+    if (nC < 2) coeffTokenNc01 else coeffTokenNc23
+
   /** total_zeros[TotalCoeff 1..7][tz]. */
   private val totalZerosTab: Array[Array[String]] = Array(
     Array("1", "011", "010", "0011", "0010", "00011", "00010", "000011",
@@ -473,7 +493,8 @@ object H264 {
 
   private[graft] def tableForSpec(name: String): Seq[Seq[String]] =
     name match {
-      case "coeff_token" => Seq(coeffTokenNc01.values.toSeq)
+      case "coeff_token" =>
+        Seq(coeffTokenNc01.values.toSeq, coeffTokenNc23.values.toSeq)
       case "total_zeros" => totalZerosTab.map(_.toSeq).toSeq
       case "run_before"  => runBeforeTab.map(_.toSeq).toSeq
       case _ => Seq.empty
@@ -507,18 +528,19 @@ object H264 {
     * example and round-trip/independent-simulation properties without
     * exposing the bit I/O classes.
     */
-  private[graft] def encodeBlockBits(coeffs: Array[Int]): String = {
+  private[graft] def encodeBlockBits(coeffs: Array[Int], nC: Int = 0): String = {
     val bw = new BitWriter
-    encodeCoeffBlock(bw, coeffs)
+    encodeCoeffBlock(bw, coeffs, nC)
     bw.bitString
   }
 
-  private[graft] def decodeBlockBits(bits: String): Option[Array[Int]] = {
+  private[graft] def decodeBlockBits(bits: String,
+      nC: Int = 0): Option[Array[Int]] = {
     val bw = new BitWriter
     bits.foreach(c => bw.u(c - '0', 1))
     bw.u(0, 16) // tail padding so short VLC reads never hit EOS early
     val padded = bw.stop()
-    try decodeCoeffBlock(new BitReader(padded))
+    try decodeCoeffBlock(new BitReader(padded), nC)
     catch { case _: IllegalStateException => None }
   }
 
@@ -526,17 +548,18 @@ object H264 {
     dequantIdct4x4(scan, qp)
 
   /** CAVLC-encode one 4x4 block's coefficients (zigzag-scan order,
-    * length 16) for context 0 ≤ nC < 2. Emitter caps: TotalCoeff ≤ 5,
+    * length 16) for context nC < 4. Emitter caps: TotalCoeff ≤ 5,
     * |level| ≤ 7 (keeps level_prefix in the non-escape range).
     */
   private[operators] def encodeCoeffBlock(bw: BitWriter,
-      coeffs: Array[Int]): Unit = {
+      coeffs: Array[Int], nC: Int = 0): Unit = {
     val nz = coeffs.zipWithIndex.filter(_._1 != 0)
     val tc = nz.length
     require(tc <= 5, s"TotalCoeff $tc beyond table subset")
+    require(nC < 4, s"nC $nC beyond table subset")
     var t1 = 0
     while (t1 < math.min(3, tc) && math.abs(nz(tc - 1 - t1)._1) == 1) t1 += 1
-    writeCode(bw, coeffTokenNc01((t1, tc)))
+    writeCode(bw, coeffTokenTable(nC)((t1, tc)))
     if (tc == 0) return
     // trailing-one signs, highest scan position first
     (0 until t1).foreach(i => bw.u(if (nz(tc - 1 - i)._1 < 0) 1 else 0, 1))
@@ -578,11 +601,14 @@ object H264 {
     }
   }
 
-  /** CAVLC-decode one 4x4 block (context 0 ≤ nC < 2) to zigzag-scan
+  /** CAVLC-decode one 4x4 block (context nC < 4) to zigzag-scan
     * coefficients; None on any code outside the table subset.
     */
-  private[operators] def decodeCoeffBlock(r: BitReader): Option[Array[Int]] = {
-    val tokenCodes = coeffTokenNc01.map { case ((t1, tc), c) => c -> (t1 * 32 + tc) }
+  private[operators] def decodeCoeffBlock(r: BitReader,
+      nC: Int = 0): Option[Array[Int]] = {
+    if (nC >= 4) return None
+    val tokenCodes = coeffTokenTable(nC)
+      .map { case ((t1, tc), c) => c -> (t1 * 32 + tc) }
     val token = readVlc(r, tokenCodes, 16).getOrElse(return None)
     val t1 = token / 32
     val tc = token % 32
@@ -733,7 +759,62 @@ object H264 {
     * tree, giving the closed-form oracle. The remaining H.26x caveat
     * narrows to entropy-coded inter/CABAC decode.
     */
-  def synthesizeH264Cavlc(mbH: Int, nFrames: Int, seed: Long): Array[Byte] = {
+  def synthesizeH264Cavlc(mbH: Int, nFrames: Int, seed: Long): Array[Byte] =
+    synthIntraStream(mbH, nFrames, synthMode,
+      (f, bx, by) => {
+        val scan = Array.fill(16)(0)
+        scan(0) = synthLevel(seed, f, bx, by)
+        scan
+      })
+
+  /** The four AC coefficient vectors of [[synthesizeH264CavlcAc]],
+    * zigzag-scan order, confined to raster row 0 (scan positions
+    * 0, 1, 5, 6) so the IDCT output is COLUMN-CONSTANT: the column
+    * transform of [d, 0, 0, 0] replicates d down the column, which is
+    * what keeps the q150 oracle closed-form (per-pixel-column scalar
+    * chains under VERTICAL prediction). Levels span the CAVLC paths a
+    * flat-DC stream never hits in-stream: a non-±1 level (k=0),
+    * double trailing-ones at tz 0 / 4 / 5 with run_before gaps
+    * (k=1/2/3). |IDCT| ≤ 6 per step keeps every chain clip-free.
+    */
+  private val acScanVectors: Array[Array[Int]] = {
+    def vec(entries: (Int, Int)*): Array[Int] = {
+      val a = Array.fill(16)(0)
+      entries.foreach { case (p, v) => a(p) = v }
+      a
+    }
+    Array(
+      vec(0 -> 2),           // TC=1, T1=0: level prefix/suffix path
+      vec(0 -> -1, 1 -> 1),  // TC=2, T1=2, total_zeros=0
+      vec(0 -> 1, 5 -> -1),  // TC=2, T1=2, tz=4, run_before run=4
+      vec(1 -> 1, 6 -> -1))  // TC=2, T1=2, tz=5, run_before run=4
+  }
+
+  private[graft] def acVectorForSpec(k: Int): Array[Int] =
+    acScanVectors(k).clone()
+
+  /** AC-level CAVLC streams: same I_4x4 skeleton as
+    * [[synthesizeH264Cavlc]] but each block carries one of
+    * [[acScanVectors]] (chosen by the same %4 index), with DC
+    * prediction along the top block row and VERTICAL below — the
+    * column-constant residuals then make every pixel column an
+    * independent scalar chain (q150's closed-form oracle). Neighbor
+    * TotalCoeffs now reach 2, so blocks genuinely exercise the
+    * 2 ≤ nC < 4 coeff_token table in-stream.
+    */
+  def synthesizeH264CavlcAc(mbH: Int, nFrames: Int, seed: Long): Array[Byte] =
+    synthIntraStream(mbH, nFrames,
+      (bx, by) => if (by > 0) 0 else 2, // DC top row, VERTICAL below
+      (f, bx, by) =>
+        acScanVectors(((seed + f * 11 + bx * 7 + by * 5) % 4).toInt))
+
+  /** Shared I_4x4 stream writer: 16-wide frames (one MB per row), QP
+    * 24, cbp 15, per-block modes/coefficients from the callbacks, nC
+    * tracked with the same neighbor rule the decoder applies.
+    */
+  private def synthIntraStream(mbH: Int, nFrames: Int,
+      modeOf: (Int, Int) => Int,
+      scanOf: (Int, Int, Int) => Array[Int]): Array[Byte] = {
     val out = new ArrayBuffer[Byte]()
     out ++= Array[Byte](0, 0, 0, 1)
     out += 0x67.toByte
@@ -754,11 +835,12 @@ object H264 {
       bw.se(-2)       // slice_qp_delta: SliceQPy = 26 - 2 = 24
       bw.ue(1)        // disable_deblocking_filter_idc
       val modes = Array.fill(4, 4 * mbH)(-1)
+      val tcs = Array.fill(4, 4 * mbH)(0)
       (0 until mbH).foreach { my =>
         bw.ue(0)      // mb_type: I_4x4 (I_NxN; no 8x8 transform in PPS)
         zScan4x4.foreach { case (zx, zy) =>
           val (bx, by) = (zx, my * 4 + zy)
-          val mode = synthMode(bx, by)
+          val mode = modeOf(bx, by)
           val mA = if (bx == 0) 2 else modes(bx - 1)(by)
           val mB = if (by == 0) 2 else modes(bx)(by - 1)
           val pred = math.min(mA, mB)
@@ -774,9 +856,16 @@ object H264 {
         bw.se(0)      // mb_qp_delta
         zScan4x4.foreach { case (zx, zy) =>
           val (bx, by) = (zx, my * 4 + zy)
-          val scan = Array.fill(16)(0)
-          scan(0) = synthLevel(seed, f, bx, by)
-          encodeCoeffBlock(bw, scan)
+          val scan = scanOf(f, bx, by)
+          val nA = if (bx == 0) -1 else tcs(bx - 1)(by)
+          val nB = if (by == 0) -1 else tcs(bx)(by - 1)
+          val nC =
+            if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+            else if (nA >= 0) nA
+            else if (nB >= 0) nB
+            else 0
+          encodeCoeffBlock(bw, scan, nC)
+          tcs(bx)(by) = scan.count(_ != 0)
         }
       }
       out ++= escape(bw.stop())
@@ -795,7 +884,7 @@ object H264 {
     * buffer, clip — plus chroma DC prediction (quadrant availability
     * rules) with no chroma residual. None on anything outside the
     * documented subset (angular modes 3-8, non-I_4x4 mb_type, chroma
-    * cbp, nC ≥ 2, TotalCoeff > 5 tokens): refuse rather than guess.
+    * cbp, nC ≥ 4, TotalCoeff > 5 tokens): refuse rather than guess.
     */
   def decodeCavlcIntra(p: Array[Byte]): Option[CavlcFrames] = {
     try {
@@ -876,8 +965,8 @@ object H264 {
                       else if (nA >= 0) nA
                       else if (nB >= 0) nB
                       else 0
-                    if (nC >= 2) return None // other nC tables out of subset
-                    decodeCoeffBlock(r).getOrElse(return None)
+                    if (nC >= 4) return None // nC ≥ 4 tables out of subset
+                    decodeCoeffBlock(r, nC).getOrElse(return None)
                   } else Array.fill(16)(0)
                 val tc = coeffs.count(_ != 0)
                 tcs(bx)(by) = tc

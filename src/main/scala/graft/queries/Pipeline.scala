@@ -1415,6 +1415,33 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // H.264 CAVLC with AC LEVELS in-stream (q149's deepening): blocks
+    // carry 2-coefficient vectors confined to raster row 0, so the
+    // IDCT output is column-constant and — under DC-top-row /
+    // VERTICAL-below prediction — every pixel column is an independent
+    // scalar chain the oracle re-derives closed-form. Neighbor
+    // TotalCoeffs reach 2, so the 2≤nC<4 coeff_token table, trailing-
+    // one signs, level prefix, total_zeros at 0/4/5 and run_before
+    // gaps all decode in-stream.
+    "q150_h264_cavlc_ac" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 2 === 0)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbH = 1 + (id % 3).toInt
+          val nf = 1 + (id % 2).toInt
+          val st = graft.operators.H264.synthesizeH264CavlcAc(mbH, nf, id)
+          graft.operators.H264.decodeCavlcIntra(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nLevels)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height",
+          "luma_sum", "chroma_sum", "weighted_sum", "n_levels")
+        .orderBy($"doc_id")
+    },
+
     // The full curation funnel (lang → quality → exact dedup →
     // decontamination) with per-stage audit counts — every dropped doc
     // accounted to the stage that dropped it.
@@ -2822,6 +2849,51 @@ object Pipeline {
         |  CAST(sum((lum.f + 1) * (lum.ls + 16384 * d.mbh)) AS BIGINT)
         |    AS weighted_sum,
         |  CAST(sum(lum.nblk) AS BIGINT) AS n_levels
+        |FROM d JOIN lum ON d.doc_id = lum.doc_id
+        |GROUP BY 1
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors synthesizeH264CavlcAc: per-pixel-column scalar chains —
+    // V(bx,by,x) = 128 + sum of right-column residuals c3 along the
+    // top block row left of bx, plus the per-column residuals c(k,x)
+    // down block column bx; c is the PINNED IDCT table (H264Spec
+    // asserts it against the real dequant+transform): k0=[5,5,5,5],
+    // k1=[1,-1,-4,-6], k2=[0,5,5,0], k3=[2,5,-5,-2]; 4 rows per
+    // column → factor 4; chroma DC-flat 128; levels: k0→1 else 2
+    "q150_h264_cavlc_ac" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INTEGER) AS mbh,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |fr AS (SELECT doc_id, mbh, f.f AS f FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f),
+        |blk AS (SELECT doc_id, mbh, f, bx.i AS bx, by.i AS by FROM fr,
+        |  LATERAL (SELECT unnest(generate_series(0, 3)) AS i) bx,
+        |  LATERAL (SELECT unnest(generate_series(0, 4 * mbh - 1)) AS i) by),
+        |pix AS (SELECT doc_id, mbh, f, bx, by, x.i AS x,
+        |  128
+        |  + coalesce((SELECT sum(CASE (doc_id + f * 11 + m.m * 7) % 4
+        |       WHEN 0 THEN 5 WHEN 1 THEN -6 WHEN 2 THEN 0 ELSE -2 END)
+        |     FROM (SELECT unnest(generate_series(0, bx - 1)) AS m) m), 0)
+        |  + (SELECT sum(CASE ((doc_id + f * 11 + bx * 7 + j.j * 5) % 4) * 4 + x.i
+        |       WHEN 0 THEN 5 WHEN 1 THEN 5 WHEN 2 THEN 5 WHEN 3 THEN 5
+        |       WHEN 4 THEN 1 WHEN 5 THEN -1 WHEN 6 THEN -4 WHEN 7 THEN -6
+        |       WHEN 8 THEN 0 WHEN 9 THEN 5 WHEN 10 THEN 5 WHEN 11 THEN 0
+        |       WHEN 12 THEN 2 WHEN 13 THEN 5 WHEN 14 THEN -5 ELSE -2 END)
+        |     FROM (SELECT unnest(generate_series(0, by)) AS j) j) AS val
+        |  FROM blk, LATERAL (SELECT unnest(generate_series(0, 3)) AS i) x),
+        |lum AS (SELECT doc_id, f, sum(4 * val) AS ls,
+        |    count(*) / 4 AS nblk,
+        |    sum(CASE WHEN (doc_id + f * 11 + bx * 7 + by * 5) % 4 = 0
+        |        THEN 1 ELSE 2 END) / 4 AS nlev
+        |  FROM pix GROUP BY 1, 2)
+        |SELECT d.doc_id, CAST(max(d.nf) AS INTEGER) AS n_frames,
+        |  CAST(16 AS INTEGER) AS width,
+        |  CAST(max(16 * d.mbh) AS INTEGER) AS height,
+        |  CAST(sum(lum.ls) AS BIGINT) AS luma_sum,
+        |  CAST(sum(16384 * d.mbh) AS BIGINT) AS chroma_sum,
+        |  CAST(sum((lum.f + 1) * (lum.ls + 16384 * d.mbh)) AS BIGINT)
+        |    AS weighted_sum,
+        |  CAST(sum(lum.nlev) AS BIGINT) AS n_levels
         |FROM d JOIN lum ON d.doc_id = lum.doc_id
         |GROUP BY 1
         |ORDER BY d.doc_id""".stripMargin,

@@ -201,6 +201,80 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("AC vectors are column-constant with the pinned IDCT values") {
+    // raster-row-0 coefficients → the column transform replicates row
+    // 0 down every column; these exact values are hard-coded in the
+    // q150 oracle, so a drift here is an oracle break, not just noise
+    val want = Seq(
+      Seq(5, 5, 5, 5), Seq(1, -1, -4, -6), Seq(0, 5, 5, 0), Seq(2, 5, -5, -2))
+    for (k <- 0 until 4) {
+      val r = H264.dequantIdctForSpec(H264.acVectorForSpec(k), 24)
+      for (y <- 1 until 4; x <- 0 until 4)
+        assert(r(y * 4 + x) == r(x), s"k=$k not column-constant")
+      assert(r.take(4).toSeq == want(k),
+        s"k=$k cols ${r.take(4).mkString(",")} != pinned ${want(k).mkString(",")}")
+    }
+  }
+
+  test("CAVLC block coder round-trips in the 2<=nC<4 context") {
+    val rnd = new scala.util.Random(991)
+    for (_ <- 0 until 300) {
+      val tc = rnd.nextInt(6) // 0..5 (TC=0 valid here: coeff_token (0,0))
+      val positions = rnd.shuffle((0 until 16).toList).take(tc).sorted
+      val scan = Array.fill(16)(0)
+      positions.foreach { p =>
+        var v = 0
+        while (v == 0) v = rnd.nextInt(15) - 7
+        scan(p) = v
+      }
+      for (nC <- Seq(2, 3)) {
+        val bits = H264.encodeBlockBits(scan, nC)
+        val back = H264.decodeBlockBits(bits, nC)
+        assert(back.isDefined && back.get.sameElements(scan),
+          s"nC=$nC coeffs ${scan.mkString(",")} bits $bits")
+      }
+    }
+  }
+
+  test("AC CAVLC stream decode equals the per-column chain simulation") {
+    val c = Array(Array(5, 5, 5, 5), Array(1, -1, -4, -6),
+      Array(0, 5, 5, 0), Array(2, 5, -5, -2))
+    for (seed <- 0L until 20L) {
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 1 + (seed % 2).toInt
+      val m = H264.decodeCavlcIntra(H264.synthesizeH264CavlcAc(mbH, nf, seed)).get
+      assert(m.nFrames == nf && m.width == 16 && m.height == mbH * 16)
+      def kOf(f: Int, bx: Int, by: Int): Int =
+        ((seed + f * 11 + bx * 7 + by * 5) % 4).toInt
+      var wantL = 0L; var wantW = 0L; var wantN = 0L
+      val wantC = 128L * 2 * 8 * (8 * mbH)
+      for (f <- 0 until nf) {
+        // per-column scalar chains: top row chains DC left-to-right on
+        // the right column value; below, VERTICAL adds per-column c
+        val v = Array.ofDim[Long](4, 4 * mbH, 4) // (bx, by, col)
+        var fl = 0L
+        for (by <- 0 until 4 * mbH; bx <- 0 until 4) {
+          val k = kOf(f, bx, by)
+          for (x <- 0 until 4) {
+            val base =
+              if (by == 0 && bx == 0) 128L
+              else if (by == 0) v(bx - 1)(0)(3) // DC = left's right column
+              else v(bx)(by - 1)(x)             // VERTICAL per column
+            v(bx)(by)(x) = base + c(k)(x)
+            fl += 4 * v(bx)(by)(x) // 4 rows per column
+          }
+          wantN += (if (k == 0) 1 else 2)
+        }
+        wantL += fl
+        wantW += (f + 1) * (fl + wantC)
+      }
+      assert(m.lumaSum == wantL, s"seed=$seed luma ${m.lumaSum} != $wantL")
+      assert(m.chromaSum == wantC * nf, s"seed=$seed chroma")
+      assert(m.weightedSum == wantW, s"seed=$seed weighted")
+      assert(m.nLevels == wantN, s"seed=$seed levels ${m.nLevels} != $wantN")
+    }
+  }
+
   test("CAVLC decode refuses I_PCM and bitstream-payload streams") {
     assert(H264.decodeCavlcIntra(H264.synthesizeH264IPcm(1, 1, 1, 3L)).isEmpty)
     assert(H264.decodeCavlcIntra(H264.synthesizeH264Stream(32, 32, 30, 2, 7L)).isEmpty)
