@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming twins of the batch interval-algebra sweeps
   * ([[graft.operators.Intervals]], q134/q135): the same per-key
@@ -88,6 +88,122 @@ object StreamingIntervals {
         val optimistic = flushed +
           mergeInto(live, pend).map(x => x._2 - x._1).sum
         IntervalUpdate(k, optimistic)
+      }
+  }
+
+  /** Production wiring: EVENT-TIME EVICTION for the union-length
+    * sweep. Once a key's frontier has fully drained (every coverage
+    * segment flushed below the watermark, no pending events), no
+    * FUTURE interval can touch what was already counted — future
+    * starts exceed the watermark, which exceeds every flushed end —
+    * so the accumulated counter is an EPOCH-final value: the timer
+    * emits it and REMOVES the state. A returning key opens a fresh
+    * epoch whose coverage is provably disjoint from every emitted
+    * epoch, so downstream takes the SUM of finals per key (exact, not
+    * a trade-off). State is O(keys with live coverage), not O(keys
+    * ever). Only finals are emitted (Append mode): optimistic
+    * per-trigger rows would double-count under the SUM contract —
+    * the NoTimeout variant above is the monotone-emission form.
+    */
+  def streamingIntervalLengthSumEvicting(events: DataFrame, keyCol: String,
+      tsCol: String, endMsCol: String): Dataset[IntervalUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
+        col(endMsCol).cast("long").as("end_ms"))
+      .as[IEvent]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[LenState, IntervalUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k, it, state) =>
+        if (state.hasTimedOut) {
+          // the timer ripens only past every live end and pending
+          // event (armed at horizon+1), but the watermark may have
+          // advanced via OTHER keys with no final fold here — so fold
+          // the leftover frontier before emitting the epoch total
+          val st = state.get
+          val total = st.flushedMs +
+            mergeInto(st.segments, st.pending.sortBy(x => (x._1, x._2)))
+              .map(x => x._2 - x._1).sum
+          state.remove()
+          Iterator.single(IntervalUpdate(k, total))
+        } else {
+          val st = state.getOption.getOrElse(LenState(0L, Seq.empty, Seq.empty))
+          val wm = state.getCurrentWatermarkMs()
+          val arrivals = it.map(e => (e.ts.getTime, e.end_ms))
+            .filter(x => x._2 > x._1)
+            .filter(_._1 > wm)
+            .toSeq
+          val all = (st.pending ++ arrivals).sortBy(x => (x._1, x._2))
+          val (ripe, pend) = all.partition(_._1 <= wm)
+          val merged = mergeInto(st.segments, ripe)
+          val (done, live) = merged.partition(_._2 <= wm)
+          val flushed = st.flushedMs + done.map(x => x._2 - x._1).sum
+          state.update(LenState(flushed, live, pend))
+          // the epoch is final once the watermark clears every live
+          // end and the buffer has drained; clamp ahead of the
+          // watermark (timers at or behind it are rejected)
+          val horizon = (live.map(_._2) ++ pend.map(_._2)).foldLeft(wm)(math.max)
+          state.setTimeoutTimestamp(math.max(horizon, wm) + 1)
+          Iterator.empty
+        }
+      }
+  }
+
+  /** EVENT-TIME EVICTION for max concurrency: same epoch argument —
+    * once every open end is below the watermark, no future interval
+    * can overlap anything counted, the running max is epoch-final,
+    * and max-of-finals downstream equals the global max (concurrency
+    * never spans an idle gap). Emits finals only.
+    */
+  def streamingMaxIntersectionsEvicting(events: DataFrame, keyCol: String,
+      tsCol: String, endMsCol: String): Dataset[IntervalUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def sweep(openEnds: Seq[Long], ivs: Seq[(Long, Long)]): (Long, Seq[Long]) = {
+      val heap = scala.collection.mutable.PriorityQueue.empty[Long](
+        Ordering[Long].reverse)
+      openEnds.foreach(heap.enqueue(_))
+      var mx = heap.size.toLong
+      ivs.foreach { case (s, e) =>
+        while (heap.nonEmpty && heap.head <= s) heap.dequeue()
+        heap.enqueue(e)
+        if (heap.size > mx) mx = heap.size
+      }
+      (mx, heap.dequeueAll.toSeq)
+    }
+
+    events.select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
+        col(endMsCol).cast("long").as("end_ms"))
+      .as[IEvent]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[MaxState, IntervalUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k, it, state) =>
+        if (state.hasTimedOut) {
+          // fold the leftover frontier (see the length-sum variant)
+          val st = state.get
+          val (mx, _) = sweep(st.openEnds,
+            st.pending.sortBy(x => (x._1, x._2)))
+          state.remove()
+          Iterator.single(IntervalUpdate(k, math.max(st.flushedMax, mx)))
+        } else {
+          val st = state.getOption.getOrElse(MaxState(0L, Seq.empty, Seq.empty))
+          val wm = state.getCurrentWatermarkMs()
+          val arrivals = it.map(e => (e.ts.getTime, e.end_ms))
+            .filter(_._1 > wm)
+            .toSeq
+          val all = (st.pending ++ arrivals).sortBy(x => (x._1, x._2))
+          val (ripe, pend) = all.partition(_._1 <= wm)
+          val (mx1, opens) = sweep(st.openEnds, ripe)
+          val flushedMax = math.max(st.flushedMax, mx1)
+          val live = opens.filter(_ > wm)
+          state.update(MaxState(flushedMax, live, pend))
+          val horizon = (live ++ pend.map(_._2)).foldLeft(wm)(math.max)
+          state.setTimeoutTimestamp(math.max(horizon, wm) + 1)
+          Iterator.empty
+        }
       }
   }
 

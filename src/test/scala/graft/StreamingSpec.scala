@@ -745,6 +745,95 @@ class StreamingSpec extends SparkSpec {
     assert(got(7L) == want, s"got ${got.get(7L)} want $want")
   }
 
+  test("evicting interval length sum: epoch finals SUM to the batch total") {
+    import graft.streaming.StreamingIntervals
+    import graft.operators.Intervals
+    import spark.implicits._
+    val base = 1700000000000L
+    def ts(m: Long) = new java.sql.Timestamp(base + m * 60000L)
+    def iv(k: Long, m: Long, secs: Long) = (k, ts(m), base + m * 60000L + secs * 1000L)
+    // key 7: epoch A (two overlapping intervals), 10 h idle (state must
+    // evict), epoch B (one disjoint interval) — exact total must
+    // survive the removal as the SUM of epoch finals
+    val epochA = Seq(iv(7L, 0, 90), iv(7L, 1, 60), iv(8L, 0, 30))
+    val push1 = Seq(iv(-1L, 600, 1))
+    val epochB = Seq(iv(7L, 620, 45))
+    val push2 = Seq(iv(-1L, 1300, 1))
+    val all = epochA ++ push1 ++ epochB ++ push2
+    val batch = all.toDF("k", "ts", "end_ms")
+      .withColumn("sms", unix_millis(col("ts")))
+    val expected = Intervals
+      .intervalLengthSum(batch, $"k", $"sms", $"end_ms", $"sms")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val src = ms.toDF().toDF("k", "ts", "end_ms")
+      .withWatermark("ts", "1 minute")
+    val q = StreamingIntervals
+      .streamingIntervalLengthSumEvicting(src, "k", "ts", "end_ms")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ilen_evict_out")
+      .start()
+    Seq(epochA, push1, epochB, push2, Seq(iv(-1L, 2000, 1))).foreach { s =>
+      ms.addData(s); q.processAllAvailable()
+    }
+    val removed = q.recentProgress.toSeq
+      .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    q.stop()
+    assert(removed >= 1, s"drained-frontier state must evict, removed=$removed")
+    val got = spark.table("ilen_evict_out")
+      .groupBy("k").agg(sum("value").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.filter(_._1 >= 0).foreach { case (k, v) =>
+      assert(expected(k) == v, s"key $k: finals sum $v vs batch ${expected(k)}")
+    }
+    assert(got.contains(7L), "evicted epochs must have emitted finals")
+  }
+
+  test("evicting max intersections: epoch finals MAX to the batch answer") {
+    import graft.streaming.StreamingIntervals
+    import graft.operators.Intervals
+    import spark.implicits._
+    val base = 1700000000000L
+    def ts(m: Long) = new java.sql.Timestamp(base + m * 60000L)
+    def iv(k: Long, m: Long, secs: Long) = (k, ts(m), base + m * 60000L + secs * 1000L)
+    // epoch A: 3 concurrent at key 7; epoch B after eviction: only 2
+    val epochA = Seq(iv(7L, 0, 300), iv(7L, 1, 300), iv(7L, 2, 300))
+    val push1 = Seq(iv(-1L, 600, 1))
+    val epochB = Seq(iv(7L, 620, 120), iv(7L, 621, 120))
+    val push2 = Seq(iv(-1L, 1300, 1))
+    val all = epochA ++ push1 ++ epochB ++ push2
+    val batch = all.toDF("k", "ts", "end_ms")
+      .withColumn("sms", unix_millis(col("ts")))
+    val expected = Intervals.maxIntersections(batch, $"k", $"sms", $"end_ms")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val src = ms.toDF().toDF("k", "ts", "end_ms")
+      .withWatermark("ts", "1 minute")
+    val q = StreamingIntervals
+      .streamingMaxIntersectionsEvicting(src, "k", "ts", "end_ms")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("imax_evict_out")
+      .start()
+    Seq(epochA, push1, epochB, push2, Seq(iv(-1L, 2000, 1))).foreach { s =>
+      ms.addData(s); q.processAllAvailable()
+    }
+    val removed = q.recentProgress.toSeq
+      .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    q.stop()
+    assert(removed >= 1, s"state must evict, removed=$removed")
+    val got = spark.table("imax_evict_out")
+      .groupBy("k").agg(max("value").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.filter(_._1 >= 0).foreach { case (k, v) =>
+      assert(expected(k) == v, s"key $k: finals max $v vs batch ${expected(k)}")
+    }
+    assert(got(7L) == 3L, "epoch-A concurrency must survive eviction")
+  }
+
   test("feature extraction really decodes media and fingerprints opaque bytes") {
     import graft.operators.Multimodal
     val media = Multimodal.asBinaryFrame(Tables(spark, sf).documents, "doc_id", "text")
