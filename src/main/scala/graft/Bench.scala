@@ -45,17 +45,8 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ")(0)
       catch { case _: Throwable => "-1" }
-    // warmup: touch every table + run one representative query.
-    // Per-table try/catch: one broken reader must cost one table's
-    // warmup, never the whole bench artifact (round-10 lesson — the
-    // events reader threw here and BENCH_r10 recorded nothing).
-    val warmupTables = Tables(spark, sfDir)
-    Tables.names.foreach { n =>
-      try warmupTables.frame(n).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
-      }
-    }
+    // warmup: touch every table + run one representative query
+    Tables.warmupAll(spark, sfDir, "bench")
     runOnce("q01_agg_pricing_summary")
 
     // three passes, report per-query MEDIAN: robust to a one-off GC

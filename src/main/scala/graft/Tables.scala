@@ -80,4 +80,19 @@ object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Touch every table once (parquet footers, codegen, JVM warmup)
+    * with per-table isolation: one broken reader costs one table's
+    * warmup and a loud stderr line, never the caller's whole artifact
+    * (the round-10 lesson — shared by Bench and ProfileQ).
+    */
+  def warmupAll(spark: SparkSession, dir: String, tag: String): Unit = {
+    val t = Tables(spark, dir)
+    names.foreach { n =>
+      try t.frame(n).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[$tag] warmup $n failed: ${e.getMessage}")
+      }
+    }
+  }
 }

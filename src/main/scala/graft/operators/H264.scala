@@ -644,10 +644,10 @@ object H264 {
     }
     var tz = 0
     if (tc < 16) {
+      if (tc > 7) return None // Table 9-8 rows out of subset
       val tzCodes = totalZerosTab(tc - 1).zipWithIndex.map {
         case (c, v) => c -> v
       }.toMap
-      if (tc > 7) return None // Table 9-8 rows out of subset
       tz = readVlc(r, tzCodes, 16).getOrElse(return None)
     }
     // place levels: walk from the highest scan position down
@@ -673,6 +673,9 @@ object H264 {
               while (r.u(1) == 0) { run += 1; if (run > 16) return None }
             }
           }
+          // a crafted stream can code a run past the remaining zeros;
+          // that would drive the landing index negative — refuse
+          if (run > zerosLeft) return None
         }
         zerosLeft -= run
         pos -= run + 1

@@ -41,6 +41,24 @@ object StreamingIntervals {
       pending: Seq[(Long, Long)])
   final case class IntervalUpdate(k: Long, value: Long)
 
+  /** Sweep sorted-by-start intervals against the carried open-end
+    * multiset; returns (max concurrency seen, open ends after) —
+    * half-open, so an end AT a start closes first.
+    */
+  private def sweepOpens(openEnds: Seq[Long],
+      ivs: Seq[(Long, Long)]): (Long, Seq[Long]) = {
+    val heap = scala.collection.mutable.PriorityQueue.empty[Long](
+      Ordering[Long].reverse) // min-heap of ends
+    openEnds.foreach(heap.enqueue(_))
+    var mx = heap.size.toLong // carried opens were concurrent at entry
+    ivs.foreach { case (s, e) =>
+      while (heap.nonEmpty && heap.head <= s) heap.dequeue()
+      heap.enqueue(e)
+      if (heap.size > mx) mx = heap.size
+    }
+    (mx, heap.dequeueAll.toSeq)
+  }
+
   /** Merge sorted-by-start intervals into a disjoint segment list
     * seeded with `segments` (disjoint, sorted). Pure sweep — the same
     * max-prior-end argument as the batch operator.
@@ -160,20 +178,6 @@ object StreamingIntervals {
       tsCol: String, endMsCol: String): Dataset[IntervalUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
-
-    def sweep(openEnds: Seq[Long], ivs: Seq[(Long, Long)]): (Long, Seq[Long]) = {
-      val heap = scala.collection.mutable.PriorityQueue.empty[Long](
-        Ordering[Long].reverse)
-      openEnds.foreach(heap.enqueue(_))
-      var mx = heap.size.toLong
-      ivs.foreach { case (s, e) =>
-        while (heap.nonEmpty && heap.head <= s) heap.dequeue()
-        heap.enqueue(e)
-        if (heap.size > mx) mx = heap.size
-      }
-      (mx, heap.dequeueAll.toSeq)
-    }
-
     events.select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
         col(endMsCol).cast("long").as("end_ms"))
       .as[IEvent]
@@ -184,7 +188,7 @@ object StreamingIntervals {
         if (state.hasTimedOut) {
           // fold the leftover frontier (see the length-sum variant)
           val st = state.get
-          val (mx, _) = sweep(st.openEnds,
+          val (mx, _) = sweepOpens(st.openEnds,
             st.pending.sortBy(x => (x._1, x._2)))
           state.remove()
           Iterator.single(IntervalUpdate(k, math.max(st.flushedMax, mx)))
@@ -192,11 +196,12 @@ object StreamingIntervals {
           val st = state.getOption.getOrElse(MaxState(0L, Seq.empty, Seq.empty))
           val wm = state.getCurrentWatermarkMs()
           val arrivals = it.map(e => (e.ts.getTime, e.end_ms))
+            .filter(x => x._2 > x._1) // zero/negative length: no peak
             .filter(_._1 > wm)
             .toSeq
           val all = (st.pending ++ arrivals).sortBy(x => (x._1, x._2))
           val (ripe, pend) = all.partition(_._1 <= wm)
-          val (mx1, opens) = sweep(st.openEnds, ripe)
+          val (mx1, opens) = sweepOpens(st.openEnds, ripe)
           val flushedMax = math.max(st.flushedMax, mx1)
           val live = opens.filter(_ > wm)
           state.update(MaxState(flushedMax, live, pend))
@@ -208,29 +213,16 @@ object StreamingIntervals {
   }
 
   /** Streaming max simultaneously-open intervals per key; emits the
-    * max-concurrency-so-far per trigger.
+    * max-concurrency-so-far per trigger. Zero/negative-length
+    * arrivals are dropped: a `[t, t)` interval's delta pair cancels
+    * before any open in the batch sweep's (t, d) order, so its peak
+    * contribution there is 0 — dropping is exact, not an
+    * approximation (and e < s is malformed input).
     */
   def streamingMaxIntersections(events: DataFrame, keyCol: String,
       tsCol: String, endMsCol: String): Dataset[IntervalUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
-
-    // sweep sorted-by-start intervals against the carried open-end
-    // multiset; returns (max seen, open ends after) — half-open, so
-    // an end AT a start closes first
-    def sweep(openEnds: Seq[Long], ivs: Seq[(Long, Long)]): (Long, Seq[Long]) = {
-      val heap = scala.collection.mutable.PriorityQueue.empty[Long](
-        Ordering[Long].reverse) // min-heap of ends
-      openEnds.foreach(heap.enqueue(_))
-      var mx = heap.size.toLong // carried opens were concurrent at entry
-      ivs.foreach { case (s, e) =>
-        while (heap.nonEmpty && heap.head <= s) heap.dequeue()
-        heap.enqueue(e)
-        if (heap.size > mx) mx = heap.size
-      }
-      (mx, heap.dequeueAll.toSeq)
-    }
-
     events.select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
         col(endMsCol).cast("long").as("end_ms"))
       .as[IEvent]
@@ -240,16 +232,17 @@ object StreamingIntervals {
         val st = state.getOption.getOrElse(MaxState(0L, Seq.empty, Seq.empty))
         val wm = state.getCurrentWatermarkMs()
         val arrivals = it.map(e => (e.ts.getTime, e.end_ms))
+          .filter(x => x._2 > x._1) // zero/negative length: no peak
           .filter(_._1 > wm)
           .toSeq
         val all = (st.pending ++ arrivals).sortBy(x => (x._1, x._2))
         val (ripe, pend) = all.partition(_._1 <= wm)
-        val (mx1, opens) = sweep(st.openEnds, ripe)
+        val (mx1, opens) = sweepOpens(st.openEnds, ripe)
         val flushedMax = math.max(st.flushedMax, mx1)
         // ends at/below the watermark can never overlap a future start
         val live = opens.filter(_ > wm)
         state.update(MaxState(flushedMax, live, pend))
-        val (mx2, _) = sweep(live, pend) // optimistic: all seen so far
+        val (mx2, _) = sweepOpens(live, pend) // optimistic: all seen so far
         IntervalUpdate(k, math.max(flushedMax, mx2))
       }
   }

@@ -19,13 +19,7 @@ object ProfileQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val warmupTables = Tables(spark, dir)
-    Tables.names.foreach { n =>
-      try warmupTables.frame(n).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[profileq] warmup $n failed: ${e.getMessage}")
-      }
-    }
+    Tables.warmupAll(spark, dir, "profileq")
     def once(n: String): Double = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()

@@ -275,6 +275,14 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("CAVLC decode refuses a run_before past the remaining zeros") {
+    // coeff_token (0,2), two levels, total_zeros 14, then a >6-class
+    // run_before coding run=16 > zerosLeft=14 — must refuse (None),
+    // not drive the landing index negative
+    val bits = "00000111" + "1" + "10" + "000000" + "000" + "000000000" + "1"
+    assert(H264.decodeBlockBits(bits).isEmpty)
+  }
+
   test("CAVLC decode refuses I_PCM and bitstream-payload streams") {
     assert(H264.decodeCavlcIntra(H264.synthesizeH264IPcm(1, 1, 1, 3L)).isEmpty)
     assert(H264.decodeCavlcIntra(H264.synthesizeH264Stream(32, 32, 30, 2, 7L)).isEmpty)

@@ -798,8 +798,12 @@ class StreamingSpec extends SparkSpec {
     val base = 1700000000000L
     def ts(m: Long) = new java.sql.Timestamp(base + m * 60000L)
     def iv(k: Long, m: Long, secs: Long) = (k, ts(m), base + m * 60000L + secs * 1000L)
-    // epoch A: 3 concurrent at key 7; epoch B after eviction: only 2
-    val epochA = Seq(iv(7L, 0, 300), iv(7L, 1, 300), iv(7L, 2, 300))
+    // epoch A: 3 concurrent at key 7 (plus a zero-length interval,
+    // whose delta pair cancels in the batch sweep — peak contribution
+    // 0 — and which the streaming form drops outright: parity holds);
+    // epoch B after eviction: only 2
+    val epochA = Seq(iv(7L, 0, 300), iv(7L, 1, 300), iv(7L, 2, 300),
+      iv(7L, 3, 0))
     val push1 = Seq(iv(-1L, 600, 1))
     val epochB = Seq(iv(7L, 620, 120), iv(7L, 621, 120))
     val push2 = Seq(iv(-1L, 1300, 1))
