@@ -65,11 +65,13 @@ object Events {
       import s.implicits._
       val ev = Tables(s, dir).events
       val redelivered = ev.filter($"event_id" % 7 === 0)
+      // id checksum is modular: raw sum(event_id) overflows BIGINT at
+      // sf100 key magnitudes (~1e12 ids × 1e8 rows — the q74 lesson)
       graft.streaming.StreamDedup
         .dedupUnbounded(ev.unionAll(redelivered), Seq("event_id"))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("users"),
-          sum($"event_id").cast("long").as("id_sum"))
+          sum($"event_id" % 1000000007L).cast("long").as("id_sum"))
         .orderBy($"event_type")
     },
 
@@ -256,7 +258,7 @@ object Events {
     "q76_stream_dedup" ->
       """SELECT event_type, count(*) AS n,
         | count(DISTINCT user_id) AS users,
-        | CAST(sum(event_id) AS BIGINT) AS id_sum
+        | CAST(sum(event_id % 1000000007) AS BIGINT) AS id_sum
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
