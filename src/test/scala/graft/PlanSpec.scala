@@ -289,4 +289,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"span must broadcast:\n$p")
   }
+
+  test("scaled length sum with stats stays a single source pass (no stats join)") {
+    import graft.operators.Intervals
+    import org.apache.spark.sql.functions._
+    // the r11 sf10 run measured the join-with-a-second-scan stats
+    // variant at 19.5 s vs 3.1 s for the bare sweep — the stats must
+    // ride the clipped frame's aggregation, not re-scan the source
+    val ev = Tables(spark, sf).events
+      .withColumn("sms", unix_millis(col("ts")))
+      .withColumn("ems", col("sms") + round(col("value") * 1000).cast("long"))
+    val p = plan(Intervals.intervalLengthSumScaled(
+      ev, col("user_id"), col("sms"), col("ems"), nRanges = 16,
+      withStats = true))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"expected the span-seed scan + one sweep scan, got $scans:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stats must not join a second scan:\n$p")
+  }
 }
