@@ -906,6 +906,9 @@ object H264 {
             if (sps.isEmpty) return None
           case 5 =>
             val info = sps.getOrElse(return None)
+            // a fuzzed SPS can Exp-Golomb-code absurd dimensions; the
+            // frame buffer below must refuse before allocating
+            if (info.mbW.toLong * info.mbH > (1 << 16)) return None
             val r = new BitReader(unescape(p, s + 1, e))
             r.ue()                       // first_mb_in_slice
             if (r.ue() % 5 != 2) return None // not an I slice

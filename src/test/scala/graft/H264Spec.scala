@@ -290,6 +290,32 @@ class H264Spec extends AnyFunSuite {
     assert(H264.decodeCavlcIntra(good.take(good.length - 6)).isEmpty)
   }
 
+  test("CAVLC decode never throws on arbitrary bits (refuse, don't crash)") {
+    // the decoder's contract is None on anything outside the subset —
+    // a fuzz sweep over random bit strings and random byte streams
+    // must never surface an exception (AIOOBE class caught by review)
+    val rnd = new scala.util.Random(20260813L)
+    for (_ <- 0 until 2000) {
+      val bits = (0 until 4 + rnd.nextInt(60))
+        .map(_ => if (rnd.nextBoolean()) '1' else '0').mkString
+      for (nC <- Seq(0, 2))
+        H264.decodeBlockBits(bits, nC) // Option either way; must not throw
+    }
+    for (_ <- 0 until 300) {
+      val bytes = Array.fill(8 + rnd.nextInt(120))(rnd.nextInt(256).toByte)
+      H264.decodeCavlcIntra(bytes)
+      H264.decodeIPcm(bytes)
+      H264.parseStream(bytes)
+    }
+    // corrupt REAL streams at a random byte: still no exceptions
+    for (seed <- 0L until 30L) {
+      val good = H264.synthesizeH264CavlcAc(2, 1, seed)
+      val bad = good.clone()
+      bad(8 + rnd.nextInt(bad.length - 8)) = rnd.nextInt(256).toByte
+      H264.decodeCavlcIntra(bad)
+    }
+  }
+
   test("truncated and garbage streams parse to None") {
     val p = H264.synthesizeH264Stream(64, 48, 30, 2, 3L)
     assert(H264.parseStream(p.take(6)).isEmpty)        // cut inside SPS
