@@ -17,13 +17,16 @@ import org.apache.spark.sql.types._
   * state is unbounded). Merge = capped set union. Fully exact and
   * order-invariant by construction, so the oracle is plain
   * `LEAST(count(DISTINCT x), N+1)` — no audit envelope needed.
+  * Buffer is a primitive [[LongHashSet]]: once the cap is hit the
+  * per-row path is `size > n` → return, and below the cap it is a
+  * probe over flat long arrays — no boxing either way.
   */
 case class UniqUpToAgg(
     child: Expression,
     n: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashSet[java.lang.Long]] {
+  extends TypedImperativeAggregate[LongHashSet] {
 
   require(n >= 1 && n <= 1000000, "n in [1, 1e6]")
 
@@ -31,39 +34,36 @@ case class UniqUpToAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
 
-  override def createAggregationBuffer(): java.util.HashSet[java.lang.Long] =
-    new java.util.HashSet[java.lang.Long]()
+  override def createAggregationBuffer(): LongHashSet = new LongHashSet()
 
-  override def update(buf: java.util.HashSet[java.lang.Long],
-      input: InternalRow): java.util.HashSet[java.lang.Long] = {
+  override def update(buf: LongHashSet, input: InternalRow): LongHashSet = {
     val v = child.eval(input)
     // once the cap is passed the answer is pinned at n+1; stop growing
     if (v != null && buf.size <= n) buf.add(v.asInstanceOf[Long])
     buf
   }
 
-  override def merge(a: java.util.HashSet[java.lang.Long],
-      b: java.util.HashSet[java.lang.Long]): java.util.HashSet[java.lang.Long] = {
-    val it = b.iterator()
-    while (it.hasNext && a.size <= n) a.add(it.next())
+  override def merge(a: LongHashSet, b: LongHashSet): LongHashSet = {
+    // the capped union: stop as soon as the answer is pinned at n+1
+    var done = a.size > n
+    b.foreach { v => if (!done) { a.add(v); done = a.size > n } }
     a
   }
 
-  override def eval(buf: java.util.HashSet[java.lang.Long]): Any =
+  override def eval(buf: LongHashSet): Any =
     math.min(buf.size.toLong, (n + 1).toLong)
 
-  override def serialize(buf: java.util.HashSet[java.lang.Long]): Array[Byte] = {
+  override def serialize(buf: LongHashSet): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 8)
     bb.putInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) bb.putLong(it.next())
+    buf.foreach(bb.putLong(_))
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.HashSet[java.lang.Long] = {
+  override def deserialize(bytes: Array[Byte]): LongHashSet = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val sz = bb.getInt()
-    val s = new java.util.HashSet[java.lang.Long](sz * 2)
+    val s = new LongHashSet()
     var i = 0
     while (i < sz) { s.add(bb.getLong()); i += 1 }
     s
@@ -85,7 +85,9 @@ case class UniqUpToAgg(
   * shape) that re-aggregate to precise distinct counts. Memory is
   * proportional to touched buckets — dense id spaces cost ~1 bit/id,
   * which at 100 TB is the standard trade against unbounded hash-set
-  * distinct states.
+  * distinct states. The bucket directory is a primitive
+  * [[LongObjHashMap]] — the per-row path is one probe plus a bit-set,
+  * no boxed bucket key.
   *
   * State surfaces as `array<struct<key long, bits array<long>>>`
   * sorted by key — value-deterministic for a fixed input SET, so
@@ -96,40 +98,40 @@ case class BitmapAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[Long, Array[Long]]] {
+  extends TypedImperativeAggregate[LongObjHashMap[Array[Long]]] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = Bitmap.stateType
 
-  override def createAggregationBuffer(): java.util.HashMap[Long, Array[Long]] =
-    new java.util.HashMap[Long, Array[Long]]()
+  override def createAggregationBuffer(): LongObjHashMap[Array[Long]] =
+    new LongObjHashMap[Array[Long]]()
 
-  override def update(buf: java.util.HashMap[Long, Array[Long]],
-      input: InternalRow): java.util.HashMap[Long, Array[Long]] = {
+  override def update(buf: LongObjHashMap[Array[Long]],
+      input: InternalRow): LongObjHashMap[Array[Long]] = {
     val v = child.eval(input)
     if (v != null) {
       val id = v.asInstanceOf[Long]
       val key = id >> 16
       val bit = (id & 0xFFFFL).toInt
-      var c = buf.get(key)
+      var c = buf.getOrNull(key)
       if (c == null) { c = new Array[Long](1024); buf.put(key, c) }
       c(bit >>> 6) |= 1L << (bit & 63)
     }
     buf
   }
 
-  override def merge(a: java.util.HashMap[Long, Array[Long]],
-      b: java.util.HashMap[Long, Array[Long]]): java.util.HashMap[Long, Array[Long]] =
+  override def merge(a: LongObjHashMap[Array[Long]],
+      b: LongObjHashMap[Array[Long]]): LongObjHashMap[Array[Long]] =
     Bitmap.or(a, b)
 
-  override def eval(buf: java.util.HashMap[Long, Array[Long]]): Any =
+  override def eval(buf: LongObjHashMap[Array[Long]]): Any =
     Bitmap.toRows(buf)
 
-  override def serialize(buf: java.util.HashMap[Long, Array[Long]]): Array[Byte] =
+  override def serialize(buf: LongObjHashMap[Array[Long]]): Array[Byte] =
     Bitmap.ser(buf)
 
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Array[Long]] =
+  override def deserialize(bytes: Array[Byte]): LongObjHashMap[Array[Long]] =
     Bitmap.deser(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): BitmapAgg =
@@ -147,32 +149,32 @@ case class BitmapMergeAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[Long, Array[Long]]] {
+  extends TypedImperativeAggregate[LongObjHashMap[Array[Long]]] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = Bitmap.stateType
 
-  override def createAggregationBuffer(): java.util.HashMap[Long, Array[Long]] =
-    new java.util.HashMap[Long, Array[Long]]()
+  override def createAggregationBuffer(): LongObjHashMap[Array[Long]] =
+    new LongObjHashMap[Array[Long]]()
 
-  override def update(buf: java.util.HashMap[Long, Array[Long]],
-      input: InternalRow): java.util.HashMap[Long, Array[Long]] = {
+  override def update(buf: LongObjHashMap[Array[Long]],
+      input: InternalRow): LongObjHashMap[Array[Long]] = {
     val v = child.eval(input)
     if (v != null) Bitmap.orRows(buf, v.asInstanceOf[ArrayData]) else buf
   }
 
-  override def merge(a: java.util.HashMap[Long, Array[Long]],
-      b: java.util.HashMap[Long, Array[Long]]): java.util.HashMap[Long, Array[Long]] =
+  override def merge(a: LongObjHashMap[Array[Long]],
+      b: LongObjHashMap[Array[Long]]): LongObjHashMap[Array[Long]] =
     Bitmap.or(a, b)
 
-  override def eval(buf: java.util.HashMap[Long, Array[Long]]): Any =
+  override def eval(buf: LongObjHashMap[Array[Long]]): Any =
     Bitmap.toRows(buf)
 
-  override def serialize(buf: java.util.HashMap[Long, Array[Long]]): Array[Byte] =
+  override def serialize(buf: LongObjHashMap[Array[Long]]): Array[Byte] =
     Bitmap.ser(buf)
 
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Array[Long]] =
+  override def deserialize(bytes: Array[Byte]): LongObjHashMap[Array[Long]] =
     Bitmap.deser(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): BitmapMergeAgg =
@@ -233,15 +235,12 @@ object Bitmap {
         nullable = false))),
     containsNull = false)
 
-  private[functions] def or(a: java.util.HashMap[Long, Array[Long]],
-      b: java.util.HashMap[Long, Array[Long]]): java.util.HashMap[Long, Array[Long]] = {
-    val it = b.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val cur = a.get(e.getKey)
-      if (cur == null) a.put(e.getKey, e.getValue.clone())
+  private[functions] def or(a: LongObjHashMap[Array[Long]],
+      b: LongObjHashMap[Array[Long]]): LongObjHashMap[Array[Long]] = {
+    b.foreach { (key, bv) =>
+      val cur = a.getOrNull(key)
+      if (cur == null) a.put(key, bv.clone())
       else {
-        val bv = e.getValue
         var i = 0
         while (i < 1024) { cur(i) |= bv(i); i += 1 }
       }
@@ -249,15 +248,15 @@ object Bitmap {
     a
   }
 
-  private[functions] def orRows(buf: java.util.HashMap[Long, Array[Long]],
-      rows: ArrayData): java.util.HashMap[Long, Array[Long]] = {
+  private[functions] def orRows(buf: LongObjHashMap[Array[Long]],
+      rows: ArrayData): LongObjHashMap[Array[Long]] = {
     val n = rows.numElements()
     var r = 0
     while (r < n) {
       val row = rows.getStruct(r, 2)
       val key = row.getLong(0)
       val bits = row.getArray(1)
-      var cur = buf.get(key)
+      var cur = buf.getOrNull(key)
       if (cur == null) { cur = new Array[Long](1024); buf.put(key, cur) }
       var i = 0
       while (i < 1024) { cur(i) |= bits.getLong(i); i += 1 }
@@ -266,14 +265,10 @@ object Bitmap {
     buf
   }
 
-  private[functions] def toRows(buf: java.util.HashMap[Long, Array[Long]]): GenericArrayData = {
-    val keys = new Array[Long](buf.size)
-    var i = 0
-    val it = buf.keySet().iterator()
-    while (it.hasNext) { keys(i) = it.next(); i += 1 }
-    java.util.Arrays.sort(keys)
+  private[functions] def toRows(buf: LongObjHashMap[Array[Long]]): GenericArrayData = {
+    val keys = buf.sortedKeys()
     new GenericArrayData(keys.map { k =>
-      InternalRow(k, new GenericArrayData(buf.get(k)))
+      InternalRow(k, new GenericArrayData(buf.getOrNull(k)))
     })
   }
 
@@ -291,24 +286,21 @@ object Bitmap {
     total
   }
 
-  private[functions] def ser(buf: java.util.HashMap[Long, Array[Long]]): Array[Byte] = {
+  private[functions] def ser(buf: LongObjHashMap[Array[Long]]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(4 + buf.size * (8 + 1024 * 8))
     bb.putInt(buf.size)
-    val it = buf.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      bb.putLong(e.getKey)
-      val a = e.getValue
+    buf.foreach { (key, a) =>
+      bb.putLong(key)
       var i = 0
       while (i < 1024) { bb.putLong(a(i)); i += 1 }
     }
     bb.array()
   }
 
-  private[functions] def deser(bytes: Array[Byte]): java.util.HashMap[Long, Array[Long]] = {
+  private[functions] def deser(bytes: Array[Byte]): LongObjHashMap[Array[Long]] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt()
-    val m = new java.util.HashMap[Long, Array[Long]](n * 2)
+    val m = new LongObjHashMap[Array[Long]]()
     var r = 0
     while (r < n) {
       val key = bb.getLong()

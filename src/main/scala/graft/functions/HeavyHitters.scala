@@ -27,13 +27,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * on partition order — so gates audit the ORDER-INVARIANT guarantee
   * (heavy items present, error in bound) against an exact count, the
   * q123 pattern, never the raw counter list.
+  *
+  * The counter map is keyed by [[UTF8String]] (binary equals/
+  * hashCode), NOT by java.lang.String: the per-row hot path is then a
+  * hash probe over the incoming value's existing bytes, and the
+  * UTF-8 → UTF-16 decode + char[] allocation of `toString` happens
+  * only when a NEW item claims a counter (at most k live + the MG
+  * eviction churn, amortized O(1) per row) — never on the
+  * increment-existing path that dominates any heavy-hitters workload.
+  * Keys are `.clone()`d on insert because an evaluated UTF8String may
+  * point into a reused scan/shuffle buffer.
   */
 case class HeavyHittersAgg(
     child: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
+  extends TypedImperativeAggregate[java.util.HashMap[UTF8String, java.lang.Long]] {
 
   require(k >= 1 && k <= 100000, "k in [1, 100000]")
 
@@ -46,90 +56,34 @@ case class HeavyHittersAgg(
       StructField("cnt", LongType, nullable = false))),
     containsNull = false)
 
-  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
-    new java.util.HashMap[String, Long]()
+  override def createAggregationBuffer(): java.util.HashMap[UTF8String, java.lang.Long] =
+    new java.util.HashMap[UTF8String, java.lang.Long]()
 
-  private def decrementAll(buf: java.util.HashMap[String, Long], by: Long): Unit = {
-    val it = buf.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val nv = e.getValue - by
-      if (nv <= 0L) it.remove() else e.setValue(nv)
-    }
-  }
-
-  override def update(buf: java.util.HashMap[String, Long],
-      input: InternalRow): java.util.HashMap[String, Long] = {
+  override def update(buf: java.util.HashMap[UTF8String, java.lang.Long],
+      input: InternalRow): java.util.HashMap[UTF8String, java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String].toString
-      val cur = buf.get(s)
-      if (cur != 0L || buf.containsKey(s)) buf.put(s, cur + 1L)
-      else if (buf.size < k) buf.put(s, 1L)
-      else decrementAll(buf, 1L)
+      val s = v.asInstanceOf[UTF8String]
+      val cur = buf.get(s) // stored counts are always >= 1, so null <=> absent
+      if (cur ne null) buf.put(s, cur + 1L) // put keeps the OWNED key object
+      else if (buf.size < k) buf.put(s.clone(), java.lang.Long.valueOf(1L))
+      else HeavyHitters.decrementAll(buf, 1L)
     }
     buf
   }
 
-  override def merge(a: java.util.HashMap[String, Long],
-      b: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
-    val it = b.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val cur = a.get(e.getKey)
-      a.put(e.getKey, cur + e.getValue)
-    }
-    if (a.size > k) {
-      // subtract the (k+1)-th largest count; at most k counters stay
-      // positive. This is the Agarwal et al. merge — it adds at most
-      // that subtrahend to every counter's undercount, keeping the
-      // total undercount <= n/(k+1) by the same charging argument.
-      val counts = new Array[Long](a.size)
-      var i = 0
-      val vit = a.values().iterator()
-      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
-      java.util.Arrays.sort(counts)
-      val sub = counts(counts.length - (k + 1))
-      decrementAll(a, sub)
-    }
-    a
-  }
+  override def merge(a: java.util.HashMap[UTF8String, java.lang.Long],
+      b: java.util.HashMap[UTF8String, java.lang.Long]): java.util.HashMap[UTF8String, java.lang.Long] =
+    HeavyHitters.merge(a, b, k)
 
-  override def eval(buf: java.util.HashMap[String, Long]): Any = {
-    // deterministic presentation: cnt desc, item asc — but note the
-    // SET itself is order-invariant only for guaranteed-heavy items
-    val arr = new Array[(String, Long)](buf.size)
-    var i = 0
-    val it = buf.entrySet().iterator()
-    while (it.hasNext) { val e = it.next(); arr(i) = (e.getKey, e.getValue); i += 1 }
-    scala.util.Sorting.stableSort(arr,
-      (x: (String, Long), y: (String, Long)) =>
-        x._2 > y._2 || (x._2 == y._2 && x._1 < y._1))
-    new GenericArrayData(arr.map { case (s, c) =>
-      InternalRow(UTF8String.fromString(s), c)
-    })
-  }
+  override def eval(buf: java.util.HashMap[UTF8String, java.lang.Long]): Any =
+    HeavyHitters.evalRows(buf)
 
-  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buf.size)
-    val it = buf.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue)
-    }
-    out.flush(); bos.toByteArray
-  }
+  override def serialize(buf: java.util.HashMap[UTF8String, java.lang.Long]): Array[Byte] =
+    HeavyHitters.ser(buf)
 
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
-    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val m = new java.util.HashMap[String, Long](n * 2)
-    var i = 0
-    while (i < n) { m.put(in.readUTF(), in.readLong()); i += 1 }
-    m
-  }
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[UTF8String, java.lang.Long] =
+    HeavyHitters.deser(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): HeavyHittersAgg =
     copy(mutableAggBufferOffset = o)
@@ -158,7 +112,7 @@ case class WeightedHeavyHittersAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
+  extends TypedImperativeAggregate[java.util.HashMap[UTF8String, java.lang.Long]] {
 
   require(k >= 1 && k <= 100000, "k in [1, 100000]")
 
@@ -166,54 +120,45 @@ case class WeightedHeavyHittersAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = HeavyHittersAgg(item, k).dataType
 
-  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
-    new java.util.HashMap[String, Long]()
+  override def createAggregationBuffer(): java.util.HashMap[UTF8String, java.lang.Long] =
+    new java.util.HashMap[UTF8String, java.lang.Long]()
 
-  private def decrementAll(buf: java.util.HashMap[String, Long], by: Long): Unit = {
-    val it = buf.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val nv = e.getValue - by
-      if (nv <= 0L) it.remove() else e.setValue(nv)
-    }
-  }
-
-  override def update(buf: java.util.HashMap[String, Long],
-      input: InternalRow): java.util.HashMap[String, Long] = {
+  override def update(buf: java.util.HashMap[UTF8String, java.lang.Long],
+      input: InternalRow): java.util.HashMap[UTF8String, java.lang.Long] = {
     val vi = item.eval(input)
     val vw = weight.eval(input)
     if (vi != null && vw != null) {
-      val s = vi.asInstanceOf[UTF8String].toString
+      val s = vi.asInstanceOf[UTF8String]
       val w = vw.asInstanceOf[Long]
       require(w >= 0, s"negative weight $w")
       if (w > 0L) {
         val cur = buf.get(s)
-        if (cur != 0L || buf.containsKey(s)) buf.put(s, cur + w)
-        else if (buf.size < k) buf.put(s, w)
+        if (cur ne null) buf.put(s, cur + w)
+        else if (buf.size < k) buf.put(s.clone(), java.lang.Long.valueOf(w))
         else {
           var m = Long.MaxValue
           val it = buf.values().iterator()
-          while (it.hasNext) { val c = it.next(); if (c < m) m = c }
-          decrementAll(buf, math.min(w, m))
-          if (w > m) buf.put(s, w - m)
+          while (it.hasNext) { val c = it.next().longValue(); if (c < m) m = c }
+          HeavyHitters.decrementAll(buf, math.min(w, m))
+          if (w > m) buf.put(s.clone(), java.lang.Long.valueOf(w - m))
         }
       }
     }
     buf
   }
 
-  override def merge(a: java.util.HashMap[String, Long],
-      b: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] =
-    HeavyHittersAgg(item, k).merge(a, b)
+  override def merge(a: java.util.HashMap[UTF8String, java.lang.Long],
+      b: java.util.HashMap[UTF8String, java.lang.Long]): java.util.HashMap[UTF8String, java.lang.Long] =
+    HeavyHitters.merge(a, b, k)
 
-  override def eval(buf: java.util.HashMap[String, Long]): Any =
-    HeavyHittersAgg(item, k).eval(buf)
+  override def eval(buf: java.util.HashMap[UTF8String, java.lang.Long]): Any =
+    HeavyHitters.evalRows(buf)
 
-  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] =
-    HeavyHittersAgg(item, k).serialize(buf)
+  override def serialize(buf: java.util.HashMap[UTF8String, java.lang.Long]): Array[Byte] =
+    HeavyHitters.ser(buf)
 
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] =
-    HeavyHittersAgg(item, k).deserialize(bytes)
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[UTF8String, java.lang.Long] =
+    HeavyHitters.deser(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): WeightedHeavyHittersAgg =
     copy(mutableAggBufferOffset = o)
@@ -225,6 +170,90 @@ case class WeightedHeavyHittersAgg(
 }
 
 object HeavyHitters {
+
+  private[functions] def decrementAll(
+      buf: java.util.HashMap[UTF8String, java.lang.Long], by: Long): Unit = {
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val nv = e.getValue - by
+      if (nv <= 0L) it.remove() else e.setValue(nv)
+    }
+  }
+
+  private[functions] def merge(
+      a: java.util.HashMap[UTF8String, java.lang.Long],
+      b: java.util.HashMap[UTF8String, java.lang.Long],
+      k: Int): java.util.HashMap[UTF8String, java.lang.Long] = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next() // b's keys are already owned clones — safe to adopt
+      val cur = a.get(e.getKey)
+      a.put(e.getKey, if (cur eq null) e.getValue else cur + e.getValue)
+    }
+    if (a.size > k) {
+      // subtract the (k+1)-th largest count; at most k counters stay
+      // positive. This is the Agarwal et al. merge — it adds at most
+      // that subtrahend to every counter's undercount, keeping the
+      // total undercount <= n/(k+1) by the same charging argument.
+      val counts = new Array[Long](a.size)
+      var i = 0
+      val vit = a.values().iterator()
+      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val sub = counts(counts.length - (k + 1))
+      decrementAll(a, sub)
+    }
+    a
+  }
+
+  private[functions] def evalRows(
+      buf: java.util.HashMap[UTF8String, java.lang.Long]): GenericArrayData = {
+    // deterministic presentation: cnt desc, item asc (String order,
+    // matching the oracle's collation) — but note the SET itself is
+    // order-invariant only for guaranteed-heavy items
+    val arr = new Array[(String, Long)](buf.size)
+    var i = 0
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); arr(i) = (e.getKey.toString, e.getValue.longValue()); i += 1 }
+    scala.util.Sorting.stableSort(arr,
+      (x: (String, Long), y: (String, Long)) =>
+        x._2 > y._2 || (x._2 == y._2 && x._1 < y._1))
+    new GenericArrayData(arr.map { case (s, c) =>
+      InternalRow(UTF8String.fromString(s), c)
+    })
+  }
+
+  private[functions] def ser(
+      buf: java.util.HashMap[UTF8String, java.lang.Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes // raw UTF-8, no UTF-16 round-trip
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  private[functions] def deser(
+      bytes: Array[Byte]): java.util.HashMap[UTF8String, java.lang.Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val kb = new Array[Byte](len)
+      in.readFully(kb)
+      m.put(UTF8String.fromBytes(kb), java.lang.Long.valueOf(in.readLong()))
+      i += 1
+    }
+    m
+  }
+
   def heavy_hitters_agg(item: Column, k: Int): Column =
     column(HeavyHittersAgg(expression(item), k).toAggregateExpression())
 

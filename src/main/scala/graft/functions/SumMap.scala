@@ -21,14 +21,16 @@ import org.apache.spark.sql.types._
   * `array<struct<k long, v long>>` sorted by key, value-deterministic
   * for a fixed input multiset. Integer values keep sums exact under
   * any merge order (the gate's parity requirement); a double-valued
-  * variant would carry the usual float-merge caveat.
+  * variant would carry the usual float-merge caveat. The buffer is a
+  * [[LongLongHashMap]] — `addTo` runs per MAP ENTRY per row, so boxed
+  * keys would allocate |map| objects per row on the hot path.
   */
 case class SumMapAgg(
     keys: Expression,
     values: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[Long, Long]] {
+  extends TypedImperativeAggregate[LongLongHashMap] {
 
   override def children: Seq[Expression] = Seq(keys, values)
   override def nullable: Boolean = false
@@ -38,11 +40,9 @@ case class SumMapAgg(
       StructField("v", LongType, nullable = false))),
     containsNull = false)
 
-  override def createAggregationBuffer(): java.util.HashMap[Long, Long] =
-    new java.util.HashMap[Long, Long]()
+  override def createAggregationBuffer(): LongLongHashMap = new LongLongHashMap()
 
-  override def update(buf: java.util.HashMap[Long, Long],
-      input: InternalRow): java.util.HashMap[Long, Long] = {
+  override def update(buf: LongLongHashMap, input: InternalRow): LongLongHashMap = {
     val ks = keys.eval(input)
     val vs = values.eval(input)
     if (ks != null && vs != null) {
@@ -52,51 +52,36 @@ case class SumMapAgg(
         s"sumMap: keys/values arity mismatch ${ka.numElements()} vs ${va.numElements()}")
       var i = 0
       while (i < ka.numElements()) {
-        val k = ka.getLong(i)
-        buf.put(k, buf.getOrDefault(k, 0L) + va.getLong(i))
+        buf.addTo(ka.getLong(i), va.getLong(i))
         i += 1
       }
     }
     buf
   }
 
-  override def merge(a: java.util.HashMap[Long, Long],
-      b: java.util.HashMap[Long, Long]): java.util.HashMap[Long, Long] = {
-    val it = b.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      a.put(e.getKey, a.getOrDefault(e.getKey, 0L) + e.getValue)
-    }
+  override def merge(a: LongLongHashMap, b: LongLongHashMap): LongLongHashMap = {
+    b.foreach((k, v) => a.addTo(k, v))
     a
   }
 
-  override def eval(buf: java.util.HashMap[Long, Long]): Any = {
-    val ks = new Array[Long](buf.size)
-    var i = 0
-    val it = buf.keySet().iterator()
-    while (it.hasNext) { ks(i) = it.next(); i += 1 }
-    java.util.Arrays.sort(ks)
-    new GenericArrayData(ks.map(k => InternalRow(k, buf.get(k).longValue())))
+  override def eval(buf: LongLongHashMap): Any = {
+    val ks = buf.sortedKeys()
+    new GenericArrayData(ks.map(k => InternalRow(k, buf.get(k))))
   }
 
-  override def serialize(buf: java.util.HashMap[Long, Long]): Array[Byte] = {
+  override def serialize(buf: LongLongHashMap): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
     bb.putInt(buf.size)
-    val it = buf.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      bb.putLong(e.getKey)
-      bb.putLong(e.getValue)
-    }
+    buf.foreach { (k, v) => bb.putLong(k); bb.putLong(v) }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Long] = {
+  override def deserialize(bytes: Array[Byte]): LongLongHashMap = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt()
-    val m = new java.util.HashMap[Long, Long](n * 2)
+    val m = new LongLongHashMap()
     var i = 0
-    while (i < n) { m.put(bb.getLong(), bb.getLong()); i += 1 }
+    while (i < n) { m.addTo(bb.getLong(), bb.getLong()); i += 1 }
     m
   }
 

@@ -36,6 +36,21 @@ class KmvSpec extends SparkSpec {
     assert((sa intersect sb).size == 2)
   }
 
+  test("purged states merge to the exact k smallest (200k distinct, 32 partitions)") {
+    // enough distinct hashes that every partition's state purges many
+    // times and the merge combines theta-bearing states
+    val k = 64
+    val df = spark.range(0, 200000, 1, 32)
+      .select(xxhash64($"id").as("h"))
+    val got = df.agg(Kmv.kmv_agg($"h", k))
+      .collect()(0).getSeq[Long](0)
+    val expected = df
+      .select(($"h".bitwiseXOR(Long.MinValue)).as("f"))
+      .distinct().orderBy($"f").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+  }
+
   test("pairwise jaccard estimates land in the hypergeometric envelope") {
     val k = 1024
     val sk = users.groupBy($"event_type").agg(Kmv.kmv_agg($"h", k).as("st"))
