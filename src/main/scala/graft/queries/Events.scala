@@ -242,6 +242,87 @@ object Events {
         .orderBy($"user_id", $"event_id")
     },
 
+    // exponentialTimeDecayedSum/Count/Avg analogue (q151): the decayed
+    // value AT EVERY EVENT via the O(1)-state recurrence
+    // ([[graft.operators.TimeSeries.timeDecayed]]). Floating-point
+    // recurrences aren't association-stable across engines, so the
+    // gate is the q42-style self-audit: an INDEPENDENT closed-form
+    // recomputation (direct early-exit summation, not the recurrence)
+    // must agree to 1e-9 relative, plus structural bounds — booleans
+    // DuckDB predicts TRUE, row count checked exactly.
+    "q151_time_decayed" -> { (s, dir) =>
+      import s.implicits._
+      val tauMs = 3600000.0 // 1 hour
+      val ev = Tables(s, dir).events
+        .withColumn("tms", unix_millis($"ts"))
+      val ema = graft.operators.TimeSeries.timeDecayed(
+        ev, "user_id", "tms", "event_id", "value", tauMs)
+      val ref = graft.operators.TimeSeries.timeDecayedClosedForm(
+        ev, "user_id", "tms", "event_id", "value", tauMs)
+      val j = ema.join(ref.select($"key", $"id",
+          $"ref_sum", $"ref_cnt", $"run_min", $"run_max", $"row_no"),
+        Seq("key", "id"))
+      def relErr(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        abs(a - b) / greatest(abs(b), lit(1e-12))
+      j.agg(
+          count(lit(1)).as("n_rows"),
+          coalesce(every(relErr($"decayed_sum", $"ref_sum") <= 1e-9 &&
+            relErr($"decayed_cnt", $"ref_cnt") <= 1e-9), lit(true)).as("sums_match"),
+          coalesce(every($"decayed_cnt" >= 1.0 - 1e-9 &&
+            $"decayed_cnt" <= $"row_no" + 1.0 + 1e-9), lit(true)).as("cnt_bounded"),
+          coalesce(every(
+            $"decayed_sum" / $"decayed_cnt" >= $"run_min" - 1e-9 &&
+              $"decayed_sum" / $"decayed_cnt" <= $"run_max" + 1e-9),
+            lit(true)).as("avg_in_range"))
+        .select($"n_rows".cast("long").as("n_rows"),
+          $"sums_match", $"cnt_bounded", $"avg_in_range")
+    },
+
+    // LTTB downsampling (q152): 20 points per user series. The
+    // selected-point COUNT is exactly predictable (min(n, 20) per
+    // series — the oracle sums it), and the selection itself is
+    // audited against an independent per-group execution of the
+    // reference algorithm (mapGroups vs the operator's series-
+    // streaming scan) plus endpoint checks.
+    "q152_lttb_downsample" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .withColumn("tms", unix_millis($"ts"))
+      val sel = graft.operators.TimeSeries.lttb(
+        ev, "user_id", "tms", "event_id", "value", threshold = 20)
+      val ref = graft.operators.TimeSeries.lttbReference(
+        ev, "user_id", "tms", "event_id", "value", threshold = 20)
+      val matched = sel.join(ref, Seq("key", "id", "sel_idx"))
+        .agg(count(lit(1)).as("n_matched"))
+      // series endpoints from the RAW events; selected endpoints from
+      // the selection (sel_idx rises with time, so min/max of the
+      // (sel_idx, tms, id) struct are the first/last selected points)
+      val serEnds = ev.groupBy(col("user_id").as("key")).agg(
+        count(lit(1)).as("n_pts"),
+        min(struct(unix_millis($"ts").as("tms"), $"event_id".as("id"))).as("first_pt"),
+        max(struct(unix_millis($"ts").as("tms"), $"event_id".as("id"))).as("last_pt"))
+      val selEnds = sel.groupBy($"key").agg(
+        count(lit(1)).as("n_sel"),
+        min($"sel_idx").as("min_si"), max($"sel_idx").as("max_si"),
+        min(struct($"sel_idx", $"tms", $"id")).as("sfirst"),
+        max(struct($"sel_idx", $"tms", $"id")).as("slast"))
+      val endsOk = serEnds.join(selEnds, Seq("key")).agg(
+        coalesce(every(
+          $"n_sel" === least($"n_pts", lit(20L)) &&
+            $"min_si" === 0L && $"max_si" === $"n_sel" - 1L &&
+            $"sfirst.tms" === $"first_pt.tms" && $"sfirst.id" === $"first_pt.id" &&
+            $"slast.tms" === $"last_pt.tms" && $"slast.id" === $"last_pt.id"),
+          lit(true)).as("endpoints_ok"))
+      sel.agg(countDistinct($"key").as("n_series"),
+          count(lit(1)).as("sel_total"))
+        .crossJoin(matched.select($"n_matched"))
+        .crossJoin(endsOk)
+        .select($"n_series".cast("long").as("n_series"),
+          $"sel_total".cast("long").as("sel_total"),
+          ($"n_matched" === $"sel_total").as("matches_reference"),
+          $"endpoints_ok")
+    },
+
     // JSON property extraction from the props column.
     "q52_json_extract" -> { (s, dir) =>
       import s.implicits._
@@ -474,6 +555,25 @@ object Events {
         |WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id
         |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // float recurrences aren't association-stable across engines: the
+    // gate checks the exact row count and the booleans the in-plan
+    // self-audit (independent closed-form recompute, bound checks)
+    // must earn — the q42 audit pattern
+    "q151_time_decayed" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | TRUE AS sums_match, TRUE AS cnt_bounded, TRUE AS avg_in_range
+        |FROM events""".stripMargin,
+
+    // selected-point count is exactly min(series length, 20) per
+    // series; selection equality + endpoint retention are the audit
+    // booleans
+    "q152_lttb_downsample" ->
+      """WITH s AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_series,
+        | CAST(sum(least(n, 20)) AS BIGINT) AS sel_total,
+        | TRUE AS matches_reference, TRUE AS endpoints_ok
+        |FROM s""".stripMargin,
 
     "q52_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
