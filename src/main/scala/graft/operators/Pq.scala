@@ -58,6 +58,14 @@ object Pq {
         dotQ($"sqv", $"sqv") - lit(2L) * dotQ($"sqv", $"c_sqv") +
           dotQ($"c_sqv", $"c_sqv"))
       .groupBy($"vid", $"sub")
+      // deliberately max(struct(...)) (SortAggregate), NOT the TopKAgg
+      // hash argmax the cell assignments use: the group key here is
+      // (vid, sub) — m× the vector count — which overflows the
+      // ObjectHashAggregate in-memory threshold per task and degrades
+      // to sort-based WITH per-state serialization (measured 80→178 s
+      // at sf10). The stream per group is only k=16 codebook rows, so
+      // the partial sort is the cheaper physical shape at this key
+      // cardinality.
       .agg(max(struct((-$"dist").as("nd"), (-$"code").as("nc"),
         $"sqv".as("v"))).as("best"))
       .select($"vid", $"sub", (-$"best.nc").cast("int").as("code"),

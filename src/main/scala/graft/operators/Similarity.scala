@@ -115,8 +115,12 @@ object Similarity {
           struct($"y".as("vec_id"), $"x".as("nn"), $"cos"))).as("d"))
       .select($"d.vec_id".as("vec_id"), $"d.nn".as("nn"), $"d.cos".as("cos"))
       .groupBy($"vec_id")
-      .agg(max(struct($"cos", (-$"nn").as("neg"))).as("best"))
-      .select($"vec_id", (-$"best.neg").as("nn_id"), $"best.cos".as("cos"))
+      // bounded hash-aggregated argmax — a struct-typed max() falls to
+      // SortAggregate (struct buffers aren't hash-mutable) and sorts
+      // the entire tiled pair stream; TopKAgg keeps the same
+      // (cos desc, id asc) contract in O(1) state per group
+      .agg(graft.functions.TopKAgg.topk_by_score($"cos", $"nn", 1).as("best"))
+      .select($"vec_id", $"best"(0)("id").as("nn_id"), $"best"(0)("score").as("cos"))
   }
 
   /** All unordered pairs with cosine ≥ `threshold` (exact). Tiled like
@@ -154,7 +158,14 @@ object Similarity {
     * nodes per union branch and minutes of janino compile time.
     */
   def lshTopK(corpus: DataFrame, dim: Int, nPlanes: Int, k: Int,
-      nTables: Int = 8, nProbe: Int = 1): DataFrame = {
+      nTables: Int = 8, nProbe: Int = 1, queries: DataFrame = null): DataFrame = {
+    // `queries` (default: the whole corpus = all-NN) bounds the PROBE
+    // side only — a post-hoc `filter(query_id < …)` cannot reach back
+    // through the bucket join + distinct + bounded top-k aggregate, so
+    // a capped query workload must enter here or it pays the all-NN
+    // candidate space (measured 18.6 s vs sub-second at sf10 for the
+    // 500-query gate).
+    val queryDf = Option(queries).getOrElse(corpus)
     // Bucket join carries only ids; a pair colliding in m of the
     // nTables tables appears m times, so the distinct runs on NARROW
     // (query, cand) rows and the cosine is computed once per unique
@@ -172,8 +183,12 @@ object Similarity {
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bucket")
     val probed =
-      if (nProbe <= 1) bucketed
-      else corpus.select($"vid",
+      if (nProbe <= 1)
+        queryDf.select($"vid",
+            posexplode(graft.functions.LshBuckets.lsh_buckets($"qv", nTables, nPlanes, dim)))
+          .withColumnRenamed("pos", "tbl")
+          .withColumnRenamed("col", "bucket")
+      else queryDf.select($"vid",
           posexplode(graft.functions.LshProbes.lsh_probes($"qv", nTables, nPlanes, dim, nProbe)))
         .select($"vid", (col("pos") / nProbe).cast("int").as("tbl"),
           col("col").as("bucket"))
@@ -183,7 +198,7 @@ object Similarity {
       .select(col("x.vid").as("query_id"), col("y.vid").as("cand_id"))
       .distinct()
     val scored = cands
-      .join(corpus.select($"vid".as("query_id"), $"qv".as("q_qv"), $"nrm".as("q_nrm")), "query_id")
+      .join(queryDf.select($"vid".as("query_id"), $"qv".as("q_qv"), $"nrm".as("q_nrm")), "query_id")
       .join(corpus.select($"vid".as("cand_id"), $"qv".as("c_qv"), $"nrm".as("c_nrm")), "cand_id")
       .select($"query_id", $"cand_id",
         cosineQ($"q_qv", $"c_qv", $"q_nrm", $"c_nrm").as("cos"))
@@ -216,9 +231,15 @@ object Similarity {
       cents = corpus.join(bc)
         .withColumn("c_cos", cosineQ($"qv", $"c_qv", $"nrm", $"c_nrm"))
         .groupBy($"vid")
-        .agg(max(struct($"c_cos", (-$"cid").as("nc"), $"qv".as("v"))).as("best"))
-        .groupBy((-$"best.nc").as("cid"))
-        .agg(VecMeanAgg.vec_mean($"best.v", dim).as("c_qv"))
+        // hash-aggregated argmax (TopKAgg k=1): max(struct(...)) with
+        // the vector payload is a SortAggregate that SORTS the whole
+        // corpus×centroid stream — the measured wall in the sf10
+        // assignment stages. any_value(qv) is deterministic (qv is
+        // functionally dependent on vid).
+        .agg(graft.functions.TopKAgg.topk_by_score($"c_cos", $"cid", 1).as("best"),
+          any_value($"qv").as("v"))
+        .groupBy($"best"(0)("id").as("cid"))
+        .agg(VecMeanAgg.vec_mean($"v", dim).as("c_qv"))
         .localCheckpoint()
       it += 1
     }
@@ -236,24 +257,173 @@ object Similarity {
     */
   /** Broadcast coarse-quantizer centroids — trained k-means when
     * `trainIters > 0`, else the deterministic stride sample. Shared by
-    * IVF, IVF-PQ and semantic dedup. */
+    * IVF, IVF-PQ and semantic dedup.
+    *
+    * The cell COUNT is capped (`maxCells`, FAISS-order ~4√n for the
+    * target corpora): a fixed stride means cells grow LINEARLY with
+    * the corpus, and both training and assignment score every vector
+    * against every centroid — n·(n/stride) is quadratic, and the sf10
+    * decade measured it directly (q42 at 342 s against 23k cells; the
+    * 500-query probe was noise next to the n×23k assignment). With
+    * the cap, training/assignment cost n·maxCells = linear, and the
+    * probe side keeps the same nProbe/maxCells pruning fraction. At
+    * the oracle scale factors (n ≤ ~51k) the cap never binds, so
+    * gate/spec behavior is bit-identical.
+    */
   private[graft] def coarseCentroids(corpus: DataFrame,
-      centroidStride: Int, dim: Int, trainIters: Int): DataFrame =
+      centroidStride: Int, dim: Int, trainIters: Int,
+      maxCells: Int = 1024): DataFrame = {
+    val n = corpus.count()
+    val stride = math.max(centroidStride,
+      math.ceil(n.toDouble / maxCells).toInt).max(1)
     broadcast(
       if (trainIters > 0) {
         require(dim > 0, "trained IVF needs the vector dimension")
-        trainCentroids(corpus, dim, centroidStride, trainIters)
+        trainCentroids(corpus, dim, stride, trainIters)
           .select($"cid", $"c_qv", $"c_nrm")
       } else
-        corpus.filter($"vid" % centroidStride === 0)
+        corpus.filter($"vid" % stride === 0)
           .select($"vid".as("cid"), $"qv".as("c_qv"), $"nrm".as("c_nrm")))
+  }
+
+  /** A trained cell structure: `assign` places vectors in their one
+    * nearest cell, `probe(df, n)` gives each vector its n nearest
+    * cells. Both emit (vid, qv, nrm, cid). Flat = argmax over every
+    * centroid; hierarchical = L1 argmax then argmax among that L1
+    * cell's sub-centroids.
+    */
+  private[graft] case class Quantizer(
+      assign: DataFrame => DataFrame,
+      probe: (DataFrame, Int) => DataFrame)
+
+  /** Pick the cell structure by scale — the q134/q144 scale-path
+    * pattern: below `hierThreshold` vectors (every oracle SF) the flat
+    * capped quantizer runs, bit-identical to the pre-hierarchy
+    * behavior, and the specs/gates pin THAT form; above it, training
+    * and assignment switch to the two-level quantizer whose cost is
+    * O(n·√cells) instead of O(n·cells) — at sf10 that is 64 vs 1024+
+    * centroid scores per vector. The recall audit travels with the
+    * query (q42-shape gates compute recall IN-PLAN at any scale), so
+    * the scaled form stays audited, not just fast.
+    */
+  private[graft] def quantizerFor(corpus: DataFrame, centroidStride: Int,
+      dim: Int, trainIters: Int, targetCellSize: Int = 50,
+      hierThreshold: Long = 50000L): Quantizer = {
+    val n = corpus.count()
+    if (trainIters > 0 && n > hierThreshold) {
+      val (l1, l2) = hierQuantizer(corpus, dim, targetCellSize, trainIters)
+      Quantizer(df => assignHier(df, l1, l2),
+        (df, np) => probeHier(df, l1, l2, nL1 = 2, nProbe = np))
+    } else {
+      val cents = coarseCentroids(corpus, centroidStride, dim, trainIters)
+      Quantizer(df => cellsFor(df, cents, 1, ""),
+        (df, np) => cellsFor(df, cents, np, ""))
+    }
+  }
+
+  /** Two-level coarse quantizer (hierarchical k-means — the inverted
+    * multi-index / FAISS-IMI family shape, public): level 1 is
+    * c1 ≈ √(n/targetCellSize) Lloyd-trained cells; level 2 trains
+    * ~csize/targetCellSize sub-centroids INSIDE each level-1 cell (one
+    * vec-mean aggregation per round keyed by (l1, sub)). Every vector
+    * scores c1 + its-cell's-subcount centroids per pass — O(n·√C)
+    * train/assign where the flat quantizer pays O(n·C); final cell
+    * granularity (~targetCellSize members) is the same. Sub-centroid
+    * ids are member vids (globally unique, stable across rounds), and
+    * all arithmetic is the exact-long quantized grid, so the
+    * structure is deterministic at any partitioning like
+    * [[trainCentroids]].
+    */
+  private[graft] def hierQuantizer(corpus: DataFrame, dim: Int,
+      targetCellSize: Int = 50, iters: Int = 2): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val n = corpus.count()
+    val c = math.max(1L, n / targetCellSize)
+    val c1 = math.max(1, math.ceil(math.sqrt(c.toDouble)).toInt)
+    val stride1 = math.max(1, (n / c1).toInt)
+    val l1 = broadcast(trainCentroids(corpus, dim, stride1, iters)
+      .select($"cid", $"c_qv", $"c_nrm"))
+    val asg1 = cellsFor(corpus, l1, 1, "").localCheckpoint()
+    val wc = Window.partitionBy($"cid").orderBy($"vid")
+    // init: deterministic stride sample within each L1 cell, one
+    // sub-centroid per ~targetCellSize members (cells smaller than
+    // the target keep a single sub-cell — no over-splitting)
+    var l2 = asg1
+      .withColumn("rn", (row_number().over(wc) - 1).cast("long"))
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy($"cid")))
+      .withColumn("stride",
+        greatest(floor($"csize" / ceil($"csize" / lit(targetCellSize.toDouble))), lit(1.0))
+          .cast("long"))
+      .filter(pmod($"rn", $"stride") === 0)
+      .select($"cid".as("l1"), $"vid".as("scid"),
+        $"qv".as("c_qv"), $"nrm".as("c_nrm"))
+    var it = 0
+    while (it < iters) {
+      val bc = broadcast(l2)
+      l2 = asg1.join(bc, $"cid" === $"l1")
+        .withColumn("c_cos", cosineQ($"qv", $"c_qv", $"nrm", $"c_nrm"))
+        .groupBy($"vid")
+        // hash-aggregated argmax (see trainCentroids) — scids are
+        // globally unique and a vector only scores its own L1 cell's
+        // subs, so (l1, scid) regroups via any_value(cid)
+        .agg(graft.functions.TopKAgg.topk_by_score($"c_cos", $"scid", 1).as("best"),
+          any_value($"qv").as("v"), any_value($"cid").as("c1c"))
+        .groupBy($"c1c".as("l1"), $"best"(0)("id").as("scid"))
+        .agg(graft.functions.VecMeanAgg.vec_mean($"v", dim).as("c_qv"))
+        .withColumn("c_nrm", normQ($"c_qv"))
+        .localCheckpoint()
+      it += 1
+    }
+    (l1, broadcast(l2))
+  }
+
+  /** One-cell hierarchical assignment: L1 argmax (c1 scores) then
+    * argmax among that cell's sub-centroids. Emits (vid, qv, nrm, cid)
+    * with cid = the winning sub-centroid id. Inputs must be corpus
+    * members or share its vector space (every L1 cell has ≥1
+    * sub-centroid by construction, so the equi-join drops nothing).
+    */
+  private[graft] def assignHier(df: DataFrame, l1: DataFrame,
+      l2: DataFrame): DataFrame =
+    cellsFor(df, l1, 1, "")
+      .join(l2, $"cid" === $"l1")
+      .withColumn("c_cos", cosineQ($"qv", $"c_qv", $"nrm", $"c_nrm"))
+      .groupBy($"vid")
+      .agg(graft.functions.TopKAgg.topk_by_score($"c_cos", $"scid", 1).as("best"),
+        any_value($"qv").as("v"), any_value($"nrm").as("nm"))
+      .select($"vid", $"v".as("qv"), $"nm".as("nrm"),
+        $"best"(0)("id").as("cid"))
+
+  /** Multi-cell hierarchical probe: nL1 nearest level-1 cells, then
+    * the nProbe best sub-centroids among their unions — the two-level
+    * probe every multi-index ANN system uses. One row per (vid,
+    * probed cid).
+    */
+  private[graft] def probeHier(df: DataFrame, l1: DataFrame, l2: DataFrame,
+      nL1: Int, nProbe: Int): DataFrame =
+    cellsFor(df, l1, nL1, "")
+      .join(l2, $"cid" === $"l1")
+      .withColumn("c_cos", cosineQ($"qv", $"c_qv", $"nrm", $"c_nrm"))
+      .groupBy($"vid")
+      .agg(graft.functions.TopKAgg.topk_by_score($"c_cos", $"scid", nProbe).as("cells"),
+        any_value($"qv").as("v"), any_value($"nrm").as("nm"))
+      .select($"vid", $"v".as("qv"), $"nm".as("nrm"), explode($"cells.id").as("cid"))
 
   def ivfTopK(corpus: DataFrame, k: Int, centroidStride: Int = 50,
-      nProbe: Int = 2, dim: Int = 0, trainIters: Int = 0): DataFrame = {
-    val centroids = coarseCentroids(corpus, centroidStride, dim, trainIters)
+      nProbe: Int = 2, dim: Int = 0, trainIters: Int = 0,
+      queries: DataFrame = null): DataFrame = {
+    val quant = quantizerFor(corpus, centroidStride, dim, trainIters)
 
-    val members = cellsFor(corpus, centroids, 1, "m_")   // each vector lives in 1 cell
-    val probes = cellsFor(corpus, centroids, nProbe, "q_") // queries probe nProbe cells
+    // `queries` (default: whole corpus = all-NN) bounds the probe side
+    // at the source — a filter applied AFTER the operator cannot push
+    // back through the cell join + top-k aggregate, so the all-NN
+    // probe space runs anyway (measured 124 s vs ~5 s at sf10 for the
+    // 500-query gate). Training and members always use the full corpus.
+    val queryDf = Option(queries).getOrElse(corpus)
+    val members = quant.assign(corpus)   // each vector lives in 1 cell
+      .select($"vid".as("m_vid"), $"qv".as("m_qv"), $"nrm".as("m_nrm"), $"cid")
+    val probes = quant.probe(queryDf, nProbe) // queries probe nProbe cells
+      .select($"vid".as("q_vid"), $"qv".as("q_qv"), $"nrm".as("q_nrm"), $"cid")
 
     val cands = probes.join(members, Seq("cid"))
       .filter($"q_vid" =!= $"m_vid")
@@ -280,10 +450,14 @@ object Similarity {
       .withColumn("c_cos", cosineQ($"qv", $"c_qv", $"nrm", $"c_nrm"))
     if (n == 1)
       scored.groupBy($"vid")
-        .agg(max(struct($"c_cos", (-$"cid").as("nc"),
-          $"qv".as("v"), $"nrm".as("nm"))).as("best"))
-        .select($"vid".as(s"${outPrefix}vid"), $"best.v".as(s"${outPrefix}qv"),
-          $"best.nm".as(s"${outPrefix}nrm"), (-$"best.nc").as("cid"))
+        // TopKAgg(1), not max(struct(...)): a struct-typed max is a
+        // SortAggregate (struct buffers aren't hash-mutable), which
+        // SORTS the n×C scored stream — the assignment wall the sf10
+        // profile caught (850 s of spill-merge CPU per task)
+        .agg(graft.functions.TopKAgg.topk_by_score($"c_cos", $"cid", 1).as("best"),
+          any_value($"qv").as("v"), any_value($"nrm").as("nm"))
+        .select($"vid".as(s"${outPrefix}vid"), $"v".as(s"${outPrefix}qv"),
+          $"nm".as(s"${outPrefix}nrm"), $"best"(0)("id").as("cid"))
     else
       scored.groupBy($"vid")
         .agg(
@@ -384,8 +558,8 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, tau: Double, dim: Int,
       centroidStride: Int = 50, trainIters: Int = 2): DataFrame = {
-    val centroids = coarseCentroids(corpus, centroidStride, dim, trainIters)
-    val members = cellsFor(corpus, centroids, 1, "")
+    val members = quantizerFor(corpus, centroidStride, dim, trainIters)
+      .assign(corpus)
 
     val dropped = members.as("x").join(members.as("y"),
         col("x.cid") === col("y.cid") && col("x.vid") < col("y.vid"))
@@ -424,8 +598,8 @@ object Similarity {
     val member = corpus.select($"vid", xxhash64($"qv").as("gh"))
     val reps = corpus.groupBy(xxhash64($"qv").as("gh"))
       .agg(min($"vid").as("vid"), first($"qv").as("qv"), first($"nrm").as("nrm"))
-    val centroids = coarseCentroids(corpus, centroidStride, dim, trainIters)
-    val repCells = cellsFor(reps.select($"vid", $"qv", $"nrm"), centroids, 1, "")
+    val repCells = quantizerFor(corpus, centroidStride, dim, trainIters)
+      .assign(reps.select($"vid", $"qv", $"nrm"))
     val minSim = repCells.as("x").join(repCells.as("y"),
         col("x.cid") === col("y.cid") && col("x.vid") =!= col("y.vid"))
       .filter(cosineQ(col("x.qv"), col("y.qv"),

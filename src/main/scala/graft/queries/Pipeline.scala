@@ -239,8 +239,8 @@ object Pipeline {
     "q36_ann_lsh" -> { (s, dir) =>
       import s.implicits._
       val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
-      val approx = Similarity.lshTopK(corpus, dim = 64, nPlanes = 5, k = 5, nTables = 8)
-        .filter($"query_id" < 500)
+      val approx = Similarity.lshTopK(corpus, dim = 64, nPlanes = 5, k = 5,
+        nTables = 8, queries = corpus.filter($"vid" < 500))
       Pipeline.annRecallAudit(
         approx, corpus.filter($"vid" < 500), corpus, minRecall = 0.25)
     },
@@ -317,8 +317,8 @@ object Pipeline {
     "q42_ann_ivf" -> { (s, dir) =>
       import s.implicits._
       val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
-      val approx = Similarity.ivfTopK(corpus, k = 5, dim = 64, trainIters = 2)
-        .filter($"query_id" < 500)
+      val approx = Similarity.ivfTopK(corpus, k = 5, dim = 64, trainIters = 2,
+        queries = corpus.filter($"vid" < 500))
       Pipeline.annRecallAudit(
         approx, corpus.filter($"vid" < 500), corpus, minRecall = 0.25)
     },
