@@ -1055,4 +1055,94 @@ class StreamingSpec extends SparkSpec {
     val wav = Array[Byte](1, 2, 3)
     assert(Multimodal.resizeImage(wav, 4, 4).toSeq == wav.toSeq)
   }
+
+  test("streaming time decay equals the batch recurrence exactly (q151 parity)") {
+    import graft.streaming.TimeDecayStream
+    import graft.streaming.TimeDecayStream.{Ev, DecayOut}
+    import spark.implicits._
+    val tau = 3600000.0
+    val batch = Tables(spark, sf).events.withColumn("tms", unix_millis(col("ts")))
+    val expected = graft.operators.TimeSeries
+      .timeDecayed(batch, "user_id", "tms", "event_id", "value", tau)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // deliver 3 time-ordered slices; each trigger round-trips the
+    // per-user (lastT, dsum, dcnt) state through the state store, and
+    // in-order delivery makes the fold arithmetic IDENTICAL to the
+    // batch scan - parity is exact double equality, no tolerance
+    val data = batch.select($"user_id", $"tms", $"event_id", $"value")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getLong(2), r.getLong(1), r.getDouble(3)))
+      .sortBy(e => (e.tms, e.id))
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = TimeDecayStream.streamingTimeDecayed(spark, ms.toDS(), tau)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decay_out")
+      .start()
+    data.grouped(math.max(1, data.length / 3 + 1)).foreach { slice =>
+      ms.addData(slice.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("decay_out").as[DecayOut].collect()
+    assert(got.length == expected.size)
+    got.foreach { o =>
+      val (es, ec) = expected((o.key, o.id))
+      assert(o.decayed_sum == es && o.decayed_cnt == ec,
+        s"row (${o.key}, ${o.id}): (${o.decayed_sum}, ${o.decayed_cnt}) vs ($es, $ec)")
+    }
+  }
+
+  test("time-decay eviction removes idle state and stays value-exact past the horizon") {
+    import graft.streaming.TimeDecayStream
+    import graft.streaming.TimeDecayStream.{EvT, DecayOut}
+    import spark.implicits._
+    val tau = 1000.0 // 1 s - the 40-tau horizon is 40 s
+    val base = 1600000000000L
+    // two bursts 100*tau apart for user 1; user 2 only in burst 1
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val burst1 = Seq(
+      EvT(1L, 1L, ts(base), 10.0), EvT(1L, 2L, ts(base + 500), 20.0),
+      EvT(2L, 3L, ts(base + 100), 5.0))
+    val burst2 = Seq(
+      EvT(1L, 4L, ts(base + 100000), 40.0), EvT(1L, 5L, ts(base + 100500), 50.0))
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EvT]
+    val src = ms.toDS().toDF()
+      .withWatermark("ts", "0 seconds")
+      .as[EvT]
+    val q = TimeDecayStream.streamingTimeDecayedEvicting(spark, src, tau)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decay_evict_out")
+      .start()
+    ms.addData(burst1); q.processAllAvailable()
+    ms.addData(burst2); q.processAllAvailable()
+    // push the watermark past burst2's horizon so its state evicts too
+    ms.addData(Seq(EvT(3L, 9L, ts(base + 300000), 1.0))); q.processAllAvailable()
+    q.stop()
+    val removed = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsRemoved).sum
+    assert(removed >= 2, s"idle users must evict, removed=$removed")
+    // batch recurrence over the SAME rows: the 100-tau gap decays the
+    // burst-1 tail to sub-ulp, so even with user 1's state evicted
+    // between bursts the values match the batch scan EXACTLY
+    val all = (burst1 ++ burst2).map(e => (e.key, e.ts.getTime, e.id, e.value))
+      .toDF("user_id", "tms", "event_id", "value")
+    val expected = graft.operators.TimeSeries
+      .timeDecayed(all, "user_id", "tms", "event_id", "value", tau)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(4), r.getDouble(5)))
+      .toMap
+    spark.table("decay_evict_out").as[DecayOut].collect()
+      .filter(_.key != 3L)
+      .foreach { o =>
+        val (es, ec) = expected((o.key, o.id))
+        assert(o.decayed_sum == es && o.decayed_cnt == ec,
+          s"row (${o.key}, ${o.id}): (${o.decayed_sum}, ${o.decayed_cnt}) vs ($es, $ec)")
+      }
+  }
+
 }
