@@ -69,7 +69,7 @@ object Intervals {
     */
   def maxIntersectionsScaled(
       df: DataFrame, key: Column, startMs: Column, endMs: Column,
-      nRanges: Int): DataFrame = {
+      nRanges: Int, collapseDups: Boolean = false): DataFrame = {
     val opens  = df.select(key.as("k"), startMs.as("t"), lit(1L).as("d"))
     val closes = df.select(key.as("k"), endMs.as("t"), lit(-1L).as("d"))
     val pts = opens.unionAll(closes)
@@ -78,13 +78,31 @@ object Intervals {
       .withColumn("rw",
         greatest(lit(1L), ceil((col("t1") - col("t0") + 1).cast("double") / nRanges).cast("long")))
       .withColumn("rid", ((col("t") - col("t0")) / col("rw")).cast("long"))
+    // Pathological-skew path: range pre-partition parallelizes a hot
+    // key across the TIME axis, but a key piling millions of rows on
+    // few DISTINCT instants still serializes one range's sort.
+    // Collapsing deltas to one NET row per (k, rid, t) fixes that
+    // map-side (hash partial aggregate before the exchange, so the
+    // hot instant's rows never travel). Output-identical: the RANGE-
+    // framed running sum at instant t already includes every peer at
+    // (t, d), so the per-instant NET running sum equals the tie-
+    // ordered sweep's post-instant value, and the intermediate
+    // closes-only value it drops is ≤ the previous instant's value
+    // (or ≤ 0 at a range's first instant, matching net there) — never
+    // the max. IntervalSpec pins equality on a duplicate-heavy set.
+    val sweepIn =
+      if (!collapseDups) withRange
+      else withRange.groupBy(col("k"), col("rid"), col("t"))
+        .agg(sum(col("d")).as("d"),
+          sum(when(col("d") === 1L, 1L).otherwise(0L)).as("opens"))
     val w1 = Window.partitionBy(col("k"), col("rid")).orderBy(col("t"), col("d"))
-    val perRange = withRange
+    val perRange = sweepIn
       .withColumn("open_now", sum(col("d")).over(w1))
       .groupBy(col("k"), col("rid"))
       .agg(max(col("open_now")).as("local_max"),
         sum(col("d")).as("total_delta"),
-        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_opens"))
+        (if (collapseDups) sum(col("opens"))
+         else sum(when(col("d") === 1L, 1L).otherwise(0L))).as("n_opens"))
     val w2 = Window.partitionBy(col("k")).orderBy(col("rid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     perRange
@@ -108,8 +126,22 @@ object Intervals {
     */
   def intervalLengthSumScaled(
       df: DataFrame, key: Column, startMs: Column, endMs: Column,
-      nRanges: Int, withStats: Boolean = false): DataFrame = {
-    val all = df.select(key.as("k"), startMs.as("s"), endMs.as("e"))
+      nRanges: Int, withStats: Boolean = false,
+      collapseDups: Boolean = false): DataFrame = {
+    // Pathological-skew path (mirrors maxIntersectionsScaled): a hot
+    // key replaying one identical interval millions of times defeats
+    // range clipping (every copy clips to the same ranges). Union
+    // coverage counts duplicates ONCE, so collapse to unique
+    // (k, s, e) with a multiplicity — the hash partial aggregate
+    // crushes the copies map-side — sweep unique intervals, and
+    // weight n_intervals by the multiplicity. Duplicates contributed
+    // 0 to the sweep before (prev_max_e ≥ their ce), so covered_ms
+    // and span are untouched: output-identical, IntervalSpec-pinned.
+    val raw = df.select(key.as("k"), startMs.as("s"), endMs.as("e"))
+    val all =
+      if (!collapseDups) raw.withColumn("n", lit(1L))
+      else raw.groupBy(col("k"), col("s"), col("e"))
+        .agg(count(lit(1)).as("n"))
     // span over ALL rows (not just positive-length ones): a null t0
     // from an empty filtered frame would null the range arithmetic
     // and silently drop every row
@@ -147,7 +179,7 @@ object Intervals {
       // the retained original bounds (duplication-invariant max/min)
       swept.groupBy(col("k")).agg(
         sum(col("contrib")).as("covered_ms"),
-        sum(when(col("rid") === col("rid0"), 1L).otherwise(0L))
+        sum(when(col("rid") === col("rid0"), col("n")).otherwise(0L))
           .as("n_intervals"),
         (max(col("e")) - min(col("s"))).as("span_ms"))
   }

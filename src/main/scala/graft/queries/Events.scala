@@ -333,6 +333,41 @@ object Events {
         .groupBy($"k_bucket")
         .agg(count(lit(1)).as("n"), Parity.sumD($"value").as("total"))
         .orderBy($"k_bucket")
+    },
+
+    // maxIntersections PATHOLOGICAL-SKEW path: collapse-first on top
+    // of the range partition — net delta per (key, range, instant) via
+    // a map-side hash partial aggregate, so a key piling rows onto few
+    // distinct instants (range partitioning's blind spot: all copies
+    // land in ONE range) never serializes a sort. Same 5-key
+    // event_type shape and the SAME oracle as q134 — the gate is the
+    // collapse's output-identity proof on real data.
+    "q153_max_intersections_skew" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .withColumn("sms", unix_millis($"ts"))
+        .withColumn("ems", $"sms" + round($"value" * 1000).cast("long"))
+      graft.operators.Intervals
+        .maxIntersectionsScaled(ev, $"event_type", $"sms", $"ems",
+          nRanges = 64, collapseDups = true)
+        .withColumnRenamed("k", "event_type")
+        .orderBy($"event_type")
+    },
+
+    // intervalLengthSum PATHOLOGICAL-SKEW path: unique-(s,e)-first
+    // with multiplicity (union coverage counts duplicates once, so
+    // replayed intervals collapse map-side before clipping fans them
+    // out to ranges). Same oracle as q135 = output-identity proof.
+    "q154_interval_length_skew" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .withColumn("sms", unix_millis($"ts"))
+        .withColumn("ems", $"sms" + round($"value" * 1000).cast("long"))
+      graft.operators.Intervals
+        .intervalLengthSumScaled(ev, $"user_id", $"sms", $"ems",
+          nRanges = 16, withStats = true, collapseDups = true)
+        .withColumnRenamed("k", "user_id")
+        .orderBy($"user_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -581,5 +616,38 @@ object Events {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events
         |GROUP BY 1
-        |ORDER BY k_bucket""".stripMargin)
+        |ORDER BY k_bucket""".stripMargin,
+
+    // same oracle as q134 (plain one-pass sweep): the skew gate is the
+    // collapse-first decomposition's output-identity proof
+    "q153_max_intersections_skew" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) AS s,
+        |  epoch_ms(ts) + CAST(round(value * 1000) AS BIGINT) AS e FROM events),
+        |p AS (SELECT event_type, s AS t, 1 AS d FROM e
+        |      UNION ALL SELECT event_type, e, -1 FROM e),
+        |c AS (SELECT event_type,
+        |  CAST(sum(d) OVER (PARTITION BY event_type ORDER BY t, d) AS BIGINT)
+        |    AS open_now FROM p)
+        |SELECT event_type, max(open_now) AS max_concurrent,
+        |  CAST(count(*) // 2 AS BIGINT) AS n_intervals
+        |FROM c
+        |GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
+
+    // same oracle as q135 (plain one-pass sweep with stats)
+    "q154_interval_length_skew" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS s,
+        |  epoch_ms(ts) + CAST(round(value * 1000) AS BIGINT) AS e FROM events),
+        |m AS (SELECT user_id, s, e,
+        |  max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(sum(greatest(0, e - greatest(s, coalesce(pm, s)))) AS BIGINT)
+        |    AS covered_ms,
+        |  count(*) AS n_intervals,
+        |  max(e) - min(s) AS span_ms
+        |FROM m
+        |GROUP BY 1
+        |ORDER BY user_id""".stripMargin)
 }

@@ -127,6 +127,37 @@ class IntervalSpec extends SparkSpec {
     assert(scaled("kz") == ((0L, 1L, 0L))) // covered 0, counted, zero span
   }
 
+  test("collapse-first skew path equals the direct sweeps on duplicate-heavy data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // pathological shape: one hot key replaying a handful of identical
+    // intervals many times (all copies land in the same time ranges),
+    // plus normal keys; instants drawn from only 12 distinct values so
+    // the per-instant net-delta collapse actually collapses
+    val rows = (1L to 600L).map { id =>
+      val k = if (id % 3 != 0) "hot" else s"k${id % 4}"
+      val s = (rnd.nextInt(12) * 10).toLong
+      val e = s + (1 + rnd.nextInt(3)) * 10
+      (k, s, e, id)
+    }
+    val df = rows.toDF("k", "s", "e", "id")
+    val directMax = Intervals.maxIntersections(df, $"k", $"s", $"e")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val directLen = Intervals.intervalLengthSum(df, $"k", $"s", $"e", $"id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for (nRanges <- Seq(1, 5, 32)) {
+      val cMax = Intervals
+        .maxIntersectionsScaled(df, $"k", $"s", $"e", nRanges, collapseDups = true)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(cMax == directMax, s"max nRanges=$nRanges")
+      val cLen = Intervals
+        .intervalLengthSumScaled(df, $"k", $"s", $"e", nRanges,
+          withStats = true, collapseDups = true)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(cLen == directLen, s"len nRanges=$nRanges")
+    }
+  }
+
   test("sweep matches a brute-force point-wise oracle on a dense random set") {
     val rnd = new scala.util.Random(42)
     val rows = (1L to 200L).map { id =>

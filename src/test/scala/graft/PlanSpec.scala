@@ -290,6 +290,29 @@ class PlanSpec extends SparkSpec {
       s"span must broadcast:\n$p")
   }
 
+  test("skew interval sweeps collapse duplicates in a partial hash aggregate") {
+    import graft.operators.Intervals
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sf).events
+      .withColumn("sms", unix_millis(col("ts")))
+      .withColumn("ems", col("sms") + round(col("value") * 1000).cast("long"))
+    val p = plan(Intervals.maxIntersectionsScaled(
+      ev, col("event_type"), col("sms"), col("ems"), nRanges = 64,
+      collapseDups = true))
+    // the collapse must be a two-phase HASH aggregate (partial runs
+    // map-side BEFORE the exchange — that's the whole point: a hot
+    // instant's duplicate rows never travel) keyed by (k, rid, t)
+    assert("HashAggregate.*keys=\\[k".r.findFirstIn(p).isDefined,
+      s"collapse must be a hash aggregate on (k, rid, t):\n$p")
+    assert("partial".r.findAllIn(p).nonEmpty,
+      s"collapse must have a map-side partial phase:\n$p")
+    val pLen = plan(Intervals.intervalLengthSumScaled(
+      ev, col("user_id"), col("sms"), col("ems"), nRanges = 16,
+      withStats = true, collapseDups = true))
+    assert("HashAggregate.*keys=\\[k".r.findFirstIn(pLen).isDefined,
+      s"unique-(s,e) collapse must be a hash aggregate:\n$pLen")
+  }
+
   test("scaled length sum with stats stays a single source pass (no stats join)") {
     import graft.operators.Intervals
     import org.apache.spark.sql.functions._
