@@ -157,6 +157,48 @@ object Pipeline {
   }
 
   val queries: Map[String, Q] = Map(
+    // Distributed BPE vocabulary training (operators/Bpe.scala): the
+    // corpus collapses ONCE to unique word frequencies; 20 merge
+    // rounds run on that table alone (pair-count aggregate + 1-row
+    // argmax + map-side merge). Iterative driver-looped training
+    // isn't SQL-expressible, so the gate is the q42/q151 audit
+    // pattern: the oracle recomputes the FIRST merge exactly (run-
+    // aware greedy pair counting in SQL), plus init symbol total and
+    // distinct base chars; the booleans are invariants the counting
+    // convention makes EXACT (merge counts monotone non-increasing;
+    // each merge shrinks the weighted symbol total by exactly its
+    // count; a separate BpeEncode evaluation reproduces the training
+    // evolution word-for-word) — DuckDB predicts them TRUE.
+    "q155_bpe_train" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.{BpeChars, BpeEncode}
+      import graft.operators.Bpe
+      val numMerges = 20
+      val words = Bpe.wordFrequencies(Tables(s, dir).documents, "text")
+      val (merges, finalWords) = Bpe.train(words, numMerges)
+      val mergedCount = merges.map(_.count).sum
+      val monotone = merges.iterator.sliding(2).withPartial(false)
+        .forall(w => w(1).count <= w(0).count)
+      val enc = BpeEncode.bpe_encode($"word", merges.map(m => (m.left, m.right)))
+      val agg = finalWords.agg(
+        sum($"freq" * length($"word")).as("init_sym"),
+        sum($"freq" * size($"syms")).as("final_sym"),
+        sum(when(enc === $"syms", 0L).otherwise(1L)).as("enc_bad"))
+      val dchars = finalWords
+        .select(explode(BpeChars.bpe_chars($"word")).as("c"))
+        .agg(countDistinct($"c").as("dc"))
+      agg.crossJoin(broadcast(dchars)).select(
+        lit(merges.length.toLong).as("n_merges"),
+        lit(merges.head.left).as("first_left"),
+        lit(merges.head.right).as("first_right"),
+        lit(merges.head.count).as("first_count"),
+        $"init_sym".cast("long").as("init_symbols"),
+        $"dc".cast("long").as("distinct_chars"),
+        lit(monotone).as("counts_monotone"),
+        ($"final_sym" === $"init_sym" - lit(mergedCount)).as("compression_consistent"),
+        ($"enc_bad" === 0L).as("encode_matches"))
+    },
+
     // Exact dedup by content hash-group; emits the kept id per group.
     "q30_dedup_exact" -> { (s, dir) =>
       import s.implicits._
@@ -1965,6 +2007,45 @@ object Pipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    // first merge recomputed exactly with the SAME greedy counting
+    // convention (l != r: plain zip; l == r: floor(run/2) per maximal
+    // run via gaps-and-islands), tie-break (count DESC, l, r); the
+    // invariant booleans are earned by the in-plan audit
+    "q155_bpe_train" ->
+      """WITH w AS (
+        |  SELECT t AS word, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) > 0 GROUP BY 1),
+        |chars AS (
+        |  SELECT word, freq, i, substr(word, CAST(i AS INT), 1) AS c
+        |  FROM w, LATERAL unnest(range(1, len(word) + 1)) AS g(i)),
+        |runs AS (
+        |  SELECT word, freq, i, c,
+        |    i - row_number() OVER (PARTITION BY word, c ORDER BY i) AS rid
+        |  FROM chars),
+        |runlens AS (
+        |  SELECT word, freq, c, rid, count(*) AS L FROM runs GROUP BY 1,2,3,4),
+        |pairs AS (
+        |  SELECT a.freq, a.c AS l, b.c AS r
+        |  FROM chars a JOIN chars b ON a.word = b.word AND b.i = a.i + 1
+        |  WHERE a.c <> b.c
+        |  UNION ALL
+        |  SELECT freq * CAST(L / 2 AS BIGINT) AS freq, c AS l, c AS r
+        |  FROM runlens WHERE L >= 2),
+        |best AS (
+        |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM pairs GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |tot AS (
+        |  SELECT CAST(sum(freq * len(word)) AS BIGINT) AS init_symbols FROM w),
+        |dc AS (
+        |  SELECT CAST(count(DISTINCT c) AS BIGINT) AS distinct_chars FROM chars)
+        |SELECT CAST(20 AS BIGINT) AS n_merges,
+        |  best.l AS first_left, best.r AS first_right,
+        |  best.cnt AS first_count, tot.init_symbols, dc.distinct_chars,
+        |  TRUE AS counts_monotone, TRUE AS compression_consistent,
+        |  TRUE AS encode_matches
+        |FROM best, tot, dc""".stripMargin,
+
     "q105_pagerank" -> pagerankOracle,
     "q107_mmr_rerank" -> mmrOracle,
     "q120_facility_rerank" -> facilityOracle,
