@@ -461,6 +461,28 @@ object H264 {
   private def coeffTokenTable(nC: Int): Map[(Int, Int), String] =
     if (nC < 2) coeffTokenNc01 else coeffTokenNc23
 
+  /** coeff_token for the CHROMA DC 2x2 blocks (Table 9-5, nC == -1
+    * column, 4:2:0 — TotalCoeff ≤ 4). The last CAVLC table class a
+    * 4:2:0 intra stream needs; validated by prefix-freeness +
+    * round-trip (H264Spec) like the nC ≥ 2 classes.
+    */
+  private val coeffTokenChromaDc: Map[(Int, Int), String] = Map(
+    (0, 0) -> "01",
+    (0, 1) -> "000111", (1, 1) -> "1",
+    (0, 2) -> "000100", (1, 2) -> "000110", (2, 2) -> "001",
+    (0, 3) -> "000011", (1, 3) -> "0000011", (2, 3) -> "0000010",
+    (3, 3) -> "000101",
+    (0, 4) -> "000010", (1, 4) -> "00000011", (2, 4) -> "00000010",
+    (3, 4) -> "0000000")
+
+  /** total_zeros for chroma DC (Table 9-9(a), maxNumCoeff 4),
+    * [TotalCoeff 1..3][tz].
+    */
+  private val chromaTotalZerosTab: Array[Array[String]] = Array(
+    Array("1", "01", "001", "000"),
+    Array("1", "01", "00"),
+    Array("1", "0"))
+
   /** total_zeros[TotalCoeff 1..7][tz]. */
   private val totalZerosTab: Array[Array[String]] = Array(
     Array("1", "011", "010", "0011", "0010", "00011", "00010", "000011",
@@ -494,8 +516,10 @@ object H264 {
   private[graft] def tableForSpec(name: String): Seq[Seq[String]] =
     name match {
       case "coeff_token" =>
-        Seq(coeffTokenNc01.values.toSeq, coeffTokenNc23.values.toSeq)
+        Seq(coeffTokenNc01.values.toSeq, coeffTokenNc23.values.toSeq,
+          coeffTokenChromaDc.values.toSeq)
       case "total_zeros" => totalZerosTab.map(_.toSeq).toSeq
+      case "chroma_total_zeros" => chromaTotalZerosTab.map(_.toSeq).toSeq
       case "run_before"  => runBeforeTab.map(_.toSeq).toSeq
       case _ => Seq.empty
     }
@@ -547,6 +571,24 @@ object H264 {
   private[graft] def dequantIdctForSpec(scan: Array[Int], qp: Int): Array[Int] =
     dequantIdct4x4(scan, qp)
 
+  private[graft] def encodeChromaBits(coeffs: Array[Int]): String = {
+    val bw = new BitWriter
+    encodeChromaDcBlock(bw, coeffs)
+    bw.bitString
+  }
+
+  private[graft] def decodeChromaBits(bits: String): Option[Array[Int]] = {
+    val bw = new BitWriter
+    bits.foreach(c => bw.u(c - '0', 1))
+    bw.u(0, 16)
+    val padded = bw.stop()
+    try decodeChromaDcBlock(new BitReader(padded))
+    catch { case _: IllegalStateException => None }
+  }
+
+  private[graft] def chromaDcDequantForSpec(c: Array[Int], qpc: Int): Array[Int] =
+    chromaDcDequant(c, qpc)
+
   /** CAVLC-encode one 4x4 block's coefficients (zigzag-scan order,
     * length 16) for context nC < 4. Emitter caps: TotalCoeff ≤ 5,
     * |level| ≤ 7 (keeps level_prefix in the non-escape range).
@@ -556,10 +598,12 @@ object H264 {
     val nz = coeffs.zipWithIndex.filter(_._1 != 0)
     val tc = nz.length
     require(tc <= 5, s"TotalCoeff $tc beyond table subset")
-    require(nC < 4, s"nC $nC beyond table subset")
+    require(nC < 4 || nC >= 8,
+      s"nC $nC in the [4,8) VLC class — table not entered (see decode note)")
     var t1 = 0
     while (t1 < math.min(3, tc) && math.abs(nz(tc - 1 - t1)._1) == 1) t1 += 1
-    writeCode(bw, coeffTokenTable(nC)((t1, tc)))
+    if (nC >= 8) bw.u(if (tc == 0) 3 else 4 * (tc - 1) + t1, 6) // FLC class
+    else writeCode(bw, coeffTokenTable(nC)((t1, tc)))
     if (tc == 0) return
     // trailing-one signs, highest scan position first
     (0 until t1).foreach(i => bw.u(if (nz(tc - 1 - i)._1 < 0) 1 else 0, 1))
@@ -606,12 +650,29 @@ object H264 {
     */
   private[operators] def decodeCoeffBlock(r: BitReader,
       nC: Int = 0): Option[Array[Int]] = {
-    if (nC >= 4) return None
-    val tokenCodes = coeffTokenTable(nC)
-      .map { case ((t1, tc), c) => c -> (t1 * 32 + tc) }
-    val token = readVlc(r, tokenCodes, 16).getOrElse(return None)
-    val t1 = token / 32
-    val tc = token % 32
+    // nC ≥ 8 is the fixed-length class — fully algorithmic (6-bit
+    // code, value 4·(TC−1)+T1, TC = 0 coded as 3). The 4 ≤ nC < 8 VLC
+    // column is deliberately NOT entered: unlike the FLC rule and the
+    // nC < 4 columns (worked-example- and structure-validated), there
+    // is no way to validate a from-memory transcription of that
+    // column here, and a plausible-but-wrong table is worse than an
+    // honest refusal.
+    if (nC >= 4 && nC < 8) return None
+    val (t1, tc) =
+      if (nC >= 8) {
+        val v = r.u(6)
+        if (v == 3) (0, 0)
+        else {
+          val (q, m) = (v / 4 + 1, v % 4)
+          if (m > math.min(3, v / 4 + 1)) return None
+          (m, q)
+        }
+      } else {
+        val tokenCodes = coeffTokenTable(nC)
+          .map { case ((t1, tc), c) => c -> (t1 * 32 + tc) }
+        val token = readVlc(r, tokenCodes, 16).getOrElse(return None)
+        (token / 32, token % 32)
+      }
     val out = Array.fill(16)(0)
     if (tc == 0) return Some(out)
     val levels = new Array[Int](tc) // index 0 = highest scan position
@@ -694,6 +755,153 @@ object H264 {
     * for qp ≥ 24 and the rounding shift below, row/column butterflies
     * with the d1>>1 floor, final (x+32)>>6.
     */
+  /** CAVLC-encode one chroma DC 2x2 block (coefficients in the DC
+    * scan order c(0,0), c(0,1), c(1,0), c(1,1)): coeff_token from the
+    * nC == -1 column, then the same trailing-one/level machinery as
+    * 4x4, total_zeros from Table 9-9(a) (maxNumCoeff 4), run_before
+    * from the shared table. |level| ≤ 7 emitter cap as for luma.
+    */
+  private[operators] def encodeChromaDcBlock(bw: BitWriter,
+      coeffs: Array[Int]): Unit = {
+    require(coeffs.length == 4, "chroma DC block is 2x2")
+    val nz = coeffs.zipWithIndex.filter(_._1 != 0)
+    val tc = nz.length
+    var t1 = 0
+    while (t1 < math.min(3, tc) && math.abs(nz(tc - 1 - t1)._1) == 1) t1 += 1
+    writeCode(bw, coeffTokenChromaDc((t1, tc)))
+    if (tc == 0) return
+    (0 until t1).foreach(i => bw.u(if (nz(tc - 1 - i)._1 < 0) 1 else 0, 1))
+    var suffixLength = 0
+    var i = t1
+    while (i < tc) {
+      val level = nz(tc - 1 - i)._1
+      require(math.abs(level) <= 7, s"level $level beyond emitter cap")
+      var levelCode = if (level > 0) 2 * level - 2 else -2 * level - 1
+      if (i == t1 && t1 < 3) levelCode -= 2
+      if (suffixLength == 0) {
+        require(levelCode < 14, "level_prefix escape out of emitter scope")
+        bw.u(0, levelCode); bw.u(1, 1)
+      } else {
+        val prefix = levelCode >> suffixLength
+        require(prefix < 15, "level_prefix escape out of emitter scope")
+        bw.u(0, prefix); bw.u(1, 1)
+        bw.u(levelCode & ((1 << suffixLength) - 1), suffixLength)
+      }
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(level) > (3 << (suffixLength - 1)) && suffixLength < 6)
+        suffixLength += 1
+      i += 1
+    }
+    if (tc < 4) {
+      val tz = nz.last._2 + 1 - tc
+      writeCode(bw, chromaTotalZerosTab(tc - 1)(tz))
+      var zerosLeft = tz
+      var j = tc - 1
+      while (zerosLeft > 0 && j > 0) {
+        val run = nz(j)._2 - nz(j - 1)._2 - 1
+        writeCode(bw, runBeforeTab(zerosLeft - 1)(run))
+        zerosLeft -= run
+        j -= 1
+      }
+    }
+  }
+
+  /** CAVLC-decode one chroma DC 2x2 block to the 4 DC-scan
+    * coefficients; None outside the table subset.
+    */
+  private[operators] def decodeChromaDcBlock(r: BitReader): Option[Array[Int]] = {
+    val tokenCodes = coeffTokenChromaDc
+      .map { case ((t1, tc), c) => c -> (t1 * 32 + tc) }
+    val token = readVlc(r, tokenCodes, 16).getOrElse(return None)
+    val t1 = token / 32
+    val tc = token % 32
+    val out = Array.fill(4)(0)
+    if (tc == 0) return Some(out)
+    val levels = new Array[Int](tc)
+    (0 until t1).foreach(i => levels(i) = if (r.u(1) == 1) -1 else 1)
+    var suffixLength = 0
+    var i = t1
+    while (i < tc) {
+      var prefix = 0
+      while (r.u(1) == 0) {
+        prefix += 1
+        if (prefix > 32) return None
+      }
+      var levelCode =
+        if (suffixLength == 0) {
+          if (prefix < 14) prefix
+          else if (prefix == 14) 14 + r.u(4)
+          else 30 + r.u(12)
+        } else {
+          if (prefix < 15) (prefix << suffixLength) + r.u(suffixLength)
+          else (15 << suffixLength) + r.u(12)
+        }
+      if (i == t1 && t1 < 3) levelCode += 2
+      levels(i) =
+        if (levelCode % 2 == 0) (levelCode + 2) >> 1
+        else -((levelCode + 1) >> 1)
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(levels(i)) > (3 << (suffixLength - 1)) && suffixLength < 6)
+        suffixLength += 1
+      i += 1
+    }
+    var tz = 0
+    if (tc < 4) {
+      val tzCodes = chromaTotalZerosTab(tc - 1).zipWithIndex.map {
+        case (c, v) => c -> v
+      }.toMap
+      tz = readVlc(r, tzCodes, 8).getOrElse(return None)
+    }
+    var pos = tc - 1 + tz
+    var zerosLeft = tz
+    var j = 0
+    while (j < tc) {
+      out(pos) = levels(j)
+      if (j < tc - 1) {
+        var run = 0
+        if (zerosLeft > 0) {
+          val codes = runBeforeTab(zerosLeft - 1).zipWithIndex.map {
+            case (c, v) => c -> v
+          }.toMap
+          run = readVlc(r, codes, 12).getOrElse(return None)
+          if (run > zerosLeft) return None
+        }
+        zerosLeft -= run
+        pos -= run + 1
+      }
+      j += 1
+    }
+    if (tc < 4 && pos != zerosLeft) return None
+    Some(out)
+  }
+
+  /** Chroma DC 2x2 inverse Hadamard + dequant (8.5.11 in this file's
+    * dequant convention — see [[dequantIdct4x4]]'s V-table scaling):
+    * f(i,j) = Σ c·(±1) butterflies, dcC = (f · V(qpc%6) << (qpc/6)) >> 1.
+    * Returns the 4 per-block DCs in (i,j) raster order, each ready to
+    * drive a DC-only 4x4 block's flat residual (dcC + 32) >> 6.
+    */
+  private[operators] def chromaDcDequant(c: Array[Int], qpc: Int): Array[Int] = {
+    val v = Array(10, 11, 13, 14, 16, 18)(qpc % 6)
+    val s = qpc / 6
+    val out = new Array[Int](4)
+    var i = 0
+    while (i < 4) {
+      val si = if (i / 2 == 0) 1 else -1
+      val sj = if (i % 2 == 0) 1 else -1
+      val f = c(0) + c(1) * sj + c(2) * si + c(3) * si * sj
+      out(i) = ((f * v) << s) >> 1
+      i += 1
+    }
+    out
+  }
+
+  /** Chroma QP from luma QP (Table 8-15, chroma_qp_index_offset 0). */
+  private[graft] def chromaQp(qp: Int): Int =
+    if (qp < 30) qp
+    else Array(29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37,
+      37, 38, 38, 38, 39, 39, 39, 39)(math.min(qp, 51) - 30)
+
   private[operators] def dequantIdct4x4(scan: Array[Int], qp: Int): Array[Int] = {
     val vTab = Array(
       Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
@@ -811,13 +1019,59 @@ object H264 {
       (f, bx, by) =>
         acScanVectors(((seed + f * 11 + bx * 7 + by * 5) % 4).toInt))
 
+  /** The four chroma DC 2x2 level vectors of
+    * [[synthesizeH264ChromaDc]] (DC scan order c(0,0), c(0,1),
+    * c(1,0), c(1,1)), spanning the nC == -1 coeff_token rows a
+    * DC-only chroma stream can reach: a lone non-±1 level (k=0),
+    * two trailing ones (k=1), the full TC=4/T1=3 row (k=2), and a
+    * zeros/run_before path with total_zeros = 2 (k=3). At QP 24 each
+    * dequantizes (dcC = 80·f) to the flat per-quadrant residuals
+    * [[chromaQuadResiduals]] — pinned against [[chromaDcDequant]] by
+    * H264Spec, hard-coded by the q156 oracle.
+    */
+  private val chromaDcVectors: Array[Array[Int]] = Array(
+    Array(2, 0, 0, 0),
+    Array(-1, 1, 0, 0),
+    Array(2, 1, -1, 1),
+    Array(0, 2, 0, -1))
+
+  /** Per-vector flat residuals of the four 4x4 chroma blocks in
+    * quadrant (i, j) raster order — (dcC + 32) >> 6 of the Hadamard +
+    * dequant of [[chromaDcVectors]] at QP 24.
+    */
+  private[graft] val chromaQuadResiduals: Array[Array[Int]] = Array(
+    Array(3, 3, 3, 3),
+    Array(0, -2, 0, -2),
+    Array(4, -1, 4, 4),
+    Array(1, -1, 4, -4))
+
+  private[graft] def chromaDcVectorForSpec(k: Int): Array[Int] =
+    chromaDcVectors(k).clone()
+
+  /** Chroma-residual streams: the q149 flat-luma skeleton plus a
+    * CAVLC-coded chroma DC 2x2 block per plane per MB (cbp 31) — the
+    * nC == -1 coeff_token class and the 2x2 inverse Hadamard
+    * in-stream. Quadrant values stay flat, so the chroma planes chain
+    * in closed form exactly like the luma blocks (q156's oracle).
+    */
+  def synthesizeH264ChromaDc(mbH: Int, nFrames: Int, seed: Long): Array[Byte] =
+    synthIntraStream(mbH, nFrames, synthMode,
+      (f, bx, by) => {
+        val scan = Array.fill(16)(0)
+        scan(0) = synthLevel(seed, f, bx, by)
+        scan
+      },
+      (f, my, pl) =>
+        chromaDcVectors(((seed + f * 11 + my * 5 + pl * 3) % 4).toInt))
+
   /** Shared I_4x4 stream writer: 16-wide frames (one MB per row), QP
     * 24, cbp 15, per-block modes/coefficients from the callbacks, nC
     * tracked with the same neighbor rule the decoder applies.
     */
   private def synthIntraStream(mbH: Int, nFrames: Int,
       modeOf: (Int, Int) => Int,
-      scanOf: (Int, Int, Int) => Array[Int]): Array[Byte] = {
+      scanOf: (Int, Int, Int) => Array[Int],
+      chromaOf: (Int, Int, Int) => Array[Int] = null): Array[Byte] = {
     val out = new ArrayBuffer[Byte]()
     out ++= Array[Byte](0, 0, 0, 1)
     out += 0x67.toByte
@@ -855,7 +1109,9 @@ object H264 {
           modes(bx)(by) = mode
         }
         bw.ue(0)      // intra_chroma_pred_mode: DC
-        bw.ue(2)      // cbp me(v): codeNum 2 → cbp 15 (all luma, no chroma)
+        // cbp me(v), Table 9-4 intra: codeNum 2 → 15 (luma only),
+        // codeNum 1 → 31 (luma 15 + chroma DC-only)
+        bw.ue(if (chromaOf == null) 2 else 1)
         bw.se(0)      // mb_qp_delta
         zScan4x4.foreach { case (zx, zy) =>
           val (bx, by) = (zx, my * 4 + zy)
@@ -870,6 +1126,10 @@ object H264 {
           encodeCoeffBlock(bw, scan, nC)
           tcs(bx)(by) = scan.count(_ != 0)
         }
+        // chroma residual: one CAVLC 2x2 DC block per plane (cbp
+        // chroma 1 — DC only, no chroma AC)
+        if (chromaOf != null)
+          (0 until 2).foreach(pl => encodeChromaDcBlock(bw, chromaOf(f, my, pl)))
       }
       out ++= escape(bw.stop())
     }
@@ -953,6 +1213,7 @@ object H264 {
               }
               if (r.ue() != 0) return None // chroma pred: DC only
               val cbp = r.ue() match {
+                case 1 => 31 // luma 15 + chroma 1 (DC-only residual)
                 case 2 => 15
                 case 3 => 0
                 case _ => return None // chroma cbp out of subset
@@ -1023,9 +1284,23 @@ object H264 {
                 }
                 i += 1
               }
-              // chroma 8x8 DC prediction per plane (quadrant rules),
-              // no residual (cbp chroma is 0 in this subset)
-              Seq(cbP, crP).foreach { plane =>
+              // chroma residual: cbp chroma 1 → one CAVLC 2x2 DC
+              // block per plane (Cb then Cr), inverse Hadamard +
+              // dequant at the chroma QP; DC-only 4x4 blocks reduce
+              // to the flat residual (dcC + 32) >> 6 per quadrant
+              val chromaRes: Array[Array[Int]] =
+                if ((cbp >> 4) == 0) Array(Array.fill(4)(0), Array.fill(4)(0))
+                else {
+                  val qpc = chromaQp(qp)
+                  Array.tabulate(2) { _ =>
+                    val c = decodeChromaDcBlock(r).getOrElse(return None)
+                    nLevels += c.count(_ != 0)
+                    chromaDcDequant(c, qpc).map(dc => (dc + 32) >> 6)
+                  }
+                }
+              // chroma 8x8 DC prediction per plane (quadrant rules)
+              // plus the per-quadrant flat residual
+              Seq(cbP, crP).zipWithIndex.foreach { case (plane, pi) =>
                 val cx0 = mx * 8
                 val cy0 = my * 8
                 val hasT = cy0 > 0
@@ -1055,11 +1330,12 @@ object H264 {
                       else if (hasL) (sumL(4) + 2) >> 2
                       else 128
                   }
+                  val v = clip255(dc + chromaRes(pi)((qy / 4) * 2 + (qx / 4)))
                   var y = 0
                   while (y < 4) {
                     var x = 0
                     while (x < 4) {
-                      plane(cy0 + qy + y)(cx0 + qx + x) = dc
+                      plane(cy0 + qy + y)(cx0 + qx + x) = v
                       x += 1
                     }
                     y += 1

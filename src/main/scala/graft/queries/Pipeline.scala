@@ -1484,6 +1484,32 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // H.264 CAVLC with CHROMA DC residuals in-stream (the last CAVLC
+    // table class): cbp 31 macroblocks carry one CAVLC-coded 2x2
+    // chroma DC block per plane through the nC == -1 coeff_token
+    // column, the 2x2 inverse Hadamard and the chroma dequant; flat
+    // quadrants chain in closed form like the luma blocks, so the
+    // oracle re-derives every pixel in SQL (quadrant residual table
+    // pinned against the real Hadamard+dequant by H264Spec).
+    "q156_h264_chroma_dc" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 3 === 1)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbH = 1 + (id % 3).toInt
+          val nf = 1 + (id % 2).toInt
+          val st = graft.operators.H264.synthesizeH264ChromaDc(mbH, nf, id)
+          graft.operators.H264.decodeCavlcIntra(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nLevels)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height",
+          "luma_sum", "chroma_sum", "weighted_sum", "n_levels")
+        .orderBy($"doc_id")
+    },
+
     // The full curation funnel (lang → quality → exact dedup →
     // decontamination) with per-stage audit counts — every dropped doc
     // accounted to the stage that dropped it.
@@ -2976,6 +3002,58 @@ object Pipeline {
         |    AS weighted_sum,
         |  CAST(sum(lum.nlev) AS BIGINT) AS n_levels
         |FROM d JOIN lum ON d.doc_id = lum.doc_id
+        |GROUP BY 1
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors synthesizeH264ChromaDc: q149's luma chain plus per-plane
+    // chroma quadrant chains. Residual tables by k = (doc + f*11 +
+    // my*5 + pl*3) % 4 (H264Spec-pinned): r0+r1+r2+r3 = [12,-4,11,0],
+    // bottom pair r2+r3 = [6,-2,8,0], TotalCoeff = [1,2,4,2]; MB
+    // chroma sum = 16*(512 + 2*S(r2+r3 below) + rsum)
+    "q156_h264_chroma_dc" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INTEGER) AS mbh,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |fr AS (SELECT doc_id, mbh, f.f AS f FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f),
+        |blk AS (SELECT doc_id, mbh, f, bx.i AS bx, by.i AS by FROM fr,
+        |  LATERAL (SELECT unnest(generate_series(0, 3)) AS i) bx,
+        |  LATERAL (SELECT unnest(generate_series(0, 4 * mbh - 1)) AS i) by),
+        |v AS (SELECT doc_id, mbh, f, bx, by,
+        |  128
+        |  + (SELECT sum(CASE (doc_id + f * 11 + j.j * 5) % 4
+        |       WHEN 0 THEN -5 WHEN 1 THEN -2 WHEN 2 THEN 3 ELSE 5 END)
+        |     FROM (SELECT unnest(generate_series(0, by)) AS j) j)
+        |  + coalesce((SELECT sum(CASE (doc_id + f * 11 + k.k * 7 + by * 5) % 4
+        |       WHEN 0 THEN -5 WHEN 1 THEN -2 WHEN 2 THEN 3 ELSE 5 END)
+        |     FROM (SELECT unnest(generate_series(1, bx)) AS k) k), 0) AS val
+        |  FROM blk),
+        |lum AS (SELECT doc_id, f, sum(16 * val) AS ls,
+        |    count(*) AS nblk FROM v GROUP BY 1, 2),
+        |ch AS (SELECT doc_id, mbh, f, pl.p AS pl, my.i AS my FROM fr,
+        |  LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
+        |  LATERAL (SELECT unnest(generate_series(0, mbh - 1)) AS i) my),
+        |chq AS (SELECT doc_id, f, pl, my,
+        |  CASE (doc_id + f * 11 + my * 5 + pl * 3) % 4
+        |    WHEN 0 THEN 12 WHEN 1 THEN -4 WHEN 2 THEN 11 ELSE 0 END AS rsum,
+        |  CASE (doc_id + f * 11 + my * 5 + pl * 3) % 4
+        |    WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 2 END AS tc,
+        |  coalesce((SELECT sum(CASE (doc_id + f * 11 + j.j * 5 + pl * 3) % 4
+        |       WHEN 0 THEN 6 WHEN 1 THEN -2 WHEN 2 THEN 8 ELSE 0 END)
+        |     FROM (SELECT unnest(generate_series(0, my - 1)) AS j) j), 0) AS s23m
+        |  FROM ch),
+        |chs AS (SELECT doc_id, f, sum(16 * (512 + 2 * s23m + rsum)) AS cs,
+        |    sum(tc) AS ctc FROM chq GROUP BY 1, 2)
+        |SELECT d.doc_id, CAST(max(d.nf) AS INTEGER) AS n_frames,
+        |  CAST(16 AS INTEGER) AS width,
+        |  CAST(max(16 * d.mbh) AS INTEGER) AS height,
+        |  CAST(sum(lum.ls) AS BIGINT) AS luma_sum,
+        |  CAST(sum(chs.cs) AS BIGINT) AS chroma_sum,
+        |  CAST(sum((lum.f + 1) * (lum.ls + chs.cs)) AS BIGINT)
+        |    AS weighted_sum,
+        |  CAST(sum(lum.nblk + chs.ctc) AS BIGINT) AS n_levels
+        |FROM d JOIN lum ON d.doc_id = lum.doc_id
+        |JOIN chs ON lum.doc_id = chs.doc_id AND lum.f = chs.f
         |GROUP BY 1
         |ORDER BY d.doc_id""".stripMargin,
 

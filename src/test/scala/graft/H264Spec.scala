@@ -123,7 +123,8 @@ class H264Spec extends AnyFunSuite {
   }
 
   test("CAVLC VLC tables are prefix-free") {
-    for (name <- Seq("coeff_token", "total_zeros", "run_before");
+    for (name <- Seq("coeff_token", "total_zeros", "chroma_total_zeros",
+           "run_before");
          table <- H264.tableForSpec(name)) {
       for (a <- table; b <- table if a != b)
         assert(!b.startsWith(a), s"$name: '$a' prefixes '$b'")
@@ -270,6 +271,122 @@ class H264Spec extends AnyFunSuite {
       }
       assert(m.lumaSum == wantL, s"seed=$seed luma ${m.lumaSum} != $wantL")
       assert(m.chromaSum == wantC * nf, s"seed=$seed chroma")
+      assert(m.weightedSum == wantW, s"seed=$seed weighted")
+      assert(m.nLevels == wantN, s"seed=$seed levels ${m.nLevels} != $wantN")
+    }
+  }
+
+  test("chroma DC 2x2 blocks round-trip through the nC == -1 tables") {
+    val rnd = new scala.util.Random(771)
+    // the four synthesized vectors first — the exact in-stream shapes
+    for (k <- 0 until 4) {
+      val c = H264.chromaDcVectorForSpec(k)
+      val bits = H264.encodeChromaBits(c)
+      val back = H264.decodeChromaBits(bits)
+      assert(back.isDefined && back.get.sameElements(c),
+        s"k=$k bits $bits got ${back.map(_.mkString(","))}")
+    }
+    for (_ <- 0 until 300) {
+      val tc = rnd.nextInt(5) // 0..4
+      val positions = rnd.shuffle((0 until 4).toList).take(tc).sorted
+      val c = Array.fill(4)(0)
+      positions.foreach { p =>
+        var v = 0
+        while (v == 0) v = rnd.nextInt(15) - 7
+        c(p) = v
+      }
+      val bits = H264.encodeChromaBits(c)
+      val back = H264.decodeChromaBits(bits)
+      assert(back.isDefined && back.get.sameElements(c),
+        s"coeffs ${c.mkString(",")} bits $bits got ${back.map(_.mkString(","))}")
+    }
+  }
+
+  test("chroma quadrant residuals are pinned against Hadamard + dequant") {
+    // these exact quadruples are hard-coded in the q156 oracle; a
+    // drift here is an oracle break. Also pins the dequant rule
+    // dcC = (f · V(qpc%6) << (qpc/6)) >> 1 at qp 24 (qpc = qp).
+    assert(H264.chromaQp(24) == 24)
+    for (k <- 0 until 4) {
+      val got = H264.chromaDcDequantForSpec(H264.chromaDcVectorForSpec(k), 24)
+        .map(dc => (dc + 32) >> 6)
+      assert(got.sameElements(H264.chromaQuadResiduals(k)),
+        s"k=$k got ${got.mkString(",")} != pinned " +
+          s"${H264.chromaQuadResiduals(k).mkString(",")}")
+    }
+    // chroma QP table spot checks (Table 8-15 shape)
+    assert(H264.chromaQp(29) == 29 && H264.chromaQp(30) == 29 &&
+      H264.chromaQp(39) == 35 && H264.chromaQp(51) == 39)
+  }
+
+  test("nC >= 8 FLC coeff_token round-trips and codes the spec values") {
+    // TC = 0 is the fixed pattern 000011; TC >= 1 codes 4(TC-1)+T1
+    assert(H264.encodeBlockBits(Array.fill(16)(0), nC = 8) == "000011")
+    val one = Array.fill(16)(0); one(0) = 1 // TC=1, T1=1 → value 1
+    assert(H264.encodeBlockBits(one, nC = 8).startsWith("000001"))
+    val rnd = new scala.util.Random(88)
+    for (_ <- 0 until 300) {
+      val tc = rnd.nextInt(6)
+      val positions = rnd.shuffle((0 until 16).toList).take(tc).sorted
+      val scan = Array.fill(16)(0)
+      positions.foreach { p =>
+        var v = 0
+        while (v == 0) v = rnd.nextInt(15) - 7
+        scan(p) = v
+      }
+      val bits = H264.encodeBlockBits(scan, nC = 8)
+      val back = H264.decodeBlockBits(bits, nC = 8)
+      assert(back.isDefined && back.get.sameElements(scan),
+        s"coeffs ${scan.mkString(",")} bits $bits")
+    }
+  }
+
+  test("chroma DC stream decode equals the quadrant chain simulation") {
+    def clip(v: Long) = math.max(0L, math.min(255L, v))
+    for (seed <- 0L until 20L) {
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 1 + (seed % 2).toInt
+      val m = H264.decodeCavlcIntra(H264.synthesizeH264ChromaDc(mbH, nf, seed)).get
+      assert(m.nFrames == nf && m.width == 16 && m.height == mbH * 16)
+      val rOf = Array(-5, -2, 3, 5)
+      val tcOf = Array(1, 2, 4, 2) // TotalCoeff of each chroma vector
+      var wantL = 0L; var wantC = 0L; var wantW = 0L; var wantN = 0L
+      for (f <- 0 until nf) {
+        // luma: same flat-block chain as synthesizeH264Cavlc
+        val v = Array.ofDim[Long](4, 4 * mbH)
+        var fl = 0L
+        for (by <- 0 until 4 * mbH; bx <- 0 until 4) {
+          val r = rOf(((seed + f * 11 + bx * 7 + by * 5) % 4).toInt)
+          val parent =
+            if (bx == 0 && by == 0) 128L
+            else if (bx == 0) v(0)(by - 1)
+            else v(bx - 1)(by)
+          v(bx)(by) = clip(parent + r)
+          fl += 16 * v(bx)(by)
+          wantN += 1
+        }
+        // chroma: per-plane quadrant chains — top quadrants hang off
+        // the previous MB's bottom quadrants (MB-edge DC references)
+        var fc = 0L
+        for (pl <- 0 until 2) {
+          var bL = 128L; var bR = 128L
+          for (my <- 0 until mbH) {
+            val k = ((seed + f * 11 + my * 5 + pl * 3) % 4).toInt
+            val r = H264.chromaQuadResiduals(k)
+            val pL = if (my == 0) 128L else bL
+            val pR = if (my == 0) 128L else bR
+            val tl = clip(pL + r(0)); val tr = clip(pR + r(1))
+            val bl = clip(pL + r(2)); val br = clip(pR + r(3))
+            fc += 16 * (tl + tr + bl + br)
+            bL = bl; bR = br
+            wantN += tcOf(k)
+          }
+        }
+        wantL += fl; wantC += fc
+        wantW += (f + 1) * (fl + fc)
+      }
+      assert(m.lumaSum == wantL, s"seed=$seed luma ${m.lumaSum} != $wantL")
+      assert(m.chromaSum == wantC, s"seed=$seed chroma ${m.chromaSum} != $wantC")
       assert(m.weightedSum == wantW, s"seed=$seed weighted")
       assert(m.nLevels == wantN, s"seed=$seed levels ${m.nLevels} != $wantN")
     }
