@@ -784,6 +784,49 @@ object Pipeline {
     // pattern (how many exact values fall below/at the sketch's
     // answer), never as an oracle value. δ=100 → rank error well
     // under the ±0.03/±0.03 envelopes at gate group sizes.
+    // DDSketch relative-error quantiles — the third quantile
+    // guarantee type beside the t-digest's rank error (q136) and the
+    // adaptive histogram (q146). Unlike those, the α bound is
+    // DETERMINISTIC, so the audit is exact rank inequalities: the
+    // true rank-target item lies in [est/(1+α), est/(1−α)], hence
+    // count(x ≤ est/(1−α)) ≥ target and count(x < est/(1+α)) < target
+    // — DuckDB predicts both TRUE with no probability slack. The
+    // rollup estimate must equal the direct one BIT-EXACTLY (integer
+    // bucket merges — a property the t-digest cannot offer).
+    "q157_ddsketch_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      val alpha = 0.01
+      val dd = graft.functions.DdSketch
+      val li = Tables(s, dir).lineitem
+        .select($"l_returnflag", $"l_linestatus",
+          $"l_extendedprice".cast("double").as("x"))
+      val direct = li.groupBy($"l_returnflag")
+        .agg(dd.dd_agg($"x", alpha).as("st"))
+        .select($"l_returnflag",
+          dd.dd_quantile($"st", 0.5, alpha).as("em"),
+          dd.dd_quantile($"st", 0.95, alpha).as("ep"))
+      val rolled = li.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(dd.dd_agg($"x", alpha).as("st"))
+        .groupBy($"l_returnflag")
+        .agg(dd.dd_quantile(dd.dd_merge_agg($"st", alpha), 0.5, alpha).as("emr"))
+      li.join(broadcast(direct), "l_returnflag")
+        .join(broadcast(rolled), "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          max($"em").as("em"), max($"ep").as("ep"), max($"emr").as("emr"),
+          sum(when($"x" <= $"em" / (1 - alpha), 1L).otherwise(0L)).as("le_hi_m"),
+          sum(when($"x" < $"em" / (1 + alpha), 1L).otherwise(0L)).as("lt_lo_m"),
+          sum(when($"x" <= $"ep" / (1 - alpha), 1L).otherwise(0L)).as("le_hi_p"),
+          sum(when($"x" < $"ep" / (1 + alpha), 1L).otherwise(0L)).as("lt_lo_p"))
+        .select($"l_returnflag", $"n",
+          ($"le_hi_m" >= floor(lit(0.5) * ($"n" - 1)) + 1).as("med_upper_ok"),
+          ($"lt_lo_m" <= floor(lit(0.5) * ($"n" - 1))).as("med_lower_ok"),
+          ($"le_hi_p" >= floor(lit(0.95) * ($"n" - 1)) + 1).as("p95_upper_ok"),
+          ($"lt_lo_p" <= floor(lit(0.95) * ($"n" - 1))).as("p95_lower_ok"),
+          ($"em" === $"emr").as("rollup_bit_exact"))
+        .orderBy($"l_returnflag")
+    },
+
     "q136_tdigest_quantiles" -> { (s, dir) =>
       import s.implicits._
       val delta = 100
@@ -2449,6 +2492,15 @@ object Pipeline {
         |JOIN s sa ON sa.event_type = type_a
         |JOIN s sb ON sb.event_type = type_b
         |ORDER BY type_a, type_b""".stripMargin,
+
+    "q157_ddsketch_quantiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | TRUE AS med_upper_ok, TRUE AS med_lower_ok,
+        | TRUE AS p95_upper_ok, TRUE AS p95_lower_ok,
+        | TRUE AS rollup_bit_exact
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q136_tdigest_quantiles" ->
       """SELECT l_returnflag, count(*) AS n,
