@@ -484,30 +484,111 @@ object Similarity {
     * — recall is the gate's audited contract, not cell assignment.
     */
   def buildIvfIndex(corpus: DataFrame, dim: Int, dir: String,
-      centroidStride: Int = 50, trainIters: Int = 2): Unit = {
-    val cents = coarseCentroids(corpus, centroidStride, dim, trainIters)
-    cents.write.mode("overwrite").parquet(s"$dir/centroids")
-    cellsFor(corpus, cents, 1, "m_")
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/members")
+      centroidStride: Int = 50, trainIters: Int = 2,
+      hierThreshold: Long = 50000L): Unit = {
+    val n = corpus.count()
+    if (trainIters > 0 && n > hierThreshold) {
+      // the quantizerFor scale dispatch, PERSISTED: above the
+      // threshold the on-disk structure is the two-level quantizer
+      // (centroids_l1 + centroids_l2 tables), so append/probe score
+      // O(√C) centroids per vector instead of the flat C — the q147
+      // sf10 profile put the whole remaining cost in that flat
+      // n×maxCells assignment. Below the threshold the layout is
+      // byte-identical to the pre-hierarchy format (every oracle SF
+      // pins THAT form).
+      val (l1, l2) = hierQuantizer(corpus, dim, targetCellSize = 50,
+        iters = trainIters)
+      l1.write.mode("overwrite").parquet(s"$dir/centroids_l1")
+      l2.write.mode("overwrite").parquet(s"$dir/centroids_l2")
+      // directory partitioning must stay BOUNDED: final cells grow as
+      // n/targetCellSize (40k dirs at sf10, millions at 100 TB — a
+      // directory-per-cell layout melts the filesystem), so members
+      // partition by the √C-bounded L1 cell and keep cid as a plain
+      // column — the probe prunes partitions on l1 and row groups on
+      // cid (parquet min/max after the per-l1 write clusters cids)
+      assignHier(corpus, l1, l2)
+        .join(broadcast(l2.select($"scid".as("cid"), $"l1")), "cid")
+        .select($"vid".as("m_vid"), $"qv".as("m_qv"), $"nrm".as("m_nrm"),
+          $"cid", $"l1")
+        .write.mode("overwrite").partitionBy("l1").parquet(s"$dir/members")
+    } else {
+      val cents = coarseCentroids(corpus, centroidStride, dim, trainIters)
+      cents.write.mode("overwrite").parquet(s"$dir/centroids")
+      cellsFor(corpus, cents, 1, "m_")
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/members")
+    }
+  }
+
+  /** The persisted quantizer structure, dispatched on the layout the
+    * build wrote (two-level tables when present, flat otherwise) —
+    * readers never need to know which scale regime built the index.
+    */
+  /** The persisted layout: the quantizer rebuilt from the on-disk
+    * tables, plus (two-level only) the tiny cid → l1 map that routes
+    * rows to the bounded L1 directory partitioning.
+    */
+  private case class IvfLayout(quant: Quantizer, cidToL1: Option[DataFrame])
+
+  private def readLayout(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfLayout = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/centroids_l1")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val l1 = broadcast(spark.read.parquet(s"$dir/centroids_l1"))
+      val l2 = broadcast(spark.read.parquet(s"$dir/centroids_l2"))
+      IvfLayout(
+        Quantizer(df => assignHier(df, l1, l2),
+          (df, np) => probeHier(df, l1, l2, nL1 = 2, nProbe = np)),
+        Some(l2.select($"scid".as("cid"), $"l1")))
+    } else {
+      val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+      IvfLayout(
+        Quantizer(df => cellsFor(df, cents, 1, ""),
+          (df, np) => cellsFor(df, cents, np, "")),
+        None)
+    }
   }
 
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
       delta: DataFrame, dir: String): Unit = {
-    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
-    cellsFor(delta, cents, 1, "m_")
-      .write.mode("append").partitionBy("cid").parquet(s"$dir/members")
+    val lay = readLayout(spark, dir)
+    val asg = lay.quant.assign(delta)
+      .select($"vid".as("m_vid"), $"qv".as("m_qv"), $"nrm".as("m_nrm"), $"cid")
+    lay.cidToL1 match {
+      case Some(map) =>
+        asg.join(broadcast(map), "cid")
+          .write.mode("append").partitionBy("l1").parquet(s"$dir/members")
+      case None =>
+        asg.write.mode("append").partitionBy("cid").parquet(s"$dir/members")
+    }
   }
 
   def ivfProbeIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
-    val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
-    val probes = cellsFor(queries, cents, nProbe, "q_")
+    val lay = readLayout(spark, dir)
+    val probes = lay.quant.probe(queries, nProbe)
+      .select($"vid".as("q_vid"), $"qv".as("q_qv"), $"nrm".as("q_nrm"), $"cid")
     // bounded by |queries| × nProbe — the vocabulary-of-the-query collect
-    val cellIds = probes.select($"cid").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val members = spark.read.parquet(s"$dir/members")
-      .withColumn("cid", $"cid".cast("long")) // partition col inference
-      .filter($"cid".isin(cellIds: _*))
+    val members = lay.cidToL1 match {
+      case Some(map) =>
+        // two-level: partition-prune on the bounded l1 dirs, then
+        // row-group-prune on the cid column inside them
+        val pairs = probes.select($"cid").distinct()
+          .join(broadcast(map), "cid")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val cellIds = pairs.map(_._1).toSeq
+        val l1Ids = pairs.map(_._2).distinct.toSeq
+        spark.read.parquet(s"$dir/members")
+          .withColumn("l1", $"l1".cast("long")) // partition col inference
+          .filter($"l1".isin(l1Ids: _*) && $"cid".isin(cellIds: _*))
+          .drop("l1")
+      case None =>
+        val cellIds = probes.select($"cid").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        spark.read.parquet(s"$dir/members")
+          .withColumn("cid", $"cid".cast("long")) // partition col inference
+          .filter($"cid".isin(cellIds: _*))
+    }
     val cands = probes.join(members, Seq("cid"))
       .filter($"q_vid" =!= $"m_vid")
       .select($"q_vid".as("query_id"), $"m_vid".as("cand_id"),
@@ -526,10 +607,16 @@ object Similarity {
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val tmp = s"$dir/members_compacting"
+    // partition column follows the layout: l1 for two-level, cid flat
+    val hier = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/centroids_l1")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val pcol = if (hier) "l1" else "cid"
     spark.read.parquet(s"$dir/members")
-      .withColumn("cid", $"cid".cast("long"))
-      .repartition($"cid")
-      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+      .withColumn(pcol, col(pcol).cast("long"))
+      .repartition(col(pcol))
+      .write.mode("overwrite").partitionBy(pcol).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(s"$dir/members")

@@ -148,6 +148,37 @@ class SimilaritySpec extends SparkSpec {
     assert(nCells > 4, "need multiple cells for pruning to mean anything")
   }
 
+  test("persisted IVF two-level layout: frozen append == union, probe prunes") {
+    import spark.implicits._
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ivf-h").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ivf-h2").toString
+    val half1 = corpus.filter($"vid" % 2 === 0)
+    val half2 = corpus.filter($"vid" % 2 =!= 0)
+    // force the above-threshold layout on the spec corpus
+    Similarity.buildIvfIndex(half1, dim = 64, dirA, trainIters = 2,
+      hierThreshold = 10L)
+    assert(new java.io.File(s"$dirA/centroids_l1").exists,
+      "build above the threshold must persist the two-level structure")
+    Similarity.appendIvfIndex(spark, half2, dirA)
+    // B: the same frozen two-level quantizer assigns the UNION
+    for (t <- Seq("centroids_l1", "centroids_l2"))
+      spark.read.parquet(s"$dirA/$t")
+        .write.mode("overwrite").parquet(s"$dirB/$t")
+    Similarity.appendIvfIndex(spark, half1.unionAll(half2), dirB)
+    def probe(d: String) =
+      Similarity.ivfProbeIndexed(spark, d, corpus.filter($"vid" < 200), k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(dirA) == probe(dirB),
+      "two-level refresh path must equal one-shot assignment")
+    assert(probe(dirA).nonEmpty)
+    // probe still prunes the member scan to probed cells
+    val plan = Similarity
+      .ivfProbeIndexed(spark, dirA, corpus.filter($"vid" < 20), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("cid IN"),
+      s"two-level member scan must carry the cell IN-filter:\n$plan")
+  }
+
   test("persisted IVF compaction: probe bit-identical, fragmentation gone") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-c").toString

@@ -67,7 +67,7 @@ class StreamingSpec extends SparkSpec {
     // (serialize/deserialize between micro-batches), which no batch
     // test exercises. Sum/OR merges are order-free, so the streamed
     // sketch must equal the batch sketch EXACTLY, counter for counter.
-    import graft.functions.{BloomAgg, CountMinAgg, Hll, Kmv, SumMap}
+    import graft.functions.{BloomAgg, CountMinAgg, DdSketch, Hll, Kmv, SumMap}
     // stage as 4 files + maxFilesPerTrigger=1 → 4 micro-batches, so
     // partial sketch state really persists across triggers
     val dir = java.nio.file.Files.createTempDirectory("graft-sketch-ev").toString
@@ -83,7 +83,10 @@ class StreamingSpec extends SparkSpec {
         // also round-trip the state store counter-for-counter
         SumMap.sum_map_agg(
           array(col("user_id") % 13, lit(100L)),
-          array(round(col("value") * 100).cast("long"), lit(1L))).as("sm"))
+          array(round(col("value") * 100).cast("long"), lit(1L))).as("sm"),
+        // DDSketch buckets add exactly (order-free like sum/OR), so
+        // the streamed state must equal the batch state bit-for-bit
+        DdSketch.dd_agg(abs(col("value")), 0.01).as("dd"))
     val expected = sketchAgg(batchEvents)
       .orderBy("event_type").collect().toSeq
     val stream = spark.readStream.schema(batchEvents.schema)
