@@ -94,8 +94,16 @@ object Bench {
     // humans and tools/compare_bench.py.
     def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     def r2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    // line values additionally drop trailing zeros ("0.50" → "0.5",
+    // "2.00" → "2") — ~1 char/query that keeps the 157-query line
+    // comfortably under the driver's 2000-char recorded tail
+    def rt(v: Double): String = {
+      val s = r2(v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
     val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + rt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val agg = s"median$nPasses"
