@@ -1553,6 +1553,32 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // FLAC decode — the audio family's COMPRESSED path (WAV is raw
+    // PCM): real Rice-coded residuals, CONSTANT/VERBATIM/FIXED
+    // subframes, CRC-8/CRC-16 verified per frame and the STREAMINFO
+    // MD5 verified against the decoded PCM. Sample values are
+    // synthesized in closed form (constants, linear-congruential
+    // verbatim, quadratic fixed-order-2 chains), so the oracle
+    // re-derives every sample in SQL; md5_ok TRUE is earned by the
+    // real digest comparison.
+    "q158_flac_decode" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 2)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val nf = 1 + (id % 3).toInt
+          val st = graft.operators.Flac.synthesizeFlac(nf, id)
+          graft.operators.Flac.decodeFlac(st) match {
+            case Some(f) => (id, f.nFrames, f.totalSamples, f.sampleRate,
+              f.sampleSum, f.weightedSum, f.md5Ok)
+            case None => (id, -1, -1L, -1, -1L, -1L, false)
+          }
+        }).toDF("doc_id", "n_frames", "total_samples", "sample_rate",
+          "sample_sum", "weighted_sum", "md5_ok")
+        .orderBy($"doc_id")
+    },
+
     // The full curation funnel (lang → quality → exact dedup →
     // decontamination) with per-stage audit counts — every dropped doc
     // accounted to the stage that dropped it.
@@ -3056,6 +3082,35 @@ object Pipeline {
         |FROM d JOIN lum ON d.doc_id = lum.doc_id
         |GROUP BY 1
         |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors Flac.synthSamples frame by frame: type (doc+f)%3 —
+    // 0: constant c·192; 1: verbatim sum over the i series;
+    // 2: fixed-order-2 quadratic closed form with Σi = 18336 and
+    // Σ C(i,2) = C(192,3) = 1161280 over i = 0..191
+    "q158_flac_decode" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |fr AS (SELECT doc_id, nf, f.f AS f FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f),
+        |fs AS (SELECT doc_id, nf, f,
+        |  CASE CAST((doc_id + f) % 3 AS INTEGER)
+        |    WHEN 0 THEN 192 * ((doc_id * 7 + f * 13) % 201 - 100)
+        |    WHEN 1 THEN (SELECT sum((doc_id + f + i.i * 11) % 400 - 200)
+        |      FROM (SELECT unnest(generate_series(0, 191)) AS i) i)
+        |    ELSE 192 * (doc_id % 50 - 25)
+        |      + 18336 * ((f % 9) - 4)
+        |      + 1161280 * (CASE WHEN (doc_id + f) % 2 = 0 THEN 1 ELSE -1 END)
+        |  END AS s
+        |  FROM fr)
+        |SELECT doc_id, CAST(max(nf) AS INTEGER) AS n_frames,
+        |  CAST(max(nf) * 192 AS BIGINT) AS total_samples,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(sum(s) AS BIGINT) AS sample_sum,
+        |  CAST(sum((f + 1) * s) AS BIGINT) AS weighted_sum,
+        |  TRUE AS md5_ok
+        |FROM fs
+        |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
 
     // mirrors synthesizeH264ChromaDc: q149's luma chain plus per-plane
     // chroma quadrant chains. Residual tables by k = (doc + f*11 +
