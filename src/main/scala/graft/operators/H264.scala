@@ -589,12 +589,32 @@ object H264 {
   private[graft] def chromaDcDequantForSpec(c: Array[Int], qpc: Int): Array[Int] =
     chromaDcDequant(c, qpc)
 
+  private[graft] def dequantIdctChromaForSpec(dcC: Int, ac15: Array[Int],
+      qpc: Int): Array[Int] =
+    dequantIdctChroma(dcC, ac15, qpc)
+
+  private[graft] def encodeBlockBits15(coeffs: Array[Int], nC: Int): String = {
+    val bw = new BitWriter
+    encodeCoeffBlock(bw, coeffs, nC, maxCoeff = 15)
+    bw.bitString
+  }
+
+  private[graft] def decodeBlockBits15(bits: String, nC: Int): Option[Array[Int]] = {
+    val bw = new BitWriter
+    bits.foreach(c => bw.u(c - '0', 1))
+    bw.u(0, 16)
+    val padded = bw.stop()
+    try decodeCoeffBlock(new BitReader(padded), nC, maxCoeff = 15)
+    catch { case _: IllegalStateException => None }
+  }
+
   /** CAVLC-encode one 4x4 block's coefficients (zigzag-scan order,
     * length 16) for context nC < 4. Emitter caps: TotalCoeff ≤ 5,
     * |level| ≤ 7 (keeps level_prefix in the non-escape range).
     */
   private[operators] def encodeCoeffBlock(bw: BitWriter,
-      coeffs: Array[Int], nC: Int = 0): Unit = {
+      coeffs: Array[Int], nC: Int = 0, maxCoeff: Int = 16): Unit = {
+    require(coeffs.length == maxCoeff, "scan length == maxNumCoeff")
     val nz = coeffs.zipWithIndex.filter(_._1 != 0)
     val tc = nz.length
     require(tc <= 5, s"TotalCoeff $tc beyond table subset")
@@ -629,7 +649,7 @@ object H264 {
         suffixLength += 1
       i += 1
     }
-    if (tc < 16) {
+    if (tc < maxCoeff) {
       val tz = nz.last._2 + 1 - tc
       writeCode(bw, totalZerosTab(tc - 1)(tz))
       var zerosLeft = tz
@@ -649,7 +669,7 @@ object H264 {
     * coefficients; None on any code outside the table subset.
     */
   private[operators] def decodeCoeffBlock(r: BitReader,
-      nC: Int = 0): Option[Array[Int]] = {
+      nC: Int = 0, maxCoeff: Int = 16): Option[Array[Int]] = {
     // nC ≥ 8 is the fixed-length class — fully algorithmic (6-bit
     // code, value 4·(TC−1)+T1, TC = 0 coded as 3). The 4 ≤ nC < 8 VLC
     // column is deliberately NOT entered: unlike the FLC rule and the
@@ -673,7 +693,7 @@ object H264 {
         val token = readVlc(r, tokenCodes, 16).getOrElse(return None)
         (token / 32, token % 32)
       }
-    val out = Array.fill(16)(0)
+    val out = Array.fill(maxCoeff)(0)
     if (tc == 0) return Some(out)
     val levels = new Array[Int](tc) // index 0 = highest scan position
     (0 until t1).foreach(i => levels(i) = if (r.u(1) == 1) -1 else 1)
@@ -704,12 +724,16 @@ object H264 {
       i += 1
     }
     var tz = 0
-    if (tc < 16) {
+    if (tc < maxCoeff) {
       if (tc > 7) return None // Table 9-8 rows out of subset
       val tzCodes = totalZerosTab(tc - 1).zipWithIndex.map {
         case (c, v) => c -> v
       }.toMap
       tz = readVlc(r, tzCodes, 16).getOrElse(return None)
+      // the 16-coeff table codes tz up to 16-tc; a 15-coeff block
+      // (chroma AC) must refuse the one value that lands past its
+      // last scan position instead of writing out of bounds
+      if (tc - 1 + tz >= maxCoeff) return None
     }
     // place levels: walk from the highest scan position down
     var pos = tc - 1 + tz
@@ -745,7 +769,7 @@ object H264 {
     }
     // the zeros never consumed by run_before all sit below the lowest
     // coefficient, so its landing index must equal what's left
-    if (tc < 16 && pos != zerosLeft) return None
+    if (tc < maxCoeff && pos != zerosLeft) return None
     Some(out)
   }
 
@@ -894,6 +918,48 @@ object H264 {
       i += 1
     }
     out
+  }
+
+  /** Chroma 4x4 residual: AC coefficients (zigzag scan positions
+    * 1..15, 15 entries) dequantized with the 4x4 V-table, the DC slot
+    * preset to the ALREADY-DEQUANTIZED `dcC` from the 2x2 Hadamard
+    * stage (8.5.11: chroma DC bypasses the 4x4 rescale), then the
+    * integer inverse transform — raster-order spatial residuals.
+    */
+  private[operators] def dequantIdctChroma(dcC: Int, ac15: Array[Int],
+      qpc: Int): Array[Int] = {
+    require(ac15.length == 15, "chroma AC block has 15 coefficients")
+    val vTab = Array(
+      Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+      Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+    val m = qpc % 6
+    val d = new Array[Int](16)
+    d(0) = dcC
+    var s = 1
+    while (s < 16) {
+      val r = zigzag4x4(s)
+      val (i, j) = (r / 4, r % 4)
+      val cls =
+        if (i % 2 == 0 && j % 2 == 0) 0
+        else if (i % 2 == 1 && j % 2 == 1) 1
+        else 2
+      val ls = ac15(s - 1) * vTab(m)(cls) * 16
+      d(r) =
+        if (qpc >= 24) ls << (qpc / 6 - 4)
+        else (ls + (1 << (3 - qpc / 6))) >> (4 - qpc / 6)
+      s += 1
+    }
+    def core(v: Array[Int], stride: Int, base: Int): Unit = {
+      val d0 = v(base); val d1 = v(base + stride)
+      val d2 = v(base + 2 * stride); val d3 = v(base + 3 * stride)
+      val t0 = d0 + d2; val t1 = d0 - d2
+      val t2 = (d1 >> 1) - d3; val t3 = d1 + (d3 >> 1)
+      v(base) = t0 + t3; v(base + stride) = t1 + t2
+      v(base + 2 * stride) = t1 - t2; v(base + 3 * stride) = t0 - t3
+    }
+    (0 until 4).foreach(row => core(d, 1, row * 4))
+    (0 until 4).foreach(col => core(d, 4, col))
+    d.map(x => (x + 32) >> 6)
   }
 
   /** Chroma QP from luma QP (Table 8-15, chroma_qp_index_offset 0). */
@@ -1064,6 +1130,65 @@ object H264 {
       (f, my, pl) =>
         chromaDcVectors(((seed + f * 11 + my * 5 + pl * 3) % 4).toInt))
 
+  /** The four chroma AC coefficient vectors of
+    * [[synthesizeH264ChromaAc]] (15 entries, zigzag scan 1..15),
+    * confined to raster row 0 (scan 1, 5, 6 → raster 1, 2, 3) so the
+    * AC contribution is COLUMN-CONSTANT — combined with the flat
+    * per-quadrant DC from the 2x2 stage, every chroma pixel of
+    * quadrant q, column x is `pred + combined(k, q, x)` and the
+    * q159 oracle stays closed-form. Level/zeros coverage: a non-±1
+    * level (k=0), double trailing-ones with run_before gaps 3 and 4
+    * (k=1, k=2), and adjacent top-position coefficients with a
+    * zero-run code (k=3).
+    */
+  private val chromaAcVectors: Array[Array[Int]] = {
+    def vec(entries: (Int, Int)*): Array[Int] = {
+      val a = Array.fill(15)(0)
+      entries.foreach { case (p, v) => a(p - 1) = v }
+      a
+    }
+    Array(
+      vec(1 -> 2),
+      vec(1 -> -1, 5 -> 1),
+      vec(1 -> 1, 6 -> -1),
+      vec(5 -> 1, 6 -> 1))
+  }
+
+  private[graft] def chromaAcVectorForSpec(k: Int): Array[Int] =
+    chromaAcVectors(k).clone()
+
+  /** Per-(k, quadrant, column) combined chroma residuals at QP 24:
+    * `(dcC(quad) + acRowIdct(x) + 32) >> 6` with the DC from
+    * [[chromaDcVectors]](k) and the AC from [[chromaAcVectors]](k) —
+    * pinned against the real pipeline by H264Spec, hard-coded (as
+    * row sums) by the q159 oracle.
+    */
+  private[graft] lazy val chromaAcCombined: Array[Array[Array[Int]]] =
+    Array.tabulate(4) { k =>
+      val dcs = chromaDcDequant(chromaDcVectors(k), 24)
+      Array.tabulate(4) { q =>
+        val res = dequantIdctChroma(dcs(q), chromaAcVectors(k), 24)
+        Array.tabulate(4)(x => res(x)) // column-constant: row 0 suffices
+      }
+    }
+
+  /** Chroma-AC streams (cbp 47): the q156 skeleton plus four
+    * CAVLC-coded chroma AC blocks per plane per MB through the
+    * nC < 4 coeff_token tables with REAL per-plane neighbor contexts
+    * — the complete 4:2:0 intra chroma residual path.
+    */
+  def synthesizeH264ChromaAc(mbH: Int, nFrames: Int, seed: Long): Array[Byte] =
+    synthIntraStream(mbH, nFrames, synthMode,
+      (f, bx, by) => {
+        val scan = Array.fill(16)(0)
+        scan(0) = synthLevel(seed, f, bx, by)
+        scan
+      },
+      (f, my, pl) =>
+        chromaDcVectors(((seed + f * 11 + my * 5 + pl * 3) % 4).toInt),
+      (f, my, pl) =>
+        chromaAcVectors(((seed + f * 11 + my * 5 + pl * 3) % 4).toInt))
+
   /** Shared I_4x4 stream writer: 16-wide frames (one MB per row), QP
     * 24, cbp 15, per-block modes/coefficients from the callbacks, nC
     * tracked with the same neighbor rule the decoder applies.
@@ -1071,7 +1196,8 @@ object H264 {
   private def synthIntraStream(mbH: Int, nFrames: Int,
       modeOf: (Int, Int) => Int,
       scanOf: (Int, Int, Int) => Array[Int],
-      chromaOf: (Int, Int, Int) => Array[Int] = null): Array[Byte] = {
+      chromaOf: (Int, Int, Int) => Array[Int] = null,
+      chromaAcOf: (Int, Int, Int) => Array[Int] = null): Array[Byte] = {
     val out = new ArrayBuffer[Byte]()
     out ++= Array[Byte](0, 0, 0, 1)
     out += 0x67.toByte
@@ -1093,6 +1219,10 @@ object H264 {
       bw.ue(1)        // disable_deblocking_filter_idc
       val modes = Array.fill(4, 4 * mbH)(-1)
       val tcs = Array.fill(4, 4 * mbH)(0)
+      // per-plane chroma AC TotalCoeff grids (2 blocks wide for the
+      // 16-px frames, 2 per MB vertically) — the nC neighbor context
+      // for chroma AC blocks crosses MB boundaries like luma's
+      val cTcs = Array.fill(2, 2, 2 * mbH)(0)
       (0 until mbH).foreach { my =>
         bw.ue(0)      // mb_type: I_4x4 (I_NxN; no 8x8 transform in PPS)
         zScan4x4.foreach { case (zx, zy) =>
@@ -1110,8 +1240,8 @@ object H264 {
         }
         bw.ue(0)      // intra_chroma_pred_mode: DC
         // cbp me(v), Table 9-4 intra: codeNum 2 → 15 (luma only),
-        // codeNum 1 → 31 (luma 15 + chroma DC-only)
-        bw.ue(if (chromaOf == null) 2 else 1)
+        // codeNum 1 → 31 (+ chroma DC), codeNum 0 → 47 (+ chroma AC)
+        bw.ue(if (chromaAcOf != null) 0 else if (chromaOf != null) 1 else 2)
         bw.se(0)      // mb_qp_delta
         zScan4x4.foreach { case (zx, zy) =>
           val (bx, by) = (zx, my * 4 + zy)
@@ -1126,10 +1256,28 @@ object H264 {
           encodeCoeffBlock(bw, scan, nC)
           tcs(bx)(by) = scan.count(_ != 0)
         }
-        // chroma residual: one CAVLC 2x2 DC block per plane (cbp
-        // chroma 1 — DC only, no chroma AC)
-        if (chromaOf != null)
+        // chroma residual: one CAVLC 2x2 DC block per plane, then
+        // (cbp chroma 2) four AC blocks per plane in 2x2 raster order
+        // with the real per-plane neighbor nC context
+        if (chromaOf != null) {
           (0 until 2).foreach(pl => encodeChromaDcBlock(bw, chromaOf(f, my, pl)))
+          if (chromaAcOf != null)
+            (0 until 2).foreach { pl =>
+              val ac = chromaAcOf(f, my, pl)
+              Seq((0, 0), (1, 0), (0, 1), (1, 1)).foreach { case (cbx, rel) =>
+                val cby = my * 2 + rel
+                val nA = if (cbx == 0) -1 else cTcs(pl)(cbx - 1)(cby)
+                val nB = if (cby == 0) -1 else cTcs(pl)(cbx)(cby - 1)
+                val nC =
+                  if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+                  else if (nA >= 0) nA
+                  else if (nB >= 0) nB
+                  else 0
+                encodeCoeffBlock(bw, ac, nC, maxCoeff = 15)
+                cTcs(pl)(cbx)(cby) = ac.count(_ != 0)
+              }
+            }
+        }
       }
       out ++= escape(bw.stop())
     }
@@ -1186,6 +1334,9 @@ object H264 {
             val bH = info.mbH * 4
             val modes = Array.fill(bW, bH)(-1)
             val tcs = Array.fill(bW, bH)(0)
+            // chroma AC TotalCoeff grids (per plane, frame-wide —
+            // the nC context crosses MB boundaries)
+            val cTcs = Array.fill(2, info.mbW * 2, info.mbH * 2)(0)
             var mbIdx = 0
             val nMbs = info.mbW * info.mbH
             while (mbIdx < nMbs) {
@@ -1213,6 +1364,7 @@ object H264 {
               }
               if (r.ue() != 0) return None // chroma pred: DC only
               val cbp = r.ue() match {
+                case 0 => 47 // luma 15 + chroma 2 (DC + AC residuals)
                 case 1 => 31 // luma 15 + chroma 1 (DC-only residual)
                 case 2 => 15
                 case 3 => 0
@@ -1284,22 +1436,51 @@ object H264 {
                 }
                 i += 1
               }
-              // chroma residual: cbp chroma 1 → one CAVLC 2x2 DC
-              // block per plane (Cb then Cr), inverse Hadamard +
-              // dequant at the chroma QP; DC-only 4x4 blocks reduce
-              // to the flat residual (dcC + 32) >> 6 per quadrant
-              val chromaRes: Array[Array[Int]] =
-                if ((cbp >> 4) == 0) Array(Array.fill(4)(0), Array.fill(4)(0))
+              // chroma residual (residual() order: both planes' 2x2
+              // DC blocks, then — cbp chroma 2 — each plane's four AC
+              // blocks in 2x2 raster order with the real per-plane
+              // neighbor nC context). DC-only blocks reduce to the
+              // flat (dcC + 32) >> 6; AC blocks run the full
+              // dequant + inverse transform with the preset DC.
+              val chromaRes: Array[Array[Array[Int]]] =
+                if ((cbp >> 4) == 0)
+                  Array.fill(2)(Array.fill(4)(Array.fill(16)(0)))
                 else {
                   val qpc = chromaQp(qp)
-                  Array.tabulate(2) { _ =>
+                  val dcs = Array.tabulate(2) { _ =>
                     val c = decodeChromaDcBlock(r).getOrElse(return None)
                     nLevels += c.count(_ != 0)
-                    chromaDcDequant(c, qpc).map(dc => (dc + 32) >> 6)
+                    chromaDcDequant(c, qpc)
                   }
+                  if ((cbp >> 4) == 1)
+                    dcs.map(_.map(dc => Array.fill(16)((dc + 32) >> 6)))
+                  else
+                    Array.tabulate(2) { pl =>
+                      val quads = Array.ofDim[Array[Int]](4)
+                      Seq((0, 0), (1, 0), (0, 1), (1, 1)).foreach { case (cbx0, rel) =>
+                        val cbx = mx * 2 + cbx0
+                        val cby = my * 2 + rel
+                        val nA = if (cbx == 0) -1 else cTcs(pl)(cbx - 1)(cby)
+                        val nB = if (cby == 0) -1 else cTcs(pl)(cbx)(cby - 1)
+                        val nC =
+                          if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+                          else if (nA >= 0) nA
+                          else if (nB >= 0) nB
+                          else 0
+                        if (nC >= 4) return None // [4,8) refusal as for luma
+                        val ac = decodeCoeffBlock(r, nC, maxCoeff = 15)
+                          .getOrElse(return None)
+                        val tc = ac.count(_ != 0)
+                        cTcs(pl)(cbx)(cby) = tc
+                        nLevels += tc
+                        quads(rel * 2 + cbx0) =
+                          dequantIdctChroma(dcs(pl)(rel * 2 + cbx0), ac, qpc)
+                      }
+                      quads
+                    }
                 }
               // chroma 8x8 DC prediction per plane (quadrant rules)
-              // plus the per-quadrant flat residual
+              // plus the per-pixel residual
               Seq(cbP, crP).zipWithIndex.foreach { case (plane, pi) =>
                 val cx0 = mx * 8
                 val cy0 = my * 8
@@ -1330,12 +1511,13 @@ object H264 {
                       else if (hasL) (sumL(4) + 2) >> 2
                       else 128
                   }
-                  val v = clip255(dc + chromaRes(pi)((qy / 4) * 2 + (qx / 4)))
+                  val res = chromaRes(pi)((qy / 4) * 2 + (qx / 4))
                   var y = 0
                   while (y < 4) {
                     var x = 0
                     while (x < 4) {
-                      plane(cy0 + qy + y)(cx0 + qx + x) = v
+                      plane(cy0 + qy + y)(cx0 + qx + x) =
+                        clip255(dc + res(y * 4 + x))
                       x += 1
                     }
                     y += 1

@@ -1553,6 +1553,32 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // H.264 chroma AC residuals in-stream (cbp 47 — the COMPLETE
+    // 4:2:0 intra chroma path): four CAVLC AC blocks per plane per MB
+    // through the nC < 4 tables with real cross-MB neighbor contexts,
+    // dequant + inverse transform with the 2x2-stage DC preset.
+    // Row-0-confined AC keeps residuals column-constant, so the
+    // per-column quadrant chains stay closed-form (residual table
+    // pinned against the real pipeline by H264Spec).
+    "q159_h264_chroma_ac" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 3)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbH = 1 + (id % 3).toInt
+          val nf = 1 + (id % 2).toInt
+          val st = graft.operators.H264.synthesizeH264ChromaAc(mbH, nf, id)
+          graft.operators.H264.decodeCavlcIntra(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nLevels)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height",
+          "luma_sum", "chroma_sum", "weighted_sum", "n_levels")
+        .orderBy($"doc_id")
+    },
+
     // FLAC decode — the audio family's COMPRESSED path (WAV is raw
     // PCM): real Rice-coded residuals, CONSTANT/VERBATIM/FIXED
     // subframes, CRC-8/CRC-16 verified per frame and the STREAMINFO
@@ -3080,6 +3106,62 @@ object Pipeline {
         |    AS weighted_sum,
         |  CAST(sum(lum.nlev) AS BIGINT) AS n_levels
         |FROM d JOIN lum ON d.doc_id = lum.doc_id
+        |GROUP BY 1
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors synthesizeH264ChromaAc: q149's luma chain plus
+    // per-plane quadrant chains over the H264Spec-pinned combined
+    // residual table, by k = (doc + f*11 + my*5 + pl*3) % 4:
+    // quadrant-sum totals vt = [40,-20,40,2]; bottom-quad row-average
+    // shifts s_bl = [3,0,4,4], s_br = [3,-2,4,-4]; levels
+    // nlev = dcTC + 4*acTC = [5,10,12,10]. MB chroma sum =
+    // 32*(pL+pR) + 4*vt with pL/pR the prefix-summed shift chains.
+    "q159_h264_chroma_ac" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INTEGER) AS mbh,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 4 = 3),
+        |fr AS (SELECT doc_id, mbh, f.f AS f FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f),
+        |blk AS (SELECT doc_id, mbh, f, bx.i AS bx, by.i AS by FROM fr,
+        |  LATERAL (SELECT unnest(generate_series(0, 3)) AS i) bx,
+        |  LATERAL (SELECT unnest(generate_series(0, 4 * mbh - 1)) AS i) by),
+        |v AS (SELECT doc_id, mbh, f, bx, by,
+        |  128
+        |  + (SELECT sum(CASE (doc_id + f * 11 + j.j * 5) % 4
+        |       WHEN 0 THEN -5 WHEN 1 THEN -2 WHEN 2 THEN 3 ELSE 5 END)
+        |     FROM (SELECT unnest(generate_series(0, by)) AS j) j)
+        |  + coalesce((SELECT sum(CASE (doc_id + f * 11 + k.k * 7 + by * 5) % 4
+        |       WHEN 0 THEN -5 WHEN 1 THEN -2 WHEN 2 THEN 3 ELSE 5 END)
+        |     FROM (SELECT unnest(generate_series(1, bx)) AS k) k), 0) AS val
+        |  FROM blk),
+        |lum AS (SELECT doc_id, f, sum(16 * val) AS ls,
+        |    count(*) AS nblk FROM v GROUP BY 1, 2),
+        |ch AS (SELECT doc_id, mbh, f, pl.p AS pl, my.i AS my FROM fr,
+        |  LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
+        |  LATERAL (SELECT unnest(generate_series(0, mbh - 1)) AS i) my),
+        |chq AS (SELECT doc_id, f, pl, my,
+        |  CASE (doc_id + f * 11 + my * 5 + pl * 3) % 4
+        |    WHEN 0 THEN 40 WHEN 1 THEN -20 WHEN 2 THEN 40 ELSE 2 END AS vt,
+        |  CASE (doc_id + f * 11 + my * 5 + pl * 3) % 4
+        |    WHEN 0 THEN 5 WHEN 1 THEN 10 WHEN 2 THEN 12 ELSE 10 END AS nlev,
+        |  coalesce((SELECT sum(CASE (doc_id + f * 11 + j.j * 5 + pl * 3) % 4
+        |       WHEN 0 THEN 3 WHEN 1 THEN 0 WHEN 2 THEN 4 ELSE 4 END
+        |     + CASE (doc_id + f * 11 + j.j * 5 + pl * 3) % 4
+        |       WHEN 0 THEN 3 WHEN 1 THEN -2 WHEN 2 THEN 4 ELSE -4 END)
+        |     FROM (SELECT unnest(generate_series(0, my - 1)) AS j) j), 0) AS sblr
+        |  FROM ch),
+        |chs AS (SELECT doc_id, f, sum(32 * (256 + sblr) + 4 * vt) AS cs,
+        |    sum(nlev) AS ctc FROM chq GROUP BY 1, 2)
+        |SELECT d.doc_id, CAST(max(d.nf) AS INTEGER) AS n_frames,
+        |  CAST(16 AS INTEGER) AS width,
+        |  CAST(max(16 * d.mbh) AS INTEGER) AS height,
+        |  CAST(sum(lum.ls) AS BIGINT) AS luma_sum,
+        |  CAST(sum(chs.cs) AS BIGINT) AS chroma_sum,
+        |  CAST(sum((lum.f + 1) * (lum.ls + chs.cs)) AS BIGINT)
+        |    AS weighted_sum,
+        |  CAST(sum(lum.nblk + chs.ctc) AS BIGINT) AS n_levels
+        |FROM d JOIN lum ON d.doc_id = lum.doc_id
+        |JOIN chs ON lum.doc_id = chs.doc_id AND lum.f = chs.f
         |GROUP BY 1
         |ORDER BY d.doc_id""".stripMargin,
 

@@ -392,6 +392,105 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("chroma AC combined residuals are pinned against dequant + transform") {
+    // per-(k, quadrant, column) residuals of the q159 streams — the
+    // oracle hard-codes their row sums, so a drift here is an oracle
+    // break. Column-constancy (row-0 AC confinement) asserted first.
+    for (k <- 0 until 4; q <- 0 until 4) {
+      val dcs = H264.chromaDcDequantForSpec(H264.chromaDcVectorForSpec(k), 24)
+      val full = H264.dequantIdctChromaForSpec(
+        dcs(q), H264.chromaAcVectorForSpec(k), 24)
+      for (y <- 1 until 4; x <- 0 until 4)
+        assert(full(y * 4 + x) == full(x), s"k=$k q=$q not column-constant")
+      assert(H264.chromaAcCombined(k)(q).sameElements(full.take(4)))
+    }
+    val want = Map(
+      (0, 0) -> Seq(9, 6, -1, -4), (1, 0) -> Seq(-1, -4, -1, 6),
+      (1, 1) -> Seq(-3, -7, -3, 3), (2, 0) -> Seq(5, 9, -1, 2),
+      (2, 1) -> Seq(0, 4, -6, -3), (3, 0) -> Seq(5, -4, 2, 2),
+      (3, 1) -> Seq(3, -7, 0, 0), (3, 2) -> Seq(8, -2, 5, 5),
+      (3, 3) -> Seq(0, -9, -3, -3))
+    want.foreach { case ((k, q), v) =>
+      assert(H264.chromaAcCombined(k)(q).toSeq == v,
+        s"k=$k q=$q got ${H264.chromaAcCombined(k)(q).toSeq} != $v")
+    }
+  }
+
+  test("chroma AC blocks round-trip through maxCoeff 15 with neighbor contexts") {
+    val rnd = new scala.util.Random(515)
+    for (_ <- 0 until 300) {
+      val tc = rnd.nextInt(6)
+      val positions = rnd.shuffle((0 until 15).toList).take(tc).sorted
+      val scan = Array.fill(15)(0)
+      positions.foreach { p =>
+        var v = 0
+        while (v == 0) v = rnd.nextInt(15) - 7
+        scan(p) = v
+      }
+      for (nC <- Seq(0, 1, 2, 3)) {
+        val bits = H264.encodeBlockBits15(scan, nC)
+        val back = H264.decodeBlockBits15(bits, nC)
+        assert(back.isDefined && back.get.sameElements(scan),
+          s"nC=$nC coeffs ${scan.mkString(",")} bits $bits")
+      }
+    }
+  }
+
+  test("chroma AC stream decode equals the per-column chain simulation") {
+    def clip(v: Long) = math.max(0L, math.min(255L, v))
+    for (seed <- 0L until 20L) {
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 1 + (seed % 2).toInt
+      val m = H264.decodeCavlcIntra(H264.synthesizeH264ChromaAc(mbH, nf, seed)).get
+      assert(m.nFrames == nf && m.width == 16 && m.height == mbH * 16)
+      val rOf = Array(-5, -2, 3, 5)
+      val dcTc = Array(1, 2, 4, 2) // chroma DC TotalCoeff per k
+      val acTc = Array(1, 2, 2, 2) // chroma AC TotalCoeff per k (× 4 blocks)
+      var wantL = 0L; var wantC = 0L; var wantW = 0L; var wantN = 0L
+      for (f <- 0 until nf) {
+        val v = Array.ofDim[Long](4, 4 * mbH)
+        var fl = 0L
+        for (by <- 0 until 4 * mbH; bx <- 0 until 4) {
+          val r = rOf(((seed + f * 11 + bx * 7 + by * 5) % 4).toInt)
+          val parent =
+            if (bx == 0 && by == 0) 128L
+            else if (bx == 0) v(0)(by - 1)
+            else v(bx - 1)(by)
+          v(bx)(by) = clip(parent + r)
+          fl += 16 * v(bx)(by)
+          wantN += 1
+        }
+        var fc = 0L
+        for (pl <- 0 until 2) {
+          var pL = 128L; var pR = 128L
+          for (my <- 0 until mbH) {
+            val k = ((seed + f * 11 + my * 5 + pl * 3) % 4).toInt
+            val cmb = H264.chromaAcCombined(k)
+            if (my > 0) {
+              // top-quad preds come from the above MB's bottom-quad
+              // rows: exact scalar chain p' = p + ((Σv + 2) >> 2)
+              val kPrev = ((seed + f * 11 + (my - 1) * 5 + pl * 3) % 4).toInt
+              val cPrev = H264.chromaAcCombined(kPrev)
+              pL += (cPrev(2).sum + 2) >> 2
+              pR += (cPrev(3).sum + 2) >> 2
+            }
+            for (q <- 0 until 4; x <- 0 until 4) {
+              val p = if (q % 2 == 0) pL else pR
+              fc += 4 * clip(p + cmb(q)(x)) // 4 rows per column
+            }
+            wantN += dcTc(k) + 4 * acTc(k)
+          }
+        }
+        wantL += fl; wantC += fc
+        wantW += (f + 1) * (fl + fc)
+      }
+      assert(m.lumaSum == wantL, s"seed=$seed luma ${m.lumaSum} != $wantL")
+      assert(m.chromaSum == wantC, s"seed=$seed chroma ${m.chromaSum} != $wantC")
+      assert(m.weightedSum == wantW, s"seed=$seed weighted")
+      assert(m.nLevels == wantN, s"seed=$seed levels ${m.nLevels} != $wantN")
+    }
+  }
+
   test("CAVLC decode refuses a run_before past the remaining zeros") {
     // coeff_token (0,2), two levels, total_zeros 14, then a >6-class
     // run_before coding run=16 > zerosLeft=14 — must refuse (None),
