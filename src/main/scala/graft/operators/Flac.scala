@@ -144,6 +144,92 @@ object Flac {
     case _ => 4 * s(i - 1) - 6 * s(i - 2) + 4 * s(i - 3) - s(i - 4)
   }
 
+  /** Rice-partitioned residual section shared by FIXED and LPC
+    * subframes: reads residuals and reconstructs via `predict`.
+    */
+  private def readResidual(br: BitReader, blockSize: Int, order: Int,
+      s: Array[Int], predict: (Array[Int], Int) => Int): Boolean = {
+    if (br.u(2) != 0L) return false // method 1 (5-bit Rice) out of subset
+    val po = br.u(4).toInt
+    val nPart = 1 << po
+    if (blockSize % nPart != 0 || (blockSize >> po) <= order) return false
+    var part = 0
+    var i = order
+    while (part < nPart) {
+      val k = br.u(4).toInt
+      val cnt = (blockSize >> po) - (if (part == 0) order else 0)
+      if (k == 15) {
+        val raw = br.u(5).toInt
+        var j = 0
+        while (j < cnt) {
+          val r = if (raw == 0) 0
+            else ((br.u(raw) << (64 - raw)) >> (64 - raw)).toInt
+          s(i) = predict(s, i) + r
+          i += 1; j += 1
+        }
+      } else {
+        var j = 0
+        while (j < cnt) {
+          s(i) = predict(s, i) + riceRead(br, k)
+          i += 1; j += 1
+        }
+      }
+      part += 1
+    }
+    true
+  }
+
+  /** One subframe → samples, for any sample width `bits` (the side
+    * channel of a stereo decorrelation codes bits+1). Supported:
+    * CONSTANT, VERBATIM, FIXED 0-4, LPC any order (precision/shift/
+    * coefficient parse per spec, 64-bit accumulator, arithmetic
+    * right-shift). None outside the subset or on reserved types.
+    */
+  private def readSubframe(br: BitReader, blockSize: Int,
+      bits: Int): Option[Array[Int]] = {
+    if (br.u(1) != 0L) return None
+    val sfType = br.u(6).toInt
+    if (br.u(1) != 0L) return None // wasted-bits out of subset
+    def sN(v: Long): Int = ((v << (64 - bits)) >> (64 - bits)).toInt
+    val s = new Array[Int](blockSize)
+    sfType match {
+      case 0 =>
+        java.util.Arrays.fill(s, sN(br.u(bits)))
+        Some(s)
+      case 1 =>
+        var i = 0
+        while (i < blockSize) { s(i) = sN(br.u(bits)); i += 1 }
+        Some(s)
+      case t if t >= 8 && t <= 12 =>
+        val order = t - 8
+        var i = 0
+        while (i < order) { s(i) = sN(br.u(bits)); i += 1 }
+        if (readResidual(br, blockSize, order, s, fixedPredict(order, _, _)))
+          Some(s)
+        else None
+      case t if t >= 32 =>
+        val order = (t & 31) + 1
+        var i = 0
+        while (i < order) { s(i) = sN(br.u(bits)); i += 1 }
+        val precision = br.u(4).toInt + 1
+        if (precision == 16) return None // 0b1111 is invalid per spec
+        val shift = ((br.u(5) << 59) >> 59).toInt // signed 5-bit
+        if (shift < 0) return None
+        val coefs = Array.fill(order)(
+          ((br.u(precision) << (64 - precision)) >> (64 - precision)).toInt)
+        def lpcPredict(v: Array[Int], idx: Int): Int = {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += coefs(j).toLong * v(idx - 1 - j); j += 1 }
+          (acc >> shift).toInt
+        }
+        if (readResidual(br, blockSize, order, s, lpcPredict))
+          Some(s)
+        else None
+      case _ => None // reserved types
+    }
+  }
+
   // ---------------------------------------------------------------
   // synthesis: 16-bit mono, blocksize 192 (frame-header code 0b0001)
   // ---------------------------------------------------------------
@@ -262,6 +348,126 @@ object Flac {
     out.toArray
   }
 
+  /** Stereo planes for [[synthesizeFlacStereo]], frame type
+    * (seed + f) % 3:
+    *   0 independent: L = LPC(1) chain (coefficient 2, shift 1 —
+    *     (2s)>>1 = s exactly, so the REAL shift arithmetic runs with
+    *     a closed-form prefix-sum chain) over residuals
+    *     r_j = (seed+f+j·7)%9 − 4 from warmup seed%40 − 20;
+    *     R = CONSTANT (seed·11+f·5)%301 − 150.
+    *   1 left/side: L_i = (seed+f+i·13)%500 − 250 (VERBATIM), side =
+    *     CONSTANT (seed+f)%81 − 40 → R = L − side.
+    *   2 mid/side: L = const (seed·3+f)%241 − 120, R = const
+    *     (seed·5+f·7)%241 − 120 — the parity-bit mid/side coding
+    *     reconstructs both exactly.
+    */
+  private[graft] def synthSamplesStereo(seed: Long, f: Int): (Array[Int], Array[Int]) = {
+    val n = BlockSize
+    ((seed + f) % 3).toInt match {
+      case 0 =>
+        val w = (seed % 40).toInt - 20
+        val l = new Array[Int](n)
+        l(0) = w
+        var i = 1
+        while (i < n) { l(i) = l(i - 1) + ((seed + f + i * 7L) % 9).toInt - 4; i += 1 }
+        val r = ((seed * 11 + f * 5) % 301).toInt - 150
+        (l, Array.fill(n)(r))
+      case 1 =>
+        val l = Array.tabulate(n)(i => ((seed + f + i * 13L) % 500).toInt - 250)
+        val d = ((seed + f) % 81).toInt - 40
+        (l, l.map(_ - d))
+      case _ =>
+        val a = ((seed * 3 + f) % 241).toInt - 120
+        val b = ((seed * 5 + f * 7) % 241).toInt - 120
+        (Array.fill(n)(a), Array.fill(n)(b))
+    }
+  }
+
+  /** A 16-bit STEREO stream exercising the decode paths the mono
+    * synthesizer cannot: LPC subframes (real precision/shift/
+    * coefficient parse), independent-stereo, left/side and mid/side
+    * channel decorrelation (side coded at 17 bits per spec).
+    */
+  def synthesizeFlacStereo(nFrames: Int, seed: Long): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    out ++= "fLaC".getBytes("US-ASCII")
+    val total = nFrames.toLong * BlockSize
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    (0 until nFrames).foreach { f =>
+      val (l, r) = synthSamplesStereo(seed, f)
+      var i = 0
+      while (i < BlockSize) {
+        md5.update((l(i) & 0xFF).toByte); md5.update(((l(i) >> 8) & 0xFF).toByte)
+        md5.update((r(i) & 0xFF).toByte); md5.update(((r(i) >> 8) & 0xFF).toByte)
+        i += 1
+      }
+    }
+    val si = new BitWriter
+    si.u(BlockSize, 16); si.u(BlockSize, 16)
+    si.u(0, 24); si.u(0, 24)
+    si.u(8000, 20)
+    si.u(1, 3)  // channels − 1 = 1
+    si.u(15, 5) // 16-bit
+    si.u(total, 36)
+    val head = new BitWriter
+    head.u(1, 1); head.u(0, 7); head.u(34, 24)
+    out ++= head.result()
+    out ++= si.result()
+    out ++= md5.digest()
+
+    def constant(bw: BitWriter, v: Int, bits: Int): Unit = {
+      bw.u(0, 1); bw.u(0, 6); bw.u(0, 1)
+      bw.u(v.toLong & ((1L << bits) - 1), bits)
+    }
+    def verbatim(bw: BitWriter, s: Array[Int], bits: Int): Unit = {
+      bw.u(0, 1); bw.u(1, 6); bw.u(0, 1)
+      s.foreach(v => bw.u(v.toLong & ((1L << bits) - 1), bits))
+    }
+    def lpc1(bw: BitWriter, s: Array[Int], bits: Int): Unit = {
+      bw.u(0, 1); bw.u(32, 6); bw.u(0, 1) // LPC order 1
+      bw.u(s(0).toLong & ((1L << bits) - 1), bits) // warmup
+      bw.u(4, 4)  // precision − 1 = 4 → 5-bit coefficients
+      bw.u(1, 5)  // shift 1
+      bw.u(2, 5)  // coefficient 2: pred = (2·s[i−1]) >> 1 = s[i−1]
+      bw.u(0, 2); bw.u(0, 4) // Rice method 0, partition order 0
+      val k = 3
+      bw.u(k, 4)
+      var i = 1
+      while (i < s.length) { riceWrite(bw, s(i) - s(i - 1), k); i += 1 }
+    }
+
+    (0 until nFrames).foreach { f =>
+      val (l, r) = synthSamplesStereo(seed, f)
+      val t = ((seed + f) % 3).toInt
+      val bw = new BitWriter
+      bw.u(0x3FFE, 14); bw.u(0, 1); bw.u(0, 1)
+      bw.u(1, 4)  // blocksize 192
+      bw.u(0, 4)  // rate from STREAMINFO
+      bw.u(t match { case 0 => 1; case 1 => 8; case _ => 10 }, 4)
+      bw.u(4, 3); bw.u(0, 1)
+      bw.u(f, 8)
+      bw.alignZero()
+      val hdr = bw.bytes.toArray
+      bw.u(crc8(hdr, 0, hdr.length), 8)
+      t match {
+        case 0 =>
+          lpc1(bw, l, 16)
+          constant(bw, r(0), 16)
+        case 1 =>
+          verbatim(bw, l, 16)
+          constant(bw, l(0) - r(0), 17) // side, one extra bit
+        case _ =>
+          constant(bw, (l(0) + r(0)) >> 1, 16) // mid
+          constant(bw, l(0) - r(0), 17)        // side
+      }
+      bw.alignZero()
+      val body = bw.bytes.toArray
+      bw.u(crc16(body, 0, body.length), 16)
+      out ++= bw.result()
+    }
+    out.toArray
+  }
+
   // ---------------------------------------------------------------
   // decode
   // ---------------------------------------------------------------
@@ -309,7 +515,7 @@ object Flac {
         }
         off += len
       }
-      if (channels != 1 || bps != 16) return None // subset
+      if (channels < 1 || channels > 2 || bps != 16) return None // subset
       val md5 = java.security.MessageDigest.getInstance("MD5")
       var nFrames = 0
       var decoded = 0L
@@ -326,7 +532,11 @@ object Flac {
         val chan = br.u(4).toInt
         val ssCode = br.u(3).toInt
         br.u(1)
-        if (chan != 0 || ssCode != 4) return None
+        if (ssCode != 4) return None // 16-bit subset
+        // channel assignment: 0..7 independent (must equal channels−1),
+        // 8 left/side, 9 right/side, 10 mid/side (stereo only)
+        if (channels == 1 && chan != 0) return None
+        if (channels == 2 && chan != 1 && (chan < 8 || chan > 10)) return None
         val frameNo = br.u(8).toInt
         if ((frameNo & 0x80) != 0) return None // multi-byte numbers out of subset
         val blockSize = bsCode match {
@@ -342,54 +552,38 @@ object Flac {
         val hdrCrc = br.u(8).toInt
         if (hdrCrc != crc8(p, frameStart, frameStart + (br.bytePos - frameStart) - 1))
           return None
-        // subframe
-        if (br.u(1) != 0) return None
-        val sfType = br.u(6).toInt
-        val wasted = br.u(1).toInt
-        if (wasted != 0) return None // wasted-bits out of subset
-        val s = new Array[Int](blockSize)
-        def s16(v: Long): Int = ((v & 0xFFFF) << 16).toInt >> 16
-        sfType match {
-          case 0 =>
-            val c = s16(br.u(16))
-            java.util.Arrays.fill(s, c)
-          case 1 =>
-            var i = 0
-            while (i < blockSize) { s(i) = s16(br.u(16)); i += 1 }
-          case t if t >= 8 && t <= 12 =>
-            val order = t - 8
-            var i = 0
-            while (i < order) { s(i) = s16(br.u(16)); i += 1 }
-            if (br.u(2) != 0) return None // method 1 (5-bit Rice) out of subset
-            val po = br.u(4).toInt
-            val nPart = 1 << po
-            if (blockSize % nPart != 0 || (blockSize >> po) <= order) return None
-            var part = 0
-            i = order
-            while (part < nPart) {
-              val k = br.u(4).toInt
-              val cnt = (blockSize >> po) - (if (part == 0) order else 0)
-              if (k == 15) {
-                // escape: raw bits
-                val raw = br.u(5).toInt
-                var j = 0
-                while (j < cnt) {
-                  val r = if (raw == 0) 0
-                    else ((br.u(raw) << (64 - raw)).toLong >> (64 - raw)).toInt
-                  s(i) = fixedPredict(order, s, i) + r
-                  i += 1; j += 1
+        // subframes (one per channel; a stereo decorrelation's side
+        // channel codes one extra bit), then inter-channel
+        // reconstruction per the assignment
+        val chans: Array[Array[Int]] =
+          if (channels == 1)
+            Array(readSubframe(br, blockSize, 16).getOrElse(return None))
+          else {
+            val bits0 = if (chan == 9) 17 else 16
+            val bits1 = if (chan == 8 || chan == 10) 17 else 16
+            val c0 = readSubframe(br, blockSize, bits0).getOrElse(return None)
+            val c1 = readSubframe(br, blockSize, bits1).getOrElse(return None)
+            chan match {
+              case 1 => Array(c0, c1) // independent L, R
+              case 8 => // left/side: R = L − side
+                Array(c0, Array.tabulate(blockSize)(i => c0(i) - c1(i)))
+              case 9 => // right/side: L = R + side
+                Array(Array.tabulate(blockSize)(i => c1(i) + c0(i)), c1)
+              case _ => // mid/side (spec reconstruction: mid recovers
+                // its dropped low bit from the side's parity)
+                val l = new Array[Int](blockSize)
+                val rr = new Array[Int](blockSize)
+                var i = 0
+                while (i < blockSize) {
+                  val side = c1(i)
+                  val m2 = (c0(i) << 1) | (side & 1)
+                  l(i) = (m2 + side) >> 1
+                  rr(i) = (m2 - side) >> 1
+                  i += 1
                 }
-              } else {
-                var j = 0
-                while (j < cnt) {
-                  s(i) = fixedPredict(order, s, i) + riceRead(br, k)
-                  i += 1; j += 1
-                }
-              }
-              part += 1
+                Array(l, rr)
             }
-          case _ => return None // LPC and reserved types out of subset
-        }
+          }
         br.alignToByte()
         val crcPos = br.bytePos
         val fCrc = br.u(16).toInt
@@ -397,9 +591,13 @@ object Flac {
         var fSum = 0L
         var i = 0
         while (i < blockSize) {
-          val v = s(i)
-          md5.update((v & 0xFF).toByte); md5.update(((v >> 8) & 0xFF).toByte)
-          fSum += v
+          var c = 0
+          while (c < channels) {
+            val v = chans(c)(i)
+            md5.update((v & 0xFF).toByte); md5.update(((v >> 8) & 0xFF).toByte)
+            fSum += v
+            c += 1
+          }
           i += 1
         }
         nFrames += 1

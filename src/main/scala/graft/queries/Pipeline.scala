@@ -1553,6 +1553,29 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // Stereo FLAC with LPC (q158's deepening): real LPC subframe
+    // parse (precision/shift/coefficients, 64-bit accumulator) and
+    // all three stereo decorrelations — independent, left/side,
+    // mid/side (side at 17 bits, parity-bit mid reconstruction).
+    // md5_ok TRUE is per-SAMPLE exactness through the whole path.
+    "q160_flac_stereo" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 0)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val nf = 1 + (id % 3).toInt
+          val st = graft.operators.Flac.synthesizeFlacStereo(nf, id)
+          graft.operators.Flac.decodeFlac(st) match {
+            case Some(f) => (id, f.nFrames, f.totalSamples, f.sampleRate,
+              f.sampleSum, f.weightedSum, f.md5Ok)
+            case None => (id, -1, -1L, -1, -1L, -1L, false)
+          }
+        }).toDF("doc_id", "n_frames", "total_samples", "sample_rate",
+          "sample_sum", "weighted_sum", "md5_ok")
+        .orderBy($"doc_id")
+    },
+
     // H.264 chroma AC residuals in-stream (cbp 47 — the COMPLETE
     // 4:2:0 intra chroma path): four CAVLC AC blocks per plane per MB
     // through the nC < 4 tables with real cross-MB neighbor contexts,
@@ -3164,6 +3187,40 @@ object Pipeline {
         |JOIN chs ON lum.doc_id = chs.doc_id AND lum.f = chs.f
         |GROUP BY 1
         |ORDER BY d.doc_id""".stripMargin,
+
+    // mirrors Flac.synthSamplesStereo: type (doc+f)%3 — 0: LPC prefix
+    // sums (L) + constant (R); 1: verbatim L and R = L − side →
+    // 2·ΣL − 192·side; 2: mid/side constants → 192·(a+b)
+    "q160_flac_stereo" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |fr AS (SELECT doc_id, nf, f.f AS f FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f),
+        |fs AS (SELECT doc_id, nf, f,
+        |  CASE CAST((doc_id + f) % 3 AS INTEGER)
+        |    WHEN 0 THEN
+        |      (SELECT sum((doc_id % 40 - 20)
+        |         + coalesce((SELECT sum((doc_id + f + j.j * 7) % 9 - 4)
+        |             FROM (SELECT unnest(generate_series(1, i.i)) AS j) j), 0))
+        |       FROM (SELECT unnest(generate_series(0, 191)) AS i) i)
+        |      + 192 * ((doc_id * 11 + f * 5) % 301 - 150)
+        |    WHEN 1 THEN
+        |      2 * (SELECT sum((doc_id + f + i.i * 13) % 500 - 250)
+        |           FROM (SELECT unnest(generate_series(0, 191)) AS i) i)
+        |      - 192 * ((doc_id + f) % 81 - 40)
+        |    ELSE 192 * (((doc_id * 3 + f) % 241 - 120)
+        |      + ((doc_id * 5 + f * 7) % 241 - 120))
+        |  END AS s
+        |  FROM fr)
+        |SELECT doc_id, CAST(max(nf) AS INTEGER) AS n_frames,
+        |  CAST(max(nf) * 192 AS BIGINT) AS total_samples,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(sum(s) AS BIGINT) AS sample_sum,
+        |  CAST(sum((f + 1) * s) AS BIGINT) AS weighted_sum,
+        |  TRUE AS md5_ok
+        |FROM fs
+        |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
 
     // mirrors Flac.synthSamples frame by frame: type (doc+f)%3 —
     // 0: constant c·192; 1: verbatim sum over the i series;

@@ -49,6 +49,39 @@ class FlacSpec extends AnyFunSuite {
     }
   }
 
+  test("stereo decode: LPC, left/side and mid/side reconstruct the exact planes") {
+    for (seed <- 0L until 18L) {
+      val nf = 1 + (seed % 3).toInt
+      val got = Flac.decodeFlac(Flac.synthesizeFlacStereo(nf, seed))
+        .getOrElse(fail(s"seed=$seed did not decode"))
+      assert(got.nFrames == nf && got.totalSamples == nf * 192L)
+      var sum = 0L; var weighted = 0L
+      for (f <- 0 until nf) {
+        val (l, r) = Flac.synthSamplesStereo(seed, f)
+        val fs = l.map(_.toLong).sum + r.map(_.toLong).sum
+        sum += fs; weighted += (f + 1) * fs
+      }
+      assert(got.sampleSum == sum, s"seed=$seed")
+      assert(got.weightedSum == weighted, s"seed=$seed")
+      // md5Ok TRUE means every reconstructed SAMPLE matched, not just
+      // the sums — the decorrelation and LPC shift arithmetic is exact
+      assert(got.md5Ok, s"seed=$seed md5 must verify")
+    }
+  }
+
+  test("LPC chain samples really are the prefix-sum closed form") {
+    for (seed <- Seq(0L, 3L, 9L); f <- 0 until 3 if (seed + f) % 3 == 0) {
+      val (l, _) = Flac.synthSamplesStereo(seed, f)
+      val w = (seed % 40).toInt - 20
+      var acc = w
+      assert(l(0) == w)
+      for (i <- 1 until 192) {
+        acc += ((seed + f + i * 7L) % 9).toInt - 4
+        assert(l(i) == acc, s"seed=$seed f=$f i=$i")
+      }
+    }
+  }
+
   test("a flipped byte in any section is caught (CRC-8, CRC-16 or MD5)") {
     val clean = Flac.synthesizeFlac(2, 7L)
     assert(Flac.decodeFlac(clean).exists(_.md5Ok))
