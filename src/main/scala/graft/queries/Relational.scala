@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Parity, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -18,6 +18,12 @@ import org.apache.spark.sql.types.DecimalType
   * decimal arithmetic (see [[graft.Parity]]) so they hash-match the
   * oracle regardless of partitioning / aggregation order — which is
   * what makes the same plans correct on a 1000-executor cluster.
+  * q161 (least squares / correlation) deliberately avoids the
+  * built-in corr/regr aggregates: their incremental co-moment updates
+  * are partitioning-dependent floats, so the gate computes EXACT
+  * integer sums (n, Σx, Σy, Σxy, Σx², Σy² in cents) and derives
+  * slope/intercept/r² with one fixed double formula both engines
+  * evaluate identically on identical integers.
   */
 object Relational {
   import Parity._
@@ -25,6 +31,39 @@ object Relational {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // simpleLinearRegression / corr analogue (see the scaladoc note on
+    // determinism): least-squares y = kx + b of extendedprice-cents on
+    // quantity per returnflag, plus Pearson r² — exact integer sums,
+    // one fixed double formula. One partial-aggregated shuffle.
+    "q161_linear_regression" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables(s, dir).lineitem.select(
+        $"l_returnflag",
+        $"l_quantity".cast("long").as("x"),
+        round($"l_extendedprice" * 100).cast("long").as("y"))
+      // all sums and co-moment PRODUCTS in decimal(38,0) — Σy² and
+      // n·Σxy overflow a long well before 100 TB; the doubles appear
+      // only at the final division (same single rounding both engines)
+      def d38(c: Column) = c.cast("decimal(38,0)")
+      li.groupBy($"l_returnflag")
+        .agg(d38(count(lit(1))).as("n"), d38(sum($"x")).as("sx"),
+          d38(sum($"y")).as("sy"),
+          sum(d38($"x" * $"y")).as("sxy"),
+          sum(d38($"x" * $"x")).as("sxx"),
+          sum(d38($"y" * $"y")).as("syy"))
+        .select($"l_returnflag", $"n".cast("long").as("n"),
+          ($"n" * $"sxy" - $"sx" * $"sy").cast("double").as("num"),
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double").as("den"),
+          ($"n" * $"syy" - $"sy" * $"sy").cast("double").as("deny"),
+          $"sx".cast("double").as("dx"), $"sy".cast("double").as("dy"),
+          $"n".cast("double").as("dn"))
+        .select($"l_returnflag", $"n",
+          ($"num" / $"den").as("slope"),
+          (($"dy" - $"num" / $"den" * $"dx") / $"dn").as("intercept"),
+          ($"num" * $"num" / ($"den" * $"deny")).as("r2"))
+        .orderBy($"l_returnflag")
+    },
+
     // TPC-H Q1-style pricing summary. Group-by agg with partial
     // (map-side) aggregation; decimal sums are associative so the
     // 2-phase agg is exact at any parallelism.
@@ -577,6 +616,30 @@ object Relational {
     })
 
   val oracles: Map[String, String] = Map(
+    "q161_linear_regression" ->
+      """WITH a AS (SELECT l_returnflag,
+        |  CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sx,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS sy,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)
+        |    * CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS sxy,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)
+        |    * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sxx,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |    - CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS intercept,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |       * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+        |FROM a
+        |ORDER BY l_returnflag""".stripMargin,
     "q01_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
