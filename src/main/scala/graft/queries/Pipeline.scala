@@ -1553,6 +1553,35 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // Image near-dup dedup via DCT perceptual hash: pHash64 over
+    // synthesized grayscale images with planted 5-doc near-dup groups
+    // (±1 pixel noise on a shared low-frequency base), then the SAME
+    // pigeonhole chunk blocking as text SimHash dedup — no cartesian.
+    // PHashSpec proves the separation EXHAUSTIVELY over this id
+    // range, so the per-group pair count C(5,2) and zero cross-group
+    // pairs are exact oracle predictions, not probabilities.
+    "q162_phash_neardup" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.{PHash64, PHashOps}
+      val imgs = Tables(s, dir).documents
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id => (id, id / 5, PHashOps.synthImage(id / 5, id)) })
+        .toDF("doc", "grp", "img")
+      val sketches = imgs.select($"doc", PHash64.phash64($"img").as("simhash"))
+      val pairs = graft.operators.Dedup.simhashPairs(sketches, maxHamming = 3)
+        .select(expr("a DIV 5").as("ga"), expr("b DIV 5").as("gb"))
+      val intra = pairs.filter($"ga" === $"gb")
+        .groupBy($"ga".as("grp")).agg(count(lit(1)).as("ip"))
+      val cross = pairs.filter($"ga" =!= $"gb").agg(count(lit(1)).as("ct"))
+      imgs.groupBy($"grp").agg(count(lit(1)).as("n_docs"))
+        .join(intra, Seq("grp"), "left")
+        .crossJoin(broadcast(cross))
+        .select($"grp", $"n_docs",
+          coalesce($"ip", lit(0L)).as("intra_pairs"),
+          ($"ct" === 0L).as("no_cross_pairs"))
+        .orderBy($"grp")
+    },
+
     // Stereo FLAC with LPC (q158's deepening): real LPC subframe
     // parse (precision/shift/coefficients, 64-bit accumulator) and
     // all three stereo decorrelations — independent, left/side,
@@ -3187,6 +3216,18 @@ object Pipeline {
         |JOIN chs ON lum.doc_id = chs.doc_id AND lum.f = chs.f
         |GROUP BY 1
         |ORDER BY d.doc_id""".stripMargin,
+
+    // planted 5-doc groups: every group's C(n,2) pairs found, zero
+    // cross-group pairs (PHashSpec proves both exhaustively over the
+    // id range, so these are exact counts)
+    "q162_phash_neardup" ->
+      """WITH d AS (SELECT doc_id // 5 AS grp, count(*) AS n_docs
+        |  FROM documents GROUP BY 1)
+        |SELECT grp, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS intra_pairs,
+        |  TRUE AS no_cross_pairs
+        |FROM d
+        |ORDER BY grp""".stripMargin,
 
     // mirrors Flac.synthSamplesStereo: type (doc+f)%3 — 0: LPC prefix
     // sums (L) + constant (R); 1: verbatim L and R = L − side →
