@@ -1603,4 +1603,350 @@ object H264 {
       sps.map(i => PcmFrames(nFrames, i.width, i.height, lumaSum, chromaSum, weighted))
     } catch { case _: IllegalStateException => None }
   }
+
+  // ---------------------------------------------------------------
+  // P-slice inter prediction (motion compensation)
+  // ---------------------------------------------------------------
+
+  /** Luma motion-vector prediction for a 16x16 partition (ITU-T
+    * H.264 §8.4.1.3): neighbors A (left), B (top), C (top-right,
+    * falling back to D top-left when C is unavailable); if B and C
+    * are both unavailable and A is available the prediction is mvA;
+    * if EXACTLY one neighbor shares the current reference index the
+    * prediction is that neighbor's mv; otherwise the componentwise
+    * median with unavailable neighbors contributing (0,0)/ref -1.
+    * `mvs` is the per-MB field of the current picture in quarter
+    * luma samples; all partitions here are 16x16 with refIdx 0.
+    */
+  private[graft] def predictMv(
+      mvs: Array[(Int, Int)], decoded: Array[Boolean],
+      mbx: Int, my: Int, mbW: Int): (Int, Int) = {
+    def at(x: Int, y: Int): Option[(Int, Int)] =
+      if (x < 0 || y < 0 || x >= mbW || !decoded(y * mbW + x)) None
+      else Some(mvs(y * mbW + x))
+    val a = at(mbx - 1, my)
+    val b = at(mbx, my - 1)
+    val c = at(mbx + 1, my - 1).orElse(at(mbx - 1, my - 1))
+    if (b.isEmpty && c.isEmpty && a.nonEmpty) a.get
+    else {
+      val refs = Seq(a, b, c)
+      val matching = refs.flatten // every decoded MB has refIdx 0 here
+      if (matching.size == 1) matching.head
+      else {
+        def med(f: ((Int, Int)) => Int): Int = {
+          val v = refs.map(_.map(f).getOrElse(0)).sorted
+          v(1)
+        }
+        (med(_._1), med(_._2))
+      }
+    }
+  }
+
+  /** P_Skip motion vector (§8.4.1.1): zero when the left or top
+    * neighbor is unavailable or has a zero mv with refIdx 0;
+    * otherwise the 16x16 median prediction.
+    */
+  private[graft] def skipMv(
+      mvs: Array[(Int, Int)], decoded: Array[Boolean],
+      mbx: Int, my: Int, mbW: Int): (Int, Int) = {
+    def at(x: Int, y: Int): Option[(Int, Int)] =
+      if (x < 0 || y < 0 || x >= mbW || !decoded(y * mbW + x)) None
+      else Some(mvs(y * mbW + x))
+    val a = at(mbx - 1, my)
+    val b = at(mbx, my - 1)
+    if (a.isEmpty || b.isEmpty || a.get == ((0, 0)) || b.get == ((0, 0))) (0, 0)
+    else predictMv(mvs, decoded, mbx, my, mbW)
+  }
+
+  /** Whether MB (mbx, my) of P frame f is coded as P_Skip by the
+    * inter synthesizer: interior MBs only (so the skip mv median
+    * provably equals the frame's constant mv) on a mod-3 lattice
+    * (horizontally non-adjacent — each skip MB's left neighbor is
+    * explicit).
+    */
+  private def synthSkip(seed: Long, f: Int, mbx: Int, my: Int): Boolean =
+    mbx > 0 && my > 0 && ((seed + f + mbx + 3L * my) % 3 == 0)
+
+  /** Per-P-frame constant displacement in FULL luma samples (even,
+    * so the equivalent quarter-sample mv is a multiple of 8 and the
+    * chroma displacement is an integer number of chroma samples).
+    */
+  private[graft] def synthInterDx(seed: Long, f: Int): Int =
+    2 * (((seed + f) % 3).toInt - 1)
+  private[graft] def synthInterDy(seed: Long, f: Int): Int =
+    2 * (((seed + 2L * f) % 3).toInt - 1)
+
+  /** Conformant baseline stream: one IDR all-I_PCM frame (the
+    * closed-form §synthesizeH264IPcm pixel lattice at f=0) followed
+    * by `nFrames - 1` P frames of P_L0_16x16 / P_Skip macroblocks
+    * with cbp 0 — pure motion compensation off the reconstructed
+    * previous frame. Every P frame moves by a constant
+    * (synthInterDx, synthInterDy), but the BITSTREAM is not
+    * constant: mvd is the difference against the real median
+    * prediction (so edge MBs carry the full mv and interior ones
+    * carry zero), and skip runs interleave with explicit MBs.
+    */
+  def synthesizeH264Inter(mbW: Int, mbH: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp())
+
+    // IDR frame 0: I_PCM lattice (same closed form as synthesizeH264IPcm, f=0)
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x65.toByte
+    val bw0 = new BitWriter
+    bw0.ue(0); bw0.ue(7); bw0.ue(0)
+    bw0.u(0, 4)            // frame_num
+    bw0.ue(0)              // idr_pic_id
+    bw0.u(0, 1); bw0.u(0, 1)
+    bw0.se(0)
+    bw0.ue(1)
+    var my = 0
+    while (my < mbH) {
+      var mx = 0
+      while (mx < mbW) {
+        bw0.ue(25); bw0.alignZero()
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            bw0.u(((seed + (mx * 16 + x) + 2 * (my * 16 + y)) % 251).toInt, 8); x += 1
+          }
+          y += 1
+        }
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            bw0.u(((seed + 2 * (mx * 8 + cx) + (my * 8 + cy)) % 251).toInt, 8); cx += 1
+          }
+          cy += 1
+        }
+        cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            bw0.u(((3 * seed + (mx * 8 + cx) + 2 * (my * 8 + cy)) % 251).toInt, 8); cx += 1
+          }
+          cy += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    out ++= escape(bw0.stop())
+
+    var f = 1
+    while (f < nFrames) {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte   // nal_ref_idc=2, type=1 (non-IDR slice)
+      val bw = new BitWriter
+      bw.ue(0)             // first_mb_in_slice
+      bw.ue(5)             // slice_type: P (all slices in pic)
+      bw.ue(0)             // pic_parameter_set_id
+      bw.u(f % 16, 4)      // frame_num
+      bw.u(0, 1)           // num_ref_idx_active_override_flag
+      bw.u(0, 1)           // ref_pic_list_modification_flag_l0
+      bw.u(0, 1)           // adaptive_ref_pic_marking_mode_flag
+      bw.se(0)             // slice_qp_delta
+      bw.ue(1)             // disable_deblocking_filter_idc
+      val qmv = (4 * synthInterDx(seed, f), 4 * synthInterDy(seed, f))
+      val mvs = Array.fill(mbW * mbH)((0, 0))
+      val done = Array.fill(mbW * mbH)(false)
+      var skipRun = 0
+      my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          if (synthSkip(seed, f, mx, my)) {
+            // the synth lattice guarantees skipMv == qmv here
+            require(skipMv(mvs, done, mx, my, mbW) == qmv,
+              s"synth invariant: P_Skip mv != frame mv at ($mx,$my) f=$f")
+            skipRun += 1
+          } else {
+            bw.ue(skipRun); skipRun = 0
+            bw.ue(0)       // mb_type: P_L0_16x16
+            val pred = predictMv(mvs, done, mx, my, mbW)
+            bw.se(qmv._1 - pred._1)
+            bw.se(qmv._2 - pred._2)
+            bw.ue(0)       // coded_block_pattern (inter me(v): codeNum 0 -> 0)
+          }
+          mvs(my * mbW + mx) = qmv
+          done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      if (skipRun > 0) bw.ue(skipRun)
+      out ++= escape(bw.stop())
+      f += 1
+    }
+    out.toArray
+  }
+
+  final case class InterFrames(
+      nFrames: Int, width: Int, height: Int,
+      lumaSum: Long, chromaSum: Long, weightedSum: Long,
+      nSkipped: Long, mvAbsSum: Long)
+
+  /** Pixel decode of an I_PCM + P_L0_16x16/P_Skip stream: frame 0
+    * fills the reference buffers from raw PCM samples; each P frame
+    * reads skip runs and explicit MBs (mvd against the real median
+    * prediction), reconstructs every macroblock by motion
+    * compensation from the previous RECONSTRUCTED frame with edge
+    * extension (mv clamping at picture borders), and becomes the
+    * next reference. Quarter-sample mvs must be integer-luma /
+    * integer-chroma displacements (multiples of 8) — fractional
+    * interpolation is out of scope and returns None, as does any
+    * mb_type outside {I_PCM, P_L0_16x16, P_Skip} or cbp != 0.
+    * Sums span ALL frames; nSkipped counts P_Skip MBs; mvAbsSum is
+    * Σ(|mvx|+|mvy|) over all P MBs in quarter-sample units.
+    */
+  def decodeInter(p: Array[Byte]): Option[InterFrames] = {
+    try {
+      val nals = scanNals(p)
+      var sps: Option[SpsInfo] = None
+      var luma: Array[Int] = null
+      var cb: Array[Int] = null
+      var cr: Array[Int] = null
+      var nFrames = 0
+      var lumaSum = 0L
+      var chromaSum = 0L
+      var weighted = 0L
+      var nSkipped = 0L
+      var mvAbs = 0L
+      nals.foreach { case (s, e) =>
+        (p(s) & 0x1F) match {
+          case 7 =>
+            sps = parseSps(new BitReader(unescape(p, s + 1, e)))
+            if (sps.isEmpty) return None
+          case 5 =>
+            val info = sps.getOrElse(return None)
+            val w = info.mbW * 16; val h = info.mbH * 16
+            luma = new Array[Int](w * h)
+            cb = new Array[Int](w * h / 4); cr = new Array[Int](w * h / 4)
+            val r = new BitReader(unescape(p, s + 1, e))
+            r.ue()
+            if (r.ue() % 5 != 2) return None
+            r.ue(); r.u(4); r.ue(); r.u(1); r.u(1); r.se()
+            if (r.ue() != 1) { r.se(); r.se() }
+            var mb = 0
+            while (mb < info.mbW * info.mbH) {
+              if (r.ue() != 25) return None
+              r.alignToByte()
+              val mx = mb % info.mbW; val myy = mb / info.mbW
+              var y = 0
+              while (y < 16) {
+                var x = 0
+                while (x < 16) { luma((myy * 16 + y) * w + mx * 16 + x) = r.u(8); x += 1 }
+                y += 1
+              }
+              var cy = 0
+              while (cy < 8) {
+                var cx = 0
+                while (cx < 8) { cb((myy * 8 + cy) * (w / 2) + mx * 8 + cx) = r.u(8); cx += 1 }
+                cy += 1
+              }
+              cy = 0
+              while (cy < 8) {
+                var cx = 0
+                while (cx < 8) { cr((myy * 8 + cy) * (w / 2) + mx * 8 + cx) = r.u(8); cx += 1 }
+                cy += 1
+              }
+              mb += 1
+            }
+            nFrames += 1
+            var fl = 0L; luma.foreach(fl += _)
+            var fc = 0L; cb.foreach(fc += _); cr.foreach(fc += _)
+            lumaSum += fl; chromaSum += fc; weighted += nFrames.toLong * (fl + fc)
+          case 1 =>
+            val info = sps.getOrElse(return None)
+            if (luma == null) return None // P frame before any reference
+            val w = info.mbW * 16; val h = info.mbH * 16
+            val r = new BitReader(unescape(p, s + 1, e))
+            r.ue()
+            if (r.ue() % 5 != 0) return None // P slices only in scope
+            r.ue(); r.u(4)
+            r.u(1)           // num_ref_idx_active_override_flag
+            r.u(1)           // ref_pic_list_modification_flag_l0
+            r.u(1)           // adaptive_ref_pic_marking_mode_flag
+            r.se()
+            if (r.ue() != 1) { r.se(); r.se() }
+            val nMbs = info.mbW * info.mbH
+            val mvs = Array.fill(nMbs)((0, 0))
+            val done = Array.fill(nMbs)(false)
+            val nl = new Array[Int](w * h)
+            val ncb = new Array[Int](w * h / 4); val ncr = new Array[Int](w * h / 4)
+            def compensate(mx: Int, myy: Int, mv: (Int, Int)): Boolean = {
+              if (mv._1 % 8 != 0 || mv._2 % 8 != 0) return false
+              val dx = mv._1 / 4; val dy = mv._2 / 4
+              var y = 0
+              while (y < 16) {
+                var x = 0
+                while (x < 16) {
+                  val px = mx * 16 + x; val py = myy * 16 + y
+                  val sx = math.min(math.max(px + dx, 0), w - 1)
+                  val sy = math.min(math.max(py + dy, 0), h - 1)
+                  nl(py * w + px) = luma(sy * w + sx)
+                  x += 1
+                }
+                y += 1
+              }
+              val cw = w / 2; val ch = h / 2
+              val cdx = dx / 2; val cdy = dy / 2
+              var cy = 0
+              while (cy < 8) {
+                var cx = 0
+                while (cx < 8) {
+                  val px = mx * 8 + cx; val py = myy * 8 + cy
+                  val sx = math.min(math.max(px + cdx, 0), cw - 1)
+                  val sy = math.min(math.max(py + cdy, 0), ch - 1)
+                  ncb(py * cw + px) = cb(sy * cw + sx)
+                  ncr(py * cw + px) = cr(sy * cw + sx)
+                  cx += 1
+                }
+                cy += 1
+              }
+              true
+            }
+            var mb = 0
+            while (mb < nMbs) {
+              var run = r.ue()
+              while (run > 0) {
+                if (mb >= nMbs) return None
+                val mx = mb % info.mbW; val myy = mb / info.mbW
+                val mv = skipMv(mvs, done, mx, myy, info.mbW)
+                if (!compensate(mx, myy, mv)) return None
+                mvs(mb) = mv; done(mb) = true
+                nSkipped += 1; mvAbs += math.abs(mv._1) + math.abs(mv._2)
+                mb += 1; run -= 1
+              }
+              if (mb < nMbs) {
+                if (r.ue() != 0) return None // P_L0_16x16 only in scope
+                val mx = mb % info.mbW; val myy = mb / info.mbW
+                val pred = predictMv(mvs, done, mx, myy, info.mbW)
+                val mv = (pred._1 + r.se(), pred._2 + r.se())
+                if (r.ue() != 0) return None // cbp 0 only in scope
+                if (!compensate(mx, myy, mv)) return None
+                mvs(mb) = mv; done(mb) = true
+                mvAbs += math.abs(mv._1) + math.abs(mv._2)
+                mb += 1
+              }
+            }
+            luma = nl; cb = ncb; cr = ncr
+            nFrames += 1
+            var fl = 0L; luma.foreach(fl += _)
+            var fc = 0L; cb.foreach(fc += _); cr.foreach(fc += _)
+            lumaSum += fl; chromaSum += fc; weighted += nFrames.toLong * (fl + fc)
+          case _ => ()
+        }
+      }
+      sps.map(i => InterFrames(nFrames, i.width, i.height,
+        lumaSum, chromaSum, weighted, nSkipped, mvAbs))
+    } catch { case _: IllegalStateException => None }
+  }
 }

@@ -538,4 +538,107 @@ class H264Spec extends AnyFunSuite {
     assert(H264.parseStream(Array[Byte](1, 2, 3)).isEmpty) // no start code
     assert(H264.parseStream(Array.empty[Byte]).isEmpty)
   }
+
+  /** Independent inter simulation: I_PCM lattice frame 0, then each
+    * P frame shifts the previous RECONSTRUCTED frame by the constant
+    * per-frame displacement with edge clamping — no shared code with
+    * decodeInter beyond the public displacement closed forms.
+    */
+  private def simulateInter(mbW: Int, mbH: Int, nf: Int, seed: Long):
+      (Long, Long, Long, Long, Long) = {
+    val w = mbW * 16; val h = mbH * 16
+    def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+    var l = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+    var cbP = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+    var crP = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+    var wl = 0L; var wc = 0L; var ww = 0L; var wsk = 0L; var wmv = 0L
+    def addFrame(fi: Int): Unit = {
+      var fl = 0L; l.foreach(_.foreach(fl += _))
+      var fc = 0L; cbP.foreach(_.foreach(fc += _)); crP.foreach(_.foreach(fc += _))
+      wl += fl; wc += fc; ww += (fi + 1L) * (fl + fc)
+    }
+    addFrame(0)
+    for (f <- 1 until nf) {
+      val dx = H264.synthInterDx(seed, f); val dy = H264.synthInterDy(seed, f)
+      val pl = l; val pcb = cbP; val pcr = crP
+      l = Array.tabulate(h, w)((y, x) => pl(clamp(y + dy, h - 1))(clamp(x + dx, w - 1)))
+      cbP = Array.tabulate(h / 2, w / 2)((y, x) =>
+        pcb(clamp(y + dy / 2, h / 2 - 1))(clamp(x + dx / 2, w / 2 - 1)))
+      crP = Array.tabulate(h / 2, w / 2)((y, x) =>
+        pcr(clamp(y + dy / 2, h / 2 - 1))(clamp(x + dx / 2, w / 2 - 1)))
+      addFrame(f)
+      for (my <- 1 until mbH; mx <- 1 until mbW)
+        if ((seed + f + mx + 3L * my) % 3 == 0) wsk += 1
+      wmv += mbW.toLong * mbH * 4 * (math.abs(dx) + math.abs(dy))
+    }
+    (wl, wc, ww, wsk, wmv)
+  }
+
+  test("inter P-frame decode equals an independent motion-compensated simulation") {
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 2 + (seed % 2).toInt
+      val m = H264.decodeInter(H264.synthesizeH264Inter(mbW, mbH, nf, seed)).get
+      assert(m.nFrames == nf && m.width == mbW * 16 && m.height == mbH * 16)
+      val (wl, wc, ww, wsk, wmv) = simulateInter(mbW, mbH, nf, seed)
+      assert(m.lumaSum == wl, s"seed=$seed luma")
+      assert(m.chromaSum == wc, s"seed=$seed chroma")
+      assert(m.weightedSum == ww, s"seed=$seed weighted")
+      assert(m.nSkipped == wsk, s"seed=$seed skips")
+      assert(m.mvAbsSum == wmv, s"seed=$seed mv")
+    }
+  }
+
+  test("inter decode covers the zero-mv P_Skip rule (long GOPs hit dx=dy=0 frames)") {
+    // f ≡ 0 (mod 3) with seed ≡ 1 (mod 3) makes frame f's mv (0,0):
+    // skipped MBs then take the A/B-zero special case, not the median
+    for (seed <- Seq(1L, 4L, 7L)) {
+      val nf = 6
+      assert((1 until nf).exists(f =>
+        H264.synthInterDx(seed, f) == 0 && H264.synthInterDy(seed, f) == 0))
+      val m = H264.decodeInter(H264.synthesizeH264Inter(3, 3, nf, seed)).get
+      val (wl, wc, ww, wsk, wmv) = simulateInter(3, 3, nf, seed)
+      assert(m.lumaSum == wl && m.chromaSum == wc && m.weightedSum == ww)
+      assert(m.nSkipped == wsk && m.mvAbsSum == wmv)
+    }
+  }
+
+  test("inter decode refuses out-of-scope and orphaned streams") {
+    // a P slice with no decoded reference (IDR NAL excised) → None
+    val p = H264.synthesizeH264Inter(2, 2, 3, 5L)
+    val idr = {
+      var i = -1
+      for (j <- 0 until p.length - 3 if i < 0)
+        if (p(j) == 0 && p(j + 1) == 0 && p(j + 2) == 1 && (p(j + 3) & 0x1F) == 5) i = j
+      i
+    }
+    val next = {
+      var i = -1
+      for (j <- idr + 4 until p.length - 2 if i < 0)
+        if (p(j) == 0 && p(j + 1) == 0 && p(j + 2) == 1) i = j
+      i
+    }
+    assert(idr > 0 && next > idr)
+    assert(H264.decodeInter(p.take(idr) ++ p.drop(next)).isEmpty)
+    // CAVLC intra / bitstream-payload streams are outside the subset
+    assert(H264.decodeInter(H264.synthesizeH264Stream(32, 32, 30, 3, 7L)).isEmpty)
+    // arbitrary bytes and single-byte corruption: None or Some, never a throw
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 0 until 300)
+      H264.decodeInter(Array.fill(8 + rnd.nextInt(120))(rnd.nextInt(256).toByte))
+    for (seed <- 0L until 30L) {
+      val bad = H264.synthesizeH264Inter(2, 2, 3, seed)
+      bad(8 + rnd.nextInt(bad.length - 8)) = rnd.nextInt(256).toByte
+      H264.decodeInter(bad)
+    }
+  }
+
+  test("inter decode of an all-I_PCM stream matches decodeIPcm (P machinery dormant)") {
+    val p = H264.synthesizeH264IPcm(2, 2, 2, 9L)
+    val a = H264.decodeInter(p).get
+    val b = H264.decodeIPcm(p).get
+    assert(a.lumaSum == b.lumaSum && a.chromaSum == b.chromaSum &&
+      a.weightedSum == b.weightedSum && a.nSkipped == 0 && a.mvAbsSum == 0)
+  }
 }
