@@ -1631,6 +1631,31 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // IMA ADPCM decode — the audio family's LOSSY predictive class
+    // (WAV = raw PCM, FLAC = lossless, ADPCM = predictive): real RIFF
+    // blocks with per-block (predictor, step index) headers through
+    // the canonical IMA state machine. The oracle replays the exact
+    // nonlinear recurrence (step table, truncating bit-test expansion,
+    // dual clamps) as a recursive SQL state machine — every decoded
+    // sample value-checked, not just checksummed.
+    "q164_adpcm_decode" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 3)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val nb = 1 + (id % 2).toInt
+          val wav = graft.operators.Adpcm.synthesizeImaAdpcmWav(nb, id)
+          graft.operators.Adpcm.decodeImaAdpcm(wav) match {
+            case Some(a) => (id, a.nBlocks, a.nSamples, a.sampleRate,
+              a.sampleSum, a.weightedSum, a.finalPred, a.finalIndex)
+            case None => (id, -1, -1L, -1, -1L, -1L, 0, -1)
+          }
+        }).toDF("doc_id", "n_blocks", "n_samples", "sample_rate",
+          "sample_sum", "weighted_sum", "final_pred", "final_index")
+        .orderBy($"doc_id")
+    },
+
     // H.264 INTER prediction — the codec family's first temporal
     // step: an I_PCM reference frame followed by P frames of
     // P_L0_16x16 / P_Skip macroblocks (cbp 0) whose motion vectors
@@ -3291,6 +3316,67 @@ object Pipeline {
         |  TRUE AS md5_ok
         |FROM fs
         |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors Adpcm.synthesizeImaAdpcmWav + the IMA state machine:
+    // block b of doc id starts at predictor (id·97+b·131)%2048−1024 /
+    // index (id·5+b·17)%89 (the header predictor IS sample 0); nibble
+    // k is (id·7+b·19+k·13)%16; the recursive CTE applies the
+    // truncating bit-test expansion and both clamps per step
+    "q164_adpcm_decode" ->
+      """WITH RECURSIVE d AS (SELECT doc_id AS id,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS nb
+        |  FROM documents WHERE doc_id % 4 = 3),
+        |stept AS (SELECT u.i - 1 AS i, l.a[u.i] AS v FROM
+        |  (SELECT [7,8,9,10,11,12,13,14,16,17,
+        |    19,21,23,25,28,31,34,37,41,45,
+        |    50,55,60,66,73,80,88,97,107,118,
+        |    130,143,157,173,190,209,230,253,279,307,
+        |    337,371,408,449,494,544,598,658,724,796,
+        |    876,963,1060,1166,1282,1411,1552,1707,1878,2066,
+        |    2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,
+        |    5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,
+        |    15289,16818,18500,20350,22385,24623,27086,29794,32767] AS a) l,
+        |  (SELECT unnest(generate_series(1, 89)) AS i) u),
+        |blk AS (SELECT id, nb, b.b AS b,
+        |    CAST((id * 97 + b.b * 131) % 2048 - 1024 AS INTEGER) AS pred0,
+        |    CAST((id * 5 + b.b * 17) % 89 AS INTEGER) AS idx0
+        |  FROM d, LATERAL (SELECT unnest(generate_series(0, nb - 1)) AS b) b),
+        |steps AS (
+        |  SELECT id, b, 0 AS k, pred0 AS pred, idx0 AS idx FROM blk
+        |  UNION ALL
+        |  SELECT s.id, s.b, s.k + 1,
+        |    CAST(least(greatest(s.pred
+        |      + CASE WHEN (s.id * 7 + s.b * 19 + s.k * 13) % 16 >= 8
+        |          THEN -1 ELSE 1 END
+        |        * ((st.v >> 3)
+        |          + CASE WHEN (s.id * 7 + s.b * 19 + s.k * 13) % 8 >= 4
+        |              THEN st.v ELSE 0 END
+        |          + CASE WHEN (s.id * 7 + s.b * 19 + s.k * 13) % 4 >= 2
+        |              THEN st.v >> 1 ELSE 0 END
+        |          + CASE WHEN (s.id * 7 + s.b * 19 + s.k * 13) % 2 = 1
+        |              THEN st.v >> 2 ELSE 0 END),
+        |      -32768), 32767) AS INTEGER),
+        |    CAST(least(greatest(s.idx
+        |      + CASE WHEN (s.id * 7 + s.b * 19 + s.k * 13) % 8 < 4 THEN -1
+        |          WHEN (s.id * 7 + s.b * 19 + s.k * 13) % 8 = 4 THEN 2
+        |          WHEN (s.id * 7 + s.b * 19 + s.k * 13) % 8 = 5 THEN 4
+        |          WHEN (s.id * 7 + s.b * 19 + s.k * 13) % 8 = 6 THEN 6
+        |          ELSE 8 END, 0), 88) AS INTEGER)
+        |  FROM steps s JOIN stept st ON st.i = s.idx
+        |  WHERE s.k < 64),
+        |agg AS (SELECT id, CAST(sum(pred) AS BIGINT) AS sample_sum,
+        |    CAST(sum((b * 65 + k + 1) * pred) AS BIGINT) AS weighted_sum
+        |  FROM steps GROUP BY 1),
+        |fin AS (SELECT s.id, CAST(s.pred AS INTEGER) AS final_pred,
+        |    CAST(s.idx AS INTEGER) AS final_index
+        |  FROM steps s JOIN d ON d.id = s.id
+        |  WHERE s.b = d.nb - 1 AND s.k = 64)
+        |SELECT d.id AS doc_id, d.nb AS n_blocks,
+        |  CAST(d.nb * 65 AS BIGINT) AS n_samples,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  agg.sample_sum, agg.weighted_sum, fin.final_pred, fin.final_index
+        |FROM d JOIN agg ON agg.id = d.id JOIN fin ON fin.id = d.id
         |ORDER BY doc_id""".stripMargin,
 
     // mirrors synthesizeH264Inter: frame 0 is the I_PCM lattice
