@@ -153,6 +153,59 @@ object Dedup {
       .filter($"jaccard" >= threshold)
       .select($"a", $"b", $"jaccard")
 
+  /** Exact n-gram CONTAINMENT pairs (a ≠ b, both orientations):
+    * C(a→b) = |Sa ∩ Sb| / |Sa| ≥ t — the ASYMMETRIC near-dup
+    * relation Jaccard structurally misses when |Sb| ≫ |Sa| (a doc
+    * quoted inside a scrape, boilerplate-wrapped articles,
+    * concatenated shards: jaccard ≈ sa/sb → 0 while containment = 1).
+    *
+    * Scale path is the one-sided prefix-filter bound (the asymmetric
+    * member of the PPJoin family, Xiao et al., WWW'08): a qualifying
+    * pair must share a token within A's first sa − ⌈t·sa⌉ + 1
+    * canonical (rarest-first) tokens — the SAME prefix length as the
+    * jaccard path, so [[prefixIndex]] is reused verbatim — against
+    * B's FULL postings. The probe side is prefix-bounded (hot tokens
+    * index only docs whose entire prefix is hot); the build side is
+    * the plain postings list, filtered by the containment positional
+    * bound: a co-occurrence at canonical positions (i, j) witnesses
+    * overlap ≤ 1 + min(sa−i, sb−j), which must reach α = ⌈t·sa⌉, and
+    * sb ≥ α outright. Candidates are exact-verified on full sorted
+    * arrays (one linear merge per pair, same shuffle shape as
+    * [[verifyJaccardArrays]]). Output identity vs the naive
+    * all-shared-shingle join is pinned in DedupSpec; the q165 oracle
+    * re-derives every pair + value in SQL.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val docsh = docShingles(df, idCol, textCol, n)
+    val sh = docsh.select($"doc", explode($"hs").as("h"))
+    val sizes = docsh.select($"doc", size($"hs").cast("long").as("sz"))
+    val prefix = prefixIndex(sh, sizes, threshold)
+    val freq = sh.groupBy($"h").agg(count(lit(1)).as("df_"))
+    val w = Window.partitionBy($"doc").orderBy($"df_", $"h")
+    val full = sh.join(freq, "h")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(sizes, "doc")
+      .select($"doc", $"h", $"sz", $"rn")
+    // α = ⌈t·sa⌉ with the same epsilon guard as candidatePairs: the
+    // double product must not land epsilon above an exact integer
+    val alpha = ceil(col("x.sz") * lit(threshold) - lit(1e-9))
+    val cands = prefix.as("x").join(full.as("y"),
+        col("x.h") === col("y.h") && col("x.doc") =!= col("y.doc") &&
+          col("y.sz") >= alpha &&
+          lit(1) + least(col("x.sz") - col("x.rn"), col("y.sz") - col("y.rn")) >= alpha)
+      .select(col("x.doc").as("a"), col("y.doc").as("b"))
+      .distinct()
+    cands
+      .join(docsh.select($"doc".as("a"), $"hs".as("x_hs")), "a")
+      .join(docsh.select($"doc".as("b"), $"hs".as("y_hs")), "b")
+      .withColumn("i", graft.functions.SortedIntersectCount
+        .sorted_intersect_count($"x_hs", $"y_hs"))
+      .withColumn("containment", $"i".cast("double") / size($"x_hs"))
+      .filter($"containment" >= threshold)
+      .select($"a", $"b", $"containment")
+  }
+
   /** Production-scale composition of exact + near dedup: collapse
     * exact duplicates FIRST, run the similarity join on unique
     * contents only, then expand pairs back through group membership.

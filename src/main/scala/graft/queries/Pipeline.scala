@@ -215,6 +215,17 @@ object Pipeline {
         .orderBy($"a", $"b")
     },
 
+    // Exact n-gram CONTAINMENT pairs (asymmetric near-dup: quotes,
+    // scrapes, boilerplate wraps — jaccard → 0 as the container
+    // grows, containment stays 1). One-sided prefix filter against
+    // full postings; exact-verified; both orientations.
+    "q165_dedup_containment" -> { (s, dir) =>
+      import s.implicits._
+      Dedup.ngramContainmentPairs(Tables(s, dir).documents, "doc_id", "text",
+          n = 3, threshold = 0.9)
+        .orderBy($"a", $"b")
+    },
+
     // MinHash(128) + LSH(32×4) + exact verify — same output as q31,
     // via the scale path (no all-shared-shingle pair join).
     "q32_dedup_minhash_lsh" -> { (s, dir) =>
@@ -2415,6 +2426,20 @@ object Pipeline {
         |ORDER BY keep_id""".stripMargin,
 
     "q31_dedup_ngram_jaccard" -> jaccardOracle,
+    // same trigram sets as the jaccard oracle; asymmetric division by
+    // |Sa| only, both orientations (a != b)
+    "q165_dedup_containment" ->
+      """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
+        |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id != b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a, b, CAST(i AS DOUBLE) / sa.n AS containment
+        |FROM inter JOIN sizes sa ON a = sa.doc_id
+        |WHERE CAST(i AS DOUBLE) / sa.n >= 0.9
+        |ORDER BY a, b""".stripMargin,
     "q32_dedup_minhash_lsh" -> jaccardOracle,
     // output-identical by construction (collapse → join reps → expand)
     "q124_dedup_collapsed" -> jaccardOracle,

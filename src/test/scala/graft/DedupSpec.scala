@@ -83,6 +83,40 @@ class DedupSpec extends SparkSpec {
     assert(prefix == naive, s"missed=${naive -- prefix} spurious=${prefix -- naive}")
   }
 
+  test("containment prefix path equals the naive all-shared-shingle join") {
+    import graft.syntax._
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3).cache()
+    val sizes = sh.groupBy($"doc").agg(count(lit(1)).as("sz"))
+    val naive = sh.as("x").join(sh.as("y"),
+        col("x.h") === col("y.h") && col("x.doc") =!= col("y.doc"))
+      .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sa"), "a")
+      .withColumn("c", $"i".cast("double") / $"sa")
+      .filter($"c" >= 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pref = Dedup.ngramContainmentPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty, "fixture should contain containment pairs")
+    assert(pref == naive, s"missed=${naive -- pref} spurious=${pref -- naive}")
+  }
+
+  test("containment catches doc-in-doc pairs jaccard structurally misses") {
+    import graft.syntax._
+    import spark.implicits._
+    // a (8 words) is verbatim inside b (48 words): jaccard = 6/44 ≈
+    // 0.14 — far below any sane threshold — while C(a→b) = 1.0
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, small), (2L, s"$small $filler")).toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.8).collect()
+    assert(jac.isEmpty)
+    val cont = Dedup.ngramContainmentPairs(df, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)),
+      s"expected the contained->container orientation only, got ${cont.toSeq}")
+  }
+
   test("prefix index caps hot-shingle bucket occupancy") {
     import graft.syntax._
     val sh = Dedup.shingles(docs, "doc_id", "text", 3).cache()
