@@ -1810,6 +1810,46 @@ object Pipeline {
       }
     },
 
+    // STREAMING index maintenance: the q116 index kept current by a
+    // document stream via the idempotent foreachBatch sink — three
+    // micro-batches applied through the same applyBm25Batch the true
+    // stream runs (StreamingSpec pins MemoryStream parity), with one
+    // batch RE-DELIVERED mid-sequence (crash-replay) that the
+    // batchlog must no-op. Output contract identical to q100/q116:
+    // the probe cannot tell how the index was fed.
+    "q166_stream_bm25_index" -> { (s, dir) =>
+      import s.implicits._
+      val db = "bm25str_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val loc = java.nio.file.Files.createTempDirectory("graft_bm25str_").toString
+      s.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+      try {
+        import graft.streaming.StreamingIndex
+        val docs = Tables(s, dir).documents
+        val applied = Seq(
+          StreamingIndex.applyBm25Batch(
+            docs.filter($"doc_id" % 4 < 2), "doc_id", "text", db, batchId = 0),
+          StreamingIndex.applyBm25Batch(
+            docs.filter($"doc_id" % 4 === 2), "doc_id", "text", db, batchId = 1),
+          StreamingIndex.applyBm25Batch( // crash-replay of batch 1
+            docs.filter($"doc_id" % 4 === 2), "doc_id", "text", db, batchId = 1),
+          StreamingIndex.applyBm25Batch(
+            docs.filter($"doc_id" % 4 === 3), "doc_id", "text", db, batchId = 2))
+        require(applied == Seq(true, true, false, true),
+          s"batchlog idempotence violated: $applied")
+        graft.operators.Retrieval.bm25TopKIndexed(s, db, retrievalQueries, k = 10)
+          .orderBy($"query_id", $"rank")
+          .localCheckpoint() // materialize before the index is dropped
+      } finally {
+        s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+        def rm(p: java.io.File): Unit = {
+          val kids = p.listFiles()
+          if (kids != null) kids.foreach(rm)
+          p.delete(); ()
+        }
+        rm(new java.io.File(loc))
+      }
+    },
+
     // Hybrid retrieval: reciprocal-rank fusion (K=60) of the BM25 and
     // hashed-vector top-10 lists — contributions are exact fixed-point
     // integers (RrfScale div (60+rank)), fused by exact BIGINT sum.
@@ -2308,6 +2348,14 @@ object Pipeline {
 
     // identical contract to q100 — the index is an execution detail
     "q116_bm25_indexed" ->
+      s"""WITH $bm25OracleCtes
+         |SELECT query_id, rank, doc_id, score_fp FROM bmr
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // identical contract again — streaming maintenance must be
+    // invisible to the probe
+    "q166_stream_bm25_index" ->
       s"""WITH $bm25OracleCtes
          |SELECT query_id, rank, doc_id, score_fp FROM bmr
          |WHERE rank <= 10

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming maintenance of the persisted BM25 index
+  * ([[graft.operators.Retrieval.buildBm25Index]]): a document stream
+  * keeps a live corpus index current batch by batch, so the
+  * build-vs-probe separation of q116 extends to continuously
+  * arriving data — the batch↔streaming twin for the retrieval
+  * family, like [[StreamingIntervals]] is for the interval sweeps.
+  *
+  * Delivery semantics: Structured Streaming's foreachBatch is
+  * at-least-once (a batch RE-RUNS after a crash between the sink
+  * action and the checkpoint commit), so the sink is made IDEMPOTENT
+  * by batch id — the standard idempotent-foreachBatch pattern from
+  * the Structured Streaming guide. Applied batch ids are recorded in
+  * a `batchlog` table inside the index database; a re-delivered id
+  * is a no-op. The marker is written AFTER the index writes commit:
+  * a crash inside [[applyBm25Batch]] re-runs the whole batch, and a
+  * crash between the postings append and the batchlog write is the
+  * same partial-commit window every multi-table non-transactional
+  * sink has — production deployments close it by staging the delta
+  * under the batch id and swapping, at the cost of a
+  * vocabulary-sized rename per batch. StreamingSpec pins (a) true
+  * multi-trigger stream == from-scratch batch build probe-for-probe,
+  * and (b) re-delivery is a no-op.
+  *
+  * Scale: every batch costs O(delta) (the append contract of
+  * [[graft.operators.Retrieval.appendToBm25Index]]); segment growth
+  * is bounded by periodic [[graft.operators.Retrieval
+  * .compactBm25Index]], which leaves probes bit-identical.
+  */
+object StreamingIndex {
+
+  /** Apply one micro-batch to the index, idempotently by `batchId`.
+    * First-ever batch builds the index; later ones append. Returns
+    * true when the batch was applied, false when the id was already
+    * in the batchlog (re-delivery) or the batch was empty.
+    */
+  def applyBm25Batch(batch: DataFrame, idCol: String, textCol: String,
+      db: String, batchId: Long, buckets: Int = 8): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val logTable = s"$db.batchlog"
+    if (spark.catalog.tableExists(logTable) &&
+        !spark.table(logTable).filter($"batch_id" === batchId).isEmpty) {
+      return false
+    }
+    // cheap emptiness probe; an empty trigger still logs its id so a
+    // re-delivered empty batch stays a no-op
+    val applied =
+      if (batch.isEmpty) false
+      else {
+        if (spark.catalog.tableExists(s"$db.stats"))
+          graft.operators.Retrieval.appendToBm25Index(
+            batch, idCol, textCol, db, buckets)
+        else
+          graft.operators.Retrieval.buildBm25Index(
+            batch, idCol, textCol, db, buckets)
+        true
+      }
+    Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(logTable)
+    applied
+  }
+
+  /** foreachBatch sink: keep the `db` BM25 index current from a
+    * document stream. Caller owns the database and the checkpoint
+    * location (restart with the same checkpoint resumes from the
+    * committed offset; the batchlog absorbs the overlap).
+    */
+  def bm25IndexSink(docs: DataFrame, idCol: String, textCol: String,
+      db: String, checkpoint: String, buckets: Int = 8): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyBm25Batch(batch, idCol, textCol, db, batchId, buckets)
+        ()
+      }
+      .start()
+}

@@ -1148,4 +1148,49 @@ class StreamingSpec extends SparkSpec {
       }
   }
 
+  test("streaming BM25 index maintenance: multi-trigger stream == batch build") {
+    import graft.operators.Retrieval
+    import graft.streaming.StreamingIndex
+    import java.nio.file.{Files => JFiles, Paths}
+    val docs = Tables(spark, sf).documents.select("doc_id", "text").cache()
+    // stage as multiple files, one file per trigger → a real
+    // build-then-append sequence through the foreachBatch sink
+    val dir = JFiles.createTempDirectory("graft-bmdocs").toString
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    assert(JFiles.list(Paths.get(dir)).toArray
+      .map(_.toString).count(_.endsWith(".parquet")) >= 2)
+    val queries = Seq(1L -> "spark window join", 2L -> "dup query scan",
+      3L -> "the a")
+    def probe(db: String) =
+      Retrieval.bm25TopKIndexed(spark, db, queries, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val whS = JFiles.createTempDirectory("graft-bmstr").toString
+    val whB = JFiles.createTempDirectory("graft-bmref").toString
+    val ckpt = JFiles.createTempDirectory("graft-bmckpt").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS bmstr LOCATION '$whS'")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS bmref LOCATION '$whB'")
+    try {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val q = StreamingIndex.bm25IndexSink(stream, "doc_id", "text",
+        "bmstr", ckpt)
+      q.processAllAvailable(); q.stop()
+      val applied = spark.table("bmstr.batchlog").count()
+      assert(applied >= 2, s"want multiple applied batches, got $applied")
+      Retrieval.buildBm25Index(docs, "doc_id", "text", "bmref")
+      val want = probe("bmref")
+      assert(want.nonEmpty)
+      assert(probe("bmstr") == want,
+        "stream-maintained index must answer probes like the batch build")
+      // crash re-delivery: replaying an applied batch id is a no-op
+      assert(!StreamingIndex.applyBm25Batch(
+        docs.limit(5), "doc_id", "text", "bmstr", batchId = 0))
+      assert(probe("bmstr") == want, "re-delivered batch must not change the index")
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS bmstr CASCADE")
+      spark.sql("DROP DATABASE IF EXISTS bmref CASCADE")
+    }
+  }
+
 }
