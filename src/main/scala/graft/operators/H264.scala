@@ -1686,7 +1686,36 @@ object H264 {
     * prediction (so edge MBs carry the full mv and interior ones
     * carry zero), and skip runs interleave with explicit MBs.
     */
-  def synthesizeH264Inter(mbW: Int, mbH: Int, nFrames: Int, seed: Long): Array[Byte] = {
+  def synthesizeH264Inter(mbW: Int, mbH: Int, nFrames: Int, seed: Long): Array[Byte] =
+    synthInterStream(mbW, mbH, nFrames, seed, withResidual = false)
+
+  /** [[synthesizeH264Inter]] plus CAVLC luma residuals: explicit MBs
+    * on a mod-2 lattice carry cbp 15 (all four luma 8x8 groups; the
+    * me(v) Inter mapping's codeNum 11) at QP 24, each 4x4 block coded
+    * with one of the q150 [[acScanVectors]] through the REAL cross-MB
+    * nC neighbor context — motion compensation, residual dequant +
+    * inverse transform, and clip compose exactly as in a conformant
+    * P reconstruction, and the clipped result feeds the NEXT frame's
+    * prediction.
+    */
+  def synthesizeH264InterResidual(mbW: Int, mbH: Int, nFrames: Int,
+      seed: Long): Array[Byte] =
+    synthInterStream(mbW, mbH, nFrames, seed, withResidual = true)
+
+  /** Whether explicit MB (mbx, my) of P frame f carries residuals in
+    * the residual synth (cbp 15 vs 0).
+    */
+  private[graft] def synthHasResidual(seed: Long, f: Int, mbx: Int, my: Int): Boolean =
+    (seed + f + mbx + 2L * my) % 2 == 0
+
+  /** Residual vector index for 4x4 block (gx, gy) of P frame f —
+    * same %4 family as the q150 streams.
+    */
+  private[graft] def synthResidualK(seed: Long, f: Int, gx: Int, gy: Int): Int =
+    ((seed + f * 11 + gx * 7 + gy * 5) % 4).toInt
+
+  private def synthInterStream(mbW: Int, mbH: Int, nFrames: Int, seed: Long,
+      withResidual: Boolean): Array[Byte] = {
     val out = new ArrayBuffer[Byte]()
     out ++= Array[Byte](0, 0, 0, 1)
     out += 0x67.toByte
@@ -1752,11 +1781,12 @@ object H264 {
       bw.u(0, 1)           // num_ref_idx_active_override_flag
       bw.u(0, 1)           // ref_pic_list_modification_flag_l0
       bw.u(0, 1)           // adaptive_ref_pic_marking_mode_flag
-      bw.se(0)             // slice_qp_delta
+      bw.se(if (withResidual) -2 else 0) // slice_qp_delta (QP 24 / 26)
       bw.ue(1)             // disable_deblocking_filter_idc
       val qmv = (4 * synthInterDx(seed, f), 4 * synthInterDy(seed, f))
       val mvs = Array.fill(mbW * mbH)((0, 0))
       val done = Array.fill(mbW * mbH)(false)
+      val tcs = new Array[Int](4 * mbW * 4 * mbH)
       var skipRun = 0
       my = 0
       while (my < mbH) {
@@ -1773,7 +1803,25 @@ object H264 {
             val pred = predictMv(mvs, done, mx, my, mbW)
             bw.se(qmv._1 - pred._1)
             bw.se(qmv._2 - pred._2)
-            bw.ue(0)       // coded_block_pattern (inter me(v): codeNum 0 -> 0)
+            val hasRes = withResidual && synthHasResidual(seed, f, mx, my)
+            // coded_block_pattern, me(v) Inter: codeNum 0 → 0, 11 → 15
+            bw.ue(if (hasRes) 11 else 0)
+            if (hasRes) {
+              bw.se(0)     // mb_qp_delta
+              zScan4x4.foreach { case (zx, zy) =>
+                val gx = mx * 4 + zx; val gy = my * 4 + zy
+                val scan = acScanVectors(synthResidualK(seed, f, gx, gy))
+                val nA = if (gx == 0) -1 else tcs(gy * 4 * mbW + gx - 1)
+                val nB = if (gy == 0) -1 else tcs((gy - 1) * 4 * mbW + gx)
+                val nC =
+                  if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+                  else if (nA >= 0) nA
+                  else if (nB >= 0) nB
+                  else 0
+                encodeCoeffBlock(bw, scan, nC)
+                tcs(gy * 4 * mbW + gx) = scan.count(_ != 0)
+              }
+            }
           }
           mvs(my * mbW + mx) = qmv
           done(my * mbW + mx) = true
@@ -1791,7 +1839,7 @@ object H264 {
   final case class InterFrames(
       nFrames: Int, width: Int, height: Int,
       lumaSum: Long, chromaSum: Long, weightedSum: Long,
-      nSkipped: Long, mvAbsSum: Long)
+      nSkipped: Long, mvAbsSum: Long, nLevels: Long = 0L)
 
   /** Pixel decode of an I_PCM + P_L0_16x16/P_Skip stream: frame 0
     * fills the reference buffers from raw PCM samples; each P frame
@@ -1819,6 +1867,7 @@ object H264 {
       var weighted = 0L
       var nSkipped = 0L
       var mvAbs = 0L
+      var nLevels = 0L
       nals.foreach { case (s, e) =>
         (p(s) & 0x1F) match {
           case 7 =>
@@ -1874,9 +1923,13 @@ object H264 {
             r.u(1)           // num_ref_idx_active_override_flag
             r.u(1)           // ref_pic_list_modification_flag_l0
             r.u(1)           // adaptive_ref_pic_marking_mode_flag
-            r.se()
+            var qpy = 26 + r.se()
             if (r.ue() != 1) { r.se(); r.se() }
             val nMbs = info.mbW * info.mbH
+            // per-4x4-block TotalCoeff grid for the CAVLC nC context;
+            // skipped and cbp-0 macroblocks contribute 0
+            val bW = 4 * info.mbW; val bH = 4 * info.mbH
+            val tcs = new Array[Int](bW * bH)
             val mvs = Array.fill(nMbs)((0, 0))
             val done = Array.fill(nMbs)(false)
             val nl = new Array[Int](w * h)
@@ -1930,8 +1983,42 @@ object H264 {
                 val mx = mb % info.mbW; val myy = mb / info.mbW
                 val pred = predictMv(mvs, done, mx, myy, info.mbW)
                 val mv = (pred._1 + r.se(), pred._2 + r.se())
-                if (r.ue() != 0) return None // cbp 0 only in scope
+                // coded_block_pattern, me(v) Inter column of Table 9-4:
+                // only the two codeNums this subset emits are entered
+                // (0 → cbp 0, 11 → cbp 15 luma-only) — same refuse-not-
+                // guess posture as the intra cbp entries
+                val cbp = r.ue() match {
+                  case 0 => 0
+                  case 11 => 15
+                  case _ => return None
+                }
                 if (!compensate(mx, myy, mv)) return None
+                if (cbp == 15) {
+                  qpy += r.se() // mb_qp_delta accumulates QPy
+                  var bi = 0
+                  while (bi < 16) {
+                    val (zx, zy) = zScan4x4(bi)
+                    val gx = mx * 4 + zx; val gy = myy * 4 + zy
+                    val nA = if (gx == 0) -1 else tcs(gy * bW + gx - 1)
+                    val nB = if (gy == 0) -1 else tcs((gy - 1) * bW + gx)
+                    val nC =
+                      if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+                      else if (nA >= 0) nA
+                      else if (nB >= 0) nB
+                      else 0
+                    val scan = decodeCoeffBlock(r, nC).getOrElse(return None)
+                    tcs(gy * bW + gx) = scan.count(_ != 0)
+                    nLevels += tcs(gy * bW + gx)
+                    val res = dequantIdct4x4(scan, qpy)
+                    var i = 0
+                    while (i < 16) {
+                      val px = gx * 4 + (i % 4); val py = gy * 4 + (i / 4)
+                      nl(py * w + px) = clip255(nl(py * w + px) + res(i))
+                      i += 1
+                    }
+                    bi += 1
+                  }
+                }
                 mvs(mb) = mv; done(mb) = true
                 mvAbs += math.abs(mv._1) + math.abs(mv._2)
                 mb += 1
@@ -1946,7 +2033,7 @@ object H264 {
         }
       }
       sps.map(i => InterFrames(nFrames, i.width, i.height,
-        lumaSum, chromaSum, weighted, nSkipped, mvAbs))
+        lumaSum, chromaSum, weighted, nSkipped, mvAbs, nLevels))
     } catch { case _: IllegalStateException => None }
   }
 }

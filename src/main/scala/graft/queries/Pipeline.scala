@@ -1697,6 +1697,35 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // H.264 inter prediction WITH residuals — the full P-frame
+    // reconstruction: motion compensation off the previous
+    // reconstructed frame + CAVLC luma residuals (cbp 15, QP 24,
+    // the q150 vector family through the real cross-MB nC context)
+    // + dequant/IDCT + clip, with the CLIPPED result feeding the
+    // next frame's prediction. Oracle chains frame tables by
+    // coordinate joins, applying the H264Spec-pinned column
+    // residuals and both clip rails per frame.
+    "q167_h264_inter_residual" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 0)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbW = 2 + (id % 3).toInt
+          val mbH = 1 + (id % 3).toInt
+          val nf = 2 + (id % 2).toInt
+          val st = graft.operators.H264.synthesizeH264InterResidual(mbW, mbH, nf, id)
+          graft.operators.H264.decodeInter(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nSkipped,
+              f.mvAbsSum, f.nLevels)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height", "luma_sum",
+          "chroma_sum", "weighted_sum", "n_skipped", "mv_abs_sum", "n_levels")
+        .orderBy($"doc_id")
+    },
+
     // FLAC decode — the audio family's COMPRESSED path (WAV is raw
     // PCM): real Rice-coded residuals, CONSTANT/VERBATIM/FIXED
     // subframes, CRC-8/CRC-16 verified per frame and the STREAMINFO
@@ -3389,6 +3418,123 @@ object Pipeline {
         |  TRUE AS md5_ok
         |FROM fs
         |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeH264InterResidual: the q163 coordinate chains
+    // plus per-frame residual injection — frame tables chain by
+    // coordinate JOINS (f0 → f1 → f2) because the clip applies per
+    // frame; residual columns are the H264Spec-pinned q150 IDCT
+    // values by k = (id + f*11 + bx*7 + by*5) % 4 on the explicit
+    // non-skip cbp-15 MB lattice; chroma carries no residual
+    "q167_h264_inter_residual" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(2 + doc_id % 3 AS INTEGER) AS mbw,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh,
+        |    CAST(2 + doc_id % 2 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |px AS (SELECT id, mbw, mbh, nf, x.i AS x, y.i AS y FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbh - 1)) AS i) y),
+        |f0 AS (SELECT id, x, y, (id + x + 2 * y) % 251 AS v FROM px),
+        |f1 AS (SELECT p.id, p.x, p.y,
+        |    least(greatest(pv.v
+        |      + CASE WHEN NOT (p.x // 16 > 0 AND p.y // 16 > 0
+        |            AND (p.id + 1 + p.x // 16 + 3 * (p.y // 16)) % 3 = 0)
+        |          AND (p.id + 1 + p.x // 16 + 2 * (p.y // 16)) % 2 = 0
+        |        THEN CASE ((p.id + 11 + (p.x // 4) * 7 + (p.y // 4) * 5) % 4) * 4
+        |            + p.x % 4
+        |          WHEN 0 THEN 5 WHEN 1 THEN 5 WHEN 2 THEN 5 WHEN 3 THEN 5
+        |          WHEN 4 THEN 1 WHEN 5 THEN -1 WHEN 6 THEN -4 WHEN 7 THEN -6
+        |          WHEN 8 THEN 0 WHEN 9 THEN 5 WHEN 10 THEN 5 WHEN 11 THEN 0
+        |          WHEN 12 THEN 2 WHEN 13 THEN 5 WHEN 14 THEN -5 ELSE -2 END
+        |        ELSE 0 END, 0), 255) AS v
+        |  FROM px p JOIN f0 pv ON pv.id = p.id
+        |    AND pv.x = least(greatest(p.x + 2 * ((p.id + 1) % 3 - 1), 0),
+        |      16 * p.mbw - 1)
+        |    AND pv.y = least(greatest(p.y + 2 * ((p.id + 2) % 3 - 1), 0),
+        |      16 * p.mbh - 1)),
+        |f2 AS (SELECT p.id, p.x, p.y,
+        |    least(greatest(pv.v
+        |      + CASE WHEN NOT (p.x // 16 > 0 AND p.y // 16 > 0
+        |            AND (p.id + 2 + p.x // 16 + 3 * (p.y // 16)) % 3 = 0)
+        |          AND (p.id + 2 + p.x // 16 + 2 * (p.y // 16)) % 2 = 0
+        |        THEN CASE ((p.id + 22 + (p.x // 4) * 7 + (p.y // 4) * 5) % 4) * 4
+        |            + p.x % 4
+        |          WHEN 0 THEN 5 WHEN 1 THEN 5 WHEN 2 THEN 5 WHEN 3 THEN 5
+        |          WHEN 4 THEN 1 WHEN 5 THEN -1 WHEN 6 THEN -4 WHEN 7 THEN -6
+        |          WHEN 8 THEN 0 WHEN 9 THEN 5 WHEN 10 THEN 5 WHEN 11 THEN 0
+        |          WHEN 12 THEN 2 WHEN 13 THEN 5 WHEN 14 THEN -5 ELSE -2 END
+        |        ELSE 0 END, 0), 255) AS v
+        |  FROM px p JOIN f1 pv ON pv.id = p.id
+        |    AND pv.x = least(greatest(p.x + 2 * ((p.id + 2) % 3 - 1), 0),
+        |      16 * p.mbw - 1)
+        |    AND pv.y = least(greatest(p.y + 2 * ((p.id + 4) % 3 - 1), 0),
+        |      16 * p.mbh - 1)
+        |  WHERE p.nf = 3),
+        |lf AS (SELECT id, 0 AS f, sum(v) AS ls FROM f0 GROUP BY 1
+        |  UNION ALL SELECT id, 1, sum(v) FROM f1 GROUP BY 1
+        |  UNION ALL SELECT id, 2, sum(v) FROM f2 GROUP BY 1),
+        |mv AS (SELECT id, mbw, mbh, nf, f.f AS f,
+        |    2 * ((id + f.f) % 3 - 1) AS dxf,
+        |    2 * ((id + 2 * f.f) % 3 - 1) AS dyf,
+        |    2 * ((id + 1) % 3 - 1) AS dx1,
+        |    2 * ((id + 2) % 3 - 1) AS dy1
+        |  FROM d, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f),
+        |cp AS (SELECT id, f,
+        |    (CASE WHEN pl.p = 0 THEN id + 2 * sxy.sx + sxy.sy
+        |          ELSE 3 * id + sxy.sx + 2 * sxy.sy END) % 251 AS v
+        |  FROM mv,
+        |  LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbh - 1)) AS i) y,
+        |  LATERAL (SELECT
+        |    CASE WHEN f = 0 THEN x.i
+        |      WHEN f = 1 THEN least(greatest(x.i + dxf / 2, 0), 8 * mbw - 1)
+        |      ELSE least(greatest(least(greatest(x.i + dxf / 2, 0), 8 * mbw - 1)
+        |        + dx1 / 2, 0), 8 * mbw - 1) END AS sx,
+        |    CASE WHEN f = 0 THEN y.i
+        |      WHEN f = 1 THEN least(greatest(y.i + dyf / 2, 0), 8 * mbh - 1)
+        |      ELSE least(greatest(least(greatest(y.i + dyf / 2, 0), 8 * mbh - 1)
+        |        + dy1 / 2, 0), 8 * mbh - 1) END AS sy) sxy),
+        |cf AS (SELECT id, f, sum(v) AS cs FROM cp GROUP BY 1, 2),
+        |agg AS (SELECT lf.id AS id, CAST(sum(ls) AS BIGINT) AS luma_sum,
+        |    CAST(sum(cs) AS BIGINT) AS chroma_sum,
+        |    CAST(sum((lf.f + 1) * (ls + cs)) AS BIGINT) AS weighted_sum
+        |  FROM lf JOIN cf ON lf.id = cf.id AND lf.f = cf.f GROUP BY 1),
+        |sk AS (SELECT id, sum(CASE WHEN (id + f + mbx.i + 3 * my.i) % 3 = 0
+        |      THEN 1 ELSE 0 END) AS nsk
+        |  FROM mv,
+        |  LATERAL (SELECT unnest(generate_series(1, mbw - 1)) AS i) mbx,
+        |  LATERAL (SELECT unnest(generate_series(1, mbh - 1)) AS i) my
+        |  WHERE f >= 1 GROUP BY 1),
+        |ma AS (SELECT id, sum(mbw * mbh * 4 * (abs(dxf) + abs(dyf))) AS mvs
+        |  FROM mv WHERE f >= 1 GROUP BY 1),
+        |lev AS (SELECT m.id,
+        |    CAST(sum(CASE WHEN (m.id + m.f * 11 + (mb.mx * 4 + b.bx) * 7
+        |        + (mb.my * 4 + b.bz) * 5) % 4 = 0 THEN 1 ELSE 2 END)
+        |      AS BIGINT) AS nlev
+        |  FROM mv m,
+        |  LATERAL (SELECT x.i AS mx, y.i AS my FROM
+        |    (SELECT unnest(generate_series(0, m.mbw - 1)) AS i) x,
+        |    (SELECT unnest(generate_series(0, m.mbh - 1)) AS i) y) mb,
+        |  LATERAL (SELECT x.i AS bx, y.i AS bz FROM
+        |    (SELECT unnest(generate_series(0, 3)) AS i) x,
+        |    (SELECT unnest(generate_series(0, 3)) AS i) y) b
+        |  WHERE m.f >= 1
+        |    AND NOT (mb.mx > 0 AND mb.my > 0
+        |      AND (m.id + m.f + mb.mx + 3 * mb.my) % 3 = 0)
+        |    AND (m.id + m.f + mb.mx + 2 * mb.my) % 2 = 0
+        |  GROUP BY 1)
+        |SELECT d.id AS doc_id, d.nf AS n_frames,
+        |  16 * d.mbw AS width, 16 * d.mbh AS height,
+        |  agg.luma_sum, agg.chroma_sum, agg.weighted_sum,
+        |  CAST(coalesce(sk.nsk, 0) AS BIGINT) AS n_skipped,
+        |  CAST(ma.mvs AS BIGINT) AS mv_abs_sum,
+        |  CAST(coalesce(lev.nlev, 0) AS BIGINT) AS n_levels
+        |FROM d JOIN agg ON agg.id = d.id
+        |LEFT JOIN sk ON sk.id = d.id
+        |JOIN ma ON ma.id = d.id
+        |LEFT JOIN lev ON lev.id = d.id
         |ORDER BY doc_id""".stripMargin,
 
     // mirrors Adpcm.synthesizeImaAdpcmWav + the IMA state machine:

@@ -634,6 +634,55 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("inter residual decode equals MC + pinned-residual + clip simulation") {
+    // residual columns: the q150 pinned IDCT outputs of acScanVectors
+    // at QP 24 (column-constant), k-major
+    val rcol = Array(
+      Array(5, 5, 5, 5), Array(1, -1, -4, -6),
+      Array(0, 5, 5, 0), Array(2, 5, -5, -2))
+    val tcOf = Array(1, 2, 2, 2)
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 2 + (seed % 2).toInt
+      val w = mbW * 16; val h = mbH * 16
+      val m = H264.decodeInter(H264.synthesizeH264InterResidual(mbW, mbH, nf, seed)).get
+      assert(m.nFrames == nf && m.width == w && m.height == h)
+      def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      var l = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      var wl = 0L; var wwt = 0L; var wlev = 0L
+      var fl0 = 0L; l.foreach(_.foreach(fl0 += _)); wl += fl0; wwt += fl0
+      for (f <- 1 until nf) {
+        val dx = H264.synthInterDx(seed, f); val dy = H264.synthInterDy(seed, f)
+        val pl = l
+        l = Array.tabulate(h, w) { (y, x) =>
+          val mc = pl(clamp(y + dy, h - 1))(clamp(x + dx, w - 1))
+          val mx = x / 16; val my = y / 16
+          val skip = mx > 0 && my > 0 && (seed + f + mx + 3L * my) % 3 == 0
+          val res =
+            if (!skip && H264.synthHasResidual(seed, f, mx, my))
+              rcol(H264.synthResidualK(seed, f, x / 4, y / 4))(x % 4)
+            else 0
+          math.min(255, math.max(0, mc + res))
+        }
+        var fl = 0L; l.foreach(_.foreach(fl += _))
+        wl += fl; wwt += (f + 1L) * fl
+        for (my <- 0 until mbH; mx <- 0 until mbW) {
+          val skip = mx > 0 && my > 0 && (seed + f + mx + 3L * my) % 3 == 0
+          if (!skip && H264.synthHasResidual(seed, f, mx, my))
+            for (zy <- 0 until 4; zx <- 0 until 4)
+              wlev += tcOf(H264.synthResidualK(seed, f, mx * 4 + zx, my * 4 + zy))
+        }
+      }
+      assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
+      assert(m.nLevels == wlev, s"seed=$seed levels ${m.nLevels} vs $wlev")
+      assert(m.nLevels > 0, s"seed=$seed must actually decode residual levels")
+      // residual-free synth through the same decoder: zero levels
+      assert(H264.decodeInter(
+        H264.synthesizeH264Inter(mbW, mbH, nf, seed)).get.nLevels == 0)
+    }
+  }
+
   test("inter decode of an all-I_PCM stream matches decodeIPcm (P machinery dormant)") {
     val p = H264.synthesizeH264IPcm(2, 2, 2, 9L)
     val a = H264.decodeInter(p).get
