@@ -102,8 +102,11 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
+    // line keys drop the "q" prefix too ("163":1.2) — 1 char/query
+    // that keeps the 168-query line under the 2000-char recorded tail;
+    // tools/compare_bench.py normalizes both key styles
     val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + rt(v) }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_').drop(1) + "\":" + rt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val agg = s"median$nPasses"

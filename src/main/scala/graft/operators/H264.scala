@@ -1714,8 +1714,31 @@ object H264 {
   private[graft] def synthResidualK(seed: Long, f: Int, gx: Int, gy: Int): Int =
     ((seed + f * 11 + gx * 7 + gy * 5) % 4).toInt
 
+  /** Per-frame quarter-sample mv components of the HALF-PEL streams:
+    * odd frames carry a half-sample horizontal displacement (±2
+    * quarter units) with a full-sample vertical one (±4), even frames
+    * the transpose — each P frame exercises exactly one 6-tap
+    * direction (the center-j position is a documented later step),
+    * and the full-sample components are ODD sample counts, so the
+    * chroma bilinear fires on every moving frame.
+    */
+  private[graft] def synthHalfQx(seed: Long, f: Int): Int =
+    (if (f % 2 == 1) 2 else 4) * (((seed + f) % 3).toInt - 1)
+  private[graft] def synthHalfQy(seed: Long, f: Int): Int =
+    (if (f % 2 == 1) 4 else 2) * (((seed + 2L * f) % 3).toInt - 1)
+
+  /** [[synthesizeH264Inter]] with sub-sample motion: P frames move by
+    * [[synthHalfQx]]/[[synthHalfQy]] quarter-sample vectors, so the
+    * decoder runs the 6-tap luma half filter and the 1/8 chroma
+    * bilinear against real reconstructed references.
+    */
+  def synthesizeH264InterHalfpel(mbW: Int, mbH: Int, nFrames: Int,
+      seed: Long): Array[Byte] =
+    synthInterStream(mbW, mbH, nFrames, seed, withResidual = false,
+      halfpel = true)
+
   private def synthInterStream(mbW: Int, mbH: Int, nFrames: Int, seed: Long,
-      withResidual: Boolean): Array[Byte] = {
+      withResidual: Boolean, halfpel: Boolean = false): Array[Byte] = {
     val out = new ArrayBuffer[Byte]()
     out ++= Array[Byte](0, 0, 0, 1)
     out += 0x67.toByte
@@ -1783,7 +1806,9 @@ object H264 {
       bw.u(0, 1)           // adaptive_ref_pic_marking_mode_flag
       bw.se(if (withResidual) -2 else 0) // slice_qp_delta (QP 24 / 26)
       bw.ue(1)             // disable_deblocking_filter_idc
-      val qmv = (4 * synthInterDx(seed, f), 4 * synthInterDy(seed, f))
+      val qmv =
+        if (halfpel) (synthHalfQx(seed, f), synthHalfQy(seed, f))
+        else (4 * synthInterDx(seed, f), 4 * synthInterDy(seed, f))
       val mvs = Array.fill(mbW * mbH)((0, 0))
       val done = Array.fill(mbW * mbH)(false)
       val tcs = new Array[Int](4 * mbW * 4 * mbH)
@@ -1934,32 +1959,73 @@ object H264 {
             val done = Array.fill(nMbs)(false)
             val nl = new Array[Int](w * h)
             val ncb = new Array[Int](w * h / 4); val ncr = new Array[Int](w * h / 4)
+            // Luma MC with H.264 sub-sample interpolation (§8.4.2.2):
+            // full-sample copy, or the 6-tap [1,-5,20,20,-5,1] half
+            // filter in one direction ((b+16)>>5, clip) with edge
+            // extension via coordinate clamping. Quarter positions and
+            // the center-j (both-half) position are out of this
+            // subset — refuse. Chroma runs the REAL 1/8-resolution
+            // bilinear ((Σw·s + 32)>>6), which fires whenever the luma
+            // displacement is fractional OR an odd number of full
+            // samples.
             def compensate(mx: Int, myy: Int, mv: (Int, Int)): Boolean = {
-              if (mv._1 % 8 != 0 || mv._2 % 8 != 0) return false
-              val dx = mv._1 / 4; val dy = mv._2 / 4
+              val fx = Math.floorMod(mv._1, 4); val fy = Math.floorMod(mv._2, 4)
+              if ((fx != 0 && fx != 2) || (fy != 0 && fy != 2)) return false
+              if (fx == 2 && fy == 2) return false // center j: out of scope
+              val dx = Math.floorDiv(mv._1, 4); val dy = Math.floorDiv(mv._2, 4)
+              def ref(x: Int, y: Int): Int =
+                luma(math.min(math.max(y, 0), h - 1) * w +
+                  math.min(math.max(x, 0), w - 1))
+              val tap = Array(1, -5, 20, 20, -5, 1)
               var y = 0
               while (y < 16) {
                 var x = 0
                 while (x < 16) {
                   val px = mx * 16 + x; val py = myy * 16 + y
-                  val sx = math.min(math.max(px + dx, 0), w - 1)
-                  val sy = math.min(math.max(py + dy, 0), h - 1)
-                  nl(py * w + px) = luma(sy * w + sx)
+                  val v =
+                    if (fx == 0 && fy == 0) ref(px + dx, py + dy)
+                    else if (fx == 2) {
+                      var s = 0; var i = 0
+                      while (i < 6) { s += tap(i) * ref(px + dx + i - 2, py + dy); i += 1 }
+                      clip255((s + 16) >> 5)
+                    } else {
+                      var s = 0; var i = 0
+                      while (i < 6) { s += tap(i) * ref(px + dx, py + dy + i - 2); i += 1 }
+                      clip255((s + 16) >> 5)
+                    }
+                  nl(py * w + px) = v
                   x += 1
                 }
                 y += 1
               }
               val cw = w / 2; val ch = h / 2
-              val cdx = dx / 2; val cdy = dy / 2
+              // chroma mv in 1/8 chroma-sample units == the luma
+              // quarter-sample mv numerically (4:2:0)
+              val cdx = Math.floorDiv(mv._1, 8); val cxF = Math.floorMod(mv._1, 8)
+              val cdy = Math.floorDiv(mv._2, 8); val cyF = Math.floorMod(mv._2, 8)
+              def refC(pl: Array[Int], x: Int, y: Int): Int =
+                pl(math.min(math.max(y, 0), ch - 1) * cw +
+                  math.min(math.max(x, 0), cw - 1))
               var cy = 0
               while (cy < 8) {
                 var cx = 0
                 while (cx < 8) {
                   val px = mx * 8 + cx; val py = myy * 8 + cy
-                  val sx = math.min(math.max(px + cdx, 0), cw - 1)
-                  val sy = math.min(math.max(py + cdy, 0), ch - 1)
-                  ncb(py * cw + px) = cb(sy * cw + sx)
-                  ncr(py * cw + px) = cr(sy * cw + sx)
+                  if (cxF == 0 && cyF == 0) {
+                    ncb(py * cw + px) = refC(cb, px + cdx, py + cdy)
+                    ncr(py * cw + px) = refC(cr, px + cdx, py + cdy)
+                  } else {
+                    def bilin(pl: Array[Int]): Int = {
+                      val a = refC(pl, px + cdx, py + cdy)
+                      val b = refC(pl, px + cdx + 1, py + cdy)
+                      val c = refC(pl, px + cdx, py + cdy + 1)
+                      val d = refC(pl, px + cdx + 1, py + cdy + 1)
+                      ((8 - cxF) * (8 - cyF) * a + cxF * (8 - cyF) * b +
+                        (8 - cxF) * cyF * c + cxF * cyF * d + 32) >> 6
+                    }
+                    ncb(py * cw + px) = bilin(cb)
+                    ncr(py * cw + px) = bilin(cr)
+                  }
                   cx += 1
                 }
                 cy += 1

@@ -1726,6 +1726,31 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // H.264 HALF-PEL motion interpolation — the signature sub-sample
+    // step: P frames move by quarter-sample mvs whose half positions
+    // run the 6-tap [1,-5,20,20,-5,1] luma filter ((b+16)>>5, clip)
+    // and whose odd full-sample components fire the REAL 1/8 chroma
+    // bilinear ((Σw·s+32)>>6) — both with edge extension. The oracle
+    // re-derives every interpolated pixel from the IDR lattice.
+    "q168_h264_halfpel" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 2)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbW = 2 + (id % 3).toInt
+          val mbH = 1 + (id % 3).toInt
+          val st = graft.operators.H264.synthesizeH264InterHalfpel(mbW, mbH, 2, id)
+          graft.operators.H264.decodeInter(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nSkipped, f.mvAbsSum)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height", "luma_sum",
+          "chroma_sum", "weighted_sum", "n_skipped", "mv_abs_sum")
+        .orderBy($"doc_id")
+    },
+
     // FLAC decode — the audio family's COMPRESSED path (WAV is raw
     // PCM): real Rice-coded residuals, CONSTANT/VERBATIM/FIXED
     // subframes, CRC-8/CRC-16 verified per frame and the STREAMINFO
@@ -3535,6 +3560,100 @@ object Pipeline {
         |LEFT JOIN sk ON sk.id = d.id
         |JOIN ma ON ma.id = d.id
         |LEFT JOIN lev ON lev.id = d.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeH264InterHalfpel at nf=2: the single P frame
+    // has qx = 2*((id+1)%3-1) (half-pel when nonzero, dxI/xF by the
+    // sign) and qy = 4*((id+2)%3-1) (odd full samples); luma is the
+    // 6-tap sum over the IDR lattice with clamped coordinates, chroma
+    // the 4-term 1/8 bilinear over the closed-form chroma lattices
+    "q168_h264_halfpel" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(2 + doc_id % 3 AS INTEGER) AS mbw,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |mvp AS (SELECT id, mbw, mbh,
+        |    CASE WHEN (id + 1) % 3 = 0 THEN -2
+        |         WHEN (id + 1) % 3 = 1 THEN 0 ELSE 2 END AS qx,
+        |    4 * ((id + 2) % 3 - 1) AS qy,
+        |    CASE WHEN (id + 1) % 3 = 0 THEN -1 ELSE 0 END AS dxi,
+        |    CASE WHEN (id + 1) % 3 = 1 THEN 0 ELSE 2 END AS xf,
+        |    (id + 2) % 3 - 1 AS dyi
+        |  FROM d),
+        |px AS (SELECT id, mbw, mbh, x.i AS x, y.i AS y FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbh - 1)) AS i) y),
+        |f0 AS (SELECT id, x, y, (id + x + 2 * y) % 251 AS v FROM px),
+        |hs AS (SELECT p.id, p.x, p.y, sum(
+        |    CASE i.i WHEN 0 THEN 1 WHEN 1 THEN -5 WHEN 2 THEN 20
+        |      WHEN 3 THEN 20 WHEN 4 THEN -5 ELSE 1 END * f0.v) AS s
+        |  FROM px p JOIN mvp m ON m.id = p.id,
+        |  LATERAL (SELECT unnest(generate_series(0, 5)) AS i) i
+        |  JOIN f0 ON f0.id = p.id
+        |    AND f0.x = least(greatest(p.x + m.dxi + i.i - 2, 0), 16 * p.mbw - 1)
+        |    AND f0.y = least(greatest(p.y + m.dyi, 0), 16 * p.mbh - 1)
+        |  GROUP BY 1, 2, 3),
+        |f1 AS (SELECT p.id, p.x, p.y,
+        |    CASE WHEN m.xf = 0 THEN cp0.v
+        |      ELSE least(greatest(
+        |        CAST(floor((hs.s + 16) / 32.0) AS INTEGER), 0), 255) END AS v
+        |  FROM px p JOIN mvp m ON m.id = p.id
+        |  JOIN f0 cp0 ON cp0.id = p.id AND cp0.x = p.x
+        |    AND cp0.y = least(greatest(p.y + m.dyi, 0), 16 * p.mbh - 1)
+        |  JOIN hs ON hs.id = p.id AND hs.x = p.x AND hs.y = p.y),
+        |cpx AS (SELECT id, mbw, mbh, pl.p AS pl, x.i AS x, y.i AS y FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbh - 1)) AS i) y),
+        |c0 AS (SELECT id, pl, x, y,
+        |    (CASE WHEN pl = 0 THEN id + 2 * x + y
+        |          ELSE 3 * id + x + 2 * y END) % 251 AS v
+        |  FROM cpx),
+        |c1 AS (SELECT p.id, p.pl, p.x, p.y,
+        |    CAST(floor((
+        |      (8 - cxf) * (8 - cyf) * ((CASE WHEN p.pl = 0
+        |          THEN p.id + 2 * ax + ay ELSE 3 * p.id + ax + 2 * ay END) % 251)
+        |      + cxf * (8 - cyf) * ((CASE WHEN p.pl = 0
+        |          THEN p.id + 2 * bx + ay ELSE 3 * p.id + bx + 2 * ay END) % 251)
+        |      + (8 - cxf) * cyf * ((CASE WHEN p.pl = 0
+        |          THEN p.id + 2 * ax + cy2 ELSE 3 * p.id + ax + 2 * cy2 END) % 251)
+        |      + cxf * cyf * ((CASE WHEN p.pl = 0
+        |          THEN p.id + 2 * bx + cy2 ELSE 3 * p.id + bx + 2 * cy2 END) % 251)
+        |      + 32) / 64.0) AS INTEGER) AS v
+        |  FROM cpx p JOIN mvp m ON m.id = p.id,
+        |  LATERAL (SELECT
+        |    CASE WHEN m.qx = -2 THEN -1 ELSE 0 END AS cdx,
+        |    CASE WHEN m.qx = -2 THEN 6 WHEN m.qx = 2 THEN 2 ELSE 0 END AS cxf,
+        |    CASE WHEN m.qy = -4 THEN -1 ELSE 0 END AS cdy,
+        |    CASE WHEN m.qy = 0 THEN 0 ELSE 4 END AS cyf) fr,
+        |  LATERAL (SELECT
+        |    least(greatest(p.x + fr.cdx, 0), 8 * p.mbw - 1) AS ax,
+        |    least(greatest(p.x + fr.cdx + 1, 0), 8 * p.mbw - 1) AS bx,
+        |    least(greatest(p.y + fr.cdy, 0), 8 * p.mbh - 1) AS ay,
+        |    least(greatest(p.y + fr.cdy + 1, 0), 8 * p.mbh - 1) AS cy2) co),
+        |ls AS (SELECT f0.id, sum(f0.v) AS l0, sum(f1.v) AS l1
+        |  FROM f0 JOIN f1 ON f1.id = f0.id AND f1.x = f0.x AND f1.y = f0.y
+        |  GROUP BY 1),
+        |cs AS (SELECT c0.id, sum(c0.v) AS c0s, sum(c1.v) AS c1s
+        |  FROM c0 JOIN c1 ON c1.id = c0.id AND c1.pl = c0.pl
+        |    AND c1.x = c0.x AND c1.y = c0.y
+        |  GROUP BY 1),
+        |sk AS (SELECT m.id, sum(CASE WHEN (m.id + 1 + mbx.i + 3 * my.i) % 3 = 0
+        |      THEN 1 ELSE 0 END) AS nsk
+        |  FROM mvp m,
+        |  LATERAL (SELECT unnest(generate_series(1, mbw - 1)) AS i) mbx,
+        |  LATERAL (SELECT unnest(generate_series(1, mbh - 1)) AS i) my
+        |  GROUP BY 1)
+        |SELECT d.id AS doc_id, CAST(2 AS INTEGER) AS n_frames,
+        |  16 * d.mbw AS width, 16 * d.mbh AS height,
+        |  CAST(ls.l0 + ls.l1 AS BIGINT) AS luma_sum,
+        |  CAST(cs.c0s + cs.c1s AS BIGINT) AS chroma_sum,
+        |  CAST(ls.l0 + cs.c0s + 2 * (ls.l1 + cs.c1s) AS BIGINT) AS weighted_sum,
+        |  CAST(coalesce(sk.nsk, 0) AS BIGINT) AS n_skipped,
+        |  CAST(d.mbw * d.mbh * (abs(m.qx) + abs(m.qy)) AS BIGINT) AS mv_abs_sum
+        |FROM d JOIN mvp m ON m.id = d.id
+        |JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
+        |LEFT JOIN sk ON sk.id = d.id
         |ORDER BY doc_id""".stripMargin,
 
     // mirrors Adpcm.synthesizeImaAdpcmWav + the IMA state machine:

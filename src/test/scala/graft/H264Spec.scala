@@ -683,6 +683,98 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("half-pel inter decode equals an independent 6-tap + bilinear simulation") {
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 2 + (seed % 3).toInt // up to 4 frames: both filter axes chain
+      val w = mbW * 16; val h = mbH * 16
+      val m = H264.decodeInter(H264.synthesizeH264InterHalfpel(mbW, mbH, nf, seed)).get
+      assert(m.nFrames == nf)
+      def clampi(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      var l = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      var cbP = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+      var crP = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+      var wl = 0L; var wc = 0L; var ww = 0L
+      def add(fi: Int): Unit = {
+        var fl = 0L; l.foreach(_.foreach(fl += _))
+        var fc = 0L; cbP.foreach(_.foreach(fc += _)); crP.foreach(_.foreach(fc += _))
+        wl += fl; wc += fc; ww += (fi + 1L) * (fl + fc)
+      }
+      add(0)
+      val tap = Array(1, -5, 20, 20, -5, 1)
+      for (f <- 1 until nf) {
+        val qx = H264.synthHalfQx(seed, f); val qy = H264.synthHalfQy(seed, f)
+        val dxI = Math.floorDiv(qx, 4); val xF = Math.floorMod(qx, 4)
+        val dyI = Math.floorDiv(qy, 4); val yF = Math.floorMod(qy, 4)
+        val pl = l
+        def ref(x: Int, y: Int) = pl(clampi(y, h - 1))(clampi(x, w - 1))
+        l = Array.tabulate(h, w) { (y, x) =>
+          if (xF == 0 && yF == 0) ref(x + dxI, y + dyI)
+          else if (xF == 2) {
+            val s = (0 until 6).map(i => tap(i) * ref(x + dxI + i - 2, y + dyI)).sum
+            math.min(255, math.max(0, (s + 16) >> 5))
+          } else {
+            val s = (0 until 6).map(i => tap(i) * ref(x + dxI, y + dyI + i - 2)).sum
+            math.min(255, math.max(0, (s + 16) >> 5))
+          }
+        }
+        val cdx = Math.floorDiv(qx, 8); val cxF = Math.floorMod(qx, 8)
+        val cdy = Math.floorDiv(qy, 8); val cyF = Math.floorMod(qy, 8)
+        def bil(p: Array[Array[Int]])(y: Int, x: Int): Int = {
+          def r(xx: Int, yy: Int) = p(clampi(yy, h / 2 - 1))(clampi(xx, w / 2 - 1))
+          val (a, b, c, d) = (r(x + cdx, y + cdy), r(x + cdx + 1, y + cdy),
+            r(x + cdx, y + cdy + 1), r(x + cdx + 1, y + cdy + 1))
+          ((8 - cxF) * (8 - cyF) * a + cxF * (8 - cyF) * b +
+            (8 - cxF) * cyF * c + cxF * cyF * d + 32) >> 6
+        }
+        val pcb = cbP; val pcr = crP
+        cbP = Array.tabulate(h / 2, w / 2)(bil(pcb))
+        crP = Array.tabulate(h / 2, w / 2)(bil(pcr))
+        add(f)
+      }
+      assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
+      assert(m.chromaSum == wc, s"seed=$seed chroma ${m.chromaSum} vs $wc")
+      assert(m.weightedSum == ww, s"seed=$seed weighted")
+    }
+  }
+
+  test("inter decode refuses quarter-pel and center-j positions") {
+    // hand-build P slices whose mv is (1,0) quarter-pel / (2,2)
+    // center-j: the subset must refuse, not misinterpolate. The
+    // SPS/PPS/IDR prefix comes from a good single-MB stream; the P
+    // slice is written bit by bit here.
+    def pSlice(mvdx: Int, mvdy: Int): Array[Byte] = {
+      val bits = new scala.collection.mutable.ArrayBuffer[Int]()
+      def u(v: Int, n: Int): Unit = (n - 1 to 0 by -1).foreach(b => bits += ((v >>> b) & 1))
+      def ue(x: Int): Unit = {
+        val v = x + 1
+        val len = 32 - Integer.numberOfLeadingZeros(v)
+        u(0, len - 1); u(v, len)
+      }
+      def se(x: Int): Unit = ue(if (x <= 0) -2 * x else 2 * x - 1)
+      ue(0); ue(5); ue(0)        // first_mb, slice_type P, pps
+      u(1, 4)                    // frame_num
+      u(0, 1); u(0, 1); u(0, 1)  // override, list_mod, marking
+      se(0); ue(1)               // qp_delta, deblocking off
+      ue(0)                      // mb_skip_run
+      ue(0)                      // mb_type P_L0_16x16
+      se(mvdx); se(mvdy)         // mvd (pred is (0,0) for the lone MB)
+      ue(0)                      // cbp
+      u(1, 1)                    // rbsp stop
+      while (bits.length % 8 != 0) u(0, 1)
+      bits.grouped(8).map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+    }
+    val good = H264.synthesizeH264Inter(1, 1, 1, 3L) // SPS+PPS+IDR only
+    assert(H264.decodeInter(good).nonEmpty)
+    def withP(mvdx: Int, mvdy: Int): Array[Byte] =
+      good ++ Array[Byte](0, 0, 1, 0x41.toByte) ++ pSlice(mvdx, mvdy)
+    assert(H264.decodeInter(withP(8, 0)).nonEmpty)  // 2 full samples: fine
+    assert(H264.decodeInter(withP(2, 0)).nonEmpty)  // half-pel: fine
+    assert(H264.decodeInter(withP(1, 0)).isEmpty)   // quarter-pel: refuse
+    assert(H264.decodeInter(withP(2, 2)).isEmpty)   // center j: refuse
+  }
+
   test("inter decode of an all-I_PCM stream matches decodeIPcm (P machinery dormant)") {
     val p = H264.synthesizeH264IPcm(2, 2, 2, 9L)
     val a = H264.decodeInter(p).get

@@ -10,9 +10,16 @@ import sys
 
 
 def _norm(queries: dict) -> dict:
-    """Key bench maps by the qNN prefix so short-key (driver line) and
-    full-name (docs/bench_detail.json) outputs compare cleanly."""
-    return {k.split("_")[0]: v for k, v in queries.items()}
+    """Key bench maps by the qNN prefix so short-key (driver line,
+    with or without the "q") and full-name (docs/bench_detail.json)
+    outputs compare cleanly."""
+    out = {}
+    for k, v in queries.items():
+        k = k.split("_")[0]
+        if not k.startswith("q"):
+            k = "q" + k
+        out[k] = v
+    return out
 
 
 def main(base_path: str, new_path: str, ratio: float = 2.0) -> int:
