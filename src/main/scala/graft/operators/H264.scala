@@ -146,7 +146,8 @@ object H264 {
   // ---------------------------------------------------------------
 
   /** Baseline-profile SPS for an even (w, h) with 4:2:0 cropping. */
-  private def spsRbsp(w: Int, h: Int, levelIdc: Int): Array[Byte] = {
+  private def spsRbsp(w: Int, h: Int, levelIdc: Int,
+      maxRefs: Int = 1): Array[Byte] = {
     require(w % 2 == 0 && h % 2 == 0, "even dimensions (4:2:0 crop units)")
     val mbW = (w + 15) / 16
     val mbH = (h + 15) / 16
@@ -157,7 +158,7 @@ object H264 {
     bw.ue(0)               // seq_parameter_set_id
     bw.ue(0)               // log2_max_frame_num_minus4
     bw.ue(2)               // pic_order_cnt_type
-    bw.ue(1)               // max_num_ref_frames
+    bw.ue(maxRefs)         // max_num_ref_frames
     bw.u(0, 1)             // gaps_in_frame_num_value_allowed_flag
     bw.ue(mbW - 1)         // pic_width_in_mbs_minus1
     bw.ue(mbH - 1)         // pic_height_in_map_units_minus1
@@ -1620,21 +1621,33 @@ object H264 {
     */
   private[graft] def predictMv(
       mvs: Array[(Int, Int)], decoded: Array[Boolean],
+      mbx: Int, my: Int, mbW: Int): (Int, Int) =
+    predictMvList(mvs, decoded, decoded, mbx, my, mbW)
+
+  /** [[predictMv]] generalized to one REFERENCE LIST of a B slice:
+    * `uses(i)` is whether decoded MB i predicts from this list
+    * (refIdxLX 0 vs −1). A neighbor that exists but skips the list
+    * fails the refIdx-match shortcut and contributes (0,0) to the
+    * median — exactly the spec's refIdxLXN semantics.
+    */
+  private[graft] def predictMvList(
+      mvs: Array[(Int, Int)], decoded: Array[Boolean], uses: Array[Boolean],
       mbx: Int, my: Int, mbW: Int): (Int, Int) = {
-    def at(x: Int, y: Int): Option[(Int, Int)] =
+    // availability is MB-level; the Option payload is (mv, usesList)
+    def at(x: Int, y: Int): Option[((Int, Int), Boolean)] =
       if (x < 0 || y < 0 || x >= mbW || !decoded(y * mbW + x)) None
-      else Some(mvs(y * mbW + x))
+      else Some((mvs(y * mbW + x), uses(y * mbW + x)))
     val a = at(mbx - 1, my)
     val b = at(mbx, my - 1)
     val c = at(mbx + 1, my - 1).orElse(at(mbx - 1, my - 1))
-    if (b.isEmpty && c.isEmpty && a.nonEmpty) a.get
+    if (b.isEmpty && c.isEmpty && a.nonEmpty) a.get._1
     else {
       val refs = Seq(a, b, c)
-      val matching = refs.flatten // every decoded MB has refIdx 0 here
+      val matching = refs.flatten.collect { case (mv, true) => mv }
       if (matching.size == 1) matching.head
       else {
         def med(f: ((Int, Int)) => Int): Int = {
-          val v = refs.map(_.map(f).getOrElse(0)).sorted
+          val v = refs.map(_.collect { case (mv, true) => f(mv) }.getOrElse(0)).sorted
           v(1)
         }
         (med(_._1), med(_._2))
@@ -1737,17 +1750,11 @@ object H264 {
     synthInterStream(mbW, mbH, nFrames, seed, withResidual = false,
       halfpel = true)
 
-  private def synthInterStream(mbW: Int, mbH: Int, nFrames: Int, seed: Long,
-      withResidual: Boolean, halfpel: Boolean = false): Array[Byte] = {
-    val out = new ArrayBuffer[Byte]()
-    out ++= Array[Byte](0, 0, 0, 1)
-    out += 0x67.toByte
-    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30))
-    out ++= Array[Byte](0, 0, 1)
-    out += 0x68.toByte
-    out ++= escape(ppsRbsp())
-
-    // IDR frame 0: I_PCM lattice (same closed form as synthesizeH264IPcm, f=0)
+  /** One all-I_PCM IDR slice NAL (frame 0 of the inter streams):
+    * luma (seed+x+2y)%251, chroma (seed+2x+y)/(3·seed+x+2y)%251.
+    */
+  private def appendIPcmIdr(out: ArrayBuffer[Byte], mbW: Int, mbH: Int,
+      seed: Long): Unit = {
     out ++= Array[Byte](0, 0, 1)
     out += 0x65.toByte
     val bw0 = new BitWriter
@@ -1791,6 +1798,133 @@ object H264 {
       my += 1
     }
     out ++= escape(bw0.stop())
+  }
+
+  /** Per-list constant mvs of the B streams (quarter units, multiples
+    * of 8 — the averaging is the system under test; sub-sample paths
+    * are q168's): list 0 predicts from the PREVIOUS frame, list 1
+    * from the one before it (the low-delay two-past-reference
+    * configuration).
+    */
+  private[graft] def synthBiQ0(seed: Long, f: Int): (Int, Int) =
+    (8 * (((seed + 2L * f) % 3).toInt - 1), 8 * (((seed + f + 1L) % 3).toInt - 1))
+  private[graft] def synthBiQ1(seed: Long, f: Int): (Int, Int) =
+    (8 * (((seed + f) % 3).toInt - 1), 8 * (((seed + 2L * f + 1L) % 3).toInt - 1))
+
+  /** Per-MB prediction type of B frame f: 1 = B_L0_16x16,
+    * 2 = B_L1_16x16, 3 = B_Bi_16x16.
+    */
+  private[graft] def synthBiType(seed: Long, f: Int, mbx: Int, my: Int): Int =
+    1 + ((seed + f + mbx + 2L * my) % 3).toInt
+
+  /** Bi-prediction streams: IDR I_PCM, one P frame (the q163 shape,
+    * so both references exist), then B frames of B_L0 / B_L1 / B_Bi
+    * 16x16 macroblocks with per-LIST median mvd prediction (a
+    * neighbor that skips the list contributes refIdx −1 semantics)
+    * and the default (L0+L1+1)>>1 average — no skips, no residual,
+    * cbp 0.
+    */
+  def synthesizeH264Bi(mbW: Int, mbH: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    require(nFrames >= 3, "need IDR + P before the first B frame")
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30, maxRefs = 2))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp())
+    appendIPcmIdr(out, mbW, mbH, seed)
+
+    // frame 1: P, constant mv (multiple of 8), no skips, cbp 0
+    val qp1 = (8 * (((seed + 1) % 3).toInt - 1), 8 * (((seed + 2) % 3).toInt - 1))
+    locally {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(1, 4)
+      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+      bw.se(0); bw.ue(1)
+      val mvs = Array.fill(mbW * mbH)((0, 0))
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          bw.ue(0)         // mb_skip_run
+          bw.ue(0)         // P_L0_16x16
+          val pred = predictMv(mvs, done, mx, my, mbW)
+          bw.se(qp1._1 - pred._1); bw.se(qp1._2 - pred._2)
+          bw.ue(0)         // cbp
+          mvs(my * mbW + mx) = qp1; done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+
+    var f = 2
+    while (f < nFrames) {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0)             // first_mb_in_slice
+      bw.ue(6)             // slice_type: B (all slices in pic)
+      bw.ue(0)             // pps id
+      bw.u(f % 16, 4)      // frame_num
+      bw.u(0, 1)           // direct_spatial_mv_pred_flag
+      bw.u(0, 1)           // num_ref_idx_active_override_flag
+      bw.u(0, 1); bw.u(0, 1) // ref_pic_list_modification l0, l1
+      bw.u(0, 1)           // adaptive_ref_pic_marking_mode_flag
+      bw.se(0); bw.ue(1)
+      val q0 = synthBiQ0(seed, f); val q1 = synthBiQ1(seed, f)
+      val mvs0 = Array.fill(mbW * mbH)((0, 0))
+      val uses0 = Array.fill(mbW * mbH)(false)
+      val mvs1 = Array.fill(mbW * mbH)((0, 0))
+      val uses1 = Array.fill(mbW * mbH)(false)
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          val t = synthBiType(seed, f, mx, my)
+          bw.ue(0)         // mb_skip_run
+          bw.ue(t)         // mb_type
+          if (t != 2) {
+            val pr = predictMvList(mvs0, done, uses0, mx, my, mbW)
+            bw.se(q0._1 - pr._1); bw.se(q0._2 - pr._2)
+          }
+          if (t != 1) {
+            val pr = predictMvList(mvs1, done, uses1, mx, my, mbW)
+            bw.se(q1._1 - pr._1); bw.se(q1._2 - pr._2)
+          }
+          bw.ue(0)         // cbp
+          if (t != 2) { mvs0(my * mbW + mx) = q0; uses0(my * mbW + mx) = true }
+          if (t != 1) { mvs1(my * mbW + mx) = q1; uses1(my * mbW + mx) = true }
+          done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+      f += 1
+    }
+    out.toArray
+  }
+
+  private def synthInterStream(mbW: Int, mbH: Int, nFrames: Int, seed: Long,
+      withResidual: Boolean, halfpel: Boolean = false): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp())
+
+    // IDR frame 0: I_PCM lattice (same closed form as synthesizeH264IPcm, f=0)
+    appendIPcmIdr(out, mbW, mbH, seed)
 
     var f = 1
     while (f < nFrames) {
@@ -1813,7 +1947,7 @@ object H264 {
       val done = Array.fill(mbW * mbH)(false)
       val tcs = new Array[Int](4 * mbW * 4 * mbH)
       var skipRun = 0
-      my = 0
+      var my = 0
       while (my < mbH) {
         var mx = 0
         while (mx < mbW) {
@@ -1886,6 +2020,11 @@ object H264 {
       var luma: Array[Int] = null
       var cb: Array[Int] = null
       var cr: Array[Int] = null
+      // second-most-recent reference (list 1 of the low-delay B
+      // configuration); an IDR invalidates it
+      var luma2: Array[Int] = null
+      var cb2: Array[Int] = null
+      var cr2: Array[Int] = null
       var nFrames = 0
       var lumaSum = 0L
       var chromaSum = 0L
@@ -1903,6 +2042,7 @@ object H264 {
             val w = info.mbW * 16; val h = info.mbH * 16
             luma = new Array[Int](w * h)
             cb = new Array[Int](w * h / 4); cr = new Array[Int](w * h / 4)
+            luma2 = null; cb2 = null; cr2 = null // IDR invalidates the DPB
             val r = new BitReader(unescape(p, s + 1, e))
             r.ue()
             if (r.ue() % 5 != 2) return None
@@ -1939,14 +2079,19 @@ object H264 {
             lumaSum += fl; chromaSum += fc; weighted += nFrames.toLong * (fl + fc)
           case 1 =>
             val info = sps.getOrElse(return None)
-            if (luma == null) return None // P frame before any reference
+            if (luma == null) return None // inter frame before any reference
             val w = info.mbW * 16; val h = info.mbH * 16
             val r = new BitReader(unescape(p, s + 1, e))
             r.ue()
-            if (r.ue() % 5 != 0) return None // P slices only in scope
+            val sliceType = r.ue() % 5
+            if (sliceType != 0 && sliceType != 1) return None // P or B
+            val isB = sliceType == 1
+            if (isB && luma2 == null) return None // B needs both refs
             r.ue(); r.u(4)
+            if (isB) r.u(1)  // direct_spatial_mv_pred_flag (no directs here)
             r.u(1)           // num_ref_idx_active_override_flag
             r.u(1)           // ref_pic_list_modification_flag_l0
+            if (isB) r.u(1)  // ref_pic_list_modification_flag_l1
             r.u(1)           // adaptive_ref_pic_marking_mode_flag
             var qpy = 26 + r.se()
             if (r.ue() != 1) { r.se(); r.se() }
@@ -1955,10 +2100,16 @@ object H264 {
             // skipped and cbp-0 macroblocks contribute 0
             val bW = 4 * info.mbW; val bH = 4 * info.mbH
             val tcs = new Array[Int](bW * bH)
-            val mvs = Array.fill(nMbs)((0, 0))
+            val mvs = Array.fill(nMbs)((0, 0))   // list 0
+            val uses0 = Array.fill(nMbs)(false)
+            val mvs1 = Array.fill(nMbs)((0, 0))  // list 1 (B only)
+            val uses1 = Array.fill(nMbs)(false)
             val done = Array.fill(nMbs)(false)
             val nl = new Array[Int](w * h)
             val ncb = new Array[Int](w * h / 4); val ncr = new Array[Int](w * h / 4)
+            // bi-prediction scratch (list-1 MC before the average)
+            val tl = new Array[Int](w * h)
+            val tcb = new Array[Int](w * h / 4); val tcr = new Array[Int](w * h / 4)
             // Luma MC with H.264 sub-sample interpolation (§8.4.2.2):
             // full-sample copy, or the 6-tap [1,-5,20,20,-5,1] half
             // filter in one direction ((b+16)>>5, clip) with edge
@@ -1968,13 +2119,15 @@ object H264 {
             // bilinear ((Σw·s + 32)>>6), which fires whenever the luma
             // displacement is fractional OR an odd number of full
             // samples.
-            def compensate(mx: Int, myy: Int, mv: (Int, Int)): Boolean = {
+            def mcInto(rL: Array[Int], rCb: Array[Int], rCr: Array[Int],
+                oL: Array[Int], oCb: Array[Int], oCr: Array[Int])(
+                mx: Int, myy: Int, mv: (Int, Int)): Boolean = {
               val fx = Math.floorMod(mv._1, 4); val fy = Math.floorMod(mv._2, 4)
               if ((fx != 0 && fx != 2) || (fy != 0 && fy != 2)) return false
               if (fx == 2 && fy == 2) return false // center j: out of scope
               val dx = Math.floorDiv(mv._1, 4); val dy = Math.floorDiv(mv._2, 4)
               def ref(x: Int, y: Int): Int =
-                luma(math.min(math.max(y, 0), h - 1) * w +
+                rL(math.min(math.max(y, 0), h - 1) * w +
                   math.min(math.max(x, 0), w - 1))
               val tap = Array(1, -5, 20, 20, -5, 1)
               var y = 0
@@ -1993,7 +2146,7 @@ object H264 {
                       while (i < 6) { s += tap(i) * ref(px + dx, py + dy + i - 2); i += 1 }
                       clip255((s + 16) >> 5)
                     }
-                  nl(py * w + px) = v
+                  oL(py * w + px) = v
                   x += 1
                 }
                 y += 1
@@ -2012,8 +2165,8 @@ object H264 {
                 while (cx < 8) {
                   val px = mx * 8 + cx; val py = myy * 8 + cy
                   if (cxF == 0 && cyF == 0) {
-                    ncb(py * cw + px) = refC(cb, px + cdx, py + cdy)
-                    ncr(py * cw + px) = refC(cr, px + cdx, py + cdy)
+                    oCb(py * cw + px) = refC(rCb, px + cdx, py + cdy)
+                    oCr(py * cw + px) = refC(rCr, px + cdx, py + cdy)
                   } else {
                     def bilin(pl: Array[Int]): Int = {
                       val a = refC(pl, px + cdx, py + cdy)
@@ -2023,8 +2176,8 @@ object H264 {
                       ((8 - cxF) * (8 - cyF) * a + cxF * (8 - cyF) * b +
                         (8 - cxF) * cyF * c + cxF * cyF * d + 32) >> 6
                     }
-                    ncb(py * cw + px) = bilin(cb)
-                    ncr(py * cw + px) = bilin(cr)
+                    oCb(py * cw + px) = bilin(rCb)
+                    oCr(py * cw + px) = bilin(rCr)
                   }
                   cx += 1
                 }
@@ -2032,23 +2185,72 @@ object H264 {
               }
               true
             }
+            // list-0 MC from the most recent reference, into the frame
+            def compensate(mx: Int, myy: Int, mv: (Int, Int)): Boolean =
+              mcInto(luma, cb, cr, nl, ncb, ncr)(mx, myy, mv)
+            // default bi-prediction (§8.4.2.3.1, no weighted pred):
+            // per-sample (L0 + L1 + 1) >> 1 over the two MC results
+            def biAverage(mx: Int, myy: Int): Unit = {
+              var y = 0
+              while (y < 16) {
+                var x = 0
+                while (x < 16) {
+                  val i = (myy * 16 + y) * w + mx * 16 + x
+                  nl(i) = (nl(i) + tl(i) + 1) >> 1
+                  x += 1
+                }
+                y += 1
+              }
+              val cw = w / 2
+              var cy = 0
+              while (cy < 8) {
+                var cx = 0
+                while (cx < 8) {
+                  val i = (myy * 8 + cy) * cw + mx * 8 + cx
+                  ncb(i) = (ncb(i) + tcb(i) + 1) >> 1
+                  ncr(i) = (ncr(i) + tcr(i) + 1) >> 1
+                  cx += 1
+                }
+                cy += 1
+              }
+            }
             var mb = 0
             while (mb < nMbs) {
               var run = r.ue()
+              // B_Skip would be (temporal/spatial) DIRECT prediction —
+              // out of this subset; a nonzero B skip run is a refusal
+              if (isB && run != 0) return None
               while (run > 0) {
                 if (mb >= nMbs) return None
                 val mx = mb % info.mbW; val myy = mb / info.mbW
                 val mv = skipMv(mvs, done, mx, myy, info.mbW)
                 if (!compensate(mx, myy, mv)) return None
-                mvs(mb) = mv; done(mb) = true
+                mvs(mb) = mv; uses0(mb) = true; done(mb) = true
                 nSkipped += 1; mvAbs += math.abs(mv._1) + math.abs(mv._2)
                 mb += 1; run -= 1
               }
               if (mb < nMbs) {
-                if (r.ue() != 0) return None // P_L0_16x16 only in scope
+                // mb_type: P_L0_16x16 (P) / B_L0, B_L1, B_Bi 16x16 (B)
+                val mbType = r.ue()
+                val (useL0, useL1) =
+                  if (!isB) { if (mbType != 0) return None; (true, false) }
+                  else mbType match {
+                    case 1 => (true, false)
+                    case 2 => (false, true)
+                    case 3 => (true, true)
+                    case _ => return None // B_Direct / partitions: refuse
+                  }
                 val mx = mb % info.mbW; val myy = mb / info.mbW
-                val pred = predictMv(mvs, done, mx, myy, info.mbW)
-                val mv = (pred._1 + r.se(), pred._2 + r.se())
+                val mv =
+                  if (useL0) {
+                    val pr = predictMvList(mvs, done, uses0, mx, myy, info.mbW)
+                    (pr._1 + r.se(), pr._2 + r.se())
+                  } else (0, 0)
+                val mvL1 =
+                  if (useL1) {
+                    val pr = predictMvList(mvs1, done, uses1, mx, myy, info.mbW)
+                    (pr._1 + r.se(), pr._2 + r.se())
+                  } else (0, 0)
                 // coded_block_pattern, me(v) Inter column of Table 9-4:
                 // only the two codeNums this subset emits are entered
                 // (0 → cbp 0, 11 → cbp 15 luma-only) — same refuse-not-
@@ -2058,7 +2260,13 @@ object H264 {
                   case 11 => 15
                   case _ => return None
                 }
-                if (!compensate(mx, myy, mv)) return None
+                if (useL0 && !compensate(mx, myy, mv)) return None
+                if (useL1 &&
+                    !mcInto(luma2, cb2, cr2,
+                      if (useL0) tl else nl,
+                      if (useL0) tcb else ncb,
+                      if (useL0) tcr else ncr)(mx, myy, mvL1)) return None
+                if (useL0 && useL1) biAverage(mx, myy)
                 if (cbp == 15) {
                   qpy += r.se() // mb_qp_delta accumulates QPy
                   var bi = 0
@@ -2085,11 +2293,15 @@ object H264 {
                     bi += 1
                   }
                 }
-                mvs(mb) = mv; done(mb) = true
-                mvAbs += math.abs(mv._1) + math.abs(mv._2)
+                if (useL0) { mvs(mb) = mv; uses0(mb) = true
+                  mvAbs += math.abs(mv._1) + math.abs(mv._2) }
+                if (useL1) { mvs1(mb) = mvL1; uses1(mb) = true
+                  mvAbs += math.abs(mvL1._1) + math.abs(mvL1._2) }
+                done(mb) = true
                 mb += 1
               }
             }
+            luma2 = luma; cb2 = cb; cr2 = cr
             luma = nl; cb = ncb; cr = ncr
             nFrames += 1
             var fl = 0L; luma.foreach(fl += _)

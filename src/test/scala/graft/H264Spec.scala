@@ -775,6 +775,78 @@ class H264Spec extends AnyFunSuite {
     assert(H264.decodeInter(withP(2, 2)).isEmpty)   // center j: refuse
   }
 
+  test("bi-prediction decode equals an independent two-reference simulation") {
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 3 + (seed % 3).toInt // chains of up to 3 B frames
+      val w = mbW * 16; val h = mbH * 16
+      val m = H264.decodeInter(H264.synthesizeH264Bi(mbW, mbH, nf, seed)).get
+      assert(m.nFrames == nf && m.nSkipped == 0)
+      def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      def shift(p: Array[Array[Int]], dx: Int, dy: Int, hh: Int, ww: Int) =
+        Array.tabulate(hh, ww)((y, x) => p(clamp(y + dy, hh - 1))(clamp(x + dx, ww - 1)))
+      var l1 = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      var cb1 = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+      var cr1 = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+      var wl = 0L; var wc = 0L; var ww2 = 0L
+      def add(fi: Int, l: Array[Array[Int]], cB: Array[Array[Int]],
+          cR: Array[Array[Int]]): Unit = {
+        var fl = 0L; l.foreach(_.foreach(fl += _))
+        var fc = 0L; cB.foreach(_.foreach(fc += _)); cR.foreach(_.foreach(fc += _))
+        wl += fl; wc += fc; ww2 += (fi + 1L) * (fl + fc)
+      }
+      add(0, l1, cb1, cr1)
+      // frame 1: P with constant qp1
+      val qp1 = (8 * (((seed + 1) % 3).toInt - 1), 8 * (((seed + 2) % 3).toInt - 1))
+      var l0 = l1; var cb0 = cb1; var cr0 = cr1
+      var lC = shift(l1, qp1._1 / 4, qp1._2 / 4, h, w)
+      var cbC = shift(cb1, qp1._1 / 8, qp1._2 / 8, h / 2, w / 2)
+      var crC = shift(cr1, qp1._1 / 8, qp1._2 / 8, h / 2, w / 2)
+      add(1, lC, cbC, crC)
+      for (f <- 2 until nf) {
+        val q0 = H264.synthBiQ0(seed, f); val q1 = H264.synthBiQ1(seed, f)
+        val s0l = shift(lC, q0._1 / 4, q0._2 / 4, h, w)
+        val s1l = shift(l0, q1._1 / 4, q1._2 / 4, h, w)
+        val s0cb = shift(cbC, q0._1 / 8, q0._2 / 8, h / 2, w / 2)
+        val s1cb = shift(cb0, q1._1 / 8, q1._2 / 8, h / 2, w / 2)
+        val s0cr = shift(crC, q0._1 / 8, q0._2 / 8, h / 2, w / 2)
+        val s1cr = shift(cr0, q1._1 / 8, q1._2 / 8, h / 2, w / 2)
+        def mix(a: Array[Array[Int]], b: Array[Array[Int]], blk: Int) =
+          Array.tabulate(a.length, a(0).length) { (y, x) =>
+            H264.synthBiType(seed, f, x / blk, y / blk) match {
+              case 1 => a(y)(x)
+              case 2 => b(y)(x)
+              case _ => (a(y)(x) + b(y)(x) + 1) >> 1
+            }
+          }
+        val nl = mix(s0l, s1l, 16)
+        val ncb = mix(s0cb, s1cb, 8); val ncr = mix(s0cr, s1cr, 8)
+        add(f, nl, ncb, ncr)
+        l0 = lC; cb0 = cbC; cr0 = crC
+        lC = nl; cbC = ncb; crC = ncr
+      }
+      assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
+      assert(m.chromaSum == wc, s"seed=$seed chroma")
+      assert(m.weightedSum == ww2, s"seed=$seed weighted")
+    }
+  }
+
+  test("B decode refusals: missing second reference and direct modes") {
+    // excise the P frame: the B slice then sees only one reference
+    val p = H264.synthesizeH264Bi(2, 2, 3, 5L)
+    def nalStarts(b: Array[Byte]): Seq[Int] =
+      (0 until b.length - 3).filter(j =>
+        b(j) == 0 && b(j + 1) == 0 && b(j + 2) == 1)
+    val starts = nalStarts(p)
+    // NALs: SPS, PPS, IDR, P, B — drop the 4th (P)
+    assert(starts.length == 5)
+    val noP = p.take(starts(3)) ++ p.drop(starts(4))
+    assert(H264.decodeInter(noP).isEmpty)
+    // sanity: intact stream decodes
+    assert(H264.decodeInter(p).nonEmpty)
+  }
+
   test("inter decode of an all-I_PCM stream matches decodeIPcm (P machinery dormant)") {
     val p = H264.synthesizeH264IPcm(2, 2, 2, 9L)
     val a = H264.decodeInter(p).get
