@@ -174,7 +174,7 @@ object H264 {
     bw.stop()
   }
 
-  private def ppsRbsp(): Array[Byte] = {
+  private def ppsRbsp(weightedPred: Boolean = false): Array[Byte] = {
     val bw = new BitWriter
     bw.ue(0)               // pic_parameter_set_id
     bw.ue(0)               // seq_parameter_set_id
@@ -182,7 +182,7 @@ object H264 {
     bw.u(0, 1)             // bottom_field_pic_order_in_frame_present_flag
     bw.ue(0)               // num_slice_groups_minus1
     bw.ue(0); bw.ue(0)     // num_ref_idx_l{0,1}_active_minus1
-    bw.u(0, 1)             // weighted_pred_flag
+    bw.u(if (weightedPred) 1 else 0, 1) // weighted_pred_flag
     bw.u(0, 2)             // weighted_bipred_idc
     bw.se(0); bw.se(0)     // pic_init_qp/qs_minus26
     bw.se(0)               // chroma_qp_index_offset
@@ -1913,15 +1913,39 @@ object H264 {
     out.toArray
   }
 
+  /** Per-frame explicit weights of the WEIGHTED streams (closed
+    * forms the q170 oracle replays): luma denom 1+(s+f)%2, weight
+    * 1+(s+f)%3, offset (s+2f)%9−4; chroma denom 1, weights
+    * 1+(s+f+1)%3 / 1+(s+2f+1)%3, offsets (s+3f)%7−3 / (s+f+5)%7−3.
+    */
+  private[graft] def synthWtLuma(seed: Long, f: Int): (Int, Int, Int) =
+    (1 + ((seed + f) % 2).toInt, 1 + ((seed + f) % 3).toInt,
+      ((seed + 2L * f) % 9).toInt - 4)
+  private[graft] def synthWtChroma(seed: Long, f: Int): (Int, Int, Int, Int, Int) =
+    (1, 1 + ((seed + f + 1L) % 3).toInt, ((seed + 3L * f) % 7).toInt - 3,
+      1 + ((seed + 2L * f + 1L) % 3).toInt, ((seed + f + 5L) % 7).toInt - 3)
+
+  /** [[synthesizeH264Inter]] under EXPLICIT weighted prediction: the
+    * PPS raises weighted_pred_flag, every P slice carries a real
+    * pred_weight_table, and the decoder must scale/offset each MB's
+    * motion-compensated prediction (skips included) per
+    * §8.4.2.3.2 — the fade-handling tool of broadcast encoders.
+    */
+  def synthesizeH264Weighted(mbW: Int, mbH: Int, nFrames: Int,
+      seed: Long): Array[Byte] =
+    synthInterStream(mbW, mbH, nFrames, seed, withResidual = false,
+      weighted = true)
+
   private def synthInterStream(mbW: Int, mbH: Int, nFrames: Int, seed: Long,
-      withResidual: Boolean, halfpel: Boolean = false): Array[Byte] = {
+      withResidual: Boolean, halfpel: Boolean = false,
+      weighted: Boolean = false): Array[Byte] = {
     val out = new ArrayBuffer[Byte]()
     out ++= Array[Byte](0, 0, 0, 1)
     out += 0x67.toByte
     out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30))
     out ++= Array[Byte](0, 0, 1)
     out += 0x68.toByte
-    out ++= escape(ppsRbsp())
+    out ++= escape(ppsRbsp(weightedPred = weighted))
 
     // IDR frame 0: I_PCM lattice (same closed form as synthesizeH264IPcm, f=0)
     appendIPcmIdr(out, mbW, mbH, seed)
@@ -1937,6 +1961,13 @@ object H264 {
       bw.u(f % 16, 4)      // frame_num
       bw.u(0, 1)           // num_ref_idx_active_override_flag
       bw.u(0, 1)           // ref_pic_list_modification_flag_l0
+      if (weighted) {      // pred_weight_table (explicit, 1 ref)
+        val (lwd, lw, lo) = synthWtLuma(seed, f)
+        val (cwd, cw0, co0, cw1, co1) = synthWtChroma(seed, f)
+        bw.ue(lwd); bw.ue(cwd)
+        bw.u(1, 1); bw.se(lw); bw.se(lo)
+        bw.u(1, 1); bw.se(cw0); bw.se(co0); bw.se(cw1); bw.se(co1)
+      }
       bw.u(0, 1)           // adaptive_ref_pic_marking_mode_flag
       bw.se(if (withResidual) -2 else 0) // slice_qp_delta (QP 24 / 26)
       bw.ue(1)             // disable_deblocking_filter_idc
@@ -2032,11 +2063,23 @@ object H264 {
       var nSkipped = 0L
       var mvAbs = 0L
       var nLevels = 0L
+      var ppsWeighted = false
       nals.foreach { case (s, e) =>
         (p(s) & 0x1F) match {
           case 7 =>
             sps = parseSps(new BitReader(unescape(p, s + 1, e)))
             if (sps.isEmpty) return None
+          case 8 =>
+            // the PPS fields the inter subset depends on; weighted
+            // bipred (idc != 0) is out of scope — refuse
+            val r = new BitReader(unescape(p, s + 1, e))
+            r.ue(); r.ue()
+            if (r.u(1) != 0) return None // CABAC out of scope
+            r.u(1)
+            if (r.ue() != 0) return None // slice groups out of scope
+            r.ue(); r.ue()
+            ppsWeighted = r.u(1) == 1
+            if (r.u(2) != 0) return None // weighted_bipred_idc
           case 5 =>
             val info = sps.getOrElse(return None)
             val w = info.mbW * 16; val h = info.mbH * 16
@@ -2092,6 +2135,23 @@ object H264 {
             r.u(1)           // num_ref_idx_active_override_flag
             r.u(1)           // ref_pic_list_modification_flag_l0
             if (isB) r.u(1)  // ref_pic_list_modification_flag_l1
+            // explicit weighted prediction (P slices, weighted_pred_flag):
+            // per-slice (denom, weight, offset) per plane; default
+            // weights (flag 0) are the identity w = 1<<denom, o = 0
+            var lwd = 0; var lw = 1; var lo = 0
+            var cwd = 0
+            val cwts = Array(1, 1); val coffs = Array(0, 0)
+            if (!isB && ppsWeighted) {
+              lwd = r.ue(); if (lwd > 7) return None
+              cwd = r.ue(); if (cwd > 7) return None
+              lw = 1 << lwd
+              cwts(0) = 1 << cwd; cwts(1) = 1 << cwd
+              if (r.u(1) == 1) { lw = r.se(); lo = r.se() }
+              if (r.u(1) == 1) {
+                var j = 0
+                while (j < 2) { cwts(j) = r.se(); coffs(j) = r.se(); j += 1 }
+              }
+            }
             r.u(1)           // adaptive_ref_pic_marking_mode_flag
             var qpy = 26 + r.se()
             if (r.ue() != 1) { r.se(); r.se() }
@@ -2188,6 +2248,37 @@ object H264 {
             // list-0 MC from the most recent reference, into the frame
             def compensate(mx: Int, myy: Int, mv: (Int, Int)): Boolean =
               mcInto(luma, cb, cr, nl, ncb, ncr)(mx, myy, mv)
+            // explicit weighted prediction (§8.4.2.3.2, single list):
+            // sample = Clip1(((mc·w + 2^(d−1)) >> d) + o) for d ≥ 1,
+            // Clip1(mc·w + o) for d = 0 — applied to the whole MB's
+            // inter prediction BEFORE any residual
+            def applyWeights(mx: Int, myy: Int): Unit = {
+              def wp(v: Int, w0: Int, o: Int, d: Int): Int =
+                clip255((if (d >= 1) (v * w0 + (1 << (d - 1))) >> d
+                         else v * w0) + o)
+              var y = 0
+              while (y < 16) {
+                var x = 0
+                while (x < 16) {
+                  val i = (myy * 16 + y) * w + mx * 16 + x
+                  nl(i) = wp(nl(i), lw, lo, lwd)
+                  x += 1
+                }
+                y += 1
+              }
+              val cw = w / 2
+              var cy = 0
+              while (cy < 8) {
+                var cx = 0
+                while (cx < 8) {
+                  val i = (myy * 8 + cy) * cw + mx * 8 + cx
+                  ncb(i) = wp(ncb(i), cwts(0), coffs(0), cwd)
+                  ncr(i) = wp(ncr(i), cwts(1), coffs(1), cwd)
+                  cx += 1
+                }
+                cy += 1
+              }
+            }
             // default bi-prediction (§8.4.2.3.1, no weighted pred):
             // per-sample (L0 + L1 + 1) >> 1 over the two MC results
             def biAverage(mx: Int, myy: Int): Unit = {
@@ -2225,6 +2316,7 @@ object H264 {
                 val mx = mb % info.mbW; val myy = mb / info.mbW
                 val mv = skipMv(mvs, done, mx, myy, info.mbW)
                 if (!compensate(mx, myy, mv)) return None
+                if (!isB && ppsWeighted) applyWeights(mx, myy)
                 mvs(mb) = mv; uses0(mb) = true; done(mb) = true
                 nSkipped += 1; mvAbs += math.abs(mv._1) + math.abs(mv._2)
                 mb += 1; run -= 1
@@ -2267,6 +2359,7 @@ object H264 {
                       if (useL0) tcb else ncb,
                       if (useL0) tcr else ncr)(mx, myy, mvL1)) return None
                 if (useL0 && useL1) biAverage(mx, myy)
+                if (!isB && ppsWeighted) applyWeights(mx, myy)
                 if (cbp == 15) {
                   qpy += r.se() // mb_qp_delta accumulates QPy
                   var bi = 0

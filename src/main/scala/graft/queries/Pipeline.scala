@@ -1776,6 +1776,31 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // H.264 explicit WEIGHTED prediction — the fade tool: the PPS
+    // raises weighted_pred_flag, each P slice carries a real
+    // pred_weight_table (luma/chroma denoms, weights, offsets), and
+    // every MB's MC prediction is scaled Clip1(((mc·w + 2^(d−1))>>d)
+    // + o) before use, skips included. Oracle replays the exact
+    // scale/round/offset/clip per pixel from the IDR lattice.
+    "q170_h264_weighted" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 1)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbW = 2 + (id % 3).toInt
+          val mbH = 1 + (id % 3).toInt
+          val st = graft.operators.H264.synthesizeH264Weighted(mbW, mbH, 2, id)
+          graft.operators.H264.decodeInter(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nSkipped, f.mvAbsSum)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height", "luma_sum",
+          "chroma_sum", "weighted_sum", "n_skipped", "mv_abs_sum")
+        .orderBy($"doc_id")
+    },
+
     // FLAC decode — the audio family's COMPRESSED path (WAV is raw
     // PCM): real Rice-coded residuals, CONSTANT/VERBATIM/FIXED
     // subframes, CRC-8/CRC-16 verified per frame and the STREAMINFO
@@ -3782,6 +3807,69 @@ object Pipeline {
         |  CAST(ma.mvs AS BIGINT) AS mv_abs_sum
         |FROM d JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
         |JOIN ma ON ma.id = d.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeH264Weighted at nf=2: f1 = clip(((shifted
+    // lattice · lw + 2^(lwd−1)) // 2^lwd) + lo) with the f=1 closed
+    // forms lwd = 1+(id+1)%2, lw = 1+(id+1)%3, lo = (id+2)%9−4;
+    // chroma denom 1 with per-plane weights/offsets
+    "q170_h264_weighted" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(2 + doc_id % 3 AS INTEGER) AS mbw,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |wv AS (SELECT id, mbw, mbh,
+        |    2 * ((id + 1) % 3 - 1) AS dx, 2 * ((id + 2) % 3 - 1) AS dy,
+        |    (id + 1) % 3 - 1 AS cdx, (id + 2) % 3 - 1 AS cdy,
+        |    CASE WHEN (id + 1) % 2 = 0 THEN 1 ELSE 2 END AS pw,
+        |    1 + (id + 1) % 3 AS lw, (id + 2) % 9 - 4 AS lo,
+        |    1 + (id + 2) % 3 AS cw0, (id + 3) % 7 - 3 AS co0,
+        |    1 + (id + 3) % 3 AS cw1, (id + 6) % 7 - 3 AS co1
+        |  FROM d),
+        |px AS (SELECT id, mbw, mbh, x.i AS x, y.i AS y FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbh - 1)) AS i) y),
+        |ls AS (SELECT p.id,
+        |    sum((p.id + p.x + 2 * p.y) % 251) AS l0,
+        |    sum(least(greatest(
+        |      ((p.id + least(greatest(p.x + w.dx, 0), 16 * p.mbw - 1)
+        |        + 2 * least(greatest(p.y + w.dy, 0), 16 * p.mbh - 1)) % 251
+        |        * w.lw + w.pw) // (2 * w.pw) + w.lo, 0), 255)) AS l1
+        |  FROM px p JOIN wv w ON w.id = p.id GROUP BY 1),
+        |cpx AS (SELECT id, mbw, mbh, pl.p AS pl, x.i AS x, y.i AS y FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbh - 1)) AS i) y),
+        |cs AS (SELECT p.id,
+        |    sum(CASE WHEN p.pl = 0 THEN (p.id + 2 * p.x + p.y) % 251
+        |        ELSE (3 * p.id + p.x + 2 * p.y) % 251 END) AS c0,
+        |    sum(least(greatest(
+        |      (CASE WHEN p.pl = 0
+        |        THEN (p.id + 2 * least(greatest(p.x + w.cdx, 0), 8 * p.mbw - 1)
+        |          + least(greatest(p.y + w.cdy, 0), 8 * p.mbh - 1)) % 251
+        |        ELSE (3 * p.id + least(greatest(p.x + w.cdx, 0), 8 * p.mbw - 1)
+        |          + 2 * least(greatest(p.y + w.cdy, 0), 8 * p.mbh - 1)) % 251
+        |       END
+        |       * CASE WHEN p.pl = 0 THEN w.cw0 ELSE w.cw1 END + 1) // 2
+        |      + CASE WHEN p.pl = 0 THEN w.co0 ELSE w.co1 END, 0), 255)) AS c1
+        |  FROM cpx p JOIN wv w ON w.id = p.id GROUP BY 1),
+        |sk AS (SELECT id, sum(CASE WHEN (id + 1 + mbx.i + 3 * my.i) % 3 = 0
+        |      THEN 1 ELSE 0 END) AS nsk
+        |  FROM d,
+        |  LATERAL (SELECT unnest(generate_series(1, mbw - 1)) AS i) mbx,
+        |  LATERAL (SELECT unnest(generate_series(1, mbh - 1)) AS i) my
+        |  GROUP BY 1)
+        |SELECT d.id AS doc_id, CAST(2 AS INTEGER) AS n_frames,
+        |  16 * d.mbw AS width, 16 * d.mbh AS height,
+        |  CAST(ls.l0 + ls.l1 AS BIGINT) AS luma_sum,
+        |  CAST(cs.c0 + cs.c1 AS BIGINT) AS chroma_sum,
+        |  CAST(ls.l0 + cs.c0 + 2 * (ls.l1 + cs.c1) AS BIGINT) AS weighted_sum,
+        |  CAST(coalesce(sk.nsk, 0) AS BIGINT) AS n_skipped,
+        |  CAST(d.mbw * d.mbh * 4 * (abs(w.dx) + abs(w.dy)) AS BIGINT)
+        |    AS mv_abs_sum
+        |FROM d JOIN wv w ON w.id = d.id
+        |JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
+        |LEFT JOIN sk ON sk.id = d.id
         |ORDER BY doc_id""".stripMargin,
 
     // mirrors Adpcm.synthesizeImaAdpcmWav + the IMA state machine:

@@ -847,6 +847,47 @@ class H264Spec extends AnyFunSuite {
     assert(H264.decodeInter(p).nonEmpty)
   }
 
+  test("weighted prediction decode equals an independent scale/offset simulation") {
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 2 + (seed % 3).toInt
+      val w = mbW * 16; val h = mbH * 16
+      val m = H264.decodeInter(H264.synthesizeH264Weighted(mbW, mbH, nf, seed)).get
+      assert(m.nFrames == nf)
+      def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      def wp(v: Int, w0: Int, o: Int, d: Int): Int =
+        math.min(255, math.max(0,
+          (if (d >= 1) (v * w0 + (1 << (d - 1))) >> d else v * w0) + o))
+      var l = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      var cbP = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+      var crP = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+      var wl = 0L; var wc = 0L; var ww2 = 0L
+      def add(fi: Int): Unit = {
+        var fl = 0L; l.foreach(_.foreach(fl += _))
+        var fc = 0L; cbP.foreach(_.foreach(fc += _)); crP.foreach(_.foreach(fc += _))
+        wl += fl; wc += fc; ww2 += (fi + 1L) * (fl + fc)
+      }
+      add(0)
+      for (f <- 1 until nf) {
+        val dx = H264.synthInterDx(seed, f); val dy = H264.synthInterDy(seed, f)
+        val (lwd, lw, lo) = H264.synthWtLuma(seed, f)
+        val (cwd, cw0, co0, cw1, co1) = H264.synthWtChroma(seed, f)
+        val pl = l; val pcb = cbP; val pcr = crP
+        l = Array.tabulate(h, w)((y, x) =>
+          wp(pl(clamp(y + dy, h - 1))(clamp(x + dx, w - 1)), lw, lo, lwd))
+        cbP = Array.tabulate(h / 2, w / 2)((y, x) =>
+          wp(pcb(clamp(y + dy / 2, h / 2 - 1))(clamp(x + dx / 2, w / 2 - 1)), cw0, co0, cwd))
+        crP = Array.tabulate(h / 2, w / 2)((y, x) =>
+          wp(pcr(clamp(y + dy / 2, h / 2 - 1))(clamp(x + dx / 2, w / 2 - 1)), cw1, co1, cwd))
+        add(f)
+      }
+      assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
+      assert(m.chromaSum == wc, s"seed=$seed chroma ${m.chromaSum} vs $wc")
+      assert(m.weightedSum == ww2, s"seed=$seed weighted")
+    }
+  }
+
   test("inter decode of an all-I_PCM stream matches decodeIPcm (P machinery dormant)") {
     val p = H264.synthesizeH264IPcm(2, 2, 2, 9L)
     val a = H264.decodeInter(p).get
