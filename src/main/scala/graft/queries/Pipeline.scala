@@ -1776,6 +1776,34 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // Audio resampling — the rate-normalization step between decode
+    // and feature extraction: symmetric integer FIR low-pass
+    // (Σtaps = 16, exact unity DC gain) + decimate 2x with edge
+    // replication, all integer arithmetic (round-half-up, arithmetic
+    // shift). Every output sample is re-derived by the oracle.
+    "q171_audio_resample" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 0)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.operators.AudioDsp
+          val n = 96 + (id % 3).toInt * 32
+          val wav = AudioDsp.synthesizePcm16Wav(n, 16000, id)
+          AudioDsp.decodePcm16(wav) match {
+            case Some((rate, xs)) =>
+              val ys = AudioDsp.firDecimate(xs, AudioDsp.decimTaps, 4, 2)
+              var si = 0L; xs.foreach(si += _)
+              var so = 0L; var wo = 0L; var k = 0
+              while (k < ys.length) { so += ys(k); wo += (k + 1L) * ys(k); k += 1 }
+              (id, xs.length, ys.length, rate / 2, si, so, wo)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_in", "n_out", "rate_out",
+          "sum_in", "sum_out", "weighted_out")
+        .orderBy($"doc_id")
+    },
+
     // H.264 explicit WEIGHTED prediction — the fade tool: the PPS
     // raises weighted_pred_flag, each P slice carries a real
     // pred_weight_table (luma/chroma denoms, weights, offsets), and
@@ -3807,6 +3835,36 @@ object Pipeline {
         |  CAST(ma.mvs AS BIGINT) AS mv_abs_sum
         |FROM d JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
         |JOIN ma ON ma.id = d.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors AudioDsp: s_i = (id·7 + i·13)%401 − 200; y_k =
+    // floor((Σ taps·s(clamp(2k+t−3)) + 8)/16) with taps 1,2,3,4,3,2,1
+    // (explicit floor() — DuckDB's // on DOUBLE does NOT floor)
+    "q171_audio_resample" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(96 + (doc_id % 3) * 32 AS INTEGER) AS n
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |si AS (SELECT id, sum((id * 7 + i.i * 13) % 401 - 200) AS sum_in
+        |  FROM d, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) i
+        |  GROUP BY 1),
+        |yo AS (SELECT p.id, p.k,
+        |    CAST(floor((sum(
+        |      CASE t.t WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+        |        WHEN 3 THEN 4 WHEN 4 THEN 3 WHEN 5 THEN 2 ELSE 1 END
+        |      * ((p.id * 7
+        |          + least(greatest(2 * p.k + t.t - 3, 0), p.n - 1) * 13)
+        |         % 401 - 200)) + 8) / 16.0) AS BIGINT) AS y
+        |  FROM (SELECT id, n, k.k AS k FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, n // 2 - 1)) AS k) k) p,
+        |  LATERAL (SELECT unnest(generate_series(0, 6)) AS t) t
+        |  GROUP BY 1, 2, p.n),
+        |ag AS (SELECT id, CAST(sum(y) AS BIGINT) AS sum_out,
+        |    CAST(sum((k + 1) * y) AS BIGINT) AS weighted_out FROM yo GROUP BY 1)
+        |SELECT d.id AS doc_id, d.n AS n_in,
+        |  CAST(d.n // 2 AS INTEGER) AS n_out,
+        |  CAST(8000 AS INTEGER) AS rate_out,
+        |  CAST(si.sum_in AS BIGINT) AS sum_in, ag.sum_out, ag.weighted_out
+        |FROM d JOIN si ON si.id = d.id JOIN ag ON ag.id = d.id
         |ORDER BY doc_id""".stripMargin,
 
     // mirrors synthesizeH264Weighted at nf=2: f1 = clip(((shifted
