@@ -265,6 +265,52 @@ object Dedup {
     intra.unionAll(cross)
   }
 
+  /** Collapse-first [[ngramContainmentPairs]] — the production form:
+    * the direct containment join's output (and internal candidate
+    * space) grows d² with the corpus duplication factor d, and the
+    * sf10 scale run measured the consequence (the direct form filled
+    * the spill disk on the 100x-replicated corpus). Collapsing by
+    * 64-bit content hash first runs the asymmetric prefix join on
+    * UNIQUE contents, then re-expands through group membership —
+    * provably output-identical: identical texts have identical
+    * shingle sets, so intra-group ORDERED pairs (a ≠ b, both
+    * orientations — containment is asymmetric) have containment
+    * exactly 1.0, and a cross-group ordered pair's containment
+    * C(a→b) = |Sa∩Sb|/|Sa| depends only on the two CONTENTS, i.e.
+    * equals its representatives'. Docs with empty shingle sets never
+    * pair under either form. Pinned in DedupSpec + by sharing q165's
+    * oracle.
+    */
+  def collapsedContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val docs = df.select(col(idCol).as("doc"), col(textCol).as("txt"))
+    val member = docs.select($"doc", xxhash64($"txt").as("g"))
+    val reps = docs.groupBy(xxhash64($"txt").as("g"))
+      .agg(min($"doc").as("rep"), first($"txt").as("txt"))
+    val repPairs = ngramContainmentPairs(reps, "rep", "txt", n, threshold)
+    // intra-group: all ORDERED pairs among copies of one shingled
+    // content — containment exactly 1.0 both ways
+    val shingled = reps
+      .filter(size(graft.functions.ShingleHash64.shingle_hashes($"txt", n)) > 0)
+      .select($"g")
+    val mNE = member.join(shingled, "g")
+    val intra = mNE.as("m1")
+      .join(mNE.as("m2"),
+        col("m1.g") === col("m2.g") && col("m1.doc") =!= col("m2.doc"))
+      .select(col("m1.doc").as("a"), col("m2.doc").as("b"),
+        lit(1.0).as("containment"))
+    // cross-group: orientation is carried by the rep pair itself —
+    // (a-member, b-member) keeps the rep pair's direction and value
+    val repKey = reps.select($"rep", $"g")
+    val cross = repPairs
+      .join(repKey.select($"rep".as("a"), $"g".as("ga")), "a")
+      .join(repKey.select($"rep".as("b"), $"g".as("gb")), "b")
+      .join(member.select($"doc".as("ida"), $"g".as("ga")), "ga")
+      .join(member.select($"doc".as("idb"), $"g".as("gb")), "gb")
+      .select($"ida".as("a"), $"idb".as("b"), $"containment")
+    intra.unionAll(cross)
+  }
+
   /** Shared collapse machinery for cluster-level dedup: group docs by
     * 64-bit content hash, run clustering on one REPRESENTATIVE per
     * distinct content, and label every participating group with its

@@ -117,6 +117,19 @@ object Pipeline {
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
       |ORDER BY a, b""".stripMargin
 
+  private val containmentOracle =
+    """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
+      |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id != b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT a, b, CAST(i AS DOUBLE) / sa.n AS containment
+      |FROM inter JOIN sizes sa ON a = sa.doc_id
+      |WHERE CAST(i AS DOUBLE) / sa.n >= 0.9
+      |ORDER BY a, b""".stripMargin
+
   /** Shared query set for the retrieval stack (q100/q101/q102): fixed
     * human-scale queries spanning common terms, the one rare corpus
     * term ("dup" — the high-idf probe), and stopword-ish terms.
@@ -222,6 +235,17 @@ object Pipeline {
     "q165_dedup_containment" -> { (s, dir) =>
       import s.implicits._
       Dedup.ngramContainmentPairs(Tables(s, dir).documents, "doc_id", "text",
+          n = 3, threshold = 0.9)
+        .orderBy($"a", $"b")
+    },
+
+    // Collapse-first containment (q165's production form): unique
+    // contents through the asymmetric prefix join, ordered-pair
+    // re-expansion — output-identical (same oracle), removes the d²
+    // duplication blowup that filled the spill disk at sf10.
+    "q172_containment_collapsed" -> { (s, dir) =>
+      import s.implicits._
+      Dedup.collapsedContainmentPairs(Tables(s, dir).documents, "doc_id", "text",
           n = 3, threshold = 0.9)
         .orderBy($"a", $"b")
     },
@@ -2608,18 +2632,9 @@ object Pipeline {
     "q31_dedup_ngram_jaccard" -> jaccardOracle,
     // same trigram sets as the jaccard oracle; asymmetric division by
     // |Sa| only, both orientations (a != b)
-    "q165_dedup_containment" ->
-      """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
-        |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
-        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id != b.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT a, b, CAST(i AS DOUBLE) / sa.n AS containment
-        |FROM inter JOIN sizes sa ON a = sa.doc_id
-        |WHERE CAST(i AS DOUBLE) / sa.n >= 0.9
-        |ORDER BY a, b""".stripMargin,
+    "q165_dedup_containment" -> containmentOracle,
+    // output-identical by construction (collapse → join reps → expand)
+    "q172_containment_collapsed" -> containmentOracle,
     "q32_dedup_minhash_lsh" -> jaccardOracle,
     // output-identical by construction (collapse → join reps → expand)
     "q124_dedup_collapsed" -> jaccardOracle,
@@ -3773,12 +3788,12 @@ object Pipeline {
         |  FROM f2a s
         |  JOIN f0 l1 ON l1.id = s.id AND l1.x = s.sx1 AND l1.y = s.sy1),
         |cpx AS (SELECT p.id, p.mbw, p.mbh, p.pl, p.x, p.y,
-        |    least(greatest(p.x + dv.dpx / 2, 0), 8 * p.mbw - 1) AS spx,
-        |    least(greatest(p.y + dv.dpy / 2, 0), 8 * p.mbh - 1) AS spy,
-        |    least(greatest(p.x + dv.d0x / 2, 0), 8 * p.mbw - 1) AS sx0,
-        |    least(greatest(p.y + dv.d0y / 2, 0), 8 * p.mbh - 1) AS sy0,
-        |    least(greatest(p.x + dv.d1x / 2, 0), 8 * p.mbw - 1) AS sx1,
-        |    least(greatest(p.y + dv.d1y / 2, 0), 8 * p.mbh - 1) AS sy1
+        |    least(greatest(p.x + dv.dpx // 2, 0), 8 * p.mbw - 1) AS spx,
+        |    least(greatest(p.y + dv.dpy // 2, 0), 8 * p.mbh - 1) AS spy,
+        |    least(greatest(p.x + dv.d0x // 2, 0), 8 * p.mbw - 1) AS sx0,
+        |    least(greatest(p.y + dv.d0y // 2, 0), 8 * p.mbh - 1) AS sy0,
+        |    least(greatest(p.x + dv.d1x // 2, 0), 8 * p.mbw - 1) AS sx1,
+        |    least(greatest(p.y + dv.d1y // 2, 0), 8 * p.mbh - 1) AS sy1
         |  FROM (SELECT id, mbw, mbh, pl.p AS pl, x.i AS x, y.i AS y FROM d,
         |    LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
         |    LATERAL (SELECT unnest(generate_series(0, 8 * mbw - 1)) AS i) x,

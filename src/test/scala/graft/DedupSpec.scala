@@ -117,6 +117,23 @@ class DedupSpec extends SparkSpec {
       s"expected the contained->container orientation only, got ${cont.toSeq}")
   }
 
+  test("collapse-first containment equals the direct join on a dup-heavy corpus") {
+    import graft.syntax._
+    // replicate a slice of the corpus 4x with fresh ids — the
+    // duplication shape that blows the direct join up at scale
+    val base = docs.filter($"doc_id" < 60).select($"doc_id", $"text")
+    val dup = (0 until 4).map(k =>
+        base.select(($"doc_id" + lit(k * 1000000L)).as("doc_id"), $"text"))
+      .reduce(_ unionAll _)
+    val direct = Dedup.ngramContainmentPairs(dup, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val collapsed = Dedup.collapsedContainmentPairs(dup, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(direct.nonEmpty)
+    assert(collapsed == direct,
+      s"missed=${(direct -- collapsed).take(5)} spurious=${(collapsed -- direct).take(5)}")
+  }
+
   test("prefix index caps hot-shingle bucket occupancy") {
     import graft.syntax._
     val sh = Dedup.shingles(docs, "doc_id", "text", 3).cache()
