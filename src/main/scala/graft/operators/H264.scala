@@ -1750,6 +1750,25 @@ object H264 {
     synthInterStream(mbW, mbH, nFrames, seed, withResidual = false,
       halfpel = true)
 
+  /** Unrestricted quarter-sample mvs of the QUARTER streams — the
+    * integer parts reach ±2 and the fractional classes sweep all 16
+    * sub-sample positions across seeds/frames.
+    */
+  private[graft] def synthQuarterQx(seed: Long, f: Int): Int =
+    ((seed + 5L * f) % 23).toInt - 11
+  private[graft] def synthQuarterQy(seed: Long, f: Int): Int =
+    ((seed + 7L * f) % 23).toInt - 11
+
+  /** [[synthesizeH264Inter]] with FULL quarter-sample motion: the
+    * complete §8.4.2.2.1 grid — half positions, the two-stage center
+    * j, and all twelve quarter averages — plus the 1/8 chroma
+    * bilinear at every fractional class.
+    */
+  def synthesizeH264InterQuarter(mbW: Int, mbH: Int, nFrames: Int,
+      seed: Long): Array[Byte] =
+    synthInterStream(mbW, mbH, nFrames, seed, withResidual = false,
+      quarterpel = true)
+
   /** One all-I_PCM IDR slice NAL (frame 0 of the inter streams):
     * luma (seed+x+2y)%251, chroma (seed+2x+y)/(3·seed+x+2y)%251.
     */
@@ -1938,7 +1957,7 @@ object H264 {
 
   private def synthInterStream(mbW: Int, mbH: Int, nFrames: Int, seed: Long,
       withResidual: Boolean, halfpel: Boolean = false,
-      weighted: Boolean = false): Array[Byte] = {
+      weighted: Boolean = false, quarterpel: Boolean = false): Array[Byte] = {
     val out = new ArrayBuffer[Byte]()
     out ++= Array[Byte](0, 0, 0, 1)
     out += 0x67.toByte
@@ -1972,7 +1991,8 @@ object H264 {
       bw.se(if (withResidual) -2 else 0) // slice_qp_delta (QP 24 / 26)
       bw.ue(1)             // disable_deblocking_filter_idc
       val qmv =
-        if (halfpel) (synthHalfQx(seed, f), synthHalfQy(seed, f))
+        if (quarterpel) (synthQuarterQx(seed, f), synthQuarterQy(seed, f))
+        else if (halfpel) (synthHalfQx(seed, f), synthHalfQy(seed, f))
         else (4 * synthInterDx(seed, f), 4 * synthInterDy(seed, f))
       val mvs = Array.fill(mbW * mbH)((0, 0))
       val done = Array.fill(mbW * mbH)(false)
@@ -2024,6 +2044,65 @@ object H264 {
       f += 1
     }
     out.toArray
+  }
+
+  /** One luma sample of the full §8.4.2.2.1 sub-sample grid at
+    * integer base (x, y) and fractional class (fx, fy) ∈ [0,4)²,
+    * reading `ref` (w×h, row-major) with edge extension:
+    *
+    *  - half positions through the 6-tap [1,−5,20,20,−5,1]
+    *    ((b+16)>>5, clip);
+    *  - the center j through the two-stage form — vertical 6-tap
+    *    over the UNROUNDED horizontal sums, (+512)>>10, clip;
+    *  - the twelve quarter positions as (A+B+1)>>1 averages of the
+    *    two nearest integer/half samples (clipped values).
+    *
+    * The grid GEOMETRY (which offsets each class lands on, both
+    * axes) is pinned by H264Spec's linear-ramp property: on a ramp,
+    * every class must land within one count of the exact fractional
+    * offset — a transposed/mis-signed transcription cannot pass.
+    */
+  private[graft] def lumaSubSample(ref: Array[Int], w: Int, h: Int,
+      x: Int, y: Int, fx: Int, fy: Int): Int = {
+    val tap = Array(1, -5, 20, 20, -5, 1)
+    def g(xx: Int, yy: Int): Int =
+      ref(math.min(math.max(yy, 0), h - 1) * w +
+        math.min(math.max(xx, 0), w - 1))
+    def rawH(xx: Int, yy: Int): Int = {
+      var s = 0; var i = 0
+      while (i < 6) { s += tap(i) * g(xx + i - 2, yy); i += 1 }
+      s
+    }
+    def halfH(xx: Int, yy: Int): Int = clip255((rawH(xx, yy) + 16) >> 5)
+    def halfV(xx: Int, yy: Int): Int = {
+      var s = 0; var i = 0
+      while (i < 6) { s += tap(i) * g(xx, yy + i - 2); i += 1 }
+      clip255((s + 16) >> 5)
+    }
+    def centerJ(xx: Int, yy: Int): Int = {
+      var s = 0; var k = 0
+      while (k < 6) { s += tap(k) * rawH(xx, yy + k - 2); k += 1 }
+      clip255((s + 512) >> 10)
+    }
+    def avg(a: Int, b: Int): Int = (a + b + 1) >> 1
+    (fx, fy) match {
+      case (0, 0) => g(x, y)
+      case (2, 0) => halfH(x, y)
+      case (0, 2) => halfV(x, y)
+      case (2, 2) => centerJ(x, y)
+      case (1, 0) => avg(g(x, y), halfH(x, y))
+      case (3, 0) => avg(halfH(x, y), g(x + 1, y))
+      case (0, 1) => avg(g(x, y), halfV(x, y))
+      case (0, 3) => avg(halfV(x, y), g(x, y + 1))
+      case (2, 1) => avg(halfH(x, y), centerJ(x, y))
+      case (2, 3) => avg(centerJ(x, y), halfH(x, y + 1))
+      case (1, 2) => avg(halfV(x, y), centerJ(x, y))
+      case (3, 2) => avg(centerJ(x, y), halfV(x + 1, y))
+      case (1, 1) => avg(halfH(x, y), halfV(x, y))
+      case (3, 1) => avg(halfH(x, y), halfV(x + 1, y))
+      case (1, 3) => avg(halfH(x, y + 1), halfV(x, y))
+      case _      => avg(halfH(x, y + 1), halfV(x + 1, y)) // (3,3)
+    }
   }
 
   final case class InterFrames(
@@ -2183,30 +2262,14 @@ object H264 {
                 oL: Array[Int], oCb: Array[Int], oCr: Array[Int])(
                 mx: Int, myy: Int, mv: (Int, Int)): Boolean = {
               val fx = Math.floorMod(mv._1, 4); val fy = Math.floorMod(mv._2, 4)
-              if ((fx != 0 && fx != 2) || (fy != 0 && fy != 2)) return false
-              if (fx == 2 && fy == 2) return false // center j: out of scope
               val dx = Math.floorDiv(mv._1, 4); val dy = Math.floorDiv(mv._2, 4)
-              def ref(x: Int, y: Int): Int =
-                rL(math.min(math.max(y, 0), h - 1) * w +
-                  math.min(math.max(x, 0), w - 1))
-              val tap = Array(1, -5, 20, 20, -5, 1)
               var y = 0
               while (y < 16) {
                 var x = 0
                 while (x < 16) {
                   val px = mx * 16 + x; val py = myy * 16 + y
-                  val v =
-                    if (fx == 0 && fy == 0) ref(px + dx, py + dy)
-                    else if (fx == 2) {
-                      var s = 0; var i = 0
-                      while (i < 6) { s += tap(i) * ref(px + dx + i - 2, py + dy); i += 1 }
-                      clip255((s + 16) >> 5)
-                    } else {
-                      var s = 0; var i = 0
-                      while (i < 6) { s += tap(i) * ref(px + dx, py + dy + i - 2); i += 1 }
-                      clip255((s + 16) >> 5)
-                    }
-                  oL(py * w + px) = v
+                  oL(py * w + px) =
+                    lumaSubSample(rL, w, h, px + dx, py + dy, fx, fy)
                   x += 1
                 }
                 y += 1

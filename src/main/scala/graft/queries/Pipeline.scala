@@ -117,6 +117,65 @@ object Pipeline {
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
       |ORDER BY a, b""".stripMargin
 
+  // --- q173 oracle building blocks: closed-form sub-sample reads over
+  // the IDR luma lattice, emitted as DuckDB nested-lambda sums. All
+  // rounding uses explicit floor() over exact small-int floats (the
+  // DuckDB float-// lesson); quarter averages operate on clipped
+  // non-negative values so integer // is safe there.
+  private def qpTap(i: String): String =
+    s"(CASE $i WHEN 0 THEN 1 WHEN 1 THEN -5 WHEN 2 THEN 20 WHEN 3 THEN 20 WHEN 4 THEN -5 ELSE 1 END)"
+  private def qpG(x: String, y: String): String =
+    s"((p.id + least(greatest($x, 0), p.w - 1) + 2 * least(greatest($y, 0), p.h2 - 1)) % 251)"
+  private def qpClip(v: String): String = s"least(greatest($v, 0), 255)"
+  private def qpB(x: String, y: String): String = qpClip(
+    s"CAST(floor((list_sum(list_transform(range(6), i -> ${qpTap("i")} * ${qpG(s"($x) + i - 2", y)})) + 16) / 32.0) AS BIGINT)")
+  private def qpH(x: String, y: String): String = qpClip(
+    s"CAST(floor((list_sum(list_transform(range(6), i -> ${qpTap("i")} * ${qpG(x, s"($y) + i - 2")})) + 16) / 32.0) AS BIGINT)")
+  private def qpJ(x: String, y: String): String = qpClip(
+    s"CAST(floor((list_sum(list_transform(range(6), k -> ${qpTap("k")} * list_sum(list_transform(range(6), i -> ${qpTap("i")} * ${qpG(s"($x) + i - 2", s"($y) + k - 2")})))) + 512) / 1024.0) AS BIGINT)")
+  private def qpAvg(a: String, b: String): String = s"(($a) + ($b) + 1) // 2"
+
+  /** The 16-position luma CASE keyed by fx*4+fy (decoder mapping). */
+  private def qpLumaCase: String = {
+    val g00 = qpG("p.gx", "p.gy"); val g10 = qpG("p.gx + 1", "p.gy")
+    val g01 = qpG("p.gx", "p.gy + 1")
+    val b00 = qpB("p.gx", "p.gy"); val b01 = qpB("p.gx", "p.gy + 1")
+    val h00 = qpH("p.gx", "p.gy"); val h10 = qpH("p.gx + 1", "p.gy")
+    val j00 = qpJ("p.gx", "p.gy")
+    s"""CASE p.fx * 4 + p.fy
+       |  WHEN 0 THEN $g00
+       |  WHEN 8 THEN $b00
+       |  WHEN 2 THEN $h00
+       |  WHEN 10 THEN $j00
+       |  WHEN 4 THEN ${qpAvg(g00, b00)}
+       |  WHEN 12 THEN ${qpAvg(b00, g10)}
+       |  WHEN 1 THEN ${qpAvg(g00, h00)}
+       |  WHEN 3 THEN ${qpAvg(h00, g01)}
+       |  WHEN 9 THEN ${qpAvg(b00, j00)}
+       |  WHEN 11 THEN ${qpAvg(j00, b01)}
+       |  WHEN 6 THEN ${qpAvg(h00, j00)}
+       |  WHEN 14 THEN ${qpAvg(j00, h10)}
+       |  WHEN 5 THEN ${qpAvg(b00, h00)}
+       |  WHEN 13 THEN ${qpAvg(b00, h10)}
+       |  WHEN 7 THEN ${qpAvg(b01, h00)}
+       |  ELSE ${qpAvg(b01, h10)}
+       |END""".stripMargin
+  }
+
+  /** Chroma 1/8 bilinear read of plane `pl` (0 = Cb lattice, 1 = Cr)
+    * at (x + cdx .. +1, y + cdy .. +1) with weights (cxf, cyf).
+    */
+  private def qpChroma: String = {
+    def cG(x: String, y: String): String =
+      s"(CASE WHEN p.pl = 0 THEN p.id + 2 * least(greatest($x, 0), p.cw - 1) + least(greatest($y, 0), p.ch - 1) " +
+        s"ELSE 3 * p.id + least(greatest($x, 0), p.cw - 1) + 2 * least(greatest($y, 0), p.ch - 1) END % 251)"
+    s"""((8 - p.cxf) * (8 - p.cyf) * ${cG("p.x + p.cdx", "p.y + p.cdy")}
+       | + p.cxf * (8 - p.cyf) * ${cG("p.x + p.cdx + 1", "p.y + p.cdy")}
+       | + (8 - p.cxf) * p.cyf * ${cG("p.x + p.cdx", "p.y + p.cdy + 1")}
+       | + p.cxf * p.cyf * ${cG("p.x + p.cdx + 1", "p.y + p.cdy + 1")}
+       | + 32) // 64""".stripMargin
+  }
+
   private val containmentOracle =
     """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
       |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
@@ -1825,6 +1884,33 @@ object Pipeline {
           }
         }).toDF("doc_id", "n_in", "n_out", "rate_out",
           "sum_in", "sum_out", "weighted_out")
+        .orderBy($"doc_id")
+    },
+
+    // H.264 QUARTER-PEL interpolation — the complete §8.4.2.2.1
+    // grid: 6-tap half positions, the two-stage center j (vertical
+    // 6-tap over UNROUNDED horizontal sums, (+512)>>10), and all
+    // twelve (A+B+1)>>1 quarter averages, plus the 1/8 chroma
+    // bilinear at every fractional class. The oracle re-derives each
+    // doc's position class from closed-form nested-lambda sums over
+    // the IDR lattice; a linear-ramp property spec pins the grid
+    // geometry independent of the transcription.
+    "q173_h264_quarterpel" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 3)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbW = 2 + (id % 3).toInt
+          val mbH = 1 + (id % 3).toInt
+          val st = graft.operators.H264.synthesizeH264InterQuarter(mbW, mbH, 2, id)
+          graft.operators.H264.decodeInter(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nSkipped, f.mvAbsSum)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height", "luma_sum",
+          "chroma_sum", "weighted_sum", "n_skipped", "mv_abs_sum")
         .orderBy($"doc_id")
     },
 
@@ -3881,6 +3967,64 @@ object Pipeline {
         |  CAST(si.sum_in AS BIGINT) AS sum_in, ag.sum_out, ag.weighted_out
         |FROM d JOIN si ON si.id = d.id JOIN ag ON ag.id = d.id
         |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeH264InterQuarter at nf=2: per-doc quarter mv
+    // qx = (id+5)%23-11 / qy = (id+7)%23-11; fractional class fx/fy
+    // selects one of the 16 grid positions (qpLumaCase, closed-form
+    // nested-lambda sums over the lattice); chroma is the 1/8
+    // bilinear at (cdx, cxf)
+    "q173_h264_quarterpel" ->
+      s"""WITH d AS (SELECT doc_id AS id,
+         |    CAST(2 + doc_id % 3 AS INTEGER) AS mbw,
+         |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh
+         |  FROM documents WHERE doc_id % 4 = 3),
+         |qv AS (SELECT id, mbw, mbh,
+         |    ((id + 5) % 23) - 11 AS qx, ((id + 7) % 23) - 11 AS qy FROM d),
+         |q2 AS (SELECT id, mbw, mbh, qx, qy,
+         |    ((qx % 4) + 4) % 4 AS fx, ((qy % 4) + 4) % 4 AS fy,
+         |    (qx - (((qx % 4) + 4) % 4)) // 4 AS dxi,
+         |    (qy - (((qy % 4) + 4) % 4)) // 4 AS dyi,
+         |    ((qx % 8) + 8) % 8 AS cxf, ((qy % 8) + 8) % 8 AS cyf,
+         |    (qx - (((qx % 8) + 8) % 8)) // 8 AS cdx,
+         |    (qy - (((qy % 8) + 8) % 8)) // 8 AS cdy
+         |  FROM qv),
+         |px AS (SELECT q.id, 16 * q.mbw AS w, 16 * q.mbh AS h2,
+         |    q.fx, q.fy, x.i AS x, y.i AS y,
+         |    x.i + q.dxi AS gx, y.i + q.dyi AS gy
+         |  FROM q2 q,
+         |  LATERAL (SELECT unnest(generate_series(0, 16 * q.mbw - 1)) AS i) x,
+         |  LATERAL (SELECT unnest(generate_series(0, 16 * q.mbh - 1)) AS i) y),
+         |ls AS (SELECT p.id, sum((p.id + p.x + 2 * p.y) % 251) AS l0,
+         |    sum($qpLumaCase) AS l1
+         |  FROM px p GROUP BY 1),
+         |cpx AS (SELECT q.id, 8 * q.mbw AS cw, 8 * q.mbh AS ch,
+         |    q.cxf, q.cyf, q.cdx, q.cdy, pl.p AS pl, x.i AS x, y.i AS y
+         |  FROM q2 q,
+         |  LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
+         |  LATERAL (SELECT unnest(generate_series(0, 8 * q.mbw - 1)) AS i) x,
+         |  LATERAL (SELECT unnest(generate_series(0, 8 * q.mbh - 1)) AS i) y),
+         |cs AS (SELECT p.id,
+         |    sum(CASE WHEN p.pl = 0 THEN (p.id + 2 * p.x + p.y) % 251
+         |        ELSE (3 * p.id + p.x + 2 * p.y) % 251 END) AS c0,
+         |    sum($qpChroma) AS c1
+         |  FROM cpx p GROUP BY 1),
+         |sk AS (SELECT id, sum(CASE WHEN (id + 1 + mbx.i + 3 * my.i) % 3 = 0
+         |      THEN 1 ELSE 0 END) AS nsk
+         |  FROM d,
+         |  LATERAL (SELECT unnest(generate_series(1, mbw - 1)) AS i) mbx,
+         |  LATERAL (SELECT unnest(generate_series(1, mbh - 1)) AS i) my
+         |  GROUP BY 1)
+         |SELECT d.id AS doc_id, CAST(2 AS INTEGER) AS n_frames,
+         |  16 * d.mbw AS width, 16 * d.mbh AS height,
+         |  CAST(ls.l0 + ls.l1 AS BIGINT) AS luma_sum,
+         |  CAST(cs.c0 + cs.c1 AS BIGINT) AS chroma_sum,
+         |  CAST(ls.l0 + cs.c0 + 2 * (ls.l1 + cs.c1) AS BIGINT) AS weighted_sum,
+         |  CAST(coalesce(sk.nsk, 0) AS BIGINT) AS n_skipped,
+         |  CAST(d.mbw * d.mbh * (abs(q.qx) + abs(q.qy)) AS BIGINT) AS mv_abs_sum
+         |FROM d JOIN q2 q ON q.id = d.id
+         |JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
+         |LEFT JOIN sk ON sk.id = d.id
+         |ORDER BY doc_id""".stripMargin,
 
     // mirrors synthesizeH264Weighted at nf=2: f1 = clip(((shifted
     // lattice · lw + 2^(lwd−1)) // 2^lwd) + lo) with the f=1 closed

@@ -739,11 +739,10 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
-  test("inter decode refuses quarter-pel and center-j positions") {
-    // hand-build P slices whose mv is (1,0) quarter-pel / (2,2)
-    // center-j: the subset must refuse, not misinterpolate. The
-    // SPS/PPS/IDR prefix comes from a good single-MB stream; the P
-    // slice is written bit by bit here.
+  test("hand-written P slices drive the sub-sample grid at the bit level") {
+    // P slices written bit by bit (mvd (1,0) quarter, (2,2) center-j)
+    // on a SPS/PPS/IDR prefix from a good single-MB stream — the
+    // grid is reached through real slice parsing, not just the synth.
     def pSlice(mvdx: Int, mvdy: Int): Array[Byte] = {
       val bits = new scala.collection.mutable.ArrayBuffer[Int]()
       def u(v: Int, n: Int): Unit = (n - 1 to 0 by -1).foreach(b => bits += ((v >>> b) & 1))
@@ -769,10 +768,15 @@ class H264Spec extends AnyFunSuite {
     assert(H264.decodeInter(good).nonEmpty)
     def withP(mvdx: Int, mvdy: Int): Array[Byte] =
       good ++ Array[Byte](0, 0, 1, 0x41.toByte) ++ pSlice(mvdx, mvdy)
-    assert(H264.decodeInter(withP(8, 0)).nonEmpty)  // 2 full samples: fine
-    assert(H264.decodeInter(withP(2, 0)).nonEmpty)  // half-pel: fine
-    assert(H264.decodeInter(withP(1, 0)).isEmpty)   // quarter-pel: refuse
-    assert(H264.decodeInter(withP(2, 2)).isEmpty)   // center j: refuse
+    assert(H264.decodeInter(withP(8, 0)).nonEmpty)  // 2 full samples
+    assert(H264.decodeInter(withP(2, 0)).nonEmpty)  // half-pel
+    // quarter-pel and center-j now decode through the full grid
+    // (hand-written mvd, so also a bitstream-level path check)
+    assert(H264.decodeInter(withP(1, 0)).nonEmpty)
+    assert(H264.decodeInter(withP(2, 2)).nonEmpty)
+    // the (1,0) mv must interpolate, not copy: sums differ from (0,0)
+    assert(H264.decodeInter(withP(1, 0)).get.lumaSum !=
+      H264.decodeInter(withP(0, 0)).get.lumaSum)
   }
 
   test("bi-prediction decode equals an independent two-reference simulation") {
@@ -884,6 +888,79 @@ class H264Spec extends AnyFunSuite {
       }
       assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
       assert(m.chromaSum == wc, s"seed=$seed chroma ${m.chromaSum} vs $wc")
+      assert(m.weightedSum == ww2, s"seed=$seed weighted")
+    }
+  }
+
+  test("quarter-pel grid lands every class at its exact offset on linear ramps") {
+    // on a ramp r(x,y) = base + bx·x + by·y the 6-tap half filter is
+    // exact (tap moment 16 = 32·½) and every quarter average is exact
+    // up to its final rounding — so each of the 16 classes must land
+    // within ONE count of base + bx(x+fx/4) + by(y+fy/4). A
+    // transposed or mis-signed grid entry is off by ≥ bx/4 or by/4
+    // (set ≥ 8 below, i.e. ≥ 2 counts).
+    // coefficients keep every read ≤ 243 (no clipping in play) while
+    // |bx−by|/4 = 2 catches transposition, 2·b/4 ≥ 2 catches axis
+    // sign, and b/4 = 1 > 0.8 catches a quarter landing on a half
+    // (true rounding is ≤ 0.75: half/j ≤ 0.5, averages ≤ 0.75)
+    val w = 32; val h = 24
+    for ((bx, by) <- Seq((4, 12), (12, 4))) {
+      val ref = Array.tabulate(h * w)(i => 3 + bx * (i % w) + by * (i / w))
+      for (fx <- 0 until 4; fy <- 0 until 4; x <- 8 until 13; y <- 8 until 13) {
+        val got = H264.lumaSubSample(ref, w, h, x, y, fx, fy)
+        val exact = 3.0 + bx * (x + fx / 4.0) + by * (y + fy / 4.0)
+        assert(math.abs(got - exact) <= 0.8,
+          s"class ($fx,$fy) at ($x,$y) ramp ($bx,$by): $got vs $exact")
+      }
+    }
+  }
+
+  test("quarter-pel inter decode equals an independent grid simulation") {
+    for (seed <- 0L until 16L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 2 + (seed % 2).toInt
+      val w = mbW * 16; val h = mbH * 16
+      val m = H264.decodeInter(H264.synthesizeH264InterQuarter(mbW, mbH, nf, seed)).get
+      assert(m.nFrames == nf)
+      def clampi(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      var l = Array.tabulate(h * w)(i => ((seed + (i % w) + 2 * (i / w)) % 251).toInt)
+      var cbP = Array.tabulate(h / 2 * (w / 2))(i =>
+        ((seed + 2 * (i % (w / 2)) + (i / (w / 2))) % 251).toInt)
+      var crP = Array.tabulate(h / 2 * (w / 2))(i =>
+        ((3 * seed + (i % (w / 2)) + 2 * (i / (w / 2))) % 251).toInt)
+      var wl = 0L; var wc = 0L; var ww2 = 0L
+      def add(fi: Int): Unit = {
+        var fl = 0L; l.foreach(fl += _)
+        var fc = 0L; cbP.foreach(fc += _); crP.foreach(fc += _)
+        wl += fl; wc += fc; ww2 += (fi + 1L) * (fl + fc)
+      }
+      add(0)
+      for (f <- 1 until nf) {
+        val qx = H264.synthQuarterQx(seed, f); val qy = H264.synthQuarterQy(seed, f)
+        val fx = Math.floorMod(qx, 4); val fy = Math.floorMod(qy, 4)
+        val dx = Math.floorDiv(qx, 4); val dy = Math.floorDiv(qy, 4)
+        val pl = l
+        l = Array.tabulate(h * w)(i =>
+          H264.lumaSubSample(pl, w, h, (i % w) + dx, (i / w) + dy, fx, fy))
+        val cdx = Math.floorDiv(qx, 8); val cxF = Math.floorMod(qx, 8)
+        val cdy = Math.floorDiv(qy, 8); val cyF = Math.floorMod(qy, 8)
+        def bil(p: Array[Int])(i: Int): Int = {
+          val cw = w / 2; val ch = h / 2
+          val x = i % cw; val y = i / cw
+          def r(xx: Int, yy: Int) = p(clampi(yy, ch - 1) * cw + clampi(xx, cw - 1))
+          ((8 - cxF) * (8 - cyF) * r(x + cdx, y + cdy) +
+            cxF * (8 - cyF) * r(x + cdx + 1, y + cdy) +
+            (8 - cxF) * cyF * r(x + cdx, y + cdy + 1) +
+            cxF * cyF * r(x + cdx + 1, y + cdy + 1) + 32) >> 6
+        }
+        val pcb = cbP; val pcr = crP
+        cbP = Array.tabulate(h / 2 * (w / 2))(bil(pcb))
+        crP = Array.tabulate(h / 2 * (w / 2))(bil(pcr))
+        add(f)
+      }
+      assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
+      assert(m.chromaSum == wc, s"seed=$seed chroma")
       assert(m.weightedSum == ww2, s"seed=$seed weighted")
     }
   }
