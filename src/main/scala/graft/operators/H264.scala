@@ -108,6 +108,16 @@ object H264 {
 
     /** Skip pcm_alignment_zero_bit(s) to the next byte boundary. */
     def alignToByte(): Unit = pos = (pos + 7) & ~7
+
+    // bit index of the rbsp_stop_one_bit (the last set bit)
+    private lazy val lastOne: Int = {
+      var i = bytes.length * 8 - 1
+      while (i >= 0 && ((bytes(i >>> 3) >>> (7 - (i & 7))) & 1) == 0) i -= 1
+      i
+    }
+
+    /** more_rbsp_data(): payload bits remain before the stop bit. */
+    def moreRbsp: Boolean = pos < lastOne
   }
 
   // ---------------------------------------------------------------
@@ -1955,9 +1965,26 @@ object H264 {
     synthInterStream(mbW, mbH, nFrames, seed, withResidual = false,
       weighted = true)
 
+  /** [[synthesizeH264Inter]] with each P frame split into
+    * `slices` horizontal slices (contiguous MB-row groups, raster
+    * order). Slices are independently decodable: MV prediction and
+    * skip derivation reset at each slice, so the BITSTREAM differs
+    * from the single-slice stream (slice-leading MBs carry full
+    * mvds, skips avoid slice-first rows) while the constant
+    * per-frame mv makes the RECONSTRUCTION pixel-identical — the
+    * invariant H264Spec pins.
+    */
+  def synthesizeH264InterSliced(mbW: Int, mbH: Int, nFrames: Int,
+      slices: Int, seed: Long): Array[Byte] =
+    synthInterStream(mbW, mbH, nFrames, seed, withResidual = false,
+      slicesPerFrame = slices)
+
   private def synthInterStream(mbW: Int, mbH: Int, nFrames: Int, seed: Long,
       withResidual: Boolean, halfpel: Boolean = false,
-      weighted: Boolean = false, quarterpel: Boolean = false): Array[Byte] = {
+      weighted: Boolean = false, quarterpel: Boolean = false,
+      slicesPerFrame: Int = 1): Array[Byte] = {
+    require(slicesPerFrame >= 1 && slicesPerFrame <= mbH,
+      "each slice needs at least one MB row")
     val out = new ArrayBuffer[Byte]()
     out ++= Array[Byte](0, 0, 0, 1)
     out += 0x67.toByte
@@ -1969,78 +1996,91 @@ object H264 {
     // IDR frame 0: I_PCM lattice (same closed form as synthesizeH264IPcm, f=0)
     appendIPcmIdr(out, mbW, mbH, seed)
 
+    require(!(withResidual && slicesPerFrame > 1),
+      "multi-slice residual synthesis not emitted (slice-aware nC on the" +
+        " encode side is untested territory)")
     var f = 1
     while (f < nFrames) {
-      out ++= Array[Byte](0, 0, 1)
-      out += 0x41.toByte   // nal_ref_idc=2, type=1 (non-IDR slice)
-      val bw = new BitWriter
-      bw.ue(0)             // first_mb_in_slice
-      bw.ue(5)             // slice_type: P (all slices in pic)
-      bw.ue(0)             // pic_parameter_set_id
-      bw.u(f % 16, 4)      // frame_num
-      bw.u(0, 1)           // num_ref_idx_active_override_flag
-      bw.u(0, 1)           // ref_pic_list_modification_flag_l0
-      if (weighted) {      // pred_weight_table (explicit, 1 ref)
-        val (lwd, lw, lo) = synthWtLuma(seed, f)
-        val (cwd, cw0, co0, cw1, co1) = synthWtChroma(seed, f)
-        bw.ue(lwd); bw.ue(cwd)
-        bw.u(1, 1); bw.se(lw); bw.se(lo)
-        bw.u(1, 1); bw.se(cw0); bw.se(co0); bw.se(cw1); bw.se(co1)
-      }
-      bw.u(0, 1)           // adaptive_ref_pic_marking_mode_flag
-      bw.se(if (withResidual) -2 else 0) // slice_qp_delta (QP 24 / 26)
-      bw.ue(1)             // disable_deblocking_filter_idc
       val qmv =
         if (quarterpel) (synthQuarterQx(seed, f), synthQuarterQy(seed, f))
         else if (halfpel) (synthHalfQx(seed, f), synthHalfQy(seed, f))
         else (4 * synthInterDx(seed, f), 4 * synthInterDy(seed, f))
       val mvs = Array.fill(mbW * mbH)((0, 0))
-      val done = Array.fill(mbW * mbH)(false)
       val tcs = new Array[Int](4 * mbW * 4 * mbH)
-      var skipRun = 0
-      var my = 0
-      while (my < mbH) {
-        var mx = 0
-        while (mx < mbW) {
-          if (synthSkip(seed, f, mx, my)) {
-            // the synth lattice guarantees skipMv == qmv here
-            require(skipMv(mvs, done, mx, my, mbW) == qmv,
-              s"synth invariant: P_Skip mv != frame mv at ($mx,$my) f=$f")
-            skipRun += 1
-          } else {
-            bw.ue(skipRun); skipRun = 0
-            bw.ue(0)       // mb_type: P_L0_16x16
-            val pred = predictMv(mvs, done, mx, my, mbW)
-            bw.se(qmv._1 - pred._1)
-            bw.se(qmv._2 - pred._2)
-            val hasRes = withResidual && synthHasResidual(seed, f, mx, my)
-            // coded_block_pattern, me(v) Inter: codeNum 0 → 0, 11 → 15
-            bw.ue(if (hasRes) 11 else 0)
-            if (hasRes) {
-              bw.se(0)     // mb_qp_delta
-              zScan4x4.foreach { case (zx, zy) =>
-                val gx = mx * 4 + zx; val gy = my * 4 + zy
-                val scan = acScanVectors(synthResidualK(seed, f, gx, gy))
-                val nA = if (gx == 0) -1 else tcs(gy * 4 * mbW + gx - 1)
-                val nB = if (gy == 0) -1 else tcs((gy - 1) * 4 * mbW + gx)
-                val nC =
-                  if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
-                  else if (nA >= 0) nA
-                  else if (nB >= 0) nB
-                  else 0
-                encodeCoeffBlock(bw, scan, nC)
-                tcs(gy * 4 * mbW + gx) = scan.count(_ != 0)
+      var sl = 0
+      while (sl < slicesPerFrame) {
+        val rowStart = sl * mbH / slicesPerFrame
+        val rowEnd = (sl + 1) * mbH / slicesPerFrame
+        out ++= Array[Byte](0, 0, 1)
+        out += 0x41.toByte // nal_ref_idc=2, type=1 (non-IDR slice)
+        val bw = new BitWriter
+        bw.ue(rowStart * mbW) // first_mb_in_slice
+        bw.ue(5)             // slice_type: P (all slices in pic)
+        bw.ue(0)             // pic_parameter_set_id
+        bw.u(f % 16, 4)      // frame_num
+        bw.u(0, 1)           // num_ref_idx_active_override_flag
+        bw.u(0, 1)           // ref_pic_list_modification_flag_l0
+        if (weighted) {      // pred_weight_table (explicit, 1 ref)
+          val (lwd, lw, lo) = synthWtLuma(seed, f)
+          val (cwd, cw0, co0, cw1, co1) = synthWtChroma(seed, f)
+          bw.ue(lwd); bw.ue(cwd)
+          bw.u(1, 1); bw.se(lw); bw.se(lo)
+          bw.u(1, 1); bw.se(cw0); bw.se(co0); bw.se(cw1); bw.se(co1)
+        }
+        bw.u(0, 1)           // adaptive_ref_pic_marking_mode_flag
+        bw.se(if (withResidual) -2 else 0) // slice_qp_delta (QP 24 / 26)
+        bw.ue(1)             // disable_deblocking_filter_idc
+        // slice-local availability: the decoder may not predict
+        // across a slice boundary, so neither may the encoder
+        val done = Array.fill(mbW * mbH)(false)
+        var skipRun = 0
+        var my = rowStart
+        while (my < rowEnd) {
+          var mx = 0
+          while (mx < mbW) {
+            if (synthSkip(seed, f, mx, my) && my != rowStart) {
+              // the synth lattice guarantees skipMv == qmv here (the
+              // slice-first row is excluded: its top neighbor is in
+              // another slice, so P_Skip would derive mv 0)
+              require(skipMv(mvs, done, mx, my, mbW) == qmv,
+                s"synth invariant: P_Skip mv != frame mv at ($mx,$my) f=$f")
+              skipRun += 1
+            } else {
+              bw.ue(skipRun); skipRun = 0
+              bw.ue(0)       // mb_type: P_L0_16x16
+              val pred = predictMv(mvs, done, mx, my, mbW)
+              bw.se(qmv._1 - pred._1)
+              bw.se(qmv._2 - pred._2)
+              val hasRes = withResidual && synthHasResidual(seed, f, mx, my)
+              // coded_block_pattern, me(v) Inter: codeNum 0 → 0, 11 → 15
+              bw.ue(if (hasRes) 11 else 0)
+              if (hasRes) {
+                bw.se(0)     // mb_qp_delta
+                zScan4x4.foreach { case (zx, zy) =>
+                  val gx = mx * 4 + zx; val gy = my * 4 + zy
+                  val scan = acScanVectors(synthResidualK(seed, f, gx, gy))
+                  val nA = if (gx == 0) -1 else tcs(gy * 4 * mbW + gx - 1)
+                  val nB = if (gy == 0) -1 else tcs((gy - 1) * 4 * mbW + gx)
+                  val nC =
+                    if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+                    else if (nA >= 0) nA
+                    else if (nB >= 0) nB
+                    else 0
+                  encodeCoeffBlock(bw, scan, nC)
+                  tcs(gy * 4 * mbW + gx) = scan.count(_ != 0)
+                }
               }
             }
+            mvs(my * mbW + mx) = qmv
+            done(my * mbW + mx) = true
+            mx += 1
           }
-          mvs(my * mbW + mx) = qmv
-          done(my * mbW + mx) = true
-          mx += 1
+          my += 1
         }
-        my += 1
+        if (skipRun > 0) bw.ue(skipRun)
+        out ++= escape(bw.stop())
+        sl += 1
       }
-      if (skipRun > 0) bw.ue(skipRun)
-      out ++= escape(bw.stop())
       f += 1
     }
     out.toArray
@@ -2135,6 +2175,20 @@ object H264 {
       var luma2: Array[Int] = null
       var cb2: Array[Int] = null
       var cr2: Array[Int] = null
+      // pending inter frame under construction — slices must
+      // partition the picture in raster order (first_mb_in_slice
+      // continues exactly where the previous slice stopped); the
+      // frame finalizes when the slice MBs reach the picture size
+      var pnl: Array[Int] = null
+      var pncb: Array[Int] = null
+      var pncr: Array[Int] = null
+      var pMvs: Array[(Int, Int)] = null
+      var pUses0: Array[Boolean] = null
+      var pMvs1: Array[(Int, Int)] = null
+      var pUses1: Array[Boolean] = null
+      var pTcs: Array[Int] = null
+      var pMb = 0
+      var pIsB = false
       var nFrames = 0
       var lumaSum = 0L
       var chromaSum = 0L
@@ -2161,12 +2215,13 @@ object H264 {
             if (r.u(2) != 0) return None // weighted_bipred_idc
           case 5 =>
             val info = sps.getOrElse(return None)
+            if (pnl != null) return None // inter picture left incomplete
             val w = info.mbW * 16; val h = info.mbH * 16
             luma = new Array[Int](w * h)
             cb = new Array[Int](w * h / 4); cr = new Array[Int](w * h / 4)
             luma2 = null; cb2 = null; cr2 = null // IDR invalidates the DPB
             val r = new BitReader(unescape(p, s + 1, e))
-            r.ue()
+            if (r.ue() != 0) return None // single-slice IDR in scope
             if (r.ue() % 5 != 2) return None
             r.ue(); r.u(4); r.ue(); r.u(1); r.u(1); r.se()
             if (r.ue() != 1) { r.se(); r.se() }
@@ -2204,7 +2259,7 @@ object H264 {
             if (luma == null) return None // inter frame before any reference
             val w = info.mbW * 16; val h = info.mbH * 16
             val r = new BitReader(unescape(p, s + 1, e))
-            r.ue()
+            val firstMb = r.ue()
             val sliceType = r.ue() % 5
             if (sliceType != 0 && sliceType != 1) return None // P or B
             val isB = sliceType == 1
@@ -2235,17 +2290,27 @@ object H264 {
             var qpy = 26 + r.se()
             if (r.ue() != 1) { r.se(); r.se() }
             val nMbs = info.mbW * info.mbH
-            // per-4x4-block TotalCoeff grid for the CAVLC nC context;
-            // skipped and cbp-0 macroblocks contribute 0
-            val bW = 4 * info.mbW; val bH = 4 * info.mbH
-            val tcs = new Array[Int](bW * bH)
-            val mvs = Array.fill(nMbs)((0, 0))   // list 0
-            val uses0 = Array.fill(nMbs)(false)
-            val mvs1 = Array.fill(nMbs)((0, 0))  // list 1 (B only)
-            val uses1 = Array.fill(nMbs)(false)
+            if (firstMb == 0) {
+              if (pnl != null) return None // previous frame incomplete
+              pnl = new Array[Int](w * h)
+              pncb = new Array[Int](w * h / 4); pncr = new Array[Int](w * h / 4)
+              pMvs = Array.fill(nMbs)((0, 0)); pUses0 = Array.fill(nMbs)(false)
+              pMvs1 = Array.fill(nMbs)((0, 0)); pUses1 = Array.fill(nMbs)(false)
+              pTcs = new Array[Int](4 * info.mbW * 4 * info.mbH)
+              pMb = 0
+              pIsB = isB
+            } else if (pnl == null || firstMb != pMb || isB != pIsB) {
+              return None // slices must continue in raster order, same type
+            }
+            val bW = 4 * info.mbW
+            val tcs = pTcs
+            val mvs = pMvs; val uses0 = pUses0
+            val mvs1 = pMvs1; val uses1 = pUses1
+            // slice-local availability: slices are INDEPENDENTLY
+            // decodable, so MV prediction must treat macroblocks of
+            // other slices of the same picture as unavailable
             val done = Array.fill(nMbs)(false)
-            val nl = new Array[Int](w * h)
-            val ncb = new Array[Int](w * h / 4); val ncr = new Array[Int](w * h / 4)
+            val nl = pnl; val ncb = pncb; val ncr = pncr
             // bi-prediction scratch (list-1 MC before the average)
             val tl = new Array[Int](w * h)
             val tcb = new Array[Int](w * h / 4); val tcr = new Array[Int](w * h / 4)
@@ -2368,8 +2433,8 @@ object H264 {
                 cy += 1
               }
             }
-            var mb = 0
-            while (mb < nMbs) {
+            var mb = firstMb
+            while (mb < nMbs && r.moreRbsp) {
               var run = r.ue()
               // B_Skip would be (temporal/spatial) DIRECT prediction —
               // out of this subset; a nonzero B skip run is a refusal
@@ -2384,7 +2449,7 @@ object H264 {
                 nSkipped += 1; mvAbs += math.abs(mv._1) + math.abs(mv._2)
                 mb += 1; run -= 1
               }
-              if (mb < nMbs) {
+              if (mb < nMbs && r.moreRbsp) {
                 // mb_type: P_L0_16x16 (P) / B_L0, B_L1, B_Bi 16x16 (B)
                 val mbType = r.ue()
                 val (useL0, useL1) =
@@ -2429,8 +2494,14 @@ object H264 {
                   while (bi < 16) {
                     val (zx, zy) = zScan4x4(bi)
                     val gx = mx * 4 + zx; val gy = myy * 4 + zy
-                    val nA = if (gx == 0) -1 else tcs(gy * bW + gx - 1)
-                    val nB = if (gy == 0) -1 else tcs((gy - 1) * bW + gx)
+                    // nC neighbor availability is slice-bounded too: a
+                    // block whose MB precedes this slice is unavailable
+                    def inSlice(bx: Int, by: Int): Boolean =
+                      (by / 4) * info.mbW + bx / 4 >= firstMb
+                    val nA = if (gx == 0 || !inSlice(gx - 1, gy)) -1
+                      else tcs(gy * bW + gx - 1)
+                    val nB = if (gy == 0 || !inSlice(gx, gy - 1)) -1
+                      else tcs((gy - 1) * bW + gx)
                     val nC =
                       if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
                       else if (nA >= 0) nA
@@ -2457,15 +2528,23 @@ object H264 {
                 mb += 1
               }
             }
-            luma2 = luma; cb2 = cb; cr2 = cr
-            luma = nl; cb = ncb; cr = ncr
-            nFrames += 1
-            var fl = 0L; luma.foreach(fl += _)
-            var fc = 0L; cb.foreach(fc += _); cr.foreach(fc += _)
-            lumaSum += fl; chromaSum += fc; weighted += nFrames.toLong * (fl + fc)
+            if (mb == firstMb) return None // empty slice: malformed
+            pMb = mb
+            if (pMb == nMbs) { // picture complete: becomes the new ref
+              luma2 = luma; cb2 = cb; cr2 = cr
+              luma = pnl; cb = pncb; cr = pncr
+              pnl = null; pncb = null; pncr = null
+              pMvs = null; pUses0 = null; pMvs1 = null; pUses1 = null
+              pTcs = null; pMb = 0
+              nFrames += 1
+              var fl = 0L; luma.foreach(fl += _)
+              var fc = 0L; cb.foreach(fc += _); cr.foreach(fc += _)
+              lumaSum += fl; chromaSum += fc; weighted += nFrames.toLong * (fl + fc)
+            }
           case _ => ()
         }
       }
+      if (pnl != null) return None // stream ended mid-picture
       sps.map(i => InterFrames(nFrames, i.width, i.height,
         lumaSum, chromaSum, weighted, nSkipped, mvAbs, nLevels))
     } catch { case _: IllegalStateException => None }

@@ -1887,6 +1887,36 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // H.264 MULTI-SLICE frames — the decoder-parallelism unit of
+    // real streams: each P frame splits into 2 horizontal slices
+    // (first_mb_in_slice > 0, more_rbsp_data()-bounded slice data),
+    // and slices are INDEPENDENTLY decodable — MV prediction, skip
+    // derivation, and CAVLC nC availability all stop at the slice
+    // boundary. With constant per-frame mvs the reconstruction is
+    // pixel-identical to the single-slice stream (H264Spec pins the
+    // invariant); only the skip lattice shrinks (slice-first rows
+    // cannot skip: their top neighbor is in another slice).
+    "q174_h264_slices" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 0)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbW = 2 + (id % 3).toInt
+          val mbH = 1 + (id % 3).toInt
+          val nf = 2 + (id % 2).toInt
+          val st = graft.operators.H264.synthesizeH264InterSliced(
+            mbW, mbH, nf, math.min(2, mbH), id)
+          graft.operators.H264.decodeInter(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nSkipped, f.mvAbsSum)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height", "luma_sum",
+          "chroma_sum", "weighted_sum", "n_skipped", "mv_abs_sum")
+        .orderBy($"doc_id")
+    },
+
     // H.264 QUARTER-PEL interpolation — the complete §8.4.2.2.1
     // grid: 6-tap half positions, the two-stage center j (vertical
     // 6-tap over UNROUNDED horizontal sums, (+512)>>10), and all
@@ -3966,6 +3996,79 @@ object Pipeline {
         |  CAST(8000 AS INTEGER) AS rate_out,
         |  CAST(si.sum_in AS BIGINT) AS sum_in, ag.sum_out, ag.weighted_out
         |FROM d JOIN si ON si.id = d.id JOIN ag ON ag.id = d.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeH264InterSliced at min(2, mbh) slices: pixel
+    // chains are EXACTLY q163's (slicing must not change the
+    // reconstruction); only the skip lattice shrinks to rows that are
+    // not a slice-first row — for mbh <= 3 with 2 slices (boundary
+    // after row mbh//2... rows 0 and 1 lead slices at mbh in {2,3}),
+    // the eligible rows are exactly generate_series(2, mbh - 1)
+    "q174_h264_slices" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(2 + doc_id % 3 AS INTEGER) AS mbw,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh,
+        |    CAST(2 + doc_id % 2 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |fr AS (SELECT id, mbw, mbh, nf, f.f AS f FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f),
+        |mv AS (SELECT id, mbw, mbh, nf, f,
+        |    2 * ((id + f) % 3 - 1) AS dxf,
+        |    2 * ((id + 2 * f) % 3 - 1) AS dyf,
+        |    2 * ((id + 1) % 3 - 1) AS dx1,
+        |    2 * ((id + 2) % 3 - 1) AS dy1
+        |  FROM fr),
+        |lp AS (SELECT id, f,
+        |    (id
+        |     + CASE WHEN f = 0 THEN x.i
+        |        WHEN f = 1 THEN least(greatest(x.i + dxf, 0), 16 * mbw - 1)
+        |        ELSE least(greatest(least(greatest(x.i + dxf, 0), 16 * mbw - 1)
+        |          + dx1, 0), 16 * mbw - 1) END
+        |     + 2 * CASE WHEN f = 0 THEN y.i
+        |        WHEN f = 1 THEN least(greatest(y.i + dyf, 0), 16 * mbh - 1)
+        |        ELSE least(greatest(least(greatest(y.i + dyf, 0), 16 * mbh - 1)
+        |          + dy1, 0), 16 * mbh - 1) END) % 251 AS v
+        |  FROM mv,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbh - 1)) AS i) y),
+        |cp AS (SELECT id, f,
+        |    (CASE WHEN pl.p = 0 THEN id + 2 * sxy.sx + sxy.sy
+        |          ELSE 3 * id + sxy.sx + 2 * sxy.sy END) % 251 AS v
+        |  FROM mv,
+        |  LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbh - 1)) AS i) y,
+        |  LATERAL (SELECT
+        |    CASE WHEN f = 0 THEN x.i
+        |      WHEN f = 1 THEN least(greatest(x.i + dxf / 2, 0), 8 * mbw - 1)
+        |      ELSE least(greatest(least(greatest(x.i + dxf / 2, 0), 8 * mbw - 1)
+        |        + dx1 / 2, 0), 8 * mbw - 1) END AS sx,
+        |    CASE WHEN f = 0 THEN y.i
+        |      WHEN f = 1 THEN least(greatest(y.i + dyf / 2, 0), 8 * mbh - 1)
+        |      ELSE least(greatest(least(greatest(y.i + dyf / 2, 0), 8 * mbh - 1)
+        |        + dy1 / 2, 0), 8 * mbh - 1) END AS sy) sxy),
+        |lf AS (SELECT id, f, sum(v) AS ls FROM lp GROUP BY 1, 2),
+        |cf AS (SELECT id, f, sum(v) AS cs FROM cp GROUP BY 1, 2),
+        |agg AS (SELECT lf.id AS id, CAST(sum(ls) AS BIGINT) AS luma_sum,
+        |    CAST(sum(cs) AS BIGINT) AS chroma_sum,
+        |    CAST(sum((lf.f + 1) * (ls + cs)) AS BIGINT) AS weighted_sum
+        |  FROM lf JOIN cf ON lf.id = cf.id AND lf.f = cf.f GROUP BY 1),
+        |sk AS (SELECT id, sum(CASE WHEN (id + f + mbx.i + 3 * my.i) % 3 = 0
+        |      THEN 1 ELSE 0 END) AS nsk
+        |  FROM mv,
+        |  LATERAL (SELECT unnest(generate_series(1, mbw - 1)) AS i) mbx,
+        |  LATERAL (SELECT unnest(generate_series(2, mbh - 1)) AS i) my
+        |  WHERE f >= 1 GROUP BY 1),
+        |ma AS (SELECT id, sum(mbw * mbh * 4 * (abs(dxf) + abs(dyf))) AS mvs
+        |  FROM mv WHERE f >= 1 GROUP BY 1)
+        |SELECT d.id AS doc_id, d.nf AS n_frames,
+        |  16 * d.mbw AS width, 16 * d.mbh AS height,
+        |  agg.luma_sum, agg.chroma_sum, agg.weighted_sum,
+        |  CAST(coalesce(sk.nsk, 0) AS BIGINT) AS n_skipped,
+        |  CAST(ma.mvs AS BIGINT) AS mv_abs_sum
+        |FROM d JOIN agg ON agg.id = d.id
+        |LEFT JOIN sk ON sk.id = d.id
+        |JOIN ma ON ma.id = d.id
         |ORDER BY doc_id""".stripMargin,
 
     // mirrors synthesizeH264InterQuarter at nf=2: per-doc quarter mv

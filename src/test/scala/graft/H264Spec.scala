@@ -965,6 +965,46 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("slice count never changes the reconstruction (slices are independent)") {
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 2 + (seed % 2).toInt // >= 2 rows so 2-3 slices exist
+      val nf = 2 + (seed % 2).toInt
+      val one = H264.decodeInter(
+        H264.synthesizeH264InterSliced(mbW, mbH, nf, 1, seed)).get
+      for (s <- 2 to mbH) {
+        val multi = H264.decodeInter(
+          H264.synthesizeH264InterSliced(mbW, mbH, nf, s, seed)).get
+        assert(multi.lumaSum == one.lumaSum &&
+          multi.chromaSum == one.chromaSum &&
+          multi.weightedSum == one.weightedSum,
+          s"seed=$seed slices=$s reconstruction drifted")
+        assert(multi.mvAbsSum == one.mvAbsSum)
+        // the skip lattice can only SHRINK (slice-first rows cannot skip)
+        assert(multi.nSkipped <= one.nSkipped)
+      }
+    }
+  }
+
+  test("multi-slice structure violations are refusals") {
+    val p = H264.synthesizeH264InterSliced(2, 3, 2, 2, 7L)
+    def nalStarts(b: Array[Byte]): Seq[Int] =
+      (0 until b.length - 3).filter(j =>
+        b(j) == 0 && b(j + 1) == 0 && b(j + 2) == 1)
+    val starts = nalStarts(p)
+    // NALs: SPS, PPS, IDR, P-slice-0, P-slice-1
+    assert(starts.length == 5)
+    // dropping the second slice leaves the picture incomplete → None
+    assert(H264.decodeInter(p.take(starts(4))).isEmpty)
+    // dropping the FIRST slice starts a picture mid-frame → None
+    assert(H264.decodeInter(p.take(starts(3)) ++ p.drop(starts(4))).isEmpty)
+    // duplicating slice 1 (first_mb regresses) → None
+    assert(H264.decodeInter(
+      p ++ p.slice(starts(4), p.length)).isEmpty)
+    // intact stream decodes
+    assert(H264.decodeInter(p).nonEmpty)
+  }
+
   test("inter decode of an all-I_PCM stream matches decodeIPcm (P machinery dormant)") {
     val p = H264.synthesizeH264IPcm(2, 2, 2, 9L)
     val a = H264.decodeInter(p).get
