@@ -1643,21 +1643,38 @@ object H264 {
   private[graft] def predictMvList(
       mvs: Array[(Int, Int)], decoded: Array[Boolean], uses: Array[Boolean],
       mbx: Int, my: Int, mbW: Int): (Int, Int) = {
-    // availability is MB-level; the Option payload is (mv, usesList)
-    def at(x: Int, y: Int): Option[((Int, Int), Boolean)] =
+    val refs = Array.tabulate(uses.length)(i => if (uses(i)) 0 else -1)
+    predictMvRef(mvs, decoded, refs, 0, mbx, my, mbW)
+  }
+
+  /** The fully refIdx-aware 16x16 prediction (§8.4.1.3): neighbors
+    * carry (mv, refIdxLX) with −1 for list non-use; the B/C-
+    * unavailable→A rule applies first, then the EXACTLY-ONE-
+    * matching-refIdx shortcut against `curRef`, then the
+    * componentwise median with unavailable/any-ref neighbors'
+    * mvs (non-matching neighbors still contribute their mv).
+    */
+  private[graft] def predictMvRef(
+      mvs: Array[(Int, Int)], decoded: Array[Boolean], refIdx: Array[Int],
+      curRef: Int, mbx: Int, my: Int, mbW: Int): (Int, Int) = {
+    // availability is MB-level; the Option payload is (mv, refIdx)
+    def at(x: Int, y: Int): Option[((Int, Int), Int)] =
       if (x < 0 || y < 0 || x >= mbW || !decoded(y * mbW + x)) None
-      else Some((mvs(y * mbW + x), uses(y * mbW + x)))
+      else Some((mvs(y * mbW + x), refIdx(y * mbW + x)))
     val a = at(mbx - 1, my)
     val b = at(mbx, my - 1)
     val c = at(mbx + 1, my - 1).orElse(at(mbx - 1, my - 1))
     if (b.isEmpty && c.isEmpty && a.nonEmpty) a.get._1
     else {
-      val refs = Seq(a, b, c)
-      val matching = refs.flatten.collect { case (mv, true) => mv }
+      val nbrs = Seq(a, b, c)
+      val matching = nbrs.flatten.collect { case (mv, r) if r == curRef => mv }
       if (matching.size == 1) matching.head
       else {
+        // median over mvs of neighbors USING the list (any refIdx);
+        // unavailable / non-using neighbors contribute (0,0)
         def med(f: ((Int, Int)) => Int): Int = {
-          val v = refs.map(_.collect { case (mv, true) => f(mv) }.getOrElse(0)).sorted
+          val v = nbrs.map(_.collect { case (mv, r) if r >= 0 => f(mv) }
+            .getOrElse(0)).sorted
           v(1)
         }
         (med(_._1), med(_._2))
@@ -1666,19 +1683,26 @@ object H264 {
   }
 
   /** P_Skip motion vector (§8.4.1.1): zero when the left or top
-    * neighbor is unavailable or has a zero mv with refIdx 0;
-    * otherwise the 16x16 median prediction.
+    * neighbor is unavailable or has a zero mv WITH refIdx 0;
+    * otherwise the 16x16 median prediction (refIdx 0).
     */
   private[graft] def skipMv(
       mvs: Array[(Int, Int)], decoded: Array[Boolean],
+      mbx: Int, my: Int, mbW: Int): (Int, Int) =
+    skipMvRef(mvs, decoded, Array.fill(mvs.length)(0), mbx, my, mbW)
+
+  private[graft] def skipMvRef(
+      mvs: Array[(Int, Int)], decoded: Array[Boolean], refIdx: Array[Int],
       mbx: Int, my: Int, mbW: Int): (Int, Int) = {
-    def at(x: Int, y: Int): Option[(Int, Int)] =
+    def at(x: Int, y: Int): Option[((Int, Int), Int)] =
       if (x < 0 || y < 0 || x >= mbW || !decoded(y * mbW + x)) None
-      else Some(mvs(y * mbW + x))
+      else Some((mvs(y * mbW + x), refIdx(y * mbW + x)))
     val a = at(mbx - 1, my)
     val b = at(mbx, my - 1)
-    if (a.isEmpty || b.isEmpty || a.get == ((0, 0)) || b.get == ((0, 0))) (0, 0)
-    else predictMv(mvs, decoded, mbx, my, mbW)
+    if (a.isEmpty || b.isEmpty ||
+        (a.get._2 == 0 && a.get._1 == ((0, 0))) ||
+        (b.get._2 == 0 && b.get._1 == ((0, 0)))) (0, 0)
+    else predictMvRef(mvs, decoded, refIdx, 0, mbx, my, mbW)
   }
 
   /** Whether MB (mbx, my) of P frame f is coded as P_Skip by the
@@ -1965,6 +1989,105 @@ object H264 {
     synthInterStream(mbW, mbH, nFrames, seed, withResidual = false,
       weighted = true)
 
+  /** Per-(frame, ref) constant mv of the multi-ref streams (quarter
+    * units, multiples of 8).
+    */
+  private[graft] def synthMrQ(seed: Long, f: Int, ref: Int): (Int, Int) =
+    (8 * (((seed + 2L * f + ref) % 3).toInt - 1),
+      8 * (((seed + f + 2L * ref + 1L) % 3).toInt - 1))
+
+  /** Per-MB L0 reference index of multi-ref P frame f. */
+  private[graft] def synthMrRef(seed: Long, f: Int, mbx: Int, my: Int): Int =
+    ((seed + f + mbx + my) % 2).toInt
+
+  /** P streams with TWO active L0 references ([prev, prev-prev]):
+    * the slice header raises num_ref_idx_active, each MB carries a
+    * real te(v)-coded ref_idx_l0 chosen by a checkerboard lattice,
+    * and mvd prediction runs the refIdx-AWARE rules — the
+    * exactly-one-matching-neighbor shortcut and the any-ref median
+    * both genuinely fire. Frame 1 is single-ref (so both references
+    * exist); no skips, no residual.
+    */
+  def synthesizeH264MultiRef(mbW: Int, mbH: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    require(nFrames >= 3, "need IDR + P before the first 2-ref frame")
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30, maxRefs = 2))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp())
+    appendIPcmIdr(out, mbW, mbH, seed)
+
+    // frame 1: single-ref P, constant mv, no skips
+    val qp1 = synthMrQ(seed, 1, 0)
+    locally {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(1, 4)
+      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+      bw.se(0); bw.ue(1)
+      val mvs = Array.fill(mbW * mbH)((0, 0))
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          bw.ue(0); bw.ue(0)
+          val pred = predictMv(mvs, done, mx, my, mbW)
+          bw.se(qp1._1 - pred._1); bw.se(qp1._2 - pred._2)
+          bw.ue(0)
+          mvs(my * mbW + mx) = qp1; done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+
+    var f = 2
+    while (f < nFrames) {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(f % 16, 4)
+      bw.u(1, 1)           // num_ref_idx_active_override_flag
+      bw.ue(1)             // num_ref_idx_l0_active_minus1 = 1 (2 refs)
+      bw.u(0, 1)           // ref_pic_list_modification_flag_l0
+      bw.u(0, 1)           // adaptive_ref_pic_marking_mode_flag
+      bw.se(0); bw.ue(1)
+      val mvs = Array.fill(mbW * mbH)((0, 0))
+      val refs = Array.fill(mbW * mbH)(-1)
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          val ref = synthMrRef(seed, f, mx, my)
+          val q = synthMrQ(seed, f, ref)
+          bw.ue(0)           // mb_skip_run
+          bw.ue(0)           // P_L0_16x16
+          bw.u(1 - ref, 1)   // ref_idx_l0, te(v) inverted bit
+          val pred = predictMvRef(mvs, done, refs, ref, mx, my, mbW)
+          bw.se(q._1 - pred._1); bw.se(q._2 - pred._2)
+          bw.ue(0)           // cbp
+          mvs(my * mbW + mx) = q
+          refs(my * mbW + mx) = ref
+          done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+      f += 1
+    }
+    out.toArray
+  }
+
   /** [[synthesizeH264Inter]] with each P frame split into
     * `slices` horizontal slices (contiguous MB-row groups, raster
     * order). Slices are independently decodable: MV prediction and
@@ -2183,9 +2306,9 @@ object H264 {
       var pncb: Array[Int] = null
       var pncr: Array[Int] = null
       var pMvs: Array[(Int, Int)] = null
-      var pUses0: Array[Boolean] = null
+      var pRefs0: Array[Int] = null   // refIdxL0 per MB (-1 = unused)
       var pMvs1: Array[(Int, Int)] = null
-      var pUses1: Array[Boolean] = null
+      var pRefs1: Array[Int] = null
       var pTcs: Array[Int] = null
       var pMb = 0
       var pIsB = false
@@ -2266,7 +2389,16 @@ object H264 {
             if (isB && luma2 == null) return None // B needs both refs
             r.ue(); r.u(4)
             if (isB) r.u(1)  // direct_spatial_mv_pred_flag (no directs here)
-            r.u(1)           // num_ref_idx_active_override_flag
+            // num_ref_idx_active_override: P slices may raise the L0
+            // active count to 2 (list = [prev, prev-prev]); more refs
+            // or a B override are out of this subset
+            var numRef0 = 1
+            if (r.u(1) == 1) {
+              if (isB) return None
+              numRef0 = r.ue() + 1
+              if (numRef0 > 2) return None
+              if (numRef0 == 2 && luma2 == null) return None
+            }
             r.u(1)           // ref_pic_list_modification_flag_l0
             if (isB) r.u(1)  // ref_pic_list_modification_flag_l1
             // explicit weighted prediction (P slices, weighted_pred_flag):
@@ -2294,8 +2426,8 @@ object H264 {
               if (pnl != null) return None // previous frame incomplete
               pnl = new Array[Int](w * h)
               pncb = new Array[Int](w * h / 4); pncr = new Array[Int](w * h / 4)
-              pMvs = Array.fill(nMbs)((0, 0)); pUses0 = Array.fill(nMbs)(false)
-              pMvs1 = Array.fill(nMbs)((0, 0)); pUses1 = Array.fill(nMbs)(false)
+              pMvs = Array.fill(nMbs)((0, 0)); pRefs0 = Array.fill(nMbs)(-1)
+              pMvs1 = Array.fill(nMbs)((0, 0)); pRefs1 = Array.fill(nMbs)(-1)
               pTcs = new Array[Int](4 * info.mbW * 4 * info.mbH)
               pMb = 0
               pIsB = isB
@@ -2304,8 +2436,8 @@ object H264 {
             }
             val bW = 4 * info.mbW
             val tcs = pTcs
-            val mvs = pMvs; val uses0 = pUses0
-            val mvs1 = pMvs1; val uses1 = pUses1
+            val mvs = pMvs; val refs0 = pRefs0
+            val mvs1 = pMvs1; val refs1 = pRefs1
             // slice-local availability: slices are INDEPENDENTLY
             // decodable, so MV prediction must treat macroblocks of
             // other slices of the same picture as unavailable
@@ -2442,10 +2574,10 @@ object H264 {
               while (run > 0) {
                 if (mb >= nMbs) return None
                 val mx = mb % info.mbW; val myy = mb / info.mbW
-                val mv = skipMv(mvs, done, mx, myy, info.mbW)
+                val mv = skipMvRef(mvs, done, refs0, mx, myy, info.mbW)
                 if (!compensate(mx, myy, mv)) return None
                 if (!isB && ppsWeighted) applyWeights(mx, myy)
-                mvs(mb) = mv; uses0(mb) = true; done(mb) = true
+                mvs(mb) = mv; refs0(mb) = 0; done(mb) = true
                 nSkipped += 1; mvAbs += math.abs(mv._1) + math.abs(mv._2)
                 mb += 1; run -= 1
               }
@@ -2461,14 +2593,18 @@ object H264 {
                     case _ => return None // B_Direct / partitions: refuse
                   }
                 val mx = mb % info.mbW; val myy = mb / info.mbW
+                // ref_idx_l0, te(v): with 2 active refs a single
+                // INVERTED bit ('1' → 0, '0' → 1); absent for 1 ref
+                val refL0 =
+                  if (useL0 && numRef0 == 2) 1 - r.u(1) else 0
                 val mv =
                   if (useL0) {
-                    val pr = predictMvList(mvs, done, uses0, mx, myy, info.mbW)
+                    val pr = predictMvRef(mvs, done, refs0, refL0, mx, myy, info.mbW)
                     (pr._1 + r.se(), pr._2 + r.se())
                   } else (0, 0)
                 val mvL1 =
                   if (useL1) {
-                    val pr = predictMvList(mvs1, done, uses1, mx, myy, info.mbW)
+                    val pr = predictMvRef(mvs1, done, refs1, 0, mx, myy, info.mbW)
                     (pr._1 + r.se(), pr._2 + r.se())
                   } else (0, 0)
                 // coded_block_pattern, me(v) Inter column of Table 9-4:
@@ -2480,7 +2616,11 @@ object H264 {
                   case 11 => 15
                   case _ => return None
                 }
-                if (useL0 && !compensate(mx, myy, mv)) return None
+                if (useL0 && !mcInto(
+                    if (refL0 == 1) luma2 else luma,
+                    if (refL0 == 1) cb2 else cb,
+                    if (refL0 == 1) cr2 else cr,
+                    nl, ncb, ncr)(mx, myy, mv)) return None
                 if (useL1 &&
                     !mcInto(luma2, cb2, cr2,
                       if (useL0) tl else nl,
@@ -2520,9 +2660,9 @@ object H264 {
                     bi += 1
                   }
                 }
-                if (useL0) { mvs(mb) = mv; uses0(mb) = true
+                if (useL0) { mvs(mb) = mv; refs0(mb) = refL0
                   mvAbs += math.abs(mv._1) + math.abs(mv._2) }
-                if (useL1) { mvs1(mb) = mvL1; uses1(mb) = true
+                if (useL1) { mvs1(mb) = mvL1; refs1(mb) = 0
                   mvAbs += math.abs(mvL1._1) + math.abs(mvL1._2) }
                 done(mb) = true
                 mb += 1
@@ -2534,7 +2674,7 @@ object H264 {
               luma2 = luma; cb2 = cb; cr2 = cr
               luma = pnl; cb = pncb; cr = pncr
               pnl = null; pncb = null; pncr = null
-              pMvs = null; pUses0 = null; pMvs1 = null; pUses1 = null
+              pMvs = null; pRefs0 = null; pMvs1 = null; pRefs1 = null
               pTcs = null; pMb = 0
               nFrames += 1
               var fl = 0L; luma.foreach(fl += _)

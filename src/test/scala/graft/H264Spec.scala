@@ -1005,6 +1005,72 @@ class H264Spec extends AnyFunSuite {
     assert(H264.decodeInter(p).nonEmpty)
   }
 
+  test("refIdx-aware prediction: matching-neighbor shortcut and any-ref median") {
+    // 2x2 field, predicting for MB (1,1): A=(0,1), B=(1,0), C→D=(0,0)
+    val mvs = Array((10, 2), (30, 6), (50, 4), (0, 0))
+    val done = Array(true, true, true, false)
+    // exactly ONE neighbor (A, idx 2) has refIdx 1 → shortcut to mvA
+    assert(H264.predictMvRef(mvs, done, Array(0, 0, 1, -1), 1, 1, 1, 2) == ((50, 4)))
+    // curRef 0 has TWO matches (D and B) → componentwise median of all
+    // three neighbor mvs (any ref): x med(10,30,50)=30, y med(2,6,4)=4
+    assert(H264.predictMvRef(mvs, done, Array(0, 0, 1, -1), 0, 1, 1, 2) == ((30, 4)))
+  }
+
+  test("multi-ref decode equals an independent per-lattice simulation") {
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 3 + (seed % 2).toInt
+      val w = mbW * 16; val h = mbH * 16
+      val m = H264.decodeInter(H264.synthesizeH264MultiRef(mbW, mbH, nf, seed)).get
+      assert(m.nFrames == nf && m.nSkipped == 0)
+      def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      def shift(p: Array[Array[Int]], dx: Int, dy: Int, hh: Int, ww: Int) =
+        Array.tabulate(hh, ww)((y, x) => p(clamp(y + dy, hh - 1))(clamp(x + dx, ww - 1)))
+      var prev2L: Array[Array[Int]] = null
+      var prev2Cb: Array[Array[Int]] = null
+      var prev2Cr: Array[Array[Int]] = null
+      var lC = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      var cbC = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+      var crC = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+      var wl = 0L; var wc = 0L; var ww2 = 0L
+      def add(fi: Int): Unit = {
+        var fl = 0L; lC.foreach(_.foreach(fl += _))
+        var fc = 0L; cbC.foreach(_.foreach(fc += _)); crC.foreach(_.foreach(fc += _))
+        wl += fl; wc += fc; ww2 += (fi + 1L) * (fl + fc)
+      }
+      add(0)
+      for (f <- 1 until nf) {
+        val p2l = prev2L; val p2cb = prev2Cb; val p2cr = prev2Cr
+        prev2L = lC; prev2Cb = cbC; prev2Cr = crC
+        if (f == 1) {
+          val q = H264.synthMrQ(seed, 1, 0)
+          lC = shift(lC, q._1 / 4, q._2 / 4, h, w)
+          cbC = shift(cbC, q._1 / 8, q._2 / 8, h / 2, w / 2)
+          crC = shift(crC, q._1 / 8, q._2 / 8, h / 2, w / 2)
+        } else {
+          val q0 = H264.synthMrQ(seed, f, 0); val q1 = H264.synthMrQ(seed, f, 1)
+          val s0l = shift(prev2L, q0._1 / 4, q0._2 / 4, h, w)
+          val s1l = shift(p2l, q1._1 / 4, q1._2 / 4, h, w)
+          def mix(a: Array[Array[Int]], b: Array[Array[Int]], blk: Int) =
+            Array.tabulate(a.length, a(0).length) { (y, x) =>
+              if (H264.synthMrRef(seed, f, x / blk, y / blk) == 0) a(y)(x)
+              else b(y)(x)
+            }
+          lC = mix(s0l, s1l, 16)
+          cbC = mix(shift(prev2Cb, q0._1 / 8, q0._2 / 8, h / 2, w / 2),
+            shift(p2cb, q1._1 / 8, q1._2 / 8, h / 2, w / 2), 8)
+          crC = mix(shift(prev2Cr, q0._1 / 8, q0._2 / 8, h / 2, w / 2),
+            shift(p2cr, q1._1 / 8, q1._2 / 8, h / 2, w / 2), 8)
+        }
+        add(f)
+      }
+      assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
+      assert(m.chromaSum == wc, s"seed=$seed chroma")
+      assert(m.weightedSum == ww2, s"seed=$seed weighted")
+    }
+  }
+
   test("inter decode of an all-I_PCM stream matches decodeIPcm (P machinery dormant)") {
     val p = H264.synthesizeH264IPcm(2, 2, 2, 9L)
     val a = H264.decodeInter(p).get
