@@ -1682,6 +1682,70 @@ object H264 {
     }
   }
 
+  /** Partition-level MV prediction over the 4x4-BLOCK mv field
+    * (§8.4.1.3 with the 16x8 / 8x16 directional rules): the
+    * partition's neighbors are block A (left of its top-left block),
+    * B (above it), C (above its top-right block + 1, falling back to
+    * D above-left). `dir` selects the directional shortcut that
+    * applies BEFORE the general derivation when the named neighbor's
+    * refIdx matches: 1 = B (16x8 top), 2 = A (16x8 bottom),
+    * 3 = A (8x16 left), 4 = C (8x16 right), 0 = none (16x16).
+    * Availability is block-level `decoded` (slice-local in the
+    * decoder, so prediction stops at slice boundaries).
+    */
+  private[graft] def predictMvPart(
+      mvs: Array[(Int, Int)], decoded: Array[Boolean], refIdx: Array[Int],
+      curRef: Int, bW: Int, bH: Int,
+      bx: Int, by: Int, wB: Int, dirKind: Int): (Int, Int) = {
+    def at(x: Int, y: Int): Option[((Int, Int), Int)] =
+      if (x < 0 || y < 0 || x >= bW || y >= bH || !decoded(y * bW + x)) None
+      else Some((mvs(y * bW + x), refIdx(y * bW + x)))
+    val a = at(bx - 1, by)
+    val b = at(bx, by - 1)
+    val c = at(bx + wB, by - 1).orElse(at(bx - 1, by - 1))
+    val directional = dirKind match {
+      case 1 => b
+      case 2 | 3 => a
+      case 4 => at(bx + wB, by - 1).orElse(at(bx - 1, by - 1))
+      case _ => None
+    }
+    directional match {
+      case Some((mv, r)) if r == curRef => mv
+      case _ =>
+        if (b.isEmpty && c.isEmpty && a.nonEmpty) a.get._1
+        else {
+          val nbrs = Seq(a, b, c)
+          val matching = nbrs.flatten.collect { case (mv, r) if r == curRef => mv }
+          if (matching.size == 1) matching.head
+          else {
+            def med(f: ((Int, Int)) => Int): Int = {
+              val v = nbrs.map(_.collect { case (mv, r) if r >= 0 => f(mv) }
+                .getOrElse(0)).sorted
+              v(1)
+            }
+            (med(_._1), med(_._2))
+          }
+        }
+    }
+  }
+
+  /** Block-field P_Skip mv: the zero-rule on the MB's A/B neighbors,
+    * else the 16x16 (dir 0) prediction.
+    */
+  private[graft] def skipMvBlk(
+      mvs: Array[(Int, Int)], decoded: Array[Boolean], refIdx: Array[Int],
+      bW: Int, bH: Int, bx: Int, by: Int): (Int, Int) = {
+    def at(x: Int, y: Int): Option[((Int, Int), Int)] =
+      if (x < 0 || y < 0 || x >= bW || y >= bH || !decoded(y * bW + x)) None
+      else Some((mvs(y * bW + x), refIdx(y * bW + x)))
+    val a = at(bx - 1, by)
+    val b = at(bx, by - 1)
+    if (a.isEmpty || b.isEmpty ||
+        (a.get._2 == 0 && a.get._1 == ((0, 0))) ||
+        (b.get._2 == 0 && b.get._1 == ((0, 0)))) (0, 0)
+    else predictMvPart(mvs, decoded, refIdx, 0, bW, bH, bx, by, 4, 0)
+  }
+
   /** P_Skip motion vector (§8.4.1.1): zero when the left or top
     * neighbor is unavailable or has a zero mv WITH refIdx 0;
     * otherwise the 16x16 median prediction (refIdx 0).
@@ -2088,6 +2152,103 @@ object H264 {
     out.toArray
   }
 
+  /** Partition mvs of the PARTITION streams: qA moves 16x16 MBs and
+    * the first (top/left) partition, qB the second (bottom/right).
+    */
+  private[graft] def synthPartQA(seed: Long, f: Int): (Int, Int) =
+    (8 * (((seed + f) % 3).toInt - 1), 8 * (((seed + 2L * f) % 3).toInt - 1))
+  private[graft] def synthPartQB(seed: Long, f: Int): (Int, Int) =
+    (8 * (((seed + f + 1L) % 3).toInt - 1),
+      8 * (((seed + 2L * f + 1L) % 3).toInt - 1))
+
+  /** Per-MB partition kind of P frame f: 0 = P_L0_16x16,
+    * 1 = P_L0_L0_16x8, 2 = P_L0_L0_8x16.
+    */
+  private[graft] def synthPartKind(seed: Long, f: Int, mbx: Int, my: Int): Int =
+    ((seed + f + mbx + my) % 3).toInt
+
+  /** P streams with SUB-MACROBLOCK partitions: a kind lattice mixes
+    * 16x16 / 16x8 / 8x16 macroblocks, each partition carrying its own
+    * mvd against the DIRECTIONAL prediction rules (16x8 top → B,
+    * bottom → A; 8x16 left → A, right → C) over the 4x4-block mv
+    * field — the second partition's prediction sees the first's mvs
+    * inside the same MB. No skips, no residual, 1 reference.
+    */
+  def synthesizeH264Partitions(mbW: Int, mbH: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp())
+    appendIPcmIdr(out, mbW, mbH, seed)
+    val bW = 4 * mbW; val bH = 4 * mbH
+    var f = 1
+    while (f < nFrames) {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(f % 16, 4)
+      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+      bw.se(0); bw.ue(1)
+      val qA = synthPartQA(seed, f); val qB = synthPartQB(seed, f)
+      val mvs = Array.fill(bW * bH)((0, 0))
+      val refs = Array.fill(bW * bH)(-1)
+      val done = Array.fill(bW * bH)(false)
+      def stamp(bx: Int, by: Int, wB: Int, hB: Int, mv: (Int, Int)): Unit = {
+        var yy = by
+        while (yy < by + hB) {
+          var xx = bx
+          while (xx < bx + wB) {
+            mvs(yy * bW + xx) = mv; refs(yy * bW + xx) = 0
+            done(yy * bW + xx) = true
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          val k = synthPartKind(seed, f, mx, my)
+          bw.ue(0)           // mb_skip_run
+          bw.ue(k)           // mb_type
+          if (k == 0) {
+            val pr = predictMvPart(mvs, done, refs, 0, bW, bH,
+              mx * 4, my * 4, 4, 0)
+            bw.se(qA._1 - pr._1); bw.se(qA._2 - pr._2)
+            stamp(mx * 4, my * 4, 4, 4, qA)
+          } else {
+            var part = 0
+            while (part < 2) {
+              val (pbx, pby, pwB, phB, dir) =
+                if (k == 1) (mx * 4, my * 4 + 2 * part, 4, 2,
+                  if (part == 0) 1 else 2)
+                else (mx * 4 + 2 * part, my * 4, 2, 4,
+                  if (part == 0) 3 else 4)
+              val q = if (part == 0) qA else qB
+              val pr = predictMvPart(mvs, done, refs, 0, bW, bH,
+                pbx, pby, pwB, dir)
+              bw.se(q._1 - pr._1); bw.se(q._2 - pr._2)
+              stamp(pbx, pby, pwB, phB, q)
+              part += 1
+            }
+          }
+          bw.ue(0)           // cbp
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+      f += 1
+    }
+    out.toArray
+  }
+
   /** [[synthesizeH264Inter]] with each P frame split into
     * `slices` horizontal slices (contiguous MB-row groups, raster
     * order). Slices are independently decodable: MV prediction and
@@ -2426,8 +2587,9 @@ object H264 {
               if (pnl != null) return None // previous frame incomplete
               pnl = new Array[Int](w * h)
               pncb = new Array[Int](w * h / 4); pncr = new Array[Int](w * h / 4)
-              pMvs = Array.fill(nMbs)((0, 0)); pRefs0 = Array.fill(nMbs)(-1)
-              pMvs1 = Array.fill(nMbs)((0, 0)); pRefs1 = Array.fill(nMbs)(-1)
+              val nBlk = 16 * nMbs // mv fields are 4x4-block granular
+              pMvs = Array.fill(nBlk)((0, 0)); pRefs0 = Array.fill(nBlk)(-1)
+              pMvs1 = Array.fill(nBlk)((0, 0)); pRefs1 = Array.fill(nBlk)(-1)
               pTcs = new Array[Int](4 * info.mbW * 4 * info.mbH)
               pMb = 0
               pIsB = isB
@@ -2438,10 +2600,27 @@ object H264 {
             val tcs = pTcs
             val mvs = pMvs; val refs0 = pRefs0
             val mvs1 = pMvs1; val refs1 = pRefs1
-            // slice-local availability: slices are INDEPENDENTLY
-            // decodable, so MV prediction must treat macroblocks of
-            // other slices of the same picture as unavailable
-            val done = Array.fill(nMbs)(false)
+            // slice-local availability (4x4-block granular): slices
+            // are INDEPENDENTLY decodable, so MV prediction must treat
+            // macroblocks of other slices as unavailable
+            val done = Array.fill(16 * nMbs)(false)
+            val bH = 4 * info.mbH
+            // stamp one partition's mv/ref into the block field
+            def writePart(mvArr: Array[(Int, Int)], refArr: Array[Int],
+                bx: Int, by: Int, wB: Int, hB: Int,
+                mv: (Int, Int), ref: Int): Unit = {
+              var yy = by
+              while (yy < by + hB) {
+                var xx = bx
+                while (xx < bx + wB) {
+                  mvArr(yy * bW + xx) = mv
+                  refArr(yy * bW + xx) = ref
+                  done(yy * bW + xx) = true
+                  xx += 1
+                }
+                yy += 1
+              }
+            }
             val nl = pnl; val ncb = pncb; val ncr = pncr
             // bi-prediction scratch (list-1 MC before the average)
             val tl = new Array[Int](w * h)
@@ -2457,14 +2636,14 @@ object H264 {
             // samples.
             def mcInto(rL: Array[Int], rCb: Array[Int], rCr: Array[Int],
                 oL: Array[Int], oCb: Array[Int], oCr: Array[Int])(
-                mx: Int, myy: Int, mv: (Int, Int)): Boolean = {
+                px0: Int, py0: Int, wP: Int, hP: Int, mv: (Int, Int)): Boolean = {
               val fx = Math.floorMod(mv._1, 4); val fy = Math.floorMod(mv._2, 4)
               val dx = Math.floorDiv(mv._1, 4); val dy = Math.floorDiv(mv._2, 4)
               var y = 0
-              while (y < 16) {
+              while (y < hP) {
                 var x = 0
-                while (x < 16) {
-                  val px = mx * 16 + x; val py = myy * 16 + y
+                while (x < wP) {
+                  val px = px0 + x; val py = py0 + y
                   oL(py * w + px) =
                     lumaSubSample(rL, w, h, px + dx, py + dy, fx, fy)
                   x += 1
@@ -2480,10 +2659,10 @@ object H264 {
                 pl(math.min(math.max(y, 0), ch - 1) * cw +
                   math.min(math.max(x, 0), cw - 1))
               var cy = 0
-              while (cy < 8) {
+              while (cy < hP / 2) {
                 var cx = 0
-                while (cx < 8) {
-                  val px = mx * 8 + cx; val py = myy * 8 + cy
+                while (cx < wP / 2) {
+                  val px = px0 / 2 + cx; val py = py0 / 2 + cy
                   if (cxF == 0 && cyF == 0) {
                     oCb(py * cw + px) = refC(rCb, px + cdx, py + cdy)
                     oCr(py * cw + px) = refC(rCr, px + cdx, py + cdy)
@@ -2505,9 +2684,9 @@ object H264 {
               }
               true
             }
-            // list-0 MC from the most recent reference, into the frame
+            // list-0 whole-MB MC from the most recent reference
             def compensate(mx: Int, myy: Int, mv: (Int, Int)): Boolean =
-              mcInto(luma, cb, cr, nl, ncb, ncr)(mx, myy, mv)
+              mcInto(luma, cb, cr, nl, ncb, ncr)(mx * 16, myy * 16, 16, 16, mv)
             // explicit weighted prediction (§8.4.2.3.2, single list):
             // sample = Clip1(((mc·w + 2^(d−1)) >> d) + o) for d ≥ 1,
             // Clip1(mc·w + o) for d = 0 — applied to the whole MB's
@@ -2574,37 +2753,75 @@ object H264 {
               while (run > 0) {
                 if (mb >= nMbs) return None
                 val mx = mb % info.mbW; val myy = mb / info.mbW
-                val mv = skipMvRef(mvs, done, refs0, mx, myy, info.mbW)
+                val mv = skipMvBlk(mvs, done, refs0, bW, bH, mx * 4, myy * 4)
                 if (!compensate(mx, myy, mv)) return None
                 if (!isB && ppsWeighted) applyWeights(mx, myy)
-                mvs(mb) = mv; refs0(mb) = 0; done(mb) = true
+                writePart(mvs, refs0, mx * 4, myy * 4, 4, 4, mv, 0)
                 nSkipped += 1; mvAbs += math.abs(mv._1) + math.abs(mv._2)
                 mb += 1; run -= 1
               }
               if (mb < nMbs && r.moreRbsp) {
-                // mb_type: P_L0_16x16 (P) / B_L0, B_L1, B_Bi 16x16 (B)
+                // mb_type: P_L0 16x16/16x8/8x16 (P) / B_L0, B_L1,
+                // B_Bi 16x16 (B)
                 val mbType = r.ue()
                 val (useL0, useL1) =
-                  if (!isB) { if (mbType != 0) return None; (true, false) }
-                  else mbType match {
+                  if (!isB) {
+                    if (mbType > 2) return None // 8x8 and below: refuse
+                    (true, false)
+                  } else mbType match {
                     case 1 => (true, false)
                     case 2 => (false, true)
                     case 3 => (true, true)
                     case _ => return None // B_Direct / partitions: refuse
                   }
                 val mx = mb % info.mbW; val myy = mb / info.mbW
+                if (!isB && mbType > 0) {
+                  // P_L0_L0_16x8 (1) / 8x16 (2): two partitions with
+                  // per-partition ref_idx (all first), then mvds in
+                  // order — each prediction runs the DIRECTIONAL rule
+                  // and sees partition 0's mvs in the block field
+                  val refs = Array(0, 0)
+                  if (numRef0 == 2) { refs(0) = 1 - r.u(1); refs(1) = 1 - r.u(1) }
+                  var part = 0
+                  while (part < 2) {
+                    val (pbx, pby, pwB, phB, dir) =
+                      if (mbType == 1) // 16x8: top then bottom
+                        (mx * 4, myy * 4 + 2 * part, 4, 2,
+                          if (part == 0) 1 else 2)
+                      else             // 8x16: left then right
+                        (mx * 4 + 2 * part, myy * 4, 2, 4,
+                          if (part == 0) 3 else 4)
+                    val pr = predictMvPart(mvs, done, refs0, refs(part),
+                      bW, bH, pbx, pby, pwB, dir)
+                    val pmv = (pr._1 + r.se(), pr._2 + r.se())
+                    if (!mcInto(
+                        if (refs(part) == 1) luma2 else luma,
+                        if (refs(part) == 1) cb2 else cb,
+                        if (refs(part) == 1) cr2 else cr,
+                        nl, ncb, ncr)(
+                        pbx * 4, pby * 4, pwB * 4, phB * 4, pmv)) return None
+                    writePart(mvs, refs0, pbx, pby, pwB, phB, pmv, refs(part))
+                    mvAbs += math.abs(pmv._1) + math.abs(pmv._2)
+                    part += 1
+                  }
+                  if (ppsWeighted) applyWeights(mx, myy)
+                  if (r.ue() != 0) return None // partition cbp: out of scope
+                  mb += 1
+                } else {
                 // ref_idx_l0, te(v): with 2 active refs a single
                 // INVERTED bit ('1' → 0, '0' → 1); absent for 1 ref
                 val refL0 =
                   if (useL0 && numRef0 == 2) 1 - r.u(1) else 0
                 val mv =
                   if (useL0) {
-                    val pr = predictMvRef(mvs, done, refs0, refL0, mx, myy, info.mbW)
+                    val pr = predictMvPart(mvs, done, refs0, refL0,
+                      bW, bH, mx * 4, myy * 4, 4, 0)
                     (pr._1 + r.se(), pr._2 + r.se())
                   } else (0, 0)
                 val mvL1 =
                   if (useL1) {
-                    val pr = predictMvRef(mvs1, done, refs1, 0, mx, myy, info.mbW)
+                    val pr = predictMvPart(mvs1, done, refs1, 0,
+                      bW, bH, mx * 4, myy * 4, 4, 0)
                     (pr._1 + r.se(), pr._2 + r.se())
                   } else (0, 0)
                 // coded_block_pattern, me(v) Inter column of Table 9-4:
@@ -2620,12 +2837,13 @@ object H264 {
                     if (refL0 == 1) luma2 else luma,
                     if (refL0 == 1) cb2 else cb,
                     if (refL0 == 1) cr2 else cr,
-                    nl, ncb, ncr)(mx, myy, mv)) return None
+                    nl, ncb, ncr)(mx * 16, myy * 16, 16, 16, mv)) return None
                 if (useL1 &&
                     !mcInto(luma2, cb2, cr2,
                       if (useL0) tl else nl,
                       if (useL0) tcb else ncb,
-                      if (useL0) tcr else ncr)(mx, myy, mvL1)) return None
+                      if (useL0) tcr else ncr)(
+                      mx * 16, myy * 16, 16, 16, mvL1)) return None
                 if (useL0 && useL1) biAverage(mx, myy)
                 if (!isB && ppsWeighted) applyWeights(mx, myy)
                 if (cbp == 15) {
@@ -2660,12 +2878,12 @@ object H264 {
                     bi += 1
                   }
                 }
-                if (useL0) { mvs(mb) = mv; refs0(mb) = refL0
+                if (useL0) { writePart(mvs, refs0, mx * 4, myy * 4, 4, 4, mv, refL0)
                   mvAbs += math.abs(mv._1) + math.abs(mv._2) }
-                if (useL1) { mvs1(mb) = mvL1; refs1(mb) = 0
+                if (useL1) { writePart(mvs1, refs1, mx * 4, myy * 4, 4, 4, mvL1, 0)
                   mvAbs += math.abs(mvL1._1) + math.abs(mvL1._2) }
-                done(mb) = true
                 mb += 1
+                }
               }
             }
             if (mb == firstMb) return None // empty slice: malformed

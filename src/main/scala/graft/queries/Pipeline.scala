@@ -1887,6 +1887,31 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // H.264 SUB-MACROBLOCK partitions — 16x8 / 8x16 P macroblocks
+    // mixed with 16x16 on a kind lattice: per-partition mvds against
+    // the DIRECTIONAL prediction rules (16x8 top → B, bottom → A;
+    // 8x16 left → A, right → C) over the 4x4-block mv field, the
+    // second partition predicting from the first inside the same MB.
+    // The oracle selects each pixel's displacement by (kind, half).
+    "q176_h264_partitions" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 2)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbW = 2 + (id % 3).toInt
+          val mbH = 1 + (id % 3).toInt
+          val st = graft.operators.H264.synthesizeH264Partitions(mbW, mbH, 2, id)
+          graft.operators.H264.decodeInter(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nSkipped, f.mvAbsSum)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height", "luma_sum",
+          "chroma_sum", "weighted_sum", "n_skipped", "mv_abs_sum")
+        .orderBy($"doc_id")
+    },
+
     // H.264 MULTIPLE REFERENCE indices — P slices with two active L0
     // refs ([prev, prev-prev]): per-MB te(v)-coded ref_idx_l0 on a
     // checkerboard, per-(frame, ref) constant mvs, and the
@@ -4021,6 +4046,85 @@ object Pipeline {
         |  CAST(8000 AS INTEGER) AS rate_out,
         |  CAST(si.sum_in AS BIGINT) AS sum_in, ag.sum_out, ag.weighted_out
         |FROM d JOIN si ON si.id = d.id JOIN ag ON ag.id = d.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeH264Partitions at nf=2: pixel displacement
+    // selected by the kind lattice (id+1+mx+my)%3 and the pixel's
+    // half — qA = (2*((id+1)%3-1), 2*((id+2)%3-1)) full samples for
+    // 16x16 and first partitions, qB = (2*((id+2)%3-1),
+    // 2*((id+3)%3-1)) for bottom/right halves; chroma mirrors at
+    // half resolution; per-MB |mv| sums by kind
+    "q176_h264_partitions" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(2 + doc_id % 3 AS INTEGER) AS mbw,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |dv AS (SELECT id, mbw, mbh,
+        |    2 * ((id + 1) % 3 - 1) AS dxa, 2 * ((id + 2) % 3 - 1) AS dya,
+        |    2 * ((id + 2) % 3 - 1) AS dxb, 2 * ((id + 3) % 3 - 1) AS dyb
+        |  FROM d),
+        |ls AS (SELECT p.id,
+        |    sum((p.id + p.x + 2 * p.y) % 251) AS l0,
+        |    sum((p.id
+        |      + least(greatest(p.x + CASE WHEN
+        |          ((p.id + 1 + p.x // 16 + p.y // 16) % 3 = 1 AND p.y % 16 >= 8)
+        |          OR ((p.id + 1 + p.x // 16 + p.y // 16) % 3 = 2 AND p.x % 16 >= 8)
+        |        THEN w.dxb ELSE w.dxa END, 0), 16 * p.mbw - 1)
+        |      + 2 * least(greatest(p.y + CASE WHEN
+        |          ((p.id + 1 + p.x // 16 + p.y // 16) % 3 = 1 AND p.y % 16 >= 8)
+        |          OR ((p.id + 1 + p.x // 16 + p.y // 16) % 3 = 2 AND p.x % 16 >= 8)
+        |        THEN w.dyb ELSE w.dya END, 0), 16 * p.mbh - 1)) % 251) AS l1
+        |  FROM (SELECT id, mbw, mbh, x.i AS x, y.i AS y FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, 16 * mbw - 1)) AS i) x,
+        |    LATERAL (SELECT unnest(generate_series(0, 16 * mbh - 1)) AS i) y) p
+        |  JOIN dv w ON w.id = p.id GROUP BY 1),
+        |cs AS (SELECT p.id,
+        |    sum(CASE WHEN p.pl = 0 THEN (p.id + 2 * p.x + p.y) % 251
+        |        ELSE (3 * p.id + p.x + 2 * p.y) % 251 END) AS c0,
+        |    sum(CASE WHEN p.pl = 0
+        |      THEN (p.id
+        |        + 2 * least(greatest(p.x + CASE WHEN
+        |            ((p.id + 1 + p.x // 8 + p.y // 8) % 3 = 1 AND p.y % 8 >= 4)
+        |            OR ((p.id + 1 + p.x // 8 + p.y // 8) % 3 = 2 AND p.x % 8 >= 4)
+        |          THEN w.dxb // 2 ELSE w.dxa // 2 END, 0), 8 * p.mbw - 1)
+        |        + least(greatest(p.y + CASE WHEN
+        |            ((p.id + 1 + p.x // 8 + p.y // 8) % 3 = 1 AND p.y % 8 >= 4)
+        |            OR ((p.id + 1 + p.x // 8 + p.y // 8) % 3 = 2 AND p.x % 8 >= 4)
+        |          THEN w.dyb // 2 ELSE w.dya // 2 END, 0), 8 * p.mbh - 1)) % 251
+        |      ELSE (3 * p.id
+        |        + least(greatest(p.x + CASE WHEN
+        |            ((p.id + 1 + p.x // 8 + p.y // 8) % 3 = 1 AND p.y % 8 >= 4)
+        |            OR ((p.id + 1 + p.x // 8 + p.y // 8) % 3 = 2 AND p.x % 8 >= 4)
+        |          THEN w.dxb // 2 ELSE w.dxa // 2 END, 0), 8 * p.mbw - 1)
+        |        + 2 * least(greatest(p.y + CASE WHEN
+        |            ((p.id + 1 + p.x // 8 + p.y // 8) % 3 = 1 AND p.y % 8 >= 4)
+        |            OR ((p.id + 1 + p.x // 8 + p.y // 8) % 3 = 2 AND p.x % 8 >= 4)
+        |          THEN w.dyb // 2 ELSE w.dya // 2 END, 0), 8 * p.mbh - 1)) % 251
+        |      END) AS c1
+        |  FROM (SELECT id, mbw, mbh, pl.p AS pl, x.i AS x, y.i AS y FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
+        |    LATERAL (SELECT unnest(generate_series(0, 8 * mbw - 1)) AS i) x,
+        |    LATERAL (SELECT unnest(generate_series(0, 8 * mbh - 1)) AS i) y) p
+        |  JOIN dv w ON w.id = p.id GROUP BY 1),
+        |ma AS (SELECT w.id,
+        |    (SELECT sum(CASE (w.id + 1 + mb.mx + mb.my) % 3
+        |        WHEN 0 THEN abs(4 * w.dxa) + abs(4 * w.dya)
+        |        ELSE abs(4 * w.dxa) + abs(4 * w.dya)
+        |          + abs(4 * w.dxb) + abs(4 * w.dyb) END)
+        |      FROM (SELECT x.i AS mx, y.i AS my FROM
+        |        (SELECT unnest(generate_series(0, w.mbw - 1)) AS i) x,
+        |        (SELECT unnest(generate_series(0, w.mbh - 1)) AS i) y) mb)
+        |    AS mvs
+        |  FROM dv w)
+        |SELECT d.id AS doc_id, CAST(2 AS INTEGER) AS n_frames,
+        |  16 * d.mbw AS width, 16 * d.mbh AS height,
+        |  CAST(ls.l0 + ls.l1 AS BIGINT) AS luma_sum,
+        |  CAST(cs.c0 + cs.c1 AS BIGINT) AS chroma_sum,
+        |  CAST(ls.l0 + cs.c0 + 2 * (ls.l1 + cs.c1) AS BIGINT) AS weighted_sum,
+        |  CAST(0 AS BIGINT) AS n_skipped,
+        |  CAST(ma.mvs AS BIGINT) AS mv_abs_sum
+        |FROM d JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
+        |JOIN ma ON ma.id = d.id
         |ORDER BY doc_id""".stripMargin,
 
     // mirrors synthesizeH264MultiRef at nf=3: f1 shifts by the

@@ -1071,6 +1071,80 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("partition prediction uses the directional rules before the median") {
+    // 8x8-block field (2x2 MBs), all decoded, ref 0, distinct mvs per
+    // block row/col so directional and median results differ
+    val bW = 8; val bH = 8
+    val mvs = Array.tabulate(bW * bH)(i => (10 * (i % bW), 10 * (i / bW)))
+    val done = Array.fill(bW * bH)(true)
+    val refs = Array.fill(bW * bH)(0)
+    // 16x8 TOP partition of MB (1,1): blocks (4..7, 4..5); dir 1 → B =
+    // block (4,3) → mv (40,30)
+    assert(H264.predictMvPart(mvs, done, refs, 0, bW, bH, 4, 4, 4, 1) == ((40, 30)))
+    // 16x8 BOTTOM at (4,6): dir 2 → A = block (3,6) → (30,60)
+    assert(H264.predictMvPart(mvs, done, refs, 0, bW, bH, 4, 6, 4, 2) == ((30, 60)))
+    // 8x16 LEFT at (4,4): dir 3 → A = (3,4) → (30,40)
+    assert(H264.predictMvPart(mvs, done, refs, 0, bW, bH, 4, 4, 2, 3) == ((30, 40)))
+    // 8x16 RIGHT at (6,4): dir 4 → C = block (8,3)? out of bounds →
+    // D = (5,3) → (50,30)
+    assert(H264.predictMvPart(mvs, done, refs, 0, bW, bH, 6, 4, 2, 4) == ((50, 30)))
+    // same position without a directional rule: median of A=(5,4)=(50,40),
+    // B=(6,3)=(60,30), C→D=(5,3)=(50,30) → (50,30)
+    assert(H264.predictMvPart(mvs, done, refs, 0, bW, bH, 6, 4, 2, 0) == ((50, 30)))
+    // directional neighbor with a NON-matching refIdx falls back: make
+    // B's ref 1 for the 16x8 top case → general rule (all-available
+    // median of A=(3,4)=(30,40), B=(4,3)=(40,30), C=(8,3)→D=(3,3)=(30,30))
+    val refs2 = refs.clone(); refs2(3 * bW + 4) = 1
+    assert(H264.predictMvPart(mvs, done, refs2, 0, bW, bH, 4, 4, 4, 1) == ((30, 30)))
+  }
+
+  test("partitioned P decode equals an independent per-half simulation") {
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 2 + (seed % 2).toInt
+      val w = mbW * 16; val h = mbH * 16
+      val m = H264.decodeInter(H264.synthesizeH264Partitions(mbW, mbH, nf, seed)).get
+      assert(m.nFrames == nf && m.nSkipped == 0)
+      def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      var l = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      var cbP = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+      var crP = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+      var wl = 0L; var wc = 0L; var ww2 = 0L
+      def add(fi: Int): Unit = {
+        var fl = 0L; l.foreach(_.foreach(fl += _))
+        var fc = 0L; cbP.foreach(_.foreach(fc += _)); crP.foreach(_.foreach(fc += _))
+        wl += fl; wc += fc; ww2 += (fi + 1L) * (fl + fc)
+      }
+      add(0)
+      for (f <- 1 until nf) {
+        val qA = H264.synthPartQA(seed, f); val qB = H264.synthPartQB(seed, f)
+        def useB(blk: Int)(x: Int, y: Int): Boolean = {
+          val k = H264.synthPartKind(seed, f, x / blk, y / blk)
+          (k == 1 && y % blk >= blk / 2) || (k == 2 && x % blk >= blk / 2)
+        }
+        val pl = l
+        l = Array.tabulate(h, w) { (y, x) =>
+          val q = if (useB(16)(x, y)) qB else qA
+          pl(clamp(y + q._2 / 4, h - 1))(clamp(x + q._1 / 4, w - 1))
+        }
+        val pcb = cbP; val pcr = crP
+        cbP = Array.tabulate(h / 2, w / 2) { (y, x) =>
+          val q = if (useB(8)(x, y)) qB else qA
+          pcb(clamp(y + q._2 / 8, h / 2 - 1))(clamp(x + q._1 / 8, w / 2 - 1))
+        }
+        crP = Array.tabulate(h / 2, w / 2) { (y, x) =>
+          val q = if (useB(8)(x, y)) qB else qA
+          pcr(clamp(y + q._2 / 8, h / 2 - 1))(clamp(x + q._1 / 8, w / 2 - 1))
+        }
+        add(f)
+      }
+      assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
+      assert(m.chromaSum == wc, s"seed=$seed chroma ${m.chromaSum} vs $wc")
+      assert(m.weightedSum == ww2, s"seed=$seed weighted")
+    }
+  }
+
   test("inter decode of an all-I_PCM stream matches decodeIPcm (P machinery dormant)") {
     val p = H264.synthesizeH264IPcm(2, 2, 2, 9L)
     val a = H264.decodeInter(p).get
