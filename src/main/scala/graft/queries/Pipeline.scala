@@ -497,6 +497,36 @@ object Pipeline {
         approx, corpus.filter($"vid" < 500), corpus, minRecall = 0.25)
     },
 
+    // STREAMING IVF index maintenance — the vector twin of q166: a
+    // vector stream feeds the persisted q147 index through the
+    // idempotent foreachBatch sink (first batch trains, later ones
+    // run the frozen-centroid delta append), with one batch
+    // RE-DELIVERED mid-sequence that the in-directory batchlog must
+    // no-op. Probe + recall audit identical to q147: the probe
+    // cannot tell how the index was fed.
+    "q177_stream_ivf_index" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-str").toString
+      import graft.streaming.StreamingIndex
+      val applied = Seq(
+        StreamingIndex.applyIvfBatch(
+          corpus.filter($"vid" % 4 < 2), dim = 64, idxDir, batchId = 0),
+        StreamingIndex.applyIvfBatch(
+          corpus.filter($"vid" % 4 === 2), dim = 64, idxDir, batchId = 1),
+        StreamingIndex.applyIvfBatch( // crash-replay of batch 1
+          corpus.filter($"vid" % 4 === 2), dim = 64, idxDir, batchId = 1),
+        StreamingIndex.applyIvfBatch(
+          corpus.filter($"vid" % 4 === 3), dim = 64, idxDir, batchId = 2))
+      require(applied == Seq(true, true, false, true),
+        s"ivf batchlog idempotence violated: $applied")
+      val approx = Similarity.ivfProbeIndexed(s, idxDir,
+        corpus.filter($"vid" < 500), k = 5)
+      Pipeline.annRecallAudit(
+        approx, corpus.filter($"vid" < 500), corpus, minRecall = 0.25)
+    },
+
     // Product-quantization ANN: per-subspace trained codebooks, 8-code
     // encoded corpus, ADC table-lookup scoring — gated by the same
     // recall-vs-brute-force audit as q36/q42.
@@ -3226,6 +3256,14 @@ object Pipeline {
         |FROM embeddings""".stripMargin,
 
     "q147_ivf_index_refresh" ->
+      """SELECT least(count(*), 500) AS n_queries,
+        | least(count(*), 500) * 5 AS n_truth,
+        | TRUE AS recall_in_bound
+        |FROM embeddings""".stripMargin,
+
+    // identical audit contract — streaming maintenance must be
+    // invisible to the probe
+    "q177_stream_ivf_index" ->
       """SELECT least(count(*), 500) AS n_queries,
         | least(count(*), 500) * 5 AS n_truth,
         | TRUE AS recall_in_bound

@@ -80,4 +80,53 @@ object StreamingIndex {
         ()
       }
       .start()
+
+  /** Apply one micro-batch of prepared vectors (vid, qv, nrm — the
+    * [[graft.operators.Similarity.prepare]] shape) to a persisted IVF
+    * index directory, idempotently by `batchId` — the vector twin of
+    * [[applyBm25Batch]]. The FIRST batch trains the coarse quantizer
+    * ([[graft.operators.Similarity.buildIvfIndex]]); every later one
+    * assigns against the FROZEN centroids and appends delta-sized
+    * files (the FAISS-`add` contract q147 pins: frozen-append ≡
+    * assigning the union). The batchlog lives inside the index
+    * directory as a parquet table, so re-delivered ids no-op.
+    */
+  def applyIvfBatch(batch: DataFrame, dim: Int, dir: String,
+      batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val logPath = s"$dir/batchlog"
+    val fs = new org.apache.hadoop.fs.Path(logPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
+        !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
+      return false
+    }
+    val applied =
+      if (batch.isEmpty) false
+      else {
+        val hasIndex =
+          fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids")) ||
+            fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids_l1"))
+        if (hasIndex) graft.operators.Similarity.appendIvfIndex(spark, batch, dir)
+        else graft.operators.Similarity.buildIvfIndex(batch, dim, dir)
+        true
+      }
+    Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    applied
+  }
+
+  /** foreachBatch sink: keep a persisted IVF index current from a
+    * vector stream.
+    */
+  def ivfIndexSink(vecs: DataFrame, dim: Int, dir: String,
+      checkpoint: String): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyIvfBatch(batch, dim, dir, batchId)
+        ()
+      }
+      .start()
 }

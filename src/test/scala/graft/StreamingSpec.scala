@@ -1148,6 +1148,46 @@ class StreamingSpec extends SparkSpec {
       }
   }
 
+  test("streaming IVF index maintenance: stream == build+append with same first batch") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamingIndex
+    import java.nio.file.{Files => JFiles, Paths}
+    val corpus = Similarity.prepare(
+      Tables(spark, sf).embeddings, "vec_id", "embedding").cache()
+    // stage as multiple files, one per trigger; capture batch 0's
+    // CONTENT so the reference index trains on exactly the same rows
+    // (frozen-centroid append makes later order irrelevant — q147)
+    val dir = JFiles.createTempDirectory("graft-ivfdocs").toString
+    corpus.repartition(3).write.mode("overwrite").parquet(dir)
+    val files = JFiles.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    assert(files.length >= 2)
+    val streamed = JFiles.createTempDirectory("graft-ivfstr").toString
+    val ckpt = JFiles.createTempDirectory("graft-ivfck").toString
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamingIndex.ivfIndexSink(stream, 64, streamed, ckpt)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(s"$streamed/batchlog").count() >= 2)
+    // file-source batches arrive in listing order: batch 0 = files(0)
+    val b0 = spark.read.parquet(files.head)
+    val rest = corpus.as("c").join(b0.select("vid"), Seq("vid"), "left_anti")
+    val ref = JFiles.createTempDirectory("graft-ivfref").toString
+    Similarity.buildIvfIndex(b0, 64, ref)
+    Similarity.appendIvfIndex(spark, rest, ref)
+    val queries = corpus.limit(50).cache()
+    def probe(d: String) =
+      Similarity.ivfProbeIndexed(spark, d, queries, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = probe(ref)
+    assert(want.nonEmpty)
+    assert(probe(streamed) == want,
+      "stream-maintained IVF index must answer probes like build+append")
+    // re-delivered batch id is a no-op
+    assert(!StreamingIndex.applyIvfBatch(corpus.limit(5), 64, streamed, 0))
+    assert(probe(streamed) == want)
+  }
+
   test("streaming BM25 index maintenance: multi-trigger stream == batch build") {
     import graft.operators.Retrieval
     import graft.streaming.StreamingIndex
