@@ -1941,7 +1941,16 @@ object H264 {
     * and the default (L0+L1+1)>>1 average — no skips, no residual,
     * cbp 0.
     */
-  def synthesizeH264Bi(mbW: Int, mbH: Int, nFrames: Int, seed: Long): Array[Byte] = {
+  def synthesizeH264Bi(mbW: Int, mbH: Int, nFrames: Int, seed: Long): Array[Byte] =
+    synthesizeH264BiRes(mbW, mbH, nFrames, seed, withResidual = false)
+
+  /** [[synthesizeH264Bi]] with CAVLC luma residuals on a mod-2 MB
+    * lattice of the B frames (cbp 15 at QP 24, the q150 vector
+    * family) — residuals add AFTER the bi-prediction average / list
+    * selection, the last inter composition not yet in-stream.
+    */
+  def synthesizeH264BiRes(mbW: Int, mbH: Int, nFrames: Int, seed: Long,
+      withResidual: Boolean = true): Array[Byte] = {
     require(nFrames >= 3, "need IDR + P before the first B frame")
     val out = new ArrayBuffer[Byte]()
     out ++= Array[Byte](0, 0, 0, 1)
@@ -1994,8 +2003,9 @@ object H264 {
       bw.u(0, 1)           // num_ref_idx_active_override_flag
       bw.u(0, 1); bw.u(0, 1) // ref_pic_list_modification l0, l1
       bw.u(0, 1)           // adaptive_ref_pic_marking_mode_flag
-      bw.se(0); bw.ue(1)
+      bw.se(if (withResidual) -2 else 0); bw.ue(1) // QP 24 / 26
       val q0 = synthBiQ0(seed, f); val q1 = synthBiQ1(seed, f)
+      val tcs = new Array[Int](4 * mbW * 4 * mbH)
       val mvs0 = Array.fill(mbW * mbH)((0, 0))
       val uses0 = Array.fill(mbW * mbH)(false)
       val mvs1 = Array.fill(mbW * mbH)((0, 0))
@@ -2016,7 +2026,24 @@ object H264 {
             val pr = predictMvList(mvs1, done, uses1, mx, my, mbW)
             bw.se(q1._1 - pr._1); bw.se(q1._2 - pr._2)
           }
-          bw.ue(0)         // cbp
+          val hasRes = withResidual && synthHasResidual(seed, f, mx, my)
+          bw.ue(if (hasRes) 11 else 0) // cbp (me(v) Inter: 11 -> 15)
+          if (hasRes) {
+            bw.se(0)       // mb_qp_delta
+            zScan4x4.foreach { case (zx, zy) =>
+              val gx = mx * 4 + zx; val gy = my * 4 + zy
+              val scan = acScanVectors(synthResidualK(seed, f, gx, gy))
+              val nA = if (gx == 0) -1 else tcs(gy * 4 * mbW + gx - 1)
+              val nB = if (gy == 0) -1 else tcs((gy - 1) * 4 * mbW + gx)
+              val nC =
+                if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+                else if (nA >= 0) nA
+                else if (nB >= 0) nB
+                else 0
+              encodeCoeffBlock(bw, scan, nC)
+              tcs(gy * 4 * mbW + gx) = scan.count(_ != 0)
+            }
+          }
           if (t != 2) { mvs0(my * mbW + mx) = q0; uses0(my * mbW + mx) = true }
           if (t != 1) { mvs1(my * mbW + mx) = q1; uses1(my * mbW + mx) = true }
           done(my * mbW + mx) = true

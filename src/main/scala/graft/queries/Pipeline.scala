@@ -1997,6 +1997,32 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // H.264 B-frames WITH residuals — the last inter composition:
+    // CAVLC luma residuals (cbp 15, QP 24) added AFTER the
+    // bi-prediction average / list selection, clipped, with the
+    // reconstruction feeding nothing further (single B). Oracle =
+    // q169's two-reference chains + the pinned residual columns +
+    // clip on the B-frame lattice.
+    "q178_h264_bipred_residual" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 0)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbW = 2 + (id % 3).toInt
+          val mbH = 1 + (id % 3).toInt
+          val st = graft.operators.H264.synthesizeH264BiRes(mbW, mbH, 3, id)
+          graft.operators.H264.decodeInter(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nSkipped,
+              f.mvAbsSum, f.nLevels)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height", "luma_sum",
+          "chroma_sum", "weighted_sum", "n_skipped", "mv_abs_sum", "n_levels")
+        .orderBy($"doc_id")
+    },
+
     // H.264 QUARTER-PEL interpolation — the complete §8.4.2.2.1
     // grid: 6-tap half positions, the two-stage center j (vertical
     // 6-tap over UNROUNDED horizontal sums, (+512)>>10), and all
@@ -3951,6 +3977,131 @@ object Pipeline {
         |FROM d JOIN mvp m ON m.id = d.id
         |JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
         |LEFT JOIN sk ON sk.id = d.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeH264BiRes at nf=3: q169's two-reference
+    // chains, then the H264Spec-pinned q150 residual columns by
+    // k = (id + 22 + bx*7 + by*5)%4 added on the hasRes MB lattice
+    // (id+2+mx+2my)%2 = 0 with both clip rails; chroma carries no
+    // residual; n_levels counts CAVLC levels per block (tc by k)
+    "q178_h264_bipred_residual" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(2 + doc_id % 3 AS INTEGER) AS mbw,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |dv AS (SELECT id, mbw, mbh,
+        |    2 * ((id + 1) % 3 - 1) AS dpx, 2 * ((id + 2) % 3 - 1) AS dpy,
+        |    2 * ((id + 4) % 3 - 1) AS d0x, 2 * ((id + 3) % 3 - 1) AS d0y,
+        |    2 * ((id + 2) % 3 - 1) AS d1x, 2 * ((id + 5) % 3 - 1) AS d1y
+        |  FROM d),
+        |px AS (SELECT p.id, p.mbw, p.mbh, p.x, p.y,
+        |    least(greatest(p.x + dv.dpx, 0), 16 * p.mbw - 1) AS spx,
+        |    least(greatest(p.y + dv.dpy, 0), 16 * p.mbh - 1) AS spy,
+        |    least(greatest(p.x + dv.d0x, 0), 16 * p.mbw - 1) AS sx0,
+        |    least(greatest(p.y + dv.d0y, 0), 16 * p.mbh - 1) AS sy0,
+        |    least(greatest(p.x + dv.d1x, 0), 16 * p.mbw - 1) AS sx1,
+        |    least(greatest(p.y + dv.d1y, 0), 16 * p.mbh - 1) AS sy1
+        |  FROM (SELECT id, mbw, mbh, x.i AS x, y.i AS y FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, 16 * mbw - 1)) AS i) x,
+        |    LATERAL (SELECT unnest(generate_series(0, 16 * mbh - 1)) AS i) y) p
+        |  JOIN dv ON dv.id = p.id),
+        |f0 AS (SELECT id, x, y, (id + x + 2 * y) % 251 AS v FROM px),
+        |f1 AS (SELECT s.id, s.x, s.y, f0.v FROM px s
+        |  JOIN f0 ON f0.id = s.id AND f0.x = s.spx AND f0.y = s.spy),
+        |f2a AS (SELECT s.id, s.x, s.y, s.sx1, s.sy1, l0.v AS v0 FROM px s
+        |  JOIN f1 l0 ON l0.id = s.id AND l0.x = s.sx0 AND l0.y = s.sy0),
+        |f2 AS (SELECT s.id, s.x, s.y,
+        |    least(greatest(
+        |      CASE 1 + (s.id + 2 + s.x // 16 + 2 * (s.y // 16)) % 3
+        |        WHEN 1 THEN s.v0
+        |        WHEN 2 THEN l1.v
+        |        ELSE (s.v0 + l1.v + 1) // 2 END
+        |      + CASE WHEN (s.id + 2 + s.x // 16 + 2 * (s.y // 16)) % 2 = 0
+        |        THEN CASE ((s.id + 22 + (s.x // 4) * 7 + (s.y // 4) * 5) % 4) * 4
+        |            + s.x % 4
+        |          WHEN 0 THEN 5 WHEN 1 THEN 5 WHEN 2 THEN 5 WHEN 3 THEN 5
+        |          WHEN 4 THEN 1 WHEN 5 THEN -1 WHEN 6 THEN -4 WHEN 7 THEN -6
+        |          WHEN 8 THEN 0 WHEN 9 THEN 5 WHEN 10 THEN 5 WHEN 11 THEN 0
+        |          WHEN 12 THEN 2 WHEN 13 THEN 5 WHEN 14 THEN -5 ELSE -2 END
+        |        ELSE 0 END, 0), 255) AS v
+        |  FROM f2a s
+        |  JOIN f0 l1 ON l1.id = s.id AND l1.x = s.sx1 AND l1.y = s.sy1),
+        |cpx AS (SELECT p.id, p.mbw, p.mbh, p.pl, p.x, p.y,
+        |    least(greatest(p.x + dv.dpx // 2, 0), 8 * p.mbw - 1) AS spx,
+        |    least(greatest(p.y + dv.dpy // 2, 0), 8 * p.mbh - 1) AS spy,
+        |    least(greatest(p.x + dv.d0x // 2, 0), 8 * p.mbw - 1) AS sx0,
+        |    least(greatest(p.y + dv.d0y // 2, 0), 8 * p.mbh - 1) AS sy0,
+        |    least(greatest(p.x + dv.d1x // 2, 0), 8 * p.mbw - 1) AS sx1,
+        |    least(greatest(p.y + dv.d1y // 2, 0), 8 * p.mbh - 1) AS sy1
+        |  FROM (SELECT id, mbw, mbh, pl.p AS pl, x.i AS x, y.i AS y FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
+        |    LATERAL (SELECT unnest(generate_series(0, 8 * mbw - 1)) AS i) x,
+        |    LATERAL (SELECT unnest(generate_series(0, 8 * mbh - 1)) AS i) y) p
+        |  JOIN dv ON dv.id = p.id),
+        |c0 AS (SELECT id, pl, x, y,
+        |    (CASE WHEN pl = 0 THEN id + 2 * x + y
+        |          ELSE 3 * id + x + 2 * y END) % 251 AS v FROM cpx),
+        |c1 AS (SELECT s.id, s.pl, s.x, s.y, c0.v FROM cpx s
+        |  JOIN c0 ON c0.id = s.id AND c0.pl = s.pl
+        |    AND c0.x = s.spx AND c0.y = s.spy),
+        |c2a AS (SELECT s.id, s.pl, s.x, s.y, s.sx1, s.sy1, l0.v AS v0 FROM cpx s
+        |  JOIN c1 l0 ON l0.id = s.id AND l0.pl = s.pl
+        |    AND l0.x = s.sx0 AND l0.y = s.sy0),
+        |c2 AS (SELECT s.id, s.pl, s.x, s.y,
+        |    CASE 1 + (s.id + 2 + s.x // 8 + 2 * (s.y // 8)) % 3
+        |      WHEN 1 THEN s.v0
+        |      WHEN 2 THEN l1.v
+        |      ELSE (s.v0 + l1.v + 1) // 2 END AS v
+        |  FROM c2a s
+        |  JOIN c0 l1 ON l1.id = s.id AND l1.pl = s.pl
+        |    AND l1.x = s.sx1 AND l1.y = s.sy1),
+        |ls AS (SELECT f0.id, sum(f0.v) AS l0s, sum(f1.v) AS l1s, sum(f2.v) AS l2s
+        |  FROM f0 JOIN f1 ON f1.id = f0.id AND f1.x = f0.x AND f1.y = f0.y
+        |  JOIN f2 ON f2.id = f0.id AND f2.x = f0.x AND f2.y = f0.y
+        |  GROUP BY 1),
+        |cs AS (SELECT c0.id, sum(c0.v) AS c0s, sum(c1.v) AS c1s, sum(c2.v) AS c2s
+        |  FROM c0 JOIN c1 ON c1.id = c0.id AND c1.pl = c0.pl
+        |    AND c1.x = c0.x AND c1.y = c0.y
+        |  JOIN c2 ON c2.id = c0.id AND c2.pl = c0.pl
+        |    AND c2.x = c0.x AND c2.y = c0.y
+        |  GROUP BY 1),
+        |ma AS (SELECT dv.id,
+        |    dv.mbw * dv.mbh * (abs(4 * dv.dpx) + abs(4 * dv.dpy))
+        |    + (SELECT sum(
+        |        CASE WHEN 1 + (dv.id + 2 + mb.mx + 2 * mb.my) % 3 != 2
+        |          THEN abs(4 * dv.d0x) + abs(4 * dv.d0y) ELSE 0 END
+        |        + CASE WHEN 1 + (dv.id + 2 + mb.mx + 2 * mb.my) % 3 != 1
+        |          THEN abs(4 * dv.d1x) + abs(4 * dv.d1y) ELSE 0 END)
+        |      FROM (SELECT x.i AS mx, y.i AS my FROM
+        |        (SELECT unnest(generate_series(0, dv.mbw - 1)) AS i) x,
+        |        (SELECT unnest(generate_series(0, dv.mbh - 1)) AS i) y) mb)
+        |    AS mvs
+        |  FROM dv),
+        |lev AS (SELECT w.id,
+        |    CAST(sum(CASE WHEN (w.id + 22 + (mb.mx * 4 + b.bx) * 7
+        |        + (mb.my * 4 + b.bz) * 5) % 4 = 0 THEN 1 ELSE 2 END)
+        |      AS BIGINT) AS nlev
+        |  FROM dv w,
+        |  LATERAL (SELECT x.i AS mx, y.i AS my FROM
+        |    (SELECT unnest(generate_series(0, w.mbw - 1)) AS i) x,
+        |    (SELECT unnest(generate_series(0, w.mbh - 1)) AS i) y) mb,
+        |  LATERAL (SELECT x.i AS bx, y.i AS bz FROM
+        |    (SELECT unnest(generate_series(0, 3)) AS i) x,
+        |    (SELECT unnest(generate_series(0, 3)) AS i) y) b
+        |  WHERE (w.id + 2 + mb.mx + 2 * mb.my) % 2 = 0
+        |  GROUP BY 1)
+        |SELECT d.id AS doc_id, CAST(3 AS INTEGER) AS n_frames,
+        |  16 * d.mbw AS width, 16 * d.mbh AS height,
+        |  CAST(ls.l0s + ls.l1s + ls.l2s AS BIGINT) AS luma_sum,
+        |  CAST(cs.c0s + cs.c1s + cs.c2s AS BIGINT) AS chroma_sum,
+        |  CAST(ls.l0s + cs.c0s + 2 * (ls.l1s + cs.c1s)
+        |    + 3 * (ls.l2s + cs.c2s) AS BIGINT) AS weighted_sum,
+        |  CAST(0 AS BIGINT) AS n_skipped,
+        |  CAST(ma.mvs AS BIGINT) AS mv_abs_sum,
+        |  CAST(coalesce(lev.nlev, 0) AS BIGINT) AS n_levels
+        |FROM d JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
+        |JOIN ma ON ma.id = d.id
+        |LEFT JOIN lev ON lev.id = d.id
         |ORDER BY doc_id""".stripMargin,
 
     // mirrors synthesizeH264Bi at nf=3: f1 shifts the lattice by

@@ -836,6 +836,81 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("B-frame residual decode equals bi-prediction + pinned residual + clip") {
+    val rcol = Array(
+      Array(5, 5, 5, 5), Array(1, -1, -4, -6),
+      Array(0, 5, 5, 0), Array(2, 5, -5, -2))
+    val tcOf = Array(1, 2, 2, 2)
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 3 + (seed % 2).toInt
+      val w = mbW * 16; val h = mbH * 16
+      val m = H264.decodeInter(H264.synthesizeH264BiRes(mbW, mbH, nf, seed)).get
+      assert(m.nFrames == nf && m.nLevels > 0)
+      def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      def shift(p: Array[Array[Int]], dx: Int, dy: Int, hh: Int, ww: Int) =
+        Array.tabulate(hh, ww)((y, x) => p(clamp(y + dy, hh - 1))(clamp(x + dx, ww - 1)))
+      var l1 = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      var cb1 = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+      var cr1 = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+      var wl = 0L; var wc = 0L; var ww2 = 0L; var wlev = 0L
+      def add(fi: Int, l: Array[Array[Int]], cB: Array[Array[Int]],
+          cR: Array[Array[Int]]): Unit = {
+        var fl = 0L; l.foreach(_.foreach(fl += _))
+        var fc = 0L; cB.foreach(_.foreach(fc += _)); cR.foreach(_.foreach(fc += _))
+        wl += fl; wc += fc; ww2 += (fi + 1L) * (fl + fc)
+      }
+      add(0, l1, cb1, cr1)
+      val qp1 = (8 * (((seed + 1) % 3).toInt - 1), 8 * (((seed + 2) % 3).toInt - 1))
+      var l0 = l1; var cb0 = cb1; var cr0 = cr1
+      var lC = shift(l1, qp1._1 / 4, qp1._2 / 4, h, w)
+      var cbC = shift(cb1, qp1._1 / 8, qp1._2 / 8, h / 2, w / 2)
+      var crC = shift(cr1, qp1._1 / 8, qp1._2 / 8, h / 2, w / 2)
+      add(1, lC, cbC, crC)
+      for (f <- 2 until nf) {
+        val q0 = H264.synthBiQ0(seed, f); val q1 = H264.synthBiQ1(seed, f)
+        val s0l = shift(lC, q0._1 / 4, q0._2 / 4, h, w)
+        val s1l = shift(l0, q1._1 / 4, q1._2 / 4, h, w)
+        val nl = Array.tabulate(h, w) { (y, x) =>
+          val base = H264.synthBiType(seed, f, x / 16, y / 16) match {
+            case 1 => s0l(y)(x)
+            case 2 => s1l(y)(x)
+            case _ => (s0l(y)(x) + s1l(y)(x) + 1) >> 1
+          }
+          val res =
+            if (H264.synthHasResidual(seed, f, x / 16, y / 16))
+              rcol(H264.synthResidualK(seed, f, x / 4, y / 4))(x % 4)
+            else 0
+          math.min(255, math.max(0, base + res))
+        }
+        for (my <- 0 until mbH; mx <- 0 until mbW)
+          if (H264.synthHasResidual(seed, f, mx, my))
+            for (zy <- 0 until 4; zx <- 0 until 4)
+              wlev += tcOf(H264.synthResidualK(seed, f, mx * 4 + zx, my * 4 + zy))
+        def mixc(a: Array[Array[Int]], b: Array[Array[Int]]) =
+          Array.tabulate(h / 2, w / 2) { (y, x) =>
+            H264.synthBiType(seed, f, x / 8, y / 8) match {
+              case 1 => a(y)(x)
+              case 2 => b(y)(x)
+              case _ => (a(y)(x) + b(y)(x) + 1) >> 1
+            }
+          }
+        val ncb = mixc(shift(cbC, q0._1 / 8, q0._2 / 8, h / 2, w / 2),
+          shift(cb0, q1._1 / 8, q1._2 / 8, h / 2, w / 2))
+        val ncr = mixc(shift(crC, q0._1 / 8, q0._2 / 8, h / 2, w / 2),
+          shift(cr0, q1._1 / 8, q1._2 / 8, h / 2, w / 2))
+        add(f, nl, ncb, ncr)
+        l0 = lC; cb0 = cbC; cr0 = crC
+        lC = nl; cbC = ncb; crC = ncr
+      }
+      assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
+      assert(m.chromaSum == wc, s"seed=$seed chroma")
+      assert(m.weightedSum == ww2, s"seed=$seed weighted")
+      assert(m.nLevels == wlev, s"seed=$seed levels ${m.nLevels} vs $wlev")
+    }
+  }
+
   test("B decode refusals: missing second reference and direct modes") {
     // excise the P frame: the B slice then sees only one reference
     val p = H264.synthesizeH264Bi(2, 2, 3, 5L)
