@@ -1162,6 +1162,12 @@ class StreamingSpec extends SparkSpec {
     val files = JFiles.list(Paths.get(dir)).toArray.map(_.toString)
       .filter(_.endsWith(".parquet")).sorted
     assert(files.length >= 2)
+    // the file source orders batches by MODIFICATION TIME, not path —
+    // pin distinct ascending mtimes so batch 0 is files.head for sure
+    files.zipWithIndex.foreach { case (f, i) =>
+      JFiles.setLastModifiedTime(Paths.get(f),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
     val streamed = JFiles.createTempDirectory("graft-ivfstr").toString
     val ckpt = JFiles.createTempDirectory("graft-ivfck").toString
     val stream = spark.readStream.schema(corpus.schema)
