@@ -105,12 +105,26 @@ object Bench {
     // line keys drop the "q" prefix too ("163":1.2) — 1 char/query
     // that keeps the 168-query line under the 2000-char recorded tail;
     // tools/compare_bench.py normalizes both key styles
-    val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_').drop(1) + "\":" + rt(v) }
+    def rt1(v: Double): String = {
+      val s0 = if (v < 0) "-1" else f"$v%.1f"
+      if (s0.contains('.')) s0.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s0
+    }
+    def renderQs(fmt: Double => String): String = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_').drop(1) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val agg = s"median$nPasses"
-    val line = s"""{"metric":"total","value":${r2(total)},"unit":"sec","agg":"$agg","queries":$qs,"sf":"$sfDir"}"""
+    def render(fmt: Double => String): String =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","agg":"$agg","queries":${renderQs(fmt)},"sf":"$sfDir"}"""
+    // adaptive width: a loaded machine renders more digits, and the
+    // driver records only a bounded output tail — if the 2-decimal
+    // line nears the limit, fall back to 1-decimal (full-precision
+    // timings always land in docs/bench_detail.json)
+    val line = {
+      val l2 = render(rt)
+      if (l2.length <= 1900) l2 else render(rt1)
+    }
     // load context: 1-min loadavg before/after the run — the round-9
     // bisect traced a +26% cross-round total swing to machine/session
     // drift (same jar, same queries, different day), so totals are
