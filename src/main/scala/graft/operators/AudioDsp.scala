@@ -67,7 +67,7 @@ object AudioDsp {
     */
   def firDecimate(x: Array[Int], taps: Array[Int], shift: Int,
       factor: Int): Array[Int] = {
-    require(taps.length % 2 == 1 && factor >= 1)
+    require(taps.length % 2 == 1 && factor >= 1 && shift >= 1)
     val c = taps.length / 2
     val n = x.length
     val out = new Array[Int]((n + factor - 1) / factor)

@@ -251,6 +251,14 @@ object H264 {
   /** Start-code scan → (nalStart, nalEnd) pairs; header byte at
     * nalStart. Handles any number of leading zeros before 01.
     */
+  /** Start-code NAL scan for container muxing ([[Multimodal
+    * .synthesizeMp4Avc1]] re-frames these as AVCC length-prefixed
+    * samples): (start, end) byte ranges with the header byte at
+    * start.
+    */
+  private[graft] def nalUnits(p: Array[Byte]): Seq[(Int, Int)] =
+    scanNals(p).toSeq
+
   private def scanNals(p: Array[Byte]): ArrayBuffer[(Int, Int)] = {
     val nals = new ArrayBuffer[(Int, Int)]()
     var i = 0
@@ -2595,6 +2603,10 @@ object H264 {
             var lwd = 0; var lw = 1; var lo = 0
             var cwd = 0
             val cwts = Array(1, 1); val coffs = Array(0, 0)
+            // pred_weight_table carries one (w,o) set PER active L0
+            // reference; this subset parses (and applies) exactly one,
+            // so refuse weighted+multi-ref rather than mis-parse
+            if (!isB && ppsWeighted && numRef0 > 1) return None
             if (!isB && ppsWeighted) {
               lwd = r.ue(); if (lwd > 7) return None
               cwd = r.ue(); if (cwd > 7) return None

@@ -349,7 +349,8 @@ object Multimodal {
     * `codec` is the stsd sample-entry 4cc.
     */
   def synthesizeMp4Samples(timescale: Int, delta: Int,
-      samples: Seq[Array[Byte]], codec: String = "mp4v"): Array[Byte] = {
+      samples: Seq[Array[Byte]], codec: String = "mp4v",
+      sampleEntry: Option[Array[Byte]] = None): Array[Byte] = {
     require(samples.nonEmpty && delta >= 1, "samples and positive delta")
     require(codec.length == 4, "codec is a 4cc")
     val n = samples.length
@@ -380,9 +381,10 @@ object Multimodal {
       0x00010000L) ++ Array[Byte](1, 0, 0, 0) ++ be32s(0, 0,
       0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L,
       0, 0, 0, 0, 0, 0, 2))
-    // stsd: one minimal sample entry (size 16, the caller's 4cc)
-    val stsd = box("stsd", be32s(0, 1) ++
-      be32s(16) ++ codec.getBytes("US-ASCII") ++ be32s(0, 0))
+    // stsd: one minimal sample entry (size 16, the caller's 4cc), or
+    // the caller's full sample-entry box (avc1 + avcC for H.264)
+    val stsd = box("stsd", be32s(0, 1) ++ sampleEntry.getOrElse(
+      be32s(16) ++ codec.getBytes("US-ASCII") ++ be32s(0, 0)))
     val stts = box("stts", be32s(0, 1, n.toLong, delta.toLong))
     // stsc: every chunk holds `perChunk` samples; a shorter final
     // chunk needs its own run (first_chunk, samples, desc_index)
@@ -480,24 +482,8 @@ object Multimodal {
         ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
     def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
     if (p.length < 16 || tag(p, 4) != "ftyp") return None
-    def walk(from: Long, end: Long, want: String): Option[(Long, Long)] = {
-      var o = from
-      while (o + 8 <= end) {
-        val oi = o.toInt
-        var sz = be32(oi)
-        var hdr = 8L
-        if (sz == 1) {
-          if (o + 16 > end) return None
-          sz = be64(oi + 8); hdr = 16L
-          if (sz < 16) return None
-        } else if (sz == 0) sz = end - o
-        else if (sz < 8) return None
-        if (o + sz > end) return None
-        if (tag(p, oi + 4) == want) return Some((o + hdr, o + sz))
-        o += sz
-      }
-      None
-    }
+    def walk(from: Long, end: Long, want: String): Option[(Long, Long)] =
+      mp4BoxWalk(p, from, end, want)
     for {
       (moovS, moovE) <- walk(0L, p.length.toLong, "moov")
       (trakS, trakE) <- walk(moovS, moovE, "trak")
@@ -570,6 +556,207 @@ object Multimodal {
         }
       }
     } yield out
+  }
+
+  /** ISO-BMFF box scan: first child box tagged `want` in [from, end),
+    * returning (payload start after the 8/16-byte header, box end).
+    * Handles 64-bit (`size == 1`) and to-end (`size == 0`) boxes.
+    * Shared by [[mp4SampleTable]] and the avc1 stsd walk.
+    */
+  private def mp4BoxWalk(p: Array[Byte], from: Long, end: Long,
+      want: String): Option[(Long, Long)] = {
+    def be32(o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    var o = from
+    while (o + 8 <= end) {
+      val oi = o.toInt
+      var sz = be32(oi)
+      var hdr = 8L
+      if (sz == 1) {
+        if (o + 16 > end) return None
+        sz = (be32(oi + 8) << 32) | be32(oi + 12); hdr = 16L
+        if (sz < 16) return None
+      } else if (sz == 0) sz = end - o
+      else if (sz < 8) return None
+      if (o + sz > end) return None
+      if (tag(p, oi + 4) == want) return Some((o + hdr, o + sz))
+      o += sz
+    }
+    None
+  }
+
+  /** Mux an Annex-B H.264 stream into a REAL `avc1` MP4 track — the
+    * ISO 14496-15 packaging: SPS/PPS NALs move OUT OF BAND into the
+    * avcC decoder-configuration record inside the stsd sample entry,
+    * and each slice NAL becomes one MP4 sample framed AVCC-style as a
+    * 4-byte big-endian length + NAL (no start codes inside samples).
+    * The [[graft.operators.H264]] synthesizers emit one slice per
+    * access unit except the multi-slice family, so sample granularity
+    * is per-NAL here — the rebuilt stream is NAL-identical either
+    * way. Refuses NAL types outside {SPS, PPS, slice, IDR}; profile/
+    * compat/level bytes are lifted from the SPS itself. Reference
+    * scope anchor: media bytes ride the same row path as text
+    * (`/root/reference/src/main/java/com/kugou/loader/clickhouse/mapper/AbstractClickhouseLoaderMapper.java:159-248`).
+    */
+  def synthesizeMp4Avc1(annexB: Array[Byte], width: Int, height: Int,
+      timescale: Int, delta: Int): Array[Byte] = {
+    val nals = graft.operators.H264.nalUnits(annexB)
+    require(nals.nonEmpty, "no NAL units")
+    val sps = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val pps = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val samples = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    nals.foreach { case (s, e) =>
+      val nal = java.util.Arrays.copyOfRange(annexB, s, e)
+      (annexB(s) & 0x1f) match {
+        case 7 => sps += nal
+        case 8 => pps += nal
+        case 1 | 5 =>
+          val fr = new Array[Byte](4 + nal.length)
+          fr(0) = (nal.length >> 24).toByte; fr(1) = (nal.length >> 16).toByte
+          fr(2) = (nal.length >> 8).toByte; fr(3) = nal.length.toByte
+          System.arraycopy(nal, 0, fr, 4, nal.length)
+          samples += fr
+        case t =>
+          throw new IllegalArgumentException(s"NAL type $t out of avc1 mux scope")
+      }
+    }
+    require(sps.nonEmpty && pps.nonEmpty && samples.nonEmpty,
+      "avc1 track needs SPS + PPS + slices")
+    val cfg = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = cfg.write(v & 0xff)
+    def wps(ps: Array[Byte]): Unit = {
+      w8(ps.length >> 8); w8(ps.length); cfg.write(ps, 0, ps.length)
+    }
+    w8(1)                    // configurationVersion
+    w8(sps.head(1) & 0xff)   // AVCProfileIndication (SPS byte 1)
+    w8(sps.head(2) & 0xff)   // profile_compatibility
+    w8(sps.head(3) & 0xff)   // AVCLevelIndication
+    w8(0xfc | 3)             // reserved ++ lengthSizeMinusOne = 3
+    w8(0xe0 | sps.length)    // reserved ++ numOfSequenceParameterSets
+    sps.foreach(wps)
+    w8(pps.length)
+    pps.foreach(wps)
+    val avcCBody = cfg.toByteArray
+    val avcC = new java.io.ByteArrayOutputStream()
+    def w32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write((v >> 24) & 0xff); o.write((v >> 16) & 0xff)
+      o.write((v >> 8) & 0xff); o.write(v & 0xff)
+    }
+    w32(avcC, 8 + avcCBody.length)
+    avcC.write("avcC".getBytes("US-ASCII"), 0, 4)
+    avcC.write(avcCBody, 0, avcCBody.length)
+    // VisualSampleEntry: 78-byte fixed body, then the avcC child
+    val ent = new java.io.ByteArrayOutputStream()
+    val body = new java.io.ByteArrayOutputStream()
+    (0 until 6).foreach(_ => body.write(0)) // reserved
+    body.write(0); body.write(1)            // data_reference_index
+    (0 until 16).foreach(_ => body.write(0)) // pre_defined/reserved
+    body.write((width >> 8) & 0xff); body.write(width & 0xff)
+    body.write((height >> 8) & 0xff); body.write(height & 0xff)
+    w32(body, 0x00480000); w32(body, 0x00480000) // 72 dpi h/v
+    w32(body, 0)                             // reserved
+    body.write(0); body.write(1)             // frame_count
+    (0 until 32).foreach(_ => body.write(0)) // compressorname
+    body.write(0); body.write(0x18)          // depth
+    body.write(0xff); body.write(0xff)       // pre_defined = -1
+    val bodyB = body.toByteArray
+    val avcCB = avcC.toByteArray
+    w32(ent, 8 + bodyB.length + avcCB.length)
+    ent.write("avc1".getBytes("US-ASCII"), 0, 4)
+    ent.write(bodyB, 0, bodyB.length)
+    ent.write(avcCB, 0, avcCB.length)
+    synthesizeMp4Samples(timescale, delta, samples.toSeq,
+      sampleEntry = Some(ent.toByteArray))
+  }
+
+  /** The demux inverse of [[synthesizeMp4Avc1]]: locate the avc1
+    * sample entry, parse the avcC record (NAL length size +
+    * out-of-band SPS/PPS), run the [[mp4SampleTable]] stbl walk, and
+    * re-frame every sample's length-prefixed NALs as ONE Annex-B
+    * stream (4-byte start codes, parameter sets first) — exactly the
+    * form the [[graft.operators.H264]] decoders take, so container
+    * composition is `decodeMp4Avc1AnnexB andThen decodeInter`. None
+    * if the track is not avc1, the avcC is malformed, or any sample's
+    * AVCC length walk fails to land exactly on the sample end.
+    */
+  def decodeMp4Avc1AnnexB(p: Array[Byte]): Option[Array[Byte]] = {
+    def be32(o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    def be16(o: Int): Int = ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+    if (p.length < 16 || tag(p, 4) != "ftyp") return None
+    val stsdOpt = for {
+      (moovS, moovE) <- mp4BoxWalk(p, 0L, p.length.toLong, "moov")
+      (trakS, trakE) <- mp4BoxWalk(p, moovS, moovE, "trak")
+      (mdiaS, mdiaE) <- mp4BoxWalk(p, trakS, trakE, "mdia")
+      (minfS, minfE) <- mp4BoxWalk(p, mdiaS, mdiaE, "minf")
+      (stblS, stblE) <- mp4BoxWalk(p, minfS, minfE, "stbl")
+      (stsdS, stsdE) <- mp4BoxWalk(p, stblS, stblE, "stsd")
+    } yield (stsdS, stsdE)
+    if (stsdOpt.isEmpty) return None
+    val (stsdS, stsdE) = stsdOpt.get
+    if (stsdS + 16 > stsdE || be32(stsdS.toInt + 4) < 1) return None
+    val entS = stsdS.toInt + 8
+    val entSz = be32(entS)
+    if (entSz < 8 + 78 || entS + entSz > stsdE) return None
+    if (tag(p, entS + 4) != "avc1") return None
+    val avcOpt = mp4BoxWalk(p, entS + 8 + 78L, entS + entSz, "avcC")
+    if (avcOpt.isEmpty) return None
+    val (aS, aE) = avcOpt.get
+    val a = aS.toInt
+    if (a + 6 > aE || p(a) != 1) return None // configurationVersion
+    val lenSize = (p(a + 4) & 3) + 1
+    val paramSets = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var o = a + 5
+    val nSps = p(o) & 0x1f; o += 1
+    var i = 0
+    while (i < nSps) {
+      if (o + 2 > aE) return None
+      val l = be16(o); o += 2
+      if (o + l > aE) return None
+      paramSets += java.util.Arrays.copyOfRange(p, o, o + l); o += l
+      i += 1
+    }
+    if (o + 1 > aE) return None
+    val nPps = p(o) & 0xff; o += 1
+    i = 0
+    while (i < nPps) {
+      if (o + 2 > aE) return None
+      val l = be16(o); o += 2
+      if (o + l > aE) return None
+      paramSets += java.util.Arrays.copyOfRange(p, o, o + l); o += l
+      i += 1
+    }
+    if (paramSets.isEmpty) return None
+    mp4SampleTable(p).flatMap { case (_, ranges) =>
+      val out = new java.io.ByteArrayOutputStream()
+      def emit(nal: Array[Byte]): Unit = {
+        out.write(Array[Byte](0, 0, 0, 1), 0, 4)
+        out.write(nal, 0, nal.length)
+      }
+      paramSets.foreach(emit)
+      var ok = true
+      ranges.foreach { case (off, sz) =>
+        var c = off.toInt
+        val end = off.toInt + sz
+        while (ok && c < end) {
+          if (c + lenSize > end) ok = false
+          else {
+            var l = 0
+            var k = 0
+            while (k < lenSize) { l = (l << 8) | (p(c + k) & 0xff); k += 1 }
+            c += lenSize
+            if (l <= 0 || c + l > end) ok = false
+            else {
+              emit(java.util.Arrays.copyOfRange(p, c, c + l)); c += l
+            }
+          }
+        }
+        if (c != end) ok = false
+      }
+      if (ok) Some(out.toByteArray) else None
+    }
   }
 
   /** Partition-batched media probe: real header/payload decode for

@@ -549,17 +549,28 @@ object Similarity {
     }
   }
 
+  /** Frozen-quantizer delta append. With `stagingPath` unset the delta
+    * files land directly in `members` (mode append — the batch path,
+    * where the caller owns exactly-once). With `stagingPath` set the
+    * delta is written THERE with mode overwrite (replay-safe) and the
+    * same partition layout as `members`, for a caller that commits via
+    * deterministic rename ([[graft.streaming.StreamingIndex]]).
+    */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      delta: DataFrame, dir: String): Unit = {
+      delta: DataFrame, dir: String,
+      stagingPath: Option[String] = None): Unit = {
     val lay = readLayout(spark, dir)
     val asg = lay.quant.assign(delta)
       .select($"vid".as("m_vid"), $"qv".as("m_qv"), $"nrm".as("m_nrm"), $"cid")
+    val (target, mode) =
+      (stagingPath.getOrElse(s"$dir/members"),
+        if (stagingPath.isDefined) "overwrite" else "append")
     lay.cidToL1 match {
       case Some(map) =>
         asg.join(broadcast(map), "cid")
-          .write.mode("append").partitionBy("l1").parquet(s"$dir/members")
+          .write.mode(mode).partitionBy("l1").parquet(target)
       case None =>
-        asg.write.mode("append").partitionBy("cid").parquet(s"$dir/members")
+        asg.write.mode(mode).partitionBy("cid").parquet(target)
     }
   }
 

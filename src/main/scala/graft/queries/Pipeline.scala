@@ -26,6 +26,16 @@ object Pipeline {
     * side bounds its cost by the capped query set (the same cap the
     * oracle's `least(count, cap)` mirrors).
     */
+  /** Recursive delete for per-query temp index directories (the
+    * result DataFrame must be localCheckpoint'd first — probes read
+    * the index lazily).
+    */
+  private[queries] def rmTree(p: java.io.File): Unit = {
+    val kids = p.listFiles()
+    if (kids != null) kids.foreach(rmTree)
+    p.delete(); ()
+  }
+
   private[queries] def annRecallAudit(approx: DataFrame, queries: DataFrame,
       corpus: DataFrame, minRecall: Double): DataFrame = {
     val truth = Similarity.bruteForceTopK(queries, corpus, k = 5)
@@ -469,12 +479,15 @@ object Pipeline {
       val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
       val idxDir = java.nio.file.Files
         .createTempDirectory("graft-pq-idx").toString
-      graft.operators.Pq.buildPqIndex(corpus.filter($"vid" % 2 === 0), idxDir)
-      graft.operators.Pq.appendPqIndex(s, corpus.filter($"vid" % 2 =!= 0), idxDir)
-      val approx = graft.operators.Pq.pqProbeIndexed(s, idxDir,
-        corpus.filter($"vid" < 500), topK = 5)
-      Pipeline.annRecallAudit(
-        approx, corpus.filter($"vid" < 500), corpus, minRecall = 0.25)
+      try {
+        graft.operators.Pq.buildPqIndex(corpus.filter($"vid" % 2 === 0), idxDir)
+        graft.operators.Pq.appendPqIndex(s, corpus.filter($"vid" % 2 =!= 0), idxDir)
+        val approx = graft.operators.Pq.pqProbeIndexed(s, idxDir,
+          corpus.filter($"vid" < 500), topK = 5)
+        Pipeline.annRecallAudit(
+          approx, corpus.filter($"vid" < 500), corpus, minRecall = 0.25)
+          .localCheckpoint() // materialize before the index dir is removed
+      } finally Pipeline.rmTree(new java.io.File(idxDir))
     },
 
     // PERSISTED IVF index with frozen-centroid refresh — the q116
@@ -488,13 +501,16 @@ object Pipeline {
       val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
       val idxDir = java.nio.file.Files
         .createTempDirectory("graft-ivf-idx").toString
-      Similarity.buildIvfIndex(corpus.filter($"vid" % 2 === 0), dim = 64,
-        idxDir, trainIters = 2)
-      Similarity.appendIvfIndex(s, corpus.filter($"vid" % 2 =!= 0), idxDir)
-      val approx = Similarity.ivfProbeIndexed(s, idxDir,
-        corpus.filter($"vid" < 500), k = 5)
-      Pipeline.annRecallAudit(
-        approx, corpus.filter($"vid" < 500), corpus, minRecall = 0.25)
+      try {
+        Similarity.buildIvfIndex(corpus.filter($"vid" % 2 === 0), dim = 64,
+          idxDir, trainIters = 2)
+        Similarity.appendIvfIndex(s, corpus.filter($"vid" % 2 =!= 0), idxDir)
+        val approx = Similarity.ivfProbeIndexed(s, idxDir,
+          corpus.filter($"vid" < 500), k = 5)
+        Pipeline.annRecallAudit(
+          approx, corpus.filter($"vid" < 500), corpus, minRecall = 0.25)
+          .localCheckpoint() // materialize before the index dir is removed
+      } finally Pipeline.rmTree(new java.io.File(idxDir))
     },
 
     // STREAMING IVF index maintenance — the vector twin of q166: a
@@ -509,22 +525,25 @@ object Pipeline {
       val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
       val idxDir = java.nio.file.Files
         .createTempDirectory("graft-ivf-str").toString
-      import graft.streaming.StreamingIndex
-      val applied = Seq(
-        StreamingIndex.applyIvfBatch(
-          corpus.filter($"vid" % 4 < 2), dim = 64, idxDir, batchId = 0),
-        StreamingIndex.applyIvfBatch(
-          corpus.filter($"vid" % 4 === 2), dim = 64, idxDir, batchId = 1),
-        StreamingIndex.applyIvfBatch( // crash-replay of batch 1
-          corpus.filter($"vid" % 4 === 2), dim = 64, idxDir, batchId = 1),
-        StreamingIndex.applyIvfBatch(
-          corpus.filter($"vid" % 4 === 3), dim = 64, idxDir, batchId = 2))
-      require(applied == Seq(true, true, false, true),
-        s"ivf batchlog idempotence violated: $applied")
-      val approx = Similarity.ivfProbeIndexed(s, idxDir,
-        corpus.filter($"vid" < 500), k = 5)
-      Pipeline.annRecallAudit(
-        approx, corpus.filter($"vid" < 500), corpus, minRecall = 0.25)
+      try {
+        import graft.streaming.StreamingIndex
+        val applied = Seq(
+          StreamingIndex.applyIvfBatch(
+            corpus.filter($"vid" % 4 < 2), dim = 64, idxDir, batchId = 0),
+          StreamingIndex.applyIvfBatch(
+            corpus.filter($"vid" % 4 === 2), dim = 64, idxDir, batchId = 1),
+          StreamingIndex.applyIvfBatch( // crash-replay of batch 1
+            corpus.filter($"vid" % 4 === 2), dim = 64, idxDir, batchId = 1),
+          StreamingIndex.applyIvfBatch(
+            corpus.filter($"vid" % 4 === 3), dim = 64, idxDir, batchId = 2))
+        require(applied == Seq(true, true, false, true),
+          s"ivf batchlog idempotence violated: $applied")
+        val approx = Similarity.ivfProbeIndexed(s, idxDir,
+          corpus.filter($"vid" < 500), k = 5)
+        Pipeline.annRecallAudit(
+          approx, corpus.filter($"vid" < 500), corpus, minRecall = 0.25)
+          .localCheckpoint() // materialize before the index dir is removed
+      } finally Pipeline.rmTree(new java.io.File(idxDir))
     },
 
     // Product-quantization ANN: per-subspace trained codebooks, 8-code
@@ -1807,6 +1826,39 @@ object Pipeline {
           }
         }).toDF("doc_id", "n_frames", "width", "height", "luma_sum",
           "chroma_sum", "weighted_sum", "n_skipped", "mv_abs_sum")
+        .orderBy($"doc_id")
+    },
+
+    // H.264-IN-MP4 end-to-end — the container composition round 11
+    // left open: the q163 inter recipe muxed into a REAL avc1 track
+    // (AVCC length-prefixed samples in mdat, SPS/PPS out-of-band in
+    // the stsd avcC record), then demuxed back to Annex-B through the
+    // stbl walk + AVCC length walk and pixel-decoded. Output is the
+    // q163 closed form — the container round-trip is lossless by
+    // construction (Mp4SampleSpec pins NAL-sequence identity) — plus
+    // n_samples re-counting the mdat sample walk (one slice NAL per
+    // frame in this synth, so n_samples = n_frames).
+    "q179_h264_avc1_mp4" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 2)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbW = 2 + (id % 3).toInt
+          val mbH = 1 + (id % 3).toInt
+          val nf = 2 + (id % 2).toInt
+          val annexB = graft.operators.H264.synthesizeH264Inter(mbW, mbH, nf, id)
+          val mp4 = graft.operators.Multimodal.synthesizeMp4Avc1(
+            annexB, 16 * mbW, 16 * mbH, 1000, 40)
+          val res = for {
+            ns <- graft.operators.Multimodal.decodeMp4Samples(mp4).map(_._1)
+            ab <- graft.operators.Multimodal.decodeMp4Avc1AnnexB(mp4)
+            f <- graft.operators.H264.decodeInter(ab)
+          } yield (id, ns, f.nFrames, f.width, f.height,
+            f.lumaSum, f.chromaSum, f.weightedSum, f.nSkipped, f.mvAbsSum)
+          res.getOrElse((id, -1L, -1, -1, -1, -1L, -1L, -1L, -1L, -1L))
+        }).toDF("doc_id", "n_samples", "n_frames", "width", "height",
+          "luma_sum", "chroma_sum", "weighted_sum", "n_skipped", "mv_abs_sum")
         .orderBy($"doc_id")
     },
 
@@ -4731,6 +4783,78 @@ object Pipeline {
         |ma AS (SELECT id, sum(mbw * mbh * 4 * (abs(dxf) + abs(dyf))) AS mvs
         |  FROM mv WHERE f >= 1 GROUP BY 1)
         |SELECT d.id AS doc_id, d.nf AS n_frames,
+        |  16 * d.mbw AS width, 16 * d.mbh AS height,
+        |  agg.luma_sum, agg.chroma_sum, agg.weighted_sum,
+        |  CAST(coalesce(sk.nsk, 0) AS BIGINT) AS n_skipped,
+        |  CAST(ma.mvs AS BIGINT) AS mv_abs_sum
+        |FROM d JOIN agg ON agg.id = d.id
+        |LEFT JOIN sk ON sk.id = d.id
+        |JOIN ma ON ma.id = d.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // q179 = the q163 closed form on the doc_id % 4 = 2 slice (the
+    // avc1 container round-trip is lossless, so the oracle is the
+    // same pixel arithmetic) + n_samples = nf (one slice NAL per
+    // frame becomes one MP4 sample).
+    "q179_h264_avc1_mp4" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(2 + doc_id % 3 AS INTEGER) AS mbw,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh,
+        |    CAST(2 + doc_id % 2 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |fr AS (SELECT id, mbw, mbh, nf, f.f AS f FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f),
+        |mv AS (SELECT id, mbw, mbh, nf, f,
+        |    2 * ((id + f) % 3 - 1) AS dxf,
+        |    2 * ((id + 2 * f) % 3 - 1) AS dyf,
+        |    2 * ((id + 1) % 3 - 1) AS dx1,
+        |    2 * ((id + 2) % 3 - 1) AS dy1
+        |  FROM fr),
+        |lp AS (SELECT id, f,
+        |    (id
+        |     + CASE WHEN f = 0 THEN x.i
+        |        WHEN f = 1 THEN least(greatest(x.i + dxf, 0), 16 * mbw - 1)
+        |        ELSE least(greatest(least(greatest(x.i + dxf, 0), 16 * mbw - 1)
+        |          + dx1, 0), 16 * mbw - 1) END
+        |     + 2 * CASE WHEN f = 0 THEN y.i
+        |        WHEN f = 1 THEN least(greatest(y.i + dyf, 0), 16 * mbh - 1)
+        |        ELSE least(greatest(least(greatest(y.i + dyf, 0), 16 * mbh - 1)
+        |          + dy1, 0), 16 * mbh - 1) END) % 251 AS v
+        |  FROM mv,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbh - 1)) AS i) y),
+        |cp AS (SELECT id, f,
+        |    (CASE WHEN pl.p = 0 THEN id + 2 * sxy.sx + sxy.sy
+        |          ELSE 3 * id + sxy.sx + 2 * sxy.sy END) % 251 AS v
+        |  FROM mv,
+        |  LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbh - 1)) AS i) y,
+        |  LATERAL (SELECT
+        |    CASE WHEN f = 0 THEN x.i
+        |      WHEN f = 1 THEN least(greatest(x.i + dxf / 2, 0), 8 * mbw - 1)
+        |      ELSE least(greatest(least(greatest(x.i + dxf / 2, 0), 8 * mbw - 1)
+        |        + dx1 / 2, 0), 8 * mbw - 1) END AS sx,
+        |    CASE WHEN f = 0 THEN y.i
+        |      WHEN f = 1 THEN least(greatest(y.i + dyf / 2, 0), 8 * mbh - 1)
+        |      ELSE least(greatest(least(greatest(y.i + dyf / 2, 0), 8 * mbh - 1)
+        |        + dy1 / 2, 0), 8 * mbh - 1) END AS sy) sxy),
+        |lf AS (SELECT id, f, sum(v) AS ls FROM lp GROUP BY 1, 2),
+        |cf AS (SELECT id, f, sum(v) AS cs FROM cp GROUP BY 1, 2),
+        |agg AS (SELECT lf.id AS id, CAST(sum(ls) AS BIGINT) AS luma_sum,
+        |    CAST(sum(cs) AS BIGINT) AS chroma_sum,
+        |    CAST(sum((lf.f + 1) * (ls + cs)) AS BIGINT) AS weighted_sum
+        |  FROM lf JOIN cf ON lf.id = cf.id AND lf.f = cf.f GROUP BY 1),
+        |sk AS (SELECT id, sum(CASE WHEN (id + f + mbx.i + 3 * my.i) % 3 = 0
+        |      THEN 1 ELSE 0 END) AS nsk
+        |  FROM mv,
+        |  LATERAL (SELECT unnest(generate_series(1, mbw - 1)) AS i) mbx,
+        |  LATERAL (SELECT unnest(generate_series(1, mbh - 1)) AS i) my
+        |  WHERE f >= 1 GROUP BY 1),
+        |ma AS (SELECT id, sum(mbw * mbh * 4 * (abs(dxf) + abs(dyf))) AS mvs
+        |  FROM mv WHERE f >= 1 GROUP BY 1)
+        |SELECT d.id AS doc_id, CAST(d.nf AS BIGINT) AS n_samples,
+        |  d.nf AS n_frames,
         |  16 * d.mbw AS width, 16 * d.mbh AS height,
         |  agg.luma_sum, agg.chroma_sum, agg.weighted_sum,
         |  CAST(coalesce(sk.nsk, 0) AS BIGINT) AS n_skipped,

@@ -17,15 +17,24 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * by batch id — the standard idempotent-foreachBatch pattern from
   * the Structured Streaming guide. Applied batch ids are recorded in
   * a `batchlog` table inside the index database; a re-delivered id
-  * is a no-op. The marker is written AFTER the index writes commit:
-  * a crash inside [[applyBm25Batch]] re-runs the whole batch, and a
-  * crash between the postings append and the batchlog write is the
-  * same partial-commit window every multi-table non-transactional
-  * sink has — production deployments close it by staging the delta
-  * under the batch id and swapping, at the cost of a
-  * vocabulary-sized rename per batch. StreamingSpec pins (a) true
-  * multi-trigger stream == from-scratch batch build probe-for-probe,
-  * and (b) re-delivery is a no-op.
+  * is a no-op. The marker is written AFTER the index writes commit.
+  *
+  * The partial-commit window (crash between the index append and the
+  * marker write → replay re-appends → duplicates) is CLOSED for the
+  * directory-backed IVF index: [[applyIvfBatch]] stages the delta
+  * under the batch id (mode overwrite — replay-safe) and commits it
+  * into `members` by renaming to DETERMINISTIC `b<id>_<k>` file
+  * names, sweeping any same-named leftovers of a crashed attempt
+  * first, so a replay converges to exactly one copy of the batch no
+  * matter where the previous attempt died. For the Hive-table BM25
+  * index the window remains open-but-documented: its three tables
+  * (bucketed postings/dfreq + read-modify-write stats) have no
+  * per-batch file identity to sweep, and closing it means a staged
+  * table swap per batch — the vocabulary-sized rewrite
+  * [[graft.operators.Retrieval.compactBm25Index]] already implements
+  * as periodic maintenance, deliberately not paid per trigger.
+  * StreamingSpec pins (a) true multi-trigger stream == from-scratch
+  * batch build probe-for-probe, and (b) re-delivery is a no-op.
   *
   * Scale: every batch costs O(delta) (the append contract of
   * [[graft.operators.Retrieval.appendToBm25Index]]); segment growth
@@ -108,12 +117,63 @@ object StreamingIndex {
         val hasIndex =
           fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids")) ||
             fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids_l1"))
-        if (hasIndex) graft.operators.Similarity.appendIvfIndex(spark, batch, dir)
-        else graft.operators.Similarity.buildIvfIndex(batch, dim, dir)
+        if (hasIndex) {
+          // staged commit (see object scaladoc): overwrite-mode delta
+          // under the batch id, then deterministic-rename into members
+          val members = new org.apache.hadoop.fs.Path(s"$dir/members")
+          val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
+          sweepBatchFiles(fs, members, batchId)
+          graft.operators.Similarity.appendIvfIndex(spark, batch, dir,
+            stagingPath = Some(staging.toString))
+          commitStaged(fs, staging, members, batchId)
+        } else graft.operators.Similarity.buildIvfIndex(batch, dim, dir)
+        // (buildIvfIndex is all-overwrite, so the first-batch path is
+        // replay-safe without staging)
         true
       }
     Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
     applied
+  }
+
+  /** Delete any `b<id>_*` member files a crashed prior attempt of this
+    * batch already moved in — the sweep that makes the rename commit
+    * idempotent. One shallow listing of the partition dirs (√C-bounded
+    * by the index layout), no data read.
+    */
+  private def sweepBatchFiles(fs: org.apache.hadoop.fs.FileSystem,
+      members: org.apache.hadoop.fs.Path, batchId: Long): Unit = {
+    val prefix = s"b${batchId}_"
+    if (!fs.exists(members)) return
+    fs.listStatus(members).foreach { part =>
+      if (part.isDirectory)
+        fs.listStatus(part.getPath).foreach { f =>
+          if (f.getPath.getName.startsWith(prefix)) { fs.delete(f.getPath, false); () }
+        }
+    }
+  }
+
+  /** Move staged delta files into the live `members` tree under
+    * deterministic `b<id>_<k>` names (sorted source order), then drop
+    * the staging dir. Re-running after any crash point re-produces the
+    * same destination names over a swept tree, so the commit converges.
+    */
+  private def commitStaged(fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path,
+      members: org.apache.hadoop.fs.Path, batchId: Long): Unit = {
+    fs.listStatus(staging).foreach { part =>
+      if (part.isDirectory) { // cid=X / l1=Y partition dirs
+        val dest = new org.apache.hadoop.fs.Path(members, part.getPath.getName)
+        fs.mkdirs(dest)
+        val files = fs.listStatus(part.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .sortBy(_.getPath.getName)
+        files.zipWithIndex.foreach { case (f, k) =>
+          fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(dest, s"b${batchId}_$k.parquet")); ()
+        }
+      }
+    }
+    fs.delete(staging, true); ()
   }
 
   /** foreachBatch sink: keep a persisted IVF index current from a

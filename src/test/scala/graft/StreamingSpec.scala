@@ -1194,6 +1194,35 @@ class StreamingSpec extends SparkSpec {
     assert(probe(streamed) == want)
   }
 
+  test("IVF staged commit: replay after crash-before-marker leaves exactly one copy") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamingIndex
+    import spark.implicits._
+    val corpus = Similarity.prepare(
+      Tables(spark, sf).embeddings, "vec_id", "embedding").cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfcrash").toString
+    val b0 = corpus.filter($"vid" % 2 === 0)
+    val b1 = corpus.filter($"vid" % 2 =!= 0)
+    assert(StreamingIndex.applyIvfBatch(b0, 64, dir, 0))
+    assert(StreamingIndex.applyIvfBatch(b1, 64, dir, 1))
+    val members = s"$dir/members"
+    val n = spark.read.parquet(members).count()
+    val vids = spark.read.parquet(members).select("m_vid").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    // simulate "crash between the members commit and the marker write":
+    // erase batch 1's marker but keep its data, then re-deliver it —
+    // the sweep must drop the orphaned b1_* files before re-committing
+    val survivors = spark.read.parquet(s"$dir/batchlog")
+      .filter($"batch_id" =!= 1L).collect().map(_.getLong(0)).toSeq
+    survivors.toDF("batch_id").write.mode("overwrite").parquet(s"$dir/batchlog")
+    assert(StreamingIndex.applyIvfBatch(b1, 64, dir, 1),
+      "replay of the un-marked batch must apply")
+    assert(spark.read.parquet(members).count() == n,
+      "replay must converge to exactly one copy of the batch")
+    assert(spark.read.parquet(members).select("m_vid").collect()
+      .map(_.getLong(0)).sorted.toSeq == vids)
+  }
+
   test("streaming BM25 index maintenance: multi-trigger stream == batch build") {
     import graft.operators.Retrieval
     import graft.streaming.StreamingIndex
