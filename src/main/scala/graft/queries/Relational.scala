@@ -30,6 +30,55 @@ object Relational {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Weighted median over a (key, v, w) frame — smallest v whose
+    * cumulative w reaches half the key's total — WITHOUT a cumulative
+    * window keyed by the low-cardinality `key` alone (3 distinct
+    * values here: each key's whole sort would serialize on one task
+    * at 100× data — the SCALE.md low-key-cardinality sweep hazard,
+    * fixed the same way as the q153/q154 interval sweeps).
+    *
+    * Shape: range-split the VALUE domain into `buckets` slices,
+    * prefix-sum within (key, bucket) — parallelism keys·buckets —
+    * and seed each bucket with a carry = Σ of all lower buckets'
+    * weights, computed by a window over the BOUNDED keys·buckets-row
+    * per-bucket frame. carry + within-bucket prefix IS the global
+    * prefix exactly: buckets are value-ordered and (key, v) rows are
+    * unique, so no cumulative term crosses a bucket boundary.
+    * RelationalSpec pins output identity against the plain
+    * single-window form.
+    */
+  private[graft] def weightedMedianRanged(byVal: DataFrame, key: String,
+      buckets: Int): DataFrame = {
+    val b = byVal.sparkSession
+    import b.implicits._
+    // bounded driver metadata: the value domain's [lo, hi] span
+    val Array(row) = byVal.agg(min($"v").cast("double").as("lo"),
+      max($"v").cast("double").as("hi")).collect()
+    if (row.isNullAt(0)) // empty input: keep the output schema
+      return byVal.select(col(key), $"v".cast("double").as("wmedian")).limit(0)
+    val lo = row.getDouble(0)
+    val span = math.max(row.getDouble(1) - lo, 1e-9)
+    val bucketed = byVal.withColumn("b",
+      least(lit(buckets - 1), greatest(lit(0),
+        floor(($"v".cast("double") - lo) / span * buckets).cast("int"))))
+    val perBucket = bucketed.groupBy(col(key), $"b").agg(sum($"w").as("bw"))
+    val carryWin = Window.partitionBy(col(key)).orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = perBucket
+      .withColumn("carry", sum($"bw").over(carryWin))
+      .select(col(key), $"b", coalesce($"carry", lit(0)).as("carry"))
+    val totals = perBucket.groupBy(col(key)).agg(sum($"bw").as("tw"))
+    val win = Window.partitionBy(col(key), $"b").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("pcum", sum($"w").over(win))
+      .join(broadcast(carries), Seq(key, "b"))
+      .join(broadcast(totals), key)
+      .filter(($"pcum" + $"carry") * 2 >= $"tw")
+      .groupBy(col(key))
+      .agg(min($"v").cast("double").as("wmedian"))
+  }
+
   val queries: Map[String, Q] = Map(
     // simpleLinearRegression / corr analogue (see the scaladoc note on
     // determinism): least-squares y = kx + b of extendedprice-cents on
@@ -446,21 +495,12 @@ object Relational {
     // so both engines agree bit-for-bit.
     "q110_weighted_median" -> { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val byVal = Tables(s, dir).lineitem
         .groupBy($"l_returnflag", graft.Parity.dec2($"l_extendedprice").as("v"))
         .agg(sum(graft.Parity.dec2($"l_quantity")).as("w"))
-      val win = Window.partitionBy($"l_returnflag").orderBy($"v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // group totals as a broadcast join, not a second whole-group
-      // window pass over the sorted frame
-      val totals = byVal.groupBy($"l_returnflag").agg(sum($"w").as("tw"))
-      byVal
-        .withColumn("cum", sum($"w").over(win))
-        .join(broadcast(totals), "l_returnflag")
-        .filter($"cum" * 2 >= $"tw")
-        .groupBy($"l_returnflag")
-        .agg(min($"v").cast("double").as("wmedian"))
+      // range-partitioned cumulative path (see weightedMedianRanged):
+      // no window keyed by the 3-value flag alone survives the plan
+      weightedMedianRanged(byVal, "l_returnflag", buckets = 32)
         .orderBy($"l_returnflag")
     },
 

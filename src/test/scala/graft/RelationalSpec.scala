@@ -46,4 +46,44 @@ class RelationalSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
+
+  test("weighted median: range-partitioned carry path == plain window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // adversarial value sets: duplicates across keys, skewed weights,
+    // values denser than the bucket grid, single-value keys — every
+    // (key, v) row is unique after the groupBy, as in q110
+    val rows = for {
+      k <- Seq("A", "B", "C")
+      i <- 0 until 500
+    } yield (k, BigDecimal((i % 97) * 7 + (if (k == "B") 3000 else 0), // B shifted
+        ).setScale(2), BigDecimal(1 + (i * i) % 13).setScale(2))
+    val byVal = rows.toDF("k", "vr", "wr")
+      .groupBy($"k", $"vr".cast("decimal(12,2)").as("v"))
+      .agg(sum($"wr".cast("decimal(12,2)")).as("w"))
+    def plain(df: org.apache.spark.sql.DataFrame) = {
+      val win = Window.partitionBy($"k").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totals = df.groupBy($"k").agg(sum($"w").as("tw"))
+      df.withColumn("cum", sum($"w").over(win))
+        .join(broadcast(totals), "k")
+        .filter($"cum" * 2 >= $"tw")
+        .groupBy($"k").agg(min($"v").cast("double").as("wmedian"))
+    }
+    val want = plain(byVal).collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    for (buckets <- Seq(1, 2, 7, 32, 1000)) { // incl. degenerate + over-split
+      val got = Relational.weightedMedianRanged(byVal, "k", buckets)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(got == want, s"buckets=$buckets: $got vs $want")
+    }
+    // and the scaled plan really has no window keyed by `k` alone
+    val plan = Relational.weightedMedianRanged(byVal, "k", 32)
+      .queryExecution.optimizedPlan.toString
+    val winSpecs = "windowspecdefinition\\((.*?)specifiedwindowframe".r
+      .findAllMatchIn(plan.toLowerCase).map(_.group(1)).toList
+    assert(winSpecs.nonEmpty)
+    assert(winSpecs.forall(_.contains("b#")),
+      s"window keyed by the low-cardinality key alone in:\n$plan")
+  }
 }
