@@ -190,12 +190,22 @@ object Pq {
       .write.mode("overwrite").parquet(s"$dir/vectors")
   }
 
+  /** Frozen-codebook delta append. With `stagingPath` unset the delta
+    * appends directly into `codes`/`vectors` (the batch path, caller
+    * owns exactly-once); with it set, the delta is written THERE
+    * (mode overwrite — replay-safe) under the same `codes`/`vectors`
+    * subdirs, for the deterministic-rename commit of
+    * [[graft.streaming.StreamingIndex.applyPqBatch]].
+    */
   def appendPqIndex(spark: org.apache.spark.sql.SparkSession,
-      delta: DataFrame, dir: String, m: Int = 8, dim: Int = 64): Unit = {
+      delta: DataFrame, dir: String, m: Int = 8, dim: Int = 64,
+      stagingPath: Option[String] = None): Unit = {
     val cb = spark.read.parquet(s"$dir/codebooks")
-    encode(delta, cb, m, dim).write.mode("append").parquet(s"$dir/codes")
+    val (root, mode) =
+      (stagingPath.getOrElse(dir), if (stagingPath.isDefined) "overwrite" else "append")
+    encode(delta, cb, m, dim).write.mode(mode).parquet(s"$root/codes")
     delta.select($"vid", $"qv", $"nrm")
-      .write.mode("append").parquet(s"$dir/vectors")
+      .write.mode(mode).parquet(s"$root/vectors")
   }
 
   def pqProbeIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,

@@ -546,6 +546,39 @@ object Pipeline {
       } finally Pipeline.rmTree(new java.io.File(idxDir))
     },
 
+    // STREAMING PQ index maintenance — completes the streaming matrix
+    // (BM25 q166, IVF q177, PQ here): a vector stream feeds the
+    // persisted q148 PQ index through the idempotent staged-commit
+    // sink (first batch trains codebooks, later ones frozen-codebook
+    // delta-encode), with one batch RE-DELIVERED mid-sequence that
+    // the batchlog must no-op. Probe + recall audit identical to
+    // q148: the probe cannot tell how the index was fed.
+    "q180_stream_pq_index" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-pq-str").toString
+      try {
+        import graft.streaming.StreamingIndex
+        val applied = Seq(
+          StreamingIndex.applyPqBatch(
+            corpus.filter($"vid" % 4 < 2), idxDir, batchId = 0),
+          StreamingIndex.applyPqBatch(
+            corpus.filter($"vid" % 4 === 2), idxDir, batchId = 1),
+          StreamingIndex.applyPqBatch( // crash-replay of batch 1
+            corpus.filter($"vid" % 4 === 2), idxDir, batchId = 1),
+          StreamingIndex.applyPqBatch(
+            corpus.filter($"vid" % 4 === 3), idxDir, batchId = 2))
+        require(applied == Seq(true, true, false, true),
+          s"pq batchlog idempotence violated: $applied")
+        val approx = graft.operators.Pq.pqProbeIndexed(s, idxDir,
+          corpus.filter($"vid" < 500), topK = 5)
+        Pipeline.annRecallAudit(
+          approx, corpus.filter($"vid" < 500), corpus, minRecall = 0.25)
+          .localCheckpoint() // materialize before the index dir is removed
+      } finally Pipeline.rmTree(new java.io.File(idxDir))
+    },
+
     // Product-quantization ANN: per-subspace trained codebooks, 8-code
     // encoded corpus, ADC table-lookup scoring — gated by the same
     // recall-vs-brute-force audit as q36/q42.
@@ -3342,6 +3375,12 @@ object Pipeline {
     // identical audit contract — streaming maintenance must be
     // invisible to the probe
     "q177_stream_ivf_index" ->
+      """SELECT least(count(*), 500) AS n_queries,
+        | least(count(*), 500) * 5 AS n_truth,
+        | TRUE AS recall_in_bound
+        |FROM embeddings""".stripMargin,
+
+    "q180_stream_pq_index" ->
       """SELECT least(count(*), 500) AS n_queries,
         | least(count(*), 500) * 5 AS n_truth,
         | TRUE AS recall_in_bound

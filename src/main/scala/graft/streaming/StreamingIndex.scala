@@ -21,7 +21,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * The partial-commit window (crash between the index append and the
   * marker write → replay re-appends → duplicates) is CLOSED for the
-  * directory-backed IVF index: [[applyIvfBatch]] stages the delta
+  * directory-backed IVF and PQ indexes: [[applyIvfBatch]] /
+  * [[applyPqBatch]] stage the delta
   * under the batch id (mode overwrite — replay-safe) and commits it
   * into `members` by renaming to DETERMINISTIC `b<id>_<k>` file
   * names, sweeping any same-named leftovers of a crashed attempt
@@ -135,46 +136,114 @@ object StreamingIndex {
     applied
   }
 
-  /** Delete any `b<id>_*` member files a crashed prior attempt of this
-    * batch already moved in — the sweep that makes the rename commit
-    * idempotent. One shallow listing of the partition dirs (√C-bounded
-    * by the index layout), no data read.
+  /** Delete any `b<id>_*` files a crashed prior attempt of this batch
+    * already moved in — the sweep that makes the rename commit
+    * idempotent. Handles both partitioned (cid=X / l1=Y subdirs) and
+    * flat parquet dirs; one shallow listing (√C-bounded for the IVF
+    * layout), no data read.
     */
   private def sweepBatchFiles(fs: org.apache.hadoop.fs.FileSystem,
-      members: org.apache.hadoop.fs.Path, batchId: Long): Unit = {
+      live: org.apache.hadoop.fs.Path, batchId: Long): Unit = {
     val prefix = s"b${batchId}_"
-    if (!fs.exists(members)) return
-    fs.listStatus(members).foreach { part =>
-      if (part.isDirectory)
-        fs.listStatus(part.getPath).foreach { f =>
+    if (!fs.exists(live)) return
+    fs.listStatus(live).foreach { e =>
+      if (e.isDirectory)
+        fs.listStatus(e.getPath).foreach { f =>
           if (f.getPath.getName.startsWith(prefix)) { fs.delete(f.getPath, false); () }
         }
+      else if (e.getPath.getName.startsWith(prefix)) { fs.delete(e.getPath, false); () }
     }
   }
 
-  /** Move staged delta files into the live `members` tree under
-    * deterministic `b<id>_<k>` names (sorted source order), then drop
-    * the staging dir. Re-running after any crash point re-produces the
-    * same destination names over a swept tree, so the commit converges.
+  /** Move staged delta files into the live tree under deterministic
+    * `b<id>_<k>` names (sorted source order; partition subdirs
+    * mirrored), then drop the staging dir. Re-running after any crash
+    * point re-produces the same destination names over a swept tree,
+    * so the commit converges.
     */
   private def commitStaged(fs: org.apache.hadoop.fs.FileSystem,
       staging: org.apache.hadoop.fs.Path,
-      members: org.apache.hadoop.fs.Path, batchId: Long): Unit = {
+      live: org.apache.hadoop.fs.Path, batchId: Long): Unit = {
+    fs.mkdirs(live)
+    def moveInto(srcDir: org.apache.hadoop.fs.Path,
+        destDir: org.apache.hadoop.fs.Path): Unit = {
+      val files = fs.listStatus(srcDir)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .sortBy(_.getPath.getName)
+      files.zipWithIndex.foreach { case (f, k) =>
+        fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(destDir, s"b${batchId}_$k.parquet")); ()
+      }
+    }
+    moveInto(staging, live)
     fs.listStatus(staging).foreach { part =>
       if (part.isDirectory) { // cid=X / l1=Y partition dirs
-        val dest = new org.apache.hadoop.fs.Path(members, part.getPath.getName)
+        val dest = new org.apache.hadoop.fs.Path(live, part.getPath.getName)
         fs.mkdirs(dest)
-        val files = fs.listStatus(part.getPath)
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-          .sortBy(_.getPath.getName)
-        files.zipWithIndex.foreach { case (f, k) =>
-          fs.rename(f.getPath,
-            new org.apache.hadoop.fs.Path(dest, s"b${batchId}_$k.parquet")); ()
-        }
+        moveInto(part.getPath, dest)
       }
     }
     fs.delete(staging, true); ()
   }
+
+  /** Apply one micro-batch of prepared vectors to a persisted PQ
+    * index directory ([[graft.operators.Pq.buildPqIndex]] layout),
+    * idempotently by `batchId` — completes the streaming matrix
+    * (BM25 / IVF / PQ). First batch trains the codebooks (all
+    * overwrite writes — replay-safe); later batches encode against
+    * the FROZEN codebooks and append delta files to `codes` and
+    * `vectors` through the same staged deterministic-rename commit as
+    * [[applyIvfBatch]], so the crash-before-marker window is closed
+    * here too.
+    */
+  def applyPqBatch(batch: DataFrame, dir: String, batchId: Long,
+      m: Int = 8, dim: Int = 64): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val logPath = s"$dir/batchlog"
+    val fs = new org.apache.hadoop.fs.Path(logPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
+        !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
+      return false
+    }
+    val applied =
+      if (batch.isEmpty) false
+      else {
+        val hasIndex =
+          fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codebooks"))
+        if (hasIndex) {
+          val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
+          Seq("codes", "vectors").foreach { sub =>
+            sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
+          }
+          graft.operators.Pq.appendPqIndex(spark, batch, dir, m = m, dim = dim,
+            stagingPath = Some(staging.toString))
+          Seq("codes", "vectors").foreach { sub =>
+            commitStaged(fs, new org.apache.hadoop.fs.Path(staging, sub),
+              new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
+          }
+          fs.delete(staging, true)
+        } else graft.operators.Pq.buildPqIndex(batch, dir, m = m, dim = dim)
+        true
+      }
+    Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    applied
+  }
+
+  /** foreachBatch sink: keep a persisted PQ index current from a
+    * vector stream.
+    */
+  def pqIndexSink(vecs: DataFrame, dir: String,
+      checkpoint: String): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyPqBatch(batch, dir, batchId)
+        ()
+      }
+      .start()
 
   /** foreachBatch sink: keep a persisted IVF index current from a
     * vector stream.
