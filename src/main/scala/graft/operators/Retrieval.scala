@@ -286,6 +286,33 @@ object Retrieval {
       .agg(sum($"term_score").as("score_fp"))
   }
 
+  /** Bucket-count policy for [[buildBm25Index]]: one bucket per
+    * ~`docsPerBucket` documents, rounded UP to a power of two (bucket
+    * pruning and the probe's bucketed joins like pow-2 counts),
+    * clamped to [8, 4096] — so per-bucket file sizes stay flat as the
+    * corpus grows instead of each of a HAND-SET 8 buckets growing
+    * with the corpus. 4096 × 64Ki docs ≈ 270M docs per index before
+    * the cap; beyond that an index is sharded by corpus partition
+    * anyway. Deterministic in the doc count alone, and the chosen
+    * value is RECORDED in the index's 1-row `stats` table, so append
+    * and compaction never depend on a caller re-passing it.
+    */
+  private[graft] def sizeAdaptiveBuckets(nDocs: Long,
+      docsPerBucket: Long = 65536L): Int = {
+    val want = math.max(8L, (nDocs + docsPerBucket - 1) / docsPerBucket)
+    // next power of two >= want
+    val pow = java.lang.Long.highestOneBit(want * 2 - 1)
+    math.min(4096L, pow).toInt
+  }
+
+  /** Read the bucket count an index was built with (recorded in
+    * `stats` by [[buildBm25Index]]).
+    */
+  private def indexBuckets(spark: SparkSession, db: String): Int = {
+    val Array(row) = spark.table(s"$db.stats").collect()
+    row.getAs[Int]("buckets")
+  }
+
   /** Build the BM25 index ONCE as persisted tables — the
     * build-vs-probe separation that lets repeated query batches skip
     * the corpus tokenize pass entirely. Postings and document
@@ -293,13 +320,21 @@ object Retrieval {
     * an open-vocabulary probe that joins them term-to-term needs no
     * exchange on either side; corpus stats are a 1-row table.
     *
+    * `buckets <= 0` (the default) derives the count from the corpus
+    * size via [[sizeAdaptiveBuckets]] — one extra count job on the
+    * pre-tokenize frame — and either way the used value is recorded
+    * in `stats.buckets` as index metadata ([[appendToBm25Index]] and
+    * [[compactBm25Index]] read it from there; an explicit value is a
+    * test/override knob, not something callers must thread through).
+    *
     * @param db pre-created database to write `postings` / `dfreq` /
     *           `stats` into (caller owns its location + lifecycle).
     */
   def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
-      db: String, buckets: Int = 8): Unit = {
+      db: String, buckets: Int = 0): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val nBuckets = if (buckets > 0) buckets else sizeAdaptiveBuckets(docs.count())
     // corpus stats ride the postings write as an observed metric on
     // the pre-explode frame — the corpus is tokenized exactly ONCE
     val obs = org.apache.spark.sql.Observation("bm25_build_stats")
@@ -314,10 +349,10 @@ object Retrieval {
       // align task partitions with bucket ids (same HashPartitioning
       // the bucketed writer hashes with): one file per bucket per
       // write, instead of shufflePartitions × buckets small files
-      .repartition(buckets, $"term")
+      .repartition(nBuckets, $"term")
     timedPhase("bm25.build.postings")(
       postings.write.mode("overwrite")
-        .bucketBy(buckets, "term").sortBy("term")
+        .bucketBy(nBuckets, "term").sortBy("term")
         .saveAsTable(s"$db.postings"))
     // block-max metadata rides the df table: each term's best-case
     // posting (max tf, min len) bounds its max achievable score, the
@@ -327,14 +362,15 @@ object Retrieval {
         .groupBy($"term").agg(count(lit(1)).as("df"),
           max($"tf").as("max_tf"), min($"len").as("min_len"))
         .write.mode("overwrite")
-        .bucketBy(buckets, "term").sortBy("term")
+        .bucketBy(nBuckets, "term").sortBy("term")
         .saveAsTable(s"$db.dfreq"))
     timedPhase("bm25.build.stats") {
       val m = obs.get // fired during the postings write
       val (n, t) = (m("n").asInstanceOf[Long], m("t").asInstanceOf[Long])
-      Seq((n, Math.floorDiv(2 * t + n, 2 * n), t))
-        .toDF("n_docs", "avgdl", "tot_len")
-        // tot_len kept so appends can re-derive avgdl exactly
+      Seq((n, Math.floorDiv(2 * t + n, 2 * n), t, nBuckets))
+        .toDF("n_docs", "avgdl", "tot_len", "buckets")
+        // tot_len kept so appends re-derive avgdl exactly; buckets is
+        // the layout metadata every later writer reads back
         .write.mode("overwrite").saveAsTable(s"$db.stats")
     }
   }
@@ -362,9 +398,11 @@ object Retrieval {
     * row per term with [[compactBm25Index]].
     */
   def appendToBm25Index(docs: DataFrame, idCol: String, textCol: String,
-      db: String, buckets: Int = 8): Unit = {
+      db: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the index owns its bucket layout: read it back, never re-derive
+    val buckets = indexBuckets(spark, db)
     // the delta's (n_docs, Σlen) ride the postings write as an
     // OBSERVED metric on the pre-explode frame — exact integer
     // aggregates collected by the listener for free, no extra job
@@ -400,8 +438,8 @@ object Retrieval {
         val m = obs.get // fired during the postings write
         val (n, t) = (old.getAs[Long]("n_docs") + m("n").asInstanceOf[Long],
           old.getAs[Long]("tot_len") + m("t").asInstanceOf[Long])
-        Seq((n, Math.floorDiv(2 * t + n, 2 * n), t))
-          .toDF("n_docs", "avgdl", "tot_len")
+        Seq((n, Math.floorDiv(2 * t + n, 2 * n), t, buckets))
+          .toDF("n_docs", "avgdl", "tot_len", "buckets")
           .write.mode("overwrite").saveAsTable(s"$db.stats")
       }
     } finally { deltaPostings.unpersist(); () }
@@ -414,9 +452,9 @@ object Retrieval {
     * segment count is worth a vocabulary-sized rewrite. Staged to a
     * sibling table and swapped by rename, same as any metadata swap.
     */
-  def compactBm25Index(spark: SparkSession, db: String,
-      buckets: Int = 8): Unit = {
+  def compactBm25Index(spark: SparkSession, db: String): Unit = {
     import spark.implicits._
+    val buckets = indexBuckets(spark, db)
     spark.table(s"$db.dfreq")
       .groupBy($"term").agg(sum($"df").as("df"),
         max($"max_tf").as("max_tf"), min($"min_len").as("min_len"))

@@ -50,7 +50,7 @@ object StreamingIndex {
     * in the batchlog (re-delivery) or the batch was empty.
     */
   def applyBm25Batch(batch: DataFrame, idCol: String, textCol: String,
-      db: String, batchId: Long, buckets: Int = 8): Boolean = {
+      db: String, batchId: Long, buckets: Int = 0): Boolean = {
     val spark = batch.sparkSession
     import spark.implicits._
     val logTable = s"$db.batchlog"
@@ -64,8 +64,9 @@ object StreamingIndex {
       if (batch.isEmpty) false
       else {
         if (spark.catalog.tableExists(s"$db.stats"))
+          // append reads the recorded bucket layout from the index
           graft.operators.Retrieval.appendToBm25Index(
-            batch, idCol, textCol, db, buckets)
+            batch, idCol, textCol, db)
         else
           graft.operators.Retrieval.buildBm25Index(
             batch, idCol, textCol, db, buckets)
@@ -81,7 +82,7 @@ object StreamingIndex {
     * committed offset; the batchlog absorbs the overlap).
     */
   def bm25IndexSink(docs: DataFrame, idCol: String, textCol: String,
-      db: String, checkpoint: String, buckets: Int = 8): StreamingQuery =
+      db: String, checkpoint: String, buckets: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")

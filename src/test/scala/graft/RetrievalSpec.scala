@@ -218,6 +218,46 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("size-adaptive buckets: formula properties and probe identity across counts") {
+    import spark.implicits._
+    // policy: power of two, monotone in corpus size, clamped [8, 4096],
+    // per-bucket load flat (n/buckets bounded by ~2x docsPerBucket)
+    val f = (n: Long) => Retrieval.sizeAdaptiveBuckets(n)
+    assert(f(0) == 8 && f(1) == 8 && f(65536) == 8)
+    assert(f(600000) == 16 && f(5000000) == 128)
+    assert(f(Long.MaxValue / 4) == 4096, "cap")
+    val sizes = Seq(1L, 100L, 65536L, 600000L, 5000000L, 80000000L)
+    assert(sizes.map(f) == sizes.map(f).sorted, "monotone")
+    sizes.foreach { n =>
+      val b = f(n)
+      assert((b & (b - 1)) == 0, s"pow2: $b")
+      if (b < 4096) assert(n.toDouble / b <= 2 * 65536, s"flat load at n=$n")
+    }
+    // the bucket count is layout metadata, not semantics: the same
+    // corpus indexed at 4 and 16 buckets answers probes identically
+    val docs = Tables(spark, sf).documents
+    val qs = Seq(1L -> "spark window join", 2L -> "dup query scan")
+    def mkDb(name: String): String = {
+      val loc = java.nio.file.Files.createTempDirectory(s"graft-$name").toString
+      spark.sql(s"DROP DATABASE IF EXISTS $name CASCADE")
+      spark.sql(s"CREATE DATABASE $name LOCATION '$loc'")
+      name
+    }
+    val (b4, b16) = (mkDb("bm25idx_b4"), mkDb("bm25idx_b16"))
+    try {
+      Retrieval.buildBm25Index(docs, "doc_id", "text", b4, buckets = 4)
+      Retrieval.buildBm25Index(docs, "doc_id", "text", b16, buckets = 16)
+      // recorded metadata round-trips, and append follows it (a delta
+      // appended with no buckets arg lands in the build's layout)
+      assert(spark.table(s"$b4.stats").select("buckets").collect()
+        .map(_.getInt(0)).toSeq == Seq(4))
+      assert(Retrieval.bm25TopKIndexed(spark, b4, qs, k = 10).collect().toSet ==
+        Retrieval.bm25TopKIndexed(spark, b16, qs, k = 10).collect().toSet)
+    } finally {
+      Seq(b4, b16).foreach(db => spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE"))
+    }
+  }
+
   test("mmr lambda endpoints: 1 keeps relevance order, 0 maximizes diversity") {
     import spark.implicits._
     val docs = docsDF(
