@@ -183,11 +183,27 @@ object Pq {
     */
   def buildPqIndex(corpus: DataFrame, dir: String, m: Int = 8, k: Int = 16,
       dim: Int = 64, iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
     val cb = trainCodebooks(corpus, m, k, dim, iters)
     cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+    // (m, k, dim) are LAYOUT metadata — the index owns them (the
+    // stats.buckets principle of buildBm25Index): append and probe
+    // read them back, so no caller threads quantization constants
+    // through, and a mismatched override can't silently mis-decode
+    spark.createDataFrame(Seq((m, k, dim))).toDF("m", "k", "dim")
+      .write.mode("overwrite").parquet(s"$dir/meta")
     encode(corpus, cb, m, dim).write.mode("overwrite").parquet(s"$dir/codes")
     corpus.select($"vid", $"qv", $"nrm")
       .write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  /** Read the (m, k, dim) a PQ index was built with (recorded in
+    * `meta` by [[buildPqIndex]]).
+    */
+  private def indexMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int, Int) = {
+    val Array(row) = spark.read.parquet(s"$dir/meta").collect()
+    (row.getAs[Int]("m"), row.getAs[Int]("k"), row.getAs[Int]("dim"))
   }
 
   /** Frozen-codebook delta append. With `stagingPath` unset the delta
@@ -198,8 +214,11 @@ object Pq {
     * [[graft.streaming.StreamingIndex.applyPqBatch]].
     */
   def appendPqIndex(spark: org.apache.spark.sql.SparkSession,
-      delta: DataFrame, dir: String, m: Int = 8, dim: Int = 64,
+      delta: DataFrame, dir: String,
       stagingPath: Option[String] = None): Unit = {
+    // the index owns its quantization layout: read it back, never
+    // trust a caller to re-pass it
+    val (m, _, dim) = indexMeta(spark, dir)
     val cb = spark.read.parquet(s"$dir/codebooks")
     val (root, mode) =
       (stagingPath.getOrElse(dir), if (stagingPath.isDefined) "overwrite" else "append")
@@ -209,8 +228,9 @@ object Pq {
   }
 
   def pqProbeIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
-      queries: DataFrame, topK: Int, m: Int = 8, k: Int = 16, dim: Int = 64,
+      queries: DataFrame, topK: Int,
       shortlistFactor: Int = 8): DataFrame = {
+    val (m, k, dim) = indexMeta(spark, dir)
     val cb = spark.read.parquet(s"$dir/codebooks")
     val enc = spark.read.parquet(s"$dir/codes")
     val vectors = spark.read.parquet(s"$dir/vectors")

@@ -218,7 +218,8 @@ object StreamingIndex {
           Seq("codes", "vectors").foreach { sub =>
             sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
           }
-          graft.operators.Pq.appendPqIndex(spark, batch, dir, m = m, dim = dim,
+          // append reads the recorded (m, k, dim) from the index meta
+          graft.operators.Pq.appendPqIndex(spark, batch, dir,
             stagingPath = Some(staging.toString))
           Seq("codes", "vectors").foreach { sub =>
             commitStaged(fs, new org.apache.hadoop.fs.Path(staging, sub),

@@ -105,15 +105,36 @@ class PqSpec extends SparkSpec {
     val half2 = corpus.filter($"vid" % 2 =!= 0)
     Pq.buildPqIndex(half1, dirA)
     Pq.appendPqIndex(spark, half2, dirA)
-    // B shares A's frozen codebooks; the union encodes in one shot
-    spark.read.parquet(s"$dirA/codebooks")
-      .write.mode("overwrite").parquet(s"$dirB/codebooks")
+    // B shares A's frozen codebooks AND layout meta; the union
+    // encodes in one shot
+    for (sub <- Seq("codebooks", "meta"))
+      spark.read.parquet(s"$dirA/$sub")
+        .write.mode("overwrite").parquet(s"$dirB/$sub")
     Pq.appendPqIndex(spark, half1.unionAll(half2), dirB)
     def probe(d: String) =
       Pq.pqProbeIndexed(spark, d, corpus.filter($"vid" < 200), topK = 5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(probe(dirA) == probe(dirB), "refresh path must equal one-shot encode")
     assert(probe(dirA).nonEmpty)
+  }
+
+  test("persisted PQ: the index owns its (m, k, dim) layout meta") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-m4").toString
+    // non-default m: append and probe must follow the RECORDED meta,
+    // not a caller-passed constant (neither call takes one anymore)
+    Pq.buildPqIndex(corpus.filter($"vid" % 2 === 0), dir, m = 4, k = 16)
+    assert(spark.read.parquet(s"$dir/meta")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((4, 16, 64)))
+    Pq.appendPqIndex(spark, corpus.filter($"vid" % 2 =!= 0), dir)
+    // m=4 codes really are 4 entries wide — append encoded in the
+    // build's layout
+    import org.apache.spark.sql.functions.size
+    assert(spark.read.parquet(s"$dir/codes")
+      .select(size($"codes")).distinct().collect().map(_.getInt(0)).toSeq ==
+      Seq(4))
+    val out = Pq.pqProbeIndexed(spark, dir, corpus.filter($"vid" < 100), topK = 3)
+    assert(out.count() > 0)
   }
 
   test("the ADC scans rank with a bounded partial aggregate, no window") {
