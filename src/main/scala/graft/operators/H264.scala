@@ -2284,6 +2284,114 @@ object H264 {
     out.toArray
   }
 
+  /** Per-sub-MB sub_mb_type of the SUB-PARTITION streams
+    * (Table 7-17): 0 = P_L0_8x8, 1 = P_L0_8x4, 2 = P_L0_4x8,
+    * 3 = P_L0_4x4, on an (id, mb, sub-MB) lattice so every type
+    * appears in every stream.
+    */
+  private[graft] def synthSubKind(seed: Long, mx: Int, my: Int, sb: Int): Int =
+    ((seed + mx + my + sb) % 4).toInt
+
+  /** P streams with 8x8 SUB-MACROBLOCK partitions: every MB is
+    * P_8x8 / P_8x8ref0 (alternating on a checkerboard — with one
+    * active reference the two parse identically apart from the
+    * mb_type itself), each 8x8 sub-MB carrying its sub_mb_type from
+    * the [[synthSubKind]] lattice and per-sub-partition mvds against
+    * the PLAIN §8.4.1.3 prediction (no directional rules at this
+    * granularity) over the 4x4-block mv field. Displacements: the
+    * first sub-partition region moves by qA, the complementary
+    * region by qB — 8x4 bottom, 4x8 right, and the 4x4 anti-diagonal
+    * (TR/BL) are the qB region, so every sub_mb_type changes the
+    * picture in a closed-form way. No skips, no residual, 1
+    * reference, displacements even full samples (chroma stays
+    * integer-displaced).
+    */
+  def synthesizeH264SubParts(mbW: Int, mbH: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp())
+    appendIPcmIdr(out, mbW, mbH, seed)
+    val bW = 4 * mbW; val bH = 4 * mbH
+    var f = 1
+    while (f < nFrames) {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(f % 16, 4)
+      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+      bw.se(0); bw.ue(1)
+      val qA = synthPartQA(seed, f); val qB = synthPartQB(seed, f)
+      val mvs = Array.fill(bW * bH)((0, 0))
+      val refs = Array.fill(bW * bH)(-1)
+      val done = Array.fill(bW * bH)(false)
+      def stamp(bx: Int, by: Int, wB: Int, hB: Int, mv: (Int, Int)): Unit = {
+        var yy = by
+        while (yy < by + hB) {
+          var xx = bx
+          while (xx < bx + wB) {
+            mvs(yy * bW + xx) = mv; refs(yy * bW + xx) = 0
+            done(yy * bW + xx) = true
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          bw.ue(0)                            // mb_skip_run
+          bw.ue(if ((mx + my) % 2 == 0) 3 else 4) // P_8x8 / P_8x8ref0
+          var sb = 0
+          while (sb < 4) {                    // sub_mb_type[4] first
+            bw.ue(synthSubKind(seed, mx, my, sb))
+            sb += 1
+          }
+          // (1 active ref: no ref_idx_l0 entries) then mvds per
+          // sub-partition, sub-MB raster order — encoder runs the
+          // decoder's own predictor over the shared block field
+          sb = 0
+          while (sb < 4) {
+            val sbx = mx * 4 + 2 * (sb % 2)
+            val sby = my * 4 + 2 * (sb / 2)
+            val parts: Array[(Int, Int, Int, Int, Boolean)] =
+              synthSubKind(seed, mx, my, sb) match {
+                case 0 => Array((sbx, sby, 2, 2, false))
+                case 1 => Array((sbx, sby, 2, 1, false),
+                  (sbx, sby + 1, 2, 1, true))
+                case 2 => Array((sbx, sby, 1, 2, false),
+                  (sbx + 1, sby, 1, 2, true))
+                case _ => Array((sbx, sby, 1, 1, false),
+                  (sbx + 1, sby, 1, 1, true),
+                  (sbx, sby + 1, 1, 1, true),
+                  (sbx + 1, sby + 1, 1, 1, false))
+              }
+            for ((pbx, pby, pwB, phB, isB2) <- parts) {
+              val q = if (isB2) qB else qA
+              val pr = predictMvPart(mvs, done, refs, 0, bW, bH,
+                pbx, pby, pwB, 0)
+              bw.se(q._1 - pr._1); bw.se(q._2 - pr._2)
+              stamp(pbx, pby, pwB, phB, q)
+            }
+            sb += 1
+          }
+          bw.ue(0)                            // cbp
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+      f += 1
+    }
+    out.toArray
+  }
+
   /** [[synthesizeH264Inter]] with each P frame split into
     * `slices` horizontal slices (contiguous MB-row groups, raster
     * order). Slices are independently decodable: MV prediction and
@@ -2805,7 +2913,7 @@ object H264 {
                 val mbType = r.ue()
                 val (useL0, useL1) =
                   if (!isB) {
-                    if (mbType > 2) return None // 8x8 and below: refuse
+                    if (mbType > 4) return None // beyond P_8x8ref0: refuse
                     (true, false)
                   } else mbType match {
                     case 1 => (true, false)
@@ -2814,7 +2922,69 @@ object H264 {
                     case _ => return None // B_Direct / partitions: refuse
                   }
                 val mx = mb % info.mbW; val myy = mb / info.mbW
-                if (!isB && mbType > 0) {
+                if (!isB && mbType >= 3) {
+                  // P_8x8 (3) / P_8x8ref0 (4), §7.3.5.2 sub_mb_pred:
+                  // four ue(v) sub_mb_types (Table 7-17: 0 = 8x8,
+                  // 1 = 8x4, 2 = 4x8, 3 = 4x4), then ref_idx_l0 per
+                  // sub-MB (P_8x8 with >1 active ref ONLY — P_8x8ref0
+                  // infers 0 even with 2 refs), then mvd_l0 per
+                  // sub-partition in sub-MB raster order. Prediction
+                  // for 8x8-and-below partitions is the PLAIN §8.4.1.3
+                  // derivation (median + exactly-one-matching-refIdx
+                  // shortcut) at the partition's own block rectangle —
+                  // the 16x8/8x16 directional rules do NOT apply; a
+                  // later partition of the same MB sees the earlier
+                  // ones' mvs in the block field, and neighbor C falls
+                  // back to D when it lies in a not-yet-decoded
+                  // partition (block-level `done`).
+                  val subTypes = new Array[Int](4)
+                  var sb = 0
+                  while (sb < 4) {
+                    subTypes(sb) = r.ue()
+                    if (subTypes(sb) > 3) return None // B sub-types: refuse
+                    sb += 1
+                  }
+                  val sref = Array(0, 0, 0, 0)
+                  if (mbType == 3 && numRef0 == 2) {
+                    var i = 0
+                    while (i < 4) { sref(i) = 1 - r.u(1); i += 1 }
+                  }
+                  sb = 0
+                  while (sb < 4) {
+                    val sbx = mx * 4 + 2 * (sb % 2)
+                    val sby = myy * 4 + 2 * (sb / 2)
+                    // sub-partition rectangles in 4x4-block units,
+                    // spec decode order (top-before-bottom,
+                    // left-before-right)
+                    val parts: Array[(Int, Int, Int, Int)] = subTypes(sb) match {
+                      case 0 => Array((sbx, sby, 2, 2))
+                      case 1 => Array((sbx, sby, 2, 1), (sbx, sby + 1, 2, 1))
+                      case 2 => Array((sbx, sby, 1, 2), (sbx + 1, sby, 1, 2))
+                      case _ => Array((sbx, sby, 1, 1), (sbx + 1, sby, 1, 1),
+                        (sbx, sby + 1, 1, 1), (sbx + 1, sby + 1, 1, 1))
+                    }
+                    var pi = 0
+                    while (pi < parts.length) {
+                      val (pbx, pby, pwB, phB) = parts(pi)
+                      val pr = predictMvPart(mvs, done, refs0, sref(sb),
+                        bW, bH, pbx, pby, pwB, 0)
+                      val pmv = (pr._1 + r.se(), pr._2 + r.se())
+                      if (!mcInto(
+                          if (sref(sb) == 1) luma2 else luma,
+                          if (sref(sb) == 1) cb2 else cb,
+                          if (sref(sb) == 1) cr2 else cr,
+                          nl, ncb, ncr)(
+                          pbx * 4, pby * 4, pwB * 4, phB * 4, pmv)) return None
+                      writePart(mvs, refs0, pbx, pby, pwB, phB, pmv, sref(sb))
+                      mvAbs += math.abs(pmv._1) + math.abs(pmv._2)
+                      pi += 1
+                    }
+                    sb += 1
+                  }
+                  if (ppsWeighted) applyWeights(mx, myy)
+                  if (r.ue() != 0) return None // sub-part cbp: out of scope
+                  mb += 1
+                } else if (!isB && mbType > 0) {
                   // P_L0_L0_16x8 (1) / 8x16 (2): two partitions with
                   // per-partition ref_idx (all first), then mvds in
                   // order — each prediction runs the DIRECTIONAL rule

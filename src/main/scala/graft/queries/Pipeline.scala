@@ -2027,6 +2027,33 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // H.264 8x8 SUB-PARTITIONS — P_8x8 / P_8x8ref0 macroblocks whose
+    // four 8x8 sub-MBs each carry a sub_mb_type from Table 7-17
+    // (8x8 / 8x4 / 4x8 / 4x4 on a lattice that puts all four in
+    // every MB): per-sub-partition mvds against the PLAIN median
+    // prediction at the partition's own rectangle (no directional
+    // rules at this granularity), later partitions predicting from
+    // earlier ones' 4x4-block mvs inside the same MB. The oracle
+    // selects each pixel's displacement by (sub_mb_type, quadrant).
+    "q181_h264_subparts" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 3)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbW = 2 + (id % 3).toInt
+          val mbH = 1 + (id % 3).toInt
+          val st = graft.operators.H264.synthesizeH264SubParts(mbW, mbH, 2, id)
+          graft.operators.H264.decodeInter(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nSkipped, f.mvAbsSum)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height", "luma_sum",
+          "chroma_sum", "weighted_sum", "n_skipped", "mv_abs_sum")
+        .orderBy($"doc_id")
+    },
+
     // H.264 MULTIPLE REFERENCE indices — P slices with two active L0
     // refs ([prev, prev-prev]): per-MB te(v)-coded ref_idx_l0 on a
     // checkerboard, per-(frame, ref) constant mvs, and the
@@ -4394,6 +4421,92 @@ object Pipeline {
         |      FROM (SELECT x.i AS mx, y.i AS my FROM
         |        (SELECT unnest(generate_series(0, w.mbw - 1)) AS i) x,
         |        (SELECT unnest(generate_series(0, w.mbh - 1)) AS i) y) mb)
+        |    AS mvs
+        |  FROM dv w)
+        |SELECT d.id AS doc_id, CAST(2 AS INTEGER) AS n_frames,
+        |  16 * d.mbw AS width, 16 * d.mbh AS height,
+        |  CAST(ls.l0 + ls.l1 AS BIGINT) AS luma_sum,
+        |  CAST(cs.c0 + cs.c1 AS BIGINT) AS chroma_sum,
+        |  CAST(ls.l0 + cs.c0 + 2 * (ls.l1 + cs.c1) AS BIGINT) AS weighted_sum,
+        |  CAST(0 AS BIGINT) AS n_skipped,
+        |  CAST(ma.mvs AS BIGINT) AS mv_abs_sum
+        |FROM d JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
+        |JOIN ma ON ma.id = d.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeH264SubParts at nf=2: per-pixel displacement
+    // selected by the sub_mb_type lattice k = (id + mbx + mby + sb)%4
+    // (sb the 8x8 quadrant) and the pixel's position inside the 8x8 —
+    // qB regions are the 8x4 bottom (k=1), 4x8 right (k=2) and 4x4
+    // anti-diagonal (k=3); chroma mirrors at half resolution with
+    // half displacements; per-sub-MB |mv| sums by kind
+    "q181_h264_subparts" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(2 + doc_id % 3 AS INTEGER) AS mbw,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh
+        |  FROM documents WHERE doc_id % 4 = 3),
+        |dv AS (SELECT id, mbw, mbh,
+        |    2 * ((id + 1) % 3 - 1) AS dxa, 2 * ((id + 2) % 3 - 1) AS dya,
+        |    2 * ((id + 2) % 3 - 1) AS dxb, 2 * ((id + 3) % 3 - 1) AS dyb
+        |  FROM d),
+        |lq AS (SELECT id, mbw, mbh, x, y,
+        |    CASE WHEN (k = 1 AND hy = 1) OR (k = 2 AND hx = 1)
+        |      OR (k = 3 AND hx <> hy) THEN 1 ELSE 0 END AS ub
+        |  FROM (SELECT p.id, p.mbw, p.mbh, p.x, p.y,
+        |      (p.id + p.x // 16 + p.y // 16
+        |        + 2 * ((p.y % 16) // 8) + (p.x % 16) // 8) % 4 AS k,
+        |      CASE WHEN p.x % 8 >= 4 THEN 1 ELSE 0 END AS hx,
+        |      CASE WHEN p.y % 8 >= 4 THEN 1 ELSE 0 END AS hy
+        |    FROM (SELECT id, mbw, mbh, x.i AS x, y.i AS y FROM d,
+        |      LATERAL (SELECT unnest(generate_series(0, 16 * mbw - 1)) AS i) x,
+        |      LATERAL (SELECT unnest(generate_series(0, 16 * mbh - 1)) AS i) y) p)),
+        |ls AS (SELECT lq.id,
+        |    sum((lq.id + lq.x + 2 * lq.y) % 251) AS l0,
+        |    sum((lq.id
+        |      + least(greatest(lq.x + CASE WHEN lq.ub = 1 THEN w.dxb
+        |          ELSE w.dxa END, 0), 16 * lq.mbw - 1)
+        |      + 2 * least(greatest(lq.y + CASE WHEN lq.ub = 1 THEN w.dyb
+        |          ELSE w.dya END, 0), 16 * lq.mbh - 1)) % 251) AS l1
+        |  FROM lq JOIN dv w ON w.id = lq.id GROUP BY 1),
+        |cq AS (SELECT id, mbw, mbh, pl, x, y,
+        |    CASE WHEN (k = 1 AND hy = 1) OR (k = 2 AND hx = 1)
+        |      OR (k = 3 AND hx <> hy) THEN 1 ELSE 0 END AS ub
+        |  FROM (SELECT p.id, p.mbw, p.mbh, p.pl, p.x, p.y,
+        |      (p.id + p.x // 8 + p.y // 8
+        |        + 2 * ((p.y % 8) // 4) + (p.x % 8) // 4) % 4 AS k,
+        |      CASE WHEN p.x % 4 >= 2 THEN 1 ELSE 0 END AS hx,
+        |      CASE WHEN p.y % 4 >= 2 THEN 1 ELSE 0 END AS hy
+        |    FROM (SELECT id, mbw, mbh, pl.p AS pl, x.i AS x, y.i AS y FROM d,
+        |      LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
+        |      LATERAL (SELECT unnest(generate_series(0, 8 * mbw - 1)) AS i) x,
+        |      LATERAL (SELECT unnest(generate_series(0, 8 * mbh - 1)) AS i) y) p)),
+        |cs AS (SELECT cq.id,
+        |    sum(CASE WHEN cq.pl = 0 THEN (cq.id + 2 * cq.x + cq.y) % 251
+        |        ELSE (3 * cq.id + cq.x + 2 * cq.y) % 251 END) AS c0,
+        |    sum(CASE WHEN cq.pl = 0
+        |      THEN (cq.id
+        |        + 2 * least(greatest(cq.x + CASE WHEN cq.ub = 1 THEN w.dxb // 2
+        |            ELSE w.dxa // 2 END, 0), 8 * cq.mbw - 1)
+        |        + least(greatest(cq.y + CASE WHEN cq.ub = 1 THEN w.dyb // 2
+        |            ELSE w.dya // 2 END, 0), 8 * cq.mbh - 1)) % 251
+        |      ELSE (3 * cq.id
+        |        + least(greatest(cq.x + CASE WHEN cq.ub = 1 THEN w.dxb // 2
+        |            ELSE w.dxa // 2 END, 0), 8 * cq.mbw - 1)
+        |        + 2 * least(greatest(cq.y + CASE WHEN cq.ub = 1 THEN w.dyb // 2
+        |            ELSE w.dya // 2 END, 0), 8 * cq.mbh - 1)) % 251
+        |      END) AS c1
+        |  FROM cq JOIN dv w ON w.id = cq.id GROUP BY 1),
+        |ma AS (SELECT w.id,
+        |    (SELECT sum(CASE (w.id + mb.mx + mb.my + mb.sb) % 4
+        |        WHEN 0 THEN abs(4 * w.dxa) + abs(4 * w.dya)
+        |        WHEN 3 THEN 2 * (abs(4 * w.dxa) + abs(4 * w.dya)
+        |          + abs(4 * w.dxb) + abs(4 * w.dyb))
+        |        ELSE abs(4 * w.dxa) + abs(4 * w.dya)
+        |          + abs(4 * w.dxb) + abs(4 * w.dyb) END)
+        |      FROM (SELECT x.i AS mx, y.i AS my, s.i AS sb FROM
+        |        (SELECT unnest(generate_series(0, w.mbw - 1)) AS i) x,
+        |        (SELECT unnest(generate_series(0, w.mbh - 1)) AS i) y,
+        |        (SELECT unnest(generate_series(0, 3)) AS i) s) mb)
         |    AS mvs
         |  FROM dv w)
         |SELECT d.id AS doc_id, CAST(2 AS INTEGER) AS n_frames,

@@ -1220,6 +1220,71 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("sub-partitioned P decode equals an independent per-region simulation") {
+    // every MB carries all four sub_mb_types (the kind lattice mod 4
+    // over sb = 0..3 hits each), so one green seed exercises 8x8,
+    // 8x4, 4x8 AND 4x4 prediction + MC; qB regions are the 8x4
+    // bottom, 4x8 right, and 4x4 anti-diagonal
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 2 + (seed % 2).toInt
+      val w = mbW * 16; val h = mbH * 16
+      val m = H264.decodeInter(H264.synthesizeH264SubParts(mbW, mbH, nf, seed)).get
+      assert(m.nFrames == nf && m.nSkipped == 0)
+      def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      var l = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      var cbP = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+      var crP = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+      var wl = 0L; var wc = 0L; var ww2 = 0L; var mvAbs = 0L
+      def add(fi: Int): Unit = {
+        var fl = 0L; l.foreach(_.foreach(fl += _))
+        var fc = 0L; cbP.foreach(_.foreach(fc += _)); crP.foreach(_.foreach(fc += _))
+        wl += fl; wc += fc; ww2 += (fi + 1L) * (fl + fc)
+      }
+      add(0)
+      for (f <- 1 until nf) {
+        val qA = H264.synthPartQA(seed, f); val qB = H264.synthPartQB(seed, f)
+        // blk = 16 for luma, 8 for chroma; sub-MB is blk/2, sub-part blk/4
+        def useB(blk: Int)(x: Int, y: Int): Boolean = {
+          val half = blk / 2; val qtr = blk / 4
+          val sb = 2 * ((y % blk) / half) + (x % blk) / half
+          val k = H264.synthSubKind(seed, x / blk, y / blk, sb)
+          val sx = x % half; val sy = y % half
+          (k == 1 && sy >= qtr) || (k == 2 && sx >= qtr) ||
+            (k == 3 && ((sx >= qtr) != (sy >= qtr)))
+        }
+        val pl = l
+        l = Array.tabulate(h, w) { (y, x) =>
+          val q = if (useB(16)(x, y)) qB else qA
+          pl(clamp(y + q._2 / 4, h - 1))(clamp(x + q._1 / 4, w - 1))
+        }
+        val pcb = cbP; val pcr = crP
+        cbP = Array.tabulate(h / 2, w / 2) { (y, x) =>
+          val q = if (useB(8)(x, y)) qB else qA
+          pcb(clamp(y + q._2 / 8, h / 2 - 1))(clamp(x + q._1 / 8, w / 2 - 1))
+        }
+        crP = Array.tabulate(h / 2, w / 2) { (y, x) =>
+          val q = if (useB(8)(x, y)) qB else qA
+          pcr(clamp(y + q._2 / 8, h / 2 - 1))(clamp(x + q._1 / 8, w / 2 - 1))
+        }
+        add(f)
+        val na = math.abs(qA._1) + math.abs(qA._2)
+        val nb = math.abs(qB._1) + math.abs(qB._2)
+        for (my <- 0 until mbH; mx <- 0 until mbW; sb <- 0 until 4)
+          mvAbs += (H264.synthSubKind(seed, mx, my, sb) match {
+            case 0 => na
+            case 3 => 2L * (na + nb)
+            case _ => na + nb
+          })
+      }
+      assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
+      assert(m.chromaSum == wc, s"seed=$seed chroma ${m.chromaSum} vs $wc")
+      assert(m.weightedSum == ww2, s"seed=$seed weighted")
+      assert(m.mvAbsSum == mvAbs, s"seed=$seed mvAbs ${m.mvAbsSum} vs $mvAbs")
+    }
+  }
+
   test("inter decode of an all-I_PCM stream matches decodeIPcm (P machinery dormant)") {
     val p = H264.synthesizeH264IPcm(2, 2, 2, 9L)
     val a = H264.decodeInter(p).get
