@@ -2071,11 +2071,24 @@ object H264 {
     * 1+(s+f+1)%3 / 1+(s+2f+1)%3, offsets (s+3f)%7−3 / (s+f+5)%7−3.
     */
   private[graft] def synthWtLuma(seed: Long, f: Int): (Int, Int, Int) =
-    (1 + ((seed + f) % 2).toInt, 1 + ((seed + f) % 3).toInt,
-      ((seed + 2L * f) % 9).toInt - 4)
+    synthWtLumaR(seed, f, 0)
   private[graft] def synthWtChroma(seed: Long, f: Int): (Int, Int, Int, Int, Int) =
-    (1, 1 + ((seed + f + 1L) % 3).toInt, ((seed + 3L * f) % 7).toInt - 3,
-      1 + ((seed + 2L * f + 1L) % 3).toInt, ((seed + f + 5L) % 7).toInt - 3)
+    synthWtChromaR(seed, f, 0)
+
+  /** Per-REFERENCE weight entries of the weighted multi-ref streams
+    * (closed forms the q182 oracle replays): denoms are per-slice
+    * (ref-independent — the §7.3.3.2 shape), weights/offsets mix the
+    * ref in; ref 0 reproduces the q170 forms exactly.
+    */
+  private[graft] def synthWtLumaR(seed: Long, f: Int, ref: Int): (Int, Int, Int) =
+    (1 + ((seed + f) % 2).toInt, 1 + ((seed + f + ref) % 3).toInt,
+      ((seed + 2L * f + 3L * ref) % 9).toInt - 4)
+  private[graft] def synthWtChromaR(seed: Long, f: Int,
+      ref: Int): (Int, Int, Int, Int, Int) =
+    (1, 1 + ((seed + f + 1L + ref) % 3).toInt,
+      ((seed + 3L * f + 2L * ref) % 7).toInt - 3,
+      1 + ((seed + 2L * f + 1L + ref) % 3).toInt,
+      ((seed + f + 5L + ref) % 7).toInt - 3)
 
   /** [[synthesizeH264Inter]] under EXPLICIT weighted prediction: the
     * PPS raises weighted_pred_flag, every P slice carries a real
@@ -2157,6 +2170,112 @@ object H264 {
       bw.u(1, 1)           // num_ref_idx_active_override_flag
       bw.ue(1)             // num_ref_idx_l0_active_minus1 = 1 (2 refs)
       bw.u(0, 1)           // ref_pic_list_modification_flag_l0
+      bw.u(0, 1)           // adaptive_ref_pic_marking_mode_flag
+      bw.se(0); bw.ue(1)
+      val mvs = Array.fill(mbW * mbH)((0, 0))
+      val refs = Array.fill(mbW * mbH)(-1)
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          val ref = synthMrRef(seed, f, mx, my)
+          val q = synthMrQ(seed, f, ref)
+          bw.ue(0)           // mb_skip_run
+          bw.ue(0)           // P_L0_16x16
+          bw.u(1 - ref, 1)   // ref_idx_l0, te(v) inverted bit
+          val pred = predictMvRef(mvs, done, refs, ref, mx, my, mbW)
+          bw.se(q._1 - pred._1); bw.se(q._2 - pred._2)
+          bw.ue(0)           // cbp
+          mvs(my * mbW + mx) = q
+          refs(my * mbW + mx) = ref
+          done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+      f += 1
+    }
+    out.toArray
+  }
+
+  /** [[synthesizeH264MultiRef]] under EXPLICIT weighted prediction:
+    * every P slice carries a pred_weight_table with ONE entry PER
+    * active reference ([[synthWtLumaR]]/[[synthWtChromaR]] closed
+    * forms; frame 1 one entry, frames 2+ two), and the decoder must
+    * scale/offset each MB's prediction with ITS refIdx's entry —
+    * the weighted-fade tool composed with multi-ref selection. No
+    * skips, no residual.
+    */
+  def synthesizeH264WeightedMultiRef(mbW: Int, mbH: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    require(nFrames >= 3, "need IDR + P before the first 2-ref frame")
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30, maxRefs = 2))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp(weightedPred = true))
+    appendIPcmIdr(out, mbW, mbH, seed)
+
+    def weightTable(bw: BitWriter, f: Int, nRefs: Int): Unit = {
+      val (lwd, _, _) = synthWtLumaR(seed, f, 0)
+      val (cwd, _, _, _, _) = synthWtChromaR(seed, f, 0)
+      bw.ue(lwd); bw.ue(cwd)   // shared per-slice denoms
+      var ref = 0
+      while (ref < nRefs) {
+        val (_, lw, lo) = synthWtLumaR(seed, f, ref)
+        val (_, cw0, co0, cw1, co1) = synthWtChromaR(seed, f, ref)
+        bw.u(1, 1); bw.se(lw); bw.se(lo)
+        bw.u(1, 1); bw.se(cw0); bw.se(co0); bw.se(cw1); bw.se(co1)
+        ref += 1
+      }
+    }
+
+    // frame 1: single-ref weighted P, constant mv, no skips
+    val qp1 = synthMrQ(seed, 1, 0)
+    locally {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(1, 4)
+      bw.u(0, 1)           // num_ref_idx_active_override_flag
+      bw.u(0, 1)           // ref_pic_list_modification_flag_l0
+      weightTable(bw, 1, 1)
+      bw.u(0, 1)           // adaptive_ref_pic_marking_mode_flag
+      bw.se(0); bw.ue(1)
+      val mvs = Array.fill(mbW * mbH)((0, 0))
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          bw.ue(0); bw.ue(0)
+          val pred = predictMv(mvs, done, mx, my, mbW)
+          bw.se(qp1._1 - pred._1); bw.se(qp1._2 - pred._2)
+          bw.ue(0)
+          mvs(my * mbW + mx) = qp1; done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+
+    var f = 2
+    while (f < nFrames) {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(f % 16, 4)
+      bw.u(1, 1)           // num_ref_idx_active_override_flag
+      bw.ue(1)             // num_ref_idx_l0_active_minus1 = 1 (2 refs)
+      bw.u(0, 1)           // ref_pic_list_modification_flag_l0
+      weightTable(bw, f, 2)
       bw.u(0, 1)           // adaptive_ref_pic_marking_mode_flag
       bw.se(0); bw.ue(1)
       val mvs = Array.fill(mbW * mbH)((0, 0))
@@ -2705,25 +2824,29 @@ object H264 {
             }
             r.u(1)           // ref_pic_list_modification_flag_l0
             if (isB) r.u(1)  // ref_pic_list_modification_flag_l1
-            // explicit weighted prediction (P slices, weighted_pred_flag):
-            // per-slice (denom, weight, offset) per plane; default
-            // weights (flag 0) are the identity w = 1<<denom, o = 0
-            var lwd = 0; var lw = 1; var lo = 0
-            var cwd = 0
-            val cwts = Array(1, 1); val coffs = Array(0, 0)
-            // pred_weight_table carries one (w,o) set PER active L0
-            // reference; this subset parses (and applies) exactly one,
-            // so refuse weighted+multi-ref rather than mis-parse
-            if (!isB && ppsWeighted && numRef0 > 1) return None
+            // explicit weighted prediction (P slices, weighted_pred_flag),
+            // §7.3.3.2 pred_weight_table: shared per-slice denoms, then
+            // ONE (luma, chroma) weight/offset set PER active L0
+            // reference; default entries (flag 0) are the identity
+            // w = 1<<denom, o = 0. Weights apply per PARTITION with
+            // that partition's refIdx's entry (§8.4.2.3.2).
+            var lwd = 0; var cwd = 0
+            val lwA = Array(1, 1); val loA = Array(0, 0)
+            val cwA = Array(Array(1, 1), Array(1, 1))
+            val coA = Array(Array(0, 0), Array(0, 0))
             if (!isB && ppsWeighted) {
               lwd = r.ue(); if (lwd > 7) return None
               cwd = r.ue(); if (cwd > 7) return None
-              lw = 1 << lwd
-              cwts(0) = 1 << cwd; cwts(1) = 1 << cwd
-              if (r.u(1) == 1) { lw = r.se(); lo = r.se() }
-              if (r.u(1) == 1) {
-                var j = 0
-                while (j < 2) { cwts(j) = r.se(); coffs(j) = r.se(); j += 1 }
+              var i = 0
+              while (i < numRef0) {
+                lwA(i) = 1 << lwd
+                cwA(i)(0) = 1 << cwd; cwA(i)(1) = 1 << cwd
+                if (r.u(1) == 1) { lwA(i) = r.se(); loA(i) = r.se() }
+                if (r.u(1) == 1) {
+                  var j = 0
+                  while (j < 2) { cwA(i)(j) = r.se(); coA(i)(j) = r.se(); j += 1 }
+                }
+                i += 1
               }
             }
             r.u(1)           // adaptive_ref_pic_marking_mode_flag
@@ -2836,30 +2959,32 @@ object H264 {
               mcInto(luma, cb, cr, nl, ncb, ncr)(mx * 16, myy * 16, 16, 16, mv)
             // explicit weighted prediction (§8.4.2.3.2, single list):
             // sample = Clip1(((mc·w + 2^(d−1)) >> d) + o) for d ≥ 1,
-            // Clip1(mc·w + o) for d = 0 — applied to the whole MB's
-            // inter prediction BEFORE any residual
-            def applyWeights(mx: Int, myy: Int): Unit = {
+            // Clip1(mc·w + o) for d = 0 — applied per PARTITION
+            // rectangle with its refIdx's weight entry, BEFORE any
+            // residual (px0/py0/wP/hP in luma samples, 2-aligned)
+            def applyWeights(px0: Int, py0: Int, wP: Int, hP: Int,
+                ref: Int): Unit = {
               def wp(v: Int, w0: Int, o: Int, d: Int): Int =
                 clip255((if (d >= 1) (v * w0 + (1 << (d - 1))) >> d
                          else v * w0) + o)
               var y = 0
-              while (y < 16) {
+              while (y < hP) {
                 var x = 0
-                while (x < 16) {
-                  val i = (myy * 16 + y) * w + mx * 16 + x
-                  nl(i) = wp(nl(i), lw, lo, lwd)
+                while (x < wP) {
+                  val i = (py0 + y) * w + px0 + x
+                  nl(i) = wp(nl(i), lwA(ref), loA(ref), lwd)
                   x += 1
                 }
                 y += 1
               }
               val cw = w / 2
               var cy = 0
-              while (cy < 8) {
+              while (cy < hP / 2) {
                 var cx = 0
-                while (cx < 8) {
-                  val i = (myy * 8 + cy) * cw + mx * 8 + cx
-                  ncb(i) = wp(ncb(i), cwts(0), coffs(0), cwd)
-                  ncr(i) = wp(ncr(i), cwts(1), coffs(1), cwd)
+                while (cx < wP / 2) {
+                  val i = (py0 / 2 + cy) * cw + px0 / 2 + cx
+                  ncb(i) = wp(ncb(i), cwA(ref)(0), coA(ref)(0), cwd)
+                  ncr(i) = wp(ncr(i), cwA(ref)(1), coA(ref)(1), cwd)
                   cx += 1
                 }
                 cy += 1
@@ -2902,7 +3027,8 @@ object H264 {
                 val mx = mb % info.mbW; val myy = mb / info.mbW
                 val mv = skipMvBlk(mvs, done, refs0, bW, bH, mx * 4, myy * 4)
                 if (!compensate(mx, myy, mv)) return None
-                if (!isB && ppsWeighted) applyWeights(mx, myy)
+                // P_Skip predicts from refIdx 0 — entry 0's weights
+                if (!isB && ppsWeighted) applyWeights(mx * 16, myy * 16, 16, 16, 0)
                 writePart(mvs, refs0, mx * 4, myy * 4, 4, 4, mv, 0)
                 nSkipped += 1; mvAbs += math.abs(mv._1) + math.abs(mv._2)
                 mb += 1; run -= 1
@@ -2975,13 +3101,14 @@ object H264 {
                           if (sref(sb) == 1) cr2 else cr,
                           nl, ncb, ncr)(
                           pbx * 4, pby * 4, pwB * 4, phB * 4, pmv)) return None
+                      if (ppsWeighted) applyWeights(pbx * 4, pby * 4,
+                        pwB * 4, phB * 4, sref(sb))
                       writePart(mvs, refs0, pbx, pby, pwB, phB, pmv, sref(sb))
                       mvAbs += math.abs(pmv._1) + math.abs(pmv._2)
                       pi += 1
                     }
                     sb += 1
                   }
-                  if (ppsWeighted) applyWeights(mx, myy)
                   if (r.ue() != 0) return None // sub-part cbp: out of scope
                   mb += 1
                 } else if (!isB && mbType > 0) {
@@ -3009,11 +3136,12 @@ object H264 {
                         if (refs(part) == 1) cr2 else cr,
                         nl, ncb, ncr)(
                         pbx * 4, pby * 4, pwB * 4, phB * 4, pmv)) return None
+                    if (ppsWeighted) applyWeights(pbx * 4, pby * 4,
+                      pwB * 4, phB * 4, refs(part))
                     writePart(mvs, refs0, pbx, pby, pwB, phB, pmv, refs(part))
                     mvAbs += math.abs(pmv._1) + math.abs(pmv._2)
                     part += 1
                   }
-                  if (ppsWeighted) applyWeights(mx, myy)
                   if (r.ue() != 0) return None // partition cbp: out of scope
                   mb += 1
                 } else {
@@ -3054,7 +3182,8 @@ object H264 {
                       if (useL0) tcr else ncr)(
                       mx * 16, myy * 16, 16, 16, mvL1)) return None
                 if (useL0 && useL1) biAverage(mx, myy)
-                if (!isB && ppsWeighted) applyWeights(mx, myy)
+                if (!isB && ppsWeighted)
+                  applyWeights(mx * 16, myy * 16, 16, 16, refL0)
                 if (cbp == 15) {
                   qpy += r.se() // mb_qp_delta accumulates QPy
                   var bi = 0

@@ -2054,6 +2054,33 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // H.264 WEIGHTED MULTI-REF — explicit weighted prediction
+    // COMPOSED with reference selection: the pred_weight_table
+    // carries one (luma, chroma) entry PER active reference under
+    // shared per-slice denoms, and every macroblock's prediction is
+    // scaled/offset with ITS te(v)-selected refIdx's entry
+    // (closing the weighted+multi-ref combination q170/q175 each
+    // exercised alone). The oracle replays the per-(frame, ref)
+    // weight closed forms over the q175 displacement chains.
+    "q182_h264_weighted_multiref" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 2)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbW = 2 + (id % 3).toInt
+          val mbH = 1 + (id % 3).toInt
+          val st = graft.operators.H264.synthesizeH264WeightedMultiRef(mbW, mbH, 3, id)
+          graft.operators.H264.decodeInter(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nSkipped, f.mvAbsSum)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height", "luma_sum",
+          "chroma_sum", "weighted_sum", "n_skipped", "mv_abs_sum")
+        .orderBy($"doc_id")
+    },
+
     // H.264 MULTIPLE REFERENCE indices — P slices with two active L0
     // refs ([prev, prev-prev]): per-MB te(v)-coded ref_idx_l0 on a
     // checkerboard, per-(frame, ref) constant mvs, and the
@@ -4514,6 +4541,139 @@ object Pipeline {
         |  CAST(ls.l0 + ls.l1 AS BIGINT) AS luma_sum,
         |  CAST(cs.c0 + cs.c1 AS BIGINT) AS chroma_sum,
         |  CAST(ls.l0 + cs.c0 + 2 * (ls.l1 + cs.c1) AS BIGINT) AS weighted_sum,
+        |  CAST(0 AS BIGINT) AS n_skipped,
+        |  CAST(ma.mvs AS BIGINT) AS mv_abs_sum
+        |FROM d JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
+        |JOIN ma ON ma.id = d.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeH264WeightedMultiRef at nf=3: the q175
+    // displacement chains with each hop weighted by its (frame, ref)
+    // entry — wp(v) = clip(((v*w + 2^(d-1)) // 2^d) + o) with the
+    // shared per-slice denom d and the ref-mixed weight/offset
+    // closed forms (ref 0 == the q170 forms); f2 pixels pick ref 0
+    // (weighted f1) or ref 1 (weighted f0) by the checkerboard
+    "q182_h264_weighted_multiref" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(2 + doc_id % 3 AS INTEGER) AS mbw,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |dv AS (SELECT id, mbw, mbh,
+        |    2 * ((id + 2) % 3 - 1) AS dpx, 2 * ((id + 2) % 3 - 1) AS dpy,
+        |    2 * ((id + 1) % 3 - 1) AS d0x, 2 * (id % 3 - 1) AS d0y,
+        |    2 * ((id + 2) % 3 - 1) AS d1x, 2 * ((id + 2) % 3 - 1) AS d1y,
+        |    CASE WHEN (id + 1) % 2 = 0 THEN 1 ELSE 2 END AS hp1,
+        |    CASE WHEN (id + 1) % 2 = 0 THEN 2 ELSE 4 END AS pw1,
+        |    1 + (id + 1) % 3 AS lw1, (id + 2) % 9 - 4 AS lo1,
+        |    1 + (id + 2) % 3 AS cbw1, (id + 3) % 7 - 3 AS cbo1,
+        |    1 + (id + 3) % 3 AS crw1, (id + 6) % 7 - 3 AS cro1,
+        |    CASE WHEN (id + 2) % 2 = 0 THEN 1 ELSE 2 END AS hp2,
+        |    CASE WHEN (id + 2) % 2 = 0 THEN 2 ELSE 4 END AS pw2,
+        |    1 + (id + 2) % 3 AS lw20, (id + 4) % 9 - 4 AS lo20,
+        |    1 + (id + 3) % 3 AS lw21, (id + 7) % 9 - 4 AS lo21,
+        |    1 + (id + 3) % 3 AS cbw20, (id + 6) % 7 - 3 AS cbo20,
+        |    1 + (id + 4) % 3 AS cbw21, (id + 8) % 7 - 3 AS cbo21,
+        |    1 + (id + 5) % 3 AS crw20, (id + 7) % 7 - 3 AS cro20,
+        |    1 + (id + 6) % 3 AS crw21, (id + 8) % 7 - 3 AS cro21
+        |  FROM d),
+        |px AS (SELECT p.id, p.mbw, p.mbh, p.x, p.y,
+        |    least(greatest(p.x + dv.dpx, 0), 16 * p.mbw - 1) AS spx,
+        |    least(greatest(p.y + dv.dpy, 0), 16 * p.mbh - 1) AS spy,
+        |    least(greatest(p.x + dv.d0x, 0), 16 * p.mbw - 1) AS sx0,
+        |    least(greatest(p.y + dv.d0y, 0), 16 * p.mbh - 1) AS sy0,
+        |    least(greatest(p.x + dv.d1x, 0), 16 * p.mbw - 1) AS sx1,
+        |    least(greatest(p.y + dv.d1y, 0), 16 * p.mbh - 1) AS sy1
+        |  FROM (SELECT id, mbw, mbh, x.i AS x, y.i AS y FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, 16 * mbw - 1)) AS i) x,
+        |    LATERAL (SELECT unnest(generate_series(0, 16 * mbh - 1)) AS i) y) p
+        |  JOIN dv ON dv.id = p.id),
+        |f0 AS (SELECT id, x, y, (id + x + 2 * y) % 251 AS v FROM px),
+        |f1 AS (SELECT s.id, s.x, s.y,
+        |    least(greatest((f0.v * w.lw1 + w.hp1) // w.pw1 + w.lo1, 0), 255) AS v
+        |  FROM px s
+        |  JOIN f0 ON f0.id = s.id AND f0.x = s.spx AND f0.y = s.spy
+        |  JOIN dv w ON w.id = s.id),
+        |f2a AS (SELECT s.id, s.x, s.y, s.sx1, s.sy1,
+        |    least(greatest((l0.v * w.lw20 + w.hp2) // w.pw2 + w.lo20, 0), 255) AS v0
+        |  FROM px s
+        |  JOIN f1 l0 ON l0.id = s.id AND l0.x = s.sx0 AND l0.y = s.sy0
+        |  JOIN dv w ON w.id = s.id),
+        |f2 AS (SELECT s.id, s.x, s.y,
+        |    CASE (s.id + 2 + s.x // 16 + s.y // 16) % 2
+        |      WHEN 0 THEN s.v0
+        |      ELSE least(greatest((l1.v * w.lw21 + w.hp2) // w.pw2 + w.lo21,
+        |        0), 255) END AS v
+        |  FROM f2a s
+        |  JOIN f0 l1 ON l1.id = s.id AND l1.x = s.sx1 AND l1.y = s.sy1
+        |  JOIN dv w ON w.id = s.id),
+        |cpx AS (SELECT p.id, p.mbw, p.mbh, p.pl, p.x, p.y,
+        |    least(greatest(p.x + dv.dpx // 2, 0), 8 * p.mbw - 1) AS spx,
+        |    least(greatest(p.y + dv.dpy // 2, 0), 8 * p.mbh - 1) AS spy,
+        |    least(greatest(p.x + dv.d0x // 2, 0), 8 * p.mbw - 1) AS sx0,
+        |    least(greatest(p.y + dv.d0y // 2, 0), 8 * p.mbh - 1) AS sy0,
+        |    least(greatest(p.x + dv.d1x // 2, 0), 8 * p.mbw - 1) AS sx1,
+        |    least(greatest(p.y + dv.d1y // 2, 0), 8 * p.mbh - 1) AS sy1
+        |  FROM (SELECT id, mbw, mbh, pl.p AS pl, x.i AS x, y.i AS y FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
+        |    LATERAL (SELECT unnest(generate_series(0, 8 * mbw - 1)) AS i) x,
+        |    LATERAL (SELECT unnest(generate_series(0, 8 * mbh - 1)) AS i) y) p
+        |  JOIN dv ON dv.id = p.id),
+        |c0 AS (SELECT id, pl, x, y,
+        |    (CASE WHEN pl = 0 THEN id + 2 * x + y
+        |          ELSE 3 * id + x + 2 * y END) % 251 AS v FROM cpx),
+        |c1 AS (SELECT s.id, s.pl, s.x, s.y,
+        |    least(greatest((c0.v * CASE WHEN s.pl = 0 THEN w.cbw1 ELSE w.crw1 END
+        |        + 1) // 2
+        |      + CASE WHEN s.pl = 0 THEN w.cbo1 ELSE w.cro1 END, 0), 255) AS v
+        |  FROM cpx s
+        |  JOIN c0 ON c0.id = s.id AND c0.pl = s.pl
+        |    AND c0.x = s.spx AND c0.y = s.spy
+        |  JOIN dv w ON w.id = s.id),
+        |c2a AS (SELECT s.id, s.pl, s.x, s.y, s.sx1, s.sy1,
+        |    least(greatest((l0.v * CASE WHEN s.pl = 0 THEN w.cbw20 ELSE w.crw20 END
+        |        + 1) // 2
+        |      + CASE WHEN s.pl = 0 THEN w.cbo20 ELSE w.cro20 END, 0), 255) AS v0
+        |  FROM cpx s
+        |  JOIN c1 l0 ON l0.id = s.id AND l0.pl = s.pl
+        |    AND l0.x = s.sx0 AND l0.y = s.sy0
+        |  JOIN dv w ON w.id = s.id),
+        |c2 AS (SELECT s.id, s.pl, s.x, s.y,
+        |    CASE (s.id + 2 + s.x // 8 + s.y // 8) % 2
+        |      WHEN 0 THEN s.v0
+        |      ELSE least(greatest((l1.v *
+        |          CASE WHEN s.pl = 0 THEN w.cbw21 ELSE w.crw21 END + 1) // 2
+        |        + CASE WHEN s.pl = 0 THEN w.cbo21 ELSE w.cro21 END, 0), 255)
+        |      END AS v
+        |  FROM c2a s
+        |  JOIN c0 l1 ON l1.id = s.id AND l1.pl = s.pl
+        |    AND l1.x = s.sx1 AND l1.y = s.sy1
+        |  JOIN dv w ON w.id = s.id),
+        |ls AS (SELECT f0.id, sum(f0.v) AS l0s, sum(f1.v) AS l1s, sum(f2.v) AS l2s
+        |  FROM f0 JOIN f1 ON f1.id = f0.id AND f1.x = f0.x AND f1.y = f0.y
+        |  JOIN f2 ON f2.id = f0.id AND f2.x = f0.x AND f2.y = f0.y
+        |  GROUP BY 1),
+        |cs AS (SELECT c0.id, sum(c0.v) AS c0s, sum(c1.v) AS c1s, sum(c2.v) AS c2s
+        |  FROM c0 JOIN c1 ON c1.id = c0.id AND c1.pl = c0.pl
+        |    AND c1.x = c0.x AND c1.y = c0.y
+        |  JOIN c2 ON c2.id = c0.id AND c2.pl = c0.pl
+        |    AND c2.x = c0.x AND c2.y = c0.y
+        |  GROUP BY 1),
+        |ma AS (SELECT dv.id,
+        |    dv.mbw * dv.mbh * (abs(4 * dv.dpx) + abs(4 * dv.dpy))
+        |    + (SELECT sum(CASE (dv.id + 2 + mb.mx + mb.my) % 2
+        |        WHEN 0 THEN abs(4 * dv.d0x) + abs(4 * dv.d0y)
+        |        ELSE abs(4 * dv.d1x) + abs(4 * dv.d1y) END)
+        |      FROM (SELECT x.i AS mx, y.i AS my FROM
+        |        (SELECT unnest(generate_series(0, dv.mbw - 1)) AS i) x,
+        |        (SELECT unnest(generate_series(0, dv.mbh - 1)) AS i) y) mb)
+        |    AS mvs
+        |  FROM dv)
+        |SELECT d.id AS doc_id, CAST(3 AS INTEGER) AS n_frames,
+        |  16 * d.mbw AS width, 16 * d.mbh AS height,
+        |  CAST(ls.l0s + ls.l1s + ls.l2s AS BIGINT) AS luma_sum,
+        |  CAST(cs.c0s + cs.c1s + cs.c2s AS BIGINT) AS chroma_sum,
+        |  CAST(ls.l0s + cs.c0s + 2 * (ls.l1s + cs.c1s)
+        |    + 3 * (ls.l2s + cs.c2s) AS BIGINT) AS weighted_sum,
         |  CAST(0 AS BIGINT) AS n_skipped,
         |  CAST(ma.mvs AS BIGINT) AS mv_abs_sum
         |FROM d JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id

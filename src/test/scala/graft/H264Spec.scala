@@ -1146,6 +1146,74 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("weighted multi-ref decode applies each partition's own weight entry") {
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 3 + (seed % 2).toInt
+      val w = mbW * 16; val h = mbH * 16
+      val m = H264.decodeInter(
+        H264.synthesizeH264WeightedMultiRef(mbW, mbH, nf, seed)).get
+      assert(m.nFrames == nf && m.nSkipped == 0)
+      def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      def shift(p: Array[Array[Int]], dx: Int, dy: Int, hh: Int, ww: Int) =
+        Array.tabulate(hh, ww)((y, x) => p(clamp(y + dy, hh - 1))(clamp(x + dx, ww - 1)))
+      def wp(v: Int, wt: Int, o: Int, d: Int): Int =
+        math.min(math.max((if (d >= 1) (v * wt + (1 << (d - 1))) >> d
+                           else v * wt) + o, 0), 255)
+      // apply the ref's weight entry to a whole plane
+      def wL(p: Array[Array[Int]], f: Int, ref: Int) = {
+        val (d, wt, o) = H264.synthWtLumaR(seed, f, ref)
+        p.map(_.map(wp(_, wt, o, d)))
+      }
+      def wC(p: Array[Array[Int]], f: Int, ref: Int, plane: Int) = {
+        val (d, cw0, co0, cw1, co1) = H264.synthWtChromaR(seed, f, ref)
+        val (wt, o) = if (plane == 0) (cw0, co0) else (cw1, co1)
+        p.map(_.map(wp(_, wt, o, d)))
+      }
+      var prev2L: Array[Array[Int]] = null
+      var prev2Cb: Array[Array[Int]] = null
+      var prev2Cr: Array[Array[Int]] = null
+      var lC = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      var cbC = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+      var crC = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+      var wl = 0L; var wc = 0L; var ww2 = 0L
+      def add(fi: Int): Unit = {
+        var fl = 0L; lC.foreach(_.foreach(fl += _))
+        var fc = 0L; cbC.foreach(_.foreach(fc += _)); crC.foreach(_.foreach(fc += _))
+        wl += fl; wc += fc; ww2 += (fi + 1L) * (fl + fc)
+      }
+      add(0)
+      for (f <- 1 until nf) {
+        val p2l = prev2L; val p2cb = prev2Cb; val p2cr = prev2Cr
+        prev2L = lC; prev2Cb = cbC; prev2Cr = crC
+        if (f == 1) {
+          val q = H264.synthMrQ(seed, 1, 0)
+          lC = wL(shift(lC, q._1 / 4, q._2 / 4, h, w), 1, 0)
+          cbC = wC(shift(cbC, q._1 / 8, q._2 / 8, h / 2, w / 2), 1, 0, 0)
+          crC = wC(shift(crC, q._1 / 8, q._2 / 8, h / 2, w / 2), 1, 0, 1)
+        } else {
+          val q0 = H264.synthMrQ(seed, f, 0); val q1 = H264.synthMrQ(seed, f, 1)
+          def mix(a: Array[Array[Int]], b: Array[Array[Int]], blk: Int) =
+            Array.tabulate(a.length, a(0).length) { (y, x) =>
+              if (H264.synthMrRef(seed, f, x / blk, y / blk) == 0) a(y)(x)
+              else b(y)(x)
+            }
+          lC = mix(wL(shift(prev2L, q0._1 / 4, q0._2 / 4, h, w), f, 0),
+            wL(shift(p2l, q1._1 / 4, q1._2 / 4, h, w), f, 1), 16)
+          cbC = mix(wC(shift(prev2Cb, q0._1 / 8, q0._2 / 8, h / 2, w / 2), f, 0, 0),
+            wC(shift(p2cb, q1._1 / 8, q1._2 / 8, h / 2, w / 2), f, 1, 0), 8)
+          crC = mix(wC(shift(prev2Cr, q0._1 / 8, q0._2 / 8, h / 2, w / 2), f, 0, 1),
+            wC(shift(p2cr, q1._1 / 8, q1._2 / 8, h / 2, w / 2), f, 1, 1), 8)
+        }
+        add(f)
+      }
+      assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
+      assert(m.chromaSum == wc, s"seed=$seed chroma ${m.chromaSum} vs $wc")
+      assert(m.weightedSum == ww2, s"seed=$seed weighted")
+    }
+  }
+
   test("partition prediction uses the directional rules before the median") {
     // 8x8-block field (2x2 MBs), all decoded, ref 0, distinct mvs per
     // block row/col so directional and median results differ
