@@ -1,0 +1,341 @@
+package graft.operators
+
+/** H.264 in-loop deblocking (§8.7) over [[H264.FrameState]]: the
+  * boundary-strength derivation (§8.7.2.1) and the edge filters
+  * (§8.7.2.3 normal / §8.7.2.4 strong) for the luma plane, run in
+  * the NORMATIVE order — macroblocks in raster order, each MB's
+  * vertical edges left-to-right then its horizontal edges
+  * top-to-bottom, every filter reading whatever the preceding edges
+  * already wrote.
+  *
+  * WHAT IS AND ISN'T REPRODUCED — the same refuse-not-guess posture
+  * as the CABAC context-init tables and the 4 ≤ nC < 8 coeff_token
+  * VLC column ([[H264]].decodeCoeffBlock): the CONTENT-ADAPTIVE
+  * THRESHOLDS α, β, tC0 are normatively table-valued (Table 8-16 /
+  * 8-17, indexed by clipped QP+offset). Those ~150 table entries
+  * have no generating closed form in the spec, and a from-memory
+  * reproduction would be unvalidatable — a misremembered entry
+  * yields plausible-but-wrong pixels that an independent simulation
+  * built on the SAME misremembered table cannot catch. They are
+  * therefore NOT reproduced: callers supply explicit
+  * [[DeblockThresholds]] values, which the derivations and filter
+  * equations (all equation-specified, all implemented here) consume
+  * exactly as they would consume the table lookups. Everything that
+  * IS logic rather than table data — bS rules, filter/decision
+  * equations, edge ordering, clipping — is implemented in full.
+  *
+  * Scale shape: deblocking is a per-frame map over decoded pictures
+  * (mapPartitions on the media rows, like every decode stage in
+  * [[Multimodal]]) — no shuffle, embarrassingly parallel at 100 TB.
+  *
+  * Reference anchor: the loader moves opaque media bytes like rows
+  * (AbstractClickhouseLoaderMapper.java:159-248); pixel-level
+  * post-processing is the engine-side extension.
+  */
+object Deblock {
+
+  /** Audit violations must out-live [[H264.decodeInter]]'s
+    * malformed-stream catch (IllegalStateException → None): a broken
+    * filter is a bug to surface, not a stream to refuse.
+    */
+  final class DeblockAuditException(msg: String)
+      extends RuntimeException(msg)
+
+  /** Explicit filter thresholds standing in for one (indexA, indexB)
+    * row of the normative tables: `alpha`/`beta` gate the per-line
+    * filter decision, `tc0` seeds the bS < 4 clipping bound. The
+    * values carry NO normative claim (see the object scaladoc).
+    */
+  final case class DeblockThresholds(alpha: Int, beta: Int, tc0: Int)
+
+  /** Boundary strengths for every internal 4-sample edge segment of
+    * a frame, §8.7.2.1 restricted to this decoder subset (frames are
+    * uniformly intra I_PCM or uniformly inter — no mixed-predicted
+    * pictures, no fields):
+    *
+    *  - intra frame: 4 on macroblock edges, 3 inside a macroblock;
+    *  - inter frame: 2 if either adjacent 4x4 block carries nonzero
+    *    transform coefficients; else 1 if the blocks use different
+    *    reference pictures (refIdx compare — see [[H264.FrameState]])
+    *    or a different number of them, or any shared-list mv
+    *    component differs by ≥ 4 quarter-pel units; else 0.
+    *
+    * Returns (bsV, bsH), each sized bW*bH: bsV(by*bW+bx) is the edge
+    * to the LEFT of block (bx, by) (bx = 0 ⇒ picture boundary, left
+    * 0, never filtered), bsH the edge ABOVE (by = 0 likewise).
+    */
+  def deriveBs(st: H264.FrameState): (Array[Int], Array[Int]) = {
+    val bW = st.w / 4; val bH = st.h / 4
+    val bsV = new Array[Int](bW * bH)
+    val bsH = new Array[Int](bW * bH)
+    def bsPair(a: Int, b: Int): Int =
+      if (st.intra) 3
+      else if (st.tcs(a) > 0 || st.tcs(b) > 0) 2
+      else {
+        val aL0 = st.refs0(a) >= 0; val aL1 = st.refs1(a) >= 0
+        val bL0 = st.refs0(b) >= 0; val bL1 = st.refs1(b) >= 0
+        val nA = (if (aL0) 1 else 0) + (if (aL1) 1 else 0)
+        val nB = (if (bL0) 1 else 0) + (if (bL1) 1 else 0)
+        def far(u: (Int, Int), v: (Int, Int)): Boolean =
+          math.abs(u._1 - v._1) >= 4 || math.abs(u._2 - v._2) >= 4
+        if (nA != nB) 1
+        else if (aL0 != bL0) 1 // same count, crossed lists: different pictures
+        else if ((aL0 && st.refs0(a) != st.refs0(b)) ||
+                 (aL1 && st.refs1(a) != st.refs1(b))) 1
+        else if ((aL0 && far(st.mvs0(a), st.mvs0(b))) ||
+                 (aL1 && far(st.mvs1(a), st.mvs1(b)))) 1
+        else 0
+      }
+    var by = 0
+    while (by < bH) {
+      var bx = 1
+      while (bx < bW) {
+        val i = by * bW + bx
+        bsV(i) =
+          if (st.intra && bx % 4 == 0) 4 else bsPair(i - 1, i)
+        bx += 1
+      }
+      by += 1
+    }
+    by = 1
+    while (by < bH) {
+      var bx = 0
+      while (bx < bW) {
+        val i = by * bW + bx
+        bsH(i) =
+          if (st.intra && by % 4 == 0) 4 else bsPair(i - bW, i)
+        bx += 1
+      }
+      by += 1
+    }
+    (bsV, bsH)
+  }
+
+  /** Edge-unit histogram over both derived bS maps (picture-boundary
+    * entries — bx = 0 column of bsV, by = 0 row of bsH — excluded):
+    * counts(k) = number of 4-sample edge segments with bS = k.
+    */
+  def bsHistogram(st: H264.FrameState): Array[Long] = {
+    val (bsV, bsH) = deriveBs(st)
+    val bW = st.w / 4; val bH = st.h / 4
+    val counts = new Array[Long](5)
+    var by = 0
+    while (by < bH) {
+      var bx = 1
+      while (bx < bW) { counts(bsV(by * bW + bx)) += 1; bx += 1 }
+      by += 1
+    }
+    by = 1
+    while (by < bH) {
+      var bx = 0
+      while (bx < bW) { counts(bsH(by * bW + bx)) += 1; bx += 1 }
+      by += 1
+    }
+    counts
+  }
+
+  private def clip3(lo: Int, hi: Int, v: Int): Int =
+    if (v < lo) lo else if (v > hi) hi else v
+  private def clip1(v: Int): Int = clip3(0, 255, v)
+
+  /** One 8-sample line across an edge (§8.7.2.3 / §8.7.2.4, luma):
+    * `s` holds (p3, p2, p1, p0, q0, q1, q2, q3) and is updated in
+    * place when the per-line decision fires. bS = 0 lines and lines
+    * failing |p0−q0| < α ∧ |p1−p0| < β ∧ |q1−q0| < β are untouched.
+    */
+  private[graft] def filterLine(s: Array[Int], bs: Int,
+      th: DeblockThresholds): Unit = {
+    if (bs <= 0) return
+    val p3 = s(0); val p2 = s(1); val p1 = s(2); val p0 = s(3)
+    val q0 = s(4); val q1 = s(5); val q2 = s(6); val q3 = s(7)
+    if (!(math.abs(p0 - q0) < th.alpha && math.abs(p1 - p0) < th.beta &&
+          math.abs(q1 - q0) < th.beta)) return
+    val ap = math.abs(p2 - p0); val aq = math.abs(q2 - q0)
+    if (bs < 4) {
+      val tc = th.tc0 + (if (ap < th.beta) 1 else 0) +
+        (if (aq < th.beta) 1 else 0)
+      val delta = clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+      s(3) = clip1(p0 + delta)
+      s(4) = clip1(q0 - delta)
+      if (ap < th.beta)
+        s(2) = p1 + clip3(-th.tc0, th.tc0,
+          (p2 + ((p0 + q0 + 1) >> 1) - (p1 << 1)) >> 1)
+      if (aq < th.beta)
+        s(5) = q1 + clip3(-th.tc0, th.tc0,
+          (q2 + ((p0 + q0 + 1) >> 1) - (q1 << 1)) >> 1)
+    } else {
+      val strongCut = math.abs(p0 - q0) < (th.alpha >> 2) + 2
+      if (strongCut && ap < th.beta) {
+        s(3) = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+        s(2) = (p2 + p1 + p0 + q0 + 2) >> 2
+        s(1) = (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+      } else s(3) = (2 * p1 + p0 + q1 + 2) >> 2
+      if (strongCut && aq < th.beta) {
+        s(4) = (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+        s(5) = (q2 + q1 + q0 + p0 + 2) >> 2
+        s(6) = (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+      } else s(4) = (2 * q1 + q0 + p1 + 2) >> 2
+    }
+  }
+
+  /** Filter a luma plane in place against precomputed bS maps, in
+    * the §8.7 normative order (see object scaladoc). Samples within
+    * 3 of the picture border that an edge's p3/q3 taps would need
+    * always exist — internal edges sit ≥ 4 samples from the border.
+    * Returns the number of samples the filter changed.
+    */
+  def applyDeblock(luma: Array[Int], w: Int, h: Int,
+      bsV: Array[Int], bsH: Array[Int], th: DeblockThresholds): Long = {
+    val bW = w / 4
+    val mbW = w / 16; val mbH = h / 16
+    var changed = 0L
+    val line = new Array[Int](8)
+    var my = 0
+    while (my < mbH) {
+      var mx = 0
+      while (mx < mbW) {
+        // vertical edges of MB (mx, my): left MB edge (if not at the
+        // picture border), then internal block columns
+        var e = 0
+        while (e < 4) {
+          val bx = 4 * mx + e
+          if (bx > 0) {
+            var bu = 0
+            while (bu < 4) { // 4 vertical edge units in this MB
+              val by = 4 * my + bu
+              val bs = bsV(by * bW + bx)
+              if (bs > 0) {
+                var r = 0
+                while (r < 4) {
+                  val y = by * 4 + r; val x0 = bx * 4
+                  var i = 0
+                  while (i < 8) { line(i) = luma(y * w + x0 - 4 + i); i += 1 }
+                  filterLine(line, bs, th)
+                  i = 0
+                  while (i < 8) {
+                    if (luma(y * w + x0 - 4 + i) != line(i)) {
+                      luma(y * w + x0 - 4 + i) = line(i); changed += 1
+                    }
+                    i += 1
+                  }
+                  r += 1
+                }
+              }
+              bu += 1
+            }
+          }
+          e += 1
+        }
+        // horizontal edges of the same MB, after its vertical ones
+        e = 0
+        while (e < 4) {
+          val byE = 4 * my + e
+          if (byE > 0) {
+            var bu = 0
+            while (bu < 4) {
+              val bx = 4 * mx + bu
+              val bs = bsH(byE * bW + bx)
+              if (bs > 0) {
+                var c = 0
+                while (c < 4) {
+                  val x = bx * 4 + c; val y0 = byE * 4
+                  var i = 0
+                  while (i < 8) { line(i) = luma((y0 - 4 + i) * w + x); i += 1 }
+                  filterLine(line, bs, th)
+                  i = 0
+                  while (i < 8) {
+                    if (luma((y0 - 4 + i) * w + x) != line(i)) {
+                      luma((y0 - 4 + i) * w + x) = line(i); changed += 1
+                    }
+                    i += 1
+                  }
+                  c += 1
+                }
+              }
+              bu += 1
+            }
+          }
+          e += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    changed
+  }
+
+  /** Run the full per-frame stage — derive bS, filter a COPY of the
+    * frame's luma — and audit the invariants that hold whatever
+    * thresholds are in force:
+    *  - α = 0 (or an all-zero bS map) is the identity;
+    *  - outputs stay in [0, 255];
+    *  - only samples within 3 of a nonzero-bS edge line change.
+    * Returns the bS histogram and the changed-sample count of the
+    * real run. Throws IllegalStateException on any violation, so a
+    * gate that calls this fails loudly rather than averaging a
+    * broken filter into a sum.
+    */
+  def auditedDeblock(st: H264.FrameState,
+      th: DeblockThresholds): (Array[Long], Long) = {
+    val (bsV, bsH) = deriveBs(st)
+    val bW = st.w / 4; val bH = st.h / 4
+    // identity under alpha = 0
+    val id0 = st.luma.clone()
+    if (applyDeblock(id0, st.w, st.h, bsV, bsH,
+        DeblockThresholds(0, th.beta, th.tc0)) != 0L ||
+        !java.util.Arrays.equals(id0, st.luma))
+      throw new DeblockAuditException("deblock: alpha=0 not identity")
+    // identity under an all-zero bS map
+    val id1 = st.luma.clone()
+    if (applyDeblock(id1, st.w, st.h, new Array[Int](bW * bH),
+        new Array[Int](bW * bH), th) != 0L ||
+        !java.util.Arrays.equals(id1, st.luma))
+      throw new DeblockAuditException("deblock: bS=0 not identity")
+    val out = st.luma.clone()
+    val changed = applyDeblock(out, st.w, st.h, bsV, bsH, th)
+    var nDiff = 0L
+    var y = 0
+    while (y < st.h) {
+      var x = 0
+      while (x < st.w) {
+        val v = out(y * st.w + x)
+        if (v < 0 || v > 255)
+          throw new DeblockAuditException(s"deblock: sample $v out of range")
+        if (v != st.luma(y * st.w + x)) {
+          nDiff += 1
+          // locality: within 3 of some nonzero-bS edge line that
+          // covers this row/column
+          val bx = x / 4; val by = y / 4
+          def nearV = (0 to 1).exists { d =>
+            val ex = bx + d
+            ex >= 1 && ex < bW && {
+              val edgeX = ex * 4
+              math.abs(x - edgeX) <= 4 && bsV(by * bW + ex) > 0 &&
+                (x >= edgeX - 3 && x <= edgeX + 2)
+            }
+          }
+          def nearH = (0 to 1).exists { d =>
+            val ey = by + d
+            ey >= 1 && ey < bH && {
+              val edgeY = ey * 4
+              bsH(ey * bW + bx) > 0 && (y >= edgeY - 3 && y <= edgeY + 2)
+            }
+          }
+          if (!nearV && !nearH)
+            throw new DeblockAuditException(
+              s"deblock: change at ($x,$y) away from any active edge")
+        }
+        x += 1
+      }
+      y += 1
+    }
+    // `changed` counts WRITE events; a sample adjacent to two active
+    // edges can be rewritten (or restored) by the later one, so the
+    // net count can only be ≤ — and a zero write count must mean a
+    // byte-identical plane
+    if (nDiff > changed || (changed == 0L && nDiff != 0L))
+      throw new DeblockAuditException(
+        s"deblock: net-change $nDiff exceeds write-count $changed")
+    (bsHistogram(st), changed)
+  }
+}

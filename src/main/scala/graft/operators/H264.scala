@@ -2696,6 +2696,24 @@ object H264 {
       lumaSum: Long, chromaSum: Long, weightedSum: Long,
       nSkipped: Long, mvAbsSum: Long, nLevels: Long = 0L)
 
+  /** Per-frame decode state handed to a [[decodeInter]] collector as
+    * each picture completes — exactly what the in-loop deblocking
+    * stage (§8.7) consumes: the reconstructed luma plane plus the
+    * 4x4-block-granular coefficient counts / motion vectors /
+    * reference indices the boundary-strength derivation reads.
+    * `intra` frames (the I_PCM IDRs of this subset) carry null block
+    * arrays — every block is intra by construction. refIdx values
+    * identify reference PICTURES directly in this low-delay subset
+    * (refIdx r of any frame = the r+1-th most recent reconstruction),
+    * so equal refIdx ⇔ equal reference picture across two blocks of
+    * the same frame, which is the comparison §8.7.2.1 needs.
+    */
+  final case class FrameState(
+      frameIdx: Int, intra: Boolean, isB: Boolean, w: Int, h: Int,
+      luma: Array[Int], tcs: Array[Int],
+      mvs0: Array[(Int, Int)], refs0: Array[Int],
+      mvs1: Array[(Int, Int)], refs1: Array[Int])
+
   /** Pixel decode of an I_PCM + P_L0_16x16/P_Skip stream: frame 0
     * fills the reference buffers from raw PCM samples; each P frame
     * reads skip runs and explicit MBs (mvd against the real median
@@ -2709,7 +2727,8 @@ object H264 {
     * Sums span ALL frames; nSkipped counts P_Skip MBs; mvAbsSum is
     * Σ(|mvx|+|mvy|) over all P MBs in quarter-sample units.
     */
-  def decodeInter(p: Array[Byte]): Option[InterFrames] = {
+  def decodeInter(p: Array[Byte],
+      collect: FrameState => Unit = null): Option[InterFrames] = {
     try {
       val nals = scanNals(p)
       var sps: Option[SpsInfo] = None
@@ -2800,6 +2819,9 @@ object H264 {
             var fl = 0L; luma.foreach(fl += _)
             var fc = 0L; cb.foreach(fc += _); cr.foreach(fc += _)
             lumaSum += fl; chromaSum += fc; weighted += nFrames.toLong * (fl + fc)
+            if (collect != null)
+              collect(FrameState(nFrames - 1, intra = true, isB = false,
+                w, h, luma.clone(), null, null, null, null, null))
           case 1 =>
             val info = sps.getOrElse(return None)
             if (luma == null) return None // inter frame before any reference
@@ -3227,6 +3249,9 @@ object H264 {
             if (mb == firstMb) return None // empty slice: malformed
             pMb = mb
             if (pMb == nMbs) { // picture complete: becomes the new ref
+              if (collect != null)
+                collect(FrameState(nFrames, intra = false, isB = pIsB,
+                  w, h, pnl.clone(), pTcs, pMvs, pRefs0, pMvs1, pRefs1))
               luma2 = luma; cb2 = cb; cr2 = cr
               luma = pnl; cb = pncb; cr = pncr
               pnl = null; pncb = null; pncr = null
