@@ -2065,6 +2065,185 @@ object H264 {
     out.toArray
   }
 
+  /** Per-(frame, partition) constant mvs of the B-PARTITION streams
+    * (quarter units, multiples of 8): partition 0 reuses the q169
+    * list constants ([[synthBiQ0]]/[[synthBiQ1]]); partition 1 gets
+    * its own per-list forms so the 16x8/8x16 split is observable in
+    * the pixels (identical mvs would decode like 16x16).
+    */
+  /** (pred0, pred1) per Table 7-14 two-partition row group
+    * ((mb_type − 4) / 2): 0 = L0, 1 = L1, 2 = Bi.
+    */
+  private[graft] val bPartModes: Array[(Int, Int)] = Array(
+    (0, 0), (1, 1), (0, 1), (1, 0), (0, 2), (1, 2), (2, 0), (2, 1), (2, 2))
+
+  private[graft] def synthBPartQ0b(seed: Long, f: Int): (Int, Int) =
+    (8 * (((2L * seed + f + 1L) % 3).toInt - 1), 8 * (((seed + 5L * f) % 3).toInt - 1))
+  private[graft] def synthBPartQ1b(seed: Long, f: Int): (Int, Int) =
+    (8 * (((seed + 3L * f + 1L) % 3).toInt - 1), 8 * (((seed + f) % 3).toInt - 1))
+
+  /** Per-MB mb_type of B frame f in the B-partition streams: the
+    * (seed + f + mbx + 2·mby) % 21 lattice mapped to Table 7-14
+    * types 1–21 — the three 16x16 kinds plus ALL eighteen
+    * two-partition kinds appear across every stream.
+    */
+  private[graft] def synthBPartType(seed: Long, f: Int, mbx: Int, my: Int): Int =
+    1 + ((seed + f + mbx + 2L * my) % 21).toInt
+
+  /** B streams over the FULL two-partition macroblock family: IDR
+    * I_PCM, one P frame (constant mv), then B frames whose MBs carry
+    * [[synthBPartType]] — B_L0/L1/Bi_16x16 and all nine
+    * (pred0, pred1) ∈ {L0, L1, Bi}² combinations × {16x8, 8x16}.
+    * Partition mvds are computed against the decoder's own
+    * per-list directional predictions (16x8 top → B, bottom → A;
+    * 8x16 left → A, right → C) over a 4x4-block field, derived in
+    * partition order but EMITTED in §7.3.5.1 syntax order (all
+    * mvd_l0, then all mvd_l1). No skips, no residual, cbp 0, one
+    * reference per list.
+    */
+  def synthesizeH264BParts(mbW: Int, mbH: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    require(nFrames >= 3, "need IDR + P before the first B frame")
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30, maxRefs = 2))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp())
+    appendIPcmIdr(out, mbW, mbH, seed)
+    // frame 1: P, constant mv (multiple of 8), no skips, cbp 0
+    val qp1 = (8 * (((seed + 1) % 3).toInt - 1), 8 * (((seed + 2) % 3).toInt - 1))
+    locally {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(1, 4)
+      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+      bw.se(0); bw.ue(1)
+      val mvs = Array.fill(mbW * mbH)((0, 0))
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          bw.ue(0); bw.ue(0) // mb_skip_run, P_L0_16x16
+          val pred = predictMv(mvs, done, mx, my, mbW)
+          bw.se(qp1._1 - pred._1); bw.se(qp1._2 - pred._2)
+          bw.ue(0)           // cbp
+          mvs(my * mbW + mx) = qp1; done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+    val bW = 4 * mbW; val bH = 4 * mbH
+    var f = 2
+    while (f < nFrames) {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(6); bw.ue(0)   // first_mb, slice_type B, pps
+      bw.u(f % 16, 4)
+      bw.u(0, 1)                      // direct_spatial_mv_pred_flag
+      bw.u(0, 1)                      // num_ref_idx_active_override
+      bw.u(0, 1); bw.u(0, 1)          // ref_pic_list_modification l0/l1
+      bw.u(0, 1)                      // adaptive_ref_pic_marking
+      bw.se(0); bw.ue(1)
+      val qs = Array(
+        Array(synthBiQ0(seed, f), synthBPartQ0b(seed, f)),  // list 0: p0, p1
+        Array(synthBiQ1(seed, f), synthBPartQ1b(seed, f)))  // list 1: p0, p1
+      val mvs0 = Array.fill(bW * bH)((0, 0)); val refs0 = Array.fill(bW * bH)(-1)
+      val mvs1 = Array.fill(bW * bH)((0, 0)); val refs1 = Array.fill(bW * bH)(-1)
+      val done = Array.fill(bW * bH)(false)
+      def stamp(mvA: Array[(Int, Int)], rA: Array[Int],
+          bx: Int, by: Int, wB: Int, hB: Int, mv: (Int, Int)): Unit = {
+        var yy = by
+        while (yy < by + hB) {
+          var xx = bx
+          while (xx < bx + wB) {
+            mvA(yy * bW + xx) = mv; rA(yy * bW + xx) = 0
+            done(yy * bW + xx) = true
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          val t = synthBPartType(seed, f, mx, my)
+          bw.ue(0)           // mb_skip_run
+          bw.ue(t)           // mb_type
+          if (t <= 3) {
+            if (t != 2) {
+              val pr = predictMvPart(mvs0, done, refs0, 0, bW, bH,
+                mx * 4, my * 4, 4, 0)
+              bw.se(qs(0)(0)._1 - pr._1); bw.se(qs(0)(0)._2 - pr._2)
+            }
+            if (t != 1) {
+              val pr = predictMvPart(mvs1, done, refs1, 0, bW, bH,
+                mx * 4, my * 4, 4, 0)
+              bw.se(qs(1)(0)._1 - pr._1); bw.se(qs(1)(0)._2 - pr._2)
+            }
+            if (t != 2) stamp(mvs0, refs0, mx * 4, my * 4, 4, 4, qs(0)(0))
+            if (t != 1) stamp(mvs1, refs1, mx * 4, my * 4, 4, 4, qs(1)(0))
+          } else {
+            val modePair = bPartModes((t - 4) / 2)
+            val pm = Array(modePair._1, modePair._2)
+            val is16x8 = (t - 4) % 2 == 0
+            def rect(part: Int): (Int, Int, Int, Int, Int) =
+              if (is16x8) (mx * 4, my * 4 + 2 * part, 4, 2,
+                if (part == 0) 1 else 2)
+              else (mx * 4 + 2 * part, my * 4, 2, 4,
+                if (part == 0) 3 else 4)
+            // derive in partition order (mirroring the decoder), emit
+            // in syntax order afterwards
+            val mvd0 = Array((0, 0), (0, 0)); val mvd1 = Array((0, 0), (0, 0))
+            var part = 0
+            while (part < 2) {
+              val (pbx, pby, pwB, phB, dir) = rect(part)
+              if (pm(part) != 1) {
+                val pr = predictMvPart(mvs0, done, refs0, 0, bW, bH,
+                  pbx, pby, pwB, dir)
+                val q = qs(0)(part)
+                mvd0(part) = (q._1 - pr._1, q._2 - pr._2)
+                stamp(mvs0, refs0, pbx, pby, pwB, phB, q)
+              }
+              if (pm(part) != 0) {
+                val pr = predictMvPart(mvs1, done, refs1, 0, bW, bH,
+                  pbx, pby, pwB, dir)
+                val q = qs(1)(part)
+                mvd1(part) = (q._1 - pr._1, q._2 - pr._2)
+                stamp(mvs1, refs1, pbx, pby, pwB, phB, q)
+              }
+              part += 1
+            }
+            part = 0
+            while (part < 2) {
+              if (pm(part) != 1) { bw.se(mvd0(part)._1); bw.se(mvd0(part)._2) }
+              part += 1
+            }
+            part = 0
+            while (part < 2) {
+              if (pm(part) != 0) { bw.se(mvd1(part)._1); bw.se(mvd1(part)._2) }
+              part += 1
+            }
+          }
+          bw.ue(0)           // cbp
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+      f += 1
+    }
+    out.toArray
+  }
+
   /** Per-frame explicit weights of the WEIGHTED streams (closed
     * forms the q170 oracle replays): luma denom 1+(s+f)%2, weight
     * 1+(s+f)%3, offset (s+2f)%9−4; chroma denom 1, weights
@@ -3013,13 +3192,14 @@ object H264 {
               }
             }
             // default bi-prediction (§8.4.2.3.1, no weighted pred):
-            // per-sample (L0 + L1 + 1) >> 1 over the two MC results
-            def biAverage(mx: Int, myy: Int): Unit = {
+            // per-sample (L0 + L1 + 1) >> 1 over the two MC results,
+            // applied per partition RECTANGLE (luma samples, 2-aligned)
+            def biAverageRect(px0: Int, py0: Int, wP: Int, hP: Int): Unit = {
               var y = 0
-              while (y < 16) {
+              while (y < hP) {
                 var x = 0
-                while (x < 16) {
-                  val i = (myy * 16 + y) * w + mx * 16 + x
+                while (x < wP) {
+                  val i = (py0 + y) * w + px0 + x
                   nl(i) = (nl(i) + tl(i) + 1) >> 1
                   x += 1
                 }
@@ -3027,10 +3207,10 @@ object H264 {
               }
               val cw = w / 2
               var cy = 0
-              while (cy < 8) {
+              while (cy < hP / 2) {
                 var cx = 0
-                while (cx < 8) {
-                  val i = (myy * 8 + cy) * cw + mx * 8 + cx
+                while (cx < wP / 2) {
+                  val i = (py0 / 2 + cy) * cw + px0 / 2 + cx
                   ncb(i) = (ncb(i) + tcb(i) + 1) >> 1
                   ncr(i) = (ncr(i) + tcr(i) + 1) >> 1
                   cx += 1
@@ -3038,6 +3218,8 @@ object H264 {
                 cy += 1
               }
             }
+            def biAverage(mx: Int, myy: Int): Unit =
+              biAverageRect(mx * 16, myy * 16, 16, 16)
             var mb = firstMb
             while (mb < nMbs && r.moreRbsp) {
               var run = r.ue()
@@ -3067,10 +3249,85 @@ object H264 {
                     case 1 => (true, false)
                     case 2 => (false, true)
                     case 3 => (true, true)
-                    case _ => return None // B_Direct / partitions: refuse
+                    case t if t >= 4 && t <= 21 => (true, true) // partitions below
+                    case _ => return None // B_Direct / B_8x8: refuse
                   }
                 val mx = mb % info.mbW; val myy = mb / info.mbW
-                if (!isB && mbType >= 3) {
+                if (isB && mbType >= 4) {
+                  // B two-partition macroblocks, Table 7-14 mb_type
+                  // 4–21: nine (pred0, pred1) combinations over
+                  // {L0, L1, Bi} × {16x8, 8x16} — (L0,L0), (L1,L1),
+                  // (L0,L1), (L1,L0), (L0,Bi), (L1,Bi), (Bi,L0),
+                  // (Bi,L1), (Bi,Bi), 16x8 before its 8x16 twin.
+                  // Syntax (§7.3.5.1): all mvd_l0 in partition order,
+                  // THEN all mvd_l1 (ref_idx absent — one active
+                  // reference per list in this subset); the mv
+                  // DERIVATION runs per partition in partition order
+                  // with both lists (§8.4.1.3's directional 16x8/8x16
+                  // rules per list), so parse and derive are
+                  // decoupled: raw mvds first, then per-partition
+                  // prediction with earlier partitions' mvs already
+                  // stamped in the block fields. A partition that
+                  // skips a list leaves that list's refIdx at −1 over
+                  // its blocks (mv 0) — the §8.4.1.3.2 predFlag=0
+                  // semantics — while the shared `done` field marks
+                  // the blocks decoded for availability.
+                  val modePair = bPartModes((mbType - 4) / 2)
+                  val pm = Array(modePair._1, modePair._2) // 0=L0 1=L1 2=Bi
+                  val is16x8 = (mbType - 4) % 2 == 0
+                  def rect(part: Int): (Int, Int, Int, Int, Int) =
+                    if (is16x8) (mx * 4, myy * 4 + 2 * part, 4, 2,
+                      if (part == 0) 1 else 2)
+                    else (mx * 4 + 2 * part, myy * 4, 2, 4,
+                      if (part == 0) 3 else 4)
+                  val mvd0 = Array((0, 0), (0, 0))
+                  val mvd1 = Array((0, 0), (0, 0))
+                  var part = 0
+                  while (part < 2) { // mvd_l0, partition order
+                    if (pm(part) != 1) mvd0(part) = (r.se(), r.se())
+                    part += 1
+                  }
+                  part = 0
+                  while (part < 2) { // mvd_l1, partition order
+                    if (pm(part) != 0) mvd1(part) = (r.se(), r.se())
+                    part += 1
+                  }
+                  part = 0
+                  while (part < 2) {
+                    val (pbx, pby, pwB, phB, dir) = rect(part)
+                    val useL0p = pm(part) != 1; val useL1p = pm(part) != 0
+                    val mv0 = if (useL0p) {
+                      val pr = predictMvPart(mvs, done, refs0, 0,
+                        bW, bH, pbx, pby, pwB, dir)
+                      (pr._1 + mvd0(part)._1, pr._2 + mvd0(part)._2)
+                    } else (0, 0)
+                    val mv1 = if (useL1p) {
+                      val pr = predictMvPart(mvs1, done, refs1, 0,
+                        bW, bH, pbx, pby, pwB, dir)
+                      (pr._1 + mvd1(part)._1, pr._2 + mvd1(part)._2)
+                    } else (0, 0)
+                    if (useL0p && !mcInto(luma, cb, cr, nl, ncb, ncr)(
+                        pbx * 4, pby * 4, pwB * 4, phB * 4, mv0)) return None
+                    if (useL1p && !mcInto(luma2, cb2, cr2,
+                        if (useL0p) tl else nl,
+                        if (useL0p) tcb else ncb,
+                        if (useL0p) tcr else ncr)(
+                        pbx * 4, pby * 4, pwB * 4, phB * 4, mv1)) return None
+                    if (useL0p && useL1p)
+                      biAverageRect(pbx * 4, pby * 4, pwB * 4, phB * 4)
+                    if (useL0p) {
+                      writePart(mvs, refs0, pbx, pby, pwB, phB, mv0, 0)
+                      mvAbs += math.abs(mv0._1) + math.abs(mv0._2)
+                    }
+                    if (useL1p) {
+                      writePart(mvs1, refs1, pbx, pby, pwB, phB, mv1, 0)
+                      mvAbs += math.abs(mv1._1) + math.abs(mv1._2)
+                    }
+                    part += 1
+                  }
+                  if (r.ue() != 0) return None // partition cbp: out of scope
+                  mb += 1
+                } else if (!isB && mbType >= 3) {
                   // P_8x8 (3) / P_8x8ref0 (4), §7.3.5.2 sub_mb_pred:
                   // four ue(v) sub_mb_types (Table 7-17: 0 = 8x8,
                   // 1 = 8x4, 2 = 4x8, 3 = 4x4), then ref_idx_l0 per

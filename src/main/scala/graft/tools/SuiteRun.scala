@@ -9,8 +9,16 @@ import org.apache.spark.sql.SparkSession
   * Differences from Bench, all motivated by runs that take hours:
   * - streams one line per query to stdout AND appends a JSON record
   *   to <out>.jsonl as each query finishes, so a killed run keeps
-  *   everything it measured (resume with SPARK_GRAFT_ONLY_Q over the
-  *   complement);
+  *   everything it measured;
+  * - RESUMES from <out>.jsonl: queries already recorded with a
+  *   successful {"sec": …} line are skipped on relaunch (errors and
+  *   timeouts are retried), so a crashed multi-hour point continues
+  *   where it died instead of starting over;
+  * - SparkSession self-heal: a query that kills the SparkContext
+  *   (driver-side OOM stopping the DAGScheduler event loop is the
+  *   observed case) is recorded with its own error, and the NEXT
+  *   query gets a fresh session — one bad gate no longer voids the
+  *   rest of the suite;
   * - per-query wall timeout (SPARK_GRAFT_Q_TIMEOUT seconds, default
   *   1800): the query runs under a job group that gets cancelled on
   *   expiry and is recorded as {"timeout": true} — a quadratic gate
@@ -27,15 +35,28 @@ object SuiteRun {
     val out = if (args.length > 1) args(1) else "/tmp/suiterun"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val qTimeoutS = sys.env.get("SPARK_GRAFT_Q_TIMEOUT").map(_.toInt).getOrElse(1800)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
+
+    // resume: a prior run's successful {"q":…,"sec":…} lines are done
+    val done: Set[String] = {
+      val f = new java.io.File(out + ".jsonl")
+      if (!f.exists()) Set.empty
+      else scala.io.Source.fromFile(f).getLines()
+        .filter(l => l.contains("\"sec\":") && l.contains("\"q\":\""))
+        .map(l => l.split("\"q\":\"")(1).split("\"")(0)).toSet
+    }
 
     val skip = sys.env.get("SPARK_GRAFT_SKIP_Q")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -43,7 +64,8 @@ object SuiteRun {
     val only = sys.env.get("SPARK_GRAFT_ONLY_Q")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
-      !skip.exists(s => n.startsWith(s)) && only.forall(_.exists(s => n.startsWith(s)))
+      !done.contains(n) && !skip.exists(s => n.startsWith(s)) &&
+        only.forall(_.exists(s => n.startsWith(s)))
     }
 
     val log = new java.io.PrintWriter(
@@ -54,7 +76,7 @@ object SuiteRun {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ")(0)
       catch { case _: Throwable => "-1" }
-    record(s"""{"meta":"start","sf":"$dir","n":${names.length},"load":$loadBefore,"qTimeoutS":$qTimeoutS}""")
+    record(s"""{"meta":"start","sf":"$dir","n":${names.length},"resumedPast":${done.size},"load":$loadBefore,"qTimeoutS":$qTimeoutS}""")
 
     Tables.warmupAll(spark, dir, "suiterun")
 
@@ -62,6 +84,12 @@ object SuiteRun {
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     names.foreach { n =>
+      if (spark.sparkContext.isStopped) {
+        record(s"""{"meta":"restart","before":"$n"}""")
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        spark = newSession()
+        Tables.warmupAll(spark, dir, "suiterun")
+      }
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val fut = Future {

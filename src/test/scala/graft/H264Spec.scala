@@ -1353,6 +1353,99 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("B-partition decode equals an independent per-(mode, half) simulation") {
+    // every stream's kind lattice (mod 21) covers B_L0/L1/Bi_16x16
+    // plus all eighteen two-partition types; nf=4 chains a second B
+    // frame off (B, P) references
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 3 + (seed % 2).toInt
+      val w = mbW * 16; val h = mbH * 16
+      val m = H264.decodeInter(H264.synthesizeH264BParts(mbW, mbH, nf, seed)).get
+      assert(m.nFrames == nf && m.nSkipped == 0)
+      def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      var l = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      var cbP = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+      var crP = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+      var l2: Array[Array[Int]] = null
+      var cb2: Array[Array[Int]] = null; var cr2: Array[Array[Int]] = null
+      var wl = 0L; var wc = 0L; var ww2 = 0L; var mvAbs = 0L
+      def add(fi: Int): Unit = {
+        var fl = 0L; l.foreach(_.foreach(fl += _))
+        var fc = 0L; cbP.foreach(_.foreach(fc += _)); crP.foreach(_.foreach(fc += _))
+        wl += fl; wc += fc; ww2 += (fi + 1L) * (fl + fc)
+      }
+      add(0)
+      // frame 1: P, constant qp1
+      val qp1 = (8 * (((seed + 1) % 3).toInt - 1), 8 * (((seed + 2) % 3).toInt - 1))
+      def shiftBy(src: Array[Array[Int]], dx: Int, dy: Int) = {
+        val hh = src.length; val wwp = src(0).length
+        Array.tabulate(hh, wwp)((y, x) =>
+          src(clamp(y + dy, hh - 1))(clamp(x + dx, wwp - 1)))
+      }
+      l2 = l; cb2 = cbP; cr2 = crP
+      l = shiftBy(l, qp1._1 / 4, qp1._2 / 4)
+      cbP = shiftBy(cbP, qp1._1 / 8, qp1._2 / 8)
+      crP = shiftBy(crP, qp1._1 / 8, qp1._2 / 8)
+      add(1)
+      mvAbs += mbW.toLong * mbH * (math.abs(qp1._1) + math.abs(qp1._2))
+      for (f <- 2 until nf) {
+        val q0 = Array(H264.synthBiQ0(seed, f), H264.synthBPartQ0b(seed, f))
+        val q1 = Array(H264.synthBiQ1(seed, f), H264.synthBPartQ1b(seed, f))
+        // per-pixel (mode, part) from the kind lattice
+        def sel(blk: Int)(x: Int, y: Int): (Int, Int) = { // (mode, part)
+          val t = H264.synthBPartType(seed, f, x / blk, y / blk)
+          if (t <= 3) (t - 1, 0)
+          else {
+            val pm = H264.bPartModes((t - 4) / 2)
+            val part = if ((t - 4) % 2 == 0) (y % blk) / (blk / 2)
+              else (x % blk) / (blk / 2)
+            (if (part == 0) pm._1 else pm._2, part)
+          }
+        }
+        def predict(prev: Array[Array[Int]], prev2: Array[Array[Int]],
+            blk: Int, div: Int) = {
+          val hh = prev.length; val wwp = prev(0).length
+          Array.tabulate(hh, wwp) { (y, x) =>
+            val (mode, part) = sel(blk)(x, y)
+            def s(src: Array[Array[Int]], q: (Int, Int)) =
+              src(clamp(y + q._2 / div, hh - 1))(clamp(x + q._1 / div, wwp - 1))
+            mode match {
+              case 0 => s(prev, q0(part))
+              case 1 => s(prev2, q1(part))
+              case _ => (s(prev, q0(part)) + s(prev2, q1(part)) + 1) >> 1
+            }
+          }
+        }
+        val nl = predict(l, l2, 16, 4)
+        val nc = predict(cbP, cb2, 8, 8)
+        val nr = predict(crP, cr2, 8, 8)
+        l2 = l; cb2 = cbP; cr2 = crP
+        l = nl; cbP = nc; crP = nr
+        add(f)
+        for (my <- 0 until mbH; mx <- 0 until mbW) {
+          val t = H264.synthBPartType(seed, f, mx, my)
+          def n(q: (Int, Int)) = math.abs(q._1) + math.abs(q._2)
+          mvAbs += (if (t <= 3) {
+            (if (t != 2) n(q0(0)) else 0) + (if (t != 1) n(q1(0)) else 0)
+          } else {
+            val pm = H264.bPartModes((t - 4) / 2)
+            def c(mode: Int, part: Int) = mode match {
+              case 0 => n(q0(part)); case 1 => n(q1(part))
+              case _ => n(q0(part)) + n(q1(part))
+            }
+            c(pm._1, 0) + c(pm._2, 1)
+          })
+        }
+      }
+      assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
+      assert(m.chromaSum == wc, s"seed=$seed chroma ${m.chromaSum} vs $wc")
+      assert(m.weightedSum == ww2, s"seed=$seed weighted")
+      assert(m.mvAbsSum == mvAbs, s"seed=$seed mvAbs ${m.mvAbsSum} vs $mvAbs")
+    }
+  }
+
   test("inter decode of an all-I_PCM stream matches decodeIPcm (P machinery dormant)") {
     val p = H264.synthesizeH264IPcm(2, 2, 2, 9L)
     val a = H264.decodeInter(p).get
