@@ -184,7 +184,8 @@ object H264 {
     bw.stop()
   }
 
-  private def ppsRbsp(weightedPred: Boolean = false): Array[Byte] = {
+  private def ppsRbsp(weightedPred: Boolean = false,
+      wBipredIdc: Int = 0): Array[Byte] = {
     val bw = new BitWriter
     bw.ue(0)               // pic_parameter_set_id
     bw.ue(0)               // seq_parameter_set_id
@@ -193,7 +194,7 @@ object H264 {
     bw.ue(0)               // num_slice_groups_minus1
     bw.ue(0); bw.ue(0)     // num_ref_idx_l{0,1}_active_minus1
     bw.u(if (weightedPred) 1 else 0, 1) // weighted_pred_flag
-    bw.u(0, 2)             // weighted_bipred_idc
+    bw.u(wBipredIdc, 2)    // weighted_bipred_idc
     bw.se(0); bw.se(0)     // pic_init_qp/qs_minus26
     bw.se(0)               // chroma_qp_index_offset
     bw.u(1, 1)             // deblocking_filter_control_present_flag
@@ -2102,7 +2103,24 @@ object H264 {
     * reference per list.
     */
   def synthesizeH264BParts(mbW: Int, mbH: Int, nFrames: Int,
-      seed: Long): Array[Byte] = {
+      seed: Long): Array[Byte] =
+    synthBPartStream(mbW, mbH, nFrames, seed, weightedBi = false)
+
+  /** [[synthesizeH264BParts]] under EXPLICIT weighted bi-prediction
+    * (weighted_bipred_idc 1): every B slice carries a
+    * pred_weight_table with one (luma, chroma) entry per LIST — the
+    * [[synthWtLumaR]]/[[synthWtChromaR]] closed forms at ref = list —
+    * and the decoder must apply the single-list scale/offset to L0-
+    * and L1-only partitions and the two-list weighted combine
+    * (((L0·w0 + L1·w1 + 2^d) >> (d+1)) + ((o0+o1+1) >> 1)) to Bi
+    * partitions, across the full Table 7-14 two-partition family.
+    */
+  def synthesizeH264WBiParts(mbW: Int, mbH: Int, nFrames: Int,
+      seed: Long): Array[Byte] =
+    synthBPartStream(mbW, mbH, nFrames, seed, weightedBi = true)
+
+  private def synthBPartStream(mbW: Int, mbH: Int, nFrames: Int,
+      seed: Long, weightedBi: Boolean): Array[Byte] = {
     require(nFrames >= 3, "need IDR + P before the first B frame")
     val out = new ArrayBuffer[Byte]()
     out ++= Array[Byte](0, 0, 0, 1)
@@ -2110,7 +2128,7 @@ object H264 {
     out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30, maxRefs = 2))
     out ++= Array[Byte](0, 0, 1)
     out += 0x68.toByte
-    out ++= escape(ppsRbsp())
+    out ++= escape(ppsRbsp(wBipredIdc = if (weightedBi) 1 else 0))
     appendIPcmIdr(out, mbW, mbH, seed)
     // frame 1: P, constant mv (multiple of 8), no skips, cbp 0
     val qp1 = (8 * (((seed + 1) % 3).toInt - 1), 8 * (((seed + 2) % 3).toInt - 1))
@@ -2150,6 +2168,18 @@ object H264 {
       bw.u(0, 1)                      // direct_spatial_mv_pred_flag
       bw.u(0, 1)                      // num_ref_idx_active_override
       bw.u(0, 1); bw.u(0, 1)          // ref_pic_list_modification l0/l1
+      if (weightedBi) {               // pred_weight_table: l0 then l1
+        val (ld, _, _) = synthWtLumaR(seed, f, 0)
+        bw.ue(ld); bw.ue(1)           // luma / chroma denoms
+        var li = 0
+        while (li < 2) {
+          val (_, lw, lo) = synthWtLumaR(seed, f, li)
+          val (_, cbw, cbo, crw, cro) = synthWtChromaR(seed, f, li)
+          bw.u(1, 1); bw.se(lw); bw.se(lo)
+          bw.u(1, 1); bw.se(cbw); bw.se(cbo); bw.se(crw); bw.se(cro)
+          li += 1
+        }
+      }
       bw.u(0, 1)                      // adaptive_ref_pic_marking
       bw.se(0); bw.ue(1)
       val qs = Array(
@@ -2941,14 +2971,16 @@ object H264 {
       var mvAbs = 0L
       var nLevels = 0L
       var ppsWeighted = false
+      var ppsWBidc = 0
       nals.foreach { case (s, e) =>
         (p(s) & 0x1F) match {
           case 7 =>
             sps = parseSps(new BitReader(unescape(p, s + 1, e)))
             if (sps.isEmpty) return None
           case 8 =>
-            // the PPS fields the inter subset depends on; weighted
-            // bipred (idc != 0) is out of scope — refuse
+            // the PPS fields the inter subset depends on; implicit
+            // weighted bipred (idc 2 — POC-distance-derived weights)
+            // is out of scope — refuse; EXPLICIT (idc 1) is in scope
             val r = new BitReader(unescape(p, s + 1, e))
             r.ue(); r.ue()
             if (r.u(1) != 0) return None // CABAC out of scope
@@ -2956,7 +2988,8 @@ object H264 {
             if (r.ue() != 0) return None // slice groups out of scope
             r.ue(); r.ue()
             ppsWeighted = r.u(1) == 1
-            if (r.u(2) != 0) return None // weighted_bipred_idc
+            ppsWBidc = r.u(2)
+            if (ppsWBidc > 1) return None // implicit bipred: refuse
           case 5 =>
             val info = sps.getOrElse(return None)
             if (pnl != null) return None // inter picture left incomplete
@@ -3048,6 +3081,29 @@ object H264 {
                   while (j < 2) { cwA(i)(j) = r.se(); coA(i)(j) = r.se(); j += 1 }
                 }
                 i += 1
+              }
+            }
+            // explicit weighted BI-prediction (weighted_bipred_idc 1,
+            // B slices): the same §7.3.3.2 table, but with one entry
+            // per active reference of EACH list (one per list here) —
+            // lwB/loB/cwB/coB indexed by LIST, not refIdx
+            val wBi = isB && ppsWBidc == 1
+            val lwB = Array(1, 1); val loB = Array(0, 0)
+            val cwB = Array(Array(1, 1), Array(1, 1))
+            val coB = Array(Array(0, 0), Array(0, 0))
+            if (wBi) {
+              lwd = r.ue(); if (lwd > 7) return None
+              cwd = r.ue(); if (cwd > 7) return None
+              var li = 0
+              while (li < 2) { // l0 entries then l1 entries
+                lwB(li) = 1 << lwd
+                cwB(li)(0) = 1 << cwd; cwB(li)(1) = 1 << cwd
+                if (r.u(1) == 1) { lwB(li) = r.se(); loB(li) = r.se() }
+                if (r.u(1) == 1) {
+                  var j = 0
+                  while (j < 2) { cwB(li)(j) = r.se(); coB(li)(j) = r.se(); j += 1 }
+                }
+                li += 1
               }
             }
             r.u(1)           // adaptive_ref_pic_marking_mode_flag
@@ -3191,6 +3247,73 @@ object H264 {
                 cy += 1
               }
             }
+            // single-list explicit weights in a B slice (idc 1): the
+            // §8.4.2.3.2 single-list equations with the LIST's entry
+            def applyWeightsB(px0: Int, py0: Int, wP: Int, hP: Int,
+                list: Int): Unit = {
+              def wp(v: Int, w0: Int, o: Int, d: Int): Int =
+                clip255((if (d >= 1) (v * w0 + (1 << (d - 1))) >> d
+                         else v * w0) + o)
+              var y = 0
+              while (y < hP) {
+                var x = 0
+                while (x < wP) {
+                  val i = (py0 + y) * w + px0 + x
+                  nl(i) = wp(nl(i), lwB(list), loB(list), lwd)
+                  x += 1
+                }
+                y += 1
+              }
+              val cw = w / 2
+              var cy = 0
+              while (cy < hP / 2) {
+                var cx = 0
+                while (cx < wP / 2) {
+                  val i = (py0 / 2 + cy) * cw + px0 / 2 + cx
+                  ncb(i) = wp(ncb(i), cwB(list)(0), coB(list)(0), cwd)
+                  ncr(i) = wp(ncr(i), cwB(list)(1), coB(list)(1), cwd)
+                  cx += 1
+                }
+                cy += 1
+              }
+            }
+            // weighted bi-prediction combine (§8.4.2.3.2, two lists):
+            // Clip1(((L0·w0 + L1·w1 + 2^d) >> (d+1)) + ((o0+o1+1)>>1))
+            // over the L0 MC in the frame buffer and the L1 MC in the
+            // tl/tcb/tcr scratch — replaces the default average
+            def biWeightedRect(px0: Int, py0: Int, wP: Int, hP: Int): Unit = {
+              val lo2 = (loB(0) + loB(1) + 1) >> 1
+              var y = 0
+              while (y < hP) {
+                var x = 0
+                while (x < wP) {
+                  val i = (py0 + y) * w + px0 + x
+                  nl(i) = clip255(
+                    ((nl(i) * lwB(0) + tl(i) * lwB(1) + (1 << lwd)) >> (lwd + 1))
+                      + lo2)
+                  x += 1
+                }
+                y += 1
+              }
+              val cw = w / 2
+              val cbo2 = (coB(0)(0) + coB(1)(0) + 1) >> 1
+              val cro2 = (coB(0)(1) + coB(1)(1) + 1) >> 1
+              var cy = 0
+              while (cy < hP / 2) {
+                var cx = 0
+                while (cx < wP / 2) {
+                  val i = (py0 / 2 + cy) * cw + px0 / 2 + cx
+                  ncb(i) = clip255(
+                    ((ncb(i) * cwB(0)(0) + tcb(i) * cwB(1)(0) + (1 << cwd))
+                      >> (cwd + 1)) + cbo2)
+                  ncr(i) = clip255(
+                    ((ncr(i) * cwB(0)(1) + tcr(i) * cwB(1)(1) + (1 << cwd))
+                      >> (cwd + 1)) + cro2)
+                  cx += 1
+                }
+                cy += 1
+              }
+            }
             // default bi-prediction (§8.4.2.3.1, no weighted pred):
             // per-sample (L0 + L1 + 1) >> 1 over the two MC results,
             // applied per partition RECTANGLE (luma samples, 2-aligned)
@@ -3313,8 +3436,12 @@ object H264 {
                         if (useL0p) tcb else ncb,
                         if (useL0p) tcr else ncr)(
                         pbx * 4, pby * 4, pwB * 4, phB * 4, mv1)) return None
-                    if (useL0p && useL1p)
-                      biAverageRect(pbx * 4, pby * 4, pwB * 4, phB * 4)
+                    if (useL0p && useL1p) {
+                      if (wBi) biWeightedRect(pbx * 4, pby * 4, pwB * 4, phB * 4)
+                      else biAverageRect(pbx * 4, pby * 4, pwB * 4, phB * 4)
+                    } else if (wBi)
+                      applyWeightsB(pbx * 4, pby * 4, pwB * 4, phB * 4,
+                        if (useL0p) 0 else 1)
                     if (useL0p) {
                       writePart(mvs, refs0, pbx, pby, pwB, phB, mv0, 0)
                       mvAbs += math.abs(mv0._1) + math.abs(mv0._2)
@@ -3460,7 +3587,12 @@ object H264 {
                       if (useL0) tcb else ncb,
                       if (useL0) tcr else ncr)(
                       mx * 16, myy * 16, 16, 16, mvL1)) return None
-                if (useL0 && useL1) biAverage(mx, myy)
+                if (useL0 && useL1) {
+                  if (wBi) biWeightedRect(mx * 16, myy * 16, 16, 16)
+                  else biAverage(mx, myy)
+                } else if (wBi && isB)
+                  applyWeightsB(mx * 16, myy * 16, 16, 16,
+                    if (useL0) 0 else 1)
                 if (!isB && ppsWeighted)
                   applyWeights(mx * 16, myy * 16, 16, 16, refL0)
                 if (cbp == 15) {
