@@ -2119,8 +2119,20 @@ object H264 {
       seed: Long): Array[Byte] =
     synthBPartStream(mbW, mbH, nFrames, seed, weightedBi = true)
 
+  /** [[synthesizeH264BParts]] with CAVLC luma residuals on the
+    * mod-2 MB lattice of the B frames (cbp 15 at QP 24, the q150
+    * vector family) — whole-MB residuals layered over PARTITIONED
+    * prediction, the realistic coded-B-frame shape: MC per partition
+    * first, then one residual pass across the MB's 16 blocks.
+    */
+  def synthesizeH264BPartsRes(mbW: Int, mbH: Int, nFrames: Int,
+      seed: Long): Array[Byte] =
+    synthBPartStream(mbW, mbH, nFrames, seed, weightedBi = false,
+      withResidual = true)
+
   private def synthBPartStream(mbW: Int, mbH: Int, nFrames: Int,
-      seed: Long, weightedBi: Boolean): Array[Byte] = {
+      seed: Long, weightedBi: Boolean,
+      withResidual: Boolean = false): Array[Byte] = {
     require(nFrames >= 3, "need IDR + P before the first B frame")
     val out = new ArrayBuffer[Byte]()
     out ++= Array[Byte](0, 0, 0, 1)
@@ -2181,10 +2193,11 @@ object H264 {
         }
       }
       bw.u(0, 1)                      // adaptive_ref_pic_marking
-      bw.se(0); bw.ue(1)
+      bw.se(if (withResidual) -2 else 0); bw.ue(1) // QP 24 / 26
       val qs = Array(
         Array(synthBiQ0(seed, f), synthBPartQ0b(seed, f)),  // list 0: p0, p1
         Array(synthBiQ1(seed, f), synthBPartQ1b(seed, f)))  // list 1: p0, p1
+      val tcsR = new Array[Int](4 * mbW * 4 * mbH)
       val mvs0 = Array.fill(bW * bH)((0, 0)); val refs0 = Array.fill(bW * bH)(-1)
       val mvs1 = Array.fill(bW * bH)((0, 0)); val refs1 = Array.fill(bW * bH)(-1)
       val done = Array.fill(bW * bH)(false)
@@ -2263,7 +2276,24 @@ object H264 {
               part += 1
             }
           }
-          bw.ue(0)           // cbp
+          val hasRes = withResidual && synthHasResidual(seed, f, mx, my)
+          bw.ue(if (hasRes) 11 else 0) // cbp (me(v) Inter: 11 -> 15)
+          if (hasRes) {
+            bw.se(0)         // mb_qp_delta
+            zScan4x4.foreach { case (zx, zy) =>
+              val gx = mx * 4 + zx; val gy = my * 4 + zy
+              val scan = acScanVectors(synthResidualK(seed, f, gx, gy))
+              val nA = if (gx == 0) -1 else tcsR(gy * 4 * mbW + gx - 1)
+              val nB = if (gy == 0) -1 else tcsR((gy - 1) * 4 * mbW + gx)
+              val nC =
+                if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+                else if (nA >= 0) nA
+                else if (nB >= 0) nB
+                else 0
+              encodeCoeffBlock(bw, scan, nC)
+              tcsR(gy * 4 * mbW + gx) = scan.count(_ != 0)
+            }
+          }
           mx += 1
         }
         my += 1
@@ -3343,6 +3373,47 @@ object H264 {
             }
             def biAverage(mx: Int, myy: Int): Unit =
               biAverageRect(mx * 16, myy * 16, 16, 16)
+            // whole-MB CAVLC luma residuals (cbp 15): mb_qp_delta,
+            // then the 16 4x4 blocks in zig-zag scan order — shared
+            // by the 16x16 path and every partition shape (residuals
+            // are an MB-level layer, orthogonal to partitioning).
+            // false = malformed stream (caller refuses).
+            def decodeMbResiduals(mx: Int, myy: Int): Boolean = {
+              qpy += r.se() // mb_qp_delta accumulates QPy
+              var bi = 0
+              while (bi < 16) {
+                val (zx, zy) = zScan4x4(bi)
+                val gx = mx * 4 + zx; val gy = myy * 4 + zy
+                // nC neighbor availability is slice-bounded too: a
+                // block whose MB precedes this slice is unavailable
+                def inSlice(bx: Int, by: Int): Boolean =
+                  (by / 4) * info.mbW + bx / 4 >= firstMb
+                val nA = if (gx == 0 || !inSlice(gx - 1, gy)) -1
+                  else tcs(gy * bW + gx - 1)
+                val nB = if (gy == 0 || !inSlice(gx, gy - 1)) -1
+                  else tcs((gy - 1) * bW + gx)
+                val nC =
+                  if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+                  else if (nA >= 0) nA
+                  else if (nB >= 0) nB
+                  else 0
+                val scan = decodeCoeffBlock(r, nC) match {
+                  case Some(sc) => sc
+                  case None => return false
+                }
+                tcs(gy * bW + gx) = scan.count(_ != 0)
+                nLevels += tcs(gy * bW + gx)
+                val res = dequantIdct4x4(scan, qpy)
+                var i = 0
+                while (i < 16) {
+                  val px = gx * 4 + (i % 4); val py = gy * 4 + (i / 4)
+                  nl(py * w + px) = clip255(nl(py * w + px) + res(i))
+                  i += 1
+                }
+                bi += 1
+              }
+              true
+            }
             var mb = firstMb
             while (mb < nMbs && r.moreRbsp) {
               var run = r.ue()
@@ -3452,7 +3523,15 @@ object H264 {
                     }
                     part += 1
                   }
-                  if (r.ue() != 0) return None // partition cbp: out of scope
+                  // coded_block_pattern, me(v) Inter: codeNum 0 -> 0,
+                  // 11 -> 15 (whole-MB luma residuals over the
+                  // partitioned prediction); other entries refused
+                  val pcbp = r.ue() match {
+                    case 0 => 0
+                    case 11 => 15
+                    case _ => return None
+                  }
+                  if (pcbp == 15 && !decodeMbResiduals(mx, myy)) return None
                   mb += 1
                 } else if (!isB && mbType >= 3) {
                   // P_8x8 (3) / P_8x8ref0 (4), §7.3.5.2 sub_mb_pred:
@@ -3515,7 +3594,12 @@ object H264 {
                     }
                     sb += 1
                   }
-                  if (r.ue() != 0) return None // sub-part cbp: out of scope
+                  val scbp = r.ue() match {
+                    case 0 => 0
+                    case 11 => 15
+                    case _ => return None
+                  }
+                  if (scbp == 15 && !decodeMbResiduals(mx, myy)) return None
                   mb += 1
                 } else if (!isB && mbType > 0) {
                   // P_L0_L0_16x8 (1) / 8x16 (2): two partitions with
@@ -3548,7 +3632,15 @@ object H264 {
                     mvAbs += math.abs(pmv._1) + math.abs(pmv._2)
                     part += 1
                   }
-                  if (r.ue() != 0) return None // partition cbp: out of scope
+                  // coded_block_pattern, me(v) Inter: codeNum 0 -> 0,
+                  // 11 -> 15 (whole-MB luma residuals over the
+                  // partitioned prediction); other entries refused
+                  val pcbp = r.ue() match {
+                    case 0 => 0
+                    case 11 => 15
+                    case _ => return None
+                  }
+                  if (pcbp == 15 && !decodeMbResiduals(mx, myy)) return None
                   mb += 1
                 } else {
                 // ref_idx_l0, te(v): with 2 active refs a single
@@ -3595,38 +3687,7 @@ object H264 {
                     if (useL0) 0 else 1)
                 if (!isB && ppsWeighted)
                   applyWeights(mx * 16, myy * 16, 16, 16, refL0)
-                if (cbp == 15) {
-                  qpy += r.se() // mb_qp_delta accumulates QPy
-                  var bi = 0
-                  while (bi < 16) {
-                    val (zx, zy) = zScan4x4(bi)
-                    val gx = mx * 4 + zx; val gy = myy * 4 + zy
-                    // nC neighbor availability is slice-bounded too: a
-                    // block whose MB precedes this slice is unavailable
-                    def inSlice(bx: Int, by: Int): Boolean =
-                      (by / 4) * info.mbW + bx / 4 >= firstMb
-                    val nA = if (gx == 0 || !inSlice(gx - 1, gy)) -1
-                      else tcs(gy * bW + gx - 1)
-                    val nB = if (gy == 0 || !inSlice(gx, gy - 1)) -1
-                      else tcs((gy - 1) * bW + gx)
-                    val nC =
-                      if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
-                      else if (nA >= 0) nA
-                      else if (nB >= 0) nB
-                      else 0
-                    val scan = decodeCoeffBlock(r, nC).getOrElse(return None)
-                    tcs(gy * bW + gx) = scan.count(_ != 0)
-                    nLevels += tcs(gy * bW + gx)
-                    val res = dequantIdct4x4(scan, qpy)
-                    var i = 0
-                    while (i < 16) {
-                      val px = gx * 4 + (i % 4); val py = gy * 4 + (i / 4)
-                      nl(py * w + px) = clip255(nl(py * w + px) + res(i))
-                      i += 1
-                    }
-                    bi += 1
-                  }
-                }
+                if (cbp == 15 && !decodeMbResiduals(mx, myy)) return None
                 if (useL0) { writePart(mvs, refs0, mx * 4, myy * 4, 4, 4, mv, refL0)
                   mvAbs += math.abs(mv._1) + math.abs(mv._2) }
                 if (useL1) { writePart(mvs1, refs1, mx * 4, myy * 4, 4, 4, mvL1, 0)

@@ -1446,6 +1446,91 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("B-partition + residual decode equals MC + pinned residual + clip") {
+    // whole-MB cbp-15 luma residuals (mod-2 lattice, q150 pinned IDCT
+    // columns) layered over partitioned B prediction
+    val resCols = Array(
+      Array(5, 5, 5, 5), Array(1, -1, -4, -6),
+      Array(0, 5, 5, 0), Array(2, 5, -5, -2))
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 3 + (seed % 2).toInt
+      val w = mbW * 16; val h = mbH * 16
+      val m = H264.decodeInter(H264.synthesizeH264BPartsRes(mbW, mbH, nf, seed)).get
+      assert(m.nFrames == nf && m.nSkipped == 0)
+      assert(m.nLevels > 0, s"seed=$seed must actually decode residual levels")
+      def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      def clip255(v: Int) = math.min(math.max(v, 0), 255)
+      var l = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      var cbP = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+      var crP = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+      var l2: Array[Array[Int]] = null
+      var cb2: Array[Array[Int]] = null; var cr2: Array[Array[Int]] = null
+      var wl = 0L; var wc = 0L; var ww2 = 0L
+      def add(fi: Int): Unit = {
+        var fl = 0L; l.foreach(_.foreach(fl += _))
+        var fc = 0L; cbP.foreach(_.foreach(fc += _)); crP.foreach(_.foreach(fc += _))
+        wl += fl; wc += fc; ww2 += (fi + 1L) * (fl + fc)
+      }
+      add(0)
+      val qp1 = (8 * (((seed + 1) % 3).toInt - 1), 8 * (((seed + 2) % 3).toInt - 1))
+      def shiftBy(src: Array[Array[Int]], dx: Int, dy: Int) = {
+        val hh = src.length; val wwp = src(0).length
+        Array.tabulate(hh, wwp)((y, x) =>
+          src(clamp(y + dy, hh - 1))(clamp(x + dx, wwp - 1)))
+      }
+      l2 = l; cb2 = cbP; cr2 = crP
+      l = shiftBy(l, qp1._1 / 4, qp1._2 / 4)
+      cbP = shiftBy(cbP, qp1._1 / 8, qp1._2 / 8)
+      crP = shiftBy(crP, qp1._1 / 8, qp1._2 / 8)
+      add(1)
+      for (f <- 2 until nf) {
+        val q0 = Array(H264.synthBiQ0(seed, f), H264.synthBPartQ0b(seed, f))
+        val q1 = Array(H264.synthBiQ1(seed, f), H264.synthBPartQ1b(seed, f))
+        def sel(blk: Int)(x: Int, y: Int): (Int, Int) = {
+          val t = H264.synthBPartType(seed, f, x / blk, y / blk)
+          if (t <= 3) (t - 1, 0)
+          else {
+            val pm = H264.bPartModes((t - 4) / 2)
+            val part = if ((t - 4) % 2 == 0) (y % blk) / (blk / 2)
+              else (x % blk) / (blk / 2)
+            (if (part == 0) pm._1 else pm._2, part)
+          }
+        }
+        def predict(prev: Array[Array[Int]], prev2: Array[Array[Int]],
+            blk: Int, div: Int) = {
+          val hh = prev.length; val wwp = prev(0).length
+          Array.tabulate(hh, wwp) { (y, x) =>
+            val (mode, part) = sel(blk)(x, y)
+            def s(src: Array[Array[Int]], q: (Int, Int)) =
+              src(clamp(y + q._2 / div, hh - 1))(clamp(x + q._1 / div, wwp - 1))
+            mode match {
+              case 0 => s(prev, q0(part))
+              case 1 => s(prev2, q1(part))
+              case _ => (s(prev, q0(part)) + s(prev2, q1(part)) + 1) >> 1
+            }
+          }
+        }
+        val mc = predict(l, l2, 16, 4)
+        val nl = Array.tabulate(h, w) { (y, x) =>
+          if (H264.synthHasResidual(seed, f, x / 16, y / 16))
+            clip255(mc(y)(x) +
+              resCols(H264.synthResidualK(seed, f, x / 4, y / 4))(x % 4))
+          else mc(y)(x)
+        }
+        val nc = predict(cbP, cb2, 8, 8)
+        val nr = predict(crP, cr2, 8, 8)
+        l2 = l; cb2 = cbP; cr2 = crP
+        l = nl; cbP = nc; crP = nr
+        add(f)
+      }
+      assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
+      assert(m.chromaSum == wc, s"seed=$seed chroma ${m.chromaSum} vs $wc")
+      assert(m.weightedSum == ww2, s"seed=$seed weighted")
+    }
+  }
+
   test("weighted-bipred B-partition decode equals an independent simulation") {
     // the q184 lattice under weighted_bipred_idc 1: single-list
     // partitions scale/offset with their list's entry, Bi partitions
