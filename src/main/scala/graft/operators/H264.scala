@@ -2304,6 +2304,179 @@ object H264 {
     out.toArray
   }
 
+  /** Per-sub-MB sub_mb_type of the B_8x8 streams (Table 7-18 types
+    * 1-12 — B_Direct_8x8 excluded by construction): the
+    * (seed + f + mbx + mby + sb) % 12 lattice puts every non-direct
+    * B sub-type in every stream.
+    */
+  private[graft] def synthBSubKind(seed: Long, f: Int, mbx: Int, my: Int,
+      sb: Int): Int =
+    1 + ((seed + f + mbx + my + sb) % 12).toInt
+
+  /** B streams where every macroblock is B_8x8: four sub-MBs per MB,
+    * each carrying a [[synthBSubKind]] sub_mb_type — L0/L1/Bi
+    * prediction at 8x8, 8x4, 4x8 and 4x4 granularity. First
+    * sub-partition regions move by the per-list qA constants
+    * ([[synthBiQ0]]/[[synthBiQ1]]), complementary regions (8x4
+    * bottom, 4x8 right, 4x4 anti-diagonal) by the qB constants
+    * ([[synthBPartQ0b]]/[[synthBPartQ1b]]). mvds are computed
+    * against the PLAIN per-list §8.4.1.3 prediction at each
+    * sub-partition's own rectangle, derived in decode order but
+    * EMITTED in §7.3.5.2 syntax order (all mvd_l0, then all mvd_l1).
+    */
+  def synthesizeH264BSubParts(mbW: Int, mbH: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    require(nFrames >= 3, "need IDR + P before the first B frame")
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30, maxRefs = 2))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp())
+    appendIPcmIdr(out, mbW, mbH, seed)
+    val qp1 = (8 * (((seed + 1) % 3).toInt - 1), 8 * (((seed + 2) % 3).toInt - 1))
+    locally {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(1, 4)
+      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+      bw.se(0); bw.ue(1)
+      val mvs = Array.fill(mbW * mbH)((0, 0))
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          bw.ue(0); bw.ue(0)
+          val pred = predictMv(mvs, done, mx, my, mbW)
+          bw.se(qp1._1 - pred._1); bw.se(qp1._2 - pred._2)
+          bw.ue(0)
+          mvs(my * mbW + mx) = qp1; done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+    val bW = 4 * mbW; val bH = 4 * mbH
+    var f = 2
+    while (f < nFrames) {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(6); bw.ue(0)
+      bw.u(f % 16, 4)
+      bw.u(0, 1); bw.u(0, 1)
+      bw.u(0, 1); bw.u(0, 1)
+      bw.u(0, 1)
+      bw.se(0); bw.ue(1)
+      val qA = Array(synthBiQ0(seed, f), synthBiQ1(seed, f))
+      val qB = Array(synthBPartQ0b(seed, f), synthBPartQ1b(seed, f))
+      val mvs0 = Array.fill(bW * bH)((0, 0)); val refs0 = Array.fill(bW * bH)(-1)
+      val mvs1 = Array.fill(bW * bH)((0, 0)); val refs1 = Array.fill(bW * bH)(-1)
+      val done = Array.fill(bW * bH)(false)
+      def stamp(mvA: Array[(Int, Int)], rA: Array[Int],
+          bx: Int, by: Int, wB: Int, hB: Int, mv: (Int, Int)): Unit = {
+        var yy = by
+        while (yy < by + hB) {
+          var xx = bx
+          while (xx < bx + wB) {
+            mvA(yy * bW + xx) = mv; rA(yy * bW + xx) = 0
+            done(yy * bW + xx) = true
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+      def usesBi(t: Int) = t == 3 || t == 8 || t == 9 || t == 12
+      def usesL0(t: Int) = t == 1 || t == 4 || t == 5 || t == 10 || usesBi(t)
+      def usesL1(t: Int) = t == 2 || t == 6 || t == 7 || t == 11 || usesBi(t)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          bw.ue(0)           // mb_skip_run
+          bw.ue(22)          // B_8x8
+          val subTypes = Array.tabulate(4)(sb => synthBSubKind(seed, f, mx, my, sb))
+          subTypes.foreach(bw.ue)
+          // sub-partition rects + qB membership, spec decode order
+          def rects(sb: Int, t: Int): Array[(Int, Int, Int, Int, Boolean)] = {
+            val sbx = mx * 4 + 2 * (sb % 2)
+            val sby = my * 4 + 2 * (sb / 2)
+            t match {
+              case 1 | 2 | 3 => Array((sbx, sby, 2, 2, false))
+              case 4 | 6 | 8 => Array((sbx, sby, 2, 1, false),
+                (sbx, sby + 1, 2, 1, true))
+              case 5 | 7 | 9 => Array((sbx, sby, 1, 2, false),
+                (sbx + 1, sby, 1, 2, true))
+              case _ => Array((sbx, sby, 1, 1, false),
+                (sbx + 1, sby, 1, 1, true),
+                (sbx, sby + 1, 1, 1, true),
+                (sbx + 1, sby + 1, 1, 1, false))
+            }
+          }
+          // derive in decode order, emit later in syntax order
+          val mvd0 = Array.ofDim[(Int, Int)](4, 4)
+          val mvd1 = Array.ofDim[(Int, Int)](4, 4)
+          var sb = 0
+          while (sb < 4) {
+            val t = subTypes(sb)
+            val ps = rects(sb, t)
+            var pi = 0
+            while (pi < ps.length) {
+              val (pbx, pby, pwB, phB, isQb) = ps(pi)
+              if (usesL0(t)) {
+                val q = if (isQb) qB(0) else qA(0)
+                val pr = predictMvPart(mvs0, done, refs0, 0, bW, bH,
+                  pbx, pby, pwB, 0)
+                mvd0(sb)(pi) = (q._1 - pr._1, q._2 - pr._2)
+                stamp(mvs0, refs0, pbx, pby, pwB, phB, q)
+              }
+              if (usesL1(t)) {
+                val q = if (isQb) qB(1) else qA(1)
+                val pr = predictMvPart(mvs1, done, refs1, 0, bW, bH,
+                  pbx, pby, pwB, 0)
+                mvd1(sb)(pi) = (q._1 - pr._1, q._2 - pr._2)
+                stamp(mvs1, refs1, pbx, pby, pwB, phB, q)
+              }
+              pi += 1
+            }
+            sb += 1
+          }
+          sb = 0
+          while (sb < 4) {
+            if (usesL0(subTypes(sb))) {
+              var pi = 0
+              while (pi < rects(sb, subTypes(sb)).length) {
+                bw.se(mvd0(sb)(pi)._1); bw.se(mvd0(sb)(pi)._2); pi += 1
+              }
+            }
+            sb += 1
+          }
+          sb = 0
+          while (sb < 4) {
+            if (usesL1(subTypes(sb))) {
+              var pi = 0
+              while (pi < rects(sb, subTypes(sb)).length) {
+                bw.se(mvd1(sb)(pi)._1); bw.se(mvd1(sb)(pi)._2); pi += 1
+              }
+            }
+            sb += 1
+          }
+          bw.ue(0)           // cbp
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+      f += 1
+    }
+    out.toArray
+  }
+
   /** Per-frame explicit weights of the WEIGHTED streams (closed
     * forms the q170 oracle replays): luma denom 1+(s+f)%2, weight
     * 1+(s+f)%3, offset (s+2f)%9−4; chroma denom 1, weights
@@ -3443,11 +3616,125 @@ object H264 {
                     case 1 => (true, false)
                     case 2 => (false, true)
                     case 3 => (true, true)
-                    case t if t >= 4 && t <= 21 => (true, true) // partitions below
-                    case _ => return None // B_Direct / B_8x8: refuse
+                    case t if t >= 4 && t <= 22 => (true, true) // partitions below
+                    case _ => return None // B_Direct / intra: refuse
                   }
                 val mx = mb % info.mbW; val myy = mb / info.mbW
-                if (isB && mbType >= 4) {
+                if (isB && mbType == 22) {
+                  // B_8x8 (Table 7-14 type 22), §7.3.5.2 sub_mb_pred:
+                  // four sub_mb_types from Table 7-18 — 0 B_Direct_8x8
+                  // (REFUSED: direct prediction is out of this
+                  // subset), 1-3 B_{L0,L1,Bi}_8x8, 4-9 the 8x4/4x8
+                  // pairs ((L0,L0),(L1,L1),(Bi,Bi) geometry pairs),
+                  // 10-12 B_{L0,L1,Bi}_4x4. Syntax: all sub_mb_types,
+                  // then (no ref_idx at one active ref per list) all
+                  // mvd_l0 in sub-MB/sub-partition order, then all
+                  // mvd_l1; derivation per sub-partition in decode
+                  // order with the PLAIN §8.4.1.3 prediction at the
+                  // partition's own rectangle (no directional rules
+                  // at 8x8-and-below), both lists of a sub-partition
+                  // derived before the next one.
+                  val subTypes = new Array[Int](4)
+                  var sb = 0
+                  while (sb < 4) {
+                    subTypes(sb) = r.ue()
+                    if (subTypes(sb) < 1 || subTypes(sb) > 12) return None
+                    sb += 1
+                  }
+                  def usesBi(t: Int): Boolean =
+                    t == 3 || t == 8 || t == 9 || t == 12
+                  def usesL0(t: Int): Boolean =
+                    t == 1 || t == 4 || t == 5 || t == 10 || usesBi(t)
+                  def usesL1(t: Int): Boolean =
+                    t == 2 || t == 6 || t == 7 || t == 11 || usesBi(t)
+                  // sub-partition rectangles in 4x4-block units, spec
+                  // decode order
+                  def subRects(sb: Int, t: Int): Array[(Int, Int, Int, Int)] = {
+                    val sbx = mx * 4 + 2 * (sb % 2)
+                    val sby = myy * 4 + 2 * (sb / 2)
+                    t match {
+                      case 1 | 2 | 3 => Array((sbx, sby, 2, 2))
+                      case 4 | 6 | 8 => Array((sbx, sby, 2, 1), (sbx, sby + 1, 2, 1))
+                      case 5 | 7 | 9 => Array((sbx, sby, 1, 2), (sbx + 1, sby, 1, 2))
+                      case _ => Array((sbx, sby, 1, 1), (sbx + 1, sby, 1, 1),
+                        (sbx, sby + 1, 1, 1), (sbx + 1, sby + 1, 1, 1))
+                    }
+                  }
+                  // raw mvds in syntax order: all L0, then all L1
+                  val mvd0 = Array.ofDim[(Int, Int)](4, 4)
+                  val mvd1 = Array.ofDim[(Int, Int)](4, 4)
+                  sb = 0
+                  while (sb < 4) {
+                    if (usesL0(subTypes(sb))) {
+                      var pi = 0
+                      while (pi < subRects(sb, subTypes(sb)).length) {
+                        mvd0(sb)(pi) = (r.se(), r.se()); pi += 1
+                      }
+                    }
+                    sb += 1
+                  }
+                  sb = 0
+                  while (sb < 4) {
+                    if (usesL1(subTypes(sb))) {
+                      var pi = 0
+                      while (pi < subRects(sb, subTypes(sb)).length) {
+                        mvd1(sb)(pi) = (r.se(), r.se()); pi += 1
+                      }
+                    }
+                    sb += 1
+                  }
+                  // derive + MC per sub-partition in decode order
+                  sb = 0
+                  while (sb < 4) {
+                    val t = subTypes(sb)
+                    val parts = subRects(sb, t)
+                    var pi = 0
+                    while (pi < parts.length) {
+                      val (pbx, pby, pwB, phB) = parts(pi)
+                      val l0p = usesL0(t); val l1p = usesL1(t)
+                      val mv0 = if (l0p) {
+                        val pr = predictMvPart(mvs, done, refs0, 0,
+                          bW, bH, pbx, pby, pwB, 0)
+                        (pr._1 + mvd0(sb)(pi)._1, pr._2 + mvd0(sb)(pi)._2)
+                      } else (0, 0)
+                      val mv1 = if (l1p) {
+                        val pr = predictMvPart(mvs1, done, refs1, 0,
+                          bW, bH, pbx, pby, pwB, 0)
+                        (pr._1 + mvd1(sb)(pi)._1, pr._2 + mvd1(sb)(pi)._2)
+                      } else (0, 0)
+                      if (l0p && !mcInto(luma, cb, cr, nl, ncb, ncr)(
+                          pbx * 4, pby * 4, pwB * 4, phB * 4, mv0)) return None
+                      if (l1p && !mcInto(luma2, cb2, cr2,
+                          if (l0p) tl else nl,
+                          if (l0p) tcb else ncb,
+                          if (l0p) tcr else ncr)(
+                          pbx * 4, pby * 4, pwB * 4, phB * 4, mv1)) return None
+                      if (l0p && l1p) {
+                        if (wBi) biWeightedRect(pbx * 4, pby * 4, pwB * 4, phB * 4)
+                        else biAverageRect(pbx * 4, pby * 4, pwB * 4, phB * 4)
+                      } else if (wBi)
+                        applyWeightsB(pbx * 4, pby * 4, pwB * 4, phB * 4,
+                          if (l0p) 0 else 1)
+                      if (l0p) {
+                        writePart(mvs, refs0, pbx, pby, pwB, phB, mv0, 0)
+                        mvAbs += math.abs(mv0._1) + math.abs(mv0._2)
+                      }
+                      if (l1p) {
+                        writePart(mvs1, refs1, pbx, pby, pwB, phB, mv1, 0)
+                        mvAbs += math.abs(mv1._1) + math.abs(mv1._2)
+                      }
+                      pi += 1
+                    }
+                    sb += 1
+                  }
+                  val bcbp = r.ue() match {
+                    case 0 => 0
+                    case 11 => 15
+                    case _ => return None
+                  }
+                  if (bcbp == 15 && !decodeMbResiduals(mx, myy)) return None
+                  mb += 1
+                } else if (isB && mbType >= 4) {
                   // B two-partition macroblocks, Table 7-14 mb_type
                   // 4–21: nine (pred0, pred1) combinations over
                   // {L0, L1, Bi} × {16x8, 8x16} — (L0,L0), (L1,L1),

@@ -2164,6 +2164,32 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // H.264 B_8x8 SUB-PARTITIONS — every macroblock carries four
+    // Table 7-18 sub_mb_types (B_Direct_8x8 refused): L0/L1/Bi
+    // prediction at 8x8, 8x4, 4x8 and 4x4 granularity, plain
+    // per-list median prediction at each sub-partition's own
+    // rectangle, all mvd_l0s before all mvd_l1s. The oracle selects
+    // each pixel's (mode, region) from the sub-type lattice — qB
+    // regions are the 8x4 bottom, 4x8 right and 4x4 anti-diagonal.
+    "q187_h264_b8x8" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 0)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbW = 2 + (id % 3).toInt
+          val mbH = 1 + (id % 3).toInt
+          val st = graft.operators.H264.synthesizeH264BSubParts(mbW, mbH, 3, id)
+          graft.operators.H264.decodeInter(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nSkipped, f.mvAbsSum)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height", "luma_sum",
+          "chroma_sum", "weighted_sum", "n_skipped", "mv_abs_sum")
+        .orderBy($"doc_id")
+    },
+
     // H.264 MULTIPLE REFERENCE indices — P slices with two active L0
     // H.264 DEBLOCKING boundary strengths + audited in-loop filter —
     // §8.7.2.1 bS derivation over two stream families that jointly
@@ -5138,6 +5164,147 @@ object Pipeline {
     // lattice: the pinned column-constant IDCT outputs (q150 family,
     // QP 24) add to the partitioned prediction BEFORE the clip;
     // chroma carries no residual
+    "q187_h264_b8x8" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(2 + doc_id % 3 AS INTEGER) AS mbw,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |dv AS (SELECT id, mbw, mbh,
+        |    2 * ((id + 1) % 3 - 1) AS dxp, 2 * ((id + 2) % 3 - 1) AS dyp,
+        |    2 * ((id + 1) % 3 - 1) AS x0a, 2 * (id % 3 - 1) AS y0a,
+        |    2 * ((id + 2) % 3 - 1) AS x1a, 2 * ((id + 2) % 3 - 1) AS y1a,
+        |    2 * ((2 * id) % 3 - 1) AS x0b, 2 * ((id + 1) % 3 - 1) AS y0b,
+        |    2 * ((id + 1) % 3 - 1) AS x1b, 2 * ((id + 2) % 3 - 1) AS y1b
+        |  FROM d),
+        |p1 AS (SELECT w.id, w.mbw, w.mbh, p.x, p.y,
+        |    w.dxp, w.dyp, w.x0a, w.y0a, w.x1a, w.y1a,
+        |    w.x0b, w.y0b, w.x1b, w.y1b,
+        |    1 + (w.id + 2 + p.x // 16 + p.y // 16
+        |      + 2 * ((p.y % 16) // 8) + (p.x % 16) // 8) % 12 AS k
+        |  FROM (SELECT id, x.i AS x, y.i AS y FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, 16 * mbw - 1)) AS i) x,
+        |    LATERAL (SELECT unnest(generate_series(0, 16 * mbh - 1)) AS i) y) p
+        |  JOIN dv w ON w.id = p.id),
+        |p2 AS (SELECT *,
+        |    CASE WHEN k IN (4, 6, 8) THEN (y % 8) >= 4
+        |         WHEN k IN (5, 7, 9) THEN (x % 8) >= 4
+        |         WHEN k >= 10 THEN ((x % 8) >= 4) != ((y % 8) >= 4)
+        |         ELSE FALSE END AS qb
+        |  FROM p1),
+        |px AS (SELECT id, mbw, mbh, x, y,
+        |    CASE WHEN k IN (1, 4, 5, 10) THEN 0
+        |         WHEN k IN (2, 6, 7, 11) THEN 1 ELSE 2 END AS mode,
+        |    least(greatest(x + dxp, 0), 16 * mbw - 1) AS spx,
+        |    least(greatest(y + dyp, 0), 16 * mbh - 1) AS spy,
+        |    least(greatest(x + CASE WHEN qb THEN x0b ELSE x0a END, 0),
+        |      16 * mbw - 1) AS sx0,
+        |    least(greatest(y + CASE WHEN qb THEN y0b ELSE y0a END, 0),
+        |      16 * mbh - 1) AS sy0,
+        |    least(greatest(x + CASE WHEN qb THEN x1b ELSE x1a END, 0),
+        |      16 * mbw - 1) AS sx1,
+        |    least(greatest(y + CASE WHEN qb THEN y1b ELSE y1a END, 0),
+        |      16 * mbh - 1) AS sy1
+        |  FROM p2),
+        |f0 AS (SELECT id, x, y, (id + x + 2 * y) % 251 AS v FROM px),
+        |f1 AS (SELECT s.id, s.x, s.y, f0.v FROM px s
+        |  JOIN f0 ON f0.id = s.id AND f0.x = s.spx AND f0.y = s.spy),
+        |f2 AS (SELECT s.id, s.x, s.y,
+        |    CASE s.mode WHEN 0 THEN b0.v WHEN 1 THEN b1.v
+        |      ELSE (b0.v + b1.v + 1) // 2 END AS v
+        |  FROM px s
+        |  JOIN f1 b0 ON b0.id = s.id AND b0.x = s.sx0 AND b0.y = s.sy0
+        |  JOIN f0 b1 ON b1.id = s.id AND b1.x = s.sx1 AND b1.y = s.sy1),
+        |ls AS (SELECT a.id, a.l0, b.l1, c.l2 FROM
+        |  (SELECT id, sum(v) AS l0 FROM f0 GROUP BY 1) a
+        |  JOIN (SELECT id, sum(v) AS l1 FROM f1 GROUP BY 1) b ON b.id = a.id
+        |  JOIN (SELECT id, sum(v) AS l2 FROM f2 GROUP BY 1) c ON c.id = a.id),
+        |c1g AS (SELECT w.id, w.mbw, w.mbh, p.pl, p.x, p.y,
+        |    w.dxp, w.dyp, w.x0a, w.y0a, w.x1a, w.y1a,
+        |    w.x0b, w.y0b, w.x1b, w.y1b,
+        |    1 + (w.id + 2 + p.x // 8 + p.y // 8
+        |      + 2 * ((p.y % 8) // 4) + (p.x % 8) // 4) % 12 AS k
+        |  FROM (SELECT id, pl.p AS pl, x.i AS x, y.i AS y FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
+        |    LATERAL (SELECT unnest(generate_series(0, 8 * mbw - 1)) AS i) x,
+        |    LATERAL (SELECT unnest(generate_series(0, 8 * mbh - 1)) AS i) y) p
+        |  JOIN dv w ON w.id = p.id),
+        |c2g AS (SELECT *,
+        |    CASE WHEN k IN (4, 6, 8) THEN (y % 4) >= 2
+        |         WHEN k IN (5, 7, 9) THEN (x % 4) >= 2
+        |         WHEN k >= 10 THEN ((x % 4) >= 2) != ((y % 4) >= 2)
+        |         ELSE FALSE END AS qb
+        |  FROM c1g),
+        |cpx AS (SELECT id, mbw, mbh, pl, x, y,
+        |    CASE WHEN k IN (1, 4, 5, 10) THEN 0
+        |         WHEN k IN (2, 6, 7, 11) THEN 1 ELSE 2 END AS mode,
+        |    least(greatest(x + dxp // 2, 0), 8 * mbw - 1) AS spx,
+        |    least(greatest(y + dyp // 2, 0), 8 * mbh - 1) AS spy,
+        |    least(greatest(x + CASE WHEN qb THEN x0b ELSE x0a END // 2, 0),
+        |      8 * mbw - 1) AS sx0,
+        |    least(greatest(y + CASE WHEN qb THEN y0b ELSE y0a END // 2, 0),
+        |      8 * mbh - 1) AS sy0,
+        |    least(greatest(x + CASE WHEN qb THEN x1b ELSE x1a END // 2, 0),
+        |      8 * mbw - 1) AS sx1,
+        |    least(greatest(y + CASE WHEN qb THEN y1b ELSE y1a END // 2, 0),
+        |      8 * mbh - 1) AS sy1
+        |  FROM c2g),
+        |g0 AS (SELECT id, pl, x, y,
+        |    (CASE WHEN pl = 0 THEN id + 2 * x + y
+        |          ELSE 3 * id + x + 2 * y END) % 251 AS v FROM cpx),
+        |g1 AS (SELECT s.id, s.pl, s.x, s.y, g0.v FROM cpx s
+        |  JOIN g0 ON g0.id = s.id AND g0.pl = s.pl
+        |    AND g0.x = s.spx AND g0.y = s.spy),
+        |g2 AS (SELECT s.id, s.pl, s.x, s.y,
+        |    CASE s.mode WHEN 0 THEN b0.v WHEN 1 THEN b1.v
+        |      ELSE (b0.v + b1.v + 1) // 2 END AS v
+        |  FROM cpx s
+        |  JOIN g1 b0 ON b0.id = s.id AND b0.pl = s.pl
+        |    AND b0.x = s.sx0 AND b0.y = s.sy0
+        |  JOIN g0 b1 ON b1.id = s.id AND b1.pl = s.pl
+        |    AND b1.x = s.sx1 AND b1.y = s.sy1),
+        |cs AS (SELECT a.id, a.c0, b.c1, c.c2 FROM
+        |  (SELECT id, sum(v) AS c0 FROM g0 GROUP BY 1) a
+        |  JOIN (SELECT id, sum(v) AS c1 FROM g1 GROUP BY 1) b ON b.id = a.id
+        |  JOIN (SELECT id, sum(v) AS c2 FROM g2 GROUP BY 1) c ON c.id = a.id),
+        |mb1 AS (SELECT w.id, w.mbw, w.mbh,
+        |    4 * (abs(w.dxp) + abs(w.dyp)) AS np,
+        |    4 * (abs(w.x0a) + abs(w.y0a)) AS na0,
+        |    4 * (abs(w.x1a) + abs(w.y1a)) AS na1,
+        |    4 * (abs(w.x0b) + abs(w.y0b)) AS nb0,
+        |    4 * (abs(w.x1b) + abs(w.y1b)) AS nb1,
+        |    1 + (w.id + 2 + m.mx + m.my + m.sb) % 12 AS k
+        |  FROM (SELECT id, x.i AS mx, y.i AS my, s.i AS sb FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, mbw - 1)) AS i) x,
+        |    LATERAL (SELECT unnest(generate_series(0, mbh - 1)) AS i) y,
+        |    LATERAL (SELECT unnest(generate_series(0, 3)) AS i) s) m
+        |  JOIN dv w ON w.id = m.id),
+        |ma AS (SELECT id, max(np) * max(mbw) * max(mbh)
+        |    + sum(CASE WHEN k IN (2, 6, 7, 11) THEN 0
+        |        WHEN k IN (1, 3) THEN na0
+        |        WHEN k IN (10, 12) THEN 2 * (na0 + nb0)
+        |        ELSE na0 + nb0 END
+        |      + CASE WHEN k IN (1, 4, 5, 10) THEN 0
+        |        WHEN k IN (2, 3) THEN na1
+        |        WHEN k IN (11, 12) THEN 2 * (na1 + nb1)
+        |        ELSE na1 + nb1 END) AS mvs
+        |  FROM mb1 GROUP BY 1)
+        |SELECT d.id AS doc_id, CAST(3 AS INTEGER) AS n_frames,
+        |  16 * d.mbw AS width, 16 * d.mbh AS height,
+        |  CAST(ls.l0 + ls.l1 + ls.l2 AS BIGINT) AS luma_sum,
+        |  CAST(cs.c0 + cs.c1 + cs.c2 AS BIGINT) AS chroma_sum,
+        |  CAST(ls.l0 + cs.c0 + 2 * (ls.l1 + cs.c1)
+        |    + 3 * (ls.l2 + cs.c2) AS BIGINT) AS weighted_sum,
+        |  CAST(0 AS BIGINT) AS n_skipped,
+        |  CAST(ma.mvs AS BIGINT) AS mv_abs_sum
+        |FROM d JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
+        |JOIN ma ON ma.id = d.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeH264BSubParts at nf=3: per-pixel sub_mb_type
+    // k from the (id, MB, sub-MB) lattice selects the list mode
+    // (L0 / L1 / Bi) and the region (qB = 8x4 bottom, 4x8 right,
+    // 4x4 anti-diagonal); L0 chains through the P frame, L1 reads
+    // the IDR; per-(MB, sub-MB) |mv| sums count sub-partitions
     "q184_h264_bparts" ->
       """WITH d AS (SELECT doc_id AS id,
         |    CAST(2 + doc_id % 3 AS INTEGER) AS mbw,

@@ -1531,6 +1531,99 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("B_8x8 sub-partition decode equals an independent per-region simulation") {
+    // every MB is B_8x8 with all twelve non-direct Table 7-18
+    // sub-types across the lattice; qB regions are the 8x4 bottom,
+    // 4x8 right and 4x4 anti-diagonal, per list
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 3 + (seed % 2).toInt
+      val w = mbW * 16; val h = mbH * 16
+      val m = H264.decodeInter(H264.synthesizeH264BSubParts(mbW, mbH, nf, seed)).get
+      assert(m.nFrames == nf && m.nSkipped == 0)
+      def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      var l = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      var cbP = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+      var crP = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+      var l2: Array[Array[Int]] = null
+      var cb2: Array[Array[Int]] = null; var cr2: Array[Array[Int]] = null
+      var wl = 0L; var wc = 0L; var ww2 = 0L; var mvAbs = 0L
+      def add(fi: Int): Unit = {
+        var fl = 0L; l.foreach(_.foreach(fl += _))
+        var fc = 0L; cbP.foreach(_.foreach(fc += _)); crP.foreach(_.foreach(fc += _))
+        wl += fl; wc += fc; ww2 += (fi + 1L) * (fl + fc)
+      }
+      add(0)
+      val qp1 = (8 * (((seed + 1) % 3).toInt - 1), 8 * (((seed + 2) % 3).toInt - 1))
+      def shiftBy(src: Array[Array[Int]], dx: Int, dy: Int) = {
+        val hh = src.length; val wwp = src(0).length
+        Array.tabulate(hh, wwp)((y, x) =>
+          src(clamp(y + dy, hh - 1))(clamp(x + dx, wwp - 1)))
+      }
+      l2 = l; cb2 = cbP; cr2 = crP
+      l = shiftBy(l, qp1._1 / 4, qp1._2 / 4)
+      cbP = shiftBy(cbP, qp1._1 / 8, qp1._2 / 8)
+      crP = shiftBy(crP, qp1._1 / 8, qp1._2 / 8)
+      add(1)
+      mvAbs += mbW.toLong * mbH * (math.abs(qp1._1) + math.abs(qp1._2))
+      for (f <- 2 until nf) {
+        val qA = Array(H264.synthBiQ0(seed, f), H264.synthBiQ1(seed, f))
+        val qB = Array(H264.synthBPartQ0b(seed, f), H264.synthBPartQ1b(seed, f))
+        def mode(k: Int): Int =
+          if (k == 1 || k == 4 || k == 5 || k == 10) 0
+          else if (k == 2 || k == 6 || k == 7 || k == 11) 1
+          else 2
+        def isQb(k: Int, sx: Int, sy: Int, half: Int): Boolean = k match {
+          case 4 | 6 | 8 => sy >= half
+          case 5 | 7 | 9 => sx >= half
+          case 10 | 11 | 12 => (sx >= half) != (sy >= half)
+          case _ => false
+        }
+        def predict(prev: Array[Array[Int]], prev2: Array[Array[Int]],
+            blk: Int, div: Int) = {
+          val hh = prev.length; val wwp = prev(0).length
+          val half = blk / 4
+          Array.tabulate(hh, wwp) { (y, x) =>
+            val sb = 2 * ((y % blk) / (blk / 2)) + (x % blk) / (blk / 2)
+            val k = H264.synthBSubKind(seed, f, x / blk, y / blk, sb)
+            val qb = isQb(k, x % (blk / 2), y % (blk / 2), half)
+            def s(src: Array[Array[Int]], li: Int) = {
+              val q = if (qb) qB(li) else qA(li)
+              src(clamp(y + q._2 / div, hh - 1))(clamp(x + q._1 / div, wwp - 1))
+            }
+            mode(k) match {
+              case 0 => s(prev, 0)
+              case 1 => s(prev2, 1)
+              case _ => (s(prev, 0) + s(prev2, 1) + 1) >> 1
+            }
+          }
+        }
+        val nl = predict(l, l2, 16, 4)
+        val nc = predict(cbP, cb2, 8, 8)
+        val nr = predict(crP, cr2, 8, 8)
+        l2 = l; cb2 = cbP; cr2 = crP
+        l = nl; cbP = nc; crP = nr
+        add(f)
+        for (my <- 0 until mbH; mx <- 0 until mbW; sb <- 0 until 4) {
+          val k = H264.synthBSubKind(seed, f, mx, my, sb)
+          def n(q: (Int, Int)) = math.abs(q._1) + math.abs(q._2)
+          def listSum(li: Int): Long = k match {
+            case 1 | 2 | 3 => n(qA(li))
+            case 10 | 11 | 12 => 2L * (n(qA(li)) + n(qB(li)))
+            case _ => n(qA(li)) + n(qB(li))
+          }
+          if (mode(k) != 1) mvAbs += listSum(0)
+          if (mode(k) != 0) mvAbs += listSum(1)
+        }
+      }
+      assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
+      assert(m.chromaSum == wc, s"seed=$seed chroma ${m.chromaSum} vs $wc")
+      assert(m.weightedSum == ww2, s"seed=$seed weighted")
+      assert(m.mvAbsSum == mvAbs, s"seed=$seed mvAbs ${m.mvAbsSum} vs $mvAbs")
+    }
+  }
+
   test("weighted-bipred B-partition decode equals an independent simulation") {
     // the q184 lattice under weighted_bipred_idc 1: single-list
     // partitions scale/offset with their list's entry, Bi partitions
