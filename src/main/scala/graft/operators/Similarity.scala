@@ -713,4 +713,49 @@ object Similarity {
       .join(gR, "rep")
       .select($"vid", $"cid", when($"r0" < $"vid", $"r0").as("keep_id"))
   }
+
+  /** UNIQUE-TRAINED semantic dedup — the 100 TB form of
+    * [[collapsedSemanticDedup]]. The collapsed variant still trains
+    * its quantizer on the FULL corpus (cells ∝ corpus/50) so the
+    * output stays provably identical to [[semanticDedup]]; under a
+    * duplication factor d that training is O(n·√(n/50)) in the
+    * REPLICATED n — the stage the sf100 decade measured at >1800 s
+    * (n^1.5 never survives the third decade). Here BOTH the
+    * quantizer and the pair machinery run over one representative
+    * per distinct vector: cell count follows UNIQUE content
+    * (duplicated mass must not multiply centroids — a web corpus
+    * with 1000 copies of each page does not need 1000× the cells),
+    * training/assignment cost follows unique count, and labels
+    * expand through group membership exactly as in the collapsed
+    * form. On a duplicate-free corpus reps == corpus, so this is
+    * ROW-IDENTICAL to [[semanticDedup]] (SimilaritySpec pins it);
+    * under duplication the cell boundaries may differ from the
+    * full-trained quantizer's, but the q90-family audit contract
+    * (drops witnessed in-cell at cos ≥ tau, kept set pair-clean) is
+    * quantizer-independent and gates the operator at every scale.
+    */
+  def uniqueTrainedSemanticDedup(corpus: DataFrame, tau: Double, dim: Int,
+      centroidStride: Int = 50, trainIters: Int = 2): DataFrame = {
+    val member = corpus.select($"vid", xxhash64($"qv").as("gh"))
+    val reps = corpus.groupBy(xxhash64($"qv").as("gh"))
+      .agg(min($"vid").as("vid"), first($"qv").as("qv"), first($"nrm").as("nrm"))
+      .localCheckpoint()
+    val repVecs = reps.select($"vid", $"qv", $"nrm")
+    val repCells = quantizerFor(repVecs, centroidStride, dim, trainIters)
+      .assign(repVecs)
+    val minSim = repCells.as("x").join(repCells.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vid") =!= col("y.vid"))
+      .filter(cosineQ(col("x.qv"), col("y.qv"),
+        col("x.nrm"), col("y.nrm")) >= tau)
+      .groupBy(col("y.vid").as("vid"))
+      .agg(min(col("x.vid")).as("min_sim"))
+    val gR = repCells.select($"vid", $"cid")
+      .join(minSim, Seq("vid"), "left")
+      .select($"vid".as("rep"), $"cid",
+        least($"vid", coalesce($"min_sim", $"vid")).as("r0"))
+    member
+      .join(reps.select($"gh", $"vid".as("rep")), "gh")
+      .join(gR, "rep")
+      .select($"vid", $"cid", when($"r0" < $"vid", $"r0").as("keep_id"))
+  }
 }

@@ -2694,6 +2694,20 @@ object Pipeline {
       semanticAudit(s, dir, corpus,
         Similarity.collapsedSemanticDedup(corpus, tau = 0.92, dim = 64,
           centroidStride = 50, trainIters = 2), tau = 0.92)
+    },
+
+    // UNIQUE-TRAINED semantic dedup — the 100 TB form: quantizer AND
+    // pair machinery over one representative per distinct vector
+    // (cells follow unique content, not replicated mass), labels
+    // expanded through membership. q131's full-corpus-trained twin
+    // stays as the q90-identity anchor; this one's training cost
+    // follows unique count (the sf100 decade measured q131's
+    // full-corpus n^1.5 quantizer at >1800 s). Same audit contract.
+    "q188_semantic_dedup_unique" -> { (s, dir) =>
+      val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
+      semanticAudit(s, dir, corpus,
+        Similarity.uniqueTrainedSemanticDedup(corpus, tau = 0.92, dim = 64,
+          centroidStride = 50, trainIters = 2), tau = 0.92)
     })
 
   /** q90's self-audit over a (vid, cid, keep_id) assignment: one row
@@ -6300,6 +6314,11 @@ object Pipeline {
 
     // same audit shape; the collapsed operator must earn the same TRUEs
     "q131_semantic_dedup_collapsed" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        | TRUE AS all_assigned, TRUE AS drops_sound, TRUE AS kept_clean
+        |FROM embeddings""".stripMargin,
+
+    "q188_semantic_dedup_unique" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
         | TRUE AS all_assigned, TRUE AS drops_sound, TRUE AS kept_clean
         |FROM embeddings""".stripMargin)

@@ -123,4 +123,58 @@ class SemanticDedupSpec extends SparkSpec {
     assert(direct.exists { case (vid, _, keep) =>
       keep.exists(k => k % 1000000 != vid % 1000000) })
   }
+
+  test("unique-trained equals direct on a duplicate-free corpus") {
+    // with no duplicates reps == corpus, so the quantizer trains on
+    // the same rows with the same parameters and the reduction is
+    // row-identical to the direct form
+    val corpus = Similarity.prepare(
+      Tables(spark, sf).embeddings, "vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vid", $"cid", $"keep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toSet
+    val direct = key(Similarity.semanticDedup(corpus, tau = 0.4, dim = 64,
+      centroidStride = 50, trainIters = 2))
+    val unique = key(Similarity.uniqueTrainedSemanticDedup(corpus, tau = 0.4,
+      dim = 64, centroidStride = 50, trainIters = 2))
+    assert(unique == direct)
+  }
+
+  test("unique-trained on a replicated corpus: audits hold, every copy drops") {
+    val tau = 0.92
+    val base = Tables(spark, sf).embeddings
+      .select($"vec_id", $"embedding")
+    val dup = base
+      .unionAll(base.select($"vec_id" + 1000000, $"embedding"))
+      .unionAll(base.select($"vec_id" + 2000000, $"embedding"))
+    val corpus = Similarity.prepare(dup, "vec_id", "embedding")
+    val res = Similarity.uniqueTrainedSemanticDedup(corpus, tau = tau,
+      dim = 64, centroidStride = 50, trainIters = 2).localCheckpoint()
+    val withVec = res.join(corpus, Seq("vid")).cache()
+    assert(res.count() == corpus.count(), "one row per vector")
+    // every replica beyond its group's min id drops (cos(v,v) = 1 in
+    // the same cell), with keep_id at or below the group min
+    val undropped = withVec.filter($"vid" >= 1000000 && $"keep_id".isNull)
+      .count()
+    assert(undropped == 0, "every non-first copy must drop")
+    // drops witnessed: smaller-id same-cell neighbor at >= tau
+    val badDrops = withVec.filter($"keep_id".isNotNull).as("d")
+      .join(withVec.as("k"), col("d.keep_id") === col("k.vid"))
+      .filter(!(col("d.keep_id") < col("d.vid") &&
+        col("k.cid") === col("d.cid") &&
+        cosineQ(col("d.qv"), col("k.qv"), col("d.nrm"), col("k.nrm")) >= tau))
+      .count()
+    assert(badDrops == 0)
+    // kept set pair-clean within cells
+    val kept = withVec.filter($"keep_id".isNull)
+    val dirty = kept.as("x").join(kept.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vid") < col("y.vid"))
+      .filter(cosineQ(col("x.qv"), col("y.qv"),
+        col("x.nrm"), col("y.nrm")) >= tau)
+      .count()
+    assert(dirty == 0)
+    withVec.unpersist()
+  }
 }
