@@ -1030,6 +1030,19 @@ object H264 {
     (0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
     (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3))
 
+  /** Inverse of [[zScan4x4]]: (zy*4 + zx) → scan position. Drives the
+    * decode-order availability test for diagonal intra prediction
+    * (a block's top-RIGHT neighbor may come later in z order — e.g.
+    * block (1,1) precedes (2,0)'s... no: (2,0) at scan 4 follows
+    * (1,1) at scan 3 — so the neighbor is unavailable and §8.3.1.2's
+    * substitution rule fires).
+    */
+  private val zIndexOf4x4: Array[Int] = {
+    val inv = new Array[Int](16)
+    zScan4x4.zipWithIndex.foreach { case ((zx, zy), i) => inv(zy * 4 + zx) = i }
+    inv
+  }
+
   /** Intra mode of block (bx, by) in the synthesized frames: DC for
     * the top-left block (no neighbors → pred 128), VERTICAL down the
     * left column, HORIZONTAL elsewhere — a spanning tree with ONE
@@ -1209,6 +1222,33 @@ object H264 {
       (f, my, pl) =>
         chromaAcVectors(((seed + f * 11 + my * 5 + pl * 3) % 4).toInt))
 
+  /** Intra mode of block (bx, by) in the DIAGONAL streams: every
+    * block picks from the modes its neighbors permit — top row
+    * horizontal/DC, left column vertical/DC/down-left, interior all
+    * five (vertical, horizontal, DC, diagonal down-left, diagonal
+    * down-right) — so the lattice exercises both diagonal equations
+    * AND the top-right availability/substitution logic (right-column
+    * blocks and the late-z interior blocks substitute p[3,-1]).
+    */
+  private[graft] def synthDiagMode(seed: Long)(bx: Int, by: Int): Int =
+    if (bx == 0 && by == 0) 2
+    else if (by == 0) Array(1, 2)(((seed + bx) % 2).toInt)
+    else if (bx == 0) Array(0, 2, 3)(((seed + by) % 3).toInt)
+    else Array(0, 1, 2, 3, 4)(((seed + 3L * bx + 7L * by) % 5).toInt)
+
+  /** I_4x4 streams over the full in-subset intra mode set including
+    * the two DIAGONAL modes, with the q150 AC residual vectors (so
+    * CAVLC, mode signaling, and diagonal prediction compose
+    * in-stream). Pixel chains under diagonal mixing have no closed
+    * form — H264Spec pins decode against an independent simulation
+    * (the q183 pattern); the gate oracles the syntax layer
+    * (n_levels from the residual lattice — any mode-parse error
+    * desyncs the bitstream and fails it).
+    */
+  def synthesizeH264IntraDiag(mbH: Int, nFrames: Int, seed: Long): Array[Byte] =
+    synthIntraStream(mbH, nFrames, synthDiagMode(seed),
+      (f, bx, by) => acScanVectors(((seed + f * 11 + bx * 7 + by * 5) % 4).toInt))
+
   /** Shared I_4x4 stream writer: 16-wide frames (one MB per row), QP
     * 24, cbp 15, per-block modes/coefficients from the callbacks, nC
     * tracked with the same neighbor rule the decoder applies.
@@ -1313,8 +1353,11 @@ object H264 {
     * residual with the REAL nC neighbor context, dequant + integer
     * inverse transform, intra prediction from the reconstructed frame
     * buffer, clip — plus chroma DC prediction (quadrant availability
-    * rules) with no chroma residual. None on anything outside the
-    * documented subset (angular modes 3-8, non-I_4x4 mb_type, chroma
+    * rules) with no chroma residual. Intra luma modes: vertical,
+    * horizontal, DC, and the two DIAGONAL modes (down-left with the
+    * decode-order top-right availability test + p[3,-1] substitution,
+    * down-right over top/corner/left). None on anything outside the
+    * documented subset (angular modes 5-8, non-I_4x4 mb_type, chroma
     * cbp, nC ≥ 4, TotalCoeff > 5 tokens): refuse rather than guess.
     */
   def decodeCavlcIntra(p: Array[Byte]): Option[CavlcFrames] = {
@@ -1377,7 +1420,7 @@ object H264 {
                     val rem = r.u(3)
                     if (rem < predMode) rem else rem + 1
                   }
-                if (mode > 2) return None // angular modes out of subset
+                if (mode > 4) return None // modes 5-8 out of subset
                 modes(bx)(by) = mode
                 mbModes(i) = mode
                 i += 1
@@ -1415,10 +1458,31 @@ object H264 {
                   else dequantIdct4x4(coeffs, qp)
                 val (px, py) = (bx * 4, by * 4)
                 val mode = mbModes(i)
+                // top-right block availability for diagonal modes:
+                // in-frame AND earlier in decode order (raster MBs +
+                // z-scan inside the MB) — §8.3.1.2 substitutes
+                // p[3,-1] for p[4..7,-1] when it isn't
+                val iz = i
+                val trAvail = by > 0 && (bx + 1) < bW && {
+                  val nbx = bx + 1; val nby = by - 1
+                  val nMb = (nby / 4) * info.mbW + (nbx / 4)
+                  nMb < mbIdx || (nMb == mbIdx &&
+                    zIndexOf4x4((nby % 4) * 4 + (nbx % 4)) < iz)
+                }
                 var y = 0
                 while (y < 4) {
                   var x = 0
                   while (x < 4) {
+                    // top samples p[k,-1] (k = -1 → the corner); k in
+                    // 4..7 reads the top-right block or its p[3,-1]
+                    // substitute
+                    def tS(k: Int): Int =
+                      if (k < 0) luma(py - 1)(px - 1)
+                      else if (k <= 3 || trAvail) luma(py - 1)(px + k)
+                      else luma(py - 1)(px + 3)
+                    def lS(k: Int): Int =
+                      if (k < 0) luma(py - 1)(px - 1)
+                      else luma(py + k)(px - 1)
                     val predPx = mode match {
                       case 0 => // vertical
                         if (py == 0) return None
@@ -1426,6 +1490,17 @@ object H264 {
                       case 1 => // horizontal
                         if (px == 0) return None
                         luma(py + y)(px - 1)
+                      case 3 => // diagonal down-left (§8.3.1.2.4)
+                        if (py == 0) return None
+                        if (x == 3 && y == 3) (tS(6) + 3 * tS(7) + 2) >> 2
+                        else (tS(x + y) + 2 * tS(x + y + 1) + tS(x + y + 2) + 2) >> 2
+                      case 4 => // diagonal down-right (§8.3.1.2.5)
+                        if (px == 0 || py == 0) return None
+                        if (x > y)
+                          (tS(x - y - 2) + 2 * tS(x - y - 1) + tS(x - y) + 2) >> 2
+                        else if (x < y)
+                          (lS(y - x - 2) + 2 * lS(y - x - 1) + lS(y - x) + 2) >> 2
+                        else (tS(0) + 2 * tS(-1) + lS(0) + 2) >> 2
                       case _ => // DC
                         val hasL = px > 0
                         val hasT = py > 0

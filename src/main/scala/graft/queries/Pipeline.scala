@@ -2190,6 +2190,33 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // H.264 DIAGONAL INTRA prediction — I_4x4 streams over the full
+    // in-subset mode set (vertical, horizontal, DC, diagonal
+    // down-left, diagonal down-right) with CAVLC AC residuals:
+    // down-left runs the decode-order top-right availability test
+    // (z-scan position, not just frame edges) with the p[3,-1]
+    // substitution, down-right mixes top/corner/left. Pixel chains
+    // under diagonal mixing have no closed form — H264Spec pins them
+    // against an independent reconstruction (the q183 pattern); the
+    // gate oracles the SYNTAX layer exactly: n_levels from the
+    // residual lattice (any mode mis-parse desyncs the bitstream).
+    "q189_h264_intra_diag" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 1)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbH = 1 + (id % 3).toInt
+          val nf = 2 + (id % 2).toInt
+          val st = graft.operators.H264.synthesizeH264IntraDiag(mbH, nf, id)
+          graft.operators.H264.decodeCavlcIntra(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height, f.nLevels)
+            case None => (id, -1, -1, -1, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height", "n_levels")
+        .orderBy($"doc_id")
+    },
+
     // H.264 MULTIPLE REFERENCE indices — P slices with two active L0
     // H.264 DEBLOCKING boundary strengths + audited in-loop filter —
     // §8.7.2.1 bS derivation over two stream families that jointly
@@ -5464,6 +5491,28 @@ object Pipeline {
         |  CAST(ma.mvs AS BIGINT) AS mv_abs_sum
         |FROM d JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
         |JOIN ma ON ma.id = d.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // the syntax layer in closed form: per (frame, block) the
+    // residual lattice k = (id + 11f + 7bx + 5by) % 4 carries 1
+    // nonzero level for k=0 and 2 otherwise
+    "q189_h264_intra_diag" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh,
+        |    CAST(2 + doc_id % 2 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |lv AS (SELECT d.id,
+        |    sum(CASE WHEN (d.id + f.f * 11 + bx.i * 7 + by.i * 5) % 4 = 0
+        |      THEN 1 ELSE 2 END) AS n_levels
+        |  FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f,
+        |  LATERAL (SELECT unnest(generate_series(0, 3)) AS i) bx,
+        |  LATERAL (SELECT unnest(generate_series(0, 4 * mbh - 1)) AS i) by
+        |  GROUP BY 1)
+        |SELECT d.id AS doc_id, d.nf AS n_frames,
+        |  CAST(16 AS INTEGER) AS width, 16 * d.mbh AS height,
+        |  CAST(lv.n_levels AS BIGINT) AS n_levels
+        |FROM d JOIN lv ON lv.id = d.id
         |ORDER BY doc_id""".stripMargin,
 
     // the q184 chains through the per-list §8.4.2.3.2 weight forms at

@@ -1707,6 +1707,85 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("diagonal intra decode equals an independent reconstruction") {
+    // full in-subset mode set (V/H/DC/DDL/DDR) with the q150 AC
+    // residual columns; the sim independently implements the
+    // prediction equations INCLUDING the decode-order top-right
+    // availability test and the p[3,-1] substitution
+    val resCols = Array(
+      Array(5, 5, 5, 5), Array(1, -1, -4, -6),
+      Array(0, 5, 5, 0), Array(2, 5, -5, -2))
+    val zs = Array(
+      (0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+      (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3))
+    val zInv = { val a = new Array[Int](16)
+      zs.zipWithIndex.foreach { case ((x, y), i) => a(y * 4 + x) = i }; a }
+    for (seed <- 0L until 12L) {
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 2 + (seed % 2).toInt
+      val w = 16; val h = 16 * mbH
+      val m = H264.decodeCavlcIntra(
+        H264.synthesizeH264IntraDiag(mbH, nf, seed)).get
+      assert(m.nFrames == nf && m.width == w && m.height == h)
+      def clip255(v: Int) = math.min(math.max(v, 0), 255)
+      var wl = 0L; var wc = 0L; var ww2 = 0L; var nLev = 0L
+      for (f <- 0 until nf) {
+        val luma = Array.fill(h, w)(0)
+        for (my <- 0 until mbH; i <- 0 until 16) {
+          val (zx, zy) = zs(i)
+          val (bx, by) = (zx, my * 4 + zy)
+          val px = bx * 4; val py = by * 4
+          val mode = H264.synthDiagMode(seed)(bx, by)
+          val k = ((seed + f * 11 + bx * 7 + by * 5) % 4).toInt
+          nLev += (if (k == 0) 1 else 2)
+          // top-right availability in decode order (bW = 4, mbW = 1)
+          val trAvail = by > 0 && bx + 1 < 4 && {
+            val nMb = (by - 1) / 4
+            nMb < my || (nMb == my && zInv(((by - 1) % 4) * 4 + bx + 1) < i)
+          }
+          def tS(kk: Int): Int =
+            if (kk < 0) luma(py - 1)(px - 1)
+            else if (kk <= 3 || trAvail) luma(py - 1)(px + kk)
+            else luma(py - 1)(px + 3)
+          def lS(kk: Int): Int =
+            if (kk < 0) luma(py - 1)(px - 1) else luma(py + kk)(px - 1)
+          for (y <- 0 until 4; x <- 0 until 4) {
+            val pred = mode match {
+              case 0 => luma(py - 1)(px + x)
+              case 1 => luma(py + y)(px - 1)
+              case 3 =>
+                if (x == 3 && y == 3) (tS(6) + 3 * tS(7) + 2) >> 2
+                else (tS(x + y) + 2 * tS(x + y + 1) + tS(x + y + 2) + 2) >> 2
+              case 4 =>
+                if (x > y) (tS(x - y - 2) + 2 * tS(x - y - 1) + tS(x - y) + 2) >> 2
+                else if (x < y)
+                  (lS(y - x - 2) + 2 * lS(y - x - 1) + lS(y - x) + 2) >> 2
+                else (tS(0) + 2 * tS(-1) + lS(0) + 2) >> 2
+              case _ =>
+                val hasL = px > 0; val hasT = py > 0
+                if (hasL && hasT)
+                  ((0 until 4).map(kk => luma(py + kk)(px - 1)
+                    + luma(py - 1)(px + kk)).sum + 4) >> 3
+                else if (hasL)
+                  ((0 until 4).map(kk => luma(py + kk)(px - 1)).sum + 2) >> 2
+                else if (hasT)
+                  ((0 until 4).map(kk => luma(py - 1)(px + kk)).sum + 2) >> 2
+                else 128
+            }
+            luma(py + y)(px + x) = clip255(pred + resCols(k)(x))
+          }
+        }
+        var fl = 0L; luma.foreach(_.foreach(fl += _))
+        val fc = 128L * (h / 2) * (w / 2) * 2 // residual-free chroma: DC 128
+        wl += fl; wc += fc; ww2 += (f + 1L) * (fl + fc)
+      }
+      assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
+      assert(m.chromaSum == wc, s"seed=$seed chroma")
+      assert(m.weightedSum == ww2, s"seed=$seed weighted")
+      assert(m.nLevels == nLev, s"seed=$seed nLevels ${m.nLevels} vs $nLev")
+    }
+  }
+
   test("inter decode of an all-I_PCM stream matches decodeIPcm (P machinery dormant)") {
     val p = H264.synthesizeH264IPcm(2, 2, 2, 9L)
     val a = H264.decodeInter(p).get
