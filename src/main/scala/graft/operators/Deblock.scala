@@ -264,6 +264,161 @@ object Deblock {
     changed
   }
 
+  /** One 4-sample chroma line across an edge (§8.7.2.3/.4 chroma
+    * path): `s` holds (p1, p0, q0, q1). Chroma has no p2/q2 taps —
+    * the normal filter modifies only p0/q0 with tC = tC0 + 1, the
+    * strong (bS 4) filter is the 3-tap form on each side. Decision
+    * is the same α/β test.
+    */
+  private[graft] def filterLineChroma(s: Array[Int], bs: Int,
+      th: DeblockThresholds): Unit = {
+    if (bs <= 0) return
+    val p1 = s(0); val p0 = s(1); val q0 = s(2); val q1 = s(3)
+    if (!(math.abs(p0 - q0) < th.alpha && math.abs(p1 - p0) < th.beta &&
+          math.abs(q1 - q0) < th.beta)) return
+    if (bs < 4) {
+      val tc = th.tc0 + 1
+      val delta = clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+      s(1) = clip1(p0 + delta)
+      s(2) = clip1(q0 - delta)
+    } else {
+      s(1) = (2 * p1 + p0 + q1 + 2) >> 2
+      s(2) = (2 * q1 + q0 + p1 + 2) >> 2
+    }
+  }
+
+  /** Filter one 4:2:0 chroma plane in place against the LUMA bS maps
+    * (chroma edges inherit the co-located luma edge's strength), in
+    * the §8.7 order: MB raster, each MB's vertical chroma edges
+    * (chroma x offsets 0 and 4) left-to-right, then its horizontal
+    * edges top-to-bottom. `cw`/`ch` are the chroma dimensions,
+    * `bWl` the LUMA block-grid width. Returns samples changed.
+    */
+  def applyDeblockChroma(plane: Array[Int], cw: Int, ch: Int,
+      bsV: Array[Int], bsH: Array[Int], bWl: Int,
+      th: DeblockThresholds): Long = {
+    val mbW = cw / 8; val mbH = ch / 8
+    var changed = 0L
+    val line = new Array[Int](4)
+    var my = 0
+    while (my < mbH) {
+      var mx = 0
+      while (mx < mbW) {
+        var e = 0
+        while (e < 2) { // vertical chroma edges at offsets 0 and 4
+          val cxe = 8 * mx + 4 * e
+          if (cxe > 0) {
+            var cy = 8 * my
+            while (cy < 8 * my + 8) {
+              // co-located luma edge: x = 2·cxe, row = 2·cy
+              val bs = bsV((cy / 2) * bWl + cxe / 2)
+              if (bs > 0) {
+                var i = 0
+                while (i < 4) { line(i) = plane(cy * cw + cxe - 2 + i); i += 1 }
+                filterLineChroma(line, bs, th)
+                i = 0
+                while (i < 4) {
+                  if (plane(cy * cw + cxe - 2 + i) != line(i)) {
+                    plane(cy * cw + cxe - 2 + i) = line(i); changed += 1
+                  }
+                  i += 1
+                }
+              }
+              cy += 1
+            }
+          }
+          e += 1
+        }
+        e = 0
+        while (e < 2) { // horizontal chroma edges at offsets 0 and 4
+          val cye = 8 * my + 4 * e
+          if (cye > 0) {
+            var cx = 8 * mx
+            while (cx < 8 * mx + 8) {
+              val bs = bsH((cye / 2) * bWl + cx / 2)
+              if (bs > 0) {
+                var i = 0
+                while (i < 4) { line(i) = plane((cye - 2 + i) * cw + cx); i += 1 }
+                filterLineChroma(line, bs, th)
+                i = 0
+                while (i < 4) {
+                  if (plane((cye - 2 + i) * cw + cx) != line(i)) {
+                    plane((cye - 2 + i) * cw + cx) = line(i); changed += 1
+                  }
+                  i += 1
+                }
+              }
+              cx += 1
+            }
+          }
+          e += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    changed
+  }
+
+  /** Chroma stage with the [[auditedDeblock]] invariants per plane
+    * (α = 0 identity, zero-bS identity, range, edge locality,
+    * net ≤ writes). Returns total changed samples across cb and cr.
+    * No-op (0) when the frame state carries no chroma.
+    */
+  def auditedDeblockChroma(st: H264.FrameState,
+      th: DeblockThresholds): Long = {
+    if (st.cb == null) return 0L
+    val (bsV, bsH) = deriveBs(st)
+    val bWl = st.w / 4
+    val cw = st.w / 2; val ch = st.h / 2
+    var total = 0L
+    for (plane <- Seq(st.cb, st.cr)) {
+      val id0 = plane.clone()
+      if (applyDeblockChroma(id0, cw, ch, bsV, bsH, bWl,
+          DeblockThresholds(0, th.beta, th.tc0)) != 0L ||
+          !java.util.Arrays.equals(id0, plane))
+        throw new DeblockAuditException("chroma deblock: alpha=0 not identity")
+      val id1 = plane.clone()
+      if (applyDeblockChroma(id1, cw, ch,
+          new Array[Int](bsV.length), new Array[Int](bsH.length), bWl, th) != 0L ||
+          !java.util.Arrays.equals(id1, plane))
+        throw new DeblockAuditException("chroma deblock: bS=0 not identity")
+      val out = plane.clone()
+      val changed = applyDeblockChroma(out, cw, ch, bsV, bsH, bWl, th)
+      var nDiff = 0L
+      var y = 0
+      while (y < ch) {
+        var x = 0
+        while (x < cw) {
+          val v = out(y * cw + x)
+          if (v < 0 || v > 255)
+            throw new DeblockAuditException(s"chroma deblock: sample $v out of range")
+          if (v != plane(y * cw + x)) {
+            nDiff += 1
+            // locality: a chroma edge writes positions cxe−2..cxe+1,
+            // so a changed sample must sit within that window of an
+            // internal chroma edge (multiples of 4) with active bS
+            def near(bsAt: Int => Int, pos: Int, size: Int): Boolean =
+              (pos - 1 to pos + 2).exists(c =>
+                c % 4 == 0 && c > 0 && c < size && bsAt(c) > 0)
+            val nearV = near(c => bsV((y / 2) * bWl + c / 2), x, cw)
+            val nearH = near(c => bsH((c / 2) * bWl + x / 2), y, ch)
+            if (!nearV && !nearH)
+              throw new DeblockAuditException(
+                s"chroma deblock: change at ($x,$y) away from any active edge")
+          }
+          x += 1
+        }
+        y += 1
+      }
+      if (nDiff > changed || (changed == 0L && nDiff != 0L))
+        throw new DeblockAuditException(
+          s"chroma deblock: net-change $nDiff exceeds write-count $changed")
+      total += changed
+    }
+    total
+  }
+
   /** Run the full per-frame stage — derive bS, filter a COPY of the
     * frame's luma — and audit the invariants that hold whatever
     * thresholds are in force:

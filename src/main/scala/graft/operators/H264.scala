@@ -3199,7 +3199,8 @@ object H264 {
       frameIdx: Int, intra: Boolean, isB: Boolean, w: Int, h: Int,
       luma: Array[Int], tcs: Array[Int],
       mvs0: Array[(Int, Int)], refs0: Array[Int],
-      mvs1: Array[(Int, Int)], refs1: Array[Int])
+      mvs1: Array[(Int, Int)], refs1: Array[Int],
+      cb: Array[Int] = null, cr: Array[Int] = null)
 
   /** Pixel decode of an I_PCM + P_L0_16x16/P_Skip stream: frame 0
     * fills the reference buffers from raw PCM samples; each P frame
@@ -3311,7 +3312,8 @@ object H264 {
             lumaSum += fl; chromaSum += fc; weighted += nFrames.toLong * (fl + fc)
             if (collect != null)
               collect(FrameState(nFrames - 1, intra = true, isB = false,
-                w, h, luma.clone(), null, null, null, null, null))
+                w, h, luma.clone(), null, null, null, null, null,
+                cb.clone(), cr.clone()))
           case 1 =>
             val info = sps.getOrElse(return None)
             if (luma == null) return None // inter frame before any reference
@@ -4063,7 +4065,8 @@ object H264 {
             if (pMb == nMbs) { // picture complete: becomes the new ref
               if (collect != null)
                 collect(FrameState(nFrames, intra = false, isB = pIsB,
-                  w, h, pnl.clone(), pTcs, pMvs, pRefs0, pMvs1, pRefs1))
+                  w, h, pnl.clone(), pTcs, pMvs, pRefs0, pMvs1, pRefs1,
+                  pncb.clone(), pncr.clone()))
               luma2 = luma; cb2 = cb; cr2 = cr
               luma = pnl; cb = pncb; cr = pncr
               pnl = null; pncb = null; pncr = null

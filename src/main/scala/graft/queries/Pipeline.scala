@@ -2249,6 +2249,10 @@ object Pipeline {
             var frames = 0
             val ok = graft.operators.H264.decodeInter(st, fs => {
               val (hist, _) = graft.operators.Deblock.auditedDeblock(fs, th)
+              // chroma stage runs under the same audits (filter
+              // equations + edge geometry differ; violations fail
+              // the row loudly) — pixel values pinned in DeblockSpec
+              graft.operators.Deblock.auditedDeblockChroma(fs, th)
               var k = 0
               while (k < 5) { counts(k) += hist(k); k += 1 }
               frames += 1

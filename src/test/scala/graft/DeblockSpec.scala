@@ -210,6 +210,114 @@ class DeblockSpec extends AnyFunSuite {
     }
   }
 
+  test("chroma normal filter (bS=2), flat 60|70 step: hand-computed") {
+    // tC = tC0+1 = 4; Δ = Clip3(±4, (40+0+4)>>3) = 4; only p0/q0 move
+    val s = Array(60, 60, 70, 70)
+    Deblock.filterLineChroma(s, 2, th)
+    assert(s.toSeq == Seq(60, 64, 66, 70))
+  }
+
+  test("chroma strong filter (bS=4) is the 3-tap form") {
+    // p0' = (2·60+60+70+2)>>2 = 63; q0' = (2·70+70+60+2)>>2 = 68
+    val s = Array(60, 60, 70, 70)
+    Deblock.filterLineChroma(s, 4, DeblockThresholds(48, 6, 3))
+    assert(s.toSeq == Seq(60, 63, 68, 70))
+  }
+
+  test("chroma decision gates: big step, rough side, bS=0 are identity") {
+    val big = Array(10, 10, 90, 90)
+    Deblock.filterLineChroma(big, 2, th)
+    assert(big.toSeq == Seq(10, 10, 90, 90))
+    val rough = Array(70, 60, 65, 65) // |p1−p0| ≥ β
+    Deblock.filterLineChroma(rough, 2, th)
+    assert(rough.toSeq == Seq(70, 60, 65, 65))
+    val bs0 = Array(60, 60, 66, 66)
+    Deblock.filterLineChroma(bs0, 0, th)
+    assert(bs0.toSeq == Seq(60, 60, 66, 66))
+  }
+
+  /** Independent chroma simulation: functional per-line rebuild, luma
+    * bS sampled at the co-located edge, §8.7 MB order.
+    */
+  private def simDeblockChroma(pl0: Array[Int], cw: Int, ch: Int,
+      bsV: Array[Int], bsH: Array[Int], bWl: Int,
+      th: DeblockThresholds): Array[Int] = {
+    val pl = pl0.clone()
+    def oneLine(s: Vector[Int], bs: Int): Vector[Int] = {
+      if (bs == 0) return s
+      val Vector(p1, p0, q0, q1) = s
+      val fire = math.abs(p0 - q0) < th.alpha &&
+        math.abs(p1 - p0) < th.beta && math.abs(q1 - q0) < th.beta
+      if (!fire) return s
+      if (bs < 4) {
+        val tc = th.tc0 + 1
+        val d = clip3(-tc, tc, ((q0 - p0) * 4 + (p1 - q1) + 4) >> 3)
+        Vector(p1, clip3(0, 255, p0 + d), clip3(0, 255, q0 - d), q1)
+      } else
+        Vector(p1, (2 * p1 + p0 + q1 + 2) / 4, (2 * q1 + q0 + p1 + 2) / 4, q1)
+    }
+    for (my <- 0 until ch / 8; mx <- 0 until cw / 8) {
+      for (e <- 0 to 1; cxe = 8 * mx + 4 * e; if cxe > 0;
+           cy <- 8 * my until 8 * my + 8;
+           bs = bsV((cy / 2) * bWl + cxe / 2); if bs > 0) {
+        val in = Vector.tabulate(4)(i => pl(cy * cw + cxe - 2 + i))
+        val out = oneLine(in, bs)
+        for (i <- 0 until 4) pl(cy * cw + cxe - 2 + i) = out(i)
+      }
+      for (e <- 0 to 1; cye = 8 * my + 4 * e; if cye > 0;
+           cx <- 8 * mx until 8 * mx + 8;
+           bs = bsH((cye / 2) * bWl + cx / 2); if bs > 0) {
+        val in = Vector.tabulate(4)(i => pl((cye - 2 + i) * cw + cx))
+        val out = oneLine(in, bs)
+        for (i <- 0 until 4) pl((cye - 2 + i) * cw + cx) = out(i)
+      }
+    }
+    pl
+  }
+
+  test("chroma operator matches the independent simulation on random planes") {
+    val rnd = new scala.util.Random(777)
+    for (trial <- 0 until 40) {
+      val mbW = 1 + rnd.nextInt(3); val mbH = 1 + rnd.nextInt(3)
+      val cw = 8 * mbW; val ch = 8 * mbH
+      val bWl = 4 * mbW; val bHl = 4 * mbH
+      val plane = Array.tabulate(cw * ch) { i =>
+        val x = i % cw; val y = i / cw
+        clip3(0, 255, 110 + 9 * ((x / 2 + y / 3 + trial) % 5) + rnd.nextInt(3))
+      }
+      val bsV = Array.tabulate(bWl * bHl)(i =>
+        if (i % bWl == 0) 0 else rnd.nextInt(5))
+      val bsH = Array.tabulate(bWl * bHl)(i =>
+        if (i / bWl == 0) 0 else rnd.nextInt(5))
+      val thr = DeblockThresholds(8 + rnd.nextInt(40), 3 + rnd.nextInt(8),
+        1 + rnd.nextInt(4))
+      val got = plane.clone()
+      Deblock.applyDeblockChroma(got, cw, ch, bsV, bsH, bWl, thr)
+      val want = simDeblockChroma(plane, cw, ch, bsV, bsH, bWl, thr)
+      assert(got.toSeq == want.toSeq, s"trial=$trial ${cw}x$ch thr=$thr")
+    }
+  }
+
+  test("auditedDeblockChroma passes and fires on real decoded streams") {
+    // chroma carries no residuals in these streams, so its planes are
+    // piecewise-SHIFTED ramps: the mv seams between differently-moved
+    // partitions are the steps the chroma filter exists to smooth
+    // (a pure linear ramp is a fixed point — the residual streams'
+    // chroma never fires)
+    var changed = 0L
+    for (seed <- Seq(3L, 5L, 8L)) {
+      val st = H264.synthesizeH264Partitions(3, 2, 3, seed)
+      assert(H264.decodeInter(st, fs => {
+        changed += Deblock.auditedDeblockChroma(fs, DeblockThresholds(48, 9, 3))
+      }).nonEmpty)
+      val stR = H264.synthesizeH264InterResidual(3, 2, 3, seed)
+      assert(H264.decodeInter(stR, fs => { // audits on the q183 family too
+        Deblock.auditedDeblockChroma(fs, DeblockThresholds(48, 9, 3))
+      }).nonEmpty)
+    }
+    assert(changed > 0L, "chroma filter must fire on partition seams")
+  }
+
   test("the filter really fires on decoded content (changed > 0)") {
     var changed = 0L
     val st = H264.synthesizeH264InterResidual(2, 2, 3, 5L)
