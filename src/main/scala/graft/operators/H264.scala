@@ -1249,6 +1249,31 @@ object H264 {
     synthIntraStream(mbH, nFrames, synthDiagMode(seed),
       (f, bx, by) => acScanVectors(((seed + f * 11 + bx * 7 + by * 5) % 4).toInt))
 
+  /** Intra mode of block (bx, by) in the FULL-mode streams: the
+    * lattice draws from every mode the block's neighbors permit
+    * ([[intra4x4Needs]]) — top row left-only modes {H, DC, HU}, left
+    * column top-only modes {V, DC, DDL, VL}, interior ALL NINE — so
+    * angular modes 5-8 run against real reconstructed neighbors and
+    * modes 3/7 still cross the top-right availability machinery.
+    */
+  private[graft] def synthFullMode(seed: Long)(bx: Int, by: Int): Int =
+    if (bx == 0 && by == 0) 2
+    else if (by == 0) Array(1, 2, 8)(((seed + bx) % 3).toInt)
+    else if (bx == 0) Array(0, 2, 3, 7)(((seed + by) % 4).toInt)
+    else ((seed + 3L * bx + 7L * by) % 9).toInt
+
+  /** I_4x4 streams over the COMPLETE §8.3.1.2 intra mode set — the
+    * q189 diagonal skeleton widened to the four angular modes 5-8
+    * (vertical-right, horizontal-down, vertical-left, horizontal-up)
+    * — with the q150 AC residual vectors. Pixel chains have no closed
+    * form; H264Spec pins decode against an independent reconstruction
+    * plus hand-derived per-mode matrices, and the gate oracles the
+    * syntax layer (n_levels — a mode mis-parse desyncs the stream).
+    */
+  def synthesizeH264IntraFull(mbH: Int, nFrames: Int, seed: Long): Array[Byte] =
+    synthIntraStream(mbH, nFrames, synthFullMode(seed),
+      (f, bx, by) => acScanVectors(((seed + f * 11 + bx * 7 + by * 5) % 4).toInt))
+
   /** Shared I_4x4 stream writer: 16-wide frames (one MB per row), QP
     * 24, cbp 15, per-block modes/coefficients from the callbacks, nC
     * tracked with the same neighbor rule the decoder applies.
@@ -1348,17 +1373,99 @@ object H264 {
       nFrames: Int, width: Int, height: Int,
       lumaSum: Long, chromaSum: Long, weightedSum: Long, nLevels: Long)
 
+  /** Neighbor requirements of intra 4x4 mode m: (needs left column,
+    * needs top row). The corner p[-1,-1] is available whenever both
+    * are (raster decode order), so modes 4/5/6 need no third flag;
+    * mode 3/7's top-right reads go through the p[3,-1] substitution
+    * when the top-right block is out of decode order (§8.3.1.2).
+    */
+  private[graft] def intra4x4Needs(m: Int): (Boolean, Boolean) = m match {
+    case 0 => (false, true)          // vertical
+    case 1 => (true, false)          // horizontal
+    case 3 | 7 => (false, true)      // down-left / vertical-left
+    case 4 | 5 | 6 => (true, true)   // down-right / vert-right / horiz-down
+    case 8 => (true, false)          // horizontal-up
+    case _ => (false, false)         // DC adapts to what exists
+  }
+
+  /** One predicted sample of intra 4x4 mode `mode` at block position
+    * (x, y), ITU-T H.264 §8.3.1.2.2–.10. `tS(k)` is the top sample
+    * p[k,-1] (k = -1 the corner; k in 4..7 already top-right-
+    * substituted by the caller), `lS(k)` the left sample p[-1,k]
+    * (k = -1 the corner). Availability of the sides the mode needs
+    * ([[intra4x4Needs]]) is the CALLER's guard; hasL/hasT only drive
+    * the DC mode's §8.3.1.2.3 fallback chain.
+    */
+  private[graft] def intra4x4PredPx(mode: Int, x: Int, y: Int,
+      tS: Int => Int, lS: Int => Int, hasL: Boolean, hasT: Boolean): Int =
+    mode match {
+      case 0 => tS(x) // vertical
+      case 1 => lS(y) // horizontal
+      case 3 => // diagonal down-left (§8.3.1.2.4)
+        if (x == 3 && y == 3) (tS(6) + 3 * tS(7) + 2) >> 2
+        else (tS(x + y) + 2 * tS(x + y + 1) + tS(x + y + 2) + 2) >> 2
+      case 4 => // diagonal down-right (§8.3.1.2.5)
+        if (x > y)
+          (tS(x - y - 2) + 2 * tS(x - y - 1) + tS(x - y) + 2) >> 2
+        else if (x < y)
+          (lS(y - x - 2) + 2 * lS(y - x - 1) + lS(y - x) + 2) >> 2
+        else (tS(0) + 2 * tS(-1) + lS(0) + 2) >> 2
+      case 5 => // vertical-right (§8.3.1.2.6), keyed by zVR = 2x - y
+        val zVR = 2 * x - y
+        val i = x - (y >> 1)
+        if (zVR >= 0 && (zVR & 1) == 0) (tS(i - 1) + tS(i) + 1) >> 1
+        else if (zVR >= 0) (tS(i - 2) + 2 * tS(i - 1) + tS(i) + 2) >> 2
+        else if (zVR == -1) (lS(0) + 2 * tS(-1) + tS(0) + 2) >> 2
+        else (lS(y - 1) + 2 * lS(y - 2) + lS(y - 3) + 2) >> 2
+      case 6 => // horizontal-down (§8.3.1.2.7), keyed by zHD = 2y - x
+        val zHD = 2 * y - x
+        val i = y - (x >> 1)
+        if (zHD >= 0 && (zHD & 1) == 0) (lS(i - 1) + lS(i) + 1) >> 1
+        else if (zHD >= 0) (lS(i - 2) + 2 * lS(i - 1) + lS(i) + 2) >> 2
+        else if (zHD == -1) (lS(0) + 2 * tS(-1) + tS(0) + 2) >> 2
+        else (tS(x - 1) + 2 * tS(x - 2) + tS(x - 3) + 2) >> 2
+      case 7 => // vertical-left (§8.3.1.2.8)
+        val i = x + (y >> 1)
+        if ((y & 1) == 0) (tS(i) + tS(i + 1) + 1) >> 1
+        else (tS(i) + 2 * tS(i + 1) + tS(i + 2) + 2) >> 2
+      case 8 => // horizontal-up (§8.3.1.2.9), keyed by zHU = x + 2y
+        val zHU = x + 2 * y
+        val i = y + (x >> 1)
+        if (zHU > 5) lS(3)
+        else if (zHU == 5) (lS(2) + 3 * lS(3) + 2) >> 2
+        else if ((zHU & 1) == 0) (lS(i) + lS(i + 1) + 1) >> 1
+        else (lS(i) + 2 * lS(i + 1) + lS(i + 2) + 2) >> 2
+      case _ => // DC (§8.3.1.2.3)
+        if (hasL && hasT) {
+          var acc = 0
+          var k = 0
+          while (k < 4) { acc += lS(k) + tS(k); k += 1 }
+          (acc + 4) >> 3
+        } else if (hasL) {
+          var acc = 0
+          var k = 0
+          while (k < 4) { acc += lS(k); k += 1 }
+          (acc + 2) >> 2
+        } else if (hasT) {
+          var acc = 0
+          var k = 0
+          while (k < 4) { acc += tS(k); k += 1 }
+          (acc + 2) >> 2
+        } else 128
+    }
+
   /** Full pixel decode of a 4x4-intra CAVLC stream: slice headers,
     * per-MB mode derivation (most-probable-mode rule), cbp, CAVLC
     * residual with the REAL nC neighbor context, dequant + integer
     * inverse transform, intra prediction from the reconstructed frame
     * buffer, clip — plus chroma DC prediction (quadrant availability
-    * rules) with no chroma residual. Intra luma modes: vertical,
-    * horizontal, DC, and the two DIAGONAL modes (down-left with the
-    * decode-order top-right availability test + p[3,-1] substitution,
-    * down-right over top/corner/left). None on anything outside the
-    * documented subset (angular modes 5-8, non-I_4x4 mb_type, chroma
-    * cbp, nC ≥ 4, TotalCoeff > 5 tokens): refuse rather than guess.
+    * rules) with no chroma residual. Intra luma: the COMPLETE 9-mode
+    * set of §8.3.1.2 ([[intra4x4PredPx]]) — vertical, horizontal, DC,
+    * both diagonals, and the four angular modes 5-8, with the
+    * decode-order top-right availability test + p[3,-1] substitution
+    * on the modes that read past the block. None on anything outside
+    * the documented subset (non-I_4x4 mb_type, nC in [4,8) tokens,
+    * TotalCoeff > 5 suffix rows): refuse rather than guess.
     */
   def decodeCavlcIntra(p: Array[Byte]): Option[CavlcFrames] = {
     try {
@@ -1420,7 +1527,8 @@ object H264 {
                     val rem = r.u(3)
                     if (rem < predMode) rem else rem + 1
                   }
-                if (mode > 4) return None // modes 5-8 out of subset
+                // rem_intra4x4_pred_mode is 3 bits, so mode ≤ 8: the
+                // whole §8.3.1.2 index space is now decodable
                 modes(bx)(by) = mode
                 mbModes(i) = mode
                 i += 1
@@ -1469,61 +1577,24 @@ object H264 {
                   nMb < mbIdx || (nMb == mbIdx &&
                     zIndexOf4x4((nby % 4) * 4 + (nbx % 4)) < iz)
                 }
+                val (needsL, needsT) = intra4x4Needs(mode)
+                if ((needsL && px == 0) || (needsT && py == 0)) return None
+                // top samples p[k,-1] (k = -1 → the corner); k in
+                // 4..7 reads the top-right block or its p[3,-1]
+                // substitute
+                def tS(k: Int): Int =
+                  if (k < 0) luma(py - 1)(px - 1)
+                  else if (k <= 3 || trAvail) luma(py - 1)(px + k)
+                  else luma(py - 1)(px + 3)
+                def lS(k: Int): Int =
+                  if (k < 0) luma(py - 1)(px - 1)
+                  else luma(py + k)(px - 1)
                 var y = 0
                 while (y < 4) {
                   var x = 0
                   while (x < 4) {
-                    // top samples p[k,-1] (k = -1 → the corner); k in
-                    // 4..7 reads the top-right block or its p[3,-1]
-                    // substitute
-                    def tS(k: Int): Int =
-                      if (k < 0) luma(py - 1)(px - 1)
-                      else if (k <= 3 || trAvail) luma(py - 1)(px + k)
-                      else luma(py - 1)(px + 3)
-                    def lS(k: Int): Int =
-                      if (k < 0) luma(py - 1)(px - 1)
-                      else luma(py + k)(px - 1)
-                    val predPx = mode match {
-                      case 0 => // vertical
-                        if (py == 0) return None
-                        luma(py - 1)(px + x)
-                      case 1 => // horizontal
-                        if (px == 0) return None
-                        luma(py + y)(px - 1)
-                      case 3 => // diagonal down-left (§8.3.1.2.4)
-                        if (py == 0) return None
-                        if (x == 3 && y == 3) (tS(6) + 3 * tS(7) + 2) >> 2
-                        else (tS(x + y) + 2 * tS(x + y + 1) + tS(x + y + 2) + 2) >> 2
-                      case 4 => // diagonal down-right (§8.3.1.2.5)
-                        if (px == 0 || py == 0) return None
-                        if (x > y)
-                          (tS(x - y - 2) + 2 * tS(x - y - 1) + tS(x - y) + 2) >> 2
-                        else if (x < y)
-                          (lS(y - x - 2) + 2 * lS(y - x - 1) + lS(y - x) + 2) >> 2
-                        else (tS(0) + 2 * tS(-1) + lS(0) + 2) >> 2
-                      case _ => // DC
-                        val hasL = px > 0
-                        val hasT = py > 0
-                        if (hasL && hasT) {
-                          var acc = 0
-                          var k = 0
-                          while (k < 4) {
-                            acc += luma(py + k)(px - 1) + luma(py - 1)(px + k)
-                            k += 1
-                          }
-                          (acc + 4) >> 3
-                        } else if (hasL) {
-                          var acc = 0
-                          var k = 0
-                          while (k < 4) { acc += luma(py + k)(px - 1); k += 1 }
-                          (acc + 2) >> 2
-                        } else if (hasT) {
-                          var acc = 0
-                          var k = 0
-                          while (k < 4) { acc += luma(py - 1)(px + k); k += 1 }
-                          (acc + 2) >> 2
-                        } else 128
-                    }
+                    val predPx =
+                      intra4x4PredPx(mode, x, y, tS, lS, px > 0, py > 0)
                     luma(py + y)(px + x) = clip255(predPx + res(y * 4 + x))
                     x += 1
                   }

@@ -2217,6 +2217,32 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // The COMPLETE §8.3.1.2 intra mode set — the q189 lattice widened
+    // to angular modes 5-8 (vertical-right, horizontal-down,
+    // vertical-left, horizontal-up), each run against real
+    // reconstructed neighbors under most-probable-mode signaling.
+    // Same verification split as q189: pixel chains are pinned by
+    // H264Spec (hand-derived per-mode matrices + an independent
+    // reconstruction), the gate oracles the syntax layer exactly
+    // (n_levels from the residual lattice — a single mis-predicted
+    // rem_intra4x4_pred_mode bit desyncs CAVLC and fails the row).
+    "q190_h264_intra_full" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 2)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbH = 1 + (id % 3).toInt
+          val nf = 2 + (id % 2).toInt
+          val st = graft.operators.H264.synthesizeH264IntraFull(mbH, nf, id)
+          graft.operators.H264.decodeCavlcIntra(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height, f.nLevels)
+            case None => (id, -1, -1, -1, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height", "n_levels")
+        .orderBy($"doc_id")
+    },
+
     // H.264 MULTIPLE REFERENCE indices — P slices with two active L0
     // H.264 DEBLOCKING boundary strengths + audited in-loop filter —
     // §8.7.2.1 bS derivation over two stream families that jointly
@@ -5505,6 +5531,28 @@ object Pipeline {
         |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh,
         |    CAST(2 + doc_id % 2 AS INTEGER) AS nf
         |  FROM documents WHERE doc_id % 4 = 1),
+        |lv AS (SELECT d.id,
+        |    sum(CASE WHEN (d.id + f.f * 11 + bx.i * 7 + by.i * 5) % 4 = 0
+        |      THEN 1 ELSE 2 END) AS n_levels
+        |  FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f,
+        |  LATERAL (SELECT unnest(generate_series(0, 3)) AS i) bx,
+        |  LATERAL (SELECT unnest(generate_series(0, 4 * mbh - 1)) AS i) by
+        |  GROUP BY 1)
+        |SELECT d.id AS doc_id, d.nf AS n_frames,
+        |  CAST(16 AS INTEGER) AS width, 16 * d.mbh AS height,
+        |  CAST(lv.n_levels AS BIGINT) AS n_levels
+        |FROM d JOIN lv ON lv.id = d.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // same syntax-layer closed form as q189 (the residual lattice is
+    // mode-independent); the decode only reaches it if every angular
+    // mode 5-8 prediction parse stays bit-exact
+    "q190_h264_intra_full" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh,
+        |    CAST(2 + doc_id % 2 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 4 = 2),
         |lv AS (SELECT d.id,
         |    sum(CASE WHEN (d.id + f.f * 11 + bx.i * 7 + by.i * 5) % 4 = 0
         |      THEN 1 ELSE 2 END) AS n_levels

@@ -1786,6 +1786,153 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("angular intra modes 5-8 match hand-derived prediction matrices") {
+    // fixed neighborhood: top p[k,-1] = 10(k+1) for k = 0..7, corner
+    // p[-1,-1] = 5, left p[-1,k] = 12(k+1) for k = 0..3 — every value
+    // below is worked by hand from §8.3.1.2.6-.9
+    val top = Array(10, 20, 30, 40, 50, 60, 70, 80)
+    val left = Array(12, 24, 36, 48)
+    def tS(k: Int): Int = if (k < 0) 5 else top(k)
+    def lS(k: Int): Int = if (k < 0) 5 else left(k)
+    val expected = Map(
+      5 -> Array( // vertical-right
+        Array(8, 15, 25, 35),
+        Array(8, 11, 20, 30),
+        Array(13, 8, 15, 25),
+        Array(24, 8, 11, 20)),
+      6 -> Array( // horizontal-down
+        Array(9, 8, 11, 20),
+        Array(18, 13, 9, 8),
+        Array(30, 24, 18, 13),
+        Array(42, 36, 30, 24)),
+      7 -> Array( // vertical-left
+        Array(15, 25, 35, 45),
+        Array(20, 30, 40, 50),
+        Array(25, 35, 45, 55),
+        Array(30, 40, 50, 60)),
+      8 -> Array( // horizontal-up
+        Array(18, 24, 30, 36),
+        Array(30, 36, 42, 45),
+        Array(42, 45, 48, 48),
+        Array(48, 48, 48, 48)))
+    for (mode <- Seq(5, 6, 7, 8); y <- 0 until 4; x <- 0 until 4)
+      assert(H264.intra4x4PredPx(mode, x, y, tS, lS, true, true) ==
+        expected(mode)(y)(x), s"mode=$mode x=$x y=$y")
+  }
+
+  test("constant neighborhoods are fixed points of every intra 4x4 mode") {
+    // all the §8.3.1.2 interpolators are affine with weights summing
+    // to the rounding divisor, so a flat neighborhood must predict
+    // itself exactly — a transcription error in any tap breaks this
+    for (c <- Seq(0, 37, 255); mode <- 0 to 8; y <- 0 until 4; x <- 0 until 4)
+      assert(H264.intra4x4PredPx(mode, x, y, _ => c, _ => c, true, true) == c,
+        s"c=$c mode=$mode x=$x y=$y")
+  }
+
+  test("full-mode intra decode equals an independent reconstruction") {
+    // all NINE §8.3.1.2 modes composed in-stream; the sim re-derives
+    // the angular equations from the diagonal-index form (zVR/zHD/zHU
+    // written as explicit case tables, not the decoder's arithmetic)
+    val resCols = Array(
+      Array(5, 5, 5, 5), Array(1, -1, -4, -6),
+      Array(0, 5, 5, 0), Array(2, 5, -5, -2))
+    val zs = Array(
+      (0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+      (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3))
+    val zInv = { val a = new Array[Int](16)
+      zs.zipWithIndex.foreach { case ((x, y), i) => a(y * 4 + x) = i }; a }
+    for (seed <- 0L until 12L) {
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 2 + (seed % 2).toInt
+      val w = 16; val h = 16 * mbH
+      val m = H264.decodeCavlcIntra(
+        H264.synthesizeH264IntraFull(mbH, nf, seed)).get
+      assert(m.nFrames == nf && m.width == w && m.height == h)
+      def clip255(v: Int) = math.min(math.max(v, 0), 255)
+      var wl = 0L; var wc = 0L; var ww2 = 0L; var nLev = 0L
+      for (f <- 0 until nf) {
+        val luma = Array.fill(h, w)(0)
+        for (my <- 0 until mbH; i <- 0 until 16) {
+          val (zx, zy) = zs(i)
+          val (bx, by) = (zx, my * 4 + zy)
+          val px = bx * 4; val py = by * 4
+          val mode = H264.synthFullMode(seed)(bx, by)
+          val k = ((seed + f * 11 + bx * 7 + by * 5) % 4).toInt
+          nLev += (if (k == 0) 1 else 2)
+          val trAvail = by > 0 && bx + 1 < 4 && {
+            val nMb = (by - 1) / 4
+            nMb < my || (nMb == my && zInv(((by - 1) % 4) * 4 + bx + 1) < i)
+          }
+          def tS(kk: Int): Int =
+            if (kk < 0) luma(py - 1)(px - 1)
+            else if (kk <= 3 || trAvail) luma(py - 1)(px + kk)
+            else luma(py - 1)(px + 3)
+          def lS(kk: Int): Int =
+            if (kk < 0) luma(py - 1)(px - 1) else luma(py + kk)(px - 1)
+          // interpolator helpers: 2-tap rounding average along a
+          // sample walk, 3-tap [1 2 1] filter
+          def avg2(a: Int, b: Int) = (a + b + 1) >> 1
+          def f121(a: Int, b: Int, c: Int) = (a + 2 * b + c + 2) >> 2
+          for (y <- 0 until 4; x <- 0 until 4) {
+            val pred = mode match {
+              case 0 => luma(py - 1)(px + x)
+              case 1 => luma(py + y)(px - 1)
+              case 3 =>
+                if (x == 3 && y == 3) (tS(6) + 3 * tS(7) + 2) >> 2
+                else f121(tS(x + y), tS(x + y + 1), tS(x + y + 2))
+              case 4 =>
+                if (x > y) f121(tS(x - y - 2), tS(x - y - 1), tS(x - y))
+                else if (x < y) f121(lS(y - x - 2), lS(y - x - 1), lS(y - x))
+                else f121(tS(0), tS(-1), lS(0))
+              case 5 => (2 * x - y) match {
+                case 0 | 2 | 4 | 6 => avg2(tS(x - (y >> 1) - 1), tS(x - (y >> 1)))
+                case 1 | 3 | 5 =>
+                  f121(tS(x - (y >> 1) - 2), tS(x - (y >> 1) - 1), tS(x - (y >> 1)))
+                case -1 => f121(lS(0), tS(-1), tS(0))
+                case _ => f121(lS(y - 1), lS(y - 2), lS(y - 3))
+              }
+              case 6 => (2 * y - x) match {
+                case 0 | 2 | 4 | 6 => avg2(lS(y - (x >> 1) - 1), lS(y - (x >> 1)))
+                case 1 | 3 | 5 =>
+                  f121(lS(y - (x >> 1) - 2), lS(y - (x >> 1) - 1), lS(y - (x >> 1)))
+                case -1 => f121(lS(0), tS(-1), tS(0))
+                case _ => f121(tS(x - 1), tS(x - 2), tS(x - 3))
+              }
+              case 7 =>
+                if ((y & 1) == 0) avg2(tS(x + (y >> 1)), tS(x + (y >> 1) + 1))
+                else f121(tS(x + (y >> 1)), tS(x + (y >> 1) + 1), tS(x + (y >> 1) + 2))
+              case 8 => (x + 2 * y) match {
+                case 0 | 2 | 4 => avg2(lS(y + (x >> 1)), lS(y + (x >> 1) + 1))
+                case 1 | 3 =>
+                  f121(lS(y + (x >> 1)), lS(y + (x >> 1) + 1), lS(y + (x >> 1) + 2))
+                case 5 => (lS(2) + 3 * lS(3) + 2) >> 2
+                case _ => lS(3)
+              }
+              case _ =>
+                val hasL = px > 0; val hasT = py > 0
+                if (hasL && hasT)
+                  ((0 until 4).map(kk => luma(py + kk)(px - 1)
+                    + luma(py - 1)(px + kk)).sum + 4) >> 3
+                else if (hasL)
+                  ((0 until 4).map(kk => luma(py + kk)(px - 1)).sum + 2) >> 2
+                else if (hasT)
+                  ((0 until 4).map(kk => luma(py - 1)(px + kk)).sum + 2) >> 2
+                else 128
+            }
+            luma(py + y)(px + x) = clip255(pred + resCols(k)(x))
+          }
+        }
+        var fl = 0L; luma.foreach(_.foreach(fl += _))
+        val fc = 128L * (h / 2) * (w / 2) * 2
+        wl += fl; wc += fc; ww2 += (f + 1L) * (fl + fc)
+      }
+      assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
+      assert(m.chromaSum == wc, s"seed=$seed chroma")
+      assert(m.weightedSum == ww2, s"seed=$seed weighted")
+      assert(m.nLevels == nLev, s"seed=$seed nLevels ${m.nLevels} vs $nLev")
+    }
+  }
+
   test("inter decode of an all-I_PCM stream matches decodeIPcm (P machinery dormant)") {
     val p = H264.synthesizeH264IPcm(2, 2, 2, 9L)
     val a = H264.decodeInter(p).get
