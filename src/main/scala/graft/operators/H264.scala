@@ -613,6 +613,9 @@ object H264 {
       qpc: Int): Array[Int] =
     dequantIdctChroma(dcC, ac15, qpc)
 
+  private[graft] def lumaDcDequantForSpec(c16: Array[Int], qp: Int): Array[Int] =
+    lumaDcDequant(c16, qp)
+
   private[graft] def encodeBlockBits15(coeffs: Array[Int], nC: Int): String = {
     val bw = new BitWriter
     encodeCoeffBlock(bw, coeffs, nC, maxCoeff = 15)
@@ -940,11 +943,45 @@ object H264 {
     out
   }
 
+  /** Luma 4x4 DC inverse Hadamard + dequant for Intra_16x16
+    * macroblocks (§8.5.10 in this file's V-table convention — the
+    * file's LevelScale is 16·v, so the spec's >> (6 − qP/6) rounding
+    * keeps its published shift): input `c16` is the DC coefficient
+    * array in RASTER (i,j) order (c(i,j) = DC of the 4x4 block at
+    * block column j, block row i), output the 16 dequantized DCs in
+    * the same order, each ready to preset a 4x4 block's d(0,0)
+    * (the 4x4 rescale bypasses position 0, as chroma does).
+    */
+  private[operators] def lumaDcDequant(c16: Array[Int], qp: Int): Array[Int] = {
+    require(c16.length == 16, "luma DC array is 4x4")
+    val v = Array(10, 11, 13, 14, 16, 18)(qp % 6)
+    val f = c16.clone()
+    // 4x4 inverse Hadamard: the ±1 butterfly along rows then columns
+    def core(a: Array[Int], stride: Int, base: Int): Unit = {
+      val d0 = a(base); val d1 = a(base + stride)
+      val d2 = a(base + 2 * stride); val d3 = a(base + 3 * stride)
+      val t0 = d0 + d2; val t1 = d0 - d2
+      val t2 = d1 - d3; val t3 = d1 + d3
+      a(base) = t0 + t3; a(base + stride) = t1 + t2
+      a(base + 2 * stride) = t1 - t2; a(base + 3 * stride) = t0 - t3
+    }
+    (0 until 4).foreach(row => core(f, 1, row * 4))
+    (0 until 4).foreach(col => core(f, 4, col))
+    f.map { x =>
+      val ls = x * v * 16
+      if (qp >= 36) ls << (qp / 6 - 6)
+      else (ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+    }
+  }
+
   /** Chroma 4x4 residual: AC coefficients (zigzag scan positions
     * 1..15, 15 entries) dequantized with the 4x4 V-table, the DC slot
     * preset to the ALREADY-DEQUANTIZED `dcC` from the 2x2 Hadamard
     * stage (8.5.11: chroma DC bypasses the 4x4 rescale), then the
     * integer inverse transform — raster-order spatial residuals.
+    * Intra_16x16 luma AC blocks run the SAME §8.5.12 path with the
+    * §8.5.10-dequantized luma DC preset, so [[decodeCavlcIntra]]'s
+    * I_16x16 branch calls this with the luma qp.
     */
   private[operators] def dequantIdctChroma(dcC: Int, ac15: Array[Int],
       qpc: Int): Array[Int] = {
@@ -1274,6 +1311,153 @@ object H264 {
     synthIntraStream(mbH, nFrames, synthFullMode(seed),
       (f, bx, by) => acScanVectors(((seed + f * 11 + bx * 7 + by * 5) % 4).toInt))
 
+  /** Macroblock kind of (mx, my) in frame f of the MIXED streams:
+    * 0 = I_4x4 (cbp 15), 1 = I_16x16 with CodedBlockPatternLuma 0
+    * (DC residual only), 2 = I_16x16 with CodedBlockPatternLuma 15.
+    */
+  private[graft] def synthMbKind(seed: Long)(f: Int, mx: Int, my: Int): Int =
+    ((seed + f * 7 + mx * 3 + my * 5) % 3).toInt
+
+  /** Intra_16x16 prediction mode of MB (mx, my): drawn from the modes
+    * its frame neighbors permit — vertical needs the row above,
+    * horizontal the column left, plane both plus the corner.
+    */
+  private[graft] def synthI16Mode(seed: Long)(f: Int, mx: Int, my: Int): Int = {
+    val allowed =
+      if (mx == 0 && my == 0) Array(2)
+      else if (my == 0) Array(1, 2)
+      else if (mx == 0) Array(0, 2)
+      else Array(0, 1, 2, 3)
+    allowed(((seed + f + 2L * mx + 3L * my) % allowed.length).toInt)
+  }
+
+  /** The two Intra16x16DCLevel scan vectors (16-coeff CAVLC block):
+    * k = 0 a lone level 2 (TotalCoeff 1), k = 1 a level/trailing-one
+    * pair (TotalCoeff 2) whose Hadamard lights half the DC lattice.
+    */
+  private[graft] def i16DcVector(k: Int): Array[Int] = {
+    val a = Array.fill(16)(0)
+    if (k == 0) a(0) = 2 else { a(0) = 1; a(1) = -1 }
+    a
+  }
+
+  /** The four Intra16x16ACLevel scan vectors (15 coefficients,
+    * positions 1..15 of the zigzag): TotalCoeff 1 for k = 0 and 2
+    * otherwise — the same level-count lattice as [[acVectorForSpec]]
+    * so the syntax-layer oracle keeps the q189/q190 closed form.
+    */
+  private[graft] def i16AcVector(k: Int): Array[Int] = {
+    val a = Array.fill(15)(0)
+    k match {
+      case 0 => a(0) = 2
+      case 1 => a(0) = -1; a(1) = 1
+      case 2 => a(0) = 1; a(4) = -1
+      case _ => a(1) = 1; a(5) = -1
+    }
+    a
+  }
+
+  /** MIXED intra streams: I_4x4 macroblocks (full 9-mode lattice,
+    * cbp 15) interleaved with I_16x16 macroblocks (Table 7-11
+    * mb_type, §8.3.2 prediction incl. PLANE, Intra16x16DCLevel
+    * through the §8.5.10 Hadamard, optional 15-coeff AC blocks) on an
+    * mbW x mbH frame — so cross-mb_type neighbor machinery genuinely
+    * runs: I_16x16 blocks feed DC (mode 2) into I_4x4
+    * most-probable-mode derivation and their AC TotalCoeffs into the
+    * shared nC context grid, and I_16x16 prediction reads pixels
+    * reconstructed by I_4x4 neighbors. Chroma rides prediction-only
+    * (cbpChroma 0 everywhere): flat 128, closed form.
+    */
+  def synthesizeH264Intra16(mbW: Int, mbH: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp())
+    (0 until nFrames).foreach { f =>
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x65.toByte
+      val bw = new BitWriter
+      bw.ue(0)        // first_mb_in_slice
+      bw.ue(7)        // slice_type: I (all slices in pic)
+      bw.ue(0)        // pic_parameter_set_id
+      bw.u(0, 4)      // frame_num
+      bw.ue(f)        // idr_pic_id
+      bw.u(0, 1); bw.u(0, 1) // dec_ref_pic_marking
+      bw.se(-2)       // slice_qp_delta: SliceQPy = 24
+      bw.ue(1)        // disable_deblocking_filter_idc
+      val bW = mbW * 4; val bH = mbH * 4
+      val modes = Array.fill(bW, bH)(-1)
+      val tcs = Array.fill(bW, bH)(0)
+      def nCOf(bx: Int, by: Int): Int = {
+        val nA = if (bx == 0) -1 else tcs(bx - 1)(by)
+        val nB = if (by == 0) -1 else tcs(bx)(by - 1)
+        if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+        else if (nA >= 0) nA
+        else if (nB >= 0) nB
+        else 0
+      }
+      (0 until mbH).foreach { my =>
+        (0 until mbW).foreach { mx =>
+          val kind = synthMbKind(seed)(f, mx, my)
+          if (kind == 0) {
+            bw.ue(0) // mb_type: I_NxN
+            zScan4x4.foreach { case (zx, zy) =>
+              val (bx, by) = (mx * 4 + zx, my * 4 + zy)
+              val mode =
+                if (bx == 0 && by == 0) 2
+                else if (by == 0) Array(1, 2, 8)(((seed + bx) % 3).toInt)
+                else if (bx == 0) Array(0, 2, 3, 7)(((seed + by) % 4).toInt)
+                else ((seed + 3L * bx + 7L * by) % 9).toInt
+              val mA = if (bx == 0) 2 else modes(bx - 1)(by)
+              val mB = if (by == 0) 2 else modes(bx)(by - 1)
+              val pred = math.min(mA, mB)
+              if (mode == pred) bw.u(1, 1)
+              else {
+                bw.u(0, 1)
+                bw.u(if (mode < pred) mode else mode - 1, 3)
+              }
+              modes(bx)(by) = mode
+            }
+            bw.ue(0) // intra_chroma_pred_mode: DC
+            bw.ue(2) // cbp me(v) codeNum 2 → 15 (luma only)
+            bw.se(0) // mb_qp_delta
+            zScan4x4.foreach { case (zx, zy) =>
+              val (bx, by) = (mx * 4 + zx, my * 4 + zy)
+              val scan = acScanVectors(
+                ((seed + f * 11 + bx * 7 + by * 5) % 4).toInt)
+              encodeCoeffBlock(bw, scan, nCOf(bx, by))
+              tcs(bx)(by) = scan.count(_ != 0)
+            }
+          } else {
+            val i16Mode = synthI16Mode(seed)(f, mx, my)
+            bw.ue((if (kind == 2) 13 else 1) + i16Mode) // mb_type
+            bw.ue(0) // intra_chroma_pred_mode: DC
+            bw.se(0) // mb_qp_delta (always present for I_16x16)
+            val dcVec = i16DcVector(
+              ((seed + f * 11 + mx * 7 + my * 5) % 2).toInt)
+            encodeCoeffBlock(bw, dcVec, nCOf(mx * 4, my * 4))
+            zScan4x4.foreach { case (zx, zy) =>
+              val (bx, by) = (mx * 4 + zx, my * 4 + zy)
+              if (kind == 2) {
+                val ac = i16AcVector(
+                  ((seed + f * 11 + bx * 7 + by * 5) % 4).toInt)
+                encodeCoeffBlock(bw, ac, nCOf(bx, by), maxCoeff = 15)
+                tcs(bx)(by) = ac.count(_ != 0)
+              } else tcs(bx)(by) = 0
+              modes(bx)(by) = 2 // non-I_4x4 neighbors read as DC
+            }
+          }
+        }
+      }
+      out ++= escape(bw.stop())
+    }
+    out.toArray
+  }
+
   /** Shared I_4x4 stream writer: 16-wide frames (one MB per row), QP
     * 24, cbp 15, per-block modes/coefficients from the callbacks, nC
     * tracked with the same neighbor rule the decoder applies.
@@ -1454,6 +1638,66 @@ object H264 {
         } else 128
     }
 
+  /** The 16x16 prediction plane of Intra_16x16 mode `mode`
+    * (§8.3.2.1–.4): 0 vertical, 1 horizontal, 2 DC (with the
+    * availability fallback chain), 3 plane. `tS(k)` is p[k,-1] for
+    * k in 0..15 (k = -1 the corner), `lS(k)` is p[-1,k]. The caller
+    * guards availability of the sides modes 0/1/3 need; hasL/hasT
+    * drive only the DC fallback. Returns the 256 predictions in
+    * raster order.
+    */
+  private[graft] def intra16Pred(mode: Int, tS: Int => Int, lS: Int => Int,
+      hasL: Boolean, hasT: Boolean): Array[Int] = {
+    val out = new Array[Int](256)
+    mode match {
+      case 0 =>
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) { out(y * 16 + x) = tS(x); x += 1 }
+          y += 1
+        }
+      case 1 =>
+        var y = 0
+        while (y < 16) {
+          val p = lS(y)
+          var x = 0
+          while (x < 16) { out(y * 16 + x) = p; x += 1 }
+          y += 1
+        }
+      case 3 => // plane (§8.3.2.4)
+        var hG = 0; var vG = 0
+        var k = 0
+        while (k < 8) {
+          hG += (k + 1) * (tS(8 + k) - tS(6 - k))
+          vG += (k + 1) * (lS(8 + k) - lS(6 - k))
+          k += 1
+        }
+        val a = 16 * (lS(15) + tS(15))
+        val b = (5 * hG + 32) >> 6
+        val c = (5 * vG + 32) >> 6
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            out(y * 16 + x) =
+              math.max(0, math.min(255, (a + b * (x - 7) + c * (y - 7) + 16) >> 5))
+            x += 1
+          }
+          y += 1
+        }
+      case _ => // DC (§8.3.2.3)
+        val dc =
+          if (hasL && hasT)
+            ((0 until 16).map(k => tS(k) + lS(k)).sum + 16) >> 5
+          else if (hasL) ((0 until 16).map(lS).sum + 8) >> 4
+          else if (hasT) ((0 until 16).map(tS).sum + 8) >> 4
+          else 128
+        java.util.Arrays.fill(out, dc)
+    }
+    out
+  }
+
   /** Full pixel decode of a 4x4-intra CAVLC stream: slice headers,
     * per-MB mode derivation (most-probable-mode rule), cbp, CAVLC
     * residual with the REAL nC neighbor context, dequant + integer
@@ -1512,10 +1756,16 @@ object H264 {
             while (mbIdx < nMbs) {
               val mx = mbIdx % info.mbW
               val my = mbIdx / info.mbW
-              if (r.ue() != 0) return None // only I_4x4 in this path
+              // mb_type (Table 7-11): 0 = I_NxN (I_4x4 here), 1..24 =
+              // I_16x16 with (predMode, cbpChroma, cbpLuma) packed in
+              // the index, 25 = I_PCM (decodeIPcm's stream class —
+              // refused in this one)
+              val mbType = r.ue()
+              if (mbType > 24) return None
+              val i16 = mbType != 0
               val mbModes = new Array[Int](16)
               var i = 0
-              while (i < 16) {
+              if (!i16) while (i < 16) {
                 val (zx, zy) = zScan4x4(i)
                 val (bx, by) = (mx * 4 + zx, my * 4 + zy)
                 val mA = if (bx == 0) 2 else modes(bx - 1)(by)
@@ -1534,16 +1784,108 @@ object H264 {
                 i += 1
               }
               if (r.ue() != 0) return None // chroma pred: DC only
-              val cbp = r.ue() match {
-                case 0 => 47 // luma 15 + chroma 2 (DC + AC residuals)
-                case 1 => 31 // luma 15 + chroma 1 (DC-only residual)
-                case 2 => 15
-                case 3 => 0
-                case _ => return None // chroma cbp out of subset
+              // I_16x16 has no coded_block_pattern syntax — both cbp
+              // fields ride in mb_type (Table 7-11) — and always
+              // carries mb_qp_delta (the DC block is always coded)
+              val cbp =
+                if (i16)
+                  (((mbType - 1) / 4 % 3) << 4) |
+                    (if ((mbType - 1) / 12 == 1) 15 else 0)
+                else r.ue() match {
+                  case 0 => 47 // luma 15 + chroma 2 (DC + AC residuals)
+                  case 1 => 31 // luma 15 + chroma 1 (DC-only residual)
+                  case 2 => 15
+                  case 3 => 0
+                  case _ => return None // chroma cbp out of subset
+                }
+              if (i16 || cbp != 0) qp += r.se() // mb_qp_delta
+              if (i16) {
+                // ---- Intra_16x16 luma: §7.3.5.3 residual order is
+                // Intra16x16DCLevel (one 16-coeff CAVLC block with
+                // the §9.2.1 block-0 neighbor context), then — cbp
+                // luma 15 — sixteen 15-coeff AC blocks in z-scan
+                // order; §8.5.10 Hadamard the DCs, preset each 4x4
+                // block's d(0,0), §8.3.2 predict the whole plane from
+                // frame neighbors, add, clip.
+                val i16Mode = (mbType - 1) % 4
+                val px0 = mx * 16; val py0 = my * 16
+                val needL = i16Mode == 1 || i16Mode == 3
+                val needT = i16Mode == 0 || i16Mode == 3
+                if ((needL && px0 == 0) || (needT && py0 == 0)) return None
+                val bx0 = mx * 4; val by0 = my * 4
+                val nA0 = if (bx0 == 0) -1 else tcs(bx0 - 1)(by0)
+                val nB0 = if (by0 == 0) -1 else tcs(bx0)(by0 - 1)
+                val nC0 =
+                  if (nA0 >= 0 && nB0 >= 0) (nA0 + nB0 + 1) >> 1
+                  else if (nA0 >= 0) nA0
+                  else if (nB0 >= 0) nB0
+                  else 0
+                if (nC0 >= 4) return None // [4,8) refusal as for I_4x4
+                val dcScan = decodeCoeffBlock(r, nC0).getOrElse(return None)
+                nLevels += dcScan.count(_ != 0)
+                val dcRaster = new Array[Int](16)
+                var s2 = 0
+                while (s2 < 16) {
+                  dcRaster(zigzag4x4(s2)) = dcScan(s2)
+                  s2 += 1
+                }
+                val dcY = lumaDcDequant(dcRaster, qp)
+                val cbpLuma = (cbp & 15) != 0
+                val blockRes = Array.ofDim[Array[Int]](16)
+                var bi = 0
+                while (bi < 16) {
+                  val (zx, zy) = zScan4x4(bi)
+                  val (bx, by) = (bx0 + zx, by0 + zy)
+                  val dc = dcY(zy * 4 + zx)
+                  if (cbpLuma) {
+                    val nA = if (bx == 0) -1 else tcs(bx - 1)(by)
+                    val nB = if (by == 0) -1 else tcs(bx)(by - 1)
+                    val nC =
+                      if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+                      else if (nA >= 0) nA
+                      else if (nB >= 0) nB
+                      else 0
+                    if (nC >= 4) return None
+                    val ac = decodeCoeffBlock(r, nC, maxCoeff = 15)
+                      .getOrElse(return None)
+                    val tc = ac.count(_ != 0)
+                    tcs(bx)(by) = tc
+                    nLevels += tc
+                    blockRes(bi) = dequantIdctChroma(dc, ac, qp)
+                  } else {
+                    tcs(bx)(by) = 0
+                    blockRes(bi) = Array.fill(16)((dc + 32) >> 6)
+                  }
+                  // §8.3.1.1: a neighbor block in a non-I_4x4 MB
+                  // contributes DC to most-probable-mode derivation
+                  modes(bx)(by) = 2
+                  bi += 1
+                }
+                def tS16(k: Int): Int =
+                  if (k < 0) luma(py0 - 1)(px0 - 1) else luma(py0 - 1)(px0 + k)
+                def lS16(k: Int): Int =
+                  if (k < 0) luma(py0 - 1)(px0 - 1) else luma(py0 + k)(px0 - 1)
+                val pred = intra16Pred(i16Mode, tS16, lS16, px0 > 0, py0 > 0)
+                bi = 0
+                while (bi < 16) {
+                  val (zx, zy) = zScan4x4(bi)
+                  val res = blockRes(bi)
+                  var y = 0
+                  while (y < 4) {
+                    var x = 0
+                    while (x < 4) {
+                      val gx = zx * 4 + x; val gy = zy * 4 + y
+                      luma(py0 + gy)(px0 + gx) =
+                        clip255(pred(gy * 16 + gx) + res(y * 4 + x))
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  bi += 1
+                }
               }
-              if (cbp != 0) qp += r.se() // mb_qp_delta
               i = 0
-              while (i < 16) {
+              while (!i16 && i < 16) {
                 val (zx, zy) = zScan4x4(i)
                 val (bx, by) = (mx * 4 + zx, my * 4 + zy)
                 val coeffs =

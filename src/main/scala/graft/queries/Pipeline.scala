@@ -2243,6 +2243,34 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // I_16x16 macroblocks MIXED with I_4x4 in one stream: Table 7-11
+    // mb_type decomposition (predMode + cbpChroma + cbpLuma packed),
+    // §8.3.2 whole-plane prediction including PLANE, the
+    // Intra16x16DCLevel 4x4 Hadamard (§8.5.10) presetting each
+    // block's DC, 15-coeff AC blocks, and the cross-mb_type neighbor
+    // machinery (I_16x16 blocks read as DC in I_4x4 most-probable-
+    // mode derivation; AC TotalCoeffs share the nC grid). Pixel
+    // chains pinned by H264Spec's independent reconstruction; the
+    // gate oracles the syntax layer (per-MB kind lattice decides
+    // which blocks carry levels).
+    "q191_h264_i16x16" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 3)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbW = 2 + (id % 2).toInt
+          val mbH = 1 + (id % 3).toInt
+          val nf = 2 + ((id / 2) % 2).toInt
+          val st = graft.operators.H264.synthesizeH264Intra16(mbW, mbH, nf, id)
+          graft.operators.H264.decodeCavlcIntra(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height, f.nLevels)
+            case None => (id, -1, -1, -1, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height", "n_levels")
+        .orderBy($"doc_id")
+    },
+
     // H.264 MULTIPLE REFERENCE indices — P slices with two active L0
     // H.264 DEBLOCKING boundary strengths + audited in-loop filter —
     // §8.7.2.1 bS derivation over two stream families that jointly
@@ -5543,6 +5571,44 @@ object Pipeline {
         |  CAST(16 AS INTEGER) AS width, 16 * d.mbh AS height,
         |  CAST(lv.n_levels AS BIGINT) AS n_levels
         |FROM d JOIN lv ON lv.id = d.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // the mixed-stream syntax layer in closed form: the kind lattice
+    // (id + 7f + 3mx + 5my) % 3 says which MBs are I_4x4 (16 AC
+    // blocks), I_16x16 DC-only (one DC block), or I_16x16 + AC (DC
+    // block + 16 AC blocks); block counts follow the q189 k-lattice,
+    // DC counts the 2-vector lattice
+    "q191_h264_i16x16" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(2 + doc_id % 2 AS INTEGER) AS mbw,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh,
+        |    CAST(2 + (doc_id // 2) % 2 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 4 = 3),
+        |blk AS (SELECT d.id,
+        |    sum(CASE WHEN (d.id + f.f * 7 + (bx.i // 4) * 3 + (by.i // 4) * 5) % 3
+        |        IN (0, 2)
+        |      THEN CASE WHEN (d.id + f.f * 11 + bx.i * 7 + by.i * 5) % 4 = 0
+        |        THEN 1 ELSE 2 END
+        |      ELSE 0 END) AS n
+        |  FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f,
+        |  LATERAL (SELECT unnest(generate_series(0, 4 * mbw - 1)) AS i) bx,
+        |  LATERAL (SELECT unnest(generate_series(0, 4 * mbh - 1)) AS i) by
+        |  GROUP BY 1),
+        |mb AS (SELECT d.id,
+        |    sum(CASE WHEN (d.id + f.f * 7 + mx.i * 3 + my.i * 5) % 3 IN (1, 2)
+        |      THEN CASE WHEN (d.id + f.f * 11 + mx.i * 7 + my.i * 5) % 2 = 0
+        |        THEN 1 ELSE 2 END
+        |      ELSE 0 END) AS n
+        |  FROM d,
+        |  LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f,
+        |  LATERAL (SELECT unnest(generate_series(0, mbw - 1)) AS i) mx,
+        |  LATERAL (SELECT unnest(generate_series(0, mbh - 1)) AS i) my
+        |  GROUP BY 1)
+        |SELECT d.id AS doc_id, d.nf AS n_frames,
+        |  16 * d.mbw AS width, 16 * d.mbh AS height,
+        |  CAST(blk.n + mb.n AS BIGINT) AS n_levels
+        |FROM d JOIN blk ON blk.id = d.id JOIN mb ON mb.id = d.id
         |ORDER BY doc_id""".stripMargin,
 
     // same syntax-layer closed form as q189 (the residual lattice is

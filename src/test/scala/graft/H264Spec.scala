@@ -1933,6 +1933,211 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("luma DC Hadamard + dequant matches hand-derived and matrix-multiply sims") {
+    // hand-derived at qp 24 (v = 10): a lone DC level 2 spreads to
+    // every block as (2*160 + 2) >> 2 = 80; the [1, -1] pair lights
+    // only block columns 2..3 (f(i,j) = 1 - T(j,1) in {0, 2})
+    val lone = new Array[Int](16); lone(0) = 2
+    assert(H264.lumaDcDequantForSpec(lone, 24).forall(_ == 80))
+    val pair = new Array[Int](16); pair(0) = 1; pair(1) = -1
+    val got = H264.lumaDcDequantForSpec(pair, 24)
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(got(i * 4 + j) == (if (j >= 2) 80 else 0), s"($i,$j)")
+    // independent simulation: explicit T * C * T' with the spec's
+    // rounding arm selection, random inputs across qp
+    val T = Array(Array(1, 1, 1, 1), Array(1, 1, -1, -1),
+      Array(1, -1, -1, 1), Array(1, -1, 1, -1))
+    def sim(c: Array[Int], qp: Int): Array[Int] = {
+      val v = Array(10, 11, 13, 14, 16, 18)(qp % 6)
+      val out = new Array[Int](16)
+      for (i <- 0 until 4; j <- 0 until 4) {
+        var f = 0
+        for (k <- 0 until 4; l <- 0 until 4)
+          f += T(i)(k) * c(k * 4 + l) * T(j)(l)
+        val ls = f * v * 16
+        out(i * 4 + j) =
+          if (qp >= 36) ls << (qp / 6 - 6)
+          else (ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+      }
+      out
+    }
+    val rnd = new scala.util.Random(191)
+    for (qp <- Seq(18, 24, 30, 36, 40); _ <- 0 until 30) {
+      val c = Array.fill(16)(if (rnd.nextInt(3) == 0) rnd.nextInt(9) - 4 else 0)
+      assert(H264.lumaDcDequantForSpec(c, qp).sameElements(sim(c, qp)),
+        s"qp=$qp c=${c.mkString(",")}")
+    }
+  }
+
+  test("intra 16x16 prediction: plane-mode hand values and constant fixed points") {
+    // ramp neighborhood p[x,-1] = 10 + 2x, p[-1,y] = 20 + 3y, corner
+    // 7: worked by hand through §8.3.2.4, H = 824, V = 1304,
+    // a = 1680, b = 64, c = 102
+    def tS(k: Int): Int = if (k < 0) 7 else 10 + 2 * k
+    def lS(k: Int): Int = if (k < 0) 7 else 20 + 3 * k
+    val plane = H264.intra16Pred(3, tS, lS, true, true)
+    for (((x, y), want) <- Seq((0, 0) -> 16, (15, 15) -> 94, (7, 7) -> 53,
+        (15, 0) -> 46, (0, 15) -> 64))
+      assert(plane(y * 16 + x) == want, s"plane($x,$y)")
+    // vertical/horizontal copy their rails; DC is the rounded mean
+    val v = H264.intra16Pred(0, tS, lS, true, true)
+    val hP = H264.intra16Pred(1, tS, lS, true, true)
+    assert((0 until 16).forall(x => v(5 * 16 + x) == 10 + 2 * x))
+    assert((0 until 16).forall(y => hP(y * 16 + 9) == 20 + 3 * y))
+    val dcWant = ((0 until 16).map(k => 10 + 2 * k + 20 + 3 * k).sum + 16) >> 5
+    assert(H264.intra16Pred(2, tS, lS, true, true).forall(_ == dcWant))
+    // every mode is a fixed point on flat neighborhoods
+    for (c <- Seq(0, 37, 255); mode <- 0 to 3)
+      assert(H264.intra16Pred(mode, _ => c, _ => c, true, true).forall(_ == c),
+        s"c=$c mode=$mode")
+  }
+
+  test("mixed I_16x16 / I_4x4 decode equals an independent reconstruction") {
+    // the sim re-walks the mixed stream from the lattices alone:
+    // matrix-multiply Hadamard, spec-text dequant + two-pass IDCT
+    // with preset DC, direct-formula §8.3.2 prediction, and the
+    // §8.3.1.2 equations of the q190 test for the I_4x4 MBs
+    val zig = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+    val vt = Array(Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+      Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+    val T = Array(Array(1, 1, 1, 1), Array(1, 1, -1, -1),
+      Array(1, -1, -1, 1), Array(1, -1, 1, -1))
+    val qp = 24
+    // dequant scan positions 1..15 + preset DC, two explicit passes
+    def idctPreset(dc: Int, ac15: Array[Int]): Array[Int] = {
+      val d = Array.ofDim[Int](4, 4)
+      d(0)(0) = dc
+      for (s <- 1 until 16) {
+        val r = zig(s); val i = r / 4; val j = r % 4
+        val cls = if (i % 2 == 0 && j % 2 == 0) 0
+                  else if (i % 2 == 1 && j % 2 == 1) 1 else 2
+        d(i)(j) = (ac15(s - 1) * vt(qp % 6)(cls) * 16) << (qp / 6 - 4)
+      }
+      val e = Array.ofDim[Int](4, 4)
+      for (i <- 0 until 4) {
+        val (a, b, c, dd) = (d(i)(0), d(i)(1), d(i)(2), d(i)(3))
+        e(i)(0) = (a + c) + (b + (dd >> 1)); e(i)(1) = (a - c) + ((b >> 1) - dd)
+        e(i)(2) = (a - c) - ((b >> 1) - dd); e(i)(3) = (a + c) - (b + (dd >> 1))
+      }
+      val f = Array.ofDim[Int](4, 4)
+      for (j <- 0 until 4) {
+        val (a, b, c, dd) = (e(0)(j), e(1)(j), e(2)(j), e(3)(j))
+        f(0)(j) = (a + c) + (b + (dd >> 1)); f(1)(j) = (a - c) + ((b >> 1) - dd)
+        f(2)(j) = (a - c) - ((b >> 1) - dd); f(3)(j) = (a + c) - (b + (dd >> 1))
+      }
+      (for (i <- 0 until 4; j <- 0 until 4) yield (f(i)(j) + 32) >> 6).toArray
+    }
+    def lumaDc(c16: Array[Int]): Array[Int] = {
+      val out = new Array[Int](16)
+      for (i <- 0 until 4; j <- 0 until 4) {
+        var f = 0
+        for (k <- 0 until 4; l <- 0 until 4)
+          f += T(i)(k) * c16(k * 4 + l) * T(j)(l)
+        out(i * 4 + j) = (f * 10 * 16 + 2) >> 2 // qp 24 arm
+      }
+      out
+    }
+    val resCols = Array( // q150's pinned I_4x4 residual columns
+      Array(5, 5, 5, 5), Array(1, -1, -4, -6),
+      Array(0, 5, 5, 0), Array(2, 5, -5, -2))
+    val zs = Array(
+      (0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+      (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3))
+    val zInv = { val a = new Array[Int](16)
+      zs.zipWithIndex.foreach { case ((x, y), i) => a(y * 4 + x) = i }; a }
+    def clip255(v: Int) = math.min(math.max(v, 0), 255)
+    for (seed <- 0L until 10L) {
+      val mbW = 2 + (seed % 2).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 2 + ((seed / 2) % 2).toInt
+      val w = 16 * mbW; val h = 16 * mbH
+      val m = H264.decodeCavlcIntra(
+        H264.synthesizeH264Intra16(mbW, mbH, nf, seed)).get
+      assert(m.nFrames == nf && m.width == w && m.height == h)
+      var wl = 0L; var wc = 0L; var ww2 = 0L; var nLev = 0L
+      for (f <- 0 until nf) {
+        val luma = Array.fill(h, w)(0)
+        for (my <- 0 until mbH; mx <- 0 until mbW) {
+          val kind = H264.synthMbKind(seed)(f, mx, my)
+          val px0 = mx * 16; val py0 = my * 16
+          if (kind == 0) {
+            for (i <- 0 until 16) {
+              val (zx, zy) = zs(i)
+              val (bx, by) = (mx * 4 + zx, my * 4 + zy)
+              val px = bx * 4; val py = by * 4
+              val mode =
+                if (bx == 0 && by == 0) 2
+                else if (by == 0) Array(1, 2, 8)(((seed + bx) % 3).toInt)
+                else if (bx == 0) Array(0, 2, 3, 7)(((seed + by) % 4).toInt)
+                else ((seed + 3L * bx + 7L * by) % 9).toInt
+              val k = ((seed + f * 11 + bx * 7 + by * 5) % 4).toInt
+              nLev += (if (k == 0) 1 else 2)
+              val trAvail = by > 0 && bx + 1 < mbW * 4 && {
+                val nMb = ((by - 1) / 4) * mbW + (bx + 1) / 4
+                val here = my * mbW + mx
+                nMb < here || (nMb == here &&
+                  zInv(((by - 1) % 4) * 4 + (bx + 1) % 4) < i)
+              }
+              def tS(kk: Int): Int =
+                if (kk < 0) luma(py - 1)(px - 1)
+                else if (kk <= 3 || trAvail) luma(py - 1)(px + kk)
+                else luma(py - 1)(px + 3)
+              def lS(kk: Int): Int =
+                if (kk < 0) luma(py - 1)(px - 1) else luma(py + kk)(px - 1)
+              for (y <- 0 until 4; x <- 0 until 4) {
+                val pred = H264.intra4x4PredPx(mode, x, y, tS, lS, px > 0, py > 0)
+                luma(py + y)(px + x) = clip255(pred + resCols(k)(x))
+              }
+            }
+          } else {
+            val i16Mode = H264.synthI16Mode(seed)(f, mx, my)
+            val k2 = ((seed + f * 11 + mx * 7 + my * 5) % 2).toInt
+            nLev += (if (k2 == 0) 1 else 2)
+            val dcScan = new Array[Int](16)
+            if (k2 == 0) dcScan(0) = 2 else { dcScan(0) = 1; dcScan(1) = -1 }
+            val dcRaster = new Array[Int](16)
+            for (s <- 0 until 16) dcRaster(zig(s)) = dcScan(s)
+            val dcY = lumaDc(dcRaster)
+            def tS(kk: Int): Int =
+              if (kk < 0) luma(py0 - 1)(px0 - 1) else luma(py0 - 1)(px0 + kk)
+            def lS(kk: Int): Int =
+              if (kk < 0) luma(py0 - 1)(px0 - 1) else luma(py0 + kk)(px0 - 1)
+            val pred = H264.intra16Pred(i16Mode, tS, lS, px0 > 0, py0 > 0)
+            for (i <- 0 until 16) {
+              val (zx, zy) = zs(i)
+              val dc = dcY(zy * 4 + zx)
+              val res =
+                if (kind == 1) Array.fill(16)((dc + 32) >> 6)
+                else {
+                  val (bx, by) = (mx * 4 + zx, my * 4 + zy)
+                  val k3 = ((seed + f * 11 + bx * 7 + by * 5) % 4).toInt
+                  nLev += (if (k3 == 0) 1 else 2)
+                  val ac = new Array[Int](15)
+                  k3 match {
+                    case 0 => ac(0) = 2
+                    case 1 => ac(0) = -1; ac(1) = 1
+                    case 2 => ac(0) = 1; ac(4) = -1
+                    case _ => ac(1) = 1; ac(5) = -1
+                  }
+                  idctPreset(dc, ac)
+                }
+              for (y <- 0 until 4; x <- 0 until 4)
+                luma(py0 + zy * 4 + y)(px0 + zx * 4 + x) =
+                  clip255(pred((zy * 4 + y) * 16 + zx * 4 + x) + res(y * 4 + x))
+            }
+          }
+        }
+        var fl = 0L; luma.foreach(_.foreach(fl += _))
+        val fc = 128L * (h / 2) * (w / 2) * 2
+        wl += fl; wc += fc; ww2 += (f + 1L) * (fl + fc)
+      }
+      assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
+      assert(m.chromaSum == wc, s"seed=$seed chroma")
+      assert(m.weightedSum == ww2, s"seed=$seed weighted")
+      assert(m.nLevels == nLev, s"seed=$seed nLevels ${m.nLevels} vs $nLev")
+    }
+  }
+
   test("inter decode of an all-I_PCM stream matches decodeIPcm (P machinery dormant)") {
     val p = H264.synthesizeH264IPcm(2, 2, 2, 9L)
     val a = H264.decodeInter(p).get
