@@ -2296,4 +2296,33 @@ object Multimodal {
       }
     }
   }
+
+  /** Per-frame 64-bit temporal fingerprints of an avc1 MP4: demux
+    * the track to Annex-B ([[decodeMp4Avc1AnnexB]]), pixel-decode it
+    * ([[H264.decodeInter]]'s collect hook), FNV-1a each reconstructed
+    * luma plane with the frame's temporal index folded into the hash
+    * basis. Two fingerprints are equal iff the frames sit at the same
+    * position AND carry identical pixels (modulo 64-bit collision) —
+    * the position-qualified form clip-alignment dedup joins on (a
+    * looping animation's pixel-identical frames at different
+    * timestamps are different clip evidence). The shared-fingerprint
+    * join is an inverted index over frames: candidate pairs only
+    * where content actually repeats, never all-pairs over videos.
+    */
+  def mp4FrameFingerprints(mp4: Array[Byte]): Option[Array[Long]] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    for {
+      annexB <- decodeMp4Avc1AnnexB(mp4)
+      _ <- H264.decodeInter(annexB, st => {
+        var h = 0xcbf29ce484222325L ^ (st.frameIdx * 0x9E3779B97F4A7C15L)
+        var i = 0
+        while (i < st.luma.length) {
+          h ^= st.luma(i)
+          h *= 0x100000001b3L
+          i += 1
+        }
+        out += h
+      })
+    } yield out.toArray
+  }
 }

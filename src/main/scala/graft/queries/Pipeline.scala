@@ -2271,6 +2271,48 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // VIDEO CLIP-LEVEL DEDUP — the training-pipeline composition the
+    // codec stack exists for: every 4 docs are clips cut from the
+    // same source video (grp = id/16 seeds the q163 inter recipe,
+    // muxed into a real avc1 MP4), each clip a [off, off+len) frame
+    // window. The pipeline demuxes, pixel-decodes, fingerprints each
+    // reconstructed luma plane (FNV-1a, position-qualified so a
+    // looping source's repeated pixels stay distinct clip evidence),
+    // and joins clips on SHARED FRAME fingerprints — an inverted
+    // index over frames, so
+    // candidate pairs appear only where content repeats (never
+    // all-pairs over videos; fanout per fingerprint is bounded by a
+    // source's clip count). The oracle replays the window-overlap
+    // arithmetic in closed form — any pixel drift in the decode
+    // changes a fingerprint and breaks a pair count.
+    "q192_video_clip_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val clips = Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 1)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val grp = id / 16
+          val mbW = 2 + (grp % 3).toInt
+          val mbH = 1 + (grp % 3).toInt
+          val off = ((id / 4) % 3).toInt
+          val len = 4 + (id % 3).toInt
+          val annexB = graft.operators.H264.synthesizeH264Inter(mbW, mbH, 8, grp)
+          val mp4 = graft.operators.Multimodal.synthesizeMp4Avc1(
+            annexB, 16 * mbW, 16 * mbH, 1000, 40)
+          graft.operators.Multimodal.mp4FrameFingerprints(mp4) match {
+            case Some(fps) =>
+              fps.slice(off, off + len).toSeq.map(h => (id, h))
+            case None => Seq((id, -1L)) // poisons pair counts → gate fails
+          }
+        }).toDF("vid", "fhash")
+      clips.as("x")
+        .join(clips.as("y"), $"x.fhash" === $"y.fhash" && $"x.vid" < $"y.vid")
+        .groupBy($"x.vid".as("a"), $"y.vid".as("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .select($"a", $"b", $"n_shared", ($"n_shared" >= 3).as("near_dup"))
+        .orderBy($"a", $"b")
+    },
+
     // H.264 MULTIPLE REFERENCE indices — P slices with two active L0
     // H.264 DEBLOCKING boundary strengths + audited in-loop filter —
     // §8.7.2.1 bS derivation over two stream families that jointly
@@ -5572,6 +5614,24 @@ object Pipeline {
         |  CAST(lv.n_levels AS BIGINT) AS n_levels
         |FROM d JOIN lv ON lv.id = d.id
         |ORDER BY doc_id""".stripMargin,
+
+    // clip pairs in closed form: clips of one source share exactly
+    // the overlap of their frame windows — shared(x, y) =
+    // min(endX, endY) - max(offX, offY) when positive
+    "q192_video_clip_dedup" ->
+      """WITH c AS (SELECT doc_id AS id, doc_id // 16 AS grp,
+        |    CAST((doc_id // 4) % 3 AS INTEGER) AS off,
+        |    CAST(4 + doc_id % 3 AS INTEGER) AS len
+        |  FROM documents WHERE doc_id % 4 = 1)
+        |SELECT x.id AS a, y.id AS b,
+        |  CAST(LEAST(x.off + x.len, y.off + y.len)
+        |    - GREATEST(x.off, y.off) AS BIGINT) AS n_shared,
+        |  (LEAST(x.off + x.len, y.off + y.len)
+        |    - GREATEST(x.off, y.off)) >= 3 AS near_dup
+        |FROM c x JOIN c y ON x.grp = y.grp AND x.id < y.id
+        |WHERE LEAST(x.off + x.len, y.off + y.len)
+        |  - GREATEST(x.off, y.off) > 0
+        |ORDER BY a, b""".stripMargin,
 
     // the mixed-stream syntax layer in closed form: the kind lattice
     // (id + 7f + 3mx + 5my) % 3 says which MBs are I_4x4 (16 AC
