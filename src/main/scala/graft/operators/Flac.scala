@@ -480,9 +480,13 @@ object Flac {
     * VERBATIM / FIXED 0-4 subframes; Rice method 0 with escape
     * partitions): verifies every frame's CRC-8 and CRC-16 and the
     * STREAMINFO MD5 against the decoded PCM. None on anything outside
-    * the subset or any integrity failure.
+    * the subset or any integrity failure. `collect`, when non-null,
+    * receives (frameIdx, per-channel samples) after each frame's CRC
+    * passes — the hook audio fingerprinting rides (the decodeInter
+    * pattern).
     */
-  def decodeFlac(p: Array[Byte]): Option[FlacPcm] = {
+  def decodeFlac(p: Array[Byte],
+      collect: (Int, Array[Array[Int]]) => Unit = null): Option[FlacPcm] = {
     try {
       if (p.length < 42 || new String(p, 0, 4, "US-ASCII") != "fLaC") return None
       var off = 4
@@ -600,6 +604,7 @@ object Flac {
           }
           i += 1
         }
+        if (collect != null) collect(nFrames, chans)
         nFrames += 1
         decoded += blockSize
         sampleSum += fSum
@@ -610,5 +615,29 @@ object Flac {
       val md5Ok = java.util.Arrays.equals(md5.digest(), md5Expect)
       Some(FlacPcm(nFrames, decoded, sampleRate, sampleSum, weighted, md5Ok))
     } catch { case _: IllegalStateException | _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Per-frame 64-bit temporal fingerprints of a FLAC stream: decode
+    * through [[decodeFlac]]'s collect hook, FNV-1a each frame's PCM
+    * (all channels, 16-bit masked) with the frame's temporal index
+    * folded into the hash basis — the audio twin of
+    * `Multimodal.mp4FrameFingerprints`, and the unit audio clip-level
+    * dedup joins on (an inverted index over frames: candidate pairs
+    * only where decoded content repeats at the same position).
+    */
+  def flacFrameFingerprints(p: Array[Byte]): Option[Array[Long]] = {
+    val out = new ArrayBuffer[Long]()
+    decodeFlac(p, (f, chans) => {
+      var h = 0xcbf29ce484222325L ^ (f * 0x9E3779B97F4A7C15L)
+      chans.foreach { ch =>
+        var i = 0
+        while (i < ch.length) {
+          h ^= (ch(i) & 0xFFFFL)
+          h *= 0x100000001b3L
+          i += 1
+        }
+      }
+      out += h
+    }).map(_ => out.toArray)
   }
 }

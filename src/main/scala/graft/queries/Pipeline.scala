@@ -2313,6 +2313,39 @@ object Pipeline {
         .orderBy($"a", $"b")
     },
 
+    // AUDIO CLIP-LEVEL DEDUP — q192's design ported to the audio
+    // modality: every 4 docs are clips cut from one source FLAC
+    // (grp = id/16 seeds the q158 recipe), each clip a [off, off+len)
+    // frame window. Decode (CRC-8/16-verified), fingerprint each
+    // frame's PCM (FNV-1a, position-qualified), join clips on shared
+    // frame fingerprints — inverted index over frames, fanout bounded
+    // by a source's clip count, never all-pairs over audio files.
+    // Same window-overlap closed-form oracle: one wrong PCM sample
+    // anywhere changes a fingerprint and breaks a pair count.
+    "q193_audio_clip_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val clips = Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 2)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val grp = id / 16
+          val off = ((id / 4) % 3).toInt
+          val len = 4 + (id % 3).toInt
+          val flac = graft.operators.Flac.synthesizeFlac(8, grp)
+          graft.operators.Flac.flacFrameFingerprints(flac) match {
+            case Some(fps) =>
+              fps.slice(off, off + len).toSeq.map(h => (id, h))
+            case None => Seq((id, -1L)) // poisons pair counts → gate fails
+          }
+        }).toDF("aid", "fhash")
+      clips.as("x")
+        .join(clips.as("y"), $"x.fhash" === $"y.fhash" && $"x.aid" < $"y.aid")
+        .groupBy($"x.aid".as("a"), $"y.aid".as("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .select($"a", $"b", $"n_shared", ($"n_shared" >= 3).as("near_dup"))
+        .orderBy($"a", $"b")
+    },
+
     // H.264 MULTIPLE REFERENCE indices — P slices with two active L0
     // H.264 DEBLOCKING boundary strengths + audited in-loop filter —
     // §8.7.2.1 bS derivation over two stream families that jointly
@@ -5614,6 +5647,23 @@ object Pipeline {
         |  CAST(lv.n_levels AS BIGINT) AS n_levels
         |FROM d JOIN lv ON lv.id = d.id
         |ORDER BY doc_id""".stripMargin,
+
+    // audio clip pairs: the same window-overlap closed form as q192
+    // on the mod-4 = 2 id class
+    "q193_audio_clip_dedup" ->
+      """WITH c AS (SELECT doc_id AS id, doc_id // 16 AS grp,
+        |    CAST((doc_id // 4) % 3 AS INTEGER) AS off,
+        |    CAST(4 + doc_id % 3 AS INTEGER) AS len
+        |  FROM documents WHERE doc_id % 4 = 2)
+        |SELECT x.id AS a, y.id AS b,
+        |  CAST(LEAST(x.off + x.len, y.off + y.len)
+        |    - GREATEST(x.off, y.off) AS BIGINT) AS n_shared,
+        |  (LEAST(x.off + x.len, y.off + y.len)
+        |    - GREATEST(x.off, y.off)) >= 3 AS near_dup
+        |FROM c x JOIN c y ON x.grp = y.grp AND x.id < y.id
+        |WHERE LEAST(x.off + x.len, y.off + y.len)
+        |  - GREATEST(x.off, y.off) > 0
+        |ORDER BY a, b""".stripMargin,
 
     // clip pairs in closed form: clips of one source share exactly
     // the overlap of their frame windows — shared(x, y) =

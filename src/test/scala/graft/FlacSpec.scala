@@ -107,4 +107,31 @@ class FlacSpec extends AnyFunSuite {
       Flac.decodeFlac(junk) // must not throw
     }
   }
+
+  test("frame fingerprints: stable, frame-count exact, distinct in and across streams") {
+    for (seed <- 0L until 4L) {
+      val st = Flac.synthesizeFlac(8, seed)
+      val a = Flac.flacFrameFingerprints(st)
+      val b = Flac.flacFrameFingerprints(st)
+      assert(a.isDefined && a.get.length == 8)
+      assert(a.get.sameElements(b.get), "re-decode must be bit-stable")
+      assert(a.get.distinct.length == 8, s"seed=$seed in-stream collision")
+      // the hook mirrors decodeFlac's samples exactly: recompute one
+      // frame's fingerprint from the synth closed form
+      val want = {
+        var h = 0xcbf29ce484222325L ^ (2L * 0x9E3779B97F4A7C15L)
+        Flac.synthSamples(seed, 2).foreach { v =>
+          h ^= (v & 0xFFFFL); h *= 0x100000001b3L
+        }
+        h
+      }
+      assert(a.get(2) == want, s"seed=$seed frame-2 fingerprint")
+    }
+    val all = (0L until 4L).flatMap(s =>
+      Flac.flacFrameFingerprints(Flac.synthesizeFlac(8, s)).get)
+    assert(all.distinct.length == all.length, "cross-source collision")
+    // a corrupt stream yields None, not partial fingerprints
+    val clean = Flac.synthesizeFlac(2, 5L)
+    assert(Flac.flacFrameFingerprints(clean.take(clean.length - 4)).isEmpty)
+  }
 }
