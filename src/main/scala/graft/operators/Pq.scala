@@ -156,7 +156,7 @@ object Pq {
   /** Exact re-rank of an ADC shortlist: only the shortlist rows join
     * back to raw vectors (shuffle bounded by queries × shortlist, not
     * corpus size), queries broadcast, final top-k via TopKAgg. */
-  private def rerankExact(shortlist: DataFrame, queries: DataFrame,
+  private[operators] def rerankExact(shortlist: DataFrame, queries: DataFrame,
       corpus: DataFrame, topK: Int): DataFrame = {
     val exact = shortlist
       .select($"query_id", $"neighbor_id".as("cand_id"))

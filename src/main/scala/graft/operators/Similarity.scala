@@ -66,6 +66,78 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
+  /** SQ8 scalar-quantized top-k — the remaining member of the
+    * quantization family (LSH buckets, IVF cells, PQ codebooks, and
+    * now per-DIMENSION 8-bit affine codes, the faiss ScalarQuantizer
+    * design). Train is ONE corpus pass: per-dimension (min, max) via
+    * posexplode + map-side-combined min/max (the shuffle carries
+    * dim × partitions rows, not data); the dim-sized stats are
+    * bounded driver metadata folded into literal arrays. Encode packs
+    * each vector to `array<tinyint>` — one BYTE per dimension, the 4×
+    * (vs int) / 8× (vs double) compression that lets the flat scan's
+    * working set shrink accordingly at 100 TB. Scoring is asymmetric
+    * (uncompressed query against on-the-fly affine reconstruction —
+    * the ADC idea without codebooks), shortlists through the bounded
+    * TopKAgg, and exact-re-ranks only the shortlist. SQ8 compresses
+    * the scan rather than pruning it — compose with IVF cells when
+    * pruning is also wanted.
+    */
+  /** One corpus pass of per-dimension (min, span/255) train stats —
+    * dim-sized bounded driver metadata.
+    */
+  private def sq8Train(corpus: DataFrame): (Array[Double], Array[Double]) = {
+    val stats = corpus.select(posexplode($"qv").as(Seq("d", "v")))
+      .groupBy($"d").agg(min($"v").as("mn"), max($"v").as("mx"))
+      .orderBy($"d").collect()
+    (stats.map(_.getLong(1).toDouble),
+      stats.map(r => (r.getLong(2) - r.getLong(1)).toDouble / 255.0))
+  }
+
+  /** The SQ8-encoded corpus: `(vid, codes array<tinyint>)` — one BYTE
+    * per dimension, shifted so code − 128 ∈ [−128, 127]. The
+    * persistable artifact a production index stores alongside the
+    * dim-sized (min, delta) stats.
+    */
+  def sq8Encode(corpus: DataFrame): DataFrame = {
+    val (mn, dl) = sq8Train(corpus)
+    sq8EncodeWith(corpus, mn, dl)
+  }
+
+  private def sq8EncodeWith(corpus: DataFrame, mn: Array[Double],
+      dl: Array[Double]): DataFrame = {
+    val mnA = array(mn.map(lit): _*)
+    val dlA = array(dl.map(lit): _*)
+    corpus.select($"vid",
+      transform($"qv", (v, i) =>
+        when(element_at(dlA, i + 1) === 0d, lit(-128))
+          .otherwise(round((v.cast("double") - element_at(mnA, i + 1)) /
+            element_at(dlA, i + 1)) - 128)
+          .cast("tinyint")).as("codes"))
+  }
+
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, topK: Int,
+      shortlistFactor: Int = 4): DataFrame = {
+    val (mn, dl) = sq8Train(corpus)
+    val mnA = array(mn.map(lit): _*)
+    val dlA = array(dl.map(lit): _*)
+    val enc = sq8EncodeWith(corpus, mn, dl)
+    val q = broadcast(queries.select($"vid".as("q_vid"), $"qv".as("q_qv")))
+    val recon = transform($"codes", (c, i) =>
+      element_at(mnA, i + 1) +
+        (c.cast("double") + 128d) * element_at(dlA, i + 1))
+    // query norm is per-query constant — ranking needs dot / ‖x̂‖ only
+    val scored = enc.join(q, $"q_vid" =!= $"vid")
+      .withColumn("rv", recon)
+      .withColumn("rn", sqrt(aggregate(transform($"rv", x => x * x),
+        lit(0d), (a, x) => a + x)))
+      .select($"q_vid".as("query_id"), $"vid".as("cand_id"),
+        when($"rn" === 0d, lit(Double.NaN))
+          .otherwise(aggregate(zip_with($"q_qv", $"rv", (a, b) => a * b),
+            lit(0d), (a, x) => a + x) / $"rn").as("cos"))
+    Pq.rerankExact(rankTopK(scored, topK * shortlistFactor),
+      queries, corpus, topK)
+  }
+
   /** Each row's single nearest neighbor (argmax cosine) — the
     * embedding near-dup primitive. Exact, via a tiled block
     * cross-join: every vector gets a block id (`vid % nBlocks`), the

@@ -601,6 +601,19 @@ object Pipeline {
       Pipeline.annRecallAudit(approx, queries, corpus, minRecall = 0.25)
     },
 
+    // SQ8 scalar quantization: per-dimension 8-bit affine codes
+    // (array<tinyint> — one byte per dim), asymmetric reconstruct-
+    // and-score scan, exact re-rank of the shortlist. Fine-grained
+    // per-dim quantization loses far less than PQ's codebooks, so the
+    // audit holds a much higher floor than q91/q92's 0.25.
+    "q194_ann_sq8" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
+      val queries = corpus.filter($"vid" < 500)
+      val approx = Similarity.sq8TopK(queries, corpus, topK = 5)
+      Pipeline.annRecallAudit(approx, queries, corpus, minRecall = 0.8)
+    },
+
     // Language-ID heuristic: confusion counts vs the labeled lang.
     "q37_text_langid" -> { (s, dir) =>
       import s.implicits._
@@ -3780,6 +3793,12 @@ object Pipeline {
         |FROM embeddings""".stripMargin,
 
     "q92_ann_ivfpq" ->
+      """SELECT least(count(*), 500) AS n_queries,
+        | least(count(*), 500) * 5 AS n_truth,
+        | TRUE AS recall_in_bound
+        |FROM embeddings""".stripMargin,
+
+    "q194_ann_sq8" ->
       """SELECT least(count(*), 500) AS n_queries,
         | least(count(*), 500) * 5 AS n_truth,
         | TRUE AS recall_in_bound
