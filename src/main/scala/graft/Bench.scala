@@ -110,6 +110,10 @@ object Bench {
       if (s0.contains('.')) s0.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s0
     }
+    // last-resort width: whole seconds ("2", "0") — ~8 chars/query
+    // keeps even a 250-query line inside the recorded tail; sub-second
+    // resolution lives in docs/bench_detail.json regardless
+    def rt0(v: Double): String = if (v < 0) "-1" else f"$v%.0f"
     def renderQs(fmt: Double => String): String = results
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_').drop(1) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -123,7 +127,11 @@ object Bench {
     // timings always land in docs/bench_detail.json)
     val line = {
       val l2 = render(rt)
-      if (l2.length <= 1900) l2 else render(rt1)
+      if (l2.length <= 1900) l2
+      else {
+        val l1 = render(rt1)
+        if (l1.length <= 1900) l1 else render(rt0)
+      }
     }
     // load context: 1-min loadavg before/after the run — the round-9
     // bisect traced a +26% cross-round total swing to machine/session
