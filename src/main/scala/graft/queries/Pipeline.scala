@@ -2326,6 +2326,56 @@ object Pipeline {
         .orderBy($"a", $"b")
     },
 
+    // STREAMING CLIP-FINGERPRINT INDEX — the media-dedup member of
+    // the streaming index matrix (BM25 q166, IVF q177, PQ q180, clips
+    // here): the q192 clip corpus arrives in three micro-batches (one
+    // RE-DELIVERED mid-sequence — the batchlog must no-op it), each
+    // committed through the staged deterministic-rename sink into a
+    // band-partitioned postings tree; the probe's inverted-index pair
+    // join then CANNOT tell how the index was fed — its output is
+    // q192's, and the oracle is q192's closed form verbatim.
+    "q195_stream_clip_index" -> { (s, dir) =>
+      import s.implicits._
+      val clips = Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 1)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val grp = id / 16
+          val mbW = 2 + (grp % 3).toInt
+          val mbH = 1 + (grp % 3).toInt
+          val off = ((id / 4) % 3).toInt
+          val len = 4 + (id % 3).toInt
+          val annexB = graft.operators.H264.synthesizeH264Inter(mbW, mbH, 8, grp)
+          val mp4 = graft.operators.Multimodal.synthesizeMp4Avc1(
+            annexB, 16 * mbW, 16 * mbH, 1000, 40)
+          graft.operators.Multimodal.mp4FrameFingerprints(mp4) match {
+            case Some(fps) =>
+              fps.slice(off, off + len).toSeq.map(h => (id, h))
+            case None => Seq((id, -1L))
+          }
+        }).toDF("vid", "fhash").localCheckpoint()
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-clip-str").toString
+      try {
+        import graft.streaming.StreamingIndex
+        val applied = Seq(
+          StreamingIndex.applyClipBatch(
+            clips.filter($"vid" % 3 === 0), idxDir, batchId = 0),
+          StreamingIndex.applyClipBatch(
+            clips.filter($"vid" % 3 === 1), idxDir, batchId = 1),
+          StreamingIndex.applyClipBatch( // crash-replay of batch 1
+            clips.filter($"vid" % 3 === 1), idxDir, batchId = 1),
+          StreamingIndex.applyClipBatch(
+            clips.filter($"vid" % 3 === 2), idxDir, batchId = 2))
+        require(applied == Seq(true, true, false, true),
+          s"clip batchlog idempotence violated: $applied")
+        StreamingIndex.probeClipPairs(s, idxDir)
+          .select($"a", $"b", $"n_shared", ($"n_shared" >= 3).as("near_dup"))
+          .orderBy($"a", $"b")
+          .localCheckpoint() // materialize before the index dir is removed
+      } finally Pipeline.rmTree(new java.io.File(idxDir))
+    },
+
     // AUDIO CLIP-LEVEL DEDUP — q192's design ported to the audio
     // modality: every 4 docs are clips cut from one source FLAC
     // (grp = id/16 seeds the q158 recipe), each clip a [off, off+len)
@@ -5666,6 +5716,23 @@ object Pipeline {
         |  CAST(lv.n_levels AS BIGINT) AS n_levels
         |FROM d JOIN lv ON lv.id = d.id
         |ORDER BY doc_id""".stripMargin,
+
+    // q195 probes the streamed index over the SAME clip corpus as
+    // q192, so the closed form is identical
+    "q195_stream_clip_index" ->
+      """WITH c AS (SELECT doc_id AS id, doc_id // 16 AS grp,
+        |    CAST((doc_id // 4) % 3 AS INTEGER) AS off,
+        |    CAST(4 + doc_id % 3 AS INTEGER) AS len
+        |  FROM documents WHERE doc_id % 4 = 1)
+        |SELECT x.id AS a, y.id AS b,
+        |  CAST(LEAST(x.off + x.len, y.off + y.len)
+        |    - GREATEST(x.off, y.off) AS BIGINT) AS n_shared,
+        |  (LEAST(x.off + x.len, y.off + y.len)
+        |    - GREATEST(x.off, y.off)) >= 3 AS near_dup
+        |FROM c x JOIN c y ON x.grp = y.grp AND x.id < y.id
+        |WHERE LEAST(x.off + x.len, y.off + y.len)
+        |  - GREATEST(x.off, y.off) > 0
+        |ORDER BY a, b""".stripMargin,
 
     // audio clip pairs: the same window-overlap closed form as q192
     // on the mod-4 = 2 id class

@@ -260,4 +260,77 @@ object StreamingIndex {
         ()
       }
       .start()
+
+  /** Apply one micro-batch of clip frame fingerprints
+    * (`vid`, `fhash` — the `Multimodal.mp4FrameFingerprints` /
+    * `Flac.flacFrameFingerprints` shape) to a persisted
+    * clip-fingerprint index, idempotently by `batchId` — the media-
+    * dedup member of the streaming index matrix. The index is a flat
+    * postings tree partitioned by a 64-way fingerprint band
+    * (`fb = fhash band`), so probes prune to bands and the pair join
+    * shuffles band-aligned postings, and every batch goes through the
+    * same staged deterministic-rename commit as IVF/PQ — no training
+    * stage, so even the FIRST batch is a staged append and the
+    * crash-before-marker window is closed everywhere.
+    */
+  def applyClipBatch(batch: DataFrame, dir: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val logPath = s"$dir/batchlog"
+    val fs = new org.apache.hadoop.fs.Path(logPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
+        !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
+      return false
+    }
+    val applied =
+      if (batch.isEmpty) false
+      else {
+        val postings = new org.apache.hadoop.fs.Path(s"$dir/postings")
+        val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
+        sweepBatchFiles(fs, postings, batchId)
+        batch.select($"vid", $"fhash",
+            pmod($"fhash", lit(64)).cast("int").as("fb"))
+          .write.mode("overwrite").partitionBy("fb")
+          .parquet(staging.toString)
+        commitStaged(fs, staging, postings, batchId)
+        true
+      }
+    Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    applied
+  }
+
+  /** All clip pairs sharing at least `minShared` frame fingerprints,
+    * from the persisted postings: an inverted-index self-join on
+    * (band, fingerprint) — candidates appear only where content
+    * repeats, fanout per fingerprint bounded by a source's clip
+    * count, never all-pairs over clips. Returns (a, b, n_shared)
+    * with a < b.
+    */
+  def probeClipPairs(spark: org.apache.spark.sql.SparkSession, dir: String,
+      minShared: Long = 1L): DataFrame = {
+    import spark.implicits._
+    val post = spark.read.parquet(s"$dir/postings")
+    post.as("x")
+      .join(post.as("y"),
+        col("x.fb") === col("y.fb") && col("x.fhash") === col("y.fhash") &&
+          col("x.vid") < col("y.vid"))
+      .groupBy(col("x.vid").as("a"), col("y.vid").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+  }
+
+  /** foreachBatch sink: keep a persisted clip-fingerprint index
+    * current from a (vid, fhash) stream.
+    */
+  def clipIndexSink(fps: DataFrame, dir: String,
+      checkpoint: String): StreamingQuery =
+    fps.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyClipBatch(batch, dir, batchId)
+        ()
+      }
+      .start()
 }

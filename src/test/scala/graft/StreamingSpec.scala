@@ -1284,6 +1284,60 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq == vids)
   }
 
+  test("streaming clip-fingerprint index: multi-trigger stream == one-shot postings") {
+    import graft.streaming.StreamingIndex
+    import java.nio.file.{Files => JFiles, Paths}
+    import spark.implicits._
+    // 12 clips over 3 sources; clip c of source s carries frames
+    // [c % 3, c % 3 + 4) of that source — fingerprints are synthetic
+    // (source*100 + frame); the real decode path is q192/q195's gate
+    val clips = (0 until 12).flatMap { c =>
+      val src = c / 4
+      (c % 3 until c % 3 + 4).map(f => (c.toLong, src * 100L + f))
+    }.toDF("vid", "fhash").cache()
+    val dir = JFiles.createTempDirectory("graft-clipdocs").toString
+    clips.repartition(3).write.mode("overwrite").parquet(dir)
+    val files = JFiles.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    assert(files.length >= 2)
+    files.zipWithIndex.foreach { case (f, i) =>
+      JFiles.setLastModifiedTime(Paths.get(f),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val streamed = JFiles.createTempDirectory("graft-clipstr").toString
+    val ckpt = JFiles.createTempDirectory("graft-clipck").toString
+    val stream = spark.readStream.schema(clips.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamingIndex.clipIndexSink(stream, streamed, ckpt)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(s"$streamed/batchlog").count() >= 2)
+    def pairs(d: String) = StreamingIndex.probeClipPairs(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: the window-overlap arithmetic, computed directly
+    val want = (for {
+      a <- 0 until 12; b <- a + 1 until 12 if a / 4 == b / 4
+      sh = math.min(a % 3, b % 3) + 4 - math.max(a % 3, b % 3)
+      if sh > 0
+    } yield (a.toLong, b.toLong, sh.toLong)).toSet
+    assert(want.nonEmpty)
+    assert(pairs(streamed) == want,
+      "stream-maintained clip index must report exact window overlaps")
+    // re-delivered batch id is a no-op
+    assert(!StreamingIndex.applyClipBatch(clips.limit(5), streamed, 0))
+    assert(pairs(streamed) == want)
+    // crash-before-marker replay converges to exactly one copy
+    val dir2 = JFiles.createTempDirectory("graft-clipcrash").toString
+    assert(StreamingIndex.applyClipBatch(clips.filter($"vid" < 6), dir2, 0))
+    assert(StreamingIndex.applyClipBatch(clips.filter($"vid" >= 6), dir2, 1))
+    val n = spark.read.parquet(s"$dir2/postings").count()
+    val survivors = spark.read.parquet(s"$dir2/batchlog")
+      .filter($"batch_id" =!= 1L).collect().map(_.getLong(0)).toSeq
+    survivors.toDF("batch_id").write.mode("overwrite").parquet(s"$dir2/batchlog")
+    assert(StreamingIndex.applyClipBatch(clips.filter($"vid" >= 6), dir2, 1))
+    assert(spark.read.parquet(s"$dir2/postings").count() == n,
+      "replay must converge to exactly one copy of the batch's postings")
+  }
+
   test("streaming BM25 index maintenance: multi-trigger stream == batch build") {
     import graft.operators.Retrieval
     import graft.streaming.StreamingIndex
