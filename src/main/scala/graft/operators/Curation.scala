@@ -43,6 +43,41 @@ object Curation {
       evalMod: Long = 97L): DataFrame =
     stages(docs, lang, n, evalMod).last._2
 
+  /** Leakage-safe train/validation split: near-duplicate documents
+    * must land on the SAME side, or the held-out set silently overlaps
+    * training data through paraphrase-level copies — the internal twin
+    * of the external-benchmark decontamination [[Dedup
+    * .contaminationScan]] guards. Assignment is per-CLUSTER, not
+    * per-document: docs cluster by n-gram-Jaccard connected components
+    * ([[Dedup.ngramJaccardPairs]] → [[Dedup.clusterReps]]), singletons
+    * are their own cluster, and the side is a DETERMINISTIC modular
+    * hash of the cluster representative — reproducible run-to-run,
+    * engine-exact for the oracle (no `rand()`), and uniform enough for
+    * an 80/20 split because reps are arbitrary doc ids. Returns
+    * (doc_id, rep, side) for every input document.
+    *
+    * Scale shape: the pair generation is the banded-LSH/prefix-filter
+    * path (never all-pairs), label propagation is the q44/q105
+    * min-label loop whose per-round join is exchange-free, and the
+    * final assignment is one broadcast-free left join on doc id plus a
+    * narrow hash — nothing here is quadratic or driver-bound.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, trainPct: Int = 80): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+    val reps = Dedup.clusterReps(pairs) // (doc, cluster_rep) — clustered docs only
+    docs.select(col(idCol).as("doc"))
+      .join(reps, Seq("doc"), "left")
+      .select($"doc".as("doc_id"), coalesce($"cluster_rep", $"doc").as("rep"))
+      // LCG-style modular hash, exact in int64 (rep folded below 2^20
+      // first so the multiply cannot overflow) — identical arithmetic
+      // runs in the DuckDB oracle
+      .withColumn("side",
+        when((($"rep" % 1000003L) * 1103515245L + 12345L) % 1000L <
+            lit(trainPct * 10L), lit("train"))
+          .otherwise(lit("valid")))
+  }
+
   /** Stage-by-stage audit counts: (stage, stage_name, n), computed in
     * ONE job. `observe()` checkpoints on the raw→lang→quality→dedup
     * chain feed the left side of the final anti-join; the single

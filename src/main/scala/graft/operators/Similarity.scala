@@ -103,6 +103,12 @@ object Similarity {
     sq8EncodeWith(corpus, mn, dl)
   }
 
+  /** Codes SATURATE at the byte range (the standard scalar-quantizer
+    * clamp): training over the full corpus never hits it, but a
+    * frozen-stats delta append ([[appendSq8Index]]) may see values
+    * outside the trained [min, max] — those clamp to the boundary
+    * code instead of overflowing the tinyint cast.
+    */
   private def sq8EncodeWith(corpus: DataFrame, mn: Array[Double],
       dl: Array[Double]): DataFrame = {
     val mnA = array(mn.map(lit): _*)
@@ -110,23 +116,27 @@ object Similarity {
     corpus.select($"vid",
       transform($"qv", (v, i) =>
         when(element_at(dlA, i + 1) === 0d, lit(-128))
-          .otherwise(round((v.cast("double") - element_at(mnA, i + 1)) /
-            element_at(dlA, i + 1)) - 128)
+          .otherwise(least(greatest(
+            round((v.cast("double") - element_at(mnA, i + 1)) /
+              element_at(dlA, i + 1)) - 128, lit(-128d)), lit(127d)))
           .cast("tinyint")).as("codes"))
   }
 
-  def sq8TopK(queries: DataFrame, corpus: DataFrame, topK: Int,
-      shortlistFactor: Int = 4): DataFrame = {
-    val (mn, dl) = sq8Train(corpus)
+  /** Asymmetric SQ8 scan: uncompressed broadcast queries against the
+    * on-the-fly affine reconstruction of `enc` (vid, codes) under
+    * frozen (mn, dl) stats — shared by the in-memory [[sq8TopK]] and
+    * the persisted-index probe [[sq8ProbeIndexed]]. Query norm is a
+    * per-query constant, so ranking needs dot / ‖x̂‖ only.
+    */
+  private def sq8Scan(enc: DataFrame, queries: DataFrame,
+      mn: Array[Double], dl: Array[Double]): DataFrame = {
     val mnA = array(mn.map(lit): _*)
     val dlA = array(dl.map(lit): _*)
-    val enc = sq8EncodeWith(corpus, mn, dl)
     val q = broadcast(queries.select($"vid".as("q_vid"), $"qv".as("q_qv")))
     val recon = transform($"codes", (c, i) =>
       element_at(mnA, i + 1) +
         (c.cast("double") + 128d) * element_at(dlA, i + 1))
-    // query norm is per-query constant — ranking needs dot / ‖x̂‖ only
-    val scored = enc.join(q, $"q_vid" =!= $"vid")
+    enc.join(q, $"q_vid" =!= $"vid")
       .withColumn("rv", recon)
       .withColumn("rn", sqrt(aggregate(transform($"rv", x => x * x),
         lit(0d), (a, x) => a + x)))
@@ -134,8 +144,80 @@ object Similarity {
         when($"rn" === 0d, lit(Double.NaN))
           .otherwise(aggregate(zip_with($"q_qv", $"rv", (a, b) => a * b),
             lit(0d), (a, x) => a + x) / $"rn").as("cos"))
-    Pq.rerankExact(rankTopK(scored, topK * shortlistFactor),
+  }
+
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, topK: Int,
+      shortlistFactor: Int = 4): DataFrame = {
+    val (mn, dl) = sq8Train(corpus)
+    val enc = sq8EncodeWith(corpus, mn, dl)
+    Pq.rerankExact(
+      rankTopK(sq8Scan(enc, queries, mn, dl), topK * shortlistFactor),
       queries, corpus, topK)
+  }
+
+  /** PERSISTED SQ8 index — per-dimension affine stats are statistics
+    * you train once (the q116/q147/q148 persisted-index story):
+    * `build` trains the dim-sized (min, span/255) stats and writes
+    * stats + byte codes + raw vectors (kept for the exact re-rank);
+    * `append` encodes a delta against the FROZEN stats (delta-sized
+    * writes, no retrain — encoding is a deterministic per-dimension
+    * affine map given the stats, so append ≡ encode-union,
+    * SimilaritySpec's pin); `probe` folds the stats back into literal
+    * arrays and runs the asymmetric compressed scan → exact shortlist
+    * re-rank from the persisted tables alone. The byte-codes table is
+    * the only corpus-sized scan — 1 byte/dim instead of raw width,
+    * which is the entire point at 100 TB.
+    */
+  def buildSq8Index(corpus: DataFrame, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    val (mn, dl) = sq8Train(corpus)
+    // the index owns its quantization layout (the meta principle of
+    // buildPqIndex): append and probe read the stats back, so no
+    // caller threads them through and a drifted re-train can't
+    // silently mis-decode old codes
+    spark.createDataFrame(mn.indices.map(i => (i, mn(i), dl(i))))
+      .toDF("d", "mn", "dl")
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    sq8EncodeWith(corpus, mn, dl).write.mode("overwrite").parquet(s"$dir/codes")
+    corpus.select($"vid", $"qv", $"nrm")
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  /** Read back the dim-sized frozen (min, delta) stats of a persisted
+    * SQ8 index — bounded driver metadata, like [[Pq]]'s indexMeta.
+    */
+  private def sq8IndexStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Array[Double], Array[Double]) = {
+    val rows = spark.read.parquet(s"$dir/stats").orderBy($"d").collect()
+    (rows.map(_.getAs[Double]("mn")), rows.map(_.getAs[Double]("dl")))
+  }
+
+  /** Frozen-stats delta append — same staging contract as
+    * [[Pq.appendPqIndex]]: with `stagingPath` unset the delta appends
+    * in place (batch path, caller owns exactly-once); with it set the
+    * delta is written THERE (mode overwrite — replay-safe) under the
+    * same `codes`/`vectors` subdirs, for the deterministic-rename
+    * commit of [[graft.streaming.StreamingIndex.applySq8Batch]].
+    */
+  def appendSq8Index(spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame, dir: String,
+      stagingPath: Option[String] = None): Unit = {
+    val (mn, dl) = sq8IndexStats(spark, dir)
+    val (root, mode) =
+      (stagingPath.getOrElse(dir), if (stagingPath.isDefined) "overwrite" else "append")
+    sq8EncodeWith(delta, mn, dl).write.mode(mode).parquet(s"$root/codes")
+    delta.select($"vid", $"qv", $"nrm")
+      .write.mode(mode).parquet(s"$root/vectors")
+  }
+
+  def sq8ProbeIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, topK: Int, shortlistFactor: Int = 4): DataFrame = {
+    val (mn, dl) = sq8IndexStats(spark, dir)
+    val enc = spark.read.parquet(s"$dir/codes")
+    val vectors = spark.read.parquet(s"$dir/vectors")
+    Pq.rerankExact(
+      rankTopK(sq8Scan(enc, queries, mn, dl), topK * shortlistFactor),
+      queries, vectors, topK)
   }
 
   /** 1-bit binary-signature ANN — the extreme end of the quantization

@@ -579,6 +579,41 @@ object Pipeline {
       } finally Pipeline.rmTree(new java.io.File(idxDir))
     },
 
+    // STREAMING SQ8 index maintenance — the scalar-quantization member
+    // of the streaming matrix (BM25 q166, IVF q177, PQ q180, clips
+    // q195): a vector stream feeds the persisted SQ8 index through the
+    // idempotent staged-commit sink (first batch trains the per-dim
+    // affine stats, later ones frozen-stats delta-encode), with one
+    // batch RE-DELIVERED mid-sequence that the batchlog must no-op.
+    // Probe + recall audit identical to q194's in-memory form — the
+    // probe cannot tell how the index was fed, and SQ8's fine-grained
+    // quantization holds the family's highest recall floor (0.8).
+    "q197_stream_sq8_index" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-sq8-str").toString
+      try {
+        import graft.streaming.StreamingIndex
+        val applied = Seq(
+          StreamingIndex.applySq8Batch(
+            corpus.filter($"vid" % 4 < 2), idxDir, batchId = 0),
+          StreamingIndex.applySq8Batch(
+            corpus.filter($"vid" % 4 === 2), idxDir, batchId = 1),
+          StreamingIndex.applySq8Batch( // crash-replay of batch 1
+            corpus.filter($"vid" % 4 === 2), idxDir, batchId = 1),
+          StreamingIndex.applySq8Batch(
+            corpus.filter($"vid" % 4 === 3), idxDir, batchId = 2))
+        require(applied == Seq(true, true, false, true),
+          s"sq8 batchlog idempotence violated: $applied")
+        val approx = Similarity.sq8ProbeIndexed(s, idxDir,
+          corpus.filter($"vid" < 500), topK = 5)
+        Pipeline.annRecallAudit(
+          approx, corpus.filter($"vid" < 500), corpus, minRecall = 0.8)
+          .localCheckpoint() // materialize before the index dir is removed
+      } finally Pipeline.rmTree(new java.io.File(idxDir))
+    },
+
     // Product-quantization ANN: per-subspace trained codebooks, 8-code
     // encoded corpus, ADC table-lookup scoring — gated by the same
     // recall-vs-brute-force audit as q36/q42.
@@ -2644,6 +2679,45 @@ object Pipeline {
         .orderBy($"stage")
     },
 
+    // Corpus-trained bigram LM scoring — the perplexity-filter stage
+    // of a quality funnel (CCNet/Gopher style): add-one smoothed
+    // inverse conditional probability per bigram occurrence, summed
+    // per doc, all in exact int64 fixed point (the BM25 rational
+    // posture — a float log would differ in the last ulp between
+    // engines). High scores = surprising token streams.
+    "q198_bigram_lm_score" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.LangModel.bigramSurprisal(
+          Tables(s, dir).documents, "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+
+    // Leakage-safe train/validation split: near-dup cluster members
+    // land on the SAME side (cluster by n-gram-Jaccard connected
+    // components, assign by a deterministic modular hash of the
+    // cluster rep). The internal twin of benchmark decontamination —
+    // a per-doc random split leaks paraphrase copies across the
+    // boundary; this one provably cannot.
+    "q199_leakage_safe_split" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Curation.leakageSafeSplit(
+          Tables(s, dir).documents, "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+
+    // Stupid-backoff LM scoring of a held-out slice (doc_id % 5 == 0)
+    // under a model trained on the rest — the deployment shape of a
+    // perplexity filter, with the backoff path live (unseen bigrams
+    // exist only across the split). α = 2/5 kept rational; all int64.
+    "q200_stupid_backoff" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      graft.operators.LangModel.stupidBackoffSurprisal(
+          docs.filter($"doc_id" % 5 =!= 0), docs.filter($"doc_id" % 5 === 0),
+          "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+
     // Weighted sampling per source (sequential Poisson / priority
     // sampling): 5 docs per source with inclusion probability scaling
     // with n_chars. Priorities are pure-arithmetic + one correctly-
@@ -3355,6 +3429,84 @@ object Pipeline {
         |    (SELECT count(*) FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM bad)))
         |ORDER BY stage""".stripMargin,
 
+    // exact fixed-point recompute of the add-one bigram surprisal:
+    // every step is int64 (// on integer operands is floor division —
+    // the q170 oracle lesson), so this matches Spark bit-for-bit
+    "q198_bigram_lm_score" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |uni AS (SELECT count(DISTINCT u) AS v
+        |        FROM (SELECT unnest(t) AS u FROM tok)),
+        |bi AS (SELECT doc_id, t[i.g] AS w1, t[i.g+1] AS w2
+        |       FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS g) i),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |sc AS (SELECT b.doc_id,
+        |         (1000000 * (c1.c1 + uni.v)) // (c12.c12 + 1) AS term_fp
+        |       FROM bi b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        |       CROSS JOIN uni)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(term_fp) AS BIGINT) AS surprise_fp,
+        |  CAST(sum(term_fp) // count(*) AS BIGINT) AS avg_surprise_fp
+        |FROM sc GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // both branches exact int64; LEFT joins carry the unseen-bigram
+    // signal; same floor-division discipline as q198
+    "q200_stupid_backoff" ->
+      """WITH tr AS (SELECT doc_id, string_split(text,' ') AS t
+        |           FROM documents WHERE doc_id % 5 <> 0),
+        |sc AS (SELECT doc_id, string_split(text,' ') AS t
+        |       FROM documents WHERE doc_id % 5 = 0),
+        |uniT AS (SELECT unnest(t) AS u FROM tr),
+        |st AS (SELECT count(*) AS tt, count(DISTINCT u) AS v FROM uniT),
+        |cw AS (SELECT u AS w2, count(*) AS cw FROM uniT GROUP BY 1),
+        |biT AS (SELECT t[i.g] AS w1, t[i.g+1] AS w2
+        |        FROM tr, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS g) i),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM biT GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM biT GROUP BY 1),
+        |biS AS (SELECT doc_id, t[i.g] AS w1, t[i.g+1] AS w2
+        |        FROM sc, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS g) i),
+        |terms AS (SELECT b.doc_id,
+        |    CASE WHEN c12.c12 IS NOT NULL THEN (1000000 * c1.c1) // c12.c12
+        |      ELSE (1000000 * 5 * (st.tt + st.v)) // (2 * (coalesce(cw.cw, 0) + 1))
+        |    END AS term_fp
+        |  FROM biS b LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+        |  LEFT JOIN cw USING (w2) CROSS JOIN st)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(term_fp) AS BIGINT) AS surprise_fp,
+        |  CAST(sum(term_fp) // count(*) AS BIGINT) AS avg_surprise_fp
+        |FROM terms GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // q44's recursive closure supplies the cluster reps; singletons
+    // fall back to their own id; the side is the same exact modular
+    // hash Spark computes — near-dup pairs cannot cross the split
+    "q199_leakage_safe_split" ->
+      """WITH RECURSIVE sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
+        |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM inter
+        |          JOIN sizes sa ON a = sa.doc_id
+        |          JOIN sizes sb ON b = sb.doc_id
+        |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |walk(doc, lbl) AS (
+        |  SELECT DISTINCT x, x FROM edges
+        |  UNION
+        |  SELECT e.x, w.lbl FROM edges e JOIN walk w ON e.y = w.doc
+        |),
+        |reps AS (SELECT doc, min(lbl) AS cluster_rep FROM walk GROUP BY doc)
+        |SELECT d.doc_id, coalesce(r.cluster_rep, d.doc_id) AS rep,
+        |  CASE WHEN ((coalesce(r.cluster_rep, d.doc_id) % 1000003)
+        |      * 1103515245 + 12345) % 1000 < 800
+        |    THEN 'train' ELSE 'valid' END AS side
+        |FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc
+        |ORDER BY doc_id""".stripMargin,
+
     "q80_unicode_nfc" ->
       """SELECT doc_id,
         | length(text || ' caf' || chr(101) || chr(769)) AS len_raw,
@@ -3844,6 +3996,12 @@ object Pipeline {
         |FROM embeddings""".stripMargin,
 
     "q180_stream_pq_index" ->
+      """SELECT least(count(*), 500) AS n_queries,
+        | least(count(*), 500) * 5 AS n_truth,
+        | TRUE AS recall_in_bound
+        |FROM embeddings""".stripMargin,
+
+    "q197_stream_sq8_index" ->
       """SELECT least(count(*), 500) AS n_queries,
         | least(count(*), 500) * 5 AS n_truth,
         | TRUE AS recall_in_bound

@@ -233,6 +233,65 @@ object StreamingIndex {
     applied
   }
 
+  /** Apply one micro-batch of prepared vectors to a persisted SQ8
+    * index directory ([[graft.operators.Similarity.buildSq8Index]]
+    * layout), idempotently by `batchId` — the scalar-quantization
+    * member of the streaming index matrix (BM25 / IVF / PQ / clips /
+    * SQ8). First batch trains the per-dimension affine stats (all
+    * overwrite writes — replay-safe); later batches encode against
+    * the FROZEN stats and append delta files to `codes` and `vectors`
+    * through the same staged deterministic-rename commit as
+    * [[applyPqBatch]], so the crash-before-marker window is closed.
+    */
+  def applySq8Batch(batch: DataFrame, dir: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val logPath = s"$dir/batchlog"
+    val fs = new org.apache.hadoop.fs.Path(logPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
+        !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
+      return false
+    }
+    val applied =
+      if (batch.isEmpty) false
+      else {
+        val hasIndex =
+          fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats"))
+        if (hasIndex) {
+          val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
+          Seq("codes", "vectors").foreach { sub =>
+            sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
+          }
+          // append reads the recorded affine stats from the index
+          graft.operators.Similarity.appendSq8Index(spark, batch, dir,
+            stagingPath = Some(staging.toString))
+          Seq("codes", "vectors").foreach { sub =>
+            commitStaged(fs, new org.apache.hadoop.fs.Path(staging, sub),
+              new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
+          }
+          fs.delete(staging, true)
+        } else graft.operators.Similarity.buildSq8Index(batch, dir)
+        true
+      }
+    Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    applied
+  }
+
+  /** foreachBatch sink: keep a persisted SQ8 index current from a
+    * vector stream.
+    */
+  def sq8IndexSink(vecs: DataFrame, dir: String,
+      checkpoint: String): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applySq8Batch(batch, dir, batchId)
+        ()
+      }
+      .start()
+
   /** foreachBatch sink: keep a persisted PQ index current from a
     * vector stream.
     */

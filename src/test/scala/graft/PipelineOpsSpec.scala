@@ -5,6 +5,97 @@ import org.apache.spark.sql.functions._
 
 class PipelineOpsSpec extends SparkSpec {
 
+  test("bigram LM surprisal matches a driver-side recompute; rare bigrams score higher") {
+    import spark.implicits._
+    import graft.operators.LangModel
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the dog sat on the mat"),
+      (4L, "zyx qwv"), // every bigram unseen elsewhere
+      (5L, "one")      // no bigram — must be absent
+    ).toDF("doc_id", "text")
+    val got = LangModel.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // driver-side model
+    val toks = Map(1L -> "the cat sat on the mat", 2L -> "the cat sat on the mat",
+      3L -> "the dog sat on the mat", 4L -> "zyx qwv", 5L -> "one")
+      .view.mapValues(_.split(" ").toSeq).toMap
+    val bis = toks.toSeq.flatMap { case (id, t) =>
+      t.zip(t.drop(1)).map(p => (id, p)) }
+    val c12 = bis.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c1 = bis.groupBy(_._2._1).view.mapValues(_.size.toLong).toMap
+    val v = toks.values.flatten.toSet.size.toLong
+    val want = bis.groupBy(_._1).map { case (id, bs) =>
+      val terms = bs.map { case (_, p) =>
+        1000000L * (c1(p._1) + v) / (c12(p) + 1) }
+      id -> (bs.size.toLong, terms.sum, terms.sum / bs.size)
+    }
+    assert(got == want)
+    assert(!got.contains(5L), "a 1-token doc has no bigram evidence")
+    // doc 4's bigram is unique (c12=1) with a rare context — it must
+    // out-score the replicated docs on the per-bigram average
+    assert(got(4L)._3 > got(1L)._3)
+  }
+
+  test("stupid backoff: seen bigrams use MLE, unseen back off to add-one unigrams") {
+    import spark.implicits._
+    import graft.operators.LangModel
+    val train = Seq((1L, "a b c a b"), (2L, "b c d")).toDF("doc_id", "text")
+    // doc 10 mixes seen bigrams (a b, b c) with unseen ones through a
+    // KNOWN word (b x, x c); doc 11 is entirely unseen words
+    val score = Seq((10L, "a b x c"), (11L, "zz yy")).toDF("doc_id", "text")
+    val got = LangModel.stupidBackoffSurprisal(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // driver-side mirror
+    val trainToks = Seq("a b c a b", "b c d").map(_.split(" ").toSeq)
+    val biT = trainToks.flatMap(t => t.zip(t.drop(1)))
+    val c12 = biT.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = biT.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val uni = trainToks.flatten
+    val cw = uni.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (tt, v) = (uni.size.toLong, uni.distinct.size.toLong)
+    def term(p: (String, String)): Long =
+      if (c12.contains(p)) 1000000L * c1(p._1) / c12(p)
+      else 1000000L * 5L * (tt + v) / (2L * (cw.getOrElse(p._2, 0L) + 1L))
+    val want = Map(10L -> "a b x c", 11L -> "zz yy").map { case (id, txt) =>
+      val t = txt.split(" ").toSeq
+      val terms = t.zip(t.drop(1)).map(term)
+      id -> (terms.size.toLong, terms.sum, terms.sum / terms.size)
+    }
+    assert(got == want)
+    // the all-unseen doc is the most surprising per bigram
+    assert(got(11L)._3 > got(10L)._3)
+  }
+
+  test("leakage-safe split: near-dup pairs never cross sides; total, deterministic") {
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup}
+    val docs = Tables(spark, sf).documents.cache()
+    val split = Curation.leakageSafeSplit(docs, "doc_id", "text").cache()
+    // total: every doc exactly once
+    assert(split.count() == docs.count())
+    assert(split.select("doc_id").distinct().count() == docs.count())
+    // both sides non-empty at this SF and ~80/20 by cluster hash
+    val bySide = split.groupBy($"side").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySide.keySet == Set("train", "valid"), s"$bySide")
+    // the property the operator exists for: no near-dup pair crosses
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val sides = split.select($"doc_id", $"side")
+    val crossers = pairs
+      .join(sides.toDF("a", "side_a"), Seq("a"))
+      .join(sides.toDF("b", "side_b"), Seq("b"))
+      .filter($"side_a" =!= $"side_b").count()
+    assert(crossers == 0L, "a near-dup pair crossed the split")
+    // deterministic under repartitioning (no rand() anywhere)
+    val again = Curation.leakageSafeSplit(docs.repartition(13), "doc_id", "text")
+    assert(again.orderBy($"doc_id").collect().toSeq ==
+      split.orderBy($"doc_id").collect().toSeq)
+  }
+
   test("weighted sample: deterministic, k per group, weight-monotone inclusion") {
     import spark.implicits._
     val docs = Tables(spark, sf).documents.cache()

@@ -70,6 +70,57 @@ class SimilaritySpec extends SparkSpec {
     assert(row.length == 64)
   }
 
+  test("persisted SQ8: probe == in-memory scan; frozen-stats append == encoding the union") {
+    import spark.implicits._
+    def probeSet(d: String, q: org.apache.spark.sql.DataFrame) =
+      Similarity.sq8ProbeIndexed(spark, d, q, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val queries = corpus.filter($"vid" < 200)
+    // full-corpus build: the persisted probe answers exactly like the
+    // in-memory sq8TopK (same stats, same scan, same re-rank)
+    val dirF = java.nio.file.Files.createTempDirectory("graft-sq8-f").toString
+    Similarity.buildSq8Index(corpus, dirF)
+    val mem = Similarity.sq8TopK(queries, corpus, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mem.nonEmpty)
+    assert(probeSet(dirF, queries) == mem,
+      "persisted probe must equal the in-memory SQ8 path")
+    // append with frozen stats == one-shot encode of the union under
+    // the SAME stats (encoding is a deterministic affine map)
+    val dirA = java.nio.file.Files.createTempDirectory("graft-sq8-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-sq8-b").toString
+    val half1 = corpus.filter($"vid" % 2 === 0)
+    val half2 = corpus.filter($"vid" % 2 =!= 0)
+    Similarity.buildSq8Index(half1, dirA)
+    Similarity.appendSq8Index(spark, half2, dirA)
+    spark.read.parquet(s"$dirA/stats")
+      .write.mode("overwrite").parquet(s"$dirB/stats")
+    Similarity.appendSq8Index(spark, half1.unionAll(half2), dirB)
+    assert(probeSet(dirA, queries) == probeSet(dirB, queries),
+      "refresh path must equal one-shot encode")
+    assert(probeSet(dirA, queries).nonEmpty)
+  }
+
+  test("SQ8 frozen-stats append saturates out-of-range values instead of overflowing") {
+    import spark.implicits._
+    val train = Similarity.prepare(
+      Seq((1L, Array(0f, 0.1f)), (2L, Array(0.05f, 0.2f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    // way outside the trained [min, max] on both dims, both directions
+    val delta = Similarity.prepare(
+      Seq((3L, Array(5f, -7f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8-sat").toString
+    Similarity.buildSq8Index(train, dir)
+    Similarity.appendSq8Index(spark, delta, dir) // must not throw (ANSI cast)
+    val codes = spark.read.parquet(s"$dir/codes")
+      .filter($"vid" === 3L).select("codes").head.getSeq[Byte](0)
+    assert(codes == Seq[Byte](127, -128),
+      s"out-of-range values must clamp to the boundary codes, got $codes")
+    // the saturated member still probes (reconstructs to the boundary)
+    assert(Similarity.sq8ProbeIndexed(spark, dir, train, topK = 1).count() > 0)
+  }
+
   test("binary signatures: recall well above chance; Hamming-identical vectors rank first") {
     val truth = Similarity.bruteForceTopK(corpus, corpus, 5)
       .select("query_id", "neighbor_id").collect()

@@ -1235,6 +1235,67 @@ class StreamingSpec extends SparkSpec {
     assert(probe(streamed) == want)
   }
 
+  test("streaming SQ8 index maintenance: stream == build+append with same first batch") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamingIndex
+    import java.nio.file.{Files => JFiles, Paths}
+    import spark.implicits._
+    val corpus = Similarity.prepare(
+      Tables(spark, sf).embeddings, "vec_id", "embedding").cache()
+    val dir = JFiles.createTempDirectory("graft-sq8docs").toString
+    corpus.repartition(3).write.mode("overwrite").parquet(dir)
+    val files = JFiles.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    assert(files.length >= 2)
+    files.zipWithIndex.foreach { case (f, i) =>
+      JFiles.setLastModifiedTime(Paths.get(f),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val streamed = JFiles.createTempDirectory("graft-sq8str").toString
+    val ckpt = JFiles.createTempDirectory("graft-sq8ck").toString
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamingIndex.sq8IndexSink(stream, streamed, ckpt)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(s"$streamed/batchlog").count() >= 2)
+    val b0 = spark.read.parquet(files.head)
+    val rest = corpus.as("c").join(b0.select("vid"), Seq("vid"), "left_anti")
+    val ref = JFiles.createTempDirectory("graft-sq8ref").toString
+    Similarity.buildSq8Index(b0, ref)
+    Similarity.appendSq8Index(spark, rest, ref)
+    val queries = corpus.limit(50).cache()
+    def probe(d: String) =
+      Similarity.sq8ProbeIndexed(spark, d, queries, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = probe(ref)
+    assert(want.nonEmpty)
+    assert(probe(streamed) == want,
+      "stream-maintained SQ8 index must answer probes like build+append")
+    // re-delivered batch id is a no-op
+    assert(!StreamingIndex.applySq8Batch(corpus.limit(5), streamed, 0))
+    assert(probe(streamed) == want)
+  }
+
+  test("SQ8 staged commit: replay after crash-before-marker leaves exactly one copy") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamingIndex
+    import spark.implicits._
+    val corpus = Similarity.prepare(
+      Tables(spark, sf).embeddings, "vec_id", "embedding").cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8crash").toString
+    assert(StreamingIndex.applySq8Batch(corpus.filter($"vid" % 2 === 0), dir, 0))
+    assert(StreamingIndex.applySq8Batch(corpus.filter($"vid" % 2 =!= 0), dir, 1))
+    def counts() = (spark.read.parquet(s"$dir/codes").count(),
+      spark.read.parquet(s"$dir/vectors").count())
+    val n = counts()
+    val survivors = spark.read.parquet(s"$dir/batchlog")
+      .filter($"batch_id" =!= 1L).collect().map(_.getLong(0)).toSeq
+    survivors.toDF("batch_id").write.mode("overwrite").parquet(s"$dir/batchlog")
+    assert(StreamingIndex.applySq8Batch(corpus.filter($"vid" % 2 =!= 0), dir, 1))
+    assert(counts() == n,
+      "replay must converge to exactly one copy in codes AND vectors")
+  }
+
   test("PQ staged commit: replay after crash-before-marker leaves exactly one copy") {
     import graft.operators.Similarity
     import graft.streaming.StreamingIndex
