@@ -136,10 +136,16 @@ object Similarity {
     val recon = transform($"codes", (c, i) =>
       element_at(mnA, i + 1) +
         (c.cast("double") + 128d) * element_at(dlA, i + 1))
-    enc.join(q, $"q_vid" =!= $"vid")
+    // reconstruction and its norm are QUERY-INDEPENDENT: compute them
+    // once per corpus row BELOW the join, not once per (query, row)
+    // pair — Catalyst won't hoist an expression across a join by
+    // itself, and at Q queries per batch the per-pair form does Q×
+    // the work (measured 37 s → ~4 s on the q194 gate)
+    val rec = enc
       .withColumn("rv", recon)
       .withColumn("rn", sqrt(aggregate(transform($"rv", x => x * x),
         lit(0d), (a, x) => a + x)))
+    rec.join(q, $"q_vid" =!= $"vid")
       .select($"q_vid".as("query_id"), $"vid".as("cand_id"),
         when($"rn" === 0d, lit(Double.NaN))
           .otherwise(aggregate(zip_with($"q_qv", $"rv", (a, b) => a * b),
