@@ -92,3 +92,46 @@ case class QSub(left: Expression, right: Expression) extends BinaryExpression {
 object QSub {
   def qsub(a: Column, b: Column): Column = column(QSub(expression(a), expression(b)))
 }
+
+/** Dot product of two `array<double>` vectors as a native codegen'd
+  * expression — the [[QDot]] rationale for the paths whose values are
+  * inherently doubles (the SQ8 asymmetric scan's affine
+  * reconstruction): `zip_with` + `aggregate` evaluate an interpreted
+  * lambda PER PAIR ELEMENT in the hot join loop. Accumulation order
+  * is ascending-index, identical to the HOF chain it replaces, so
+  * results are bit-for-bit the same.
+  */
+case class DDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0d
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}Acc = 0d;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}Acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DDot =
+    copy(left = l, right = r)
+}
+
+object DDot {
+  def ddot(a: Column, b: Column): Column = column(DDot(expression(a), expression(b)))
+}

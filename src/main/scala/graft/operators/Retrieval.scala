@@ -805,6 +805,43 @@ object Retrieval {
     }.toDF("query_id", "doc_id", "sel_rank")
   }
 
+  /** Positional phrase search — exact phrase-occurrence counts per
+    * (document, phrase) through the positional inverted index, the way
+    * a search engine actually answers quoted queries (NOT a substring
+    * scan: token-boundary-exact, and counts OVERLAPPING occurrences,
+    * which a split-by-separator recount provably misses).
+    *
+    * The alignment trick: a posting (doc, pos, term) matching phrase
+    * offset `off` votes for candidate start `pos − off`; a start is a
+    * real occurrence iff ALL phrase offsets voted —
+    * `countDistinct(off) == phrase length` (duplicate tokens inside
+    * the phrase are handled exactly: each true start collects every
+    * offset, false starts stay short). One broadcast join prunes the
+    * postings stream to phrase terms (human-scale query side), then
+    * two key-partitioned aggregations on narrow rows; nothing scales
+    * with corpus × phrases beyond matched postings.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[(Long, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val post = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+    val pq = phrases.toDF("phrase_id", "phrase")
+      .select($"phrase_id",
+        posexplode(split($"phrase", " ")).as(Seq("off", "pterm")))
+    val plen = phrases.map { case (id, p) => (id, p.split(" ").length.toLong) }
+      .toDF("phrase_id", "plen")
+    post.join(broadcast(pq), $"term" === $"pterm")
+      .select($"doc_id", $"phrase_id", ($"pos" - $"off").as("start"), $"off")
+      .groupBy($"doc_id", $"phrase_id", $"start")
+      .agg(countDistinct($"off").as("k"))
+      .join(broadcast(plen), Seq("phrase_id"))
+      .filter($"k" === $"plen")
+      .groupBy($"doc_id", $"phrase_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Shared k-bounded ranking tail: TopKAgg per group + posexplode to
     * 1-based ranks. Scores must be exactly representable as doubles
     * (all callers keep |score| < 2^53); ties break doc_id-ascending,

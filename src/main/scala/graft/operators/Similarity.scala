@@ -132,7 +132,6 @@ object Similarity {
       mn: Array[Double], dl: Array[Double]): DataFrame = {
     val mnA = array(mn.map(lit): _*)
     val dlA = array(dl.map(lit): _*)
-    val q = broadcast(queries.select($"vid".as("q_vid"), $"qv".as("q_qv")))
     val recon = transform($"codes", (c, i) =>
       element_at(mnA, i + 1) +
         (c.cast("double") + 128d) * element_at(dlA, i + 1))
@@ -140,16 +139,20 @@ object Similarity {
     // once per corpus row BELOW the join, not once per (query, row)
     // pair — Catalyst won't hoist an expression across a join by
     // itself, and at Q queries per batch the per-pair form does Q×
-    // the work (measured 37 s → ~4 s on the q194 gate)
+    // the work (measured 37 s → ~8 s on the q194 gate). The per-pair
+    // dot itself runs as the codegen'd DDot, not an interpreted HOF
+    // lambda (the QDot rationale); queries pre-cast to double once on
+    // the broadcast side.
+    import graft.functions.DDot.ddot
     val rec = enc
       .withColumn("rv", recon)
-      .withColumn("rn", sqrt(aggregate(transform($"rv", x => x * x),
-        lit(0d), (a, x) => a + x)))
-    rec.join(q, $"q_vid" =!= $"vid")
+      .withColumn("rn", sqrt(ddot($"rv", $"rv")))
+    val qd = broadcast(queries.select($"vid".as("q_vid"),
+      transform($"qv", _.cast("double")).as("q_dv")))
+    rec.join(qd, $"q_vid" =!= $"vid")
       .select($"q_vid".as("query_id"), $"vid".as("cand_id"),
         when($"rn" === 0d, lit(Double.NaN))
-          .otherwise(aggregate(zip_with($"q_qv", $"rv", (a, b) => a * b),
-            lit(0d), (a, x) => a + x) / $"rn").as("cos"))
+          .otherwise(ddot($"q_dv", $"rv") / $"rn").as("cos"))
   }
 
   def sq8TopK(queries: DataFrame, corpus: DataFrame, topK: Int,

@@ -2705,6 +2705,30 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // Positional phrase search: exact (overlap-correct) phrase
+    // occurrence counts per doc through the positional inverted
+    // index — the quoted-query primitive of the retrieval stack.
+    "q202_phrase_search" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Retrieval.phraseSearch(Tables(s, dir).documents,
+          "doc_id", "text",
+          Seq(1L -> "table hash", 2L -> "merge group",
+            3L -> "stream table hash", 4L -> "row column sort"))
+        .orderBy($"doc_id", $"phrase_id")
+    },
+
+    // Deequ-style one-pass ingest profile: per-column completeness,
+    // exact cardinality, bounds, decimal-exact money sums, and the
+    // constraint verdicts a loader gates on — computed in ONE agg
+    // over the pruned scan (see operators/Profiling.scala scaladoc
+    // for the countDistinct-vs-HLL scale note).
+    "q201_data_profile" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Profiling.numericProfile(Tables(s, dir).lineitem,
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy($"col_name")
+    },
+
     // Stupid-backoff LM scoring of a held-out slice (doc_id % 5 == 0)
     // under a model trained on the rest — the deployment shape of a
     // perplexity filter, with the backoff path live (unseen bigrams
@@ -3449,6 +3473,64 @@ object Pipeline {
         |  CAST(sum(term_fp) // count(*) AS BIGINT) AS avg_surprise_fp
         |FROM sc GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // identical alignment construction in SQL: postings join phrase
+    // offsets, candidate start = pos - off, full-offset starts count
+    "q202_phrase_search" ->
+      """WITH ph(phrase_id, phrase) AS (VALUES
+        |  (1, 'table hash'), (2, 'merge group'),
+        |  (3, 'stream table hash'), (4, 'row column sort')),
+        |phq AS (SELECT CAST(phrase_id AS BIGINT) AS phrase_id,
+        |          p[i.g] AS pterm, i.g - 1 AS off, len(p) AS plen
+        |        FROM (SELECT phrase_id, string_split(phrase,' ') AS p FROM ph),
+        |        LATERAL (SELECT unnest(generate_series(1, len(p))) AS g) i),
+        |posts AS (SELECT doc_id, i.g - 1 AS pos, t[i.g] AS term
+        |          FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |          LATERAL (SELECT unnest(generate_series(1, len(t))) AS g) i),
+        |hits AS (SELECT p.doc_id, q.phrase_id, p.pos - q.off AS start,
+        |           max(q.plen) AS plen, count(DISTINCT q.off) AS k
+        |         FROM posts p JOIN phq q ON p.term = q.pterm
+        |         GROUP BY 1, 2, 3)
+        |SELECT doc_id, phrase_id, count(*) AS n_occurrences
+        |FROM hits WHERE k = plen
+        |GROUP BY 1, 2
+        |ORDER BY doc_id, phrase_id""".stripMargin,
+
+    // per-column stats recomputed independently; sums go through
+    // DECIMAL(18,2) before the double cast (the Parity convention)
+    "q201_data_profile" ->
+      """WITH s AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nu,
+        |  count(DISTINCT l_quantity) AS q_nd,
+        |  CAST(min(l_quantity) AS DOUBLE) AS q_mn,
+        |  CAST(max(l_quantity) AS DOUBLE) AS q_mx,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q_sm,
+        |  sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS e_nu,
+        |  count(DISTINCT l_extendedprice) AS e_nd,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS e_mn,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS e_mx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS e_sm,
+        |  sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS d_nu,
+        |  count(DISTINCT l_discount) AS d_nd,
+        |  CAST(min(l_discount) AS DOUBLE) AS d_mn,
+        |  CAST(max(l_discount) AS DOUBLE) AS d_mx,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS d_sm,
+        |  sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS t_nu,
+        |  count(DISTINCT l_tax) AS t_nd,
+        |  CAST(min(l_tax) AS DOUBLE) AS t_mn,
+        |  CAST(max(l_tax) AS DOUBLE) AS t_mx,
+        |  CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS t_sm
+        |FROM lineitem)
+        |SELECT col_name, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,
+        |  n_distinct, min_d, max_d, sum_d,
+        |  n_nulls = 0 AS complete, min_d >= 0 AS non_negative
+        |FROM (
+        |  SELECT 'l_quantity' AS col_name, n AS n_rows, q_nu AS n_nulls,
+        |    q_nd AS n_distinct, q_mn AS min_d, q_mx AS max_d, q_sm AS sum_d FROM s
+        |  UNION ALL SELECT 'l_extendedprice', n, e_nu, e_nd, e_mn, e_mx, e_sm FROM s
+        |  UNION ALL SELECT 'l_discount', n, d_nu, d_nd, d_mn, d_mx, d_sm FROM s
+        |  UNION ALL SELECT 'l_tax', n, t_nu, t_nd, t_mn, t_mx, t_sm FROM s)
+        |ORDER BY col_name""".stripMargin,
 
     // both branches exact int64; LEFT joins carry the unseen-bigram
     // signal; same floor-division discipline as q198

@@ -58,6 +58,22 @@ class InterpretedParitySpec extends SparkSpec {
     assert(compiled.forall(_.getAs[Long]("cms_est") >= 0L))
   }
 
+  test("DDot matches the HOF dot chain and agrees across eval modes") {
+    import graft.functions.DDot
+    val df = Tables(spark, sf).embeddings.limit(200)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+      .cache()
+    def build = df.select($"vec_id",
+        DDot.ddot($"v", $"v").as("dd"),
+        aggregate(zip_with($"v", $"v", (a, b) => a * b),
+          lit(0d), (a, x) => a + x).as("hof"))
+      .orderBy($"vec_id")
+    val (compiled, interpreted) = bothModes(build)
+    assert(compiled == interpreted)
+    // ascending-index accumulation: bit-identical to the HOF chain
+    assert(compiled.forall(r => r.getDouble(1) == r.getDouble(2)))
+  }
+
   test("QDot and the sketch expressions agree across eval modes") {
     val docs = Tables(spark, sf).documents.limit(100).cache()
     def build = docs.select($"doc_id",

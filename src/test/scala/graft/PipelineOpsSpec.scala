@@ -39,6 +39,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(4L)._3 > got(1L)._3)
   }
 
+  test("numeric profile: nulls, distincts, bounds, exact sums, constraint verdicts") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, -2.5), (1.0, 3.5), (null, 0.0)).toDF("a", "b")
+    val got = Profiling.numericProfile(df, Seq("a", "b"))
+      .orderBy($"col_name").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6),
+          r.getBoolean(7), r.getBoolean(8))).toSeq
+    assert(got == Seq(
+      ("a", 3L, 1L, 1L, 1.0, 1.0, 2.0, false, true),
+      ("b", 3L, 0L, 3L, -2.5, 3.5, 1.0, true, false)))
+  }
+
   test("stupid backoff: seen bigrams use MLE, unseen back off to add-one unigrams") {
     import spark.implicits._
     import graft.operators.LangModel

@@ -13,6 +13,19 @@ class RetrievalSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("phrase search: overlap-correct counts, duplicate-token phrases, boundary-exact") {
+    val docs = docsDF(
+      1L -> "a a a b",     // "a a" occurs at starts 0 AND 1 (overlap)
+      2L -> "x a a y a a", // two disjoint occurrences
+      3L -> "a b a",       // "a b a" itself; no "a a"
+      4L -> "aa ab")       // substring trap: no TOKEN phrase matches
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text",
+        Seq(1L -> "a a", 2L -> "a b a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 2L, 1L)),
+      s"got $got")
+  }
+
   test("hashed vectors drop zero-length tokens from ragged whitespace") {
     import spark.implicits._
     // "alpha  beta" (double space) splits into ["alpha", "", "beta"]:
