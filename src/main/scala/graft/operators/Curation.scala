@@ -56,16 +56,18 @@ object Curation {
     * an 80/20 split because reps are arbitrary doc ids. Returns
     * (doc_id, rep, side) for every input document.
     *
-    * Scale shape: the pair generation is the banded-LSH/prefix-filter
-    * path (never all-pairs), label propagation is the q44/q105
-    * min-label loop whose per-round join is exchange-free, and the
-    * final assignment is one broadcast-free left join on doc id plus a
-    * narrow hash — nothing here is quadratic or driver-bound.
+    * Scale shape: clustering runs COLLAPSE-FIRST
+    * ([[Dedup.collapsedClusterReps]] — output-identical to the direct
+    * q44 pipeline by its oracle): exact-dup groups collapse before the
+    * pair join, so a replicated web corpus costs pairs over UNIQUE
+    * contents, not d² over copies (the q125-vs-q44 lesson at sf10).
+    * Label propagation is the min-label loop whose per-round join is
+    * exchange-free; the final assignment is one left join on doc id
+    * plus a narrow hash — nothing quadratic or driver-bound.
     */
   def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, trainPct: Int = 80): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(docs, idCol, textCol, n, threshold)
-    val reps = Dedup.clusterReps(pairs) // (doc, cluster_rep) — clustered docs only
+    val reps = Dedup.collapsedClusterReps(docs, idCol, textCol, n, threshold)
     docs.select(col(idCol).as("doc"))
       .join(reps, Seq("doc"), "left")
       .select($"doc".as("doc_id"), coalesce($"cluster_rep", $"doc").as("rep"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.syntax._
 
@@ -25,34 +25,50 @@ import graft.syntax._
   * for a FILTER that ranks outliers first, that bias is the useful
   * direction.)
   *
-  * Scale shape: bigrams are built per-row with `zip_with` over two
-  * `slice`s of the token array — narrow, no shuffle, no join to
-  * reassemble positions. Training is two hash aggregations on the
-  * exploded bigram stream (map-side combined; keys are (w1,w2) and
-  * w1). Scoring joins the per-occurrence stream back to the two count
-  * tables on their natural keys — vocabulary-bounded equi-joins, the
-  * postings shape of BM25, nothing broadcast except the 1-row corpus
-  * stats. Every stage is linear in corpus tokens.
+  * Scale shape — COLLAPSE-FIRST, exactly (the q124/q125 rewrite,
+  * applied internally because it is output-identical here): counts
+  * and scores are pure functions of CONTENT, so the corpus first
+  * collapses to unique texts with multiplicities, training counts are
+  * multiplicity-weighted sums, each unique text is scored once, and
+  * documents inherit their text's score through one equality join —
+  * a 100×-replicated web corpus costs bigram work proportional to
+  * UNIQUE content (measured: the direct form scaled ~6×/decade at
+  * sf10 on the replicated frame; the collapsed form follows unique
+  * bytes). Bigrams build narrowly per row with `zip_with` over two
+  * `slice`s (no positional self-join); training is two
+  * map-side-combined hash aggregations; scoring joins the unique-text
+  * occurrence stream to the two count tables on their natural keys —
+  * vocabulary-bounded equi-joins, nothing broadcast except the 1-row
+  * stats frame.
   */
 object LangModel {
 
   private val Scale = 1000000L
 
-  /** The exploded per-occurrence bigram stream: (doc_id, w1, w2),
-    * one row per ADJACENT token pair occurrence. Docs with fewer than
-    * two tokens contribute nothing (and are absent from scores —
-    * a bigram model has no evidence on them either way).
+  /** The exploded per-occurrence bigram stream over `src`:
+    * (k, w, w1, w2) — one row per ADJACENT token pair occurrence of
+    * each row's text, carrying the row's key and weight. Rows with
+    * fewer than two tokens contribute nothing (a bigram model has no
+    * evidence on them either way).
     */
-  private def bigrams(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+  private def bigramsOf(src: DataFrame, keyCol: String, textCol: String,
+      w: Column): DataFrame =
+    src.select(col(keyCol).as("k"), w.as("w"),
         split(col(textCol), " ").as("toks"))
-      .select($"doc_id",
+      .select($"k", $"w",
         explode(zip_with(
           slice($"toks", lit(1), greatest(size($"toks") - 1, lit(0))),
           slice($"toks", lit(2), greatest(size($"toks") - 1, lit(0))),
           (x, y) => struct(x.as("w1"), y.as("w2")))).as("bi"))
-      .select($"doc_id", $"bi.w1", $"bi.w2")
+      .select($"k", $"w", $"bi.w1", $"bi.w2")
+
+  /** Unique texts with multiplicities: (txt, nc). Grouping is by the
+    * text VALUE (no hash-collision exposure; the shuffle carries each
+    * distinct text once per upstream partition thanks to the partial
+    * aggregate).
+    */
+  private def collapse(docs: DataFrame, textCol: String): DataFrame =
+    docs.groupBy(col(textCol).as("txt")).agg(count(lit(1)).as("nc"))
 
   /** Per-document bigram surprisal under the corpus-trained add-one
     * model: (doc_id, n_bigrams, surprise_fp, avg_surprise_fp), with
@@ -64,21 +80,27 @@ object LangModel {
     */
   def bigramSurprisal(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val bi = bigrams(docs, idCol, textCol)
-    val c12 = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-    val c1 = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val groups = collapse(docs, textCol)
+    val bi = bigramsOf(groups, "txt", "txt", $"nc")
+    // corpus counts = multiplicity-weighted sums over unique texts
+    val c12 = bi.groupBy($"w1", $"w2").agg(sum($"w").as("c12"))
+    val c1 = bi.groupBy($"w1").agg(sum($"w").as("c1"))
     // corpus vocabulary over ALL token occurrences (not just bigram
-    // firsts): the add-one mass covers every token the corpus knows
-    val vocab = docs.select(explode(split(col(textCol), " ")).as("t"))
+    // firsts): the add-one mass covers every token the corpus knows;
+    // distinctness ignores multiplicity, so unique texts suffice
+    val vocab = groups.select(explode(split($"txt", " ")).as("t"))
       .agg(countDistinct($"t").as("v"))
-    bi.join(c12, Seq("w1", "w2"))
+    val perText = bi
+      .join(c12, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select($"doc_id",
+      .select($"k",
         expr(s"(${Scale}L * (c1 + v)) div (c12 + 1)").as("term_fp"))
-      .groupBy($"doc_id")
+      .groupBy($"k")
       .agg(count(lit(1)).as("n_bigrams"),
         sum($"term_fp").as("surprise_fp"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("k"))
+      .join(perText, Seq("k"))
       .select($"doc_id", $"n_bigrams", $"surprise_fp",
         expr("surprise_fp div n_bigrams").as("avg_surprise_fp"))
   }
@@ -101,32 +123,37 @@ object LangModel {
     * At gate scales `SCALE·5·(T+V)` is far inside int64; past ~10^11
     * training tokens drop SCALE a decade to keep it there.
     *
-    * Scale shape: three shuffle equi-joins of the scored occurrence
-    * stream against vocabulary-bounded count tables (left joins —
-    * misses ARE the signal), one broadcast 1-row stats frame; linear
-    * in scored tokens, training-side cost is [[bigramSurprisal]]'s.
+    * Scale shape: both sides collapse to unique texts (training
+    * counts weighted by multiplicity, scored texts scored once and
+    * fanned back out); three shuffle equi-joins of the unique scored
+    * occurrence stream against vocabulary-bounded count tables (LEFT
+    * joins — misses ARE the signal), one broadcast 1-row stats frame.
     */
   def stupidBackoffSurprisal(train: DataFrame, score: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val biT = bigrams(train, idCol, textCol)
-    val c12 = biT.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-    val c1 = biT.groupBy($"w1").agg(count(lit(1)).as("c1"))
-    val uniT = train.select(explode(split(col(textCol), " ")).as("t"))
-    val cw = uniT.groupBy($"t").agg(count(lit(1)).as("cw"))
+    val trainG = collapse(train, textCol)
+    val biT = bigramsOf(trainG, "txt", "txt", $"nc")
+    val c12 = biT.groupBy($"w1", $"w2").agg(sum($"w").as("c12"))
+    val c1 = biT.groupBy($"w1").agg(sum($"w").as("c1"))
+    val uniT = trainG.select($"nc", explode(split($"txt", " ")).as("t"))
+    val cw = uniT.groupBy($"t").agg(sum($"nc").as("cw"))
       .select($"t".as("w2"), $"cw")
-    val stats = uniT.agg(count(lit(1)).as("tt"), countDistinct($"t").as("v"))
-    bigrams(score, idCol, textCol)
+    val stats = uniT.agg(sum($"nc").as("tt"), countDistinct($"t").as("v"))
+    val scoreG = collapse(score, textCol)
+    val perText = bigramsOf(scoreG, "txt", "txt", $"nc")
       .join(c12, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .join(cw, Seq("w2"), "left")
       .crossJoin(broadcast(stats))
-      .select($"doc_id", expr(
+      .select($"k", expr(
         s"""CASE WHEN c12 IS NOT NULL THEN (${Scale}L * c1) div c12
            |ELSE (${Scale}L * 5L * (tt + v)) div (2L * (coalesce(cw, 0L) + 1L))
            |END""".stripMargin).as("term_fp"))
-      .groupBy($"doc_id")
+      .groupBy($"k")
       .agg(count(lit(1)).as("n_bigrams"),
         sum($"term_fp").as("surprise_fp"))
+    score.select(col(idCol).as("doc_id"), col(textCol).as("k"))
+      .join(perText, Seq("k"))
       .select($"doc_id", $"n_bigrams", $"surprise_fp",
         expr("surprise_fp div n_bigrams").as("avg_surprise_fp"))
   }
