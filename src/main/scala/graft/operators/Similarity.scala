@@ -229,6 +229,49 @@ object Similarity {
       queries, vectors, topK)
   }
 
+  /** IVF-SQ8 — the composition the [[sq8TopK]] scaladoc promises
+    * (faiss's `IVF…,SQ8` index type): coarse cells PRUNE the scan to
+    * `nProbe` cells per query, SQ8 byte codes COMPRESS what the scan
+    * reads (1 byte/dim), the asymmetric reconstruct-and-score runs
+    * only over probed members, and the exact re-rank touches just the
+    * shortlist. Codes quantize the RAW vectors with global per-dim
+    * stats (the faiss `by_residual=false` variant — residual encoding
+    * would compose with per-cell stats like [[Pq.ivfAdcTopK]] does for
+    * codebooks; raw keeps one stats table and the encode
+    * cell-independent, which is what lets the SAME persisted codes
+    * serve flat and IVF probes). Reconstruction + norm hoist below
+    * the cell join (once per member) and the per-pair dot is the
+    * codegen'd DDot — the two q194 lessons applied from the start.
+    */
+  def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, topK: Int,
+      nProbe: Int = 3, centroidStride: Int = 50, dim: Int = 64,
+      trainIters: Int = 2, shortlistFactor: Int = 4): DataFrame = {
+    import graft.functions.DDot.ddot
+    val quant = quantizerFor(corpus, centroidStride, dim, trainIters)
+    val (mn, dl) = sq8Train(corpus)
+    val mnA = array(mn.map(lit): _*)
+    val dlA = array(dl.map(lit): _*)
+    val recon = transform($"codes", (c, i) =>
+      element_at(mnA, i + 1) +
+        (c.cast("double") + 128d) * element_at(dlA, i + 1))
+    val members = quant.assign(corpus).select($"vid", $"cid")
+      .join(sq8EncodeWith(corpus, mn, dl), Seq("vid"))
+      .withColumn("rv", recon)
+      .withColumn("rn", sqrt(ddot($"rv", $"rv")))
+      .select($"vid".as("m_vid"), $"cid", $"rv", $"rn")
+    val probes = quant.probe(queries, nProbe)
+      .select($"vid".as("q_vid"),
+        transform($"qv", _.cast("double")).as("q_dv"), $"cid")
+    val scored = probes.join(members, Seq("cid"))
+      .filter($"q_vid" =!= $"m_vid")
+      .select($"q_vid".as("query_id"), $"m_vid".as("cand_id"),
+        when($"rn" === 0d, lit(Double.NaN))
+          .otherwise(ddot($"q_dv", $"rv") / $"rn").as("cos"))
+      .distinct() // a member reachable via 2 probed cells scores once
+    Pq.rerankExact(rankTopK(scored, topK * shortlistFactor),
+      queries, corpus, topK)
+  }
+
   /** 1-bit binary-signature ANN — the extreme end of the quantization
     * family (LSH buckets, IVF cells, PQ codebooks, SQ8's byte per
     * dim, and now a single SIGN BIT per dim — the classic binary

@@ -649,6 +649,18 @@ object Pipeline {
       Pipeline.annRecallAudit(approx, queries, corpus, minRecall = 0.8)
     },
 
+    // IVF-SQ8: coarse cells prune the scan, byte codes compress what
+    // it reads, exact re-rank on the shortlist — the faiss IVF…,SQ8
+    // index type. Recall floor follows the IVF probe (q42/q92's
+    // 0.25); SQ8's fine quantization costs almost nothing on top.
+    "q203_ann_ivf_sq8" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
+      val queries = corpus.filter($"vid" < 500)
+      val approx = Similarity.ivfSq8TopK(queries, corpus, topK = 5)
+      Pipeline.annRecallAudit(approx, queries, corpus, minRecall = 0.25)
+    },
+
     // 1-bit binary-signature ANN: per-dim mean-threshold sign bits
     // packed 32-per-word, symmetric popcount-Hamming scan, exact
     // re-rank — the 32×-compressed extreme of the quantization
@@ -4108,6 +4120,12 @@ object Pipeline {
         |FROM embeddings""".stripMargin,
 
     "q196_ann_binary" ->
+      """SELECT least(count(*), 500) AS n_queries,
+        | least(count(*), 500) * 5 AS n_truth,
+        | TRUE AS recall_in_bound
+        |FROM embeddings""".stripMargin,
+
+    "q203_ann_ivf_sq8" ->
       """SELECT least(count(*), 500) AS n_queries,
         | least(count(*), 500) * 5 AS n_truth,
         | TRUE AS recall_in_bound

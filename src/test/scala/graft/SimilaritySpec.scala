@@ -70,6 +70,24 @@ class SimilaritySpec extends SparkSpec {
     assert(row.length == 64)
   }
 
+  test("IVF-SQ8 recall@5 beats chance; SQ8 compression costs little on top of IVF") {
+    val truth = Similarity.bruteForceTopK(corpus, corpus, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val s = df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & s).size.toDouble / truth.size
+    }
+    val ivfSq8 = recallOf(Similarity.ivfSq8TopK(corpus, corpus, topK = 5))
+    val ivf = recallOf(Similarity.ivfTopK(corpus, 5, dim = 64,
+      trainIters = 2, nProbe = 3))
+    assert(ivfSq8 > 0.15, s"ivf-sq8 recall=$ivfSq8")
+    // compression loss is bounded: within 10 recall points of raw IVF
+    // at the same probe width (SQ8 reconstructs to ~0.4% per dim)
+    assert(ivfSq8 >= ivf - 0.10, s"ivf-sq8=$ivfSq8 vs ivf=$ivf")
+  }
+
   test("persisted SQ8: probe == in-memory scan; frozen-stats append == encoding the union") {
     import spark.implicits._
     def probeSet(d: String, q: org.apache.spark.sql.DataFrame) =
