@@ -17,6 +17,56 @@ class PropertySpec extends SparkSpec {
   private def randWords(n: Int): String =
     Seq.fill(n)(("a" + rnd.nextInt(30)).toString).mkString(" ")
 
+  test("bigram surprisal: collapsed pipeline equals the direct per-doc mirror on duplicate-heavy corpora") {
+    import spark.implicits._
+    import graft.operators.LangModel
+    for (round <- 1 to 3) {
+      // heavy duplication ON PURPOSE: 30 docs over 8 unique texts —
+      // the regime the collapse-first rewrite exists for; the mirror
+      // below is the DIRECT (uncollapsed) formulation
+      val uniq = Vector.fill(8)(randWords(2 + rnd.nextInt(10)))
+      val docs = (1L to 30L).map(id => (id, uniq(rnd.nextInt(8))))
+      val got = LangModel.bigramSurprisal(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val bis = toks.toSeq.flatMap { case (id, t) =>
+        t.zip(t.drop(1)).map(p => (id, p)) }
+      val c12 = bis.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val c1 = bis.groupBy(_._2._1).view.mapValues(_.size.toLong).toMap
+      val v = toks.values.flatten.toSet.size.toLong
+      val want = bis.groupBy(_._1).map { case (id, bs) =>
+        val terms = bs.map { case (_, p) =>
+          1000000L * (c1(p._1) + v) / (c12(p) + 1) }
+        id -> (bs.size.toLong, terms.sum, terms.sum / bs.size)
+      }
+      assert(got == want, s"round $round")
+    }
+  }
+
+  test("phrase search equals a naive token-window scan on random corpora") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    for (round <- 1 to 3) {
+      val docs = (1L to 20L).map(id => (id, randWords(1 + rnd.nextInt(15))))
+      val phrases = (1L to 4L).map(pid => (pid, randWords(1 + rnd.nextInt(3))))
+      val got = Retrieval.phraseSearch(
+          docs.toDF("doc_id", "text"), "doc_id", "text", phrases)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (id, t) <- docs
+        toks = t.split(" ").toSeq
+        (pid, p) <- phrases
+        ptoks = p.split(" ").toSeq
+        n = (0 to toks.size - ptoks.size)
+          .count(i => toks.slice(i, i + ptoks.size) == ptoks)
+        if n > 0
+      } yield (id, pid, n.toLong)).toSet
+      assert(got == want, s"round $round")
+    }
+  }
+
   test("sortedIntersectCount equals set intersection on random sorted arrays") {
     for (_ <- 1 to 300) {
       val a = Array.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
