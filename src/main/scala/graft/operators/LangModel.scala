@@ -131,14 +131,37 @@ object LangModel {
     */
   def stupidBackoffSurprisal(train: DataFrame, score: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val trainG = collapse(train, textCol)
-    val biT = bigramsOf(trainG, "txt", "txt", $"nc")
-    val c12 = biT.groupBy($"w1", $"w2").agg(sum($"w").as("c12"))
-    val c1 = biT.groupBy($"w1").agg(sum($"w").as("c1"))
-    val uniT = trainG.select($"nc", explode(split($"txt", " ")).as("t"))
-    val cw = uniT.groupBy($"t").agg(sum($"nc").as("cw"))
+    val (c12, c1, cw) = countsOf(train, textCol)
+    backoffScoreWith(c12, c1, cw, score, idCol, textCol)
+  }
+
+  /** The three count tables of a bigram backoff model over `docs`,
+    * collapse-first and multiplicity-weighted: c12 (w1, w2, c12),
+    * c1 (w1, c1), cw (w2, cw — unigram occurrence counts over ALL
+    * positions; its key set IS the vocabulary, so `T = Σcw` and
+    * `V = |cw|` derive from it and need no separate stats table).
+    */
+  private def countsOf(docs: DataFrame,
+      textCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val g = collapse(docs, textCol)
+    val bi = bigramsOf(g, "txt", "txt", $"nc")
+    val c12 = bi.groupBy($"w1", $"w2").agg(sum($"w").as("c12"))
+    val c1 = bi.groupBy($"w1").agg(sum($"w").as("c1"))
+    val cw = g.select($"nc", explode(split($"txt", " ")).as("t"))
+      .groupBy($"t").agg(sum($"nc").as("cw"))
       .select($"t".as("w2"), $"cw")
-    val stats = uniT.agg(sum($"nc").as("tt"), countDistinct($"t").as("v"))
+    (c12, c1, cw)
+  }
+
+  /** Stupid-backoff scoring against EXPLICIT count frames — shared by
+    * the in-memory path and the persisted incremental model. `T` and
+    * `V` derive from cw (see [[countsOf]]); the scored side collapses
+    * to unique texts and fans back out.
+    */
+  private def backoffScoreWith(c12: DataFrame, c1: DataFrame,
+      cw: DataFrame, score: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val stats = cw.agg(sum($"cw").as("tt"), count(lit(1)).as("v"))
     val scoreG = collapse(score, textCol)
     val perText = bigramsOf(scoreG, "txt", "txt", $"nc")
       .join(c12, Seq("w1", "w2"), "left")
@@ -156,5 +179,49 @@ object LangModel {
       .join(perText, Seq("k"))
       .select($"doc_id", $"n_bigrams", $"surprise_fp",
         expr("surprise_fp div n_bigrams").as("avg_surprise_fp"))
+  }
+
+  /** PERSISTED INCREMENTAL LM — the property that makes a count-based
+    * LM the friendliest index in the whole streaming matrix: counts
+    * are ADDITIVE, so "training" on a new batch is appending that
+    * batch's count rows and "the model" is the by-key SUM of all
+    * segments. No frozen stats, no frozen codebooks, no first-batch
+    * special case — incremental ≡ batch retrain EXACTLY (value-exact,
+    * not recall-bounded), which is why the q204 gate can hold the
+    * q200 oracle verbatim against a model built batch-by-batch.
+    *
+    * Layout: `dir/{c12,c1,cw}` parquet segment files; a probe merges
+    * segments with three map-side-combined sums (segment count is
+    * bounded by compaction in production — the compactBm25Index
+    * posture; probes are merge-identical either way).
+    */
+  def appendLmCounts(spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame, textCol: String, dir: String,
+      stagingPath: Option[String] = None): Unit = {
+    val (c12, c1, cw) = countsOf(delta, textCol)
+    val (root, mode) =
+      (stagingPath.getOrElse(dir), if (stagingPath.isDefined) "overwrite" else "append")
+    c12.write.mode(mode).parquet(s"$root/c12")
+    c1.write.mode(mode).parquet(s"$root/c1")
+    cw.write.mode(mode).parquet(s"$root/cw")
+  }
+
+  /** The merged (c12, c1, cw) of a persisted model directory. */
+  private def lmCounts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    (spark.read.parquet(s"$dir/c12")
+       .groupBy($"w1", $"w2").agg(sum($"c12").as("c12")),
+     spark.read.parquet(s"$dir/c1")
+       .groupBy($"w1").agg(sum($"c1").as("c1")),
+     spark.read.parquet(s"$dir/cw")
+       .groupBy($"w2").agg(sum($"cw").as("cw")))
+  }
+
+  /** Stupid-backoff scoring from the persisted tables alone. */
+  def scoreLmIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, score: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val (c12, c1, cw) = lmCounts(spark, dir)
+    backoffScoreWith(c12, c1, cw, score, idCol, textCol)
   }
 }

@@ -112,6 +112,36 @@ object Pipeline {
       |WHERE rn = 1
       |ORDER BY cluster_rep""".stripMargin
 
+  // exact stupid-backoff recompute over the %5 train/score split —
+  // shared verbatim by q200 (one-shot train) and q204 (streaming
+  // incremental model): counts are additive, so both must produce
+  // bit-identical scores
+  private val stupidBackoffOracle =
+    """WITH tr AS (SELECT doc_id, string_split(text,' ') AS t
+      |           FROM documents WHERE doc_id % 5 <> 0),
+      |sc AS (SELECT doc_id, string_split(text,' ') AS t
+      |       FROM documents WHERE doc_id % 5 = 0),
+      |uniT AS (SELECT unnest(t) AS u FROM tr),
+      |st AS (SELECT count(*) AS tt, count(DISTINCT u) AS v FROM uniT),
+      |cw AS (SELECT u AS w2, count(*) AS cw FROM uniT GROUP BY 1),
+      |biT AS (SELECT t[i.g] AS w1, t[i.g+1] AS w2
+      |        FROM tr, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS g) i),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM biT GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM biT GROUP BY 1),
+      |biS AS (SELECT doc_id, t[i.g] AS w1, t[i.g+1] AS w2
+      |        FROM sc, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS g) i),
+      |terms AS (SELECT b.doc_id,
+      |    CASE WHEN c12.c12 IS NOT NULL THEN (1000000 * c1.c1) // c12.c12
+      |      ELSE (1000000 * 5 * (st.tt + st.v)) // (2 * (coalesce(cw.cw, 0) + 1))
+      |    END AS term_fp
+      |  FROM biS b LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+      |  LEFT JOIN cw USING (w2) CROSS JOIN st)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(term_fp) AS BIGINT) AS surprise_fp,
+      |  CAST(sum(term_fp) // count(*) AS BIGINT) AS avg_surprise_fp
+      |FROM terms GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   private val jaccardOracle =
     """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
       |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
@@ -2729,6 +2759,37 @@ object Pipeline {
         .orderBy($"doc_id", $"phrase_id")
     },
 
+    // STREAMING incremental LM — counts are additive, so a model fed
+    // batch-by-batch (with one batch RE-DELIVERED mid-sequence that
+    // the batchlog must no-op) scores EXACTLY like q200's one-shot
+    // train: this gate holds the q200 oracle VERBATIM — value-exact,
+    // the strongest contract in the streaming index matrix.
+    "q204_stream_lm_model" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val train = docs.filter($"doc_id" % 5 =!= 0)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-lm-str").toString
+      try {
+        import graft.streaming.StreamingIndex
+        val applied = Seq(
+          StreamingIndex.applyLmBatch(
+            train.filter($"doc_id" % 3 === 0), "text", idxDir, batchId = 0),
+          StreamingIndex.applyLmBatch(
+            train.filter($"doc_id" % 3 === 1), "text", idxDir, batchId = 1),
+          StreamingIndex.applyLmBatch( // crash-replay of batch 1
+            train.filter($"doc_id" % 3 === 1), "text", idxDir, batchId = 1),
+          StreamingIndex.applyLmBatch(
+            train.filter($"doc_id" % 3 === 2), "text", idxDir, batchId = 2))
+        require(applied == Seq(true, true, false, true),
+          s"lm batchlog idempotence violated: $applied")
+        graft.operators.LangModel.scoreLmIndexed(s, idxDir,
+            docs.filter($"doc_id" % 5 === 0), "doc_id", "text")
+          .orderBy($"doc_id")
+          .localCheckpoint() // materialize before the model dir is removed
+      } finally Pipeline.rmTree(new java.io.File(idxDir))
+    },
+
     // Deequ-style one-pass ingest profile: per-column completeness,
     // exact cardinality, bounds, decimal-exact money sums, and the
     // constraint verdicts a loader gates on — computed in ONE agg
@@ -3546,31 +3607,13 @@ object Pipeline {
 
     // both branches exact int64; LEFT joins carry the unseen-bigram
     // signal; same floor-division discipline as q198
-    "q200_stupid_backoff" ->
-      """WITH tr AS (SELECT doc_id, string_split(text,' ') AS t
-        |           FROM documents WHERE doc_id % 5 <> 0),
-        |sc AS (SELECT doc_id, string_split(text,' ') AS t
-        |       FROM documents WHERE doc_id % 5 = 0),
-        |uniT AS (SELECT unnest(t) AS u FROM tr),
-        |st AS (SELECT count(*) AS tt, count(DISTINCT u) AS v FROM uniT),
-        |cw AS (SELECT u AS w2, count(*) AS cw FROM uniT GROUP BY 1),
-        |biT AS (SELECT t[i.g] AS w1, t[i.g+1] AS w2
-        |        FROM tr, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS g) i),
-        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM biT GROUP BY 1, 2),
-        |c1 AS (SELECT w1, count(*) AS c1 FROM biT GROUP BY 1),
-        |biS AS (SELECT doc_id, t[i.g] AS w1, t[i.g+1] AS w2
-        |        FROM sc, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS g) i),
-        |terms AS (SELECT b.doc_id,
-        |    CASE WHEN c12.c12 IS NOT NULL THEN (1000000 * c1.c1) // c12.c12
-        |      ELSE (1000000 * 5 * (st.tt + st.v)) // (2 * (coalesce(cw.cw, 0) + 1))
-        |    END AS term_fp
-        |  FROM biS b LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
-        |  LEFT JOIN cw USING (w2) CROSS JOIN st)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  CAST(sum(term_fp) AS BIGINT) AS surprise_fp,
-        |  CAST(sum(term_fp) // count(*) AS BIGINT) AS avg_surprise_fp
-        |FROM terms GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "q200_stupid_backoff" -> stupidBackoffOracle,
+
+    // the SAME oracle, verbatim: a count-additive model built
+    // batch-by-batch (with a re-delivered batch no-op'd) must score
+    // EXACTLY like the one-shot train — incremental ≡ batch is
+    // value-exact here, not recall-bounded
+    "q204_stream_lm_model" -> stupidBackoffOracle,
 
     // q44's recursive closure supplies the cluster reps; singletons
     // fall back to their own id; the side is the same exact modular

@@ -278,6 +278,61 @@ object StreamingIndex {
     applied
   }
 
+  /** Apply one micro-batch of documents to a persisted incremental LM
+    * ([[graft.operators.LangModel.appendLmCounts]] layout),
+    * idempotently by `batchId`. Counts are ADDITIVE, so there is no
+    * training stage and no first-batch special case: EVERY batch goes
+    * through the staged deterministic-rename commit (the
+    * [[applyClipBatch]] shape), the crash-before-marker window is
+    * closed everywhere, and a model fed batch-by-batch scores
+    * EXACTLY like one trained on the union (value-exact — the q204
+    * gate holds the batch oracle verbatim).
+    */
+  def applyLmBatch(batch: DataFrame, textCol: String, dir: String,
+      batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val logPath = s"$dir/batchlog"
+    val fs = new org.apache.hadoop.fs.Path(logPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
+        !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
+      return false
+    }
+    val applied =
+      if (batch.isEmpty) false
+      else {
+        val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
+        Seq("c12", "c1", "cw").foreach { sub =>
+          sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
+        }
+        graft.operators.LangModel.appendLmCounts(spark, batch, textCol, dir,
+          stagingPath = Some(staging.toString))
+        Seq("c12", "c1", "cw").foreach { sub =>
+          commitStaged(fs, new org.apache.hadoop.fs.Path(staging, sub),
+            new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
+        }
+        fs.delete(staging, true)
+        true
+      }
+    Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    applied
+  }
+
+  /** foreachBatch sink: keep a persisted incremental LM current from
+    * a document stream.
+    */
+  def lmCountsSink(docs: DataFrame, textCol: String, dir: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyLmBatch(batch, textCol, dir, batchId)
+        ()
+      }
+      .start()
+
   /** foreachBatch sink: keep a persisted SQ8 index current from a
     * vector stream.
     */

@@ -1276,6 +1276,64 @@ class StreamingSpec extends SparkSpec {
     assert(probe(streamed) == want)
   }
 
+  test("streaming LM counts: multi-trigger stream scores exactly like the one-shot model") {
+    import graft.operators.LangModel
+    import graft.streaming.StreamingIndex
+    import java.nio.file.{Files => JFiles, Paths}
+    import spark.implicits._
+    val docs = Tables(spark, sf).documents
+      .select($"doc_id", $"text").cache()
+    val dir = JFiles.createTempDirectory("graft-lmdocs").toString
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    val files = JFiles.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    assert(files.length >= 2)
+    files.zipWithIndex.foreach { case (f, i) =>
+      JFiles.setLastModifiedTime(Paths.get(f),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val streamed = JFiles.createTempDirectory("graft-lmstr").toString
+    val ckpt = JFiles.createTempDirectory("graft-lmck").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamingIndex.lmCountsSink(stream, "text", streamed, ckpt)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(s"$streamed/batchlog").count() >= 2)
+    val scoreSet = docs.limit(40).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = rows(LangModel.stupidBackoffSurprisal(docs, scoreSet, "doc_id", "text"))
+    assert(want.nonEmpty)
+    assert(rows(LangModel.scoreLmIndexed(spark, streamed, scoreSet, "doc_id", "text")) == want,
+      "stream-accumulated counts must score exactly like one-shot training")
+    // re-delivered batch id is a no-op — scores unchanged
+    assert(!StreamingIndex.applyLmBatch(docs.limit(5), "text", streamed, 0))
+    assert(rows(LangModel.scoreLmIndexed(spark, streamed, scoreSet, "doc_id", "text")) == want)
+  }
+
+  test("LM staged commit: replay after crash-before-marker leaves scores exact") {
+    import graft.operators.LangModel
+    import graft.streaming.StreamingIndex
+    import spark.implicits._
+    val docs = Tables(spark, sf).documents.select($"doc_id", $"text").cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-lmcrash").toString
+    assert(StreamingIndex.applyLmBatch(docs.filter($"doc_id" % 2 === 0), "text", dir, 0))
+    assert(StreamingIndex.applyLmBatch(docs.filter($"doc_id" % 2 =!= 0), "text", dir, 1))
+    val scoreSet = docs.limit(30).cache()
+    def rows() = LangModel.scoreLmIndexed(spark, dir, scoreSet, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = rows()
+    // crash between the count-segment commit and the marker write:
+    // erase batch 1's marker, keep its data, re-deliver — the sweep
+    // must drop the orphaned b1_* segments or counts double
+    val survivors = spark.read.parquet(s"$dir/batchlog")
+      .filter($"batch_id" =!= 1L).collect().map(_.getLong(0)).toSeq
+    survivors.toDF("batch_id").write.mode("overwrite").parquet(s"$dir/batchlog")
+    assert(StreamingIndex.applyLmBatch(docs.filter($"doc_id" % 2 =!= 0), "text", dir, 1))
+    assert(rows() == want,
+      "replay must converge to exactly-once counts (scores unchanged)")
+  }
+
   test("SQ8 staged commit: replay after crash-before-marker leaves exactly one copy") {
     import graft.operators.Similarity
     import graft.streaming.StreamingIndex
