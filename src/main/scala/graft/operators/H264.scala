@@ -2554,6 +2554,392 @@ object H264 {
     out.toArray
   }
 
+  /** §8.4.1.2.2 SPATIAL direct motion derivation over 4x4-granular
+    * block fields — the ONE implementation [[decodeInter]] and the
+    * direct-stream synthesizers share (H264Spec pins it against an
+    * independent reimplementation on richer mixed streams, and the
+    * q206 gate's oracle re-derives the resulting pixels).
+    *
+    * Per list: refIdx = MinPositive over MB neighbors A/B/C (C falls
+    * back to D above-left on UNavailability — the §8.4.1.3 neighbor
+    * rule; a neighbor that merely skips the list contributes its −1).
+    * Both lists negative → directZeroPredictionFlag (refs forced to
+    * 0, all mvs 0). Otherwise each used list's mvp is the plain
+    * 16x16 §8.4.1.3 prediction at the MB corner, and colZeroFlag is
+    * evaluated PER 4x4 BLOCK against the colocated motion field of
+    * refPicList1[0] (this subset's SPS writes
+    * direct_8x8_inference_flag 0, so the colocated granularity is
+    * the 4x4 block itself): the colocated block's L0 motion if its
+    * predFlagL0 is set, else its L1 motion; refIdx 0 with both
+    * |components| ≤ 1 quarter-sample → that 4x4's mv zeroes instead
+    * of taking the mvp. References are all short-term in the
+    * low-delay configuration, so the long-term disqualifier never
+    * fires; an intra colocated picture (`colMvs0 == null`) or block
+    * gives colZeroFlag 0. Returns (use0, use1, mv0 per 0..15 blkIdx,
+    * mv1 per blkIdx), or null to refuse (a derived refIdx > 0 cannot
+    * arise at one active reference per list).
+    */
+  private[graft] def spatialDirect(
+      mvs0: Array[(Int, Int)], refs0: Array[Int],
+      mvs1: Array[(Int, Int)], refs1: Array[Int],
+      done: Array[Boolean], bW: Int, bH: Int, bx: Int, by: Int,
+      colMvs0: Array[(Int, Int)], colRefs0: Array[Int],
+      colMvs1: Array[(Int, Int)], colRefs1: Array[Int]):
+      (Boolean, Boolean, Int => (Int, Int), Int => (Int, Int)) = {
+    def avail(x: Int, y: Int): Int =
+      if (x < 0 || y < 0 || x >= bW || y >= bH || !done(y * bW + x)) -2
+      else y * bW + x
+    val ia = avail(bx - 1, by)
+    val ib = avail(bx, by - 1)
+    val ic = { val c = avail(bx + 4, by - 1)
+      if (c >= 0) c else avail(bx - 1, by - 1) }
+    def minPos(refArr: Array[Int]): Int = {
+      var m = Int.MaxValue
+      Seq(ia, ib, ic).foreach { i =>
+        if (i >= 0 && refArr(i) >= 0 && refArr(i) < m) m = refArr(i)
+      }
+      if (m == Int.MaxValue) -1 else m
+    }
+    val r0 = minPos(refs0)
+    val r1 = minPos(refs1)
+    if (r0 > 0 || r1 > 0) return null
+    val zeroPred = r0 < 0 && r1 < 0
+    val mvp0 =
+      if (!zeroPred && r0 == 0)
+        predictMvPart(mvs0, done, refs0, 0, bW, bH, bx, by, 4, 0)
+      else (0, 0)
+    val mvp1 =
+      if (!zeroPred && r1 == 0)
+        predictMvPart(mvs1, done, refs1, 0, bW, bH, bx, by, 4, 0)
+      else (0, 0)
+    def colZero(blk: Int): Boolean = {
+      if (colMvs0 == null) false
+      else {
+        val i = (by + blk / 4) * bW + bx + blk % 4
+        if (colRefs0(i) >= 0)
+          colRefs0(i) == 0 &&
+            math.abs(colMvs0(i)._1) <= 1 && math.abs(colMvs0(i)._2) <= 1
+        else if (colRefs1(i) >= 0)
+          colRefs1(i) == 0 &&
+            math.abs(colMvs1(i)._1) <= 1 && math.abs(colMvs1(i)._2) <= 1
+        else false
+      }
+    }
+    def mvFor(mvp: (Int, Int)): Int => (Int, Int) = blk =>
+      if (zeroPred || colZero(blk)) (0, 0) else mvp
+    (zeroPred || r0 == 0, zeroPred || r1 == 0, mvFor(mvp0), mvFor(mvp1))
+  }
+
+  /** Whether MB (mbx, my) of direct B frame f is coded as
+    * B_Direct_16x16 (vs part of a B_Skip run) in the all-direct
+    * streams — a mod-3 lattice, so skip runs of varying length
+    * interleave with coded direct MBs.
+    */
+  private[graft] def synthBDirCoded(seed: Long, f: Int, mbx: Int, my: Int): Boolean =
+    (seed + f + mbx + 2L * my) % 3 == 0
+
+  /** ALL-DIRECT B streams (the q206 gate family): IDR I_PCM, one P
+    * frame (whole-frame constant mv, the q169 shape), then B frames
+    * whose every macroblock is B_Skip or B_Direct_16x16 under
+    * `direct_spatial_mv_pred_flag = 1`. The spatial derivation makes
+    * every direct mv ZERO here (first MB: all neighbors unavailable →
+    * directZeroPrediction; later MBs: all neighbors carry refIdx 0
+    * with zero mvs → min-positive 0, median 0; colZeroFlag can only
+    * zero an already-zero mvp), so each B frame reconstructs as the
+    * exact per-pixel average of its two predecessors — the closed
+    * form the DuckDB oracle re-derives — while the decoder still runs
+    * the full §8.4.1.2.2 machinery (neighbor scan, min-positive,
+    * median, colocated lookup) to get there. No residuals, cbp 0.
+    */
+  def synthesizeH264BDirect(mbW: Int, mbH: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    require(nFrames >= 3, "need IDR + P before the first B frame")
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30, maxRefs = 2))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp())
+    appendIPcmIdr(out, mbW, mbH, seed)
+    // frame 1: P, constant mv (multiple of 8), no skips, cbp 0 — the
+    // synthesizeH264BiRes frame-1 shape
+    val qp1 = (8 * (((seed + 1) % 3).toInt - 1), 8 * (((seed + 2) % 3).toInt - 1))
+    locally {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(1, 4)
+      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+      bw.se(0); bw.ue(1)
+      val mvs = Array.fill(mbW * mbH)((0, 0))
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          bw.ue(0); bw.ue(0)
+          val pred = predictMv(mvs, done, mx, my, mbW)
+          bw.se(qp1._1 - pred._1); bw.se(qp1._2 - pred._2)
+          bw.ue(0)
+          mvs(my * mbW + mx) = qp1; done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+    var f = 2
+    while (f < nFrames) {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0)             // first_mb_in_slice
+      bw.ue(6)             // slice_type: B (all slices in pic)
+      bw.ue(0)             // pps id
+      bw.u(f % 16, 4)      // frame_num
+      bw.u(1, 1)           // direct_spatial_mv_pred_flag = 1: SPATIAL
+      bw.u(0, 1)           // num_ref_idx_active_override_flag
+      bw.u(0, 1); bw.u(0, 1) // ref_pic_list_modification l0, l1
+      bw.u(0, 1)           // adaptive_ref_pic_marking_mode_flag
+      bw.se(0); bw.ue(1)   // QP 26, disable_deblocking 1
+      var run = 0
+      var mb = 0
+      while (mb < mbW * mbH) {
+        val mx = mb % mbW; val my = mb / mbW
+        if (synthBDirCoded(seed, f, mx, my)) {
+          bw.ue(run); run = 0 // mb_skip_run before the coded MB
+          bw.ue(0)            // mb_type: B_Direct_16x16
+          bw.ue(0)            // cbp 0 (me(v) Inter codeNum 0)
+        } else run += 1       // B_Skip
+        mb += 1
+      }
+      if (run > 0) bw.ue(run) // trailing skip run closes the slice
+      out ++= escape(bw.stop())
+      f += 1
+    }
+    out.toArray
+  }
+
+  /** Per-MB kind of the MIXED direct B frames: 0 = B_Direct_16x16,
+    * 1 = B_L0_16x16, 2 = B_L1_16x16, 3 = B_Bi_16x16, 4 = B_Skip,
+    * 5 = B_8x8 with a direct sub-MB.
+    */
+  private[graft] def synthBDirMixKind(seed: Long, f: Int, mbx: Int, my: Int): Int =
+    ((seed + f + mbx + 2L * my) % 6).toInt
+
+  /** Sub-MB type lattice of kind-5 MBs: sub 0..3 →
+    * {B_Direct_8x8, B_L0_8x8, B_L1_8x8, B_Bi_8x8} rotated by the
+    * seed/position, so every MB mixes a direct sub-MB with explicit
+    * ones.
+    */
+  private[graft] def synthBDirMixSub(seed: Long, f: Int, mbx: Int, my: Int,
+      sb: Int): Int =
+    ((seed + 3L * f + mbx + 2L * my + sb) % 4).toInt
+
+  /** MIXED direct B streams — the H264Spec derivation-pinning family:
+    * IDR I_PCM, one P frame (constant mv), then B frames interleaving
+    * explicit B_L0/L1/Bi 16x16 macroblocks (the [[synthBiQ0]]/
+    * [[synthBiQ1]] nonzero per-list mvs), B_Direct_16x16, B_Skip
+    * runs, and B_8x8 macroblocks whose sub-MBs mix B_Direct_8x8 with
+    * explicit 8x8 kinds. Direct MBs sit NEXT TO nonzero-mv explicit
+    * ones, so min-positive hits single-list refs, the median mvp is
+    * nonzero, and from the third B frame on the colocated picture is
+    * a mixed B frame — per-4x4 colZeroFlag goes live. The encoder
+    * tracks the same 4x4-granular two-list block fields as the
+    * decoder, STAMPS direct macroblocks with their [[spatialDirect]]
+    * derivation (direct MBs contribute neighbor state to later
+    * explicit mvds), and retains each B frame's field as the next
+    * frames' colocated data.
+    */
+  def synthesizeH264BDirectMixed(mbW: Int, mbH: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    require(nFrames >= 3, "need IDR + P before the first B frame")
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30, maxRefs = 2))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp())
+    appendIPcmIdr(out, mbW, mbH, seed)
+    val qp1 = (8 * (((seed + 1) % 3).toInt - 1), 8 * (((seed + 2) % 3).toInt - 1))
+    locally {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(1, 4)
+      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+      bw.se(0); bw.ue(1)
+      val mvs = Array.fill(mbW * mbH)((0, 0))
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          bw.ue(0); bw.ue(0)
+          val pred = predictMv(mvs, done, mx, my, mbW)
+          bw.se(qp1._1 - pred._1); bw.se(qp1._2 - pred._2)
+          bw.ue(0)
+          mvs(my * mbW + mx) = qp1; done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+    val bW = 4 * mbW; val bH = 4 * mbH
+    // colocated fields: frame f-2's — IDR (null), then the P frame's
+    // uniform field, then each B frame's tracked field
+    var colMvs0: Array[(Int, Int)] = null; var colRefs0: Array[Int] = null
+    var colMvs1: Array[(Int, Int)] = null; var colRefs1: Array[Int] = null
+    var prevMvs0: Array[(Int, Int)] = Array.fill(bW * bH)(qp1)
+    var prevRefs0: Array[Int] = Array.fill(bW * bH)(0)
+    var prevMvs1: Array[(Int, Int)] = Array.fill(bW * bH)((0, 0))
+    var prevRefs1: Array[Int] = Array.fill(bW * bH)(-1)
+    var f = 2
+    while (f < nFrames) {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(6); bw.ue(0)
+      bw.u(f % 16, 4)
+      bw.u(1, 1)           // direct_spatial_mv_pred_flag = 1
+      bw.u(0, 1)
+      bw.u(0, 1); bw.u(0, 1)
+      bw.u(0, 1)
+      bw.se(0); bw.ue(1)
+      val q0 = synthBiQ0(seed, f); val q1 = synthBiQ1(seed, f)
+      val mvs0 = Array.fill(bW * bH)((0, 0)); val refs0 = Array.fill(bW * bH)(-1)
+      val mvs1 = Array.fill(bW * bH)((0, 0)); val refs1 = Array.fill(bW * bH)(-1)
+      val done = Array.fill(bW * bH)(false)
+      def stamp(mvA: Array[(Int, Int)], rfA: Array[Int],
+          bx: Int, by: Int, wB: Int, hB: Int, mv: (Int, Int), rf: Int): Unit = {
+        var yy = by
+        while (yy < by + hB) {
+          var xx = bx
+          while (xx < bx + wB) {
+            mvA(yy * bW + xx) = mv; rfA(yy * bW + xx) = rf
+            done(yy * bW + xx) = true
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+      // stamp a direct region's per-4x4 derivation (marks done too)
+      def stampDirect(d: (Boolean, Boolean, Int => (Int, Int), Int => (Int, Int)),
+          mbBx: Int, mbBy: Int, bx: Int, by: Int, wB: Int, hB: Int): Unit = {
+        val (use0, use1, mv0f, mv1f) = d
+        var yy = 0
+        while (yy < hB) {
+          var xx = 0
+          while (xx < wB) {
+            val gx = bx + xx; val gy = by + yy
+            val blk = (gy - mbBy) * 4 + (gx - mbBx)
+            if (use0) stamp(mvs0, refs0, gx, gy, 1, 1, mv0f(blk), 0)
+            if (use1) stamp(mvs1, refs1, gx, gy, 1, 1, mv1f(blk), 0)
+            done(gy * bW + gx) = true
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+      def derive(mx: Int, my: Int) =
+        spatialDirect(mvs0, refs0, mvs1, refs1, done, bW, bH,
+          mx * 4, my * 4, colMvs0, colRefs0, colMvs1, colRefs1)
+      var run = 0
+      var mb = 0
+      while (mb < mbW * mbH) {
+        val mx = mb % mbW; val my = mb / mbW
+        val kind = synthBDirMixKind(seed, f, mx, my)
+        if (kind == 4) { // B_Skip: derivation stamps, no syntax
+          stampDirect(derive(mx, my), mx * 4, my * 4, mx * 4, my * 4, 4, 4)
+          run += 1
+        } else {
+          bw.ue(run); run = 0
+          kind match {
+            case 0 => // B_Direct_16x16
+              bw.ue(0)
+              stampDirect(derive(mx, my), mx * 4, my * 4, mx * 4, my * 4, 4, 4)
+              bw.ue(0) // cbp 0
+            case 5 => // B_8x8: sub lattice mixes direct + explicit
+              bw.ue(22)
+              val subs = Array.tabulate(4)(sb => synthBDirMixSub(seed, f, mx, my, sb))
+              subs.foreach(t => bw.ue(t))
+              // derive in decode order, buffer mvds, emit in syntax
+              // order (all mvd_l0 then all mvd_l1) — the BSubParts
+              // decoupling
+              val m0 = Array.fill(4)((0, 0)); val m1 = Array.fill(4)((0, 0))
+              var dCache: (Boolean, Boolean, Int => (Int, Int), Int => (Int, Int)) = null
+              var sb = 0
+              while (sb < 4) {
+                val sbx = mx * 4 + 2 * (sb % 2); val sby = my * 4 + 2 * (sb / 2)
+                subs(sb) match {
+                  case 0 =>
+                    if (dCache == null) dCache = derive(mx, my)
+                    stampDirect(dCache, mx * 4, my * 4, sbx, sby, 2, 2)
+                  case t =>
+                    if (t != 2) { // uses L0
+                      val pr = predictMvPart(mvs0, done, refs0, 0, bW, bH,
+                        sbx, sby, 2, 0)
+                      m0(sb) = (q0._1 - pr._1, q0._2 - pr._2)
+                      stamp(mvs0, refs0, sbx, sby, 2, 2, q0, 0)
+                    }
+                    if (t != 1) { // uses L1
+                      val pr = predictMvPart(mvs1, done, refs1, 0, bW, bH,
+                        sbx, sby, 2, 0)
+                      m1(sb) = (q1._1 - pr._1, q1._2 - pr._2)
+                      stamp(mvs1, refs1, sbx, sby, 2, 2, q1, 0)
+                    }
+                }
+                sb += 1
+              }
+              sb = 0
+              while (sb < 4) { // mvd_l0 in sub order
+                if (subs(sb) == 1 || subs(sb) == 3) { bw.se(m0(sb)._1); bw.se(m0(sb)._2) }
+                sb += 1
+              }
+              sb = 0
+              while (sb < 4) { // mvd_l1 in sub order
+                if (subs(sb) == 2 || subs(sb) == 3) { bw.se(m1(sb)._1); bw.se(m1(sb)._2) }
+                sb += 1
+              }
+              bw.ue(0) // cbp 0
+            case t => // explicit 16x16: 1 = L0, 2 = L1, 3 = Bi
+              bw.ue(t)
+              if (t != 2) {
+                val pr = predictMvPart(mvs0, done, refs0, 0, bW, bH,
+                  mx * 4, my * 4, 4, 0)
+                bw.se(q0._1 - pr._1); bw.se(q0._2 - pr._2)
+              }
+              if (t != 1) {
+                val pr = predictMvPart(mvs1, done, refs1, 0, bW, bH,
+                  mx * 4, my * 4, 4, 0)
+                bw.se(q1._1 - pr._1); bw.se(q1._2 - pr._2)
+              }
+              // stamp AFTER both lists' predictions (the decoder
+              // derives both lists from the pre-MB state too)
+              if (t != 2) stamp(mvs0, refs0, mx * 4, my * 4, 4, 4, q0, 0)
+              if (t != 1) stamp(mvs1, refs1, mx * 4, my * 4, 4, 4, q1, 0)
+              bw.ue(0) // cbp 0
+          }
+        }
+        mb += 1
+      }
+      if (run > 0) bw.ue(run)
+      out ++= escape(bw.stop())
+      // this frame's field becomes the colocated data two frames on
+      colMvs0 = prevMvs0; colRefs0 = prevRefs0
+      colMvs1 = prevMvs1; colRefs1 = prevRefs1
+      prevMvs0 = mvs0; prevRefs0 = refs0
+      prevMvs1 = mvs1; prevRefs1 = refs1
+      f += 1
+    }
+    out.toArray
+  }
+
   /** Per-(frame, partition) constant mvs of the B-PARTITION streams
     * (quarter units, multiples of 8): partition 0 reuses the q169
     * list constants ([[synthBiQ0]]/[[synthBiQ1]]); partition 1 gets
@@ -3641,6 +4027,16 @@ object H264 {
       var luma2: Array[Int] = null
       var cb2: Array[Int] = null
       var cr2: Array[Int] = null
+      // stored MOTION FIELDS of the two DPB pictures (4x4-block
+      // granular, null = intra I_PCM picture): spatial direct's
+      // colZeroFlag (§8.4.1.2.2) reads the colocated block of
+      // refPicList1[0] — luma2's picture — so each reconstructed
+      // inter picture keeps its mv/ref arrays alive exactly as long
+      // as its pixels
+      var refMvs0: Array[(Int, Int)] = null; var refRefs0: Array[Int] = null
+      var refMvs1: Array[(Int, Int)] = null; var refRefs1: Array[Int] = null
+      var colMvs0: Array[(Int, Int)] = null; var colRefs0: Array[Int] = null
+      var colMvs1: Array[(Int, Int)] = null; var colRefs1: Array[Int] = null
       // pending inter frame under construction — slices must
       // partition the picture in raster order (first_mb_in_slice
       // continues exactly where the previous slice stopped); the
@@ -3689,6 +4085,8 @@ object H264 {
             luma = new Array[Int](w * h)
             cb = new Array[Int](w * h / 4); cr = new Array[Int](w * h / 4)
             luma2 = null; cb2 = null; cr2 = null // IDR invalidates the DPB
+            refMvs0 = null; refRefs0 = null; refMvs1 = null; refRefs1 = null
+            colMvs0 = null; colRefs0 = null; colMvs1 = null; colRefs1 = null
             val r = new BitReader(unescape(p, s + 1, e))
             if (r.ue() != 0) return None // single-slice IDR in scope
             if (r.ue() % 5 != 2) return None
@@ -3738,7 +4136,12 @@ object H264 {
             val isB = sliceType == 1
             if (isB && luma2 == null) return None // B needs both refs
             r.ue(); r.u(4)
-            if (isB) r.u(1)  // direct_spatial_mv_pred_flag (no directs here)
+            // direct_spatial_mv_pred_flag: SPATIAL direct (§8.4.1.2.2)
+            // is implemented; temporal direct (flag 0) needs POC
+            // distance scaling — out of this low-delay subset, refused
+            // at the first direct/skip MB that would use it
+            var directSpatial = false
+            if (isB) directSpatial = r.u(1) == 1
             // num_ref_idx_active_override: P slices may raise the L0
             // active count to 2 (list = [prev, prev-prev]); more refs
             // or a B override are out of this subset
@@ -4036,6 +4439,83 @@ object H264 {
             }
             def biAverage(mx: Int, myy: Int): Unit =
               biAverageRect(mx * 16, myy * 16, 16, 16)
+            // §8.4.1.2.2 SPATIAL direct motion derivation, MB level:
+            // per-list refIdx = MinPositive over neighbors A/B/C (C
+            // falls back to D above-left on UNavailability, exactly
+            // the §8.4.1.3 neighbor rule — a neighbor that merely
+            // skips the list contributes its −1), both lists negative
+            // → directZeroPredictionFlag (refs forced to 0, mvs 0);
+            // otherwise each list's mvp is the plain 16x16 §8.4.1.3
+            // prediction at the MB corner. colZeroFlag is evaluated
+            // PER 4x4 BLOCK against the stored motion field of
+            // refPicList1[0] (= luma2's picture; this subset's SPS
+            // writes direct_8x8_inference_flag 0, so the colocated
+            // granularity is the 4x4 block itself): the colocated
+            // block's L0 motion if it uses L0, else its L1 motion,
+            // refIdx 0 with both |components| ≤ 1 quarter-sample →
+            // that 4x4's mv zeroes instead of taking the mvp. Every
+            // reference here is short-term (the low-delay config), so
+            // the long-term disqualifier never fires; an intra
+            // colocated picture/block gives colZeroFlag 0.
+            // Returns (use0, use1, mv0 per blkIdx, mv1 per blkIdx)
+            // for the MB at block corner (bx, by), or null to refuse
+            // (derived refIdx > 0 cannot arise at one active
+            // reference per list).
+            def deriveDirect(bx: Int, by: Int):
+                (Boolean, Boolean, Int => (Int, Int), Int => (Int, Int)) =
+              spatialDirect(mvs, refs0, mvs1, refs1, done, bW, bH, bx, by,
+                colMvs0, colRefs0, colMvs1, colRefs1)
+            // MC + stamping of one direct 4x4-block rectangle (wB×hB
+            // blocks at block coords (pbx, pby)) under a derivation —
+            // per-4x4 vectors (colZeroFlag varies inside the rect),
+            // list targets as the explicit paths (L0 → frame buffer,
+            // L1 → scratch when bi), combine per 4x4.
+            def directRect(d: (Boolean, Boolean, Int => (Int, Int), Int => (Int, Int)),
+                mbBx: Int, mbBy: Int, pbx: Int, pby: Int,
+                wB: Int, hB: Int): Boolean = {
+              val (use0, use1, mv0f, mv1f) = d
+              var yy = 0
+              while (yy < hB) {
+                var xx = 0
+                while (xx < wB) {
+                  val gx = pbx + xx; val gy = pby + yy
+                  val blk = (gy - mbBy) * 4 + (gx - mbBx)
+                  if (use0) {
+                    val mv0 = mv0f(blk)
+                    if (!mcInto(luma, cb, cr, nl, ncb, ncr)(
+                        gx * 4, gy * 4, 4, 4, mv0)) return false
+                    writePart(mvs, refs0, gx, gy, 1, 1, mv0, 0)
+                    mvAbs += math.abs(mv0._1) + math.abs(mv0._2)
+                  }
+                  if (use1) {
+                    val mv1 = mv1f(blk)
+                    if (!mcInto(luma2, cb2, cr2,
+                        if (use0) tl else nl,
+                        if (use0) tcb else ncb,
+                        if (use0) tcr else ncr)(
+                        gx * 4, gy * 4, 4, 4, mv1)) return false
+                    writePart(mvs1, refs1, gx, gy, 1, 1, mv1, 0)
+                    mvAbs += math.abs(mv1._1) + math.abs(mv1._2)
+                  }
+                  if (use0 && use1) {
+                    if (wBi) biWeightedRect(gx * 4, gy * 4, 4, 4)
+                    else biAverageRect(gx * 4, gy * 4, 4, 4)
+                  } else if (wBi)
+                    applyWeightsB(gx * 4, gy * 4, 4, 4, if (use0) 0 else 1)
+                  xx += 1
+                }
+                yy += 1
+              }
+              true
+            }
+            // one whole direct MB (B_Skip / B_Direct_16x16); the
+            // derivation precedes any stamping of this MB's blocks
+            def directMb(mx: Int, myy: Int): Boolean = {
+              if (!directSpatial) return false // temporal direct: refuse
+              val d = deriveDirect(mx * 4, myy * 4)
+              if (d == null) return false
+              directRect(d, mx * 4, myy * 4, mx * 4, myy * 4, 4, 4)
+            }
             // whole-MB CAVLC luma residuals (cbp 15): mb_qp_delta,
             // then the 16 4x4 blocks in zig-zag scan order — shared
             // by the 16x16 path and every partition shape (residuals
@@ -4080,18 +4560,22 @@ object H264 {
             var mb = firstMb
             while (mb < nMbs && r.moreRbsp) {
               var run = r.ue()
-              // B_Skip would be (temporal/spatial) DIRECT prediction —
-              // out of this subset; a nonzero B skip run is a refusal
-              if (isB && run != 0) return None
               while (run > 0) {
                 if (mb >= nMbs) return None
                 val mx = mb % info.mbW; val myy = mb / info.mbW
-                val mv = skipMvBlk(mvs, done, refs0, bW, bH, mx * 4, myy * 4)
-                if (!compensate(mx, myy, mv)) return None
-                // P_Skip predicts from refIdx 0 — entry 0's weights
-                if (!isB && ppsWeighted) applyWeights(mx * 16, myy * 16, 16, 16, 0)
-                writePart(mvs, refs0, mx * 4, myy * 4, 4, 4, mv, 0)
-                nSkipped += 1; mvAbs += math.abs(mv._1) + math.abs(mv._2)
+                if (isB) {
+                  // B_Skip = spatial direct prediction, no residuals
+                  // (temporal direct refused inside directMb)
+                  if (!directMb(mx, myy)) return None
+                  nSkipped += 1
+                } else {
+                  val mv = skipMvBlk(mvs, done, refs0, bW, bH, mx * 4, myy * 4)
+                  if (!compensate(mx, myy, mv)) return None
+                  // P_Skip predicts from refIdx 0 — entry 0's weights
+                  if (ppsWeighted) applyWeights(mx * 16, myy * 16, 16, 16, 0)
+                  writePart(mvs, refs0, mx * 4, myy * 4, 4, 4, mv, 0)
+                  nSkipped += 1; mvAbs += math.abs(mv._1) + math.abs(mv._2)
+                }
                 mb += 1; run -= 1
               }
               if (mb < nMbs && r.moreRbsp) {
@@ -4103,14 +4587,27 @@ object H264 {
                     if (mbType > 4) return None // beyond P_8x8ref0: refuse
                     (true, false)
                   } else mbType match {
+                    case 0 => (false, false) // B_Direct_16x16, below
                     case 1 => (true, false)
                     case 2 => (false, true)
                     case 3 => (true, true)
                     case t if t >= 4 && t <= 22 => (true, true) // partitions below
-                    case _ => return None // B_Direct / intra: refuse
+                    case _ => return None // intra in B: refuse
                   }
                 val mx = mb % info.mbW; val myy = mb / info.mbW
-                if (isB && mbType == 22) {
+                if (isB && mbType == 0) {
+                  // B_Direct_16x16: spatial direct prediction, then
+                  // the same me(v) Inter cbp + whole-MB residual layer
+                  // as the explicit B macroblocks
+                  if (!directMb(mx, myy)) return None
+                  val dcbp = r.ue() match {
+                    case 0 => 0
+                    case 11 => 15
+                    case _ => return None
+                  }
+                  if (dcbp == 15 && !decodeMbResiduals(mx, myy)) return None
+                  mb += 1
+                } else if (isB && mbType == 22) {
                   // B_8x8 (Table 7-14 type 22), §7.3.5.2 sub_mb_pred:
                   // four sub_mb_types from Table 7-18 — 0 B_Direct_8x8
                   // (REFUSED: direct prediction is out of this
@@ -4128,7 +4625,9 @@ object H264 {
                   var sb = 0
                   while (sb < 4) {
                     subTypes(sb) = r.ue()
-                    if (subTypes(sb) < 1 || subTypes(sb) > 12) return None
+                    // 0 = B_Direct_8x8 (spatial direct — no mvds; the
+                    // MB-level derivation below, colZeroFlag per 4x4)
+                    if (subTypes(sb) < 0 || subTypes(sb) > 12) return None
                     sb += 1
                   }
                   def usesBi(t: Int): Boolean =
@@ -4173,10 +4672,31 @@ object H264 {
                     }
                     sb += 1
                   }
-                  // derive + MC per sub-partition in decode order
+                  // derive + MC per sub-partition in decode order.
+                  // B_Direct_8x8 sub-MBs share ONE MB-level spatial
+                  // derivation (§8.4.1.2.2 derives refIdx/mvp from the
+                  // MB's own A/B/C neighbors whatever the partition),
+                  // computed lazily at the first direct sub-MB — MB
+                  // neighbors lie outside the MB, so earlier explicit
+                  // sub-MBs' stamps cannot perturb it
+                  var directD: (Boolean, Boolean, Int => (Int, Int), Int => (Int, Int)) = null
+                  var directDReady = false
                   sb = 0
                   while (sb < 4) {
                     val t = subTypes(sb)
+                    if (t == 0) {
+                      if (!directSpatial) return None
+                      if (!directDReady) {
+                        directD = deriveDirect(mx * 4, myy * 4)
+                        directDReady = true
+                      }
+                      if (directD == null) return None
+                      val sbx = mx * 4 + 2 * (sb % 2)
+                      val sby = myy * 4 + 2 * (sb / 2)
+                      if (!directRect(directD, mx * 4, myy * 4,
+                          sbx, sby, 2, 2)) return None
+                      sb += 1
+                    } else {
                     val parts = subRects(sb, t)
                     var pi = 0
                     while (pi < parts.length) {
@@ -4216,6 +4736,7 @@ object H264 {
                       pi += 1
                     }
                     sb += 1
+                    }
                   }
                   val bcbp = r.ue() match {
                     case 0 => 0
@@ -4481,6 +5002,13 @@ object H264 {
                   w, h, pnl.clone(), pTcs, pMvs, pRefs0, pMvs1, pRefs1,
                   pncb.clone(), pncr.clone()))
               luma2 = luma; cb2 = cb; cr2 = cr
+              // the motion fields shift with their pixels: luma's
+              // field becomes the colocated (list-1) one, the
+              // just-reconstructed picture's becomes the list-0 one
+              colMvs0 = refMvs0; colRefs0 = refRefs0
+              colMvs1 = refMvs1; colRefs1 = refRefs1
+              refMvs0 = pMvs; refRefs0 = pRefs0
+              refMvs1 = pMvs1; refRefs1 = pRefs1
               luma = pnl; cb = pncb; cr = pncr
               pnl = null; pncb = null; pncr = null
               pMvs = null; pRefs0 = null; pMvs1 = null; pRefs1 = null

@@ -25,13 +25,37 @@ import graft.syntax._
   * for a FILTER that ranks outliers first, that bias is the useful
   * direction.)
   *
-  * Scale shape — COLLAPSE-FIRST, exactly (the q124/q125 rewrite,
-  * applied internally because it is output-identical here): counts
-  * and scores are pure functions of CONTENT, so the corpus first
-  * collapses to unique texts with multiplicities, training counts are
+  * Overflow posture: the per-document sum is guarded, not assumed.
+  * Every term is positive and bounded by the per-corpus maximum
+  * (≈ `SCALE·(max c1 + V)` for add-one, `SCALE·5·(T+V)/2` for the
+  * backoff unseen branch), so a wrapped int64 sum of positives lands
+  * BELOW the group's max term after one wrap; the scoring aggregate
+  * therefore also tracks `max(term_fp)` and raises a descriptive
+  * error (advising a SCALE decade drop) when either `surprise_fp <
+  * max_term` (definite wrap) or `n_bigrams · max_term` cannot be
+  * certified `< 2^64` (a multi-wrap could land anywhere) — any row
+  * that passes is PROVEN un-wrapped. At gate scales the headroom is
+  * ~9 orders of magnitude; the guard exists for the 100 TB corpus ×
+  * book-length document corner.
+  *
+  * Scale shape — COLLAPSE-FIRST BY CONTENT HASH, exactly the
+  * [[Dedup.collapsedJaccardPairs]] pattern: counts and scores are
+  * pure functions of CONTENT, so the corpus first collapses to
+  * unique texts with multiplicities, training counts are
   * multiplicity-weighted sums, each unique text is scored once, and
-  * documents inherit their text's score through one equality join —
-  * a 100×-replicated web corpus costs bigram work proportional to
+  * documents inherit their text's score through one equality join.
+  * Every shuffle and join after the initial collapse is keyed on the
+  * 64-bit `xxhash64` of the text, NOT the text itself: the exploded
+  * bigram stream (the widest frame in the plan — one row per bigram
+  * OCCURRENCE) carries an 8-byte key instead of the full document
+  * bytes, and the score fan-out join moves 8-byte keys where the
+  * raw-text form re-shuffled the whole corpus text a second time.
+  * Injectivity in practice follows the [[Dedup]] collision argument
+  * (~n²/2^65 for distinct texts); [[hashCollisions]] is the
+  * audit-in-plan, the raw-text oracle would surface a collision at
+  * the gate, and PropertySpec pins the hashed plan against an
+  * independent by-text simulation on random duplicated corpora.
+  * A 100×-replicated web corpus costs bigram work proportional to
   * UNIQUE content (measured: the direct form scaled ~6×/decade at
   * sf10 on the replicated frame; the collapsed form follows unique
   * bytes). Bigrams build narrowly per row with `zip_with` over two
@@ -62,13 +86,46 @@ object LangModel {
           (x, y) => struct(x.as("w1"), y.as("w2")))).as("bi"))
       .select($"k", $"w", $"bi.w1", $"bi.w2")
 
-  /** Unique texts with multiplicities: (txt, nc). Grouping is by the
-    * text VALUE (no hash-collision exposure; the shuffle carries each
-    * distinct text once per upstream partition thanks to the partial
-    * aggregate).
+  /** Unique texts with multiplicities: (kh, txt, nc), keyed by the
+    * 64-bit content hash. The collapse shuffle carries each distinct
+    * text once per upstream partition (partial aggregate); everything
+    * DOWNSTREAM keys on the 8-byte `kh`. `first(txt)` is
+    * value-deterministic absent a collision (group members are
+    * byte-identical), and a collision is auditable via
+    * [[hashCollisions]] / surfaced by the raw-text oracle.
     */
   private def collapse(docs: DataFrame, textCol: String): DataFrame =
-    docs.groupBy(col(textCol).as("txt")).agg(count(lit(1)).as("nc"))
+    docs.groupBy(xxhash64(col(textCol)).as("kh"))
+      .agg(first(col(textCol)).as("txt"), count(lit(1)).as("nc"))
+
+  /** AUDIT: content-hash groups holding >1 distinct text — the
+    * collision witness for the hashed collapse (the [[Dedup]]
+    * posture made queryable). Empty on every real corpus
+    * (~n²/2^65); a production pipeline runs it alongside the first
+    * ingest of a new corpus, pinned in PipelineOpsSpec.
+    */
+  def hashCollisions(docs: DataFrame, textCol: String): DataFrame =
+    docs.groupBy(xxhash64(col(textCol)).as("kh"))
+      .agg(countDistinct(col(textCol)).as("n_txt"))
+      .filter($"n_txt" > 1)
+
+  /** Per-unique-text (k, n_bigrams, surprise_fp) with the overflow
+    * guard applied (see object scaladoc): the aggregate tracks
+    * `max(term_fp)` and any row it emits is proven un-wrapped.
+    */
+  private def guardedPerText(terms: DataFrame): DataFrame =
+    terms
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum($"term_fp").as("surprise_fp"),
+        max($"term_fp").as("mx"))
+      .select($"k", $"n_bigrams",
+        expr(
+          """CASE WHEN surprise_fp >= mx
+            |       AND CAST(n_bigrams AS DOUBLE) * CAST(mx AS DOUBLE) < 1.8e19
+            |  THEN surprise_fp
+            |  ELSE raise_error('LM surprisal int64 overflow: drop SCALE a decade (doc bigrams x max term exceeds the certified bound)')
+            |END""".stripMargin).as("surprise_fp"))
 
   /** Per-document bigram surprisal under the corpus-trained add-one
     * model: (doc_id, n_bigrams, surprise_fp, avg_surprise_fp), with
@@ -81,7 +138,7 @@ object LangModel {
   def bigramSurprisal(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val groups = collapse(docs, textCol)
-    val bi = bigramsOf(groups, "txt", "txt", $"nc")
+    val bi = bigramsOf(groups, "kh", "txt", $"nc")
     // corpus counts = multiplicity-weighted sums over unique texts
     val c12 = bi.groupBy($"w1", $"w2").agg(sum($"w").as("c12"))
     val c1 = bi.groupBy($"w1").agg(sum($"w").as("c1"))
@@ -90,16 +147,13 @@ object LangModel {
     // distinctness ignores multiplicity, so unique texts suffice
     val vocab = groups.select(explode(split($"txt", " ")).as("t"))
       .agg(countDistinct($"t").as("v"))
-    val perText = bi
+    val perText = guardedPerText(bi
       .join(c12, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select($"k",
-        expr(s"(${Scale}L * (c1 + v)) div (c12 + 1)").as("term_fp"))
-      .groupBy($"k")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum($"term_fp").as("surprise_fp"))
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("k"))
+        expr(s"(${Scale}L * (c1 + v)) div (c12 + 1)").as("term_fp")))
+    docs.select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("k"))
       .join(perText, Seq("k"))
       .select($"doc_id", $"n_bigrams", $"surprise_fp",
         expr("surprise_fp div n_bigrams").as("avg_surprise_fp"))
@@ -120,14 +174,16 @@ object LangModel {
     *     (1/(α·p_uni), α = 0.4 = 2/5 kept rational, p_uni add-one
     *     smoothed so even unseen WORDS score finitely)
     * `T` = training token occurrences, `V` = training vocabulary.
-    * At gate scales `SCALE·5·(T+V)` is far inside int64; past ~10^11
-    * training tokens drop SCALE a decade to keep it there.
+    * The per-term bound is `SCALE·5·(T+V)/2`; the per-DOCUMENT sum
+    * is explicitly overflow-guarded (object scaladoc) rather than
+    * trusted to a token-count rule of thumb.
     *
     * Scale shape: both sides collapse to unique texts (training
     * counts weighted by multiplicity, scored texts scored once and
-    * fanned back out); three shuffle equi-joins of the unique scored
-    * occurrence stream against vocabulary-bounded count tables (LEFT
-    * joins — misses ARE the signal), one broadcast 1-row stats frame.
+    * fanned back out through an 8-byte content-hash key); three
+    * shuffle equi-joins of the unique scored occurrence stream
+    * against vocabulary-bounded count tables (LEFT joins — misses
+    * ARE the signal), one broadcast 1-row stats frame.
     */
   def stupidBackoffSurprisal(train: DataFrame, score: DataFrame,
       idCol: String, textCol: String): DataFrame = {
@@ -144,7 +200,7 @@ object LangModel {
   private def countsOf(docs: DataFrame,
       textCol: String): (DataFrame, DataFrame, DataFrame) = {
     val g = collapse(docs, textCol)
-    val bi = bigramsOf(g, "txt", "txt", $"nc")
+    val bi = bigramsOf(g, "kh", "txt", $"nc")
     val c12 = bi.groupBy($"w1", $"w2").agg(sum($"w").as("c12"))
     val c1 = bi.groupBy($"w1").agg(sum($"w").as("c1"))
     val cw = g.select($"nc", explode(split($"txt", " ")).as("t"))
@@ -156,14 +212,14 @@ object LangModel {
   /** Stupid-backoff scoring against EXPLICIT count frames — shared by
     * the in-memory path and the persisted incremental model. `T` and
     * `V` derive from cw (see [[countsOf]]); the scored side collapses
-    * to unique texts and fans back out.
+    * to unique texts and fans back out by content hash.
     */
   private def backoffScoreWith(c12: DataFrame, c1: DataFrame,
       cw: DataFrame, score: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val stats = cw.agg(sum($"cw").as("tt"), count(lit(1)).as("v"))
     val scoreG = collapse(score, textCol)
-    val perText = bigramsOf(scoreG, "txt", "txt", $"nc")
+    val perText = guardedPerText(bigramsOf(scoreG, "kh", "txt", $"nc")
       .join(c12, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .join(cw, Seq("w2"), "left")
@@ -171,11 +227,8 @@ object LangModel {
       .select($"k", expr(
         s"""CASE WHEN c12 IS NOT NULL THEN (${Scale}L * c1) div c12
            |ELSE (${Scale}L * 5L * (tt + v)) div (2L * (coalesce(cw, 0L) + 1L))
-           |END""".stripMargin).as("term_fp"))
-      .groupBy($"k")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum($"term_fp").as("surprise_fp"))
-    score.select(col(idCol).as("doc_id"), col(textCol).as("k"))
+           |END""".stripMargin).as("term_fp")))
+    score.select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("k"))
       .join(perText, Seq("k"))
       .select($"doc_id", $"n_bigrams", $"surprise_fp",
         expr("surprise_fp div n_bigrams").as("avg_surprise_fp"))
@@ -191,9 +244,9 @@ object LangModel {
     * q200 oracle verbatim against a model built batch-by-batch.
     *
     * Layout: `dir/{c12,c1,cw}` parquet segment files; a probe merges
-    * segments with three map-side-combined sums (segment count is
-    * bounded by compaction in production — the compactBm25Index
-    * posture; probes are merge-identical either way).
+    * segments with three map-side-combined sums. Segment count grows
+    * with batch count — [[compactLmCounts]] is the bound (the
+    * compactIvfIndex contract: probe-identical before/after).
     */
   def appendLmCounts(spark: org.apache.spark.sql.SparkSession,
       delta: DataFrame, textCol: String, dir: String,
@@ -223,5 +276,51 @@ object LangModel {
       textCol: String): DataFrame = {
     val (c12, c1, cw) = lmCounts(spark, dir)
     backoffScoreWith(c12, c1, cw, score, idCol, textCol)
+  }
+
+  /** Compact a persisted LM directory's count segments down to one
+    * merged segment per table — the [[Similarity.compactIvfIndex]]
+    * contract for the additive-counts index: counts are by-key sums,
+    * so replacing N segment files with their merged sum is
+    * PROBE-IDENTICAL (bit-exact, [[lmCounts]] merges either way) while
+    * probe cost and file count stop growing with batch count. Write
+    * goes through a staging dir + rename swap so a crash mid-compact
+    * leaves either the old segments or the new merged one, never a
+    * mix; the batchlog is untouched (compaction changes layout, not
+    * model content, so replay idempotence is unaffected).
+    */
+  def compactLmCounts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recovery preamble: a prior compact can only crash with `live`
+    // absent between its two renames — whichever of staged/old holds
+    // the data (staged = the new merged segment, old = the pre-compact
+    // segments; both are probe-identical) is promoted back to live
+    // BEFORE any read plans against the directory are built
+    Seq("c12", "c1", "cw").foreach { sub =>
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val staged = new org.apache.hadoop.fs.Path(s"$dir/${sub}_compact")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/${sub}_old")
+      if (!fs.exists(live)) {
+        if (fs.exists(staged)) fs.rename(staged, live)
+        else if (fs.exists(old)) fs.rename(old, live)
+      }
+      ()
+    }
+    val (c12, c1, cw) = lmCounts(spark, dir)
+    Seq("c12" -> c12, "c1" -> c1, "cw" -> cw).foreach { case (sub, df) =>
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val staged = new org.apache.hadoop.fs.Path(s"$dir/${sub}_compact")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/${sub}_old")
+      if (fs.exists(staged)) fs.delete(staged, true)
+      df.write.mode("overwrite").parquet(staged.toString)
+      // swap: live -> old, staged -> live, drop old; any crash point
+      // is recovered by the preamble on the next run
+      if (fs.exists(old)) fs.delete(old, true)
+      fs.rename(live, old)
+      fs.rename(staged, live)
+      fs.delete(old, true); ()
+    }
   }
 }

@@ -182,7 +182,7 @@ object Pq {
     * raw width, which is the entire point at 100 TB.
     */
   def buildPqIndex(corpus: DataFrame, dir: String, m: Int = 8, k: Int = 16,
-      dim: Int = 64, iters: Int = 2): Unit = {
+      dim: Int = 64, iters: Int = 2, builtBy: Long = -1L): Unit = {
     val spark = corpus.sparkSession
     val cb = trainCodebooks(corpus, m, k, dim, iters)
     cb.write.mode("overwrite").parquet(s"$dir/codebooks")
@@ -195,6 +195,8 @@ object Pq {
     encode(corpus, cb, m, dim).write.mode("overwrite").parquet(s"$dir/codes")
     corpus.select($"vid", $"qv", $"nrm")
       .write.mode("overwrite").parquet(s"$dir/vectors")
+    // build-commit marker, written LAST (see Similarity.writeBuiltMarker)
+    Similarity.writeBuiltMarker(spark, dir, builtBy)
   }
 
   /** Read the (m, k, dim) a PQ index was built with (recorded in

@@ -18,10 +18,15 @@ import graft.syntax._
   * partial-aggregable expression, so the shuffle carries one partial
   * row per task. The exact `countDistinct` per column rewrites to an
   * expand (×(cols+1) on the PROFILED columns only, which the scan
-  * prunes to); past ~10 columns or very high cardinality swap it for
-  * the mergeable HLL of the q48 family — the profile's other columns
-  * don't change. The long-format pivot at the end is a 1-row explode
-  * on the driver-sized aggregate, not a data-path operation.
+  * prunes to) and is corpus-linear — [[numericProfile]] is the ORACLE
+  * form. The 100 TB form is [[approxProfile]]: cardinality via the
+  * mergeable [[graft.functions.HllAgg]] (fixed 2^p-long state per
+  * column, no expand, near-flat per-column cost), every other
+  * statistic unchanged and still exact; the q205 gate audits the
+  * estimates against the exact profile under the standard 3·1.04/√m
+  * envelope (the q123/q48 pattern). The long-format pivot at the end
+  * is a 1-row explode on the driver-sized aggregate, not a data-path
+  * operation.
   */
 object Profiling {
 
@@ -30,22 +35,61 @@ object Profiling {
     * complete, non_negative). `sum_d` is decimal(18,2)-exact then
     * cast to double (the [[graft.Parity]] money convention), so the
     * value is engine-exact for 2-decimal monetary columns.
+    * `non_negative` is a total verdict: an all-null (or empty) column
+    * has no negative evidence and reads TRUE rather than NULL — a
+    * loader gating on the boolean always gets a boolean
+    * (PipelineOpsSpec pins the all-null case).
     */
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        countDistinct(col(c)).as(s"${c}__distinct"))
+    }
+    profileWith(df, cols, aggs, c => col(s"${c}__distinct").as("n_distinct"))
+  }
+
+  /** The HLL-cardinality profile — identical to [[numericProfile]]
+    * except `n_distinct` is replaced by `n_distinct_est`, the
+    * [[graft.functions.HllAgg]] estimate over `xxhash64` of the
+    * column (p → 2^p registers; null inputs are excluded explicitly,
+    * matching `countDistinct`'s null semantics). State per column is
+    * a fixed 2^p longs whatever the cardinality — the expand-free
+    * shape that survives 100 TB × high-cardinality columns; all other
+    * statistics remain exact.
+    */
+  def approxProfile(df: DataFrame, cols: Seq[String],
+      p: Int = 12): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        graft.functions.Hll.hll_agg(
+          when(col(c).isNull, lit(null).cast("long"))
+            .otherwise(xxhash64(col(c))), p).as(s"${c}__hll"))
+    }
+    profileWith(df, cols, aggs,
+      c => graft.functions.Hll.hll_estimate(col(s"${c}__hll"))
+        .as("n_distinct_est"))
+  }
+
+  /** Shared one-pass skeleton: the exact statistics every profile
+    * carries, plus the per-column cardinality aggregate the variant
+    * supplies.
+    */
+  private def profileWith(df: DataFrame, cols: Seq[String],
+      cardAggs: Seq[org.apache.spark.sql.Column],
+      cardOut: String => org.apache.spark.sql.Column): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
         graft.Parity.sumD(col(c)).as(s"${c}__sum"))
-    }
+    } ++ cardAggs
     val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
     val rows = cols.map { c =>
       struct(lit(c).as("col_name"), $"n_rows",
         col(s"${c}__nulls").as("n_nulls"),
-        col(s"${c}__distinct").as("n_distinct"),
+        cardOut(c),
         col(s"${c}__min").as("min_d"),
         col(s"${c}__max").as("max_d"),
         col(s"${c}__sum").as("sum_d"))
@@ -53,6 +97,9 @@ object Profiling {
     one.select(explode(array(rows: _*)).as("p"))
       .select($"p.*")
       .withColumn("complete", $"n_nulls" === 0L)
-      .withColumn("non_negative", $"min_d" >= 0d)
+      // all-null (or empty) column: no negative evidence → TRUE, not
+      // NULL — the verdict column must always be a boolean
+      .withColumn("non_negative",
+        when($"n_rows" === $"n_nulls", lit(true)).otherwise($"min_d" >= 0d))
   }
 }

@@ -177,7 +177,8 @@ object Similarity {
     * the only corpus-sized scan — 1 byte/dim instead of raw width,
     * which is the entire point at 100 TB.
     */
-  def buildSq8Index(corpus: DataFrame, dir: String): Unit = {
+  def buildSq8Index(corpus: DataFrame, dir: String,
+      builtBy: Long = -1L): Unit = {
     val spark = corpus.sparkSession
     val (mn, dl) = sq8Train(corpus)
     // the index owns its quantization layout (the meta principle of
@@ -190,6 +191,47 @@ object Similarity {
     sq8EncodeWith(corpus, mn, dl).write.mode("overwrite").parquet(s"$dir/codes")
     corpus.select($"vid", $"qv", $"nrm")
       .write.mode("overwrite").parquet(s"$dir/vectors")
+    writeBuiltMarker(spark, dir, builtBy)
+  }
+
+  /** Build-commit marker protocol (closes the streaming first-batch
+    * replay window — see
+    * [[graft.streaming.StreamingIndex.applySq8Batch]]): every
+    * `build*Index` writes `dir/_built` containing the id of the batch
+    * that built it (−1 for the batch API) as its LAST step. A replayed
+    * streaming batch then distinguishes the three states a crash can
+    * leave: marker absent → the build never committed, re-run the
+    * all-overwrite build (converges over any partial output); marker
+    * == my batch id → MY build committed but the batchlog marker
+    * didn't, nothing to apply; marker != my batch id → a different
+    * batch (or the batch API) owns the build, take the append path.
+    * Before the marker existed, a crash between build and batchlog
+    * sent the replay down the append path and duplicated batch-0 rows
+    * (probes could return the same neighbor twice).
+    */
+  private[graft] def writeBuiltMarker(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      builtBy: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_built")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(builtBy.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The committed-build marker of an index dir, if any (see
+    * [[writeBuiltMarker]]).
+    */
+  private[graft] def readBuiltMarker(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_built")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    }
   }
 
   /** Read back the dim-sized frozen (min, delta) stats of a persisted
@@ -229,6 +271,44 @@ object Similarity {
       queries, vectors, topK)
   }
 
+  /** Compact a persisted SQ8 index's `codes`/`vectors` delta segments
+    * down to one rewritten segment each — the [[compactIvfIndex]]
+    * contract for the flat byte-code layout (and the twin of
+    * [[LangModel.compactLmCounts]]): each streamed batch adds
+    * `b<id>_*` files, so a long append history fragments the scan
+    * into batch-count-many files; the rewrite is one pass per table,
+    * PROBE-IDENTICAL before/after (the probe reads the directories
+    * wholesale and the rank aggregate is order-free), and the file
+    * count stops growing with batch count. Swap is staged + renamed
+    * with a recovery preamble, so a crash at any point leaves a
+    * readable directory and a re-run converges. Stats and the
+    * batchlog are untouched (compaction changes layout, not content).
+    */
+  def compactSq8Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("codes", "vectors").foreach { sub =>
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val staged = new org.apache.hadoop.fs.Path(s"$dir/${sub}_compact")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/${sub}_old")
+      // recovery preamble (see LangModel.compactLmCounts): a prior
+      // crash can only leave `live` missing between the two renames
+      if (!fs.exists(live)) {
+        if (fs.exists(staged)) fs.rename(staged, live)
+        else if (fs.exists(old)) fs.rename(old, live)
+      }
+      if (fs.exists(staged)) fs.delete(staged, true)
+      spark.read.parquet(live.toString)
+        .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+        .write.mode("overwrite").parquet(staged.toString)
+      if (fs.exists(old)) fs.delete(old, true)
+      fs.rename(live, old)
+      fs.rename(staged, live)
+      fs.delete(old, true); ()
+    }
+  }
+
   /** IVF-SQ8 — the composition the [[sq8TopK]] scaladoc promises
     * (faiss's `IVF…,SQ8` index type): coarse cells PRUNE the scan to
     * `nProbe` cells per query, SQ8 byte codes COMPRESS what the scan
@@ -247,7 +327,21 @@ object Similarity {
       nProbe: Int = 3, centroidStride: Int = 50, dim: Int = 64,
       trainIters: Int = 2, shortlistFactor: Int = 4): DataFrame = {
     import graft.functions.DDot.ddot
-    val quant = quantizerFor(corpus, centroidStride, dim, trainIters)
+    // the coarse quantizer trains on the deterministic ~25% sample
+    // (the Pq.trainCodebooks congruential bucket — reproducible at
+    // any partitioning): centroids are statistics, not an index, so
+    // the sample estimates them at a quarter of the training passes'
+    // assign cost while ASSIGNMENT still covers every vector. Below
+    // 4000 vectors the full corpus trains (bit-identical to the
+    // pre-sample form the small-SF oracles pinned; a 1000-row sample
+    // can't seed a stable cell structure anyway). The in-plan recall
+    // audit travels with the gate at every scale, so the sampled
+    // quantizer stays audited, not just fast — the q188/PQ-codebook
+    // pattern applied to the sf10 training-dominated decade.
+    val trainFrame =
+      if (corpus.count() < 4000L) corpus
+      else corpus.filter(Sampling.bucket($"vid") < 250)
+    val quant = quantizerFor(trainFrame, centroidStride, dim, trainIters)
     val (mn, dl) = sq8Train(corpus)
     val mnA = array(mn.map(lit): _*)
     val dlA = array(dl.map(lit): _*)
@@ -747,7 +841,7 @@ object Similarity {
     */
   def buildIvfIndex(corpus: DataFrame, dim: Int, dir: String,
       centroidStride: Int = 50, trainIters: Int = 2,
-      hierThreshold: Long = 50000L): Unit = {
+      hierThreshold: Long = 50000L, builtBy: Long = -1L): Unit = {
     val n = corpus.count()
     if (trainIters > 0 && n > hierThreshold) {
       // the quantizerFor scale dispatch, PERSISTED: above the
@@ -779,6 +873,7 @@ object Similarity {
       cellsFor(corpus, cents, 1, "m_")
         .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/members")
     }
+    writeBuiltMarker(corpus.sparkSession, dir, builtBy)
   }
 
   /** The persisted quantizer structure, dispatched on the layout the

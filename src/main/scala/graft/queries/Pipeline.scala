@@ -2077,6 +2077,36 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // H.264 B_Skip / B_Direct_16x16 under SPATIAL direct prediction
+    // (§8.4.1.2.2) — the last mb_type family of the low-delay B
+    // subset: B frames carrying ONLY skip runs and coded direct MBs,
+    // every motion vector DERIVED (min-positive refs over A/B/C,
+    // median mvp, per-4x4 colZeroFlag against the colocated stored
+    // motion field). On this stream family the derivation provably
+    // yields zero vectors, so each B frame is the exact per-pixel
+    // (L0 + L1 + 1) >> 1 of its two predecessors — the closed form
+    // the oracle re-derives — while the decoder still walks the full
+    // derivation; H264Spec pins the nonzero-mv branches against an
+    // independent reimplementation on the mixed streams.
+    "q206_h264_bdirect" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 1)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbW = 2 + (id % 3).toInt
+          val mbH = 1 + (id % 3).toInt
+          val st = graft.operators.H264.synthesizeH264BDirect(mbW, mbH, 4, id)
+          graft.operators.H264.decodeInter(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nSkipped, f.mvAbsSum)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height", "luma_sum",
+          "chroma_sum", "weighted_sum", "n_skipped", "mv_abs_sum")
+        .orderBy($"doc_id")
+    },
+
     // Audio resampling — the rate-normalization step between decode
     // and feature extraction: symmetric integer FIR low-pass
     // (Σtaps = 16, exact unity DC gain) + decimate 2x with edge
@@ -2799,6 +2829,31 @@ object Pipeline {
       import s.implicits._
       graft.operators.Profiling.numericProfile(Tables(s, dir).lineitem,
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy($"col_name")
+    },
+
+    // The 100 TB profile: cardinality via the mergeable HLL (fixed
+    // 2^p-long state per column — no countDistinct expand, near-flat
+    // per-column cost), every other statistic exact and unchanged.
+    // Audited the q123/q48 way: the exact profile recomputes
+    // n_distinct and the estimate must land inside the standard
+    // 3·1.04/√m envelope (with the small-count floor) for the
+    // in-bound flag to hash-match the oracle's TRUE.
+    "q205_data_profile_approx" -> { (s, dir) =>
+      import s.implicits._
+      val p = 12
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = Tables(s, dir).lineitem
+      val ap = graft.operators.Profiling.approxProfile(li, cols, p)
+      val ex = graft.operators.Profiling.numericProfile(li, cols)
+        .select($"col_name", $"n_distinct")
+      ap.join(ex, "col_name")
+        .select($"col_name", $"n_rows", $"n_nulls",
+          $"n_distinct".as("n_distinct_exact"),
+          (abs($"n_distinct_est" - $"n_distinct") <=
+            greatest($"n_distinct" * (3 * 1.04 / math.sqrt((1 << p).toDouble)),
+              lit(1.0))).as("distinct_in_bound"),
+          $"min_d", $"max_d", $"sum_d", $"complete", $"non_negative")
         .orderBy($"col_name")
     },
 
@@ -3600,6 +3655,44 @@ object Pipeline {
         |FROM (
         |  SELECT 'l_quantity' AS col_name, n AS n_rows, q_nu AS n_nulls,
         |    q_nd AS n_distinct, q_mn AS min_d, q_mx AS max_d, q_sm AS sum_d FROM s
+        |  UNION ALL SELECT 'l_extendedprice', n, e_nu, e_nd, e_mn, e_mx, e_sm FROM s
+        |  UNION ALL SELECT 'l_discount', n, d_nu, d_nd, d_mn, d_mx, d_sm FROM s
+        |  UNION ALL SELECT 'l_tax', n, t_nu, t_nd, t_mn, t_mx, t_sm FROM s)
+        |ORDER BY col_name""".stripMargin,
+
+    // the exact columns recomputed by DuckDB; the HLL in-bound flag
+    // is a TRUE literal — Spark's estimate must land inside its
+    // published envelope for the hash compare to pass (q48 pattern)
+    "q205_data_profile_approx" ->
+      """WITH s AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nu,
+        |  count(DISTINCT l_quantity) AS q_nd,
+        |  CAST(min(l_quantity) AS DOUBLE) AS q_mn,
+        |  CAST(max(l_quantity) AS DOUBLE) AS q_mx,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q_sm,
+        |  sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS e_nu,
+        |  count(DISTINCT l_extendedprice) AS e_nd,
+        |  CAST(min(l_extendedprice) AS DOUBLE) AS e_mn,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS e_mx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS e_sm,
+        |  sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS d_nu,
+        |  count(DISTINCT l_discount) AS d_nd,
+        |  CAST(min(l_discount) AS DOUBLE) AS d_mn,
+        |  CAST(max(l_discount) AS DOUBLE) AS d_mx,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS d_sm,
+        |  sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS t_nu,
+        |  count(DISTINCT l_tax) AS t_nd,
+        |  CAST(min(l_tax) AS DOUBLE) AS t_mn,
+        |  CAST(max(l_tax) AS DOUBLE) AS t_mx,
+        |  CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS t_sm
+        |FROM lineitem)
+        |SELECT col_name, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,
+        |  n_distinct_exact, TRUE AS distinct_in_bound,
+        |  min_d, max_d, sum_d,
+        |  n_nulls = 0 AS complete, min_d >= 0 AS non_negative
+        |FROM (
+        |  SELECT 'l_quantity' AS col_name, n AS n_rows, q_nu AS n_nulls,
+        |    q_nd AS n_distinct_exact, q_mn AS min_d, q_mx AS max_d, q_sm AS sum_d FROM s
         |  UNION ALL SELECT 'l_extendedprice', n, e_nu, e_nd, e_mn, e_mx, e_sm FROM s
         |  UNION ALL SELECT 'l_discount', n, d_nu, d_nd, d_mn, d_mx, d_sm FROM s
         |  UNION ALL SELECT 'l_tax', n, t_nu, t_nd, t_mn, t_mx, t_sm FROM s)
@@ -4969,6 +5062,95 @@ object Pipeline {
         |FROM d JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
         |JOIN ma ON ma.id = d.id
         |LEFT JOIN lev ON lev.id = d.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeH264BDirect at nf=4: f1 shifts the PCM
+    // lattice by qp1/4 (clamped); every B-frame direct mv derives to
+    // ZERO, so f2 = (f1+f0+1)//2 and f3 = (f2+f1+1)//2 per pixel
+    // (chroma at half resolution, half displacement); n_skipped
+    // counts the non-coded MBs of the mod-3 lattice over both B
+    // frames; mv_abs_sum is the P frame's explicit motion only
+    // (direct vectors are all zero)
+    "q206_h264_bdirect" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(2 + doc_id % 3 AS INTEGER) AS mbw,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |dv AS (SELECT id, mbw, mbh,
+        |    2 * ((id + 1) % 3 - 1) AS dpx, 2 * ((id + 2) % 3 - 1) AS dpy
+        |  FROM d),
+        |px AS (SELECT p.id, p.x, p.y,
+        |    least(greatest(p.x + dv.dpx, 0), 16 * p.mbw - 1) AS spx,
+        |    least(greatest(p.y + dv.dpy, 0), 16 * p.mbh - 1) AS spy
+        |  FROM (SELECT id, mbw, mbh, x.i AS x, y.i AS y FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, 16 * mbw - 1)) AS i) x,
+        |    LATERAL (SELECT unnest(generate_series(0, 16 * mbh - 1)) AS i) y) p
+        |  JOIN dv ON dv.id = p.id),
+        |f0 AS (SELECT id, x, y, (id + x + 2 * y) % 251 AS v FROM px),
+        |f1 AS (SELECT s.id, s.x, s.y, f0.v FROM px s
+        |  JOIN f0 ON f0.id = s.id AND f0.x = s.spx AND f0.y = s.spy),
+        |f2 AS (SELECT f1.id, f1.x, f1.y, (f1.v + f0.v + 1) // 2 AS v
+        |  FROM f1 JOIN f0 ON f0.id = f1.id AND f0.x = f1.x AND f0.y = f1.y),
+        |f3 AS (SELECT f2.id, f2.x, f2.y, (f2.v + f1.v + 1) // 2 AS v
+        |  FROM f2 JOIN f1 ON f1.id = f2.id AND f1.x = f2.x AND f1.y = f2.y),
+        |cpx AS (SELECT p.id, p.pl, p.x, p.y,
+        |    least(greatest(p.x + dv.dpx // 2, 0), 8 * p.mbw - 1) AS spx,
+        |    least(greatest(p.y + dv.dpy // 2, 0), 8 * p.mbh - 1) AS spy
+        |  FROM (SELECT id, mbw, mbh, pl.p AS pl, x.i AS x, y.i AS y FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
+        |    LATERAL (SELECT unnest(generate_series(0, 8 * mbw - 1)) AS i) x,
+        |    LATERAL (SELECT unnest(generate_series(0, 8 * mbh - 1)) AS i) y) p
+        |  JOIN dv ON dv.id = p.id),
+        |c0 AS (SELECT id, pl, x, y,
+        |    (CASE WHEN pl = 0 THEN id + 2 * x + y
+        |          ELSE 3 * id + x + 2 * y END) % 251 AS v FROM cpx),
+        |c1 AS (SELECT s.id, s.pl, s.x, s.y, c0.v FROM cpx s
+        |  JOIN c0 ON c0.id = s.id AND c0.pl = s.pl
+        |    AND c0.x = s.spx AND c0.y = s.spy),
+        |c2 AS (SELECT c1.id, c1.pl, c1.x, c1.y, (c1.v + c0.v + 1) // 2 AS v
+        |  FROM c1 JOIN c0 ON c0.id = c1.id AND c0.pl = c1.pl
+        |    AND c0.x = c1.x AND c0.y = c1.y),
+        |c3 AS (SELECT c2.id, c2.pl, c2.x, c2.y, (c2.v + c1.v + 1) // 2 AS v
+        |  FROM c2 JOIN c1 ON c1.id = c2.id AND c1.pl = c2.pl
+        |    AND c1.x = c2.x AND c1.y = c2.y),
+        |ls AS (SELECT id, sum(CASE f WHEN 0 THEN v END) AS l0s,
+        |    sum(CASE f WHEN 1 THEN v END) AS l1s,
+        |    sum(CASE f WHEN 2 THEN v END) AS l2s,
+        |    sum(CASE f WHEN 3 THEN v END) AS l3s
+        |  FROM (SELECT id, 0 AS f, v FROM f0
+        |    UNION ALL SELECT id, 1, v FROM f1
+        |    UNION ALL SELECT id, 2, v FROM f2
+        |    UNION ALL SELECT id, 3, v FROM f3) GROUP BY 1),
+        |cs AS (SELECT id, sum(CASE f WHEN 0 THEN v END) AS c0s,
+        |    sum(CASE f WHEN 1 THEN v END) AS c1s,
+        |    sum(CASE f WHEN 2 THEN v END) AS c2s,
+        |    sum(CASE f WHEN 3 THEN v END) AS c3s
+        |  FROM (SELECT id, 0 AS f, v FROM c0
+        |    UNION ALL SELECT id, 1, v FROM c1
+        |    UNION ALL SELECT id, 2, v FROM c2
+        |    UNION ALL SELECT id, 3, v FROM c3) GROUP BY 1),
+        |sk AS (SELECT d.id, CAST(sum(
+        |      CASE WHEN (d.id + fb.f + mb.mx + 2 * mb.my) % 3 != 0
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS skips
+        |  FROM d,
+        |  LATERAL (SELECT unnest(generate_series(2, 3)) AS f) fb,
+        |  LATERAL (SELECT x.i AS mx, y.i AS my FROM
+        |    (SELECT unnest(generate_series(0, d.mbw - 1)) AS i) x,
+        |    (SELECT unnest(generate_series(0, d.mbh - 1)) AS i) y) mb
+        |  GROUP BY 1)
+        |SELECT d.id AS doc_id, CAST(4 AS INTEGER) AS n_frames,
+        |  16 * d.mbw AS width, 16 * d.mbh AS height,
+        |  CAST(ls.l0s + ls.l1s + ls.l2s + ls.l3s AS BIGINT) AS luma_sum,
+        |  CAST(cs.c0s + cs.c1s + cs.c2s + cs.c3s AS BIGINT) AS chroma_sum,
+        |  CAST(ls.l0s + cs.c0s + 2 * (ls.l1s + cs.c1s)
+        |    + 3 * (ls.l2s + cs.c2s) + 4 * (ls.l3s + cs.c3s) AS BIGINT)
+        |    AS weighted_sum,
+        |  sk.skips AS n_skipped,
+        |  CAST(d.mbw * d.mbh * (abs(4 * dv.dpx) + abs(4 * dv.dpy)) AS BIGINT)
+        |    AS mv_abs_sum
+        |FROM d JOIN dv ON dv.id = d.id
+        |JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
+        |JOIN sk ON sk.id = d.id
         |ORDER BY doc_id""".stripMargin,
 
     // mirrors synthesizeH264Bi at nf=3: f1 shifts the lattice by

