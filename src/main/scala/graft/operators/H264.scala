@@ -4011,8 +4011,11 @@ object H264 {
     * integer-chroma displacements (multiples of 8) — fractional
     * interpolation is out of scope and returns None, as does any
     * mb_type outside {I_PCM, P_L0_16x16, P_Skip} or cbp != 0.
-    * Sums span ALL frames; nSkipped counts P_Skip MBs; mvAbsSum is
-    * Σ(|mvx|+|mvy|) over all P MBs in quarter-sample units.
+    * Sums span ALL frames; nSkipped counts P_Skip AND B_Skip MBs;
+    * mvAbsSum is Σ(|mvx|+|mvy|) in quarter-sample units — per MB/
+    * partition per used list for explicit macroblocks, per 4x4 block
+    * per used list for spatial-direct ones (whose vectors are
+    * derived, not signalled; zero on the all-direct gate family).
     */
   def decodeInter(p: Array[Byte],
       collect: FrameState => Unit = null): Option[InterFrames] = {
