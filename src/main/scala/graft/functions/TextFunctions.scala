@@ -37,6 +37,36 @@ object TextFunctions {
   /** Distinct shingle set. */
   def shingleSet(text: Column, n: Int): Column = array_distinct(wordShingles(text, n))
 
+  /** Largest multiplicity of any element of a string array (0 for an
+    * empty array), computed IN-ROW: `array_sort` groups equal elements
+    * adjacently, then one linear `aggregate` fold tracks the longest
+    * run. No explode, no shuffle — the map-side core of the q208
+    * repetition signals. The q67 gate computes the same value as
+    * `max(count)` over an exploded (doc, token) group-by (two hash
+    * exchanges of every corpus token); at 100 TB repetition scoring is
+    * embarrassingly parallel per document, so the per-row form is the
+    * production shape and q67's exchange form is the oracle anchor.
+    */
+  def maxMultiplicity(arr: Column): Column = {
+    val sorted = array_sort(arr)
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + lit(1)).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+  }
+
+  /** Word bigrams as space-joined strings, in-row (`zip_with` of the
+    * array against its own tail — no explode).
+    */
+  def wordBigrams(toks: Column): Column =
+    zip_with(slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+
   /** Ratio of stopword tokens (deterministic stoplist). */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 

@@ -70,6 +70,113 @@ object Profiling {
         .as("n_distinct_est"))
   }
 
+  /** PERSISTED INCREMENTAL PROFILE — every statistic in the profile
+    * is MERGEABLE (counts and decimal sums are additive, min/max are
+    * idempotent-associative, HLL registers max-merge), so the profile
+    * joins the LM counts as the second index in the streaming matrix
+    * whose incremental form equals the batch form VALUE-EXACTLY: a
+    * profile accumulated batch-by-batch is bit-identical to
+    * [[approxProfile]] over the union (the q207 gate holds the q205
+    * oracle's shape against it). Layout: `dir/state` parquet segments,
+    * one row per (batch, column) with the raw mergeable state —
+    * decimal sums kept IN DECIMAL (cast to double only at probe, the
+    * [[graft.Parity]] rule, so segment merge order can never move a
+    * ulp) and HLL registers as array<long>.
+    */
+  def profileState(df: DataFrame, cols: Seq[String],
+      p: Int = 12): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        sum(graft.Parity.dec2(col(c))).as(s"${c}__sumdec"),
+        graft.functions.Hll.hll_agg(
+          when(col(c).isNull, lit(null).cast("long"))
+            .otherwise(xxhash64(col(c))), p).as(s"${c}__hll"))
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), $"n_rows",
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__min").as("min_d"),
+        col(s"${c}__max").as("max_d"),
+        col(s"${c}__sumdec").cast("decimal(38,2)").as("sum_dec"),
+        col(s"${c}__hll").as("hll"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select($"p.*")
+  }
+
+  /** Append one delta's per-column state rows to a persisted profile
+    * directory — additive, no build phase (the appendLmCounts
+    * contract): with `stagingPath` set the rows go THERE in overwrite
+    * mode for a staged deterministic-rename commit
+    * ([[graft.streaming.StreamingIndex.applyProfileBatch]]).
+    */
+  def appendProfileState(spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame, cols: Seq[String], dir: String, p: Int = 12,
+      stagingPath: Option[String] = None): Unit = {
+    val (root, mode) =
+      (stagingPath.getOrElse(dir), if (stagingPath.isDefined) "overwrite" else "append")
+    profileState(delta, cols, p).write.mode(mode).parquet(s"$root/state")
+  }
+
+  /** The merged profile of a persisted directory, in the
+    * [[approxProfile]] output shape: per column (col_name, n_rows,
+    * n_nulls, n_distinct_est, min_d, max_d, sum_d, complete,
+    * non_negative). One vocabulary-bounded merge aggregation over the
+    * state segments; no raw-data rescan.
+    */
+  def profileIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(s"$dir/state")
+      .groupBy($"col_name")
+      .agg(sum($"n_rows").as("n_rows"), sum($"n_nulls").as("n_nulls"),
+        graft.functions.Hll.hll_merge_agg($"hll").as("hll"),
+        min($"min_d").as("min_d"), max($"max_d").as("max_d"),
+        sum($"sum_dec").as("sum_dec"))
+      .select($"col_name", $"n_rows", $"n_nulls",
+        graft.functions.Hll.hll_estimate($"hll").as("n_distinct_est"),
+        $"min_d", $"max_d", $"sum_dec".cast("double").as("sum_d"))
+      .withColumn("complete", $"n_nulls" === 0L)
+      .withColumn("non_negative",
+        when($"n_rows" === $"n_nulls", lit(true)).otherwise($"min_d" >= 0d))
+
+  /** Compact a persisted profile's state segments down to one merged
+    * row per column — probe-identical (the merge is associative:
+    * sums of sums, min of mins, max-merged registers), the
+    * [[LangModel.compactLmCounts]] staged-swap with the same
+    * crash-recovery preamble. File count stops growing with batch
+    * count.
+    */
+  def compactProfileState(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/state")
+    val staged = new org.apache.hadoop.fs.Path(s"$dir/state_compact")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/state_old")
+    if (!fs.exists(live)) {
+      if (fs.exists(staged)) fs.rename(staged, live)
+      else if (fs.exists(old)) fs.rename(old, live)
+    }
+    val merged = spark.read.parquet(live.toString)
+      .groupBy($"col_name")
+      .agg(sum($"n_rows").as("n_rows"), sum($"n_nulls").as("n_nulls"),
+        min($"min_d").as("min_d"), max($"max_d").as("max_d"),
+        sum($"sum_dec").cast("decimal(38,2)").as("sum_dec"),
+        graft.functions.Hll.hll_merge_agg($"hll").as("hll"))
+      .select($"col_name", $"n_rows", $"n_nulls", $"min_d", $"max_d",
+        $"sum_dec", $"hll")
+    if (fs.exists(staged)) fs.delete(staged, true)
+    merged.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(live, old)
+    fs.rename(staged, live)
+    fs.delete(old, true); ()
+  }
+
   /** Shared one-pass skeleton: the exact statistics every profile
     * carries, plus the per-column cardinality aggregate the variant
     * supplies.

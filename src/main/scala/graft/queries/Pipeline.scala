@@ -116,6 +116,41 @@ object Pipeline {
   // shared verbatim by q200 (one-shot train) and q204 (streaming
   // incremental model): counts are additive, so both must produce
   // bit-identical scores
+  private val profileApproxOracle =
+    """WITH s AS (SELECT count(*) AS n,
+      |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nu,
+      |  count(DISTINCT l_quantity) AS q_nd,
+      |  CAST(min(l_quantity) AS DOUBLE) AS q_mn,
+      |  CAST(max(l_quantity) AS DOUBLE) AS q_mx,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q_sm,
+      |  sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS e_nu,
+      |  count(DISTINCT l_extendedprice) AS e_nd,
+      |  CAST(min(l_extendedprice) AS DOUBLE) AS e_mn,
+      |  CAST(max(l_extendedprice) AS DOUBLE) AS e_mx,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS e_sm,
+      |  sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS d_nu,
+      |  count(DISTINCT l_discount) AS d_nd,
+      |  CAST(min(l_discount) AS DOUBLE) AS d_mn,
+      |  CAST(max(l_discount) AS DOUBLE) AS d_mx,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS d_sm,
+      |  sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS t_nu,
+      |  count(DISTINCT l_tax) AS t_nd,
+      |  CAST(min(l_tax) AS DOUBLE) AS t_mn,
+      |  CAST(max(l_tax) AS DOUBLE) AS t_mx,
+      |  CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS t_sm
+      |FROM lineitem)
+      |SELECT col_name, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,
+      |  n_distinct_exact, TRUE AS distinct_in_bound,
+      |  min_d, max_d, sum_d,
+      |  n_nulls = 0 AS complete, min_d >= 0 AS non_negative
+      |FROM (
+      |  SELECT 'l_quantity' AS col_name, n AS n_rows, q_nu AS n_nulls,
+      |    q_nd AS n_distinct_exact, q_mn AS min_d, q_mx AS max_d, q_sm AS sum_d FROM s
+      |  UNION ALL SELECT 'l_extendedprice', n, e_nu, e_nd, e_mn, e_mx, e_sm FROM s
+      |  UNION ALL SELECT 'l_discount', n, d_nu, d_nd, d_mn, d_mx, d_sm FROM s
+      |  UNION ALL SELECT 'l_tax', n, t_nu, t_nd, t_mn, t_mx, t_sm FROM s)
+      |ORDER BY col_name""".stripMargin
+
   private val stupidBackoffOracle =
     """WITH tr AS (SELECT doc_id, string_split(text,' ') AS t
       |           FROM documents WHERE doc_id % 5 <> 0),
@@ -892,6 +927,35 @@ object Pipeline {
             size(graft.functions.ShingleHash64.shingle_hashes($"text", 3)).cast("double") /
               (size(tokens($"text")) - 2)).as("dup_trigram_frac"))
       tokStats.join(triStats, "doc_id").orderBy($"doc_id")
+    },
+
+    // MAP-SIDE repetition signals — q67's Gopher-style scores plus the
+    // top-bigram fraction, computed entirely IN-ROW (array_sort + one
+    // linear fold per row for multiplicities, zip_with for bigrams,
+    // the distinct-shingle count for trigrams): ZERO data exchanges
+    // where q67 hash-shuffles every corpus token twice. Repetition
+    // scoring is embarrassingly parallel per document, so at 100 TB
+    // this is the production shape — cost is one scan, parallelism is
+    // input-split-bound, and no token ever leaves its partition. The
+    // oracle recomputes all four signals from the raw text the
+    // explode/group-by way; q67 stays as the exchange-form anchor.
+    // PlanSpec pins the no-exchange plan shape.
+    "q208_repetition_mapside" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.TextFunctions.{maxMultiplicity, wordBigrams}
+      val toks = tokens($"text")
+      val n = size(toks)
+      Tables(s, dir).documents
+        .filter(size(tokens($"text")) >= 3)
+        .select($"doc_id",
+          (size(array_distinct(toks)).cast("double") / n).as("distinct_ratio"),
+          (maxMultiplicity(toks).cast("double") / n).as("top_token_frac"),
+          (maxMultiplicity(wordBigrams(toks)).cast("double") / (n - 1))
+            .as("top_bigram_frac"),
+          (lit(1.0) -
+            size(graft.functions.ShingleHash64.shingle_hashes($"text", 3)).cast("double") /
+              (n - 2)).as("dup_trigram_frac"))
+        .orderBy($"doc_id")
     },
 
     // Group-level MinHash signatures (distributed mergeable aggregate)
@@ -2789,6 +2853,49 @@ object Pipeline {
         .orderBy($"doc_id", $"phrase_id")
     },
 
+    // STREAMING incremental PROFILE — every profile statistic is
+    // mergeable (additive counts and DECIMAL sums, idempotent
+    // min/max, max-merge HLL registers), so a profile accumulated
+    // batch-by-batch (with one batch RE-DELIVERED that the batchlog
+    // must no-op) equals the one-shot q205 profile VALUE-EXACTLY and
+    // this gate holds the q205-shaped oracle: the profile joins the
+    // LM as the second index family where incremental == batch is
+    // exact, not recall-bounded.
+    "q207_stream_profile_index" -> { (s, dir) =>
+      import s.implicits._
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = Tables(s, dir).lineitem
+      val p = 12
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-prof-str").toString
+      try {
+        import graft.streaming.StreamingIndex
+        val applied = Seq(
+          StreamingIndex.applyProfileBatch(
+            li.filter($"l_orderkey" % 3 === 0), cols, idxDir, batchId = 0, p),
+          StreamingIndex.applyProfileBatch(
+            li.filter($"l_orderkey" % 3 === 1), cols, idxDir, batchId = 1, p),
+          StreamingIndex.applyProfileBatch( // crash-replay of batch 1
+            li.filter($"l_orderkey" % 3 === 1), cols, idxDir, batchId = 1, p),
+          StreamingIndex.applyProfileBatch(
+            li.filter($"l_orderkey" % 3 === 2), cols, idxDir, batchId = 2, p))
+        require(applied == Seq(true, true, false, true),
+          s"profile batchlog idempotence violated: $applied")
+        val ap = graft.operators.Profiling.profileIndexed(s, idxDir)
+        val ex = graft.operators.Profiling.numericProfile(li, cols)
+          .select($"col_name", $"n_distinct")
+        ap.join(ex, "col_name")
+          .select($"col_name", $"n_rows", $"n_nulls",
+            $"n_distinct".as("n_distinct_exact"),
+            (abs($"n_distinct_est" - $"n_distinct") <=
+              greatest($"n_distinct" * (3 * 1.04 / math.sqrt((1 << p).toDouble)),
+                lit(1.0))).as("distinct_in_bound"),
+            $"min_d", $"max_d", $"sum_d", $"complete", $"non_negative")
+          .orderBy($"col_name")
+          .localCheckpoint() // materialize before the index dir is removed
+      } finally Pipeline.rmTree(new java.io.File(idxDir))
+    },
+
     // STREAMING incremental LM — counts are additive, so a model fed
     // batch-by-batch (with one batch RE-DELIVERED mid-sequence that
     // the batchlog must no-op) scores EXACTLY like q200's one-shot
@@ -3663,40 +3770,15 @@ object Pipeline {
     // the exact columns recomputed by DuckDB; the HLL in-bound flag
     // is a TRUE literal — Spark's estimate must land inside its
     // published envelope for the hash compare to pass (q48 pattern)
-    "q205_data_profile_approx" ->
-      """WITH s AS (SELECT count(*) AS n,
-        |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nu,
-        |  count(DISTINCT l_quantity) AS q_nd,
-        |  CAST(min(l_quantity) AS DOUBLE) AS q_mn,
-        |  CAST(max(l_quantity) AS DOUBLE) AS q_mx,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q_sm,
-        |  sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS e_nu,
-        |  count(DISTINCT l_extendedprice) AS e_nd,
-        |  CAST(min(l_extendedprice) AS DOUBLE) AS e_mn,
-        |  CAST(max(l_extendedprice) AS DOUBLE) AS e_mx,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS e_sm,
-        |  sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS d_nu,
-        |  count(DISTINCT l_discount) AS d_nd,
-        |  CAST(min(l_discount) AS DOUBLE) AS d_mn,
-        |  CAST(max(l_discount) AS DOUBLE) AS d_mx,
-        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS d_sm,
-        |  sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS t_nu,
-        |  count(DISTINCT l_tax) AS t_nd,
-        |  CAST(min(l_tax) AS DOUBLE) AS t_mn,
-        |  CAST(max(l_tax) AS DOUBLE) AS t_mx,
-        |  CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS t_sm
-        |FROM lineitem)
-        |SELECT col_name, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,
-        |  n_distinct_exact, TRUE AS distinct_in_bound,
-        |  min_d, max_d, sum_d,
-        |  n_nulls = 0 AS complete, min_d >= 0 AS non_negative
-        |FROM (
-        |  SELECT 'l_quantity' AS col_name, n AS n_rows, q_nu AS n_nulls,
-        |    q_nd AS n_distinct_exact, q_mn AS min_d, q_mx AS max_d, q_sm AS sum_d FROM s
-        |  UNION ALL SELECT 'l_extendedprice', n, e_nu, e_nd, e_mn, e_mx, e_sm FROM s
-        |  UNION ALL SELECT 'l_discount', n, d_nu, d_nd, d_mn, d_mx, d_sm FROM s
-        |  UNION ALL SELECT 'l_tax', n, t_nu, t_nd, t_mn, t_mx, t_sm FROM s)
-        |ORDER BY col_name""".stripMargin,
+    "q205_data_profile_approx" -> profileApproxOracle,
+
+    // the SAME oracle shape, verbatim: a profile accumulated
+    // batch-by-batch from mergeable state (decimal sums, min/max,
+    // HLL registers) must equal the one-shot q205 profile
+    // VALUE-EXACTLY — incremental == batch, the q204 contract for
+    // the profile family
+    "q207_stream_profile_index" -> profileApproxOracle,
+
 
     // both branches exact int64; LEFT joins carry the unseen-bigram
     // signal; same floor-division discipline as q198
@@ -4083,6 +4165,35 @@ object Pipeline {
         |  CAST(topc AS DOUBLE) / n AS top_token_frac,
         |  1.0 - CAST(ndt AS DOUBLE) / nt AS dup_trigram_frac
         |FROM s JOIN tr ON s.doc_id = tr.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // q208 recomputes every map-side signal the explode/group-by way:
+    // identical doubles (each is one division of exact integers), so
+    // the in-row fold's multiplicities are value-pinned against a
+    // plain SQL mode count
+    "q208_repetition_mapside" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+        |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS nd, max(c) AS topc
+        |      FROM c GROUP BY 1),
+        |sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+        |bi AS (SELECT doc_id, max(c2) AS topb FROM
+        |        (SELECT doc_id, sp[i.g]||' '||sp[i.g+1] AS bg, count(*) AS c2
+        |         FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-1)) AS g) i
+        |         GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |tr AS (SELECT doc_id,
+        |         count(DISTINCT sp[i.g]||' '||sp[i.g+1]||' '||sp[i.g+2]) AS ndt,
+        |         len(sp) - 2 AS nt
+        |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i
+        |       GROUP BY doc_id, len(sp))
+        |SELECT s.doc_id,
+        |  CAST(nd AS DOUBLE) / n AS distinct_ratio,
+        |  CAST(topc AS DOUBLE) / n AS top_token_frac,
+        |  CAST(topb AS DOUBLE) / (n - 1) AS top_bigram_frac,
+        |  1.0 - CAST(ndt AS DOUBLE) / nt AS dup_trigram_frac
+        |FROM s JOIN bi ON s.doc_id = bi.doc_id
+        |       JOIN tr ON s.doc_id = tr.doc_id
         |ORDER BY s.doc_id""".stripMargin,
 
     "q37_text_langid" ->

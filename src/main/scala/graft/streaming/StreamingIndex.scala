@@ -335,6 +335,58 @@ object StreamingIndex {
     applied
   }
 
+  /** Apply one micro-batch of rows to a persisted incremental PROFILE
+    * ([[graft.operators.Profiling.appendProfileState]] layout),
+    * idempotently by `batchId` — the [[applyLmBatch]] shape: every
+    * statistic is mergeable (additive counts/sums, idempotent
+    * min/max, max-merge HLL registers), so there is no build phase,
+    * EVERY batch goes through the staged deterministic-rename commit,
+    * and the accumulated profile equals the one-shot
+    * [[graft.operators.Profiling.approxProfile]] over the union
+    * VALUE-EXACTLY (decimal sums merge in decimal; the q207 gate
+    * holds the q205-shaped oracle against it).
+    */
+  def applyProfileBatch(batch: DataFrame, cols: Seq[String], dir: String,
+      batchId: Long, p: Int = 12): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val logPath = s"$dir/batchlog"
+    val fs = new org.apache.hadoop.fs.Path(logPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
+        !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
+      return false
+    }
+    val applied =
+      if (batch.isEmpty) false
+      else {
+        val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
+        sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/state"), batchId)
+        graft.operators.Profiling.appendProfileState(spark, batch, cols, dir,
+          p, stagingPath = Some(staging.toString))
+        commitStaged(fs, new org.apache.hadoop.fs.Path(staging, "state"),
+          new org.apache.hadoop.fs.Path(s"$dir/state"), batchId)
+        fs.delete(staging, true)
+        true
+      }
+    Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    applied
+  }
+
+  /** foreachBatch sink: keep a persisted incremental profile current
+    * from a row stream.
+    */
+  def profileSink(rows: DataFrame, cols: Seq[String], dir: String,
+      checkpoint: String, p: Int = 12): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyProfileBatch(batch, cols, dir, batchId, p)
+        ()
+      }
+      .start()
+
   /** foreachBatch sink: keep a persisted incremental LM current from
     * a document stream.
     */

@@ -329,4 +329,17 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 2, s"expected the span-seed scan + one sweep scan, got $scans:\n$p")
     assert(!p.contains("SortMergeJoin"), s"stats must not join a second scan:\n$p")
   }
+
+  test("q208 repetition signals are in-row: no hash exchange, no join, one scan") {
+    // q67 computes the same scores through two hash exchanges of every
+    // corpus token; the map-side form must keep all four signals inside
+    // the row — the only exchange allowed is the output orderBy's range
+    // partitioning, so at 100 TB cost is one scan and no token ever
+    // leaves its partition
+    val p = plan(graft.queries.Pipeline.queries("q208_repetition_mapside")(spark, sf))
+    assert(!p.contains("hashpartitioning"), s"map-side signals must not hash-exchange:\n$p")
+    assert(!p.contains("Join"), s"map-side signals must not join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"expected one scan:\n$p")
+    assert(!p.contains("Generate"), s"no explode in the map-side form:\n$p")
+  }
 }

@@ -231,4 +231,22 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("maxMultiplicity: in-row sort+fold equals the naive group count on random arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // skewed vocabulary on purpose so real multiplicities (not all-1)
+    // appear; includes empty and single-element arrays
+    val arrays: Seq[Seq[String]] =
+      Seq(Seq.empty[String], Seq("x")) ++
+        (1 to 60).map(_ => Seq.fill(1 + rnd.nextInt(40))("w" + rnd.nextInt(6)))
+    val got = arrays.zipWithIndex.map { case (a, i) => (i, a) }
+      .toDF("i", "arr")
+      .select(col("i"), TextFunctions.maxMultiplicity(col("arr")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    arrays.zipWithIndex.foreach { case (a, i) =>
+      val want = if (a.isEmpty) 0 else a.groupBy(identity).values.map(_.size).max
+      assert(got(i) == want, s"array $i: got ${got(i)}, want $want ($a)")
+    }
+  }
 }

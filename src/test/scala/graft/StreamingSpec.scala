@@ -1613,4 +1613,85 @@ class StreamingSpec extends SparkSpec {
     val after = Seq("codes", "vectors").map(parquetFiles).max
     assert(after < before, s"file count must drop ($before -> $after)")
   }
+
+  test("streaming profile index: multi-trigger stream equals the one-shot approx profile value-exactly") {
+    import graft.operators.Profiling
+    import graft.streaming.StreamingIndex
+    import java.nio.file.{Files => JFiles, Paths}
+    import spark.implicits._
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    // cache for the repeated reads below, but ALWAYS unpersist: a
+    // cached lineitem fragment left behind turns later PlanSpec scans
+    // into InMemoryTableScan and their ReadSchema/PushedFilters
+    // assertions fail (seen in the full-suite run)
+    val li = Tables(spark, sf).lineitem.select(cols.map(col): _*).cache()
+    try {
+    val dir = JFiles.createTempDirectory("graft-profdocs").toString
+    li.repartition(3).write.mode("overwrite").parquet(dir)
+    val files = JFiles.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    assert(files.length >= 2)
+    files.zipWithIndex.foreach { case (f, i) =>
+      JFiles.setLastModifiedTime(Paths.get(f),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val streamed = JFiles.createTempDirectory("graft-profstr").toString
+    val ckpt = JFiles.createTempDirectory("graft-profck").toString
+    val stream = spark.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamingIndex.profileSink(stream, cols, streamed, ckpt)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(s"$streamed/batchlog").count() >= 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7), r.getBoolean(8))).toSet
+    val want = rows(Profiling.approxProfile(li, cols))
+    assert(want.nonEmpty)
+    assert(rows(Profiling.profileIndexed(spark, streamed)) == want,
+      "stream-accumulated profile must equal the one-shot approx profile bit-for-bit")
+    // re-delivered batch id is a no-op
+    assert(!StreamingIndex.applyProfileBatch(li.limit(5), cols, streamed, 0))
+    assert(rows(Profiling.profileIndexed(spark, streamed)) == want)
+    } finally li.unpersist()
+  }
+
+  test("profile staged commit + compaction: crash replay converges, file count bounded") {
+    import graft.operators.Profiling
+    import graft.streaming.StreamingIndex
+    import spark.implicits._
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val li = Tables(spark, sf).lineitem.cache()
+    try {
+    val dir = java.nio.file.Files.createTempDirectory("graft-profcrash").toString
+    (0 until 6).foreach { b =>
+      assert(StreamingIndex.applyProfileBatch(
+        li.filter($"l_orderkey" % 6 === b), cols, dir, b.toLong))
+    }
+    def rows() = Profiling.profileIndexed(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getDouble(6))).toSet
+    val want = rows()
+    // crash between the state commit and the marker: erase batch 1's
+    // marker, keep its data, re-deliver — the sweep must drop the
+    // orphaned b1_* state rows or counts double
+    val survivors = spark.read.parquet(s"$dir/batchlog")
+      .filter($"batch_id" =!= 1L).collect().map(_.getLong(0)).toSeq
+    survivors.toDF("batch_id").write.mode("overwrite").parquet(s"$dir/batchlog")
+    assert(StreamingIndex.applyProfileBatch(
+      li.filter($"l_orderkey" % 6 === 1), cols, dir, 1))
+    assert(rows() == want, "replay must converge to exactly-once state")
+    // compaction: probe-identical, segment count drops to one file
+    def stateFiles(): Long = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/state"))
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toLong
+    }
+    val before = stateFiles()
+    assert(before >= 6L)
+    Profiling.compactProfileState(spark, dir)
+    assert(rows() == want, "compaction must be probe-identical")
+    assert(stateFiles() < before)
+    } finally li.unpersist()
+  }
 }
