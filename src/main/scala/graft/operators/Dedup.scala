@@ -626,6 +626,62 @@ object Dedup {
       .select($"cluster_rep", (-$"best.nd").as("keep_doc"),
         $"best.score".as("keep_score"), $"n_docs")
 
+  /** Connected components DIRECTLY on a bipartite doc–key incidence
+    * frame (doc, key) — docs are connected iff they share a key —
+    * WITHOUT ever materializing doc pairs. The pair-list form of
+    * shared-key dedup is inherently quadratic in true duplication
+    * (measured: the sf100 clip-pair probe spilled the disk at 1000×
+    * replication, where synthesized "distinct" sources collapse onto
+    * few distinct contents and every content's pair count grows d²);
+    * this form's per-round cost is the POSTINGS size — min-label
+    * propagation alternates doc→key and key→doc minima, so the label
+    * stream is always one narrow row per posting, and output is one
+    * row per doc at ANY duplication level. Convergence in
+    * O(component diameter) rounds over the bipartite graph, monitored
+    * by the same monotone label-sum certificate as [[clusterReps]]
+    * (labels only decrease; equal sums ⇒ fixpoint), lineage truncated
+    * per round for the same Catalyst-analysis reason. Returns
+    * (doc, cluster_rep): cluster_rep = min doc id of the component;
+    * docs with no key rows simply don't appear (they have no
+    * incidence evidence — callers union them back as singletons if
+    * the key extraction can yield empty sets).
+    */
+  def bipartiteClusterReps(postings: DataFrame, maxIters: Int = 20): DataFrame = {
+    val po = postings.select($"doc", $"key").distinct()
+      .repartition($"key")
+      .localCheckpoint()
+    var labels = po.select($"doc").distinct()
+      .select($"doc", $"doc".as("lbl"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum($"lbl".cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // doc→key: smallest label incident to each key; key→doc: each
+      // doc adopts the smallest over its keys (and keeps its own)
+      val keyMin = po.join(labels, "doc")
+        .groupBy($"key").agg(min($"lbl").as("klbl"))
+      val next = po.join(keyMin, "key")
+        .select($"doc", $"klbl".as("lbl"))
+        .unionByName(labels)
+        .groupBy($"doc").agg(min($"lbl").as("lbl"))
+        .localCheckpoint()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      labels = next
+      iter += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"bipartiteClusterReps exited at maxIters=$maxIters WITHOUT " +
+          "converging — components wider than the iteration budget are " +
+          "split; raise maxIters")
+    labels.withColumnRenamed("lbl", "cluster_rep")
+  }
+
   /** Near-dup pairs by SimHash hamming distance, blocked on
     * `nChunks` equal-width chunks. Pigeonhole guarantee: recall is
     * EXACT only for maxHamming < nChunks (a pair differing in every

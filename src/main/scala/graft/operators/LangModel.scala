@@ -234,6 +234,81 @@ object LangModel {
         expr("surprise_fp div n_bigrams").as("avg_surprise_fp"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1998 — the empirically strongest count-based bigram
+    * smoothing) of a held-out slice under a model trained on the rest,
+    * in EXACT int64 fixed point. The discount is kept RATIONAL —
+    * d = 3/4, the Chen–Goodman ballpark — and the continuation
+    * distribution is add-one smoothed, which yields a closed rational
+    * form AND exact normalization:
+    *
+    *   P(w2|w1) = [max(c12 − 3/4, 0) + (3/4)·N1+(w1·)·(N1+(·w2)+1)/(B+V)] / c1
+    *
+    * where N1+(w1·) = distinct continuations of w1, N1+(·w2) =
+    * distinct contexts of w2, B = distinct bigram TYPES, V =
+    * vocabulary. Σ_w2∈vocab (N1+(·w2)+1) = B + V exactly, so the
+    * smoothed conditional sums to EXACTLY 1 over the training
+    * vocabulary — the add-one continuation doesn't just avoid zeros,
+    * it preserves KN's normalization as an integer identity.
+    * Multiplying through by 4(B+V) gives the all-integer per-term
+    * inverse probability this engine scores with
+    * (the [[bigramSurprisal]] posture — monotone in surprisal,
+    * bit-deterministic, oracle-exact):
+    *
+    *   seen ctx:  SCALE·4·c1·(B+V) div (max(4·c12−3,0)·(B+V) + 3·N1p·(N1c+1))
+    *   unseen:    SCALE·(B+V) div (N1c+1)      — pure continuation unigram,
+    *                                             KN's own lower-order distribution
+    *
+    * Overflow posture: the seen-context numerator carries c1·(B+V),
+    * a product of two corpus-sized counts — certified IN-PLAN (double
+    * arithmetic, raise_error with advice) before the int64 multiply
+    * runs, the [[guardedPerText]] philosophy applied to the term
+    * itself; the per-document sum then goes through the same guarded
+    * aggregate as the other scorers.
+    *
+    * Scale shape: identical to [[stupidBackoffSurprisal]] — both sides
+    * collapse to unique texts by content hash, count tables are
+    * vocabulary-bounded (c12/c1+N1p/N1c all derive from ONE c12
+    * aggregation — N-counts are row counts of it), three LEFT
+    * equi-joins of the unique scored occurrence stream, one broadcast
+    * 1-row stats frame.
+    */
+  def kneserNeySurprisal(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val g = collapse(train, textCol)
+    val bi = bigramsOf(g, "kh", "txt", $"nc")
+    val c12 = bi.groupBy($"w1", $"w2").agg(sum($"w").as("c12"))
+    // c1 (MLE denominator) and N1+(w1·) ride one aggregation of c12
+    val c1n = c12.groupBy($"w1")
+      .agg(sum($"c12").as("c1"), count(lit(1)).as("n1p"))
+    val n1c = c12.groupBy($"w2").agg(count(lit(1)).as("n1c"))
+    val vocab = g.select(explode(split($"txt", " ")).as("t"))
+      .agg(countDistinct($"t").as("v"))
+    val stats = c12.agg(count(lit(1)).as("b")).crossJoin(vocab)
+    val scoreG = collapse(score, textCol)
+    val perText = guardedPerText(bigramsOf(scoreG, "kh", "txt", $"nc")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1n, Seq("w1"), "left")
+      .join(n1c, Seq("w2"), "left")
+      .crossJoin(broadcast(stats))
+      .select($"k", expr(
+        s"""CASE
+           |WHEN CAST(${Scale}L AS DOUBLE) * 4.0 * coalesce(c1, 1L) * (b + v) >= 9.0e18
+           |     OR 4.0 * coalesce(c12, 0L) * (b + v)
+           |        + 3.0 * coalesce(n1p, 0L) * (coalesce(n1c, 0L) + 1L) >= 9.0e18
+           |  THEN raise_error('KN surprisal int64 overflow: drop SCALE a decade (c1 x bigram types exceeds the certified bound)')
+           |WHEN c1 IS NOT NULL THEN
+           |  (${Scale}L * 4L * c1 * (b + v)) div
+           |  (greatest(4L * coalesce(c12, 0L) - 3L, 0L) * (b + v)
+           |   + 3L * n1p * (coalesce(n1c, 0L) + 1L))
+           |ELSE (${Scale}L * (b + v)) div (coalesce(n1c, 0L) + 1L)
+           |END""".stripMargin).as("term_fp")))
+    score.select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("k"))
+      .join(perText, Seq("k"))
+      .select($"doc_id", $"n_bigrams", $"surprise_fp",
+        expr("surprise_fp div n_bigrams").as("avg_surprise_fp"))
+  }
+
   /** PERSISTED INCREMENTAL LM — the property that makes a count-based
     * LM the friendliest index in the whole streaming matrix: counts
     * are ADDITIVE, so "training" on a new batch is appending that

@@ -2560,6 +2560,43 @@ object Pipeline {
       } finally Pipeline.rmTree(new java.io.File(idxDir))
     },
 
+    // CLIP NEAR-DUP CLUSTERS, output-linear — the production form the
+    // sf100 run forced: the PAIR-LIST probe (q192/q195) is inherently
+    // quadratic in true duplication (at 1000× replication the
+    // synthesized "distinct" sources collapse onto few distinct
+    // contents and the pair join spilled the disk — measured DNF),
+    // while connected components run DIRECTLY on the clip–fingerprint
+    // postings via bipartite min-label propagation: per-round cost is
+    // the postings size, output is one row per clip at ANY
+    // duplication. Same synthesis as q195; the oracle re-derives the
+    // within-group window-overlap graph in closed form and walks it
+    // recursively. q192/q195 stay as the pair-output anchors at gate
+    // SFs (the q165/q172 pattern).
+    "q210_clip_clusters" -> { (s, dir) =>
+      import s.implicits._
+      val clips = Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 1)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val grp = id / 16
+          val mbW = 2 + (grp % 3).toInt
+          val mbH = 1 + (grp % 3).toInt
+          val off = ((id / 4) % 3).toInt
+          val len = 4 + (id % 3).toInt
+          val annexB = graft.operators.H264.synthesizeH264Inter(mbW, mbH, 8, grp)
+          val mp4 = graft.operators.Multimodal.synthesizeMp4Avc1(
+            annexB, 16 * mbW, 16 * mbH, 1000, 40)
+          graft.operators.Multimodal.mp4FrameFingerprints(mp4) match {
+            case Some(fps) =>
+              fps.slice(off, off + len).toSeq.map(h => (id, h))
+            case None => Seq((id, -1L)) // poisons clustering → gate fails
+          }
+        }).toDF("doc", "key")
+      graft.operators.Dedup.bipartiteClusterReps(clips)
+        .select($"doc".as("vid"), $"cluster_rep")
+        .orderBy($"vid")
+    },
+
     // AUDIO CLIP-LEVEL DEDUP — q192's design ported to the audio
     // modality: every 4 docs are clips cut from one source FLAC
     // (grp = id/16 seeds the q158 recipe), each clip a [off, off+len)
@@ -2972,6 +3009,22 @@ object Pipeline {
       import s.implicits._
       val docs = Tables(s, dir).documents
       graft.operators.LangModel.stupidBackoffSurprisal(
+          docs.filter($"doc_id" % 5 =!= 0), docs.filter($"doc_id" % 5 === 0),
+          "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+
+    // Interpolated Kneser–Ney scoring of the same held-out split —
+    // the strongest count-based bigram smoothing, exact int64: d=3/4
+    // rational, add-one continuation distribution (which preserves
+    // KN's sum-to-1 normalization as an integer identity), per-term
+    // overflow certified in-plan. Same collapse-first hash-keyed
+    // shape as q200; the oracle re-derives every count table and the
+    // full fixed-point arithmetic from the raw text.
+    "q209_kneser_ney" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      graft.operators.LangModel.kneserNeySurprisal(
           docs.filter($"doc_id" % 5 =!= 0), docs.filter($"doc_id" % 5 === 0),
           "doc_id", "text")
         .orderBy($"doc_id")
@@ -3783,6 +3836,40 @@ object Pipeline {
     // both branches exact int64; LEFT joins carry the unseen-bigram
     // signal; same floor-division discipline as q198
     "q200_stupid_backoff" -> stupidBackoffOracle,
+
+    // every KN count table (c12, c1, N1+(w1.), N1+(.w2), B, V) and
+    // the d=3/4 fixed-point arithmetic re-derived from raw text;
+    // integer division both sides, term-identical by construction
+    "q209_kneser_ney" ->
+      """WITH tr AS (SELECT doc_id, string_split(text,' ') AS t
+        |           FROM documents WHERE doc_id % 5 <> 0),
+        |sc AS (SELECT doc_id, string_split(text,' ') AS t
+        |       FROM documents WHERE doc_id % 5 = 0),
+        |uniT AS (SELECT unnest(t) AS u FROM tr),
+        |vv AS (SELECT count(DISTINCT u) AS v FROM uniT),
+        |biT AS (SELECT t[i.g] AS w1, t[i.g+1] AS w2
+        |        FROM tr, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS g) i),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM biT GROUP BY 1, 2),
+        |c1n AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1p
+        |        FROM c12 GROUP BY 1),
+        |n1c AS (SELECT w2, count(*) AS n1c FROM c12 GROUP BY 1),
+        |st AS (SELECT (SELECT count(*) FROM c12) AS b, v FROM vv),
+        |biS AS (SELECT doc_id, t[i.g] AS w1, t[i.g+1] AS w2
+        |        FROM sc, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS g) i),
+        |terms AS (SELECT bs.doc_id,
+        |    CASE WHEN c1n.c1 IS NOT NULL THEN
+        |      (1000000 * 4 * c1n.c1 * (st.b + st.v)) //
+        |      (greatest(4 * coalesce(c12.c12, 0) - 3, 0) * (st.b + st.v)
+        |       + 3 * c1n.n1p * (coalesce(n1c.n1c, 0) + 1))
+        |    ELSE (1000000 * (st.b + st.v)) // (coalesce(n1c.n1c, 0) + 1)
+        |    END AS term_fp
+        |  FROM biS bs LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1n USING (w1)
+        |  LEFT JOIN n1c USING (w2) CROSS JOIN st)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(term_fp) AS BIGINT) AS surprise_fp,
+        |  CAST(sum(term_fp) // count(*) AS BIGINT) AS avg_surprise_fp
+        |FROM terms GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // the SAME oracle, verbatim: a count-additive model built
     // batch-by-batch (with a re-delivered batch no-op'd) must score
@@ -6346,6 +6433,27 @@ object Pipeline {
         |WHERE LEAST(x.off + x.len, y.off + y.len)
         |  - GREATEST(x.off, y.off) > 0
         |ORDER BY a, b""".stripMargin,
+
+    // clip CLUSTERS: connected components of the window-overlap graph
+    // per source group, walked recursively from the closed form; every
+    // clip appears (isolated ones keep their own id as rep)
+    "q210_clip_clusters" ->
+      """WITH RECURSIVE c AS (SELECT doc_id AS id, doc_id // 16 AS grp,
+        |    CAST((doc_id // 4) % 3 AS INTEGER) AS off,
+        |    CAST(4 + doc_id % 3 AS INTEGER) AS len
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |p AS (SELECT x.id AS a, y.id AS b
+        |      FROM c x JOIN c y ON x.grp = y.grp AND x.id < y.id
+        |      WHERE LEAST(x.off + x.len, y.off + y.len)
+        |        - GREATEST(x.off, y.off) > 0),
+        |edges AS (SELECT a AS x, b AS y FROM p UNION ALL SELECT b, a FROM p),
+        |walk(doc, lbl) AS (
+        |  SELECT id, id FROM c
+        |  UNION
+        |  SELECT e.x, w.lbl FROM edges e JOIN walk w ON e.y = w.doc
+        |)
+        |SELECT doc AS vid, min(lbl) AS cluster_rep FROM walk GROUP BY doc
+        |ORDER BY vid""".stripMargin,
 
     // audio clip pairs: the same window-overlap closed form as q192
     // on the mod-4 = 2 id class

@@ -261,6 +261,36 @@ class DedupSpec extends SparkSpec {
     assert(got.forall { case (doc, rep) => rep <= doc })
   }
 
+  test("bipartiteClusterReps matches union-find on random doc-key graphs, never materializes pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 3) {
+      // skewed key space ON PURPOSE: some keys shared by many docs —
+      // the regime where the pair form is quadratic and this one isn't
+      val postings = (1L to 60L).flatMap { doc =>
+        Seq.fill(1 + rnd.nextInt(4))((doc, rnd.nextInt(25).toLong))
+      }.distinct
+      val got = Dedup.bipartiteClusterReps(postings.toDF("doc", "key"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // ground truth: union-find over docs sharing a key
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      postings.groupBy(_._2).values.foreach { grp =>
+        val ds = grp.map(_._1)
+        ds.tail.foreach { d =>
+          val (ra, rb) = (find(ds.head), find(d))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+      val truth = postings.map(_._1).distinct.map(d => d -> find(d)).toMap
+      assert(got == truth, s"round $round")
+      assert(got.forall { case (doc, rep) => rep <= doc })
+    }
+  }
+
   test("exact dedup keeps one id per distinct content") {
     val out = Dedup.exactDedup(docs, "doc_id", "text")
     assert(out.count() == docs.select("text").distinct().count())

@@ -45,6 +45,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kneser-ney: collapsed hashed pipeline equals the direct per-doc mirror on split corpora") {
+    import spark.implicits._
+    import graft.operators.LangModel
+    for (round <- 1 to 3) {
+      // duplicate-heavy on purpose; train/score split so the unseen
+      // branches (unseen bigram under seen context, unseen context)
+      // are all live. Mirror is the direct uncollapsed KN arithmetic.
+      val uniq = Vector.fill(10)(randWords(2 + rnd.nextInt(10)))
+      val docs = (1L to 40L).map(id => (id, uniq(rnd.nextInt(10))))
+      val train = docs.filter(_._1 % 3 != 0)
+      val score = docs.filter(_._1 % 3 == 0)
+      val got = LangModel.kneserNeySurprisal(
+          train.toDF("doc_id", "text"), score.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val trToks = train.map { case (_, t) => t.split(" ").toSeq }
+      val bisT = trToks.flatMap(t => t.zip(t.drop(1)))
+      val c12 = bisT.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val c1 = bisT.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val n1p = c12.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val n1c = c12.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val v = trToks.flatten.toSet.size.toLong
+      val b = c12.size.toLong
+      val want = score.flatMap { case (id, t) =>
+        val toks = t.split(" ").toSeq
+        val bs = toks.zip(toks.drop(1))
+        if (bs.isEmpty) None
+        else {
+          val terms = bs.map { p =>
+            c1.get(p._1) match {
+              case Some(cc1) =>
+                1000000L * 4L * cc1 * (b + v) /
+                  (math.max(4L * c12.getOrElse(p, 0L) - 3L, 0L) * (b + v) +
+                    3L * n1p(p._1) * (n1c.getOrElse(p._2, 0L) + 1L))
+              case None =>
+                1000000L * (b + v) / (n1c.getOrElse(p._2, 0L) + 1L)
+            }
+          }
+          Some(id -> (bs.size.toLong, terms.sum, terms.sum / bs.size))
+        }
+      }.toMap
+      assert(got == want, s"round $round")
+    }
+  }
+
   test("phrase search equals a naive token-window scan on random corpora") {
     import spark.implicits._
     import graft.operators.Retrieval
