@@ -275,16 +275,27 @@ object LangModel {
     */
   def kneserNeySurprisal(train: DataFrame, score: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val g = collapse(train, textCol)
-    val bi = bigramsOf(g, "kh", "txt", $"nc")
-    val c12 = bi.groupBy($"w1", $"w2").agg(sum($"w").as("c12"))
+    val (c12, _, cw) = countsOf(train, textCol)
+    knScoreWith(c12, cw, score, idCol, textCol)
+  }
+
+  /** KN scoring against EXPLICIT count frames — shared by the
+    * in-memory path and the persisted incremental model. EVERY KN
+    * statistic derives from the two tables the persisted LM already
+    * stores: c1/N1+(w1·) are the by-w1 sum/row-count of c12,
+    * N1+(·w2) the by-w2 row count, B = |c12|, V = |cw| — so the
+    * additive c12/cw segments that make stupid backoff
+    * incremental-exact make KN incremental-exact too, with zero new
+    * storage machinery (the q211 contract).
+    */
+  private def knScoreWith(c12: DataFrame, cw: DataFrame,
+      score: DataFrame, idCol: String, textCol: String): DataFrame = {
     // c1 (MLE denominator) and N1+(w1·) ride one aggregation of c12
     val c1n = c12.groupBy($"w1")
       .agg(sum($"c12").as("c1"), count(lit(1)).as("n1p"))
     val n1c = c12.groupBy($"w2").agg(count(lit(1)).as("n1c"))
-    val vocab = g.select(explode(split($"txt", " ")).as("t"))
-      .agg(countDistinct($"t").as("v"))
-    val stats = c12.agg(count(lit(1)).as("b")).crossJoin(vocab)
+    val stats = c12.agg(count(lit(1)).as("b"))
+      .crossJoin(cw.agg(count(lit(1)).as("v")))
     val scoreG = collapse(score, textCol)
     val perText = guardedPerText(bigramsOf(scoreG, "kh", "txt", $"nc")
       .join(c12, Seq("w1", "w2"), "left")
@@ -351,6 +362,20 @@ object LangModel {
       textCol: String): DataFrame = {
     val (c12, c1, cw) = lmCounts(spark, dir)
     backoffScoreWith(c12, c1, cw, score, idCol, textCol)
+  }
+
+  /** Kneser–Ney scoring from the persisted tables alone — the SAME
+    * segment directory [[appendLmCounts]] maintains for stupid
+    * backoff serves KN with no extra state: the N-counts are row
+    * counts of the MERGED c12 (type counts must be computed after the
+    * by-key sum — a type seen in two batches is ONE type), so
+    * incremental == one-shot [[kneserNeySurprisal]] value-exactly.
+    */
+  def scoreKnIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, score: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val (c12, _, cw) = lmCounts(spark, dir)
+    knScoreWith(c12, cw, score, idCol, textCol)
   }
 
   /** Compact a persisted LM directory's count segments down to one

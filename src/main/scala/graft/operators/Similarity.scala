@@ -667,7 +667,23 @@ object Similarity {
       hierThreshold: Long = 50000L): Quantizer = {
     val n = corpus.count()
     if (trainIters > 0 && n > hierThreshold) {
-      val (l1, l2) = hierQuantizer(corpus, dim, targetCellSize, trainIters)
+      // SIZE-ADAPTIVE cell granularity: with a FIXED cell size the
+      // cell count C = n/size grows linearly and the hierarchical
+      // per-vector assignment (≈ 2√C) grows as √n — n^1.5 total,
+      // MEASURED: ivfSq8TopK alone 12.75 s at 200k vectors → 366.8 s
+      // at 2M (28.8× per 10× data ≈ 10^1.5, AnnOpBench round 13).
+      // Growing the cell size ∝ √n instead keeps C ∝ √n: assignment
+      // is bounded at n^1.25 and the probe's per-cell scan grows √n —
+      // the classic IVF balance (FAISS-style C ≈ β√n, public). The
+      // max() keeps the pre-adaptive geometry until √n/4 crosses
+      // targetCellSize (√50000/4 ≈ 56, so the handover at the
+      // hierarchical threshold is near-continuous), and the flat
+      // branch below the threshold — every oracle-gate SF — is
+      // untouched. Bigger cells at fixed nProbe only RAISE recall;
+      // the in-plan recall audits travel with every gate.
+      val adaptiveSize = math.max(targetCellSize,
+        math.ceil(math.sqrt(n.toDouble) / 4).toInt)
+      val (l1, l2) = hierQuantizer(corpus, dim, adaptiveSize, trainIters)
       Quantizer(df => assignHier(df, l1, l2),
         (df, np) => probeHier(df, l1, l2, nL1 = 2, nProbe = np))
     } else {

@@ -151,6 +151,41 @@ object Pipeline {
       |  UNION ALL SELECT 'l_tax', n, t_nu, t_nd, t_mn, t_mx, t_sm FROM s)
       |ORDER BY col_name""".stripMargin
 
+  // shared verbatim by q209 (one-shot KN train) and q211 (streaming
+  // incremental KN over the persisted c12/cw segments): every KN
+  // statistic derives from merged c12/cw, so both must produce
+  // bit-identical scores
+  private val kneserNeyOracle =
+    """WITH tr AS (SELECT doc_id, string_split(text,' ') AS t
+      |           FROM documents WHERE doc_id % 5 <> 0),
+      |sc AS (SELECT doc_id, string_split(text,' ') AS t
+      |       FROM documents WHERE doc_id % 5 = 0),
+      |uniT AS (SELECT unnest(t) AS u FROM tr),
+      |vv AS (SELECT count(DISTINCT u) AS v FROM uniT),
+      |biT AS (SELECT t[i.g] AS w1, t[i.g+1] AS w2
+      |        FROM tr, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS g) i),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM biT GROUP BY 1, 2),
+      |c1n AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1p
+      |        FROM c12 GROUP BY 1),
+      |n1c AS (SELECT w2, count(*) AS n1c FROM c12 GROUP BY 1),
+      |st AS (SELECT (SELECT count(*) FROM c12) AS b, v FROM vv),
+      |biS AS (SELECT doc_id, t[i.g] AS w1, t[i.g+1] AS w2
+      |        FROM sc, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS g) i),
+      |terms AS (SELECT bs.doc_id,
+      |    CASE WHEN c1n.c1 IS NOT NULL THEN
+      |      (1000000 * 4 * c1n.c1 * (st.b + st.v)) //
+      |      (greatest(4 * coalesce(c12.c12, 0) - 3, 0) * (st.b + st.v)
+      |       + 3 * c1n.n1p * (coalesce(n1c.n1c, 0) + 1))
+      |    ELSE (1000000 * (st.b + st.v)) // (coalesce(n1c.n1c, 0) + 1)
+      |    END AS term_fp
+      |  FROM biS bs LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1n USING (w1)
+      |  LEFT JOIN n1c USING (w2) CROSS JOIN st)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(term_fp) AS BIGINT) AS surprise_fp,
+      |  CAST(sum(term_fp) // count(*) AS BIGINT) AS avg_surprise_fp
+      |FROM terms GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   private val stupidBackoffOracle =
     """WITH tr AS (SELECT doc_id, string_split(text,' ') AS t
       |           FROM documents WHERE doc_id % 5 <> 0),
@@ -2964,6 +2999,39 @@ object Pipeline {
       } finally Pipeline.rmTree(new java.io.File(idxDir))
     },
 
+    // STREAMING incremental KNESER–NEY — the same persisted c12/cw
+    // segments that make stupid backoff incremental-exact (q204)
+    // serve KN with ZERO new state: N1+(w1·)/N1+(·w2)/B are row
+    // counts of the MERGED c12 (types must be counted after the
+    // by-key sum — a bigram type seen in two batches is ONE type), V
+    // the row count of merged cw. Batch-fed model (with a crash
+    // replay the batchlog no-ops) holds the q209 oracle VERBATIM.
+    "q211_stream_kn_model" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val train = docs.filter($"doc_id" % 5 =!= 0)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-kn-str").toString
+      try {
+        import graft.streaming.StreamingIndex
+        val applied = Seq(
+          StreamingIndex.applyLmBatch(
+            train.filter($"doc_id" % 3 === 0), "text", idxDir, batchId = 0),
+          StreamingIndex.applyLmBatch(
+            train.filter($"doc_id" % 3 === 1), "text", idxDir, batchId = 1),
+          StreamingIndex.applyLmBatch( // crash-replay of batch 1
+            train.filter($"doc_id" % 3 === 1), "text", idxDir, batchId = 1),
+          StreamingIndex.applyLmBatch(
+            train.filter($"doc_id" % 3 === 2), "text", idxDir, batchId = 2))
+        require(applied == Seq(true, true, false, true),
+          s"lm batchlog idempotence violated: $applied")
+        graft.operators.LangModel.scoreKnIndexed(s, idxDir,
+            docs.filter($"doc_id" % 5 === 0), "doc_id", "text")
+          .orderBy($"doc_id")
+          .localCheckpoint() // materialize before the model dir is removed
+      } finally Pipeline.rmTree(new java.io.File(idxDir))
+    },
+
     // Deequ-style one-pass ingest profile: per-column completeness,
     // exact cardinality, bounds, decimal-exact money sums, and the
     // constraint verdicts a loader gates on — computed in ONE agg
@@ -3840,36 +3908,12 @@ object Pipeline {
     // every KN count table (c12, c1, N1+(w1.), N1+(.w2), B, V) and
     // the d=3/4 fixed-point arithmetic re-derived from raw text;
     // integer division both sides, term-identical by construction
-    "q209_kneser_ney" ->
-      """WITH tr AS (SELECT doc_id, string_split(text,' ') AS t
-        |           FROM documents WHERE doc_id % 5 <> 0),
-        |sc AS (SELECT doc_id, string_split(text,' ') AS t
-        |       FROM documents WHERE doc_id % 5 = 0),
-        |uniT AS (SELECT unnest(t) AS u FROM tr),
-        |vv AS (SELECT count(DISTINCT u) AS v FROM uniT),
-        |biT AS (SELECT t[i.g] AS w1, t[i.g+1] AS w2
-        |        FROM tr, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS g) i),
-        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM biT GROUP BY 1, 2),
-        |c1n AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1p
-        |        FROM c12 GROUP BY 1),
-        |n1c AS (SELECT w2, count(*) AS n1c FROM c12 GROUP BY 1),
-        |st AS (SELECT (SELECT count(*) FROM c12) AS b, v FROM vv),
-        |biS AS (SELECT doc_id, t[i.g] AS w1, t[i.g+1] AS w2
-        |        FROM sc, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS g) i),
-        |terms AS (SELECT bs.doc_id,
-        |    CASE WHEN c1n.c1 IS NOT NULL THEN
-        |      (1000000 * 4 * c1n.c1 * (st.b + st.v)) //
-        |      (greatest(4 * coalesce(c12.c12, 0) - 3, 0) * (st.b + st.v)
-        |       + 3 * c1n.n1p * (coalesce(n1c.n1c, 0) + 1))
-        |    ELSE (1000000 * (st.b + st.v)) // (coalesce(n1c.n1c, 0) + 1)
-        |    END AS term_fp
-        |  FROM biS bs LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1n USING (w1)
-        |  LEFT JOIN n1c USING (w2) CROSS JOIN st)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  CAST(sum(term_fp) AS BIGINT) AS surprise_fp,
-        |  CAST(sum(term_fp) // count(*) AS BIGINT) AS avg_surprise_fp
-        |FROM terms GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "q209_kneser_ney" -> kneserNeyOracle,
+
+    // the SAME oracle verbatim: a KN model whose count tables come
+    // from batch-accumulated persisted segments must score exactly
+    // like the one-shot train — incremental == batch, value-exact
+    "q211_stream_kn_model" -> kneserNeyOracle,
 
     // the SAME oracle, verbatim: a count-additive model built
     // batch-by-batch (with a re-delivered batch no-op'd) must score

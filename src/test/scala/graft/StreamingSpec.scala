@@ -1614,6 +1614,31 @@ class StreamingSpec extends SparkSpec {
     assert(after < before, s"file count must drop ($before -> $after)")
   }
 
+  test("persisted KN: batch-accumulated segments score exactly like the one-shot train, through compaction") {
+    import graft.operators.LangModel
+    import graft.streaming.StreamingIndex
+    import spark.implicits._
+    val docs = Tables(spark, sf).documents
+    val train = docs.filter($"doc_id" % 5 =!= 0)
+    val score = docs.filter($"doc_id" % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-kn").toString
+    (0 until 4).foreach { b =>
+      assert(StreamingIndex.applyLmBatch(
+        train.filter($"doc_id" % 4 === b), "text", dir, b.toLong))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = rows(LangModel.kneserNeySurprisal(train, score, "doc_id", "text"))
+    assert(want.nonEmpty)
+    assert(rows(LangModel.scoreKnIndexed(spark, dir, score, "doc_id", "text")) == want,
+      "incremental KN must equal the one-shot train value-exactly")
+    // N-counts are row counts of the MERGED c12 — segment layout must
+    // not matter: compaction (N segments -> 1) is probe-identical
+    LangModel.compactLmCounts(spark, dir)
+    assert(rows(LangModel.scoreKnIndexed(spark, dir, score, "doc_id", "text")) == want,
+      "KN probe must be identical after compaction")
+  }
+
   test("streaming profile index: multi-trigger stream equals the one-shot approx profile value-exactly") {
     import graft.operators.Profiling
     import graft.streaming.StreamingIndex
