@@ -842,6 +842,32 @@ object Retrieval {
       .agg(count(lit(1)).as("n_occurrences"))
   }
 
+  /** Collapse-first [[phraseSearch]] — the q198/q200 lesson applied
+    * to retrieval: phrase-occurrence counts are pure functions of
+    * CONTENT, so on a duplicated corpus the matched-postings stream
+    * (the only frame that scales with corpus × phrase terms, and the
+    * named cause of q202's 7.2× sf100 decade) should follow UNIQUE
+    * content, not row count. Collapse to unique texts by 64-bit
+    * content hash, run the positional alignment once per unique text,
+    * fan the counts back out through one 8-byte-keyed equi-join.
+    * Row-identical to the direct form (PropertySpec pins it on random
+    * duplicated corpora; the q212 gate holds q202's oracle verbatim);
+    * the [[graft.operators.LangModel.hashCollisions]] audit posture
+    * applies to the collapse key.
+    */
+  def phraseSearchCollapsed(docs: DataFrame, idCol: String,
+      textCol: String, phrases: Seq[(Long, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val g = docs.groupBy(xxhash64(col(textCol)).as("kh"))
+      .agg(first(col(textCol)).as("txt"))
+    val perText = phraseSearch(g, "kh", "txt", phrases)
+      .withColumnRenamed("doc_id", "kh")
+    docs.select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("kh"))
+      .join(perText, Seq("kh"))
+      .select($"doc_id", $"phrase_id", $"n_occurrences")
+  }
+
   /** Shared k-bounded ranking tail: TopKAgg per group + posexplode to
     * 1-based ranks. Scores must be exactly representable as doubles
     * (all callers keep |score| < 2^53); ties break doc_id-ascending,

@@ -151,6 +151,29 @@ object Pipeline {
       |  UNION ALL SELECT 'l_tax', n, t_nu, t_nd, t_mn, t_mx, t_sm FROM s)
       |ORDER BY col_name""".stripMargin
 
+  // shared verbatim by q202 (direct positional search) and q212
+  // (collapse-first twin): phrase-occurrence counts are pure
+  // functions of content, so both forms are row-identical
+  private val phraseSearchOracle =
+    """WITH ph(phrase_id, phrase) AS (VALUES
+      |  (1, 'table hash'), (2, 'merge group'),
+      |  (3, 'stream table hash'), (4, 'row column sort')),
+      |phq AS (SELECT CAST(phrase_id AS BIGINT) AS phrase_id,
+      |          p[i.g] AS pterm, i.g - 1 AS off, len(p) AS plen
+      |        FROM (SELECT phrase_id, string_split(phrase,' ') AS p FROM ph),
+      |        LATERAL (SELECT unnest(generate_series(1, len(p))) AS g) i),
+      |posts AS (SELECT doc_id, i.g - 1 AS pos, t[i.g] AS term
+      |          FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |          LATERAL (SELECT unnest(generate_series(1, len(t))) AS g) i),
+      |hits AS (SELECT p.doc_id, q.phrase_id, p.pos - q.off AS start,
+      |           max(q.plen) AS plen, count(DISTINCT q.off) AS k
+      |         FROM posts p JOIN phq q ON p.term = q.pterm
+      |         GROUP BY 1, 2, 3)
+      |SELECT doc_id, phrase_id, count(*) AS n_occurrences
+      |FROM hits WHERE k = plen
+      |GROUP BY 1, 2
+      |ORDER BY doc_id, phrase_id""".stripMargin
+
   // shared verbatim by q209 (one-shot KN train) and q211 (streaming
   // incremental KN over the persisted c12/cw segments): every KN
   // statistic derives from merged c12/cw, so both must produce
@@ -2925,6 +2948,21 @@ object Pipeline {
         .orderBy($"doc_id", $"phrase_id")
     },
 
+    // COLLAPSE-FIRST phrase search — q202's 7.2× sf100 decade is the
+    // matched-postings stream growing with corpus replication;
+    // occurrence counts are pure functions of content, so searching
+    // once per unique text and fanning out by content hash is
+    // row-identical (this gate holds q202's oracle verbatim) while
+    // the postings cost follows UNIQUE content.
+    "q212_phrase_search_collapsed" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Retrieval.phraseSearchCollapsed(
+          Tables(s, dir).documents, "doc_id", "text",
+          Seq(1L -> "table hash", 2L -> "merge group",
+            3L -> "stream table hash", 4L -> "row column sort"))
+        .orderBy($"doc_id", $"phrase_id")
+    },
+
     // STREAMING incremental PROFILE — every profile statistic is
     // mergeable (additive counts and DECIMAL sums, idempotent
     // min/max, max-merge HLL registers), so a profile accumulated
@@ -3832,25 +3870,12 @@ object Pipeline {
 
     // identical alignment construction in SQL: postings join phrase
     // offsets, candidate start = pos - off, full-offset starts count
-    "q202_phrase_search" ->
-      """WITH ph(phrase_id, phrase) AS (VALUES
-        |  (1, 'table hash'), (2, 'merge group'),
-        |  (3, 'stream table hash'), (4, 'row column sort')),
-        |phq AS (SELECT CAST(phrase_id AS BIGINT) AS phrase_id,
-        |          p[i.g] AS pterm, i.g - 1 AS off, len(p) AS plen
-        |        FROM (SELECT phrase_id, string_split(phrase,' ') AS p FROM ph),
-        |        LATERAL (SELECT unnest(generate_series(1, len(p))) AS g) i),
-        |posts AS (SELECT doc_id, i.g - 1 AS pos, t[i.g] AS term
-        |          FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-        |          LATERAL (SELECT unnest(generate_series(1, len(t))) AS g) i),
-        |hits AS (SELECT p.doc_id, q.phrase_id, p.pos - q.off AS start,
-        |           max(q.plen) AS plen, count(DISTINCT q.off) AS k
-        |         FROM posts p JOIN phq q ON p.term = q.pterm
-        |         GROUP BY 1, 2, 3)
-        |SELECT doc_id, phrase_id, count(*) AS n_occurrences
-        |FROM hits WHERE k = plen
-        |GROUP BY 1, 2
-        |ORDER BY doc_id, phrase_id""".stripMargin,
+    "q202_phrase_search" -> phraseSearchOracle,
+
+    // the SAME oracle verbatim: occurrence counts are pure functions
+    // of content, so searching once per unique text and fanning out
+    // by content hash must be row-identical to the direct search
+    "q212_phrase_search_collapsed" -> phraseSearchOracle,
 
     // per-column stats recomputed independently; sums go through
     // DECIMAL(18,2) before the double cast (the Parity convention)

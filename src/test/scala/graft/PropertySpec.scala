@@ -95,7 +95,10 @@ class PropertySpec extends SparkSpec {
     import spark.implicits._
     import graft.operators.Retrieval
     for (round <- 1 to 3) {
-      val docs = (1L to 20L).map(id => (id, randWords(1 + rnd.nextInt(15))))
+      // duplicate-heavy: 20 docs over 8 unique texts, so the
+      // collapse-first twin's fan-out path is actually exercised
+      val uniq = Vector.fill(8)(randWords(1 + rnd.nextInt(15)))
+      val docs = (1L to 20L).map(id => (id, uniq(rnd.nextInt(8))))
       val phrases = (1L to 4L).map(pid => (pid, randWords(1 + rnd.nextInt(3))))
       val got = Retrieval.phraseSearch(
           docs.toDF("doc_id", "text"), "doc_id", "text", phrases)
@@ -110,6 +113,10 @@ class PropertySpec extends SparkSpec {
         if n > 0
       } yield (id, pid, n.toLong)).toSet
       assert(got == want, s"round $round")
+      val collapsed = Retrieval.phraseSearchCollapsed(
+          docs.toDF("doc_id", "text"), "doc_id", "text", phrases)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(collapsed == want, s"collapsed round $round")
     }
   }
 
