@@ -111,20 +111,27 @@ object LangModel {
 
   /** Per-unique-text (k, n_bigrams, surprise_fp) with the overflow
     * guard applied (see object scaladoc): the aggregate tracks
-    * `max(term_fp)` and any row it emits is proven un-wrapped.
+    * `max(term_fp)` and any row it emits is proven un-wrapped —
+    * PROVIDED every term_fp is itself certified un-wrapped, which
+    * each scorer's term expression does in-plan with a double-
+    * arithmetic pre-check (add-one in [[bigramSurprisal]], backoff in
+    * [[backoffScoreWith]], KN in [[knScoreWith]]). Without the
+    * per-term certificates a wrapped-negative term among large
+    * positives could satisfy both conditions here.
     */
-  private def guardedPerText(terms: DataFrame): DataFrame =
+  private def guardedPerText(terms: DataFrame,
+      nName: String = "n_bigrams"): DataFrame =
     terms
       .groupBy($"k")
-      .agg(count(lit(1)).as("n_bigrams"),
+      .agg(count(lit(1)).as(nName),
         sum($"term_fp").as("surprise_fp"),
         max($"term_fp").as("mx"))
-      .select($"k", $"n_bigrams",
+      .select($"k", col(nName),
         expr(
-          """CASE WHEN surprise_fp >= mx
-            |       AND CAST(n_bigrams AS DOUBLE) * CAST(mx AS DOUBLE) < 1.8e19
+          s"""CASE WHEN surprise_fp >= mx
+            |       AND CAST($nName AS DOUBLE) * CAST(mx AS DOUBLE) < 1.8e19
             |  THEN surprise_fp
-            |  ELSE raise_error('LM surprisal int64 overflow: drop SCALE a decade (doc bigrams x max term exceeds the certified bound)')
+            |  ELSE raise_error('LM surprisal int64 overflow: drop SCALE a decade (doc terms x max term exceeds the certified bound)')
             |END""".stripMargin).as("surprise_fp"))
 
   /** Per-document bigram surprisal under the corpus-trained add-one
@@ -152,7 +159,16 @@ object LangModel {
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select($"k",
-        expr(s"(${Scale}L * (c1 + v)) div (c12 + 1)").as("term_fp")))
+        // per-term certification (the KN pattern): the double-
+        // arithmetic pre-check proves the int64 product can't wrap,
+        // so guardedPerText's max(term_fp) really does witness every
+        // term — without it a wrapped-NEGATIVE term among large
+        // positives could slip under both sum-level guard conditions
+        expr(
+          s"""CASE WHEN CAST(${Scale}L AS DOUBLE) * (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE)) >= 9.0e18
+             |  THEN raise_error('LM add-one term int64 overflow: drop SCALE a decade (c1 + V exceeds the certified bound)')
+             |ELSE (${Scale}L * (c1 + v)) div (c12 + 1)
+             |END""".stripMargin).as("term_fp")))
     docs.select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("k"))
       .join(perText, Seq("k"))
       .select($"doc_id", $"n_bigrams", $"surprise_fp",
@@ -225,8 +241,17 @@ object LangModel {
       .join(cw, Seq("w2"), "left")
       .crossJoin(broadcast(stats))
       .select($"k", expr(
-        s"""CASE WHEN c12 IS NOT NULL THEN (${Scale}L * c1) div c12
-           |ELSE (${Scale}L * 5L * (tt + v)) div (2L * (coalesce(cw, 0L) + 1L))
+        // per-term certification on BOTH branches (the KN pattern —
+        // see bigramSurprisal): proves each int64 product un-wrapped
+        // so the sum-level guard's max(term_fp) witness is sound
+        s"""CASE WHEN c12 IS NOT NULL THEN
+           |  CASE WHEN CAST(${Scale}L AS DOUBLE) * CAST(c1 AS DOUBLE) >= 9.0e18
+           |    THEN raise_error('LM backoff term int64 overflow: drop SCALE a decade (c1 exceeds the certified bound)')
+           |  ELSE (${Scale}L * c1) div c12 END
+           |ELSE
+           |  CASE WHEN CAST(${Scale}L AS DOUBLE) * 5.0 * (CAST(tt AS DOUBLE) + CAST(v AS DOUBLE)) >= 9.0e18
+           |    THEN raise_error('LM backoff term int64 overflow: drop SCALE a decade (T + V exceeds the certified bound)')
+           |  ELSE (${Scale}L * 5L * (tt + v)) div (2L * (coalesce(cw, 0L) + 1L)) END
            |END""".stripMargin).as("term_fp")))
     score.select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("k"))
       .join(perText, Seq("k"))
@@ -387,40 +412,257 @@ object LangModel {
     * goes through a staging dir + rename swap so a crash mid-compact
     * leaves either the old segments or the new merged one, never a
     * mix; the batchlog is untouched (compaction changes layout, not
-    * model content, so replay idempotence is unaffected).
+    * model content). Replay idempotence needs one more step: orphaned
+    * `b<id>_*` deltas of a batch that crashed before its batchlog row
+    * must be SWEPT, not folded into the merge — folding erases the
+    * `b<id>` name, so the batch's replay would find nothing to sweep
+    * and re-append, double-counting
+    * ([[IndexMaintenance.sweepUnloggedBatchFiles]]).
     */
   def compactLmCounts(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
+    val (c12, c1, cw) = lmCounts(spark, dir)
+    compactTables(spark, dir, Seq("c12" -> c12, "c1" -> c1, "cw" -> cw))
+  }
+
+  /** Shared compact engine (see [[compactLmCounts]]): recovery
+    * preamble over every table, unlogged-delta sweep, then the
+    * per-table staged swap with CHECKED renames. `tables` maps each
+    * live sub-directory to its merged replacement frame; the frames
+    * are lazy plans, so building them before the preamble is safe —
+    * each executes only at its own write, after recovery + sweep.
+    */
+  private def compactTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tables: Seq[(String, DataFrame)]): Unit = {
+    import IndexMaintenance.{renameOrThrow, deleteOrThrow}
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // recovery preamble: a prior compact can only crash with `live`
     // absent between its two renames — whichever of staged/old holds
     // the data (staged = the new merged segment, old = the pre-compact
     // segments; both are probe-identical) is promoted back to live
-    // BEFORE any read plans against the directory are built
-    Seq("c12", "c1", "cw").foreach { sub =>
+    // BEFORE any read against the directory runs
+    tables.foreach { case (sub, _) =>
       val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
       val staged = new org.apache.hadoop.fs.Path(s"$dir/${sub}_compact")
       val old = new org.apache.hadoop.fs.Path(s"$dir/${sub}_old")
       if (!fs.exists(live)) {
-        if (fs.exists(staged)) fs.rename(staged, live)
-        else if (fs.exists(old)) fs.rename(old, live)
+        if (fs.exists(staged)) renameOrThrow(fs, staged, live)
+        else if (fs.exists(old)) renameOrThrow(fs, old, live)
       }
       ()
     }
-    val (c12, c1, cw) = lmCounts(spark, dir)
-    Seq("c12" -> c12, "c1" -> c1, "cw" -> cw).foreach { case (sub, df) =>
+    IndexMaintenance.sweepUnloggedBatchFiles(spark, dir, tables.map(_._1))
+    tables.foreach { case (sub, df) =>
       val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
       val staged = new org.apache.hadoop.fs.Path(s"$dir/${sub}_compact")
       val old = new org.apache.hadoop.fs.Path(s"$dir/${sub}_old")
-      if (fs.exists(staged)) fs.delete(staged, true)
+      deleteOrThrow(fs, staged)
       df.write.mode("overwrite").parquet(staged.toString)
       // swap: live -> old, staged -> live, drop old; any crash point
-      // is recovered by the preamble on the next run
-      if (fs.exists(old)) fs.delete(old, true)
-      fs.rename(live, old)
-      fs.rename(staged, live)
-      fs.delete(old, true); ()
+      // is recovered by the preamble on the next run, and a FAILED
+      // step throws rather than proceeding into a half-swapped layout
+      deleteOrThrow(fs, old)
+      renameOrThrow(fs, live, old)
+      renameOrThrow(fs, staged, live)
+      deleteOrThrow(fs, old)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Order-3: interpolated Kneser–Ney over trigrams — the form
+  // CCNet/KenLM-style quality filtering actually deploys.
+  // ------------------------------------------------------------------
+
+  /** The exploded per-occurrence TRIGRAM stream over `src`:
+    * (k, w, w1, w2, w3) — one row per adjacent token triple of each
+    * row's text. Rows with fewer than three tokens contribute nothing
+    * (the [[bigramsOf]] convention one order up).
+    */
+  private def trigramsOf(src: DataFrame, keyCol: String, textCol: String,
+      w: Column): DataFrame =
+    src.select(col(keyCol).as("k"), w.as("w"),
+        split(col(textCol), " ").as("toks"))
+      .select($"k", $"w",
+        explode(zip_with(
+          zip_with(
+            slice($"toks", lit(1), greatest(size($"toks") - 2, lit(0))),
+            slice($"toks", lit(2), greatest(size($"toks") - 2, lit(0))),
+            (x, y) => struct(x.as("w1"), y.as("w2"))),
+          slice($"toks", lit(3), greatest(size($"toks") - 2, lit(0))),
+          (p, z) => struct(p("w1").as("w1"), p("w2").as("w2"),
+            z.as("w3")))).as("tri"))
+      .select($"k", $"w", $"tri.w1", $"tri.w2", $"tri.w3")
+
+  /** The two count tables of an order-3 KN model over `docs`,
+    * collapse-first and multiplicity-weighted: c123 (w1, w2, w3,
+    * c123) trigram occurrence counts and cw (w2, cw) unigram
+    * occurrence counts (its key set IS the vocabulary, exactly the
+    * bigram family's cw). EVERY other KN-3 statistic — context counts
+    * c(w1w2·)/N1+(w1w2·), the continuation bigram table N1+(·w2w3),
+    * the middle-type counts N1+(·w2·)/N1+(w2·), the continuation
+    * unigram N1+(··w3), B2, V — is a sum or row count over the MERGED
+    * c123/cw, which is what makes the persisted incremental twin
+    * value-exact with zero new state ([[scoreKn3Indexed]]).
+    */
+  private def counts3Of(docs: DataFrame,
+      textCol: String): (DataFrame, DataFrame) = {
+    val g = collapse(docs, textCol)
+    val tri = trigramsOf(g, "kh", "txt", $"nc")
+    val c123 = tri.groupBy($"w1", $"w2", $"w3").agg(sum($"w").as("c123"))
+    val cw = g.select($"nc", explode(split($"txt", " ")).as("t"))
+      .groupBy($"t").agg(sum($"nc").as("cw"))
+      .select($"t".as("w2"), $"cw")
+    (c123, cw)
+  }
+
+  /** Interpolated Kneser–Ney TRIGRAM scoring (Chen & Goodman 1998,
+    * order 3) of a held-out slice under a model trained on the rest,
+    * in EXACT int64 fixed point — the [[kneserNeySurprisal]]
+    * derivation one order up, with the same rational discount
+    * d = 3/4 at BOTH backoff levels and the same add-one continuation
+    * unigram. Multiplying the three-level interpolation through by
+    * its denominators gives the all-integer per-occurrence inverse
+    * probability:
+    *
+    *   seen ctx (c(w1w2·) > 0):
+    *     SCALE·16·c(w1w2·)·N1+(·w2·)·(B2+V) div
+    *       ( max(4·c123−3,0)·4·N1+(·w2·)·(B2+V)
+    *         + 3·N1+(w1w2·)·( max(4·N1+(·w2w3)−3,0)·(B2+V)
+    *                          + 3·N1+(w2·)·(N1+(··w3)+1) ) )
+    *   unseen ctx, seen middle (N1+(·w2·) > 0): the pure
+    *     continuation-bigram distribution —
+    *     SCALE·4·N1+(·w2·)·(B2+V) div
+    *       ( max(4·N1+(·w2w3)−3,0)·(B2+V) + 3·N1+(w2·)·(N1+(··w3)+1) )
+    *   unseen middle: the continuation unigram —
+    *     SCALE·(B2+V) div (N1+(··w3)+1)
+    *
+    * where B2 = |{(w2,w3) trigram-interior types}| and V = |vocab|.
+    * Normalization survives the multiply-through as an integer
+    * identity at every level (Σ max(4c−3,0)/4 telescopes against the
+    * 3/4·N1+ mass, exactly the bigram proof): each conditional sums
+    * to EXACTLY 1 over the training vocabulary.
+    *
+    * Overflow posture: the seen-context numerator is a product of
+    * THREE corpus-sized counts, so order 3 reaches its certified int64
+    * bound earlier than order 2 — each branch carries an in-plan
+    * double-arithmetic certificate (raise_error advising a SCALE
+    * decade drop) sized so that a passing numerator bounds every
+    * denominator term too (den ≤ 37·num/SCALE/16, proven in the
+    * Scaladoc bound N1+(w1w2·) ≤ c(w1w2·), N1+(·w2w3) ≤ N1+(·w2·),
+    * N1+(w2·) ≤ N1+(·w2·)); the per-document sum then goes through
+    * [[guardedPerText]] like every scorer in the family.
+    *
+    * Scale shape: identical to the bigram family — both sides
+    * collapse to unique texts by content hash, five LEFT equi-joins of
+    * the unique scored trigram stream against vocabulary-bounded
+    * count tables, one broadcast 1-row stats frame.
+    */
+  def kneserNey3Surprisal(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val (c123, cw) = counts3Of(train, textCol)
+    kn3ScoreWith(c123, cw, score, idCol, textCol)
+  }
+
+  /** KN-3 scoring against EXPLICIT count frames — shared by the
+    * in-memory path and the persisted incremental model (the
+    * [[knScoreWith]] contract one order up): every statistic derives
+    * from the merged c123/cw, types counted AFTER the by-key sum.
+    */
+  private def kn3ScoreWith(c123: DataFrame, cw: DataFrame,
+      score: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // context count + N1+(w1w2·) ride one aggregation of c123; the
+    // continuation-bigram table t23 = N1+(·w2w3) is its (w2,w3) row
+    // count, and the middle/unigram stats cascade off t23
+    val ctx = c123.groupBy($"w1", $"w2")
+      .agg(sum($"c123").as("c12ctx"), count(lit(1)).as("n3p"))
+    val t23 = c123.groupBy($"w2", $"w3").agg(count(lit(1)).as("t23"))
+    val mid = t23.groupBy($"w2")
+      .agg(sum($"t23").as("tmid"), count(lit(1)).as("n2p"))
+    val n1cT = t23.groupBy($"w3").agg(count(lit(1)).as("n1c"))
+    val stats = t23.agg(count(lit(1)).as("b2"))
+      .crossJoin(cw.agg(count(lit(1)).as("v")))
+    val scoreG = collapse(score, textCol)
+    val perText = guardedPerText(trigramsOf(scoreG, "kh", "txt", $"nc")
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(ctx, Seq("w1", "w2"), "left")
+      .join(t23, Seq("w2", "w3"), "left")
+      .join(mid, Seq("w2"), "left")
+      .join(n1cT, Seq("w3"), "left")
+      .crossJoin(broadcast(stats))
+      .select($"k", expr(
+        s"""CASE
+           |WHEN c12ctx IS NOT NULL THEN
+           |  CASE WHEN 1.6e7 * CAST(c12ctx AS DOUBLE) * CAST(tmid AS DOUBLE) * (CAST(b2 AS DOUBLE) + CAST(v AS DOUBLE)) >= 9.0e18
+           |    THEN raise_error('KN3 surprisal int64 overflow: drop SCALE a decade (context x middle-type x type counts exceed the certified bound)')
+           |  ELSE
+           |    (${Scale}L * 16L * c12ctx * tmid * (b2 + v)) div
+           |    (greatest(4L * coalesce(c123, 0L) - 3L, 0L) * 4L * tmid * (b2 + v)
+           |     + 3L * n3p * (greatest(4L * coalesce(t23, 0L) - 3L, 0L) * (b2 + v)
+           |                   + 3L * n2p * (coalesce(n1c, 0L) + 1L)))
+           |  END
+           |WHEN tmid IS NOT NULL THEN
+           |  CASE WHEN 4.0e6 * CAST(tmid AS DOUBLE) * (CAST(b2 AS DOUBLE) + CAST(v AS DOUBLE)) >= 9.0e18
+           |    THEN raise_error('KN3 surprisal int64 overflow: drop SCALE a decade (middle-type x type counts exceed the certified bound)')
+           |  ELSE
+           |    (${Scale}L * 4L * tmid * (b2 + v)) div
+           |    (greatest(4L * coalesce(t23, 0L) - 3L, 0L) * (b2 + v)
+           |     + 3L * n2p * (coalesce(n1c, 0L) + 1L))
+           |  END
+           |ELSE
+           |  CASE WHEN 1.0e6 * (CAST(b2 AS DOUBLE) + CAST(v AS DOUBLE)) >= 9.0e18
+           |    THEN raise_error('KN3 surprisal int64 overflow: drop SCALE a decade (type counts exceed the certified bound)')
+           |  ELSE (${Scale}L * (b2 + v)) div (coalesce(n1c, 0L) + 1L)
+           |  END
+           |END""".stripMargin).as("term_fp")), nName = "n_trigrams")
+    score.select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("k"))
+      .join(perText, Seq("k"))
+      .select($"doc_id", $"n_trigrams", $"surprise_fp",
+        expr("surprise_fp div n_trigrams").as("avg_surprise_fp"))
+  }
+
+  /** Append one delta of order-3 counts to a persisted KN-3 model
+    * directory (`dir/{c123,cw}` parquet segments — the
+    * [[appendLmCounts]] contract): counts are ADDITIVE, so the
+    * batch-fed model scores EXACTLY like one trained on the union.
+    */
+  def appendLm3Counts(spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame, textCol: String, dir: String,
+      stagingPath: Option[String] = None): Unit = {
+    val (c123, cw) = counts3Of(delta, textCol)
+    val (root, mode) =
+      (stagingPath.getOrElse(dir), if (stagingPath.isDefined) "overwrite" else "append")
+    c123.write.mode(mode).parquet(s"$root/c123")
+    cw.write.mode(mode).parquet(s"$root/cw")
+  }
+
+  /** The merged (c123, cw) of a persisted KN-3 model directory. */
+  private def lm3Counts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/c123")
+       .groupBy($"w1", $"w2", $"w3").agg(sum($"c123").as("c123")),
+     spark.read.parquet(s"$dir/cw")
+       .groupBy($"w2").agg(sum($"cw").as("cw")))
+
+  /** KN-3 scoring from the persisted tables alone — every statistic
+    * derives from merged c123/cw (types counted after the by-key
+    * sum), so incremental == one-shot [[kneserNey3Surprisal]]
+    * value-exactly.
+    */
+  def scoreKn3Indexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, score: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val (c123, cw) = lm3Counts(spark, dir)
+    kn3ScoreWith(c123, cw, score, idCol, textCol)
+  }
+
+  /** Compact a persisted KN-3 directory's count segments — the
+    * [[compactLmCounts]] contract (probe-identical, staged swap,
+    * unlogged-delta sweep) over the order-3 layout.
+    */
+  def compactLm3Counts(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val (c123, cw) = lm3Counts(spark, dir)
+    compactTables(spark, dir, Seq("c123" -> c123, "cw" -> cw))
   }
 }

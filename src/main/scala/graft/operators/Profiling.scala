@@ -152,15 +152,20 @@ object Profiling {
     */
   def compactProfileState(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
+    import IndexMaintenance.{renameOrThrow, deleteOrThrow}
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(s"$dir/state")
     val staged = new org.apache.hadoop.fs.Path(s"$dir/state_compact")
     val old = new org.apache.hadoop.fs.Path(s"$dir/state_old")
     if (!fs.exists(live)) {
-      if (fs.exists(staged)) fs.rename(staged, live)
-      else if (fs.exists(old)) fs.rename(old, live)
+      if (fs.exists(staged)) renameOrThrow(fs, staged, live)
+      else if (fs.exists(old)) renameOrThrow(fs, old, live)
     }
+    // orphaned b<id>_* deltas of a crashed-before-batchlog batch must
+    // be swept BEFORE merging, or that batch's replay double-appends
+    // (IndexMaintenance.sweepUnloggedBatchFiles scaladoc)
+    IndexMaintenance.sweepUnloggedBatchFiles(spark, dir, Seq("state"))
     val merged = spark.read.parquet(live.toString)
       .groupBy($"col_name")
       .agg(sum($"n_rows").as("n_rows"), sum($"n_nulls").as("n_nulls"),
@@ -169,12 +174,12 @@ object Profiling {
         graft.functions.Hll.hll_merge_agg($"hll").as("hll"))
       .select($"col_name", $"n_rows", $"n_nulls", $"min_d", $"max_d",
         $"sum_dec", $"hll")
-    if (fs.exists(staged)) fs.delete(staged, true)
+    deleteOrThrow(fs, staged)
     merged.coalesce(1).write.mode("overwrite").parquet(staged.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(live, old)
-    fs.rename(staged, live)
-    fs.delete(old, true); ()
+    deleteOrThrow(fs, old)
+    renameOrThrow(fs, live, old)
+    renameOrThrow(fs, staged, live)
+    deleteOrThrow(fs, old)
   }
 
   /** Shared one-pass skeleton: the exact statistics every profile

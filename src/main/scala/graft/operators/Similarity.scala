@@ -286,26 +286,38 @@ object Similarity {
     */
   def compactSq8Index(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
+    import IndexMaintenance.{renameOrThrow, deleteOrThrow}
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recovery preamble first (see LangModel.compactLmCounts): a prior
+    // crash can only leave `live` missing between the two renames
     Seq("codes", "vectors").foreach { sub =>
       val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
       val staged = new org.apache.hadoop.fs.Path(s"$dir/${sub}_compact")
       val old = new org.apache.hadoop.fs.Path(s"$dir/${sub}_old")
-      // recovery preamble (see LangModel.compactLmCounts): a prior
-      // crash can only leave `live` missing between the two renames
       if (!fs.exists(live)) {
-        if (fs.exists(staged)) fs.rename(staged, live)
-        else if (fs.exists(old)) fs.rename(old, live)
+        if (fs.exists(staged)) renameOrThrow(fs, staged, live)
+        else if (fs.exists(old)) renameOrThrow(fs, old, live)
       }
-      if (fs.exists(staged)) fs.delete(staged, true)
+      ()
+    }
+    // orphaned b<id>_* deltas of a crashed-before-batchlog batch must
+    // be swept BEFORE merging, or that batch's replay double-appends
+    // (IndexMaintenance.sweepUnloggedBatchFiles scaladoc)
+    IndexMaintenance.sweepUnloggedBatchFiles(spark, dir,
+      Seq("codes", "vectors"))
+    Seq("codes", "vectors").foreach { sub =>
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val staged = new org.apache.hadoop.fs.Path(s"$dir/${sub}_compact")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/${sub}_old")
+      deleteOrThrow(fs, staged)
       spark.read.parquet(live.toString)
         .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
         .write.mode("overwrite").parquet(staged.toString)
-      if (fs.exists(old)) fs.delete(old, true)
-      fs.rename(live, old)
-      fs.rename(staged, live)
-      fs.delete(old, true); ()
+      deleteOrThrow(fs, old)
+      renameOrThrow(fs, live, old)
+      renameOrThrow(fs, staged, live)
+      deleteOrThrow(fs, old)
     }
   }
 
@@ -338,10 +350,12 @@ object Similarity {
     // audit travels with the gate at every scale, so the sampled
     // quantizer stays audited, not just fast — the q188/PQ-codebook
     // pattern applied to the sf10 training-dominated decade.
+    val corpusN = corpus.count()
     val trainFrame =
-      if (corpus.count() < 4000L) corpus
+      if (corpusN < 4000L) corpus
       else corpus.filter(Sampling.bucket($"vid") < 250)
-    val quant = quantizerFor(trainFrame, centroidStride, dim, trainIters)
+    val quant = quantizerFor(trainFrame, centroidStride, dim, trainIters,
+      corpusN = corpusN)
     val (mn, dl) = sq8Train(corpus)
     val mnA = array(mn.map(lit): _*)
     val dlA = array(dl.map(lit): _*)
@@ -664,8 +678,14 @@ object Similarity {
     */
   private[graft] def quantizerFor(corpus: DataFrame, centroidStride: Int,
       dim: Int, trainIters: Int, targetCellSize: Int = 50,
-      hierThreshold: Long = 50000L): Quantizer = {
-    val n = corpus.count()
+      hierThreshold: Long = 50000L, corpusN: Long = -1L): Quantizer = {
+    // the hier-vs-flat dispatch and the adaptive cell size are CORPUS
+    // geometry: a caller training on a sample (ivfSq8TopK's ~25%
+    // congruential bucket) passes the corpus count explicitly, or the
+    // handover threshold would move ~4× up and the √n/4 cells would
+    // come out half-size (more, smaller cells → lower recall at fixed
+    // nProbe than the documented design)
+    val n = if (corpusN >= 0L) corpusN else corpus.count()
     if (trainIters > 0 && n > hierThreshold) {
       // SIZE-ADAPTIVE cell granularity: with a FIXED cell size the
       // cell count C = n/size grows linearly and the hierarchical
@@ -990,7 +1010,20 @@ object Similarity {
     * depends on file layout — SimilaritySpec pins it).
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import IndexMaintenance.{renameOrThrow, deleteOrThrow}
     val tmp = s"$dir/members_compacting"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/members")
+    // recovery preamble: a prior compact can only crash with `live`
+    // absent between its delete and rename — promote the finished
+    // rewrite back (it holds the full member set)
+    if (!fs.exists(live) && fs.exists(new org.apache.hadoop.fs.Path(tmp)))
+      renameOrThrow(fs, new org.apache.hadoop.fs.Path(tmp), live)
+    // orphaned b<id>_* deltas of a crashed-before-batchlog batch must
+    // be swept BEFORE the rewrite, or that batch's replay
+    // double-appends (IndexMaintenance.sweepUnloggedBatchFiles)
+    IndexMaintenance.sweepUnloggedBatchFiles(spark, dir, Seq("members"))
     // partition column follows the layout: l1 for two-level, cid flat
     val hier = {
       val p = new org.apache.hadoop.fs.Path(s"$dir/centroids_l1")
@@ -1001,11 +1034,8 @@ object Similarity {
       .withColumn(pcol, col(pcol).cast("long"))
       .repartition(col(pcol))
       .write.mode("overwrite").partitionBy(pcol).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$dir/members")
-    fs.delete(live, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+    deleteOrThrow(fs, live)
+    renameOrThrow(fs, new org.apache.hadoop.fs.Path(tmp), live)
     ()
   }
 

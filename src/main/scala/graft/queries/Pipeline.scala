@@ -151,6 +151,41 @@ object Pipeline {
       |  UNION ALL SELECT 'l_tax', n, t_nu, t_nd, t_mn, t_mx, t_sm FROM s)
       |ORDER BY col_name""".stripMargin
 
+  // q207: the streamed profile's EXACT mergeable statistics (counts,
+  // nulls, bounds, decimal-exact sums) re-derived from raw lineitem;
+  // the estimator column is the O(1) sanity range (TRUE), the 3σ-vs-
+  // exact audit living untimed in q205's gate + the StreamingSpec
+  // envelope assertion (r13 verdict: gate time tracks the operator)
+  private val profileStreamOracle =
+    """WITH s AS (SELECT count(*) AS n,
+      |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nu,
+      |  CAST(min(l_quantity) AS DOUBLE) AS q_mn,
+      |  CAST(max(l_quantity) AS DOUBLE) AS q_mx,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q_sm,
+      |  sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS e_nu,
+      |  CAST(min(l_extendedprice) AS DOUBLE) AS e_mn,
+      |  CAST(max(l_extendedprice) AS DOUBLE) AS e_mx,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS e_sm,
+      |  sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS d_nu,
+      |  CAST(min(l_discount) AS DOUBLE) AS d_mn,
+      |  CAST(max(l_discount) AS DOUBLE) AS d_mx,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS d_sm,
+      |  sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS t_nu,
+      |  CAST(min(l_tax) AS DOUBLE) AS t_mn,
+      |  CAST(max(l_tax) AS DOUBLE) AS t_mx,
+      |  CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS t_sm
+      |FROM lineitem)
+      |SELECT col_name, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,
+      |  TRUE AS est_in_range, min_d, max_d, sum_d,
+      |  n_nulls = 0 AS complete, min_d >= 0 AS non_negative
+      |FROM (
+      |  SELECT 'l_quantity' AS col_name, n AS n_rows, q_nu AS n_nulls,
+      |    q_mn AS min_d, q_mx AS max_d, q_sm AS sum_d FROM s
+      |  UNION ALL SELECT 'l_extendedprice', n, e_nu, e_mn, e_mx, e_sm FROM s
+      |  UNION ALL SELECT 'l_discount', n, d_nu, d_mn, d_mx, d_sm FROM s
+      |  UNION ALL SELECT 'l_tax', n, t_nu, t_mn, t_mx, t_sm FROM s)
+      |ORDER BY col_name""".stripMargin
+
   // shared verbatim by q202 (direct positional search) and q212
   // (collapse-first twin): phrase-occurrence counts are pure
   // functions of content, so both forms are row-identical
@@ -204,6 +239,52 @@ object Pipeline {
       |  FROM biS bs LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1n USING (w1)
       |  LEFT JOIN n1c USING (w2) CROSS JOIN st)
       |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(term_fp) AS BIGINT) AS surprise_fp,
+      |  CAST(sum(term_fp) // count(*) AS BIGINT) AS avg_surprise_fp
+      |FROM terms GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // shared verbatim by q213 (one-shot order-3 KN train) and q214
+  // (streaming incremental KN-3 over persisted c123/cw segments):
+  // every order-3 statistic derives from merged c123/cw, so both
+  // must produce bit-identical scores. All multiply-through products
+  // stay < 9e18 at gate SFs (certified in-plan on the Spark side), so
+  // plain BIGINT arithmetic matches exactly.
+  private val kneserNey3Oracle =
+    """WITH tr AS (SELECT doc_id, string_split(text,' ') AS t
+      |           FROM documents WHERE doc_id % 5 <> 0),
+      |sc AS (SELECT doc_id, string_split(text,' ') AS t
+      |       FROM documents WHERE doc_id % 5 = 0),
+      |uniT AS (SELECT unnest(t) AS u FROM tr),
+      |vv AS (SELECT count(DISTINCT u) AS v FROM uniT),
+      |triT AS (SELECT t[i.g] AS w1, t[i.g+1] AS w2, t[i.g+2] AS w3
+      |        FROM tr, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS g) i),
+      |c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM triT GROUP BY 1, 2, 3),
+      |ctx AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12ctx,
+      |          count(*) AS n3p FROM c123 GROUP BY 1, 2),
+      |t23 AS (SELECT w2, w3, count(*) AS t23 FROM c123 GROUP BY 1, 2),
+      |mid AS (SELECT w2, CAST(sum(t23) AS BIGINT) AS tmid, count(*) AS n2p
+      |        FROM t23 GROUP BY 1),
+      |n1c AS (SELECT w3, count(*) AS n1c FROM t23 GROUP BY 1),
+      |st AS (SELECT (SELECT count(*) FROM t23) AS b2, v FROM vv),
+      |triS AS (SELECT doc_id, t[i.g] AS w1, t[i.g+1] AS w2, t[i.g+2] AS w3
+      |        FROM sc, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS g) i),
+      |terms AS (SELECT s.doc_id,
+      |    CASE WHEN ctx.c12ctx IS NOT NULL THEN
+      |      (1000000 * 16 * ctx.c12ctx * mid.tmid * (st.b2 + st.v)) //
+      |      (greatest(4 * coalesce(c123.c123, 0) - 3, 0) * 4 * mid.tmid * (st.b2 + st.v)
+      |       + 3 * ctx.n3p * (greatest(4 * coalesce(t23.t23, 0) - 3, 0) * (st.b2 + st.v)
+      |                        + 3 * mid.n2p * (coalesce(n1c.n1c, 0) + 1)))
+      |    WHEN mid.tmid IS NOT NULL THEN
+      |      (1000000 * 4 * mid.tmid * (st.b2 + st.v)) //
+      |      (greatest(4 * coalesce(t23.t23, 0) - 3, 0) * (st.b2 + st.v)
+      |       + 3 * mid.n2p * (coalesce(n1c.n1c, 0) + 1))
+      |    ELSE (1000000 * (st.b2 + st.v)) // (coalesce(n1c.n1c, 0) + 1)
+      |    END AS term_fp
+      |  FROM triS s LEFT JOIN c123 USING (w1, w2, w3)
+      |  LEFT JOIN ctx USING (w1, w2) LEFT JOIN t23 USING (w2, w3)
+      |  LEFT JOIN mid USING (w2) LEFT JOIN n1c USING (w3) CROSS JOIN st)
+      |SELECT doc_id, count(*) AS n_trigrams,
       |  CAST(sum(term_fp) AS BIGINT) AS surprise_fp,
       |  CAST(sum(term_fp) // count(*) AS BIGINT) AS avg_surprise_fp
       |FROM terms GROUP BY doc_id
@@ -2967,10 +3048,15 @@ object Pipeline {
     // mergeable (additive counts and DECIMAL sums, idempotent
     // min/max, max-merge HLL registers), so a profile accumulated
     // batch-by-batch (with one batch RE-DELIVERED that the batchlog
-    // must no-op) equals the one-shot q205 profile VALUE-EXACTLY and
-    // this gate holds the q205-shaped oracle: the profile joins the
-    // LM as the second index family where incremental == batch is
-    // exact, not recall-bounded.
+    // must no-op) equals the one-shot q205 profile VALUE-EXACTLY.
+    // TIMED PATH = THE OPERATOR (the r13 verdict's q207 item): the
+    // exact-countDistinct 3σ audit used to ride this gate and
+    // dominated its wall time ~5× at sf10; it now lives UNTIMED in
+    // (a) q205's own gate, which audits the SAME estimator one-shot,
+    // and (b) the StreamingSpec envelope assertion, which pins
+    // stream ≡ one-shot value-exact AND the 3σ bound every round.
+    // The in-gate check that remains is estimator-sanity (estimate
+    // inside [1, non-null rows]) — O(1) over the profile itself.
     "q207_stream_profile_index" -> { (s, dir) =>
       import s.implicits._
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -2991,15 +3077,17 @@ object Pipeline {
             li.filter($"l_orderkey" % 3 === 2), cols, idxDir, batchId = 2, p))
         require(applied == Seq(true, true, false, true),
           s"profile batchlog idempotence violated: $applied")
-        val ap = graft.operators.Profiling.profileIndexed(s, idxDir)
-        val ex = graft.operators.Profiling.numericProfile(li, cols)
-          .select($"col_name", $"n_distinct")
-        ap.join(ex, "col_name")
+        // sanity range: true distinct ≤ non-null rows, and the HLL
+        // estimate sits within 3σ of true w.h.p. — so est must lie in
+        // [min(1, nn), nn·(1+3σ)] (a near-unique column's estimate
+        // can legitimately overshoot the row count by the error bound)
+        val sigma3 = 3 * 1.04 / math.sqrt((1 << p).toDouble)
+        graft.operators.Profiling.profileIndexed(s, idxDir)
           .select($"col_name", $"n_rows", $"n_nulls",
-            $"n_distinct".as("n_distinct_exact"),
-            (abs($"n_distinct_est" - $"n_distinct") <=
-              greatest($"n_distinct" * (3 * 1.04 / math.sqrt((1 << p).toDouble)),
-                lit(1.0))).as("distinct_in_bound"),
+            ($"n_distinct_est" >= least(lit(1L), $"n_rows" - $"n_nulls") &&
+              $"n_distinct_est" <=
+                ($"n_rows" - $"n_nulls") * (1.0 + sigma3) + 1.0)
+              .as("est_in_range"),
             $"min_d", $"max_d", $"sum_d", $"complete", $"non_negative")
           .orderBy($"col_name")
           .localCheckpoint() // materialize before the index dir is removed
@@ -3134,6 +3222,52 @@ object Pipeline {
           docs.filter($"doc_id" % 5 =!= 0), docs.filter($"doc_id" % 5 === 0),
           "doc_id", "text")
         .orderBy($"doc_id")
+    },
+
+    // Interpolated Kneser–Ney at ORDER 3 — the form CCNet/KenLM-style
+    // quality filters actually deploy. Same exact-int64 posture as
+    // q209 (d=3/4 rational at both backoff levels, add-one
+    // continuation unigram, per-branch in-plan overflow certificates);
+    // the oracle re-derives every count table and the three-level
+    // multiply-through arithmetic from the raw text.
+    "q213_kneser_ney_trigram" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      graft.operators.LangModel.kneserNey3Surprisal(
+          docs.filter($"doc_id" % 5 =!= 0), docs.filter($"doc_id" % 5 === 0),
+          "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+
+    // STREAMING incremental KN-3 — the q211 contract one order up:
+    // trigram counts are additive, every other statistic is a row
+    // count / sum over the MERGED c123 (types counted after the
+    // by-key sum), so the batch-fed model (with a crash replay the
+    // batchlog no-ops) holds the q213 oracle VERBATIM.
+    "q214_stream_kn3_model" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val train = docs.filter($"doc_id" % 5 =!= 0)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-kn3-str").toString
+      try {
+        import graft.streaming.StreamingIndex
+        val applied = Seq(
+          StreamingIndex.applyLm3Batch(
+            train.filter($"doc_id" % 3 === 0), "text", idxDir, batchId = 0),
+          StreamingIndex.applyLm3Batch(
+            train.filter($"doc_id" % 3 === 1), "text", idxDir, batchId = 1),
+          StreamingIndex.applyLm3Batch( // crash-replay of batch 1
+            train.filter($"doc_id" % 3 === 1), "text", idxDir, batchId = 1),
+          StreamingIndex.applyLm3Batch(
+            train.filter($"doc_id" % 3 === 2), "text", idxDir, batchId = 2))
+        require(applied == Seq(true, true, false, true),
+          s"lm3 batchlog idempotence violated: $applied")
+        graft.operators.LangModel.scoreKn3Indexed(s, idxDir,
+            docs.filter($"doc_id" % 5 === 0), "doc_id", "text")
+          .orderBy($"doc_id")
+          .localCheckpoint() // materialize before the model dir is removed
+      } finally Pipeline.rmTree(new java.io.File(idxDir))
     },
 
     // Weighted sampling per source (sequential Poisson / priority
@@ -3922,8 +4056,9 @@ object Pipeline {
     // batch-by-batch from mergeable state (decimal sums, min/max,
     // HLL registers) must equal the one-shot q205 profile
     // VALUE-EXACTLY — incremental == batch, the q204 contract for
-    // the profile family
-    "q207_stream_profile_index" -> profileApproxOracle,
+    // the profile family — exact mergeable stats re-derived from raw
+    // lineitem; the 3σ estimator audit lives untimed in q205 + specs
+    "q207_stream_profile_index" -> profileStreamOracle,
 
 
     // both branches exact int64; LEFT joins carry the unseen-bigram
@@ -3939,6 +4074,16 @@ object Pipeline {
     // from batch-accumulated persisted segments must score exactly
     // like the one-shot train — incremental == batch, value-exact
     "q211_stream_kn_model" -> kneserNeyOracle,
+
+    // order-3 KN: all five derived count tables (ctx/N1+(w1w2.),
+    // t23/N1+(.w2w3), mid/N1+(.w2.)/N1+(w2.), N1+(..w3), B2, V) and
+    // the three-level d=3/4 multiply-through re-derived from raw
+    // text; integer division both sides, term-identical
+    "q213_kneser_ney_trigram" -> kneserNey3Oracle,
+
+    // the SAME oracle verbatim: incremental == batch for the order-3
+    // model too (every statistic derives from merged c123/cw)
+    "q214_stream_kn3_model" -> kneserNey3Oracle,
 
     // the SAME oracle, verbatim: a count-additive model built
     // batch-by-batch (with a re-delivered batch no-op'd) must score

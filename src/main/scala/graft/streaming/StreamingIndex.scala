@@ -127,9 +127,11 @@ object StreamingIndex {
         // marker == my id → my build committed, only the batchlog is
         // missing — nothing to re-apply; marker == other id (or the
         // batch API's −1) → committed index, append; marker absent →
-        // no committed build (a crashed partial one at worst), run the
-        // all-overwrite build, which converges over any crash point
-        val built = graft.operators.Similarity.readBuiltMarker(spark, dir)
+        // resolveBuiltMarker distinguishes a lost/legacy marker (a
+        // logged applied batch proves a committed build → append) from
+        // no committed build (a crashed partial one at worst → the
+        // all-overwrite build, which converges over any crash point)
+        val built = resolveBuiltMarker(spark, dir, fs, "members")
         if (built.contains(batchId)) ()
         else if (built.isDefined) {
           // staged commit (see object scaladoc): overwrite-mode delta
@@ -144,8 +146,58 @@ object StreamingIndex {
           builtBy = batchId)
         true
       }
-    Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    Seq((batchId, applied)).toDF("batch_id", "applied")
+      .write.mode("append").parquet(logPath)
     applied
+  }
+
+  /** Resolve an index dir's build-commit marker, RECOVERING the
+    * lost-marker / legacy state: with `_built` absent, the pre-fix
+    * behavior sent the next batch down the all-overwrite build path
+    * even over a directory full of committed appends (an index built
+    * by pre-marker code, or the marker file lost), silently wiping
+    * every previously appended batch from members/codes/vectors.
+    *
+    * Batchlog rows are written strictly AFTER their batch's data
+    * commit, so they carry proof the marker can stand in for:
+    *  - a logged row with `applied = true` → some batch committed
+    *    data, and the FIRST data-carrying batch is always the build →
+    *    a build committed. Stamp `_built = -1` (the batch-API owner
+    *    id) and take the append path.
+    *  - a legacy row predating the `applied` column (reads as null)
+    *    counts as the same proof IF the build's final piece has a
+    *    committed `_SUCCESS` — legacy code had no marker step between
+    *    data commit and batchlog write to crash in.
+    *  - no such evidence → the dir holds at worst a crashed partial
+    *    build; `None` keeps the converging all-overwrite build.
+    *
+    * Residual window (documented, vanishingly narrow, legacy dirs
+    * only): a legacy dir whose only logged rows are EMPTY batches and
+    * whose build crashed exactly between its final piece write and
+    * its batchlog append reads as committed and would double-apply
+    * that one batch on replay. Post-`applied` dirs close it: a
+    * crashed build logs nothing, and empty batches log
+    * `applied = false`.
+    */
+  private def resolveBuiltMarker(spark: org.apache.spark.sql.SparkSession,
+      dir: String, fs: org.apache.hadoop.fs.FileSystem,
+      finalPiece: String): Option[Long] = {
+    val marked = graft.operators.Similarity.readBuiltMarker(spark, dir)
+    if (marked.isDefined) return marked
+    val logP = new org.apache.hadoop.fs.Path(s"$dir/batchlog")
+    if (!fs.exists(logP)) return None
+    import spark.implicits._
+    // explicit schema: legacy log files lack `applied` (reads null)
+    val log = spark.read.schema("batch_id LONG, applied BOOLEAN")
+      .parquet(logP.toString)
+    val committed =
+      !log.filter($"applied" === true).isEmpty ||
+        (!log.filter($"applied".isNull).isEmpty &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$finalPiece/_SUCCESS")))
+    if (committed) {
+      graft.operators.Similarity.writeBuiltMarker(spark, dir, -1L)
+      Some(-1L)
+    } else None
   }
 
   /** Delete any `b<id>_*` files a crashed prior attempt of this batch
@@ -223,7 +275,7 @@ object StreamingIndex {
       if (batch.isEmpty) false
       else {
         // build-commit marker protocol — see applyIvfBatch
-        val built = graft.operators.Similarity.readBuiltMarker(spark, dir)
+        val built = resolveBuiltMarker(spark, dir, fs, "vectors")
         if (built.contains(batchId)) ()
         else if (built.isDefined) {
           val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
@@ -242,7 +294,8 @@ object StreamingIndex {
           builtBy = batchId)
         true
       }
-    Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    Seq((batchId, applied)).toDF("batch_id", "applied")
+      .write.mode("append").parquet(logPath)
     applied
   }
 
@@ -271,7 +324,7 @@ object StreamingIndex {
       if (batch.isEmpty) false
       else {
         // build-commit marker protocol — see applyIvfBatch
-        val built = graft.operators.Similarity.readBuiltMarker(spark, dir)
+        val built = resolveBuiltMarker(spark, dir, fs, "vectors")
         if (built.contains(batchId)) ()
         else if (built.isDefined) {
           val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
@@ -290,7 +343,8 @@ object StreamingIndex {
           builtBy = batchId)
         true
       }
-    Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    Seq((batchId, applied)).toDF("batch_id", "applied")
+      .write.mode("append").parquet(logPath)
     applied
   }
 
@@ -334,6 +388,59 @@ object StreamingIndex {
     Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
     applied
   }
+
+  /** Apply one micro-batch of documents to a persisted order-3 KN
+    * model ([[graft.operators.LangModel.appendLm3Counts]] layout) —
+    * the [[applyLmBatch]] shape one order up: trigram counts are
+    * ADDITIVE, every batch goes through the staged deterministic-
+    * rename commit, and the batch-fed model scores EXACTLY like one
+    * trained on the union (every KN-3 statistic derives from the
+    * merged c123/cw).
+    */
+  def applyLm3Batch(batch: DataFrame, textCol: String, dir: String,
+      batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val logPath = s"$dir/batchlog"
+    val fs = new org.apache.hadoop.fs.Path(logPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
+        !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
+      return false
+    }
+    val applied =
+      if (batch.isEmpty) false
+      else {
+        val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
+        Seq("c123", "cw").foreach { sub =>
+          sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
+        }
+        graft.operators.LangModel.appendLm3Counts(spark, batch, textCol, dir,
+          stagingPath = Some(staging.toString))
+        Seq("c123", "cw").foreach { sub =>
+          commitStaged(fs, new org.apache.hadoop.fs.Path(staging, sub),
+            new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
+        }
+        fs.delete(staging, true)
+        true
+      }
+    Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    applied
+  }
+
+  /** foreachBatch sink: keep a persisted order-3 KN model current
+    * from a document stream.
+    */
+  def lm3CountsSink(docs: DataFrame, textCol: String, dir: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyLm3Batch(batch, textCol, dir, batchId)
+        ()
+      }
+      .start()
 
   /** Apply one micro-batch of rows to a persisted incremental PROFILE
     * ([[graft.operators.Profiling.appendProfileState]] layout),

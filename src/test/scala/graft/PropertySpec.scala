@@ -91,6 +91,101 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kneser-ney order 3: collapsed hashed pipeline equals the direct per-doc mirror on split corpora") {
+    import spark.implicits._
+    import graft.operators.LangModel
+    for (round <- 1 to 3) {
+      // duplicate-heavy, train/score split so all three backoff
+      // branches (unseen trigram under seen context, unseen context
+      // with seen middle, unseen middle) are live. Mirror is the
+      // direct uncollapsed three-level KN arithmetic.
+      val uniq = Vector.fill(10)(randWords(3 + rnd.nextInt(10)))
+      val docs = (1L to 40L).map(id => (id, uniq(rnd.nextInt(10))))
+      val train = docs.filter(_._1 % 3 != 0)
+      val score = docs.filter(_._1 % 3 == 0)
+      val got = LangModel.kneserNey3Surprisal(
+          train.toDF("doc_id", "text"), score.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val trToks = train.map { case (_, t) => t.split(" ").toSeq }
+      val trisT = trToks.flatMap(t => t.lazyZip(t.drop(1)).lazyZip(t.drop(2)).toSeq)
+      val c123 = trisT.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ctx = c123.toSeq.groupBy(e => (e._1._1, e._1._2)).view
+        .mapValues(es => (es.map(_._2).sum, es.size.toLong)).toMap
+      val t23 = c123.keys.groupBy(k => (k._2, k._3)).view
+        .mapValues(_.size.toLong).toMap
+      val mid = t23.toSeq.groupBy(_._1._1).view
+        .mapValues(es => (es.map(_._2).sum, es.size.toLong)).toMap
+      val n1c = t23.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val v = trToks.flatten.toSet.size.toLong
+      val b2 = t23.size.toLong
+      val want = score.flatMap { case (id, t) =>
+        val toks = t.split(" ").toSeq
+        val ts = toks.lazyZip(toks.drop(1)).lazyZip(toks.drop(2)).toSeq
+        if (ts.isEmpty) None
+        else {
+          val terms = ts.map { case tri @ (w1, w2, w3) =>
+            ctx.get((w1, w2)) match {
+              case Some((cc, n3p)) =>
+                val (tmid, n2p) = mid(w2)
+                1000000L * 16L * cc * tmid * (b2 + v) /
+                  (math.max(4L * c123.getOrElse(tri, 0L) - 3L, 0L) * 4L * tmid * (b2 + v) +
+                    3L * n3p * (math.max(4L * t23.getOrElse((w2, w3), 0L) - 3L, 0L) * (b2 + v) +
+                      3L * n2p * (n1c.getOrElse(w3, 0L) + 1L)))
+              case None =>
+                mid.get(w2) match {
+                  case Some((tmid, n2p)) =>
+                    1000000L * 4L * tmid * (b2 + v) /
+                      (math.max(4L * t23.getOrElse((w2, w3), 0L) - 3L, 0L) * (b2 + v) +
+                        3L * n2p * (n1c.getOrElse(w3, 0L) + 1L))
+                  case None =>
+                    1000000L * (b2 + v) / (n1c.getOrElse(w3, 0L) + 1L)
+                }
+            }
+          }
+          Some(id -> (ts.size.toLong, terms.sum, terms.sum / ts.size))
+        }
+      }.toMap
+      assert(got == want, s"round $round")
+    }
+  }
+
+  test("kneser-ney order 3: each smoothed conditional sums to exactly 1 over the vocabulary") {
+    import graft.operators.LangModel
+    import spark.implicits._
+    // normalization as a RATIONAL identity: for sampled (w1,w2)
+    // contexts, Σ_w3∈V P(w3|w1,w2) == 1 exactly — checked in exact
+    // BigInt arithmetic over the same derived tables the engine uses.
+    val uniq = Vector.fill(6)(randWords(4 + rnd.nextInt(8)))
+    val train = (1L to 20L).map(id => (id, uniq(rnd.nextInt(6))))
+    val trToks = train.map { case (_, t) => t.split(" ").toSeq }
+    val trisT = trToks.flatMap(t => t.lazyZip(t.drop(1)).lazyZip(t.drop(2)).toSeq)
+    val c123 = trisT.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t23 = c123.keys.groupBy(k => (k._2, k._3)).view.mapValues(_.size.toLong).toMap
+    val mid = t23.toSeq.groupBy(_._1._1).view
+      .mapValues(es => (es.map(_._2).sum, es.size.toLong)).toMap
+    val n1c = t23.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val vocab = trToks.flatten.toSet
+    val v = vocab.size.toLong
+    val b2 = t23.size.toLong
+    val ctxs = c123.keys.map(k => (k._1, k._2)).toSeq.distinct.take(5)
+    ctxs.foreach { case (w1, w2) =>
+      val cOf = c123.collect { case ((a, b, w3), n) if a == w1 && b == w2 => w3 -> n }
+      val c12ctx = cOf.values.sum
+      val n3p = cOf.size.toLong
+      val (tmid, n2p) = mid(w2)
+      // P(w3|w1w2) = NUM(w3) / (16·c12ctx·tmid·(b2+v)); sum NUMs
+      val total = vocab.toSeq.map { w3 =>
+        BigInt(math.max(4L * cOf.getOrElse(w3, 0L) - 3L, 0L)) * 4 * tmid * (b2 + v) +
+          BigInt(3) * n3p * (BigInt(math.max(4L * t23.getOrElse((w2, w3), 0L) - 3L, 0L)) * (b2 + v) +
+            BigInt(3) * n2p * (n1c.getOrElse(w3, 0L) + 1L))
+      }.sum
+      assert(total == BigInt(16) * c12ctx * tmid * (b2 + v),
+        s"context ($w1,$w2) must normalize exactly")
+    }
+  }
+
   test("phrase search equals a naive token-window scan on random corpora") {
     import spark.implicits._
     import graft.operators.Retrieval
