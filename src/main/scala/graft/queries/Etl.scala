@@ -113,9 +113,19 @@ object Etl {
         .groupBy($"shard").agg(count(lit(1)).as("n"))
       val wdf = weights.zipWithIndex
         .map { case (w, i) => (i.toLong, w.toLong) }.toDF("shard", "weight")
-      perShard.join(wdf, "shard")
-        .withColumn("total", sum($"n").over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
+      // the total fans back over the per-shard AGGREGATE — a frame of
+      // exactly |weights| = 3 rows, never corpus-sized. One bounded
+      // global aggregate (collect_list + sum over 3 rows) re-exploded
+      // replaces the former unpartitioned window: same one-pass plan,
+      // no WindowExec at all — this was the suite's ONLY unpartitioned
+      // window (WindowScan: 1/214) and the source of the r13
+      // bench-tail "No Partition Defined" warning cluster.
+      perShard
+        .agg(collect_list(struct($"shard", $"n")).as("rows"),
+          sum($"n").as("total"))
+        .select(explode($"rows").as("r"), $"total")
+        .select($"r.shard".as("shard"), $"r.n".as("n"), $"total")
+        .join(wdf, "shard")
         .select($"shard".cast("long").as("shard"), $"weight",
           $"total".cast("long").as("total"),
           (abs($"n" / $"total" - $"weight" / wsum) <= 0.05).as("frac_in_bound"))

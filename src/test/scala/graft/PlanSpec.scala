@@ -27,6 +27,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(shard"), s"expected shard partitioning:\n$p")
   }
 
+  test("q24 carries no window at all: total fans back through a bounded aggregate") {
+    // formerly the suite's ONLY unpartitioned window (WindowScan:
+    // 1/214, the r13 bench-tail warning source) — the 3-row shard
+    // summary now totals through collect_list + re-explode, so the
+    // plan has no WindowExec to warn about
+    val df = graft.queries.Etl.queries("q24_shard_assign")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "q24 must not carry any window")
+    assert(df.collect().length == 3, "the totalled frame is the 3-row shard summary")
+  }
+
   test("q01 aggregation is two-phase (map-side partial before shuffle)") {
     val p = plan(Relational.queries("q01_agg_pricing_summary")(spark, sf))
     assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
