@@ -420,20 +420,23 @@ object LangModel {
     * ([[IndexMaintenance.sweepUnloggedBatchFiles]]).
     */
   def compactLmCounts(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
-    val (c12, c1, cw) = lmCounts(spark, dir)
-    compactTables(spark, dir, Seq("c12" -> c12, "c1" -> c1, "cw" -> cw))
-  }
+      dir: String): Unit =
+    compactTables(spark, dir, Seq(
+      "c12" -> (() => lmCounts(spark, dir)._1),
+      "c1" -> (() => lmCounts(spark, dir)._2),
+      "cw" -> (() => lmCounts(spark, dir)._3)))
 
   /** Shared compact engine (see [[compactLmCounts]]): recovery
     * preamble over every table, unlogged-delta sweep, then the
     * per-table staged swap with CHECKED renames. `tables` maps each
-    * live sub-directory to its merged replacement frame; the frames
-    * are lazy plans, so building them before the preamble is safe —
-    * each executes only at its own write, after recovery + sweep.
+    * live sub-directory to a THUNK of its merged replacement frame:
+    * `spark.read.parquet` lists files eagerly, so the reader must be
+    * constructed only after the preamble has restored `live` and the
+    * sweep has deleted any orphaned deltas — a frame built earlier
+    * would carry a stale listing of swept files.
     */
-  private def compactTables(spark: org.apache.spark.sql.SparkSession,
-      dir: String, tables: Seq[(String, DataFrame)]): Unit = {
+  private[operators] def compactTables(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tables: Seq[(String, () => DataFrame)]): Unit = {
     import IndexMaintenance.{renameOrThrow, deleteOrThrow}
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -453,12 +456,12 @@ object LangModel {
       ()
     }
     IndexMaintenance.sweepUnloggedBatchFiles(spark, dir, tables.map(_._1))
-    tables.foreach { case (sub, df) =>
+    tables.foreach { case (sub, mkDf) =>
       val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
       val staged = new org.apache.hadoop.fs.Path(s"$dir/${sub}_compact")
       val old = new org.apache.hadoop.fs.Path(s"$dir/${sub}_old")
       deleteOrThrow(fs, staged)
-      df.write.mode("overwrite").parquet(staged.toString)
+      mkDf().write.mode("overwrite").parquet(staged.toString)
       // swap: live -> old, staged -> live, drop old; any crash point
       // is recovered by the preamble on the next run, and a FAILED
       // step throws rather than proceeding into a half-swapped layout
@@ -661,8 +664,8 @@ object LangModel {
     * unlogged-delta sweep) over the order-3 layout.
     */
   def compactLm3Counts(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
-    val (c123, cw) = lm3Counts(spark, dir)
-    compactTables(spark, dir, Seq("c123" -> c123, "cw" -> cw))
-  }
+      dir: String): Unit =
+    compactTables(spark, dir, Seq(
+      "c123" -> (() => lm3Counts(spark, dir)._1),
+      "cw" -> (() => lm3Counts(spark, dir)._2)))
 }

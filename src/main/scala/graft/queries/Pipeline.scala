@@ -186,6 +186,42 @@ object Pipeline {
       |  UNION ALL SELECT 'l_tax', n, t_nu, t_mn, t_mx, t_sm FROM s)
       |ORDER BY col_name""".stripMargin
 
+  // q216: the composed dashboard's profile leg over documents —
+  // exact mergeable stats re-derived from the raw table (the q207
+  // contract on the doc stream's numeric columns)
+  private val dashboardProfileOracle =
+    """WITH s AS (SELECT count(*) AS n,
+      |  sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS i_nu,
+      |  CAST(min(doc_id) AS DOUBLE) AS i_mn,
+      |  CAST(max(doc_id) AS DOUBLE) AS i_mx,
+      |  CAST(sum(CAST(doc_id AS DECIMAL(18,2))) AS DOUBLE) AS i_sm,
+      |  sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS c_nu,
+      |  CAST(min(n_chars) AS DOUBLE) AS c_mn,
+      |  CAST(max(n_chars) AS DOUBLE) AS c_mx,
+      |  CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS c_sm
+      |FROM documents)
+      |SELECT col_name, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,
+      |  TRUE AS est_in_range, min_d, max_d, sum_d,
+      |  n_nulls = 0 AS complete, min_d >= 0 AS non_negative
+      |FROM (
+      |  SELECT 'doc_id' AS col_name, n AS n_rows, i_nu AS n_nulls,
+      |    i_mn AS min_d, i_mx AS max_d, i_sm AS sum_d FROM s
+      |  UNION ALL SELECT 'n_chars', n, c_nu, c_mn, c_mx, c_sm FROM s)
+      |ORDER BY col_name""".stripMargin
+
+  // q217: the dashboard's repetition-quantile leg — the DDSketch α
+  // guarantee restated as rank inequalities over the EXACT per-doc
+  // signals; n = contributing documents (≥ 3 tokens), flags TRUE
+  private val dashboardRepetitionOracle =
+    """WITH d AS (SELECT string_split(text,' ') AS t FROM documents),
+      |nn AS (SELECT count(*) AS n FROM d WHERE len(t) >= 3)
+      |SELECT s.signal, nn.n AS n,
+      |  TRUE AS med_upper_ok, TRUE AS med_lower_ok,
+      |  TRUE AS p95_upper_ok, TRUE AS p95_lower_ok
+      |FROM (VALUES ('distinct_ratio'), ('dup_trigram_frac'),
+      |      ('top_bigram_frac'), ('top_token_frac')) s(signal), nn
+      |ORDER BY signal""".stripMargin
+
   // shared verbatim by q202 (direct positional search) and q212
   // (collapse-first twin): phrase-occurrence counts are pure
   // functions of content, so both forms are row-identical
@@ -1081,19 +1117,11 @@ object Pipeline {
     // PlanSpec pins the no-exchange plan shape.
     "q208_repetition_mapside" -> { (s, dir) =>
       import s.implicits._
-      import graft.functions.TextFunctions.{maxMultiplicity, wordBigrams}
-      val toks = tokens($"text")
-      val n = size(toks)
-      Tables(s, dir).documents
-        .filter(size(tokens($"text")) >= 3)
-        .select($"doc_id",
-          (size(array_distinct(toks)).cast("double") / n).as("distinct_ratio"),
-          (maxMultiplicity(toks).cast("double") / n).as("top_token_frac"),
-          (maxMultiplicity(wordBigrams(toks)).cast("double") / (n - 1))
-            .as("top_bigram_frac"),
-          (lit(1.0) -
-            size(graft.functions.ShingleHash64.shingle_hashes($"text", 3)).cast("double") /
-              (n - 2)).as("dup_trigram_frac"))
+      // signal arithmetic lives in IngestDashboard.repSignals so this
+      // gate and the composed dashboard's sketched leg (q217) share
+      // one definition and cannot drift
+      graft.operators.IngestDashboard.repSignals(
+          Tables(s, dir).documents, "doc_id", "text")
         .orderBy($"doc_id")
     },
 
@@ -3094,6 +3122,126 @@ object Pipeline {
       } finally Pipeline.rmTree(new java.io.File(idxDir))
     },
 
+    // COMPOSED INGEST DASHBOARD, KN leg (r13 verdict's top item): ONE
+    // foreachBatch applier maintains profile state + LM counts +
+    // repetition sketches over a single materialized read per batch,
+    // instead of three separate family scans. Composition must not
+    // change any family's values — this gate scores Kneser–Ney from
+    // the COMPOSED directory's c12/cw segments and holds the q209
+    // oracle VERBATIM (the q211 contract through the composed sink).
+    "q215_dashboard_kn_model" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val train = docs.filter($"doc_id" % 5 =!= 0)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-dash-kn").toString
+      try {
+        import graft.streaming.StreamingIndex
+        val cols = Seq("doc_id", "n_chars")
+        val applied = Seq(
+          StreamingIndex.applyDashboardBatch(
+            train.filter($"doc_id" % 3 === 0), "text", cols, idxDir, batchId = 0),
+          StreamingIndex.applyDashboardBatch(
+            train.filter($"doc_id" % 3 === 1), "text", cols, idxDir, batchId = 1),
+          StreamingIndex.applyDashboardBatch( // crash-replay of batch 1
+            train.filter($"doc_id" % 3 === 1), "text", cols, idxDir, batchId = 1),
+          StreamingIndex.applyDashboardBatch(
+            train.filter($"doc_id" % 3 === 2), "text", cols, idxDir, batchId = 2))
+        require(applied == Seq(true, true, false, true),
+          s"dashboard batchlog idempotence violated: $applied")
+        graft.operators.LangModel.scoreKnIndexed(s, idxDir,
+            docs.filter($"doc_id" % 5 === 0), "doc_id", "text")
+          .orderBy($"doc_id")
+          .localCheckpoint() // materialize before the dir is removed
+      } finally Pipeline.rmTree(new java.io.File(idxDir))
+    },
+
+    // COMPOSED INGEST DASHBOARD, profile leg: the same composed sink
+    // (over the FULL document stream this time), probed through
+    // profileIndexed — exact mergeable statistics of doc_id/n_chars
+    // re-derived by the oracle from raw documents, estimator checked
+    // by the q207 O(1) sanity range (the 3σ-vs-exact audit lives
+    // untimed in q205 + the StreamingSpec dashboard parity test).
+    "q216_dashboard_profile" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val cols = Seq("doc_id", "n_chars")
+      val p = 12
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-dash-prof").toString
+      try {
+        import graft.streaming.StreamingIndex
+        val applied = Seq(
+          StreamingIndex.applyDashboardBatch(
+            docs.filter($"doc_id" % 2 === 0), "text", cols, idxDir, batchId = 0, p),
+          StreamingIndex.applyDashboardBatch( // crash-replay of batch 0
+            docs.filter($"doc_id" % 2 === 0), "text", cols, idxDir, batchId = 0, p),
+          StreamingIndex.applyDashboardBatch(
+            docs.filter($"doc_id" % 2 =!= 0), "text", cols, idxDir, batchId = 1, p))
+        require(applied == Seq(true, false, true),
+          s"dashboard batchlog idempotence violated: $applied")
+        val sigma3 = 3 * 1.04 / math.sqrt((1 << p).toDouble)
+        graft.operators.Profiling.profileIndexed(s, idxDir)
+          .select($"col_name", $"n_rows", $"n_nulls",
+            ($"n_distinct_est" >= least(lit(1L), $"n_rows" - $"n_nulls") &&
+              $"n_distinct_est" <=
+                ($"n_rows" - $"n_nulls") * (1.0 + sigma3) + 1.0)
+              .as("est_in_range"),
+            $"min_d", $"max_d", $"sum_d", $"complete", $"non_negative")
+          .orderBy($"col_name")
+          .localCheckpoint()
+      } finally Pipeline.rmTree(new java.io.File(idxDir))
+    },
+
+    // COMPOSED INGEST DASHBOARD, repetition leg: corpus quantiles of
+    // the q208 Gopher signals from the composed directory's merged
+    // DDSketch segments, audited the q157 way — the α relative-error
+    // guarantee restated as exact rank inequalities the oracle
+    // re-derives from the raw per-document signals (all flags TRUE).
+    "q217_dashboard_repetition" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val alpha = graft.operators.IngestDashboard.Alpha
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-dash-rep").toString
+      try {
+        import graft.streaming.StreamingIndex
+        val cols = Seq("doc_id", "n_chars")
+        val applied = Seq(
+          StreamingIndex.applyDashboardBatch(
+            docs.filter($"doc_id" % 2 === 0), "text", cols, idxDir, batchId = 0),
+          StreamingIndex.applyDashboardBatch(
+            docs.filter($"doc_id" % 2 =!= 0), "text", cols, idxDir, batchId = 1),
+          StreamingIndex.applyDashboardBatch( // crash-replay of batch 1
+            docs.filter($"doc_id" % 2 =!= 0), "text", cols, idxDir, batchId = 1))
+        require(applied == Seq(true, true, false),
+          s"dashboard batchlog idempotence violated: $applied")
+        val est = graft.operators.IngestDashboard.repQuantilesIndexed(
+          s, idxDir, Seq(0.5, 0.95), alpha)
+        // rank-envelope audit over the raw signals (the q157 flags)
+        val longSig = graft.operators.IngestDashboard
+          .repSignals(docs, "doc_id", "text")
+          .select(explode(array(graft.operators.IngestDashboard.signalNames
+            .map(sn => struct(lit(sn).as("signal"), col(sn).as("x"))): _*)).as("p"))
+          .select($"p.signal", $"p.x")
+        longSig.join(broadcast(est), "signal")
+          .groupBy($"signal")
+          .agg(count(lit(1)).as("n"),
+            max($"q50").as("q50"), max($"q95").as("q95"),
+            sum(when($"x" <= $"q50" / (1 - alpha), 1L).otherwise(0L)).as("le_hi_m"),
+            sum(when($"x" < $"q50" / (1 + alpha), 1L).otherwise(0L)).as("lt_lo_m"),
+            sum(when($"x" <= $"q95" / (1 - alpha), 1L).otherwise(0L)).as("le_hi_p"),
+            sum(when($"x" < $"q95" / (1 + alpha), 1L).otherwise(0L)).as("lt_lo_p"))
+          .select($"signal", $"n",
+            ($"le_hi_m" >= floor(lit(0.5) * ($"n" - 1)) + 1).as("med_upper_ok"),
+            ($"lt_lo_m" <= floor(lit(0.5) * ($"n" - 1))).as("med_lower_ok"),
+            ($"le_hi_p" >= floor(lit(0.95) * ($"n" - 1)) + 1).as("p95_upper_ok"),
+            ($"lt_lo_p" <= floor(lit(0.95) * ($"n" - 1))).as("p95_lower_ok"))
+          .orderBy($"signal")
+          .localCheckpoint()
+      } finally Pipeline.rmTree(new java.io.File(idxDir))
+    },
+
     // STREAMING incremental LM — counts are additive, so a model fed
     // batch-by-batch (with one batch RE-DELIVERED mid-sequence that
     // the batchlog must no-op) scores EXACTLY like q200's one-shot
@@ -4074,6 +4222,19 @@ object Pipeline {
     // from batch-accumulated persisted segments must score exactly
     // like the one-shot train — incremental == batch, value-exact
     "q211_stream_kn_model" -> kneserNeyOracle,
+
+    // the SAME oracle a third time, now through the COMPOSED
+    // dashboard sink: composing the three maintenance families over
+    // one shared scan must not change the LM family's values
+    "q215_dashboard_kn_model" -> kneserNeyOracle,
+
+    // composed dashboard, profile leg: exact mergeable stats of the
+    // doc stream's numeric columns re-derived from raw documents
+    "q216_dashboard_profile" -> dashboardProfileOracle,
+
+    // composed dashboard, repetition leg: q157-style rank-envelope
+    // flags over the exact per-doc q208 signals
+    "q217_dashboard_repetition" -> dashboardRepetitionOracle,
 
     // order-3 KN: all five derived count tables (ctx/N1+(w1w2.),
     // t23/N1+(.w2w3), mid/N1+(.w2.)/N1+(w2.), N1+(..w3), B2, V) and

@@ -1639,6 +1639,85 @@ class StreamingSpec extends SparkSpec {
       "KN probe must be identical after compaction")
   }
 
+  test("composed dashboard sink: one shared scan maintains all three families == one-shot, through crash replay") {
+    import graft.operators.{IngestDashboard, LangModel, Profiling}
+    import graft.streaming.StreamingIndex
+    import java.nio.file.{Files => JFiles, Paths}
+    import spark.implicits._
+    val dd = graft.functions.DdSketch
+    val alpha = IngestDashboard.Alpha
+    val docs = Tables(spark, sf).documents
+      .select($"doc_id", $"text", $"n_chars").cache()
+    try {
+    val cols = Seq("doc_id", "n_chars")
+    val src = JFiles.createTempDirectory("graft-dashsrc").toString
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    val files = JFiles.list(Paths.get(src)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    assert(files.length >= 2)
+    files.zipWithIndex.foreach { case (f, i) =>
+      JFiles.setLastModifiedTime(Paths.get(f),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val dir = JFiles.createTempDirectory("graft-dashidx").toString
+    val ckpt = JFiles.createTempDirectory("graft-dashck").toString
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = StreamingIndex.dashboardSink(stream, "text", cols, dir, ckpt)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(s"$dir/batchlog").count() >= 2)
+    // family 1: LM — composed segments score like the one-shot train
+    val score = docs.limit(30).cache()
+    def lmRows() = LangModel.scoreLmIndexed(spark, dir, score, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val lmWant = LangModel.stupidBackoffSurprisal(docs, score, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(lmWant.nonEmpty && lmRows() == lmWant,
+      "composed LM segments must score exactly like the one-shot train")
+    // family 2: profile — bit-exact vs the one-shot approx profile
+    def profRows() = Profiling.profileIndexed(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+    val profWant = Profiling.approxProfile(docs, cols).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+    assert(profRows() == profWant,
+      "composed profile state must equal the one-shot approx profile bit-for-bit")
+    // family 3: repetition quantiles — merged DDSketch segments are
+    // bit-identical to the one-shot sketch (integer bucket adds)
+    def repRows() = IngestDashboard.repQuantilesIndexed(spark, dir, Seq(0.5, 0.95))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val repWant = IngestDashboard.repStateOf(docs, "text")
+      .select($"signal", $"n", dd.dd_quantile($"st", 0.5, alpha).as("q50"),
+        dd.dd_quantile($"st", 0.95, alpha).as("q95"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(repWant.nonEmpty && repRows() == repWant,
+      "composed repetition sketches must equal the one-shot sketch bit-for-bit")
+    // crash replay, ATOMIC for the composition: erase the LAST batch's
+    // log row (its b<id>_* deltas stay orphaned in ALL FIVE subs),
+    // re-deliver it — the sweep must purge every family before
+    // re-applying, or some family double-counts
+    val lastId = spark.read.parquet(s"$dir/batchlog")
+      .agg(org.apache.spark.sql.functions.max($"batch_id")).head.getLong(0)
+    val survivors = spark.read.parquet(s"$dir/batchlog")
+      .filter($"batch_id" =!= lastId).collect().map(_.getLong(0)).toSeq
+    survivors.toDF("batch_id").write.mode("overwrite").parquet(s"$dir/batchlog")
+    val lastBatch = spark.read.parquet(files.last)
+    assert(StreamingIndex.applyDashboardBatch(lastBatch, "text", cols, dir, lastId))
+    assert(lmRows() == lmWant, "LM family must converge after composed replay")
+    assert(profRows() == profWant, "profile family must converge after composed replay")
+    assert(repRows() == repWant, "repetition family must converge after composed replay")
+    // a re-delivered batch id no-ops
+    assert(!StreamingIndex.applyDashboardBatch(lastBatch, "text", cols, dir, lastId))
+    // compaction of all three families is probe-identical
+    LangModel.compactLmCounts(spark, dir)
+    Profiling.compactProfileState(spark, dir)
+    IngestDashboard.compactRepState(spark, dir)
+    assert(lmRows() == lmWant && profRows() == profWant && repRows() == repWant,
+      "dashboard compaction must be probe-identical across all families")
+    } finally { docs.unpersist(); () }
+  }
+
   test("persisted KN-3: batch-accumulated segments score exactly like the one-shot train, through compaction") {
     import graft.operators.LangModel
     import graft.streaming.StreamingIndex
