@@ -2722,6 +2722,100 @@ object H264 {
     out.toArray
   }
 
+  /** TEMPORAL-direct B streams (the q218 gate): IDR I_PCM, P(qp1),
+    * P(qp2), non-reference B (temporal direct, all B_Skip /
+    * B_Direct_16x16 on the [[synthBDirCoded]] lattice), P(qp4),
+    * non-reference B. `direct_spatial_mv_pred_flag = 0` and
+    * `num_ref_idx_l0_active = 3`, so the decoder runs the FULL
+    * §8.4.1.2.3 machinery: the colocated P picture's motion field,
+    * the colocated-to-list0 reference mapping (refIdxL0 = 2, the
+    * 3-picture DPB's oldest entry), and the POC-distance scaling —
+    * with every mv component ±16 quarter-samples, tb = 5, td = 2 →
+    * tx = 8192, DistScaleFactor = 640, so mvL0 = ±40 and
+    * mvL1 = ±24: NONZERO scaled vectors (not the degenerate
+    * mvCol = 0 form), integer-sample by construction so the closed
+    * form stays nested-clamp reads. Non-reference Bs never enter the
+    * DPB, which is what keeps every colocated picture a P frame.
+    * Each B frame = per-pixel (MC(two-back, mvL0) + MC(one-back,
+    * mvL1) + 1) >> 1 over the REFERENCE chain — the form the DuckDB
+    * oracle re-derives.
+    */
+  def synthesizeH264TemporalDirect(mbW: Int, mbH: Int,
+      seed: Long): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30, maxRefs = 3))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp())
+    appendIPcmIdr(out, mbW, mbH, seed)
+    def sgn(bit: Long): Int = 1 - 2 * (((seed >> bit) % 2).toInt & 1)
+    val qp1 = (16 * sgn(0), 16 * sgn(1))
+    val qp2 = (16 * sgn(2), 16 * sgn(3))
+    val qp4 = (16 * sgn(4), 16 * sgn(5))
+    def pFrame(fn: Int, qp: (Int, Int)): Unit = {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(fn % 16, 4)
+      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+      bw.se(0); bw.ue(1)
+      val mvs = Array.fill(mbW * mbH)((0, 0))
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          bw.ue(0); bw.ue(0)
+          val pred = predictMv(mvs, done, mx, my, mbW)
+          bw.se(qp._1 - pred._1); bw.se(qp._2 - pred._2)
+          bw.ue(0)
+          mvs(my * mbW + mx) = qp; done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+    def bFrame(fn: Int, fIdx: Int): Unit = {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x01.toByte // nal_ref_idc 0: NON-reference
+      val bw = new BitWriter
+      bw.ue(0)             // first_mb_in_slice
+      bw.ue(6)             // slice_type: B (all slices in pic)
+      bw.ue(0)             // pps id
+      bw.u(fn % 16, 4)     // frame_num
+      bw.u(0, 1)           // direct_spatial_mv_pred_flag = 0: TEMPORAL
+      bw.u(1, 1)           // num_ref_idx_active_override_flag
+      bw.ue(2)             // num_ref_idx_l0_active_minus1 = 2 (3 refs)
+      bw.ue(0)             // num_ref_idx_l1_active_minus1 = 0
+      bw.u(0, 1); bw.u(0, 1) // ref_pic_list_modification l0, l1
+      // no dec_ref_pic_marking: nal_ref_idc == 0
+      bw.se(0); bw.ue(1)   // QP 26, disable_deblocking 1
+      var run = 0
+      var mb = 0
+      while (mb < mbW * mbH) {
+        val mx = mb % mbW; val my = mb / mbW
+        if (synthBDirCoded(seed, fIdx, mx, my)) {
+          bw.ue(run); run = 0 // mb_skip_run before the coded MB
+          bw.ue(0)            // mb_type: B_Direct_16x16
+          bw.ue(0)            // cbp 0 (me(v) Inter codeNum 0)
+        } else run += 1       // B_Skip
+        mb += 1
+      }
+      if (run > 0) bw.ue(run) // trailing skip run closes the slice
+      out ++= escape(bw.stop())
+    }
+    pFrame(1, qp1)
+    pFrame(2, qp2)
+    bFrame(3, 3) // colocated = P(qp1), mapped L0 ref = the IDR
+    pFrame(3, qp4)
+    bFrame(4, 5) // colocated = P(qp2), mapped L0 ref = P(qp1)
+    out.toArray
+  }
+
   /** Per-MB kind of the MIXED direct B frames: 0 = B_Direct_16x16,
     * 1 = B_L0_16x16, 2 = B_L1_16x16, 3 = B_Bi_16x16, 4 = B_Skip,
     * 5 = B_8x8 with a direct sub-MB.
@@ -4030,6 +4124,19 @@ object H264 {
       var luma2: Array[Int] = null
       var cb2: Array[Int] = null
       var cr2: Array[Int] = null
+      // third-most-recent reference — the picture TEMPORAL direct's
+      // §8.4.1.2.2 colocated-to-list0 mapping lands on in the steady
+      // state (the colocated, itself the second-most-recent, referenced
+      // its own predecessor); only pixels are needed (no motion field:
+      // nothing ever reads the colocated of the colocated)
+      var luma3: Array[Int] = null
+      var cb3: Array[Int] = null
+      var cr3: Array[Int] = null
+      // POC per resident DPB entry (pic_order_cnt_type 2 arithmetic:
+      // +2 per REFERENCE picture in decode order; a non-reference
+      // picture sits at prevRefPoc + 1) — the td/tb distances of
+      // temporal direct's DistScaleFactor need no new bitstream fields
+      var pocL = -1; var pocL2 = -1; var pocL3 = -1
       // stored MOTION FIELDS of the two DPB pictures (4x4-block
       // granular, null = intra I_PCM picture): spatial direct's
       // colZeroFlag (§8.4.1.2.2) reads the colocated block of
@@ -4088,6 +4195,8 @@ object H264 {
             luma = new Array[Int](w * h)
             cb = new Array[Int](w * h / 4); cr = new Array[Int](w * h / 4)
             luma2 = null; cb2 = null; cr2 = null // IDR invalidates the DPB
+            luma3 = null; cb3 = null; cr3 = null
+            pocL = 0; pocL2 = -1; pocL3 = -1 // IDR: reference, POC 0
             refMvs0 = null; refRefs0 = null; refMvs1 = null; refRefs1 = null
             colMvs0 = null; colRefs0 = null; colMvs1 = null; colRefs1 = null
             val r = new BitReader(unescape(p, s + 1, e))
@@ -4132,6 +4241,12 @@ object H264 {
             val info = sps.getOrElse(return None)
             if (luma == null) return None // inter frame before any reference
             val w = info.mbW * 16; val h = info.mbH * 16
+            // nal_ref_idc 0 = NON-REFERENCE picture: decoded and
+            // counted, but never promoted into the DPB — the low-delay
+            // temporal-direct configuration (B frames between stored P
+            // references) depends on this (§7.4.1)
+            val nalRefIdc = (p(s) >> 5) & 3
+            val currPoc = pocL + (if (nalRefIdc == 0) 1 else 2)
             val r = new BitReader(unescape(p, s + 1, e))
             val firstMb = r.ue()
             val sliceType = r.ue() % 5
@@ -4140,20 +4255,31 @@ object H264 {
             if (isB && luma2 == null) return None // B needs both refs
             r.ue(); r.u(4)
             // direct_spatial_mv_pred_flag: SPATIAL direct (§8.4.1.2.2)
-            // is implemented; temporal direct (flag 0) needs POC
-            // distance scaling — out of this low-delay subset, refused
-            // at the first direct/skip MB that would use it
+            // and TEMPORAL direct (flag 0, §8.4.1.2.3 POC-distance
+            // scaling over the 3-picture DPB) are both implemented
             var directSpatial = false
             if (isB) directSpatial = r.u(1) == 1
             // num_ref_idx_active_override: P slices may raise the L0
-            // active count to 2 (list = [prev, prev-prev]); more refs
-            // or a B override are out of this subset
+            // active count to 2 (list = [prev, prev-prev]); B slices
+            // may raise L0 to 3 — the §8.4.1.2.3 colocated-to-list0
+            // mapping needs list0 to CONTAIN the picture the colocated
+            // block referenced (the encoder contract for temporal
+            // direct) — while L1 stays at 1. Explicit inter MBs of a
+            // multi-ref B slice (te-coded ref_idx) are out of this
+            // subset and refused at the MB.
             var numRef0 = 1
             if (r.u(1) == 1) {
-              if (isB) return None
-              numRef0 = r.ue() + 1
-              if (numRef0 > 2) return None
-              if (numRef0 == 2 && luma2 == null) return None
+              if (isB) {
+                numRef0 = r.ue() + 1
+                if (numRef0 > 3) return None
+                if (numRef0 >= 2 && luma2 == null) return None
+                if (numRef0 == 3 && luma3 == null) return None
+                if (r.ue() != 0) return None // L1 active must stay 1
+              } else {
+                numRef0 = r.ue() + 1
+                if (numRef0 > 2) return None
+                if (numRef0 == 2 && luma2 == null) return None
+              }
             }
             r.u(1)           // ref_pic_list_modification_flag_l0
             if (isB) r.u(1)  // ref_pic_list_modification_flag_l1
@@ -4205,7 +4331,9 @@ object H264 {
                 li += 1
               }
             }
-            r.u(1)           // adaptive_ref_pic_marking_mode_flag
+            // dec_ref_pic_marking is only present for REFERENCE
+            // pictures (§7.3.3: nal_ref_idc != 0)
+            if (nalRefIdc != 0) r.u(1) // adaptive_ref_pic_marking_mode_flag
             var qpy = 26 + r.se()
             if (r.ue() != 1) { r.se(); r.se() }
             val nMbs = info.mbW * info.mbH
@@ -4511,10 +4639,85 @@ object H264 {
               }
               true
             }
+            // §8.4.1.2.3 TEMPORAL direct, per 4x4 block over a block
+            // rectangle: mvCol/refIdxCol come from the colocated block
+            // of refPicList1[0] (the same retained colMvs*/colRefs*
+            // motion field spatial direct reads), the colocated's
+            // refIdx is resolved to a RESIDENT picture by decode
+            // distance (its list0[0] = the picture one behind it =
+            // our luma3; an intra colocated block maps to refIdxL0 0 =
+            // luma with mvCol 0), and the POC distances drive the
+            // standard scaling —
+            //   tx  = (16384 + |td/2|) / td
+            //   DSF = clip3(−1024, 1023, (tb·tx + 32) >> 6)
+            //   mvL0 = (DSF·mvCol + 128) >> 8 ; mvL1 = mvL0 − mvCol
+            // with tb/td clip3'd to ±127. Every reference here is
+            // short-term, so the td==0 / long-term mvCol-passthrough
+            // never fires on these streams but is kept per spec.
+            // Honest refusals: a colocated reference beyond the
+            // 3-picture DPB (refIdxCol ≥ 1, or a colocated-B block
+            // that only used ITS list 1 — both land 4+ pictures back)
+            // and a mapped picture outside the current ACTIVE list0
+            // (numRef0 too small: a non-conforming stream).
+            def temporalDirectRect(pbx: Int, pby: Int,
+                wB: Int, hB: Int): Boolean = {
+              // an intra colocated PICTURE (colRefs* null, e.g. the
+              // I_PCM frame) reads as per-block intra below:
+              // refIdxL0 0, mvCol 0
+              var yy = 0
+              while (yy < hB) {
+                var xx = 0
+                while (xx < wB) {
+                  val gx = pbx + xx; val gy = pby + yy
+                  val ci = gy * bW + gx
+                  val useL0Col = colRefs0 != null && colRefs0(ci) >= 0
+                  val useL1Col = colRefs1 != null && colRefs1(ci) >= 0
+                  if (!useL0Col && useL1Col) return false // its L1 = 4 back
+                  if (useL0Col && colRefs0(ci) >= 1) return false // 4+ back
+                  val intra = !useL0Col && !useL1Col
+                  val mvC = if (intra) (0, 0) else colMvs0(ci)
+                  // mapped list0 picture: colocated's list0[0] = luma3
+                  // (two behind the colocated); intra → list0[0] = luma
+                  val (rfL, rfCb, rfCr, rfPoc, refIdxNow) =
+                    if (intra) (luma, cb, cr, pocL, 0)
+                    else (luma3, cb3, cr3, pocL3, 2)
+                  if (rfL == null) return false
+                  if (refIdxNow >= numRef0) return false // not in list0
+                  val tb = math.max(-128, math.min(127, currPoc - rfPoc))
+                  val td = math.max(-128, math.min(127, pocL2 - rfPoc))
+                  val (mv0, mv1) =
+                    if (td == 0) (mvC, (0, 0))
+                    else {
+                      val tx = (16384 + math.abs(td / 2)) / td
+                      val dsf = math.max(-1024,
+                        math.min(1023, (tb * tx + 32) >> 6))
+                      val m0 = ((dsf * mvC._1 + 128) >> 8,
+                        (dsf * mvC._2 + 128) >> 8)
+                      (m0, (m0._1 - mvC._1, m0._2 - mvC._2))
+                    }
+                  // bi-prediction: L0 from the mapped picture, L1 from
+                  // the colocated picture itself (refPicList1[0])
+                  if (!mcInto(rfL, rfCb, rfCr, nl, ncb, ncr)(
+                      gx * 4, gy * 4, 4, 4, mv0)) return false
+                  if (!mcInto(luma2, cb2, cr2, tl, tcb, tcr)(
+                      gx * 4, gy * 4, 4, 4, mv1)) return false
+                  if (wBi) biWeightedRect(gx * 4, gy * 4, 4, 4)
+                  else biAverageRect(gx * 4, gy * 4, 4, 4)
+                  writePart(mvs, refs0, gx, gy, 1, 1, mv0, refIdxNow)
+                  writePart(mvs1, refs1, gx, gy, 1, 1, mv1, 0)
+                  mvAbs += math.abs(mv0._1) + math.abs(mv0._2) +
+                    math.abs(mv1._1) + math.abs(mv1._2)
+                  xx += 1
+                }
+                yy += 1
+              }
+              true
+            }
             // one whole direct MB (B_Skip / B_Direct_16x16); the
             // derivation precedes any stamping of this MB's blocks
             def directMb(mx: Int, myy: Int): Boolean = {
-              if (!directSpatial) return false // temporal direct: refuse
+              if (!directSpatial)
+                return temporalDirectRect(mx * 4, myy * 4, 4, 4)
               val d = deriveDirect(mx * 4, myy * 4)
               if (d == null) return false
               directRect(d, mx * 4, myy * 4, mx * 4, myy * 4, 4, 4)
@@ -4567,8 +4770,8 @@ object H264 {
                 if (mb >= nMbs) return None
                 val mx = mb % info.mbW; val myy = mb / info.mbW
                 if (isB) {
-                  // B_Skip = spatial direct prediction, no residuals
-                  // (temporal direct refused inside directMb)
+                  // B_Skip = the slice's direct prediction (spatial or
+                  // temporal), no residuals
                   if (!directMb(mx, myy)) return None
                   nSkipped += 1
                 } else {
@@ -4591,10 +4794,19 @@ object H264 {
                     (true, false)
                   } else mbType match {
                     case 0 => (false, false) // B_Direct_16x16, below
-                    case 1 => (true, false)
-                    case 2 => (false, true)
-                    case 3 => (true, true)
-                    case t if t >= 4 && t <= 22 => (true, true) // partitions below
+                    case t if t >= 1 && t <= 22 =>
+                      // explicit inter MBs of a MULTI-REF B slice
+                      // carry te-coded ref_idx fields — out of this
+                      // subset (multi-ref B lists exist FOR the
+                      // temporal-direct mapping, whose MBs are
+                      // direct/skip and carry no ref_idx)
+                      if (numRef0 > 1) return None
+                      t match {
+                        case 1 => (true, false)
+                        case 2 => (false, true)
+                        case 3 => (true, true)
+                        case _ => (true, true) // partitions below
+                      }
                     case _ => return None // intra in B: refuse
                   }
                 val mx = mb % info.mbW; val myy = mb / info.mbW
@@ -4688,16 +4900,21 @@ object H264 {
                   while (sb < 4) {
                     val t = subTypes(sb)
                     if (t == 0) {
-                      if (!directSpatial) return None
-                      if (!directDReady) {
-                        directD = deriveDirect(mx * 4, myy * 4)
-                        directDReady = true
-                      }
-                      if (directD == null) return None
                       val sbx = mx * 4 + 2 * (sb % 2)
                       val sby = myy * 4 + 2 * (sb / 2)
-                      if (!directRect(directD, mx * 4, myy * 4,
-                          sbx, sby, 2, 2)) return None
+                      if (!directSpatial) {
+                        // temporal B_Direct_8x8: per-4x4 derivation,
+                        // no MB-level neighbor state to precompute
+                        if (!temporalDirectRect(sbx, sby, 2, 2)) return None
+                      } else {
+                        if (!directDReady) {
+                          directD = deriveDirect(mx * 4, myy * 4)
+                          directDReady = true
+                        }
+                        if (directD == null) return None
+                        if (!directRect(directD, mx * 4, myy * 4,
+                            sbx, sby, 2, 2)) return None
+                      }
                       sb += 1
                     } else {
                     val parts = subRects(sb, t)
@@ -4999,26 +5216,32 @@ object H264 {
             }
             if (mb == firstMb) return None // empty slice: malformed
             pMb = mb
-            if (pMb == nMbs) { // picture complete: becomes the new ref
+            if (pMb == nMbs) { // picture complete
               if (collect != null)
                 collect(FrameState(nFrames, intra = false, isB = pIsB,
                   w, h, pnl.clone(), pTcs, pMvs, pRefs0, pMvs1, pRefs1,
                   pncb.clone(), pncr.clone()))
-              luma2 = luma; cb2 = cb; cr2 = cr
-              // the motion fields shift with their pixels: luma's
-              // field becomes the colocated (list-1) one, the
-              // just-reconstructed picture's becomes the list-0 one
-              colMvs0 = refMvs0; colRefs0 = refRefs0
-              colMvs1 = refMvs1; colRefs1 = refRefs1
-              refMvs0 = pMvs; refRefs0 = pRefs0
-              refMvs1 = pMvs1; refRefs1 = pRefs1
-              luma = pnl; cb = pncb; cr = pncr
+              if (nalRefIdc != 0) { // reference: enters the DPB
+                luma3 = luma2; cb3 = cb2; cr3 = cr2
+                luma2 = luma; cb2 = cb; cr2 = cr
+                pocL3 = pocL2; pocL2 = pocL; pocL = currPoc
+                // the motion fields shift with their pixels: luma's
+                // field becomes the colocated (list-1) one, the
+                // just-reconstructed picture's becomes the list-0 one
+                colMvs0 = refMvs0; colRefs0 = refRefs0
+                colMvs1 = refMvs1; colRefs1 = refRefs1
+                refMvs0 = pMvs; refRefs0 = pRefs0
+                refMvs1 = pMvs1; refRefs1 = pRefs1
+                luma = pnl; cb = pncb; cr = pncr
+              }
+              // a NON-reference picture (nal_ref_idc 0) is counted
+              // and emitted but never becomes anyone's reference
+              var fl = 0L; pnl.foreach(fl += _)
+              var fc = 0L; pncb.foreach(fc += _); pncr.foreach(fc += _)
               pnl = null; pncb = null; pncr = null
               pMvs = null; pRefs0 = null; pMvs1 = null; pRefs1 = null
               pTcs = null; pMb = 0
               nFrames += 1
-              var fl = 0L; luma.foreach(fl += _)
-              var fc = 0L; cb.foreach(fc += _); cr.foreach(fc += _)
               lumaSum += fl; chromaSum += fc; weighted += nFrames.toLong * (fl + fc)
             }
           case _ => ()

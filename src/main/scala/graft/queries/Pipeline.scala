@@ -2338,6 +2338,36 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // H.264 TEMPORAL direct (§8.4.1.2.3) — the r13 verdict's codec
+    // item: IDR + three P references (±16 constant mvs) + two
+    // NON-REFERENCE temporal-direct B frames over a 3-picture DPB
+    // with type-2 POC arithmetic. The colocated-to-list0 mapping
+    // lands on the DPB's oldest entry (refIdxL0 = 2, list0 active 3)
+    // and the DistScaleFactor scaling produces NONZERO vectors
+    // (±16 → ±40 L0, ±24 L1 at tb=5/td=2 → DSF 640), so each B frame
+    // is the average of two DIFFERENTLY-scaled shifted references —
+    // the closed form the oracle re-derives pixel-exactly. H264Spec
+    // pins the same streams against an independent §8.4.1.2.3
+    // reimplementation including the stamped motion fields.
+    "q218_h264_temporal_direct" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 2)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbW = 2 + (id % 3).toInt
+          val mbH = 1 + (id % 3).toInt
+          val st = graft.operators.H264.synthesizeH264TemporalDirect(mbW, mbH, id)
+          graft.operators.H264.decodeInter(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nSkipped, f.mvAbsSum)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height", "luma_sum",
+          "chroma_sum", "weighted_sum", "n_skipped", "mv_abs_sum")
+        .orderBy($"doc_id")
+    },
+
     // Audio resampling — the rate-normalization step between decode
     // and feature extraction: symmetric integer FIR low-pass
     // (Σtaps = 16, exact unity DC gain) + decimate 2x with edge
@@ -5635,6 +5665,141 @@ object Pipeline {
         |FROM d JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
         |JOIN ma ON ma.id = d.id
         |LEFT JOIN lev ON lev.id = d.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeH264TemporalDirect: refs f0 (I_PCM lattice),
+    // f1 = f0 shifted qp1/4, f2 = f1 shifted qp2/4, f4 = f2 shifted
+    // qp4/4 (all clamped reads); the temporal-direct Bs scale the
+    // colocated P's ±16 mv by DistScaleFactor 640 (tb 5 / td 2 under
+    // type-2 POCs) to ±40 (L0, full-pel ±10) and ±24 (L1, ±6):
+    // f3 = (f0@a0 + f1@a1 + 1)//2, f5 = (f1@b0 + f2@b1 + 1)//2.
+    // Chroma at half resolution and half displacement. n_skipped =
+    // non-coded lattice MBs over f∈{3,5}; mv_abs_sum = 3 P frames ×
+    // 32/MB + 2 B frames × 16 blocks × (40+40+24+24)/block.
+    "q218_h264_temporal_direct" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(2 + doc_id % 3 AS INTEGER) AS mbw,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |sg AS (SELECT id, mbw, mbh,
+        |    CAST(1 - 2 * ((id // 1) % 2) AS INTEGER) AS s0,
+        |    CAST(1 - 2 * ((id // 2) % 2) AS INTEGER) AS s1,
+        |    CAST(1 - 2 * ((id // 4) % 2) AS INTEGER) AS s2,
+        |    CAST(1 - 2 * ((id // 8) % 2) AS INTEGER) AS s3,
+        |    CAST(1 - 2 * ((id // 16) % 2) AS INTEGER) AS s4,
+        |    CAST(1 - 2 * ((id // 32) % 2) AS INTEGER) AS s5
+        |  FROM d),
+        |px AS (SELECT id, mbw, mbh, s0, s1, s2, s3, s4, s5, x.i AS x, y.i AS y
+        |  FROM sg,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbh - 1)) AS i) y),
+        |f0 AS (SELECT id, x, y, (id + x + 2 * y) % 251 AS v FROM px),
+        |f1 AS (SELECT p.id, p.x, p.y, f0.v FROM px p JOIN f0 ON f0.id = p.id
+        |  AND f0.x = least(greatest(p.x + 4 * p.s0, 0), 16 * p.mbw - 1)
+        |  AND f0.y = least(greatest(p.y + 4 * p.s1, 0), 16 * p.mbh - 1)),
+        |f2 AS (SELECT p.id, p.x, p.y, f1.v FROM px p JOIN f1 ON f1.id = p.id
+        |  AND f1.x = least(greatest(p.x + 4 * p.s2, 0), 16 * p.mbw - 1)
+        |  AND f1.y = least(greatest(p.y + 4 * p.s3, 0), 16 * p.mbh - 1)),
+        |f3 AS (SELECT p.id, p.x, p.y, (a.v + b.v + 1) // 2 AS v FROM px p
+        |  JOIN f0 a ON a.id = p.id
+        |    AND a.x = least(greatest(p.x + 10 * p.s0, 0), 16 * p.mbw - 1)
+        |    AND a.y = least(greatest(p.y + 10 * p.s1, 0), 16 * p.mbh - 1)
+        |  JOIN f1 b ON b.id = p.id
+        |    AND b.x = least(greatest(p.x + 6 * p.s0, 0), 16 * p.mbw - 1)
+        |    AND b.y = least(greatest(p.y + 6 * p.s1, 0), 16 * p.mbh - 1)),
+        |f4 AS (SELECT p.id, p.x, p.y, f2.v FROM px p JOIN f2 ON f2.id = p.id
+        |  AND f2.x = least(greatest(p.x + 4 * p.s4, 0), 16 * p.mbw - 1)
+        |  AND f2.y = least(greatest(p.y + 4 * p.s5, 0), 16 * p.mbh - 1)),
+        |f5 AS (SELECT p.id, p.x, p.y, (a.v + b.v + 1) // 2 AS v FROM px p
+        |  JOIN f1 a ON a.id = p.id
+        |    AND a.x = least(greatest(p.x + 10 * p.s2, 0), 16 * p.mbw - 1)
+        |    AND a.y = least(greatest(p.y + 10 * p.s3, 0), 16 * p.mbh - 1)
+        |  JOIN f2 b ON b.id = p.id
+        |    AND b.x = least(greatest(p.x + 6 * p.s2, 0), 16 * p.mbw - 1)
+        |    AND b.y = least(greatest(p.y + 6 * p.s3, 0), 16 * p.mbh - 1)),
+        |cpx AS (SELECT id, mbw, mbh, s0, s1, s2, s3, s4, s5,
+        |    pl.p AS pl, x.i AS x, y.i AS y
+        |  FROM sg,
+        |  LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbh - 1)) AS i) y),
+        |c0 AS (SELECT id, pl, x, y,
+        |    (CASE WHEN pl = 0 THEN id + 2 * x + y
+        |          ELSE 3 * id + x + 2 * y END) % 251 AS v FROM cpx),
+        |c1 AS (SELECT p.id, p.pl, p.x, p.y, c0.v FROM cpx p
+        |  JOIN c0 ON c0.id = p.id AND c0.pl = p.pl
+        |    AND c0.x = least(greatest(p.x + 2 * p.s0, 0), 8 * p.mbw - 1)
+        |    AND c0.y = least(greatest(p.y + 2 * p.s1, 0), 8 * p.mbh - 1)),
+        |c2 AS (SELECT p.id, p.pl, p.x, p.y, c1.v FROM cpx p
+        |  JOIN c1 ON c1.id = p.id AND c1.pl = p.pl
+        |    AND c1.x = least(greatest(p.x + 2 * p.s2, 0), 8 * p.mbw - 1)
+        |    AND c1.y = least(greatest(p.y + 2 * p.s3, 0), 8 * p.mbh - 1)),
+        |c3 AS (SELECT p.id, p.pl, p.x, p.y, (a.v + b.v + 1) // 2 AS v FROM cpx p
+        |  JOIN c0 a ON a.id = p.id AND a.pl = p.pl
+        |    AND a.x = least(greatest(p.x + 5 * p.s0, 0), 8 * p.mbw - 1)
+        |    AND a.y = least(greatest(p.y + 5 * p.s1, 0), 8 * p.mbh - 1)
+        |  JOIN c1 b ON b.id = p.id AND b.pl = p.pl
+        |    AND b.x = least(greatest(p.x + 3 * p.s0, 0), 8 * p.mbw - 1)
+        |    AND b.y = least(greatest(p.y + 3 * p.s1, 0), 8 * p.mbh - 1)),
+        |c4 AS (SELECT p.id, p.pl, p.x, p.y, c2.v FROM cpx p
+        |  JOIN c2 ON c2.id = p.id AND c2.pl = p.pl
+        |    AND c2.x = least(greatest(p.x + 2 * p.s4, 0), 8 * p.mbw - 1)
+        |    AND c2.y = least(greatest(p.y + 2 * p.s5, 0), 8 * p.mbh - 1)),
+        |c5 AS (SELECT p.id, p.pl, p.x, p.y, (a.v + b.v + 1) // 2 AS v FROM cpx p
+        |  JOIN c1 a ON a.id = p.id AND a.pl = p.pl
+        |    AND a.x = least(greatest(p.x + 5 * p.s2, 0), 8 * p.mbw - 1)
+        |    AND a.y = least(greatest(p.y + 5 * p.s3, 0), 8 * p.mbh - 1)
+        |  JOIN c2 b ON b.id = p.id AND b.pl = p.pl
+        |    AND b.x = least(greatest(p.x + 3 * p.s2, 0), 8 * p.mbw - 1)
+        |    AND b.y = least(greatest(p.y + 3 * p.s3, 0), 8 * p.mbh - 1)),
+        |ls AS (SELECT id, sum(CASE f WHEN 0 THEN v END) AS l0s,
+        |    sum(CASE f WHEN 1 THEN v END) AS l1s,
+        |    sum(CASE f WHEN 2 THEN v END) AS l2s,
+        |    sum(CASE f WHEN 3 THEN v END) AS l3s,
+        |    sum(CASE f WHEN 4 THEN v END) AS l4s,
+        |    sum(CASE f WHEN 5 THEN v END) AS l5s
+        |  FROM (SELECT id, 0 AS f, v FROM f0
+        |    UNION ALL SELECT id, 1, v FROM f1
+        |    UNION ALL SELECT id, 2, v FROM f2
+        |    UNION ALL SELECT id, 3, v FROM f3
+        |    UNION ALL SELECT id, 4, v FROM f4
+        |    UNION ALL SELECT id, 5, v FROM f5) GROUP BY 1),
+        |cs AS (SELECT id, sum(CASE f WHEN 0 THEN v END) AS c0s,
+        |    sum(CASE f WHEN 1 THEN v END) AS c1s,
+        |    sum(CASE f WHEN 2 THEN v END) AS c2s,
+        |    sum(CASE f WHEN 3 THEN v END) AS c3s,
+        |    sum(CASE f WHEN 4 THEN v END) AS c4s,
+        |    sum(CASE f WHEN 5 THEN v END) AS c5s
+        |  FROM (SELECT id, 0 AS f, v FROM c0
+        |    UNION ALL SELECT id, 1, v FROM c1
+        |    UNION ALL SELECT id, 2, v FROM c2
+        |    UNION ALL SELECT id, 3, v FROM c3
+        |    UNION ALL SELECT id, 4, v FROM c4
+        |    UNION ALL SELECT id, 5, v FROM c5) GROUP BY 1),
+        |sk AS (SELECT d.id, CAST(sum(
+        |      CASE WHEN (d.id + fb.f + mb.mx + 2 * mb.my) % 3 != 0
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS skips
+        |  FROM d,
+        |  LATERAL (SELECT unnest([3, 5]) AS f) fb,
+        |  LATERAL (SELECT x.i AS mx, y.i AS my FROM
+        |    (SELECT unnest(generate_series(0, d.mbw - 1)) AS i) x,
+        |    (SELECT unnest(generate_series(0, d.mbh - 1)) AS i) y) mb
+        |  GROUP BY 1)
+        |SELECT d.id AS doc_id, CAST(6 AS INTEGER) AS n_frames,
+        |  16 * d.mbw AS width, 16 * d.mbh AS height,
+        |  CAST(ls.l0s + ls.l1s + ls.l2s + ls.l3s + ls.l4s + ls.l5s
+        |    AS BIGINT) AS luma_sum,
+        |  CAST(cs.c0s + cs.c1s + cs.c2s + cs.c3s + cs.c4s + cs.c5s
+        |    AS BIGINT) AS chroma_sum,
+        |  CAST(ls.l0s + cs.c0s + 2 * (ls.l1s + cs.c1s)
+        |    + 3 * (ls.l2s + cs.c2s) + 4 * (ls.l3s + cs.c3s)
+        |    + 5 * (ls.l4s + cs.c4s) + 6 * (ls.l5s + cs.c5s) AS BIGINT)
+        |    AS weighted_sum,
+        |  sk.skips AS n_skipped,
+        |  CAST(d.mbw * d.mbh * (3 * 32 + 2 * 16 * 128) AS BIGINT)
+        |    AS mv_abs_sum
+        |FROM d JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
+        |JOIN sk ON sk.id = d.id
         |ORDER BY doc_id""".stripMargin,
 
     // mirrors synthesizeH264BDirect at nf=4: f1 shifts the PCM

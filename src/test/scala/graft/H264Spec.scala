@@ -2375,4 +2375,111 @@ class H264Spec extends AnyFunSuite {
       assert(d._3(5) == ((0, 0)))  // L1-colocated zero
     }
   }
+
+  test("temporal direct equals an independent POC-scaling reconstruction (nonzero mv scaling)") {
+    // decode the q218 family and compare every frame against a
+    // derivation REWRITTEN here from §8.4.1.2.3: POCs from the
+    // type-2 arithmetic (+2 per reference, non-ref at prevRef + 1),
+    // td/tb clip3, tx = (16384 + |td/2|) / td, DistScaleFactor =
+    // clip3(−1024, 1023, (tb·tx + 32) >> 6), mvL0 = (DSF·mvCol +
+    // 128) >> 8, mvL1 = mvL0 − mvCol — no call into the decoder's
+    // derivation. The streams' ±16 colocated mvs give DSF = 640 and
+    // scaled vectors ±40 / ±24 (NONZERO — the mvCol = 0 degenerate
+    // form exercises none of this arithmetic).
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val w = mbW * 16; val h = mbH * 16
+      val frames = scala.collection.mutable.ArrayBuffer[H264.FrameState]()
+      val mo = H264.decodeInter(
+        H264.synthesizeH264TemporalDirect(mbW, mbH, seed), frames += _)
+      assert(mo.isDefined, s"seed=$seed decode failed")
+      val m = mo.get
+      assert(m.nFrames == 6)
+      def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      def shift(p: Array[Array[Int]], dx: Int, dy: Int) = {
+        val hh = p.length; val ww = p(0).length
+        Array.tabulate(hh, ww)((y, x) =>
+          p(clamp(y + dy, hh - 1))(clamp(x + dx, ww - 1)))
+      }
+      def avg(a: Array[Array[Int]], b: Array[Array[Int]]) =
+        Array.tabulate(a.length, a(0).length)((y, x) => (a(y)(x) + b(y)(x) + 1) >> 1)
+      def sgn(bit: Int): Int = 1 - 2 * (((seed >> bit) % 2).toInt & 1)
+      val qps = Seq((16 * sgn(0), 16 * sgn(1)), (16 * sgn(2), 16 * sgn(3)),
+        (16 * sgn(4), 16 * sgn(5)))
+      // independent POC scaling: refs at POC 0,2,4,6; Bs at 5 and 7
+      def scale(currPoc: Int, colPoc: Int, refPoc: Int,
+          mvCol: (Int, Int)): ((Int, Int), (Int, Int)) = {
+        def c3(v: Int, lo: Int, hi: Int) = math.max(lo, math.min(hi, v))
+        val tb = c3(currPoc - refPoc, -128, 127)
+        val td = c3(colPoc - refPoc, -128, 127)
+        val tx = (16384 + math.abs(td / 2)) / td
+        val dsf = c3((tb * tx + 32) >> 6, -1024, 1023)
+        val m0 = ((dsf * mvCol._1 + 128) >> 8, (dsf * mvCol._2 + 128) >> 8)
+        (m0, (m0._1 - mvCol._1, m0._2 - mvCol._2))
+      }
+      val (a0, a1) = scale(5, 2, 0, qps(0)) // B1: colocated P(qp1) -> IDR
+      val (b0, b1) = scale(7, 4, 2, qps(1)) // B2: colocated P(qp2) -> P(qp1)
+      // nonzero scaling, integer-sample by construction
+      Seq(a0, a1, b0, b1).foreach { mv =>
+        assert(mv._1 != 0 && mv._2 != 0 && mv._1 % 4 == 0 && mv._2 % 4 == 0)
+      }
+      assert(math.abs(a0._1) == 40 && math.abs(a1._1) == 24)
+      // frame chain (luma + both chroma planes)
+      val l0 = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      val cB0 = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+      val cR0 = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+      def mc(p: Array[Array[Int]], mv: (Int, Int), div: Int) =
+        shift(p, mv._1 / div, mv._2 / div)
+      val l1 = mc(l0, qps(0), 4); val cB1 = mc(cB0, qps(0), 8); val cR1 = mc(cR0, qps(0), 8)
+      val l2 = mc(l1, qps(1), 4); val cB2 = mc(cB1, qps(1), 8); val cR2 = mc(cR1, qps(1), 8)
+      val l3 = avg(mc(l0, a0, 4), mc(l1, a1, 4))
+      val cB3 = avg(mc(cB0, a0, 8), mc(cB1, a1, 8))
+      val cR3 = avg(mc(cR0, a0, 8), mc(cR1, a1, 8))
+      val l4 = mc(l2, qps(2), 4); val cB4 = mc(cB2, qps(2), 8); val cR4 = mc(cR2, qps(2), 8)
+      val l5 = avg(mc(l1, b0, 4), mc(l2, b1, 4))
+      val cB5 = avg(mc(cB1, b0, 8), mc(cB2, b1, 8))
+      val cR5 = avg(mc(cR1, b0, 8), mc(cR2, b1, 8))
+      val ls = Seq(l0, l1, l2, l3, l4, l5)
+      val cbs = Seq(cB0, cB1, cB2, cB3, cB4, cB5)
+      val crs = Seq(cR0, cR1, cR2, cR3, cR4, cR5)
+      assert(frames.length == 6)
+      frames.zipWithIndex.foreach { case (fs, i) =>
+        for (y <- 0 until h; x <- 0 until w)
+          assert(fs.luma(y * w + x) == ls(i)(y)(x),
+            s"seed=$seed frame $i luma ($x,$y)")
+        for (y <- 0 until h / 2; x <- 0 until w / 2) {
+          assert(fs.cb(y * (w / 2) + x) == cbs(i)(y)(x), s"seed=$seed frame $i cb")
+          assert(fs.cr(y * (w / 2) + x) == crs(i)(y)(x), s"seed=$seed frame $i cr")
+        }
+      }
+      // the B frames' stamped motion field: every 4x4 block carries
+      // the SCALED vectors with refIdxL0 = 2 (the mapped oldest ref)
+      Seq((3, a0, a1), (5, b0, b1)).foreach { case (fi, e0, e1) =>
+        val fs = frames(fi)
+        for (b <- 0 until 16 * mbW * mbH) {
+          assert(fs.mvs0(b) == e0 && fs.refs0(b) == 2,
+            s"seed=$seed frame $fi blk $b L0 ${fs.mvs0(b)}/${fs.refs0(b)}")
+          assert(fs.mvs1(b) == e1 && fs.refs1(b) == 0)
+        }
+      }
+      // aggregate cross-checks
+      var wl = 0L; var wc = 0L; var ww2 = 0L
+      for (i <- 0 until 6) {
+        var fl = 0L; ls(i).foreach(_.foreach(fl += _))
+        var fc = 0L; cbs(i).foreach(_.foreach(fc += _)); crs(i).foreach(_.foreach(fc += _))
+        wl += fl; wc += fc; ww2 += (i + 1L) * (fl + fc)
+      }
+      assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
+      assert(m.chromaSum == wc, s"seed=$seed chroma")
+      assert(m.weightedSum == ww2, s"seed=$seed weighted")
+      var skips = 0L
+      for (f <- Seq(3, 5); my <- 0 until mbH; mx <- 0 until mbW)
+        if (!H264.synthBDirCoded(seed, f, mx, my)) skips += 1
+      assert(m.nSkipped == skips, s"seed=$seed skips")
+      val expMvAbs = mbW.toLong * mbH *
+        (3L * 32L + 2L * 16L * (40 + 40 + 24 + 24))
+      assert(m.mvAbsSum == expMvAbs, s"seed=$seed mvAbs ${m.mvAbsSum} vs $expMvAbs")
+    }
+  }
 }
