@@ -1933,6 +1933,18 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$vdir/codes").count() == corpus.count(),
       "compact-then-replay must leave exactly one copy (codes)")
     assert(spark.read.parquet(s"$vdir/vectors").count() == corpus.count())
+    // IVF: the PARTITIONED members layout (cid=X subdirs) — the sweep
+    // must find orphaned b1_* files one level down
+    val idir = java.nio.file.Files.createTempDirectory("graft-ivforph").toString
+    assert(StreamingIndex.applyIvfBatch(corpus.filter($"vid" % 2 === 0), 64, idir, 0))
+    assert(StreamingIndex.applyIvfBatch(corpus.filter($"vid" % 2 =!= 0), 64, idir, 1))
+    val isurv = spark.read.parquet(s"$idir/batchlog")
+      .filter($"batch_id" =!= 1L).collect().map(_.getLong(0)).toSeq
+    isurv.toDF("batch_id").write.mode("overwrite").parquet(s"$idir/batchlog")
+    Similarity.compactIvfIndex(spark, idir)
+    assert(StreamingIndex.applyIvfBatch(corpus.filter($"vid" % 2 =!= 0), 64, idir, 1))
+    assert(spark.read.parquet(s"$idir/members").count() == corpus.count(),
+      "IVF compact-then-replay must leave exactly one member per vector")
     docs.unpersist(); corpus.unpersist(); ()
   }
 }
