@@ -488,6 +488,94 @@ object Dedup {
       docShingles(corpus, idCol, textCol, n), threshold)
   }
 
+  /** PERSISTED INCREMENTAL NEAR-DUP INDEX — [[incrementalDedupPairs]]
+    * made a standing structure (the dedup member of the streaming
+    * index matrix): every ingested batch's banded LSH postings and
+    * exact-verify shingle sets live on disk, so "does this new
+    * document near-dup anything we already hold" is answered against
+    * the INDEX — the standing corpus is never rescanned, let alone
+    * re-shingled or re-banded, and probe cost follows the probe.
+    *
+    * Layout:
+    *  - `dir/bands` — (doc, band, bucket) LSH postings
+    *  - `dir/sets`  — (doc, hs) sorted shingle-hash arrays (the exact
+    *    verify side)
+    *  - `dir/meta`  — (n, k, bands): the index OWNS its layout
+    *    constants (the buildPqIndex principle) — the first append
+    *    writes them, every later one verifies and REFUSES a mismatch,
+    *    so a drifted shingle width or band geometry can't silently
+    *    mix into the postings.
+    *
+    * Both tables are row-ADDITIVE (no build phase, no frozen
+    * statistics): a probe against batch-accumulated segments equals
+    * the one-shot [[incrementalDedupPairs]] over the union exactly —
+    * the LM-counts contract, which is what lets the q219 gate hold
+    * the exact-jaccard oracle verbatim through the streaming applier.
+    */
+  def appendNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame, idCol: String, textCol: String, dir: String,
+      n: Int = 3, k: Int = 128, bands: Int = 32,
+      stagingPath: Option[String] = None): Unit = {
+    require(k % bands == 0,
+      s"signature length k=$k must be divisible by bands=$bands")
+    val metaP = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaP))
+      // layout constants: written DIRECTLY (not staged) — a replayed
+      // batch rewrites the identical row, so the write is idempotent
+      spark.createDataFrame(Seq((n, k, bands))).toDF("n", "k", "bands")
+        .write.mode("overwrite").parquet(metaP.toString)
+    else {
+      val m = spark.read.parquet(metaP.toString).head
+      require((m.getInt(0), m.getInt(1), m.getInt(2)) == ((n, k, bands)),
+        s"near-dup index $dir has layout (n=${m.getInt(0)}, k=${m.getInt(1)}, " +
+          s"bands=${m.getInt(2)}); refusing an append with (n=$n, k=$k, bands=$bands)")
+    }
+    val (root, mode) =
+      (stagingPath.getOrElse(dir), if (stagingPath.isDefined) "overwrite" else "append")
+    bandRows(minhashSignatures(delta, idCol, textCol, n, k), bands, k / bands)
+      .write.mode(mode).parquet(s"$root/bands")
+    docShingles(delta, idCol, textCol, n)
+      .write.mode(mode).parquet(s"$root/sets")
+  }
+
+  /** Probe a persisted near-dup index: (a = probe doc, b = indexed
+    * doc, jaccard ≥ threshold). Candidates come from the (band,
+    * bucket) equi-join of the probe's bands against the persisted
+    * postings — PROBE × INDEX only, the index never self-joins — and
+    * the exact verify reads only candidate docs' persisted sets.
+    * Layout constants come from the index's own meta.
+    */
+  def nearDupProbeIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probe: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val m = spark.read.parquet(s"$dir/meta").head
+    val (n, k, bnds) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    val pBand = bandRows(
+      minhashSignatures(probe, idCol, textCol, n, k), bnds, k / bnds)
+    val cands = pBand.as("x")
+      .join(spark.read.parquet(s"$dir/bands").as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"))
+      .distinct()
+    verifyJaccardTwoSided(cands, docShingles(probe, idCol, textCol, n),
+      spark.read.parquet(s"$dir/sets"), threshold)
+  }
+
+  /** Compact a persisted near-dup index's append segments — rows are
+    * unique per (doc, band) / doc, so the merged form is a plain
+    * rewrite (probe-identical by construction); the
+    * [[LangModel.compactLmCounts]] staged swap + unlogged-delta sweep
+    * bound the file count.
+    */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    def rewrite(sub: String) = () => spark.read.parquet(s"$dir/$sub")
+      .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+    LangModel.compactTables(spark, dir,
+      Seq("bands" -> rewrite("bands"), "sets" -> rewrite("sets")))
+  }
+
   /** Benchmark decontamination scan: for every corpus doc, the number
     * of distinct word n-grams it shares with an eval/benchmark set —
     * the screen a training pipeline runs before a corpus ships.

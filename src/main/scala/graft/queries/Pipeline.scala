@@ -664,6 +664,41 @@ object Pipeline {
         .orderBy($"a", $"b")
     },
 
+    // PERSISTED incremental near-dup index — q81's delta-vs-corpus
+    // question answered against a STANDING structure: the corpus is
+    // ingested batch-by-batch (banded LSH postings + exact-verify
+    // shingle sets on disk, with one batch RE-DELIVERED that the
+    // batchlog must no-op), then the probe slice is matched against
+    // the index alone — the corpus is never rescanned. Postings and
+    // sets are row-additive, so this holds the EXACT cross-side
+    // jaccard oracle (the q32/q81 recall argument: miss probability
+    // < 5e-8 per pair at t=0.8, b=32, r=4).
+    "q219_stream_neardup_index" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val corpus = docs.filter($"doc_id" % 5 =!= 0)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-nd-str").toString
+      try {
+        import graft.streaming.StreamingIndex
+        val applied = Seq(
+          StreamingIndex.applyNearDupBatch(
+            corpus.filter($"doc_id" % 3 === 0), "doc_id", "text", idxDir, batchId = 0),
+          StreamingIndex.applyNearDupBatch(
+            corpus.filter($"doc_id" % 3 === 1), "doc_id", "text", idxDir, batchId = 1),
+          StreamingIndex.applyNearDupBatch( // crash-replay of batch 1
+            corpus.filter($"doc_id" % 3 === 1), "doc_id", "text", idxDir, batchId = 1),
+          StreamingIndex.applyNearDupBatch(
+            corpus.filter($"doc_id" % 3 === 2), "doc_id", "text", idxDir, batchId = 2))
+        require(applied == Seq(true, true, false, true),
+          s"near-dup batchlog idempotence violated: $applied")
+        graft.operators.Dedup.nearDupProbeIndexed(s, idxDir,
+            docs.filter($"doc_id" % 5 === 0), "doc_id", "text", threshold = 0.8)
+          .orderBy($"a", $"b")
+          .localCheckpoint() // materialize before the index dir is removed
+      } finally Pipeline.rmTree(new java.io.File(idxDir))
+    },
+
     // Quality-aware cluster resolution: keep the highest-scoring doc
     // (whitespace token count; ties → smallest id) per near-dup
     // cluster — what a curation pipeline actually ships from a
@@ -4422,6 +4457,26 @@ object Pipeline {
         |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
         |          FROM sh a JOIN sh b ON a.sh = b.sh
         |          WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0
+        |          GROUP BY 1, 2)
+        |SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON a = sa.doc_id
+        |JOIN sizes sb ON b = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+
+    // the q81 contract through the PERSISTED index: exact cross-side
+    // jaccard between the probe slice (%5 == 0) and the batch-indexed
+    // corpus (the rest) — postings/sets are row-additive, so the
+    // streamed index must answer identically to the one-shot join
+    "q219_stream_neardup_index" ->
+      """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
+        |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.sh = b.sh
+        |          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
         |          GROUP BY 1, 2)
         |SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
         |FROM inter

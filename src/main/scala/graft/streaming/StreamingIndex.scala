@@ -428,6 +428,61 @@ object StreamingIndex {
     applied
   }
 
+  /** Apply one micro-batch of documents to a persisted NEAR-DUP index
+    * ([[graft.operators.Dedup.appendNearDupIndex]] layout),
+    * idempotently by `batchId` — the dedup member of the streaming
+    * index matrix, in the [[applyLmBatch]] shape: postings and
+    * shingle sets are row-additive (no build phase), every batch goes
+    * through the staged deterministic-rename commit, and a probe
+    * against the accumulated index equals the one-shot
+    * delta-vs-corpus dedup over the union exactly.
+    */
+  def applyNearDupBatch(batch: DataFrame, idCol: String, textCol: String,
+      dir: String, batchId: Long, n: Int = 3, k: Int = 128,
+      bands: Int = 32): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val logPath = s"$dir/batchlog"
+    val fs = new org.apache.hadoop.fs.Path(logPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
+        !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
+      return false
+    }
+    val applied =
+      if (batch.isEmpty) false
+      else {
+        val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
+        Seq("bands", "sets").foreach { sub =>
+          sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
+        }
+        graft.operators.Dedup.appendNearDupIndex(spark, batch, idCol,
+          textCol, dir, n, k, bands, stagingPath = Some(staging.toString))
+        Seq("bands", "sets").foreach { sub =>
+          commitStaged(fs, new org.apache.hadoop.fs.Path(staging, sub),
+            new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
+        }
+        fs.delete(staging, true)
+        true
+      }
+    Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    applied
+  }
+
+  /** foreachBatch sink: keep a persisted near-dup index current from
+    * a document stream.
+    */
+  def nearDupSink(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyNearDupBatch(batch, idCol, textCol, dir, batchId)
+        ()
+      }
+      .start()
+
   /** Apply one micro-batch of documents to a COMPOSED ingest
     * dashboard directory — profile state + LM counts + repetition
     * quantile sketches maintained over ONE shared materialization of

@@ -1639,6 +1639,72 @@ class StreamingSpec extends SparkSpec {
       "KN probe must be identical after compaction")
   }
 
+  test("persisted near-dup index: streamed batches answer exactly like one-shot delta-vs-corpus, through crash replay and compaction") {
+    import graft.operators.Dedup
+    import graft.streaming.StreamingIndex
+    import java.nio.file.{Files => JFiles, Paths}
+    import spark.implicits._
+    val docs = Tables(spark, sf).documents.select($"doc_id", $"text").cache()
+    try {
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val probe = docs.filter($"doc_id" % 5 === 0).cache()
+    // one-shot reference: the in-memory delta-vs-corpus path
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val want = rows(Dedup.incrementalDedupPairs(
+      probe, corpus, "doc_id", "text", 3, 0.8))
+    assert(want.nonEmpty, "split must produce cross-side near-dups")
+    // streamed: corpus files delivered one per trigger
+    val src = JFiles.createTempDirectory("graft-ndsrc").toString
+    corpus.repartition(3).write.mode("overwrite").parquet(src)
+    val files = JFiles.list(Paths.get(src)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    files.zipWithIndex.foreach { case (f, i) =>
+      JFiles.setLastModifiedTime(Paths.get(f),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val dir = JFiles.createTempDirectory("graft-ndidx").toString
+    val ckpt = JFiles.createTempDirectory("graft-ndck").toString
+    val q = StreamingIndex.nearDupSink(
+      spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      "doc_id", "text", dir, ckpt)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(s"$dir/batchlog").count() >= 2)
+    def probed() = rows(Dedup.nearDupProbeIndexed(
+      spark, dir, probe, "doc_id", "text", 0.8))
+    assert(probed() == want,
+      "streamed index must answer exactly like the one-shot delta-vs-corpus")
+    // crash replay: drop the last batch's log row (orphaning its
+    // b<id>_* postings/sets), re-deliver — converges to exactly-once
+    val lastId = spark.read.parquet(s"$dir/batchlog")
+      .agg(org.apache.spark.sql.functions.max($"batch_id")).head.getLong(0)
+    val surv = spark.read.parquet(s"$dir/batchlog")
+      .filter($"batch_id" =!= lastId).collect().map(_.getLong(0)).toSeq
+    surv.toDF("batch_id").write.mode("overwrite").parquet(s"$dir/batchlog")
+    assert(StreamingIndex.applyNearDupBatch(
+      spark.read.parquet(files.last), "doc_id", "text", dir, lastId))
+    assert(probed() == want, "replay must converge (no duplicate postings)")
+    // layout-mismatch refusal: a drifted shingle width cannot mix in
+    intercept[IllegalArgumentException] {
+      Dedup.appendNearDupIndex(spark, probe, "doc_id", "text", dir, n = 4)
+    }
+    // compaction: probe-identical, file count bounded
+    def bandFiles(): Long = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/bands"))
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toLong
+    }
+    val before = bandFiles()
+    Dedup.compactNearDupIndex(spark, dir)
+    assert(probed() == want, "compaction must be probe-identical")
+    assert(bandFiles() < before)
+    probe.unpersist(); ()
+    } finally { docs.unpersist(); () }
+  }
+
   test("composed dashboard sink: one shared scan maintains all three families == one-shot, through crash replay") {
     import graft.operators.{IngestDashboard, LangModel, Profiling}
     import graft.streaming.StreamingIndex
