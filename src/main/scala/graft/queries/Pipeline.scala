@@ -222,6 +222,27 @@ object Pipeline {
       |      ('top_bigram_frac'), ('top_token_frac')) s(signal), nn
       |ORDER BY signal""".stripMargin
 
+  // shared verbatim by q219 (dedicated near-dup sink) and q220 (the
+  // composed dashboard's near-dup leg): exact cross-side jaccard
+  // between the probe slice (%5 == 0) and the batch-indexed corpus —
+  // postings/sets are row-additive, so both must answer identically
+  // to the one-shot join (q32/q81 recall argument at t=0.8, b=32, r=4)
+  private val nearDupIndexOracle =
+    """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
+      |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.sh = b.sh
+      |          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      |          GROUP BY 1, 2)
+      |SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON a = sa.doc_id
+      |JOIN sizes sb ON b = sb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+      |ORDER BY a, b""".stripMargin
+
   // shared verbatim by q202 (direct positional search) and q212
   // (collapse-first twin): phrase-occurrence counts are pure
   // functions of content, so both forms are row-identical
@@ -3258,6 +3279,39 @@ object Pipeline {
       } finally Pipeline.rmTree(new java.io.File(idxDir))
     },
 
+    // COMPOSED INGEST DASHBOARD, near-dup leg: the q219 contract
+    // through the composed sink — the same shared-scan applier that
+    // maintains profile/LM/repetition also keeps the LSH postings +
+    // shingle sets current, so every ingested batch is immediately
+    // probeable for duplicates; holds the q219 exact-jaccard oracle
+    // VERBATIM.
+    "q220_dashboard_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val corpus = docs.filter($"doc_id" % 5 =!= 0)
+      val cols = Seq("doc_id", "n_chars")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-dash-nd").toString
+      try {
+        import graft.streaming.StreamingIndex
+        val applied = Seq(
+          StreamingIndex.applyDashboardBatch(
+            corpus.filter($"doc_id" % 3 === 0), "text", cols, idxDir, batchId = 0),
+          StreamingIndex.applyDashboardBatch(
+            corpus.filter($"doc_id" % 3 === 1), "text", cols, idxDir, batchId = 1),
+          StreamingIndex.applyDashboardBatch( // crash-replay of batch 1
+            corpus.filter($"doc_id" % 3 === 1), "text", cols, idxDir, batchId = 1),
+          StreamingIndex.applyDashboardBatch(
+            corpus.filter($"doc_id" % 3 === 2), "text", cols, idxDir, batchId = 2))
+        require(applied == Seq(true, true, false, true),
+          s"dashboard batchlog idempotence violated: $applied")
+        graft.operators.Dedup.nearDupProbeIndexed(s, idxDir,
+            docs.filter($"doc_id" % 5 === 0), "doc_id", "text", threshold = 0.8)
+          .orderBy($"a", $"b")
+          .localCheckpoint() // materialize before the dir is removed
+      } finally Pipeline.rmTree(new java.io.File(idxDir))
+    },
+
     // COMPOSED INGEST DASHBOARD, repetition leg: corpus quantiles of
     // the q208 Gopher signals from the composed directory's merged
     // DDSketch segments, audited the q157 way — the α relative-error
@@ -4301,6 +4355,11 @@ object Pipeline {
     // flags over the exact per-doc q208 signals
     "q217_dashboard_repetition" -> dashboardRepetitionOracle,
 
+    // composed dashboard, near-dup leg: the q219 oracle VERBATIM —
+    // the shared-scan applier's postings/sets must answer identically
+    // to the dedicated near-dup sink's
+    "q220_dashboard_neardup" -> nearDupIndexOracle,
+
     // order-3 KN: all five derived count tables (ctx/N1+(w1w2.),
     // t23/N1+(.w2w3), mid/N1+(.w2.)/N1+(w2.), N1+(..w3), B2, V) and
     // the three-level d=3/4 multiply-through re-derived from raw
@@ -4469,21 +4528,7 @@ object Pipeline {
     // jaccard between the probe slice (%5 == 0) and the batch-indexed
     // corpus (the rest) — postings/sets are row-additive, so the
     // streamed index must answer identically to the one-shot join
-    "q219_stream_neardup_index" ->
-      """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
-        |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
-        |          FROM sh a JOIN sh b ON a.sh = b.sh
-        |          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-        |          GROUP BY 1, 2)
-        |SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON a = sa.doc_id
-        |JOIN sizes sb ON b = sb.doc_id
-        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
-        |ORDER BY a, b""".stripMargin,
+    "q219_stream_neardup_index" -> nearDupIndexOracle,
 
     // q44's recursive closure + per-cluster argmax on token count
     // (score DESC, doc ASC ties — the Spark side's max(struct) with a

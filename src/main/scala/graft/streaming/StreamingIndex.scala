@@ -485,33 +485,37 @@ object StreamingIndex {
 
   /** Apply one micro-batch of documents to a COMPOSED ingest
     * dashboard directory — profile state + LM counts + repetition
-    * quantile sketches maintained over ONE shared materialization of
-    * the batch (the r13 verdict's top item). At 100 TB the scan IS
-    * the cost: running the three family appliers as separate sinks
-    * reads the batch three times, while this applier persists the
-    * batch once (memory-and-disk, spill-safe) and derives all three
-    * families' delta segments from the cached rows — composed cost ≈
-    * scan + Σ(per-family compute), i.e. ≈ max not sum when scan
-    * dominates (measured: tools/DashBench).
+    * quantile sketches + the NEAR-DUP index (LSH postings and
+    * shingle sets, so every ingested batch is immediately probeable
+    * for duplicates) maintained over ONE shared materialization of
+    * the batch (the r13 verdict's top item, extended to the full
+    * ingest shape). At 100 TB the scan IS the cost: running the four
+    * family appliers as separate sinks reads the batch four times,
+    * while this applier persists the batch once (memory-and-disk,
+    * spill-safe) and derives all four families' delta segments from
+    * the cached rows as CONCURRENT jobs — composed cost ≈ scan +
+    * max-ish(per-family compute), not sum (measured: tools/DashBench).
     *
     * Idempotence is the standard contract, held ATOMICALLY for the
-    * composition: all five sub-tables (c12/c1/cw/state/rep) commit
-    * through the staged deterministic-rename before the single
-    * batchlog row is written, so a crash anywhere leaves orphaned
-    * `b<id>_*` files the replay sweeps in EVERY family — a batch is
-    * either fully in the dashboard or (after replay) fully re-applied,
-    * never split across families. Each family's merged state is
-    * value-exact vs its one-shot form (LM counts additive, profile
-    * stats mergeable, DDSketch bucket adds integer-exact), so the
-    * composed dir serves [[graft.operators.LangModel.scoreLmIndexed]]
-    * / [[graft.operators.LangModel.scoreKnIndexed]] /
+    * composition: all seven sub-tables (c12/c1/cw/state/rep/bands/
+    * sets) commit through the staged deterministic-rename before the
+    * single batchlog row is written, so a crash anywhere leaves
+    * orphaned `b<id>_*` files the replay sweeps in EVERY family — a
+    * batch is either fully in the dashboard or (after replay) fully
+    * re-applied, never split across families. Each family's merged
+    * state is value-exact vs its one-shot form (LM counts additive,
+    * profile stats mergeable, DDSketch bucket adds integer-exact,
+    * postings/sets row-additive), so the composed dir serves
+    * [[graft.operators.LangModel.scoreLmIndexed]] /
+    * [[graft.operators.LangModel.scoreKnIndexed]] /
     * [[graft.operators.Profiling.profileIndexed]] /
-    * [[graft.operators.IngestDashboard.repQuantilesIndexed]]
-    * unchanged.
+    * [[graft.operators.IngestDashboard.repQuantilesIndexed]] /
+    * [[graft.operators.Dedup.nearDupProbeIndexed]] unchanged.
     */
   def applyDashboardBatch(batch: DataFrame, textCol: String,
       numCols: Seq[String], dir: String, batchId: Long,
-      p: Int = 12, alpha: Double = graft.operators.IngestDashboard.Alpha): Boolean = {
+      p: Int = 12, alpha: Double = graft.operators.IngestDashboard.Alpha,
+      idCol: String = "doc_id"): Boolean = {
     val spark = batch.sparkSession
     import spark.implicits._
     val logPath = s"$dir/batchlog"
@@ -521,7 +525,7 @@ object StreamingIndex {
         !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
       return false
     }
-    val subs = Seq("c12", "c1", "cw", "state", "rep")
+    val subs = Seq("c12", "c1", "cw", "state", "rep", "bands", "sets")
     val applied =
       if (batch.isEmpty) false
       else {
@@ -530,7 +534,7 @@ object StreamingIndex {
           sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
         }
         // ONE materialized read of the batch (the count() pass IS the
-        // single source scan); the three family derivations then run
+        // single source scan); the four family derivations then run
         // as CONCURRENT jobs over the cached rows — they write
         // disjoint staging sub-tables, so wall time tracks the
         // slowest family (max), not their sum, on top of one scan
@@ -547,7 +551,9 @@ object StreamingIndex {
               shared, numCols, dir, p, stagingPath = Some(staging.toString))),
             Future(graft.operators.IngestDashboard.appendRepState(spark,
               shared, textCol, dir, alpha,
-              stagingPath = Some(staging.toString))))),
+              stagingPath = Some(staging.toString))),
+            Future(graft.operators.Dedup.appendNearDupIndex(spark, shared,
+              idCol, textCol, dir, stagingPath = Some(staging.toString))))),
             scala.concurrent.duration.Duration.Inf)
         } finally { shared.unpersist(); () }
         subs.foreach { sub =>

@@ -2,12 +2,13 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Measures the composed ingest-dashboard applier against the three
+/** Measures the composed ingest-dashboard applier against the four
   * separate family appliers over the same document batch — the
   * "composed ≈ max, not sum" point behind the r14 SCALE.md row: the
   * separate form scans the batch once PER FAMILY (profile + LM +
-  * repetition), the composed applier materializes the batch once and
-  * derives all three families' delta segments from the cached rows.
+  * repetition + near-dup), the composed applier materializes the
+  * batch once and derives all four families' delta segments from the
+  * cached rows as concurrent jobs.
   * Usage:
   *   tools/jrun.sh graft.tools.DashBench <sfDir> [passes]
   */
@@ -50,13 +51,17 @@ object DashBench {
     time("family alone: repetition sketches") {
       graft.operators.IngestDashboard.appendRepState(spark, docs, "text", freshDir())
     }
-    time("separate: LM + profile + repetition (three scans of the batch)") {
+    time("family alone: near-dup postings + sets") {
+      graft.operators.Dedup.appendNearDupIndex(spark, docs, "doc_id", "text", freshDir())
+    }
+    time("separate: LM + profile + repetition + near-dup (four scans of the batch)") {
       val dir = freshDir()
       graft.operators.LangModel.appendLmCounts(spark, docs, "text", dir)
       graft.operators.Profiling.appendProfileState(spark, docs, cols, dir)
       graft.operators.IngestDashboard.appendRepState(spark, docs, "text", dir)
+      graft.operators.Dedup.appendNearDupIndex(spark, docs, "doc_id", "text", dir)
     }
-    time("composed: applyDashboardBatch (one materialized scan)") {
+    time("composed: applyDashboardBatch (one materialized scan, concurrent families)") {
       val dir = freshDir()
       graft.streaming.StreamingIndex.applyDashboardBatch(
         docs, "text", cols, dir, batchId = 0)

@@ -1705,8 +1705,8 @@ class StreamingSpec extends SparkSpec {
     } finally { docs.unpersist(); () }
   }
 
-  test("composed dashboard sink: one shared scan maintains all three families == one-shot, through crash replay") {
-    import graft.operators.{IngestDashboard, LangModel, Profiling}
+  test("composed dashboard sink: one shared scan maintains all four families == one-shot, through crash replay") {
+    import graft.operators.{Dedup, IngestDashboard, LangModel, Profiling}
     import graft.streaming.StreamingIndex
     import java.nio.file.{Files => JFiles, Paths}
     import spark.implicits._
@@ -1759,8 +1759,19 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
     assert(repWant.nonEmpty && repRows() == repWant,
       "composed repetition sketches must equal the one-shot sketch bit-for-bit")
+    // family 4: near-dup index — the composed postings/sets answer a
+    // probe exactly like the one-shot delta-vs-corpus path
+    val ndProbe = docs.filter($"doc_id" % 7 === 0).cache()
+    def ndRows() = Dedup.nearDupProbeIndexed(spark, dir, ndProbe,
+        "doc_id", "text", 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    val ndWant = Dedup.incrementalDedupPairs(ndProbe, docs,
+        "doc_id", "text", 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    assert(ndWant.nonEmpty && ndRows() == ndWant,
+      "composed near-dup index must answer exactly like one-shot delta-vs-corpus")
     // crash replay, ATOMIC for the composition: erase the LAST batch's
-    // log row (its b<id>_* deltas stay orphaned in ALL FIVE subs),
+    // log row (its b<id>_* deltas stay orphaned in ALL SEVEN subs),
     // re-deliver it — the sweep must purge every family before
     // re-applying, or some family double-counts
     val lastId = spark.read.parquet(s"$dir/batchlog")
@@ -1773,14 +1784,18 @@ class StreamingSpec extends SparkSpec {
     assert(lmRows() == lmWant, "LM family must converge after composed replay")
     assert(profRows() == profWant, "profile family must converge after composed replay")
     assert(repRows() == repWant, "repetition family must converge after composed replay")
+    assert(ndRows() == ndWant, "near-dup family must converge after composed replay")
     // a re-delivered batch id no-ops
     assert(!StreamingIndex.applyDashboardBatch(lastBatch, "text", cols, dir, lastId))
-    // compaction of all three families is probe-identical
+    // compaction of all four families is probe-identical
     LangModel.compactLmCounts(spark, dir)
     Profiling.compactProfileState(spark, dir)
     IngestDashboard.compactRepState(spark, dir)
-    assert(lmRows() == lmWant && profRows() == profWant && repRows() == repWant,
+    Dedup.compactNearDupIndex(spark, dir)
+    assert(lmRows() == lmWant && profRows() == profWant && repRows() == repWant
+        && ndRows() == ndWant,
       "dashboard compaction must be probe-identical across all families")
+    ndProbe.unpersist(); ()
     } finally { docs.unpersist(); () }
   }
 
