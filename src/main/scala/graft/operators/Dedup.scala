@@ -496,20 +496,30 @@ object Dedup {
     * the INDEX — the standing corpus is never rescanned, let alone
     * re-shingled or re-banded, and probe cost follows the probe.
     *
-    * Layout:
-    *  - `dir/bands` — (doc, band, bucket) LSH postings
-    *  - `dir/sets`  — (doc, hs) sorted shingle-hash arrays (the exact
-    *    verify side)
+    * COLLAPSE-FIRST BY CONTENT HASH (the [[LangModel]] posture —
+    * measured necessity, not taste: the doc-keyed first cut of this
+    * index OOM'd at sf100, where 1000×-replicated content makes
+    * doc-keyed candidates quadratic in duplication; postings and
+    * sets keyed by `xxhash64(text)` make candidate generation and the
+    * exact verify follow UNIQUE content, with document membership a
+    * separate additive table fanning results back out):
+    *  - `dir/bands` — (kh, band, bucket) LSH postings per unique text
+    *  - `dir/sets`  — (kh, hs) sorted shingle-hash arrays
+    *  - `dir/docs`  — (kh, doc) membership rows
     *  - `dir/meta`  — (n, k, bands): the index OWNS its layout
     *    constants (the buildPqIndex principle) — the first append
-    *    writes them, every later one verifies and REFUSES a mismatch,
-    *    so a drifted shingle width or band geometry can't silently
-    *    mix into the postings.
+    *    writes them, every later one verifies and REFUSES a mismatch.
+    * Content-hash collisions follow the [[LangModel.hashCollisions]]
+    * audit argument (~n²/2^65 over unique texts; the raw-text oracle
+    * would surface one at the gate).
     *
-    * Both tables are row-ADDITIVE (no build phase, no frozen
-    * statistics): a probe against batch-accumulated segments equals
-    * the one-shot [[incrementalDedupPairs]] over the union exactly —
-    * the LM-counts contract, which is what lets the q219 gate hold
+    * A text seen in several batches holds one (kh, band/set) row per
+    * batch — probes de-duplicate by kh on read (compaction folds the
+    * copies); `docs` rows are unique by construction (doc ids don't
+    * repeat across batches). All tables are row-ADDITIVE (no build
+    * phase): a probe against batch-accumulated segments equals the
+    * one-shot [[incrementalDedupPairs]] over the union exactly — the
+    * LM-counts contract, which is what lets the q219/q220 gates hold
     * the exact-jaccard oracle verbatim through the streaming applier.
     */
   def appendNearDupIndex(spark: org.apache.spark.sql.SparkSession,
@@ -533,47 +543,118 @@ object Dedup {
     }
     val (root, mode) =
       (stagingPath.getOrElse(dir), if (stagingPath.isDefined) "overwrite" else "append")
-    bandRows(minhashSignatures(delta, idCol, textCol, n, k), bands, k / bands)
+    val uniq = delta
+      .groupBy(xxhash64(col(textCol)).as("kh"))
+      .agg(first(col(textCol)).as("txt"))
+    bandRows(minhashSignatures(uniq, "kh", "txt", n, k), bands, k / bands)
+      .select($"doc".as("kh"), $"band", $"bucket")
       .write.mode(mode).parquet(s"$root/bands")
-    docShingles(delta, idCol, textCol, n)
+    docShingles(uniq, "kh", "txt", n)
+      .select($"doc".as("kh"), $"hs")
       .write.mode(mode).parquet(s"$root/sets")
+    delta.select(xxhash64(col(textCol)).as("kh"), col(idCol).as("doc"))
+      .write.mode(mode).parquet(s"$root/docs")
   }
 
-  /** Probe a persisted near-dup index: (a = probe doc, b = indexed
-    * doc, jaccard ≥ threshold). Candidates come from the (band,
-    * bucket) equi-join of the probe's bands against the persisted
-    * postings — PROBE × INDEX only, the index never self-joins — and
-    * the exact verify reads only candidate docs' persisted sets.
-    * Layout constants come from the index's own meta.
+  /** The verified UNIQUE-content near-dup pairs of a probe frame
+    * against a persisted index: (pkh, ckh, jaccard ≥ threshold, and
+    * the collapsed probe's kh→ids on the side). Shared by the pair
+    * and decision probes — all candidate and verify work here follows
+    * unique content on BOTH sides.
+    */
+  private def nearDupUniquePairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probe: DataFrame, idCol: String, textCol: String,
+      threshold: Double): (DataFrame, DataFrame) = {
+    val m = spark.read.parquet(s"$dir/meta").head
+    val (n, k, bnds) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    val pUniq = probe
+      .groupBy(xxhash64(col(textCol)).as("kh"))
+      .agg(first(col(textCol)).as("txt"))
+    val pBand = bandRows(minhashSignatures(pUniq, "kh", "txt", n, k),
+      bnds, k / bnds)
+    // a text appended in several batches carries one posting row per
+    // batch — candidates de-duplicate, sets fold to one row per kh
+    val cBand = spark.read.parquet(s"$dir/bands")
+    val cands = pBand.as("x").join(cBand.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc").as("a"), col("y.kh").as("b"))
+      .distinct()
+    val cSets = spark.read.parquet(s"$dir/sets")
+      .groupBy($"kh").agg(first($"hs").as("hs"))
+      .select($"kh".as("doc"), $"hs")
+    val uniqPairs = verifyJaccardTwoSided(cands,
+      docShingles(pUniq, "kh", "txt", n), cSets, threshold)
+      .select($"a".as("pkh"), $"b".as("ckh"), $"jaccard")
+    val pDocs = probe.select(xxhash64(col(textCol)).as("pkh"),
+      col(idCol).as("a"))
+    (uniqPairs, pDocs)
+  }
+
+  /** Probe a persisted near-dup index for the full PAIR LIST:
+    * (a = probe doc, b = indexed doc, jaccard ≥ threshold). Candidate
+    * generation and exact verification run per unique content; only
+    * the final fan-out joins touch per-document rows. NOTE the output
+    * itself is inherently quadratic in content duplication (every
+    * probe copy × every indexed copy) — at corpus scale use
+    * [[nearDupBestIndexed]], whose output is linear in the probe.
     */
   def nearDupProbeIndexed(spark: org.apache.spark.sql.SparkSession,
       dir: String, probe: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val m = spark.read.parquet(s"$dir/meta").head
-    val (n, k, bnds) = (m.getInt(0), m.getInt(1), m.getInt(2))
-    val pBand = bandRows(
-      minhashSignatures(probe, idCol, textCol, n, k), bnds, k / bnds)
-    val cands = pBand.as("x")
-      .join(spark.read.parquet(s"$dir/bands").as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
-      .select(col("x.doc").as("a"), col("y.doc").as("b"))
-      .distinct()
-    verifyJaccardTwoSided(cands, docShingles(probe, idCol, textCol, n),
-      spark.read.parquet(s"$dir/sets"), threshold)
+    val (uniqPairs, pDocs) =
+      nearDupUniquePairs(spark, dir, probe, idCol, textCol, threshold)
+    uniqPairs
+      .join(pDocs, "pkh")
+      .join(spark.read.parquet(s"$dir/docs")
+        .select($"kh".as("ckh"), $"doc".as("b")), "ckh")
+      .select($"a", $"b", $"jaccard")
   }
 
-  /** Compact a persisted near-dup index's append segments — rows are
-    * unique per (doc, band) / doc, so the merged form is a plain
-    * rewrite (probe-identical by construction); the
+  /** The DECISION form — per probe document, its best match in the
+    * index: (a, best_b, best_jaccard, n_matches), output LINEAR in
+    * the probe at any duplication (the q210 lesson applied to the
+    * near-dup probe: the pair list is the small-SF oracle anchor, the
+    * per-document verdict is what a 100 TB ingest actually consumes).
+    * best = highest jaccard, ties broken by smallest indexed doc id;
+    * n_matches counts matching indexed DOCUMENTS (copies included —
+    * an additive count, no pair rows materialized).
+    */
+  def nearDupBestIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probe: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val (uniqPairs, pDocs) =
+      nearDupUniquePairs(spark, dir, probe, idCol, textCol, threshold)
+    // per indexed CONTENT: copy count + smallest doc id (bounded,
+    // content-keyed aggregates — never pair-expanded)
+    val cStats = spark.read.parquet(s"$dir/docs")
+      .groupBy($"kh").agg(count(lit(1)).as("copies"), min($"doc").as("min_doc"))
+      .select($"kh".as("ckh"), $"copies", $"min_doc")
+    val perProbeContent = uniqPairs.join(cStats, "ckh")
+      .groupBy($"pkh")
+      .agg(sum($"copies").as("n_matches"),
+        max(struct($"jaccard".as("j"), (-$"min_doc").as("nb"))).as("best"))
+      .select($"pkh", $"n_matches",
+        (-$"best.nb").as("best_b"), $"best.j".as("best_jaccard"))
+    pDocs.join(perProbeContent, "pkh")
+      .select($"a", $"best_b", $"best_jaccard", $"n_matches")
+  }
+
+  /** Compact a persisted near-dup index's append segments: bands/sets
+    * fold to ONE row per unique content (probe-identical — probes
+    * already de-duplicate by kh on read), docs rewrite as-is; the
     * [[LangModel.compactLmCounts]] staged swap + unlogged-delta sweep
     * bound the file count.
     */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    def rewrite(sub: String) = () => spark.read.parquet(s"$dir/$sub")
-      .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
-    LangModel.compactTables(spark, dir,
-      Seq("bands" -> rewrite("bands"), "sets" -> rewrite("sets")))
+    val par = math.max(1, spark.sparkContext.defaultParallelism / 4)
+    LangModel.compactTables(spark, dir, Seq(
+      "bands" -> (() => spark.read.parquet(s"$dir/bands")
+        .groupBy($"kh", $"band").agg(first($"bucket").as("bucket"))
+        .coalesce(par)),
+      "sets" -> (() => spark.read.parquet(s"$dir/sets")
+        .groupBy($"kh").agg(first($"hs").as("hs")).coalesce(par)),
+      "docs" -> (() => spark.read.parquet(s"$dir/docs").coalesce(par))))
   }
 
   /** Benchmark decontamination scan: for every corpus doc, the number

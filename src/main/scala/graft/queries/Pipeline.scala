@@ -720,6 +720,35 @@ object Pipeline {
       } finally Pipeline.rmTree(new java.io.File(idxDir))
     },
 
+    // The near-dup DECISION form — per probe document, its best match
+    // in the persisted index (a, best_b, best_jaccard, n_matches):
+    // output LINEAR in the probe at any duplication, where the q219
+    // pair list is inherently quadratic in content copies (the q210
+    // lesson applied to the near-dup probe — q219's pair form is the
+    // small-SF oracle anchor, this is the 100 TB consumer shape; it
+    // runs at sf100 where the pair materialization OOM'd).
+    "q221_neardup_best" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val corpus = docs.filter($"doc_id" % 5 =!= 0)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-nd-best").toString
+      try {
+        import graft.streaming.StreamingIndex
+        val applied = Seq(
+          StreamingIndex.applyNearDupBatch(
+            corpus.filter($"doc_id" % 3 === 0), "doc_id", "text", idxDir, batchId = 0),
+          StreamingIndex.applyNearDupBatch(
+            corpus.filter($"doc_id" % 3 =!= 0), "doc_id", "text", idxDir, batchId = 1))
+        require(applied == Seq(true, true),
+          s"near-dup batchlog idempotence violated: $applied")
+        graft.operators.Dedup.nearDupBestIndexed(s, idxDir,
+            docs.filter($"doc_id" % 5 === 0), "doc_id", "text", threshold = 0.8)
+          .orderBy($"a")
+          .localCheckpoint() // materialize before the index dir is removed
+      } finally Pipeline.rmTree(new java.io.File(idxDir))
+    },
+
     // Quality-aware cluster resolution: keep the highest-scoring doc
     // (whitespace token count; ties → smallest id) per near-dup
     // cluster — what a curation pipeline actually ships from a
@@ -3211,7 +3240,7 @@ object Pipeline {
     // COMPOSED INGEST DASHBOARD, KN leg (r13 verdict's top item): ONE
     // foreachBatch applier maintains profile state + LM counts +
     // repetition sketches over a single materialized read per batch,
-    // instead of three separate family scans. Composition must not
+    // instead of four separate family scans. Composition must not
     // change any family's values — this gate scores Kneser–Ney from
     // the COMPOSED directory's c12/cw segments and holds the q209
     // oracle VERBATIM (the q211 contract through the composed sink).
@@ -4343,7 +4372,7 @@ object Pipeline {
     "q211_stream_kn_model" -> kneserNeyOracle,
 
     // the SAME oracle a third time, now through the COMPOSED
-    // dashboard sink: composing the three maintenance families over
+    // dashboard sink: composing the four maintenance families over
     // one shared scan must not change the LM family's values
     "q215_dashboard_kn_model" -> kneserNeyOracle,
 
@@ -4529,6 +4558,32 @@ object Pipeline {
     // corpus (the rest) — postings/sets are row-additive, so the
     // streamed index must answer identically to the one-shot join
     "q219_stream_neardup_index" -> nearDupIndexOracle,
+
+    // decision form: per probe doc the argmax match (jaccard DESC,
+    // doc id ASC ties) + the matching-document count, re-derived from
+    // the exact pair set — both engines divide the same integers, so
+    // the double jaccards and their ordering agree exactly
+    "q221_neardup_best" ->
+      """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
+        |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.sh = b.sh
+        |          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |          GROUP BY 1, 2),
+        |j AS (SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON a = sa.doc_id
+        |  JOIN sizes sb ON b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8)
+        |SELECT a, best_b, best_jaccard, n_matches
+        |FROM (SELECT a, b AS best_b, jaccard AS best_jaccard,
+        |        row_number() OVER (PARTITION BY a ORDER BY jaccard DESC, b) AS rn
+        |      FROM j) r
+        |JOIN (SELECT a, count(*) AS n_matches FROM j GROUP BY a) c USING (a)
+        |WHERE rn = 1
+        |ORDER BY a""".stripMargin,
 
     // q44's recursive closure + per-cluster argmax on token count
     // (score DESC, doc ASC ties — the Spark side's max(struct) with a

@@ -453,12 +453,12 @@ object StreamingIndex {
       if (batch.isEmpty) false
       else {
         val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
-        Seq("bands", "sets").foreach { sub =>
+        Seq("bands", "sets", "docs").foreach { sub =>
           sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
         }
         graft.operators.Dedup.appendNearDupIndex(spark, batch, idCol,
           textCol, dir, n, k, bands, stagingPath = Some(staging.toString))
-        Seq("bands", "sets").foreach { sub =>
+        Seq("bands", "sets", "docs").foreach { sub =>
           commitStaged(fs, new org.apache.hadoop.fs.Path(staging, sub),
             new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
         }
@@ -497,8 +497,8 @@ object StreamingIndex {
     * max-ish(per-family compute), not sum (measured: tools/DashBench).
     *
     * Idempotence is the standard contract, held ATOMICALLY for the
-    * composition: all seven sub-tables (c12/c1/cw/state/rep/bands/
-    * sets) commit through the staged deterministic-rename before the
+    * composition: all eight sub-tables (c12/c1/cw/state/rep/bands/
+    * sets/docs) commit through the staged deterministic-rename before the
     * single batchlog row is written, so a crash anywhere leaves
     * orphaned `b<id>_*` files the replay sweeps in EVERY family — a
     * batch is either fully in the dashboard or (after replay) fully
@@ -525,7 +525,7 @@ object StreamingIndex {
         !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
       return false
     }
-    val subs = Seq("c12", "c1", "cw", "state", "rep", "bands", "sets")
+    val subs = Seq("c12", "c1", "cw", "state", "rep", "bands", "sets", "docs")
     val applied =
       if (batch.isEmpty) false
       else {
