@@ -503,7 +503,9 @@ object Dedup {
     * sets keyed by `xxhash64(text)` make candidate generation and the
     * exact verify follow UNIQUE content, with document membership a
     * separate additive table fanning results back out):
-    *  - `dir/bands` — (kh, band, bucket) LSH postings per unique text
+    *  - `dir/bands` — (kh, band, bucket) LSH postings per unique
+    *    text, disk-partitioned by `band` and bucket-sorted within
+    *    files ([[nearDupScreenIndexed]] prunes on it)
     *  - `dir/sets`  — (kh, hs) sorted shingle-hash arrays
     *  - `dir/docs`  — (kh, doc) membership rows
     *  - `dir/meta`  — (n, k, bands): the index OWNS its layout
@@ -546,9 +548,19 @@ object Dedup {
     val uniq = delta
       .groupBy(xxhash64(col(textCol)).as("kh"))
       .agg(first(col(textCol)).as("txt"))
+    // bands is PARTITIONED BY band (the members/l1 layout lesson): a
+    // reduced-band screen probe ([[nearDupScreenIndexed]]) then reads
+    // only bandsProbed/bands of the postings — directory-level
+    // partition pruning, visible as PartitionFilters in the scan —
+    // and rows are bucket-sorted within each file so row-group stats
+    // stay selective after compaction. 32 partition dirs, one file
+    // per band per append (the repartition below), bounded by
+    // [[compactNearDupIndex]].
     bandRows(minhashSignatures(uniq, "kh", "txt", n, k), bands, k / bands)
       .select($"doc".as("kh"), $"band", $"bucket")
-      .write.mode(mode).parquet(s"$root/bands")
+      .repartition($"band")
+      .sortWithinPartitions($"band", $"bucket")
+      .write.mode(mode).partitionBy("band").parquet(s"$root/bands")
     docShingles(uniq, "kh", "txt", n)
       .select($"doc".as("kh"), $"hs")
       .write.mode(mode).parquet(s"$root/sets")
@@ -564,17 +576,26 @@ object Dedup {
     */
   private def nearDupUniquePairs(spark: org.apache.spark.sql.SparkSession,
       dir: String, probe: DataFrame, idCol: String, textCol: String,
-      threshold: Double): (DataFrame, DataFrame) = {
+      threshold: Double, bandsProbed: Int = Int.MaxValue): (DataFrame, DataFrame) = {
     val m = spark.read.parquet(s"$dir/meta").head
     val (n, k, bnds) = (m.getInt(0), m.getInt(1), m.getInt(2))
     val pUniq = probe
       .groupBy(xxhash64(col(textCol)).as("kh"))
       .agg(first(col(textCol)).as("txt"))
-    val pBand = bandRows(minhashSignatures(pUniq, "kh", "txt", n, k),
+    val pBandAll = bandRows(minhashSignatures(pUniq, "kh", "txt", n, k),
       bnds, k / bnds)
+    val pBand =
+      if (bandsProbed < bnds) pBandAll.filter($"band" < bandsProbed)
+      else pBandAll
     // a text appended in several batches carries one posting row per
-    // batch — candidates de-duplicate, sets fold to one row per kh
-    val cBand = spark.read.parquet(s"$dir/bands")
+    // batch — candidates de-duplicate, sets fold to one row per kh.
+    // `band` is the partition column: a reduced-band probe prunes
+    // whole band=X directories out of the scan (PartitionFilters).
+    val cBandAll = spark.read.parquet(s"$dir/bands")
+      .select($"kh", $"band".cast("int").as("band"), $"bucket")
+    val cBand =
+      if (bandsProbed < bnds) cBandAll.filter($"band" < bandsProbed)
+      else cBandAll
     val cands = pBand.as("x").join(cBand.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
       .select(col("x.doc").as("a"), col("y.kh").as("b"))
@@ -603,6 +624,32 @@ object Dedup {
       threshold: Double): DataFrame = {
     val (uniqPairs, pDocs) =
       nearDupUniquePairs(spark, dir, probe, idCol, textCol, threshold)
+    uniqPairs
+      .join(pDocs, "pkh")
+      .join(spark.read.parquet(s"$dir/docs")
+        .select($"kh".as("ckh"), $"doc".as("b")), "ckh")
+      .select($"a", $"b", $"jaccard")
+  }
+
+  /** REDUCED-BAND screen probe — [[nearDupProbeIndexed]] reading only
+    * the first `bandsProbed` of the index's band partitions, the knob
+    * the band-partitioned layout exists for: candidate recall for a
+    * pair with true jaccard s drops from 1−(1−s^r)^b to
+    * 1−(1−s^r)^b' (b=32, r=4, t=0.8 ⇒ a 16-band screen still catches
+    * a threshold pair with p ≥ 1−0.59^16 ≈ 0.9998, and anything the
+    * screen DOES emit is exact — the jaccard verify runs unchanged,
+    * so precision stays 1), while the posting scan reads b'/b of the
+    * index: directory-level partition pruning (PartitionFilters in
+    * the scan node, DedupSpec pins it), which at a production index
+    * size is the difference between touching 100 TB of postings and
+    * touching half of them. bandsProbed = recorded bands ⇒ identical
+    * to [[nearDupProbeIndexed]] (same plan, full recall).
+    */
+  def nearDupScreenIndexed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probe: DataFrame, idCol: String, textCol: String,
+      threshold: Double, bandsProbed: Int): DataFrame = {
+    val (uniqPairs, pDocs) = nearDupUniquePairs(spark, dir, probe,
+      idCol, textCol, threshold, bandsProbed)
     uniqPairs
       .join(pDocs, "pkh")
       .join(spark.read.parquet(s"$dir/docs")
@@ -649,12 +696,17 @@ object Dedup {
       dir: String): Unit = {
     val par = math.max(1, spark.sparkContext.defaultParallelism / 4)
     LangModel.compactTables(spark, dir, Seq(
+      // bands keep the band-partitioned, bucket-sorted layout the
+      // screen probe prunes on (one file per band after the shuffle)
       "bands" -> (() => spark.read.parquet(s"$dir/bands")
+        .select($"kh", $"band".cast("int").as("band"), $"bucket")
         .groupBy($"kh", $"band").agg(first($"bucket").as("bucket"))
-        .coalesce(par)),
+        .repartition($"band")
+        .sortWithinPartitions($"band", $"bucket")),
       "sets" -> (() => spark.read.parquet(s"$dir/sets")
         .groupBy($"kh").agg(first($"hs").as("hs")).coalesce(par)),
-      "docs" -> (() => spark.read.parquet(s"$dir/docs").coalesce(par))))
+      "docs" -> (() => spark.read.parquet(s"$dir/docs").coalesce(par))),
+      partitionCols = Map("bands" -> Seq("band")))
   }
 
   /** Benchmark decontamination scan: for every corpus doc, the number

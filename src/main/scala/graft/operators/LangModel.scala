@@ -436,7 +436,8 @@ object LangModel {
     * would carry a stale listing of swept files.
     */
   private[operators] def compactTables(spark: org.apache.spark.sql.SparkSession,
-      dir: String, tables: Seq[(String, () => DataFrame)]): Unit = {
+      dir: String, tables: Seq[(String, () => DataFrame)],
+      partitionCols: Map[String, Seq[String]] = Map.empty): Unit = {
     import IndexMaintenance.{renameOrThrow, deleteOrThrow}
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -461,7 +462,13 @@ object LangModel {
       val staged = new org.apache.hadoop.fs.Path(s"$dir/${sub}_compact")
       val old = new org.apache.hadoop.fs.Path(s"$dir/${sub}_old")
       deleteOrThrow(fs, staged)
-      mkDf().write.mode("overwrite").parquet(staged.toString)
+      // a table with a disk-partitioned layout (near-dup bands) keeps
+      // it through compaction — partition pruning must survive
+      val w = mkDf().write.mode("overwrite")
+      (partitionCols.getOrElse(sub, Nil) match {
+        case Nil => w
+        case cols => w.partitionBy(cols: _*)
+      }).parquet(staged.toString)
       // swap: live -> old, staged -> live, drop old; any crash point
       // is recovered by the preamble on the next run, and a FAILED
       // step throws rather than proceeding into a half-swapped layout
@@ -637,6 +644,24 @@ object LangModel {
       (stagingPath.getOrElse(dir), if (stagingPath.isDefined) "overwrite" else "append")
     c123.write.mode(mode).parquet(s"$root/c123")
     cw.write.mode(mode).parquet(s"$root/cw")
+  }
+
+  /** Append ONLY the trigram table of an order-3 delta — the
+    * composed-dashboard form of [[appendLm3Counts]]: the dashboard's
+    * bigram leg already maintains `cw`, and the trigram `cw` is the
+    * SAME frame (both are multiplicity-weighted unigram occurrence
+    * counts over the collapsed texts, compare [[countsOf]] /
+    * [[counts3Of]]), so composing order 3 into the dashboard adds one
+    * sub-table, not two — [[scoreKn3Indexed]] then reads the shared
+    * `cw` unchanged.
+    */
+  def appendTrigramCounts(spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame, textCol: String, dir: String,
+      stagingPath: Option[String] = None): Unit = {
+    val (c123, _) = counts3Of(delta, textCol)
+    val (root, mode) =
+      (stagingPath.getOrElse(dir), if (stagingPath.isDefined) "overwrite" else "append")
+    c123.write.mode(mode).parquet(s"$root/c123")
   }
 
   /** The merged (c123, cw) of a persisted KN-3 model directory. */

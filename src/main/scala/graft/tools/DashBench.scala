@@ -2,13 +2,13 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Measures the composed ingest-dashboard applier against the four
+/** Measures the composed ingest-dashboard applier against the five
   * separate family appliers over the same document batch — the
   * "composed ≈ max, not sum" point behind the r14 SCALE.md row: the
   * separate form scans the batch once PER FAMILY (profile + LM +
-  * repetition + near-dup), the composed applier materializes the
-  * batch once and derives all four families' delta segments from the
-  * cached rows as concurrent jobs.
+  * KN-3 + repetition + near-dup), the composed applier materializes
+  * the batch once and derives all five families' delta segments from
+  * the cached rows as concurrent jobs.
   * Usage:
   *   tools/jrun.sh graft.tools.DashBench <sfDir> [passes]
   */
@@ -45,6 +45,9 @@ object DashBench {
     time("family alone: LM counts") {
       graft.operators.LangModel.appendLmCounts(spark, docs, "text", freshDir())
     }
+    time("family alone: KN-3 trigram counts") {
+      graft.operators.LangModel.appendTrigramCounts(spark, docs, "text", freshDir())
+    }
     time("family alone: profile state") {
       graft.operators.Profiling.appendProfileState(spark, docs, cols, freshDir())
     }
@@ -54,9 +57,10 @@ object DashBench {
     time("family alone: near-dup postings + sets") {
       graft.operators.Dedup.appendNearDupIndex(spark, docs, "doc_id", "text", freshDir())
     }
-    time("separate: LM + profile + repetition + near-dup (four scans of the batch)") {
+    time("separate: LM + KN-3 + profile + repetition + near-dup (five scans of the batch)") {
       val dir = freshDir()
       graft.operators.LangModel.appendLmCounts(spark, docs, "text", dir)
+      graft.operators.LangModel.appendTrigramCounts(spark, docs, "text", dir)
       graft.operators.Profiling.appendProfileState(spark, docs, cols, dir)
       graft.operators.IngestDashboard.appendRepState(spark, docs, "text", dir)
       graft.operators.Dedup.appendNearDupIndex(spark, docs, "doc_id", "text", dir)

@@ -334,4 +334,73 @@ class DedupSpec extends SparkSpec {
       .collect().toSet
     assert(collapsedKB == directKB)
   }
+
+  test("band-partitioned near-dup index: screen probe prunes the posting scan, full-band screen == full probe") {
+    import spark.implicits._
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val probe = docs.filter(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndband").toString
+    try {
+      Dedup.appendNearDupIndex(spark, corpus, "doc_id", "text", dir)
+      // layout: bands live under band=X partition directories
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val partDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/bands"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSeq
+      assert(partDirs.count(_.startsWith("band=")) == 32,
+        s"expected 32 band partitions, got: $partDirs")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+      val full = rows(Dedup.nearDupProbeIndexed(spark, dir, probe, "doc_id", "text", 0.8))
+      assert(full.nonEmpty)
+      // bandsProbed == recorded bands: identical result, full recall
+      assert(rows(Dedup.nearDupScreenIndexed(spark, dir, probe,
+        "doc_id", "text", 0.8, bandsProbed = 32)) == full)
+      // 16-band screen: exact-verified subset (precision 1); on this
+      // corpus recall is total (the 0.59^16 argument — deterministic)
+      val screen = Dedup.nearDupScreenIndexed(spark, dir, probe,
+        "doc_id", "text", 0.8, bandsProbed = 16)
+      assert(rows(screen) == full)
+      // and the PLAN prunes: the bands scan must read only the 16
+      // probed partition directories (recurse through AQE stages —
+      // executed plans wrap scans in leaf QueryStageExec nodes)
+      def bandScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.relation.location.rootPaths.exists(_.toString.contains("/bands")) =>
+            Seq(s)
+          case _ => Nil
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here ++ kids.flatMap(bandScans)
+      }
+      val scans = bandScans(screen.queryExecution.executedPlan)
+      assert(scans.nonEmpty, "expected a file scan over the bands table")
+      scans.foreach { s =>
+        val parts = s.relation.location.listFiles(s.partitionFilters, s.dataFilters)
+        val bandVals = parts.map(_.values.getInt(0))
+        assert(bandVals.nonEmpty && bandVals.forall(_ < 16),
+          s"screen scan must touch only band<16 partitions, got: $bandVals")
+      }
+      // compaction preserves the partitioned layout and the answers
+      Dedup.compactNearDupIndex(spark, dir)
+      val afterDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/bands"))
+        .filter(_.isDirectory).map(_.getPath.getName)
+      assert(afterDirs.count(_.startsWith("band=")) == 32)
+      assert(rows(Dedup.nearDupScreenIndexed(spark, dir, probe,
+        "doc_id", "text", 0.8, bandsProbed = 16)) == full)
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        val kids = p.listFiles(); if (kids != null) kids.foreach(rm)
+        p.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }

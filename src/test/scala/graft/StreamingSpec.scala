@@ -1692,10 +1692,16 @@ class StreamingSpec extends SparkSpec {
     }
     // compaction: probe-identical, file count bounded
     def bandFiles(): Long = {
+      // bands is partitioned by band — count parquet files across the
+      // band=X subdirectories
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/bands"))
-        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toLong
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/bands")).map { e =>
+        if (e.isDirectory)
+          fs.listStatus(e.getPath)
+            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toLong
+        else if (e.getPath.getName.endsWith(".parquet")) 1L else 0L
+      }.sum
     }
     val before = bandFiles()
     Dedup.compactNearDupIndex(spark, dir)
@@ -1705,7 +1711,7 @@ class StreamingSpec extends SparkSpec {
     } finally { docs.unpersist(); () }
   }
 
-  test("composed dashboard sink: one shared scan maintains all four families == one-shot, through crash replay") {
+  test("composed dashboard sink: one shared scan maintains all five families == one-shot, through crash replay") {
     import graft.operators.{Dedup, IngestDashboard, LangModel, Profiling}
     import graft.streaming.StreamingIndex
     import java.nio.file.{Files => JFiles, Paths}
@@ -1759,6 +1765,35 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
     assert(repWant.nonEmpty && repRows() == repWant,
       "composed repetition sketches must equal the one-shot sketch bit-for-bit")
+    // α rank-envelope audit of the composed quantiles vs the raw
+    // per-doc signals — the q217 gate's former in-gate audit, moved
+    // here so the gate times the operator (q207 treatment); q157
+    // keeps the envelope gate-pinned for the sketch machinery itself
+    locally {
+      import org.apache.spark.sql.functions.{array, broadcast, explode, floor, lit, struct, sum, when, count, max => smax}
+      val est = IngestDashboard.repQuantilesIndexed(spark, dir, Seq(0.5, 0.95), alpha)
+      val longSig = IngestDashboard.repSignals(docs, "doc_id", "text")
+        .select(explode(array(IngestDashboard.signalNames
+          .map(sn => struct(lit(sn).as("signal"), col(sn).as("x"))): _*)).as("p"))
+        .select($"p.signal", $"p.x")
+      val flags = longSig.join(broadcast(est), "signal")
+        .groupBy($"signal")
+        .agg(count(lit(1)).as("n"),
+          smax($"q50").as("q50"), smax($"q95").as("q95"),
+          sum(when($"x" <= $"q50" / (1 - alpha), 1L).otherwise(0L)).as("le_hi_m"),
+          sum(when($"x" < $"q50" / (1 + alpha), 1L).otherwise(0L)).as("lt_lo_m"),
+          sum(when($"x" <= $"q95" / (1 - alpha), 1L).otherwise(0L)).as("le_hi_p"),
+          sum(when($"x" < $"q95" / (1 + alpha), 1L).otherwise(0L)).as("lt_lo_p"))
+        .select($"signal",
+          ($"le_hi_m" >= floor(lit(0.5) * ($"n" - 1)) + 1 &&
+            $"lt_lo_m" <= floor(lit(0.5) * ($"n" - 1)) &&
+            $"le_hi_p" >= floor(lit(0.95) * ($"n" - 1)) + 1 &&
+            $"lt_lo_p" <= floor(lit(0.95) * ($"n" - 1))).as("ok"))
+        .collect()
+      assert(flags.length == IngestDashboard.signalNames.length &&
+        flags.forall(_.getBoolean(1)),
+        s"composed repetition quantiles must satisfy the α rank envelope: ${flags.mkString(",")}")
+    }
     // family 4: near-dup index — the composed postings/sets answer a
     // probe exactly like the one-shot delta-vs-corpus path
     val ndProbe = docs.filter($"doc_id" % 7 === 0).cache()
@@ -1770,8 +1805,16 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
     assert(ndWant.nonEmpty && ndRows() == ndWant,
       "composed near-dup index must answer exactly like one-shot delta-vs-corpus")
+    // family 5: order-3 KN — the c123 sub-table plus the bigram leg's
+    // SHARED cw score exactly like the one-shot trigram train
+    def kn3Rows() = LangModel.scoreKn3Indexed(spark, dir, score, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val kn3Want = LangModel.kneserNey3Surprisal(docs, score, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(kn3Want.nonEmpty && kn3Rows() == kn3Want,
+      "composed KN-3 segments must score exactly like the one-shot train")
     // crash replay, ATOMIC for the composition: erase the LAST batch's
-    // log row (its b<id>_* deltas stay orphaned in ALL SEVEN subs),
+    // log row (its b<id>_* deltas stay orphaned in ALL NINE subs),
     // re-deliver it — the sweep must purge every family before
     // re-applying, or some family double-counts
     val lastId = spark.read.parquet(s"$dir/batchlog")
@@ -1785,15 +1828,19 @@ class StreamingSpec extends SparkSpec {
     assert(profRows() == profWant, "profile family must converge after composed replay")
     assert(repRows() == repWant, "repetition family must converge after composed replay")
     assert(ndRows() == ndWant, "near-dup family must converge after composed replay")
+    assert(kn3Rows() == kn3Want, "KN-3 family must converge after composed replay")
     // a re-delivered batch id no-ops
     assert(!StreamingIndex.applyDashboardBatch(lastBatch, "text", cols, dir, lastId))
-    // compaction of all four families is probe-identical
+    // compaction of all five families is probe-identical (the lm3
+    // compact re-merges the shared cw after the bigram one — also
+    // probe-identical, by-key sums either way)
     LangModel.compactLmCounts(spark, dir)
+    LangModel.compactLm3Counts(spark, dir)
     Profiling.compactProfileState(spark, dir)
     IngestDashboard.compactRepState(spark, dir)
     Dedup.compactNearDupIndex(spark, dir)
     assert(lmRows() == lmWant && profRows() == profWant && repRows() == repWant
-        && ndRows() == ndWant,
+        && ndRows() == ndWant && kn3Rows() == kn3Want,
       "dashboard compaction must be probe-identical across all families")
     ndProbe.unpersist(); ()
     } finally { docs.unpersist(); () }
