@@ -2816,6 +2816,402 @@ object H264 {
     out.toArray
   }
 
+  /** TEMPORAL direct over a LONGER reference chain (the q224 gate) —
+    * the N-deep-DPB form of [[synthesizeH264TemporalDirect]]: the
+    * colocated picture is itself a MULTI-REF P frame, so its blocks
+    * reference both its list0[0] AND its list0[1], and the decoder's
+    * colocated-to-list0 mapping must resolve TWO different decode
+    * distances (dpb(2) and dpb(3) — the latter is the case the
+    * 3-picture DPB refused) with two different DistScaleFactors in
+    * ONE B picture.
+    *
+    * Stream: IDR I_PCM (POC 0), P1 single-ref mv ±16 (POC 2), P2m
+    * TWO-active-ref checkerboard ([[synthMrRef]] f=2) with constant
+    * mv ±32 on both kinds (POC 4), P3 single-ref mv ±16 (POC 6),
+    * then a non-reference temporal-direct B (POC 7,
+    * `num_ref_idx_l0_active = 4`, all B_Skip / B_Direct_16x16 on the
+    * [[synthBDirCoded]] f=4 lattice). At the B, dpb =
+    * [P3, P2m, P1, IDR] and the colocated is P2m; per colocated MB:
+    *  - refIdxCol 0 → mapped P1 = dpb(2): tb 5, td 2 → tx 8192,
+    *    DSF 640: mvL0 = ±80 (L0 reads P1 at 20 full px), mvL1 = ±48
+    *    (L1 reads P2m at 12 px);
+    *  - refIdxCol 1 → mapped IDR = dpb(3): tb 7, td 4 → tx 4096,
+    *    DSF 448: mvL0 = ±56 (IDR at 14 px), mvL1 = ±24 (P2m at
+    *    6 px).
+    * All scaled vectors are integer-sample for luma AND chroma
+    * (multiples of 8 quarter-samples), so every B pixel is the
+    * closed form (L0read + L1read + 1) >> 1 over nested-clamp reads
+    * the DuckDB oracle re-derives.
+    */
+  def synthesizeH264TemporalDirectDeep(mbW: Int, mbH: Int,
+      seed: Long): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30, maxRefs = 4))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp())
+    appendIPcmIdr(out, mbW, mbH, seed)
+    def sgn(bit: Long): Int = 1 - 2 * (((seed >> bit) % 2).toInt & 1)
+    val qp1 = (16 * sgn(0), 16 * sgn(1))
+    val qp2 = (32 * sgn(2), 32 * sgn(3))
+    val qp3 = (16 * sgn(4), 16 * sgn(5))
+    def pFrame(fn: Int, qp: (Int, Int)): Unit = {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(fn % 16, 4)
+      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+      bw.se(0); bw.ue(1)
+      val mvs = Array.fill(mbW * mbH)((0, 0))
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          bw.ue(0); bw.ue(0)
+          val pred = predictMv(mvs, done, mx, my, mbW)
+          bw.se(qp._1 - pred._1); bw.se(qp._2 - pred._2)
+          bw.ue(0)
+          mvs(my * mbW + mx) = qp; done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+    pFrame(1, qp1)
+    // P2m: the COLOCATED-to-be — two active L0 refs ([P1, IDR]),
+    // per-MB te(v) ref_idx on the synthMrRef lattice, constant mv
+    // qp2 for both kinds (the scaled-direct arithmetic needs only
+    // the refIdx to vary)
+    locally {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(2, 4)
+      bw.u(1, 1)           // num_ref_idx_active_override_flag
+      bw.ue(1)             // num_ref_idx_l0_active_minus1 = 1 (2 refs)
+      bw.u(0, 1)           // ref_pic_list_modification_flag_l0
+      bw.u(0, 1)           // adaptive_ref_pic_marking_mode_flag
+      bw.se(0); bw.ue(1)
+      val mvs = Array.fill(mbW * mbH)((0, 0))
+      val refs = Array.fill(mbW * mbH)(-1)
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          val ref = synthMrRef(seed, 2, mx, my)
+          bw.ue(0)           // mb_skip_run
+          bw.ue(0)           // P_L0_16x16
+          bw.u(1 - ref, 1)   // ref_idx_l0, te(v) inverted bit
+          val pred = predictMvRef(mvs, done, refs, ref, mx, my, mbW)
+          bw.se(qp2._1 - pred._1); bw.se(qp2._2 - pred._2)
+          bw.ue(0)           // cbp
+          mvs(my * mbW + mx) = qp2
+          refs(my * mbW + mx) = ref
+          done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+    pFrame(3, qp3)
+    // non-reference temporal-direct B over the 4-deep DPB
+    locally {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x01.toByte   // nal_ref_idc 0: NON-reference
+      val bw = new BitWriter
+      bw.ue(0)             // first_mb_in_slice
+      bw.ue(6)             // slice_type: B (all slices in pic)
+      bw.ue(0)             // pps id
+      bw.u(4, 4)           // frame_num
+      bw.u(0, 1)           // direct_spatial_mv_pred_flag = 0: TEMPORAL
+      bw.u(1, 1)           // num_ref_idx_active_override_flag
+      bw.ue(3)             // num_ref_idx_l0_active_minus1 = 3 (4 refs)
+      bw.ue(0)             // num_ref_idx_l1_active_minus1 = 0
+      bw.u(0, 1); bw.u(0, 1) // ref_pic_list_modification l0, l1
+      // no dec_ref_pic_marking: nal_ref_idc == 0
+      bw.se(0); bw.ue(1)   // QP 26, disable_deblocking 1
+      var run = 0
+      var mb = 0
+      while (mb < mbW * mbH) {
+        val mx = mb % mbW; val my = mb / mbW
+        if (synthBDirCoded(seed, 4, mx, my)) {
+          bw.ue(run); run = 0 // mb_skip_run before the coded MB
+          bw.ue(0)            // mb_type: B_Direct_16x16
+          bw.ue(0)            // cbp 0 (me(v) Inter codeNum 0)
+        } else run += 1       // B_Skip
+        mb += 1
+      }
+      if (run > 0) bw.ue(run) // trailing skip run closes the slice
+      out ++= escape(bw.stop())
+    }
+    out.toArray
+  }
+
+  /** Per-MB L0 reference index (0..2) of the multi-ref B frame. */
+  private[graft] def synthBMrRef(seed: Long, mbx: Int, my: Int): Int =
+    ((seed + mbx + 2L * my) % 3).toInt
+
+  /** EXPLICIT MULTI-REF B streams (the q225 gate): IDR I_PCM, two
+    * single-ref P frames, then a non-reference B slice with
+    * `num_ref_idx_l0_active = 3` whose every macroblock is
+    * B_Bi_16x16 carrying a REAL te(v)-coded ref_idx_l0 (cMax 2 →
+    * plain ue(v)) on the [[synthBMrRef]] lattice — the explicit
+    * multi-ref B case the 3-alias decoder refused at the MB. L0
+    * predicts from list0[r] = dpb(r) ∈ {P2, P1, IDR} with one
+    * constant mv, L1 from the post-swap list1[0] = dpb(1) = P1 with
+    * another; mv prediction runs the refIdx-AWARE rules per list, so
+    * the exactly-one-matching-neighbor shortcut and the any-ref
+    * median both fire across the three-way lattice. No skips, no
+    * residual: every B pixel is ((list0read + list1read + 1) >> 1)
+    * over nested-clamp reads.
+    */
+  def synthesizeH264BMultiRef(mbW: Int, mbH: Int,
+      seed: Long): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30, maxRefs = 3))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp())
+    appendIPcmIdr(out, mbW, mbH, seed)
+    def sgn(bit: Long): Int = 1 - 2 * (((seed >> bit) % 2).toInt & 1)
+    val qp1 = (16 * sgn(0), 16 * sgn(1))
+    val qp2 = (16 * sgn(2), 16 * sgn(3))
+    val qb0 = (16 * sgn(4), 16 * sgn(5))
+    val qb1 = (16 * sgn(6), 16 * sgn(7))
+    def pFrame(fn: Int, qp: (Int, Int)): Unit = {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(fn % 16, 4)
+      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+      bw.se(0); bw.ue(1)
+      val mvs = Array.fill(mbW * mbH)((0, 0))
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          bw.ue(0); bw.ue(0)
+          val pred = predictMv(mvs, done, mx, my, mbW)
+          bw.se(qp._1 - pred._1); bw.se(qp._2 - pred._2)
+          bw.ue(0)
+          mvs(my * mbW + mx) = qp; done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+    pFrame(1, qp1)
+    pFrame(2, qp2)
+    locally {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x01.toByte   // nal_ref_idc 0: NON-reference
+      val bw = new BitWriter
+      bw.ue(0)             // first_mb_in_slice
+      bw.ue(6)             // slice_type: B (all slices in pic)
+      bw.ue(0)             // pps id
+      bw.u(3, 4)           // frame_num
+      bw.u(1, 1)           // direct_spatial_mv_pred_flag (no direct MBs)
+      bw.u(1, 1)           // num_ref_idx_active_override_flag
+      bw.ue(2)             // num_ref_idx_l0_active_minus1 = 2 (3 refs)
+      bw.ue(0)             // num_ref_idx_l1_active_minus1 = 0
+      bw.u(0, 1); bw.u(0, 1) // ref_pic_list_modification l0, l1
+      // no dec_ref_pic_marking: nal_ref_idc == 0
+      bw.se(0); bw.ue(1)   // QP 26, disable_deblocking 1
+      val mvs0 = Array.fill(mbW * mbH)((0, 0))
+      val refs0 = Array.fill(mbW * mbH)(-1)
+      val mvs1 = Array.fill(mbW * mbH)((0, 0))
+      val refs1 = Array.fill(mbW * mbH)(0)
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          val ref = synthBMrRef(seed, mx, my)
+          bw.ue(0)           // mb_skip_run
+          bw.ue(3)           // mb_type: B_Bi_16x16
+          bw.ue(ref)         // ref_idx_l0, te(v) with cMax 2 = ue(v)
+          val pr0 = predictMvRef(mvs0, done, refs0, ref, mx, my, mbW)
+          bw.se(qb0._1 - pr0._1); bw.se(qb0._2 - pr0._2)
+          val pr1 = predictMvRef(mvs1, done, refs1, 0, mx, my, mbW)
+          bw.se(qb1._1 - pr1._1); bw.se(qb1._2 - pr1._2)
+          bw.ue(0)           // cbp
+          mvs0(my * mbW + mx) = qb0; refs0(my * mbW + mx) = ref
+          mvs1(my * mbW + mx) = qb1
+          done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+    out.toArray
+  }
+
+  /** Per-MB shape/mode kind of the PARTITIONED multi-ref B frame:
+    * 0 → B_L0_L0_16x8 (4), 1 → B_L0_L0_8x16 (5), 2 → B_Bi_Bi_16x8
+    * (20), 3 → B_Bi_Bi_8x16 (21).
+    */
+  private[graft] def synthBPartMrKind(seed: Long, mbx: Int, my: Int): Int =
+    ((seed + mbx + 2L * my) % 4).toInt
+
+  /** Per-PARTITION L0 reference (0..2) of the partitioned multi-ref
+    * B frame — offset by the partition index so the two partitions
+    * of one MB usually pick DIFFERENT pictures.
+    */
+  private[graft] def synthBPartMrRef(seed: Long, mbx: Int, my: Int,
+      part: Int): Int = ((seed + mbx + 2L * my + part) % 3).toInt
+
+  /** PARTITIONED multi-ref B streams (the q226 gate): IDR I_PCM, two
+    * single-ref P frames, then a non-reference B slice of 16x8/8x16
+    * macroblocks — (L0,L0) and (Bi,Bi) shapes on the
+    * [[synthBPartMrKind]] lattice — where EVERY L0-predicting
+    * partition carries its own te(v)-coded ref_idx_l0 over list0 =
+    * [P2, P1, IDR] ([[synthBPartMrRef]]: the two partitions of one
+    * MB usually reference DIFFERENT pictures), with a PER-REFERENCE
+    * constant mv so the refIdx-aware directional prediction rules
+    * (§8.4.1.3's 16x8/8x16 same-refIdx shortcuts vs the any-ref
+    * median) genuinely change the emitted mvds. L1 of Bi partitions
+    * is the post-swap list1[0] = P1 at one constant mv. No skips, no
+    * residual: closed-form nested-clamp reads throughout.
+    */
+  def synthesizeH264BPartsMultiRef(mbW: Int, mbH: Int,
+      seed: Long): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30, maxRefs = 3))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp())
+    appendIPcmIdr(out, mbW, mbH, seed)
+    def sgn(bit: Long): Int = 1 - 2 * (((seed >> bit) % 2).toInt & 1)
+    val qp1 = (16 * sgn(0), 16 * sgn(1))
+    val qp2 = (16 * sgn(2), 16 * sgn(3))
+    // one constant L0 mv PER REFERENCE INDEX + one L1 mv
+    def q0(ref: Int) = (16 * sgn(4 + 2 * ref), 16 * sgn(5 + 2 * ref))
+    val qb1 = (16 * sgn(10), 16 * sgn(11))
+    def pFrame(fn: Int, qp: (Int, Int)): Unit = {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(fn % 16, 4)
+      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+      bw.se(0); bw.ue(1)
+      val mvs = Array.fill(mbW * mbH)((0, 0))
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          bw.ue(0); bw.ue(0)
+          val pred = predictMv(mvs, done, mx, my, mbW)
+          bw.se(qp._1 - pred._1); bw.se(qp._2 - pred._2)
+          bw.ue(0)
+          mvs(my * mbW + mx) = qp; done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+    pFrame(1, qp1)
+    pFrame(2, qp2)
+    locally {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x01.toByte   // nal_ref_idc 0: NON-reference
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(6); bw.ue(0)
+      bw.u(3, 4)           // frame_num
+      bw.u(1, 1)           // direct_spatial_mv_pred_flag (no direct MBs)
+      bw.u(1, 1)           // num_ref_idx_active_override_flag
+      bw.ue(2)             // num_ref_idx_l0_active_minus1 = 2 (3 refs)
+      bw.ue(0)             // num_ref_idx_l1_active_minus1 = 0
+      bw.u(0, 1); bw.u(0, 1) // ref_pic_list_modification l0, l1
+      bw.se(0); bw.ue(1)   // QP 26, disable_deblocking 1
+      val bW = 4 * mbW; val bH = 4 * mbH
+      val mvs0 = Array.fill(bW * bH)((0, 0)); val refs0 = Array.fill(bW * bH)(-1)
+      val mvs1 = Array.fill(bW * bH)((0, 0)); val refs1 = Array.fill(bW * bH)(-1)
+      val done = Array.fill(bW * bH)(false)
+      def stamp(mvA: Array[(Int, Int)], rA: Array[Int], bx: Int, by: Int,
+          wB: Int, hB: Int, mv: (Int, Int), ref: Int): Unit = {
+        var yy = by
+        while (yy < by + hB) {
+          var xx = bx
+          while (xx < bx + wB) {
+            mvA(yy * bW + xx) = mv; rA(yy * bW + xx) = ref
+            done(yy * bW + xx) = true
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          val kind = synthBPartMrKind(seed, mx, my)
+          val t = Array(4, 5, 20, 21)(kind)
+          val bi = t >= 20
+          val is16x8 = (t - 4) % 2 == 0
+          def rect(part: Int): (Int, Int, Int, Int, Int) =
+            if (is16x8) (mx * 4, my * 4 + 2 * part, 4, 2,
+              if (part == 0) 1 else 2)
+            else (mx * 4 + 2 * part, my * 4, 2, 4,
+              if (part == 0) 3 else 4)
+          bw.ue(0)           // mb_skip_run
+          bw.ue(t)           // mb_type
+          // syntax order: all ref_idx_l0, then mvd_l0s, then mvd_l1s;
+          // derivation runs in partition order (mirroring the decoder)
+          val refsP = Array(synthBPartMrRef(seed, mx, my, 0),
+            synthBPartMrRef(seed, mx, my, 1))
+          bw.ue(refsP(0)); bw.ue(refsP(1)) // te(v), cMax 2 = ue(v)
+          val mvd0 = Array((0, 0), (0, 0)); val mvd1 = Array((0, 0), (0, 0))
+          var part = 0
+          while (part < 2) {
+            val (pbx, pby, pwB, phB, dir) = rect(part)
+            val q = q0(refsP(part))
+            val pr = predictMvPart(mvs0, done, refs0, refsP(part),
+              bW, bH, pbx, pby, pwB, dir)
+            mvd0(part) = (q._1 - pr._1, q._2 - pr._2)
+            stamp(mvs0, refs0, pbx, pby, pwB, phB, q, refsP(part))
+            if (bi) {
+              val pr1 = predictMvPart(mvs1, done, refs1, 0,
+                bW, bH, pbx, pby, pwB, dir)
+              mvd1(part) = (qb1._1 - pr1._1, qb1._2 - pr1._2)
+              stamp(mvs1, refs1, pbx, pby, pwB, phB, qb1, 0)
+            }
+            part += 1
+          }
+          bw.se(mvd0(0)._1); bw.se(mvd0(0)._2)
+          bw.se(mvd0(1)._1); bw.se(mvd0(1)._2)
+          if (bi) {
+            bw.se(mvd1(0)._1); bw.se(mvd1(0)._2)
+            bw.se(mvd1(1)._1); bw.se(mvd1(1)._2)
+          }
+          bw.ue(0)           // cbp
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+    out.toArray
+  }
+
   /** Per-MB kind of the MIXED direct B frames: 0 = B_Direct_16x16,
     * 1 = B_L0_16x16, 2 = B_L1_16x16, 3 = B_Bi_16x16, 4 = B_Skip,
     * 5 = B_8x8 with a direct sub-MB.
@@ -4119,34 +4515,68 @@ object H264 {
       var luma: Array[Int] = null
       var cb: Array[Int] = null
       var cr: Array[Int] = null
-      // second-most-recent reference (list 1 of the low-delay B
-      // configuration); an IDR invalidates it
+      // N-DEEP INDEXED DPB, newest reference first — the §8.2.4
+      // short-term list order of this all-past low-delay subset, so
+      // list indices ARE dpb indices: the current picture's
+      // RefPicList0[i] = dpb(i), and (per the B-list swap rule,
+      // §8.2.4.2.3) RefPicList1[0] = dpb(1). Each entry keeps its
+      // pixels, its pic_order_cnt_type-2 POC (+2 per REFERENCE
+      // picture in decode order; a non-reference picture sits at
+      // prevRefPoc + 1 — the td/tb distances of temporal direct's
+      // DistScaleFactor need no new bitstream fields), and its
+      // 4x4-granular two-list motion field (null = intra I_PCM):
+      // spatial/temporal direct read the colocated block of
+      // refPicList1[0] = dpb(1), and temporal direct's
+      // colocated-to-list0 mapping resolves the colocated's own
+      // list-k reference by decode distance — the colocated's
+      // dpb(j) is our dpb(2 + j), so a colocated block that used
+      // ITS list0[k] maps to our dpb(2 + k), and one that only used
+      // ITS list1[0] maps to our dpb(3) (its post-swap list1 head).
+      // Entries beyond maxDpb age out; a reference past the
+      // retained window is refused, not guessed.
+      final class DpbEntry(val lumaP: Array[Int], val cbP: Array[Int],
+        val crP: Array[Int], val poc: Int,
+        val mvs0: Array[(Int, Int)], val refs0: Array[Int],
+        val mvs1: Array[(Int, Int)], val refs1: Array[Int])
+      val maxDpb = 8
+      val dpb = scala.collection.mutable.ArrayBuffer.empty[DpbEntry]
+      // hot-path aliases for entries 0-2 (the overwhelmingly common
+      // references); refreshed from the DPB after every mutation
       var luma2: Array[Int] = null
       var cb2: Array[Int] = null
       var cr2: Array[Int] = null
-      // third-most-recent reference — the picture TEMPORAL direct's
-      // §8.4.1.2.2 colocated-to-list0 mapping lands on in the steady
-      // state (the colocated, itself the second-most-recent, referenced
-      // its own predecessor); only pixels are needed (no motion field:
-      // nothing ever reads the colocated of the colocated)
       var luma3: Array[Int] = null
       var cb3: Array[Int] = null
       var cr3: Array[Int] = null
-      // POC per resident DPB entry (pic_order_cnt_type 2 arithmetic:
-      // +2 per REFERENCE picture in decode order; a non-reference
-      // picture sits at prevRefPoc + 1) — the td/tb distances of
-      // temporal direct's DistScaleFactor need no new bitstream fields
       var pocL = -1; var pocL2 = -1; var pocL3 = -1
-      // stored MOTION FIELDS of the two DPB pictures (4x4-block
-      // granular, null = intra I_PCM picture): spatial direct's
-      // colZeroFlag (§8.4.1.2.2) reads the colocated block of
-      // refPicList1[0] — luma2's picture — so each reconstructed
-      // inter picture keeps its mv/ref arrays alive exactly as long
-      // as its pixels
       var refMvs0: Array[(Int, Int)] = null; var refRefs0: Array[Int] = null
       var refMvs1: Array[(Int, Int)] = null; var refRefs1: Array[Int] = null
       var colMvs0: Array[(Int, Int)] = null; var colRefs0: Array[Int] = null
       var colMvs1: Array[(Int, Int)] = null; var colRefs1: Array[Int] = null
+      def syncDpb(): Unit = {
+        def at(i: Int): DpbEntry = if (dpb.size > i) dpb(i) else null
+        val e0 = at(0); val e1 = at(1); val e2 = at(2)
+        luma = if (e0 != null) e0.lumaP else null
+        cb = if (e0 != null) e0.cbP else null
+        cr = if (e0 != null) e0.crP else null
+        pocL = if (e0 != null) e0.poc else -1
+        refMvs0 = if (e0 != null) e0.mvs0 else null
+        refRefs0 = if (e0 != null) e0.refs0 else null
+        refMvs1 = if (e0 != null) e0.mvs1 else null
+        refRefs1 = if (e0 != null) e0.refs1 else null
+        luma2 = if (e1 != null) e1.lumaP else null
+        cb2 = if (e1 != null) e1.cbP else null
+        cr2 = if (e1 != null) e1.crP else null
+        pocL2 = if (e1 != null) e1.poc else -1
+        colMvs0 = if (e1 != null) e1.mvs0 else null
+        colRefs0 = if (e1 != null) e1.refs0 else null
+        colMvs1 = if (e1 != null) e1.mvs1 else null
+        colRefs1 = if (e1 != null) e1.refs1 else null
+        luma3 = if (e2 != null) e2.lumaP else null
+        cb3 = if (e2 != null) e2.cbP else null
+        cr3 = if (e2 != null) e2.crP else null
+        pocL3 = if (e2 != null) e2.poc else -1
+      }
       // pending inter frame under construction — slices must
       // partition the picture in raster order (first_mb_in_slice
       // continues exactly where the previous slice stopped); the
@@ -4194,11 +4624,12 @@ object H264 {
             val w = info.mbW * 16; val h = info.mbH * 16
             luma = new Array[Int](w * h)
             cb = new Array[Int](w * h / 4); cr = new Array[Int](w * h / 4)
-            luma2 = null; cb2 = null; cr2 = null // IDR invalidates the DPB
-            luma3 = null; cb3 = null; cr3 = null
-            pocL = 0; pocL2 = -1; pocL3 = -1 // IDR: reference, POC 0
-            refMvs0 = null; refRefs0 = null; refMvs1 = null; refRefs1 = null
-            colMvs0 = null; colRefs0 = null; colMvs1 = null; colRefs1 = null
+            // IDR invalidates the DPB; the fresh picture becomes its
+            // sole entry (reference, POC 0, intra: no motion field) —
+            // the arrays are filled in place by the I_PCM read below
+            dpb.clear()
+            dpb += new DpbEntry(luma, cb, cr, 0, null, null, null, null)
+            syncDpb()
             val r = new BitReader(unescape(p, s + 1, e))
             if (r.ue() != 0) return None // single-slice IDR in scope
             if (r.ue() % 5 != 2) return None
@@ -4256,24 +4687,23 @@ object H264 {
             r.ue(); r.u(4)
             // direct_spatial_mv_pred_flag: SPATIAL direct (§8.4.1.2.2)
             // and TEMPORAL direct (flag 0, §8.4.1.2.3 POC-distance
-            // scaling over the 3-picture DPB) are both implemented
+            // scaling over the N-deep indexed DPB) are both implemented
             var directSpatial = false
             if (isB) directSpatial = r.u(1) == 1
             // num_ref_idx_active_override: P slices may raise the L0
             // active count to 2 (list = [prev, prev-prev]); B slices
-            // may raise L0 to 3 — the §8.4.1.2.3 colocated-to-list0
-            // mapping needs list0 to CONTAIN the picture the colocated
-            // block referenced (the encoder contract for temporal
-            // direct) — while L1 stays at 1. Explicit inter MBs of a
-            // multi-ref B slice (te-coded ref_idx) are out of this
-            // subset and refused at the MB.
+            // may raise L0 up to the RETAINED DPB depth — list0[i] is
+            // dpb(i), and both the §8.4.1.2.3 colocated-to-list0
+            // mapping (which needs list0 to CONTAIN the picture the
+            // colocated block referenced — the encoder contract for
+            // temporal direct) and explicit 16x16 B macroblocks with
+            // te(v)-coded ref_idx_l0 draw from it — while L1 stays
+            // at 1. A count beyond the resident entries is refused.
             var numRef0 = 1
             if (r.u(1) == 1) {
               if (isB) {
                 numRef0 = r.ue() + 1
-                if (numRef0 > 3) return None
-                if (numRef0 >= 2 && luma2 == null) return None
-                if (numRef0 == 3 && luma3 == null) return None
+                if (numRef0 > dpb.size) return None
                 if (r.ue() != 0) return None // L1 active must stay 1
               } else {
                 numRef0 = r.ue() + 1
@@ -4316,6 +4746,10 @@ object H264 {
             val lwB = Array(1, 1); val loB = Array(0, 0)
             val cwB = Array(Array(1, 1), Array(1, 1))
             val coB = Array(Array(0, 0), Array(0, 0))
+            // a weighted-bipred table over a MULTI-ref L0 carries one
+            // entry per (list, refIdx) — beyond this one-entry-per-
+            // list parse; refuse rather than mis-read the header
+            if (wBi && numRef0 > 1) return None
             if (wBi) {
               lwd = r.ue(); if (lwd > 7) return None
               cwd = r.ue(); if (cwd > 7) return None
@@ -4643,22 +5077,24 @@ object H264 {
             // rectangle: mvCol/refIdxCol come from the colocated block
             // of refPicList1[0] (the same retained colMvs*/colRefs*
             // motion field spatial direct reads), the colocated's
-            // refIdx is resolved to a RESIDENT picture by decode
-            // distance (its list0[0] = the picture one behind it =
-            // our luma3; an intra colocated block maps to refIdxL0 0 =
-            // luma with mvCol 0), and the POC distances drive the
-            // standard scaling —
+            // refIdx is resolved to a RESIDENT picture of the N-deep
+            // DPB by decode distance — the colocated is dpb(1), so
+            // ITS list0[k] is our dpb(2+k) and (post-swap) ITS
+            // list1[0] is our dpb(3); an intra colocated block maps
+            // to refIdxL0 0 = dpb(0) with mvCol 0 — and the POC
+            // distances drive the standard scaling —
             //   tx  = (16384 + |td/2|) / td
             //   DSF = clip3(−1024, 1023, (tb·tx + 32) >> 6)
             //   mvL0 = (DSF·mvCol + 128) >> 8 ; mvL1 = mvL0 − mvCol
-            // with tb/td clip3'd to ±127. Every reference here is
-            // short-term, so the td==0 / long-term mvCol-passthrough
-            // never fires on these streams but is kept per spec.
-            // Honest refusals: a colocated reference beyond the
-            // 3-picture DPB (refIdxCol ≥ 1, or a colocated-B block
-            // that only used ITS list 1 — both land 4+ pictures back)
-            // and a mapped picture outside the current ACTIVE list0
-            // (numRef0 too small: a non-conforming stream).
+            // with tb/td clip3'd to ±127 — DIFFERENT DSFs live in one
+            // picture when the colocated's blocks reference different
+            // pictures. Every reference here is short-term, so the
+            // td==0 / long-term mvCol-passthrough never fires on
+            // these streams but is kept per spec.
+            // Honest refusals: a colocated reference aged past the
+            // retained DPB window, and a mapped picture outside the
+            // current ACTIVE list0 (numRef0 too small: a
+            // non-conforming stream).
             def temporalDirectRect(pbx: Int, pby: Int,
                 wB: Int, hB: Int): Boolean = {
               // an intra colocated PICTURE (colRefs* null, e.g. the
@@ -4672,15 +5108,22 @@ object H264 {
                   val ci = gy * bW + gx
                   val useL0Col = colRefs0 != null && colRefs0(ci) >= 0
                   val useL1Col = colRefs1 != null && colRefs1(ci) >= 0
-                  if (!useL0Col && useL1Col) return false // its L1 = 4 back
-                  if (useL0Col && colRefs0(ci) >= 1) return false // 4+ back
                   val intra = !useL0Col && !useL1Col
-                  val mvC = if (intra) (0, 0) else colMvs0(ci)
-                  // mapped list0 picture: colocated's list0[0] = luma3
-                  // (two behind the colocated); intra → list0[0] = luma
-                  val (rfL, rfCb, rfCr, rfPoc, refIdxNow) =
-                    if (intra) (luma, cb, cr, pocL, 0)
-                    else (luma3, cb3, cr3, pocL3, 2)
+                  val mvC =
+                    if (intra) (0, 0)
+                    else if (useL0Col) colMvs0(ci)
+                    else colMvs1(ci) // colocated-B block, L1-only
+                  // mapped list0 picture by decode distance (see the
+                  // block comment): colocated's list0[k] = dpb(2+k),
+                  // its post-swap list1[0] = dpb(3); intra = dpb(0)
+                  val refIdxNow =
+                    if (intra) 0
+                    else if (useL0Col) 2 + colRefs0(ci)
+                    else 3 + colRefs1(ci)
+                  if (refIdxNow >= dpb.size) return false // aged out
+                  val mapped = dpb(refIdxNow)
+                  val rfL = mapped.lumaP; val rfCb = mapped.cbP
+                  val rfCr = mapped.crP; val rfPoc = mapped.poc
                   if (rfL == null) return false
                   if (refIdxNow >= numRef0) return false // not in list0
                   val tb = math.max(-128, math.min(127, currPoc - rfPoc))
@@ -4795,12 +5238,14 @@ object H264 {
                   } else mbType match {
                     case 0 => (false, false) // B_Direct_16x16, below
                     case t if t >= 1 && t <= 22 =>
-                      // explicit inter MBs of a MULTI-REF B slice
-                      // carry te-coded ref_idx fields — out of this
-                      // subset (multi-ref B lists exist FOR the
-                      // temporal-direct mapping, whose MBs are
-                      // direct/skip and carry no ref_idx)
-                      if (numRef0 > 1) return None
+                      // explicit MBs of a multi-ref B slice carry
+                      // real te(v)-coded ref_idx_l0 fields, parsed
+                      // below against the N-deep DPB — 16x16
+                      // (B_L0/B_L1/B_Bi) and the two-partition
+                      // 16x8/8x16 family (per-partition ref_idx);
+                      // multi-ref B_8x8 (per-SUB-MB ref_idx inside
+                      // sub_mb_pred) stays out of this subset
+                      if (numRef0 > 1 && t == 22) return None
                       t match {
                         case 1 => (true, false)
                         case 2 => (false, true)
@@ -4992,6 +5437,28 @@ object H264 {
                       if (part == 0) 1 else 2)
                     else (mx * 4 + 2 * part, myy * 4, 2, 4,
                       if (part == 0) 3 else 4)
+                  // §7.3.5.1 syntax order: ALL ref_idx_l0 fields (one
+                  // te(v) per L0-predicting partition when the L0
+                  // active count exceeds 1; L1 stays at one ref, so
+                  // ref_idx_l1 is absent), THEN all mvd_l0, THEN all
+                  // mvd_l1 — each partition picks its own list0
+                  // picture off the indexed DPB
+                  val refs0P = Array(0, 0)
+                  if (numRef0 > 1) {
+                    var rp = 0
+                    while (rp < 2) {
+                      if (pm(rp) != 1) {
+                        refs0P(rp) =
+                          if (numRef0 == 2) 1 - r.u(1)
+                          else {
+                            val v = r.ue()
+                            if (v >= numRef0) return None
+                            v
+                          }
+                      }
+                      rp += 1
+                    }
+                  }
                   val mvd0 = Array((0, 0), (0, 0))
                   val mvd1 = Array((0, 0), (0, 0))
                   var part = 0
@@ -5009,7 +5476,7 @@ object H264 {
                     val (pbx, pby, pwB, phB, dir) = rect(part)
                     val useL0p = pm(part) != 1; val useL1p = pm(part) != 0
                     val mv0 = if (useL0p) {
-                      val pr = predictMvPart(mvs, done, refs0, 0,
+                      val pr = predictMvPart(mvs, done, refs0, refs0P(part),
                         bW, bH, pbx, pby, pwB, dir)
                       (pr._1 + mvd0(part)._1, pr._2 + mvd0(part)._2)
                     } else (0, 0)
@@ -5018,7 +5485,9 @@ object H264 {
                         bW, bH, pbx, pby, pwB, dir)
                       (pr._1 + mvd1(part)._1, pr._2 + mvd1(part)._2)
                     } else (0, 0)
-                    if (useL0p && !mcInto(luma, cb, cr, nl, ncb, ncr)(
+                    if (useL0p && !mcInto(
+                        dpb(refs0P(part)).lumaP, dpb(refs0P(part)).cbP,
+                        dpb(refs0P(part)).crP, nl, ncb, ncr)(
                         pbx * 4, pby * 4, pwB * 4, phB * 4, mv0)) return None
                     if (useL1p && !mcInto(luma2, cb2, cr2,
                         if (useL0p) tl else nl,
@@ -5032,7 +5501,7 @@ object H264 {
                       applyWeightsB(pbx * 4, pby * 4, pwB * 4, phB * 4,
                         if (useL0p) 0 else 1)
                     if (useL0p) {
-                      writePart(mvs, refs0, pbx, pby, pwB, phB, mv0, 0)
+                      writePart(mvs, refs0, pbx, pby, pwB, phB, mv0, refs0P(part))
                       mvAbs += math.abs(mv0._1) + math.abs(mv0._2)
                     }
                     if (useL1p) {
@@ -5161,10 +5630,18 @@ object H264 {
                   if (pcbp == 15 && !decodeMbResiduals(mx, myy)) return None
                   mb += 1
                 } else {
-                // ref_idx_l0, te(v): with 2 active refs a single
-                // INVERTED bit ('1' → 0, '0' → 1); absent for 1 ref
+                // ref_idx_l0, te(v): absent for 1 active ref; with 2
+                // a single INVERTED bit ('1' → 0, '0' → 1); with more
+                // (multi-ref B 16x16 over the N-deep DPB) te(v)
+                // degenerates to plain ue(v) (§9.1: cMax > 1)
                 val refL0 =
-                  if (useL0 && numRef0 == 2) 1 - r.u(1) else 0
+                  if (!useL0 || numRef0 == 1) 0
+                  else if (numRef0 == 2) 1 - r.u(1)
+                  else {
+                    val v = r.ue()
+                    if (v >= numRef0) return None
+                    v
+                  }
                 val mv =
                   if (useL0) {
                     val pr = predictMvPart(mvs, done, refs0, refL0,
@@ -5186,10 +5663,10 @@ object H264 {
                   case 11 => 15
                   case _ => return None
                 }
+                // list0[refL0] = dpb(refL0): the indexed DPB serves
+                // any active reference, not just the two aliases
                 if (useL0 && !mcInto(
-                    if (refL0 == 1) luma2 else luma,
-                    if (refL0 == 1) cb2 else cb,
-                    if (refL0 == 1) cr2 else cr,
+                    dpb(refL0).lumaP, dpb(refL0).cbP, dpb(refL0).crP,
                     nl, ncb, ncr)(mx * 16, myy * 16, 16, 16, mv)) return None
                 if (useL1 &&
                     !mcInto(luma2, cb2, cr2,
@@ -5222,17 +5699,13 @@ object H264 {
                   w, h, pnl.clone(), pTcs, pMvs, pRefs0, pMvs1, pRefs1,
                   pncb.clone(), pncr.clone()))
               if (nalRefIdc != 0) { // reference: enters the DPB
-                luma3 = luma2; cb3 = cb2; cr3 = cr2
-                luma2 = luma; cb2 = cb; cr2 = cr
-                pocL3 = pocL2; pocL2 = pocL; pocL = currPoc
-                // the motion fields shift with their pixels: luma's
-                // field becomes the colocated (list-1) one, the
-                // just-reconstructed picture's becomes the list-0 one
-                colMvs0 = refMvs0; colRefs0 = refRefs0
-                colMvs1 = refMvs1; colRefs1 = refRefs1
-                refMvs0 = pMvs; refRefs0 = pRefs0
-                refMvs1 = pMvs1; refRefs1 = pRefs1
-                luma = pnl; cb = pncb; cr = pncr
+                // newest-first insert; pixels, POC and the two-list
+                // motion field age together, entries past maxDpb
+                // retire (their references become honest refusals)
+                dpb.insert(0, new DpbEntry(pnl, pncb, pncr, currPoc,
+                  pMvs, pRefs0, pMvs1, pRefs1))
+                while (dpb.size > maxDpb) dpb.remove(dpb.size - 1)
+                syncDpb()
               }
               // a NON-reference picture (nal_ref_idc 0) is counted
               // and emitted but never becomes anyone's reference

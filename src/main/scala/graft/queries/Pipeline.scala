@@ -2477,6 +2477,83 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // TEMPORAL direct over a LONGER reference chain — the N-deep-DPB
+    // case the 3-picture decoder refused: the colocated picture is a
+    // MULTI-REF P frame, so one B picture mixes colocated blocks
+    // mapping to dpb(2) (DSF 640, mvL0 ±80 / mvL1 ±48) and to dpb(3)
+    // (DSF 448, mvL0 ±56 / mvL1 ±24) — two DistScaleFactors live in
+    // the same slice. Every frame stays a closed-form nested-clamp
+    // read the oracle re-derives pixel-exactly.
+    "q224_h264_temporal_deep" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 1)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbW = 2 + (id % 3).toInt
+          val mbH = 1 + (id % 3).toInt
+          val st = graft.operators.H264.synthesizeH264TemporalDirectDeep(mbW, mbH, id)
+          graft.operators.H264.decodeInter(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nSkipped, f.mvAbsSum)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height", "luma_sum",
+          "chroma_sum", "weighted_sum", "n_skipped", "mv_abs_sum")
+        .orderBy($"doc_id")
+    },
+
+    // EXPLICIT multi-ref B macroblocks — the second capability the
+    // indexed DPB unlocks: every B MB is B_Bi_16x16 with a REAL
+    // te(v)-coded ref_idx_l0 picking any of list0 = [P2, P1, IDR]
+    // (the MB-layer refusal before this round), L1 at the post-swap
+    // list1[0]; refIdx-aware mv prediction runs across the three-way
+    // lattice. Pixel-exact closed form, oracle-re-derived.
+    "q225_h264_bmultiref" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 3)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbW = 2 + (id % 3).toInt
+          val mbH = 1 + (id % 3).toInt
+          val st = graft.operators.H264.synthesizeH264BMultiRef(mbW, mbH, id)
+          graft.operators.H264.decodeInter(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nSkipped, f.mvAbsSum)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height", "luma_sum",
+          "chroma_sum", "weighted_sum", "n_skipped", "mv_abs_sum")
+        .orderBy($"doc_id")
+    },
+
+    // PARTITIONED multi-ref B macroblocks — 16x8/8x16 partitions each
+    // carrying their OWN te(v)-coded ref_idx_l0 (the two partitions
+    // of one MB usually read DIFFERENT DPB pictures), with
+    // per-reference mvs so the refIdx-aware §8.4.1.3 directional
+    // prediction genuinely changes the mvds. With q224/q225 this
+    // leaves multi-ref B_8x8 as the only multi-ref refusal in the
+    // B-slice layer.
+    "q226_h264_bparts_multiref" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 0)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbW = 2 + (id % 3).toInt
+          val mbH = 1 + (id % 3).toInt
+          val st = graft.operators.H264.synthesizeH264BPartsMultiRef(mbW, mbH, id)
+          graft.operators.H264.decodeInter(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nSkipped, f.mvAbsSum)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height", "luma_sum",
+          "chroma_sum", "weighted_sum", "n_skipped", "mv_abs_sum")
+        .orderBy($"doc_id")
+    },
+
     // Audio resampling — the rate-normalization step between decode
     // and feature extraction: symmetric integer FIR low-pass
     // (Σtaps = 16, exact unity DC gain) + decimate 2x with edge
@@ -6020,6 +6097,407 @@ object Pipeline {
         |    AS mv_abs_sum
         |FROM d JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
         |JOIN sk ON sk.id = d.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeH264TemporalDirectDeep: f1 = f0 @ 4(s0,s1),
+    // f2 = PER-MB (kind = (id+2+mx+my)%2) f1/f0 @ 8(s2,s3), f3 = f2 @
+    // 4(s4,s5); the temporal-direct B mixes the two colocated
+    // mappings per MB: kind 0 → (f1@20(s2,s3) + f2@12(s2,s3) + 1)//2
+    // (DSF 640 over td 2), kind 1 → (f0@14(s2,s3) + f2@6(s2,s3) +
+    // 1)//2 (DSF 448 over td 4). Chroma at half resolution/half
+    // displacement. mv_abs_sum = P frames (32+64+32 per MB) + per-MB
+    // 16 blocks × (80+80+48+48 | 56+56+24+24).
+    "q224_h264_temporal_deep" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(2 + doc_id % 3 AS INTEGER) AS mbw,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh
+        |  FROM documents WHERE doc_id % 4 = 1),
+        |sg AS (SELECT id, mbw, mbh,
+        |    CAST(1 - 2 * ((id // 1) % 2) AS INTEGER) AS s0,
+        |    CAST(1 - 2 * ((id // 2) % 2) AS INTEGER) AS s1,
+        |    CAST(1 - 2 * ((id // 4) % 2) AS INTEGER) AS s2,
+        |    CAST(1 - 2 * ((id // 8) % 2) AS INTEGER) AS s3,
+        |    CAST(1 - 2 * ((id // 16) % 2) AS INTEGER) AS s4,
+        |    CAST(1 - 2 * ((id // 32) % 2) AS INTEGER) AS s5
+        |  FROM d),
+        |px AS (SELECT id, mbw, mbh, s0, s1, s2, s3, s4, s5, x.i AS x, y.i AS y
+        |  FROM sg,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbh - 1)) AS i) y),
+        |f0 AS (SELECT id, x, y, (id + x + 2 * y) % 251 AS v FROM px),
+        |f1 AS (SELECT p.id, p.x, p.y, f0.v FROM px p JOIN f0 ON f0.id = p.id
+        |  AND f0.x = least(greatest(p.x + 4 * p.s0, 0), 16 * p.mbw - 1)
+        |  AND f0.y = least(greatest(p.y + 4 * p.s1, 0), 16 * p.mbh - 1)),
+        |f2 AS (SELECT p.id, p.x, p.y,
+        |    CASE WHEN (p.id + 2 + (p.x // 16) + (p.y // 16)) % 2 = 0
+        |      THEN a.v ELSE b.v END AS v
+        |  FROM px p
+        |  JOIN f1 a ON a.id = p.id
+        |    AND a.x = least(greatest(p.x + 8 * p.s2, 0), 16 * p.mbw - 1)
+        |    AND a.y = least(greatest(p.y + 8 * p.s3, 0), 16 * p.mbh - 1)
+        |  JOIN f0 b ON b.id = p.id
+        |    AND b.x = least(greatest(p.x + 8 * p.s2, 0), 16 * p.mbw - 1)
+        |    AND b.y = least(greatest(p.y + 8 * p.s3, 0), 16 * p.mbh - 1)),
+        |f3 AS (SELECT p.id, p.x, p.y, f2.v FROM px p JOIN f2 ON f2.id = p.id
+        |  AND f2.x = least(greatest(p.x + 4 * p.s4, 0), 16 * p.mbw - 1)
+        |  AND f2.y = least(greatest(p.y + 4 * p.s5, 0), 16 * p.mbh - 1)),
+        |f4 AS (SELECT p.id, p.x, p.y,
+        |    CASE WHEN (p.id + 2 + (p.x // 16) + (p.y // 16)) % 2 = 0
+        |      THEN (a.v + b.v + 1) // 2 ELSE (c.v + e.v + 1) // 2 END AS v
+        |  FROM px p
+        |  JOIN f1 a ON a.id = p.id
+        |    AND a.x = least(greatest(p.x + 20 * p.s2, 0), 16 * p.mbw - 1)
+        |    AND a.y = least(greatest(p.y + 20 * p.s3, 0), 16 * p.mbh - 1)
+        |  JOIN f2 b ON b.id = p.id
+        |    AND b.x = least(greatest(p.x + 12 * p.s2, 0), 16 * p.mbw - 1)
+        |    AND b.y = least(greatest(p.y + 12 * p.s3, 0), 16 * p.mbh - 1)
+        |  JOIN f0 c ON c.id = p.id
+        |    AND c.x = least(greatest(p.x + 14 * p.s2, 0), 16 * p.mbw - 1)
+        |    AND c.y = least(greatest(p.y + 14 * p.s3, 0), 16 * p.mbh - 1)
+        |  JOIN f2 e ON e.id = p.id
+        |    AND e.x = least(greatest(p.x + 6 * p.s2, 0), 16 * p.mbw - 1)
+        |    AND e.y = least(greatest(p.y + 6 * p.s3, 0), 16 * p.mbh - 1)),
+        |cpx AS (SELECT id, mbw, mbh, s0, s1, s2, s3, s4, s5,
+        |    pl.p AS pl, x.i AS x, y.i AS y
+        |  FROM sg,
+        |  LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbh - 1)) AS i) y),
+        |c0 AS (SELECT id, pl, x, y,
+        |    (CASE WHEN pl = 0 THEN id + 2 * x + y
+        |          ELSE 3 * id + x + 2 * y END) % 251 AS v FROM cpx),
+        |c1 AS (SELECT p.id, p.pl, p.x, p.y, c0.v FROM cpx p
+        |  JOIN c0 ON c0.id = p.id AND c0.pl = p.pl
+        |    AND c0.x = least(greatest(p.x + 2 * p.s0, 0), 8 * p.mbw - 1)
+        |    AND c0.y = least(greatest(p.y + 2 * p.s1, 0), 8 * p.mbh - 1)),
+        |c2 AS (SELECT p.id, p.pl, p.x, p.y,
+        |    CASE WHEN (p.id + 2 + (p.x // 8) + (p.y // 8)) % 2 = 0
+        |      THEN a.v ELSE b.v END AS v
+        |  FROM cpx p
+        |  JOIN c1 a ON a.id = p.id AND a.pl = p.pl
+        |    AND a.x = least(greatest(p.x + 4 * p.s2, 0), 8 * p.mbw - 1)
+        |    AND a.y = least(greatest(p.y + 4 * p.s3, 0), 8 * p.mbh - 1)
+        |  JOIN c0 b ON b.id = p.id AND b.pl = p.pl
+        |    AND b.x = least(greatest(p.x + 4 * p.s2, 0), 8 * p.mbw - 1)
+        |    AND b.y = least(greatest(p.y + 4 * p.s3, 0), 8 * p.mbh - 1)),
+        |c3 AS (SELECT p.id, p.pl, p.x, p.y, c2.v FROM cpx p
+        |  JOIN c2 ON c2.id = p.id AND c2.pl = p.pl
+        |    AND c2.x = least(greatest(p.x + 2 * p.s4, 0), 8 * p.mbw - 1)
+        |    AND c2.y = least(greatest(p.y + 2 * p.s5, 0), 8 * p.mbh - 1)),
+        |c4 AS (SELECT p.id, p.pl, p.x, p.y,
+        |    CASE WHEN (p.id + 2 + (p.x // 8) + (p.y // 8)) % 2 = 0
+        |      THEN (a.v + b.v + 1) // 2 ELSE (c.v + e.v + 1) // 2 END AS v
+        |  FROM cpx p
+        |  JOIN c1 a ON a.id = p.id AND a.pl = p.pl
+        |    AND a.x = least(greatest(p.x + 10 * p.s2, 0), 8 * p.mbw - 1)
+        |    AND a.y = least(greatest(p.y + 10 * p.s3, 0), 8 * p.mbh - 1)
+        |  JOIN c2 b ON b.id = p.id AND b.pl = p.pl
+        |    AND b.x = least(greatest(p.x + 6 * p.s2, 0), 8 * p.mbw - 1)
+        |    AND b.y = least(greatest(p.y + 6 * p.s3, 0), 8 * p.mbh - 1)
+        |  JOIN c0 c ON c.id = p.id AND c.pl = p.pl
+        |    AND c.x = least(greatest(p.x + 7 * p.s2, 0), 8 * p.mbw - 1)
+        |    AND c.y = least(greatest(p.y + 7 * p.s3, 0), 8 * p.mbh - 1)
+        |  JOIN c2 e ON e.id = p.id AND e.pl = p.pl
+        |    AND e.x = least(greatest(p.x + 3 * p.s2, 0), 8 * p.mbw - 1)
+        |    AND e.y = least(greatest(p.y + 3 * p.s3, 0), 8 * p.mbh - 1)),
+        |ls AS (SELECT id, sum(CASE f WHEN 0 THEN v END) AS l0s,
+        |    sum(CASE f WHEN 1 THEN v END) AS l1s,
+        |    sum(CASE f WHEN 2 THEN v END) AS l2s,
+        |    sum(CASE f WHEN 3 THEN v END) AS l3s,
+        |    sum(CASE f WHEN 4 THEN v END) AS l4s
+        |  FROM (SELECT id, 0 AS f, v FROM f0
+        |    UNION ALL SELECT id, 1, v FROM f1
+        |    UNION ALL SELECT id, 2, v FROM f2
+        |    UNION ALL SELECT id, 3, v FROM f3
+        |    UNION ALL SELECT id, 4, v FROM f4) GROUP BY 1),
+        |cs AS (SELECT id, sum(CASE f WHEN 0 THEN v END) AS c0s,
+        |    sum(CASE f WHEN 1 THEN v END) AS c1s,
+        |    sum(CASE f WHEN 2 THEN v END) AS c2s,
+        |    sum(CASE f WHEN 3 THEN v END) AS c3s,
+        |    sum(CASE f WHEN 4 THEN v END) AS c4s
+        |  FROM (SELECT id, 0 AS f, v FROM c0
+        |    UNION ALL SELECT id, 1, v FROM c1
+        |    UNION ALL SELECT id, 2, v FROM c2
+        |    UNION ALL SELECT id, 3, v FROM c3
+        |    UNION ALL SELECT id, 4, v FROM c4) GROUP BY 1),
+        |mbq AS (SELECT d.id,
+        |    CAST(sum(CASE WHEN (d.id + 4 + mb.mx + 2 * mb.my) % 3 != 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS skips,
+        |    CAST(sum(CASE WHEN (d.id + 2 + mb.mx + mb.my) % 2 = 0
+        |      THEN 16 * (80 + 80 + 48 + 48)
+        |      ELSE 16 * (56 + 56 + 24 + 24) END) AS BIGINT) AS bmv
+        |  FROM d,
+        |  LATERAL (SELECT x.i AS mx, y.i AS my FROM
+        |    (SELECT unnest(generate_series(0, d.mbw - 1)) AS i) x,
+        |    (SELECT unnest(generate_series(0, d.mbh - 1)) AS i) y) mb
+        |  GROUP BY 1)
+        |SELECT d.id AS doc_id, CAST(5 AS INTEGER) AS n_frames,
+        |  16 * d.mbw AS width, 16 * d.mbh AS height,
+        |  CAST(ls.l0s + ls.l1s + ls.l2s + ls.l3s + ls.l4s
+        |    AS BIGINT) AS luma_sum,
+        |  CAST(cs.c0s + cs.c1s + cs.c2s + cs.c3s + cs.c4s
+        |    AS BIGINT) AS chroma_sum,
+        |  CAST(ls.l0s + cs.c0s + 2 * (ls.l1s + cs.c1s)
+        |    + 3 * (ls.l2s + cs.c2s) + 4 * (ls.l3s + cs.c3s)
+        |    + 5 * (ls.l4s + cs.c4s) AS BIGINT) AS weighted_sum,
+        |  mbq.skips AS n_skipped,
+        |  CAST(d.mbw * d.mbh * (32 + 64 + 32) + mbq.bmv AS BIGINT)
+        |    AS mv_abs_sum
+        |FROM d JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
+        |JOIN mbq ON mbq.id = d.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeH264BMultiRef: f1 = f0 @ 4(s0,s1), f2 = f1 @
+    // 4(s2,s3); the B picks its L0 source PER MB from [f2, f1, f0]
+    // on the (id + mx + 2my) % 3 lattice at one constant 4(s4,s5)
+    // displacement, L1 always f1 @ 4(s6,s7):
+    // b = (list0read + list1read + 1)//2. Chroma at half
+    // resolution/displacement. No skips; mv_abs = per MB 32+32 (Ps)
+    // + 64 (B: both lists).
+    "q225_h264_bmultiref" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(2 + doc_id % 3 AS INTEGER) AS mbw,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh
+        |  FROM documents WHERE doc_id % 4 = 3),
+        |sg AS (SELECT id, mbw, mbh,
+        |    CAST(1 - 2 * ((id // 1) % 2) AS INTEGER) AS s0,
+        |    CAST(1 - 2 * ((id // 2) % 2) AS INTEGER) AS s1,
+        |    CAST(1 - 2 * ((id // 4) % 2) AS INTEGER) AS s2,
+        |    CAST(1 - 2 * ((id // 8) % 2) AS INTEGER) AS s3,
+        |    CAST(1 - 2 * ((id // 16) % 2) AS INTEGER) AS s4,
+        |    CAST(1 - 2 * ((id // 32) % 2) AS INTEGER) AS s5,
+        |    CAST(1 - 2 * ((id // 64) % 2) AS INTEGER) AS s6,
+        |    CAST(1 - 2 * ((id // 128) % 2) AS INTEGER) AS s7
+        |  FROM d),
+        |px AS (SELECT id, mbw, mbh, s0, s1, s2, s3, s4, s5, s6, s7,
+        |    x.i AS x, y.i AS y
+        |  FROM sg,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbh - 1)) AS i) y),
+        |f0 AS (SELECT id, x, y, (id + x + 2 * y) % 251 AS v FROM px),
+        |f1 AS (SELECT p.id, p.x, p.y, f0.v FROM px p JOIN f0 ON f0.id = p.id
+        |  AND f0.x = least(greatest(p.x + 4 * p.s0, 0), 16 * p.mbw - 1)
+        |  AND f0.y = least(greatest(p.y + 4 * p.s1, 0), 16 * p.mbh - 1)),
+        |f2 AS (SELECT p.id, p.x, p.y, f1.v FROM px p JOIN f1 ON f1.id = p.id
+        |  AND f1.x = least(greatest(p.x + 4 * p.s2, 0), 16 * p.mbw - 1)
+        |  AND f1.y = least(greatest(p.y + 4 * p.s3, 0), 16 * p.mbh - 1)),
+        |f3 AS (SELECT p.id, p.x, p.y,
+        |    ((CASE (p.id + (p.x // 16) + 2 * (p.y // 16)) % 3
+        |      WHEN 0 THEN a2.v WHEN 1 THEN a1.v ELSE a0.v END)
+        |     + b.v + 1) // 2 AS v
+        |  FROM px p
+        |  JOIN f2 a2 ON a2.id = p.id
+        |    AND a2.x = least(greatest(p.x + 4 * p.s4, 0), 16 * p.mbw - 1)
+        |    AND a2.y = least(greatest(p.y + 4 * p.s5, 0), 16 * p.mbh - 1)
+        |  JOIN f1 a1 ON a1.id = p.id
+        |    AND a1.x = least(greatest(p.x + 4 * p.s4, 0), 16 * p.mbw - 1)
+        |    AND a1.y = least(greatest(p.y + 4 * p.s5, 0), 16 * p.mbh - 1)
+        |  JOIN f0 a0 ON a0.id = p.id
+        |    AND a0.x = least(greatest(p.x + 4 * p.s4, 0), 16 * p.mbw - 1)
+        |    AND a0.y = least(greatest(p.y + 4 * p.s5, 0), 16 * p.mbh - 1)
+        |  JOIN f1 b ON b.id = p.id
+        |    AND b.x = least(greatest(p.x + 4 * p.s6, 0), 16 * p.mbw - 1)
+        |    AND b.y = least(greatest(p.y + 4 * p.s7, 0), 16 * p.mbh - 1)),
+        |cpx AS (SELECT id, mbw, mbh, s0, s1, s2, s3, s4, s5, s6, s7,
+        |    pl.p AS pl, x.i AS x, y.i AS y
+        |  FROM sg,
+        |  LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbh - 1)) AS i) y),
+        |c0 AS (SELECT id, pl, x, y,
+        |    (CASE WHEN pl = 0 THEN id + 2 * x + y
+        |          ELSE 3 * id + x + 2 * y END) % 251 AS v FROM cpx),
+        |c1 AS (SELECT p.id, p.pl, p.x, p.y, c0.v FROM cpx p
+        |  JOIN c0 ON c0.id = p.id AND c0.pl = p.pl
+        |    AND c0.x = least(greatest(p.x + 2 * p.s0, 0), 8 * p.mbw - 1)
+        |    AND c0.y = least(greatest(p.y + 2 * p.s1, 0), 8 * p.mbh - 1)),
+        |c2 AS (SELECT p.id, p.pl, p.x, p.y, c1.v FROM cpx p
+        |  JOIN c1 ON c1.id = p.id AND c1.pl = p.pl
+        |    AND c1.x = least(greatest(p.x + 2 * p.s2, 0), 8 * p.mbw - 1)
+        |    AND c1.y = least(greatest(p.y + 2 * p.s3, 0), 8 * p.mbh - 1)),
+        |c3 AS (SELECT p.id, p.pl, p.x, p.y,
+        |    ((CASE (p.id + (p.x // 8) + 2 * (p.y // 8)) % 3
+        |      WHEN 0 THEN a2.v WHEN 1 THEN a1.v ELSE a0.v END)
+        |     + b.v + 1) // 2 AS v
+        |  FROM cpx p
+        |  JOIN c2 a2 ON a2.id = p.id AND a2.pl = p.pl
+        |    AND a2.x = least(greatest(p.x + 2 * p.s4, 0), 8 * p.mbw - 1)
+        |    AND a2.y = least(greatest(p.y + 2 * p.s5, 0), 8 * p.mbh - 1)
+        |  JOIN c1 a1 ON a1.id = p.id AND a1.pl = p.pl
+        |    AND a1.x = least(greatest(p.x + 2 * p.s4, 0), 8 * p.mbw - 1)
+        |    AND a1.y = least(greatest(p.y + 2 * p.s5, 0), 8 * p.mbh - 1)
+        |  JOIN c0 a0 ON a0.id = p.id AND a0.pl = p.pl
+        |    AND a0.x = least(greatest(p.x + 2 * p.s4, 0), 8 * p.mbw - 1)
+        |    AND a0.y = least(greatest(p.y + 2 * p.s5, 0), 8 * p.mbh - 1)
+        |  JOIN c1 b ON b.id = p.id AND b.pl = p.pl
+        |    AND b.x = least(greatest(p.x + 2 * p.s6, 0), 8 * p.mbw - 1)
+        |    AND b.y = least(greatest(p.y + 2 * p.s7, 0), 8 * p.mbh - 1)),
+        |ls AS (SELECT id, sum(CASE f WHEN 0 THEN v END) AS l0s,
+        |    sum(CASE f WHEN 1 THEN v END) AS l1s,
+        |    sum(CASE f WHEN 2 THEN v END) AS l2s,
+        |    sum(CASE f WHEN 3 THEN v END) AS l3s
+        |  FROM (SELECT id, 0 AS f, v FROM f0
+        |    UNION ALL SELECT id, 1, v FROM f1
+        |    UNION ALL SELECT id, 2, v FROM f2
+        |    UNION ALL SELECT id, 3, v FROM f3) GROUP BY 1),
+        |cs AS (SELECT id, sum(CASE f WHEN 0 THEN v END) AS c0s,
+        |    sum(CASE f WHEN 1 THEN v END) AS c1s,
+        |    sum(CASE f WHEN 2 THEN v END) AS c2s,
+        |    sum(CASE f WHEN 3 THEN v END) AS c3s
+        |  FROM (SELECT id, 0 AS f, v FROM c0
+        |    UNION ALL SELECT id, 1, v FROM c1
+        |    UNION ALL SELECT id, 2, v FROM c2
+        |    UNION ALL SELECT id, 3, v FROM c3) GROUP BY 1)
+        |SELECT d.id AS doc_id, CAST(4 AS INTEGER) AS n_frames,
+        |  16 * d.mbw AS width, 16 * d.mbh AS height,
+        |  CAST(ls.l0s + ls.l1s + ls.l2s + ls.l3s AS BIGINT) AS luma_sum,
+        |  CAST(cs.c0s + cs.c1s + cs.c2s + cs.c3s AS BIGINT) AS chroma_sum,
+        |  CAST(ls.l0s + cs.c0s + 2 * (ls.l1s + cs.c1s)
+        |    + 3 * (ls.l2s + cs.c2s) + 4 * (ls.l3s + cs.c3s) AS BIGINT)
+        |    AS weighted_sum,
+        |  CAST(0 AS BIGINT) AS n_skipped,
+        |  CAST(d.mbw * d.mbh * (32 + 32 + 64) AS BIGINT) AS mv_abs_sum
+        |FROM d JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeH264BPartsMultiRef: f1 = f0 @ 4(s0,s1), f2 =
+    // f1 @ 4(s2,s3); the B's partitions pick their L0 source PER
+    // PARTITION — kind = (id+mx+2my)%4 selects 16x8/8x16 ×
+    // L0L0/BiBi, part = the 8-px half, r = (id+mx+2my+part)%3 over
+    // [f2@4(s4,s5), f1@4(s6,s7), f0@4(s8,s9)] — and BiBi averages in
+    // f1 @ 4(s10,s11). mv_abs = 2 P frames × 32/MB + per MB
+    // (BiBi 128 | L0L0 64).
+    "q226_h264_bparts_multiref" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(2 + doc_id % 3 AS INTEGER) AS mbw,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |sg AS (SELECT id, mbw, mbh,
+        |    CAST(1 - 2 * ((id // 1) % 2) AS INTEGER) AS s0,
+        |    CAST(1 - 2 * ((id // 2) % 2) AS INTEGER) AS s1,
+        |    CAST(1 - 2 * ((id // 4) % 2) AS INTEGER) AS s2,
+        |    CAST(1 - 2 * ((id // 8) % 2) AS INTEGER) AS s3,
+        |    CAST(1 - 2 * ((id // 16) % 2) AS INTEGER) AS s4,
+        |    CAST(1 - 2 * ((id // 32) % 2) AS INTEGER) AS s5,
+        |    CAST(1 - 2 * ((id // 64) % 2) AS INTEGER) AS s6,
+        |    CAST(1 - 2 * ((id // 128) % 2) AS INTEGER) AS s7,
+        |    CAST(1 - 2 * ((id // 256) % 2) AS INTEGER) AS s8,
+        |    CAST(1 - 2 * ((id // 512) % 2) AS INTEGER) AS s9,
+        |    CAST(1 - 2 * ((id // 1024) % 2) AS INTEGER) AS s10,
+        |    CAST(1 - 2 * ((id // 2048) % 2) AS INTEGER) AS s11
+        |  FROM d),
+        |px AS (SELECT sg.*, x.i AS x, y.i AS y
+        |  FROM sg,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbh - 1)) AS i) y),
+        |f0 AS (SELECT id, x, y, (id + x + 2 * y) % 251 AS v FROM px),
+        |f1 AS (SELECT p.id, p.x, p.y, f0.v FROM px p JOIN f0 ON f0.id = p.id
+        |  AND f0.x = least(greatest(p.x + 4 * p.s0, 0), 16 * p.mbw - 1)
+        |  AND f0.y = least(greatest(p.y + 4 * p.s1, 0), 16 * p.mbh - 1)),
+        |f2 AS (SELECT p.id, p.x, p.y, f1.v FROM px p JOIN f1 ON f1.id = p.id
+        |  AND f1.x = least(greatest(p.x + 4 * p.s2, 0), 16 * p.mbw - 1)
+        |  AND f1.y = least(greatest(p.y + 4 * p.s3, 0), 16 * p.mbh - 1)),
+        |f3 AS (SELECT p.id, p.x, p.y,
+        |    CASE WHEN (p.id + (p.x // 16) + 2 * (p.y // 16)) % 4 >= 2
+        |      THEN ((CASE (p.id + (p.x // 16) + 2 * (p.y // 16)
+        |          + (CASE WHEN (p.id + (p.x // 16) + 2 * (p.y // 16)) % 2 = 0
+        |             THEN (p.y % 16) // 8 ELSE (p.x % 16) // 8 END)) % 3
+        |        WHEN 0 THEN a2.v WHEN 1 THEN a1.v ELSE a0.v END)
+        |        + b.v + 1) // 2
+        |      ELSE (CASE (p.id + (p.x // 16) + 2 * (p.y // 16)
+        |          + (CASE WHEN (p.id + (p.x // 16) + 2 * (p.y // 16)) % 2 = 0
+        |             THEN (p.y % 16) // 8 ELSE (p.x % 16) // 8 END)) % 3
+        |        WHEN 0 THEN a2.v WHEN 1 THEN a1.v ELSE a0.v END)
+        |    END AS v
+        |  FROM px p
+        |  JOIN f2 a2 ON a2.id = p.id
+        |    AND a2.x = least(greatest(p.x + 4 * p.s4, 0), 16 * p.mbw - 1)
+        |    AND a2.y = least(greatest(p.y + 4 * p.s5, 0), 16 * p.mbh - 1)
+        |  JOIN f1 a1 ON a1.id = p.id
+        |    AND a1.x = least(greatest(p.x + 4 * p.s6, 0), 16 * p.mbw - 1)
+        |    AND a1.y = least(greatest(p.y + 4 * p.s7, 0), 16 * p.mbh - 1)
+        |  JOIN f0 a0 ON a0.id = p.id
+        |    AND a0.x = least(greatest(p.x + 4 * p.s8, 0), 16 * p.mbw - 1)
+        |    AND a0.y = least(greatest(p.y + 4 * p.s9, 0), 16 * p.mbh - 1)
+        |  JOIN f1 b ON b.id = p.id
+        |    AND b.x = least(greatest(p.x + 4 * p.s10, 0), 16 * p.mbw - 1)
+        |    AND b.y = least(greatest(p.y + 4 * p.s11, 0), 16 * p.mbh - 1)),
+        |cpx AS (SELECT sg.*, pl.p AS pl, x.i AS x, y.i AS y
+        |  FROM sg,
+        |  LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbh - 1)) AS i) y),
+        |c0 AS (SELECT id, pl, x, y,
+        |    (CASE WHEN pl = 0 THEN id + 2 * x + y
+        |          ELSE 3 * id + x + 2 * y END) % 251 AS v FROM cpx),
+        |c1 AS (SELECT p.id, p.pl, p.x, p.y, c0.v FROM cpx p
+        |  JOIN c0 ON c0.id = p.id AND c0.pl = p.pl
+        |    AND c0.x = least(greatest(p.x + 2 * p.s0, 0), 8 * p.mbw - 1)
+        |    AND c0.y = least(greatest(p.y + 2 * p.s1, 0), 8 * p.mbh - 1)),
+        |c2 AS (SELECT p.id, p.pl, p.x, p.y, c1.v FROM cpx p
+        |  JOIN c1 ON c1.id = p.id AND c1.pl = p.pl
+        |    AND c1.x = least(greatest(p.x + 2 * p.s2, 0), 8 * p.mbw - 1)
+        |    AND c1.y = least(greatest(p.y + 2 * p.s3, 0), 8 * p.mbh - 1)),
+        |c3 AS (SELECT p.id, p.pl, p.x, p.y,
+        |    CASE WHEN (p.id + (p.x // 8) + 2 * (p.y // 8)) % 4 >= 2
+        |      THEN ((CASE (p.id + (p.x // 8) + 2 * (p.y // 8)
+        |          + (CASE WHEN (p.id + (p.x // 8) + 2 * (p.y // 8)) % 2 = 0
+        |             THEN (p.y % 8) // 4 ELSE (p.x % 8) // 4 END)) % 3
+        |        WHEN 0 THEN a2.v WHEN 1 THEN a1.v ELSE a0.v END)
+        |        + b.v + 1) // 2
+        |      ELSE (CASE (p.id + (p.x // 8) + 2 * (p.y // 8)
+        |          + (CASE WHEN (p.id + (p.x // 8) + 2 * (p.y // 8)) % 2 = 0
+        |             THEN (p.y % 8) // 4 ELSE (p.x % 8) // 4 END)) % 3
+        |        WHEN 0 THEN a2.v WHEN 1 THEN a1.v ELSE a0.v END)
+        |    END AS v
+        |  FROM cpx p
+        |  JOIN c2 a2 ON a2.id = p.id AND a2.pl = p.pl
+        |    AND a2.x = least(greatest(p.x + 2 * p.s4, 0), 8 * p.mbw - 1)
+        |    AND a2.y = least(greatest(p.y + 2 * p.s5, 0), 8 * p.mbh - 1)
+        |  JOIN c1 a1 ON a1.id = p.id AND a1.pl = p.pl
+        |    AND a1.x = least(greatest(p.x + 2 * p.s6, 0), 8 * p.mbw - 1)
+        |    AND a1.y = least(greatest(p.y + 2 * p.s7, 0), 8 * p.mbh - 1)
+        |  JOIN c0 a0 ON a0.id = p.id AND a0.pl = p.pl
+        |    AND a0.x = least(greatest(p.x + 2 * p.s8, 0), 8 * p.mbw - 1)
+        |    AND a0.y = least(greatest(p.y + 2 * p.s9, 0), 8 * p.mbh - 1)
+        |  JOIN c1 b ON b.id = p.id AND b.pl = p.pl
+        |    AND b.x = least(greatest(p.x + 2 * p.s10, 0), 8 * p.mbw - 1)
+        |    AND b.y = least(greatest(p.y + 2 * p.s11, 0), 8 * p.mbh - 1)),
+        |ls AS (SELECT id, sum(CASE f WHEN 0 THEN v END) AS l0s,
+        |    sum(CASE f WHEN 1 THEN v END) AS l1s,
+        |    sum(CASE f WHEN 2 THEN v END) AS l2s,
+        |    sum(CASE f WHEN 3 THEN v END) AS l3s
+        |  FROM (SELECT id, 0 AS f, v FROM f0
+        |    UNION ALL SELECT id, 1, v FROM f1
+        |    UNION ALL SELECT id, 2, v FROM f2
+        |    UNION ALL SELECT id, 3, v FROM f3) GROUP BY 1),
+        |cs AS (SELECT id, sum(CASE f WHEN 0 THEN v END) AS c0s,
+        |    sum(CASE f WHEN 1 THEN v END) AS c1s,
+        |    sum(CASE f WHEN 2 THEN v END) AS c2s,
+        |    sum(CASE f WHEN 3 THEN v END) AS c3s
+        |  FROM (SELECT id, 0 AS f, v FROM c0
+        |    UNION ALL SELECT id, 1, v FROM c1
+        |    UNION ALL SELECT id, 2, v FROM c2
+        |    UNION ALL SELECT id, 3, v FROM c3) GROUP BY 1),
+        |ma AS (SELECT d.id,
+        |    CAST(sum(CASE WHEN (d.id + mb.mx + 2 * mb.my) % 4 >= 2
+        |      THEN 128 ELSE 64 END) AS BIGINT) AS bmv
+        |  FROM d,
+        |  LATERAL (SELECT x.i AS mx, y.i AS my FROM
+        |    (SELECT unnest(generate_series(0, d.mbw - 1)) AS i) x,
+        |    (SELECT unnest(generate_series(0, d.mbh - 1)) AS i) y) mb
+        |  GROUP BY 1)
+        |SELECT d.id AS doc_id, CAST(4 AS INTEGER) AS n_frames,
+        |  16 * d.mbw AS width, 16 * d.mbh AS height,
+        |  CAST(ls.l0s + ls.l1s + ls.l2s + ls.l3s AS BIGINT) AS luma_sum,
+        |  CAST(cs.c0s + cs.c1s + cs.c2s + cs.c3s AS BIGINT) AS chroma_sum,
+        |  CAST(ls.l0s + cs.c0s + 2 * (ls.l1s + cs.c1s)
+        |    + 3 * (ls.l2s + cs.c2s) + 4 * (ls.l3s + cs.c3s) AS BIGINT)
+        |    AS weighted_sum,
+        |  CAST(0 AS BIGINT) AS n_skipped,
+        |  CAST(2 * d.mbw * d.mbh * 32 + ma.bmv AS BIGINT) AS mv_abs_sum
+        |FROM d JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
+        |JOIN ma ON ma.id = d.id
         |ORDER BY doc_id""".stripMargin,
 
     // mirrors synthesizeH264BDirect at nf=4: f1 shifts the PCM

@@ -2482,4 +2482,312 @@ class H264Spec extends AnyFunSuite {
       assert(m.mvAbsSum == expMvAbs, s"seed=$seed mvAbs ${m.mvAbsSum} vs $expMvAbs")
     }
   }
+
+  test("temporal direct over a 4-deep DPB: colocated list0[1] resolves with its own DistScaleFactor") {
+    // the q224 family vs a derivation REWRITTEN here: the colocated
+    // P2m is a MULTI-REF frame, so one B picture mixes two mappings —
+    // refIdxCol 0 → dpb(2) (DSF 640, mvL0 ±80 / mvL1 ±48) and
+    // refIdxCol 1 → dpb(3) (DSF 448, mvL0 ±56 / mvL1 ±24), the case
+    // the 3-picture DPB refused. No call into the decoder's own
+    // derivation.
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val w = mbW * 16; val h = mbH * 16
+      val frames = scala.collection.mutable.ArrayBuffer[H264.FrameState]()
+      val mo = H264.decodeInter(
+        H264.synthesizeH264TemporalDirectDeep(mbW, mbH, seed), frames += _)
+      assert(mo.isDefined, s"seed=$seed decode failed")
+      val m = mo.get
+      assert(m.nFrames == 5)
+      def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      def sgn(bit: Int): Int = 1 - 2 * (((seed >> bit) % 2).toInt & 1)
+      val qp1 = (16 * sgn(0), 16 * sgn(1))
+      val qp2 = (32 * sgn(2), 32 * sgn(3))
+      val qp3 = (16 * sgn(4), 16 * sgn(5))
+      // independent §8.4.1.2.3 scaling (type-2 POCs: 0,2,4,6; B at 7)
+      def scale(currPoc: Int, colPoc: Int, refPoc: Int,
+          mvCol: (Int, Int)): ((Int, Int), (Int, Int)) = {
+        def c3(v: Int, lo: Int, hi: Int) = math.max(lo, math.min(hi, v))
+        val tb = c3(currPoc - refPoc, -128, 127)
+        val td = c3(colPoc - refPoc, -128, 127)
+        val tx = (16384 + math.abs(td / 2)) / td
+        val dsf = c3((tb * tx + 32) >> 6, -1024, 1023)
+        val m0 = ((dsf * mvCol._1 + 128) >> 8, (dsf * mvCol._2 + 128) >> 8)
+        (m0, (m0._1 - mvCol._1, m0._2 - mvCol._2))
+      }
+      val (k00, k01) = scale(7, 4, 2, qp2) // refIdxCol 0 → P1 (dpb 2)
+      val (k10, k11) = scale(7, 4, 0, qp2) // refIdxCol 1 → IDR (dpb 3)
+      assert(math.abs(k00._1) == 80 && math.abs(k01._1) == 48)
+      assert(math.abs(k10._1) == 56 && math.abs(k11._1) == 24)
+      // all integer-sample, luma AND chroma
+      Seq(k00, k01, k10, k11).foreach { mv =>
+        assert(mv._1 % 8 == 0 && mv._2 % 8 == 0)
+      }
+      // frame chain with PER-MB mixing on the synthMrRef lattice
+      def mbKind(px: Int, py: Int, mbPix: Int): Int =
+        H264.synthMrRef(seed, 2, px / mbPix, py / mbPix)
+      def shift(p: Array[Array[Int]], dx: Int, dy: Int) = {
+        val hh = p.length; val ww = p(0).length
+        Array.tabulate(hh, ww)((y, x) =>
+          p(clamp(y + dy, hh - 1))(clamp(x + dx, ww - 1)))
+      }
+      def mixed(a: Array[Array[Int]], b: Array[Array[Int]], mbPix: Int) =
+        Array.tabulate(a.length, a(0).length)((y, x) =>
+          if (mbKind(x, y, mbPix) == 0) a(y)(x) else b(y)(x))
+      def avg(a: Array[Array[Int]], b: Array[Array[Int]]) =
+        Array.tabulate(a.length, a(0).length)((y, x) => (a(y)(x) + b(y)(x) + 1) >> 1)
+      def mc(p: Array[Array[Int]], mv: (Int, Int), div: Int) =
+        shift(p, mv._1 / div, mv._2 / div)
+      val l0 = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      val cB0 = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+      val cR0 = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+      val l1 = mc(l0, qp1, 4); val cB1 = mc(cB0, qp1, 8); val cR1 = mc(cR0, qp1, 8)
+      val l2 = mixed(mc(l1, qp2, 4), mc(l0, qp2, 4), 16)
+      val cB2 = mixed(mc(cB1, qp2, 8), mc(cB0, qp2, 8), 8)
+      val cR2 = mixed(mc(cR1, qp2, 8), mc(cR0, qp2, 8), 8)
+      val l3 = mc(l2, qp3, 4); val cB3 = mc(cB2, qp3, 8); val cR3 = mc(cR2, qp3, 8)
+      val l4 = mixed(avg(mc(l1, k00, 4), mc(l2, k01, 4)),
+        avg(mc(l0, k10, 4), mc(l2, k11, 4)), 16)
+      val cB4 = mixed(avg(mc(cB1, k00, 8), mc(cB2, k01, 8)),
+        avg(mc(cB0, k10, 8), mc(cB2, k11, 8)), 8)
+      val cR4 = mixed(avg(mc(cR1, k00, 8), mc(cR2, k01, 8)),
+        avg(mc(cR0, k10, 8), mc(cR2, k11, 8)), 8)
+      val ls = Seq(l0, l1, l2, l3, l4)
+      val cbs = Seq(cB0, cB1, cB2, cB3, cB4)
+      val crs = Seq(cR0, cR1, cR2, cR3, cR4)
+      assert(frames.length == 5)
+      frames.zipWithIndex.foreach { case (fs, i) =>
+        for (y <- 0 until h; x <- 0 until w)
+          assert(fs.luma(y * w + x) == ls(i)(y)(x),
+            s"seed=$seed frame $i luma ($x,$y)")
+        for (y <- 0 until h / 2; x <- 0 until w / 2) {
+          assert(fs.cb(y * (w / 2) + x) == cbs(i)(y)(x), s"seed=$seed frame $i cb")
+          assert(fs.cr(y * (w / 2) + x) == crs(i)(y)(x), s"seed=$seed frame $i cr")
+        }
+      }
+      // stamped motion field of the B: refIdxL0 follows the mapping
+      // (2 for kind-0 blocks, 3 — the new case — for kind-1)
+      val bf = frames(4)
+      for (by <- 0 until 4 * mbH; bx <- 0 until 4 * mbW) {
+        val b = by * 4 * mbW + bx
+        if (mbKind(bx, by, 4) == 0) {
+          assert(bf.mvs0(b) == k00 && bf.refs0(b) == 2,
+            s"seed=$seed blk $b L0 ${bf.mvs0(b)}/${bf.refs0(b)}")
+          assert(bf.mvs1(b) == k01 && bf.refs1(b) == 0)
+        } else {
+          assert(bf.mvs0(b) == k10 && bf.refs0(b) == 3,
+            s"seed=$seed blk $b L0 ${bf.mvs0(b)}/${bf.refs0(b)}")
+          assert(bf.mvs1(b) == k11 && bf.refs1(b) == 0)
+        }
+      }
+      // aggregate cross-checks
+      var wl = 0L; var wc = 0L; var ww2 = 0L
+      for (i <- 0 until 5) {
+        var fl = 0L; ls(i).foreach(_.foreach(fl += _))
+        var fc = 0L; cbs(i).foreach(_.foreach(fc += _)); crs(i).foreach(_.foreach(fc += _))
+        wl += fl; wc += fc; ww2 += (i + 1L) * (fl + fc)
+      }
+      assert(m.lumaSum == wl, s"seed=$seed luma ${m.lumaSum} vs $wl")
+      assert(m.chromaSum == wc, s"seed=$seed chroma")
+      assert(m.weightedSum == ww2, s"seed=$seed weighted")
+      var skips = 0L
+      for (my <- 0 until mbH; mx <- 0 until mbW)
+        if (!H264.synthBDirCoded(seed, 4, mx, my)) skips += 1
+      assert(m.nSkipped == skips, s"seed=$seed skips")
+      var expMvAbs = 0L
+      expMvAbs += mbW.toLong * mbH * 32L          // P1
+      expMvAbs += mbW.toLong * mbH * 64L          // P2m (|32|+|32|)
+      expMvAbs += mbW.toLong * mbH * 32L          // P3
+      for (my <- 0 until mbH; mx <- 0 until mbW)  // B, per 4x4 block
+        expMvAbs +=
+          (if (H264.synthMrRef(seed, 2, mx, my) == 0) 16L * (80 + 80 + 48 + 48)
+           else 16L * (56 + 56 + 24 + 24))
+      assert(m.mvAbsSum == expMvAbs, s"seed=$seed mvAbs ${m.mvAbsSum} vs $expMvAbs")
+    }
+  }
+
+  test("explicit multi-ref B 16x16: te-coded ref_idx selects any of three DPB pictures") {
+    // the q225 family vs an independent reconstruction: every B MB is
+    // B_Bi_16x16 with a real ue-coded ref_idx_l0 over list0 =
+    // [P2, P1, IDR] (the case the MB layer refused before the
+    // indexed DPB), L1 fixed at the post-swap list1[0] = P1
+    var hitRef2 = false
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val w = mbW * 16; val h = mbH * 16
+      val frames = scala.collection.mutable.ArrayBuffer[H264.FrameState]()
+      val mo = H264.decodeInter(
+        H264.synthesizeH264BMultiRef(mbW, mbH, seed), frames += _)
+      assert(mo.isDefined, s"seed=$seed decode failed")
+      val m = mo.get
+      assert(m.nFrames == 4 && frames.length == 4)
+      def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      def sgn(bit: Int): Int = 1 - 2 * (((seed >> bit) % 2).toInt & 1)
+      val qp1 = (16 * sgn(0), 16 * sgn(1))
+      val qp2 = (16 * sgn(2), 16 * sgn(3))
+      val qb0 = (16 * sgn(4), 16 * sgn(5))
+      val qb1 = (16 * sgn(6), 16 * sgn(7))
+      def shift(p: Array[Array[Int]], dx: Int, dy: Int) = {
+        val hh = p.length; val ww = p(0).length
+        Array.tabulate(hh, ww)((y, x) =>
+          p(clamp(y + dy, hh - 1))(clamp(x + dx, ww - 1)))
+      }
+      def mc(p: Array[Array[Int]], mv: (Int, Int), div: Int) =
+        shift(p, mv._1 / div, mv._2 / div)
+      val l0 = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      val cB0 = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+      val cR0 = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+      val l1 = mc(l0, qp1, 4); val cB1 = mc(cB0, qp1, 8); val cR1 = mc(cR0, qp1, 8)
+      val l2 = mc(l1, qp2, 4); val cB2 = mc(cB1, qp2, 8); val cR2 = mc(cR1, qp2, 8)
+      // B: per-MB list0 source on the synthBMrRef lattice, list1 = P1
+      def bi(srcs: Seq[Array[Array[Int]]], l1src: Array[Array[Int]], mbPix: Int) = {
+        val a = srcs.map(s => mc(s, qb0, if (mbPix == 16) 4 else 8))
+        val b = mc(l1src, qb1, if (mbPix == 16) 4 else 8)
+        Array.tabulate(l1src.length, l1src(0).length) { (y, x) =>
+          val r = H264.synthBMrRef(seed, x / mbPix, y / mbPix)
+          (a(r)(y)(x) + b(y)(x) + 1) >> 1
+        }
+      }
+      val l3 = bi(Seq(l2, l1, l0), l1, 16)
+      val cB3 = bi(Seq(cB2, cB1, cB0), cB1, 8)
+      val cR3 = bi(Seq(cR2, cR1, cR0), cR1, 8)
+      val ls = Seq(l0, l1, l2, l3)
+      val cbs = Seq(cB0, cB1, cB2, cB3)
+      val crs = Seq(cR0, cR1, cR2, cR3)
+      frames.zipWithIndex.foreach { case (fs, i) =>
+        for (y <- 0 until h; x <- 0 until w)
+          assert(fs.luma(y * w + x) == ls(i)(y)(x),
+            s"seed=$seed frame $i luma ($x,$y)")
+        for (y <- 0 until h / 2; x <- 0 until w / 2) {
+          assert(fs.cb(y * (w / 2) + x) == cbs(i)(y)(x), s"seed=$seed frame $i cb")
+          assert(fs.cr(y * (w / 2) + x) == crs(i)(y)(x), s"seed=$seed frame $i cr")
+        }
+      }
+      // stamped refs follow the lattice; with mbW+2*mbH ≥ 4 every
+      // stream exercises refIdx 2 (the beyond-two-aliases pick)
+      val bf = frames(3)
+      for (by <- 0 until 4 * mbH; bx <- 0 until 4 * mbW) {
+        val b = by * 4 * mbW + bx
+        val r = H264.synthBMrRef(seed, bx / 4, by / 4)
+        assert(bf.mvs0(b) == qb0 && bf.refs0(b) == r,
+          s"seed=$seed blk $b L0 ${bf.mvs0(b)}/${bf.refs0(b)} want ref $r")
+        assert(bf.mvs1(b) == qb1 && bf.refs1(b) == 0)
+      }
+      hitRef2 ||= (0 until mbH).exists(my => (0 until mbW).exists(mx =>
+        H264.synthBMrRef(seed, mx, my) == 2))
+      // aggregates
+      var wl = 0L; var wc = 0L; var ww2 = 0L
+      for (i <- 0 until 4) {
+        var fl = 0L; ls(i).foreach(_.foreach(fl += _))
+        var fc = 0L; cbs(i).foreach(_.foreach(fc += _)); crs(i).foreach(_.foreach(fc += _))
+        wl += fl; wc += fc; ww2 += (i + 1L) * (fl + fc)
+      }
+      assert(m.lumaSum == wl && m.chromaSum == wc && m.weightedSum == ww2,
+        s"seed=$seed sums")
+      assert(m.nSkipped == 0L)
+      assert(m.mvAbsSum == mbW.toLong * mbH * (32L + 32L + 64L),
+        s"seed=$seed mvAbs ${m.mvAbsSum}")
+    }
+    assert(hitRef2, "the seed family never exercised refIdx 2")
+  }
+
+  test("partitioned multi-ref B: per-partition te ref_idx with per-reference mvs") {
+    // the q226 family vs an independent reconstruction: 16x8/8x16
+    // MBs in (L0,L0) and (Bi,Bi) modes where each partition carries
+    // its own ue-coded ref_idx_l0 over [P2, P1, IDR] and each
+    // reference has its OWN constant mv — the refIdx-aware
+    // directional prediction rules genuinely change the mvds, and
+    // the two partitions of one MB usually read different pictures
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val w = mbW * 16; val h = mbH * 16
+      val frames = scala.collection.mutable.ArrayBuffer[H264.FrameState]()
+      val mo = H264.decodeInter(
+        H264.synthesizeH264BPartsMultiRef(mbW, mbH, seed), frames += _)
+      assert(mo.isDefined, s"seed=$seed decode failed")
+      val m = mo.get
+      assert(m.nFrames == 4 && frames.length == 4)
+      def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      def sgn(bit: Int): Int = 1 - 2 * (((seed >> bit) % 2).toInt & 1)
+      val qp1 = (16 * sgn(0), 16 * sgn(1))
+      val qp2 = (16 * sgn(2), 16 * sgn(3))
+      def q0(ref: Int) = (16 * sgn(4 + 2 * ref), 16 * sgn(5 + 2 * ref))
+      val qb1 = (16 * sgn(10), 16 * sgn(11))
+      def shift(p: Array[Array[Int]], dx: Int, dy: Int) = {
+        val hh = p.length; val ww = p(0).length
+        Array.tabulate(hh, ww)((y, x) =>
+          p(clamp(y + dy, hh - 1))(clamp(x + dx, ww - 1)))
+      }
+      def mc(p: Array[Array[Int]], mv: (Int, Int), div: Int) =
+        shift(p, mv._1 / div, mv._2 / div)
+      val l0 = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      val cB0 = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+      val cR0 = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+      val l1 = mc(l0, qp1, 4); val cB1 = mc(cB0, qp1, 8); val cR1 = mc(cR0, qp1, 8)
+      val l2 = mc(l1, qp2, 4); val cB2 = mc(cB1, qp2, 8); val cR2 = mc(cR1, qp2, 8)
+      // B: per-partition L0 source + per-ref mv; Bi adds list1 = P1
+      def bFrame(srcs: Seq[Array[Array[Int]]], l1src: Array[Array[Int]],
+          mbPix: Int, div: Int) = {
+        val a = (0 to 2).map(r => mc(srcs(r), q0(r), div))
+        val b = mc(l1src, qb1, div)
+        Array.tabulate(l1src.length, l1src(0).length) { (y, x) =>
+          val mx = x / mbPix; val my = y / mbPix
+          val kind = H264.synthBPartMrKind(seed, mx, my)
+          val part =
+            if (kind % 2 == 0) (y % mbPix) / (mbPix / 2)  // 16x8
+            else (x % mbPix) / (mbPix / 2)                // 8x16
+          val r = H264.synthBPartMrRef(seed, mx, my, part)
+          val l0read = a(r)(y)(x)
+          if (kind >= 2) (l0read + b(y)(x) + 1) >> 1 else l0read
+        }
+      }
+      val l3 = bFrame(Seq(l2, l1, l0), l1, 16, 4)
+      val cB3 = bFrame(Seq(cB2, cB1, cB0), cB1, 8, 8)
+      val cR3 = bFrame(Seq(cR2, cR1, cR0), cR1, 8, 8)
+      val ls = Seq(l0, l1, l2, l3)
+      val cbs = Seq(cB0, cB1, cB2, cB3)
+      val crs = Seq(cR0, cR1, cR2, cR3)
+      frames.zipWithIndex.foreach { case (fs, i) =>
+        for (y <- 0 until h; x <- 0 until w)
+          assert(fs.luma(y * w + x) == ls(i)(y)(x),
+            s"seed=$seed frame $i luma ($x,$y)")
+        for (y <- 0 until h / 2; x <- 0 until w / 2) {
+          assert(fs.cb(y * (w / 2) + x) == cbs(i)(y)(x), s"seed=$seed frame $i cb")
+          assert(fs.cr(y * (w / 2) + x) == crs(i)(y)(x), s"seed=$seed frame $i cr")
+        }
+      }
+      // stamped motion/ref fields follow the per-partition lattice
+      val bf = frames(3)
+      for (by <- 0 until 4 * mbH; bx <- 0 until 4 * mbW) {
+        val b = by * 4 * mbW + bx
+        val mx = bx / 4; val my = by / 4
+        val kind = H264.synthBPartMrKind(seed, mx, my)
+        val part =
+          if (kind % 2 == 0) (by % 4) / 2 else (bx % 4) / 2
+        val r = H264.synthBPartMrRef(seed, mx, my, part)
+        assert(bf.mvs0(b) == q0(r) && bf.refs0(b) == r,
+          s"seed=$seed blk $b L0 ${bf.mvs0(b)}/${bf.refs0(b)} want ref $r")
+        if (kind >= 2) assert(bf.mvs1(b) == qb1 && bf.refs1(b) == 0)
+        else assert(bf.refs1(b) == -1)
+      }
+      // aggregates
+      var wl = 0L; var wc = 0L; var ww2 = 0L
+      for (i <- 0 until 4) {
+        var fl = 0L; ls(i).foreach(_.foreach(fl += _))
+        var fc = 0L; cbs(i).foreach(_.foreach(fc += _)); crs(i).foreach(_.foreach(fc += _))
+        wl += fl; wc += fc; ww2 += (i + 1L) * (fl + fc)
+      }
+      assert(m.lumaSum == wl && m.chromaSum == wc && m.weightedSum == ww2,
+        s"seed=$seed sums")
+      assert(m.nSkipped == 0L)
+      var expMvAbs = 2L * mbW * mbH * 32L // the two P frames
+      for (my <- 0 until mbH; mx <- 0 until mbW)
+        expMvAbs +=
+          (if (H264.synthBPartMrKind(seed, mx, my) >= 2) 128L else 64L)
+      assert(m.mvAbsSum == expMvAbs, s"seed=$seed mvAbs ${m.mvAbsSum} vs $expMvAbs")
+    }
+  }
 }
