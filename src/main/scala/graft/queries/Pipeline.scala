@@ -651,6 +651,23 @@ object Pipeline {
         approx, corpus.filter($"vid" < 500), corpus, minRecall = 0.25)
     },
 
+    // MULTI-PROBE LSH (Lv et al. VLDB'07): the query side also visits
+    // its nProbe−1 lowest-margin neighbor buckets per table, so
+    // recall rises from ~0.50 (q36's single-probe, bound 0.25) to
+    // ~0.86–0.89 measured across all gate SFs (tools/AnnRecall)
+    // WITHOUT growing the corpus-side bucket rows — the knob that
+    // buys recall at probe cost instead of index cost at 100 TB. The
+    // gate holds the recall bound at 0.6, above anything single-probe
+    // attains and comfortably under the measured multi-probe floor.
+    "q227_ann_lsh_multiprobe" -> { (s, dir) =>
+      import s.implicits._
+      val corpus = Similarity.prepare(Tables(s, dir).embeddings, "vec_id", "embedding")
+      val approx = Similarity.lshTopK(corpus, dim = 64, nPlanes = 5, k = 5,
+        nTables = 8, nProbe = 3, queries = corpus.filter($"vid" < 500))
+      Pipeline.annRecallAudit(
+        approx, corpus.filter($"vid" < 500), corpus, minRecall = 0.6)
+    },
+
     // Embedding-cosine near-dup pairs above a threshold
     // (quantized-exact → fully oracle-able; tiled block join, no
     // BroadcastNestedLoopJoin — see Similarity.thresholdPairs).
@@ -5100,6 +5117,15 @@ object Pipeline {
         |FROM embeddings""".stripMargin,
 
     "q42_ann_ivf" ->
+      """SELECT least(count(*), 500) AS n_queries,
+        | least(count(*), 500) * 5 AS n_truth,
+        | TRUE AS recall_in_bound
+        |FROM embeddings""".stripMargin,
+
+    // the q36 audit contract at a HIGHER bound (0.6) only multi-probe
+    // reaches — measured 0.86-0.89 across gate SFs vs ~0.50
+    // single-probe (tools/AnnRecall); uplift also spec-pinned
+    "q227_ann_lsh_multiprobe" ->
       """SELECT least(count(*), 500) AS n_queries,
         | least(count(*), 500) * 5 AS n_truth,
         | TRUE AS recall_in_bound

@@ -25,11 +25,15 @@ object AnnRecall {
         .count().toDouble / nTruth
     val lsh = Similarity.lshTopK(corpus, dim = 64, nPlanes = 5, k = 5, nTables = 8)
       .filter(col("query_id") < 500)
+    val lshMp = Similarity.lshTopK(corpus, dim = 64, nPlanes = 5, k = 5,
+        nTables = 8, nProbe = 3, queries = queries)
+      .filter(col("query_id") < 500)
     val ivf = Similarity.ivfTopK(corpus, k = 5, dim = 64, trainIters = 2)
       .filter(col("query_id") < 500)
     val pq = graft.operators.Pq.adcTopK(queries, corpus, topK = 5)
     val ivfpq = graft.operators.Pq.ivfAdcTopK(queries, corpus, topK = 5)
     println(s"[annrecall] dir=$dir nTruth=$nTruth lsh=${recall(lsh)} " +
+      s"lshMp3=${recall(lshMp)} " +
       s"ivf=${recall(ivf)} pq=${recall(pq)} ivfpq=${recall(ivfpq)}")
     spark.stop()
   }
