@@ -3212,6 +3212,157 @@ object H264 {
     out.toArray
   }
 
+  /** Per-SUB-MB type kind of the multi-ref B_8x8 frame: index into
+    * Array(1, 3, 8, 10) = {B_L0_8x8, B_Bi_8x8, B_Bi_8x4, B_L0_4x4}.
+    */
+  private[graft] def synthB8MrKind(seed: Long, mbx: Int, my: Int,
+      sb: Int): Int = ((seed + mbx + 2L * my + 3L * sb) % 4).toInt
+
+  /** Per-SUB-MB L0 reference (0..2) of the multi-ref B_8x8 frame. */
+  private[graft] def synthB8MrRef(seed: Long, mbx: Int, my: Int,
+      sb: Int): Int = ((seed + mbx + 2L * my + sb) % 3).toInt
+
+  /** MULTI-REF B_8x8 streams (the q228 gate): IDR I_PCM, two
+    * single-ref P frames, then a non-reference B slice whose every
+    * macroblock is B_8x8 — four sub-MBs mixing B_L0_8x8 / B_Bi_8x8 /
+    * B_Bi_8x4 / B_L0_4x4 on the [[synthB8MrKind]] lattice — with a
+    * te(v)-coded ref_idx_l0 PER SUB-MB ([[synthB8MrRef]], §7.3.5.2
+    * position: after the four sub_mb_types, before the mvds) over
+    * list0 = [P2, P1, IDR], closing the last multi-ref refusal in
+    * the B-slice layer. Each reference has its own constant mv, L1
+    * of Bi sub-partitions reads the post-swap list1[0] = P1. No
+    * skips, no residual: closed-form nested-clamp reads.
+    */
+  def synthesizeH264B8x8MultiRef(mbW: Int, mbH: Int,
+      seed: Long): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30, maxRefs = 3))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp())
+    appendIPcmIdr(out, mbW, mbH, seed)
+    def sgn(bit: Long): Int = 1 - 2 * (((seed >> bit) % 2).toInt & 1)
+    val qp1 = (16 * sgn(0), 16 * sgn(1))
+    val qp2 = (16 * sgn(2), 16 * sgn(3))
+    def q0(ref: Int) = (16 * sgn(4 + 2 * ref), 16 * sgn(5 + 2 * ref))
+    val qb1 = (16 * sgn(10), 16 * sgn(11))
+    def pFrame(fn: Int, qp: (Int, Int)): Unit = {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(fn % 16, 4)
+      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+      bw.se(0); bw.ue(1)
+      val mvs = Array.fill(mbW * mbH)((0, 0))
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          bw.ue(0); bw.ue(0)
+          val pred = predictMv(mvs, done, mx, my, mbW)
+          bw.se(qp._1 - pred._1); bw.se(qp._2 - pred._2)
+          bw.ue(0)
+          mvs(my * mbW + mx) = qp; done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+    pFrame(1, qp1)
+    pFrame(2, qp2)
+    locally {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x01.toByte   // nal_ref_idc 0: NON-reference
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(6); bw.ue(0)
+      bw.u(3, 4)           // frame_num
+      bw.u(1, 1)           // direct_spatial_mv_pred_flag (no direct MBs)
+      bw.u(1, 1)           // num_ref_idx_active_override_flag
+      bw.ue(2)             // num_ref_idx_l0_active_minus1 = 2 (3 refs)
+      bw.ue(0)             // num_ref_idx_l1_active_minus1 = 0
+      bw.u(0, 1); bw.u(0, 1) // ref_pic_list_modification l0, l1
+      bw.se(0); bw.ue(1)   // QP 26, disable_deblocking 1
+      val bW = 4 * mbW; val bH = 4 * mbH
+      val mvs0 = Array.fill(bW * bH)((0, 0)); val refs0 = Array.fill(bW * bH)(-1)
+      val mvs1 = Array.fill(bW * bH)((0, 0)); val refs1 = Array.fill(bW * bH)(-1)
+      val done = Array.fill(bW * bH)(false)
+      def stamp(mvA: Array[(Int, Int)], rA: Array[Int], bx: Int, by: Int,
+          wB: Int, hB: Int, mv: (Int, Int), ref: Int): Unit = {
+        var yy = by
+        while (yy < by + hB) {
+          var xx = bx
+          while (xx < bx + wB) {
+            mvA(yy * bW + xx) = mv; rA(yy * bW + xx) = ref
+            done(yy * bW + xx) = true
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+      def subRects(mx: Int, my: Int, sb: Int,
+          t: Int): Array[(Int, Int, Int, Int)] = {
+        val sbx = mx * 4 + 2 * (sb % 2)
+        val sby = my * 4 + 2 * (sb / 2)
+        t match {
+          case 1 | 3 => Array((sbx, sby, 2, 2))
+          case 8 => Array((sbx, sby, 2, 1), (sbx, sby + 1, 2, 1))
+          case _ => Array((sbx, sby, 1, 1), (sbx + 1, sby, 1, 1),
+            (sbx, sby + 1, 1, 1), (sbx + 1, sby + 1, 1, 1))
+        }
+      }
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          bw.ue(0)           // mb_skip_run
+          bw.ue(22)          // mb_type: B_8x8
+          val kinds = Array.tabulate(4)(sb => synthB8MrKind(seed, mx, my, sb))
+          val types = kinds.map(Array(1, 3, 8, 10))
+          val refsS = Array.tabulate(4)(sb => synthB8MrRef(seed, mx, my, sb))
+          types.foreach(t => bw.ue(t))   // four sub_mb_types
+          refsS.foreach(rf => bw.ue(rf)) // four ref_idx_l0, te cMax 2
+          // derive in decode order (mirroring the decoder), collect
+          // mvds, then emit all L0 mvds and all L1 mvds in order
+          val mvd0 = Array.fill(4)(scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Int)])
+          val mvd1 = Array.fill(4)(scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Int)])
+          var sb = 0
+          while (sb < 4) {
+            val t = types(sb)
+            val bi = t == 3 || t == 8
+            val q = q0(refsS(sb))
+            subRects(mx, my, sb, t).foreach { case (pbx, pby, pwB, phB) =>
+              val pr = predictMvPart(mvs0, done, refs0, refsS(sb),
+                bW, bH, pbx, pby, pwB, 0)
+              mvd0(sb) += ((q._1 - pr._1, q._2 - pr._2))
+              stamp(mvs0, refs0, pbx, pby, pwB, phB, q, refsS(sb))
+              if (bi) {
+                val pr1 = predictMvPart(mvs1, done, refs1, 0,
+                  bW, bH, pbx, pby, pwB, 0)
+                mvd1(sb) += ((qb1._1 - pr1._1, qb1._2 - pr1._2))
+                stamp(mvs1, refs1, pbx, pby, pwB, phB, qb1, 0)
+              }
+            }
+            sb += 1
+          }
+          mvd0.foreach(_.foreach { d => bw.se(d._1); bw.se(d._2) })
+          mvd1.foreach(_.foreach { d => bw.se(d._1); bw.se(d._2) })
+          bw.ue(0)           // cbp
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+    out.toArray
+  }
+
   /** Per-MB kind of the MIXED direct B frames: 0 = B_Direct_16x16,
     * 1 = B_L0_16x16, 2 = B_L1_16x16, 3 = B_Bi_16x16, 4 = B_Skip,
     * 5 = B_8x8 with a direct sub-MB.
@@ -5242,10 +5393,8 @@ object H264 {
                       // real te(v)-coded ref_idx_l0 fields, parsed
                       // below against the N-deep DPB — 16x16
                       // (B_L0/B_L1/B_Bi) and the two-partition
-                      // 16x8/8x16 family (per-partition ref_idx);
-                      // multi-ref B_8x8 (per-SUB-MB ref_idx inside
-                      // sub_mb_pred) stays out of this subset
-                      if (numRef0 > 1 && t == 22) return None
+                      // 16x8/8x16 family (per-partition ref_idx) and
+                      // B_8x8 (per-SUB-MB ref_idx inside sub_mb_pred)
                       t match {
                         case 1 => (true, false)
                         case 2 => (false, true)
@@ -5274,8 +5423,9 @@ object H264 {
                   // subset), 1-3 B_{L0,L1,Bi}_8x8, 4-9 the 8x4/4x8
                   // pairs ((L0,L0),(L1,L1),(Bi,Bi) geometry pairs),
                   // 10-12 B_{L0,L1,Bi}_4x4. Syntax: all sub_mb_types,
-                  // then (no ref_idx at one active ref per list) all
-                  // mvd_l0 in sub-MB/sub-partition order, then all
+                  // then ref_idx_l0 per L0-predicting non-direct
+                  // sub-MB when the L0 active count exceeds 1, then
+                  // all mvd_l0 in sub-MB/sub-partition order, then all
                   // mvd_l1; derivation per sub-partition in decode
                   // order with the PLAIN §8.4.1.3 prediction at the
                   // partition's own rectangle (no directional rules
@@ -5307,6 +5457,27 @@ object H264 {
                       case 5 | 7 | 9 => Array((sbx, sby, 1, 2), (sbx + 1, sby, 1, 2))
                       case _ => Array((sbx, sby, 1, 1), (sbx + 1, sby, 1, 1),
                         (sbx, sby + 1, 1, 1), (sbx + 1, sby + 1, 1, 1))
+                    }
+                  }
+                  // §7.3.5.2: ref_idx_l0 per L0-predicting NON-direct
+                  // sub-MB (te(v) against the N-deep DPB list0) sits
+                  // between the sub_mb_types and the mvds; ref_idx_l1
+                  // is absent (L1 active stays 1). A direct sub-MB
+                  // infers its reference, never reads one.
+                  val sref0 = Array(0, 0, 0, 0)
+                  if (numRef0 > 1) {
+                    var sbr = 0
+                    while (sbr < 4) {
+                      if (subTypes(sbr) != 0 && usesL0(subTypes(sbr))) {
+                        sref0(sbr) =
+                          if (numRef0 == 2) 1 - r.u(1)
+                          else {
+                            val v = r.ue()
+                            if (v >= numRef0) return None
+                            v
+                          }
+                      }
+                      sbr += 1
                     }
                   }
                   // raw mvds in syntax order: all L0, then all L1
@@ -5368,7 +5539,7 @@ object H264 {
                       val (pbx, pby, pwB, phB) = parts(pi)
                       val l0p = usesL0(t); val l1p = usesL1(t)
                       val mv0 = if (l0p) {
-                        val pr = predictMvPart(mvs, done, refs0, 0,
+                        val pr = predictMvPart(mvs, done, refs0, sref0(sb),
                           bW, bH, pbx, pby, pwB, 0)
                         (pr._1 + mvd0(sb)(pi)._1, pr._2 + mvd0(sb)(pi)._2)
                       } else (0, 0)
@@ -5377,7 +5548,9 @@ object H264 {
                           bW, bH, pbx, pby, pwB, 0)
                         (pr._1 + mvd1(sb)(pi)._1, pr._2 + mvd1(sb)(pi)._2)
                       } else (0, 0)
-                      if (l0p && !mcInto(luma, cb, cr, nl, ncb, ncr)(
+                      if (l0p && !mcInto(
+                          dpb(sref0(sb)).lumaP, dpb(sref0(sb)).cbP,
+                          dpb(sref0(sb)).crP, nl, ncb, ncr)(
                           pbx * 4, pby * 4, pwB * 4, phB * 4, mv0)) return None
                       if (l1p && !mcInto(luma2, cb2, cr2,
                           if (l0p) tl else nl,
@@ -5391,7 +5564,7 @@ object H264 {
                         applyWeightsB(pbx * 4, pby * 4, pwB * 4, phB * 4,
                           if (l0p) 0 else 1)
                       if (l0p) {
-                        writePart(mvs, refs0, pbx, pby, pwB, phB, mv0, 0)
+                        writePart(mvs, refs0, pbx, pby, pwB, phB, mv0, sref0(sb))
                         mvAbs += math.abs(mv0._1) + math.abs(mv0._2)
                       }
                       if (l1p) {

@@ -2790,4 +2790,101 @@ class H264Spec extends AnyFunSuite {
       assert(m.mvAbsSum == expMvAbs, s"seed=$seed mvAbs ${m.mvAbsSum} vs $expMvAbs")
     }
   }
+
+  test("multi-ref B_8x8: per-sub-MB te ref_idx across mixed sub-partition shapes") {
+    // the q228 family vs an independent reconstruction: every MB is
+    // B_8x8, each of its four sub-MBs mixing B_L0_8x8 / B_Bi_8x8 /
+    // B_Bi_8x4 / B_L0_4x4 with its OWN ue-coded ref_idx_l0 over
+    // [P2, P1, IDR] — the last multi-ref refusal in the B layer
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val w = mbW * 16; val h = mbH * 16
+      val frames = scala.collection.mutable.ArrayBuffer[H264.FrameState]()
+      val mo = H264.decodeInter(
+        H264.synthesizeH264B8x8MultiRef(mbW, mbH, seed), frames += _)
+      assert(mo.isDefined, s"seed=$seed decode failed")
+      val m = mo.get
+      assert(m.nFrames == 4 && frames.length == 4)
+      def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      def sgn(bit: Int): Int = 1 - 2 * (((seed >> bit) % 2).toInt & 1)
+      val qp1 = (16 * sgn(0), 16 * sgn(1))
+      val qp2 = (16 * sgn(2), 16 * sgn(3))
+      def q0(ref: Int) = (16 * sgn(4 + 2 * ref), 16 * sgn(5 + 2 * ref))
+      val qb1 = (16 * sgn(10), 16 * sgn(11))
+      def shift(p: Array[Array[Int]], dx: Int, dy: Int) = {
+        val hh = p.length; val ww = p(0).length
+        Array.tabulate(hh, ww)((y, x) =>
+          p(clamp(y + dy, hh - 1))(clamp(x + dx, ww - 1)))
+      }
+      def mc(p: Array[Array[Int]], mv: (Int, Int), div: Int) =
+        shift(p, mv._1 / div, mv._2 / div)
+      val l0 = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      val cB0 = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+      val cR0 = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+      val l1 = mc(l0, qp1, 4); val cB1 = mc(cB0, qp1, 8); val cR1 = mc(cR0, qp1, 8)
+      val l2 = mc(l1, qp2, 4); val cB2 = mc(cB1, qp2, 8); val cR2 = mc(cR1, qp2, 8)
+      def bFrame(srcs: Seq[Array[Array[Int]]], l1src: Array[Array[Int]],
+          mbPix: Int, div: Int) = {
+        val a = (0 to 2).map(r => mc(srcs(r), q0(r), div))
+        val b = mc(l1src, qb1, div)
+        Array.tabulate(l1src.length, l1src(0).length) { (y, x) =>
+          val mx = x / mbPix; val my = y / mbPix
+          val half = mbPix / 2
+          val sb = (x % mbPix) / half + 2 * ((y % mbPix) / half)
+          val t = Array(1, 3, 8, 10)(H264.synthB8MrKind(seed, mx, my, sb))
+          val r = H264.synthB8MrRef(seed, mx, my, sb)
+          val l0read = a(r)(y)(x)
+          if (t == 3 || t == 8) (l0read + b(y)(x) + 1) >> 1 else l0read
+        }
+      }
+      val l3 = bFrame(Seq(l2, l1, l0), l1, 16, 4)
+      val cB3 = bFrame(Seq(cB2, cB1, cB0), cB1, 8, 8)
+      val cR3 = bFrame(Seq(cR2, cR1, cR0), cR1, 8, 8)
+      val ls = Seq(l0, l1, l2, l3)
+      val cbs = Seq(cB0, cB1, cB2, cB3)
+      val crs = Seq(cR0, cR1, cR2, cR3)
+      frames.zipWithIndex.foreach { case (fs, i) =>
+        for (y <- 0 until h; x <- 0 until w)
+          assert(fs.luma(y * w + x) == ls(i)(y)(x),
+            s"seed=$seed frame $i luma ($x,$y)")
+        for (y <- 0 until h / 2; x <- 0 until w / 2) {
+          assert(fs.cb(y * (w / 2) + x) == cbs(i)(y)(x), s"seed=$seed frame $i cb")
+          assert(fs.cr(y * (w / 2) + x) == crs(i)(y)(x), s"seed=$seed frame $i cr")
+        }
+      }
+      // stamped fields follow the per-sub-MB lattice
+      val bf = frames(3)
+      for (by <- 0 until 4 * mbH; bx <- 0 until 4 * mbW) {
+        val b = by * 4 * mbW + bx
+        val mx = bx / 4; val my = by / 4
+        val sb = (bx % 4) / 2 + 2 * ((by % 4) / 2)
+        val t = Array(1, 3, 8, 10)(H264.synthB8MrKind(seed, mx, my, sb))
+        val r = H264.synthB8MrRef(seed, mx, my, sb)
+        assert(bf.mvs0(b) == q0(r) && bf.refs0(b) == r,
+          s"seed=$seed blk $b L0 ${bf.mvs0(b)}/${bf.refs0(b)} want ref $r")
+        if (t == 3 || t == 8) assert(bf.mvs1(b) == qb1 && bf.refs1(b) == 0)
+        else assert(bf.refs1(b) == -1)
+      }
+      // aggregates
+      var wl = 0L; var wc = 0L; var ww2 = 0L
+      for (i <- 0 until 4) {
+        var fl = 0L; ls(i).foreach(_.foreach(fl += _))
+        var fc = 0L; cbs(i).foreach(_.foreach(fc += _)); crs(i).foreach(_.foreach(fc += _))
+        wl += fl; wc += fc; ww2 += (i + 1L) * (fl + fc)
+      }
+      assert(m.lumaSum == wl && m.chromaSum == wc && m.weightedSum == ww2,
+        s"seed=$seed sums")
+      assert(m.nSkipped == 0L)
+      var expMvAbs = 2L * mbW * mbH * 32L // the two P frames
+      for (my <- 0 until mbH; mx <- 0 until mbW; sb <- 0 until 4)
+        expMvAbs += (H264.synthB8MrKind(seed, mx, my, sb) match {
+          case 0 => 32L   // B_L0_8x8: one part, one list
+          case 1 => 64L   // B_Bi_8x8: one part, two lists
+          case 2 => 128L  // B_Bi_8x4: two parts, two lists
+          case _ => 128L  // B_L0_4x4: four parts, one list
+        })
+      assert(m.mvAbsSum == expMvAbs, s"seed=$seed mvAbs ${m.mvAbsSum} vs $expMvAbs")
+    }
+  }
 }
