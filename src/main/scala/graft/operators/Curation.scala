@@ -80,6 +80,45 @@ object Curation {
           .otherwise(lit("valid")))
   }
 
+  /** INCREMENTAL leakage-safe split — [[leakageSafeSplit]] for the
+    * everyday shape at 100 TB, where the corpus already carries a
+    * standing train/valid assignment and a NEW crawl batch must join
+    * it without re-running corpus-wide clustering: each batch
+    * document probes the persisted near-dup index
+    * ([[Dedup.nearDupBestIndexed]] — candidate generation and the
+    * exact verify follow unique content, cost follows the BATCH) and
+    *  - a matched document INHERITS the side of its best match
+    *    (highest jaccard, ties to the smallest indexed doc id) from
+    *    the standing `sides` table — so a paraphrase of training
+    *    data cannot land in validation;
+    *  - an unmatched document is its own singleton cluster and takes
+    *    the SAME deterministic LCG-of-rep side rule as
+    *    [[leakageSafeSplit]] (rep = its own id), so batch and
+    *    one-shot assignments agree on fresh content.
+    * Residual risk, named: a batch document that BRIDGES two standing
+    * clusters on different sides takes its best match's side — the
+    * standing assignment is never rewritten (append-only contract);
+    * a periodic full re-split reconciles bridges.
+    * Returns (doc_id, best_b = null for fresh content, side).
+    */
+  def incrementalSplitAssign(spark: org.apache.spark.sql.SparkSession,
+      idxDir: String, batch: DataFrame, sides: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      trainPct: Int = 80): DataFrame = {
+    val best = Dedup.nearDupBestIndexed(spark, idxDir, batch,
+        idCol, textCol, threshold)
+      .select($"a".as("doc_id"), $"best_b")
+    batch.select(col(idCol).as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .join(sides.select($"doc_id".as("best_b"),
+        $"side".as("match_side")), Seq("best_b"), "left")
+      .select($"doc_id", $"best_b",
+        coalesce($"match_side",
+          when((($"doc_id" % 1000003L) * 1103515245L + 12345L) % 1000L <
+              lit(trainPct * 10L), lit("train"))
+            .otherwise(lit("valid"))).as("side"))
+  }
+
   /** Stage-by-stage audit counts: (stage, stage_name, n), computed in
     * ONE job. `observe()` checkpoints on the raw→lang→quality→dedup
     * chain feed the left side of the final anti-join; the single

@@ -790,6 +790,35 @@ object Pipeline {
       } finally Pipeline.rmTree(new java.io.File(idxDir))
     },
 
+    // INCREMENTAL leakage-safe split — the q199 contract for a new
+    // crawl batch against a STANDING assignment: each batch doc
+    // probes the persisted near-dup index (batch-priced, corpus
+    // never rescanned), inherits its best match's side, and fresh
+    // content takes the same deterministic LCG-of-rep rule as the
+    // one-shot split — so a paraphrase of training data cannot land
+    // in validation, and batch/one-shot assignments agree on
+    // singletons. Every column value-exact vs the oracle's full
+    // re-derivation (cluster closure + LCG + best-match tie rule).
+    "q229_incremental_split" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val corpus = docs.filter($"doc_id" % 5 =!= 0)
+      val batch = docs.filter($"doc_id" % 5 === 0)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-nd-split").toString
+      try {
+        graft.operators.Dedup.appendNearDupIndex(s, corpus,
+          "doc_id", "text", idxDir)
+        val sides = graft.operators.Curation
+          .leakageSafeSplit(corpus, "doc_id", "text")
+          .select($"doc_id", $"side")
+        graft.operators.Curation.incrementalSplitAssign(s, idxDir,
+            batch, sides, "doc_id", "text", threshold = 0.8)
+          .orderBy($"doc_id")
+          .localCheckpoint() // materialize before the index dir is removed
+      } finally Pipeline.rmTree(new java.io.File(idxDir))
+    },
+
     // Quality-aware cluster resolution: keep the highest-scoring doc
     // (whitespace token count; ties → smallest id) per near-dup
     // cluster — what a curation pipeline actually ships from a
@@ -4741,6 +4770,59 @@ object Pipeline {
     // pair) does not bite on the gate corpora — a deterministic,
     // per-SF-checked fact, like the q32/q81 recall argument
     "q223_neardup_screen" -> nearDupIndexOracle,
+
+    // incremental split: corpus-side cluster closure + LCG sides
+    // (the q199 arithmetic restricted to the standing corpus), then
+    // each batch doc's best cross-side match (max jaccard, ties to
+    // the smallest corpus doc id — pair-level min-b at max-j equals
+    // nearDupBestIndexed's content-level (jaccard, -min_doc) argmax
+    // because every max-j content contributes all its copy ids) and
+    // the inherit-or-LCG side rule, all value-exact
+    "q229_incremental_split" ->
+      """WITH RECURSIVE sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
+        |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |cinter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 <> 0
+        |          GROUP BY 1, 2),
+        |cpairs AS (SELECT a, b FROM cinter
+        |          JOIN sizes sa ON a = sa.doc_id
+        |          JOIN sizes sb ON b = sb.doc_id
+        |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT a AS x, b AS y FROM cpairs UNION ALL SELECT b, a FROM cpairs),
+        |walk(doc, lbl) AS (
+        |  SELECT DISTINCT x, x FROM edges
+        |  UNION
+        |  SELECT e.x, w.lbl FROM edges e JOIN walk w ON e.y = w.doc),
+        |reps AS (SELECT doc, min(lbl) AS rep FROM walk GROUP BY doc),
+        |csides AS (SELECT d.doc_id,
+        |    CASE WHEN ((coalesce(r.rep, d.doc_id) % 1000003) * 1103515245
+        |        + 12345) % 1000 < 800 THEN 'train' ELSE 'valid' END AS side
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+        |  LEFT JOIN reps r ON r.doc = d.doc_id),
+        |xinter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.sh = b.sh
+        |          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |          GROUP BY 1, 2),
+        |xp AS (SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+        |       FROM xinter
+        |       JOIN sizes sa ON a = sa.doc_id
+        |       JOIN sizes sb ON b = sb.doc_id
+        |       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |bestm AS (SELECT a, b FROM (
+        |    SELECT a, b, row_number() OVER (
+        |      PARTITION BY a ORDER BY j DESC, b ASC) AS rn FROM xp)
+        |  WHERE rn = 1)
+        |SELECT d.doc_id AS doc_id, bm.b AS best_b,
+        |  coalesce(cs.side,
+        |    CASE WHEN ((d.doc_id % 1000003) * 1103515245 + 12345) % 1000
+        |      < 800 THEN 'train' ELSE 'valid' END) AS side
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        |LEFT JOIN bestm bm ON bm.a = d.doc_id
+        |LEFT JOIN csides cs ON cs.doc_id = bm.b
+        |ORDER BY d.doc_id""".stripMargin,
 
     // decision form: per probe doc the argmax match (jaccard DESC,
     // doc id ASC ties) + the matching-document count, re-derived from

@@ -576,6 +576,26 @@ object StreamingIndex {
     applied
   }
 
+  /** Compact ALL of a composed dashboard directory's families in one
+    * maintenance call — the operational counterpart of
+    * [[applyDashboardBatch]]: bigram LM counts (c12/c1/cw), the
+    * order-3 c123, profile state, repetition sketches, and the
+    * near-dup postings/sets/docs (band-partitioned layout preserved).
+    * Each family's compactor is probe-identical on its own (staged
+    * swap + unlogged-delta sweep), so the composition is too; the
+    * shared `cw` is re-merged by the order-3 pass after the bigram
+    * one — also probe-identical (by-key sums either way). Pinned by
+    * StreamingSpec's composed-dashboard test.
+    */
+  def compactDashboard(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    graft.operators.LangModel.compactLmCounts(spark, dir)
+    graft.operators.LangModel.compactLm3Counts(spark, dir)
+    graft.operators.Profiling.compactProfileState(spark, dir)
+    graft.operators.IngestDashboard.compactRepState(spark, dir)
+    graft.operators.Dedup.compactNearDupIndex(spark, dir)
+  }
+
   /** foreachBatch sink: keep a composed ingest dashboard (profile +
     * LM + repetition sketches, one shared scan per batch) current
     * from a document stream.

@@ -395,6 +395,30 @@ class DedupSpec extends SparkSpec {
       assert(afterDirs.count(_.startsWith("band=")) == 32)
       assert(rows(Dedup.nearDupScreenIndexed(spark, dir, probe,
         "doc_id", "text", 0.8, bandsProbed = 16)) == full)
+      // incremental split over the same index: matched batch docs
+      // INHERIT their best match's standing side; unmatched docs get
+      // exactly the one-shot singleton rule (LCG of their own id)
+      val sides = graft.operators.Curation
+        .leakageSafeSplit(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("side")).cache()
+      val assign = graft.operators.Curation.incrementalSplitAssign(
+          spark, dir, probe, sides, "doc_id", "text", 0.8)
+        .collect().map(r => (r.getLong(0),
+          (if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))).toMap
+      val sideOf = sides.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      val probeIds = probe.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(assign.keySet == probeIds, "one assignment per batch doc")
+      val matched = assign.filter(_._2._1 >= 0)
+      assert(matched.nonEmpty, "split must produce cross-side matches")
+      matched.foreach { case (a, (b, side)) =>
+        assert(side == sideOf(b), s"doc $a must inherit side of match $b")
+      }
+      assign.filter(_._2._1 < 0).foreach { case (a, (_, side)) =>
+        val want = // the one-shot singleton rule, exactly
+          if (((a % 1000003L) * 1103515245L + 12345L) % 1000L < 800L) "train"
+          else "valid"
+        assert(side == want, s"fresh doc $a must take the LCG singleton rule")
+      }
     } finally {
       def rm(p: java.io.File): Unit = {
         val kids = p.listFiles(); if (kids != null) kids.foreach(rm)

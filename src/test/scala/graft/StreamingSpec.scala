@@ -1831,14 +1831,10 @@ class StreamingSpec extends SparkSpec {
     assert(kn3Rows() == kn3Want, "KN-3 family must converge after composed replay")
     // a re-delivered batch id no-ops
     assert(!StreamingIndex.applyDashboardBatch(lastBatch, "text", cols, dir, lastId))
-    // compaction of all five families is probe-identical (the lm3
-    // compact re-merges the shared cw after the bigram one — also
-    // probe-identical, by-key sums either way)
-    LangModel.compactLmCounts(spark, dir)
-    LangModel.compactLm3Counts(spark, dir)
-    Profiling.compactProfileState(spark, dir)
-    IngestDashboard.compactRepState(spark, dir)
-    Dedup.compactNearDupIndex(spark, dir)
+    // compaction of all five families in the ONE maintenance call is
+    // probe-identical (the lm3 pass re-merges the shared cw after
+    // the bigram one — also probe-identical, by-key sums either way)
+    StreamingIndex.compactDashboard(spark, dir)
     assert(lmRows() == lmWant && profRows() == profWant && repRows() == repWant
         && ndRows() == ndWant && kn3Rows() == kn3Want,
       "dashboard compaction must be probe-identical across all families")
