@@ -526,9 +526,27 @@ object Similarity {
     * expression pass ([[graft.functions.LshBuckets]]) — an
     * element_at-per-dim column formulation would be ~2500 expression
     * nodes per union branch and minutes of janino compile time.
+    *
+    * PLANE COUNT IS CORPUS-ADAPTIVE (the quantizerFor/√n-cells
+    * posture for the hyperplane family): at FIXED nPlanes, per-bucket
+    * occupancy is n/2^planes — linear in corpus size — so the
+    * candidate join is quadratic in disguise (measured: the sf100
+    * point OOM'd at 2M vectors × 62.5k occupancy under 5 planes).
+    * `nPlanes` is therefore the MINIMUM; the effective count is
+    * max(nPlanes, ⌈log2(n / targetOccupancy)⌉), pinning occupancy
+    * (and per-query candidate volume) near the target at any corpus
+    * size. Below ~targetOccupancy·2^nPlanes vectors nothing changes —
+    * every oracle-gated SF keeps the requested geometry. Per-table
+    * collision recall falls as planes grow; nTables/nProbe are the
+    * compensating knobs a production deployment raises alongside.
     */
   def lshTopK(corpus: DataFrame, dim: Int, nPlanes: Int, k: Int,
-      nTables: Int = 8, nProbe: Int = 1, queries: DataFrame = null): DataFrame = {
+      nTables: Int = 8, nProbe: Int = 1, queries: DataFrame = null,
+      targetOccupancy: Int = 2048): DataFrame = {
+    val n = corpus.count()
+    val adaptive = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    val planes = math.max(nPlanes, adaptive)
     // `queries` (default: the whole corpus = all-NN) bounds the PROBE
     // side only — a post-hoc `filter(query_id < …)` cannot reach back
     // through the bucket join + distinct + bounded top-k aggregate, so
@@ -549,17 +567,17 @@ object Similarity {
     // bucket rows, with the member side (the corpus-sized one)
     // unchanged.
     val bucketed = corpus.select($"vid",
-        posexplode(graft.functions.LshBuckets.lsh_buckets($"qv", nTables, nPlanes, dim)))
+        posexplode(graft.functions.LshBuckets.lsh_buckets($"qv", nTables, planes, dim)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bucket")
     val probed =
       if (nProbe <= 1)
         queryDf.select($"vid",
-            posexplode(graft.functions.LshBuckets.lsh_buckets($"qv", nTables, nPlanes, dim)))
+            posexplode(graft.functions.LshBuckets.lsh_buckets($"qv", nTables, planes, dim)))
           .withColumnRenamed("pos", "tbl")
           .withColumnRenamed("col", "bucket")
       else queryDf.select($"vid",
-          posexplode(graft.functions.LshProbes.lsh_probes($"qv", nTables, nPlanes, dim, nProbe)))
+          posexplode(graft.functions.LshProbes.lsh_probes($"qv", nTables, planes, dim, nProbe)))
         .select($"vid", (col("pos") / nProbe).cast("int").as("tbl"),
           col("col").as("bucket"))
     val cands = probed.as("x").join(bucketed.as("y"),
