@@ -3212,6 +3212,139 @@ object H264 {
     out.toArray
   }
 
+  /** Per-MB shape of the 3-ref P frame: 0 = P_L0_16x16,
+    * 1 = P_L0_L0_16x8.
+    */
+  private[graft] def synthPMr3Kind(seed: Long, mbx: Int, my: Int): Int =
+    ((seed + mbx + my) % 2).toInt
+
+  /** Per-MB/per-partition L0 reference (0..2) of the 3-ref P frame
+    * (part = 0 for the 16x16 shape).
+    */
+  private[graft] def synthPMr3Ref(seed: Long, mbx: Int, my: Int,
+      part: Int): Int = ((seed + mbx + 2L * my + part) % 3).toInt
+
+  /** THREE-active-ref P streams (the q230 gate) — the P-side symmetry
+    * completion of the N-deep DPB: IDR I_PCM, two single-ref P
+    * frames, then a P slice with `num_ref_idx_l0_active = 3` mixing
+    * P_L0_16x16 macroblocks (one te(v)=ue ref_idx over
+    * [P2, P1, IDR]) and P_L0_L0_16x8 macroblocks whose TWO partitions
+    * carry their own ref_idx ([[synthPMr3Ref]] — usually different
+    * pictures), each reference at its own constant mv so the
+    * refIdx-aware §8.4.1.3 rules (directional 16x8 shortcuts vs the
+    * any-ref median) genuinely shape the mvds. No skips, no
+    * residual: closed-form nested-clamp reads.
+    */
+  def synthesizeH264PMultiRef3(mbW: Int, mbH: Int,
+      seed: Long): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30, maxRefs = 3))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp())
+    appendIPcmIdr(out, mbW, mbH, seed)
+    def sgn(bit: Long): Int = 1 - 2 * (((seed >> bit) % 2).toInt & 1)
+    val qp1 = (16 * sgn(0), 16 * sgn(1))
+    val qp2 = (16 * sgn(2), 16 * sgn(3))
+    def q0(ref: Int) = (16 * sgn(4 + 2 * ref), 16 * sgn(5 + 2 * ref))
+    def pFrame(fn: Int, qp: (Int, Int)): Unit = {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(fn % 16, 4)
+      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+      bw.se(0); bw.ue(1)
+      val mvs = Array.fill(mbW * mbH)((0, 0))
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          bw.ue(0); bw.ue(0)
+          val pred = predictMv(mvs, done, mx, my, mbW)
+          bw.se(qp._1 - pred._1); bw.se(qp._2 - pred._2)
+          bw.ue(0)
+          mvs(my * mbW + mx) = qp; done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+    pFrame(1, qp1)
+    pFrame(2, qp2)
+    locally {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(3, 4)           // frame_num
+      bw.u(1, 1)           // num_ref_idx_active_override_flag
+      bw.ue(2)             // num_ref_idx_l0_active_minus1 = 2 (3 refs)
+      bw.u(0, 1)           // ref_pic_list_modification_flag_l0
+      bw.u(0, 1)           // adaptive_ref_pic_marking_mode_flag
+      bw.se(0); bw.ue(1)   // QP 26, disable_deblocking 1
+      val bW = 4 * mbW; val bH = 4 * mbH
+      val mvs0 = Array.fill(bW * bH)((0, 0)); val refs0 = Array.fill(bW * bH)(-1)
+      val done = Array.fill(bW * bH)(false)
+      def stamp(bx: Int, by: Int, wB: Int, hB: Int,
+          mv: (Int, Int), ref: Int): Unit = {
+        var yy = by
+        while (yy < by + hB) {
+          var xx = bx
+          while (xx < bx + wB) {
+            mvs0(yy * bW + xx) = mv; refs0(yy * bW + xx) = ref
+            done(yy * bW + xx) = true
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          bw.ue(0)           // mb_skip_run
+          if (synthPMr3Kind(seed, mx, my) == 0) {
+            bw.ue(0)         // P_L0_16x16
+            val ref = synthPMr3Ref(seed, mx, my, 0)
+            bw.ue(ref)       // ref_idx_l0, te cMax 2 = ue
+            val q = q0(ref)
+            val pr = predictMvPart(mvs0, done, refs0, ref,
+              bW, bH, mx * 4, my * 4, 4, 0)
+            bw.se(q._1 - pr._1); bw.se(q._2 - pr._2)
+            stamp(mx * 4, my * 4, 4, 4, q, ref)
+            bw.ue(0)         // cbp
+          } else {
+            bw.ue(1)         // P_L0_L0_16x8
+            val refsP = Array(synthPMr3Ref(seed, mx, my, 0),
+              synthPMr3Ref(seed, mx, my, 1))
+            bw.ue(refsP(0)); bw.ue(refsP(1)) // both ref_idx first
+            var part = 0
+            while (part < 2) { // then mvds, derived in order
+              val (pbx, pby, dir) =
+                (mx * 4, my * 4 + 2 * part, if (part == 0) 1 else 2)
+              val q = q0(refsP(part))
+              val pr = predictMvPart(mvs0, done, refs0, refsP(part),
+                bW, bH, pbx, pby, 4, dir)
+              bw.se(q._1 - pr._1); bw.se(q._2 - pr._2)
+              stamp(pbx, pby, 4, 2, q, refsP(part))
+              part += 1
+            }
+            bw.ue(0)         // cbp
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+    out.toArray
+  }
+
   /** Per-SUB-MB type kind of the multi-ref B_8x8 frame: index into
     * Array(1, 3, 8, 10) = {B_L0_8x8, B_Bi_8x8, B_Bi_8x4, B_L0_4x4}.
     */
@@ -4841,15 +4974,15 @@ object H264 {
             // scaling over the N-deep indexed DPB) are both implemented
             var directSpatial = false
             if (isB) directSpatial = r.u(1) == 1
-            // num_ref_idx_active_override: P slices may raise the L0
-            // active count to 2 (list = [prev, prev-prev]); B slices
-            // may raise L0 up to the RETAINED DPB depth — list0[i] is
-            // dpb(i), and both the §8.4.1.2.3 colocated-to-list0
-            // mapping (which needs list0 to CONTAIN the picture the
-            // colocated block referenced — the encoder contract for
-            // temporal direct) and explicit 16x16 B macroblocks with
-            // te(v)-coded ref_idx_l0 draw from it — while L1 stays
-            // at 1. A count beyond the resident entries is refused.
+            // num_ref_idx_active_override: BOTH slice types may raise
+            // the L0 active count up to the RETAINED DPB depth —
+            // list0[i] is dpb(i); P macroblocks (16x16/16x8/8x16/
+            // P_8x8) and explicit B macroblocks carry te(v)-coded
+            // ref_idx_l0 against it, and the §8.4.1.2.3
+            // colocated-to-list0 mapping needs list0 to CONTAIN the
+            // picture the colocated block referenced (the encoder
+            // contract for temporal direct) — while L1 stays at 1. A
+            // count beyond the resident entries is refused.
             var numRef0 = 1
             if (r.u(1) == 1) {
               if (isB) {
@@ -4857,9 +4990,11 @@ object H264 {
                 if (numRef0 > dpb.size) return None
                 if (r.ue() != 0) return None // L1 active must stay 1
               } else {
+                // P list0 draws from the same indexed DPB as B
+                // (list0[i] = dpb(i)); a count beyond the resident
+                // entries is refused
                 numRef0 = r.ue() + 1
-                if (numRef0 > 2) return None
-                if (numRef0 == 2 && luma2 == null) return None
+                if (numRef0 > dpb.size) return None
               }
             }
             r.u(1)           // ref_pic_list_modification_flag_l0
@@ -4871,9 +5006,11 @@ object H264 {
             // w = 1<<denom, o = 0. Weights apply per PARTITION with
             // that partition's refIdx's entry (§8.4.2.3.2).
             var lwd = 0; var cwd = 0
-            val lwA = Array(1, 1); val loA = Array(0, 0)
-            val cwA = Array(Array(1, 1), Array(1, 1))
-            val coA = Array(Array(0, 0), Array(0, 0))
+            // one entry per possible L0 reference (the pred_weight_
+            // table parse below fills the first numRef0 of them)
+            val lwA = Array.fill(maxDpb)(1); val loA = Array.fill(maxDpb)(0)
+            val cwA = Array.fill(maxDpb)(Array(1, 1))
+            val coA = Array.fill(maxDpb)(Array(0, 0))
             if (!isB && ppsWeighted) {
               lwd = r.ue(); if (lwd > 7) return None
               cwd = r.ue(); if (cwd > 7) return None
@@ -5715,10 +5852,21 @@ object H264 {
                     if (subTypes(sb) > 3) return None // B sub-types: refuse
                     sb += 1
                   }
+                  // P_8x8: one te(v) ref_idx per sub-MB (P_8x8ref0
+                  // infers 0 at any active count)
                   val sref = Array(0, 0, 0, 0)
-                  if (mbType == 3 && numRef0 == 2) {
+                  if (mbType == 3 && numRef0 > 1) {
                     var i = 0
-                    while (i < 4) { sref(i) = 1 - r.u(1); i += 1 }
+                    while (i < 4) {
+                      sref(i) =
+                        if (numRef0 == 2) 1 - r.u(1)
+                        else {
+                          val v = r.ue()
+                          if (v >= numRef0) return None
+                          v
+                        }
+                      i += 1
+                    }
                   }
                   sb = 0
                   while (sb < 4) {
@@ -5741,9 +5889,8 @@ object H264 {
                         bW, bH, pbx, pby, pwB, 0)
                       val pmv = (pr._1 + r.se(), pr._2 + r.se())
                       if (!mcInto(
-                          if (sref(sb) == 1) luma2 else luma,
-                          if (sref(sb) == 1) cb2 else cb,
-                          if (sref(sb) == 1) cr2 else cr,
+                          dpb(sref(sb)).lumaP, dpb(sref(sb)).cbP,
+                          dpb(sref(sb)).crP,
                           nl, ncb, ncr)(
                           pbx * 4, pby * 4, pwB * 4, phB * 4, pmv)) return None
                       if (ppsWeighted) applyWeights(pbx * 4, pby * 4,
@@ -5766,8 +5913,22 @@ object H264 {
                   // per-partition ref_idx (all first), then mvds in
                   // order — each prediction runs the DIRECTIONAL rule
                   // and sees partition 0's mvs in the block field
+                  // per-partition te(v) ref_idx over the N-deep DPB
+                  // (cMax 1 = inverted bit, cMax > 1 = plain ue)
                   val refs = Array(0, 0)
-                  if (numRef0 == 2) { refs(0) = 1 - r.u(1); refs(1) = 1 - r.u(1) }
+                  if (numRef0 > 1) {
+                    var rp = 0
+                    while (rp < 2) {
+                      refs(rp) =
+                        if (numRef0 == 2) 1 - r.u(1)
+                        else {
+                          val v = r.ue()
+                          if (v >= numRef0) return None
+                          v
+                        }
+                      rp += 1
+                    }
+                  }
                   var part = 0
                   while (part < 2) {
                     val (pbx, pby, pwB, phB, dir) =
@@ -5781,9 +5942,8 @@ object H264 {
                       bW, bH, pbx, pby, pwB, dir)
                     val pmv = (pr._1 + r.se(), pr._2 + r.se())
                     if (!mcInto(
-                        if (refs(part) == 1) luma2 else luma,
-                        if (refs(part) == 1) cb2 else cb,
-                        if (refs(part) == 1) cr2 else cr,
+                        dpb(refs(part)).lumaP, dpb(refs(part)).cbP,
+                        dpb(refs(part)).crP,
                         nl, ncb, ncr)(
                         pbx * 4, pby * 4, pwB * 4, phB * 4, pmv)) return None
                     if (ppsWeighted) applyWeights(pbx * 4, pby * 4,

@@ -2887,4 +2887,87 @@ class H264Spec extends AnyFunSuite {
       assert(m.mvAbsSum == expMvAbs, s"seed=$seed mvAbs ${m.mvAbsSum} vs $expMvAbs")
     }
   }
+
+  test("three-ref P slices: te ref_idx over the indexed DPB for 16x16 and per-partition 16x8") {
+    // the q230 family vs an independent reconstruction — the P-side
+    // symmetry completion of the N-deep DPB (P previously capped at
+    // two references)
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val w = mbW * 16; val h = mbH * 16
+      val frames = scala.collection.mutable.ArrayBuffer[H264.FrameState]()
+      val mo = H264.decodeInter(
+        H264.synthesizeH264PMultiRef3(mbW, mbH, seed), frames += _)
+      assert(mo.isDefined, s"seed=$seed decode failed")
+      val m = mo.get
+      assert(m.nFrames == 4 && frames.length == 4)
+      def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      def sgn(bit: Int): Int = 1 - 2 * (((seed >> bit) % 2).toInt & 1)
+      val qp1 = (16 * sgn(0), 16 * sgn(1))
+      val qp2 = (16 * sgn(2), 16 * sgn(3))
+      def q0(ref: Int) = (16 * sgn(4 + 2 * ref), 16 * sgn(5 + 2 * ref))
+      def shift(p: Array[Array[Int]], dx: Int, dy: Int) = {
+        val hh = p.length; val ww = p(0).length
+        Array.tabulate(hh, ww)((y, x) =>
+          p(clamp(y + dy, hh - 1))(clamp(x + dx, ww - 1)))
+      }
+      def mc(p: Array[Array[Int]], mv: (Int, Int), div: Int) =
+        shift(p, mv._1 / div, mv._2 / div)
+      val l0 = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      val cB0 = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+      val cR0 = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+      val l1 = mc(l0, qp1, 4); val cB1 = mc(cB0, qp1, 8); val cR1 = mc(cR0, qp1, 8)
+      val l2 = mc(l1, qp2, 4); val cB2 = mc(cB1, qp2, 8); val cR2 = mc(cR1, qp2, 8)
+      def pFrame3(srcs: Seq[Array[Array[Int]]], mbPix: Int, div: Int) = {
+        val a = (0 to 2).map(r => mc(srcs(r), q0(r), div))
+        Array.tabulate(srcs.head.length, srcs.head(0).length) { (y, x) =>
+          val mx = x / mbPix; val my = y / mbPix
+          val part =
+            if (H264.synthPMr3Kind(seed, mx, my) == 0) 0
+            else (y % mbPix) / (mbPix / 2) // 16x8: top/bottom halves
+          a(H264.synthPMr3Ref(seed, mx, my, part))(y)(x)
+        }
+      }
+      val l3 = pFrame3(Seq(l2, l1, l0), 16, 4)
+      val cB3 = pFrame3(Seq(cB2, cB1, cB0), 8, 8)
+      val cR3 = pFrame3(Seq(cR2, cR1, cR0), 8, 8)
+      val ls = Seq(l0, l1, l2, l3)
+      val cbs = Seq(cB0, cB1, cB2, cB3)
+      val crs = Seq(cR0, cR1, cR2, cR3)
+      frames.zipWithIndex.foreach { case (fs, i) =>
+        for (y <- 0 until h; x <- 0 until w)
+          assert(fs.luma(y * w + x) == ls(i)(y)(x),
+            s"seed=$seed frame $i luma ($x,$y)")
+        for (y <- 0 until h / 2; x <- 0 until w / 2) {
+          assert(fs.cb(y * (w / 2) + x) == cbs(i)(y)(x), s"seed=$seed frame $i cb")
+          assert(fs.cr(y * (w / 2) + x) == crs(i)(y)(x), s"seed=$seed frame $i cr")
+        }
+      }
+      // stamped refs follow the lattice (part 0 for 16x16 MBs)
+      val pf = frames(3)
+      for (by <- 0 until 4 * mbH; bx <- 0 until 4 * mbW) {
+        val b = by * 4 * mbW + bx
+        val mx = bx / 4; val my = by / 4
+        val part =
+          if (H264.synthPMr3Kind(seed, mx, my) == 0) 0 else (by % 4) / 2
+        val r = H264.synthPMr3Ref(seed, mx, my, part)
+        assert(pf.mvs0(b) == q0(r) && pf.refs0(b) == r,
+          s"seed=$seed blk $b ${pf.mvs0(b)}/${pf.refs0(b)} want ref $r")
+      }
+      var wl = 0L; var wc = 0L; var ww2 = 0L
+      for (i <- 0 until 4) {
+        var fl = 0L; ls(i).foreach(_.foreach(fl += _))
+        var fc = 0L; cbs(i).foreach(_.foreach(fc += _)); crs(i).foreach(_.foreach(fc += _))
+        wl += fl; wc += fc; ww2 += (i + 1L) * (fl + fc)
+      }
+      assert(m.lumaSum == wl && m.chromaSum == wc && m.weightedSum == ww2,
+        s"seed=$seed sums")
+      assert(m.nSkipped == 0L)
+      var expMvAbs = 2L * mbW * mbH * 32L
+      for (my <- 0 until mbH; mx <- 0 until mbW)
+        expMvAbs += (if (H264.synthPMr3Kind(seed, mx, my) == 0) 32L else 64L)
+      assert(m.mvAbsSum == expMvAbs, s"seed=$seed mvAbs ${m.mvAbsSum} vs $expMvAbs")
+    }
+  }
 }
