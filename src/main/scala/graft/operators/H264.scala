@@ -3212,6 +3212,114 @@ object H264 {
     out.toArray
   }
 
+  /** WEIGHTED bi-prediction over a MULTI-REF L0 (the q231 gate) —
+    * the combination the header parser previously refused: a wBi B
+    * slice whose pred_weight_table carries one entry PER L0
+    * REFERENCE (plus the single L1 entry), and whose B_Bi_16x16
+    * macroblocks pick both their L0 picture AND its weight entry by
+    * te(v) ref_idx over list0 = [P2, P1, IDR]
+    * ([[synthBMrRef]] lattice; weights/offsets are the
+    * [[synthWtLumaR]]/[[synthWtChromaR]] closed forms at ref 0–2,
+    * the L1 entry at ref index 3). Per §8.4.2.3.2 each pixel is
+    * Clip1(((L0·w0[r] + L1·w1 + 2^d) >> (d+1)) + ((o0[r]+o1+1)>>1)).
+    */
+  def synthesizeH264WBiMultiRef(mbW: Int, mbH: Int,
+      seed: Long): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    out ++= Array[Byte](0, 0, 0, 1)
+    out += 0x67.toByte
+    out ++= escape(spsRbsp(mbW * 16, mbH * 16, 30, maxRefs = 3))
+    out ++= Array[Byte](0, 0, 1)
+    out += 0x68.toByte
+    out ++= escape(ppsRbsp(wBipredIdc = 1))
+    appendIPcmIdr(out, mbW, mbH, seed)
+    def sgn(bit: Long): Int = 1 - 2 * (((seed >> bit) % 2).toInt & 1)
+    val qp1 = (16 * sgn(0), 16 * sgn(1))
+    val qp2 = (16 * sgn(2), 16 * sgn(3))
+    val qb0 = (16 * sgn(4), 16 * sgn(5))
+    val qb1 = (16 * sgn(6), 16 * sgn(7))
+    def pFrame(fn: Int, qp: (Int, Int)): Unit = {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x41.toByte
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(5); bw.ue(0)
+      bw.u(fn % 16, 4)
+      bw.u(0, 1); bw.u(0, 1); bw.u(0, 1)
+      bw.se(0); bw.ue(1)
+      val mvs = Array.fill(mbW * mbH)((0, 0))
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          bw.ue(0); bw.ue(0)
+          val pred = predictMv(mvs, done, mx, my, mbW)
+          bw.se(qp._1 - pred._1); bw.se(qp._2 - pred._2)
+          bw.ue(0)
+          mvs(my * mbW + mx) = qp; done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+    pFrame(1, qp1)
+    pFrame(2, qp2)
+    locally {
+      out ++= Array[Byte](0, 0, 1)
+      out += 0x01.toByte   // nal_ref_idc 0: NON-reference
+      val bw = new BitWriter
+      bw.ue(0); bw.ue(6); bw.ue(0)
+      bw.u(3, 4)           // frame_num
+      bw.u(1, 1)           // direct_spatial_mv_pred_flag (no direct MBs)
+      bw.u(1, 1)           // num_ref_idx_active_override_flag
+      bw.ue(2)             // num_ref_idx_l0_active_minus1 = 2 (3 refs)
+      bw.ue(0)             // num_ref_idx_l1_active_minus1 = 0
+      bw.u(0, 1); bw.u(0, 1) // ref_pic_list_modification l0, l1
+      // pred_weight_table: denoms, then THREE L0 entries (per ref),
+      // then the single L1 entry (the ref-3 closed forms)
+      val (ld, _, _) = synthWtLumaR(seed, 3, 0)
+      bw.ue(ld); bw.ue(1)  // luma / chroma denoms
+      var ri = 0
+      while (ri < 4) {     // refs 0..2 = L0 entries, 3 = the L1 entry
+        val (_, lw, lo) = synthWtLumaR(seed, 3, ri)
+        val (_, cbw, cbo, crw, cro) = synthWtChromaR(seed, 3, ri)
+        bw.u(1, 1); bw.se(lw); bw.se(lo)
+        bw.u(1, 1); bw.se(cbw); bw.se(cbo); bw.se(crw); bw.se(cro)
+        ri += 1
+      }
+      // no dec_ref_pic_marking: nal_ref_idc == 0
+      bw.se(0); bw.ue(1)   // QP 26, disable_deblocking 1
+      val mvs0 = Array.fill(mbW * mbH)((0, 0))
+      val refs0 = Array.fill(mbW * mbH)(-1)
+      val mvs1 = Array.fill(mbW * mbH)((0, 0))
+      val refs1 = Array.fill(mbW * mbH)(0)
+      val done = Array.fill(mbW * mbH)(false)
+      var my = 0
+      while (my < mbH) {
+        var mx = 0
+        while (mx < mbW) {
+          val ref = synthBMrRef(seed, mx, my)
+          bw.ue(0)           // mb_skip_run
+          bw.ue(3)           // mb_type: B_Bi_16x16
+          bw.ue(ref)         // ref_idx_l0, te(v) with cMax 2 = ue(v)
+          val pr0 = predictMvRef(mvs0, done, refs0, ref, mx, my, mbW)
+          bw.se(qb0._1 - pr0._1); bw.se(qb0._2 - pr0._2)
+          val pr1 = predictMvRef(mvs1, done, refs1, 0, mx, my, mbW)
+          bw.se(qb1._1 - pr1._1); bw.se(qb1._2 - pr1._2)
+          bw.ue(0)           // cbp
+          mvs0(my * mbW + mx) = qb0; refs0(my * mbW + mx) = ref
+          mvs1(my * mbW + mx) = qb1
+          done(my * mbW + mx) = true
+          mx += 1
+        }
+        my += 1
+      }
+      out ++= escape(bw.stop())
+    }
+    out.toArray
+  }
+
   /** Per-MB shape of the 3-ref P frame: 0 = P_L0_16x16,
     * 1 = P_L0_L0_16x8.
     */
@@ -5027,30 +5135,37 @@ object H264 {
               }
             }
             // explicit weighted BI-prediction (weighted_bipred_idc 1,
-            // B slices): the same §7.3.3.2 table, but with one entry
-            // per active reference of EACH list (one per list here) —
-            // lwB/loB/cwB/coB indexed by LIST, not refIdx
+            // B slices): the same §7.3.3.2 table with one entry PER
+            // ACTIVE REFERENCE of each list — numRef0 L0 entries
+            // (indexed by refIdx: a multi-ref B partition applies ITS
+            // reference's weights, §8.4.2.3.2) followed by the single
+            // L1 entry of this one-ref-L1 subset
             val wBi = isB && ppsWBidc == 1
-            val lwB = Array(1, 1); val loB = Array(0, 0)
-            val cwB = Array(Array(1, 1), Array(1, 1))
-            val coB = Array(Array(0, 0), Array(0, 0))
-            // a weighted-bipred table over a MULTI-ref L0 carries one
-            // entry per (list, refIdx) — beyond this one-entry-per-
-            // list parse; refuse rather than mis-read the header
-            if (wBi && numRef0 > 1) return None
+            val lwB0 = Array.fill(maxDpb)(1); val loB0 = Array.fill(maxDpb)(0)
+            val cwB0 = Array.fill(maxDpb)(Array(1, 1))
+            val coB0 = Array.fill(maxDpb)(Array(0, 0))
+            var lwB1 = 1; var loB1 = 0
+            val cwB1 = Array(1, 1); val coB1 = Array(0, 0)
             if (wBi) {
               lwd = r.ue(); if (lwd > 7) return None
               cwd = r.ue(); if (cwd > 7) return None
               var li = 0
-              while (li < 2) { // l0 entries then l1 entries
-                lwB(li) = 1 << lwd
-                cwB(li)(0) = 1 << cwd; cwB(li)(1) = 1 << cwd
-                if (r.u(1) == 1) { lwB(li) = r.se(); loB(li) = r.se() }
+              while (li < numRef0) { // l0 entries, one per reference
+                lwB0(li) = 1 << lwd
+                cwB0(li)(0) = 1 << cwd; cwB0(li)(1) = 1 << cwd
+                if (r.u(1) == 1) { lwB0(li) = r.se(); loB0(li) = r.se() }
                 if (r.u(1) == 1) {
                   var j = 0
-                  while (j < 2) { cwB(li)(j) = r.se(); coB(li)(j) = r.se(); j += 1 }
+                  while (j < 2) { cwB0(li)(j) = r.se(); coB0(li)(j) = r.se(); j += 1 }
                 }
                 li += 1
+              }
+              lwB1 = 1 << lwd
+              cwB1(0) = 1 << cwd; cwB1(1) = 1 << cwd
+              if (r.u(1) == 1) { lwB1 = r.se(); loB1 = r.se() }
+              if (r.u(1) == 1) {
+                var j = 0
+                while (j < 2) { cwB1(j) = r.se(); coB1(j) = r.se(); j += 1 }
               }
             }
             // dec_ref_pic_marking is only present for REFERENCE
@@ -5197,18 +5312,24 @@ object H264 {
               }
             }
             // single-list explicit weights in a B slice (idc 1): the
-            // §8.4.2.3.2 single-list equations with the LIST's entry
+            // §8.4.2.3.2 single-list equations with the entry of the
+            // partition's (list, refIdx) — ref0 names the L0
+            // reference, ignored for list 1 (one active L1 ref)
             def applyWeightsB(px0: Int, py0: Int, wP: Int, hP: Int,
-                list: Int): Unit = {
+                list: Int, ref0: Int = 0): Unit = {
               def wp(v: Int, w0: Int, o: Int, d: Int): Int =
                 clip255((if (d >= 1) (v * w0 + (1 << (d - 1))) >> d
                          else v * w0) + o)
+              val lw = if (list == 0) lwB0(ref0) else lwB1
+              val lo = if (list == 0) loB0(ref0) else loB1
+              val cwE = if (list == 0) cwB0(ref0) else cwB1
+              val coE = if (list == 0) coB0(ref0) else coB1
               var y = 0
               while (y < hP) {
                 var x = 0
                 while (x < wP) {
                   val i = (py0 + y) * w + px0 + x
-                  nl(i) = wp(nl(i), lwB(list), loB(list), lwd)
+                  nl(i) = wp(nl(i), lw, lo, lwd)
                   x += 1
                 }
                 y += 1
@@ -5219,8 +5340,8 @@ object H264 {
                 var cx = 0
                 while (cx < wP / 2) {
                   val i = (py0 / 2 + cy) * cw + px0 / 2 + cx
-                  ncb(i) = wp(ncb(i), cwB(list)(0), coB(list)(0), cwd)
-                  ncr(i) = wp(ncr(i), cwB(list)(1), coB(list)(1), cwd)
+                  ncb(i) = wp(ncb(i), cwE(0), coE(0), cwd)
+                  ncr(i) = wp(ncr(i), cwE(1), coE(1), cwd)
                   cx += 1
                 }
                 cy += 1
@@ -5230,33 +5351,34 @@ object H264 {
             // Clip1(((L0·w0 + L1·w1 + 2^d) >> (d+1)) + ((o0+o1+1)>>1))
             // over the L0 MC in the frame buffer and the L1 MC in the
             // tl/tcb/tcr scratch — replaces the default average
-            def biWeightedRect(px0: Int, py0: Int, wP: Int, hP: Int): Unit = {
-              val lo2 = (loB(0) + loB(1) + 1) >> 1
+            def biWeightedRect(px0: Int, py0: Int, wP: Int, hP: Int,
+                ref0: Int = 0): Unit = {
+              val lo2 = (loB0(ref0) + loB1 + 1) >> 1
               var y = 0
               while (y < hP) {
                 var x = 0
                 while (x < wP) {
                   val i = (py0 + y) * w + px0 + x
                   nl(i) = clip255(
-                    ((nl(i) * lwB(0) + tl(i) * lwB(1) + (1 << lwd)) >> (lwd + 1))
+                    ((nl(i) * lwB0(ref0) + tl(i) * lwB1 + (1 << lwd)) >> (lwd + 1))
                       + lo2)
                   x += 1
                 }
                 y += 1
               }
               val cw = w / 2
-              val cbo2 = (coB(0)(0) + coB(1)(0) + 1) >> 1
-              val cro2 = (coB(0)(1) + coB(1)(1) + 1) >> 1
+              val cbo2 = (coB0(ref0)(0) + coB1(0) + 1) >> 1
+              val cro2 = (coB0(ref0)(1) + coB1(1) + 1) >> 1
               var cy = 0
               while (cy < hP / 2) {
                 var cx = 0
                 while (cx < wP / 2) {
                   val i = (py0 / 2 + cy) * cw + px0 / 2 + cx
                   ncb(i) = clip255(
-                    ((ncb(i) * cwB(0)(0) + tcb(i) * cwB(1)(0) + (1 << cwd))
+                    ((ncb(i) * cwB0(ref0)(0) + tcb(i) * cwB1(0) + (1 << cwd))
                       >> (cwd + 1)) + cbo2)
                   ncr(i) = clip255(
-                    ((ncr(i) * cwB(0)(1) + tcr(i) * cwB(1)(1) + (1 << cwd))
+                    ((ncr(i) * cwB0(ref0)(1) + tcr(i) * cwB1(1) + (1 << cwd))
                       >> (cwd + 1)) + cro2)
                   cx += 1
                 }
@@ -5432,7 +5554,7 @@ object H264 {
                       gx * 4, gy * 4, 4, 4, mv0)) return false
                   if (!mcInto(luma2, cb2, cr2, tl, tcb, tcr)(
                       gx * 4, gy * 4, 4, 4, mv1)) return false
-                  if (wBi) biWeightedRect(gx * 4, gy * 4, 4, 4)
+                  if (wBi) biWeightedRect(gx * 4, gy * 4, 4, 4, refIdxNow)
                   else biAverageRect(gx * 4, gy * 4, 4, 4)
                   writePart(mvs, refs0, gx, gy, 1, 1, mv0, refIdxNow)
                   writePart(mvs1, refs1, gx, gy, 1, 1, mv1, 0)
@@ -5695,11 +5817,12 @@ object H264 {
                           if (l0p) tcr else ncr)(
                           pbx * 4, pby * 4, pwB * 4, phB * 4, mv1)) return None
                       if (l0p && l1p) {
-                        if (wBi) biWeightedRect(pbx * 4, pby * 4, pwB * 4, phB * 4)
+                        if (wBi) biWeightedRect(pbx * 4, pby * 4, pwB * 4, phB * 4,
+                          sref0(sb))
                         else biAverageRect(pbx * 4, pby * 4, pwB * 4, phB * 4)
                       } else if (wBi)
                         applyWeightsB(pbx * 4, pby * 4, pwB * 4, phB * 4,
-                          if (l0p) 0 else 1)
+                          if (l0p) 0 else 1, if (l0p) sref0(sb) else 0)
                       if (l0p) {
                         writePart(mvs, refs0, pbx, pby, pwB, phB, mv0, sref0(sb))
                         mvAbs += math.abs(mv0._1) + math.abs(mv0._2)
@@ -5805,11 +5928,12 @@ object H264 {
                         if (useL0p) tcr else ncr)(
                         pbx * 4, pby * 4, pwB * 4, phB * 4, mv1)) return None
                     if (useL0p && useL1p) {
-                      if (wBi) biWeightedRect(pbx * 4, pby * 4, pwB * 4, phB * 4)
+                      if (wBi) biWeightedRect(pbx * 4, pby * 4, pwB * 4, phB * 4,
+                        refs0P(part))
                       else biAverageRect(pbx * 4, pby * 4, pwB * 4, phB * 4)
                     } else if (wBi)
                       applyWeightsB(pbx * 4, pby * 4, pwB * 4, phB * 4,
-                        if (useL0p) 0 else 1)
+                        if (useL0p) 0 else 1, if (useL0p) refs0P(part) else 0)
                     if (useL0p) {
                       writePart(mvs, refs0, pbx, pby, pwB, phB, mv0, refs0P(part))
                       mvAbs += math.abs(mv0._1) + math.abs(mv0._2)
@@ -6008,11 +6132,11 @@ object H264 {
                       if (useL0) tcr else ncr)(
                       mx * 16, myy * 16, 16, 16, mvL1)) return None
                 if (useL0 && useL1) {
-                  if (wBi) biWeightedRect(mx * 16, myy * 16, 16, 16)
+                  if (wBi) biWeightedRect(mx * 16, myy * 16, 16, 16, refL0)
                   else biAverage(mx, myy)
                 } else if (wBi && isB)
                   applyWeightsB(mx * 16, myy * 16, 16, 16,
-                    if (useL0) 0 else 1)
+                    if (useL0) 0 else 1, if (useL0) refL0 else 0)
                 if (!isB && ppsWeighted)
                   applyWeights(mx * 16, myy * 16, 16, 16, refL0)
                 if (cbp == 15 && !decodeMbResiduals(mx, myy)) return None

@@ -2648,6 +2648,30 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // WEIGHTED bi-prediction over a MULTI-REF L0 — the combination
+    // the header parser previously refused: the pred_weight_table
+    // carries one entry per L0 reference, and each B_Bi_16x16 MB
+    // picks its picture AND its weight entry by te(v) ref_idx.
+    // Pixel-exact closed form (§8.4.2.3.2 with per-ref w0/o0).
+    "q231_h264_wbi_multiref" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"doc_id" % 4 === 2)
+        .select($"doc_id".cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val mbW = 2 + (id % 3).toInt
+          val mbH = 1 + (id % 3).toInt
+          val st = graft.operators.H264.synthesizeH264WBiMultiRef(mbW, mbH, id)
+          graft.operators.H264.decodeInter(st) match {
+            case Some(f) => (id, f.nFrames, f.width, f.height,
+              f.lumaSum, f.chromaSum, f.weightedSum, f.nSkipped, f.mvAbsSum)
+            case None => (id, -1, -1, -1, -1L, -1L, -1L, -1L, -1L)
+          }
+        }).toDF("doc_id", "n_frames", "width", "height", "luma_sum",
+          "chroma_sum", "weighted_sum", "n_skipped", "mv_abs_sum")
+        .orderBy($"doc_id")
+    },
+
     // Audio resampling — the rate-normalization step between decode
     // and feature extraction: symmetric integer FIR low-pass
     // (Σtaps = 16, exact unity DC gain) + decimate 2x with edge
@@ -6475,6 +6499,137 @@ object Pipeline {
         |    ((CASE (p.id + (p.x // 8) + 2 * (p.y // 8)) % 3
         |      WHEN 0 THEN a2.v WHEN 1 THEN a1.v ELSE a0.v END)
         |     + b.v + 1) // 2 AS v
+        |  FROM cpx p
+        |  JOIN c2 a2 ON a2.id = p.id AND a2.pl = p.pl
+        |    AND a2.x = least(greatest(p.x + 2 * p.s4, 0), 8 * p.mbw - 1)
+        |    AND a2.y = least(greatest(p.y + 2 * p.s5, 0), 8 * p.mbh - 1)
+        |  JOIN c1 a1 ON a1.id = p.id AND a1.pl = p.pl
+        |    AND a1.x = least(greatest(p.x + 2 * p.s4, 0), 8 * p.mbw - 1)
+        |    AND a1.y = least(greatest(p.y + 2 * p.s5, 0), 8 * p.mbh - 1)
+        |  JOIN c0 a0 ON a0.id = p.id AND a0.pl = p.pl
+        |    AND a0.x = least(greatest(p.x + 2 * p.s4, 0), 8 * p.mbw - 1)
+        |    AND a0.y = least(greatest(p.y + 2 * p.s5, 0), 8 * p.mbh - 1)
+        |  JOIN c1 b ON b.id = p.id AND b.pl = p.pl
+        |    AND b.x = least(greatest(p.x + 2 * p.s6, 0), 8 * p.mbw - 1)
+        |    AND b.y = least(greatest(p.y + 2 * p.s7, 0), 8 * p.mbh - 1)),
+        |ls AS (SELECT id, sum(CASE f WHEN 0 THEN v END) AS l0s,
+        |    sum(CASE f WHEN 1 THEN v END) AS l1s,
+        |    sum(CASE f WHEN 2 THEN v END) AS l2s,
+        |    sum(CASE f WHEN 3 THEN v END) AS l3s
+        |  FROM (SELECT id, 0 AS f, v FROM f0
+        |    UNION ALL SELECT id, 1, v FROM f1
+        |    UNION ALL SELECT id, 2, v FROM f2
+        |    UNION ALL SELECT id, 3, v FROM f3) GROUP BY 1),
+        |cs AS (SELECT id, sum(CASE f WHEN 0 THEN v END) AS c0s,
+        |    sum(CASE f WHEN 1 THEN v END) AS c1s,
+        |    sum(CASE f WHEN 2 THEN v END) AS c2s,
+        |    sum(CASE f WHEN 3 THEN v END) AS c3s
+        |  FROM (SELECT id, 0 AS f, v FROM c0
+        |    UNION ALL SELECT id, 1, v FROM c1
+        |    UNION ALL SELECT id, 2, v FROM c2
+        |    UNION ALL SELECT id, 3, v FROM c3) GROUP BY 1)
+        |SELECT d.id AS doc_id, CAST(4 AS INTEGER) AS n_frames,
+        |  16 * d.mbw AS width, 16 * d.mbh AS height,
+        |  CAST(ls.l0s + ls.l1s + ls.l2s + ls.l3s AS BIGINT) AS luma_sum,
+        |  CAST(cs.c0s + cs.c1s + cs.c2s + cs.c3s AS BIGINT) AS chroma_sum,
+        |  CAST(ls.l0s + cs.c0s + 2 * (ls.l1s + cs.c1s)
+        |    + 3 * (ls.l2s + cs.c2s) + 4 * (ls.l3s + cs.c3s) AS BIGINT)
+        |    AS weighted_sum,
+        |  CAST(0 AS BIGINT) AS n_skipped,
+        |  CAST(d.mbw * d.mbh * (32 + 32 + 64) AS BIGINT) AS mv_abs_sum
+        |FROM d JOIN ls ON ls.id = d.id JOIN cs ON cs.id = d.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors synthesizeH264WBiMultiRef: the q225 frame chain under
+    // the §8.4.2.3.2 weighted combine with PER-REFERENCE entries —
+    // r = (id+mx+2my)%3, a = [f2,f1,f0][r] @ 4(s4,s5), b = f1 @
+    // 4(s6,s7), out = clip(((a·lw(r) + b·lw1 + 2^ld) >> (ld+1)) +
+    // ((lo(r)+lo1+1) >> 1)) with the synthWtLumaR/ChromaR closed
+    // forms at f=3 (L1 = the ref-3 entry); chroma denom 1.
+    "q231_h264_wbi_multiref" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(2 + doc_id % 3 AS INTEGER) AS mbw,
+        |    CAST(1 + doc_id % 3 AS INTEGER) AS mbh,
+        |    CAST(1 + (doc_id + 3) % 2 AS INTEGER) AS ld
+        |  FROM documents WHERE doc_id % 4 = 2),
+        |sg AS (SELECT id, mbw, mbh, ld,
+        |    CAST(1 - 2 * ((id // 1) % 2) AS INTEGER) AS s0,
+        |    CAST(1 - 2 * ((id // 2) % 2) AS INTEGER) AS s1,
+        |    CAST(1 - 2 * ((id // 4) % 2) AS INTEGER) AS s2,
+        |    CAST(1 - 2 * ((id // 8) % 2) AS INTEGER) AS s3,
+        |    CAST(1 - 2 * ((id // 16) % 2) AS INTEGER) AS s4,
+        |    CAST(1 - 2 * ((id // 32) % 2) AS INTEGER) AS s5,
+        |    CAST(1 - 2 * ((id // 64) % 2) AS INTEGER) AS s6,
+        |    CAST(1 - 2 * ((id // 128) % 2) AS INTEGER) AS s7
+        |  FROM d),
+        |px AS (SELECT sg.*, x.i AS x, y.i AS y
+        |  FROM sg,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 16 * mbh - 1)) AS i) y),
+        |f0 AS (SELECT id, x, y, (id + x + 2 * y) % 251 AS v FROM px),
+        |f1 AS (SELECT p.id, p.x, p.y, f0.v FROM px p JOIN f0 ON f0.id = p.id
+        |  AND f0.x = least(greatest(p.x + 4 * p.s0, 0), 16 * p.mbw - 1)
+        |  AND f0.y = least(greatest(p.y + 4 * p.s1, 0), 16 * p.mbh - 1)),
+        |f2 AS (SELECT p.id, p.x, p.y, f1.v FROM px p JOIN f1 ON f1.id = p.id
+        |  AND f1.x = least(greatest(p.x + 4 * p.s2, 0), 16 * p.mbw - 1)
+        |  AND f1.y = least(greatest(p.y + 4 * p.s3, 0), 16 * p.mbh - 1)),
+        |f3 AS (SELECT p.id, p.x, p.y,
+        |    least(greatest(
+        |      (((CASE (p.id + (p.x // 16) + 2 * (p.y // 16)) % 3
+        |          WHEN 0 THEN a2.v WHEN 1 THEN a1.v ELSE a0.v END)
+        |        * (1 + (p.id + 3 + (p.id + (p.x // 16) + 2 * (p.y // 16)) % 3) % 3)
+        |        + b.v * (1 + (p.id + 6) % 3)
+        |        + (CASE p.ld WHEN 1 THEN 2 ELSE 4 END))
+        |       // (CASE p.ld WHEN 1 THEN 4 ELSE 8 END))
+        |      + CAST(floor((((p.id + 6 + 3 * ((p.id + (p.x // 16) + 2 * (p.y // 16)) % 3)) % 9)
+        |          - 4 + ((p.id + 15) % 9) - 4 + 1) / 2.0) AS INTEGER),
+        |      0), 255) AS v
+        |  FROM px p
+        |  JOIN f2 a2 ON a2.id = p.id
+        |    AND a2.x = least(greatest(p.x + 4 * p.s4, 0), 16 * p.mbw - 1)
+        |    AND a2.y = least(greatest(p.y + 4 * p.s5, 0), 16 * p.mbh - 1)
+        |  JOIN f1 a1 ON a1.id = p.id
+        |    AND a1.x = least(greatest(p.x + 4 * p.s4, 0), 16 * p.mbw - 1)
+        |    AND a1.y = least(greatest(p.y + 4 * p.s5, 0), 16 * p.mbh - 1)
+        |  JOIN f0 a0 ON a0.id = p.id
+        |    AND a0.x = least(greatest(p.x + 4 * p.s4, 0), 16 * p.mbw - 1)
+        |    AND a0.y = least(greatest(p.y + 4 * p.s5, 0), 16 * p.mbh - 1)
+        |  JOIN f1 b ON b.id = p.id
+        |    AND b.x = least(greatest(p.x + 4 * p.s6, 0), 16 * p.mbw - 1)
+        |    AND b.y = least(greatest(p.y + 4 * p.s7, 0), 16 * p.mbh - 1)),
+        |cpx AS (SELECT sg.*, pl.p AS pl, x.i AS x, y.i AS y
+        |  FROM sg,
+        |  LATERAL (SELECT unnest(generate_series(0, 1)) AS p) pl,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbw - 1)) AS i) x,
+        |  LATERAL (SELECT unnest(generate_series(0, 8 * mbh - 1)) AS i) y),
+        |c0 AS (SELECT id, pl, x, y,
+        |    (CASE WHEN pl = 0 THEN id + 2 * x + y
+        |          ELSE 3 * id + x + 2 * y END) % 251 AS v FROM cpx),
+        |c1 AS (SELECT p.id, p.pl, p.x, p.y, c0.v FROM cpx p
+        |  JOIN c0 ON c0.id = p.id AND c0.pl = p.pl
+        |    AND c0.x = least(greatest(p.x + 2 * p.s0, 0), 8 * p.mbw - 1)
+        |    AND c0.y = least(greatest(p.y + 2 * p.s1, 0), 8 * p.mbh - 1)),
+        |c2 AS (SELECT p.id, p.pl, p.x, p.y, c1.v FROM cpx p
+        |  JOIN c1 ON c1.id = p.id AND c1.pl = p.pl
+        |    AND c1.x = least(greatest(p.x + 2 * p.s2, 0), 8 * p.mbw - 1)
+        |    AND c1.y = least(greatest(p.y + 2 * p.s3, 0), 8 * p.mbh - 1)),
+        |c3 AS (SELECT p.id, p.pl, p.x, p.y,
+        |    least(greatest(
+        |      (((CASE (p.id + (p.x // 8) + 2 * (p.y // 8)) % 3
+        |          WHEN 0 THEN a2.v WHEN 1 THEN a1.v ELSE a0.v END)
+        |        * (CASE WHEN p.pl = 0
+        |           THEN 1 + (p.id + 4 + (p.id + (p.x // 8) + 2 * (p.y // 8)) % 3) % 3
+        |           ELSE 1 + (p.id + 7 + (p.id + (p.x // 8) + 2 * (p.y // 8)) % 3) % 3 END)
+        |        + b.v * (CASE WHEN p.pl = 0
+        |           THEN 1 + (p.id + 7) % 3 ELSE 1 + (p.id + 10) % 3 END)
+        |        + 2) // 4)
+        |      + CAST(floor((CASE WHEN p.pl = 0
+        |           THEN ((p.id + 9 + 2 * ((p.id + (p.x // 8) + 2 * (p.y // 8)) % 3)) % 7) - 3
+        |           ELSE ((p.id + 8 + (p.id + (p.x // 8) + 2 * (p.y // 8)) % 3) % 7) - 3 END
+        |          + CASE WHEN p.pl = 0
+        |           THEN ((p.id + 15) % 7) - 3 ELSE ((p.id + 11) % 7) - 3 END
+        |          + 1) / 2.0) AS INTEGER),
+        |      0), 255) AS v
         |  FROM cpx p
         |  JOIN c2 a2 ON a2.id = p.id AND a2.pl = p.pl
         |    AND a2.x = least(greatest(p.x + 2 * p.s4, 0), 8 * p.mbw - 1)

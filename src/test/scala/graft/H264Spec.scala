@@ -2970,4 +2970,79 @@ class H264Spec extends AnyFunSuite {
       assert(m.mvAbsSum == expMvAbs, s"seed=$seed mvAbs ${m.mvAbsSum} vs $expMvAbs")
     }
   }
+
+  test("weighted bi-prediction over a multi-ref L0: per-reference weight entries") {
+    // the q231 family vs an independent §8.4.2.3.2 reconstruction:
+    // each B_Bi_16x16 MB picks its L0 picture AND its weight entry by
+    // ref_idx; the previously-refused multi-ref wBi header parse
+    for (seed <- 0L until 12L) {
+      val mbW = 2 + (seed % 3).toInt
+      val mbH = 1 + (seed % 3).toInt
+      val w = mbW * 16; val h = mbH * 16
+      val frames = scala.collection.mutable.ArrayBuffer[H264.FrameState]()
+      val mo = H264.decodeInter(
+        H264.synthesizeH264WBiMultiRef(mbW, mbH, seed), frames += _)
+      assert(mo.isDefined, s"seed=$seed decode failed")
+      val m = mo.get
+      assert(m.nFrames == 4 && frames.length == 4)
+      def clamp(v: Int, hi: Int) = math.min(math.max(v, 0), hi)
+      def clip255(v: Int) = math.min(255, math.max(0, v))
+      def sgn(bit: Int): Int = 1 - 2 * (((seed >> bit) % 2).toInt & 1)
+      val qp1 = (16 * sgn(0), 16 * sgn(1))
+      val qp2 = (16 * sgn(2), 16 * sgn(3))
+      val qb0 = (16 * sgn(4), 16 * sgn(5))
+      val qb1 = (16 * sgn(6), 16 * sgn(7))
+      def shift(p: Array[Array[Int]], dx: Int, dy: Int) = {
+        val hh = p.length; val ww = p(0).length
+        Array.tabulate(hh, ww)((y, x) =>
+          p(clamp(y + dy, hh - 1))(clamp(x + dx, ww - 1)))
+      }
+      def mc(p: Array[Array[Int]], mv: (Int, Int), div: Int) =
+        shift(p, mv._1 / div, mv._2 / div)
+      val l0 = Array.tabulate(h, w)((y, x) => ((seed + x + 2 * y) % 251).toInt)
+      val cB0 = Array.tabulate(h / 2, w / 2)((y, x) => ((seed + 2 * x + y) % 251).toInt)
+      val cR0 = Array.tabulate(h / 2, w / 2)((y, x) => ((3 * seed + x + 2 * y) % 251).toInt)
+      val l1 = mc(l0, qp1, 4); val cB1 = mc(cB0, qp1, 8); val cR1 = mc(cR0, qp1, 8)
+      val l2 = mc(l1, qp2, 4); val cB2 = mc(cB1, qp2, 8); val cR2 = mc(cR1, qp2, 8)
+      val (ld, _, _) = H264.synthWtLumaR(seed, 3, 0)
+      def wbi(srcs: Seq[Array[Array[Int]]], l1src: Array[Array[Int]],
+          mbPix: Int, div: Int, plane: Int) = {
+        val a = (0 to 2).map(r => mc(srcs(r), qb0, div))
+        val b = mc(l1src, qb1, div)
+        Array.tabulate(l1src.length, l1src(0).length) { (y, x) =>
+          val r = H264.synthBMrRef(seed, x / mbPix, y / mbPix)
+          if (plane == 0) {
+            val (_, w0, o0) = H264.synthWtLumaR(seed, 3, r)
+            val (_, w1, o1) = H264.synthWtLumaR(seed, 3, 3)
+            clip255(((a(r)(y)(x) * w0 + b(y)(x) * w1 + (1 << ld)) >> (ld + 1))
+              + ((o0 + o1 + 1) >> 1))
+          } else {
+            val e0 = H264.synthWtChromaR(seed, 3, r)
+            val e1 = H264.synthWtChromaR(seed, 3, 3)
+            val (w0, o0) = if (plane == 1) (e0._2, e0._3) else (e0._4, e0._5)
+            val (w1, o1) = if (plane == 1) (e1._2, e1._3) else (e1._4, e1._5)
+            clip255(((a(r)(y)(x) * w0 + b(y)(x) * w1 + 2) >> 2)
+              + ((o0 + o1 + 1) >> 1)) // chroma denom fixed at 1
+          }
+        }
+      }
+      val l3 = wbi(Seq(l2, l1, l0), l1, 16, 4, 0)
+      val cB3 = wbi(Seq(cB2, cB1, cB0), cB1, 8, 8, 1)
+      val cR3 = wbi(Seq(cR2, cR1, cR0), cR1, 8, 8, 2)
+      val ls = Seq(l0, l1, l2, l3)
+      val cbs = Seq(cB0, cB1, cB2, cB3)
+      val crs = Seq(cR0, cR1, cR2, cR3)
+      frames.zipWithIndex.foreach { case (fs, i) =>
+        for (y <- 0 until h; x <- 0 until w)
+          assert(fs.luma(y * w + x) == ls(i)(y)(x),
+            s"seed=$seed frame $i luma ($x,$y)")
+        for (y <- 0 until h / 2; x <- 0 until w / 2) {
+          assert(fs.cb(y * (w / 2) + x) == cbs(i)(y)(x), s"seed=$seed frame $i cb")
+          assert(fs.cr(y * (w / 2) + x) == crs(i)(y)(x), s"seed=$seed frame $i cr")
+        }
+      }
+      assert(m.nSkipped == 0L)
+      assert(m.mvAbsSum == mbW.toLong * mbH * (32L + 32L + 64L))
+    }
+  }
 }
