@@ -395,6 +395,20 @@ class DedupSpec extends SparkSpec {
       assert(afterDirs.count(_.startsWith("band=")) == 32)
       assert(rows(Dedup.nearDupScreenIndexed(spark, dir, probe,
         "doc_id", "text", 0.8, bandsProbed = 16)) == full)
+      // POINT-LOOKUP path: a ≤8-unique-text probe pushes per-band
+      // bucket IN filters into the (bucket-sorted) partitioned scan —
+      // result identical to the same docs' rows in the full probe
+      val tiny = probe.orderBy(col("doc_id")).limit(3).cache()
+      val tinyIds = tiny.collect().map(_.getLong(0)).toSet
+      val tinyProbe = Dedup.nearDupProbeIndexed(spark, dir, tiny,
+        "doc_id", "text", 0.8)
+      assert(rows(tinyProbe) == full.filter(p => tinyIds.contains(p._1)),
+        "point-lookup probe must equal the full probe's rows for those docs")
+      val tinyScans = bandScans(tinyProbe.queryExecution.executedPlan)
+      assert(tinyScans.nonEmpty && tinyScans.forall(s =>
+        s.dataFilters.exists(_.toString.contains("bucket"))),
+        "point-lookup scan must carry pushed bucket filters")
+      tiny.unpersist()
       // incremental split over the same index: matched batch docs
       // INHERIT their best match's standing side; unmatched docs get
       // exactly the one-shot singleton rule (LCG of their own id)
