@@ -187,7 +187,13 @@ object Bench {
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.writeString(p, detail + "\n")
     } catch { case _: Throwable => () } // detail dump is best-effort
-    println(line)
+    // the JSON line must be the LAST thing on stdout/stderr: the
+    // driver keeps only a bounded output tail, and r14's line was
+    // evicted by session-shutdown log noise (BENCH_r14 recorded
+    // `parsed: null`) — so silence logging, stop the session, THEN
+    // print
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(line)
   }
 }

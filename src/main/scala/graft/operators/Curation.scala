@@ -100,6 +100,9 @@ object Curation {
     * standing assignment is never rewritten (append-only contract);
     * a periodic full re-split reconciles bridges.
     * Returns (doc_id, best_b = null for fresh content, side).
+    * FAILS (raise_error, job abort) if a matched best_b has no row in
+    * `sides` — an out-of-sync index/assignment pair must be repaired,
+    * not silently coalesced into the fresh-content rule.
     */
   def incrementalSplitAssign(spark: org.apache.spark.sql.SparkSession,
       idxDir: String, batch: DataFrame, sides: DataFrame,
@@ -114,9 +117,56 @@ object Curation {
         $"side".as("match_side")), Seq("best_b"), "left")
       .select($"doc_id", $"best_b",
         coalesce($"match_side",
+          // a MATCHED doc whose best_b has no side means the index
+          // and the standing assignment are out of sync — in a
+          // leakage-safety operator, silently falling through to the
+          // fresh-content rule could place a near-duplicate of
+          // training data in validation; refuse instead
+          when($"best_b".isNotNull, raise_error(concat(
+            lit("incrementalSplitAssign: best match "), $"best_b",
+            lit(" of doc "), $"doc_id",
+            lit(" has no side in the standing assignment — " +
+              "near-dup index and sides table are out of sync")))),
           when((($"doc_id" % 1000003L) * 1103515245L + 12345L) % 1000L <
               lit(trainPct * 10L), lit("train"))
             .otherwise(lit("valid"))).as("side"))
+  }
+
+  /** The fresh-content (singleton) rule of [[incrementalSplitAssign]]
+    * applied to a whole batch — the bootstrap form for the FIRST batch
+    * of a standing split directory, where no index exists yet and
+    * every document is its own cluster. Same output schema
+    * (doc_id, best_b = null, side) and bit-identical side values to
+    * what [[incrementalSplitAssign]] would emit for unmatched docs.
+    */
+  def leakageSafeSplitSingletons(batch: DataFrame, idCol: String,
+      trainPct: Int = 80): DataFrame =
+    batch.select(col(idCol).as("doc_id"),
+      lit(null).cast("long").as("best_b"),
+      when((($"doc_id" % 1000003L) * 1103515245L + 12345L) % 1000L <
+          lit(trainPct * 10L), lit("train"))
+        .otherwise(lit("valid")).as("side"))
+
+  /** Compact a standing split directory's per-batch `sides` segments
+    * to one row per document — the [[LangModel.compactLmCounts]]
+    * treatment (staged swap, checked renames, unlogged-delta sweep)
+    * for the assignment table
+    * ([[graft.streaming.StreamingIndex.applySplitBatch]] appends one
+    * segment per batch). Each doc is assigned in exactly ONE batch, so
+    * the fold is a pass-through grouped by doc (min(struct) makes it
+    * deterministic even against a corrupted double-assignment);
+    * probes and side inheritance are identical before and after.
+    * The near-dup tables in the same dir are
+    * [[Dedup.compactNearDupIndex]]'s job — call both for a full
+    * directory compaction.
+    */
+  def compactSplitAssign(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    def merged() = spark.read.parquet(s"$dir/sides")
+      .groupBy($"doc_id")
+      .agg(min(struct($"side", $"best_b")).as("m"))
+      .select($"doc_id", $"m.best_b", $"m.side")
+    LangModel.compactTables(spark, dir, Seq("sides" -> (() => merged())))
   }
 
   /** Stage-by-stage audit counts: (stage, stage_name, n), computed in

@@ -576,7 +576,8 @@ object Dedup {
     */
   private def nearDupUniquePairs(spark: org.apache.spark.sql.SparkSession,
       dir: String, probe: DataFrame, idCol: String, textCol: String,
-      threshold: Double, bandsProbed: Int = Int.MaxValue): (DataFrame, DataFrame) = {
+      threshold: Double, bandsProbed: Int = Int.MaxValue,
+      pointLookup: Boolean = false): (DataFrame, DataFrame) = {
     val m = spark.read.parquet(s"$dir/meta").head
     val (n, k, bnds) = (m.getInt(0), m.getInt(1), m.getInt(2))
     val pUniq = probe
@@ -606,18 +607,23 @@ object Dedup {
     // across them. The filter only names the probe's own join keys,
     // so the candidate set (and every downstream row) is IDENTICAL
     // to the full-scan plan — DedupSpec pins both the equality and
-    // the PushedFilters. Honest cost accounting (NdScreenBench): the
-    // path prepays one bounded count + a ≤ 8×bands-row collect
-    // (~0.5 s of fixed driver/job latency), which at the SYNTHETIC
-    // gate indexes — whose postings follow unique content and stay
-    // ~2 MB however far ScaleUp replicates — exceeds the scan it
-    // saves (1.25 vs 0.73 s at sf10). The regime it exists for is a
-    // standing ORGANIC corpus, where postings are GB–TB (billions of
-    // unique texts) and the row-group prune is the difference
-    // between touching megabytes and scanning everything.
+    // the PushedFilters. OPT-IN (`pointLookup`): the guard itself
+    // costs two driver jobs (a bounded count + a ≤ 8×bands-row
+    // collect, ~0.5 s of fixed job latency) that a BULK probe should
+    // never pay — the caller knows its probe's shape, so the default
+    // path runs zero extra jobs and an online point-lookup caller
+    // opts in. Honest cost accounting (NdScreenBench): even when it
+    // engages, at the SYNTHETIC gate indexes — whose postings follow
+    // unique content and stay ~2 MB however far ScaleUp replicates —
+    // the prepay exceeds the scan it saves (1.25 vs 0.73 s at sf10).
+    // The regime it exists for is a standing ORGANIC corpus, where
+    // postings are GB–TB (billions of unique texts) and the
+    // row-group prune is the difference between touching megabytes
+    // and scanning everything.
     val pointLookupMax = 8
     val cBand =
-      if (pUniq.limit(pointLookupMax + 1).count() <= pointLookupMax) {
+      if (pointLookup &&
+          pUniq.limit(pointLookupMax + 1).count() <= pointLookupMax) {
         val byBand = pBand.select($"band", $"bucket").collect()
           .map(r => (r.getInt(0), r.getLong(1)))
           .groupBy(_._1)
@@ -648,12 +654,15 @@ object Dedup {
     * itself is inherently quadratic in content duplication (every
     * probe copy × every indexed copy) — at corpus scale use
     * [[nearDupBestIndexed]], whose output is linear in the probe.
+    * `pointLookup = true` opts a ≤ 8-unique-text online probe into
+    * the pushed per-band bucket-IN scan (see [[nearDupUniquePairs]]);
+    * bulk probes leave it false and pay zero guard jobs.
     */
   def nearDupProbeIndexed(spark: org.apache.spark.sql.SparkSession,
       dir: String, probe: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val (uniqPairs, pDocs) =
-      nearDupUniquePairs(spark, dir, probe, idCol, textCol, threshold)
+      threshold: Double, pointLookup: Boolean = false): DataFrame = {
+    val (uniqPairs, pDocs) = nearDupUniquePairs(spark, dir, probe,
+      idCol, textCol, threshold, pointLookup = pointLookup)
     uniqPairs
       .join(pDocs, "pkh")
       .join(spark.read.parquet(s"$dir/docs")
@@ -677,9 +686,10 @@ object Dedup {
     */
   def nearDupScreenIndexed(spark: org.apache.spark.sql.SparkSession,
       dir: String, probe: DataFrame, idCol: String, textCol: String,
-      threshold: Double, bandsProbed: Int): DataFrame = {
+      threshold: Double, bandsProbed: Int,
+      pointLookup: Boolean = false): DataFrame = {
     val (uniqPairs, pDocs) = nearDupUniquePairs(spark, dir, probe,
-      idCol, textCol, threshold, bandsProbed)
+      idCol, textCol, threshold, bandsProbed, pointLookup)
     uniqPairs
       .join(pDocs, "pkh")
       .join(spark.read.parquet(s"$dir/docs")
@@ -698,9 +708,9 @@ object Dedup {
     */
   def nearDupBestIndexed(spark: org.apache.spark.sql.SparkSession,
       dir: String, probe: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val (uniqPairs, pDocs) =
-      nearDupUniquePairs(spark, dir, probe, idCol, textCol, threshold)
+      threshold: Double, pointLookup: Boolean = false): DataFrame = {
+    val (uniqPairs, pDocs) = nearDupUniquePairs(spark, dir, probe,
+      idCol, textCol, threshold, pointLookup = pointLookup)
     // per indexed CONTENT: copy count + smallest doc id (bounded,
     // content-keyed aggregates — never pair-expanded)
     val cStats = spark.read.parquet(s"$dir/docs")

@@ -5526,10 +5526,16 @@ object H264 {
                   // mapped list0 picture by decode distance (see the
                   // block comment): colocated's list0[k] = dpb(2+k),
                   // its post-swap list1[0] = dpb(3); intra = dpb(0)
+                  // L1-only colocated: the 3+k form is ONLY valid at
+                  // k == 0 — the colocated's post-swap list1[k] for
+                  // k > 0 is NOT dpb(3+k), so refuse rather than
+                  // mis-map if L1 multi-ref is ever admitted (the
+                  // encoder forces num_ref_idx_l1_active = 1 today)
                   val refIdxNow =
                     if (intra) 0
                     else if (useL0Col) 2 + colRefs0(ci)
-                    else 3 + colRefs1(ci)
+                    else if (colRefs1(ci) == 0) 3
+                    else return false
                   if (refIdxNow >= dpb.size) return false // aged out
                   val mapped = dpb(refIdxNow)
                   val rfL = mapped.lumaP; val rfCb = mapped.cbP

@@ -539,11 +539,29 @@ object Similarity {
     * every oracle-gated SF keeps the requested geometry. Per-table
     * collision recall falls as planes grow; nTables/nProbe are the
     * compensating knobs a production deployment raises alongside.
+    *
+    * SIZING COST (this builder is ACTION-BEARING): the adaptive floor
+    * needs the corpus size, so calling this runs a Spark job before
+    * the returned frame is ever acted on. A caller that already knows
+    * the size (a persisted index's meta row, a batch ledger) passes
+    * `knownCount` and pays nothing; otherwise a LIMIT-bounded probe
+    * (floor + 1 rows, early-out capable) decides whether the floor can
+    * engage at all, and only a corpus that clears the floor pays a
+    * full count.
     */
   def lshTopK(corpus: DataFrame, dim: Int, nPlanes: Int, k: Int,
       nTables: Int = 8, nProbe: Int = 1, queries: DataFrame = null,
-      targetOccupancy: Int = 2048): DataFrame = {
-    val n = corpus.count()
+      targetOccupancy: Int = 2048, knownCount: Long = -1L): DataFrame = {
+    val n =
+      if (knownCount >= 0L) knownCount
+      else {
+        // below this the adaptive floor is a no-op, so a bounded probe
+        // (cheap: limit pushes into the scan) avoids the full count
+        val floorN = math.min(targetOccupancy.toLong << nPlanes,
+          (Int.MaxValue - 1).toLong)
+        val probed = corpus.limit(floorN.toInt + 1).count()
+        if (probed <= floorN) probed else corpus.count()
+      }
     val adaptive = math.ceil(
       math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
     val planes = math.max(nPlanes, adaptive)

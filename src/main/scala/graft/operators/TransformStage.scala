@@ -68,7 +68,18 @@ object TransformStage {
       if (!cfg.escapeNull) lit(NullMarker)
       else if (isStringCol) lit(cfg.nullString)
       else lit(cfg.nullNonString)
-    when(c.isNull || c === NullMarker, nullRepl).otherwise(sanitize(c, cfg))
+    // a constant column (additional-cols path) folds `c === NullMarker`
+    // into a literal-vs-literal compare and Spark warns about the
+    // trivially-true shape — resolve the constant case here instead
+    org.apache.spark.sql.graft.Bridge.expression(c) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+        if (v == null ||
+            v == org.apache.spark.unsafe.types.UTF8String.fromString(NullMarker))
+          nullRepl
+        else sanitize(c, cfg)
+      case _ =>
+        when(c.isNull || c === NullMarker, nullRepl).otherwise(sanitize(c, cfg))
+    }
   }
 
   /** Op #4 analogue (ORC stringly flattening, `OrcRecordDecoder.java:27-45`):

@@ -211,12 +211,16 @@ object Pipeline {
 
   // q217: the dashboard's repetition-quantile leg — the DDSketch α
   // guarantee restated as rank inequalities over the EXACT per-doc
-  // signals; n = contributing documents (≥ 3 tokens), flags TRUE
+  // signals; n = contributing documents (≥ 3 tokens), flags TRUE.
+  // q50/q95_in_band assert the sketch estimates against pinned
+  // cross-SF exact-quantile envelopes (±3α, RepQuantileScan) — the
+  // gate-level drift detector for the composed quantiles.
   private val dashboardRepetitionOracle =
     """WITH d AS (SELECT string_split(text,' ') AS t FROM documents),
       |nn AS (SELECT count(*) AS n FROM d WHERE len(t) >= 3)
       |SELECT s.signal, nn.n AS n,
-      |  TRUE AS med_le_p95, TRUE AS quantiles_in_domain
+      |  TRUE AS med_le_p95, TRUE AS quantiles_in_domain,
+      |  TRUE AS q50_in_band, TRUE AS q95_in_band
       |FROM (VALUES ('distinct_ratio'), ('dup_trigram_frac'),
       |      ('top_bigram_frac'), ('top_token_frac')) s(signal), nn
       |ORDER BY signal""".stripMargin
@@ -3623,15 +3627,33 @@ object Pipeline {
             docs.filter($"doc_id" % 2 =!= 0), "text", cols, idxDir, batchId = 1))
         require(applied == Seq(true, true, false),
           s"dashboard batchlog idempotence violated: $applied")
+        // PINNED TOLERANCE BANDS (RepQuantileScan, 2026-08): per
+        // signal, the cross-SF (sf0.001/0.01/0.1) envelope of the
+        // EXACT q50/q95 widened by 3α — the α guarantee certifies the
+        // sketch estimate within (1±α) of exact, so a sketch estimate
+        // outside the 3α band means the sketch machinery regressed
+        // (bucketing/merge/interpolation), and the flag flips without
+        // the gate paying a raw-corpus rescan (the full rank-envelope
+        // audit lives in StreamingSpec — the documented q207 split).
+        val bands = Seq(
+          // signal, lo50, hi50, lo95, hi95
+          ("distinct_ratio", 0.4374, 0.4783, 0.7766, 0.8584),
+          ("dup_trigram_frac", -1e-9, 1e-9, 0.010553, 0.011458),
+          ("top_bigram_frac", 0.031318, 0.034334, 0.084424, 0.089769),
+          ("top_token_frac", 0.088261, 0.095814, 0.155663, 0.176623))
+          .toDF("signal", "lo50", "hi50", "lo95", "hi95")
         graft.operators.IngestDashboard.repQuantilesIndexed(
             s, idxDir, Seq(0.5, 0.95), alpha)
+          .join(broadcast(bands), Seq("signal"))
           .select($"signal", $"n",
             // ranks are monotone in q, estimates monotone in rank
             ($"q50" <= $"q95").as("med_le_p95"),
             // every signal lives in [0, 1]; a DDSketch estimate of an
             // in-[0,1] value is certified ≤ (1+α) by the α guarantee
             ($"q50" >= 0.0 && $"q95" >= 0.0 &&
-              $"q95" <= 1.0 + alpha + 1e-9).as("quantiles_in_domain"))
+              $"q95" <= 1.0 + alpha + 1e-9).as("quantiles_in_domain"),
+            $"q50".between($"lo50", $"hi50").as("q50_in_band"),
+            $"q95".between($"lo95", $"hi95").as("q95_in_band"))
           .orderBy($"signal")
           .localCheckpoint()
       } finally Pipeline.rmTree(new java.io.File(idxDir))

@@ -483,6 +483,81 @@ object StreamingIndex {
       }
       .start()
 
+  /** Apply one micro-batch of documents to a STANDING leakage-safe
+    * split directory — the operational form of
+    * [[graft.operators.Curation.incrementalSplitAssign]]: `dir` holds
+    * the near-dup index (bands/sets/docs) AND the standing assignment
+    * (`dir/sides`: doc_id, best_b, side), and one batch application
+    *  1. probes the CURRENT index for each batch doc's best match and
+    *     derives its side (inherit the match's standing side; fresh
+    *     content takes the LCG singleton rule) — batch-priced;
+    *  2. appends the batch to the index AND its assignment rows to
+    *     `sides` through ONE staged rename + batchlog commit, so the
+    *     index and the assignment can never drift apart (the
+    *     out-of-sync shape incrementalSplitAssign refuses): a doc is
+    *     either fully absorbed (probeable and sided) or not at all.
+    * The assignment row is written BEFORE the index delta lands in
+    * staging, so the probe never sees the batch's own content.
+    * Idempotent by `batchId` (sweep + deterministic rename, the
+    * applyDashboardBatch contract); [[graft.operators.Curation
+    * .compactSplitAssign]] folds the per-batch `sides` segments.
+    * A missing `sides`/index (first batch) bootstraps from empty —
+    * every doc is fresh content, matching the one-shot
+    * [[graft.operators.Curation.leakageSafeSplit]] singleton rule.
+    */
+  def applySplitBatch(batch: DataFrame, idCol: String, textCol: String,
+      dir: String, batchId: Long, threshold: Double = 0.8,
+      trainPct: Int = 80): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val logPath = s"$dir/batchlog"
+    val fs = new org.apache.hadoop.fs.Path(logPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
+        !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
+      return false
+    }
+    val subs = Seq("bands", "sets", "docs", "sides")
+    val applied =
+      if (batch.isEmpty) false
+      else {
+        val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
+        subs.foreach { sub =>
+          sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
+        }
+        // committed content exists iff `sides` still holds files after
+        // this batch's sweep — a crashed first attempt leaves swept
+        // orphans and possibly `meta`, but nothing probeable (empty
+        // batches log rows without creating any sub-table)
+        val sidesP = new org.apache.hadoop.fs.Path(s"$dir/sides")
+        val bootstrapped = fs.exists(sidesP) &&
+          fs.listStatus(sidesP).exists(f =>
+            f.isFile && !f.getPath.getName.startsWith("_"))
+        val assign =
+          if (bootstrapped)
+            graft.operators.Curation.incrementalSplitAssign(spark, dir,
+              batch,
+              spark.read.parquet(s"$dir/sides").select($"doc_id", $"side"),
+              idCol, textCol, threshold, trainPct)
+          else // first batch: no index yet — all fresh content
+            graft.operators.Curation.leakageSafeSplitSingletons(
+              batch, idCol, trainPct)
+        // materialize the assignment FIRST: it probes the live index,
+        // which must not yet contain this batch's own content
+        assign.write.mode("overwrite").parquet(s"$staging/sides")
+        graft.operators.Dedup.appendNearDupIndex(spark, batch, idCol,
+          textCol, dir, stagingPath = Some(staging.toString))
+        subs.foreach { sub =>
+          commitStaged(fs, new org.apache.hadoop.fs.Path(staging, sub),
+            new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
+        }
+        fs.delete(staging, true)
+        true
+      }
+    Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    applied
+  }
+
   /** Apply one micro-batch of documents to a COMPOSED ingest
     * dashboard directory — profile state + LM counts (orders 2 AND 3)
     * + repetition quantile sketches + the NEAR-DUP index (LSH
@@ -517,11 +592,22 @@ object StreamingIndex {
     * [[graft.operators.Profiling.profileIndexed]] /
     * [[graft.operators.IngestDashboard.repQuantilesIndexed]] /
     * [[graft.operators.Dedup.nearDupProbeIndexed]] unchanged.
+    *
+    * `shareScan` names the REGIME the composition assumes: true
+    * (default) persists the batch once and is right whenever the
+    * source is expensive to re-pull (remote object store, an upstream
+    * computation, a cold cluster read — the 100 TB shape); false
+    * skips the persist and lets each family re-scan the source,
+    * which WINS when re-pulls are near-free (page-cached local
+    * parquet — measured at sf100-local, DashBench: the
+    * materialization cost exceeds four extra cached scans). Both
+    * settings commit identically (same staging, same atomic rename,
+    * same batchlog row) and are value-exact.
     */
   def applyDashboardBatch(batch: DataFrame, textCol: String,
       numCols: Seq[String], dir: String, batchId: Long,
       p: Int = 12, alpha: Double = graft.operators.IngestDashboard.Alpha,
-      idCol: String = "doc_id"): Boolean = {
+      idCol: String = "doc_id", shareScan: Boolean = true): Boolean = {
     val spark = batch.sparkSession
     import spark.implicits._
     val logPath = s"$dir/batchlog"
@@ -540,15 +626,19 @@ object StreamingIndex {
         subs.foreach { sub =>
           sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
         }
-        // ONE materialized read of the batch (the count() pass IS the
-        // single source scan); the four family derivations then run
-        // as CONCURRENT jobs over the cached rows — they write
-        // disjoint staging sub-tables, so wall time tracks the
-        // slowest family (max), not their sum, on top of one scan
-        val shared = batch.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // shareScan: ONE materialized read of the batch (the count()
+        // pass IS the single source scan); the family derivations
+        // then run as CONCURRENT jobs over the cached rows — they
+        // write disjoint staging sub-tables, so wall time tracks the
+        // slowest family (max), not their sum, on top of one scan.
+        // !shareScan: the same concurrent jobs straight off the
+        // source (each re-scans; right when re-pulls are near-free).
+        val shared =
+          if (shareScan) batch.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else batch
         try {
-          shared.count()
+          if (shareScan) shared.count()
           import scala.concurrent.{Await, Future}
           import scala.concurrent.ExecutionContext.Implicits.global
           Await.result(Future.sequence(Seq(
@@ -564,7 +654,7 @@ object StreamingIndex {
             Future(graft.operators.Dedup.appendNearDupIndex(spark, shared,
               idCol, textCol, dir, stagingPath = Some(staging.toString))))),
             scala.concurrent.duration.Duration.Inf)
-        } finally { shared.unpersist(); () }
+        } finally { if (shareScan) shared.unpersist(); () }
         subs.foreach { sub =>
           commitStaged(fs, new org.apache.hadoop.fs.Path(staging, sub),
             new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
@@ -574,6 +664,55 @@ object StreamingIndex {
       }
     Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
     applied
+  }
+
+  /** ONE-SHOT bootstrap of a composed dashboard directory from a
+    * static corpus — the [[graft.operators.Pq.buildPqIndex]] pattern
+    * applied to the five-family composition: all families' state
+    * derived in concurrent jobs, written DIRECTLY (no staging, no
+    * batchlog — a bootstrap is all-or-nothing, crash = rebuild), with
+    * the `_built` marker committed LAST so operators can tell a
+    * finished bootstrap from a crashed one (the
+    * [[resolveBuiltMarker]] convention). Incremental batches layer on
+    * afterwards via [[applyDashboardBatch]] — every family's state is
+    * mergeable, so bootstrap + batches ≡ all-batches value-exactly.
+    *
+    * This is the sf100 regime answer for STANDING corpora: the
+    * per-batch staging/rename/batchlog machinery exists for streaming
+    * exactly-once and is pure overhead when bootstrapping a large
+    * static corpus; `shareScan` picks the scan regime exactly as in
+    * [[applyDashboardBatch]] (true = persist once, the remote/cold
+    * default at 100 TB; false = let each family re-scan a
+    * near-free source, the local/page-cached winner — DashBench
+    * measures both).
+    */
+  def buildDashboard(docs: DataFrame, textCol: String,
+      numCols: Seq[String], dir: String,
+      p: Int = 12, alpha: Double = graft.operators.IngestDashboard.Alpha,
+      idCol: String = "doc_id", shareScan: Boolean = true): Unit = {
+    val spark = docs.sparkSession
+    val shared =
+      if (shareScan) docs.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else docs
+    try {
+      if (shareScan) shared.count()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        Future(graft.operators.LangModel.appendLmCounts(spark, shared,
+          textCol, dir)),
+        Future(graft.operators.LangModel.appendTrigramCounts(spark,
+          shared, textCol, dir)),
+        Future(graft.operators.Profiling.appendProfileState(spark,
+          shared, numCols, dir, p)),
+        Future(graft.operators.IngestDashboard.appendRepState(spark,
+          shared, textCol, dir, alpha)),
+        Future(graft.operators.Dedup.appendNearDupIndex(spark, shared,
+          idCol, textCol, dir)))),
+        scala.concurrent.duration.Duration.Inf)
+    } finally { if (shareScan) shared.unpersist(); () }
+    graft.operators.Similarity.writeBuiltMarker(spark, dir, -1L)
   }
 
   /** Compact ALL of a composed dashboard directory's families in one

@@ -71,6 +71,20 @@ object DashBench {
         docs, "text", cols, dir, batchId = 0)
       ()
     }
+    time("composed: applyDashboardBatch(shareScan=false) (concurrent families, source re-scans)") {
+      val dir = freshDir()
+      graft.streaming.StreamingIndex.applyDashboardBatch(
+        docs, "text", cols, dir, batchId = 0, shareScan = false)
+      ()
+    }
+    time("bootstrap: buildDashboard (one scan, no staging/batchlog)") {
+      graft.streaming.StreamingIndex.buildDashboard(
+        docs, "text", cols, freshDir())
+    }
+    time("bootstrap: buildDashboard(shareScan=false) (source re-scans, no staging/batchlog)") {
+      graft.streaming.StreamingIndex.buildDashboard(
+        docs, "text", cols, freshDir(), shareScan = false)
+    }
     spark.stop()
   }
 }

@@ -72,18 +72,21 @@ object NdScreenBench {
       Dedup.nearDupScreenIndexed(spark, dir, probe, "doc_id", "text", 0.8,
         bandsProbed = 8).count()
     }
-    // the online point-lookup shape: a 3-doc probe takes the pushed
-    // per-band bucket-IN path (row-group pruning inside the
-    // bucket-sorted partitions); the 9-doc probe sits just over the
-    // threshold and scans every posting row group — the contrast IS
-    // the row-group-pruning win at a standing index
+    // the online point-lookup shape (opt-in flag on): a 3-doc probe
+    // takes the pushed per-band bucket-IN path (row-group pruning
+    // inside the bucket-sorted partitions); the 9-doc probe opts in
+    // but sits just over the threshold, so the guard declines and it
+    // scans every posting row group — the contrast IS the
+    // row-group-pruning win at a standing index
     val p3 = probe.orderBy($"doc_id").limit(3).cache(); p3.count()
     val p9 = probe.orderBy($"doc_id").limit(9).cache(); p9.count()
     time("point probe (3 docs, pushed bucket filters)") {
-      Dedup.nearDupProbeIndexed(spark, dir, p3, "doc_id", "text", 0.8).count()
+      Dedup.nearDupProbeIndexed(spark, dir, p3, "doc_id", "text", 0.8,
+        pointLookup = true).count()
     }
-    time("small probe (9 docs, full posting scan)") {
-      Dedup.nearDupProbeIndexed(spark, dir, p9, "doc_id", "text", 0.8).count()
+    time("small probe (9 docs, guard declines, full posting scan)") {
+      Dedup.nearDupProbeIndexed(spark, dir, p9, "doc_id", "text", 0.8,
+        pointLookup = true).count()
     }
     def rm(p: java.io.File): Unit = {
       val kids = p.listFiles(); if (kids != null) kids.foreach(rm)

@@ -395,13 +395,14 @@ class DedupSpec extends SparkSpec {
       assert(afterDirs.count(_.startsWith("band=")) == 32)
       assert(rows(Dedup.nearDupScreenIndexed(spark, dir, probe,
         "doc_id", "text", 0.8, bandsProbed = 16)) == full)
-      // POINT-LOOKUP path: a ≤8-unique-text probe pushes per-band
-      // bucket IN filters into the (bucket-sorted) partitioned scan —
-      // result identical to the same docs' rows in the full probe
+      // POINT-LOOKUP path (opt-in): a ≤8-unique-text probe pushes
+      // per-band bucket IN filters into the (bucket-sorted)
+      // partitioned scan — result identical to the same docs' rows
+      // in the full probe
       val tiny = probe.orderBy(col("doc_id")).limit(3).cache()
       val tinyIds = tiny.collect().map(_.getLong(0)).toSet
       val tinyProbe = Dedup.nearDupProbeIndexed(spark, dir, tiny,
-        "doc_id", "text", 0.8)
+        "doc_id", "text", 0.8, pointLookup = true)
       assert(rows(tinyProbe) == full.filter(p => tinyIds.contains(p._1)),
         "point-lookup probe must equal the full probe's rows for those docs")
       val tinyScans = bandScans(tinyProbe.queryExecution.executedPlan)
@@ -432,6 +433,93 @@ class DedupSpec extends SparkSpec {
           if (((a % 1000003L) * 1103515245L + 12345L) % 1000L < 800L) "train"
           else "valid"
         assert(side == want, s"fresh doc $a must take the LCG singleton rule")
+      }
+      // DESYNC REFUSAL: a matched best_b missing from the standing
+      // assignment must abort the job (raise_error), not silently
+      // take the fresh-content rule — leakage safety fails loudly
+      val someMatch = matched.head._2._1
+      val holed = sides.filter(col("doc_id") =!= someMatch)
+      val ex = intercept[Exception] {
+        graft.operators.Curation.incrementalSplitAssign(
+          spark, dir, probe, holed, "doc_id", "text", 0.8).collect()
+      }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: causes(t.getCause)
+      assert(causes(ex).exists(m => m != null && m.contains("out of sync")),
+        s"expected the out-of-sync refusal, got: $ex")
+      sides.unpersist()
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        val kids = p.listFiles(); if (kids != null) kids.foreach(rm)
+        p.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("standing split dir: applySplitBatch keeps index+assignment in lockstep through crash replay and compaction") {
+    import graft.streaming.StreamingIndex
+    import graft.operators.Curation
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-splitdir").toString
+    try {
+      // three sequential crawl batches: a big bootstrap then two
+      // probe-sized deliveries (the q229 slicing, split in two)
+      val b0 = docs.filter(col("doc_id") % 5 =!= 0)
+      val b1 = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 === 0)
+      val b2 = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 0)
+      assert(StreamingIndex.applySplitBatch(b0, "doc_id", "text", dir, 0L))
+      assert(StreamingIndex.applySplitBatch(b1, "doc_id", "text", dir, 1L))
+      assert(StreamingIndex.applySplitBatch(b2, "doc_id", "text", dir, 2L))
+      def standing() = spark.read.parquet(s"$dir/sides")
+        .collect().map(r => (r.getLong(0),
+          (if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))).toMap
+      val all = standing()
+      val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(all.keySet == allIds, "one assignment row per ingested doc")
+      // batch 0 bootstrapped from empty: every doc took the singleton
+      // rule; later matched docs inherit their best match's standing
+      // side — self-consistency of the table
+      val lcgOf = (a: Long) =>
+        if (((a % 1000003L) * 1103515245L + 12345L) % 1000L < 800L) "train"
+        else "valid"
+      all.filter(_._2._1 < 0).foreach { case (a, (_, side)) =>
+        assert(side == lcgOf(a), s"fresh doc $a must take the LCG rule")
+      }
+      val matched = all.filter(_._2._1 >= 0)
+      assert(matched.nonEmpty, "cross-batch near-dups must match")
+      matched.foreach { case (a, (b, side)) =>
+        assert(side == all(b)._2, s"doc $a must inherit side of match $b")
+      }
+      // crash replay: erase batch 2's log row (its b2_* deltas stay
+      // orphaned in all FOUR subs), re-deliver — the sweep purges
+      // index AND assignment before re-applying, converging exactly
+      Seq(0L, 1L).toDF("batch_id").write.mode("overwrite")
+        .parquet(s"$dir/batchlog")
+      assert(StreamingIndex.applySplitBatch(b2, "doc_id", "text", dir, 2L))
+      assert(standing() == all, "replayed batch must converge exactly")
+      // a re-delivered batch id no-ops
+      assert(!StreamingIndex.applySplitBatch(b2, "doc_id", "text", dir, 2L))
+      // compaction: one row per doc, assignment identical, and the
+      // near-dup tables compact with their own maintenance call
+      Curation.compactSplitAssign(spark, dir)
+      graft.operators.Dedup.compactNearDupIndex(spark, dir)
+      val files = new java.io.File(s"$dir/sides").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"sides must fold to one segment, got ${files.length}")
+      assert(standing() == all, "compaction must be probe-identical")
+      // and the directory still absorbs batches after compaction
+      val b3 = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      assert(StreamingIndex.applySplitBatch(b3, "doc_id", "text", dir, 3L))
+      val after = standing()
+      assert(after.size == all.size + b3.count())
+      // b3 duplicates b1's text content exactly, so every b3 doc must
+      // MATCH and inherit — none may take the fresh rule
+      after.filter(_._1 >= 1000000L).foreach { case (a, (b, side)) =>
+        assert(b >= 0, s"doc $a duplicates indexed content and must match")
+        assert(side == after(b)._2, s"doc $a must inherit side of match $b")
       }
     } finally {
       def rm(p: java.io.File): Unit = {

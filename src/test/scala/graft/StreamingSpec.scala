@@ -1842,6 +1842,76 @@ class StreamingSpec extends SparkSpec {
     } finally { docs.unpersist(); () }
   }
 
+  test("buildDashboard bootstrap + incremental batch == one-shot, under both shareScan regimes") {
+    import graft.operators.{Dedup, IngestDashboard, LangModel, Profiling}
+    import graft.streaming.StreamingIndex
+    import spark.implicits._
+    val dd = graft.functions.DdSketch
+    val alpha = IngestDashboard.Alpha
+    val docs = Tables(spark, sf).documents
+      .select($"doc_id", $"text", $"n_chars").cache()
+    val cols = Seq("doc_id", "n_chars")
+    val boot = docs.filter($"doc_id" % 2 === 0)
+    val delta = docs.filter($"doc_id" % 2 =!= 0)
+    val score = docs.limit(30).cache()
+    val ndProbe = docs.filter($"doc_id" % 7 === 0).cache()
+    def probeAll(dir: String) = (
+      LangModel.scoreLmIndexed(spark, dir, score, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet,
+      Profiling.profileIndexed(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet,
+      IngestDashboard.repQuantilesIndexed(spark, dir, Seq(0.5, 0.95))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet,
+      Dedup.nearDupProbeIndexed(spark, dir, ndProbe, "doc_id", "text", 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet,
+      LangModel.scoreKn3Indexed(spark, dir, score, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet)
+    try {
+      // the reference answers: one-shot derivations over the full corpus
+      val lmWant = LangModel.stupidBackoffSurprisal(docs, score, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val profWant = Profiling.approxProfile(docs, cols).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSet
+      val repWant = IngestDashboard.repStateOf(docs, "text")
+        .select($"signal", $"n", dd.dd_quantile($"st", 0.5, alpha).as("q50"),
+          dd.dd_quantile($"st", 0.95, alpha).as("q95"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      val ndWant = Dedup.incrementalDedupPairs(ndProbe, docs,
+          "doc_id", "text", 3, 0.8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+      val kn3Want = LangModel.kneserNey3Surprisal(docs, score, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(lmWant.nonEmpty && ndWant.nonEmpty && kn3Want.nonEmpty)
+      Seq(true, false).foreach { share =>
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-dashboot-$share").toString
+        try {
+          // bootstrap (no batchlog) — marker committed last — then one
+          // incremental batch layered on top under the same regime
+          StreamingIndex.buildDashboard(boot, "text", cols, dir,
+            shareScan = share)
+          val fs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_built")),
+            "bootstrap must commit the _built marker")
+          assert(StreamingIndex.applyDashboardBatch(delta, "text", cols,
+            dir, batchId = 0, shareScan = share))
+          assert(probeAll(dir) == ((lmWant, profWant, repWant, ndWant, kn3Want)),
+            s"bootstrap+batch (shareScan=$share) must equal the one-shot answers")
+        } finally {
+          def rm(p: java.io.File): Unit = {
+            val kids = p.listFiles(); if (kids != null) kids.foreach(rm)
+            p.delete(); ()
+          }
+          rm(new java.io.File(dir))
+        }
+      }
+      ndProbe.unpersist(); score.unpersist(); ()
+    } finally { docs.unpersist(); () }
+  }
+
   test("persisted KN-3: batch-accumulated segments score exactly like the one-shot train, through compaction") {
     import graft.operators.LangModel
     import graft.streaming.StreamingIndex
