@@ -75,11 +75,22 @@ object SketchOps {
   }
 
   /** Multi-probe LSH buckets: per table, the exact bucket followed by
-    * `nProbe - 1` variants with the single LOWEST-|margin| plane bits
-    * flipped (Lv et al., VLDB'07: a near neighbor that missed the
-    * exact bucket most likely sits just across the nearest plane).
+    * `nProbe - 1` perturbed variants in NONDECREASING total-margin
+    * order — the full perturbation sequence of Lv et al. (VLDB'07,
+    * public algorithm), not just single flips: subsets of planes are
+    * enumerated by the sum of their |margin|s via the classic
+    * min-heap successor rule (from the subset whose largest
+    * sorted-order element is j, push "extend" S∪{j+1} and "shift"
+    * S∖{j}∪{j+1} — every subset is generated exactly once), so probe
+    * k is the k-th most likely bucket for a missed near neighbor and
+    * nProbe can exceed the plane count (up to 2^planes buckets).
+    * The first three probes (exact, flip the smallest margin, flip
+    * the second-smallest) coincide with the old single-flip order, so
+    * nProbe ≤ 3 callers (the q227 gate) see identical buckets.
     * Output layout: `nTables * nProbe` longs, table t's probes at
-    * `[t*nProbe, (t+1)*nProbe)`.
+    * `[t*nProbe, (t+1)*nProbe)`; if the subset space is exhausted
+    * (nProbe > 2^planes − 1) the exact bucket pads the tail (probes
+    * de-duplicate downstream).
     */
   def lshProbes(v: ArrayData, signs: Array[Array[Int]], nTables: Int,
       nPlanes: Int, dim: Int, nProbe: Int): ArrayData = {
@@ -101,22 +112,56 @@ object SketchOps {
         p += 1
       }
       out(t * nProbe) = bucket
-      // selection sort of the nProbe-1 smallest margins — nPlanes is
-      // small (≤ 64), no allocation beyond the reused absDots
-      val order = Array.range(0, nPlanes)
-      var j = 1
-      while (j < nProbe && j <= nPlanes) {
-        var best = j - 1
-        var i = j
-        while (i < nPlanes) {
-          if (absDots(order(i)) < absDots(order(best)) ||
-              (absDots(order(i)) == absDots(order(best)) && order(i) < order(best)))
-            best = i
-          i += 1
+      if (nProbe > 1) {
+        // margins ascending (ties by plane index — deterministic);
+        // selection sort: nPlanes ≤ 64, no boxing
+        val order = Array.range(0, nPlanes)
+        var a = 0
+        while (a < nPlanes - 1) {
+          var best = a
+          var i = a + 1
+          while (i < nPlanes) {
+            if (absDots(order(i)) < absDots(order(best)) ||
+                (absDots(order(i)) == absDots(order(best)) &&
+                  order(i) < order(best)))
+              best = i
+            i += 1
+          }
+          val tmp = order(a); order(a) = order(best); order(best) = tmp
+          a += 1
         }
-        val tmp = order(j - 1); order(j - 1) = order(best); order(best) = tmp
-        out(t * nProbe + j) = bucket ^ (1L << order(j - 1))
-        j += 1
+        // min-heap of (cost = Σ|margin|, subset bitmask over SORTED
+        // positions, largest sorted position in the subset)
+        val heap = new java.util.PriorityQueue[Array[Long]](
+          (a: Array[Long], b: Array[Long]) => {
+            val c = java.lang.Long.compare(a(0), b(0))
+            if (c != 0) c else java.lang.Long.compare(a(1), b(1))
+          })
+        heap.add(Array(absDots(order(0)), 1L, 0L))
+        var j = 1
+        while (j < nProbe) {
+          val top = heap.poll()
+          if (top == null) { out(t * nProbe + j) = bucket }
+          else {
+            val mask = top(1); val maxPos = top(2).toInt
+            var flip = 0L
+            var q = 0
+            while (q < nPlanes) {
+              if ((mask & (1L << q)) != 0L) flip |= 1L << order(q)
+              q += 1
+            }
+            out(t * nProbe + j) = bucket ^ flip
+            if (maxPos + 1 < nPlanes) {
+              val nextCost = absDots(order(maxPos + 1))
+              heap.add(Array(top(0) + nextCost,
+                mask | (1L << (maxPos + 1)), (maxPos + 1).toLong))
+              heap.add(Array(top(0) - absDots(order(maxPos)) + nextCost,
+                (mask ^ (1L << maxPos)) | (1L << (maxPos + 1)),
+                (maxPos + 1).toLong))
+            }
+          }
+          j += 1
+        }
       }
       t += 1
     }
@@ -278,14 +323,19 @@ object LshBuckets {
 }
 
 /** Multi-probe variant of [[LshBuckets]]: per table, the exact bucket
-  * plus `nProbe - 1` single-bit flips of the lowest-|margin| planes —
-  * same plane matrix, so a probe set is a superset of the exact
-  * bucket and member-side bucketing needs no change.
+  * plus `nProbe - 1` perturbed buckets in nondecreasing total-margin
+  * order (the full Lv et al. perturbation sequence — multi-bit flips
+  * included, see [[SketchOps.lshProbes]]) — same plane matrix, so a
+  * probe set is a superset of the exact bucket, grows monotonically
+  * with nProbe, and member-side bucketing needs no change.
   */
 case class LshProbes(child: Expression, nTables: Int, nPlanes: Int, dim: Int,
     nProbe: Int) extends UnaryExpression {
-  require(nProbe >= 1 && nProbe <= nPlanes + 1,
-    s"nProbe must be in [1, nPlanes+1], got $nProbe for $nPlanes planes")
+  // the perturbation-sequence heap enumerates up to 2^nPlanes buckets;
+  // 4·nPlanes is a sanity cap (a probe budget past that is telling
+  // you to raise nTables, not nProbe)
+  require(nProbe >= 1 && nProbe <= 4 * nPlanes,
+    s"nProbe must be in [1, 4*nPlanes], got $nProbe for $nPlanes planes")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -548,6 +548,16 @@ object Dedup {
     val uniq = delta
       .groupBy(xxhash64(col(textCol)).as("kh"))
       .agg(first(col(textCol)).as("txt"))
+    // The bands and sets writes each re-derive the collapse +
+    // shingling (two jobs). A shared persisted shingle frame was
+    // MEASURED AND REFUSED (r15): MEMORY_AND_DISK-caching the
+    // (kh, hs) frame between the two writes re-timed q219 6.42→7.48 s
+    // and q221 4.05→5.27 s at sf0.1 — the cache write + codegen break
+    // cost more than recomputing a gate-sized delta, and at
+    // production the delta is a MICRO-BATCH (the composed dashboard
+    // applier already persists the batch rows when the source is
+    // expensive — shareScan), so the recompute reads cached rows.
+    //
     // bands is PARTITIONED BY band (the members/l1 layout lesson): a
     // reduced-band screen probe ([[nearDupScreenIndexed]]) then reads
     // only bandsProbed/bands of the postings — directory-level

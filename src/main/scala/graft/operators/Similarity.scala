@@ -20,6 +20,12 @@ import graft.syntax._
   */
 object Similarity {
 
+  /** Sentinel for [[lshTopK]]'s `nProbe`: derive the probe count from
+    * the effective (corpus-adaptive) plane count — see the lshTopK
+    * scaladoc for the measured rule.
+    */
+  val AutoProbe: Int = -1
+
   /** Corpus prepared with quantized vectors + norms (do once, reuse). */
   def prepare(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("vid"), quantize(col(vecCol)).as("qv"))
@@ -548,6 +554,17 @@ object Similarity {
     * (floor + 1 rows, early-out capable) decides whether the floor can
     * engage at all, and only a corpus that clears the floor pays a
     * full count.
+    *
+    * `nProbe = AutoProbe` derives the probe count FROM the effective
+    * plane count — the recall-compensation rule measured on ORGANIC
+    * corpora (tools/OrganicBench, moderate-cosine clusters, 8 tables):
+    * recall at fixed nProbe falls as planes grow (nProbe=3: 0.920 at
+    * 7 planes/200k, 0.604 at 10 planes/2M — the audit-bound edge),
+    * and 3 + 2·(planes − nPlanes) restores it with margin (0.988 at
+    * 7 planes; 0.848 at 10 planes under the then single-flip cap of
+    * 11 — the probe family now emits the FULL Lv et al. perturbation
+    * sequence, multi-bit flips included, so the derived count is no
+    * longer clamped to planes+1).
     */
   def lshTopK(corpus: DataFrame, dim: Int, nPlanes: Int, k: Int,
       nTables: Int = 8, nProbe: Int = 1, queries: DataFrame = null,
@@ -565,6 +582,9 @@ object Similarity {
     val adaptive = math.ceil(
       math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
     val planes = math.max(nPlanes, adaptive)
+    val probes =
+      if (nProbe == AutoProbe) 3 + 2 * math.max(0, planes - nPlanes)
+      else nProbe
     // `queries` (default: the whole corpus = all-NN) bounds the PROBE
     // side only — a post-hoc `filter(query_id < …)` cannot reach back
     // through the bucket join + distinct + bounded top-k aggregate, so
@@ -589,14 +609,14 @@ object Similarity {
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bucket")
     val probed =
-      if (nProbe <= 1)
+      if (probes <= 1)
         queryDf.select($"vid",
             posexplode(graft.functions.LshBuckets.lsh_buckets($"qv", nTables, planes, dim)))
           .withColumnRenamed("pos", "tbl")
           .withColumnRenamed("col", "bucket")
       else queryDf.select($"vid",
-          posexplode(graft.functions.LshProbes.lsh_probes($"qv", nTables, planes, dim, nProbe)))
-        .select($"vid", (col("pos") / nProbe).cast("int").as("tbl"),
+          posexplode(graft.functions.LshProbes.lsh_probes($"qv", nTables, planes, dim, probes)))
+        .select($"vid", (col("pos") / probes).cast("int").as("tbl"),
           col("col").as("bucket"))
     val cands = probed.as("x").join(bucketed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&

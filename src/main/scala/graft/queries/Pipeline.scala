@@ -823,6 +823,41 @@ object Pipeline {
       } finally Pipeline.rmTree(new java.io.File(idxDir))
     },
 
+    // STANDING leakage-safe split directory — the operational form of
+    // q229: three sequential crawl batches feed applySplitBatch, which
+    // probes the CURRENT index, assigns sides (inherit the best
+    // match's standing side; fresh content takes the LCG singleton
+    // rule on its OWN id), and absorbs batch + assignment through one
+    // atomic commit — so batch 3 can match content batch 2 ingested.
+    // A re-delivered batch id must no-op (batchlog). The oracle
+    // re-derives the SEQUENTIAL assignment exactly: batch-0 docs all
+    // fresh; batch-1 bests resolve against batch 0; batch-2 bests
+    // against batches 0∪1, inheriting batch-1's own derived sides.
+    "q232_standing_split" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val b0 = docs.filter($"doc_id" % 5 =!= 0)
+      val b1 = docs.filter($"doc_id" % 5 === 0 && $"doc_id" % 10 === 0)
+      val b2 = docs.filter($"doc_id" % 5 === 0 && $"doc_id" % 10 =!= 0)
+      val splitDir = java.nio.file.Files
+        .createTempDirectory("graft-split-gate").toString
+      try {
+        import graft.streaming.StreamingIndex
+        val applied = Seq(
+          StreamingIndex.applySplitBatch(b0, "doc_id", "text", splitDir, 0),
+          StreamingIndex.applySplitBatch(b1, "doc_id", "text", splitDir, 1),
+          StreamingIndex.applySplitBatch(b2, "doc_id", "text", splitDir, 2),
+          StreamingIndex.applySplitBatch( // crash-replay of batch 2
+            b2, "doc_id", "text", splitDir, 2))
+        require(applied == Seq(true, true, true, false),
+          s"split batchlog idempotence violated: $applied")
+        s.read.parquet(s"$splitDir/sides")
+          .select($"doc_id", $"best_b", $"side")
+          .orderBy($"doc_id")
+          .localCheckpoint() // materialize before the dir is removed
+      } finally Pipeline.rmTree(new java.io.File(splitDir))
+    },
+
     // Quality-aware cluster resolution: keep the highest-scoring doc
     // (whitespace token count; ties → smallest id) per near-dup
     // cluster — what a curation pipeline actually ships from a
@@ -4893,6 +4928,62 @@ object Pipeline {
         |LEFT JOIN bestm bm ON bm.a = d.doc_id
         |LEFT JOIN csides cs ON cs.doc_id = bm.b
         |ORDER BY d.doc_id""".stripMargin,
+
+    // standing split: the sequential batch assignment re-derived
+    // exactly — batch 0 (doc_id%5<>0) is all fresh content (LCG of own
+    // id); batch 1 (%10=0) bests resolve against batch 0; batch 2
+    // (%5=0, %10<>0) bests resolve against batches 0 AND 1 (inheriting
+    // batch 1's derived sides). best = argmax jaccard, ties to the
+    // smallest indexed doc id; same integer divisions both engines.
+    "q232_standing_split" ->
+      """WITH sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
+        |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |lcg AS (SELECT doc_id, CASE WHEN ((doc_id % 1000003) * 1103515245
+        |    + 12345) % 1000 < 800 THEN 'train' ELSE 'valid' END AS own
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, own AS side FROM lcg WHERE doc_id % 5 <> 0),
+        |x1 AS (SELECT a, b FROM (
+        |    SELECT a.doc_id AS a, b.doc_id AS b, row_number() OVER (
+        |      PARTITION BY a.doc_id ORDER BY
+        |        CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) DESC,
+        |        b.doc_id ASC) AS rn
+        |    FROM sh a JOIN sh b ON a.sh = b.sh
+        |    JOIN sizes sa ON a.doc_id = sa.doc_id
+        |    JOIN sizes sb ON b.doc_id = sb.doc_id
+        |    WHERE a.doc_id % 10 = 0 AND b.doc_id % 5 <> 0
+        |    GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+        |    HAVING CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) >= 0.8)
+        |  WHERE rn = 1),
+        |s1 AS (SELECT l.doc_id, x1.b AS best_b,
+        |    coalesce(s0.side, l.own) AS side
+        |  FROM lcg l LEFT JOIN x1 ON x1.a = l.doc_id
+        |  LEFT JOIN s0 ON s0.doc_id = x1.b
+        |  WHERE l.doc_id % 10 = 0),
+        |x2 AS (SELECT a, b FROM (
+        |    SELECT a.doc_id AS a, b.doc_id AS b, row_number() OVER (
+        |      PARTITION BY a.doc_id ORDER BY
+        |        CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) DESC,
+        |        b.doc_id ASC) AS rn
+        |    FROM sh a JOIN sh b ON a.sh = b.sh
+        |    JOIN sizes sa ON a.doc_id = sa.doc_id
+        |    JOIN sizes sb ON b.doc_id = sb.doc_id
+        |    WHERE a.doc_id % 5 = 0 AND a.doc_id % 10 <> 0
+        |      AND (b.doc_id % 5 <> 0 OR b.doc_id % 10 = 0)
+        |    GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+        |    HAVING CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) >= 0.8)
+        |  WHERE rn = 1),
+        |s2 AS (SELECT l.doc_id, x2.b AS best_b,
+        |    coalesce(s0.side, s1b.side, l.own) AS side
+        |  FROM lcg l LEFT JOIN x2 ON x2.a = l.doc_id
+        |  LEFT JOIN s0 ON s0.doc_id = x2.b
+        |  LEFT JOIN s1 s1b ON s1b.doc_id = x2.b
+        |  WHERE l.doc_id % 5 = 0 AND l.doc_id % 10 <> 0)
+        |SELECT doc_id, CAST(NULL AS BIGINT) AS best_b, side FROM s0
+        |UNION ALL SELECT doc_id, best_b, side FROM s1
+        |UNION ALL SELECT doc_id, best_b, side FROM s2
+        |ORDER BY doc_id""".stripMargin,
 
     // decision form: per probe doc the argmax match (jaccard DESC,
     // doc id ASC ties) + the matching-document count, re-derived from

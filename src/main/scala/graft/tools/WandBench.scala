@@ -40,7 +40,8 @@ object WandBench {
       4L -> "the a",
       5L -> "vector stream batch")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+        r.getLong(2), r.getAs[Number](3).longValue)).toSet
     // output identity first (the contract), then timing
     val plain0 = rows(Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 10))
     val wand0 = rows(Retrieval.bm25TopKWand(docs, "doc_id", "text", queries, k = 10))

@@ -173,6 +173,76 @@ class SimilaritySpec extends SparkSpec {
     assert(multi > single + 0.03, s"no uplift: multi=$multi single=$single")
   }
 
+  test("multi-probe perturbation sequence: distinct buckets, exact-first, prefix-monotone, multi-bit past planes+1") {
+    import spark.implicits._
+    val one = corpus.filter($"vid" === 0L).select($"vid", $"qv")
+    val planes = 5; val tables = 4
+    def probesAt(np: Int): Seq[Seq[Long]] = {
+      val row = one.select(graft.functions.LshProbes
+          .lsh_probes($"qv", tables, planes, 64, np).as("p"))
+        .head.getSeq[Long](0)
+      (0 until tables).map(t => row.slice(t * np, (t + 1) * np))
+    }
+    val exact = one.select(graft.functions.LshBuckets
+        .lsh_buckets($"qv", tables, planes, 64).as("b"))
+      .head.getSeq[Long](0)
+    // full subset space for 5 planes is 32 buckets — ask for 20
+    // (past the old planes+1 = 6 single-flip cap)
+    val p20 = probesAt(20)
+    p20.zipWithIndex.foreach { case (ps, t) =>
+      assert(ps.head == exact(t), s"probe 0 of table $t must be the exact bucket")
+      assert(ps.distinct.size == ps.size, s"table $t probes must be distinct: $ps")
+      // multi-bit: some probe must differ from exact in ≥ 2 planes
+      assert(ps.exists(b => java.lang.Long.bitCount(b ^ exact(t)) >= 2),
+        s"table $t: expected multi-bit perturbations past the single-flip cap")
+    }
+    // prefix property: the k-probe sequence is a prefix of the k+1's
+    // (what makes recall monotone in nProbe)
+    val p6 = probesAt(6)
+    p6.zip(p20).foreach { case (small, big) =>
+      assert(big.take(6) == small, "probe sequences must be prefix-monotone")
+    }
+  }
+
+  test("organic-scale LSH: adaptive plane count holds the 0.6 recall bound at the gate's nProbe=3") {
+    import spark.implicits._
+    // ORGANIC corpus (unique content grows with n — not ScaleUp
+    // replication, whose replicated queries collide with their own
+    // copies and measure recall = 1.0 trivially): 100k moderate-cosine
+    // clustered vectors push the corpus-adaptive plane count past the
+    // 5-plane gate floor (⌈log2(100000/2048)⌉ = 6), the regime where
+    // per-table collision recall falls and multi-probe must compensate.
+    // OrganicBench extends this to 200k/7 planes (0.631→0.920) and
+    // 2M/10 planes — this spec pins the decade the suite can afford.
+    val organic = Similarity.prepare(
+      graft.tools.OrganicGen.vectors(spark, 100000L), "vec_id", "embedding")
+      .cache()
+    try {
+      val n = organic.count()
+      assert(n > (2048L << 5), "corpus must engage the adaptive plane floor")
+      val queries = organic.filter($"vid" < 200).cache()
+      val truth = Similarity.bruteForceTopK(queries, organic, 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallAt(np: Int): Double = {
+        val approx = Similarity.lshTopK(organic, 64, nPlanes = 5, k = 5,
+            nTables = 8, nProbe = np, queries = queries, knownCount = n)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (truth & approx).size.toDouble / truth.size
+      }
+      val atGate = recallAt(3) // the q227 gate's fixed probe count
+      assert(atGate >= 0.6,
+        s"organic recall at adaptive planes must hold the audit bound: $atGate")
+      // the derived rule (AutoProbe = min(planes+1, 3+2·extra)) must
+      // never do worse than the fixed gate count it generalizes
+      val atAuto = recallAt(Similarity.AutoProbe)
+      assert(atAuto >= atGate - 1e-9,
+        s"AutoProbe must not regress the fixed-probe recall: $atAuto < $atGate")
+      queries.unpersist(); ()
+    } finally { organic.unpersist(); () }
+  }
+
   test("IVF ANN recall@5 beats chance; trained centroids don't lose recall") {
     val truth = Similarity.bruteForceTopK(corpus, corpus, 5)
       .select("query_id", "neighbor_id").collect()
