@@ -50,6 +50,60 @@ object SketchOps {
     new GenericArrayData(out)
   }
 
+  /** All four repetition-signal counts in ONE tokenize pass —
+    * (n, distinct, topTok, topBig, triUniq), the integer numerators/
+    * denominators behind IngestDashboard.repSignals' ratios. Replaces
+    * five separate passes (split ×2, array_distinct, two interpreted
+    * aggregate-lambda maxMultiplicity runs, shingle hashing) with one
+    * split + two string-count maps + one hash set; the emitted counts
+    * are EXACTLY the column-formula values (same " "-regex split with
+    * trailing empties, same space-joined bigrams, same murmur3-64
+    * trigram shingles), so the downstream double ratios are
+    * bit-identical (pinned in TextFunctionsSpec).
+    */
+  def repStats(v: UTF8String):
+      org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val toks = v.toString.split(" ", -1)
+    val n = toks.length
+    val tokCount = new java.util.HashMap[String, Integer]()
+    var topTok = 0
+    var i = 0
+    while (i < n) {
+      val c = tokCount.merge(toks(i), Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      if (c.intValue > topTok) topTok = c.intValue
+      i += 1
+    }
+    val distinct = tokCount.size
+    var topBig = 0
+    if (n >= 2) {
+      val bigCount = new java.util.HashMap[String, Integer]()
+      i = 0
+      while (i < n - 1) {
+        val c = bigCount.merge(toks(i) + " " + toks(i + 1), Integer.valueOf(1),
+          (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+        if (c.intValue > topBig) topBig = c.intValue
+        i += 1
+      }
+    }
+    var triUniq = 0
+    if (n >= 3) {
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val sb = new java.lang.StringBuilder(64)
+      i = 0
+      while (i <= n - 3) {
+        sb.setLength(0)
+        sb.append(toks(i)).append(' ').append(toks(i + 1))
+          .append(' ').append(toks(i + 2))
+        seen.add(Murmur3.hash64(sb))
+        i += 1
+      }
+      triUniq = seen.size
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, distinct, topTok, topBig, triUniq))
+  }
+
   /** Multi-table hyperplane LSH buckets of a quantized vector. */
   def lshBuckets(v: ArrayData, signs: Array[Array[Int]], nTables: Int,
       nPlanes: Int, dim: Int): ArrayData = {
@@ -283,6 +337,39 @@ case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
 object ShingleHash64 {
   def shingle_hashes(text: Column, n: Int): Column =
     column(ShingleHash64(expression(text), n))
+}
+
+/** One-pass repetition-signal counts of a document —
+  * struct(n, distinct, topTok, topBig, triUniq); see
+  * [[SketchOps.repStats]]. The dominant cost of the composed ingest
+  * dashboard at scale was this family's five separate text passes
+  * (DashBench sf100: 120.9 s of the 122.8 s separate total).
+  */
+case class RepStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("distinct",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("topTok",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("topBig",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("triUniq",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.repStats(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchOps.repStats($c)")
+
+  override protected def withNewChildInternal(c: Expression): RepStats = copy(child = c)
+}
+
+object RepStats {
+  def rep_stats(text: Column): Column = column(RepStats(expression(text)))
 }
 
 /** Multi-table random-hyperplane LSH buckets for a quantized vector:

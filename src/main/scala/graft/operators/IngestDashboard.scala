@@ -41,19 +41,27 @@ object IngestDashboard {
     */
   def repSignals(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    import graft.functions.TextFunctions.{maxMultiplicity, tokens, wordBigrams}
-    val toks = tokens(col(textCol))
-    val n = size(toks)
+    // ONE text pass ([[graft.functions.RepStats]]): the counts behind
+    // all four ratios from a single split + two count maps + one hash
+    // set, bit-identical to the former five-pass column formulas
+    // (split ×2, array_distinct, two interpreted aggregate-lambda
+    // maxMultiplicity runs, shingle hashing — TextFunctionsSpec pins
+    // the equality). The n ≥ 3 filter counts SPACES (n = spaces + 1
+    // under the trailing-empties split), so the filter stage never
+    // tokenizes, and codegen subexpression elimination evaluates the
+    // struct once for the four field reads in the single project.
+    val t = col(textCol)
+    val rs = graft.functions.RepStats.rep_stats(t)
+    val n = rs.getField("n")
     docs
-      .filter(size(tokens(col(textCol))) >= 3)
+      .filter(length(t) - length(regexp_replace(t, " ", "")) >= 2)
       .select(col(idCol),
-        (size(array_distinct(toks)).cast("double") / n).as("distinct_ratio"),
-        (maxMultiplicity(toks).cast("double") / n).as("top_token_frac"),
-        (maxMultiplicity(wordBigrams(toks)).cast("double") / (n - 1))
+        (rs.getField("distinct").cast("double") / n).as("distinct_ratio"),
+        (rs.getField("topTok").cast("double") / n).as("top_token_frac"),
+        (rs.getField("topBig").cast("double") / (n - 1))
           .as("top_bigram_frac"),
-        (lit(1.0) -
-          size(graft.functions.ShingleHash64.shingle_hashes(col(textCol), 3))
-            .cast("double") / (n - 2)).as("dup_trigram_frac"))
+        (lit(1.0) - rs.getField("triUniq").cast("double") / (n - 2))
+          .as("dup_trigram_frac"))
   }
 
   /** One batch's repetition state: (signal, n, st) — the per-doc

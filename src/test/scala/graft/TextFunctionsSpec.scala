@@ -86,4 +86,41 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.hasPii(col("t"))).collect().map(_.getBoolean(0))
     assert(flags.toSeq == Seq(true, true, true, true, false))
   }
+
+  test("one-pass RepStats signals are bit-identical to the five-pass column formulas") {
+    import graft.functions.TextFunctions.{maxMultiplicity, tokens, wordBigrams}
+    import org.apache.spark.sql.DataFrame
+    val spark0 = spark
+    import spark0.implicits._
+    // the PRE-r15 formula, verbatim — the contract RepStats replaces
+    def oldForm(docs: DataFrame): DataFrame = {
+      val toks = tokens(col("text"))
+      val n = size(toks)
+      docs.filter(size(tokens(col("text"))) >= 3)
+        .select(col("doc_id"),
+          (size(array_distinct(toks)).cast("double") / n).as("distinct_ratio"),
+          (maxMultiplicity(toks).cast("double") / n).as("top_token_frac"),
+          (maxMultiplicity(wordBigrams(toks)).cast("double") / (n - 1))
+            .as("top_bigram_frac"),
+          (lit(1.0) -
+            size(graft.functions.ShingleHash64.shingle_hashes(col("text"), 3))
+              .cast("double") / (n - 2)).as("dup_trigram_frac"))
+    }
+    // corpus docs + adversarial edges: repeats, trailing/double spaces
+    // (empty tokens count), short docs straddling the n >= 3 filter
+    val edges = Seq(
+      (100001L, "a a a a a"), (100002L, "x y x y x y"),
+      (100003L, "a b"), (100004L, "ab"), (100005L, "a b c"),
+      (100006L, "a  b  c"), (100007L, "a b c "), (100008L, " a b"),
+      (100009L, "w w w"), (100010L, "the the the the"))
+      .toDF("doc_id", "text")
+    val docs = Tables(spark, sf).documents.select($"doc_id", $"text")
+      .union(edges)
+    def rows(df: DataFrame) = df.collect().map(r => (r.getLong(0),
+      r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    val now = rows(graft.operators.IngestDashboard.repSignals(docs, "doc_id", "text"))
+    val want = rows(oldForm(docs))
+    assert(want.nonEmpty && now == want,
+      s"missing=${(want -- now).take(3)} extra=${(now -- want).take(3)}")
+  }
 }
