@@ -29,14 +29,21 @@ object GraftSession {
     *   holds >threshold groups — at the default, any sketch grouped by
     *   more than 128 keys (e.g. 150 type×day groups) degenerates into
     *   a full sort of every task's input. Measured at sf100: 55 s →
-    *   2 s on the uniqUpTo gate from this setting alone. 64k entries
-    *   of KB-bounded sketch states is ~100 MB/task worst-case — the
-    *   right trade wherever states are bounded (all of ours are).
+    *   2 s on the uniqUpTo gate from this setting alone. Raised again
+    *   r15 (64k → 4M): q34's tiled all-NN at sf10 has ~200k vec_id
+    *   groups in each tile-join task's PARTIAL agg, and the 64k
+    *   fallback sort-spilled the O(n²/blocks) pair stream until the
+    *   DISK filled. Keys per task are bounded by the tiling
+    *   (2·tileWidth·tilesPerTask), states are O(k) TopKAgg entries —
+    *   a 4M-entry map of ~50 B states is ≤ 200 MB/task worst-case,
+    *   while the sort-based fallback on a quadratic stream is
+    *   unboundedly worse. The right trade wherever states are bounded
+    *   (all of ours are).
     */
   def builder(master: String = "local[32]", cores: Int = 32): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

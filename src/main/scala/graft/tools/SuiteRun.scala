@@ -38,7 +38,7 @@ object SuiteRun {
     def newSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
