@@ -182,6 +182,31 @@ object Dedup {
     val sizes = docsh.select($"doc", size($"hs").cast("long").as("sz"))
     val prefix = prefixIndex(sh, sizes, threshold)
     val freq = sh.groupBy($"h").agg(count(lit(1)).as("df_"))
+    // GUARD (QuadraticGuard): the candidate join below produces
+    // Σ_h |prefix_h|·|postings_h| rows before the positional/size
+    // predicates prune — on a duplicate-heavy corpus every posting
+    // count carries the d² duplication blowup (the sf10 disk-filler;
+    // d = docs per unique content). Two tiers so gate-SF corpora pay
+    // ~nothing: a row-count prescreen (no corpus under √(2·bound)
+    // rows can exceed the bound by more than prefix multiplicity),
+    // and only past it the exact candidate volume — ONE linear
+    // aggregation (prefix ⋈ freq, summed) against the potentially-
+    // quadratic join it prices. Over the bound the call refuses,
+    // naming the collapse-first twin that removes the d² factor by
+    // construction.
+    val guardBound = graft.operators.QuadraticGuard.maxPairs(df.sparkSession)
+    if (guardBound > 0) {
+      val nRows = df.count().toDouble
+      if (nRows * nRows / 2 > guardBound) {
+        graft.operators.QuadraticGuard.check(df.sparkSession,
+          "Dedup.ngramContainmentPairs",
+          prefix.join(freq, "h")
+            .agg(coalesce(sum($"df_"), lit(0L))).head().getLong(0).toDouble,
+          s"exact prefix-filtered candidate volume at n=$n-gram, t=$threshold",
+          "Dedup.collapsedContainmentPairs (output-identical, collapses " +
+            "duplicate contents before the pair join)")
+      }
+    }
     val w = Window.partitionBy($"doc").orderBy($"df_", $"h")
     val full = sh.join(freq, "h")
       .withColumn("rn", row_number().over(w).cast("long"))

@@ -467,8 +467,28 @@ object Similarity {
     * At scale pick `nBlocks ≈ n / rowsPerTile` with rowsPerTile sized
     * so a tile's hash side fits in executor memory (~100k 64-dim
     * vectors ≈ 50 MB).
+    *
+    * GUARDED ([[QuadraticGuard]]): the exact pair volume is n²/2, and
+    * over `spark.graft.quadratic.maxPairs` the call refuses
+    * driver-side (naming [[lshTopK]]/[[ivfTopK]]) instead of running
+    * for hours / spilling to disk exhaustion at a synthetic scale
+    * point. `knownCount` skips the sizing count when the caller
+    * already knows n. FORCING a big exact run (raising the bound)
+    * should also raise
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * toward the per-task group count (~2·tileWidth·tilesPerTask) —
+    * TopKAgg states are ~50 B so millions of concurrent partials are
+    * fine, while the 64k session default would sort-spill the
+    * O(n²/blocks) pair stream (the r15 sf10 disk-filler).
     */
-  def nearestNeighbor(corpus: DataFrame, nBlocks: Int = 32): DataFrame = {
+  def nearestNeighbor(corpus: DataFrame, nBlocks: Int = 32,
+      knownCount: Long = -1L): DataFrame = {
+    if (QuadraticGuard.maxPairs(corpus.sparkSession) > 0) {
+      val n = if (knownCount >= 0L) knownCount else corpus.count()
+      QuadraticGuard.check(corpus.sparkSession, "Similarity.nearestNeighbor",
+        n.toDouble * n / 2, s"n=$n exact all-NN, nBlocks=$nBlocks",
+        "Similarity.lshTopK / Similarity.ivfTopK (recall-audited ANN)")
+    }
     // Upper-triangle tiling (same scheme as [[thresholdPairs]]): each
     // unordered pair's dot product is computed ONCE, then both
     // directions are emitted from the same row via explode — the
@@ -506,9 +526,19 @@ object Similarity {
     * pairs each unordered block tile exactly once — halving the dot
     * products and keeping every tile the same (n/nBlocks)² size (no
     * triangle skew across tasks).
+    *
+    * GUARDED ([[QuadraticGuard]]): exact pair volume n²/2; refuses
+    * over `spark.graft.quadratic.maxPairs`, naming the LSH/minhash
+    * near-dup family as the scale path.
     */
   def thresholdPairs(corpus: DataFrame, threshold: Double,
-      nBlocks: Int = 32): DataFrame = {
+      nBlocks: Int = 32, knownCount: Long = -1L): DataFrame = {
+    if (QuadraticGuard.maxPairs(corpus.sparkSession) > 0) {
+      val n = if (knownCount >= 0L) knownCount else corpus.count()
+      QuadraticGuard.check(corpus.sparkSession, "Similarity.thresholdPairs",
+        n.toDouble * n / 2, s"n=$n exact all-pairs threshold scan",
+        "Similarity.lshTopK / Dedup.minhashDedupPairs (recall-audited near-dup)")
+    }
     val blk = pmod($"vid", lit(nBlocks)).cast("int")
     val left = corpus
       .select($"vid".as("x"), $"qv".as("x_qv"), $"nrm".as("x_nrm"), blk.as("x_blk"))
@@ -565,9 +595,17 @@ object Similarity {
     * 11 — the probe family now emits the FULL Lv et al. perturbation
     * sequence, multi-bit flips included, so the derived count is no
     * longer clamped to planes+1).
+    *
+    * `nProbe` DEFAULTS to [[AutoProbe]] (r16): the adaptive plane
+    * floor means a caller who doesn't pin a probe count gets MORE
+    * planes as the corpus grows — and with them, silently falling
+    * recall if the probe count stays fixed. A default that derives
+    * probes from the effective plane count keeps the recall posture
+    * corpus-size-invariant; callers wanting the single-probe baseline
+    * pin `nProbe = 1` explicitly.
     */
   def lshTopK(corpus: DataFrame, dim: Int, nPlanes: Int, k: Int,
-      nTables: Int = 8, nProbe: Int = 1, queries: DataFrame = null,
+      nTables: Int = 8, nProbe: Int = AutoProbe, queries: DataFrame = null,
       targetOccupancy: Int = 2048, knownCount: Long = -1L): DataFrame = {
     val n =
       if (knownCount >= 0L) knownCount

@@ -38,7 +38,7 @@ object SuiteRun {
     def newSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
-        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -49,12 +49,15 @@ object SuiteRun {
     }
     var spark = newSession()
 
-    // resume: a prior run's successful {"q":…,"sec":…} lines are done
+    // resume: a prior run's successful {"sec": …} lines AND structured
+    // quadratic refusals ({"refused": …}) are done — a refusal is the
+    // gate's documented answer at this scale, not an error to retry
     val done: Set[String] = {
       val f = new java.io.File(out + ".jsonl")
       if (!f.exists()) Set.empty
       else scala.io.Source.fromFile(f).getLines()
-        .filter(l => l.contains("\"sec\":") && l.contains("\"q\":\""))
+        .filter(l => (l.contains("\"sec\":") || l.contains("\"refused\":")) &&
+          l.contains("\"q\":\""))
         .map(l => l.split("\"q\":\"")(1).split("\"")(0)).toSet
     }
 
@@ -107,8 +110,18 @@ object SuiteRun {
             try Await.result(fut, 120.seconds) catch { case _: Throwable => () }
             Left("timeout")
           case e: Throwable =>
-            Left(Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replace('"', '\'').replace('\n', ' ').take(200))
+            // a documented-quadratic gate refusing at a scale point is
+            // a structured outcome, not a failure — walk the cause
+            // chain (the guard may surface wrapped by Spark)
+            val refusal = Iterator.iterate(e)(_.getCause)
+              .takeWhile(_ != null).take(8)
+              .collectFirst { case r: graft.operators.QuadraticRefusal => r }
+            refusal match {
+              case Some(r) => Left("refused:" + Option(r.getMessage).getOrElse("")
+                .replace('"', '\'').replace('\n', ' ').take(300))
+              case None => Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replace('"', '\'').replace('\n', ' ').take(200))
+            }
         }
       res match {
         case Right(s) =>
@@ -117,6 +130,10 @@ object SuiteRun {
         case Left("timeout") =>
           println(s"[suiterun] $n: TIMEOUT >$qTimeoutS s"); System.out.flush()
           record(s"""{"q":"$n","timeout":true,"capS":$qTimeoutS}""")
+        case Left(msg) if msg.startsWith("refused:") =>
+          println(s"[suiterun] $n: REFUSED (documented-quadratic at this scale)")
+          System.out.flush()
+          record(s"""{"q":"$n","refused":"${msg.stripPrefix("refused:")}"}""")
         case Left(msg) =>
           println(s"[suiterun] $n: FAILED $msg"); System.out.flush()
           record(s"""{"q":"$n","error":"$msg"}""")

@@ -117,6 +117,23 @@ class DedupSpec extends SparkSpec {
       s"expected the contained->container orientation only, got ${cont.toSeq}")
   }
 
+  test("containment refuses loudly over the candidate-volume bound, naming the collapse-first twin") {
+    import graft.operators.{QuadraticGuard, QuadraticRefusal}
+    val key = QuadraticGuard.ConfKey
+    spark.conf.set(key, "1") // any real fixture exceeds one candidate
+    try {
+      val e = intercept[QuadraticRefusal] {
+        Dedup.ngramContainmentPairs(docs, "doc_id", "text", 3, 0.9)
+      }
+      assert(e.getMessage.contains("collapsedContainmentPairs"),
+        "refusal must name the output-identical scale-safe twin")
+      assert(e.getMessage.contains(key))
+    } finally { spark.conf.unset(key); () }
+    // default bound: the spec corpus is far under it — no refusal
+    Dedup.ngramContainmentPairs(docs.limit(40), "doc_id", "text", 3, 0.9).count()
+    ()
+  }
+
   test("collapse-first containment equals the direct join on a dup-heavy corpus") {
     import graft.syntax._
     // replicate a slice of the corpus 4x with fresh ids — the

@@ -36,7 +36,8 @@ class SimilaritySpec extends SparkSpec {
     val truth = Similarity.bruteForceTopK(corpus, corpus, 5)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.lshTopK(corpus, 64, nPlanes = 5, k = 5, nTables = 8)
+    val approx = Similarity.lshTopK(corpus, 64, nPlanes = 5, k = 5, nTables = 8,
+        nProbe = 1) // the single-probe recall floor, explicitly
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (truth & approx).size.toDouble / truth.size
@@ -234,8 +235,10 @@ class SimilaritySpec extends SparkSpec {
       val atGate = recallAt(3) // the q227 gate's fixed probe count
       assert(atGate >= 0.6,
         s"organic recall at adaptive planes must hold the audit bound: $atGate")
-      // the derived rule (AutoProbe = min(planes+1, 3+2·extra)) must
-      // never do worse than the fixed gate count it generalizes
+      // the derived rule (AutoProbe = 3 + 2·max(0, planes − nPlanes),
+      // unclamped — the full perturbation sequence removed the old
+      // planes+1 cap) must never do worse than the fixed gate count
+      // it generalizes
       val atAuto = recallAt(Similarity.AutoProbe)
       assert(atAuto >= atGate - 1e-9,
         s"AutoProbe must not regress the fixed-probe recall: $atAuto < $atGate")
@@ -277,6 +280,47 @@ class SimilaritySpec extends SparkSpec {
         nBlocks = Similarity.blocksFor(2500, rowsPerTile = 50))
       .collect().map(_.toSeq).toSet
     assert(a == b)
+  }
+
+  test("lshTopK defaults to AutoProbe: an unpinned caller gets the derived probe count") {
+    import spark.implicits._
+    val queries = corpus.filter($"vid" < 50)
+    // below the adaptive floor the derived count is 3 + 2·0 = 3, so
+    // the default must match an explicit nProbe = 3 exactly (same
+    // buckets by construction — the first three probes of the
+    // perturbation sequence are the single-flip ones)
+    val dflt = Similarity.lshTopK(corpus, 64, nPlanes = 5, k = 5,
+        nTables = 8, queries = queries)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    val pinned = Similarity.lshTopK(corpus, 64, nPlanes = 5, k = 5,
+        nTables = 8, nProbe = 3, queries = queries)
+      .select("query_id", "neighbor_id").collect().map(_.toSeq).toSet
+    assert(dflt == pinned)
+    assert(dflt.nonEmpty)
+  }
+
+  test("documented-quadratic operators refuse loudly over the pair bound, naming the scale-safe twin") {
+    import graft.operators.{QuadraticGuard, QuadraticRefusal}
+    val key = QuadraticGuard.ConfKey
+    // default bound: the spec corpus is far under it — no refusal
+    Similarity.nearestNeighbor(corpus.limit(100), nBlocks = 4).count()
+    spark.conf.set(key, "10") // corpus²/2 >> 10
+    try {
+      val e1 = intercept[QuadraticRefusal] {
+        Similarity.nearestNeighbor(corpus)
+      }
+      assert(e1.getMessage.contains("lshTopK"),
+        "refusal must name the ANN twin")
+      assert(e1.getMessage.contains(key),
+        "refusal must name the config knob that forces the run")
+      val e2 = intercept[QuadraticRefusal] {
+        Similarity.thresholdPairs(corpus, threshold = 0.4)
+      }
+      assert(e2.getMessage.contains("minhashDedupPairs"))
+      // bound <= 0 disables the guard entirely
+      spark.conf.set(key, "0")
+      Similarity.nearestNeighbor(corpus.limit(100), nBlocks = 4).count()
+    } finally { spark.conf.unset(key); () }
   }
 
   test("trained centroids are deterministic across partitionings") {
