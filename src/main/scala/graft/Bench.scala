@@ -41,7 +41,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -114,14 +114,17 @@ object Bench {
         val txt = java.nio.file.Files.readString(
           java.nio.file.Paths.get("docs/bench_ref.json"))
         // minimal parse (no JSON lib on the unmanaged classpath):
-        // "canaries": ["a", "b", ...] and "queries": {"name": sec, ...}
+        // "canaries": ["a", "b", ...] and "queries" rows in either the
+        // r16 provenance form {"name": {"value": sec, "drift": …,
+        // "round": …, "note": …}} or the legacy flat {"name": sec}
         val can = "\"canaries\"\\s*:\\s*\\[([^\\]]*)\\]".r
           .findFirstMatchIn(txt).map(_.group(1))
           .map(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
             .filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
-        val qsec = "\"(q[0-9][^\"]*)\"\\s*:\\s*([0-9.]+)".r
-          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val qsec =
+          "\"(q[0-9][^\"]*)\"\\s*:\\s*(?:\\{[^{}]*?\"value\"\\s*:\\s*)?([0-9.]+)".r
+            .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
         (can, qsec)
       } catch { case _: Throwable => (Seq.empty[String], Map.empty[String, Double]) }
     }
@@ -186,6 +189,17 @@ object Bench {
       val p = java.nio.file.Paths.get("docs/bench_detail.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.writeString(p, detail + "\n")
+      // the driver's BENCH_r*.json has recorded `parsed: null` two
+      // rounds running — sbt's `[info] ` prefix defeats its stdout
+      // parse even when the line survives the tail. A file is the
+      // reliable channel: atomic rename so a crashed run never leaves
+      // a torn JSON behind.
+      val last = java.nio.file.Paths.get("docs/bench_last.json")
+      val tmp = java.nio.file.Paths.get("docs/bench_last.json.tmp")
+      java.nio.file.Files.writeString(tmp, line + "\n")
+      java.nio.file.Files.move(tmp, last,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } catch { case _: Throwable => () } // detail dump is best-effort
     // the JSON line must be the LAST thing on stdout/stderr: the
     // driver keeps only a bounded output tail, and r14's line was

@@ -24,26 +24,34 @@ object GraftSession {
     * - parquet filter pushdown + vectorized reads are defaults — kept
     *   explicit here as documentation of what the plans rely on.
     * - objectHashAggregate fallback threshold raised from the default
-    *   128: TypedImperativeAggregate plans (the sketch family) fall
-    *   back to SORT-based aggregation once a task's partial-agg map
-    *   holds >threshold groups — at the default, any sketch grouped by
-    *   more than 128 keys (e.g. 150 type×day groups) degenerates into
-    *   a full sort of every task's input. Measured at sf100: 55 s →
-    *   2 s on the uniqUpTo gate from this setting alone. Raised again
-    *   r15 (64k → 4M): q34's tiled all-NN at sf10 has ~200k vec_id
-    *   groups in each tile-join task's PARTIAL agg, and the 64k
-    *   fallback sort-spilled the O(n²/blocks) pair stream until the
-    *   DISK filled. Keys per task are bounded by the tiling
-    *   (2·tileWidth·tilesPerTask), states are O(k) TopKAgg entries —
-    *   a 4M-entry map of ~50 B states is ≤ 200 MB/task worst-case,
-    *   while the sort-based fallback on a quadratic stream is
-    *   unboundedly worse. The right trade wherever states are bounded
-    *   (all of ours are).
+    *   128 to 64k: TypedImperativeAggregate plans (the sketch family)
+    *   fall back to SORT-based aggregation once a task's partial-agg
+    *   map holds >threshold groups — at the default, any sketch
+    *   grouped by more than 128 keys (e.g. 150 type×day groups)
+    *   degenerates into a full sort of every task's input. Measured
+    *   at sf100: 55 s → 2 s on the uniqUpTo gate from this setting
+    *   alone. NOT raised further (r16 reverted r15's 4M): the
+    *   threshold bounds CONCURRENT in-memory states, so its safe
+    *   ceiling is memory ÷ max-state-size, and graft's largest
+    *   bounded state (HLL p=12, a 4096-long register array ≈ 32 KB
+    *   in memory) puts 64k × 32 KB ≈ 2 GB/task at the worst-case
+    *   edge — while the common sketch states (DDSketch maxBuckets,
+    *   CMS w×d, TopK k) are ≤ KB, i.e. ≤ 64 MB/task. 4M entries was
+    *   only safe under a "states ≈ 50 B" assumption that holds for
+    *   TopKAgg alone, and the data-proportional aggregates (sumMap,
+    *   groupBitmap) NEED an early sort fallback — it is what caps
+    *   how many growing states sit in memory at once
+    *   (AggStateBoundSpec pins this classification). The r15
+    *   motivation — q34's tiled all-NN partials at sf10 — is gone:
+    *   documented-quadratic operators now refuse past
+    *   spark.graft.quadratic.maxPairs, and a FORCED exact run at
+    *   that scale should raise this threshold alongside (the
+    *   operator scaladoc says so).
     */
   def builder(master: String = "local[32]", cores: Int = 32): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -12,7 +12,7 @@ object AnnRecall {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -23,7 +23,8 @@ object AnnRecall {
     def recall(approx: org.apache.spark.sql.DataFrame): Double =
       truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .count().toDouble / nTruth
-    val lsh = Similarity.lshTopK(corpus, dim = 64, nPlanes = 5, k = 5, nTables = 8)
+    val lsh = Similarity.lshTopK(corpus, dim = 64, nPlanes = 5, k = 5, nTables = 8,
+      nProbe = 1)
       .filter(col("query_id") < 500)
     val lshMp = Similarity.lshTopK(corpus, dim = 64, nPlanes = 5, k = 5,
         nTables = 8, nProbe = 3, queries = queries)
