@@ -1912,6 +1912,47 @@ class StreamingSpec extends SparkSpec {
     } finally { docs.unpersist(); () }
   }
 
+  test("buildDashboard refuses a non-empty dir (crashed/duplicate bootstrap cannot double-count)") {
+    import graft.streaming.StreamingIndex
+    import spark.implicits._
+    val docs = Tables(spark, sf).documents.limit(50)
+    val cols = Seq("n_chars")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dashguard").toString
+    try {
+      StreamingIndex.buildDashboard(docs, "text", cols, dir)
+      // a finished bootstrap (marker + family tables present) must not
+      // be re-runnable in place — the appends would double-count
+      val e = intercept[IllegalArgumentException] {
+        StreamingIndex.buildDashboard(docs, "text", cols, dir)
+      }
+      assert(e.getMessage.contains("non-empty dir"))
+      // a CRASHED bootstrap (some family state, no _built marker) is
+      // refused too — partial state is exactly the double-count case
+      val dir2 = java.nio.file.Files
+        .createTempDirectory("graft-dashguard2").toString
+      try {
+        Seq(1L).toDF("x").write.parquet(s"$dir2/c12")
+        val e2 = intercept[IllegalArgumentException] {
+          StreamingIndex.buildDashboard(docs, "text", cols, dir2)
+        }
+        assert(e2.getMessage.contains("c12"))
+      } finally {
+        def rm(p: java.io.File): Unit = {
+          val kids = p.listFiles(); if (kids != null) kids.foreach(rm)
+          p.delete(); ()
+        }
+        rm(new java.io.File(dir2))
+      }
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        val kids = p.listFiles(); if (kids != null) kids.foreach(rm)
+        p.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("persisted KN-3: batch-accumulated segments score exactly like the one-shot train, through compaction") {
     import graft.operators.LangModel
     import graft.streaming.StreamingIndex
