@@ -15,6 +15,8 @@ def _norm(queries: dict) -> dict:
     outputs compare cleanly."""
     out = {}
     for k, v in queries.items():
+        if isinstance(v, dict):  # bench_ref provenance row (r16 schema)
+            v = v["value"]
         k = k.split("_")[0]
         if not k.startswith("q"):
             k = "q" + k
