@@ -691,6 +691,23 @@ object StreamingIndex {
       p: Int = 12, alpha: Double = graft.operators.IngestDashboard.Alpha,
       idCol: String = "doc_id", shareScan: Boolean = true): Unit = {
     val spark = docs.sparkSession
+    // Bootstrap REFUSES a non-empty dashboard dir: the family writers
+    // below append directly (no staging/batchlog), so re-running over
+    // existing state — a crashed earlier bootstrap, or a dir already
+    // serving batches — would silently double-count LM/profile/rep
+    // state and duplicate near-dup postings. "Crash = rebuild" means
+    // rebuild FROM CLEAN: delete the dir and bootstrap again.
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val preexisting = ("_built" +:
+      Seq("c12", "c1", "cw", "c123", "state", "rep", "bands", "sets", "docs"))
+      .filter(sub => fs.exists(new org.apache.hadoop.fs.Path(dirPath, sub)))
+    require(preexisting.isEmpty,
+      s"buildDashboard: refusing to bootstrap into non-empty dir $dir " +
+        s"(found: ${preexisting.mkString(", ")}); the bootstrap appends " +
+        "directly and would double-count existing state — delete the " +
+        "directory to rebuild, or use applyDashboardBatch for " +
+        "incremental state")
     val shared =
       if (shareScan) docs.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
