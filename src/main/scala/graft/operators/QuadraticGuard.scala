@@ -25,26 +25,42 @@ class QuadraticRefusal(msg: String) extends IllegalStateException(msg)
   * the bound, naming the twin. SuiteRun records the refusal as a
   * structured `{"refused": …}` row instead of a crash.
   *
-  * The bound is `spark.graft.quadratic.maxPairs` (pairs; default 1e9
-  * ≈ minutes of dot products / candidate checks on local[32], the
-  * scale where the gates' SFs still pass untouched). Set it ≤ 0 to
-  * disable the guard, or raise it to force a known-expensive exact
-  * run.
+  * The bound is `spark.graft.quadratic.maxPairs`; when the conf is
+  * UNSET each operator supplies a default matched to its failure
+  * mode — pair volume alone doesn't price an operator (q43's
+  * thresholdPairs streamed 2e10 filtered pairs in 266 s at sf10,
+  * while q34's all-NN at the SAME volume crashed: its argmax holds a
+  * state per vector, and past the hash-agg fallback the sort spills
+  * the whole pair stream to disk):
+  * - stateless streamed scans (thresholdPairs: dot product → filter,
+  *   no per-group state, no pair materialization) default to 1e11 —
+  *   tens of minutes of compute, the "painful but finishes" line;
+  * - stateful / expanding shapes (nearestNeighbor's per-vector
+  *   argmax states; containment's candidate-pair expansion feeding
+  *   distinct + verify) default to 1e9 — past it the aggregation or
+  *   shuffle machinery, not the arithmetic, is what breaks.
+  * Setting the conf overrides every default uniformly; ≤ 0 disables
+  * the guard.
   */
 object QuadraticGuard {
   val ConfKey = "spark.graft.quadratic.maxPairs"
+  /** Default for stateful / expanding quadratic shapes. */
   val DefaultMaxPairs: Long = 1000000000L
+  /** Default for stateless streamed quadratic scans. */
+  val DefaultMaxScanPairs: Long = 100000000000L
 
-  def maxPairs(spark: SparkSession): Long =
-    spark.conf.get(ConfKey, DefaultMaxPairs.toString).toLong
+  def maxPairs(spark: SparkSession,
+      defaultBound: Long = DefaultMaxPairs): Long =
+    spark.conf.get(ConfKey, defaultBound.toString).toLong
 
   /** Throw [[QuadraticRefusal]] when `estPairs` exceeds the bound.
     * `estPairs` is a Double so callers can pass n²/2 for n beyond
     * 2^31 without overflow ceremony.
     */
   def check(spark: SparkSession, op: String, estPairs: Double,
-      detail: String, scaleSafeTwin: String): Unit = {
-    val bound = maxPairs(spark)
+      detail: String, scaleSafeTwin: String,
+      defaultBound: Long = DefaultMaxPairs): Unit = {
+    val bound = maxPairs(spark, defaultBound)
     if (bound > 0 && estPairs > bound.toDouble) {
       throw new QuadraticRefusal(
         s"$op refused: estimated pair volume ${"%.3g".format(estPairs)} " +

@@ -529,15 +529,22 @@ object Similarity {
     *
     * GUARDED ([[QuadraticGuard]]): exact pair volume n²/2; refuses
     * over `spark.graft.quadratic.maxPairs`, naming the LSH/minhash
-    * near-dup family as the scale path.
+    * near-dup family as the scale path. As a stateless streamed scan
+    * its UNSET-conf default is the higher 1e11 (measured: 2e10 pairs
+    * = 266 s at sf10 on local[32] — painful but sound, unlike
+    * [[nearestNeighbor]]'s stateful argmax at the same volume).
     */
   def thresholdPairs(corpus: DataFrame, threshold: Double,
       nBlocks: Int = 32, knownCount: Long = -1L): DataFrame = {
-    if (QuadraticGuard.maxPairs(corpus.sparkSession) > 0) {
+    // stateless streamed scan (dot product → filter, no per-group
+    // state): the higher scan default applies — see QuadraticGuard
+    if (QuadraticGuard.maxPairs(corpus.sparkSession,
+        QuadraticGuard.DefaultMaxScanPairs) > 0) {
       val n = if (knownCount >= 0L) knownCount else corpus.count()
       QuadraticGuard.check(corpus.sparkSession, "Similarity.thresholdPairs",
         n.toDouble * n / 2, s"n=$n exact all-pairs threshold scan",
-        "Similarity.lshTopK / Dedup.minhashDedupPairs (recall-audited near-dup)")
+        "Similarity.lshTopK / Dedup.minhashDedupPairs (recall-audited near-dup)",
+        QuadraticGuard.DefaultMaxScanPairs)
     }
     val blk = pmod($"vid", lit(nBlocks)).cast("int")
     val left = corpus
