@@ -98,6 +98,78 @@ object OrganicBench {
           println(f"[organic-lsh] nProbe=$np recall=$r%.3f wall=$t%.1f s")
         }
 
+      case "split" =>
+        // STANDING LEAKAGE-SAFE SPLIT decade (r15 verdict item 8):
+        // applySplitBatch in sequential batches over an organic
+        // corpus — per-batch wall (probe-assign + index append + the
+        // atomic four-table commit), standing-table growth,
+        // redelivery no-op cost, compaction win, and a post-compaction
+        // batch to show assignment stays batch-priced against the
+        // compacted tables. Closes with the leak audit the operator
+        // exists for: every matched doc inherits its match's side.
+        val nBatches = if (args.length > 2) args(2).toInt else 5
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select($"doc_id", $"text")
+        val n = docs.count()
+        val idx = java.nio.file.Files.createTempDirectory("graft-orgsplit").toString
+        val fs = new org.apache.hadoop.fs.Path(idx)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def bytes(sub: String) =
+          try fs.getContentSummary(
+            new org.apache.hadoop.fs.Path(s"$idx/$sub")).getLength
+          catch { case _: Throwable => 0L }
+        def files(sub: String) =
+          try fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/$sub"))
+            .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          catch { case _: Throwable => 0 }
+        println(s"[organic-split] dir=$dir n=$n batches=$nBatches")
+        (0 until nBatches - 1).foreach { b =>
+          val (applied, t) = timeS {
+            graft.streaming.StreamingIndex.applySplitBatch(
+              docs.filter($"doc_id" % nBatches === b), "doc_id", "text",
+              idx, batchId = b.toLong)
+          }
+          println(f"[organic-split] batch=$b applied=$applied wall=$t%.2f s " +
+            s"sidesBytes=${bytes("sides")} bandsBytes=${bytes("bands")} " +
+            s"setsBytes=${bytes("sets")}")
+        }
+        val (re, tRe) = timeS {
+          graft.streaming.StreamingIndex.applySplitBatch(
+            docs.filter($"doc_id" % nBatches === 1), "doc_id", "text",
+            idx, batchId = 1L)
+        }
+        println(f"[organic-split] redelivery applied=$re wall=$tRe%.2f s")
+        val sidesFilesBefore = files("sides")
+        val (_, tCompact) = timeS {
+          graft.operators.Curation.compactSplitAssign(spark, idx)
+          Dedup.compactNearDupIndex(spark, idx)
+        }
+        println(f"[organic-split] compact wall=$tCompact%.2f s " +
+          s"sidesFiles=$sidesFilesBefore->${files("sides")} " +
+          s"sidesBytes=${bytes("sides")}")
+        val (_, tPost) = timeS {
+          graft.streaming.StreamingIndex.applySplitBatch(
+            docs.filter($"doc_id" % nBatches === (nBatches - 1)), "doc_id",
+            "text", idx, batchId = (nBatches - 1).toLong)
+        }
+        println(f"[organic-split] post-compact batch wall=$tPost%.2f s")
+        // leak audit: a matched doc's side must equal its match's side
+        val sides = spark.read.parquet(s"$idx/sides").cache()
+        val leaks = sides.filter($"best_b".isNotNull).as("a")
+          .join(sides.select($"doc_id".as("best_b"),
+            $"side".as("b_side")), Seq("best_b"))
+          .filter($"side" =!= $"b_side").count()
+        val bySide = sides.groupBy($"side").count().collect()
+          .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+        println(s"[organic-split] assigned=${sides.count()} $bySide " +
+          s"crossSideLeaks=$leaks")
+        sides.unpersist()
+        def rmSplit(p: java.io.File): Unit = {
+          val kids = p.listFiles(); if (kids != null) kids.foreach(rmSplit)
+          p.delete(); ()
+        }
+        rmSplit(new java.io.File(idx))
+
       case other => sys.error(s"unknown mode: $other")
     }
     spark.stop()
