@@ -242,6 +242,23 @@ class SimilaritySpec extends SparkSpec {
       val atAuto = recallAt(Similarity.AutoProbe)
       assert(atAuto >= atGate - 1e-9,
         s"AutoProbe must not regress the fixed-probe recall: $atAuto < $atGate")
+      // the 2M-vector/10-plane regime (SCALE.md r15: AutoProbe 0.934,
+      // single-flip 0.848), reproduced at suite-affordable cost by
+      // lowering targetOccupancy so THE SAME plane count engages on
+      // this corpus: ⌈log2(100000/100)⌉ = 10 planes. AutoProbe must
+      // hold ≥ 0.9 where the gate's fixed nProbe=3 sits at the audit
+      // bound's edge — the measurement behind making AutoProbe the
+      // default.
+      val at10Planes = {
+        val approx = Similarity.lshTopK(organic, 64, nPlanes = 5, k = 5,
+            nTables = 8, nProbe = Similarity.AutoProbe, queries = queries,
+            targetOccupancy = 100, knownCount = n)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (truth & approx).size.toDouble / truth.size
+      }
+      assert(at10Planes >= 0.9,
+        s"AutoProbe at the 10-plane point must hold >= 0.9: $at10Planes")
       queries.unpersist(); ()
     } finally { organic.unpersist(); () }
   }
