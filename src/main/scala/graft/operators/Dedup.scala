@@ -591,16 +591,21 @@ object Dedup {
     // stay selective after compaction. 32 partition dirs, one file
     // per band per append (the repartition below), bounded by
     // [[compactNearDupIndex]].
-    bandRows(minhashSignatures(uniq, "kh", "txt", n, k), bands, k / bands)
-      .select($"doc".as("kh"), $"band", $"bucket")
-      .repartition($"band")
-      .sortWithinPartitions($"band", $"bucket")
-      .write.mode(mode).partitionBy("band").parquet(s"$root/bands")
-    docShingles(uniq, "kh", "txt", n)
-      .select($"doc".as("kh"), $"hs")
-      .write.mode(mode).parquet(s"$root/sets")
-    delta.select(xxhash64(col(textCol)).as("kh"), col(idCol).as("doc"))
-      .write.mode(mode).parquet(s"$root/docs")
+    // three disjoint sub-tables → three CONCURRENT jobs (ParJobs, the
+    // max-not-sum trick one level down): at micro-batch scale the
+    // serial job-launch/commit floors made this the slowest family
+    // chain in the composed applier
+    ParJobs.run(
+      () => bandRows(minhashSignatures(uniq, "kh", "txt", n, k), bands, k / bands)
+        .select($"doc".as("kh"), $"band", $"bucket")
+        .repartition($"band")
+        .sortWithinPartitions($"band", $"bucket")
+        .write.mode(mode).partitionBy("band").parquet(s"$root/bands"),
+      () => docShingles(uniq, "kh", "txt", n)
+        .select($"doc".as("kh"), $"hs")
+        .write.mode(mode).parquet(s"$root/sets"),
+      () => delta.select(xxhash64(col(textCol)).as("kh"), col(idCol).as("doc"))
+        .write.mode(mode).parquet(s"$root/docs"))
   }
 
   /** The verified UNIQUE-content near-dup pairs of a probe frame

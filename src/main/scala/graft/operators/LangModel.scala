@@ -365,9 +365,13 @@ object LangModel {
     val (c12, c1, cw) = countsOf(delta, textCol)
     val (root, mode) =
       (stagingPath.getOrElse(dir), if (stagingPath.isDefined) "overwrite" else "append")
-    c12.write.mode(mode).parquet(s"$root/c12")
-    c1.write.mode(mode).parquet(s"$root/c1")
-    cw.write.mode(mode).parquet(s"$root/cw")
+    // three disjoint sub-tables → three CONCURRENT jobs (ParJobs):
+    // at micro-batch scale the three job-launch/commit floors were
+    // the appender's wall time
+    ParJobs.run(
+      () => c12.write.mode(mode).parquet(s"$root/c12"),
+      () => c1.write.mode(mode).parquet(s"$root/c1"),
+      () => cw.write.mode(mode).parquet(s"$root/cw"))
   }
 
   /** The merged (c12, c1, cw) of a persisted model directory. */
