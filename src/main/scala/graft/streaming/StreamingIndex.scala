@@ -116,8 +116,7 @@ object StreamingIndex {
     val logPath = s"$dir/batchlog"
     val fs = new org.apache.hadoop.fs.Path(logPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
-        !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
+    if (BatchLog.contains(spark, logPath, batchId)) {
       return false
     }
     val applied =
@@ -146,8 +145,7 @@ object StreamingIndex {
           builtBy = batchId)
         true
       }
-    Seq((batchId, applied)).toDF("batch_id", "applied")
-      .write.mode("append").parquet(logPath)
+    BatchLog.append(spark, logPath, batchId, Some(applied))
     applied
   }
 
@@ -267,8 +265,7 @@ object StreamingIndex {
     val logPath = s"$dir/batchlog"
     val fs = new org.apache.hadoop.fs.Path(logPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
-        !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
+    if (BatchLog.contains(spark, logPath, batchId)) {
       return false
     }
     val applied =
@@ -294,8 +291,7 @@ object StreamingIndex {
           builtBy = batchId)
         true
       }
-    Seq((batchId, applied)).toDF("batch_id", "applied")
-      .write.mode("append").parquet(logPath)
+    BatchLog.append(spark, logPath, batchId, Some(applied))
     applied
   }
 
@@ -316,8 +312,7 @@ object StreamingIndex {
     val logPath = s"$dir/batchlog"
     val fs = new org.apache.hadoop.fs.Path(logPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
-        !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
+    if (BatchLog.contains(spark, logPath, batchId)) {
       return false
     }
     val applied =
@@ -343,8 +338,7 @@ object StreamingIndex {
           builtBy = batchId)
         true
       }
-    Seq((batchId, applied)).toDF("batch_id", "applied")
-      .write.mode("append").parquet(logPath)
+    BatchLog.append(spark, logPath, batchId, Some(applied))
     applied
   }
 
@@ -365,8 +359,7 @@ object StreamingIndex {
     val logPath = s"$dir/batchlog"
     val fs = new org.apache.hadoop.fs.Path(logPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
-        !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
+    if (BatchLog.contains(spark, logPath, batchId)) {
       return false
     }
     val applied =
@@ -385,7 +378,7 @@ object StreamingIndex {
         fs.delete(staging, true)
         true
       }
-    Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    BatchLog.append(spark, logPath, batchId)
     applied
   }
 
@@ -404,8 +397,7 @@ object StreamingIndex {
     val logPath = s"$dir/batchlog"
     val fs = new org.apache.hadoop.fs.Path(logPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
-        !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
+    if (BatchLog.contains(spark, logPath, batchId)) {
       return false
     }
     val applied =
@@ -424,7 +416,7 @@ object StreamingIndex {
         fs.delete(staging, true)
         true
       }
-    Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    BatchLog.append(spark, logPath, batchId)
     applied
   }
 
@@ -445,8 +437,7 @@ object StreamingIndex {
     val logPath = s"$dir/batchlog"
     val fs = new org.apache.hadoop.fs.Path(logPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
-        !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
+    if (BatchLog.contains(spark, logPath, batchId)) {
       return false
     }
     val applied =
@@ -465,7 +456,7 @@ object StreamingIndex {
         fs.delete(staging, true)
         true
       }
-    Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    BatchLog.append(spark, logPath, batchId)
     applied
   }
 
@@ -513,8 +504,7 @@ object StreamingIndex {
     val logPath = s"$dir/batchlog"
     val fs = new org.apache.hadoop.fs.Path(logPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
-        !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
+    if (BatchLog.contains(spark, logPath, batchId)) {
       return false
     }
     val subs = Seq("bands", "sets", "docs", "sides")
@@ -554,7 +544,7 @@ object StreamingIndex {
         fs.delete(staging, true)
         true
       }
-    Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    BatchLog.append(spark, logPath, batchId)
     applied
   }
 
@@ -613,8 +603,7 @@ object StreamingIndex {
     val logPath = s"$dir/batchlog"
     val fs = new org.apache.hadoop.fs.Path(logPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
-        !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
+    if (BatchLog.contains(spark, logPath, batchId)) {
       return false
     }
     val subs =
@@ -662,7 +651,7 @@ object StreamingIndex {
         fs.delete(staging, true)
         true
       }
-    Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    BatchLog.append(spark, logPath, batchId)
     applied
   }
 
@@ -800,8 +789,7 @@ object StreamingIndex {
     val logPath = s"$dir/batchlog"
     val fs = new org.apache.hadoop.fs.Path(logPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
-        !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
+    if (BatchLog.contains(spark, logPath, batchId)) {
       return false
     }
     val applied =
@@ -816,7 +804,7 @@ object StreamingIndex {
         fs.delete(staging, true)
         true
       }
-    Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    BatchLog.append(spark, logPath, batchId)
     applied
   }
 
@@ -908,8 +896,7 @@ object StreamingIndex {
     val logPath = s"$dir/batchlog"
     val fs = new org.apache.hadoop.fs.Path(logPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(logPath)) &&
-        !spark.read.parquet(logPath).filter($"batch_id" === batchId).isEmpty) {
+    if (BatchLog.contains(spark, logPath, batchId)) {
       return false
     }
     val applied =
@@ -925,7 +912,7 @@ object StreamingIndex {
         commitStaged(fs, staging, postings, batchId)
         true
       }
-    Seq(batchId).toDF("batch_id").write.mode("append").parquet(logPath)
+    BatchLog.append(spark, logPath, batchId)
     applied
   }
 

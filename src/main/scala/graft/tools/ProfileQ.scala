@@ -13,7 +13,10 @@ object ProfileQ {
     val names = if (args.length > 1) args.drop(1).toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // default matches GraftSession; env override exists ONLY for
+      // A/B-measuring the threshold itself (e.g. the r16 64k revert)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJHASH_FALLBACK", "65536"))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
