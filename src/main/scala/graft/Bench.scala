@@ -209,5 +209,19 @@ object Bench {
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(line)
+    // …and once more on the RAW process descriptors: under sbt,
+    // System.out is captured by the logger which prefixes `[info] `,
+    // and that prefix is exactly what has kept the driver's JSON
+    // tail parse at `parsed: null` for three rounds. FileDescriptor
+    // bypasses the capture, so the naked line reaches the process
+    // stdout/stderr AFTER the prefixed one (last parseable line
+    // wins). Run outside sbt this just duplicates the line — still a
+    // valid tail.
+    for (fd <- Seq(java.io.FileDescriptor.out, java.io.FileDescriptor.err)) {
+      val raw = new java.io.PrintStream(
+        new java.io.FileOutputStream(fd), true)
+      raw.println(line)
+      raw.flush()
+    }
   }
 }

@@ -69,6 +69,30 @@ object Dedup {
     val sh = docsh.select($"doc", explode($"hs").as("h"))
     val sizes = docsh.select($"doc", size($"hs").cast("long").as("sz"))
     val prefix = prefixIndex(sh, sizes, threshold)
+    // GUARD (QuadraticGuard): same two-tier pricing as
+    // [[ngramContainmentPairs]] — the candidate self-join streams
+    // Σ_h C(|prefix_h|, 2) rows before the length/positional filters
+    // prune, and a duplicate-heavy corpus grows every prefix bucket
+    // by the duplication factor d (identical texts share identical
+    // prefixes), so candidate volume grows d². Tier 1 is a free
+    // row-count prescreen; only past it the exact volume is priced
+    // with ONE linear aggregation over prefix-bucket sizes. Over the
+    // bound the call refuses, naming the collapse-first twin that
+    // removes the d² factor by construction.
+    val guardBound = QuadraticGuard.maxPairs(df.sparkSession)
+    if (guardBound > 0) {
+      val nRows = df.count().toDouble
+      if (nRows * nRows / 2 > guardBound) {
+        QuadraticGuard.check(df.sparkSession, "Dedup.ngramJaccardPairs",
+          prefix.groupBy($"h").agg(count(lit(1)).as("c"))
+            .agg(coalesce(sum($"c" * ($"c" - 1L)), lit(0L)))
+            .head().getLong(0).toDouble / 2.0,
+          s"exact prefix self-join candidate volume at n=$n-gram, t=$threshold",
+          "Dedup.collapsedJaccardPairs / Dedup.collapsedClusterReps " +
+            "(output-identical, collapse duplicate contents before the " +
+            "pair join)")
+      }
+    }
     verifyJaccardArrays(candidatePairs(prefix, threshold), docsh, threshold)
   }
 
@@ -469,7 +493,34 @@ object Dedup {
           .groupBy($"doc").agg(collect_list($"h").as("hs"))
           .select($"doc", graft.functions.MinHashSig.minhash_sig($"hs", k).as("sig"))
     }
-    val cands = lshCandidates(sigs, bands, k / bands)
+    // GUARD (QuadraticGuard): LSH removes the all-shared-shingle pair
+    // join but NOT the d² duplication blowup — identical texts have
+    // identical signatures, so a content duplicated d times puts d
+    // rows in the same bucket of every band: candidate volume
+    // Σ_{band,bucket} C(|bucket|, 2) grows d² exactly like the exact
+    // path's. Same two-tier shape: free row-count prescreen, then the
+    // exact bucket-volume price as ONE linear aggregation. Signatures
+    // are localCheckpoint'd first so the (linear, dominant) minhash
+    // pass is paid once — the guard agg and the candidate join both
+    // read the materialized frame, which is also the 100 TB posture
+    // (signatures persist; raw text is scanned once).
+    val guardBound = QuadraticGuard.maxPairs(df.sparkSession)
+    val sigsG =
+      if (guardBound > 0 && {
+        val nRows = df.count().toDouble; nRows * nRows / 2 > guardBound
+      }) {
+        val ck = sigs.localCheckpoint()
+        QuadraticGuard.check(df.sparkSession, "Dedup.minhashDedupPairs",
+          bandRows(ck, bands, k / bands)
+            .groupBy($"band", $"bucket").agg(count(lit(1)).as("c"))
+            .agg(coalesce(sum($"c" * ($"c" - 1L)), lit(0L)))
+            .head().getLong(0).toDouble / 2.0,
+          s"LSH band-bucket candidate volume at bands=$bands, r=${k / bands}",
+          "Dedup.collapsedJaccardPairs / Dedup.collapsedClusterReps " +
+            "(collapse-first twins), or maxDocFreq to cap hot shingles")
+        ck
+      } else sigs
+    val cands = lshCandidates(sigsG, bands, k / bands)
     // exact verify on candidates only — always over the FULL shingle sets
     verifyJaccardArrays(cands, docsh, threshold)
   }

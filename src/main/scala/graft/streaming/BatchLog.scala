@@ -36,6 +36,12 @@ import org.apache.spark.sql.SparkSession
 private[graft] object BatchLog {
   private def rowFile(batchId: Long) = s"b$batchId.parquet"
 
+  private def isRowFile(name: String): Boolean = {
+    val mid = name.stripPrefix("b").stripSuffix(".parquet")
+    name.startsWith("b") && name.endsWith(".parquet") &&
+      mid.nonEmpty && mid.forall(_.isDigit)
+  }
+
   /** O(1) check with legacy fallback: is `batchId` recorded? */
   def contains(spark: SparkSession, logPath: String,
       batchId: Long): Boolean = {
@@ -43,12 +49,17 @@ private[graft] object BatchLog {
     val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dirP)) return false
     if (fs.exists(new Path(dirP, rowFile(batchId)))) return true
-    // legacy rows (Spark part-* files): present only in dirs written
-    // by the pre-r16 appliers or rewritten whole by a test harness —
-    // fall back to reading just that possibility away
+    // legacy rows: present only in dirs written by the pre-r16
+    // appliers or rewritten whole by a test harness — fall back to a
+    // Spark read whenever ANY data file that is not one of ours
+    // (b<id>.parquet / _SUCCESS-style markers / dotfiles) exists.
+    // Keying on a writer-specific name like part-* would silently
+    // double-apply a batch logged by a harness that coalesces or
+    // renames log files; the fallback direction is the safe one (it
+    // reads row files too, just slower).
     val hasLegacy = fs.listStatus(dirP).exists { f =>
       val n = f.getPath.getName
-      f.isFile && n.startsWith("part-")
+      f.isFile && !n.startsWith(".") && !n.startsWith("_") && !isRowFile(n)
     }
     if (!hasLegacy) return false
     import org.apache.spark.sql.functions.col
@@ -86,6 +97,28 @@ private[graft] object BatchLog {
       applied.foreach(a => g.add("applied", a))
       writer.write(g)
     } finally writer.close()
+    // Durability before publish: ParquetWriter.close flushes to the
+    // OS but forces nothing to stable storage, and publishing a
+    // non-durable row by rename would be worse than the Spark-commit
+    // path it replaced (which never published outside _temporary) —
+    // after a power loss contains() would key on the existence of a
+    // torn file and report the batch as logged while every parquet
+    // read of the log dir fails on the corrupt footer. On local
+    // filesystems an fsync through a read-only FileChannel closes
+    // that window; elsewhere (HDFS post-close) the footer validation
+    // below at least bounds the failure to the crash windows already
+    // documented above (a torn tmp is discarded on replay, never
+    // published).
+    if ("file" == fs.getScheme) {
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    }
+    val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(tmp, conf))
+    try require(fr.getRecordCount == 1L, s"torn batchlog row at $tmp")
+    finally fr.close()
     if (!fs.rename(tmp, dest)) {
       // a concurrent/replayed append published first — identical row
       fs.delete(tmp, false)

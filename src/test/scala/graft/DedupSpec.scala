@@ -134,6 +134,38 @@ class DedupSpec extends SparkSpec {
     ()
   }
 
+  test("exact jaccard pairs refuse over the candidate-volume bound, naming the collapse-first twin") {
+    import graft.operators.{QuadraticGuard, QuadraticRefusal}
+    val key = QuadraticGuard.ConfKey
+    spark.conf.set(key, "1")
+    try {
+      val e = intercept[QuadraticRefusal] {
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      }
+      assert(e.getMessage.contains("collapsedJaccardPairs"),
+        "refusal must name the output-identical scale-safe twin")
+      assert(e.getMessage.contains(key))
+    } finally { spark.conf.unset(key); () }
+    Dedup.ngramJaccardPairs(docs.limit(40), "doc_id", "text", 3, 0.8).count()
+    ()
+  }
+
+  test("minhash-LSH pairs refuse over the bucket-volume bound, naming the collapse-first twin") {
+    import graft.operators.{QuadraticGuard, QuadraticRefusal}
+    val key = QuadraticGuard.ConfKey
+    spark.conf.set(key, "1")
+    try {
+      val e = intercept[QuadraticRefusal] {
+        Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 0.8)
+      }
+      assert(e.getMessage.contains("collapsedJaccardPairs"),
+        "refusal must name the output-identical scale-safe twin")
+      assert(e.getMessage.contains(key))
+    } finally { spark.conf.unset(key); () }
+    Dedup.minhashDedupPairs(docs.limit(40), "doc_id", "text", 3, 0.8).count()
+    ()
+  }
+
   test("collapse-first containment equals the direct join on a dup-heavy corpus") {
     import graft.syntax._
     // replicate a slice of the corpus 4x with fresh ids — the
