@@ -215,4 +215,120 @@ object Curation {
       (i.toLong, nm, cnt)
     }.toDF("stage", "stage_name", "n")
   }
+
+  /** The FULL composed funnel as one gated frame — every stage the
+    * suite gates individually, chained in production order over one
+    * corpus:
+    *
+    *   quality → exact dedup → near-dup collapse → decontamination
+    *   vs the held-out eval slice → split → token-budget packing
+    *
+    * Each stage runs its SCALE path, and each of those paths is
+    * output-identical to an exact form, so the whole funnel
+    * (per-stage survivor counts + token mass, and the final pack
+    * manifest) is re-derivable by the DuckDB oracle in one
+    * WITH RECURSIVE chain:
+    *
+    *  - near-dup pairs via [[Dedup.minhashDedupPairs]] (banded LSH →
+    *    exact verify; equals the exact trigram-jaccard join, miss
+    *    probability < 5e-8 per pair at t=0.8, b=32, r=4 — the q32
+    *    argument), clustered by [[Dedup.clusterReps]];
+    *  - decontamination via [[Dedup.contaminationScanBloom]]
+    *    (broadcast Bloom prescreen + exact verify join — no false
+    *    negatives, the q93 argument);
+    *  - exact dedup groups by 64-bit content hash so the exchange
+    *    carries 8-byte keys, not documents;
+    *  - split/pack are the q69/q79 integer-arithmetic formulas. The
+    *    PER-DOC split is leakage-safe *here* (unlike on a raw corpus,
+    *    where [[leakageSafeSplit]]'s cluster rule is required)
+    *    because stages 2–3 already removed every exact and near
+    *    duplicate: no two surviving documents are near-dups, so no
+    *    cluster can straddle the split boundary.
+    *
+    * Stage order is the production order: quality first (map-side,
+    * drops mass before any shuffle), exact dedup before near-dup
+    * (removes the d² duplication factor from the LSH buckets by
+    * construction — the collapse-first lesson as a pipeline
+    * property), decontamination on the smallest surviving set, split
+    * before pack (bins must not straddle splits).
+    *
+    * Output: one narrow manifest frame
+    * `(stage, source, bin, n_docs, tok_sum)` — funnel rows carry
+    * `source='*', bin=-1`; `6_pack` rows are the per-(source, bin)
+    * pack manifest. Everything upstream stays distributed; only the
+    * stage aggregates and the (token-mass/budget)-bounded manifest
+    * come back.
+    *
+    * Documents with `doc_id % 97 == 0` are the held-out eval slice
+    * (the q66/q93 convention): excluded from the corpus funnel, their
+    * distinct 4-grams are the contamination set.
+    */
+  def curationFunnel(docs0: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source",
+      minTokens: Long = 8L, budget: Long = 2000L): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val docs = docs0.select(col(idCol).as("doc_id"),
+      col(srcCol).as("source"), col(textCol).as("text"))
+    val corpus = docs.filter($"doc_id" % 97 =!= 0)
+    val eval = docs.filter($"doc_id" % 97 === 0)
+
+    // stage 1 — quality: token floor + distinct-token ratio >= 0.3
+    // (repetition proxy), INTEGER arithmetic so the oracle's
+    // predicate is bit-identical (ndis*10 >= ntok*3 <=> ratio >= 0.3)
+    val tk = corpus
+      .withColumn("ntok", size(tokens($"text")).cast("long"))
+      .withColumn("ndis", size(array_distinct(tokens($"text"))).cast("long"))
+    val qual = tk.filter($"ntok" >= minTokens && $"ndis" * 10 >= $"ntok" * 3)
+
+    // stage 2 — exact dedup: keep min doc_id per content (hash-keyed
+    // groupBy + semi-join; min-ids are unique across groups, so the
+    // semi-join on doc_id alone is exact). Checkpointed: the LSH join
+    // and four later stages all read the survivor set.
+    val keep = qual.groupBy(xxhash64($"text").as("g"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val ex = qual.join(keep, Seq("doc_id"), "left_semi").localCheckpoint()
+
+    // stage 3 — near-dup collapse: LSH pairs + connected components;
+    // drop every non-representative cluster member
+    val pairs = Dedup.minhashDedupPairs(ex, "doc_id", "text",
+      n = 3, threshold = 0.8)
+    val nonReps = Dedup.clusterReps(pairs)
+      .filter($"cluster_rep" =!= $"doc").select($"doc".as("doc_id"))
+    val nd = ex.join(nonReps, Seq("doc_id"), "left_anti")
+
+    // stage 4 — decontaminate: drop survivors sharing any 4-gram
+    // with the eval slice. Checkpointed: split, pack, and two stage
+    // rows read it.
+    val dirty = Dedup.contaminationScanBloom(nd, eval, "doc_id", "text",
+      n = 4).select($"doc_id")
+    val clean = nd.join(dirty, Seq("doc_id"), "left_anti").localCheckpoint()
+
+    // stage 5 — split (q69 formula; see scaladoc for why per-doc is
+    // leakage-safe after stages 2-3); train feeds packing
+    val tr = Sampling.withSplit(clean, "doc_id").filter($"split" === "train")
+
+    // stage 6 — token-budget packing per source in doc_id order
+    val pack = Sampling.packByTokenBudget(
+        tr.select($"source", $"doc_id", $"ntok"),
+        "source", "doc_id", $"ntok", budget)
+      .groupBy($"source", $"bin".cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("tok_sum"))
+      .select(lit("6_pack").as("stage"), $"source", $"bin",
+        $"n_docs", $"tok_sum")
+
+    def stageRow(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum($"ntok"), lit(0L)).as("tok_sum"))
+        .select(lit(name).as("stage"), lit("*").as("source"),
+          lit(-1L).as("bin"), $"n_docs", $"tok_sum")
+
+    stageRow("0_corpus", tk)
+      .unionAll(stageRow("1_quality", qual))
+      .unionAll(stageRow("2_exact", ex))
+      .unionAll(stageRow("3_neardup", nd))
+      .unionAll(stageRow("4_decontam", clean))
+      .unionAll(stageRow("5_train", tr))
+      .unionAll(pack)
+  }
 }

@@ -858,6 +858,22 @@ object Pipeline {
       } finally Pipeline.rmTree(new java.io.File(splitDir))
     },
 
+    // END-TO-END curation funnel (the 100 TB rehearsal): quality →
+    // exact dedup → near-dup collapse (LSH) → decontamination vs the
+    // held-out eval slice → leakage-safe split → token packing —
+    // every stage already gated individually, composed here over ONE
+    // corpus in production order with each stage on its SCALE path.
+    // The oracle re-derives the whole funnel (per-stage survivor
+    // counts + token mass + the final pack manifest) in one
+    // WITH RECURSIVE chain, possible because every scale path is
+    // output-identical to its exact form (the q32/q93/q124
+    // arguments). See [[graft.operators.Curation]].
+    "q233_curation_pipeline" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Curation.curationFunnel(Tables(s, dir).documents)
+        .orderBy($"stage", $"source", $"bin")
+    },
+
     // Quality-aware cluster resolution: keep the highest-scoring doc
     // (whitespace token count; ties → smallest id) per near-dup
     // cluster — what a curation pipeline actually ships from a
@@ -4999,6 +5015,83 @@ object Pipeline {
         |UNION ALL SELECT doc_id, best_b, side FROM s1
         |UNION ALL SELECT doc_id, best_b, side FROM s2
         |ORDER BY doc_id""".stripMargin,
+
+    // the whole curation funnel re-derived sequentially: quality
+    // (integer ratio predicate) → exact dedup (min id per text) →
+    // near-dup components (q44's recursive walk over the survivors) →
+    // 4-gram decontamination vs the %97 eval slice → q69's split
+    // formula → q79's running-sum packing. Counts and token sums per
+    // stage, then the (source, bin) pack manifest.
+    "q233_curation_pipeline" ->
+      """WITH RECURSIVE
+        |tk AS (SELECT doc_id, source, text,
+        |         CAST(len(string_split(text,' ')) AS BIGINT) AS ntok,
+        |         CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS ndis
+        |       FROM documents WHERE doc_id % 97 <> 0),
+        |qual AS (SELECT * FROM tk WHERE ntok >= 8 AND ndis * 10 >= ntok * 3),
+        |ex AS (SELECT doc_id, source, text, ntok FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |         FROM qual)
+        |       WHERE rn = 1),
+        |sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM ex),
+        |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
+        |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM inter
+        |          JOIN sizes sa ON a = sa.doc_id
+        |          JOIN sizes sb ON b = sb.doc_id
+        |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |walk(doc, lbl) AS (
+        |  SELECT DISTINCT x, x FROM edges
+        |  UNION
+        |  SELECT e.x, w.lbl FROM edges e JOIN walk w ON e.y = w.doc
+        |),
+        |reps AS (SELECT doc, min(lbl) AS rep FROM walk GROUP BY doc),
+        |nd AS (SELECT e.* FROM ex e LEFT JOIN reps r ON e.doc_id = r.doc
+        |       WHERE r.doc IS NULL OR r.rep = e.doc_id),
+        |g4 AS (SELECT DISTINCT doc_id,
+        |         sp[i.g]||' '||sp[i.g+1]||' '||sp[i.g+2]||' '||sp[i.g+3] AS gram
+        |       FROM (SELECT doc_id, string_split(text,' ') AS sp FROM nd) s,
+        |            LATERAL (SELECT unnest(generate_series(1, len(sp)-3)) AS g) i),
+        |ev AS (SELECT DISTINCT
+        |         sp[i.g]||' '||sp[i.g+1]||' '||sp[i.g+2]||' '||sp[i.g+3] AS gram
+        |       FROM (SELECT string_split(text,' ') AS sp FROM documents
+        |             WHERE doc_id % 97 = 0) s,
+        |            LATERAL (SELECT unnest(generate_series(1, len(sp)-3)) AS g) i),
+        |dirty AS (SELECT DISTINCT doc_id FROM g4 JOIN ev USING (gram)),
+        |clean AS (SELECT * FROM nd
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+        |tr AS (SELECT * FROM clean WHERE (doc_id % 1000003) * 31 % 1000 < 800),
+        |cum AS (SELECT source, doc_id, ntok,
+        |          COALESCE(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |        FROM tr),
+        |pack AS (SELECT '6_pack' AS stage, source,
+        |           CAST(floor(cumb / 2000.0) AS BIGINT) AS bin,
+        |           CAST(count(*) AS BIGINT) AS n_docs,
+        |           CAST(sum(ntok) AS BIGINT) AS tok_sum
+        |         FROM cum GROUP BY 1, 2, 3),
+        |funnel AS (
+        |  SELECT '0_corpus' AS stage, '*' AS source, CAST(-1 AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(COALESCE(sum(ntok), 0) AS BIGINT) AS tok_sum FROM tk
+        |  UNION ALL SELECT '1_quality', '*', -1, count(*),
+        |    CAST(COALESCE(sum(ntok), 0) AS BIGINT) FROM qual
+        |  UNION ALL SELECT '2_exact', '*', -1, count(*),
+        |    CAST(COALESCE(sum(ntok), 0) AS BIGINT) FROM ex
+        |  UNION ALL SELECT '3_neardup', '*', -1, count(*),
+        |    CAST(COALESCE(sum(ntok), 0) AS BIGINT) FROM nd
+        |  UNION ALL SELECT '4_decontam', '*', -1, count(*),
+        |    CAST(COALESCE(sum(ntok), 0) AS BIGINT) FROM clean
+        |  UNION ALL SELECT '5_train', '*', -1, count(*),
+        |    CAST(COALESCE(sum(ntok), 0) AS BIGINT) FROM tr)
+        |SELECT stage, source, bin, n_docs, tok_sum
+        |FROM (SELECT * FROM funnel UNION ALL SELECT * FROM pack)
+        |ORDER BY stage, source, bin""".stripMargin,
 
     // decision form: per probe doc the argmax match (jaccard DESC,
     // doc id ASC ties) + the matching-document count, re-derived from
