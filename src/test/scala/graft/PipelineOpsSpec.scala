@@ -85,6 +85,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(11L)._3 > got(10L)._3)
   }
 
+  test("curation funnel: stages shrink monotonically, pack manifest conserves the train set, deterministic") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val docs = Tables(spark, sf).documents.cache()
+    val out = Curation.curationFunnel(docs).cache()
+    val funnel = out.filter($"stage" =!= "6_pack")
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val order = Seq("0_corpus", "1_quality", "2_exact", "3_neardup",
+      "4_decontam", "5_train")
+    assert(funnel.keySet == order.toSet, s"${funnel.keySet}")
+    // every stage only drops rows/tokens, and at this SF each stage
+    // actually has survivors
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(funnel(a)._1 >= funnel(b)._1, s"$a -> $b grew in docs")
+      assert(funnel(a)._2 >= funnel(b)._2, s"$a -> $b grew in tokens")
+    }
+    assert(funnel("5_train")._1 > 0L)
+    // the pack manifest partitions the train set exactly
+    val pack = out.filter($"stage" === "6_pack")
+      .agg(sum($"n_docs"), sum($"tok_sum")).head()
+    assert(pack.getLong(0) == funnel("5_train")._1)
+    assert(pack.getLong(1) == funnel("5_train")._2)
+    // bins are contiguous from 0 per source
+    val bins = out.filter($"stage" === "6_pack")
+      .groupBy($"source").agg(min($"bin").as("mn"), max($"bin").as("mx"),
+        countDistinct($"bin").as("nb")).collect()
+    bins.foreach { r =>
+      assert(r.getLong(1) == 0L || r.getAs[Long]("mn") == 0L)
+      assert(r.getAs[Long]("nb") == r.getAs[Long]("mx") + 1)
+    }
+    // deterministic under repartitioning (no rand() anywhere)
+    val again = Curation.curationFunnel(docs.repartition(13))
+      .orderBy($"stage", $"source", $"bin").collect().toSeq
+    assert(again == out.orderBy($"stage", $"source", $"bin").collect().toSeq)
+  }
+
   test("leakage-safe split: near-dup pairs never cross sides; total, deterministic") {
     import spark.implicits._
     import graft.operators.{Curation, Dedup}
