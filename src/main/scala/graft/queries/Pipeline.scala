@@ -874,6 +874,72 @@ object Pipeline {
         .orderBy($"stage", $"source", $"bin")
     },
 
+    // STREAMING curation — q233's funnel in the standing-index form a
+    // 100 TB ingest actually runs: crawl batches arrive one at a
+    // time, each is quality-filtered and decontaminated MAP-SIDE
+    // (drop mass before any index work), and the survivors flow into
+    // the standing leakage-safe split directory (q232's
+    // applySplitBatch: probe the near-dup index built from PRIOR
+    // batches, inherit the best match's side, LCG rule for fresh
+    // content, index + assignment in one atomic batchlog commit; a
+    // redelivered batch must no-op). Output: one funnel row per batch
+    // (raw → quality → clean counts, fresh/inherited/train/valid from
+    // the standing sides table) — the oracle re-derives the whole
+    // sequential run: filtered membership, batch-by-batch best
+    // matches, inherited sides, and the funnel counts.
+    "q234_stream_curation" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val corpus = docs.filter($"doc_id" % 97 =!= 0)
+      val eval = docs.filter($"doc_id" % 97 === 0)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-streamcur-gate").toString
+      try {
+        import graft.functions.TextFunctions.tokens
+        import graft.streaming.StreamingIndex
+        val tk = corpus
+          .withColumn("ntok", size(tokens($"text")).cast("long"))
+          .withColumn("ndis", size(array_distinct(tokens($"text"))).cast("long"))
+        val qual = tk.filter($"ntok" >= 8 && $"ndis" * 10 >= $"ntok" * 3)
+        val dirty = Dedup.contaminationScanBloom(qual, eval,
+          "doc_id", "text", n = 4).select($"doc_id")
+        val clean = qual.join(dirty, Seq("doc_id"), "left_anti")
+          .localCheckpoint() // three batch slices + the funnel read it
+        def slice(df: DataFrame, b: Int): DataFrame = b match {
+          case 0 => df.filter($"doc_id" % 5 =!= 0)
+          case 1 => df.filter($"doc_id" % 5 === 0 && $"doc_id" % 10 === 0)
+          case _ => df.filter($"doc_id" % 5 === 0 && $"doc_id" % 10 =!= 0)
+        }
+        val applied = (0 to 2).map { b =>
+          StreamingIndex.applySplitBatch(slice(clean, b), "doc_id", "text",
+            idxDir, batchId = b.toLong)
+        } :+ StreamingIndex.applySplitBatch( // crash-replay of batch 1
+          slice(clean, 1), "doc_id", "text", idxDir, batchId = 1L)
+        require(applied == Seq(true, true, true, false),
+          s"split batchlog idempotence violated: $applied")
+        val batchOf = when($"doc_id" % 5 =!= 0, 0L)
+          .when($"doc_id" % 10 === 0, 1L).otherwise(2L)
+        def counts(df: DataFrame, col: String): DataFrame =
+          df.groupBy(batchOf.as("batch"))
+            .agg(count(lit(1)).as(col))
+        val assigned = s.read.parquet(s"$idxDir/sides")
+          .groupBy(batchOf.as("batch"))
+          .agg(count(lit(1)).as("n_assigned"),
+            count($"best_b").as("n_inherited"),
+            sum(when($"side" === "train", 1L).otherwise(0L)).as("n_train"),
+            sum(when($"side" === "valid", 1L).otherwise(0L)).as("n_valid"))
+        counts(corpus, "n_raw")
+          .join(counts(qual, "n_quality"), Seq("batch"), "left")
+          .join(counts(clean, "n_clean"), Seq("batch"), "left")
+          .join(assigned, Seq("batch"), "left")
+          .select($"batch", $"n_raw", $"n_quality", $"n_clean",
+            $"n_assigned", ($"n_assigned" - $"n_inherited").as("n_fresh"),
+            $"n_inherited", $"n_train", $"n_valid")
+          .orderBy($"batch")
+          .localCheckpoint() // materialize before the dir is removed
+      } finally Pipeline.rmTree(new java.io.File(idxDir))
+    },
+
     // Quality-aware cluster resolution: keep the highest-scoring doc
     // (whitespace token count; ties → smallest id) per near-dup
     // cluster — what a curation pipeline actually ships from a
@@ -5092,6 +5158,112 @@ object Pipeline {
         |SELECT stage, source, bin, n_docs, tok_sum
         |FROM (SELECT * FROM funnel UNION ALL SELECT * FROM pack)
         |ORDER BY stage, source, bin""".stripMargin,
+
+    // the streaming funnel re-derived sequentially: filtered (quality
+    // + decontaminated) membership, then q232's batch-by-batch best
+    // matches restricted to that membership — batch 1 probes batch
+    // 0's clean docs, batch 2 probes batches 0 AND 1 (inheriting
+    // batch 1's derived sides) — then the per-batch funnel counts.
+    "q234_stream_curation" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        |tk AS (SELECT doc_id, text,
+        |         CAST(len(string_split(text,' ')) AS BIGINT) AS ntok,
+        |         CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS ndis
+        |       FROM corpus),
+        |qual AS (SELECT doc_id, text FROM tk WHERE ntok >= 8 AND ndis * 10 >= ntok * 3),
+        |g4 AS (SELECT DISTINCT doc_id,
+        |         sp[i.g]||' '||sp[i.g+1]||' '||sp[i.g+2]||' '||sp[i.g+3] AS gram
+        |       FROM (SELECT doc_id, string_split(text,' ') AS sp FROM qual) s,
+        |            LATERAL (SELECT unnest(generate_series(1, len(sp)-3)) AS g) i),
+        |ev AS (SELECT DISTINCT
+        |         sp[i.g]||' '||sp[i.g+1]||' '||sp[i.g+2]||' '||sp[i.g+3] AS gram
+        |       FROM (SELECT string_split(text,' ') AS sp FROM documents
+        |             WHERE doc_id % 97 = 0) s,
+        |            LATERAL (SELECT unnest(generate_series(1, len(sp)-3)) AS g) i),
+        |dirty AS (SELECT DISTINCT doc_id FROM g4 JOIN ev USING (gram)),
+        |clean AS (SELECT doc_id, text FROM qual
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+        |bat AS (SELECT doc_id,
+        |          CASE WHEN doc_id % 5 <> 0 THEN 0
+        |               WHEN doc_id % 10 = 0 THEN 1 ELSE 2 END AS batch
+        |        FROM clean),
+        |sp AS (SELECT doc_id, string_split(text,' ') AS sp FROM clean),
+        |sh AS (SELECT DISTINCT doc_id, sp[i.g] || ' ' || sp[i.g+1] || ' ' || sp[i.g+2] AS sh
+        |       FROM sp, LATERAL (SELECT unnest(generate_series(1, len(sp)-2)) AS g) i),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |lcg AS (SELECT doc_id, CASE WHEN ((doc_id % 1000003) * 1103515245
+        |    + 12345) % 1000 < 800 THEN 'train' ELSE 'valid' END AS own
+        |  FROM bat),
+        |x1 AS (SELECT a, b FROM (
+        |    SELECT a.doc_id AS a, b.doc_id AS b, row_number() OVER (
+        |      PARTITION BY a.doc_id ORDER BY
+        |        CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) DESC,
+        |        b.doc_id ASC) AS rn
+        |    FROM sh a JOIN sh b ON a.sh = b.sh
+        |    JOIN sizes sa ON a.doc_id = sa.doc_id
+        |    JOIN sizes sb ON b.doc_id = sb.doc_id
+        |    JOIN bat ba ON a.doc_id = ba.doc_id
+        |    JOIN bat bb ON b.doc_id = bb.doc_id
+        |    WHERE ba.batch = 1 AND bb.batch = 0
+        |    GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+        |    HAVING CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) >= 0.8)
+        |  WHERE rn = 1),
+        |s0 AS (SELECT l.doc_id, CAST(NULL AS BIGINT) AS best_b, l.own AS side
+        |       FROM lcg l JOIN bat b ON l.doc_id = b.doc_id WHERE b.batch = 0),
+        |s1 AS (SELECT l.doc_id, x1.b AS best_b,
+        |    coalesce(s0.side, l.own) AS side
+        |  FROM lcg l JOIN bat bt ON l.doc_id = bt.doc_id
+        |  LEFT JOIN x1 ON x1.a = l.doc_id
+        |  LEFT JOIN s0 ON s0.doc_id = x1.b
+        |  WHERE bt.batch = 1),
+        |x2 AS (SELECT a, b FROM (
+        |    SELECT a.doc_id AS a, b.doc_id AS b, row_number() OVER (
+        |      PARTITION BY a.doc_id ORDER BY
+        |        CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) DESC,
+        |        b.doc_id ASC) AS rn
+        |    FROM sh a JOIN sh b ON a.sh = b.sh
+        |    JOIN sizes sa ON a.doc_id = sa.doc_id
+        |    JOIN sizes sb ON b.doc_id = sb.doc_id
+        |    JOIN bat ba ON a.doc_id = ba.doc_id
+        |    JOIN bat bb ON b.doc_id = bb.doc_id
+        |    WHERE ba.batch = 2 AND bb.batch IN (0, 1)
+        |    GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+        |    HAVING CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) >= 0.8)
+        |  WHERE rn = 1),
+        |s2 AS (SELECT l.doc_id, x2.b AS best_b,
+        |    coalesce(s0.side, s1b.side, l.own) AS side
+        |  FROM lcg l JOIN bat bt ON l.doc_id = bt.doc_id
+        |  LEFT JOIN x2 ON x2.a = l.doc_id
+        |  LEFT JOIN s0 ON s0.doc_id = x2.b
+        |  LEFT JOIN s1 s1b ON s1b.doc_id = x2.b
+        |  WHERE bt.batch = 2),
+        |sides AS (SELECT doc_id, best_b, side FROM s0
+        |          UNION ALL SELECT doc_id, best_b, side FROM s1
+        |          UNION ALL SELECT doc_id, best_b, side FROM s2),
+        |braw AS (SELECT CASE WHEN doc_id % 5 <> 0 THEN 0
+        |           WHEN doc_id % 10 = 0 THEN 1 ELSE 2 END AS batch,
+        |           count(*) AS n_raw FROM corpus GROUP BY 1),
+        |bqual AS (SELECT CASE WHEN doc_id % 5 <> 0 THEN 0
+        |            WHEN doc_id % 10 = 0 THEN 1 ELSE 2 END AS batch,
+        |            count(*) AS n_quality FROM qual GROUP BY 1),
+        |bclean AS (SELECT batch, count(*) AS n_clean FROM bat GROUP BY 1),
+        |basg AS (SELECT b.batch, count(*) AS n_assigned,
+        |           count(s.best_b) AS n_inherited,
+        |           sum(CASE WHEN s.side = 'train' THEN 1 ELSE 0 END) AS n_train,
+        |           sum(CASE WHEN s.side = 'valid' THEN 1 ELSE 0 END) AS n_valid
+        |         FROM sides s JOIN bat b ON s.doc_id = b.doc_id GROUP BY 1)
+        |SELECT CAST(br.batch AS BIGINT) AS batch,
+        |  CAST(n_raw AS BIGINT) AS n_raw,
+        |  CAST(n_quality AS BIGINT) AS n_quality,
+        |  CAST(n_clean AS BIGINT) AS n_clean,
+        |  CAST(n_assigned AS BIGINT) AS n_assigned,
+        |  CAST(n_assigned - n_inherited AS BIGINT) AS n_fresh,
+        |  CAST(n_inherited AS BIGINT) AS n_inherited,
+        |  CAST(n_train AS BIGINT) AS n_train,
+        |  CAST(n_valid AS BIGINT) AS n_valid
+        |FROM braw br LEFT JOIN bqual USING (batch)
+        |LEFT JOIN bclean USING (batch) LEFT JOIN basg USING (batch)
+        |ORDER BY batch""".stripMargin,
 
     // decision form: per probe doc the argmax match (jaccard DESC,
     // doc id ASC ties) + the matching-document count, re-derived from
