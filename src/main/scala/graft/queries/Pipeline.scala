@@ -36,6 +36,27 @@ object Pipeline {
     p.delete(); ()
   }
 
+  /** Per-partition single-entry memo for the clip-dedup gates'
+    * synthesize+decode stage: every 16 consecutive doc ids are clips
+    * cut from ONE source (grp = id/16), so the stream synthesis and
+    * full pixel/sample decode — by far the dominant per-row cost —
+    * runs once per GROUP instead of once per id. Ids arrive in
+    * ascending parquet row order within a scan partition, so a
+    * single-entry cache captures the reuse with O(1) task state; an
+    * out-of-order id only costs a recompute, never a wrong result
+    * (the memo keys on grp and the decode is a pure function of it).
+    * Output-identical to calling `decode` per id.
+    */
+  private[queries] def groupMemo(decode: Long => Option[Array[Long]])
+      : Long => Option[Array[Long]] = {
+    var lastGrp = Long.MinValue
+    var lastFps: Option[Array[Long]] = None
+    (grp: Long) => {
+      if (grp != lastGrp) { lastFps = decode(grp); lastGrp = grp }
+      lastFps
+    }
+  }
+
   private[queries] def annRecallAudit(approx: DataFrame, queries: DataFrame,
       corpus: DataFrame, minRecall: Double): DataFrame = {
     val truth = Similarity.bruteForceTopK(queries, corpus, k = 5)
@@ -3109,21 +3130,25 @@ object Pipeline {
       val clips = Tables(s, dir).documents
         .filter($"doc_id" % 4 === 1)
         .select($"doc_id".cast("long")).as[Long]
-        .mapPartitions(_.flatMap { id =>
-          val grp = id / 16
-          val mbW = 2 + (grp % 3).toInt
-          val mbH = 1 + (grp % 3).toInt
-          val off = ((id / 4) % 3).toInt
-          val len = 4 + (id % 3).toInt
-          val annexB = graft.operators.H264.synthesizeH264Inter(mbW, mbH, 8, grp)
-          val mp4 = graft.operators.Multimodal.synthesizeMp4Avc1(
-            annexB, 16 * mbW, 16 * mbH, 1000, 40)
-          graft.operators.Multimodal.mp4FrameFingerprints(mp4) match {
-            case Some(fps) =>
-              fps.slice(off, off + len).toSeq.map(h => (id, h))
-            case None => Seq((id, -1L)) // poisons pair counts → gate fails
+        .mapPartitions { it =>
+          val fpsOf = groupMemo { grp => // one decode per source group
+            val mbW = 2 + (grp % 3).toInt
+            val mbH = 1 + (grp % 3).toInt
+            val annexB = graft.operators.H264.synthesizeH264Inter(mbW, mbH, 8, grp)
+            val mp4 = graft.operators.Multimodal.synthesizeMp4Avc1(
+              annexB, 16 * mbW, 16 * mbH, 1000, 40)
+            graft.operators.Multimodal.mp4FrameFingerprints(mp4)
           }
-        }).toDF("vid", "fhash")
+          it.flatMap { id =>
+            val off = ((id / 4) % 3).toInt
+            val len = 4 + (id % 3).toInt
+            fpsOf(id / 16) match {
+              case Some(fps) =>
+                fps.slice(off, off + len).toSeq.map(h => (id, h))
+              case None => Seq((id, -1L)) // poisons pair counts → gate fails
+            }
+          }
+        }.toDF("vid", "fhash")
       clips.as("x")
         .join(clips.as("y"), $"x.fhash" === $"y.fhash" && $"x.vid" < $"y.vid")
         .groupBy($"x.vid".as("a"), $"y.vid".as("b"))
@@ -3145,21 +3170,25 @@ object Pipeline {
       val clips = Tables(s, dir).documents
         .filter($"doc_id" % 4 === 1)
         .select($"doc_id".cast("long")).as[Long]
-        .mapPartitions(_.flatMap { id =>
-          val grp = id / 16
-          val mbW = 2 + (grp % 3).toInt
-          val mbH = 1 + (grp % 3).toInt
-          val off = ((id / 4) % 3).toInt
-          val len = 4 + (id % 3).toInt
-          val annexB = graft.operators.H264.synthesizeH264Inter(mbW, mbH, 8, grp)
-          val mp4 = graft.operators.Multimodal.synthesizeMp4Avc1(
-            annexB, 16 * mbW, 16 * mbH, 1000, 40)
-          graft.operators.Multimodal.mp4FrameFingerprints(mp4) match {
-            case Some(fps) =>
-              fps.slice(off, off + len).toSeq.map(h => (id, h))
-            case None => Seq((id, -1L))
+        .mapPartitions { it =>
+          val fpsOf = groupMemo { grp => // one decode per source group
+            val mbW = 2 + (grp % 3).toInt
+            val mbH = 1 + (grp % 3).toInt
+            val annexB = graft.operators.H264.synthesizeH264Inter(mbW, mbH, 8, grp)
+            val mp4 = graft.operators.Multimodal.synthesizeMp4Avc1(
+              annexB, 16 * mbW, 16 * mbH, 1000, 40)
+            graft.operators.Multimodal.mp4FrameFingerprints(mp4)
           }
-        }).toDF("vid", "fhash").localCheckpoint()
+          it.flatMap { id =>
+            val off = ((id / 4) % 3).toInt
+            val len = 4 + (id % 3).toInt
+            fpsOf(id / 16) match {
+              case Some(fps) =>
+                fps.slice(off, off + len).toSeq.map(h => (id, h))
+              case None => Seq((id, -1L))
+            }
+          }
+        }.toDF("vid", "fhash").localCheckpoint()
       val idxDir = java.nio.file.Files
         .createTempDirectory("graft-clip-str").toString
       try {
@@ -3199,21 +3228,25 @@ object Pipeline {
       val clips = Tables(s, dir).documents
         .filter($"doc_id" % 4 === 1)
         .select($"doc_id".cast("long")).as[Long]
-        .mapPartitions(_.flatMap { id =>
-          val grp = id / 16
-          val mbW = 2 + (grp % 3).toInt
-          val mbH = 1 + (grp % 3).toInt
-          val off = ((id / 4) % 3).toInt
-          val len = 4 + (id % 3).toInt
-          val annexB = graft.operators.H264.synthesizeH264Inter(mbW, mbH, 8, grp)
-          val mp4 = graft.operators.Multimodal.synthesizeMp4Avc1(
-            annexB, 16 * mbW, 16 * mbH, 1000, 40)
-          graft.operators.Multimodal.mp4FrameFingerprints(mp4) match {
-            case Some(fps) =>
-              fps.slice(off, off + len).toSeq.map(h => (id, h))
-            case None => Seq((id, -1L)) // poisons clustering → gate fails
+        .mapPartitions { it =>
+          val fpsOf = groupMemo { grp => // one decode per source group
+            val mbW = 2 + (grp % 3).toInt
+            val mbH = 1 + (grp % 3).toInt
+            val annexB = graft.operators.H264.synthesizeH264Inter(mbW, mbH, 8, grp)
+            val mp4 = graft.operators.Multimodal.synthesizeMp4Avc1(
+              annexB, 16 * mbW, 16 * mbH, 1000, 40)
+            graft.operators.Multimodal.mp4FrameFingerprints(mp4)
           }
-        }).toDF("doc", "key")
+          it.flatMap { id =>
+            val off = ((id / 4) % 3).toInt
+            val len = 4 + (id % 3).toInt
+            fpsOf(id / 16) match {
+              case Some(fps) =>
+                fps.slice(off, off + len).toSeq.map(h => (id, h))
+              case None => Seq((id, -1L)) // poisons clustering → gate fails
+            }
+          }
+        }.toDF("doc", "key")
       graft.operators.Dedup.bipartiteClusterReps(clips)
         .select($"doc".as("vid"), $"cluster_rep")
         .orderBy($"vid")
@@ -3233,17 +3266,21 @@ object Pipeline {
       val clips = Tables(s, dir).documents
         .filter($"doc_id" % 4 === 2)
         .select($"doc_id".cast("long")).as[Long]
-        .mapPartitions(_.flatMap { id =>
-          val grp = id / 16
-          val off = ((id / 4) % 3).toInt
-          val len = 4 + (id % 3).toInt
-          val flac = graft.operators.Flac.synthesizeFlac(8, grp)
-          graft.operators.Flac.flacFrameFingerprints(flac) match {
-            case Some(fps) =>
-              fps.slice(off, off + len).toSeq.map(h => (id, h))
-            case None => Seq((id, -1L)) // poisons pair counts → gate fails
+        .mapPartitions { it =>
+          val fpsOf = groupMemo { grp => // one decode per source group
+            graft.operators.Flac.flacFrameFingerprints(
+              graft.operators.Flac.synthesizeFlac(8, grp))
           }
-        }).toDF("aid", "fhash")
+          it.flatMap { id =>
+            val off = ((id / 4) % 3).toInt
+            val len = 4 + (id % 3).toInt
+            fpsOf(id / 16) match {
+              case Some(fps) =>
+                fps.slice(off, off + len).toSeq.map(h => (id, h))
+              case None => Seq((id, -1L)) // poisons pair counts → gate fails
+            }
+          }
+        }.toDF("aid", "fhash")
       clips.as("x")
         .join(clips.as("y"), $"x.fhash" === $"y.fhash" && $"x.aid" < $"y.aid")
         .groupBy($"x.aid".as("a"), $"y.aid".as("b"))
