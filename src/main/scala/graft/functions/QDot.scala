@@ -135,3 +135,171 @@ case class DDot(left: Expression, right: Expression) extends BinaryExpression {
 object DDot {
   def ddot(a: Column, b: Column): Column = column(DDot(expression(a), expression(b)))
 }
+
+/** Hamming distance of two packed `array<bigint>` bit signatures —
+  * Σ bitCount(a XOR b) over the common prefix, the binary-ANN scoring
+  * kernel. Same codegen rationale as [[QDot]]: the HOF form
+  * (`aggregate(zip_with(bit_count(xor)))`) evaluates ~8 interpreted
+  * expressions per WORD per PAIR in the hot join loop. Integer result
+  * and ascending-word accumulation match the HOF chain it replaces
+  * bit-for-bit (signatures are equal-length by construction).
+  */
+case class HammingFold(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) { acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i)); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int ${ev.value}Acc = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}Acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingFold =
+    copy(left = l, right = r)
+}
+
+object HammingFold {
+  def hamming(a: Column, b: Column): Column =
+    column(HammingFold(expression(a), expression(b)))
+}
+
+/** Sign-threshold bit packing for binary ANN: word w, bit b is set
+  * iff `v[w·32+b] >= thr[w·32+b]` (dims past `thr`'s length contribute
+  * 0), packed 32 bits per LONG word — the encode scan of
+  * [[graft.operators.Similarity.binaryTopK]]. The HOF form
+  * (`transform(sequence, aggregate(sequence(0,31), when(...))))` with a
+  * per-bit `pow(2,b)`) evaluates ~6 interpreted expressions plus a
+  * transcendental per BIT per ROW; at 100 TB the encode is a full
+  * corpus pass, so it compiles to two tight loops here. Threshold
+  * comparison is the same long→double widening compare, so packed
+  * words are bit-identical to the HOF chain it replaces.
+  */
+case class SignPack32(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val thr = b.asInstanceOf[ArrayData]
+    val dim = thr.numElements()
+    val nWords = (dim + 31) / 32
+    val out = new Array[Long](nWords)
+    var w = 0
+    while (w < nWords) {
+      var acc = 0L
+      var bit = 0
+      while (bit < 32) {
+        val d = w * 32 + bit
+        if (d < dim && d < v.numElements() &&
+            v.getLong(d).toDouble >= thr.getDouble(d)) acc += 1L << bit
+        bit += 1
+      }
+      out(w) = acc
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, thr) => {
+      val w = ctx.freshName("w")
+      val bit = ctx.freshName("bit")
+      val d = ctx.freshName("d")
+      val dim = ctx.freshName("dim")
+      val nw = ctx.freshName("nw")
+      val acc = ctx.freshName("acc")
+      val arr = ctx.freshName("arr")
+      s"""
+         |int $dim = $thr.numElements();
+         |int $nw = ($dim + 31) / 32;
+         |long[] $arr = new long[$nw];
+         |for (int $w = 0; $w < $nw; $w++) {
+         |  long $acc = 0L;
+         |  for (int $bit = 0; $bit < 32; $bit++) {
+         |    int $d = $w * 32 + $bit;
+         |    if ($d < $dim && $d < $v.numElements() &&
+         |        (double) $v.getLong($d) >= $thr.getDouble($d)) {
+         |      $acc += 1L << $bit;
+         |    }
+         |  }
+         |  $arr[$w] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SignPack32 =
+    copy(left = l, right = r)
+}
+
+object SignPack32 {
+  def signPack(v: Column, thr: Column): Column =
+    column(SignPack32(expression(v), expression(thr)))
+}
+
+/** Hashing-trick vectorizer bucket of a token: the position-weighted
+  * code-point sum `Σ cp_i·(i+1)` mod `dim` — the kernel of
+  * [[graft.operators.Retrieval.hashedVectors]], which runs once per
+  * TOKEN of the exploded corpus. The HOF form
+  * (`aggregate(transform(split(term, ""), ascii·(i+1)))`) evaluates an
+  * interpreted lambda plus a regex split per token; this compiles to
+  * one code-point loop. Semantics are identical: `split("")` yields
+  * one element per code point (zero-width regex matches never split a
+  * surrogate pair) and `ascii` is the element's first code point, so
+  * the weighted sum below matches it for every string.
+  */
+case class TokenBucket(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TokenBucket.bucket(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, d) =>
+      s"${ev.value} = graft.functions.TokenBucket.bucket($t, $d);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TokenBucket =
+    copy(left = l, right = r)
+}
+
+object TokenBucket {
+  /** Shared eval kernel (interpreted + codegen call the same code). */
+  def bucket(term: org.apache.spark.unsafe.types.UTF8String, dim: Long): Long = {
+    val s = term.toString
+    var acc = 0L
+    var i = 0
+    var pos = 1
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc += cp.toLong * pos
+      pos += 1
+      i += Character.charCount(cp)
+    }
+    acc % dim
+  }
+
+  def tokenBucket(term: Column, dim: Int): Column =
+    column(TokenBucket(expression(term),
+      expression(org.apache.spark.sql.functions.lit(dim.toLong))))
+}

@@ -503,9 +503,11 @@ object Retrieval {
     * collisions are part of the hashing-trick contract, not a defect.
     */
   def tokenBucket(term: Column, dim: Int): Column =
-    aggregate(
-      transform(split(term, ""), (c, i) => ascii(c) * (i + lit(1))),
-      lit(0L), (acc, x) => acc + x) % dim
+    // codegen'd kernel ([[graft.functions.TokenBucket]]); the HOF form
+    // (aggregate(transform(split(term, ""), ascii·(i+1))) % dim) is
+    // value-identical but pays a regex split + interpreted lambda per
+    // token on the exploded corpus stream
+    graft.functions.TokenBucket.tokenBucket(term, dim)
 
   /** Sparse hashed count-vectors: one row per (id, bucket) with the
     * summed token count. The sparse layout IS the index — cosine

@@ -418,26 +418,22 @@ object Similarity {
     val thr: Array[Double] =
       stats.map(r => r.getLong(1).toDouble / r.getLong(2))
     val dim = thr.length
-    val bitsPerWord = 32
-    val nWords = (dim + bitsPerWord - 1) / bitsPerWord
+    // codegen'd encode + scoring kernels (graft.functions.SignPack32 /
+    // HammingFold): the HOF forms (transform/aggregate per bit on the
+    // encode scan, aggregate(zip_with(bit_count(xor))) per pair in the
+    // join) evaluate interpreted lambdas in the two hot loops — at
+    // 100 TB the encode is a full corpus pass and the scoring loop is
+    // corpus×queries. Packed words and distances are bit-identical.
     val thrA = array(thr.map(lit): _*)
     def signWords(v: Column): Column =
-      transform(sequence(lit(0), lit(nWords - 1)), w =>
-        aggregate(sequence(lit(0), lit(bitsPerWord - 1)), lit(0L),
-          (acc, b) => {
-            val d = w * bitsPerWord + b
-            acc + when(d < dim &&
-                element_at(v, d + 1).cast("double") >= element_at(thrA, d + 1),
-              pow(lit(2d), b.cast("double")).cast("long")).otherwise(0L)
-          }))
+      graft.functions.SignPack32.signPack(v, thrA)
     val enc = corpus.select($"vid", signWords($"qv").as("sig"))
     val q = broadcast(queries
       .select($"vid".as("q_vid"), signWords($"qv").as("q_sig")))
     val scored = enc.join(q, $"q_vid" =!= $"vid")
       .select($"q_vid".as("query_id"), $"vid".as("cand_id"),
-        ((lit(dim) - aggregate(
-            zip_with($"q_sig", $"sig", (a, b) => bit_count(a.bitwiseXOR(b))),
-            lit(0), (acc, x) => acc + x)).cast("double") / dim).as("cos"))
+        ((lit(dim) - graft.functions.HammingFold.hamming($"q_sig", $"sig"))
+          .cast("double") / dim).as("cos"))
     Pq.rerankExact(rankTopK(scored, topK * shortlistFactor),
       queries, corpus, topK)
   }

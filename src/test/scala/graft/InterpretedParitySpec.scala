@@ -74,6 +74,53 @@ class InterpretedParitySpec extends SparkSpec {
     assert(compiled.forall(r => r.getDouble(1) == r.getDouble(2)))
   }
 
+  test("HammingFold, SignPack32 and TokenBucket match their HOF chains " +
+      "and agree across eval modes") {
+    val dim = 64
+    val prepared = Tables(spark, sf).embeddings.limit(200)
+      .select($"vec_id".as("vid"),
+        transform($"embedding", x => round(x.cast("double") * 1000).cast("long"))
+          .as("qv"))
+      .cache()
+    val thr: Array[Double] = (0 until dim).map(d => (d - 32).toDouble * 3).toArray
+    val thrA = array(thr.map(lit): _*)
+    // the HOF encode binaryTopK used before the codegen kernel
+    def hofSign(v: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(1)), w =>
+        aggregate(sequence(lit(0), lit(31)), lit(0L),
+          (acc, b) => {
+            val d = w * 32 + b
+            acc + when(d < dim &&
+                element_at(v, d + 1).cast("double") >= element_at(thrA, d + 1),
+              pow(lit(2d), b.cast("double")).cast("long")).otherwise(0L)
+          }))
+    def build = prepared.select($"vid",
+        SignPack32.signPack($"qv", thrA).as("sig"),
+        hofSign($"qv").as("hof_sig"))
+      .withColumn("other", reverse($"sig"))
+      .select($"vid", $"sig", $"hof_sig",
+        HammingFold.hamming($"sig", $"other").as("ham"),
+        aggregate(zip_with($"sig", $"other", (a, b) => bit_count(a.bitwiseXOR(b))),
+          lit(0), (acc, x) => acc + x).as("hof_ham"))
+      .orderBy($"vid")
+    val (compiled, interpreted) = bothModes(build)
+    assert(compiled == interpreted)
+    assert(compiled.forall(r => r.getSeq[Long](1) == r.getSeq[Long](2)))
+    assert(compiled.forall(r => r.getInt(3) == r.getInt(4)))
+
+    val terms = Seq("alpha", "Bravo9", "z", "longer-token_with.punct", "π∆ü")
+      .toDF("term")
+    def buildTb = terms.select($"term",
+        TokenBucket.tokenBucket($"term", 64).as("tb"),
+        (aggregate(
+          transform(split($"term", ""), (c, i) => ascii(c) * (i + lit(1))),
+          lit(0L), (acc, x) => acc + x) % 64).as("hof_tb"))
+      .orderBy($"term")
+    val (c2, i2) = bothModes(buildTb)
+    assert(c2 == i2)
+    assert(c2.forall(r => r.getLong(1) == r.getLong(2)))
+  }
+
   test("QDot and the sketch expressions agree across eval modes") {
     val docs = Tables(spark, sf).documents.limit(100).cache()
     def build = docs.select($"doc_id",
