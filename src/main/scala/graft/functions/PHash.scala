@@ -85,12 +85,22 @@ object PHashOps {
     * verifies the minimum exhaustively). Pixels stay ≤ 127 so the
     * contrast-invariance spec can double them without clamping.
     */
-  def synthImage(group: Long, docSeed: Long): Array[Byte] = {
-    def mix(z0: Long): Long = {
-      var z = (z0 ^ (z0 >>> 33)) * 0xFF51AFD7ED558CCDL
-      z = (z ^ (z >>> 33)) * 0xC4CEB9FE1A85EC53L
-      z ^ (z >>> 33)
-    }
+  def synthImage(group: Long, docSeed: Long): Array[Byte] =
+    applyNoise(baseImage(group), docSeed)
+
+  private def mix(z0: Long): Long = {
+    var z = (z0 ^ (z0 >>> 33)) * 0xFF51AFD7ED558CCDL
+    z = (z ^ (z >>> 33)) * 0xC4CEB9FE1A85EC53L
+    z ^ (z >>> 33)
+  }
+
+  /** The group's noise-free base image, ROUNDED per pixel (the per-doc
+    * noise is added after rounding, so this is exactly the shared part
+    * of every group member). Split out so callers mapping consecutive
+    * ids can memoize it per group — the 63-frequency synthesis loop is
+    * ~64× the per-doc noise cost.
+    */
+  def baseImage(group: Long): Array[Int] = {
     // exactly 31 of the 63 low AC frequencies positive (DC is always
     // the huge positive base-level coefficient)
     val ranked = (1 until 64)
@@ -98,7 +108,7 @@ object PHashOps {
     val sign = new Array[Int](64)
     ranked.zipWithIndex.foreach { case (i, r) => sign(i) = if (r < 31) 1 else -1 }
     val amp = 20.0
-    val out = new Array[Byte](32 * 32)
+    val out = new Array[Int](32 * 32)
     var y = 0
     while (y < 32) {
       var x = 0
@@ -109,8 +119,23 @@ object PHashOps {
           acc += amp * sign(i) * cosTab(i % 8)(x) * cosTab(i / 8)(y)
           i += 1
         }
+        out(y * 32 + x) = math.round(acc).toInt
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Per-document ±1 noise + clamp over a [[baseImage]]. */
+  def applyNoise(base: Array[Int], docSeed: Long): Array[Byte] = {
+    val out = new Array[Byte](32 * 32)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
         val noise = ((mix(docSeed * 31 + y * 32 + x) % 3) - 1).toInt // ±1
-        val v = math.max(1, math.min(127, math.round(acc).toInt + noise))
+        val v = math.max(1, math.min(127, base(y * 32 + x) + noise))
         out(y * 32 + x) = v.toByte
         x += 1
       }

@@ -2372,7 +2372,15 @@ object Pipeline {
       import graft.functions.{PHash64, PHashOps}
       val imgs = Tables(s, dir).documents
         .select($"doc_id".cast("long")).as[Long]
-        .mapPartitions(_.map { id => (id, id / 5, PHashOps.synthImage(id / 5, id)) })
+        .mapPartitions { it => // one 63-frequency base synthesis per group
+          var lastGrp = Long.MinValue
+          var base: Array[Int] = null
+          it.map { id =>
+            val grp = id / 5
+            if (grp != lastGrp) { base = PHashOps.baseImage(grp); lastGrp = grp }
+            (id, grp, PHashOps.applyNoise(base, id))
+          }
+        }
         .toDF("doc", "grp", "img")
       val sketches = imgs.select($"doc", PHash64.phash64($"img").as("simhash"))
       val pairs = graft.operators.Dedup.simhashPairs(sketches, maxHamming = 3)
