@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data pipeline operators (engine extensions
@@ -35,6 +35,24 @@ object Pipeline {
     if (kids != null) kids.foreach(rmTree)
     p.delete(); ()
   }
+
+  /** Spread a narrow id stream evenly across cores before a CPU-heavy
+    * per-row decode map. The documents table is a single small parquet
+    * row group at gate SFs (one scan split well past sf10 too), so
+    * without this every codec gate's synthesize+decode map ran as ONE
+    * task — the H.264/FLAC/image family was effectively single-threaded
+    * on a 32-core box (measured: q183's 4.8 s wall is ~3.5 s of
+    * one-core decode; CodecBench attributes it). Range partitioning
+    * (a) costs one bounded sample pass over the 8-byte id column,
+    * (b) keeps consecutive ids in one partition, preserving the
+    * per-group decode memos, and (c) sizes itself from the session's
+    * parallelism instead of a constant, so local[N] and a cluster both
+    * spread correctly. Row-independent maps + the gates' final
+    * orderBy make the re-partitioning output-invisible.
+    */
+  private[queries] def spreadIds(ids: Dataset[Long]): Dataset[Long] =
+    ids.repartitionByRange(
+      ids.sparkSession.sparkContext.defaultParallelism, col(ids.columns.head))
 
   /** Per-partition single-entry memo for the clip-dedup gates'
     * synthesize+decode stage: every 16 consecutive doc ids are clips
@@ -1942,7 +1960,7 @@ object Pipeline {
     "q86_multimodal_jpeg" -> { (s, dir) =>
       import s.implicits._
       val media = Tables(s, dir).documents
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           Multimodal.MediaRow(id, Multimodal.synthesizeJpeg(
             w = 1 + (id % 512).toInt,
@@ -1971,7 +1989,7 @@ object Pipeline {
     "q118_jpeg_dct" -> { (s, dir) =>
       import s.implicits._
       val media = Tables(s, dir).documents
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           Multimodal.MediaRow(id, Multimodal.synthesizeJpegDct(
             w = 1 + (id % 48).toInt, h = 1 + ((id * 3) % 36).toInt,
@@ -1994,7 +2012,7 @@ object Pipeline {
     "q87_multimodal_mp4" -> { (s, dir) =>
       import s.implicits._
       val media = Tables(s, dir).documents
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val ts = 100 * (1 + (id % 10).toInt) // 100..1000 units/sec
           Multimodal.MediaRow(id, Multimodal.synthesizeMp4(
@@ -2020,7 +2038,7 @@ object Pipeline {
     "q95_multimodal_gif" -> { (s, dir) =>
       import s.implicits._
       val media = Tables(s, dir).documents
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           Multimodal.MediaRow(id, Multimodal.synthesizeGif(
             w = 1 + (id % 300).toInt, h = 1 + ((id * 3) % 200).toInt,
@@ -2043,7 +2061,7 @@ object Pipeline {
     "q97_multimodal_png" -> { (s, dir) =>
       import s.implicits._
       val media = Tables(s, dir).documents
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           Multimodal.MediaRow(id, Multimodal.synthesizePng(
             w = 1 + (id % 48).toInt, h = 1 + ((id * 5) % 32).toInt,
@@ -2068,7 +2086,7 @@ object Pipeline {
     "q104_multimodal_animation" -> { (s, dir) =>
       import s.implicits._
       val media = Tables(s, dir).documents
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val frames = 1 + (id % 3).toInt
           if (id % 2 == 0)
@@ -2113,7 +2131,7 @@ object Pipeline {
       import s.implicits._
       val media = Tables(s, dir).documents
         .filter($"doc_id" % 2 === 1)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           Multimodal.MediaRow(id, Multimodal.synthesizeApngRegions(
             w = 1 + (id % 32).toInt, h = 1 + ((id * 5) % 24).toInt,
@@ -2135,7 +2153,7 @@ object Pipeline {
     "q117_apng_modes" -> { (s, dir) =>
       import s.implicits._
       val media = Tables(s, dir).documents
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           Multimodal.MediaRow(id, Multimodal.synthesizeApngModes(
             w = 1 + (id % 32).toInt, h = 1 + ((id * 5) % 24).toInt,
@@ -2154,7 +2172,7 @@ object Pipeline {
     "q121_gif_disposal" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).documents
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val gif = Multimodal.synthesizeGifRegions(
             w = 1 + (id % 32).toInt, h = 1 + ((id * 5) % 24).toInt,
@@ -2184,7 +2202,7 @@ object Pipeline {
     "q122_mjpeg_mp4" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).documents
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val w = 1 + (id % 48).toInt
           val h = 1 + ((id * 3) % 36).toInt
@@ -2211,7 +2229,7 @@ object Pipeline {
     "q119_mp4_samples" -> { (s, dir) =>
       import s.implicits._
       val media = Tables(s, dir).documents
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           Multimodal.MediaRow(id, Multimodal.synthesizeMp4Track(
             timescale = 1000, n = 1 + (id % 50).toInt,
@@ -2237,7 +2255,7 @@ object Pipeline {
     "q141_h264_meta" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).documents
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val w = 2 * (8 + (id % 60)).toInt
           val h = 2 * (8 + ((id * 3) % 48)).toInt
@@ -2264,7 +2282,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 2 === 0)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 1 + (id % 3).toInt
           val mbH = 1 + ((id * 3) % 3).toInt
@@ -2292,7 +2310,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 2 === 1)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbH = 1 + (id % 3).toInt
           val nf = 1 + (id % 2).toInt
@@ -2319,7 +2337,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 2 === 0)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbH = 1 + (id % 3).toInt
           val nf = 1 + (id % 2).toInt
@@ -2345,7 +2363,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 3 === 1)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbH = 1 + (id % 3).toInt
           val nf = 1 + (id % 2).toInt
@@ -2371,7 +2389,7 @@ object Pipeline {
       import s.implicits._
       import graft.functions.{PHash64, PHashOps}
       val imgs = Tables(s, dir).documents
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions { it => // one 63-frequency base synthesis per group
           var lastGrp = Long.MinValue
           var base: Array[Int] = null
@@ -2406,7 +2424,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 0)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val nf = 1 + (id % 3).toInt
           val st = graft.operators.Flac.synthesizeFlacStereo(nf, id)
@@ -2431,7 +2449,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 3)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbH = 1 + (id % 3).toInt
           val nf = 1 + (id % 2).toInt
@@ -2457,7 +2475,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 3)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val nb = 1 + (id % 2).toInt
           val wav = graft.operators.Adpcm.synthesizeImaAdpcmWav(nb, id)
@@ -2485,7 +2503,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 1)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -2514,7 +2532,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 2)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -2546,7 +2564,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 0)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -2573,7 +2591,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 2)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -2598,7 +2616,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 3)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -2628,7 +2646,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 1)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -2658,7 +2676,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 2)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -2684,7 +2702,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 1)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -2709,7 +2727,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 3)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -2735,7 +2753,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 0)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -2759,7 +2777,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 2)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -2783,7 +2801,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 1)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -2807,7 +2825,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 2)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -2831,7 +2849,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 0)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           import graft.operators.AudioDsp
           val n = 96 + (id % 3).toInt * 32
@@ -2860,7 +2878,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 2)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -2887,7 +2905,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 3)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -2914,7 +2932,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 2)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -2943,7 +2961,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 3)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -2971,7 +2989,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 1)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -2997,7 +3015,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 2)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -3023,7 +3041,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 0)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -3052,7 +3070,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 1)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbH = 1 + (id % 3).toInt
           val nf = 2 + (id % 2).toInt
@@ -3078,7 +3096,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 2)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbH = 1 + (id % 3).toInt
           val nf = 2 + (id % 2).toInt
@@ -3105,7 +3123,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 3)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 2).toInt
           val mbH = 1 + (id % 3).toInt
@@ -3137,7 +3155,7 @@ object Pipeline {
       import s.implicits._
       val clips = Tables(s, dir).documents
         .filter($"doc_id" % 4 === 1)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions { it =>
           val fpsOf = groupMemo { grp => // one decode per source group
             val mbW = 2 + (grp % 3).toInt
@@ -3177,7 +3195,7 @@ object Pipeline {
       import s.implicits._
       val clips = Tables(s, dir).documents
         .filter($"doc_id" % 4 === 1)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions { it =>
           val fpsOf = groupMemo { grp => // one decode per source group
             val mbW = 2 + (grp % 3).toInt
@@ -3197,6 +3215,13 @@ object Pipeline {
             }
           }
         }.toDF("vid", "fhash").localCheckpoint()
+        // decode runs parallel (spreadIds) while MATERIALIZING the
+        // checkpoint; the batches below are tiny, so collapse to one
+        // partition for the sink writes — 32 writer tasks × 64 fb
+        // partition dirs would otherwise land ~2k staging files per
+        // batch and the gate's wall becomes file commits (measured
+        // 4.8 s → 18 s before this coalesce)
+        .coalesce(1)
       val idxDir = java.nio.file.Files
         .createTempDirectory("graft-clip-str").toString
       try {
@@ -3235,7 +3260,7 @@ object Pipeline {
       import s.implicits._
       val clips = Tables(s, dir).documents
         .filter($"doc_id" % 4 === 1)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions { it =>
           val fpsOf = groupMemo { grp => // one decode per source group
             val mbW = 2 + (grp % 3).toInt
@@ -3273,7 +3298,7 @@ object Pipeline {
       import s.implicits._
       val clips = Tables(s, dir).documents
         .filter($"doc_id" % 4 === 2)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions { it =>
           val fpsOf = groupMemo { grp => // one decode per source group
             graft.operators.Flac.flacFrameFingerprints(
@@ -3318,7 +3343,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 1)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -3361,7 +3386,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 1)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -3389,7 +3414,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 0)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -3416,7 +3441,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 0)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -3444,7 +3469,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 3)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -3469,7 +3494,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 1)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val mbW = 2 + (id % 3).toInt
           val mbH = 1 + (id % 3).toInt
@@ -3496,7 +3521,7 @@ object Pipeline {
       import s.implicits._
       Tables(s, dir).documents
         .filter($"doc_id" % 4 === 2)
-        .select($"doc_id".cast("long")).as[Long]
+        .select($"doc_id".cast("long")).as[Long].transform(spreadIds)
         .mapPartitions(_.map { id =>
           val nf = 1 + (id % 3).toInt
           val st = graft.operators.Flac.synthesizeFlac(nf, id)
