@@ -608,26 +608,29 @@ object StreamingIndex {
     }
     val subs =
       Seq("c12", "c1", "cw", "c123", "state", "rep", "bands", "sets", "docs")
+    // shareScan: ONE materialized read of the batch decides emptiness
+    // AND warms the shared cache (the count() IS the single source
+    // scan — a separate isEmpty probe was a whole extra job per
+    // apply); the family derivations then run as CONCURRENT jobs over
+    // the cached rows — they write disjoint staging sub-tables, so
+    // wall time tracks the slowest family (max), not their sum, on
+    // top of one scan. !shareScan: the cheap limit-1 emptiness probe,
+    // then the same concurrent jobs straight off the source (each
+    // re-scans; right when re-pulls are near-free).
+    val shared =
+      if (shareScan) batch.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else batch
+    val nonEmpty =
+      if (shareScan) shared.count() > 0L else !batch.isEmpty
     val applied =
-      if (batch.isEmpty) false
+      if (!nonEmpty) { if (shareScan) shared.unpersist(); false }
       else {
         val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
         subs.foreach { sub =>
           sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
         }
-        // shareScan: ONE materialized read of the batch (the count()
-        // pass IS the single source scan); the family derivations
-        // then run as CONCURRENT jobs over the cached rows — they
-        // write disjoint staging sub-tables, so wall time tracks the
-        // slowest family (max), not their sum, on top of one scan.
-        // !shareScan: the same concurrent jobs straight off the
-        // source (each re-scans; right when re-pulls are near-free).
-        val shared =
-          if (shareScan) batch.persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          else batch
         try {
-          if (shareScan) shared.count()
           import scala.concurrent.{Await, Future}
           import scala.concurrent.ExecutionContext.Implicits.global
           Await.result(Future.sequence(Seq(
