@@ -66,9 +66,16 @@ object Bpe {
       else {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Merge(rank, l, r, c)
-        cur = cur
-          .withColumn("syms", BpeMergeApply.bpe_merge(col("syms"), l, r))
-          .localCheckpoint()
+        // checkpoint every 5th round, not every round: unlike the
+        // clusterReps loop the lineage here is a LINEAR chain (one
+        // bpe_merge expression per round, the frame referenced once),
+        // so analysis stays cheap and the only cost of a longer chain
+        // is re-applying <= 4 cheap map-side merges inside the next
+        // pair-count job — while each skipped checkpoint saves a whole
+        // materialization job per round (the q155 gate wall was ~2
+        // jobs/round on a vocabulary-sized table)
+        cur = cur.withColumn("syms", BpeMergeApply.bpe_merge(col("syms"), l, r))
+        if (rank % 5 == 0) cur = cur.localCheckpoint()
         rank += 1
       }
     }
