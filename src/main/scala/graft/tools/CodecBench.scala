@@ -62,6 +62,34 @@ object CodecBench {
         })
       }
     }
+    // parallel variant: same work fanned over T threads — measures
+    // in-JVM scaling of the decode (allocator/GC contention shows up
+    // as wall >> single-thread/T)
+    val tcount = args.drop(1).headOption.map(_.toInt).getOrElse(0)
+    if (tcount > 0) {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      time(s"q183 shape x$tcount threads (same $n ids each? no - split)") {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(tcount)
+        val futures = (0 until tcount).map { t =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              var i = t
+              while (i < resid.length) {
+                graft.operators.H264.decodeInter(resid(i), fs => {
+                  val (hist, _) = graft.operators.Deblock.auditedDeblock(fs, th)
+                  graft.operators.Deblock.auditedDeblockChroma(fs, th)
+                  acc.addAndGet(hist(0)); ()
+                })
+                i += tcount
+              }
+            }
+          })
+        }
+        futures.foreach(_.get())
+        pool.shutdown()
+      }
+      sink += acc.get()
+    }
     val intra = new scala.collection.mutable.ArrayBuffer[Array[Byte]](n)
     time("synthesizeH264I16x16-family (q191 shape)") {
       ids.foreach { id =>
