@@ -82,13 +82,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Bytes below which a 1-split scan is left alone: a shuffle of a
-    * sub-half-MB dimension table (region/nation/…, usually broadcast
-    * anyway) costs more than single-task scanning it. Env-overridable
-    * for A/B runs; same local default everywhere (Bench/Verify/tools).
+  /** Bytes below which a 1-split scan is left alone. A small table
+    * serializes at most a few hundred ms of map work, while the added
+    * round-robin exchange costs a whole extra job per query — measured
+    * across two full bench windows: a 512 KiB threshold (spreading
+    * documents/orders/events too) inflated ~100 sub-second queries by
+    * ~2× and the suite by ~60-150 s, while the >4 MiB spread
+    * (lineitem) held its wins (q201 0.61×, q205 0.60× in the SAME
+    * window). Env-overridable for A/B runs; same local default
+    * everywhere (Bench/Verify/tools). Compute-heavy per-row maps over
+    * SMALL tables don't belong here — they spread explicitly at the
+    * operator ([[graft.queries.Pipeline.spreadIds]]), where the
+    * per-row cost is known.
     */
   private val SpreadMinBytes: Long =
-    sys.env.getOrElse("SPARK_GRAFT_SPREAD_MIN_BYTES", "524288").toLong
+    sys.env.getOrElse("SPARK_GRAFT_SPREAD_MIN_BYTES", "4194304").toLong
 
   /** Spread a scan that cannot fill the machine. The harness parquet
     * layout is ONE file with ONE row group per table, so Spark's scan
