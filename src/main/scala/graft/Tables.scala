@@ -11,8 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * by Catalyst.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame =
-    Tables.spread(spark, spark.read.parquet(s"$dir/$name.parquet"))
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")
@@ -84,36 +83,37 @@ object Tables {
 
   /** Bytes below which a 1-split scan is left alone. A small table
     * serializes at most a few hundred ms of map work, while the added
-    * round-robin exchange costs a whole extra job per query — measured
-    * across two full bench windows: a 512 KiB threshold (spreading
-    * documents/orders/events too) inflated ~100 sub-second queries by
-    * ~2× and the suite by ~60-150 s, while the >4 MiB spread
-    * (lineitem) held its wins (q201 0.61×, q205 0.60× in the SAME
-    * window). Env-overridable for A/B runs; same local default
-    * everywhere (Bench/Verify/tools). Compute-heavy per-row maps over
-    * SMALL tables don't belong here — they spread explicitly at the
-    * operator ([[graft.queries.Pipeline.spreadIds]]), where the
-    * per-row cost is known.
+    * round-robin exchange costs a whole extra job per query.
+    * Env-overridable for A/B runs.
     */
   private val SpreadMinBytes: Long =
     sys.env.getOrElse("SPARK_GRAFT_SPREAD_MIN_BYTES", "4194304").toLong
 
-  /** Spread a scan that cannot fill the machine. The harness parquet
-    * layout is ONE file with ONE row group per table, so Spark's scan
-    * gives ONE task however many cores the session has — every
-    * query's scan + map-side stage (filters, projections, tokenize,
-    * partial aggregation) was serialized on a single core at every
-    * gate SF (guide: "input skew — one huge unsplittable file;
-    * repartition immediately after the read"). The rule is
-    * scale-adaptive, not a local constant: when the scan already has
+  /** Spread a scan that cannot fill the machine, for callers about to
+    * run a HEAVY map-side pass over it. The harness parquet layout is
+    * ONE file with ONE row group per table, so Spark's scan gives ONE
+    * task however many cores the session has (guide: "input skew —
+    * one huge unsplittable file; repartition immediately after the
+    * read"). The rule is scale-adaptive: when the scan already has
     * >= defaultParallelism splits (any real multi-file/multi-row-group
     * table at production scale) this is a NO-OP with no added
-    * exchange, and sub-half-MB tables are never touched. Repartition
-    * is round-robin over the row multiset — semantically invisible
-    * (every aggregate in the suite is partitioning-independent by the
-    * parity rules, and every gate orders its output).
+    * exchange, and sub-4-MiB tables are never touched.
+    *
+    * Deliberately NOT applied inside [[Tables.table]]: two full bench
+    * windows measured the blanket form as a net loss — the extra
+    * exchange job inflated ~100 sub-second queries (a count() paid a
+    * full-table shuffle; 32-task stages oversubscribe a host with
+    * ~3-4 cores of real throughput) — while heavy single-pass
+    * aggregations over the same scans kept winning in the same
+    * windows. So the spread is an explicit opt-in at the few sites
+    * whose map-side pass is measured to dominate (the q201/q205
+    * profile gates), the same knowledge-at-the-operator pattern as
+    * [[graft.queries.Pipeline.spreadIds]]. Repartition is round-robin
+    * over the row multiset — semantically invisible (every aggregate
+    * in the suite is partitioning-independent by the parity rules,
+    * and every gate orders its output).
     */
-  private[graft] def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
     val scanParts = df.rdd.getNumPartitions // planning only, no job
     val bytes = df.queryExecution.analyzed.stats.sizeInBytes

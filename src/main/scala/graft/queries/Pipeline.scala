@@ -3932,7 +3932,10 @@ object Pipeline {
     // for the countDistinct-vs-HLL scale note).
     "q201_data_profile" -> { (s, dir) =>
       import s.implicits._
-      graft.operators.Profiling.numericProfile(Tables(s, dir).lineitem,
+      // explicit scan spread (Tables.spread scaladoc): the profile is
+      // one heavy map-side aggregation pass over a 1-split scan
+      graft.operators.Profiling.numericProfile(
+          Tables.spread(s, Tables(s, dir).lineitem),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy($"col_name")
     },
@@ -3948,7 +3951,9 @@ object Pipeline {
       import s.implicits._
       val p = 12
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val li = Tables(s, dir).lineitem
+      // explicit scan spread (Tables.spread scaladoc): two heavy
+      // map-side aggregation passes over a 1-split scan
+      val li = Tables.spread(s, Tables(s, dir).lineitem)
       val ap = graft.operators.Profiling.approxProfile(li, cols, p)
       val ex = graft.operators.Profiling.numericProfile(li, cols)
         .select($"col_name", $"n_distinct")
