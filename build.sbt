@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run JVM's stdout/stderr straight through to the sbt
+// process's own descriptors instead of routing them through sbt's
+// logger: the logger prefixes every line with `[info] `/`[error] `,
+// which is what has kept the driver's one-line-JSON bench tail at
+// `parsed: null` for four rounds (the Bench JSON must reach process
+// stdout naked).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
