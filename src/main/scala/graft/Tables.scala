@@ -87,7 +87,15 @@ object Tables {
     * Env-overridable for A/B runs.
     */
   private val SpreadMinBytes: Long =
-    sys.env.getOrElse("SPARK_GRAFT_SPREAD_MIN_BYTES", "4194304").toLong
+    sys.env.get("SPARK_GRAFT_SPREAD_MIN_BYTES")
+      .flatMap(v => scala.util.Try(v.toLong).toOption.orElse {
+        // a malformed override must not surface as an opaque
+        // ExceptionInInitializerError on first use of object Tables
+        System.err.println(
+          s"[tables] ignoring malformed SPARK_GRAFT_SPREAD_MIN_BYTES='$v'")
+        None
+      })
+      .getOrElse(4194304L)
 
   /** Spread a scan that cannot fill the machine, for callers about to
     * run a HEAVY map-side pass over it. The harness parquet layout is

@@ -614,10 +614,16 @@ object Dedup {
       spark.createDataFrame(Seq((n, k, bands))).toDF("n", "k", "bands")
         .write.mode("overwrite").parquet(metaP.toString)
     else {
-      val m = spark.read.parquet(metaP.toString).head
-      require((m.getInt(0), m.getInt(1), m.getInt(2)) == ((n, k, bands)),
-        s"near-dup index $dir has layout (n=${m.getInt(0)}, k=${m.getInt(1)}, " +
-          s"bands=${m.getInt(2)}); refusing an append with (n=$n, k=$k, bands=$bands)")
+      // driver-side meta read (TinyParquet): the per-append Spark read
+      // of this 1-row table cost 2 scheduled jobs (measured,
+      // tools/ApplyProfile: ~0.13 s per apply)
+      val m = TinyParquet.rows(
+        spark.sparkContext.hadoopConfiguration, metaP.toString).head
+      val (mn, mk, mb) =
+        (m.getInteger("n", 0), m.getInteger("k", 0), m.getInteger("bands", 0))
+      require((mn, mk, mb) == ((n, k, bands)),
+        s"near-dup index $dir has layout (n=$mn, k=$mk, " +
+          s"bands=$mb); refusing an append with (n=$n, k=$k, bands=$bands)")
     }
     val (root, mode) =
       (stagingPath.getOrElse(dir), if (stagingPath.isDefined) "overwrite" else "append")
@@ -647,11 +653,19 @@ object Dedup {
     // serial job-launch/commit floors made this the slowest family
     // chain in the composed applier
     ParJobs.run(
-      () => bandRows(minhashSignatures(uniq, "kh", "txt", n, k), bands, k / bands)
-        .select($"doc".as("kh"), $"band", $"bucket")
-        .repartition($"band")
-        .sortWithinPartitions($"band", $"bucket")
-        .write.mode(mode).partitionBy("band").parquet(s"$root/bands"),
+      () => {
+        val br = bandRows(minhashSignatures(uniq, "kh", "txt", n, k), bands, k / bands)
+          .select($"doc".as("kh"), $"band", $"bucket")
+        // micro-batch regime (the StreamingIndex.microPlan rule): band
+        // rows already on ONE partition (a coalesce(1)'d micro-batch
+        // delta) skip the band repartition — one sorted task's dynamic
+        // partitioning writes the SAME one-file-per-band layout with
+        // zero exchanges; anything multi-partition keeps the
+        // repartition so each band still lands as one file
+        (if (br.rdd.getNumPartitions == 1) br else br.repartition($"band"))
+          .sortWithinPartitions($"band", $"bucket")
+          .write.mode(mode).partitionBy("band").parquet(s"$root/bands")
+      },
       () => docShingles(uniq, "kh", "txt", n)
         .select($"doc".as("kh"), $"hs")
         .write.mode(mode).parquet(s"$root/sets"),

@@ -646,8 +646,12 @@ object LangModel {
     val (c123, cw) = counts3Of(delta, textCol)
     val (root, mode) =
       (stagingPath.getOrElse(dir), if (stagingPath.isDefined) "overwrite" else "append")
-    c123.write.mode(mode).parquet(s"$root/c123")
-    cw.write.mode(mode).parquet(s"$root/cw")
+    // two disjoint sub-tables → two CONCURRENT jobs (the appendLmCounts
+    // ParJobs rationale: at micro-batch scale the serial job-launch +
+    // parquet-commit floors were the appender's wall time)
+    ParJobs.run(
+      () => c123.write.mode(mode).parquet(s"$root/c123"),
+      () => cw.write.mode(mode).parquet(s"$root/cw"))
   }
 
   /** Append ONLY the trigram table of an order-3 delta — the

@@ -185,17 +185,19 @@ object Pq {
       dim: Int = 64, iters: Int = 2, builtBy: Long = -1L): Unit = {
     val spark = corpus.sparkSession
     val cb = trainCodebooks(corpus, m, k, dim, iters)
-    cb.write.mode("overwrite").parquet(s"$dir/codebooks")
     // (m, k, dim) are LAYOUT metadata — the index owns them (the
     // stats.buckets principle of buildBm25Index): append and probe
     // read them back, so no caller threads quantization constants
-    // through, and a mismatched override can't silently mis-decode
-    spark.createDataFrame(Seq((m, k, dim))).toDF("m", "k", "dim")
-      .write.mode("overwrite").parquet(s"$dir/meta")
-    encode(corpus, cb, m, dim).write.mode("overwrite").parquet(s"$dir/codes")
-    corpus.select($"vid", $"qv", $"nrm")
-      .write.mode("overwrite").parquet(s"$dir/vectors")
-    // build-commit marker, written LAST (see Similarity.writeBuiltMarker)
+    // through, and a mismatched override can't silently mis-decode.
+    // Four disjoint sub-tables → concurrent jobs (ParJobs); the
+    // build-commit marker stays LAST — ParJobs awaits every write.
+    ParJobs.run(
+      () => cb.write.mode("overwrite").parquet(s"$dir/codebooks"),
+      () => spark.createDataFrame(Seq((m, k, dim))).toDF("m", "k", "dim")
+        .write.mode("overwrite").parquet(s"$dir/meta"),
+      () => encode(corpus, cb, m, dim).write.mode("overwrite").parquet(s"$dir/codes"),
+      () => corpus.select($"vid", $"qv", $"nrm")
+        .write.mode("overwrite").parquet(s"$dir/vectors"))
     Similarity.writeBuiltMarker(spark, dir, builtBy)
   }
 
@@ -204,8 +206,11 @@ object Pq {
     */
   private def indexMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Int, Int, Int) = {
-    val Array(row) = spark.read.parquet(s"$dir/meta").collect()
-    (row.getAs[Int]("m"), row.getAs[Int]("k"), row.getAs[Int]("dim"))
+    // driver-side read (TinyParquet): this 1-row layout table was a
+    // schema-inference pass + collect JOB on every append/probe
+    val Seq(row) = TinyParquet.rows(
+      spark.sparkContext.hadoopConfiguration, s"$dir/meta")
+    (row.getInteger("m", 0), row.getInteger("k", 0), row.getInteger("dim", 0))
   }
 
   /** Frozen-codebook delta append. With `stagingPath` unset the delta
@@ -224,9 +229,12 @@ object Pq {
     val cb = spark.read.parquet(s"$dir/codebooks")
     val (root, mode) =
       (stagingPath.getOrElse(dir), if (stagingPath.isDefined) "overwrite" else "append")
-    encode(delta, cb, m, dim).write.mode(mode).parquet(s"$root/codes")
-    delta.select($"vid", $"qv", $"nrm")
-      .write.mode(mode).parquet(s"$root/vectors")
+    // disjoint sub-tables → concurrent jobs (the appendLmCounts
+    // ParJobs rationale: overlap the per-write job floors)
+    ParJobs.run(
+      () => encode(delta, cb, m, dim).write.mode(mode).parquet(s"$root/codes"),
+      () => delta.select($"vid", $"qv", $"nrm")
+        .write.mode(mode).parquet(s"$root/vectors"))
   }
 
   def pqProbeIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,

@@ -191,12 +191,16 @@ object Similarity {
     // buildPqIndex): append and probe read the stats back, so no
     // caller threads them through and a drifted re-train can't
     // silently mis-decode old codes
-    spark.createDataFrame(mn.indices.map(i => (i, mn(i), dl(i))))
-      .toDF("d", "mn", "dl")
-      .write.mode("overwrite").parquet(s"$dir/stats")
-    sq8EncodeWith(corpus, mn, dl).write.mode("overwrite").parquet(s"$dir/codes")
-    corpus.select($"vid", $"qv", $"nrm")
-      .write.mode("overwrite").parquet(s"$dir/vectors")
+    // three disjoint sub-tables → concurrent jobs (ParJobs); the
+    // build-commit marker stays LAST — ParJobs awaits every write
+    ParJobs.run(
+      () => spark.createDataFrame(mn.indices.map(i => (i, mn(i), dl(i))))
+        .toDF("d", "mn", "dl")
+        .write.mode("overwrite").parquet(s"$dir/stats"),
+      () => sq8EncodeWith(corpus, mn, dl)
+        .write.mode("overwrite").parquet(s"$dir/codes"),
+      () => corpus.select($"vid", $"qv", $"nrm")
+        .write.mode("overwrite").parquet(s"$dir/vectors"))
     writeBuiltMarker(spark, dir, builtBy)
   }
 
@@ -245,8 +249,12 @@ object Similarity {
     */
   private def sq8IndexStats(spark: org.apache.spark.sql.SparkSession,
       dir: String): (Array[Double], Array[Double]) = {
-    val rows = spark.read.parquet(s"$dir/stats").orderBy($"d").collect()
-    (rows.map(_.getAs[Double]("mn")), rows.map(_.getAs[Double]("dl")))
+    // driver-side read (TinyParquet): the dim-sized stats table was a
+    // schema-inference pass + collect JOB on every append/probe
+    val rows = TinyParquet.rows(
+        spark.sparkContext.hadoopConfiguration, s"$dir/stats")
+      .sortBy(_.getInteger("d", 0)).toArray
+    (rows.map(_.getDouble("mn", 0)), rows.map(_.getDouble("dl", 0)))
   }
 
   /** Frozen-stats delta append — same staging contract as
@@ -262,9 +270,12 @@ object Similarity {
     val (mn, dl) = sq8IndexStats(spark, dir)
     val (root, mode) =
       (stagingPath.getOrElse(dir), if (stagingPath.isDefined) "overwrite" else "append")
-    sq8EncodeWith(delta, mn, dl).write.mode(mode).parquet(s"$root/codes")
-    delta.select($"vid", $"qv", $"nrm")
-      .write.mode(mode).parquet(s"$root/vectors")
+    // disjoint sub-tables → concurrent jobs (the appendLmCounts
+    // ParJobs rationale: overlap the per-write job floors)
+    ParJobs.run(
+      () => sq8EncodeWith(delta, mn, dl).write.mode(mode).parquet(s"$root/codes"),
+      () => delta.select($"vid", $"qv", $"nrm")
+        .write.mode(mode).parquet(s"$root/vectors"))
   }
 
   def sq8ProbeIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,

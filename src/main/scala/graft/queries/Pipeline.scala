@@ -50,9 +50,17 @@ object Pipeline {
     * spread correctly. Row-independent maps + the gates' final
     * orderBy make the re-partitioning output-invisible.
     */
-  private[queries] def spreadIds(ids: Dataset[Long]): Dataset[Long] =
-    ids.repartitionByRange(
-      ids.sparkSession.sparkContext.defaultParallelism, col(ids.columns.head))
+  private[queries] def spreadIds(ids: Dataset[Long]): Dataset[Long] = {
+    val target = ids.sparkSession.sparkContext.defaultParallelism
+    // no-op guard (the Tables.spread rule, r17 verdict item): a scan
+    // that already has >= parallelism splits — any real multi-file /
+    // multi-row-group table at production scale — fills the machine by
+    // itself, so adding a range exchange would only cost; id order
+    // within parquet splits is ascending, so the group memos keep
+    // their contiguity without the re-partition
+    if (ids.rdd.getNumPartitions >= target) ids
+    else ids.repartitionByRange(target, col(ids.columns.head))
+  }
 
   /** Per-partition single-entry memo for the clip-dedup gates'
     * synthesize+decode stage: every 16 consecutive doc ids are clips

@@ -51,6 +51,46 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingIndex {
 
+  /** Bytes above which [[microPlan]] leaves a batch alone (the
+    * Tables.spread bound, one level up): past this size a single
+    * split carries enough rows that parallel aggregation can pay for
+    * its exchanges. Env-overridable for A/B runs.
+    */
+  private val MicroBatchMaxBytes: Long =
+    sys.env.get("SPARK_GRAFT_MICROBATCH_MAX_BYTES")
+      .flatMap(v => scala.util.Try(v.toLong).toOption.orElse {
+        System.err.println(
+          s"[streaming] ignoring malformed SPARK_GRAFT_MICROBATCH_MAX_BYTES='$v'")
+        None
+      })
+      .getOrElse(33554432L) // 32 MiB
+
+  /** The micro-batch PLAN regime (the job-floor fix the r17 verdict
+    * ranked first): a batch that arrives as ONE scan split reports
+    * `UnknownPartitioning(1)`, so every per-family `groupBy` below it
+    * still plans an Exchange — and with AQE each exchange runs as its
+    * own stage JOB, which at micro-batch scale is the appliers' whole
+    * wall time (measured, tools/ApplyProfile: an LM apply is 10 jobs /
+    * ~0.5 s, a dashboard apply 26 jobs / ~1.4 s, nearly all job-launch
+    * floor). `coalesce(1)` on an already-1-partition plan moves no
+    * data but reports `SinglePartition`, which satisfies every
+    * aggregation's required distribution — each sub-table derivation
+    * collapses to ONE single-stage job with zero exchanges.
+    *
+    * Scale-adaptive by the spread rule's inverse: applied ONLY when
+    * the batch is already a single split AND small (stats-estimated
+    * under [[MicroBatchMaxBytes]]) — a production multi-split batch,
+    * or a spread compute output (e.g. the clip gates' decode stage,
+    * 32 partitions), passes through untouched and keeps the fully
+    * parallel plan. Row-multiset-invisible: same rows, same
+    * aggregation results, only the exchange placement changes.
+    */
+  private def microPlan(batch: DataFrame): DataFrame = {
+    val small = batch.queryExecution.analyzed.stats.sizeInBytes <
+      MicroBatchMaxBytes
+    if (small && batch.rdd.getNumPartitions == 1) batch.coalesce(1) else batch
+  }
+
   /** Apply one micro-batch to the index, idempotently by `batchId`.
     * First-ever batch builds the index; later ones append. Returns
     * true when the batch was applied, false when the id was already
@@ -67,16 +107,17 @@ object StreamingIndex {
     }
     // cheap emptiness probe; an empty trigger still logs its id so a
     // re-delivered empty batch stays a no-op
+    val mb = microPlan(batch)
     val applied =
-      if (batch.isEmpty) false
+      if (mb.isEmpty) false
       else {
         if (spark.catalog.tableExists(s"$db.stats"))
           // append reads the recorded bucket layout from the index
           graft.operators.Retrieval.appendToBm25Index(
-            batch, idCol, textCol, db)
+            mb, idCol, textCol, db)
         else
           graft.operators.Retrieval.buildBm25Index(
-            batch, idCol, textCol, db, buckets)
+            mb, idCol, textCol, db, buckets)
         true
       }
     Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(logTable)
@@ -119,8 +160,9 @@ object StreamingIndex {
     if (BatchLog.contains(spark, logPath, batchId)) {
       return false
     }
+    val mb = microPlan(batch)
     val applied =
-      if (batch.isEmpty) false
+      if (mb.isEmpty) false
       else {
         // build-commit marker protocol (Similarity.writeBuiltMarker):
         // marker == my id → my build committed, only the batchlog is
@@ -138,10 +180,10 @@ object StreamingIndex {
           val members = new org.apache.hadoop.fs.Path(s"$dir/members")
           val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
           sweepBatchFiles(fs, members, batchId)
-          graft.operators.Similarity.appendIvfIndex(spark, batch, dir,
+          graft.operators.Similarity.appendIvfIndex(spark, mb, dir,
             stagingPath = Some(staging.toString))
           commitStaged(fs, staging, members, batchId)
-        } else graft.operators.Similarity.buildIvfIndex(batch, dim, dir,
+        } else graft.operators.Similarity.buildIvfIndex(mb, dim, dir,
           builtBy = batchId)
         true
       }
@@ -204,7 +246,7 @@ object StreamingIndex {
     * flat parquet dirs; one shallow listing (√C-bounded for the IVF
     * layout), no data read.
     */
-  private def sweepBatchFiles(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def sweepBatchFiles(fs: org.apache.hadoop.fs.FileSystem,
       live: org.apache.hadoop.fs.Path, batchId: Long): Unit = {
     val prefix = s"b${batchId}_"
     if (!fs.exists(live)) return
@@ -223,7 +265,7 @@ object StreamingIndex {
     * point re-produces the same destination names over a swept tree,
     * so the commit converges.
     */
-  private def commitStaged(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def commitStaged(fs: org.apache.hadoop.fs.FileSystem,
       staging: org.apache.hadoop.fs.Path,
       live: org.apache.hadoop.fs.Path, batchId: Long): Unit = {
     fs.mkdirs(live)
@@ -268,8 +310,9 @@ object StreamingIndex {
     if (BatchLog.contains(spark, logPath, batchId)) {
       return false
     }
+    val mb = microPlan(batch)
     val applied =
-      if (batch.isEmpty) false
+      if (mb.isEmpty) false
       else {
         // build-commit marker protocol — see applyIvfBatch
         val built = resolveBuiltMarker(spark, dir, fs, "vectors")
@@ -280,14 +323,14 @@ object StreamingIndex {
             sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
           }
           // append reads the recorded (m, k, dim) from the index meta
-          graft.operators.Pq.appendPqIndex(spark, batch, dir,
+          graft.operators.Pq.appendPqIndex(spark, mb, dir,
             stagingPath = Some(staging.toString))
           Seq("codes", "vectors").foreach { sub =>
             commitStaged(fs, new org.apache.hadoop.fs.Path(staging, sub),
               new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
           }
           fs.delete(staging, true)
-        } else graft.operators.Pq.buildPqIndex(batch, dir, m = m, dim = dim,
+        } else graft.operators.Pq.buildPqIndex(mb, dir, m = m, dim = dim,
           builtBy = batchId)
         true
       }
@@ -315,8 +358,9 @@ object StreamingIndex {
     if (BatchLog.contains(spark, logPath, batchId)) {
       return false
     }
+    val mb = microPlan(batch)
     val applied =
-      if (batch.isEmpty) false
+      if (mb.isEmpty) false
       else {
         // build-commit marker protocol — see applyIvfBatch
         val built = resolveBuiltMarker(spark, dir, fs, "vectors")
@@ -327,14 +371,14 @@ object StreamingIndex {
             sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
           }
           // append reads the recorded affine stats from the index
-          graft.operators.Similarity.appendSq8Index(spark, batch, dir,
+          graft.operators.Similarity.appendSq8Index(spark, mb, dir,
             stagingPath = Some(staging.toString))
           Seq("codes", "vectors").foreach { sub =>
             commitStaged(fs, new org.apache.hadoop.fs.Path(staging, sub),
               new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
           }
           fs.delete(staging, true)
-        } else graft.operators.Similarity.buildSq8Index(batch, dir,
+        } else graft.operators.Similarity.buildSq8Index(mb, dir,
           builtBy = batchId)
         true
       }
@@ -362,14 +406,15 @@ object StreamingIndex {
     if (BatchLog.contains(spark, logPath, batchId)) {
       return false
     }
+    val mb = microPlan(batch)
     val applied =
-      if (batch.isEmpty) false
+      if (mb.isEmpty) false
       else {
         val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
         Seq("c12", "c1", "cw").foreach { sub =>
           sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
         }
-        graft.operators.LangModel.appendLmCounts(spark, batch, textCol, dir,
+        graft.operators.LangModel.appendLmCounts(spark, mb, textCol, dir,
           stagingPath = Some(staging.toString))
         Seq("c12", "c1", "cw").foreach { sub =>
           commitStaged(fs, new org.apache.hadoop.fs.Path(staging, sub),
@@ -400,14 +445,15 @@ object StreamingIndex {
     if (BatchLog.contains(spark, logPath, batchId)) {
       return false
     }
+    val mb = microPlan(batch)
     val applied =
-      if (batch.isEmpty) false
+      if (mb.isEmpty) false
       else {
         val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
         Seq("c123", "cw").foreach { sub =>
           sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
         }
-        graft.operators.LangModel.appendLm3Counts(spark, batch, textCol, dir,
+        graft.operators.LangModel.appendLm3Counts(spark, mb, textCol, dir,
           stagingPath = Some(staging.toString))
         Seq("c123", "cw").foreach { sub =>
           commitStaged(fs, new org.apache.hadoop.fs.Path(staging, sub),
@@ -440,14 +486,15 @@ object StreamingIndex {
     if (BatchLog.contains(spark, logPath, batchId)) {
       return false
     }
+    val mb = microPlan(batch)
     val applied =
-      if (batch.isEmpty) false
+      if (mb.isEmpty) false
       else {
         val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
         Seq("bands", "sets", "docs").foreach { sub =>
           sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
         }
-        graft.operators.Dedup.appendNearDupIndex(spark, batch, idCol,
+        graft.operators.Dedup.appendNearDupIndex(spark, mb, idCol,
           textCol, dir, n, k, bands, stagingPath = Some(staging.toString))
         Seq("bands", "sets", "docs").foreach { sub =>
           commitStaged(fs, new org.apache.hadoop.fs.Path(staging, sub),
@@ -508,8 +555,9 @@ object StreamingIndex {
       return false
     }
     val subs = Seq("bands", "sets", "docs", "sides")
+    val mb = microPlan(batch)
     val applied =
-      if (batch.isEmpty) false
+      if (mb.isEmpty) false
       else {
         val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
         subs.foreach { sub =>
@@ -526,16 +574,16 @@ object StreamingIndex {
         val assign =
           if (bootstrapped)
             graft.operators.Curation.incrementalSplitAssign(spark, dir,
-              batch,
+              mb,
               spark.read.parquet(s"$dir/sides").select($"doc_id", $"side"),
               idCol, textCol, threshold, trainPct)
           else // first batch: no index yet — all fresh content
             graft.operators.Curation.leakageSafeSplitSingletons(
-              batch, idCol, trainPct)
+              mb, idCol, trainPct)
         // materialize the assignment FIRST: it probes the live index,
         // which must not yet contain this batch's own content
         assign.write.mode("overwrite").parquet(s"$staging/sides")
-        graft.operators.Dedup.appendNearDupIndex(spark, batch, idCol,
+        graft.operators.Dedup.appendNearDupIndex(spark, mb, idCol,
           textCol, dir, stagingPath = Some(staging.toString))
         subs.foreach { sub =>
           commitStaged(fs, new org.apache.hadoop.fs.Path(staging, sub),
@@ -617,42 +665,46 @@ object StreamingIndex {
     // top of one scan. !shareScan: the cheap limit-1 emptiness probe,
     // then the same concurrent jobs straight off the source (each
     // re-scans; right when re-pulls are near-free).
+    val mb = microPlan(batch)
     val shared =
-      if (shareScan) batch.persist(
+      if (shareScan) mb.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else batch
+      else mb
     val nonEmpty =
-      if (shareScan) shared.count() > 0L else !batch.isEmpty
+      if (shareScan) shared.count() > 0L else !shared.isEmpty
     val applied =
       if (!nonEmpty) { if (shareScan) shared.unpersist(); false }
-      else {
+      else try { // unpersist on EVERY exit path, incl. a sweep/staging
+                 // failure before the family jobs (ADVICE r17)
         val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
         subs.foreach { sub =>
           sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
         }
-        try {
-          import scala.concurrent.{Await, Future}
-          import scala.concurrent.ExecutionContext.Implicits.global
-          Await.result(Future.sequence(Seq(
-            Future(graft.operators.LangModel.appendLmCounts(spark, shared,
-              textCol, dir, stagingPath = Some(staging.toString))),
-            Future(graft.operators.LangModel.appendTrigramCounts(spark,
-              shared, textCol, dir, stagingPath = Some(staging.toString))),
-            Future(graft.operators.Profiling.appendProfileState(spark,
-              shared, numCols, dir, p, stagingPath = Some(staging.toString))),
-            Future(graft.operators.IngestDashboard.appendRepState(spark,
-              shared, textCol, dir, alpha,
-              stagingPath = Some(staging.toString))),
-            Future(graft.operators.Dedup.appendNearDupIndex(spark, shared,
-              idCol, textCol, dir, stagingPath = Some(staging.toString))))),
-            scala.concurrent.duration.Duration.Inf)
-        } finally { if (shareScan) shared.unpersist(); () }
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.sequence(Seq(
+          Future(graft.operators.LangModel.appendLmCounts(spark, shared,
+            textCol, dir, stagingPath = Some(staging.toString))),
+          Future(graft.operators.LangModel.appendTrigramCounts(spark,
+            shared, textCol, dir, stagingPath = Some(staging.toString))),
+          Future(graft.operators.Profiling.appendProfileState(spark,
+            shared, numCols, dir, p, stagingPath = Some(staging.toString))),
+          Future(graft.operators.IngestDashboard.appendRepState(spark,
+            shared, textCol, dir, alpha,
+            stagingPath = Some(staging.toString))),
+          Future(graft.operators.Dedup.appendNearDupIndex(spark, shared,
+            idCol, textCol, dir, stagingPath = Some(staging.toString))))),
+          scala.concurrent.duration.Duration.Inf)
+        if (shareScan) shared.unpersist()
         subs.foreach { sub =>
           commitStaged(fs, new org.apache.hadoop.fs.Path(staging, sub),
             new org.apache.hadoop.fs.Path(s"$dir/$sub"), batchId)
         }
         fs.delete(staging, true)
         true
+      } catch { case t: Throwable =>
+        if (shareScan) try shared.unpersist() catch { case _: Throwable => () }
+        throw t
       }
     BatchLog.append(spark, logPath, batchId)
     applied
@@ -795,12 +847,13 @@ object StreamingIndex {
     if (BatchLog.contains(spark, logPath, batchId)) {
       return false
     }
+    val mb = microPlan(batch)
     val applied =
-      if (batch.isEmpty) false
+      if (mb.isEmpty) false
       else {
         val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
         sweepBatchFiles(fs, new org.apache.hadoop.fs.Path(s"$dir/state"), batchId)
-        graft.operators.Profiling.appendProfileState(spark, batch, cols, dir,
+        graft.operators.Profiling.appendProfileState(spark, mb, cols, dir,
           p, stagingPath = Some(staging.toString))
         commitStaged(fs, new org.apache.hadoop.fs.Path(staging, "state"),
           new org.apache.hadoop.fs.Path(s"$dir/state"), batchId)
@@ -902,13 +955,14 @@ object StreamingIndex {
     if (BatchLog.contains(spark, logPath, batchId)) {
       return false
     }
+    val mb = microPlan(batch)
     val applied =
-      if (batch.isEmpty) false
+      if (mb.isEmpty) false
       else {
         val postings = new org.apache.hadoop.fs.Path(s"$dir/postings")
         val staging = new org.apache.hadoop.fs.Path(s"$dir/staging_b$batchId")
         sweepBatchFiles(fs, postings, batchId)
-        batch.select($"vid", $"fhash",
+        mb.select($"vid", $"fhash",
             pmod($"fhash", lit(64)).cast("int").as("fb"))
           .write.mode("overwrite").partitionBy("fb")
           .parquet(staging.toString)

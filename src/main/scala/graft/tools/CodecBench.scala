@@ -85,8 +85,9 @@ object CodecBench {
             }
           })
         }
-        futures.foreach(_.get())
-        pool.shutdown()
+        // shutdown in finally: a failed worker future must not leave
+        // non-daemon pool threads alive (the JVM would never exit)
+        try futures.foreach(_.get()) finally pool.shutdown()
       }
       sink += acc.get()
     }
