@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Quantize a float vector to the integer grid (×1000). */
-  def quantize(v: Column): Column =
-    transform(v, x => round(x.cast("double") * 1000).cast("long"))
+  /** Quantize a float vector to the integer grid (×1000) — a codegen'd
+    * native expression ([[QuantizeVec]]); the transform+round HOF
+    * formulation is semantically identical but runs an interpreted
+    * Round per element on what is a full corpus encode scan at 100 TB.
+    */
+  def quantize(v: Column): Column = QuantizeVec.quantizeVec(v)
 
   /** Integer dot product of two quantized vectors — a codegen'd native
     * expression ([[QDot]]); the zip_with+aggregate formulation is

@@ -121,6 +121,35 @@ class InterpretedParitySpec extends SparkSpec {
     assert(c2.forall(r => r.getLong(1) == r.getLong(2)))
   }
 
+  test("QuantizeVec matches the transform+round HOF (incl. exact .5 " +
+      "ties, negatives and null elements) across eval modes") {
+    // 0.0625f·1000 = 62.5 exactly — a representable decimal tie, the
+    // case where HALF_UP (round) and HALF_EVEN (rint) diverge; the
+    // negatives pin away-from-zero; nulls pin element passthrough
+    val edges = Tables(spark, sf).embeddings.limit(1)
+      .select(lit(900001L).as("vec_id"),
+        array(lit(0.0625f), lit(-0.0625f), lit(0.0615f), lit(-0.0615f),
+          lit(0.0005f), lit(-0.0005f), lit(0.0035f), lit(-0.0035f),
+          lit(0f), lit(123.456f), lit(-123.456f),
+          lit(null).cast("float")).as("embedding"))
+    val df = Tables(spark, sf).embeddings.limit(200)
+      .select($"vec_id", $"embedding")
+      .union(edges)
+      .cache()
+    def build = df.select($"vec_id",
+        QuantizeVec.quantizeVec($"embedding").as("qv"),
+        transform($"embedding", x => round(x.cast("double") * 1000).cast("long"))
+          .as("hof"))
+      .orderBy($"vec_id")
+    val (compiled, interpreted) = bothModes(build)
+    assert(compiled == interpreted)
+    assert(compiled.forall(r => r.getSeq[java.lang.Long](1) == r.getSeq[java.lang.Long](2)))
+    // the tie row really exercised HALF_UP: 62.5 → 63, -62.5 → -63
+    val tie = compiled.find(_.getLong(0) == 900001L).get
+    assert(tie.getSeq[java.lang.Long](1).take(2) == Seq(63L, -63L))
+    assert(tie.getSeq[java.lang.Long](1).last == null)
+  }
+
   test("QDot and the sketch expressions agree across eval modes") {
     val docs = Tables(spark, sf).documents.limit(100).cache()
     def build = docs.select($"doc_id",
