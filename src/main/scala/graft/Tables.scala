@@ -11,7 +11,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * by Catalyst.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** One table, schema-exact. The first read of a path infers the
+    * schema from the parquet footer and CACHES it (per-JVM, keyed on
+    * the full path) — the external-schema stance above made real:
+    * measured (tools/FloorProbe), `spark.read.parquet` pays ~60 ms of
+    * file-index + footer inference PER CALL, where a schema-given read
+    * is ~9 ms, and with ~1-3 table reads per query × 3 bench passes ×
+    * 234 queries that inference was the single largest slice of the
+    * per-query session floor. Only METADATA is cached — every query
+    * still scans the parquet data; the harness table files are
+    * immutable for a JVM's lifetime (the warmup pass doubles as the
+    * catalog fill).
+    */
+  def table(name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val cached = Tables.schemaCache.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      Tables.schemaCache.put(path, df.schema)
+      df
+    }
+  }
 
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")
@@ -77,6 +98,12 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+  /** Path → inferred schema (see [[Tables.table]]): the in-JVM stand-in
+    * for the external catalog the reference reads schemas from.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
