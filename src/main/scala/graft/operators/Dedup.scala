@@ -683,8 +683,12 @@ object Dedup {
       dir: String, probe: DataFrame, idCol: String, textCol: String,
       threshold: Double, bandsProbed: Int = Int.MaxValue,
       pointLookup: Boolean = false): (DataFrame, DataFrame) = {
-    val m = spark.read.parquet(s"$dir/meta").head
-    val (n, k, bnds) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    // driver-side meta read (TinyParquet): a 1-row layout table, was a
+    // schema-inference pass + a head job per probe
+    val m = TinyParquet.rows(
+      spark.sparkContext.hadoopConfiguration, s"$dir/meta").head
+    val (n, k, bnds) =
+      (m.getInteger("n", 0), m.getInteger("k", 0), m.getInteger("bands", 0))
     val pUniq = probe
       .groupBy(xxhash64(col(textCol)).as("kh"))
       .agg(first(col(textCol)).as("txt"))
@@ -741,7 +745,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
       .select(col("x.doc").as("a"), col("y.kh").as("b"))
       .distinct()
-    val cSets = spark.read.parquet(s"$dir/sets")
+    val cSets = SegRead(spark, s"$dir/sets", "nd/sets")
       .groupBy($"kh").agg(first($"hs").as("hs"))
       .select($"kh".as("doc"), $"hs")
     val uniqPairs = verifyJaccardTwoSided(cands,
@@ -770,7 +774,7 @@ object Dedup {
       idCol, textCol, threshold, pointLookup = pointLookup)
     uniqPairs
       .join(pDocs, "pkh")
-      .join(spark.read.parquet(s"$dir/docs")
+      .join(SegRead(spark, s"$dir/docs", "nd/docs")
         .select($"kh".as("ckh"), $"doc".as("b")), "ckh")
       .select($"a", $"b", $"jaccard")
   }
@@ -797,7 +801,7 @@ object Dedup {
       idCol, textCol, threshold, bandsProbed, pointLookup)
     uniqPairs
       .join(pDocs, "pkh")
-      .join(spark.read.parquet(s"$dir/docs")
+      .join(SegRead(spark, s"$dir/docs", "nd/docs")
         .select($"kh".as("ckh"), $"doc".as("b")), "ckh")
       .select($"a", $"b", $"jaccard")
   }
@@ -818,7 +822,7 @@ object Dedup {
       idCol, textCol, threshold, pointLookup = pointLookup)
     // per indexed CONTENT: copy count + smallest doc id (bounded,
     // content-keyed aggregates — never pair-expanded)
-    val cStats = spark.read.parquet(s"$dir/docs")
+    val cStats = SegRead(spark, s"$dir/docs", "nd/docs")
       .groupBy($"kh").agg(count(lit(1)).as("copies"), min($"doc").as("min_doc"))
       .select($"kh".as("ckh"), $"copies", $"min_doc")
     val perProbeContent = uniqPairs.join(cStats, "ckh")

@@ -377,11 +377,13 @@ object LangModel {
   /** The merged (c12, c1, cw) of a persisted model directory. */
   private def lmCounts(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame, DataFrame) = {
-    (spark.read.parquet(s"$dir/c12")
+    // SegRead: fixed layouts, schema inferred once per JVM (the
+    // per-score/probe inference was a measured slice of the gate wall)
+    (SegRead(spark, s"$dir/c12", "lm/c12")
        .groupBy($"w1", $"w2").agg(sum($"c12").as("c12")),
-     spark.read.parquet(s"$dir/c1")
+     SegRead(spark, s"$dir/c1", "lm/c1")
        .groupBy($"w1").agg(sum($"c1").as("c1")),
-     spark.read.parquet(s"$dir/cw")
+     SegRead(spark, s"$dir/cw", "lm/cw")
        .groupBy($"w2").agg(sum($"cw").as("cw")))
   }
 
@@ -675,9 +677,9 @@ object LangModel {
   /** The merged (c123, cw) of a persisted KN-3 model directory. */
   private def lm3Counts(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$dir/c123")
+    (SegRead(spark, s"$dir/c123", "lm/c123")
        .groupBy($"w1", $"w2", $"w3").agg(sum($"c123").as("c123")),
-     spark.read.parquet(s"$dir/cw")
+     SegRead(spark, s"$dir/cw", "lm/cw")
        .groupBy($"w2").agg(sum($"cw").as("cw")))
 
   /** KN-3 scoring from the persisted tables alone — every statistic

@@ -150,9 +150,16 @@ object Similarity {
     // lambda (the QDot rationale); queries pre-cast to double once on
     // the broadcast side.
     import graft.functions.DDot.ddot
+    import graft.functions.EvalOnce.evalOnce
+    // EvalOnce: BOTH computed columns must be pinned to once-per-row —
+    // whole-stage codegen splices a pure-codegen projection at its
+    // first use site, which for this nested-loop join is inside the
+    // per-pair loop (the q196 deferral, graft.functions.EvalOnce
+    // scaladoc); rv was accidentally safe as a CodegenFallback HOF,
+    // rn (codegen ddot+sqrt) was not
     val rec = enc
-      .withColumn("rv", recon)
-      .withColumn("rn", sqrt(ddot($"rv", $"rv")))
+      .withColumn("rv", evalOnce(recon))
+      .withColumn("rn", evalOnce(sqrt(ddot($"rv", $"rv"))))
     val qd = broadcast(queries.select($"vid".as("q_vid"),
       transform($"qv", _.cast("double")).as("q_dv")))
     rec.join(qd, $"q_vid" =!= $"vid")
@@ -281,8 +288,8 @@ object Similarity {
   def sq8ProbeIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, topK: Int, shortlistFactor: Int = 4): DataFrame = {
     val (mn, dl) = sq8IndexStats(spark, dir)
-    val enc = spark.read.parquet(s"$dir/codes")
-    val vectors = spark.read.parquet(s"$dir/vectors")
+    val enc = SegRead(spark, s"$dir/codes", "sq8/codes")
+    val vectors = SegRead(spark, s"$dir/vectors", "vec/vectors")
     Pq.rerankExact(
       rankTopK(sq8Scan(enc, queries, mn, dl), topK * shortlistFactor),
       queries, vectors, topK)
@@ -436,8 +443,14 @@ object Similarity {
     // 100 TB the encode is a full corpus pass and the scoring loop is
     // corpus×queries. Packed words and distances are bit-identical.
     val thrA = array(thr.map(lit): _*)
+    // EvalOnce: the encode must run once per ROW — without the pin,
+    // whole-stage codegen defers the stream-side projection into the
+    // corpus×queries inner loop of the join below and the encode runs
+    // once per PAIR (see graft.functions.EvalOnce scaladoc; measured
+    // 2× on this gate at sf0.1, queries× at scale)
     def signWords(v: Column): Column =
-      graft.functions.SignPack32.signPack(v, thrA)
+      graft.functions.EvalOnce.evalOnce(
+        graft.functions.SignPack32.signPack(v, thrA))
     val enc = corpus.select($"vid", signWords($"qv").as("sig"))
     val q = broadcast(queries
       .select($"vid".as("q_vid"), signWords($"qv").as("q_sig")))
@@ -1035,14 +1048,14 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(s"$dir/centroids_l1")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
-      val l1 = broadcast(spark.read.parquet(s"$dir/centroids_l1"))
-      val l2 = broadcast(spark.read.parquet(s"$dir/centroids_l2"))
+      val l1 = broadcast(SegRead(spark, s"$dir/centroids_l1", "ivf/centroids_l1"))
+      val l2 = broadcast(SegRead(spark, s"$dir/centroids_l2", "ivf/centroids_l2"))
       IvfLayout(
         Quantizer(df => assignHier(df, l1, l2),
           (df, np) => probeHier(df, l1, l2, nL1 = 2, nProbe = np)),
         Some(l2.select($"scid".as("cid"), $"l1")))
     } else {
-      val cents = broadcast(spark.read.parquet(s"$dir/centroids"))
+      val cents = broadcast(SegRead(spark, s"$dir/centroids", "ivf/centroids"))
       IvfLayout(
         Quantizer(df => cellsFor(df, cents, 1, ""),
           (df, np) => cellsFor(df, cents, np, "")),

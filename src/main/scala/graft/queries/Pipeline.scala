@@ -50,6 +50,17 @@ object Pipeline {
     * spread correctly. Row-independent maps + the gates' final
     * orderBy make the re-partitioning output-invisible.
     */
+  /** Decision memo for [[spreadIds]]'s no-op guard, keyed on the id
+    * scan's leaf file-relation paths + the session parallelism: the
+    * `ids.rdd.getNumPartitions` probe costs ~40 ms of plan-to-RDD
+    * conversion per call (tools/FloorProbe), and 35+ decode gates call
+    * spreadIds over the same table scan whose split count is constant
+    * for a JVM's lifetime (the Tables schema-cache immutability
+    * argument). Metadata only — the memo stores a boolean decision.
+    */
+  private val spreadMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private[queries] def spreadIds(ids: Dataset[Long]): Dataset[Long] = {
     val target = ids.sparkSession.sparkContext.defaultParallelism
     // no-op guard (the Tables.spread rule, r17 verdict item): a scan
@@ -58,7 +69,21 @@ object Pipeline {
     // itself, so adding a range exchange would only cost; id order
     // within parquet splits is ascending, so the group memos keep
     // their contiguity without the re-partition
-    if (ids.rdd.getNumPartitions >= target) ids
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def probe(): Boolean = ids.rdd.getNumPartitions >= target
+    val key = ids.queryExecution.analyzed.collectLeaves().collectFirst {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+          .location.rootPaths.mkString(",") + "#" + target
+    }
+    val skip = key match {
+      case Some(k) =>
+        val cached = spreadMemo.get(k)
+        if (cached != null) cached.booleanValue()
+        else { val s = probe(); spreadMemo.put(k, s); s }
+      case None => probe()
+    }
+    if (skip) ids
     else ids.repartitionByRange(target, col(ids.columns.head))
   }
 

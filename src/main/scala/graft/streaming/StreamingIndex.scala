@@ -575,7 +575,8 @@ object StreamingIndex {
           if (bootstrapped)
             graft.operators.Curation.incrementalSplitAssign(spark, dir,
               mb,
-              spark.read.parquet(s"$dir/sides").select($"doc_id", $"side"),
+              graft.operators.SegRead(spark, s"$dir/sides", "split/sides")
+                .select($"doc_id", $"side"),
               idCol, textCol, threshold, trainPct)
           else // first batch: no index yet — all fresh content
             graft.operators.Curation.leakageSafeSplitSingletons(

@@ -62,6 +62,13 @@ object FloorProbe {
       graft.Tables(spark, sfDir).documents.groupBy("source").count()
         .write.mode("overwrite").format("noop").save()
     }}%.4f s (median)")
+    // the spreadIds guard's plan-to-RDD partition probe, in isolation
+    println(f"[floor] ids .rdd numPartitions: ${med(reps) {
+      graft.Tables(spark, sfDir).documents
+        .select(org.apache.spark.sql.functions.col("doc_id").cast("long"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .rdd.getNumPartitions; ()
+    }}%.4f s (median)")
     // AQE off, probe only: how much of the groupBy floor is AQE stage
     // scheduling vs the shuffle itself
     spark.conf.set("spark.sql.adaptive.enabled", "false")
