@@ -40,6 +40,29 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().length == 3, "the totalled frame is the 3-row shard summary")
   }
 
+  test("nested-loop scoring keeps its EvalOnce per-row pins (q196/sq8 shape)") {
+    // whole-stage codegen splices a pure-codegen stream-side projection
+    // at its first use site — inside a nested-loop join's per-pair
+    // loop — so the encode/reconstruction columns feeding the ANN
+    // scoring joins must stay wrapped in EvalOnce (r18: q196's encode
+    // silently ran once per corpus×queries PAIR without it; at scale
+    // that multiplies a full-corpus encode by the query count). This
+    // pins the wrapper's presence in the analyzed plans so a
+    // refactor can't quietly drop it.
+    import graft.operators.Similarity
+    val corpus = Similarity.prepare(Tables(spark, sf).embeddings, "vec_id", "embedding")
+    def evalOnceCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case p =>
+        p.expressions.map(_.collect { case e: graft.functions.EvalOnce => e }.size).sum
+      }.sum
+    val bin = Similarity.binaryTopK(corpus.filter(org.apache.spark.sql.functions.col("vid") < 50), corpus, topK = 3)
+    assert(evalOnceCount(bin) >= 2, // corpus sig + query sig
+      "binaryTopK must pin both encode projections with EvalOnce")
+    val sq8 = Similarity.sq8TopK(corpus.filter(org.apache.spark.sql.functions.col("vid") < 50), corpus, topK = 3)
+    assert(evalOnceCount(sq8) >= 2, // rv + rn
+      "sq8 scan must pin rv/rn reconstruction columns with EvalOnce")
+  }
+
   test("q01 aggregation is two-phase (map-side partial before shuffle)") {
     val p = plan(Relational.queries("q01_agg_pricing_summary")(spark, sf))
     assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
